@@ -1,0 +1,4 @@
+from .hashing import md5_long, md5_long_sql
+from .money import dec, dec_sql, dsum, dsum_sql
+
+__all__ = ["md5_long", "md5_long_sql", "dec", "dec_sql", "dsum", "dsum_sql"]

@@ -1,0 +1,281 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hash-dependent operators use the portable md5-based 60-bit hash
+(functions/hashing.py) so results are bit-identical between Spark and the
+DuckDB oracle. Everything stays JVM-side: shingling, hashing, minhash and
+simhash are built-in expressions (split/transform/md5/conv/bitwise) —
+no Python UDFs in the hot path.
+
+Scale design:
+- exact dedup: groupBy on a 60-bit content hash (shuffle keyed on hash —
+  uniform by construction, no skew), keep min(id) as representative;
+- minhash: one pass computes the K-permutation signature as K aggregate
+  expressions (map-side partial agg), LSH banding turns near-dup search
+  into an equi-join on (band_id, band_hash) — shuffle ∝ corpus size,
+  never the O(n²) pair space;
+- simhash: 60 bit-majority aggregates in one pass, hamming-ready output;
+- n-gram jaccard: exact verification for candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from downscaledclimatedata_spark.functions.hashing import md5_long, md5_long_sql
+from downscaledclimatedata_spark.plans import QuerySpec, register
+from downscaledclimatedata_spark.sources.tables import load_table
+
+MINHASH_PERMS = 16
+LSH_BAND_SIZE = 4
+SIMHASH_BITS = 60
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of lowercased text, empty tokens dropped."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (pure Catalyst exprs)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(n)]))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct content.
+
+    Returns (content_hash, keep_id, n_members). Representative = min id,
+    so the result is deterministic under any partitioning.
+    """
+    return (
+        df.select(md5_long(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_members"))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       n_perms: int = MINHASH_PERMS) -> DataFrame:
+    """(id, m0..m{K-1}) minhash signature over word 3-gram shingles.
+
+    K permutations are simulated as K seeded md5 hashes; each signature
+    component is a min-aggregate, so Catalyst plans a single shuffle with
+    map-side partial mins.
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("shingle"))
+    aggs = [F.min(md5_long(F.col("shingle"), seed=f"p{k}:")).alias(f"m{k}")
+            for k in range(n_perms)]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
+                        n_perms: int = MINHASH_PERMS,
+                        band_size: int = LSH_BAND_SIZE) -> DataFrame:
+    """Banded LSH: docs sharing any band hash become candidate pairs.
+
+    The pair space is never materialized — candidates come from an
+    equi-join on (band_id, band_hash).
+    """
+    n_bands = n_perms // band_size
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            md5_long(F.concat_ws(",", *[F.col(f"m{b * band_size + j}").cast("string")
+                                        for j in range(band_size)]),
+                     seed=f"band{b}:").alias("band_hash"),
+        )
+        for b in range(n_bands)
+    ])
+    banded = signatures.select(F.col(id_col), F.explode(bands).alias("band")) \
+        .select(id_col, "band.band_id", "band.band_hash")
+    left = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    right = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str,
+            n_bits: int = SIMHASH_BITS) -> DataFrame:
+    """60-bit simhash: per-bit majority vote over shingle hashes."""
+    shingled = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("shingle")
+    ).select(F.col(id_col), md5_long(F.col("shingle")).alias("h"))
+    bit_aggs = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"s{b}")
+        for b in range(n_bits)
+    ]
+    bits = shingled.groupBy(id_col).agg(*bit_aggs)
+    fingerprint = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return bits.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        candidates: DataFrame | None = None,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact word-3-gram Jaccard for candidate pairs (or all pairs).
+
+    At scale this runs AFTER LSH candidate generation so the quadratic
+    verify cost applies only to candidates.
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode_outer(word_shingles(F.col(text_col))).alias("shingle")
+    ).distinct()
+    a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("sh_a"))
+    b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    joined = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("jaccard",
+                    F.col("n_inter").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"))
+    )
+    if candidates is not None:
+        joined = joined.join(candidates, ["id_a", "id_b"], "left_semi")
+    return joined.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# --- SQL fragments shared by the oracle queries ------------------------------
+
+_SHINGLES_CTE = r"""
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS i) idx
+)
+"""
+
+
+def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # normalize to the first 5 tokens so the synthetic corpus actually
+    # produces duplicate groups to collapse
+    norm = F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 5))
+    return exact_dedup(docs.select("doc_id", norm.alias("norm_text")),
+                       "norm_text", "doc_id")
+
+
+_DEDUP_EXACT_SQL = rf"""
+WITH normed AS (
+  SELECT doc_id,
+    array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')[1:5], ' ') AS norm_text
+  FROM documents
+)
+SELECT {md5_long_sql('norm_text')} AS content_hash,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_members
+FROM normed GROUP BY 1
+"""
+
+
+def dedup_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "text", "doc_id")
+
+
+_MINHASH_COLS_SQL = ",\n  ".join(
+    f"MIN({md5_long_sql('shingle', seed=f'p{k}:')}) AS m{k}" for k in range(MINHASH_PERMS))
+_DEDUP_MINHASH_SQL = f"""
+WITH {_SHINGLES_CTE}
+SELECT doc_id,
+  {_MINHASH_COLS_SQL}
+FROM shingled GROUP BY doc_id
+"""
+
+
+def dedup_lsh_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    return pairs.agg(F.count("*").alias("n_candidate_pairs"))
+
+
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"""SELECT doc_id, {b} AS band_id, {md5_long_sql(
+        " || ',' || ".join(f"CAST(m{b * LSH_BAND_SIZE + j} AS VARCHAR)" for j in range(LSH_BAND_SIZE)),
+        seed=f"band{b}:")} AS band_hash FROM sigs"""
+    for b in range(MINHASH_PERMS // LSH_BAND_SIZE))
+_DEDUP_LSH_SQL = f"""
+WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, {_MINHASH_COLS_SQL}
+  FROM shingled GROUP BY doc_id
+),
+banded AS ({_BAND_SELECTS})
+SELECT COUNT(*) AS n_candidate_pairs FROM (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+"""
+
+
+def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id")
+
+
+_SIMHASH_BIT_SUMS = ",\n  ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(SIMHASH_BITS))
+_SIMHASH_VALUE = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+    for b in range(SIMHASH_BITS))
+_DEDUP_SIMHASH_SQL = f"""
+WITH {_SHINGLES_CTE},
+hashed AS (SELECT doc_id, {md5_long_sql('shingle')} AS h FROM shingled),
+bits AS (SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM bits
+"""
+
+
+def dedup_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.2)
+
+
+_DEDUP_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+dist AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM dist a JOIN dist b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dist GROUP BY doc_id)
+SELECT id_a, id_b,
+  CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+"""
+
+
+register(QuerySpec("dedup_exact", dedup_exact_query, _DEDUP_EXACT_SQL, headline=True,
+                   description="exact dedup via content-hash groupBy (min-id representative)"))
+register(QuerySpec("dedup_minhash_signatures", dedup_minhash_query, _DEDUP_MINHASH_SQL,
+                   description=f"{MINHASH_PERMS}-perm minhash signatures over word 3-gram shingles"))
+register(QuerySpec("dedup_minhash_lsh_pairs", dedup_lsh_pairs_query, _DEDUP_LSH_SQL, headline=True,
+                   description="LSH banded candidate-pair generation (equi-join, no O(n^2))"))
+register(QuerySpec("dedup_simhash", dedup_simhash_query, _DEDUP_SIMHASH_SQL,
+                   description="60-bit simhash bit-majority fingerprints"))
+register(QuerySpec("dedup_ngram_jaccard", dedup_jaccard_query, _DEDUP_JACCARD_SQL,
+                   description="exact word-3-gram jaccard similarity pairs"))

@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata columns beside them (the Spark-idiomatic equivalent of the
+reference treating NetCDF blobs as opaque during conversion,
+loca2.py:84-100). Real decode libraries are not in this container, so the
+decode step is a clearly-marked deterministic fake behind the REAL
+plumbing: Arrow-batched ``mapInPandas`` with an explicit output schema,
+partition-preserving, no driver collect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from downscaledclimatedata_spark.plans import QuerySpec, register
+from downscaledclimatedata_spark.sources.tables import load_table
+
+DECODED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("format", T.StringType()),
+])
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize an opaque binary column (stand-in for image/audio bytes)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+def decode_payloads(df: DataFrame) -> DataFrame:
+    """Arrow-batched fake decode: binary -> (dims, format) metadata rows.
+
+    STUB: a real deployment replaces ``_fake_decode_batch``'s body with
+    PIL/libav calls; the Spark-side contract (schema, batching,
+    partitioning) is exactly what production needs.
+    """
+    def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            # deterministic fake dims derived from payload size
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes.astype("int32"),
+                "width": (64 + (n_bytes % 193)).astype("int32"),
+                "height": (64 + (n_bytes % 97)).astype("int32"),
+                "format": (n_bytes % 3).map({0: "jpeg", 1: "png", 2: "webp"}),
+            })
+
+    return df.select("doc_id", "payload").mapInPandas(_fake_decode_batch, DECODED_SCHEMA)
+
+
+# --- oracle-checked query entries -------------------------------------------
+
+def multimodal_meta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-expression metadata over binary payloads (oracle-checkable)."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    fmt = F.when(F.length("payload") % 3 == 0, "jpeg") \
+        .when(F.length("payload") % 3 == 1, "png").otherwise("webp")
+    return (docs.select(fmt.alias("format"), F.length("payload").alias("n_bytes"))
+            .groupBy("format")
+            .agg(F.count("*").alias("n_docs"), F.sum("n_bytes").alias("total_bytes")))
+
+
+_MULTIMODAL_META_SQL = """
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents)
+SELECT CASE WHEN n_bytes % 3 = 0 THEN 'jpeg' WHEN n_bytes % 3 = 1 THEN 'png'
+       ELSE 'webp' END AS format,
+  COUNT(*) AS n_docs, SUM(n_bytes) AS total_bytes
+FROM p GROUP BY 1
+"""
+
+
+def multimodal_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode path (rows-only check: UDF not SQL-expressible)."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return (decode_payloads(docs)
+            .groupBy("format")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("width").alias("sum_width"),
+                 F.sum("height").alias("sum_height")))
+
+
+register(QuerySpec("multimodal_meta", multimodal_meta_query, _MULTIMODAL_META_SQL,
+                   description="binary payload metadata via pure expressions"))
+register(QuerySpec("multimodal_decode_stub", multimodal_decode_query, None,
+                   description="Arrow-batched mapInPandas decode plumbing (fake decode; real schema/batching)"))

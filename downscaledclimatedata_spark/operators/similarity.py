@@ -1,0 +1,276 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers (BASELINE.json north-star):
+- brute-force cosine top-k: broadcast the (small) query set against the
+  full corpus — the exact baseline. All arithmetic is JVM-side
+  (zip_with/aggregate higher-order functions, no Python UDF).
+- LSH-bucketed variant: random-hyperplane signatures computed from
+  deterministic md5-derived planes; bucketing turns ANN into an equi-join
+  on bucket_id, the 100 TB scale path (shuffle ∝ corpus, not pairs).
+
+Determinism: the oracle-checked queries quantize components to integers
+(round(x*1000)) so dot products and norms are exact integer arithmetic in
+both engines; cosine then divides identical doubles. The float variant
+(`cosine_topk_float`) keeps true float semantics and is declared without
+an oracle (rows-only check) because cross-engine float reduction order is
+not bit-stable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from downscaledclimatedata_spark.plans import QuerySpec, register
+from downscaledclimatedata_spark.sources.tables import load_table
+
+DIM = 64
+QUANT = 1000
+N_PLANES = 8
+TOP_K = 5
+QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 -> query vector
+
+
+def quantize(col: Column, scale: int = QUANT) -> Column:
+    """array<float> -> array<bigint>, component-wise round(x*scale).
+
+    x*scale is never an exact .5 for binary-fraction floats with a
+    non-power-of-two scale, so HALF_UP vs HALF_EVEN cannot diverge.
+    """
+    return F.transform(col, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two array<bigint> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq_norm(a: Column) -> Column:
+    return int_dot(a, a)
+
+
+def cosine_topk_quantized(emb: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          k: int = TOP_K, query_mod: int = QUERY_MOD) -> DataFrame:
+    """Exact brute-force cosine top-k of every corpus vector per query.
+
+    Query set = ids divisible by ``query_mod`` (a deterministic sample);
+    broadcast to every executor so the corpus scan is a single narrow pass.
+    """
+    from pyspark.sql import Window
+    base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("q"),
+                      sq_norm(quantize(F.col(vec_col))).alias("n2"))
+    queries = (base.filter(F.col(id_col) % query_mod == 0)
+               .select(F.col(id_col).alias("query_id"), F.col("q").alias("qq"),
+                       F.col("n2").alias("qn2")))
+    corpus = base.select(F.col(id_col).alias("match_id"), F.col("q").alias("cq"),
+                         F.col("n2").alias("cn2"))
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id", "match_id",
+            (int_dot(F.col("qq"), F.col("cq")).cast("double")
+             / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
+             ).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "match_id", "cosine", "rnk"))
+
+
+def cosine_topk_float(emb: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      k: int = TOP_K, query_mod: int = QUERY_MOD) -> DataFrame:
+    """True-float brute-force cosine top-k (sequential fold, JVM-side)."""
+    from pyspark.sql import Window
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(
+        F.col(id_col), vec.alias("v"),
+        F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x),
+                           F.lit(0.0), lambda a, x: a + x)).alias("norm"))
+    queries = (base.filter(F.col(id_col) % query_mod == 0)
+               .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+                       F.col("norm").alias("qnorm")))
+    corpus = base.select(F.col(id_col).alias("match_id"), F.col("v").alias("cv"),
+                         F.col("norm").alias("cnorm"))
+    dot = F.aggregate(F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    scored = (corpus.crossJoin(F.broadcast(queries))
+              .filter(F.col("match_id") != F.col("query_id"))
+              .select("query_id", "match_id",
+                      (dot / (F.col("qnorm") * F.col("cnorm"))).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "match_id", "cosine", "rnk"))
+
+
+def _hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes derived from md5 (no RNG, both engines
+    can reproduce the exact same planes as SQL literals)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"plane{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(1 if h % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_id(qcol: Column, planes: list[list[int]]) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^P-1) of a quantized vector."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(v) for v in plane])
+        dot = int_dot(qcol, plane_arr)
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_buckets(emb: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, bucket_id) assignment — the ANN partitioning relation."""
+    planes = _hyperplanes()
+    return emb.select(
+        F.col(id_col),
+        lsh_bucket_id(quantize(F.col(vec_col)), planes).alias("bucket_id"))
+
+
+def lsh_topk(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+             k: int = TOP_K, query_mod: int = QUERY_MOD) -> DataFrame:
+    """ANN top-k restricted to same-bucket candidates (scale path).
+
+    Equi-join on bucket_id replaces the cartesian scan; recall < 1.0 by
+    construction, cost ∝ sum of squared bucket sizes.
+    """
+    from pyspark.sql import Window
+    q = lsh_buckets(emb, id_col, vec_col)
+    base = emb.join(q, id_col).select(
+        F.col(id_col), F.col("bucket_id"),
+        quantize(F.col(vec_col)).alias("qv"),
+        sq_norm(quantize(F.col(vec_col))).alias("n2"))
+    queries = (base.filter(F.col(id_col) % query_mod == 0)
+               .select(F.col(id_col).alias("query_id"), F.col("bucket_id"),
+                       F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
+    corpus = base.select(F.col(id_col).alias("match_id"),
+                         F.col("bucket_id"), F.col("qv").alias("cq"),
+                         F.col("n2").alias("cn2"))
+    scored = (
+        corpus.join(F.broadcast(queries), "bucket_id")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id",
+                (int_dot(F.col("qq"), F.col("cq")).cast("double")
+                 / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
+                 ).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "match_id", "cosine", "rnk"))
+
+
+# --- oracle-checked query entries -------------------------------------------
+
+def similarity_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_quantized(emb)
+
+
+_QVEC_SQL = f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+_SIM_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings
+), base AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS DOUBLE) AS n2
+  FROM q
+), scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS match_id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qs.qv[i] * c.qv[i])) AS DOUBLE)
+      / (sqrt(qs.n2) * sqrt(c.n2)) AS cosine
+  FROM base qs JOIN base c ON c.vec_id <> qs.vec_id
+  WHERE qs.vec_id % {QUERY_MOD} = 0
+), ranked AS (
+  SELECT query_id, match_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rnk
+  FROM scored
+)
+SELECT query_id, match_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+def similarity_lsh_buckets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (lsh_buckets(emb).groupBy("bucket_id")
+            .agg(F.count("*").alias("n_vectors"),
+                 F.min("vec_id").alias("min_vec_id")))
+
+
+def _planes_sql() -> str:
+    planes = _hyperplanes()
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(str(v) for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * ({lit})[i])) >= 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_SIM_LSH_SQL = f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+assigned AS (SELECT vec_id, {_planes_sql()} AS bucket_id FROM q)
+SELECT bucket_id, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+FROM assigned GROUP BY bucket_id
+"""
+
+
+def similarity_float_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_float(emb)
+
+
+def similarity_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb)
+
+
+_SIM_LSH_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+assigned AS (
+  SELECT vec_id, qv, {_planes_sql()} AS bucket_id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS DOUBLE) AS n2
+  FROM q
+), scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS match_id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qs.qv[i] * c.qv[i])) AS DOUBLE)
+      / (sqrt(qs.n2) * sqrt(c.n2)) AS cosine
+  FROM assigned qs JOIN assigned c
+    ON c.bucket_id = qs.bucket_id AND c.vec_id <> qs.vec_id
+  WHERE qs.vec_id % {QUERY_MOD} = 0
+), ranked AS (
+  SELECT query_id, match_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rnk
+  FROM scored
+)
+SELECT query_id, match_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+register(QuerySpec("similarity_cosine_topk", similarity_topk_query, _SIM_TOPK_SQL,
+                   headline=True,
+                   description="brute-force cosine top-k, quantized-exact, broadcast queries"))
+register(QuerySpec("similarity_lsh_buckets", similarity_lsh_buckets_query, _SIM_LSH_SQL,
+                   description="random-hyperplane LSH bucket assignment histogram"))
+register(QuerySpec("similarity_lsh_topk", similarity_lsh_topk_query, _SIM_LSH_TOPK_SQL,
+                   description="ANN top-k within LSH buckets (equi-join scale path)"))
+register(QuerySpec("similarity_cosine_topk_float", similarity_float_topk_query, None,
+                   description="true-float brute-force cosine top-k (rows-only check: float reduction order is not cross-engine bit-stable)"))
