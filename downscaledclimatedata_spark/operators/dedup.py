@@ -19,6 +19,8 @@ Scale design:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,19 +32,46 @@ MINHASH_PERMS = 16
 LSH_BAND_SIZE = 4
 SIMHASH_BITS = 60
 
+# Universal-hash permutation family over the Mersenne prime 2^31-1.
+# Each shingle is md5-hashed ONCE; the K "permutations" are then
+# (a_k * (h mod P) + b_k) mod P — pure 64-bit-safe integer arithmetic,
+# identical in Spark and DuckDB, ~16x cheaper than K md5 calls.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_constants(n_perms: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs derived from md5 (no RNG)."""
+    consts = []
+    for k in range(n_perms):
+        a = int(hashlib.md5(f"A{k}".encode()).hexdigest()[:7], 16) % _MERSENNE_P or 1
+        b = int(hashlib.md5(f"B{k}".encode()).hexdigest()[:7], 16) % _MERSENNE_P
+        consts.append((a, b))
+    return consts
+
 
 def tokens(col: Column) -> Column:
     """Whitespace tokens of lowercased text, empty tokens dropped."""
     return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array column (pure Catalyst exprs)."""
-    toks = tokens(col)
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a (pre-materialized) token-array column.
+
+    IMPORTANT: pass an already-projected column, not the tokens()
+    expression itself — inlining would re-evaluate split+filter for every
+    element_at call (O(len^2) per row).
+    """
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     return F.transform(
         idx, lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + k) for k in range(n)]))
+
+
+def shingled_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) exploded relation with tokens materialized once."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    return toked.select(
+        F.col(id_col), F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("shingle"))
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -62,14 +91,16 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        n_perms: int = MINHASH_PERMS) -> DataFrame:
     """(id, m0..m{K-1}) minhash signature over word 3-gram shingles.
 
-    K permutations are simulated as K seeded md5 hashes; each signature
-    component is a min-aggregate, so Catalyst plans a single shuffle with
-    map-side partial mins.
+    One md5 per shingle, K universal-hash permutations derived
+    arithmetically; each signature component is a min-aggregate, so
+    Catalyst plans a single shuffle with map-side partial mins.
     """
-    shingled = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("shingle"))
-    aggs = [F.min(md5_long(F.col("shingle"), seed=f"p{k}:")).alias(f"m{k}")
-            for k in range(n_perms)]
+    shingled = shingled_rows(df, text_col, id_col).select(
+        F.col(id_col), (md5_long(F.col("shingle")) % _MERSENNE_P).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE_P).alias(f"m{k}")
+        for k, (a, b) in enumerate(_perm_constants(n_perms))
+    ]
     return shingled.groupBy(id_col).agg(*aggs)
 
 
@@ -78,8 +109,13 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
                         band_size: int = LSH_BAND_SIZE) -> DataFrame:
     """Banded LSH: docs sharing any band hash become candidate pairs.
 
-    The pair space is never materialized — candidates come from an
-    equi-join on (band_id, band_hash).
+    Single pipeline: explode signature into bands, groupBy bucket,
+    generate in-bucket pairs from the sorted member list. No self-join
+    (a self-join would recompute the signature pipeline per side) and the
+    O(n^2) pair space is only touched per-bucket. Buckets are tiny when
+    the banding is tuned (b x r trade-off); a skewed mega-bucket means the
+    threshold is set too low for the corpus — AQE can't fix semantic
+    skew, re-tune r instead.
     """
     n_bands = n_perms // band_size
     bands = F.array(*[
@@ -93,21 +129,22 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
     ])
     banded = signatures.select(F.col(id_col), F.explode(bands).alias("band")) \
         .select(id_col, "band.band_id", "band.band_hash")
-    left = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
-    right = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
-    return (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b").distinct()
-    )
+    buckets = (banded.groupBy("band_id", "band_hash")
+               .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pairs = buckets.select(F.explode(F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))).alias("p"))
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str,
             n_bits: int = SIMHASH_BITS) -> DataFrame:
     """60-bit simhash: per-bit majority vote over shingle hashes."""
-    shingled = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("shingle")
-    ).select(F.col(id_col), md5_long(F.col("shingle")).alias("h"))
+    shingled = shingled_rows(df, text_col, id_col).select(
+        F.col(id_col), md5_long(F.col("shingle")).alias("h"))
     bit_aggs = [
         F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
               .otherwise(-1)).alias(f"s{b}")
@@ -129,9 +166,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     At scale this runs AFTER LSH candidate generation so the quadratic
     verify cost applies only to candidates.
     """
-    shingled = df.select(
-        F.col(id_col), F.explode_outer(word_shingles(F.col(text_col))).alias("shingle")
-    ).distinct()
+    shingled = shingled_rows(df, text_col, id_col).distinct()
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("sh_a"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("sh_b"))
     inter = (
@@ -192,12 +227,15 @@ def dedup_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MINHASH_COLS_SQL = ",\n  ".join(
-    f"MIN({md5_long_sql('shingle', seed=f'p{k}:')}) AS m{k}" for k in range(MINHASH_PERMS))
+    f"MIN(({a} * h + {b}) % {_MERSENNE_P}) AS m{k}"
+    for k, (a, b) in enumerate(_perm_constants(MINHASH_PERMS)))
+_HASHED_CTE = f"hashed AS (SELECT doc_id, {md5_long_sql('shingle')} % {_MERSENNE_P} AS h FROM shingled)"
 _DEDUP_MINHASH_SQL = f"""
-WITH {_SHINGLES_CTE}
+WITH {_SHINGLES_CTE},
+{_HASHED_CTE}
 SELECT doc_id,
   {_MINHASH_COLS_SQL}
-FROM shingled GROUP BY doc_id
+FROM hashed GROUP BY doc_id
 """
 
 
@@ -215,9 +253,10 @@ _BAND_SELECTS = "\nUNION ALL\n".join(
     for b in range(MINHASH_PERMS // LSH_BAND_SIZE))
 _DEDUP_LSH_SQL = f"""
 WITH {_SHINGLES_CTE},
+{_HASHED_CTE},
 sigs AS (
   SELECT doc_id, {_MINHASH_COLS_SQL}
-  FROM shingled GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ),
 banded AS ({_BAND_SELECTS})
 SELECT COUNT(*) AS n_candidate_pairs FROM (

@@ -43,7 +43,9 @@ def decode_payloads(df: DataFrame) -> DataFrame:
     PIL/libav calls; the Spark-side contract (schema, batching,
     partitioning) is exactly what production needs.
     """
+    # self-contained closure: executors need nothing from this package
     def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
         for pdf in batches:
             n_bytes = pdf["payload"].map(len)
             # deterministic fake dims derived from payload size

@@ -1,0 +1,73 @@
+"""Structured Streaming growth path (SURVEY §7.4).
+
+The reference is a polling incremental pipeline (sensors with minimum
+intervals, loca2_sensor.py:19-22); v0 of the engine keeps that shape as
+batch-incremental (cursor.py). This module lifts the manifest source to
+Structured Streaming: a file source watching a manifest directory,
+exactly-once via checkpoint + dropDuplicates on run_key (T3), processing
+cadence via trigger intervals mirroring the reference's sensor periods.
+
+No watermarks/session windows are scheduled — no reference semantics
+need them (SURVEY §2.9 [abs]) — but `windowed_event_counts` demonstrates
+the event-time tumbling-window capability over the events table shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MANIFEST_SCHEMA = T.StructType([
+    T.StructField("model", T.StringType()),
+    T.StructField("scenario", T.StringType()),
+    T.StructField("memberid", T.StringType()),
+    T.StructField("variable", T.StringType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("s3_key", T.StringType()),
+])
+
+# reference sensor cadences (loca2_sensor.py:19, :22)
+DAILY_TRIGGER = "7200 seconds"
+MONTHLY_TRIGGER = "600 seconds"
+
+
+def manifest_stream(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    """File-source stream over the discovery manifest directory."""
+    return (spark.readStream.schema(MANIFEST_SCHEMA)
+            .option("maxFilesPerTrigger", 1)  # one listing batch per tick
+            .parquet(manifest_dir))
+
+
+def dedup_run_keys(stream: DataFrame) -> DataFrame:
+    """Exactly-once per s3_key across the stream (reference T3 run-key
+    suppression). State is unbounded like the reference's run-key store;
+    a production deployment ages it with a watermark on an ingest-time
+    column."""
+    return stream.dropDuplicates(["s3_key"])
+
+
+def start_ingest_stream(stream: DataFrame, process_batch, checkpoint_dir: str,
+                        trigger: str = MONTHLY_TRIGGER):
+    """foreachBatch sink: each micro-batch is a normal DataFrame handed to
+    the batch ingest operator (operators/ingest.py), so batch and
+    streaming share one code path."""
+    return (dedup_run_keys(stream)
+            .writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=trigger)
+            .start())
+
+
+def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Event-time tumbling-window counts with late-data watermark —
+    the streaming-agg capability demo over the events schema (works on
+    both a static DataFrame and a stream)."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "event_type", "n_events"))
