@@ -1,0 +1,438 @@
+"""Advanced relational coverage: statistics, pivot, sampling, arrays,
+structs, posexplode, union-by-name, analytic windows, sessionization,
+date arithmetic.
+
+Cross-engine determinism notes:
+- moments (variance/stddev/corr) are computed from exact DECIMAL power
+  sums surfaced as DOUBLE, then combined with identical double
+  arithmetic — never via the engines' own var_samp/corr (whose internal
+  accumulation order differs);
+- sampling is content-hash based (deterministic in both engines), not
+  TABLESAMPLE (engine-specific RNG);
+- collected arrays are always sorted before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from downscaledclimatedata_spark.functions.hashing import md5_long, md5_long_sql
+from downscaledclimatedata_spark.functions.money import dec, dec_sql
+from downscaledclimatedata_spark.plans import QuerySpec, register
+from downscaledclimatedata_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- q26: moments from exact power sums --------------------------------------
+
+def q26_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = dec("l_quantity", 2)
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    var = (n * F.col("s2") - F.col("s1") * F.col("s1")) / (n * (n - F.lit(1.0)))
+    return agg.select(
+        "l_returnflag", "n",
+        (F.col("s1") / n).alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("std_qty"),
+    )
+
+
+_Q26_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    CAST(SUM({dec_sql('l_quantity')}) AS DOUBLE) AS s1,
+    CAST(SUM({dec_sql('l_quantity')} * {dec_sql('l_quantity')}) AS DOUBLE) AS s2
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  s1 / CAST(n AS DOUBLE) AS mean_qty,
+  (CAST(n AS DOUBLE) * s2 - s1 * s1) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_qty,
+  sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_qty
+FROM s
+"""
+
+
+# --- q27: exact median via window (engine-agnostic definition) ---------------
+
+def q27_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median as avg of the middle ranks — defined via row_number so both
+    engines compute the identical value (no interpolation-rule drift)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority", dec("o_totalprice", 2).alias("p"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_orderpriority")).alias("cnt"))
+    mid = ranked.filter((F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+                        | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2)))
+    return (mid.groupBy("o_orderpriority")
+            .agg((F.sum("p").cast("double") / F.count("*")).alias("median_price")))
+
+
+_Q27_SQL = f"""
+WITH ranked AS (
+  SELECT o_orderpriority, {dec_sql('o_totalprice')} AS p,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+    COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM orders
+)
+SELECT o_orderpriority,
+  CAST(SUM(p) AS DOUBLE) / COUNT(*) AS median_price
+FROM ranked
+WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+GROUP BY o_orderpriority
+"""
+
+
+# --- q28: pivot --------------------------------------------------------------
+
+def q28_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_linestatus")
+            .pivot("l_returnflag", ["A", "N", "R"])
+            .agg(F.sum(dec("l_quantity", 2)).cast("double"))
+            .select("l_linestatus",
+                    F.col("A").alias("qty_a"), F.col("N").alias("qty_n"),
+                    F.col("R").alias("qty_r")))
+
+
+_Q28_SQL = f"""
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN {dec_sql('l_quantity')} END) AS DOUBLE) AS qty_a,
+  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN {dec_sql('l_quantity')} END) AS DOUBLE) AS qty_n,
+  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN {dec_sql('l_quantity')} END) AS DOUBLE) AS qty_r
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+# --- q29: deterministic hash sampling ----------------------------------------
+
+def q29_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-in-10 deterministic sample keyed on content hash (the
+    reproducible analog of TABLESAMPLE for cross-engine checks)."""
+    orders = _t(spark, sf_dir, "orders")
+    keyed = orders.withColumn("hk", md5_long(F.col("o_orderkey").cast("string")))
+    return (keyed.filter(F.col("hk") % 10 == 0)
+            .agg(F.count("*").alias("n_sampled"),
+                 F.sum(dec("o_totalprice", 2)).cast("double").alias("sum_price")))
+
+
+_Q29_SQL = f"""
+SELECT COUNT(*) AS n_sampled,
+  CAST(SUM({dec_sql('o_totalprice')}) AS DOUBLE) AS sum_price
+FROM orders
+WHERE {md5_long_sql("CAST(o_orderkey AS VARCHAR)")} % 10 = 0
+"""
+
+
+# --- q30: array construction + functions -------------------------------------
+
+def q30_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    grouped = (orders.groupBy("o_custkey")
+               .agg(F.array_sort(F.collect_list("o_orderkey")).alias("keys")))
+    return grouped.select(
+        "o_custkey",
+        F.size("keys").alias("n_orders"),
+        F.element_at("keys", 1).alias("first_key"),
+        F.element_at("keys", -1).alias("last_key"),
+        F.slice("keys", 1, 3).alias("first3"),
+        F.array_contains("keys", F.col("o_custkey") * 0 + 1).alias("has_key_1"),
+    )
+
+
+_Q30_SQL = """
+WITH g AS (
+  SELECT o_custkey, list_sort(list(o_orderkey)) AS keys FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, len(keys) AS n_orders,
+  keys[1] AS first_key, keys[-1] AS last_key,
+  keys[1:3] AS first3,
+  list_contains(keys, 1) AS has_key_1
+FROM g
+"""
+
+
+# --- q31: struct pack/unpack --------------------------------------------------
+
+def q31_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    packed = cust.select(
+        "c_custkey",
+        F.struct(F.col("c_name").alias("name"),
+                 F.col("c_mktsegment").alias("seg")).alias("info"))
+    return packed.select(
+        "c_custkey",
+        F.col("info.name").alias("name"),
+        F.upper(F.col("info.seg")).alias("seg_upper"))
+
+
+_Q31_SQL = """
+WITH packed AS (
+  SELECT c_custkey, {'name': c_name, 'seg': c_mktsegment} AS info FROM customer
+)
+SELECT c_custkey, info.name AS name, UPPER(info.seg) AS seg_upper FROM packed
+"""
+
+
+# --- q32: posexplode ----------------------------------------------------------
+
+def q32_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toked = docs.select(
+        "doc_id", F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias("toks"))
+    return (toked.select("doc_id", F.posexplode("toks").alias("pos0", "token"))
+            .select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+            .filter(F.col("pos") <= 10))
+
+
+_Q32_SQL = r"""
+WITH toked AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, i AS pos, toks[i] AS token
+FROM toked, LATERAL (SELECT UNNEST(range(1, len(toks) + 1)) AS i) idx
+WHERE i <= 10
+"""
+
+
+# --- q33: IN / correlated subqueries via spark.sql ----------------------------
+
+def q33_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql("""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM v_customer
+        WHERE c_custkey IN (SELECT o_custkey FROM v_orders WHERE o_totalprice > 300000)
+          AND c_acctbal > (SELECT 0.0)
+        GROUP BY c_mktsegment
+    """)
+
+
+_Q33_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+  AND c_acctbal > 0.0
+GROUP BY c_mktsegment
+"""
+
+
+# --- q34: union by name with missing columns ----------------------------------
+
+def q34_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    a = cust.select(F.col("c_name").alias("name"),
+                    F.col("c_acctbal").alias("acctbal"),
+                    F.col("c_mktsegment").alias("segment"))
+    b = supp.select(F.col("s_name").alias("name"),
+                    F.col("s_acctbal").alias("acctbal"))
+    unioned = a.unionByName(b.withColumn("segment", F.lit(None).cast("string")),
+                            allowMissingColumns=False)
+    return (unioned.groupBy("segment")
+            .agg(F.count("*").alias("n"),
+                 F.sum(dec("acctbal", 2)).cast("double").alias("total_bal")))
+
+
+_Q34_SQL = f"""
+WITH unioned AS (
+  SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment FROM customer
+  UNION ALL
+  SELECT s_name AS name, s_acctbal AS acctbal, NULL AS segment FROM supplier
+)
+SELECT segment, COUNT(*) AS n,
+  CAST(SUM({dec_sql('acctbal')}) AS DOUBLE) AS total_bal
+FROM unioned GROUP BY segment
+"""
+
+
+# --- q35: analytic window family ----------------------------------------------
+
+def q35_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("o_orderkey").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("first_key"),
+        F.last("o_orderkey").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("last_key"),
+    )
+
+
+_Q35_SQL = """
+SELECT o_custkey, o_orderkey,
+  DENSE_RANK() OVER w AS drank,
+  NTILE(4) OVER w AS quartile,
+  PERCENT_RANK() OVER w AS prank,
+  CUME_DIST() OVER w AS cdist,
+  FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+# --- q36: sessionization (gap-based) ------------------------------------------
+
+def q36_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions: a >300s silence starts a new session. The
+    batch formulation of what applyInPandasWithState/session_window do in
+    streaming — two narrow windows, one shuffle by user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.select(
+        "user_id", "event_id", "ts",
+        F.when(
+            (F.unix_timestamp("ts")
+             - F.unix_timestamp(F.lag("ts", 1).over(w))) > 300, 1)
+        .otherwise(0).alias("new_session"))
+    sessioned = gapped.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (sessioned.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"))
+            .groupBy("n_events")
+            .agg(F.count("*").alias("n_sessions")))
+
+
+_Q36_SQL = """
+WITH gapped AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN date_diff('second', LAG(ts, 1) OVER w, ts) > 300 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, event_id,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gapped
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM sessioned GROUP BY user_id, session_id
+)
+SELECT n_events, COUNT(*) AS n_sessions FROM per_session GROUP BY n_events
+"""
+
+
+# --- q37: date arithmetic family ----------------------------------------------
+
+def q37_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return orders.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.add_months(F.col("o_orderdate").cast("date"), 3).alias("q_later"),
+        F.last_day(F.col("o_orderdate")).alias("month_end"),
+        F.datediff(F.lit("2000-01-01").cast("date"),
+                   F.col("o_orderdate").cast("date")).alias("days_to_y2k"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow_sunday0"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter_start"),
+    )
+
+
+_Q37_SQL = """
+SELECT o_orderkey,
+  CAST(o_orderdate AS DATE) + 30 AS due_date,
+  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS q_later,
+  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+  date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+  CAST(dayofweek(o_orderdate) AS INT) AS dow_sunday0,
+  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+FROM orders WHERE o_orderkey < 500
+"""
+
+
+# --- q38: correlation from exact sums ------------------------------------------
+
+def q38_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = dec("l_quantity", 2)
+    y = dec("l_extendedprice", 2)
+    agg = li.agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    return agg.select("n", (num / den).alias("corr_qty_price"))
+
+
+_Q38_SQL = f"""
+WITH s AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM({dec_sql('l_quantity')}) AS DOUBLE) AS sx,
+    CAST(SUM({dec_sql('l_extendedprice')}) AS DOUBLE) AS sy,
+    CAST(SUM({dec_sql('l_quantity')} * {dec_sql('l_quantity')}) AS DOUBLE) AS sxx,
+    CAST(SUM({dec_sql('l_extendedprice')} * {dec_sql('l_extendedprice')}) AS DOUBLE) AS syy,
+    CAST(SUM({dec_sql('l_quantity')} * {dec_sql('l_extendedprice')}) AS DOUBLE) AS sxy
+  FROM lineitem
+)
+SELECT n,
+  (CAST(n AS DOUBLE) * sxy - sx * sy)
+    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+  AS corr_qty_price
+FROM s
+"""
+
+
+# --- q39: approx distinct (rows-only: engine-specific sketches) -----------------
+
+def q39_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                 F.countDistinct("l_partkey").alias("exact_parts")))
+
+
+register(QuerySpec("q26_stats_moments", q26_stats_moments, _Q26_SQL,
+                   description="variance/stddev from exact decimal power sums"))
+register(QuerySpec("q27_exact_median", q27_exact_median, _Q27_SQL,
+                   description="exact median via rank window (interpolation-rule-free)"))
+register(QuerySpec("q28_pivot", q28_pivot, _Q28_SQL, description="pivot on return flag"))
+register(QuerySpec("q29_hash_sample", q29_hash_sample, _Q29_SQL,
+                   description="deterministic content-hash sampling"))
+register(QuerySpec("q30_array_functions", q30_array_functions, _Q30_SQL,
+                   description="array collect/sort/slice/element_at family"))
+register(QuerySpec("q31_struct_roundtrip", q31_struct_roundtrip, _Q31_SQL,
+                   description="struct pack + field access"))
+register(QuerySpec("q32_posexplode_tokens", q32_posexplode_tokens, _Q32_SQL,
+                   description="posexplode with 1-based ordinality"))
+register(QuerySpec("q33_in_subquery", q33_in_subquery, _Q33_SQL,
+                   description="IN + scalar subqueries via spark.sql"))
+register(QuerySpec("q34_union_by_name", q34_union_by_name, _Q34_SQL,
+                   description="unionByName with null-filled missing column"))
+register(QuerySpec("q35_window_analytics", q35_window_analytics, _Q35_SQL,
+                   description="dense_rank/ntile/percent_rank/cume_dist/first/last"))
+register(QuerySpec("q36_sessionization", q36_sessionization, _Q36_SQL, headline=True,
+                   description="gap-based sessionization via lag + running sum"))
+register(QuerySpec("q37_date_arithmetic", q37_date_arithmetic, _Q37_SQL,
+                   description="date_add/add_months/last_day/datediff/dayofweek/trunc"))
+register(QuerySpec("q38_correlation", q38_correlation, _Q38_SQL,
+                   description="Pearson correlation from exact power sums"))
+register(QuerySpec("q39_approx_distinct", q39_approx_distinct, None,
+                   description="approx_count_distinct HLL sketch (rows-only: sketch params are engine-specific)"))
