@@ -177,6 +177,98 @@ def lsh_topk(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
             .select("query_id", "match_id", "cosine", "rnk"))
 
 
+def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.40) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-restricted.
+
+    Candidates are same-bucket pairs (i < j) — the equi-join scale path:
+    shuffle is proportional to corpus size and pair work to the sum of
+    squared bucket sizes, never O(n²) over the corpus. Exact quantized
+    cosine then filters candidates to `cosine > threshold`.
+
+    The production threshold for near-dup removal is ~0.95+; the default
+    here is tuned to the synthetic table (which has no planted dups) so
+    the operator's output is non-trivial at test scale.
+    """
+    q = lsh_buckets(emb, id_col, vec_col)
+    base = emb.join(q, id_col).select(
+        F.col(id_col), F.col("bucket_id"),
+        quantize(F.col(vec_col)).alias("qv"),
+        sq_norm(quantize(F.col(vec_col))).alias("n2"))
+    a = base.select(F.col(id_col).alias("vec_a"), F.col("bucket_id"),
+                    F.col("qv").alias("qa"), F.col("n2").alias("na"))
+    b = base.select(F.col(id_col).alias("vec_b"), F.col("bucket_id"),
+                    F.col("qv").alias("qb"), F.col("n2").alias("nb"))
+    return (a.join(b, "bucket_id")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b",
+                    (int_dot(F.col("qa"), F.col("qb")).cast("double")
+                     / (F.sqrt(F.col("na").cast("double"))
+                        * F.sqrt(F.col("nb").cast("double")))).alias("cosine"))
+            .filter(F.col("cosine") > threshold))
+
+
+CENTROID_MOD = 25  # vec_id % 25 == 0 -> coarse centroid (IVF codebook)
+
+
+def ivf_assign(emb: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               centroid_mod: int = CENTROID_MOD) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid.
+
+    Centroids are a deterministic 1-in-`centroid_mod` sample of the
+    corpus (a k-means-free codebook so both engines reproduce it
+    exactly); distance is exact integer squared-L2 on quantized vectors
+    (|v|² + |c|² - 2·v·c). Assignment cost is N×C with the centroid set
+    broadcast — the standard IVF build pass.
+    """
+    base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
+                      sq_norm(quantize(F.col(vec_col))).alias("n2"))
+    cents = (base.filter(F.col(id_col) % centroid_mod == 0)
+             .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
+                     F.col("n2").alias("cn2")))
+    scored = (base.crossJoin(F.broadcast(cents))
+              .select(F.col(id_col), F.col("cid"),
+                      (F.col("n2") + F.col("cn2")
+                       - 2 * int_dot(F.col("qv"), F.col("cv"))).alias("dist")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy("dist", "cid")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select(id_col, "cid"))
+
+
+def ivf_topk(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+             k: int = TOP_K, query_mod: int = QUERY_MOD,
+             centroid_mod: int = CENTROID_MOD) -> DataFrame:
+    """ANN top-k probing only the query's own inverted list (nprobe=1).
+
+    The search join is an equi-join on centroid id — per-query work is
+    one inverted list, not the corpus. Recall < 1.0 by construction
+    (candidates outside the query's cell are unseen)."""
+    from pyspark.sql import Window
+    assign = ivf_assign(emb, id_col, vec_col, centroid_mod)
+    base = (emb.join(assign, id_col)
+            .select(F.col(id_col), F.col("cid"),
+                    quantize(F.col(vec_col)).alias("qv"),
+                    sq_norm(quantize(F.col(vec_col))).alias("n2")))
+    queries = (base.filter(F.col(id_col) % query_mod == 0)
+               .select(F.col(id_col).alias("query_id"), F.col("cid"),
+                       F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
+    corpus = base.select(F.col(id_col).alias("match_id"), F.col("cid"),
+                         F.col("qv").alias("cq"), F.col("n2").alias("cn2"))
+    scored = (corpus.join(F.broadcast(queries), "cid")
+              .filter(F.col("match_id") != F.col("query_id"))
+              .select("query_id", "match_id",
+                      (int_dot(F.col("qq"), F.col("cq")).cast("double")
+                       / (F.sqrt(F.col("qn2").cast("double"))
+                          * F.sqrt(F.col("cn2").cast("double")))).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "match_id", "cosine", "rnk"))
+
+
 # --- oracle-checked query entries -------------------------------------------
 
 def similarity_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,6 +357,68 @@ SELECT query_id, match_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+def dedup_embedding_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb)
+
+
+_DEDUP_EMB_SQL = f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+assigned AS (
+  SELECT vec_id, qv, {_planes_sql()} AS bucket_id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS DOUBLE) AS n2
+  FROM q
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+    / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+FROM assigned a JOIN assigned b
+  ON a.bucket_id = b.bucket_id AND a.vec_id < b.vec_id
+WHERE CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+    / (sqrt(a.n2) * sqrt(b.n2)) > 0.40
+"""
+
+
+def similarity_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb)
+
+
+_IVF_SQL = f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+base AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS DOUBLE) AS n2,
+    list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS in2
+  FROM q
+), cents AS (
+  SELECT vec_id AS cid, qv AS cv, in2 AS cn2 FROM base WHERE vec_id % {CENTROID_MOD} = 0
+), assign_scored AS (
+  SELECT base.vec_id, cents.cid,
+    base.in2 + cents.cn2
+      - 2 * list_sum(list_transform(range(1, {DIM + 1}), i -> base.qv[i] * cents.cv[i])) AS dist,
+    ROW_NUMBER() OVER (PARTITION BY base.vec_id ORDER BY base.in2 + cents.cn2
+      - 2 * list_sum(list_transform(range(1, {DIM + 1}), i -> base.qv[i] * cents.cv[i])), cents.cid) AS rn
+  FROM base CROSS JOIN cents
+), assigned AS (
+  SELECT b.vec_id, a.cid, b.qv, b.n2
+  FROM base b JOIN assign_scored a ON a.vec_id = b.vec_id AND a.rn = 1
+), scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS match_id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qs.qv[i] * c.qv[i])) AS DOUBLE)
+      / (sqrt(qs.n2) * sqrt(c.n2)) AS cosine
+  FROM assigned qs JOIN assigned c
+    ON c.cid = qs.cid AND c.vec_id <> qs.vec_id
+  WHERE qs.vec_id % {QUERY_MOD} = 0
+), ranked AS (
+  SELECT query_id, match_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rnk
+  FROM scored
+)
+SELECT query_id, match_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
 register(QuerySpec("similarity_cosine_topk", similarity_topk_query, _SIM_TOPK_SQL,
                    headline=True,
                    description="brute-force cosine top-k, quantized-exact, broadcast queries"))
@@ -274,3 +428,7 @@ register(QuerySpec("similarity_lsh_topk", similarity_lsh_topk_query, _SIM_LSH_TO
                    description="ANN top-k within LSH buckets (equi-join scale path)"))
 register(QuerySpec("similarity_cosine_topk_float", similarity_float_topk_query, None,
                    description="true-float brute-force cosine top-k (rows-only check: float reduction order is not cross-engine bit-stable)"))
+register(QuerySpec("dedup_embedding_cosine", dedup_embedding_query, _DEDUP_EMB_SQL,
+                   description="embedding-cosine near-dup pairs, LSH-bucketed candidates + exact quantized cosine"))
+register(QuerySpec("similarity_ivf_topk", similarity_ivf_topk_query, _IVF_SQL,
+                   description="IVF ANN: deterministic coarse codebook, nearest-centroid lists, nprobe=1 search"))

@@ -1,0 +1,156 @@
+"""Temporal operators: as-of join, native session windows, tumbling
+windows — the time-series/"hypertable" query family.
+
+The reference's only temporal artifacts are encoded `time_range` strings
+(SURVEY §2.5 [abs]: no window/time operators exist in it); these are the
+engine capabilities a time-series consumer of the catalog needs.
+
+Scale notes:
+- the as-of join is the union+window formulation (tag sides, one shuffle
+  on the join key, `last(ignorenulls)` over an ordered frame) — no range
+  explosion, no per-key collect; this is the 100 TB-safe plan vs. the
+  naive range-join + argmax which materializes every (left, candidate)
+  pair;
+- session/tumbling windows use Spark's native `session_window`/`window`
+  expressions (the same operators Structured Streaming uses, so the
+  batch results here are exactly what the streaming path emits);
+- tumbling sums quantize DOUBLE `value` via floor(x*1000) into BIGINT so
+  cross-engine aggregation is exact integer arithmetic (floor has no
+  rounding-mode ambiguity, unlike round-half ties).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from downscaledclimatedata_spark.plans import QuerySpec, register
+from downscaledclimatedata_spark.sources.tables import load_table
+
+SESSION_GAP = "30 minutes"
+SESSION_GAP_S = 1800
+TUMBLE_S = 21600  # 6 hours
+
+
+# --- q40: as-of join (backward, inclusive) ------------------------------------
+
+def q40_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event, the most recent click by the same user at
+    or before the purchase time (backward-inclusive as-of, left outer).
+
+    Union+window plan: clicks sort before purchases at equal ts
+    (side 0 < 1) so an exactly-simultaneous click matches; ties among
+    clicks resolve to the highest event_id via the ordering.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("c_id"),
+        F.lit(None).cast("timestamp").alias("c_ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "side", "c_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = purchases.unionByName(clicks).select(
+        "user_id", "ts", "side", "purchase_id",
+        F.last("c_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last("c_ts", ignorenulls=True).over(w).alias("click_ts"))
+    return (filled.filter(F.col("side") == 1)
+            .select("user_id", "purchase_id",
+                    F.col("ts").alias("purchase_ts"), "click_id",
+                    (F.unix_timestamp("ts")
+                     - F.unix_timestamp("click_ts")).alias("wait_sec")))
+
+
+_Q40_SQL = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.purchase_id, p.ts AS purchase_ts, c.click_id,
+  date_diff('second', c.ts, p.ts) AS wait_sec
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# --- q41: native session_window -----------------------------------------------
+
+def q41_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's native session_window expression
+    (merge while inter-event gap < 30 min; window end = last ts + gap).
+    Identical semantics to what the streaming path emits per user."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", SESSION_GAP).alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.max("event_id").alias("last_event_id"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "last_event_id"))
+
+
+_Q41_SQL = f"""
+WITH gapped AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR ts >= LAG(ts) OVER w + INTERVAL {SESSION_GAP_S} SECOND
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, ts, event_id,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM gapped
+)
+SELECT user_id,
+  MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL {SESSION_GAP_S} SECOND AS session_end,
+  COUNT(*) AS n_events,
+  MAX(event_id) AS last_event_id
+FROM sessioned GROUP BY user_id, sid
+"""
+
+
+# --- q42: tumbling event-time window ------------------------------------------
+
+def q42_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aligned 6-hour tumbling windows per event type — the batch
+    twin of the streaming `windowed_event_counts` aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", f"{TUMBLE_S} seconds").alias("w"),
+                       "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.floor(F.col("value") * 1000).cast("long"))
+                 .alias("sum_value_milli"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n_events", "sum_value_milli"))
+
+
+_Q42_SQL = f"""
+SELECT
+  make_timestamp((epoch_us(ts) // {TUMBLE_S * 1_000_000}) * {TUMBLE_S * 1_000_000})
+    AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  SUM(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_milli
+FROM events
+GROUP BY 1, 2
+"""
+
+
+register(QuerySpec("q40_asof_join", q40_asof_join, _Q40_SQL,
+                   description="backward-inclusive as-of join via union+window (one shuffle, no range explosion)"))
+register(QuerySpec("q41_session_window", q41_session_window, _Q41_SQL,
+                   description="native session_window gap sessions, oracle = lag/running-sum formulation"))
+register(QuerySpec("q42_tumbling_window", q42_tumbling_window, _Q42_SQL,
+                   description="epoch-aligned tumbling window agg with exact quantized sums"))

@@ -1,0 +1,77 @@
+"""Structured Streaming surface: the streaming plans must emit exactly
+what their batch twins compute (SURVEY §7.4 growth path), and run-key
+dedup must be exactly-once across micro-batches (reference T3,
+loca2_sensor.py:117).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from downscaledclimatedata_spark.sources.tables import load_table
+from downscaledclimatedata_spark.streaming.stream import (
+    MANIFEST_SCHEMA,
+    dedup_run_keys,
+    events_stream,
+    manifest_stream,
+    windowed_event_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _run_to_memory(stream_df, mode: str):
+    name = "t" + uuid.uuid4().hex[:12]
+    q = (stream_df.writeStream.format("memory")
+         .queryName(name).outputMode(mode).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return name
+
+
+def _sorted_rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=repr)
+
+
+def test_windowed_counts_stream_equals_batch(spark):
+    stream = events_stream(spark, SF_SMOKE)
+    name = _run_to_memory(windowed_event_counts(stream), "complete")
+    got = _sorted_rows(spark.table(name))
+    want = _sorted_rows(
+        windowed_event_counts(load_table(spark, SF_SMOKE, "events")))
+    assert got == want and len(got) > 0
+
+
+def test_session_window_stream_equals_batch(spark):
+    def sessions(df):
+        return (df.groupBy("user_id",
+                           F.session_window("ts", "30 minutes").alias("w"))
+                .agg(F.count("*").alias("n_events"))
+                .select("user_id", F.col("w.start").alias("session_start"),
+                        "n_events"))
+
+    stream = events_stream(spark, SF_SMOKE)
+    name = _run_to_memory(sessions(stream), "complete")
+    got = _sorted_rows(spark.table(name))
+    want = _sorted_rows(sessions(load_table(spark, SF_SMOKE, "events")))
+    assert got == want and len(got) > 0
+
+
+def test_manifest_stream_dedup_exactly_once(spark, tmp_path):
+    mdir = str(tmp_path / "manifest")
+    rows1 = [("m1", "historical", "r1i1p1f1", "tasmax", "u1", "/m1/h/f1.nc"),
+             ("m1", "historical", "r1i1p1f1", "tasmax", "u2", "/m1/h/f2.nc")]
+    rows2 = [("m1", "historical", "r1i1p1f1", "tasmax", "u2", "/m1/h/f2.nc"),  # dup
+             ("m2", "ssp245", "r1i1p1f1", "tasmax", "u3", "/m2/s/f3.nc")]
+    for rows in (rows1, rows2):
+        (spark.createDataFrame(rows, MANIFEST_SCHEMA)
+         .coalesce(1).write.mode("append").parquet(mdir))
+
+    name = _run_to_memory(dedup_run_keys(manifest_stream(spark, mdir)), "append")
+    out = spark.table(name).collect()
+    keys = [r.s3_key for r in out]
+    assert sorted(keys) == ["/m1/h/f1.nc", "/m1/h/f2.nc", "/m2/s/f3.nc"]
+    assert len(keys) == len(set(keys)), "run-key emitted more than once"
