@@ -57,14 +57,19 @@ def strip_prefix(key: Column, prefix: str) -> Column:
 
 
 def parse_key_columns(df: DataFrame, key_col: str = "rel_key",
-                      bucket: str = "bucket") -> DataFrame:
+                      bucket: str = "bucket",
+                      path_col: str | None = None) -> DataFrame:
     """Extract the 6 catalog columns from a relative S3 key.
 
     Reference: parse_key at loca2.py:115-136 — split('/') dropping empty
     parts, model = parts[0], scheme = parts[1], filename = parts[-1];
     filename split('.'): variable = f[0], experiment_id = f[3],
-    time_range = f[4]; path = s3://bucket/key. All native Catalyst
-    expressions (element_at supports the reference's negative indexing).
+    time_range = f[4]. All native Catalyst expressions (element_at
+    supports the reference's negative indexing).
+
+    ``path`` is built from ``path_col`` when given (the UN-stripped full
+    key — the reference parses the prefix-stripped key but builds the URI
+    from the full one, loca2.py:128,218-221), else from ``key_col``.
     """
     parts = F.filter(F.split(F.col(key_col), "/"), lambda x: x != "")
     fname = F.element_at(parts, -1)
@@ -75,7 +80,8 @@ def parse_key_columns(df: DataFrame, key_col: str = "rel_key",
         F.element_at(parts, 2).alias("scheme"),
         F.element_at(fparts, 4).alias("experiment_id"),
         F.element_at(fparts, 5).alias("time_range"),
-        F.concat(F.lit(f"s3://{bucket}/"), F.col(key_col)).alias("path"),
+        F.concat(F.lit(f"s3://{bucket}/"),
+                 F.col(path_col or key_col)).alias("path"),
     )
 
 
@@ -103,7 +109,7 @@ def build_catalog(listing: DataFrame, bucket: str, prefix: str = "",
     good = keyed.filter(well_formed("rel_key"))
     quarantine = keyed.filter(~well_formed("rel_key")).select(
         F.col("full_key").alias("rejected_key"))
-    catalog = parse_key_columns(good, "rel_key", bucket)
+    catalog = parse_key_columns(good, "rel_key", bucket, path_col="full_key")
     return catalog, quarantine
 
 

@@ -60,6 +60,78 @@ def decode_payloads(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(_fake_decode_batch, DECODED_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+    T.StructField("byte_offset", T.IntegerType()),
+])
+
+FRAME_SIZE = 16
+FRAME_STRIDE = 64
+MAX_FRAMES = 4
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+
+def sample_frames(df: DataFrame, frame_size: int = FRAME_SIZE,
+                  stride: int = FRAME_STRIDE,
+                  max_frames: int = MAX_FRAMES) -> DataFrame:
+    """Video-style frame sampling: one binary payload -> N frame rows.
+
+    The explode-shaped ``mapInPandas`` contract (output rows != input
+    rows) a real video pipeline needs. STUB: a real deployment seeks
+    keyframes with libav; here frames are fixed-stride byte windows, so
+    the row fan-out, offsets, and binary slicing are real and
+    deterministic.
+    """
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame": [], "byte_offset": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(payload)
+                n = min(max_frames, max(len(blob) - frame_size, 0) // stride + 1)
+                for i in range(n):
+                    off = i * stride
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(blob[off:off + frame_size])
+                    out["byte_offset"].append(off)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(_sample, FRAME_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Binary payload -> dense float feature vector (array<float>).
+
+    The embedding-extraction contract for image/audio models. STUB: a
+    real deployment runs an ONNX/torch encoder per Arrow batch; here the
+    vector is a deterministic byte-histogram projection, so the schema
+    (array<float> of fixed dim), batching, and downstream joinability
+    with the similarity operators are real.
+    """
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+                norm = float(np.sqrt((hist * hist).sum())) or 1.0
+                feats.append((hist / norm).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return df.select("doc_id", "payload").mapInPandas(_extract, FEATURE_SCHEMA)
+
+
 # --- oracle-checked query entries -------------------------------------------
 
 def multimodal_meta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,6 +163,29 @@ def multimodal_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("height").alias("sum_height")))
 
 
+def multimodal_frames_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out histogram (rows-only: mapInPandas op)."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(docs)
+    return (frames.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
+            .groupBy("n_frames").agg(F.count("*").alias("n_docs")))
+
+
+def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction pipeline feeding the similarity operators
+    (rows-only: mapInPandas op)."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(docs)
+    return feats.select(
+        "doc_id", F.size("feature").alias("dim"),
+        F.round(F.aggregate("feature", F.lit(0.0),
+                            lambda a, x: a + x * x), 3).alias("sq_norm"))
+
+
+register(QuerySpec("multimodal_frame_sample", multimodal_frames_query, None,
+                   description="video-style frame sampling: 1 payload -> N frame rows via mapInPandas"))
+register(QuerySpec("multimodal_feature_extract", multimodal_features_query, None,
+                   description="binary -> array<float> feature extraction (deterministic stub encoder)"))
 register(QuerySpec("multimodal_meta", multimodal_meta_query, _MULTIMODAL_META_SQL,
                    description="binary payload metadata via pure expressions"))
 register(QuerySpec("multimodal_decode_stub", multimodal_decode_query, None,

@@ -400,6 +400,24 @@ FROM s
 """
 
 
+# --- q43: ordered string aggregation ------------------------------------------
+
+def q43_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    return (nation.groupBy("n_regionkey")
+            .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+                 .alias("nations"),
+                 F.count("*").alias("n_nations")))
+
+
+_Q43_SQL = """
+SELECT n_regionkey,
+  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+  COUNT(*) AS n_nations
+FROM nation GROUP BY n_regionkey
+"""
+
+
 # --- q39: approx distinct (rows-only: engine-specific sketches) -----------------
 
 def q39_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,5 +452,7 @@ register(QuerySpec("q37_date_arithmetic", q37_date_arithmetic, _Q37_SQL,
                    description="date_add/add_months/last_day/datediff/dayofweek/trunc"))
 register(QuerySpec("q38_correlation", q38_correlation, _Q38_SQL,
                    description="Pearson correlation from exact power sums"))
+register(QuerySpec("q43_string_agg", q43_string_agg, _Q43_SQL,
+                   description="ordered string aggregation (collect_list+array_sort+array_join vs string_agg)"))
 register(QuerySpec("q39_approx_distinct", q39_approx_distinct, None,
                    description="approx_count_distinct HLL sketch (rows-only: sketch params are engine-specific)"))
