@@ -418,6 +418,40 @@ FROM nation GROUP BY n_regionkey
 """
 
 
+# --- q44: full outer join ------------------------------------------------------
+
+def q44_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer vs supplier balance, full outer so nations with
+    only one side (or rows with null keys) survive."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    c = (cust.groupBy("c_nationkey")
+         .agg(F.count("*").alias("n_customers"),
+              F.sum(dec("c_acctbal", 2)).cast("double").alias("cust_bal")))
+    s = (supp.groupBy("s_nationkey")
+         .agg(F.count("*").alias("n_suppliers"),
+              F.sum(dec("s_acctbal", 2)).cast("double").alias("supp_bal")))
+    return (c.join(s, c["c_nationkey"] == s["s_nationkey"], "full_outer")
+            .select(F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+                    "n_customers", "cust_bal", "n_suppliers", "supp_bal"))
+
+
+_Q44_SQL = f"""
+WITH c AS (
+  SELECT c_nationkey, COUNT(*) AS n_customers,
+    CAST(SUM({dec_sql('c_acctbal')}) AS DOUBLE) AS cust_bal
+  FROM customer GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey, COUNT(*) AS n_suppliers,
+    CAST(SUM({dec_sql('s_acctbal')}) AS DOUBLE) AS supp_bal
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+  c.n_customers, c.cust_bal, s.n_suppliers, s.supp_bal
+FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey
+"""
+
+
 # --- q39: approx distinct (rows-only: engine-specific sketches) -----------------
 
 def q39_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,6 +486,8 @@ register(QuerySpec("q37_date_arithmetic", q37_date_arithmetic, _Q37_SQL,
                    description="date_add/add_months/last_day/datediff/dayofweek/trunc"))
 register(QuerySpec("q38_correlation", q38_correlation, _Q38_SQL,
                    description="Pearson correlation from exact power sums"))
+register(QuerySpec("q44_full_outer_join", q44_full_outer_join, _Q44_SQL,
+                   description="full outer join of per-nation customer/supplier aggregates"))
 register(QuerySpec("q43_string_agg", q43_string_agg, _Q43_SQL,
                    description="ordered string aggregation (collect_list+array_sort+array_join vs string_agg)"))
 register(QuerySpec("q39_approx_distinct", q39_approx_distinct, None,

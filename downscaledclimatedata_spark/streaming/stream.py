@@ -83,6 +83,36 @@ def start_ingest_stream(stream: DataFrame, process_batch, checkpoint_dir: str,
             .start())
 
 
+RUNNING_COUNT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value sum
+    via ``applyInPandasWithState`` — the hook for stateful logic Spark's
+    built-in aggregations can't express (per-key custom state machines).
+
+    Emits one updated row per user per micro-batch; state persists in the
+    checkpoint across batches. The self-contained closure keeps executors
+    independent of this package (pickled by value).
+    """
+    def update(key, pdfs, state):
+        import pandas as _pd
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield _pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                             "total_value": [total]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(
+                update, RUNNING_COUNT_SCHEMA,
+                "n bigint, total double",
+                "update", GroupStateTimeout.NoTimeout))
+
+
 def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
                           watermark: str = "10 minutes") -> DataFrame:
     """Event-time tumbling-window counts with late-data watermark —

@@ -60,6 +60,40 @@ def test_session_window_stream_equals_batch(spark):
     assert got == want and len(got) > 0
 
 
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState must accumulate per-user state across
+    micro-batches: final emission per user == batch groupBy totals."""
+    from downscaledclimatedata_spark.streaming.stream import (
+        EVENTS_RAW_SCHEMA, running_user_totals)
+
+    # split the smoke events into 3 files => 3 micro-batches
+    edir = str(tmp_path / "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    raw.repartition(3).write.parquet(edir)
+
+    stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(edir)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    name = _run_to_memory(running_user_totals(stream), "update")
+
+    # update mode accumulates emissions; the running count is monotone so
+    # the per-user max is the final state
+    final = {r.user_id: (r.n_events, r.total_value)
+             for r in (spark.table(name)
+                       .orderBy("n_events")
+                       .collect())}
+    batch = {r.user_id: (r.n, r.total) for r in
+             (spark.read.parquet(edir)
+              .groupBy("user_id")
+              .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+              .collect())}
+    assert set(final) == set(batch)
+    for uid, (n, _total) in batch.items():
+        assert final[uid][0] == n
+        assert abs(final[uid][1] - _total) < 1e-6
+
+
 def test_manifest_stream_dedup_exactly_once(spark, tmp_path):
     mdir = str(tmp_path / "manifest")
     rows1 = [("m1", "historical", "r1i1p1f1", "tasmax", "u1", "/m1/h/f1.nc"),
