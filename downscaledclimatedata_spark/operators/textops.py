@@ -192,6 +192,31 @@ FROM documents
 """
 
 
+def text_rolling_hash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial rolling hash over the token stream: a true
+    order-sensitive document fingerprint (unlike the md5-of-joined-text
+    one, this composes incrementally and supports windowed substring
+    fingerprinting at scale). Fold stays JVM-side via `aggregate`."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    hashes = F.transform(toks, lambda t: md5_long(t) % F.lit(2147483647))
+    poly = F.aggregate(hashes, F.lit(0).cast("long"),
+                       lambda acc, h: (acc * 31 + h) % 2147483647)
+    return docs.select("doc_id", poly.alias("rolling_hash"))
+
+
+_TEXT_ROLLING_SQL = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform({_TOKS_SQL}, x -> {md5_long_sql('x')} % 2147483647)),
+    (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_hash
+FROM documents
+"""
+
+
+register(QuerySpec("text_rolling_hash", text_rolling_hash_query, _TEXT_ROLLING_SQL,
+                   description="Rabin-Karp polynomial rolling-hash fingerprint over the token stream"))
 register(QuerySpec("text_token_stats", text_token_stats_query, _TEXT_TOKENS_SQL,
                    description="whitespace + regex token counting, length stats"))
 register(QuerySpec("text_quality", text_quality_query, _TEXT_QUALITY_SQL, headline=True,

@@ -148,6 +148,35 @@ GROUP BY 1, 2
 """
 
 
+# --- q45: hierarchical time rollup --------------------------------------------
+
+def q45_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (day -> 6h bucket -> grand total) in
+    one pass — the "hypertable continuous aggregate" shape. Catalyst
+    plans a single Expand + aggregation, so all resolutions share one
+    scan and one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.to_date("ts").alias("day"),
+        F.expr("hour(ts) div 6").cast("int").alias("bucket6h"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"))
+    return (keyed.rollup("day", "bucket6h")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("v_milli").alias("sum_value_milli")))
+
+
+_Q45_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+  CAST(hour(ts) // 6 AS INT) AS bucket6h,
+  COUNT(*) AS n_events,
+  SUM(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_milli
+FROM events
+GROUP BY ROLLUP(1, 2)
+"""
+
+
+register(QuerySpec("q45_time_rollup", q45_time_rollup, _Q45_SQL,
+                   description="day -> 6h -> total hierarchical rollup (one scan, one shuffle via Expand)"))
 register(QuerySpec("q40_asof_join", q40_asof_join, _Q40_SQL,
                    description="backward-inclusive as-of join via union+window (one shuffle, no range explosion)"))
 register(QuerySpec("q41_session_window", q41_session_window, _Q41_SQL,

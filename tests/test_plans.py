@@ -1,0 +1,69 @@
+"""Physical-plan regression tests: the scale properties the engine claims
+(broadcast dims, pushdown, single-shuffle pipelines, partial aggregation,
+top-k operators) must be visible in the executed plan, not just intended.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from downscaledclimatedata_spark.plans import all_specs
+from tests.conftest import SF_CORRECTNESS
+
+SPECS = all_specs()
+
+
+def _plan(spark, name: str) -> str:
+    df = SPECS[name].spark(spark, SF_CORRECTNESS)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _n_shuffles(plan: str) -> int:
+    # count operator-detail entries like "(8) Exchange" (the tree section
+    # repeats each node, so a raw substring count double-counts)
+    import re
+    return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE))
+
+
+def test_q05_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q05_region_revenue")
+    assert "BroadcastHashJoin" in plan, "dimension joins must broadcast"
+
+
+def test_q02_pushes_filters_and_prunes_columns(spark):
+    plan = _plan(spark, "q02_revenue_forecast")
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    # column pruning: the scan must not read all 11 lineitem columns
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read.count(",") <= 4, f"scan reads too many columns: {read}"
+
+
+def test_q22_plans_top_k_operator(spark):
+    plan = _plan(spark, "q22_global_topk")
+    assert "TakeOrderedAndProject" in plan, "orderBy+limit must not global-sort"
+
+
+def test_q01_partial_aggregation(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    assert plan.count("HashAggregate") >= 2, "agg must split partial+final"
+
+
+def test_catalog_build_single_shuffle(spark):
+    plan = _plan(spark, "catalog_build")
+    assert _n_shuffles(plan) == 1, f"catalog pipeline must shuffle once:\n{plan}"
+
+
+def test_similarity_topk_broadcasts_queries(spark):
+    plan = _plan(spark, "similarity_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, \
+        "query vectors must broadcast, not shuffle the corpus"
+
+
+def test_q45_rollup_single_expand(spark):
+    plan = _plan(spark, "q45_time_rollup")
+    assert plan.count("Expand") >= 1
+    assert _n_shuffles(plan) == 1, "all rollup resolutions must share one shuffle"
