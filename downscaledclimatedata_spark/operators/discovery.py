@@ -122,6 +122,108 @@ def new_work(manifest: DataFrame, processed: DataFrame,
     return manifest.join(log, on=key_col, how="left_anti")
 
 
+def _default_fetcher(url: str) -> str:
+    """STUB transport for the HTML directory listing (loca2_sensor.py:45-47
+    fetches https://cirrus.ucsd.edu/... with urllib). Deterministic fake
+    listing so the crawl plumbing is testable offline."""
+    return "<html><body><a href='index.html'>idx</a></body></html>"
+
+
+def crawl_listings(seeds: DataFrame, fetcher=None,
+                   url_col: str = "listing_url") -> DataFrame:
+    """Executor-side HTML directory crawl: seed-URL rows -> one row per
+    anchor href (reference S1, loca2_sensor.py:45-54).
+
+    The reference crawls one directory per tick on the driver; at scale
+    the seed set is a DataFrame and each executor fetches+parses its
+    slice (mapInPandas), so crawling 99 model/scenario directories is one
+    parallel job. Parsing uses the stdlib HTMLParser (anchor hrefs only,
+    exactly what BeautifulSoup's find_all("a") extracts there).
+    """
+    import pandas as pd  # noqa: F401  (schema import kept local below)
+    from pyspark.sql import types as _T
+
+    _fetch = fetcher or _default_fetcher
+    out_schema = _T.StructType([
+        _T.StructField("listing_url", _T.StringType()),
+        _T.StructField("filename", _T.StringType()),
+    ])
+
+    def _crawl(batches):
+        import pandas as _pd
+        from html.parser import HTMLParser
+
+        class _Anchors(HTMLParser):
+            def __init__(self):
+                super().__init__()
+                self.hrefs = []
+
+            def handle_starttag(self, tag, attrs):
+                if tag == "a":
+                    for k, v in attrs:
+                        if k == "href" and v is not None:
+                            self.hrefs.append(v)
+
+        for pdf in batches:
+            urls, names = [], []
+            for url in pdf.iloc[:, 0]:
+                p = _Anchors()
+                p.feed(_fetch(url))
+                for href in p.hrefs:
+                    urls.append(url)
+                    names.append(href)
+            yield _pd.DataFrame({"listing_url": urls, "filename": names})
+
+    return seeds.select(url_col).mapInPandas(_crawl, out_schema)
+
+
+def discovery_tick(spark: SparkSession, registry: DataFrame, cursor: str | None,
+                   variable: str, base_url: str, monthly: bool,
+                   processed: DataFrame, fetcher=None) -> tuple[DataFrame | None, str | None]:
+    """One full discovery tick (reference sensor_implementation,
+    loca2_sensor.py:137-163): cursor scan -> crawl the group's listing ->
+    regex filter per member -> manifest projection -> idempotency
+    anti-join. Returns (new-work manifest, next cursor) or (None, None)
+    when the cursor is exhausted.
+
+    The listing flag is a REAL parameter here — the reference hard-codes
+    monthly=True for the listing while honoring the flag only for key
+    prefixing (loca2_sensor.py:157-161); the engine implements the
+    intended semantics and records the divergence (SURVEY §7.5.3).
+    """
+    import re as _re
+    group = next_group(registry, cursor)
+    if group is None:
+        return None, None
+    model, scenario = group
+    members = (registry.filter((F.col("model") == model)
+                               & (F.col("scenario") == scenario))
+               .select("memberid"))
+    seeds = members.select(
+        F.col("memberid"),
+        F.concat(F.lit(f"{base_url.rstrip('/')}/{model}/cent/0p0625deg/"),
+                 F.col("memberid"),
+                 F.lit(f"/{scenario}/{variable}/")).alias("listing_url"))
+    listed = crawl_listings(seeds, fetcher=fetcher).join(
+        F.broadcast(seeds), "listing_url")
+    # one JVM-side regex pass with a per-row pattern (member ids are
+    # alphanumeric, no escaping needed for the column part)
+    suffix = (r"\.(monthly\.cent\.nc|cent\.monthly\.nc)" if monthly
+              else r"\.cent\.nc")
+    pattern = F.concat(
+        F.lit("^" + _re.escape(variable) + r"\." + _re.escape(model) + r"\."
+              + _re.escape(scenario) + r"\."),
+        F.col("memberid"),
+        F.lit(r"\..*LOCA_16thdeg_v\d+" + suffix))
+    filtered = listed.filter(F.regexp_like(F.col("filename"), pattern))
+    files = filtered.select(
+        F.lit(model).alias("model"), F.lit(scenario).alias("scenario"),
+        "memberid", "filename")
+    manifest = build_manifest(files, variable, base_url).withColumn(
+        "s3_key", monthly_prefixed_key(F.col("s3_key"), monthly))
+    return new_work(manifest, processed), f"{model}/{scenario}"
+
+
 # --- oracle-checked query entries -------------------------------------------
 
 def discovery_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

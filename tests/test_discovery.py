@@ -4,7 +4,15 @@ reference's sensor tests, SURVEY §5.1 test_local2_sensors semantics)."""
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import functions as F
+
+# test-local callables (fake fetchers) cross into executor workers where
+# this module is not importable — pickle them by value instead
+from pyspark import cloudpickle
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 from downscaledclimatedata_spark.operators.discovery import (
     build_manifest, file_pattern, filter_filenames, group_keys,
@@ -77,6 +85,75 @@ def test_monthly_key_prefix(spark):
     without = df.select(monthly_prefixed_key(F.col("s3_key"), False).alias("k"))
     assert with_prefix.collect()[0]["k"] == "/monthly/m/s/file.nc"
     assert without.collect()[0]["k"] == "/m/s/file.nc"
+
+
+def _fake_listing_fetcher(url: str) -> str:
+    """Fake UCSD directory listing: the member id is embedded in the url
+    (…/0p0625deg/<member>/<scenario>/<variable>/), yields two matching
+    files, one daily file, and junk anchors."""
+    member = url.rstrip("/").split("/0p0625deg/")[1].split("/")[0]
+    scenario = url.rstrip("/").split("/")[-2]
+    variable = url.rstrip("/").split("/")[-1]
+    # infer model from the path start after base
+    model = url.split("/cent/")[0].rstrip("/").rsplit("/", 1)[-1]
+    stem = f"{variable}.{model}.{scenario}.{member}.2015-2044.LOCA_16thdeg_v20240915"
+    return f"""<html><body>
+      <a href="../">up</a>
+      <a href="{stem}.monthly.cent.nc">f1</a>
+      <a href="{stem}.cent.monthly.nc">f2</a>
+      <a href="{stem}.cent.nc">daily</a>
+      <a href="index.html">idx</a>
+    </body></html>"""
+
+
+def test_crawl_listings_extracts_anchors(spark):
+    from downscaledclimatedata_spark.operators.discovery import crawl_listings
+    seeds = spark.createDataFrame(
+        [("https://x.test/LOCA2/AModel/cent/0p0625deg/r1i1p1f1/ssp245/tasmax/",)],
+        "listing_url string")
+    rows = crawl_listings(seeds, fetcher=_fake_listing_fetcher).collect()
+    names = sorted(r["filename"] for r in rows)
+    assert len(names) == 5 and "../" in names and "index.html" in names
+
+
+def test_discovery_tick_end_to_end(spark):
+    """Full tick parity with the reference's sensor tests: first tick
+    emits the first group's files and advances the cursor; the regex
+    keeps both monthly conventions and drops daily+junk; replayed keys
+    are suppressed; an exhausted cursor yields (None, None)."""
+    from downscaledclimatedata_spark.operators.discovery import (
+        discovery_tick, registry_from_nested)
+    reg = registry_from_nested(spark, TEST_MODELS)
+    empty_log = spark.createDataFrame([], "run_key string")
+
+    manifest, cur = discovery_tick(
+        spark, reg, None, "tasmax", "https://x.test/LOCA2", monthly=True,
+        processed=empty_log, fetcher=_fake_listing_fetcher)
+    assert cur == "AModel/historical"
+    rows = manifest.collect()
+    # 1 member x 2 monthly conventions
+    assert len(rows) == 2
+    assert all(r["s3_key"].startswith("/monthly/AModel/historical/") for r in rows)
+    assert all(r["variable"] == "tasmax" for r in rows)
+    assert all("r1i1p1f1" in r["url"] for r in rows)
+
+    # replay suppression: mark one file processed, re-run the same tick
+    log = spark.createDataFrame([(rows[0]["s3_key"],)], "run_key string")
+    manifest2, _ = discovery_tick(
+        spark, reg, None, "tasmax", "https://x.test/LOCA2", monthly=True,
+        processed=log, fetcher=_fake_listing_fetcher)
+    assert manifest2.count() == 1
+
+    # second tick: next group (2 members x 2 files), then exhaustion
+    manifest3, cur3 = discovery_tick(
+        spark, reg, cur, "tasmax", "https://x.test/LOCA2", monthly=True,
+        processed=empty_log, fetcher=_fake_listing_fetcher)
+    assert cur3 == "AModel/ssp245"
+    assert manifest3.count() == 4
+    out = discovery_tick(
+        spark, reg, "ZModel/historical", "tasmax", "https://x.test/LOCA2",
+        monthly=True, processed=empty_log, fetcher=_fake_listing_fetcher)
+    assert out == (None, None)
 
 
 def test_idempotency_anti_join(spark):
