@@ -63,6 +63,50 @@ def test_ingest_row_level_error_tolerance(spark):
     assert rows["/m/s/good.nc"]["status"] == "ok"
 
 
+def test_decode_netcdf_tidy_fanout(spark):
+    """One manifest row fans out to the full tidy grid with metadata
+    columns attached; decode is deterministic."""
+    from downscaledclimatedata_spark.operators.ingest import decode_netcdf_tidy
+    manifest = spark.createDataFrame(
+        [("https://x.test/f1.nc", "AModel", "ssp245", "r1i1p1f1", "tasmax"),
+         ("https://x.test/f2.nc", "BModel", "historical", "r2i1p1f1", "pr")],
+        "url string, model string, scenario string, memberid string, variable string")
+    tidy = decode_netcdf_tidy(manifest)
+    rows = tidy.collect()
+    assert len(rows) == 2 * 8  # 2 files x (2 time x 2 lat x 2 lon)
+    assert tidy.columns == ["model", "scenario", "memberid", "variable",
+                            "time", "lat", "lon", "value"]
+    a = {(r.model, r.time, r.lat, r.lon): r.value for r in rows}
+    b = {(r.model, r.time, r.lat, r.lon): r.value
+         for r in decode_netcdf_tidy(manifest).collect()}
+    assert a == b
+
+
+def test_tidy_long_partitioned_write_prunes(spark, tmp_path):
+    """write_tidy_long lays out model=/scenario=/variable= partitions and
+    a partition filter prunes to one directory."""
+    from downscaledclimatedata_spark.operators.ingest import (
+        decode_netcdf_tidy, write_tidy_long)
+    manifest = spark.createDataFrame(
+        [("https://x.test/f1.nc", "AModel", "ssp245", "r1", "tasmax"),
+         ("https://x.test/f2.nc", "BModel", "ssp585", "r1", "pr")],
+        "url string, model string, scenario string, memberid string, variable string")
+    out = str(tmp_path / "tidy")
+    write_tidy_long(decode_netcdf_tidy(manifest), out)
+    import os
+    assert sorted(d for d in os.listdir(out) if d.startswith("model=")) == \
+        ["model=AModel", "model=BModel"]
+    back = spark.read.parquet(out)
+    pruned = back.filter(F.col("model") == "AModel")
+    assert pruned.count() == 8
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "model" in plan
+
+
 def test_rewrite_extension_anchored(spark):
     """Interior '.nc' must survive (the reference's unanchored replace
     would corrupt it — engine divergence, SURVEY §7.5.3)."""
