@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from downscaledclimatedata_spark.functions.hashing import md5_long, md5_long_sql
 from downscaledclimatedata_spark.plans import QuerySpec, register
-from downscaledclimatedata_spark.sources.tables import load_table
+from downscaledclimatedata_spark.sources.tables import load_table, load_table_parallel
 
 MINHASH_PERMS = 16
 LSH_BAND_SIZE = 4
@@ -201,7 +201,7 @@ shingled AS (
 
 
 def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
     # normalize to the first 5 tokens so the synthetic corpus actually
     # produces duplicate groups to collapse
     norm = F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 5))
@@ -222,7 +222,7 @@ FROM normed GROUP BY 1
 
 
 def dedup_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
     return minhash_signatures(docs, "text", "doc_id")
 
 
@@ -240,7 +240,7 @@ FROM hashed GROUP BY doc_id
 
 
 def dedup_lsh_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
     sigs = minhash_signatures(docs, "text", "doc_id")
     pairs = lsh_candidate_pairs(sigs, "doc_id")
     return pairs.agg(F.count("*").alias("n_candidate_pairs"))
@@ -267,7 +267,7 @@ SELECT COUNT(*) AS n_candidate_pairs FROM (
 
 
 def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
     return simhash(docs, "text", "doc_id")
 
 
@@ -286,7 +286,7 @@ SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM bits
 
 
 def dedup_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
     return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.2)
 
 

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from downscaledclimatedata_spark.plans import QuerySpec, register
-from downscaledclimatedata_spark.sources.tables import load_table
+from downscaledclimatedata_spark.sources.tables import load_table, load_table_parallel
 
 DECODED_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
@@ -136,7 +136,7 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
 def multimodal_meta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-expression metadata over binary payloads (oracle-checkable)."""
-    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_binary_payload(load_table_parallel(spark, sf_dir, "documents", key="doc_id"))
     fmt = F.when(F.length("payload") % 3 == 0, "jpeg") \
         .when(F.length("payload") % 3 == 1, "png").otherwise("webp")
     return (docs.select(fmt.alias("format"), F.length("payload").alias("n_bytes"))
@@ -155,7 +155,7 @@ FROM p GROUP BY 1
 
 def multimodal_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInPandas decode path (rows-only check: UDF not SQL-expressible)."""
-    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_binary_payload(load_table_parallel(spark, sf_dir, "documents", key="doc_id"))
     return (decode_payloads(docs)
             .groupBy("format")
             .agg(F.count("*").alias("n_docs"),
@@ -165,7 +165,7 @@ def multimodal_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_frames_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out histogram (rows-only: mapInPandas op)."""
-    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_binary_payload(load_table_parallel(spark, sf_dir, "documents", key="doc_id"))
     frames = sample_frames(docs)
     return (frames.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
             .groupBy("n_frames").agg(F.count("*").alias("n_docs")))
@@ -174,7 +174,7 @@ def multimodal_frames_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction pipeline feeding the similarity operators
     (rows-only: mapInPandas op)."""
-    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_binary_payload(load_table_parallel(spark, sf_dir, "documents", key="doc_id"))
     feats = extract_features(docs)
     return feats.select(
         "doc_id", F.size("feature").alias("dim"),

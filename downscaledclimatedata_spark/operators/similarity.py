@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from downscaledclimatedata_spark.plans import QuerySpec, register
-from downscaledclimatedata_spark.sources.tables import load_table
+from downscaledclimatedata_spark.sources.tables import load_table, load_table_parallel
 
 DIM = 64
 QUANT = 1000
@@ -272,7 +272,7 @@ def ivf_topk(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
 # --- oracle-checked query entries -------------------------------------------
 
 def similarity_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
     return cosine_topk_quantized(emb)
 
 
@@ -300,7 +300,7 @@ SELECT query_id, match_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
 
 
 def similarity_lsh_buckets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
     return (lsh_buckets(emb).groupBy("bucket_id")
             .agg(F.count("*").alias("n_vectors"),
                  F.min("vec_id").alias("min_vec_id")))
@@ -326,12 +326,12 @@ FROM assigned GROUP BY bucket_id
 
 
 def similarity_float_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
     return cosine_topk_float(emb)
 
 
 def similarity_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
     return lsh_topk(emb)
 
 
@@ -358,7 +358,7 @@ SELECT query_id, match_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
 
 
 def dedup_embedding_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
     return embedding_neardup_pairs(emb)
 
 
@@ -380,7 +380,7 @@ WHERE CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> a.qv[i] * b.qv[i]))
 
 
 def similarity_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
     return ivf_topk(emb)
 
 

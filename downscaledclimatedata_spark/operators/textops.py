@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from downscaledclimatedata_spark.functions.hashing import md5_long, md5_long_sql
 from downscaledclimatedata_spark.plans import QuerySpec, register
-from downscaledclimatedata_spark.sources.tables import load_table
+from downscaledclimatedata_spark.sources.tables import load_table, load_table_parallel
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
 
@@ -113,7 +113,7 @@ _TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
 
 
 def text_token_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_stats(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+    return token_stats(load_table_parallel(spark, sf_dir, "documents", key="doc_id"), "text", "doc_id")
 
 
 _TEXT_TOKENS_SQL = f"""
@@ -128,7 +128,7 @@ FROM documents
 
 
 def text_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_scores(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+    return quality_scores(load_table_parallel(spark, sf_dir, "documents", key="doc_id"), "text", "doc_id")
 
 
 _STOP_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
@@ -152,7 +152,7 @@ FROM m
 
 
 def text_langid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return language_id(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+    return language_id(load_table_parallel(spark, sf_dir, "documents", key="doc_id"), "text", "doc_id")
 
 
 def _langid_sql() -> str:
@@ -183,7 +183,7 @@ SELECT doc_id, {cols}, {case_sql} AS predicted_lang FROM s
 
 
 def text_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fingerprints(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+    return fingerprints(load_table_parallel(spark, sf_dir, "documents", key="doc_id"), "text", "doc_id")
 
 
 _TEXT_FINGERPRINT_SQL = f"""
@@ -197,7 +197,7 @@ def text_rolling_hash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-sensitive document fingerprint (unlike the md5-of-joined-text
     one, this composes incrementally and supports windowed substring
     fingerprinting at scale). Fold stays JVM-side via `aggregate`."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
     hashes = F.transform(toks, lambda t: md5_long(t) % F.lit(2147483647))
     poly = F.aggregate(hashes, F.lit(0).cast("long"),

@@ -34,6 +34,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def load_table_parallel(spark: SparkSession, sf_dir: str, name: str,
+                        key: str | None = None) -> DataFrame:
+    """load_table + guaranteed scan parallelism for compute-heavy ops.
+
+    On a cluster, parallelism comes from file splits; a small local table
+    is ONE parquet file -> one partition -> hashing/shingling/vector math
+    runs on a single core. Repartition (hash on ``key`` when given, else
+    round-robin) up to the default parallelism — the few-MB shuffle is
+    noise next to the per-row compute it unlocks, and at real scale the
+    branch never triggers.
+    """
+    df = load_table(spark, sf_dir, name)
+    try:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            from pyspark.sql import functions as F
+            df = (df.repartition(target, F.col(key)) if key
+                  else df.repartition(target))
+    except Exception:
+        pass  # e.g. Spark Connect: no sparkContext; keep the plain scan
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
 
