@@ -452,6 +452,76 @@ FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey
 """
 
 
+# --- q46: exact quantiles via rank (percentile_disc semantics) ------------------
+
+def q46_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 defined by rank position (the value at
+    ceil(q*n)) so both engines compute identical results — no
+    interpolation-rule drift."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber")
+    ranked = li.select(
+        "l_returnflag", dec("l_quantity", 2).alias("qty"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("cnt"))
+    picks = [
+        F.max(F.when(F.col("rn") == F.ceil(F.col("cnt") * q), F.col("qty")))
+        .cast("double").alias(name)
+        for q, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"))
+    ]
+    return ranked.groupBy("l_returnflag").agg(*picks)
+
+
+_Q46_SQL = f"""
+WITH ranked AS (
+  SELECT l_returnflag, {dec_sql('l_quantity')} AS qty,
+    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+    COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+  FROM lineitem
+)
+SELECT l_returnflag,
+  CAST(MAX(CASE WHEN rn = CEIL(cnt * 0.25) THEN qty END) AS DOUBLE) AS p25,
+  CAST(MAX(CASE WHEN rn = CEIL(cnt * 0.5) THEN qty END) AS DOUBLE) AS p50,
+  CAST(MAX(CASE WHEN rn = CEIL(cnt * 0.75) THEN qty END) AS DOUBLE) AS p75
+FROM ranked GROUP BY l_returnflag
+"""
+
+
+# --- q47: EXISTS / NOT EXISTS correlated subqueries -----------------------------
+
+def q47_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v47_supplier")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v47_lineitem")
+    return spark.sql("""
+        SELECT
+          COUNT(CASE WHEN EXISTS (
+            SELECT 1 FROM v47_lineitem li
+            WHERE li.l_suppkey = s.s_suppkey AND li.l_quantity > 49
+          ) THEN 1 END) AS n_with_bulk,
+          COUNT(CASE WHEN NOT EXISTS (
+            SELECT 1 FROM v47_lineitem li
+            WHERE li.l_suppkey = s.s_suppkey AND li.l_discount > 0.09
+          ) THEN 1 END) AS n_without_deep_discount
+        FROM v47_supplier s
+    """)
+
+
+_Q47_SQL = """
+SELECT
+  COUNT(CASE WHEN EXISTS (
+    SELECT 1 FROM lineitem li
+    WHERE li.l_suppkey = s.s_suppkey AND li.l_quantity > 49
+  ) THEN 1 END) AS n_with_bulk,
+  COUNT(CASE WHEN NOT EXISTS (
+    SELECT 1 FROM lineitem li
+    WHERE li.l_suppkey = s.s_suppkey AND li.l_discount > 0.09
+  ) THEN 1 END) AS n_without_deep_discount
+FROM supplier s
+"""
+
+
 # --- q39: approx distinct (rows-only: engine-specific sketches) -----------------
 
 def q39_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,6 +556,10 @@ register(QuerySpec("q37_date_arithmetic", q37_date_arithmetic, _Q37_SQL,
                    description="date_add/add_months/last_day/datediff/dayofweek/trunc"))
 register(QuerySpec("q38_correlation", q38_correlation, _Q38_SQL,
                    description="Pearson correlation from exact power sums"))
+register(QuerySpec("q46_quartiles", q46_quartiles, _Q46_SQL,
+                   description="exact rank-defined quartiles (percentile_disc semantics)"))
+register(QuerySpec("q47_exists_subquery", q47_exists_subquery, _Q47_SQL,
+                   description="EXISTS / NOT EXISTS correlated subqueries"))
 register(QuerySpec("q44_full_outer_join", q44_full_outer_join, _Q44_SQL,
                    description="full outer join of per-nation customer/supplier aggregates"))
 register(QuerySpec("q43_string_agg", q43_string_agg, _Q43_SQL,

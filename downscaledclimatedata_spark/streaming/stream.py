@@ -83,6 +83,33 @@ def start_ingest_stream(stream: DataFrame, process_batch, checkpoint_dir: str,
             .start())
 
 
+def attribution_join(events: DataFrame, window: str = "10 minutes",
+                     watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks within the preceding ``window`` (ad-attribution shape).
+
+    Works identically on static DataFrames and on streams; in streaming,
+    the watermarks bound both sides' join state so it never grows
+    unboundedly (Spark drops click state older than watermark + window).
+    """
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", watermark))
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", watermark))
+    cond = ((F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}")))
+    return (purchases.join(clicks, cond, "inner")
+            .select(F.col("p_user").alias("user_id"), "purchase_id",
+                    "click_id", "p_ts", "c_ts"))
+
+
 RUNNING_COUNT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 
 

@@ -94,6 +94,19 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         assert abs(final[uid][1] - _total) < 1e-6
 
 
+def test_stream_stream_interval_join_equals_batch(spark):
+    """The attribution join (stream-stream interval join with watermarks
+    on both sides) must emit exactly the rows the batch join produces."""
+    from downscaledclimatedata_spark.streaming.stream import attribution_join
+
+    stream = events_stream(spark, SF_SMOKE)
+    name = _run_to_memory(attribution_join(stream), "append")
+    got = _sorted_rows(spark.table(name))
+    want = _sorted_rows(
+        attribution_join(load_table(spark, SF_SMOKE, "events")))
+    assert got == want and len(got) > 0
+
+
 def test_manifest_stream_dedup_exactly_once(spark, tmp_path):
     mdir = str(tmp_path / "manifest")
     rows1 = [("m1", "historical", "r1i1p1f1", "tasmax", "u1", "/m1/h/f1.nc"),
