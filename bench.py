@@ -37,9 +37,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in sorted(specs):
-        t0 = time.perf_counter()
-        specs[name].spark(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: damp scheduler/GC jitter
+            t0 = time.perf_counter()
+            specs[name].spark(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

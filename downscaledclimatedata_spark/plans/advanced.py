@@ -522,6 +522,28 @@ FROM supplier s
 """
 
 
+# --- q48: skew-safe two-phase count distinct ------------------------------------
+
+def q48_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) as distinct-then-count — the skew-safe rewrite.
+
+    A direct per-key COUNT(DISTINCT hot_key) funnels every row of a hot
+    group through one reducer; phase 1 here shuffles on (key, value) so a
+    hot key spreads over all partitions (map-side partial distinct
+    included), and phase 2 aggregates the already-small per-key sets.
+    Result is identical by definition, so the oracle uses the direct form.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_returnflag", "l_partkey").distinct()
+    return pairs.groupBy("l_returnflag").agg(F.count("*").alias("n_parts"))
+
+
+_Q48_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --- q39: approx distinct (rows-only: engine-specific sketches) -----------------
 
 def q39_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,6 +578,8 @@ register(QuerySpec("q37_date_arithmetic", q37_date_arithmetic, _Q37_SQL,
                    description="date_add/add_months/last_day/datediff/dayofweek/trunc"))
 register(QuerySpec("q38_correlation", q38_correlation, _Q38_SQL,
                    description="Pearson correlation from exact power sums"))
+register(QuerySpec("q48_two_phase_distinct", q48_two_phase_distinct, _Q48_SQL,
+                   description="skew-safe two-phase count distinct (distinct on pair, then count)"))
 register(QuerySpec("q46_quartiles", q46_quartiles, _Q46_SQL,
                    description="exact rank-defined quartiles (percentile_disc semantics)"))
 register(QuerySpec("q47_exists_subquery", q47_exists_subquery, _Q47_SQL,
