@@ -544,6 +544,66 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- q49: upsert merge (MERGE INTO emulation) -----------------------------------
+
+def q49_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension upsert without a table format: full-outer join base vs
+    changes, coalesce changed values over current ones. The rewrite every
+    warehouse runs when MERGE INTO isn't available; at scale both sides
+    shuffle once on the merge key (or co-locate via bucketing)."""
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select("c_custkey", dec("c_acctbal", 2).alias("bal"))
+    changes = (base.filter(F.col("c_custkey") % 10 == 0)
+               .select("c_custkey", (F.col("bal") + 100).alias("new_bal")))
+    merged = (base.join(changes, "c_custkey", "full_outer")
+              .select("c_custkey",
+                      F.coalesce("new_bal", "bal").alias("bal")))
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("bal").cast("double").alias("total_bal"))
+
+
+_Q49_SQL = f"""
+WITH base AS (
+  SELECT c_custkey, {dec_sql('c_acctbal')} AS bal FROM customer
+), changes AS (
+  SELECT c_custkey, bal + 100 AS new_bal FROM base WHERE c_custkey % 10 = 0
+), merged AS (
+  SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+         COALESCE(c.new_bal, b.bal) AS bal
+  FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
+)
+SELECT COUNT(*) AS n_rows, CAST(SUM(bal) AS DOUBLE) AS total_bal FROM merged
+"""
+
+
+# --- q50: keep-latest dedup (CDC compaction) ------------------------------------
+
+def q50_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key by event time — the CDC-compaction dedup
+    (row_number over desc time, keep rank 1). One shuffle on the key."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_id").alias("latest_event_id"),
+                    F.col("ts").alias("latest_ts"),
+                    F.col("event_type").alias("latest_type")))
+
+
+_Q50_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id, ts, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id AS latest_event_id, ts AS latest_ts,
+       event_type AS latest_type
+FROM ranked WHERE rn = 1
+"""
+
+
 # --- q39: approx distinct (rows-only: engine-specific sketches) -----------------
 
 def q39_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,6 +638,10 @@ register(QuerySpec("q37_date_arithmetic", q37_date_arithmetic, _Q37_SQL,
                    description="date_add/add_months/last_day/datediff/dayofweek/trunc"))
 register(QuerySpec("q38_correlation", q38_correlation, _Q38_SQL,
                    description="Pearson correlation from exact power sums"))
+register(QuerySpec("q49_upsert_merge", q49_upsert_merge, _Q49_SQL,
+                   description="MERGE INTO emulation: full-outer join + coalesce upsert"))
+register(QuerySpec("q50_keep_latest", q50_keep_latest, _Q50_SQL,
+                   description="CDC keep-latest dedup via desc row_number"))
 register(QuerySpec("q48_two_phase_distinct", q48_two_phase_distinct, _Q48_SQL,
                    description="skew-safe two-phase count distinct (distinct on pair, then count)"))
 register(QuerySpec("q46_quartiles", q46_quartiles, _Q46_SQL,
