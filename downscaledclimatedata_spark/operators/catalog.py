@@ -106,8 +106,12 @@ def build_catalog(listing: DataFrame, bucket: str, prefix: str = "",
     base = listing.select(zarr_base_path(F.col(key_col)).alias("full_key")).distinct()
     keyed = base.select(
         F.col("full_key"), strip_prefix(F.col("full_key"), prefix).alias("rel_key"))
-    good = keyed.filter(well_formed("rel_key"))
-    quarantine = keyed.filter(~well_formed("rel_key")).select(
+    # null keys make well_formed NULL, which both filters would silently
+    # drop — coalesce to False so they land in quarantine (conservation:
+    # every distinct key goes exactly one way)
+    ok = F.coalesce(well_formed("rel_key"), F.lit(False))
+    good = keyed.filter(ok)
+    quarantine = keyed.filter(~ok).select(
         F.col("full_key").alias("rejected_key"))
     catalog = parse_key_columns(good, "rel_key", bucket, path_col="full_key")
     return catalog, quarantine

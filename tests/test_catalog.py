@@ -72,6 +72,18 @@ def test_malformed_keys_quarantined(spark):
     assert quarantine.count() == 3
 
 
+def test_null_and_empty_keys_quarantined(spark):
+    """Null/empty keys must be quarantined, not silently dropped (the
+    naive ~well_formed filter loses NULL rows on both sides)."""
+    from pyspark.sql import types as T
+    listing = spark.createDataFrame(
+        [(None,), ("",), ("m/s/ok.m.s.r1i1p1f1.1950-2014.v1.nc",)],
+        T.StructType([T.StructField("key", T.StringType(), True)]))
+    catalog, quarantine = build_catalog(listing, bucket="bkt")
+    assert catalog.count() == 1
+    assert quarantine.count() == 2  # conservation: 3 in = 1 + 2 out
+
+
 def test_prefix_strip(spark):
     listing = spark.createDataFrame(
         [("netcdf/LOCA2/m/s/pr.m.s.r1i1p1f1.1950-2014.v1.nc",)], "key string")

@@ -107,6 +107,51 @@ def test_stream_stream_interval_join_equals_batch(spark):
     assert got == want and len(got) > 0
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg with a watermark: an event arriving after
+    its window was finalized must not change the emitted count."""
+    import uuid as _uuid
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("k", T.StringType())])
+    edir = str(tmp_path / "ev")
+    name = "t" + _uuid.uuid4().hex[:12]
+
+    from datetime import datetime
+    base = datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(rows):
+        (spark.createDataFrame(rows, schema)
+         .coalesce(1).write.mode("append").parquet(edir))
+
+    # batch 1: two events in window [00:00, 00:01) and one far ahead that
+    # pushes the watermark (10s delay) past that window's end
+    write_batch([(base.replace(second=10), "a"),
+                 (base.replace(second=20), "a"),
+                 (base.replace(minute=5), "a")])
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 10).parquet(edir)
+    agg = (stream.withWatermark("ts", "10 seconds")
+           .groupBy(F.window("ts", "1 minute").alias("w"), "k")
+           .agg(F.count("*").alias("n"))
+           .select(F.col("w.start").alias("ws"), "k", "n"))
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event for the already-finalized first window
+        write_batch([(base.replace(second=30), "a")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {(r.ws, r.k): r.n for r in spark.table(name).collect()}
+    first_window = (base, "a")
+    assert out.get(first_window) == 2, (
+        f"late event must be dropped, got {out}")
+
+
 def test_manifest_stream_dedup_exactly_once(spark, tmp_path):
     mdir = str(tmp_path / "manifest")
     rows1 = [("m1", "historical", "r1i1p1f1", "tasmax", "u1", "/m1/h/f1.nc"),
