@@ -175,6 +175,37 @@ GROUP BY ROLLUP(1, 2)
 """
 
 
+# --- q51: interval RANGE frame (trailing-window aggregate) ----------------------
+
+def q51_trailing_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer trailing 7-day order total via a RANGE frame keyed on
+    epoch seconds — the value-based frame (rows at equal/preceding times
+    within the interval), distinct from row-counted frames."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    from pyspark.sql import Window
+    epoch = F.unix_timestamp("o_orderdate")
+    w = (Window.partitionBy("o_custkey").orderBy(epoch.cast("long"))
+         .rangeBetween(-7 * 86400, 0))
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.sum(price).over(w).cast("double").alias("trailing_7d_total"),
+        F.count("*").over(w).alias("trailing_7d_orders"))
+
+
+_Q51_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_7d_total,
+  COUNT(*) OVER w AS trailing_7d_orders
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+"""
+
+
+register(QuerySpec("q51_trailing_range_frame", q51_trailing_range_frame, _Q51_SQL,
+                   description="trailing 7-day RANGE frame on epoch seconds (value-based window)"))
 register(QuerySpec("q45_time_rollup", q45_time_rollup, _Q45_SQL,
                    description="day -> 6h -> total hierarchical rollup (one scan, one shuffle via Expand)"))
 register(QuerySpec("q40_asof_join", q40_asof_join, _Q40_SQL,
