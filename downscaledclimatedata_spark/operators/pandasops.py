@@ -11,9 +11,9 @@ built-in expressions.
 Scale: groupBy().applyInPandas shuffles once on the key and hands each
 group to Arrow as a single pandas frame — groups must fit in executor
 memory (fine for per-user/per-entity groups; NOT for global transforms).
-Registered checks are rows-only (float reduction order inside numpy is
-not cross-engine reproducible); unit tests pin values against
-expression-based computation within Spark.
+Float variants are unit-tested against in-Spark expression formulations;
+the registered checks use exact variants (integer-space reductions, fixed
+double expression order) that hash-match the DuckDB oracle bit-for-bit.
 """
 
 from __future__ import annotations
@@ -66,22 +66,112 @@ def weighted_mean_agg(df: DataFrame, key: str = "event_type",
             .agg(wmean(F.col(val), w).alias("weighted_mean")))
 
 
-# --- registered checks (rows-only: float path) --------------------------------
+# --- exact variants (oracle-checkable) ----------------------------------------
+#
+# The float paths above reduce in numpy order and can't hash-match another
+# engine. These variants take a pre-quantized integer column `xq`
+# (floor(value*1000) as bigint — per-row, so deterministic), do every
+# REDUCTION in exact int64 space inside pandas, and only then evaluate a
+# fixed double expression. Identical integer sums + identical IEEE-754
+# expression order ⇒ bit-identical doubles across pandas and DuckDB.
+# int64 headroom: |xq| ≤ ~5e5 here, xq² ≤ 2.5e11 — exact past 1e6-row groups;
+# beyond that switch the UDF sums to Python ints (object dtype).
+
+ZSCORE_EXACT_SCHEMA = ("user_id bigint, event_id bigint, xq bigint, "
+                       "zscore double")
+
+
+def zscore_per_group_exact(df: DataFrame, key: str = "user_id") -> DataFrame:
+    """Per-group z-score over an integer column `xq`; exact int sums, then
+    double math in a fixed order (matches the SQL oracle bit-for-bit)."""
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+        v = pdf["xq"]
+        fn = float(len(v))
+        m = float(int(v.sum())) / fn
+        var = float(int((v * v).sum())) / fn - m * m
+        std = math.sqrt(var) if var > 0 else 0.0
+        z = (v.astype("float64") - m) / std if std > 0 else v * 0.0
+        return pd.DataFrame({
+            "user_id": pdf[key], "event_id": pdf["event_id"],
+            "xq": v, "zscore": z,
+        })
+
+    return (df.select(key, "event_id", "xq")
+            .groupBy(key).applyInPandas(normalize, ZSCORE_EXACT_SCHEMA))
+
+
+def weighted_mean_agg_exact(df: DataFrame, key: str = "event_type") -> DataFrame:
+    """GROUPED_AGG pandas_udf weighted mean over integer columns xq, w:
+    int64 numerator/denominator, one double division at the end."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(xq: pd.Series, w: pd.Series) -> float:
+        num, den = int((xq * w).sum()), int(w.sum())
+        return float(num) / float(den) if den else 0.0
+
+    return (df.groupBy(key)
+            .agg(wmean(F.col("xq"), F.col("w")).alias("weighted_mean")))
+
+
+# --- registered checks ---------------------------------------------------------
+
+def _quantized_events(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:
+    ev = load_table_parallel(spark, sf_dir, "events", key=key)
+    return ev.select(
+        "user_id", "event_id", "event_type",
+        F.floor(F.col("value") * F.lit(1000.0)).cast("bigint").alias("xq"),
+        (F.col("event_id") % 10 + 1).alias("w"))
+
 
 def pandas_zscore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table_parallel(spark, sf_dir, "events", key="user_id")
-    z = zscore_per_group(ev)
+    ev = _quantized_events(spark, sf_dir, key="user_id")
+    z = zscore_per_group_exact(ev)
     return (z.groupBy("user_id")
-            .agg(F.count("*").alias("n"),
-                 F.round(F.max("zscore"), 6).alias("max_z")))
+            .agg(F.count("*").alias("n"), F.max("zscore").alias("max_z")))
+
+
+_ZSCORE_SQL = """
+WITH q AS (
+  SELECT user_id, event_id, CAST(FLOOR(value * 1000.0) AS BIGINT) AS xq
+  FROM events
+), g AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(xq) AS DOUBLE) AS s,
+         CAST(SUM(xq * xq) AS DOUBLE) AS ss
+  FROM q GROUP BY user_id
+), z AS (
+  SELECT q.user_id, q.xq,
+         s / n AS m,
+         ss / n - (s / n) * (s / n) AS var
+  FROM q JOIN g USING (user_id)
+)
+SELECT user_id, COUNT(*) AS n,
+       MAX(CASE WHEN var > 0 THEN (CAST(xq AS DOUBLE) - m) / SQRT(var)
+                ELSE 0.0 END) AS max_z
+FROM z GROUP BY user_id
+"""
 
 
 def pandas_weighted_mean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table_parallel(spark, sf_dir, "events", key="event_id")
-    return weighted_mean_agg(ev)
+    ev = _quantized_events(spark, sf_dir, key="event_id")
+    return weighted_mean_agg_exact(ev)
 
 
-register(QuerySpec("pandas_zscore_groups", pandas_zscore_query, None,
-                   description="applyInPandas per-group z-score (rows-only: numpy float reduction)"))
-register(QuerySpec("pandas_weighted_mean", pandas_weighted_mean_query, None,
-                   description="GROUPED_AGG pandas_udf weighted mean (rows-only: numpy float reduction)"))
+_WMEAN_SQL = """
+SELECT event_type,
+  CASE WHEN SUM(w) > 0
+       THEN CAST(SUM(xq * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+       ELSE 0.0 END AS weighted_mean
+FROM (SELECT event_type, CAST(FLOOR(value * 1000.0) AS BIGINT) AS xq,
+             event_id % 10 + 1 AS w
+      FROM events)
+GROUP BY event_type
+"""
+
+
+register(QuerySpec("pandas_zscore_groups", pandas_zscore_query, _ZSCORE_SQL,
+                   description="applyInPandas per-group z-score (exact int sums -> fixed double expr)"))
+register(QuerySpec("pandas_weighted_mean", pandas_weighted_mean_query, _WMEAN_SQL,
+                   description="GROUPED_AGG pandas_udf weighted mean (exact int sums)"))
