@@ -37,7 +37,7 @@ def register(spec: QuerySpec) -> QuerySpec:
 
 def all_specs() -> dict[str, QuerySpec]:
     # Import side-effect modules that populate the registry.
-    from downscaledclimatedata_spark.plans import advanced, relational, temporal  # noqa: F401
+    from downscaledclimatedata_spark.plans import advanced, relational, scale, temporal  # noqa: F401
     from downscaledclimatedata_spark.operators import (  # noqa: F401
         catalog, discovery, dedup, similarity, textops, multimodal, pandasops,
     )

@@ -1,0 +1,156 @@
+"""Scale-technique queries: explicit skew salting, Python UDTF, MapType.
+
+These demonstrate, as oracle-checked relational results, the techniques a
+100 TB deployment leans on beyond what AQE does automatically:
+
+- q52: explicit key salting for a skewed join — the pattern to reach for
+  when AQE's skew-join splitting can't help (e.g. skewed *aggregation*
+  feeding a join, or a build side too big to replicate whole). The salt
+  must be deterministic here for oracle reproducibility; in production use
+  ``pmod(xxhash64(unique_row_id), S)`` for uniformity.
+- q53: a Python UDTF (Spark 4 generator table function) — completes the
+  UDF/UDAF/UDTF surface of SURVEY §2.10 (reference has UDTF-shaped
+  generators: Loca2Datasets.get_downloadable_files,
+  /root/reference/downscaled_climate_data/sensors/loca2_sensor.py:34-78).
+  UDTFs are the slow path (row-at-a-time Python); use only where a
+  generator genuinely can't be expressed as explode(expr) — here the
+  built-in equivalent is posexplode(split(...)), shown in the oracle.
+- q54: MapType construction/access (map_from_entries, size, element_at) —
+  the reference's dict-shaped lookups (SURVEY §2.8 map/dict access row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from downscaledclimatedata_spark.plans import QuerySpec, register
+from downscaledclimatedata_spark.sources.tables import load_table, load_table_parallel
+
+N_SALTS = 8
+
+
+# --- q52: salted skew join ------------------------------------------------------
+
+def q52_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order-priority via an explicitly salted join.
+
+    The fact side (lineitem) carries salt = l_linenumber % S (deterministic,
+    row-stable); the other side (orders) is exploded xS so every
+    (o_orderkey, salt) partner exists. The join key becomes (orderkey,
+    salt), spreading a hot orderkey over S reducers. Result is identical to
+    the unsalted join, which is exactly what the oracle checks.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fact = li.select(
+        "l_orderkey",
+        (F.col("l_linenumber") % N_SALTS).alias("salt"),
+        (F.col("l_extendedprice").cast("decimal(18,2)")
+         * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+         ).alias("rev"))
+    salted_orders = orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.explode(F.array(*[F.lit(s) for s in range(N_SALTS)])).alias("salt"))
+    joined = fact.join(
+        salted_orders,
+        (fact.l_orderkey == salted_orders.o_orderkey)
+        & (fact.salt == salted_orders.salt))
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.sum("rev").cast("double").alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy("o_orderpriority"))
+
+
+_Q52_SQL = """
+SELECT o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- q53: Python UDTF word exploder --------------------------------------------
+
+class ExplodeWords:
+    """Generator UDTF: text -> (word, pos) rows, whitespace-tokenized.
+
+    Mirrors the reference's generator-shaped file enumerator (SURVEY §2.10
+    U5). Registered via spark.udtf.register and invoked with LATERAL.
+    """
+
+    def eval(self, text: str):  # noqa: D102 - UDTF protocol method
+        if text:
+            for i, w in enumerate(text.split()):
+                yield (w, i)
+
+
+def q53_udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs.select("doc_id", "text").createOrReplaceTempView("q53_docs")
+    spark.udtf.register(
+        "explode_words", udtf(ExplodeWords, returnType="word string, pos int"))
+    return spark.sql("""
+        SELECT word, COUNT(*) AS n, SUM(pos) AS sum_pos
+        FROM q53_docs, LATERAL explode_words(text)
+        GROUP BY word
+    """)
+
+
+_Q53_SQL = r"""
+WITH s AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS ws
+  FROM documents WHERE doc_id < 100
+), u AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS raw_pos
+  FROM s
+), filtered AS (
+  SELECT doc_id, word,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw_pos) - 1 AS pos
+  FROM u WHERE word <> ''
+)
+SELECT word, COUNT(*) AS n, SUM(pos) AS sum_pos
+FROM filtered GROUP BY word
+"""
+
+
+# --- q54: MapType build + lookup ------------------------------------------------
+
+def q54_map_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event_type->count map; read back size + one key.
+
+    map_from_entries over collect_list(struct) is the canonical MapType
+    constructor; element_at returns NULL for a missing key (1-based / keyed
+    semantics per SURVEY §2.8).
+    """
+    ev = load_table_parallel(spark, sf_dir, "events", key="user_id")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    maps = (counts.groupBy("user_id")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("event_type", "c"))).alias("m")))
+    return maps.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias("click_events"))
+
+
+_Q54_SQL = """
+SELECT user_id,
+  COUNT(DISTINCT event_type) AS n_types,
+  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT)
+    AS click_events
+FROM events GROUP BY user_id
+"""
+
+
+register(QuerySpec("q52_salted_skew_join", q52_salted_skew_join, _Q52_SQL,
+                   description="explicit key-salting join (deterministic salt), equals unsalted join"))
+register(QuerySpec("q53_udtf_word_positions", q53_udtf_word_positions, _Q53_SQL,
+                   description="Python UDTF generator (LATERAL), oracle via split+unnest"))
+register(QuerySpec("q54_map_type_counts", q54_map_type_counts, _Q54_SQL,
+                   description="MapType map_from_entries/size/element_at"))

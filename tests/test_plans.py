@@ -67,3 +67,13 @@ def test_q45_rollup_single_expand(spark):
     plan = _plan(spark, "q45_time_rollup")
     assert plan.count("Expand") >= 1
     assert _n_shuffles(plan) == 1, "all rollup resolutions must share one shuffle"
+
+
+def test_q52_salt_spreads_join_key(spark):
+    plan = _plan(spark, "q52_salted_skew_join")
+    # the replicate side must be exploded (Generate) and the join must use
+    # the composite (orderkey, salt) key — 2-element key lists. (At sf0.01
+    # the tiny orders side still broadcasts; on a cluster-scale input the
+    # same composite key spreads each hot orderkey over N_SALTS reducers.)
+    assert "explode" in plan
+    assert "Left keys [2]" in plan and "Right keys [2]" in plan
