@@ -148,6 +148,93 @@ FROM events GROUP BY user_id
 """
 
 
+# --- q55: end-to-end training-corpus prep --------------------------------------
+
+def q55_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composite: language filter -> quality gate -> exact dedup
+    -> per-source corpus stats, in ONE declarative pipeline.
+
+    This is the LLM-training-data shape the engine exists for: a 100 TB
+    corpus pass that Catalyst plans as scan -> project/filter (pushed to
+    the parquet scan) -> two hash aggregations. Exactly two shuffles: one
+    on content_hash (dedup), one on source (rollup). The dedup
+    representative is min_by(_, doc_id) so every surviving column comes
+    from the same deterministic row. Floats stay comparable because the
+    quality score is a fixed expression over exact integer token counts
+    and only min/max (order-independent) aggregate it.
+    """
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+    from downscaledclimatedata_spark.operators.textops import STOPWORDS, _tokens
+
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_uniq = F.size(F.array_distinct(toks))
+    score = (F.lit(0.4) * F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
+             + F.lit(0.3) * (n_uniq.cast("double") / n.cast("double"))
+             + F.lit(0.3) * F.least((n_stop.cast("double") / n.cast("double")) * 5,
+                                    F.lit(1.0)))
+    scored = (docs.filter(F.col("lang") == "en")
+              .select("doc_id", "source",
+                      md5_long(F.concat_ws(" ", toks)).alias("content_hash"),
+                      n.alias("n_tokens"), score.alias("quality"))
+              .filter(F.col("quality") >= 0.5))
+    kept = (scored.groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.min_by("source", "doc_id").alias("source"),
+                 F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+                 F.min_by("quality", "doc_id").alias("quality")))
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.min("quality").alias("min_quality"),
+                 F.max("quality").alias("max_quality")))
+
+
+def _q55_sql() -> str:
+    from downscaledclimatedata_spark.functions.hashing import md5_long_sql
+    from downscaledclimatedata_spark.operators.textops import STOPWORDS
+    toks = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+    stop_list = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, {toks} AS toks FROM documents WHERE lang = 'en'
+), m AS (
+  SELECT doc_id, source,
+    {md5_long_sql("array_to_string(toks, ' ')")} AS content_hash,
+    len(toks) AS n_tokens,
+    len(list_filter(toks, x -> list_contains({stop_list}, x))) AS n_stop,
+    len(list_distinct(toks)) AS n_uniq
+  FROM t
+), scored AS (
+  SELECT doc_id, source, content_hash, n_tokens,
+    0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+      + 0.3 * (CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+      + 0.3 * least((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 5, 1.0)
+      AS quality
+  FROM m
+), gated AS (
+  SELECT * FROM scored WHERE quality >= 0.5
+), kept AS (
+  SELECT content_hash,
+    MIN(doc_id) AS doc_id,
+    ARG_MIN(source, doc_id) AS source,
+    ARG_MIN(n_tokens, doc_id) AS n_tokens,
+    ARG_MIN(quality, doc_id) AS quality
+  FROM gated GROUP BY content_hash
+)
+SELECT source, COUNT(*) AS n_docs,
+  SUM(n_tokens) AS total_tokens,
+  MIN(quality) AS min_quality,
+  MAX(quality) AS max_quality
+FROM kept GROUP BY source
+"""
+
+
+register(QuerySpec("q55_corpus_prep", q55_corpus_prep, _q55_sql(), headline=True,
+                   description="flagship corpus prep: lang filter + quality gate + exact dedup + per-source rollup (2 shuffles)"))
 register(QuerySpec("q52_salted_skew_join", q52_salted_skew_join, _Q52_SQL,
                    description="explicit key-salting join (deterministic salt), equals unsalted join"))
 register(QuerySpec("q53_udtf_word_positions", q53_udtf_word_positions, _Q53_SQL,
