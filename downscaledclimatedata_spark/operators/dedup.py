@@ -308,6 +308,94 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0
 """
 
 
+# --- near-dup clusters: connected components over LSH pairs --------------------
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """(id, comp) for every node appearing in ``pairs``; comp = min id in
+    the node's connected component.
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbors — one equi-join + one groupBy per
+    round, converging in O(graph diameter) rounds. Near-dup clusters are
+    near-cliques (diameter 2-3), so this terminates in a handful of rounds
+    at any corpus size; if long-chain components ever matter, the
+    alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) is the
+    O(log n)-round upgrade with the same building blocks.
+
+    Scale notes: ``localCheckpoint`` truncates lineage each round —
+    without it the logical plan doubles per iteration and planning time,
+    not data, becomes the bottleneck. Convergence is detected with one
+    cheap scalar aggregate (sum of labels, strictly decreasing until
+    fixpoint) instead of a changed-rows join.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst")))
+             .localCheckpoint())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .select("id", F.col("id").alias("comp")).localCheckpoint())
+    prev = None
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges["dst"] == labels["id"])
+                 .select(edges["src"].alias("id"), "comp"))
+        labels = (labels.union(neigh).groupBy("id")
+                  .agg(F.min("comp").alias("comp"))).localCheckpoint()
+        s = labels.agg(F.sum("comp")).collect()[0][0]
+        if s == prev:
+            break
+        prev = s
+    return labels
+
+
+def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of near-dup components (minhash -> LSH
+    pairs -> connected components): the step that turns candidate pairs
+    into actual dedup groups (keep one doc per component)."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    comps = connected_components(pairs)
+    sizes = comps.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count("*").alias("n_clusters"))
+            .orderBy("cluster_size"))
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_HASHED_CTE},
+sigs AS (
+  SELECT doc_id, {_MINHASH_COLS_SQL}
+  FROM hashed GROUP BY doc_id
+),
+banded AS ({_BAND_SELECTS}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, lab) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+sizes AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp)
+SELECT cluster_size, COUNT(*) AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+register(QuerySpec("dedup_neardup_clusters", dedup_clusters_query,
+                   _DEDUP_CLUSTERS_SQL,
+                   description="near-dup components (iterative label propagation) vs recursive-CTE oracle"))
 register(QuerySpec("dedup_exact", dedup_exact_query, _DEDUP_EXACT_SQL, headline=True,
                    description="exact dedup via content-hash groupBy (min-id representative)"))
 register(QuerySpec("dedup_minhash_signatures", dedup_minhash_query, _DEDUP_MINHASH_SQL,
