@@ -419,6 +419,41 @@ SELECT query_id, match_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+# --- label centroids: the codebook-building aggregate ---------------------------
+
+def label_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label component-wise centroid of the embedding column.
+
+    This is the k-means/IVF codebook-update step expressed relationally:
+    posexplode the (quantized) vector, one hash aggregation on
+    (label, pos) with map-side partial sums — at 100 TB the shuffle
+    carries only dim x labels partial aggregates per task, never vectors.
+    Exact: integer component sums, one double division at the end.
+    """
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    q = emb.select("label", quantize(F.col("embedding")).alias("qv"))
+    exploded = q.select("label", F.posexplode("qv").alias("pos", "comp"))
+    return (exploded.groupBy("label", "pos")
+            .agg(F.count("*").alias("n"),
+                 (F.sum("comp").cast("double") / F.count("*").cast("double"))
+                 .alias("centroid")))
+
+
+_CENTROID_SQL = f"""
+WITH q AS (SELECT label, {_QVEC_SQL} AS qv FROM embeddings),
+u AS (
+  SELECT label, unnest(qv) AS comp, generate_subscripts(qv, 1) - 1 AS pos
+  FROM q
+)
+SELECT label, pos, COUNT(*) AS n,
+  CAST(SUM(comp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid
+FROM u GROUP BY label, pos
+"""
+
+
+register(QuerySpec("similarity_label_centroids", label_centroids_query,
+                   _CENTROID_SQL,
+                   description="per-label embedding centroids (k-means/IVF codebook step), exact int sums"))
 register(QuerySpec("similarity_cosine_topk", similarity_topk_query, _SIM_TOPK_SQL,
                    headline=True,
                    description="brute-force cosine top-k, quantized-exact, broadcast queries"))

@@ -148,6 +148,46 @@ FROM events GROUP BY user_id
 """
 
 
+# --- q56: deterministic stratified train/val/test split -------------------------
+
+def q56_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by seeded content-independent
+    hash of the document id — stable under reprocessing, cluster-layout
+    independent, and resplittable (change the seed, get a fresh split).
+    The per-(source, split) counts expose stratification quality; at
+    100 TB this is a narrow projection + one aggregation, no shuffle of
+    document payloads.
+    """
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    bucket = md5_long(F.col("doc_id").cast("string"), seed="split:") % 100
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    return (docs.select("source", split.alias("split"))
+            .groupBy("source", "split")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("source", "split"))
+
+
+def _q56_sql() -> str:
+    from downscaledclimatedata_spark.functions.hashing import md5_long_sql
+    bucket = f"{md5_long_sql('CAST(doc_id AS VARCHAR)', seed='split:')} % 100"
+    return f"""
+SELECT source,
+  CASE WHEN {bucket} < 80 THEN 'train'
+       WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split,
+  COUNT(*) AS n_docs
+FROM documents
+GROUP BY source, CASE WHEN {bucket} < 80 THEN 'train'
+                      WHEN {bucket} < 90 THEN 'val' ELSE 'test' END
+ORDER BY source, split
+"""
+
+
+register(QuerySpec("q56_stratified_split", q56_stratified_split, _q56_sql(),
+                   description="seeded-hash 80/10/10 split, per-source stratification counts"))
+
+
 # --- q55: end-to-end training-corpus prep --------------------------------------
 
 def q55_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
