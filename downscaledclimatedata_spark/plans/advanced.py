@@ -654,3 +654,75 @@ register(QuerySpec("q43_string_agg", q43_string_agg, _Q43_SQL,
                    description="ordered string aggregation (collect_list+array_sort+array_join vs string_agg)"))
 register(QuerySpec("q39_approx_distinct", q39_approx_distinct, None,
                    description="approx_count_distinct HLL sketch (rows-only: sketch params are engine-specific)"))
+
+
+# --- q57: correlated scalar subquery (decorrelation) ----------------------------
+
+def q57_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-nation-average balance, via correlated SCALAR
+    subqueries (not a hand-written join) — Catalyst decorrelates both into
+    one aggregate + join, which is the plan you'd write by hand.
+
+    The avg comparison is reformulated multiplicatively
+    (bal * n > sum) so everything stays in exact DECIMAL/integer space —
+    no float division anywhere.
+    """
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v57_customer")
+    return spark.sql("""
+        SELECT c_nationkey, COUNT(*) AS n_above
+        FROM v57_customer c
+        WHERE CAST(c_acctbal AS DECIMAL(18,2))
+              * (SELECT COUNT(*) FROM v57_customer c2
+                 WHERE c2.c_nationkey = c.c_nationkey)
+              > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                 FROM v57_customer c2
+                 WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY c_nationkey
+    """)
+
+
+_Q57_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_above
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(18,2))
+      * (SELECT COUNT(*) FROM customer c2
+         WHERE c2.c_nationkey = c.c_nationkey)
+      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+         FROM customer c2
+         WHERE c2.c_nationkey = c.c_nationkey)
+GROUP BY c_nationkey
+"""
+
+
+# --- q58: CUBE grouping ---------------------------------------------------------
+
+def q58_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week): all 4 grouping combinations in
+    one scan via the Expand operator (like q45's ROLLUP but the full
+    power set). grouping() disambiguates NULL-as-subtotal from NULL data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_type", F.dayofweek("ts").alias("dow"),
+                     F.floor(F.col("value") * F.lit(1000.0)).cast("long").alias("xq"))
+    return (base.cube("event_type", "dow")
+            .agg(F.count("*").alias("n"),
+                 F.sum("xq").alias("sum_xq"),
+                 F.grouping("event_type").alias("g_type"),
+                 F.grouping("dow").alias("g_dow")))
+
+
+_Q58_SQL = """
+SELECT event_type, dow, COUNT(*) AS n, SUM(xq) AS sum_xq,
+  GROUPING(event_type) AS g_type, GROUPING(dow) AS g_dow
+FROM (SELECT event_type, dayofweek(ts) + 1 AS dow,
+             CAST(FLOOR(value * 1000.0) AS BIGINT) AS xq
+      FROM events)
+GROUP BY CUBE(event_type, dow)
+"""
+
+
+register(QuerySpec("q57_correlated_scalar_subquery", q57_correlated_scalar_subquery,
+                   _Q57_SQL,
+                   description="correlated scalar subqueries, decimal-exact avg comparison"))
+register(QuerySpec("q58_cube", q58_cube, _Q58_SQL,
+                   description="CUBE power-set grouping with GROUPING() disambiguation"))
