@@ -39,6 +39,7 @@ def all_specs() -> dict[str, QuerySpec]:
     # Import side-effect modules that populate the registry.
     from downscaledclimatedata_spark.plans import advanced, relational, scale, temporal  # noqa: F401
     from downscaledclimatedata_spark.operators import (  # noqa: F401
-        catalog, discovery, dedup, similarity, textops, multimodal, pandasops,
+        catalog, discovery, dedup, maintenance, multimodal, pandasops,
+        similarity, textops,
     )
     return dict(REGISTRY)
