@@ -57,6 +57,23 @@ def compact_parquet(spark: SparkSession, in_dir: str, out_dir: str,
     return n
 
 
+def overwrite_partitions(df: DataFrame, out_dir: str,
+                         partition_cols: list[str]) -> None:
+    """Overwrite ONLY the hive partitions present in ``df``; untouched
+    partitions survive.
+
+    This is the per-partition idempotent re-materialization an incremental
+    pipeline needs (reference T4 overwrites a whole Zarr store per asset,
+    /root/reference/downscaled_climate_data/assets/loca2.py:98 — here one
+    model/scenario partition re-runs without clobbering its siblings).
+    Writer-level option, so no session-wide config mutation.
+    """
+    (df.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(*partition_cols)
+     .parquet(out_dir))
+
+
 def key_skew_stats(df: DataFrame, key: str) -> DataFrame:
     """Distribution stats of per-key cardinalities: the pre-flight check
     before choosing a shuffle key (skew_factor = max/avg; ~1 is uniform,

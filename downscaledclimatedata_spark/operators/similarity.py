@@ -269,6 +269,58 @@ def ivf_topk(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
             .select("query_id", "match_id", "cosine", "rnk"))
 
 
+NPROBE = 2
+
+
+def ivf_topk_multiprobe(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding", k: int = TOP_K,
+                        query_mod: int = QUERY_MOD,
+                        centroid_mod: int = CENTROID_MOD,
+                        nprobe: int = NPROBE) -> DataFrame:
+    """IVF search probing each query's ``nprobe`` nearest inverted lists.
+
+    The recall knob of IVF: per-query cost grows with the number of lists
+    probed while recall approaches brute force. Corpus vectors still live
+    in exactly ONE list (assignment rn=1), so multiprobe never duplicates
+    a candidate and needs no dedup. One N x C centroid-ranking pass feeds
+    both the corpus assignment (rn=1) and the query probe set (rn<=nprobe).
+    """
+    from pyspark.sql import Window
+    base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
+                      sq_norm(quantize(F.col(vec_col))).alias("n2"))
+    cents = (base.filter(F.col(id_col) % centroid_mod == 0)
+             .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
+                     F.col("n2").alias("cn2")))
+    ranked = (base.crossJoin(F.broadcast(cents))
+              .select(F.col(id_col), F.col("cid"),
+                      (F.col("n2") + F.col("cn2")
+                       - 2 * int_dot(F.col("qv"), F.col("cv"))).alias("dist")))
+    w = Window.partitionBy(id_col).orderBy("dist", "cid")
+    ranked = ranked.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select(id_col, "cid")
+    probes = (ranked
+              .filter((F.col(id_col) % query_mod == 0) & (F.col("rn") <= nprobe))
+              .select(F.col(id_col).alias("query_id"), "cid"))
+    corpus = (base.join(assign, id_col)
+              .select(F.col(id_col).alias("match_id"), "cid",
+                      F.col("qv").alias("cq"), F.col("n2").alias("mn2")))
+    queries = (base.filter(F.col(id_col) % query_mod == 0)
+               .select(F.col(id_col).alias("query_id"),
+                       F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
+    qprobe = probes.join(queries, "query_id")
+    scored = (corpus.join(F.broadcast(qprobe), "cid")
+              .filter(F.col("match_id") != F.col("query_id"))
+              .select("query_id", "match_id",
+                      (int_dot(F.col("qq"), F.col("cq")).cast("double")
+                       / (F.sqrt(F.col("qn2").cast("double"))
+                          * F.sqrt(F.col("mn2").cast("double")))).alias("cosine")))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col("match_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w2))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "match_id", "cosine", "rnk"))
+
+
 # --- oracle-checked query entries -------------------------------------------
 
 def similarity_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,5 +517,49 @@ register(QuerySpec("similarity_cosine_topk_float", similarity_float_topk_query, 
                    description="true-float brute-force cosine top-k (rows-only check: float reduction order is not cross-engine bit-stable)"))
 register(QuerySpec("dedup_embedding_cosine", dedup_embedding_query, _DEDUP_EMB_SQL,
                    description="embedding-cosine near-dup pairs, LSH-bucketed candidates + exact quantized cosine"))
+def similarity_ivf_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return ivf_topk_multiprobe(emb)
+
+
+_IVF_MULTIPROBE_SQL = f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+base AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS DOUBLE) AS n2,
+    list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS in2
+  FROM q
+), cents AS (
+  SELECT vec_id AS cid, qv AS cv, in2 AS cn2 FROM base WHERE vec_id % {CENTROID_MOD} = 0
+), assign_scored AS (
+  SELECT base.vec_id, cents.cid,
+    ROW_NUMBER() OVER (PARTITION BY base.vec_id ORDER BY base.in2 + cents.cn2
+      - 2 * list_sum(list_transform(range(1, {DIM + 1}), i -> base.qv[i] * cents.cv[i])), cents.cid) AS rn
+  FROM base CROSS JOIN cents
+), assigned AS (
+  SELECT b.vec_id, a.cid, b.qv, b.n2
+  FROM base b JOIN assign_scored a ON a.vec_id = b.vec_id AND a.rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid FROM assign_scored
+  WHERE vec_id % {QUERY_MOD} = 0 AND rn <= {NPROBE}
+), scored AS (
+  SELECT p.query_id, c.vec_id AS match_id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qs.qv[i] * c.qv[i])) AS DOUBLE)
+      / (sqrt(qs.n2) * sqrt(c.n2)) AS cosine
+  FROM probes p
+  JOIN base qs ON qs.vec_id = p.query_id
+  JOIN assigned c ON c.cid = p.cid AND c.vec_id <> p.query_id
+), ranked AS (
+  SELECT query_id, match_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rnk
+  FROM scored
+)
+SELECT query_id, match_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
 register(QuerySpec("similarity_ivf_topk", similarity_ivf_topk_query, _IVF_SQL,
                    description="IVF ANN: deterministic coarse codebook, nearest-centroid lists, nprobe=1 search"))
+register(QuerySpec("similarity_ivf_multiprobe", similarity_ivf_multiprobe_query,
+                   _IVF_MULTIPROBE_SQL,
+                   description=f"IVF ANN multiprobe search (nprobe={NPROBE} recall knob)"))

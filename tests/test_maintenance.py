@@ -72,3 +72,18 @@ def test_key_skew_stats_flags_hot_key(spark):
     assert s.n_keys == 101
     assert s.max_cnt == 900
     assert s.skew_factor > 50  # 900 / (1000/101) ~= 90.9
+
+
+def test_dynamic_partition_overwrite_preserves_siblings(spark, tmp_path):
+    from downscaledclimatedata_spark.operators.maintenance import (
+        overwrite_partitions,
+    )
+    out = str(tmp_path / "table")
+    v1 = spark.createDataFrame(
+        [("d1", 1, 10), ("d2", 2, 20)], "day string, id int, v int")
+    overwrite_partitions(v1, out, ["day"])
+    # rewrite ONLY day=d2 with new content
+    v2 = spark.createDataFrame([("d2", 2, 99)], "day string, id int, v int")
+    overwrite_partitions(v2, out, ["day"])
+    rows = {(r.day, r.id): r.v for r in spark.read.parquet(out).collect()}
+    assert rows == {("d1", 1): 10, ("d2", 2): 99}
