@@ -28,3 +28,38 @@ def test_triangle_with_extra_edge(spark):
     rows = connected_components(pairs).collect()
     assert len(rows) == 3
     assert {r.comp for r in rows} == {5}
+
+
+def test_random_graphs_match_union_find(spark):
+    """Property: label propagation equals a reference union-find on
+    deterministic pseudo-random graphs of varying shape."""
+    import random
+
+    def union_find_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # resolve to component minimum
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n_nodes = 30 + trial * 20
+        edges = sorted({tuple(sorted((rng.randrange(n_nodes),
+                                      rng.randrange(n_nodes))))
+                        for _ in range(n_nodes)})
+        edges = [(a, b) for a, b in edges if a != b]
+        want = union_find_components(edges)
+        df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        got = {r.id: r.comp for r in connected_components(df).collect()}
+        assert got == want, f"trial {trial}: {got} != {want}"

@@ -77,3 +77,12 @@ def test_q52_salt_spreads_join_key(spark):
     # same composite key spreads each hot orderkey over N_SALTS reducers.)
     assert "explode" in plan
     assert "Left keys [2]" in plan and "Right keys [2]" in plan
+
+
+def test_q55_corpus_prep_shuffle_budget(spark):
+    plan = _plan(spark, "q55_corpus_prep")
+    # scan -> (parallelize-read repartition) -> hash agg on content_hash
+    # -> hash agg on source: at most 3 exchanges, and the lang filter must
+    # reach the parquet scan
+    assert _n_shuffles(plan) <= 3, plan
+    assert "PushedFilters" in plan and "lang" in plan
