@@ -71,16 +71,28 @@ def dedup_run_keys(stream: DataFrame) -> DataFrame:
 
 
 def start_ingest_stream(stream: DataFrame, process_batch, checkpoint_dir: str,
-                        trigger: str = MONTHLY_TRIGGER):
+                        trigger: str = MONTHLY_TRIGGER,
+                        available_now: bool = False):
     """foreachBatch sink: each micro-batch is a normal DataFrame handed to
     the batch ingest operator (operators/ingest.py), so batch and
-    streaming share one code path."""
-    return (dedup_run_keys(stream)
-            .writeStream
-            .foreachBatch(process_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(processingTime=trigger)
-            .start())
+    streaming share one code path.
+
+    ``available_now=True`` is the catch-up mode (reference behavior after
+    sensor downtime: the next tick drains the whole backlog): process all
+    currently-available input in rate-limited micro-batches, then stop —
+    exactly-once state and checkpoints behave identically to the
+    continuous trigger, so the two modes can be alternated on one
+    checkpoint dir.
+    """
+    writer = (dedup_run_keys(stream)
+              .writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()
 
 
 def attribution_join(events: DataFrame, window: str = "10 minutes",

@@ -167,3 +167,39 @@ def test_manifest_stream_dedup_exactly_once(spark, tmp_path):
     keys = [r.s3_key for r in out]
     assert sorted(keys) == ["/m1/h/f1.nc", "/m1/h/f2.nc", "/m2/s/f3.nc"]
     assert len(keys) == len(set(keys)), "run-key emitted more than once"
+
+
+def test_available_now_drains_backlog_and_stops(spark, tmp_path):
+    """Catch-up mode: a multi-file backlog is fully processed in
+    rate-limited micro-batches (maxFilesPerTrigger=1) and the query
+    terminates on its own — the reference's after-downtime sensor tick."""
+    from downscaledclimatedata_spark.streaming.stream import start_ingest_stream
+
+    mdir = str(tmp_path / "manifest")
+    ckpt = str(tmp_path / "ckpt")
+    all_rows = []
+    for i in range(3):
+        rows = [("m1", "historical", "r1i1p1f1", "tasmax",
+                 f"u{i}", f"/m1/h/f{i}.nc")]
+        all_rows += rows
+        (spark.createDataFrame(rows, MANIFEST_SCHEMA)
+         .coalesce(1).write.mode("append").parquet(mdir))
+
+    seen: list[tuple[int, list[str]]] = []
+
+    def process(batch_df, batch_id):
+        seen.append((batch_id, [r.s3_key for r in batch_df.collect()]))
+
+    q = start_ingest_stream(manifest_stream(spark, mdir), process, ckpt,
+                            available_now=True)
+    assert q.awaitTermination(120), "availableNow query must self-terminate"
+    drained = sorted(k for _, ks in seen for k in ks)
+    assert drained == sorted(r[5] for r in all_rows)
+    assert len(seen) >= 3, "maxFilesPerTrigger=1 backlog must micro-batch"
+
+    # restart on the same checkpoint: nothing new -> no re-emission
+    seen.clear()
+    q2 = start_ingest_stream(manifest_stream(spark, mdir), process, ckpt,
+                             available_now=True)
+    assert q2.awaitTermination(120)
+    assert [ks for _, ks in seen if ks] == [], f"re-emitted: {seen}"
