@@ -188,6 +188,131 @@ register(QuerySpec("q56_stratified_split", q56_stratified_split, _q56_sql(),
                    description="seeded-hash 80/10/10 split, per-source stratification counts"))
 
 
+# --- q59: sequence packing (concat-then-chunk) ----------------------------------
+
+PACK_CAPACITY = 512
+
+
+def q59_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed-capacity token chunks per source —
+    the concat-then-chunk packing used to build training sequences.
+
+    chunk_id = floor(start_offset / C) where start_offset is the running
+    token count BEFORE the doc (one window per source, ordered by doc_id).
+    One shuffle on source; at 100 TB the running sum is the only
+    order-dependent step and stays inside a single window operator.
+    """
+    from downscaledclimatedata_spark.operators.textops import _tokens
+    from pyspark.sql import Window
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    sized = docs.select("doc_id", "source",
+                        F.size(_tokens(F.col("text"))).alias("n_tokens"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    chunked = sized.select(
+        "source", "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / PACK_CAPACITY).alias("chunk_id"))
+    return (chunked.groupBy("source", "chunk_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("chunk_tokens")))
+
+
+_Q59_SQL = rf"""
+WITH sized AS (
+  SELECT doc_id, source,
+    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
+      AS n_tokens
+  FROM documents
+), chunked AS (
+  SELECT source, n_tokens,
+    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) / {PACK_CAPACITY}) AS BIGINT) AS chunk_id
+  FROM sized
+)
+SELECT source, chunk_id, COUNT(*) AS n_docs, SUM(n_tokens) AS chunk_tokens
+FROM chunked GROUP BY source, chunk_id
+"""
+
+
+register(QuerySpec("q59_sequence_packing", q59_sequence_packing, _Q59_SQL,
+                   description=f"concat-then-chunk packing into {PACK_CAPACITY}-token sequences per source"))
+
+
+# --- q60: train/test decontamination --------------------------------------------
+
+def q60_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-overlap contamination check between the hash-derived train
+    and test splits: for every test doc, how many of its distinct word
+    3-grams also occur anywhere in the train split.
+
+    The join is on 60-bit shingle hashes, not strings — the shuffle
+    carries 8-byte keys, and the train side is pre-deduplicated to
+    distinct shingles (the classic bloom-filter seed set; at 100 TB the
+    distinct-shingle relation is the thing you'd persist between runs).
+    """
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+    from downscaledclimatedata_spark.operators.dedup import shingled_rows
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    bucket = md5_long(F.col("doc_id").cast("string"), seed="split:") % 100
+    train = docs.filter(bucket < 80)
+    test = docs.filter(bucket >= 90)
+    train_sh = (shingled_rows(train, "text", "doc_id")
+                .select(md5_long(F.col("shingle")).alias("h")).distinct())
+    test_sh = (shingled_rows(test, "text", "doc_id")
+               .select("doc_id", md5_long(F.col("shingle")).alias("h"))
+               .distinct())
+    contam = (test_sh.join(train_sh, "h", "left_semi")
+              .groupBy("doc_id").agg(F.count("*").alias("n_contaminated")))
+    totals = test_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (totals.join(contam, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+                    (F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                     / F.col("n_shingles").cast("double")).alias("contamination")))
+
+
+def _q60_sql() -> str:
+    from downscaledclimatedata_spark.functions.hashing import md5_long_sql
+    bucket = f"{md5_long_sql('CAST(doc_id AS VARCHAR)', seed='split:')} % 100"
+    shingle_h = md5_long_sql("shingle")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, {bucket} AS bucket,
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id, bucket, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS i) idx
+),
+train_sh AS (
+  SELECT DISTINCT {shingle_h} AS h FROM shingled WHERE bucket < 80
+),
+test_sh AS (
+  SELECT DISTINCT doc_id, {shingle_h} AS h FROM shingled WHERE bucket >= 90
+),
+totals AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM test_sh GROUP BY doc_id
+),
+contam AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated
+  FROM test_sh WHERE h IN (SELECT h FROM train_sh)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_shingles,
+  COALESCE(c.n_contaminated, 0) AS n_contaminated,
+  CAST(COALESCE(c.n_contaminated, 0) AS DOUBLE)
+    / CAST(t.n_shingles AS DOUBLE) AS contamination
+FROM totals t LEFT JOIN contam c ON c.doc_id = t.doc_id
+"""
+
+
+register(QuerySpec("q60_decontamination", q60_decontamination, _q60_sql(),
+                   description="train/test shingle-overlap contamination per test doc (semi-join on 60-bit hashes)"))
+
+
 # --- q55: end-to-end training-corpus prep --------------------------------------
 
 def q55_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
