@@ -726,3 +726,36 @@ register(QuerySpec("q57_correlated_scalar_subquery", q57_correlated_scalar_subqu
                    description="correlated scalar subqueries, decimal-exact avg comparison"))
 register(QuerySpec("q58_cube", q58_cube, _Q58_SQL,
                    description="CUBE power-set grouping with GROUPING() disambiguation"))
+
+
+# --- q62: explicit GROUPING SETS ------------------------------------------------
+
+def q62_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-picked GROUPING SETS — (type), (user decile), and grand total,
+    skipping the cross combination a CUBE would also compute. One scan,
+    one Expand: the cheap way to serve several dashboard granularities
+    from a single shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", (F.col("user_id") % 10).alias("user_decile"),
+        F.floor(F.col("value") * F.lit(1000.0)).cast("long").alias("xq"))
+    base.createOrReplaceTempView("v62_events")
+    return spark.sql("""
+        SELECT event_type, user_decile, COUNT(*) AS n, SUM(xq) AS sum_xq
+        FROM v62_events
+        GROUP BY GROUPING SETS ((event_type), (user_decile), ())
+    """)
+
+
+_Q62_SQL = """
+SELECT event_type, user_decile, COUNT(*) AS n, SUM(xq) AS sum_xq
+FROM (SELECT event_type, user_id % 10 AS user_decile,
+             CAST(FLOOR(value * 1000.0) AS BIGINT) AS xq
+      FROM events)
+GROUP BY GROUPING SETS ((event_type), (user_decile), ())
+"""
+
+
+register(QuerySpec("q62_grouping_sets", q62_grouping_sets, _Q62_SQL,
+                   description="explicit GROUPING SETS (partial power set, one Expand)"))

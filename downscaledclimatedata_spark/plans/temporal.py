@@ -204,6 +204,42 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
 """
 
 
+# --- q61: gap-fill / forward-fill (last ignorenulls) ----------------------------
+
+def q61_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill gaps in a per-user time series: observations are
+    nulled deterministically (error events = sensor dropouts), then each
+    gap takes the most recent non-null reading via last(ignorenulls) over
+    a running frame — the standard gap-fill for sparse sensor series
+    (the reference's gridded climate data has exactly this shape once
+    tidied, SURVEY §1.5). One shuffle (window on user_id); values pass
+    through unaggregated, so doubles stay bit-identical.
+    """
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    sparse = ev.select(
+        "user_id", "event_id", "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return sparse.select(
+        "user_id", "event_id",
+        F.col("v").alias("observed"),
+        F.last("v", ignorenulls=True).over(w).alias("filled"))
+
+
+_Q61_SQL = """
+SELECT user_id, event_id,
+  CASE WHEN event_type <> 'error' THEN value END AS observed,
+  LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM events WHERE user_id < 20
+"""
+
+
+register(QuerySpec("q61_gap_fill", q61_gap_fill, _Q61_SQL,
+                   description="forward-fill sparse series via last(ignorenulls) running frame"))
 register(QuerySpec("q51_trailing_range_frame", q51_trailing_range_frame, _Q51_SQL,
                    description="trailing 7-day RANGE frame on epoch seconds (value-based window)"))
 register(QuerySpec("q45_time_rollup", q45_time_rollup, _Q45_SQL,
