@@ -406,3 +406,57 @@ register(QuerySpec("dedup_simhash", dedup_simhash_query, _DEDUP_SIMHASH_SQL,
                    description="60-bit simhash bit-majority fingerprints"))
 register(QuerySpec("dedup_ngram_jaccard", dedup_jaccard_query, _DEDUP_JACCARD_SQL,
                    description="exact word-3-gram jaccard similarity pairs"))
+
+
+# --- fuzzy (edit-distance) candidate pairs --------------------------------------
+
+def levenshtein_pairs(df: DataFrame, text_col: str, id_col: str,
+                      prefix_len: int = 40, max_dist: int = 10,
+                      block_col: str = "source") -> DataFrame:
+    """Edit-distance near-dup pairs over text prefixes, with blocking.
+
+    The O(n^2) pair space is confined to blocks (same ``block_col`` and
+    same prefix-length bucket) — the classic record-linkage blocking
+    pattern. levenshtein() is unit-cost edit distance in both Spark and
+    DuckDB, so distances are exactly comparable. At 100 TB, block sizing
+    is the knob: blocks must be small enough that |block|^2 stays
+    tractable (add more blocking keys, e.g. first-token hash, as needed).
+    """
+    pref = df.select(
+        F.col(id_col), F.col(block_col).alias("blk"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("p"),
+        (F.length(text_col) % 4).alias("lbucket"))
+    a = pref.select(F.col(id_col).alias("id_a"), "blk", "lbucket",
+                    F.col("p").alias("pa"))
+    b = pref.select(F.col(id_col).alias("id_b"), "blk", "lbucket",
+                    F.col("p").alias("pb"))
+    return (a.join(b, ["blk", "lbucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.levenshtein("pa", "pb").alias("dist"))
+            .filter(F.col("dist") <= max_dist))
+
+
+def dedup_levenshtein_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    pairs = levenshtein_pairs(docs, "text", "doc_id")
+    return (pairs.groupBy("dist").agg(F.count("*").alias("n_pairs"))
+            .orderBy("dist"))
+
+
+_DEDUP_LEV_SQL = """
+WITH pref AS (
+  SELECT doc_id, source AS blk, substr(text, 1, 40) AS p,
+         length(text) % 4 AS lbucket
+  FROM documents
+)
+SELECT levenshtein(a.p, b.p) AS dist, COUNT(*) AS n_pairs
+FROM pref a JOIN pref b
+  ON a.blk = b.blk AND a.lbucket = b.lbucket AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= 10
+GROUP BY dist ORDER BY dist
+"""
+
+
+register(QuerySpec("dedup_levenshtein", dedup_levenshtein_query, _DEDUP_LEV_SQL,
+                   description="blocked edit-distance fuzzy pairs (record-linkage blocking)"))
