@@ -86,3 +86,10 @@ def test_q55_corpus_prep_shuffle_budget(spark):
     # reach the parquet scan
     assert _n_shuffles(plan) <= 3, plan
     assert "PushedFilters" in plan and "lang" in plan
+
+
+def test_q60_uses_semi_join_on_hashes(spark):
+    plan = _plan(spark, "q60_decontamination")
+    # contamination check must be a LEFT SEMI join (existence only — no
+    # row multiplication if a shingle repeats on the train side)
+    assert "LeftSemi" in plan, plan
