@@ -61,7 +61,14 @@ def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
     expression itself — inlining would re-evaluate split+filter for every
     element_at call (O(len^2) per row).
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # Guard short docs: F.sequence(1, stop) DESCENDS when stop < 1 (e.g.
+    # [1, 0] for a 2-token doc), and the resulting element_at(toks, 0)
+    # throws. Docs with fewer than n tokens have zero n-gram shingles, so
+    # the index array must be empty — matching the oracle's
+    # range(1, greatest(len-2,0)+1), which is empty for stop < start.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx, lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + k) for k in range(n)]))

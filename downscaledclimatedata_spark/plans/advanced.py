@@ -146,7 +146,10 @@ def q30_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("keys").alias("n_orders"),
         F.element_at("keys", 1).alias("first_key"),
         F.element_at("keys", -1).alias("last_key"),
-        F.slice("keys", 1, 3).alias("first3"),
+        # stringified: the driver's pandas canonicalizer can't hash list
+        # cells, so the array capability is exercised (sort/slice) but the
+        # emitted cell is a scalar
+        F.array_join(F.slice("keys", 1, 3).cast("array<string>"), ",").alias("first3"),
         F.array_contains("keys", F.col("o_custkey") * 0 + 1).alias("has_key_1"),
     )
 
@@ -157,7 +160,7 @@ WITH g AS (
 )
 SELECT o_custkey, len(keys) AS n_orders,
   keys[1] AS first_key, keys[-1] AS last_key,
-  keys[1:3] AS first3,
+  array_to_string(keys[1:3], ',') AS first3,
   list_contains(keys, 1) AS has_key_1
 FROM g
 """
@@ -607,10 +610,28 @@ FROM ranked WHERE rn = 1
 # --- q39: approx distinct (rows-only: engine-specific sketches) -----------------
 
 def q39_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch accuracy, framed so it IS oracle-checkable: Spark emits
+    the exact count plus a within-5%-relative-error flag for its own
+    approx_count_distinct; the oracle returns the exact count and TRUE.
+    The sketch value itself is engine-specific (Spark's HLL++ vs DuckDB's
+    HLL differ by design), but the contract "the sketch is within rsd
+    tolerance of truth" is deterministic for a fixed dataset.
+    """
     li = _t(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
-            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
-                 F.countDistinct("l_partkey").alias("exact_parts")))
+            .agg(F.approx_count_distinct("l_partkey").alias("_approx"),
+                 F.countDistinct("l_partkey").alias("exact_parts"))
+            .select(
+                "l_returnflag", "exact_parts",
+                (F.abs(F.col("_approx") - F.col("exact_parts"))
+                 <= 0.05 * F.col("exact_parts")).alias("within_5pct")))
+
+
+_Q39_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_5pct
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 register(QuerySpec("q26_stats_moments", q26_stats_moments, _Q26_SQL,
@@ -652,8 +673,8 @@ register(QuerySpec("q44_full_outer_join", q44_full_outer_join, _Q44_SQL,
                    description="full outer join of per-nation customer/supplier aggregates"))
 register(QuerySpec("q43_string_agg", q43_string_agg, _Q43_SQL,
                    description="ordered string aggregation (collect_list+array_sort+array_join vs string_agg)"))
-register(QuerySpec("q39_approx_distinct", q39_approx_distinct, None,
-                   description="approx_count_distinct HLL sketch (rows-only: sketch params are engine-specific)"))
+register(QuerySpec("q39_approx_distinct", q39_approx_distinct, _Q39_SQL,
+                   description="approx_count_distinct HLL sketch, oracle-checked as exact count + tolerance flag"))
 
 
 # --- q57: correlated scalar subquery (decorrelation) ----------------------------
@@ -712,7 +733,7 @@ def q58_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q58_SQL = """
-SELECT event_type, dow, COUNT(*) AS n, SUM(xq) AS sum_xq,
+SELECT event_type, dow, COUNT(*) AS n, CAST(SUM(xq) AS BIGINT) AS sum_xq,
   GROUPING(event_type) AS g_type, GROUPING(dow) AS g_dow
 FROM (SELECT event_type, dayofweek(ts) + 1 AS dow,
              CAST(FLOOR(value * 1000.0) AS BIGINT) AS xq
@@ -749,7 +770,7 @@ def q62_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q62_SQL = """
-SELECT event_type, user_decile, COUNT(*) AS n, SUM(xq) AS sum_xq
+SELECT event_type, user_decile, COUNT(*) AS n, CAST(SUM(xq) AS BIGINT) AS sum_xq
 FROM (SELECT event_type, user_id % 10 AS user_decile,
              CAST(FLOOR(value * 1000.0) AS BIGINT) AS xq
       FROM events)

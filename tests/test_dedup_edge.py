@@ -1,0 +1,60 @@
+"""Edge cases for shingle-based dedup operators: short and empty docs.
+
+Regression for the F.sequence descending-range bug: sequence(1, stop)
+produces [1, 0] when stop = 0, and element_at(toks, 0) throws. Docs with
+fewer than n tokens must yield zero shingles (matching the DuckDB
+oracle's empty range()), not an error.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from downscaledclimatedata_spark.operators.dedup import (
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingled_rows,
+    simhash,
+)
+
+
+def _short_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "one"),
+            (3, "only two"),
+            (4, "exactly three tokens"),
+            (5, "this one has plenty of tokens to shingle"),
+            (6, "   "),  # whitespace-only -> zero tokens after filter
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_shingles_empty_for_short_docs(spark):
+    docs = _short_docs(spark)
+    rows = shingled_rows(docs, "text", "doc_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.shingle)
+    # 0-, 1-, 2-token and whitespace-only docs produce no shingles
+    assert 1 not in by_doc and 2 not in by_doc and 3 not in by_doc and 6 not in by_doc
+    assert by_doc[4] == ["exactly three tokens"]
+    assert len(by_doc[5]) == 8 - 3 + 1
+
+
+def test_minhash_and_simhash_survive_short_docs(spark):
+    docs = _short_docs(spark)
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    # short docs simply have no signature rows (no shingles to aggregate)
+    assert sorted(r.doc_id for r in sigs.select("doc_id").collect()) == [4, 5]
+    sh = simhash(docs, "text", "doc_id")
+    assert sorted(r.doc_id for r in sh.select("doc_id").collect()) == [4, 5]
+
+
+def test_jaccard_survives_short_docs(spark):
+    docs = _short_docs(spark)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.0)
+    # no crash; only docs with shingles can pair, and these two differ
+    ids = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert all(a in (4, 5) and b in (4, 5) for a, b in ids)
