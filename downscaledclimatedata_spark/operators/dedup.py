@@ -111,19 +111,12 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
-                        n_perms: int = MINHASH_PERMS,
-                        band_size: int = LSH_BAND_SIZE) -> DataFrame:
-    """Banded LSH: docs sharing any band hash become candidate pairs.
+MAX_BUCKET = 256
 
-    Single pipeline: explode signature into bands, groupBy bucket,
-    generate in-bucket pairs from the sorted member list. No self-join
-    (a self-join would recompute the signature pipeline per side) and the
-    O(n^2) pair space is only touched per-bucket. Buckets are tiny when
-    the banding is tuned (b x r trade-off); a skewed mega-bucket means the
-    threshold is set too low for the corpus — AQE can't fix semantic
-    skew, re-tune r instead.
-    """
+
+def _banded(signatures: DataFrame, id_col: str, n_perms: int,
+            band_size: int) -> DataFrame:
+    """(id, band_id, band_hash) exploded banding relation."""
     n_bands = n_perms // band_size
     bands = F.array(*[
         F.struct(
@@ -134,17 +127,57 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
         )
         for b in range(n_bands)
     ])
-    banded = signatures.select(F.col(id_col), F.explode(bands).alias("band")) \
+    return signatures.select(F.col(id_col), F.explode(bands).alias("band")) \
         .select(id_col, "band.band_id", "band.band_hash")
-    buckets = (banded.groupBy("band_id", "band_hash")
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
+                        n_perms: int = MINHASH_PERMS,
+                        band_size: int = LSH_BAND_SIZE,
+                        max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Banded LSH: docs sharing any band hash become candidate pairs.
+
+    Single pipeline: explode signature into bands, groupBy bucket,
+    generate in-bucket pairs from the sorted member list. No self-join
+    (a self-join would recompute the signature pipeline per side) and the
+    O(n^2) pair space is only touched per-bucket.
+
+    ``max_bucket`` caps bucket size: a degenerate mega-bucket (all-empty
+    docs, boilerplate text colliding into one band hash) would otherwise
+    materialize |bucket|^2 pairs in a single task and OOM it at 100 TB.
+    Oversized buckets are dropped here — by construction their members
+    are wildly over-connected and belong to near-identical boilerplate,
+    which exact dedup already collapses; use ``lsh_bucket_stats`` to
+    count the overflow instead of silently ignoring it.
+    """
+    buckets = (_banded(signatures, id_col, n_perms, band_size)
+               .groupBy("band_id", "band_hash")
                .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
-               .filter(F.size("ids") > 1))
+               .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket)))
     pairs = buckets.select(F.explode(F.flatten(F.transform(
         F.col("ids"),
         lambda x, i: F.transform(
             F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
             lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))).alias("p"))
     return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def lsh_bucket_stats(signatures: DataFrame, id_col: str,
+                     n_perms: int = MINHASH_PERMS,
+                     band_size: int = LSH_BAND_SIZE,
+                     max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Bucket-population diagnostic: per-size histogram + overflow flag.
+
+    The operational companion to ``lsh_candidate_pairs``'s cap: at 100 TB
+    this is the query you run to SEE the skew (how many buckets, how big,
+    how many dropped) before deciding to re-tune band size or raise the
+    cap.
+    """
+    sizes = (_banded(signatures, id_col, n_perms, band_size)
+             .groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_size")))
+    return (sizes.groupBy("bucket_size")
+            .agg(F.count("*").alias("n_buckets"))
+            .withColumn("over_cap", F.col("bucket_size") > max_bucket))
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str,
@@ -265,10 +298,16 @@ sigs AS (
   SELECT doc_id, {_MINHASH_COLS_SQL}
   FROM hashed GROUP BY doc_id
 ),
-banded AS ({_BAND_SELECTS})
+banded AS ({_BAND_SELECTS}),
+ok AS (
+  SELECT band_id, band_hash FROM banded
+  GROUP BY band_id, band_hash HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+)
 SELECT COUNT(*) AS n_candidate_pairs FROM (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
+  FROM banded a
+  JOIN ok ON ok.band_id = a.band_id AND ok.band_hash = a.band_hash
+  JOIN banded b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
 """
 
@@ -293,12 +332,35 @@ SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM bits
 
 
 def dedup_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE composition: exact Jaccard verification restricted to
+    LSH candidate pairs, so the quadratic verify cost applies only to
+    candidates (shuffle ∝ corpus), never all pairs."""
     docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
-    return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.2)
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    cands = lsh_candidate_pairs(sigs, "doc_id")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", candidates=cands,
+                               threshold=0.2)
 
 
 _DEDUP_JACCARD_SQL = f"""
 WITH {_SHINGLES_CTE},
+{_HASHED_CTE},
+sigs AS (
+  SELECT doc_id, {_MINHASH_COLS_SQL}
+  FROM hashed GROUP BY doc_id
+),
+banded AS ({_BAND_SELECTS}),
+ok AS (
+  SELECT band_id, band_hash FROM banded
+  GROUP BY band_id, band_hash HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN ok ON ok.band_id = a.band_id AND ok.band_hash = a.band_hash
+  JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
 dist AS (SELECT DISTINCT doc_id, shingle FROM shingled),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
@@ -309,9 +371,32 @@ sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dist GROUP BY doc_id)
 SELECT id_a, id_b,
   CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
 FROM inter
+JOIN cand USING (id_a, id_b)
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+"""
+
+
+def dedup_bucket_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    return lsh_bucket_stats(sigs, "doc_id").orderBy("bucket_size")
+
+
+_DEDUP_BUCKET_STATS_SQL = f"""
+WITH {_SHINGLES_CTE},
+{_HASHED_CTE},
+sigs AS (
+  SELECT doc_id, {_MINHASH_COLS_SQL}
+  FROM hashed GROUP BY doc_id
+),
+banded AS ({_BAND_SELECTS}),
+bsz AS (SELECT band_id, band_hash, COUNT(*) AS bucket_size
+        FROM banded GROUP BY band_id, band_hash)
+SELECT bucket_size, COUNT(*) AS n_buckets,
+       bucket_size > {MAX_BUCKET} AS over_cap
+FROM bsz GROUP BY bucket_size ORDER BY bucket_size
 """
 
 
@@ -378,9 +463,15 @@ sigs AS (
   FROM hashed GROUP BY doc_id
 ),
 banded AS ({_BAND_SELECTS}),
+ok AS (
+  SELECT band_id, band_hash FROM banded
+  GROUP BY band_id, band_hash HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
+  FROM banded a
+  JOIN ok ON ok.band_id = a.band_id AND ok.band_hash = a.band_hash
+  JOIN banded b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash
    AND a.doc_id < b.doc_id
 ),
@@ -412,32 +503,43 @@ register(QuerySpec("dedup_minhash_lsh_pairs", dedup_lsh_pairs_query, _DEDUP_LSH_
 register(QuerySpec("dedup_simhash", dedup_simhash_query, _DEDUP_SIMHASH_SQL,
                    description="60-bit simhash bit-majority fingerprints"))
 register(QuerySpec("dedup_ngram_jaccard", dedup_jaccard_query, _DEDUP_JACCARD_SQL,
-                   description="exact word-3-gram jaccard similarity pairs"))
+                   description="exact word-3-gram jaccard verify restricted to LSH candidates (scale composition)"))
+register(QuerySpec("dedup_lsh_bucket_stats", dedup_bucket_stats_query,
+                   _DEDUP_BUCKET_STATS_SQL,
+                   description="LSH bucket-size histogram + over-cap diagnostic (skew visibility)"))
 
 
 # --- fuzzy (edit-distance) candidate pairs --------------------------------------
 
 def levenshtein_pairs(df: DataFrame, text_col: str, id_col: str,
                       prefix_len: int = 40, max_dist: int = 10,
-                      block_col: str = "source") -> DataFrame:
+                      block_col: str = "source",
+                      token_blocks: int = 64) -> DataFrame:
     """Edit-distance near-dup pairs over text prefixes, with blocking.
 
-    The O(n^2) pair space is confined to blocks (same ``block_col`` and
-    same prefix-length bucket) — the classic record-linkage blocking
-    pattern. levenshtein() is unit-cost edit distance in both Spark and
-    DuckDB, so distances are exactly comparable. At 100 TB, block sizing
-    is the knob: blocks must be small enough that |block|^2 stays
-    tractable (add more blocking keys, e.g. first-token hash, as needed).
+    The O(n^2) pair space is confined to blocks keyed on
+    (``block_col``, length bucket, first-token hash) — the classic
+    record-linkage blocking pattern. The first-token hash splits each
+    (source, length) cell into ``token_blocks`` sub-blocks, so block
+    sizes stay O(corpus / (sources * 4 * token_blocks)) and |block|^2
+    work is bounded; raise ``token_blocks`` as the corpus grows. The
+    trade-off is recall: a near-dup pair differing in its FIRST token
+    lands in different blocks (standard blocking trade-off; multi-pass
+    blocking on different keys recovers it). levenshtein() is unit-cost
+    edit distance in both Spark and DuckDB, so distances are exactly
+    comparable.
     """
+    first_tok = F.element_at(tokens(F.col(text_col)), 1)
     pref = df.select(
         F.col(id_col), F.col(block_col).alias("blk"),
         F.substring(F.col(text_col), 1, prefix_len).alias("p"),
-        (F.length(text_col) % 4).alias("lbucket"))
-    a = pref.select(F.col(id_col).alias("id_a"), "blk", "lbucket",
+        (F.length(text_col) % 4).alias("lbucket"),
+        (md5_long(F.coalesce(first_tok, F.lit(""))) % token_blocks).alias("tblock"))
+    a = pref.select(F.col(id_col).alias("id_a"), "blk", "lbucket", "tblock",
                     F.col("p").alias("pa"))
-    b = pref.select(F.col(id_col).alias("id_b"), "blk", "lbucket",
+    b = pref.select(F.col(id_col).alias("id_b"), "blk", "lbucket", "tblock",
                     F.col("p").alias("pb"))
-    return (a.join(b, ["blk", "lbucket"])
+    return (a.join(b, ["blk", "lbucket", "tblock"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
                     F.levenshtein("pa", "pb").alias("dist"))
@@ -451,15 +553,19 @@ def dedup_levenshtein_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("dist"))
 
 
-_DEDUP_LEV_SQL = """
+_FIRST_TOK_SQL = (r"coalesce(list_filter(string_split_regex(lower(text), '\s+'), "
+                  r"x -> x <> '')[1], '')")
+_DEDUP_LEV_SQL = f"""
 WITH pref AS (
   SELECT doc_id, source AS blk, substr(text, 1, 40) AS p,
-         length(text) % 4 AS lbucket
+         length(text) % 4 AS lbucket,
+         {md5_long_sql(_FIRST_TOK_SQL)} % 64 AS tblock
   FROM documents
 )
 SELECT levenshtein(a.p, b.p) AS dist, COUNT(*) AS n_pairs
 FROM pref a JOIN pref b
-  ON a.blk = b.blk AND a.lbucket = b.lbucket AND a.doc_id < b.doc_id
+  ON a.blk = b.blk AND a.lbucket = b.lbucket AND a.tblock = b.tblock
+ AND a.doc_id < b.doc_id
 WHERE levenshtein(a.p, b.p) <= 10
 GROUP BY dist ORDER BY dist
 """

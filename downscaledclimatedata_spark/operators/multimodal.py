@@ -154,7 +154,10 @@ FROM p GROUP BY 1
 
 
 def multimodal_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mapInPandas decode path (rows-only check: UDF not SQL-expressible)."""
+    """The mapInPandas decode path. Oracle-checkable because the stub
+    decoder is a pure function of payload length — the SQL mirror computes
+    the same dims from octet_length, so the check verifies the whole
+    Arrow round-trip (schema, batching, values), not just row counts."""
     docs = with_binary_payload(load_table_parallel(spark, sf_dir, "documents", key="doc_id"))
     return (decode_payloads(docs)
             .groupBy("format")
@@ -163,30 +166,65 @@ def multimodal_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("height").alias("sum_height")))
 
 
+_MULTIMODAL_DECODE_SQL = """
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents)
+SELECT CASE WHEN n_bytes % 3 = 0 THEN 'jpeg' WHEN n_bytes % 3 = 1 THEN 'png'
+       ELSE 'webp' END AS format,
+  COUNT(*) AS n_docs,
+  CAST(SUM(64 + n_bytes % 193) AS BIGINT) AS sum_width,
+  CAST(SUM(64 + n_bytes % 97) AS BIGINT) AS sum_height
+FROM p GROUP BY 1
+"""
+
+
 def multimodal_frames_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling fan-out histogram (rows-only: mapInPandas op)."""
+    """Frame-sampling fan-out histogram. The per-doc frame count is
+    min(MAX_FRAMES, max(n_bytes-FRAME_SIZE,0) div FRAME_STRIDE + 1) — a
+    pure function of payload length, so the oracle recomputes it and the
+    check verifies the explode-shaped mapInPandas fan-out exactly."""
     docs = with_binary_payload(load_table_parallel(spark, sf_dir, "documents", key="doc_id"))
     frames = sample_frames(docs)
     return (frames.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
             .groupBy("n_frames").agg(F.count("*").alias("n_docs")))
 
 
+_MULTIMODAL_FRAMES_SQL = f"""
+WITH p AS (SELECT octet_length(encode(text)) AS n_bytes FROM documents),
+f AS (SELECT CAST(LEAST({MAX_FRAMES},
+        GREATEST(n_bytes - {FRAME_SIZE}, 0) // {FRAME_STRIDE} + 1) AS BIGINT)
+        AS n_frames FROM p)
+SELECT n_frames, COUNT(*) AS n_docs FROM f GROUP BY n_frames
+"""
+
+
 def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-extraction pipeline feeding the similarity operators
-    (rows-only: mapInPandas op)."""
+    """Feature-extraction pipeline feeding the similarity operators.
+
+    Oracle-checkable via derived invariants: the extractor L2-normalizes,
+    so every non-empty payload's squared norm is 1 (within float32
+    tolerance) and the dim is fixed. The oracle asserts exactly those
+    facts per doc — the byte-histogram values themselves are covered by
+    unit tests (tests/test_multimodal.py)."""
     docs = with_binary_payload(load_table_parallel(spark, sf_dir, "documents", key="doc_id"))
     feats = extract_features(docs)
+    sq_norm = F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x)
     return feats.select(
         "doc_id", F.size("feature").alias("dim"),
-        F.round(F.aggregate("feature", F.lit(0.0),
-                            lambda a, x: a + x * x), 3).alias("sq_norm"))
+        (F.abs(sq_norm - F.lit(1.0)) <= F.lit(1e-3)).alias("unit_norm"))
 
 
-register(QuerySpec("multimodal_frame_sample", multimodal_frames_query, None,
+_MULTIMODAL_FEATURES_SQL = f"""
+SELECT doc_id, {FEATURE_DIM} AS dim,
+       octet_length(encode(text)) > 0 AS unit_norm
+FROM documents
+"""
+
+
+register(QuerySpec("multimodal_frame_sample", multimodal_frames_query, _MULTIMODAL_FRAMES_SQL,
                    description="video-style frame sampling: 1 payload -> N frame rows via mapInPandas"))
-register(QuerySpec("multimodal_feature_extract", multimodal_features_query, None,
+register(QuerySpec("multimodal_feature_extract", multimodal_features_query, _MULTIMODAL_FEATURES_SQL,
                    description="binary -> array<float> feature extraction (deterministic stub encoder)"))
 register(QuerySpec("multimodal_meta", multimodal_meta_query, _MULTIMODAL_META_SQL,
                    description="binary payload metadata via pure expressions"))
-register(QuerySpec("multimodal_decode_stub", multimodal_decode_query, None,
+register(QuerySpec("multimodal_decode_stub", multimodal_decode_query, _MULTIMODAL_DECODE_SQL,
                    description="Arrow-batched mapInPandas decode plumbing (fake decode; real schema/batching)"))

@@ -11,9 +11,10 @@ Two tiers (BASELINE.json north-star):
 Determinism: the oracle-checked queries quantize components to integers
 (round(x*1000)) so dot products and norms are exact integer arithmetic in
 both engines; cosine then divides identical doubles. The float variant
-(`cosine_topk_float`) keeps true float semantics and is declared without
-an oracle (rows-only check) because cross-engine float reduction order is
-not bit-stable.
+(`cosine_topk_float`) keeps true float semantics and is still
+oracle-checked: both engines left-fold the fixed-order list in double
+precision, and identical IEEE operation order makes the results
+bit-identical.
 """
 
 from __future__ import annotations
@@ -30,7 +31,26 @@ DIM = 64
 QUANT = 1000
 N_PLANES = 8
 TOP_K = 5
-QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 -> query vector
+
+# Query/centroid sets are FIXED-SIZE, not corpus fractions: the broadcast
+# side and the N x k work stay bounded as the corpus grows (a corpus-
+# fraction modulus would make brute-force search effectively quadratic at
+# 100 TB and the "broadcast" unboundedly large). The spacing constants
+# only spread the deterministic sample across ids; the *_COUNT constants
+# are the scale knobs.
+QUERY_MOD = 50   # spacing between sampled query ids
+N_QUERIES = 10   # fixed query-set size: ids 0, 50, ..., 450
+CENTROID_MOD = 25  # spacing between sampled centroid ids
+N_CENTROIDS = 16   # fixed IVF codebook size (real IVF: 10^4-10^5 lists)
+
+
+def _fixed_sample(id_col: str, spacing: int, count: int) -> Column:
+    """Deterministic fixed-size id sample: bounded regardless of corpus size."""
+    return (F.col(id_col) % spacing == 0) & (F.col(id_col) < spacing * count)
+
+
+def _fixed_sample_sql(col: str, spacing: int, count: int) -> str:
+    return f"{col} % {spacing} = 0 AND {col} < {spacing * count}"
 
 
 def quantize(col: Column, scale: int = QUANT) -> Column:
@@ -57,16 +77,18 @@ def sq_norm(a: Column) -> Column:
 
 def cosine_topk_quantized(emb: DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          k: int = TOP_K, query_mod: int = QUERY_MOD) -> DataFrame:
+                          k: int = TOP_K, query_mod: int = QUERY_MOD,
+                          n_queries: int = N_QUERIES) -> DataFrame:
     """Exact brute-force cosine top-k of every corpus vector per query.
 
-    Query set = ids divisible by ``query_mod`` (a deterministic sample);
-    broadcast to every executor so the corpus scan is a single narrow pass.
+    Query set = a FIXED ``n_queries`` ids (spaced ``query_mod`` apart), so
+    cost is N x n_queries — linear in the corpus with a constant,
+    broadcast-sized query relation. The corpus scan is a single narrow pass.
     """
     from pyspark.sql import Window
     base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("q"),
                       sq_norm(quantize(F.col(vec_col))).alias("n2"))
-    queries = (base.filter(F.col(id_col) % query_mod == 0)
+    queries = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
                .select(F.col(id_col).alias("query_id"), F.col("q").alias("qq"),
                        F.col("n2").alias("qn2")))
     corpus = base.select(F.col(id_col).alias("match_id"), F.col("q").alias("cq"),
@@ -88,7 +110,8 @@ def cosine_topk_quantized(emb: DataFrame, id_col: str = "vec_id",
 
 def cosine_topk_float(emb: DataFrame, id_col: str = "vec_id",
                       vec_col: str = "embedding",
-                      k: int = TOP_K, query_mod: int = QUERY_MOD) -> DataFrame:
+                      k: int = TOP_K, query_mod: int = QUERY_MOD,
+                      n_queries: int = N_QUERIES) -> DataFrame:
     """True-float brute-force cosine top-k (sequential fold, JVM-side)."""
     from pyspark.sql import Window
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -96,7 +119,7 @@ def cosine_topk_float(emb: DataFrame, id_col: str = "vec_id",
         F.col(id_col), vec.alias("v"),
         F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x),
                            F.lit(0.0), lambda a, x: a + x)).alias("norm"))
-    queries = (base.filter(F.col(id_col) % query_mod == 0)
+    queries = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
                .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
                        F.col("norm").alias("qnorm")))
     corpus = base.select(F.col(id_col).alias("match_id"), F.col("v").alias("cv"),
@@ -146,7 +169,8 @@ def lsh_buckets(emb: DataFrame, id_col: str = "vec_id",
 
 
 def lsh_topk(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-             k: int = TOP_K, query_mod: int = QUERY_MOD) -> DataFrame:
+             k: int = TOP_K, query_mod: int = QUERY_MOD,
+             n_queries: int = N_QUERIES) -> DataFrame:
     """ANN top-k restricted to same-bucket candidates (scale path).
 
     Equi-join on bucket_id replaces the cartesian scan; recall < 1.0 by
@@ -158,7 +182,7 @@ def lsh_topk(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
         F.col(id_col), F.col("bucket_id"),
         quantize(F.col(vec_col)).alias("qv"),
         sq_norm(quantize(F.col(vec_col))).alias("n2"))
-    queries = (base.filter(F.col(id_col) % query_mod == 0)
+    queries = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
                .select(F.col(id_col).alias("query_id"), F.col("bucket_id"),
                        F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
     corpus = base.select(F.col(id_col).alias("match_id"),
@@ -209,23 +233,22 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
             .filter(F.col("cosine") > threshold))
 
 
-CENTROID_MOD = 25  # vec_id % 25 == 0 -> coarse centroid (IVF codebook)
-
-
 def ivf_assign(emb: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding",
-               centroid_mod: int = CENTROID_MOD) -> DataFrame:
+               centroid_mod: int = CENTROID_MOD,
+               n_centroids: int = N_CENTROIDS) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest centroid.
 
-    Centroids are a deterministic 1-in-`centroid_mod` sample of the
-    corpus (a k-means-free codebook so both engines reproduce it
-    exactly); distance is exact integer squared-L2 on quantized vectors
-    (|v|² + |c|² - 2·v·c). Assignment cost is N×C with the centroid set
-    broadcast — the standard IVF build pass.
+    Centroids are a FIXED ``n_centroids``-size deterministic sample (a
+    k-means-free codebook so both engines reproduce it exactly); distance
+    is exact integer squared-L2 on quantized vectors (|v|² + |c|² -
+    2·v·c). Assignment cost is N×k with k constant and the codebook
+    broadcast — the standard IVF build pass (real deployments use a
+    k-means codebook of 10^4-10^5 lists; same join shape).
     """
     base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
                       sq_norm(quantize(F.col(vec_col))).alias("n2"))
-    cents = (base.filter(F.col(id_col) % centroid_mod == 0)
+    cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
              .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
                      F.col("n2").alias("cn2")))
     scored = (base.crossJoin(F.broadcast(cents))
@@ -240,19 +263,21 @@ def ivf_assign(emb: DataFrame, id_col: str = "vec_id",
 
 def ivf_topk(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
              k: int = TOP_K, query_mod: int = QUERY_MOD,
-             centroid_mod: int = CENTROID_MOD) -> DataFrame:
+             n_queries: int = N_QUERIES,
+             centroid_mod: int = CENTROID_MOD,
+             n_centroids: int = N_CENTROIDS) -> DataFrame:
     """ANN top-k probing only the query's own inverted list (nprobe=1).
 
     The search join is an equi-join on centroid id — per-query work is
     one inverted list, not the corpus. Recall < 1.0 by construction
     (candidates outside the query's cell are unseen)."""
     from pyspark.sql import Window
-    assign = ivf_assign(emb, id_col, vec_col, centroid_mod)
+    assign = ivf_assign(emb, id_col, vec_col, centroid_mod, n_centroids)
     base = (emb.join(assign, id_col)
             .select(F.col(id_col), F.col("cid"),
                     quantize(F.col(vec_col)).alias("qv"),
                     sq_norm(quantize(F.col(vec_col))).alias("n2")))
-    queries = (base.filter(F.col(id_col) % query_mod == 0)
+    queries = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
                .select(F.col(id_col).alias("query_id"), F.col("cid"),
                        F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
     corpus = base.select(F.col(id_col).alias("match_id"), F.col("cid"),
@@ -275,7 +300,9 @@ NPROBE = 2
 def ivf_topk_multiprobe(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding", k: int = TOP_K,
                         query_mod: int = QUERY_MOD,
+                        n_queries: int = N_QUERIES,
                         centroid_mod: int = CENTROID_MOD,
+                        n_centroids: int = N_CENTROIDS,
                         nprobe: int = NPROBE) -> DataFrame:
     """IVF search probing each query's ``nprobe`` nearest inverted lists.
 
@@ -288,7 +315,7 @@ def ivf_topk_multiprobe(emb: DataFrame, id_col: str = "vec_id",
     from pyspark.sql import Window
     base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
                       sq_norm(quantize(F.col(vec_col))).alias("n2"))
-    cents = (base.filter(F.col(id_col) % centroid_mod == 0)
+    cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
              .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
                      F.col("n2").alias("cn2")))
     ranked = (base.crossJoin(F.broadcast(cents))
@@ -299,12 +326,13 @@ def ivf_topk_multiprobe(emb: DataFrame, id_col: str = "vec_id",
     ranked = ranked.withColumn("rn", F.row_number().over(w))
     assign = ranked.filter(F.col("rn") == 1).select(id_col, "cid")
     probes = (ranked
-              .filter((F.col(id_col) % query_mod == 0) & (F.col("rn") <= nprobe))
+              .filter(_fixed_sample(id_col, query_mod, n_queries)
+                      & (F.col("rn") <= nprobe))
               .select(F.col(id_col).alias("query_id"), "cid"))
     corpus = (base.join(assign, id_col)
               .select(F.col(id_col).alias("match_id"), "cid",
                       F.col("qv").alias("cq"), F.col("n2").alias("mn2")))
-    queries = (base.filter(F.col(id_col) % query_mod == 0)
+    queries = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
                .select(F.col(id_col).alias("query_id"),
                        F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
     qprobe = probes.join(queries, "query_id")
@@ -341,7 +369,7 @@ WITH q AS (
     CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qs.qv[i] * c.qv[i])) AS DOUBLE)
       / (sqrt(qs.n2) * sqrt(c.n2)) AS cosine
   FROM base qs JOIN base c ON c.vec_id <> qs.vec_id
-  WHERE qs.vec_id % {QUERY_MOD} = 0
+  WHERE {_fixed_sample_sql('qs.vec_id', QUERY_MOD, N_QUERIES)}
 ), ranked AS (
   SELECT query_id, match_id, cosine,
     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rnk
@@ -382,6 +410,32 @@ def similarity_float_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_float(emb)
 
 
+# Oracle-checkable at full float precision: both Spark's F.aggregate and
+# DuckDB's list_sum left-fold the (fixed-order, fixed-length) list, and
+# IEEE double ops are correctly rounded, so identical operation order =>
+# bit-identical cosines (verified empirically: max diff 0.0 at sf0.01).
+_SIM_FLOAT_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+), base AS (
+  SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS norm
+  FROM v
+), scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS match_id,
+    list_sum(list_transform(range(1, {DIM + 1}), i -> qs.dv[i] * c.dv[i]))
+      / (qs.norm * c.norm) AS cosine
+  FROM base qs JOIN base c ON c.vec_id <> qs.vec_id
+  WHERE {_fixed_sample_sql('qs.vec_id', QUERY_MOD, N_QUERIES)}
+), ranked AS (
+  SELECT query_id, match_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rnk
+  FROM scored
+)
+SELECT query_id, match_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
 def similarity_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
     return lsh_topk(emb)
@@ -399,7 +453,7 @@ assigned AS (
       / (sqrt(qs.n2) * sqrt(c.n2)) AS cosine
   FROM assigned qs JOIN assigned c
     ON c.bucket_id = qs.bucket_id AND c.vec_id <> qs.vec_id
-  WHERE qs.vec_id % {QUERY_MOD} = 0
+  WHERE {_fixed_sample_sql('qs.vec_id', QUERY_MOD, N_QUERIES)}
 ), ranked AS (
   SELECT query_id, match_id, cosine,
     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rnk
@@ -444,7 +498,8 @@ base AS (
     list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS in2
   FROM q
 ), cents AS (
-  SELECT vec_id AS cid, qv AS cv, in2 AS cn2 FROM base WHERE vec_id % {CENTROID_MOD} = 0
+  SELECT vec_id AS cid, qv AS cv, in2 AS cn2 FROM base
+  WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, N_CENTROIDS)}
 ), assign_scored AS (
   SELECT base.vec_id, cents.cid,
     base.in2 + cents.cn2
@@ -461,7 +516,7 @@ base AS (
       / (sqrt(qs.n2) * sqrt(c.n2)) AS cosine
   FROM assigned qs JOIN assigned c
     ON c.cid = qs.cid AND c.vec_id <> qs.vec_id
-  WHERE qs.vec_id % {QUERY_MOD} = 0
+  WHERE {_fixed_sample_sql('qs.vec_id', QUERY_MOD, N_QUERIES)}
 ), ranked AS (
   SELECT query_id, match_id, cosine,
     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rnk
@@ -513,8 +568,9 @@ register(QuerySpec("similarity_lsh_buckets", similarity_lsh_buckets_query, _SIM_
                    description="random-hyperplane LSH bucket assignment histogram"))
 register(QuerySpec("similarity_lsh_topk", similarity_lsh_topk_query, _SIM_LSH_TOPK_SQL,
                    description="ANN top-k within LSH buckets (equi-join scale path)"))
-register(QuerySpec("similarity_cosine_topk_float", similarity_float_topk_query, None,
-                   description="true-float brute-force cosine top-k (rows-only check: float reduction order is not cross-engine bit-stable)"))
+register(QuerySpec("similarity_cosine_topk_float", similarity_float_topk_query,
+                   _SIM_FLOAT_SQL,
+                   description="true-float brute-force cosine top-k (bit-identical left-fold doubles both engines)"))
 register(QuerySpec("dedup_embedding_cosine", dedup_embedding_query, _DEDUP_EMB_SQL,
                    description="embedding-cosine near-dup pairs, LSH-bucketed candidates + exact quantized cosine"))
 def similarity_ivf_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,7 +586,8 @@ base AS (
     list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS in2
   FROM q
 ), cents AS (
-  SELECT vec_id AS cid, qv AS cv, in2 AS cn2 FROM base WHERE vec_id % {CENTROID_MOD} = 0
+  SELECT vec_id AS cid, qv AS cv, in2 AS cn2 FROM base
+  WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, N_CENTROIDS)}
 ), assign_scored AS (
   SELECT base.vec_id, cents.cid,
     ROW_NUMBER() OVER (PARTITION BY base.vec_id ORDER BY base.in2 + cents.cn2
@@ -541,7 +598,7 @@ base AS (
   FROM base b JOIN assign_scored a ON a.vec_id = b.vec_id AND a.rn = 1
 ), probes AS (
   SELECT vec_id AS query_id, cid FROM assign_scored
-  WHERE vec_id % {QUERY_MOD} = 0 AND rn <= {NPROBE}
+  WHERE {_fixed_sample_sql('vec_id', QUERY_MOD, N_QUERIES)} AND rn <= {NPROBE}
 ), scored AS (
   SELECT p.query_id, c.vec_id AS match_id,
     CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qs.qv[i] * c.qv[i])) AS DOUBLE)

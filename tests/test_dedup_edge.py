@@ -58,3 +58,17 @@ def test_jaccard_survives_short_docs(spark):
     # no crash; only docs with shingles can pair, and these two differ
     ids = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert all(a in (4, 5) and b in (4, 5) for a, b in ids)
+
+
+def test_lsh_bucket_cap_drops_mega_bucket(spark):
+    from downscaledclimatedata_spark.operators.dedup import (
+        MINHASH_PERMS, lsh_candidate_pairs)
+    cols = "doc_id int, " + ", ".join(f"m{k} int" for k in range(MINHASH_PERMS))
+    # 300 identical signatures -> one mega-bucket per band
+    mega = spark.createDataFrame(
+        [(i, *([7] * MINHASH_PERMS)) for i in range(300)], cols)
+    assert lsh_candidate_pairs(mega, "doc_id", max_bucket=50).count() == 0
+    # below the cap the same construction still yields all C(10,2) pairs
+    small = spark.createDataFrame(
+        [(i, *([7] * MINHASH_PERMS)) for i in range(10)], cols)
+    assert lsh_candidate_pairs(small, "doc_id", max_bucket=50).count() == 45
