@@ -78,10 +78,13 @@ def ingest_and_convert(manifest: DataFrame,
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
+        import re as _re
         for pdf in batches:
             rows = []
             for url, s3_key in zip(pdf["url"], pdf["s3_key"]):
-                out_path = _root + s3_key.replace(".nc", ".zarr")
+                # anchored: an interior ".nc" (e.g. "tasmax.nc_backup/f.nc")
+                # must not be rewritten — same semantics as rewrite_extension
+                out_path = _root + _re.sub(r"\.nc$", ".zarr", s3_key)
                 try:
                     payload = _fetch(url)
                     n = _convert(payload, out_path)

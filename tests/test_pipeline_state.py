@@ -107,6 +107,16 @@ def test_tidy_long_partitioned_write_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "model" in plan
 
 
+def test_ingest_output_path_anchored(spark):
+    """Regression (SURVEY §7.5.3): a key with an interior '.nc' must only
+    have its FINAL extension rewritten in the ingest hot path."""
+    manifest = spark.createDataFrame(
+        [("https://x.test/f.nc", "/m/tasmax.nc_backup/file.nc")],
+        "url string, s3_key string")
+    row = ingest_and_convert(manifest).collect()[0]
+    assert row["output_path"] == "/tmp/converted/m/tasmax.nc_backup/file.zarr"
+
+
 def test_rewrite_extension_anchored(spark):
     """Interior '.nc' must survive (the reference's unanchored replace
     would corrupt it — engine divergence, SURVEY §7.5.3)."""
