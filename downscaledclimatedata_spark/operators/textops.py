@@ -215,6 +215,139 @@ FROM documents
 """
 
 
+# --- TF-IDF-style top terms (corpus-relative term relevance) -----------------
+
+def top_terms(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
+    """Per-doc top-k terms by corpus-relative relevance.
+
+    Classic TF-IDF plan shape at scale: explode to (doc, term), one
+    aggregation for term frequency (shuffle on (doc, term) — uniform),
+    one for document frequency (map-side partial, shuffle on term), an
+    equi-join back on term, then a per-doc top-k window. At 100 TB each
+    shuffle carries counts, not text.
+
+    Ranking uses the exact integer key (tf DESC, df ASC, term) rather
+    than tf*ln(N/df): ln is not required to be correctly rounded by
+    IEEE-754, so cross-engine hashes could flip on a 1-ulp boundary; the
+    integer ordering keeps the oracle exact (monotone in tf and 1/df —
+    the same greedy relevance direction). A production scorer multiplies
+    the same joined relation by log(N/df) — identical plan.
+    """
+    from pyspark.sql import Window
+    terms = df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term"))
+    return (tf.join(dfreq, "term")
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(id_col, "term", "tf", "df", "rnk"))
+
+
+def text_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_terms(load_table_parallel(spark, sf_dir, "documents", key="doc_id"), "text", "doc_id")
+
+
+_TEXT_TOP_TERMS_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, dfreq.df ASC, tf.term) AS rnk
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, term, tf, df, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+# --- Gopher-style repetition / quality flags ---------------------------------
+
+def repetition_flags(df: DataFrame, text_col: str, id_col: str,
+                     min_tokens: int = 20,
+                     top_token_max_frac: tuple[int, int] = (1, 5),
+                     dup_bigram_max_frac: tuple[int, int] = (3, 10)) -> DataFrame:
+    """Repetition-based quality gates in the spirit of the Gopher rules
+    (Rae et al. 2021, §A1.1): most-frequent-token fraction, duplicate
+    2-gram fraction, and a minimum length, each as an exact flag.
+
+    Fractions are compared by integer cross-multiplication
+    (cnt * denom > n * num) so flags never depend on float rounding;
+    ratio columns are emitted as exact single-division doubles for
+    reporting. All per-row array expressions — one narrow corpus pass,
+    no shuffle, no Python.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    top_cnt = F.coalesce(
+        F.array_max(F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)))),
+        F.lit(0))
+    # bigrams with the short-doc guard (sequence descends when stop < start)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>"))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.element_at(toks, i), F.element_at(toks, i + 1)))
+    n_bi = F.size(bigrams)
+    n_bi_uniq = F.size(F.array_distinct(bigrams))
+    dup_bi = n_bi - n_bi_uniq
+    tt_num, tt_den = top_token_max_frac
+    db_num, db_den = dup_bigram_max_frac
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        top_cnt.alias("top_token_count"),
+        dup_bi.alias("dup_bigram_count"),
+        (top_cnt.cast("double") / n.cast("double")).alias("top_token_frac"),
+        (n < min_tokens).alias("flag_too_short"),
+        (top_cnt * tt_den > n * tt_num).alias("flag_repetitive_token"),
+        (dup_bi * db_den > n_bi * db_num).alias("flag_repetitive_bigram"),
+    )
+
+
+def text_repetition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_flags(load_table_parallel(spark, sf_dir, "documents", key="doc_id"), "text", "doc_id")
+
+
+_TEXT_REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+m AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    coalesce(list_max(list_transform(list_distinct(toks),
+             t -> len(list_filter(toks, x -> x = t)))), 0) AS top_cnt,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1])
+         ELSE [] END AS bigrams
+  FROM t
+),
+b AS (
+  SELECT doc_id, n, top_cnt,
+    len(bigrams) AS n_bi,
+    len(bigrams) - len(list_distinct(bigrams)) AS dup_bi
+  FROM m
+)
+SELECT doc_id,
+  n AS n_tokens,
+  top_cnt AS top_token_count,
+  dup_bi AS dup_bigram_count,
+  CAST(top_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS top_token_frac,
+  n < 20 AS flag_too_short,
+  top_cnt * 5 > n * 1 AS flag_repetitive_token,
+  dup_bi * 10 > n_bi * 3 AS flag_repetitive_bigram
+FROM b
+"""
+
+
+register(QuerySpec("text_top_terms", text_top_terms_query, _TEXT_TOP_TERMS_SQL,
+                   description="per-doc top-k terms, TF-IDF plan shape with exact integer ranking"))
+register(QuerySpec("text_repetition_flags", text_repetition_query, _TEXT_REPETITION_SQL,
+                   description="Gopher-style repetition gates (top-token / dup-bigram fractions, exact flags)"))
 register(QuerySpec("text_rolling_hash", text_rolling_hash_query, _TEXT_ROLLING_SQL,
                    description="Rabin-Karp polynomial rolling-hash fingerprint over the token stream"))
 register(QuerySpec("text_token_stats", text_token_stats_query, _TEXT_TOKENS_SQL,
