@@ -411,10 +411,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     label among itself and its neighbors — one equi-join + one groupBy per
     round, converging in O(graph diameter) rounds. Near-dup clusters are
     near-cliques (diameter 2-3), so this terminates in a handful of rounds
-    at any corpus size; if long-chain components ever matter, the
-    alternating large-star/small-star algorithm (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14) is the
-    O(log n)-round upgrade with the same building blocks.
+    at any corpus size; for long-chain components use the alternating
+    large-star/small-star ``connected_components_star`` below (Kiveris
+    et al., SoCC'14) — O(log n) rounds on any graph shape.
 
     Scale notes: ``localCheckpoint`` truncates lineage each round —
     without it the logical plan doubles per iteration and planning time,
@@ -439,6 +438,75 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             break
         prev = s
     return labels
+
+
+def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
+                              id_b: str = "id_b",
+                              max_iter: int = 25) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): O(log n) rounds on ANY graph shape, vs min-label
+    propagation's O(diameter). The scale choice when components can be
+    long chains (URL redirect graphs, citation chains) rather than the
+    near-cliques LSH produces.
+
+    Each round:
+    - large-star: for every node u, connect every strictly-larger
+      neighbor v to u's minimum neighborhood label m(u) (keeps edges
+      (v, m) with v > u's min);
+    - small-star: connect all neighbors <= u (and u itself) to m(u).
+    Both are one groupBy + one re-expansion — no joins growing with
+    iteration count; ``localCheckpoint`` truncates lineage per round.
+    Terminates when the edge multiset stops changing (scalar-aggregate
+    fingerprint, same trick as ``connected_components``).
+    """
+    # undirected edge list, self-loop-free, deduped
+    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+             .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+             .filter(F.col("u") != F.col("v"))
+             .distinct().localCheckpoint())
+    prev_fp = None
+    for _ in range(max_iter):
+        # both stars operate on the UNDIRECTED neighborhood, so symmetrize
+        # the (directed) working edge list before each grouping
+        sym = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        # large-star: m = min(Γ(u) ∪ {u}); emit (v, m) for v > u
+        grouped = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+        lm = grouped.select(
+            "u", "nbrs",
+            F.least(F.array_min("nbrs"), F.col("u")).alias("m"))
+        large = (lm.select(F.explode("nbrs").alias("v"), "u", "m")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        edges = large.distinct().localCheckpoint()
+        # small-star: m = min over (nbrs <= u) ∪ {u}; emit (v, m) for those
+        sym = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        grouped = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+        sm = grouped.select(
+            "u",
+            F.filter("nbrs", lambda x: x <= F.col("u")).alias("small"),
+        ).select(
+            "u", "small",
+            F.least(F.coalesce(F.array_min("small"), F.col("u")),
+                    F.col("u")).alias("m"))
+        small = (sm.select(F.explode(F.array_union(
+            F.col("small"), F.array(F.col("u")))).alias("v"), "m")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        edges = small.distinct().localCheckpoint()
+        fp = edges.agg(F.sum(F.col("u") * 31 + F.col("v")).alias("s"),
+                       F.count("*").alias("n")).collect()[0]
+        fp = (fp["s"], fp["n"])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # at fixpoint every edge is (node, root); add roots themselves
+    labels = edges.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    roots = labels.select(F.col("comp").alias("id"),
+                          F.col("comp")).distinct()
+    return labels.union(roots).distinct()
 
 
 def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:

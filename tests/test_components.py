@@ -63,3 +63,31 @@ def test_random_graphs_match_union_find(spark):
         df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
         got = {r.id: r.comp for r in connected_components(df).collect()}
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_star_algorithm_matches_label_propagation(spark):
+    """large-star/small-star equals min-label propagation on chains,
+    cliques, and pseudo-random graphs."""
+    import random
+    from downscaledclimatedata_spark.operators.dedup import (
+        connected_components_star)
+
+    cases = [
+        [(i, i + 1) for i in range(12)],             # long chain
+        [(1, 2), (2, 3), (10, 11)],                  # chain + pair
+        [(5, 6), (6, 7), (5, 7)],                    # triangle
+    ]
+    rng = random.Random(13)
+    for trial in range(2):
+        n_nodes = 25 + 15 * trial
+        cases.append(sorted({tuple(sorted((rng.randrange(n_nodes),
+                                           rng.randrange(n_nodes))))
+                             for _ in range(n_nodes)}))
+    for edges in cases:
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            continue
+        pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        a = {r.id: r.comp for r in connected_components(pairs).collect()}
+        b = {r.id: r.comp for r in connected_components_star(pairs).collect()}
+        assert a == b, f"mismatch on {edges[:5]}..."
