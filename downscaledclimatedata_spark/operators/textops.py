@@ -236,11 +236,14 @@ def top_terms(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFram
     from pyspark.sql import Window
     terms = df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    w = Window.partitionBy(id_col).orderBy(
+    # df as a count window over tf instead of a groupBy+self-join: the
+    # join would re-evaluate the whole tf subtree (double corpus scan);
+    # the window reuses tf's output with one extra shuffle on term
+    w_term = Window.partitionBy("term")
+    w_doc = Window.partitionBy(id_col).orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term"))
-    return (tf.join(dfreq, "term")
-            .withColumn("rnk", F.row_number().over(w))
+    return (tf.withColumn("df", F.count("*").over(w_term))
+            .withColumn("rnk", F.row_number().over(w_doc))
             .filter(F.col("rnk") <= k)
             .select(id_col, "term", "tf", "df", "rnk"))
 
@@ -281,32 +284,38 @@ def repetition_flags(df: DataFrame, text_col: str, id_col: str,
     reporting. All per-row array expressions — one narrow corpus pass,
     no shuffle, no Python.
     """
-    toks = _tokens(F.col(text_col))
+    # materialize tokens/bigrams through projections — inlining the
+    # split+filter expression would re-evaluate it per reference (the
+    # same trap shingles_of_tokens documents)
+    toks = F.col("_toks")
     n = F.size(toks)
+    staged = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>"))  # sequence descends when stop < start
+    staged = staged.select(
+        id_col, "_toks",
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1))).alias("_bi"))
     top_cnt = F.coalesce(
         F.array_max(F.transform(
             F.array_distinct(toks),
             lambda t: F.size(F.filter(toks, lambda x: x == t)))),
         F.lit(0))
-    # bigrams with the short-doc guard (sequence descends when stop < start)
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>"))
-    bigrams = F.transform(idx, lambda i: F.concat_ws(
-        " ", F.element_at(toks, i), F.element_at(toks, i + 1)))
-    n_bi = F.size(bigrams)
-    n_bi_uniq = F.size(F.array_distinct(bigrams))
-    dup_bi = n_bi - n_bi_uniq
+    staged = staged.select(
+        id_col, "_toks", "_bi", top_cnt.alias("_top_cnt"),
+        (F.size("_bi") - F.size(F.array_distinct("_bi"))).alias("_dup_bi"))
     tt_num, tt_den = top_token_max_frac
     db_num, db_den = dup_bigram_max_frac
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n.alias("n_tokens"),
-        top_cnt.alias("top_token_count"),
-        dup_bi.alias("dup_bigram_count"),
-        (top_cnt.cast("double") / n.cast("double")).alias("top_token_frac"),
+        F.col("_top_cnt").alias("top_token_count"),
+        F.col("_dup_bi").alias("dup_bigram_count"),
+        (F.col("_top_cnt").cast("double") / n.cast("double")).alias("top_token_frac"),
         (n < min_tokens).alias("flag_too_short"),
-        (top_cnt * tt_den > n * tt_num).alias("flag_repetitive_token"),
-        (dup_bi * db_den > n_bi * db_num).alias("flag_repetitive_bigram"),
+        (F.col("_top_cnt") * tt_den > n * tt_num).alias("flag_repetitive_token"),
+        (F.col("_dup_bi") * db_den > F.size("_bi") * db_num).alias("flag_repetitive_bigram"),
     )
 
 
