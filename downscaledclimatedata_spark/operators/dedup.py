@@ -95,14 +95,21 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
-                       n_perms: int = MINHASH_PERMS) -> DataFrame:
+                       n_perms: int = MINHASH_PERMS,
+                       shingled: DataFrame | None = None) -> DataFrame:
     """(id, m0..m{K-1}) minhash signature over word 3-gram shingles.
 
     One md5 per shingle, K universal-hash permutations derived
     arithmetically; each signature component is a min-aggregate, so
     Catalyst plans a single shuffle with map-side partial mins.
+
+    ``shingled`` lets a pipeline share one materialized (id, shingle)
+    relation across stages; min-aggregates are duplicate-insensitive, so
+    passing the DISTINCT relation (as the jaccard verify stage needs)
+    yields identical signatures.
     """
-    shingled = shingled_rows(df, text_col, id_col).select(
+    shingled = (shingled if shingled is not None
+                else shingled_rows(df, text_col, id_col)).select(
         F.col(id_col), (md5_long(F.col("shingle")) % _MERSENNE_P).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE_P).alias(f"m{k}")
@@ -200,13 +207,18 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         candidates: DataFrame | None = None,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        shingled: DataFrame | None = None) -> DataFrame:
     """Exact word-3-gram Jaccard for candidate pairs (or all pairs).
 
     At scale this runs AFTER LSH candidate generation so the quadratic
-    verify cost applies only to candidates.
+    verify cost applies only to candidates. Pass a pre-materialized
+    DISTINCT ``shingled`` relation to share the shingling pass with the
+    candidate-generation stage (this relation is referenced four times
+    below — without sharing, each reference re-shingles the corpus).
     """
-    shingled = shingled_rows(df, text_col, id_col).distinct()
+    shingled = (shingled if shingled is not None
+                else shingled_rows(df, text_col, id_col).distinct())
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("sh_a"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("sh_b"))
     inter = (
@@ -334,12 +346,20 @@ SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM bits
 def dedup_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE composition: exact Jaccard verification restricted to
     LSH candidate pairs, so the quadratic verify cost applies only to
-    candidates (shuffle ∝ corpus), never all pairs."""
+    candidates (shuffle ∝ corpus), never all pairs.
+
+    The distinct (id, shingle) relation is materialized ONCE
+    (localCheckpoint: memory+disk, lineage truncated) and shared by the
+    signature and verify stages — without it the plan shingled the
+    corpus five times. Minhash min-aggregates are duplicate-insensitive,
+    so the shared distinct relation yields identical signatures.
+    """
     docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
-    sigs = minhash_signatures(docs, "text", "doc_id")
+    sh = shingled_rows(docs, "text", "doc_id").distinct().localCheckpoint()
+    sigs = minhash_signatures(docs, "text", "doc_id", shingled=sh)
     cands = lsh_candidate_pairs(sigs, "doc_id")
     return ngram_jaccard_pairs(docs, "text", "doc_id", candidates=cands,
-                               threshold=0.2)
+                               threshold=0.2, shingled=sh)
 
 
 _DEDUP_JACCARD_SQL = f"""
