@@ -591,6 +591,7 @@ register(QuerySpec("dedup_minhash_lsh_pairs", dedup_lsh_pairs_query, _DEDUP_LSH_
 register(QuerySpec("dedup_simhash", dedup_simhash_query, _DEDUP_SIMHASH_SQL,
                    description="60-bit simhash bit-majority fingerprints"))
 register(QuerySpec("dedup_ngram_jaccard", dedup_jaccard_query, _DEDUP_JACCARD_SQL,
+                   headline=True,
                    description="exact word-3-gram jaccard verify restricted to LSH candidates (scale composition)"))
 register(QuerySpec("dedup_lsh_bucket_stats", dedup_bucket_stats_query,
                    _DEDUP_BUCKET_STATS_SQL,

@@ -354,6 +354,7 @@ FROM b
 
 
 register(QuerySpec("text_top_terms", text_top_terms_query, _TEXT_TOP_TERMS_SQL,
+                   headline=True,
                    description="per-doc top-k terms, TF-IDF plan shape with exact integer ranking"))
 register(QuerySpec("text_repetition_flags", text_repetition_query, _TEXT_REPETITION_SQL,
                    description="Gopher-style repetition gates (top-token / dup-bigram fractions, exact flags)"))
