@@ -188,6 +188,54 @@ register(QuerySpec("q56_stratified_split", q56_stratified_split, _q56_sql(),
                    description="seeded-hash 80/10/10 split, per-source stratification counts"))
 
 
+# --- q63: quality-weighted (importance) sampling ---------------------------------
+
+def q63_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling for corpus curation: each doc is kept with
+    probability proportional to a quality weight, deterministically.
+
+    Mechanism: integer weight wq in [0, 1000] (here length-proportional,
+    capped — any integer quality score plugs in), accept iff
+    seeded_hash(id) % 1000 < wq. Exactly Bernoulli(wq/1000) per doc,
+    reproducible across runs/engines, no RNG state, no floats in the
+    accept decision (the Efraimidis-Spirakis exponential-key trick needs
+    pow(), which is not correctly-rounded cross-engine). One narrow pass
+    + one aggregation; at 100 TB the shuffle carries only per-source
+    partial counts.
+    """
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+    from downscaledclimatedata_spark.operators.textops import _tokens
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    staged = docs.select(
+        "source", "doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens"))
+    wq = F.least(F.col("n_tokens"), F.lit(50)) * 20
+    accept = md5_long(F.col("doc_id").cast("string"), seed="wsample:") % 1000 < wq
+    return (staged.select("source", "n_tokens", accept.alias("kept"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("kept").cast("long")).alias("n_kept"),
+                 F.sum(F.when(F.col("kept"), F.col("n_tokens"))
+                       .otherwise(F.lit(0))).alias("kept_tokens"))
+            .orderBy("source"))
+
+
+def _q63_sql() -> str:
+    from downscaledclimatedata_spark.functions.hashing import md5_long_sql
+    toks = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+    accept = (f"{md5_long_sql('CAST(doc_id AS VARCHAR)', seed='wsample:')} % 1000"
+              f" < least(len({toks}), 50) * 20")
+    return f"""
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN {accept} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN {accept} THEN len({toks}) ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+register(QuerySpec("q63_weighted_sample", q63_weighted_sample, _q63_sql(),
+                   description="deterministic quality-weighted Bernoulli sampling (integer-exact accept rule)"))
+
+
 # --- q59: sequence packing (concat-then-chunk) ----------------------------------
 
 PACK_CAPACITY = 512

@@ -93,3 +93,30 @@ def test_q60_uses_semi_join_on_hashes(spark):
     # contamination check must be a LEFT SEMI join (existence only — no
     # row multiplication if a shingle repeats on the train side)
     assert "LeftSemi" in plan, plan
+
+
+def test_top_terms_single_corpus_scan(spark):
+    """DF-via-window (not groupBy+self-join): the corpus must be scanned
+    exactly once — the join form re-evaluated the tf subtree (4 scans)."""
+    plan = _plan(spark, "text_top_terms")
+    assert plan.count("Location: InMemoryFileIndex") == 1, \
+        "top_terms must not re-scan the corpus for document frequency"
+
+
+def test_repetition_flags_single_scan_no_shuffle_agg(spark):
+    """Pure per-row expressions: one scan, no aggregation exchange beyond
+    the parallelism repartition."""
+    plan = _plan(spark, "text_repetition_flags")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "HashAggregate" not in plan
+
+
+def test_similarity_query_set_is_bounded(spark):
+    """The broadcast side must carry the fixed-size query predicate
+    (id < spacing*count), not a corpus-fraction modulus alone."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        N_QUERIES, QUERY_MOD)
+    plan = _plan(spark, "similarity_cosine_topk")
+    bound = str(QUERY_MOD * N_QUERIES)
+    assert bound in plan, f"expected bounded query filter (< {bound}) in plan"
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

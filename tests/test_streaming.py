@@ -203,3 +203,43 @@ def test_available_now_drains_backlog_and_stops(spark, tmp_path):
                              available_now=True)
     assert q2.awaitTermination(120)
     assert [ks for _, ks in seen if ks] == [], f"re-emitted: {seen}"
+
+
+def test_incremental_neardup_across_batches(spark, tmp_path):
+    """Streaming near-dup: a doc arriving in batch 2 that duplicates a
+    batch-1 doc is flagged against the persisted band index; unrelated
+    docs are not. Batch 1 itself reports nothing (empty index)."""
+    from downscaledclimatedata_spark.streaming.neardup import (
+        DOCS_SCHEMA, docs_stream, start_neardup_stream)
+
+    docs_dir = str(tmp_path / "docs")
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    b1 = spark.createDataFrame(
+        [(1, shared, "en", "web", len(shared)),
+         (2, "completely different words about spark physical plans and shuffles",
+          "en", "web", 66)], DOCS_SCHEMA)
+    b2 = spark.createDataFrame(
+        [(3, shared, "en", "web", len(shared)),
+         (4, "yet another unrelated document mentioning neither foxes nor dogs here",
+          "en", "web", 69)], DOCS_SCHEMA)
+    # flat single files: the streaming file source does not recurse into
+    # the directory-per-dataset layout spark.write.parquet produces
+    import os
+    os.makedirs(docs_dir, exist_ok=True)
+    b1.toPandas().to_parquet(docs_dir + "/b1.parquet", index=False)
+    b2.toPandas().to_parquet(docs_dir + "/b2.parquet", index=False)
+
+    seen: dict[int, set] = {}
+
+    def report(cands, epoch_id):
+        seen[epoch_id] = {(r.new_id, r.match_id) for r in cands.collect()}
+
+    q = start_neardup_stream(
+        docs_stream(spark, docs_dir), str(tmp_path / "index"),
+        report, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    all_pairs = set().union(*seen.values()) if seen else set()
+    assert (3, 1) in all_pairs, f"cross-batch near-dup missed: {seen}"
+    assert all(p[0] not in (2, 4) for p in all_pairs), \
+        f"unrelated docs flagged: {all_pairs}"
