@@ -526,6 +526,120 @@ SELECT query_id, match_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+# --- k-means codebook refinement (Lloyd's iterations, DataFrame-native) ---------
+
+def kmeans_refine(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding", n_iter: int = 2,
+                  centroid_mod: int = CENTROID_MOD,
+                  n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """Lloyd's k-means over the embedding column, returning refined
+    centroids as (cid, n_members, centroid array<double>).
+
+    This is the production IVF codebook builder for which the fixed
+    deterministic sample (``ivf_assign``) is the init. Each iteration is
+    two relational steps — assign (argmin over k broadcast centroids) and
+    update (posexplode + (cid, pos) aggregation of exact integer
+    component sums, one division at the end) — with ``localCheckpoint``
+    truncating lineage per round. At 100 TB the assignment pass shuffles
+    nothing (narrow + broadcast) and the update shuffles only dim x k
+    partial sums per task.
+
+    Determinism: vectors are quantized to integers; means are exact
+    integer sums divided once, so every iteration's centroids are
+    bit-identical across engines (IEEE division is correctly rounded) and
+    the argmin (computed as (|v|²+|c|²-2·v·c) in doubles with a fixed
+    fold order, ties broken by cid) is reproducible.
+    """
+    from pyspark.sql import Window
+    base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
+    base = base.withColumn(
+        "dv", F.transform("qv", lambda x: x.cast("double"))).localCheckpoint()
+    # init: the fixed-sample codebook, as doubles
+    cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
+             .select(F.col(id_col).alias("cid"), F.col("dv").alias("cv")))
+    for _ in range(n_iter):
+        cn2 = F.aggregate(F.zip_with(F.col("cv"), F.col("cv"),
+                                     lambda x, y: x * y),
+                          F.lit(0.0), lambda a, x: a + x)
+        c = cents.select("cid", "cv", cn2.alias("cn2"))
+        vn2 = F.aggregate(F.zip_with(F.col("dv"), F.col("dv"),
+                                     lambda x, y: x * y),
+                          F.lit(0.0), lambda a, x: a + x)
+        dot = F.aggregate(F.zip_with(F.col("dv"), F.col("cv"),
+                                     lambda x, y: x * y),
+                          F.lit(0.0), lambda a, x: a + x)
+        scored = (base.crossJoin(F.broadcast(c))
+                  .select(F.col(id_col), "cid", "qv",
+                          (vn2 + F.col("cn2") - 2 * dot).alias("dist")))
+        w = Window.partitionBy(id_col).orderBy("dist", "cid")
+        assigned = (scored.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1).select(id_col, "cid", "qv"))
+        comp = assigned.select("cid", F.posexplode("qv").alias("pos", "comp"))
+        means = (comp.groupBy("cid", "pos")
+                 .agg(F.sum("comp").alias("s"), F.count("*").alias("n"))
+                 .select("cid", "pos",
+                         (F.col("s").cast("double") / F.col("n").cast("double"))
+                         .alias("m"), "n"))
+        cents = (means.groupBy("cid")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                     lambda x: x["m"]).alias("cv"),
+                     F.max("n").alias("n_members"))).localCheckpoint()
+    return cents.select("cid", "n_members", F.col("cv").alias("centroid"))
+
+
+def similarity_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration, oracle-checked: per-cluster size plus an
+    integer checksum of the refined centroid (round(mean*1e6) summed over
+    dims — means are exact int sums / counts, so the checksum is
+    deterministic cross-engine)."""
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    cents = kmeans_refine(emb, n_iter=1)
+    checksum = F.aggregate(
+        F.transform(F.col("centroid"),
+                    lambda m: F.round(m * 1e6).cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    return (cents.select("cid", "n_members", checksum.alias("centroid_checksum"))
+            .orderBy("cid"))
+
+
+_KMEANS_SQL = f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+base AS (
+  SELECT vec_id, qv,
+    list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS in2
+  FROM q
+), cents AS (
+  SELECT vec_id AS cid, qv AS cv, in2 AS cn2 FROM base
+  WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, N_CENTROIDS)}
+), assign_scored AS (
+  SELECT base.vec_id, cents.cid,
+    ROW_NUMBER() OVER (PARTITION BY base.vec_id ORDER BY base.in2 + cents.cn2
+      - 2 * list_sum(list_transform(range(1, {DIM + 1}), i -> base.qv[i] * cents.cv[i])), cents.cid) AS rn
+  FROM base CROSS JOIN cents
+), assigned AS (
+  SELECT b.vec_id, a.cid, b.qv
+  FROM base b JOIN assign_scored a ON a.vec_id = b.vec_id AND a.rn = 1
+), comp AS (
+  SELECT cid, generate_subscripts(qv, 1) AS pos, unnest(qv) AS comp
+  FROM assigned
+), means AS (
+  SELECT cid, pos,
+    CAST(SUM(comp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m,
+    COUNT(*) AS n
+  FROM comp GROUP BY cid, pos
+)
+SELECT cid, MAX(n) AS n_members,
+  CAST(SUM(CAST(round(m * 1e6) AS BIGINT)) AS BIGINT) AS centroid_checksum
+FROM means GROUP BY cid ORDER BY cid
+"""
+
+
+register(QuerySpec("similarity_kmeans_refine", similarity_kmeans_query,
+                   _KMEANS_SQL,
+                   description="one Lloyd's k-means codebook refinement, exact-mean checksummed"))
+
+
 # --- label centroids: the codebook-building aggregate ---------------------------
 
 def label_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
