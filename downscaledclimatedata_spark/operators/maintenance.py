@@ -97,7 +97,7 @@ def maintenance_skew_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SKEW_SQL = """
 WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
 SELECT COUNT(*) AS n_keys, MIN(cnt) AS min_cnt, MAX(cnt) AS max_cnt,
-  SUM(cnt) AS total_rows,
+  CAST(SUM(cnt) AS BIGINT) AS total_rows,
   CAST(MAX(cnt) AS DOUBLE)
     / (CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS skew_factor
 FROM c

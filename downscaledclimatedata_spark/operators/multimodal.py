@@ -148,7 +148,7 @@ _MULTIMODAL_META_SQL = """
 WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents)
 SELECT CASE WHEN n_bytes % 3 = 0 THEN 'jpeg' WHEN n_bytes % 3 = 1 THEN 'png'
        ELSE 'webp' END AS format,
-  COUNT(*) AS n_docs, SUM(n_bytes) AS total_bytes
+  COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
 FROM p GROUP BY 1
 """
 

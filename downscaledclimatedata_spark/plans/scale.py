@@ -96,7 +96,7 @@ def q53_udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udtf.register(
         "explode_words", udtf(ExplodeWords, returnType="word string, pos int"))
     return spark.sql("""
-        SELECT word, COUNT(*) AS n, SUM(pos) AS sum_pos
+        SELECT word, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS sum_pos
         FROM q53_docs, LATERAL explode_words(text)
         GROUP BY word
     """)
@@ -114,7 +114,7 @@ WITH s AS (
          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw_pos) - 1 AS pos
   FROM u WHERE word <> ''
 )
-SELECT word, COUNT(*) AS n, SUM(pos) AS sum_pos
+SELECT word, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS sum_pos
 FROM filtered GROUP BY word
 """
 
@@ -279,7 +279,7 @@ WITH sized AS (
                 - n_tokens) / {PACK_CAPACITY}) AS BIGINT) AS chunk_id
   FROM sized
 )
-SELECT source, chunk_id, COUNT(*) AS n_docs, SUM(n_tokens) AS chunk_tokens
+SELECT source, chunk_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
 FROM chunked GROUP BY source, chunk_id
 """
 
@@ -439,7 +439,7 @@ WITH t AS (
   FROM gated GROUP BY content_hash
 )
 SELECT source, COUNT(*) AS n_docs,
-  SUM(n_tokens) AS total_tokens,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
   MIN(quality) AS min_quality,
   MAX(quality) AS max_quality
 FROM kept GROUP BY source

@@ -142,7 +142,7 @@ SELECT
     AS window_start,
   event_type,
   COUNT(*) AS n_events,
-  SUM(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_milli
+  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
 FROM events
 GROUP BY 1, 2
 """
@@ -156,8 +156,11 @@ def q45_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans a single Expand + aggregation, so all resolutions share one
     scan and one shuffle."""
     ev = load_table(spark, sf_dir, "events")
+    # day as STRING: the rollup's subtotal rows carry NULL day, and a
+    # null date canonicalizes differently across engines in pandas
+    # (None vs NaT); null strings canonicalize identically
     keyed = ev.select(
-        F.to_date("ts").alias("day"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.expr("hour(ts) div 6").cast("int").alias("bucket6h"),
         F.floor(F.col("value") * 1000).cast("long").alias("v_milli"))
     return (keyed.rollup("day", "bucket6h")
@@ -166,10 +169,10 @@ def q45_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q45_SQL = """
-SELECT CAST(ts AS DATE) AS day,
+SELECT strftime(ts, '%Y-%m-%d') AS day,
   CAST(hour(ts) // 6 AS INT) AS bucket6h,
   COUNT(*) AS n_events,
-  SUM(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_milli
+  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
 FROM events
 GROUP BY ROLLUP(1, 2)
 """
