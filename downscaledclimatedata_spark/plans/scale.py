@@ -236,6 +236,68 @@ register(QuerySpec("q63_weighted_sample", q63_weighted_sample, _q63_sql(),
                    description="deterministic quality-weighted Bernoulli sampling (integer-exact accept rule)"))
 
 
+# --- q64: single-pass histogram quantiles ----------------------------------------
+
+HIST_BIN = 1.0  # bucket width in value units
+
+
+def q64_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from a fixed-width histogram in ONE pass —
+    the scale pattern for percentiles over 100 TB where a global sort
+    (exact percentile) or a mergeable sketch (t-digest/KLL, engine-
+    specific) is unavailable or non-deterministic. Error is bounded by
+    the bin width; the entire computation is integer counts plus one
+    final division, so the oracle is exact.
+
+    Plan: bucket = floor(value / w) (narrow), one aggregation to bucket
+    counts (shuffle carries #buckets rows), cumulative window over the
+    tiny bucket relation, then the smallest bucket covering each target
+    rank. The window runs over buckets, not rows — driver-scale data.
+    """
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    buckets = (ev.select(F.floor(F.col("value") / HIST_BIN).cast("long").alias("bucket"))
+               .groupBy("bucket").agg(F.count("*").alias("cnt")))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.withColumn("cum", F.sum("cnt").over(w))
+    # total as a broadcast 1-row relation (no driver-side count action)
+    total = ev.agg(F.count("*").alias("n"))
+    cum = cum.crossJoin(F.broadcast(total))
+    qs = [50, 95, 99]
+    out = None
+    for q in qs:
+        rank = F.expr(f"(n * {q} + 99) div 100")  # ceil(n*q/100), exact ints
+        hit = (cum.filter(F.col("cum") >= rank)
+               .orderBy("bucket").limit(1)
+               .select(F.lit(q).alias("q"), "bucket",
+                       (F.col("bucket").cast("double") * HIST_BIN).alias("approx_value")))
+        out = hit if out is None else out.unionAll(hit)
+    return out
+
+
+_Q64_SQL = f"""
+WITH b AS (
+  SELECT CAST(floor(value / {HIST_BIN}) AS BIGINT) AS bucket, COUNT(*) AS cnt
+  FROM events GROUP BY 1
+), c AS (
+  SELECT bucket, cnt,
+    SUM(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum
+  FROM b
+), t AS (SELECT COUNT(*) AS n FROM events),
+targets AS (SELECT UNNEST([50, 95, 99]) AS q)
+SELECT q, bucket, CAST(bucket AS DOUBLE) * {HIST_BIN} AS approx_value
+FROM targets, LATERAL (
+  SELECT bucket FROM c, t
+  WHERE cum >= -((-t.n * targets.q) // 100)
+  ORDER BY bucket LIMIT 1
+) hit
+"""
+
+
+register(QuerySpec("q64_histogram_quantile", q64_histogram_quantile, _Q64_SQL,
+                   description="single-pass fixed-bin histogram quantiles (p50/p95/p99), integer-exact"))
+
+
 # --- q59: sequence packing (concat-then-chunk) ----------------------------------
 
 PACK_CAPACITY = 512
