@@ -268,6 +268,82 @@ SELECT doc_id, term, tf, df, rnk FROM ranked WHERE rnk <= 5
 """
 
 
+# --- PMI collocations ---------------------------------------------------------
+
+def collocations(df: DataFrame, text_col: str, id_col: str,
+                 min_count: int = 5, k: int = 20) -> DataFrame:
+    """Top-k bigram collocations by a PMI-monotone integer score.
+
+    PMI = log(p(xy) / (p(x)p(y))) ranks identically to the exact integer
+    score n_xy * N_uni * 1_000_000 div (n_x * n_y) (log is monotone; the
+    div keeps everything in int64) — so the oracle is exact where a
+    log-based score would be 1-ulp-fragile cross-engine. Plan shape:
+    explode bigrams -> count (shuffle ∝ distinct bigrams), explode
+    unigrams -> count, two joins of bigram counts to unigram counts
+    (shuffle on term), global top-k (TakeOrdered). min_count prunes the
+    long tail BEFORE the joins — at 100 TB that's the difference between
+    joining billions vs millions of bigram rows.
+
+    int64 headroom: n_xy * n_total * 1e6 fits while n_xy * n_total <
+    ~9e12; for corpora beyond that, rank by the equivalent double
+    log-PMI (ordering there no longer needs cross-engine bit equality).
+    """
+    from downscaledclimatedata_spark.operators.dedup import shingles_of_tokens
+    toked = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+    bigrams = toked.select(F.explode(
+        shingles_of_tokens(F.col("_toks"), 2)).alias("bigram"))
+    uni = toked.select(F.explode("_toks").alias("term"))
+    n_uni = uni.agg(F.count("*").alias("n_total"))
+    uc = uni.groupBy("term").agg(F.count("*").alias("n_term"))
+    bc = (bigrams.groupBy("bigram").agg(F.count("*").alias("n_xy"))
+          .filter(F.col("n_xy") >= min_count)
+          .withColumn("x", F.substring_index("bigram", " ", 1))
+          .withColumn("y", F.substring_index("bigram", " ", -1)))
+    scored = (bc.join(uc.select(F.col("term").alias("x"),
+                                F.col("n_term").alias("n_x")), "x")
+              .join(uc.select(F.col("term").alias("y"),
+                              F.col("n_term").alias("n_y")), "y")
+              .crossJoin(F.broadcast(n_uni))
+              .select("bigram", "n_xy", "n_x", "n_y",
+                      F.expr("n_xy * n_total * 1000000 div (n_x * n_y)")
+                      .alias("pmi_score")))
+    return (scored.orderBy(F.col("pmi_score").desc(), F.col("bigram"))
+            .limit(k))
+
+
+def text_collocations_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return collocations(load_table_parallel(spark, sf_dir, "documents", key="doc_id"), "text", "doc_id")
+
+
+_TEXT_COLLOC_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+bi AS (
+  SELECT toks[i] || ' ' || toks[i+1] AS bigram
+  FROM t, LATERAL (SELECT UNNEST(range(1, greatest(len(toks) - 1, 0) + 1)) AS i) idx
+),
+uni AS (SELECT UNNEST(toks) AS term FROM t),
+n_uni AS (SELECT COUNT(*) AS n_total FROM uni),
+uc AS (SELECT term, COUNT(*) AS n_term FROM uni GROUP BY term),
+bc AS (
+  SELECT bigram, COUNT(*) AS n_xy,
+    string_split(bigram, ' ')[1] AS x, string_split(bigram, ' ')[2] AS y
+  FROM bi GROUP BY bigram HAVING COUNT(*) >= 5
+)
+SELECT bigram, n_xy, ux.n_term AS n_x, uy.n_term AS n_y,
+  CAST(n_xy * n_total * 1000000 // (ux.n_term * uy.n_term) AS BIGINT) AS pmi_score
+FROM bc
+JOIN uc ux ON ux.term = bc.x
+JOIN uc uy ON uy.term = bc.y
+CROSS JOIN n_uni
+ORDER BY pmi_score DESC, bigram
+LIMIT 20
+"""
+
+
+register(QuerySpec("text_collocations", text_collocations_query, _TEXT_COLLOC_SQL,
+                   description="top-k PMI bigram collocations via integer-exact PMI-monotone score"))
+
+
 # --- Gopher-style repetition / quality flags ---------------------------------
 
 def repetition_flags(df: DataFrame, text_col: str, id_col: str,

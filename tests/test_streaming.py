@@ -243,3 +243,40 @@ def test_incremental_neardup_across_batches(spark, tmp_path):
     assert (3, 1) in all_pairs, f"cross-batch near-dup missed: {seen}"
     assert all(p[0] not in (2, 4) for p in all_pairs), \
         f"unrelated docs flagged: {all_pairs}"
+
+
+def test_incremental_neardup_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across restarts: after draining batch 1 and stopping,
+    a restart on the same checkpoint processes ONLY newly arrived files —
+    batch-1 docs are not re-reported, and the index keeps accumulating."""
+    from downscaledclimatedata_spark.streaming.neardup import (
+        DOCS_SCHEMA, docs_stream, start_neardup_stream)
+    import os
+
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir, exist_ok=True)
+    shared = "an identical sentence repeated across separate ingest runs here"
+    b1 = spark.createDataFrame(
+        [(1, shared, "en", "web", len(shared))], DOCS_SCHEMA)
+    b1.toPandas().to_parquet(docs_dir + "/b1.parquet", index=False)
+
+    runs: list[tuple[int, set]] = []
+
+    def report(cands, epoch_id):
+        runs.append((epoch_id, {(r.new_id, r.match_id) for r in cands.collect()}))
+
+    index_dir, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+    q = start_neardup_stream(docs_stream(spark, docs_dir), index_dir, report, ckpt)
+    q.awaitTermination(120)
+    first_run_batches = len(runs)
+    assert first_run_batches >= 1 and all(not s for _, s in runs)
+
+    # second run, same checkpoint: only the new file is processed
+    b2 = spark.createDataFrame(
+        [(2, shared, "en", "web", len(shared))], DOCS_SCHEMA)
+    b2.toPandas().to_parquet(docs_dir + "/b2.parquet", index=False)
+    q = start_neardup_stream(docs_stream(spark, docs_dir), index_dir, report, ckpt)
+    q.awaitTermination(120)
+
+    new_pairs = set().union(*(s for _, s in runs[first_run_batches:]))
+    assert new_pairs == {(2, 1)}, f"restart should flag only (2,1): {runs}"
