@@ -35,6 +35,13 @@ def _tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
 
 
+def _safe_ratio(num: Column, den: Column) -> Column:
+    """num/den as double, 0.0 when den = 0 (ANSI mode raises on x/0;
+    empty documents are legal input)."""
+    return F.when(den > 0, num.cast("double") / den.cast("double")) \
+        .otherwise(F.lit(0.0))
+
+
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Whitespace + regex (BPE-ish) token counts and length stats."""
     toks = _tokens(F.col(text_col))
@@ -45,7 +52,7 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.regexp_count(F.col(text_col), F.lit(_WORD_RE)).alias("n_regex_tokens"),
         F.length(text_col).alias("n_chars"),
-        (total_len.cast("double") / F.size(toks).cast("double")).alias("avg_token_len"),
+        _safe_ratio(total_len, F.size(toks)).alias("avg_token_len"),
     )
 
 
@@ -56,8 +63,8 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     n_uniq = F.size(F.array_distinct(toks))
-    stop_ratio = n_stop.cast("double") / n.cast("double")
-    uniq_ratio = n_uniq.cast("double") / n.cast("double")
+    stop_ratio = _safe_ratio(n_stop, n)
+    uniq_ratio = _safe_ratio(n_uniq, n)
     len_score = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
     score = (F.lit(0.4) * len_score + F.lit(0.3) * uniq_ratio
              + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0)))
@@ -121,8 +128,10 @@ SELECT doc_id,
   len({_TOKS_SQL}) AS n_tokens,
   len(regexp_extract_all(text, '{_WORD_RE}')) AS n_regex_tokens,
   length(text) AS n_chars,
-  CAST(list_sum(list_transform({_TOKS_SQL}, x -> length(x))) AS DOUBLE)
-    / CAST(len({_TOKS_SQL}) AS DOUBLE) AS avg_token_len
+  CASE WHEN len({_TOKS_SQL}) > 0
+       THEN CAST(list_sum(list_transform({_TOKS_SQL}, x -> length(x))) AS DOUBLE)
+            / CAST(len({_TOKS_SQL}) AS DOUBLE)
+       ELSE 0.0 END AS avg_token_len
 FROM documents
 """
 
@@ -142,11 +151,13 @@ m AS (
   FROM t
 )
 SELECT doc_id, n_tokens,
-  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
-  CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS unique_ratio,
+  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       ELSE 0.0 END AS stopword_ratio,
+  CASE WHEN n_tokens > 0 THEN CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       ELSE 0.0 END AS unique_ratio,
   0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
-    + 0.3 * (CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-    + 0.3 * least((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 5, 1.0) AS quality_score
+    + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END)
+    + 0.3 * least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 5, 1.0) AS quality_score
 FROM m
 """
 
@@ -388,7 +399,7 @@ def repetition_flags(df: DataFrame, text_col: str, id_col: str,
         n.alias("n_tokens"),
         F.col("_top_cnt").alias("top_token_count"),
         F.col("_dup_bi").alias("dup_bigram_count"),
-        (F.col("_top_cnt").cast("double") / n.cast("double")).alias("top_token_frac"),
+        _safe_ratio(F.col("_top_cnt"), n).alias("top_token_frac"),
         (n < min_tokens).alias("flag_too_short"),
         (F.col("_top_cnt") * tt_den > n * tt_num).alias("flag_repetitive_token"),
         (F.col("_dup_bi") * db_den > F.size("_bi") * db_num).alias("flag_repetitive_bigram"),
@@ -421,7 +432,8 @@ SELECT doc_id,
   n AS n_tokens,
   top_cnt AS top_token_count,
   dup_bi AS dup_bigram_count,
-  CAST(top_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS top_token_frac,
+  CASE WHEN n > 0 THEN CAST(top_cnt AS DOUBLE) / CAST(n AS DOUBLE)
+       ELSE 0.0 END AS top_token_frac,
   n < 20 AS flag_too_short,
   top_cnt * 5 > n * 1 AS flag_repetitive_token,
   dup_bi * 10 > n_bi * 3 AS flag_repetitive_bigram

@@ -1,0 +1,77 @@
+"""Property tests: text operators vs independent pure-Python references
+on arbitrary generated text (including whitespace runs, empty/short docs,
+and high-repetition strings)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from downscaledclimatedata_spark.operators.textops import (
+    repetition_flags,
+    top_terms,
+)
+
+_WORD = st.sampled_from(["a", "bb", "ccc", "dog", "fox", "the", "x9"])
+_SEP = st.sampled_from([" ", "  ", "\t", " \t "])
+_TEXT = st.builds(
+    lambda words, seps: "".join(w + s for w, s in zip(words, seps + [" "])),
+    st.lists(_WORD, min_size=0, max_size=12),
+    st.lists(_SEP, min_size=0, max_size=11),
+).map(lambda s: s.strip("\x00"))
+
+_CORPUS = st.lists(_TEXT, min_size=1, max_size=8)
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text.lower()) if t]
+
+
+def _py_flags(text: str):
+    toks = _py_tokens(text)
+    n = len(toks)
+    top = max(Counter(toks).values()) if toks else 0
+    bis = [" ".join(toks[i:i + 2]) for i in range(n - 1)] if n >= 2 else []
+    dup = len(bis) - len(set(bis))
+    return (n, top, dup, n < 20, top * 5 > n, dup * 10 > len(bis) * 3)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_CORPUS)
+def test_repetition_flags_match_python(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.top_token_count, r.dup_bigram_count,
+                      r.flag_too_short, r.flag_repetitive_token,
+                      r.flag_repetitive_bigram)
+           for r in repetition_flags(df, "text", "doc_id").collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _py_flags(t), f"doc {i!r}: {t!r}"
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_CORPUS)
+def test_top_terms_match_python(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = top_terms(df, "text", "doc_id", k=3).collect()
+    # python reference: tf per (doc, term); df = docs containing term
+    tf: dict[tuple[int, str], int] = {}
+    for i, t in enumerate(texts):
+        for term, c in Counter(_py_tokens(t)).items():
+            tf[(i, term)] = c
+    dfreq = Counter(term for (_i, term) in tf)
+    by_doc: dict[int, list] = {}
+    for (i, term), c in tf.items():
+        by_doc.setdefault(i, []).append((-c, dfreq[term], term))
+    want = {}
+    for i, lst in by_doc.items():
+        for rnk, (negtf, d, term) in enumerate(sorted(lst)[:3], start=1):
+            want[(i, rnk)] = (term, -negtf, d)
+    got = {(r.doc_id, r.rnk): (r.term, r.tf, r.df) for r in rows}
+    assert got == want
