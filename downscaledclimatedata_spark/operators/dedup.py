@@ -264,7 +264,7 @@ def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_EXACT_SQL = rf"""
 WITH normed AS (
   SELECT doc_id,
-    array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')[1:5], ' ') AS norm_text
+    coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')[1:5], ' '), '') AS norm_text
   FROM documents
 )
 SELECT {md5_long_sql('norm_text')} AS content_hash,
@@ -618,7 +618,9 @@ def levenshtein_pairs(df: DataFrame, text_col: str, id_col: str,
     edit distance in both Spark and DuckDB, so distances are exactly
     comparable.
     """
-    first_tok = F.element_at(tokens(F.col(text_col)), 1)
+    # try_element_at: a 0-token doc has no first token (plain element_at
+    # raises under ANSI); NULL coalesces to '' below
+    first_tok = F.try_element_at(tokens(F.col(text_col)), F.lit(1))
     pref = df.select(
         F.col(id_col), F.col(block_col).alias("blk"),
         F.substring(F.col(text_col), 1, prefix_len).alias("p"),

@@ -198,7 +198,7 @@ def text_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TEXT_FINGERPRINT_SQL = f"""
-SELECT doc_id, {md5_long_sql(f"array_to_string({_TOKS_SQL}, ' ')")} AS fingerprint
+SELECT doc_id, {md5_long_sql(f"coalesce(array_to_string({_TOKS_SQL}, ' '), '')")} AS fingerprint
 FROM documents
 """
 

@@ -439,7 +439,8 @@ def q55_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     and only min/max (order-independent) aggregate it.
     """
     from downscaledclimatedata_spark.functions.hashing import md5_long
-    from downscaledclimatedata_spark.operators.textops import STOPWORDS, _tokens
+    from downscaledclimatedata_spark.operators.textops import (
+        STOPWORDS, _safe_ratio, _tokens)
 
     docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
     toks = _tokens(F.col("text"))
@@ -448,9 +449,8 @@ def q55_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     n_uniq = F.size(F.array_distinct(toks))
     score = (F.lit(0.4) * F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
-             + F.lit(0.3) * (n_uniq.cast("double") / n.cast("double"))
-             + F.lit(0.3) * F.least((n_stop.cast("double") / n.cast("double")) * 5,
-                                    F.lit(1.0)))
+             + F.lit(0.3) * _safe_ratio(n_uniq, n)
+             + F.lit(0.3) * F.least(_safe_ratio(n_stop, n) * 5, F.lit(1.0)))
     scored = (docs.filter(F.col("lang") == "en")
               .select("doc_id", "source",
                       md5_long(F.concat_ws(" ", toks)).alias("content_hash"),
@@ -478,7 +478,7 @@ WITH t AS (
   SELECT doc_id, source, {toks} AS toks FROM documents WHERE lang = 'en'
 ), m AS (
   SELECT doc_id, source,
-    {md5_long_sql("array_to_string(toks, ' ')")} AS content_hash,
+    {md5_long_sql("coalesce(array_to_string(toks, ' '), '')")} AS content_hash,
     len(toks) AS n_tokens,
     len(list_filter(toks, x -> list_contains({stop_list}, x))) AS n_stop,
     len(list_distinct(toks)) AS n_uniq
@@ -486,8 +486,12 @@ WITH t AS (
 ), scored AS (
   SELECT doc_id, source, content_hash, n_tokens,
     0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
-      + 0.3 * (CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-      + 0.3 * least((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 5, 1.0)
+      + 0.3 * (CASE WHEN n_tokens > 0
+               THEN CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               ELSE 0.0 END)
+      + 0.3 * least((CASE WHEN n_tokens > 0
+                     THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                     ELSE 0.0 END) * 5, 1.0)
       AS quality
   FROM m
 ), gated AS (
