@@ -88,6 +88,9 @@ def cosine_topk_quantized(emb: DataFrame, id_col: str = "vec_id",
     from pyspark.sql import Window
     base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("q"),
                       sq_norm(quantize(F.col(vec_col))).alias("n2"))
+    # zero-norm vectors have no defined cosine (and ANSI mode raises on
+    # the 0.0 division) -> excluded from both sides, mirrored in the oracle
+    base = base.filter(F.col("n2") > 0)
     queries = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
                .select(F.col(id_col).alias("query_id"), F.col("q").alias("qq"),
                        F.col("n2").alias("qn2")))
@@ -119,6 +122,7 @@ def cosine_topk_float(emb: DataFrame, id_col: str = "vec_id",
         F.col(id_col), vec.alias("v"),
         F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x),
                            F.lit(0.0), lambda a, x: a + x)).alias("norm"))
+    base = base.filter(F.col("norm") > 0)  # zero-norm: no defined cosine
     queries = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
                .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
                        F.col("norm").alias("qnorm")))
@@ -182,6 +186,7 @@ def lsh_topk(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
         F.col(id_col), F.col("bucket_id"),
         quantize(F.col(vec_col)).alias("qv"),
         sq_norm(quantize(F.col(vec_col))).alias("n2"))
+    base = base.filter(F.col("n2") > 0)  # zero-norm: no defined cosine
     queries = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
                .select(F.col(id_col).alias("query_id"), F.col("bucket_id"),
                        F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
@@ -220,6 +225,7 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
         F.col(id_col), F.col("bucket_id"),
         quantize(F.col(vec_col)).alias("qv"),
         sq_norm(quantize(F.col(vec_col))).alias("n2"))
+    base = base.filter(F.col("n2") > 0)  # zero-norm: no defined cosine
     a = base.select(F.col(id_col).alias("vec_a"), F.col("bucket_id"),
                     F.col("qv").alias("qa"), F.col("n2").alias("na"))
     b = base.select(F.col(id_col).alias("vec_b"), F.col("bucket_id"),
@@ -276,7 +282,8 @@ def ivf_topk(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     base = (emb.join(assign, id_col)
             .select(F.col(id_col), F.col("cid"),
                     quantize(F.col(vec_col)).alias("qv"),
-                    sq_norm(quantize(F.col(vec_col))).alias("n2")))
+                    sq_norm(quantize(F.col(vec_col))).alias("n2"))
+            .filter(F.col("n2") > 0))  # zero-norm: no defined cosine
     queries = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
                .select(F.col(id_col).alias("query_id"), F.col("cid"),
                        F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
@@ -329,10 +336,11 @@ def ivf_topk_multiprobe(emb: DataFrame, id_col: str = "vec_id",
               .filter(_fixed_sample(id_col, query_mod, n_queries)
                       & (F.col("rn") <= nprobe))
               .select(F.col(id_col).alias("query_id"), "cid"))
-    corpus = (base.join(assign, id_col)
+    nz = base.filter(F.col("n2") > 0)  # zero-norm: no defined cosine
+    corpus = (nz.join(assign, id_col)
               .select(F.col(id_col).alias("match_id"), "cid",
                       F.col("qv").alias("cq"), F.col("n2").alias("mn2")))
-    queries = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
+    queries = (nz.filter(_fixed_sample(id_col, query_mod, n_queries))
                .select(F.col(id_col).alias("query_id"),
                        F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
     qprobe = probes.join(queries, "query_id")
@@ -360,11 +368,11 @@ _QVEC_SQL = f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUA
 _SIM_TOPK_SQL = f"""
 WITH q AS (
   SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings
-), base AS (
+), base0 AS (
   SELECT vec_id, qv,
     CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS DOUBLE) AS n2
   FROM q
-), scored AS (
+), base AS (SELECT * FROM base0 WHERE n2 > 0), scored AS (
   SELECT qs.vec_id AS query_id, c.vec_id AS match_id,
     CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qs.qv[i] * c.qv[i])) AS DOUBLE)
       / (sqrt(qs.n2) * sqrt(c.n2)) AS cosine
@@ -418,10 +426,10 @@ _SIM_FLOAT_SQL = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
   FROM embeddings
-), base AS (
+), base0 AS (
   SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS norm
   FROM v
-), scored AS (
+), base AS (SELECT * FROM base0 WHERE norm > 0), scored AS (
   SELECT qs.vec_id AS query_id, c.vec_id AS match_id,
     list_sum(list_transform(range(1, {DIM + 1}), i -> qs.dv[i] * c.dv[i]))
       / (qs.norm * c.norm) AS cosine
@@ -443,11 +451,11 @@ def similarity_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIM_LSH_TOPK_SQL = f"""
 WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
-assigned AS (
+assigned0 AS (
   SELECT vec_id, qv, {_planes_sql()} AS bucket_id,
     CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS DOUBLE) AS n2
   FROM q
-), scored AS (
+), assigned AS (SELECT * FROM assigned0 WHERE n2 > 0), scored AS (
   SELECT qs.vec_id AS query_id, c.vec_id AS match_id,
     CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qs.qv[i] * c.qv[i])) AS DOUBLE)
       / (sqrt(qs.n2) * sqrt(c.n2)) AS cosine
@@ -470,11 +478,11 @@ def dedup_embedding_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_EMB_SQL = f"""
 WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
-assigned AS (
+assigned0 AS (
   SELECT vec_id, qv, {_planes_sql()} AS bucket_id,
     CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS DOUBLE) AS n2
   FROM q
-)
+), assigned AS (SELECT * FROM assigned0 WHERE n2 > 0)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
   CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
     / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
@@ -510,6 +518,7 @@ base AS (
 ), assigned AS (
   SELECT b.vec_id, a.cid, b.qv, b.n2
   FROM base b JOIN assign_scored a ON a.vec_id = b.vec_id AND a.rn = 1
+  WHERE b.in2 > 0
 ), scored AS (
   SELECT qs.vec_id AS query_id, c.vec_id AS match_id,
     CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qs.qv[i] * c.qv[i])) AS DOUBLE)
@@ -710,6 +719,7 @@ base AS (
 ), assigned AS (
   SELECT b.vec_id, a.cid, b.qv, b.n2
   FROM base b JOIN assign_scored a ON a.vec_id = b.vec_id AND a.rn = 1
+  WHERE b.in2 > 0
 ), probes AS (
   SELECT vec_id AS query_id, cid FROM assign_scored
   WHERE {_fixed_sample_sql('vec_id', QUERY_MOD, N_QUERIES)} AND rn <= {NPROBE}
@@ -718,7 +728,7 @@ base AS (
     CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qs.qv[i] * c.qv[i])) AS DOUBLE)
       / (sqrt(qs.n2) * sqrt(c.n2)) AS cosine
   FROM probes p
-  JOIN base qs ON qs.vec_id = p.query_id
+  JOIN base qs ON qs.vec_id = p.query_id AND qs.in2 > 0
   JOIN assigned c ON c.cid = p.cid AND c.vec_id <> p.query_id
 ), ranked AS (
   SELECT query_id, match_id, cosine,
