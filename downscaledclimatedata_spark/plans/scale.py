@@ -301,6 +301,11 @@ register(QuerySpec("q64_histogram_quantile", q64_histogram_quantile, _Q64_SQL,
 # --- q59: sequence packing (concat-then-chunk) ----------------------------------
 
 PACK_CAPACITY = 512
+# Phase-1 parallel unit: docs per packing block. Parallel width of the
+# running sum is ~(corpus size / PACK_BLOCK) tasks instead of one task per
+# source; the per-block offset relation has corpus/PACK_BLOCK rows, so
+# raise PACK_BLOCK at very large scale to keep that relation broadcastable.
+PACK_BLOCK = 512
 
 
 def q59_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,21 +313,49 @@ def q59_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the concat-then-chunk packing used to build training sequences.
 
     chunk_id = floor(start_offset / C) where start_offset is the running
-    token count BEFORE the doc (one window per source, ordered by doc_id).
-    One shuffle on source; at 100 TB the running sum is the only
-    order-dependent step and stays inside a single window operator.
+    token count BEFORE the doc in (source, doc_id) order.
+
+    Two-phase prefix sum, so the order-dependent step is NOT one task per
+    source (which at 100 TB would funnel each source's entire token stream
+    through a single window task):
+
+    1. block = doc_id div PACK_BLOCK. Running sum within (source, block)
+       — parallel width ∝ number of blocks, each window task bounded by
+       PACK_BLOCK rows.
+    2. Per-block token totals (one row per (source, block) — a tiny
+       relation) get an exclusive running sum over blocks within each
+       source; that per-source window runs over blocks, not docs.
+       Broadcast the offsets back and shift: start_offset = block_offset
+       + local_before. Identical answer to the single-window form, which
+       is exactly what the oracle checks.
+
+    The narrow sized relation (4 small columns) is localCheckpoint'd so
+    tokenization runs once, not once per phase.
     """
     from downscaledclimatedata_spark.operators.textops import _tokens
     from pyspark.sql import Window
     docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
-    sized = docs.select("doc_id", "source",
-                        F.size(_tokens(F.col("text"))).alias("n_tokens"))
-    w = (Window.partitionBy("source").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    chunked = sized.select(
-        "source", "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
-                / PACK_CAPACITY).alias("chunk_id"))
+    sized = docs.select(
+        "doc_id", "source",
+        F.expr(f"doc_id DIV {PACK_BLOCK}").alias("block"),
+        F.size(_tokens(F.col("text"))).alias("n_tokens")).localCheckpoint()
+    # phase 1: running sum within (source, block) — bounded-size partitions
+    wb = (Window.partitionBy("source", "block").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = sized.withColumn(
+        "local_before", F.sum("n_tokens").over(wb) - F.col("n_tokens"))
+    # phase 2: exclusive running offsets over the tiny per-block relation
+    wo = (Window.partitionBy("source").orderBy("block")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (sized.groupBy("source", "block")
+               .agg(F.sum("n_tokens").alias("block_total"))
+               .select("source", "block",
+                       F.coalesce(F.sum("block_total").over(wo), F.lit(0))
+                       .alias("block_offset")))
+    chunked = (local.join(F.broadcast(offsets), ["source", "block"])
+               .select("source", "n_tokens",
+                       F.floor((F.col("block_offset") + F.col("local_before"))
+                               / PACK_CAPACITY).alias("chunk_id")))
     return (chunked.groupBy("source", "chunk_id")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("chunk_tokens")))

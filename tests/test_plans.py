@@ -111,6 +111,21 @@ def test_repetition_flags_single_scan_no_shuffle_agg(spark):
     assert "HashAggregate" not in plan
 
 
+def test_q59_packing_window_is_blocked(spark):
+    """The doc-level running sum must partition by (source, block), never
+    by source alone — a source-only window is one task per source at
+    100 TB. The only source-only window allowed is the per-block offset
+    roll-up, which orders by block (tiny relation), not doc_id."""
+    import re
+    plan = _plan(spark, "q59_sequence_packing")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window operators in the packing plan"
+    doc_windows = [s for s in specs if "doc_id#" in s]
+    assert doc_windows, "expected a doc-ordered running-sum window"
+    for s in doc_windows:
+        assert "block#" in s, f"doc-level window not blocked: {s}"
+
+
 def test_similarity_query_set_is_bounded(spark):
     """The broadcast side must carry the fixed-size query predicate
     (id < spacing*count), not a corpus-fraction modulus alone."""
