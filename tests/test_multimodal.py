@@ -4,13 +4,20 @@ determinism) are real even though the decoders are stubs."""
 from __future__ import annotations
 
 from downscaledclimatedata_spark.operators.multimodal import (
+    DIM_H_MOD,
+    DIM_W_MOD,
     FEATURE_DIM,
     FRAME_SIZE,
     FRAME_STRIDE,
     MAX_FRAMES,
+    decode_image_headers,
     decode_payloads,
     extract_features,
+    make_jpeg,
+    make_png,
+    parse_image_header,
     sample_frames,
+    synthesize_image_payloads,
     with_binary_payload,
 )
 from downscaledclimatedata_spark.sources.tables import load_table
@@ -62,6 +69,68 @@ def test_feature_extraction_deterministic(spark):
     a = {r.doc_id: r.feature for r in extract_features(docs).collect()}
     b = {r.doc_id: r.feature for r in extract_features(docs).collect()}
     assert a == b
+
+
+def test_parse_png_header_real_bytes():
+    blob = make_png(123, 45)
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    assert parse_image_header(blob) == ("png", 123, 45)
+    # a PNG must survive trailing garbage (parsers read IHDR, not length)
+    assert parse_image_header(blob + b"\x00garbage") == ("png", 123, 45)
+
+
+def test_parse_png_is_zlib_valid():
+    """The synthesized PNG is a complete spec-valid file: the IDAT stream
+    must decompress to height filter-prefixed rows of width bytes."""
+    import struct
+    import zlib
+    blob = make_png(20, 7)
+    # locate IDAT chunk: length(4) type(4) data crc(4) layout after IHDR
+    idx = blob.index(b"IDAT")
+    (length,) = struct.unpack(">I", blob[idx - 4:idx])
+    raw = zlib.decompress(blob[idx + 4:idx + 4 + length])
+    assert len(raw) == 7 * (20 + 1)
+
+
+def test_parse_jpeg_header_walks_segments():
+    blob = make_jpeg(640, 480)
+    # make_jpeg inserts a COM segment before SOF0, so a naive fixed-offset
+    # reader would fail — the parser must walk marker segments
+    assert blob[2:4] == b"\xff\xe0" and b"\xff\xfe" in blob
+    assert parse_image_header(blob) == ("jpeg", 640, 480)
+
+
+def test_parse_rejects_corrupt_payloads():
+    assert parse_image_header(b"") == ("unknown", None, None)
+    assert parse_image_header(b"not an image at all") == ("unknown", None, None)
+    assert parse_image_header(make_png(9, 9)[:15]) == ("unknown", None, None)
+    # JPEG SOI but no SOF anywhere
+    assert parse_image_header(b"\xff\xd8\xff\xd9") == ("unknown", None, None)
+
+
+def test_image_decode_end_to_end(spark):
+    """Synthesize real bytes in one mapInPandas, parse dims back out of
+    the bytes in another; every row must match the doc_id formula."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    decoded = decode_image_headers(synthesize_image_payloads(docs)).collect()
+    assert len(decoded) == 40
+    for r in decoded:
+        d = abs(r.doc_id)
+        assert r.format == ("png" if d % 2 == 0 else "jpeg")
+        assert r.width == 16 + d % DIM_W_MOD
+        assert r.height == 16 + d % DIM_H_MOD
+
+
+def test_image_decode_tolerates_corrupt_rows(spark):
+    """Row-level tolerance: a corrupt payload yields ('unknown', NULL,
+    NULL) instead of failing the batch."""
+    rows = [(1, bytearray(make_png(33, 44))), (2, bytearray(b"\x00\x01junk")),
+            (3, bytearray(make_jpeg(55, 66)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_image_headers(df).collect()}
+    assert (out[1].format, out[1].width, out[1].height) == ("png", 33, 44)
+    assert (out[2].format, out[2].width, out[2].height) == ("unknown", None, None)
+    assert (out[3].format, out[3].width, out[3].height) == ("jpeg", 55, 66)
 
 
 def test_decode_deterministic_dims(spark):
