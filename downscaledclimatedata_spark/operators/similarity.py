@@ -649,6 +649,183 @@ register(QuerySpec("similarity_kmeans_refine", similarity_kmeans_query,
                    description="one Lloyd's k-means codebook refinement, exact-mean checksummed"))
 
 
+# --- refined IVF: k-means codebook wired into the search path -------------------
+
+KMEANS_SEARCH_ITERS = 2
+
+
+def ivf_topk_refined(emb: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding", k: int = TOP_K,
+                     query_mod: int = QUERY_MOD, n_queries: int = N_QUERIES,
+                     centroid_mod: int = CENTROID_MOD,
+                     n_centroids: int = N_CENTROIDS,
+                     n_iter: int = KMEANS_SEARCH_ITERS) -> DataFrame:
+    """IVF ANN search against a Lloyd's-REFINED codebook (nprobe=1).
+
+    ``ivf_topk`` assigns against the raw fixed-sample codebook; this
+    variant first refines it with ``n_iter`` k-means rounds
+    (``kmeans_refine``), then builds the inverted lists by nearest
+    refined centroid and searches within the query's list. Same join
+    shape and scale properties as ``ivf_topk`` — the refinement passes
+    are each broadcast-argmin + (cid, pos) aggregation, so the codebook
+    build stays linear in the corpus.
+
+    Determinism: refined centroid components are exact integer sums
+    divided once (bit-identical across engines); the assignment distance
+    is a fixed-order double fold with ties broken by cid; the search
+    cosine is exact integer arithmetic.
+    """
+    from pyspark.sql import Window
+    cents = (kmeans_refine(emb, id_col, vec_col, n_iter,
+                           centroid_mod, n_centroids)
+             .select("cid", F.col("centroid").alias("cv")))
+    cn2 = F.aggregate(F.zip_with(F.col("cv"), F.col("cv"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    c = cents.select("cid", "cv", cn2.alias("cn2"))
+    base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
+    base = base.withColumn("dv", F.transform("qv", lambda x: x.cast("double")))
+    vn2 = F.aggregate(F.zip_with(F.col("dv"), F.col("dv"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    dot = F.aggregate(F.zip_with(F.col("dv"), F.col("cv"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    scored = (base.crossJoin(F.broadcast(c))
+              .select(F.col(id_col), "cid", "qv",
+                      (vn2 + F.col("cn2") - 2 * dot).alias("dist")))
+    w = Window.partitionBy(id_col).orderBy("dist", "cid")
+    assigned = (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).select(id_col, "cid", "qv"))
+    withn = (assigned.withColumn("n2", sq_norm(F.col("qv")))
+             .filter(F.col("n2") > 0))  # zero-norm: no defined cosine
+    queries = (withn.filter(_fixed_sample(id_col, query_mod, n_queries))
+               .select(F.col(id_col).alias("query_id"), "cid",
+                       F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
+    corpus = withn.select(F.col(id_col).alias("match_id"), "cid",
+                          F.col("qv").alias("cq"), F.col("n2").alias("mn2"))
+    searched = (corpus.join(F.broadcast(queries), "cid")
+                .filter(F.col("match_id") != F.col("query_id"))
+                .select("query_id", "match_id",
+                        (int_dot(F.col("qq"), F.col("cq")).cast("double")
+                         / (F.sqrt(F.col("qn2").cast("double"))
+                            * F.sqrt(F.col("mn2").cast("double")))).alias("cosine")))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col("match_id"))
+    return (searched.withColumn("rnk", F.row_number().over(w2))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "match_id", "cosine", "rnk"))
+
+
+def similarity_ivf_refined_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the refined-IVF path: per query, how many of the
+    exact brute-force top-k survive in the refined-IVF top-k. The entire
+    pipeline (2 Lloyd's rounds -> inverted lists -> list-local search ->
+    set overlap vs ground truth) is mirrored in the oracle, so a green
+    row certifies the refinement math end-to-end, not just row counts."""
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    truth = cosine_topk_quantized(emb).select("query_id", "match_id")
+    approx = (ivf_topk_refined(emb)
+              .select("query_id", "match_id", F.lit(1).alias("hit")))
+    joined = truth.join(approx, ["query_id", "match_id"], "left")
+    return (joined.groupBy("query_id")
+            .agg(F.count("*").alias("n_truth"),
+                 F.count("hit").alias("n_overlap"),
+                 (F.count("hit").cast("double") / F.count("*").cast("double"))
+                 .alias("recall"))
+            .orderBy("query_id"))
+
+
+def _refined_ivf_sql() -> str:
+    dim1 = DIM + 1
+
+    def iteration(i: int) -> str:
+        return f"""cw{i} AS (
+  SELECT cid, cv, list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM cents{i}
+), a{i} AS (
+  SELECT b.vec_id, c.cid, b.qv,
+    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+      b.vn2 + c.cn2
+        - 2 * list_sum(list_transform(range(1, {dim1}), j -> b.dv[j] * c.cv[j])),
+      c.cid) AS rn
+  FROM based b CROSS JOIN cw{i} c
+), mm{i} AS (
+  SELECT cid, pos, CAST(SUM(comp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+  FROM (SELECT cid, generate_subscripts(qv, 1) AS pos, unnest(qv) AS comp
+        FROM a{i} WHERE rn = 1) x
+  GROUP BY cid, pos
+), cents{i + 1} AS (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM mm{i} GROUP BY cid
+)"""
+
+    n = KMEANS_SEARCH_ITERS
+    iters = ",\n".join(iteration(i) for i in range(n))
+    return f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+based AS (
+  SELECT vec_id, qv,
+    list_transform(qv, x -> CAST(x AS DOUBLE)) AS dv,
+    list_sum(list_transform(list_transform(qv, x -> CAST(x AS DOUBLE)),
+                            x -> x * x)) AS vn2
+  FROM q
+), cents0 AS (
+  SELECT vec_id AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
+  FROM q WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, N_CENTROIDS)}
+),
+{iters},
+cwf AS (
+  SELECT cid, cv, list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM cents{n}
+), af AS (
+  SELECT b.vec_id, c.cid, b.qv,
+    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+      b.vn2 + c.cn2
+        - 2 * list_sum(list_transform(range(1, {dim1}), j -> b.dv[j] * c.cv[j])),
+      c.cid) AS rn
+  FROM based b CROSS JOIN cwf c
+), nz AS (
+  SELECT vec_id, cid, qv,
+    CAST(list_sum(list_transform(range(1, {dim1}), j -> qv[j] * qv[j])) AS DOUBLE) AS n2
+  FROM af WHERE rn = 1
+    AND list_sum(list_transform(range(1, {dim1}), j -> qv[j] * qv[j])) > 0
+), ivf_scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS match_id,
+    CAST(list_sum(list_transform(range(1, {dim1}), j -> qs.qv[j] * c.qv[j])) AS DOUBLE)
+      / (sqrt(qs.n2) * sqrt(c.n2)) AS cosine
+  FROM nz qs JOIN nz c ON c.cid = qs.cid AND c.vec_id <> qs.vec_id
+  WHERE {_fixed_sample_sql('qs.vec_id', QUERY_MOD, N_QUERIES)}
+), ivf AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rnk
+    FROM ivf_scored) r WHERE rnk <= {TOP_K}
+), bfbase AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(range(1, {dim1}), j -> qv[j] * qv[j])) AS DOUBLE) AS n2
+  FROM q
+  WHERE list_sum(list_transform(range(1, {dim1}), j -> qv[j] * qv[j])) > 0
+), bf_scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS match_id,
+    CAST(list_sum(list_transform(range(1, {dim1}), j -> qs.qv[j] * c.qv[j])) AS DOUBLE)
+      / (sqrt(qs.n2) * sqrt(c.n2)) AS cosine
+  FROM bfbase qs JOIN bfbase c ON c.vec_id <> qs.vec_id
+  WHERE {_fixed_sample_sql('qs.vec_id', QUERY_MOD, N_QUERIES)}
+), bf AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rnk
+    FROM bf_scored) r WHERE rnk <= {TOP_K}
+)
+SELECT bf.query_id, COUNT(*) AS n_truth,
+  CAST(COUNT(ivf.match_id) AS BIGINT) AS n_overlap,
+  CAST(COUNT(ivf.match_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM bf LEFT JOIN ivf
+  ON ivf.query_id = bf.query_id AND ivf.match_id = bf.match_id
+GROUP BY bf.query_id ORDER BY bf.query_id
+"""
+
+
+register(QuerySpec("similarity_ivf_refined", similarity_ivf_refined_query,
+                   _refined_ivf_sql(),
+                   description=f"IVF search against a {KMEANS_SEARCH_ITERS}-round Lloyd's-refined codebook, recall@k vs exact top-k"))
+
+
 # --- label centroids: the codebook-building aggregate ---------------------------
 
 def label_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,3 +58,50 @@ def test_kmeans_refinement_reduces_distortion(spark):
     d1 = distortion(kmeans_refine(emb, n_iter=1))
     d3 = distortion(kmeans_refine(emb, n_iter=3))
     assert d3 <= d1 + 1e-6, f"distortion increased: {d1} -> {d3}"
+
+
+def test_refined_ivf_recall_gate(spark):
+    """The refined-codebook IVF search must keep a usable fraction of
+    the exact top-k (nprobe=1, 16 lists; observed 0.68-0.76 on the
+    synthetic tables — the floor leaves margin for regeneration) and its
+    inverted lists must partition the corpus exactly (every vector in
+    exactly one list)."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        cosine_topk_quantized, ivf_topk_refined)
+    from downscaledclimatedata_spark.sources.tables import load_table_parallel
+
+    emb = load_table_parallel(spark, SF_CORRECTNESS, "embeddings",
+                              key="vec_id")
+    truth = {(r.query_id, r.match_id)
+             for r in cosine_topk_quantized(emb).collect()}
+    approx = {(r.query_id, r.match_id)
+              for r in ivf_topk_refined(emb).collect()}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"refined-IVF recall@k collapsed: {recall:.3f}"
+
+
+def test_refined_ivf_lists_partition_corpus(spark):
+    """Assignment argmin (rn=1) must place every vector in exactly one
+    refined inverted list — no drops, no duplicates."""
+    from pyspark.sql import Window
+    from downscaledclimatedata_spark.operators.similarity import (
+        kmeans_refine, quantize)
+    from downscaledclimatedata_spark.sources.tables import load_table_parallel
+
+    emb = load_table_parallel(spark, SF_CORRECTNESS, "embeddings",
+                              key="vec_id")
+    cents = (kmeans_refine(emb, n_iter=2)
+             .select("cid", F.col("centroid").alias("cv")))
+    base = emb.select("vec_id", quantize(F.col("embedding")).alias("qv")) \
+        .withColumn("dv", F.transform("qv", lambda x: x.cast("double")))
+    dist = F.aggregate(
+        F.zip_with(F.col("dv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, x: a + x)
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    assigned = (base.crossJoin(F.broadcast(cents))
+                .select("vec_id", "cid", dist.alias("dist"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1))
+    n_vecs = emb.count()
+    assert assigned.count() == n_vecs
+    assert assigned.select("vec_id").distinct().count() == n_vecs
