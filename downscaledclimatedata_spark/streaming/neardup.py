@@ -79,28 +79,86 @@ def batch_neardup_candidates(batch: DataFrame, index: DataFrame | None,
     return candidates, bands
 
 
+_COMPACT_TMP_SUFFIX = "__compacting"
+
+
+def _fs_path(spark: SparkSession, p: str):
+    """(Path, FileSystem) for any Hadoop-FS URI."""
+    hp = spark._jvm.org.apache.hadoop.fs.Path(p)
+    return hp, hp.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _load_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The stored band index, or None only when it genuinely doesn't
+    exist yet. Existence is checked explicitly instead of catching
+    exceptions around the read, so a transient read failure (object-store
+    hiccup, corrupt footer, permissions) PROPAGATES and the stream
+    retries the batch — silently treating it as an empty index would
+    permanently and invisibly drop every candidate this batch should
+    have matched.
+
+    Recovery: if a compaction crashed between swap steps, the finished
+    compacted tmp dir is promoted before reading.
+    """
+    hp, fs = _fs_path(spark, index_dir)
+    tmp_p, _ = _fs_path(spark, index_dir.rstrip("/") + _COMPACT_TMP_SUFFIX)
+    if not fs.exists(hp):
+        if fs.exists(tmp_p):  # crashed after delete, before rename
+            fs.rename(tmp_p, hp)
+        else:
+            return None
+    return spark.read.parquet(index_dir)
+
+
+def compact_index(spark: SparkSession, index_dir: str,
+                  target_bytes: int | None = None) -> None:
+    """Rewrite the append-only band index into few band_hash-sorted files.
+
+    The foreachBatch append adds one small file per micro-batch forever;
+    without this the index read slows linearly with stream age. Sorting
+    by band_hash makes row-group min/max stats selective for the band
+    equi-join's key. Swap order (write tmp -> delete old -> rename tmp)
+    plus the ``_load_index`` tmp-promotion fallback keeps every crash
+    window recoverable. Single-writer by construction: called from the
+    stream's own foreachBatch.
+    """
+    from downscaledclimatedata_spark.operators.maintenance import (
+        DEFAULT_TARGET_BYTES, compact_parquet)
+    tmp = index_dir.rstrip("/") + _COMPACT_TMP_SUFFIX
+    compact_parquet(spark, index_dir, tmp,
+                    target_bytes=target_bytes or DEFAULT_TARGET_BYTES,
+                    sort_cols=["band_hash"])
+    hp, fs = _fs_path(spark, index_dir)
+    tmp_p, _ = _fs_path(spark, tmp)
+    fs.delete(hp, True)
+    fs.rename(tmp_p, hp)
+
+
 def start_neardup_stream(stream: DataFrame, index_dir: str,
                          report, checkpoint_dir: str,
                          text_col: str = "text", id_col: str = "doc_id",
-                         available_now: bool = True):
+                         available_now: bool = True,
+                         compact_every: int | None = 16):
     """foreachBatch sink maintaining the band index and reporting
     candidates per micro-batch via ``report(candidates_df, epoch_id)``.
 
     ``available_now=True`` drains the backlog then stops (catch-up mode);
-    pass False for a continuous trigger.
+    pass False for a continuous trigger. Every ``compact_every`` epochs
+    the index is compacted in place (None disables), bounding its file
+    count at ~compact_every + compacted-file count regardless of stream
+    age.
     """
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            index = spark.read.parquet(index_dir)
-        except Exception:  # first batch: no index yet
-            index = None
+        index = _load_index(spark, index_dir)
         candidates, bands = batch_neardup_candidates(
             batch_df, index, text_col, id_col)
         # report BEFORE appending so a doc never matches itself via its
         # own just-written bands
         report(candidates, epoch_id)
         bands.write.mode("append").parquet(index_dir)
+        if compact_every and (epoch_id + 1) % compact_every == 0:
+            compact_index(spark, index_dir)
 
     writer = (stream.writeStream.foreachBatch(process)
               .option("checkpointLocation", checkpoint_dir))

@@ -280,3 +280,60 @@ def test_incremental_neardup_restart_resumes_from_checkpoint(spark, tmp_path):
 
     new_pairs = set().union(*(s for _, s in runs[first_run_batches:]))
     assert new_pairs == {(2, 1)}, f"restart should flag only (2,1): {runs}"
+
+
+def test_neardup_index_compaction_bounds_files(spark, tmp_path):
+    """20 micro-batches with compact_every=5: the index must stay
+    bounded in file count (an uncompacted stream accretes >= 20 part
+    files), keep its full content (a doc duplicating batch-1 text still
+    matches after several compactions), and restart semantics must
+    survive the rewrites."""
+    import glob
+    import os
+    from downscaledclimatedata_spark.streaming.neardup import (
+        DOCS_SCHEMA, docs_stream, start_neardup_stream)
+
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir, exist_ok=True)
+    shared = "a sentence shared between the first and the last batch here"
+    rows = [(0, shared, "en", "web", len(shared))]
+    spark.createDataFrame(rows, DOCS_SCHEMA).toPandas().to_parquet(
+        docs_dir + "/b0.parquet", index=False)
+    for i in range(1, 19):
+        txt = f"unique filler document number {i} with its own words entirely"
+        spark.createDataFrame([(i, txt, "en", "web", len(txt))],
+                              DOCS_SCHEMA).toPandas().to_parquet(
+            docs_dir + f"/b{i:02d}.parquet", index=False)
+    spark.createDataFrame([(99, shared, "en", "web", len(shared))],
+                          DOCS_SCHEMA).toPandas().to_parquet(
+        docs_dir + "/b99.parquet", index=False)
+
+    seen: dict[int, set] = {}
+
+    def report(cands, epoch_id):
+        seen[epoch_id] = {(r.new_id, r.match_id) for r in cands.collect()}
+
+    index_dir, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+    q = start_neardup_stream(docs_stream(spark, docs_dir), index_dir,
+                             report, ckpt, compact_every=5)
+    q.awaitTermination(240)
+
+    assert len(seen) == 20, f"expected 20 epochs, got {len(seen)}"
+    all_pairs = set().union(*seen.values())
+    assert (99, 0) in all_pairs, f"dup lost across compactions: {all_pairs}"
+    part_files = glob.glob(os.path.join(index_dir, "part-*"))
+    assert len(part_files) <= 10, (
+        f"compaction failed to bound index files: {len(part_files)}")
+
+    # restart on the same checkpoint still works after in-place rewrites
+    b_new = spark.createDataFrame([(100, shared, "en", "web", len(shared))],
+                                  DOCS_SCHEMA)
+    b_new.toPandas().to_parquet(docs_dir + "/b_new.parquet", index=False)
+    before = len(seen)
+    q = start_neardup_stream(docs_stream(spark, docs_dir), index_dir,
+                             report, ckpt, compact_every=5)
+    q.awaitTermination(240)
+    new_pairs = set().union(*(v for k, v in seen.items())) - all_pairs
+    assert len(seen) == before + 1
+    assert (100, 0) in new_pairs and (100, 99) in new_pairs, \
+        f"post-restart match missing: {new_pairs}"
