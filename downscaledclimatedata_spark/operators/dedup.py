@@ -453,10 +453,20 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                  .select(edges["src"].alias("id"), "comp"))
         labels = (labels.union(neigh).groupBy("id")
                   .agg(F.min("comp").alias("comp"))).localCheckpoint()
-        s = labels.agg(F.sum("comp")).collect()[0][0]
+        # per-node labels only ever decrease, so the label sum is strictly
+        # decreasing until fixpoint — equality IS exact convergence (no
+        # fingerprint collision possible). decimal(38,0) cannot overflow
+        # at any realistic scale (sum <= max_id * n_nodes ~ 1e31 << 1e38),
+        # unlike a bigint sum which wraps/errors past 2^63.
+        s = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
         if s == prev:
             break
         prev = s
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; labels would be incorrect — raise max_iter (rounds needed "
+            "~ graph diameter) or use connected_components_star (O(log n))")
     return labels
 
 
@@ -516,12 +526,26 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v")))
         edges = small.distinct().localCheckpoint()
-        fp = edges.agg(F.sum(F.col("u") * 31 + F.col("v")).alias("s"),
-                       F.count("*").alias("n")).collect()[0]
-        fp = (fp["s"], fp["n"])
+        # edge-SET fingerprint: (count, xor of per-edge 60-bit md5). XOR
+        # cannot overflow (unlike sum(u*31+v), which wraps or ANSI-errors
+        # past 2^63 at large id scales), and a spurious match needs an
+        # md5-xor collision at identical edge count — negligible. Edges
+        # are distinct, so the set fingerprint is well-defined.
+        fp_row = (edges
+                  .select(md5_long(F.concat_ws(",", F.col("u"), F.col("v")))
+                          .alias("h"))
+                  .agg(F.expr("bit_xor(h)").alias("x"),
+                       F.count("*").alias("n")).collect()[0])
+        fp = (fp_row["x"], fp_row["n"])
         if fp == prev_fp:
             break
         prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"max_iter={max_iter} rounds; labels would be incorrect — "
+            "the alternating stars need only O(log n) rounds, so this "
+            "indicates a pathological input or a too-small max_iter")
     # at fixpoint every edge is (node, root); add roots themselves
     labels = edges.select(F.col("u").alias("id"), F.col("v").alias("comp"))
     roots = labels.select(F.col("comp").alias("id"),

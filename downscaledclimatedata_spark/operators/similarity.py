@@ -422,6 +422,12 @@ def similarity_float_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB's list_sum left-fold the (fixed-order, fixed-length) list, and
 # IEEE double ops are correctly rounded, so identical operation order =>
 # bit-identical cosines (verified empirically: max diff 0.0 at sf0.01).
+# PINNED ASSUMPTION: this relies on DuckDB's list_sum staying a strict
+# sequential left fold — an implementation detail, not a contract. It is
+# asserted per-run by tests/test_sketches.py::test_duckdb_list_sum_is_left_fold
+# against the container's DuckDB; if a DuckDB upgrade vectorizes or
+# compensates the summation, that canary fails first and this spec's
+# compare should switch to rank-order-only (drop the cosine column).
 _SIM_FLOAT_SQL = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv

@@ -31,10 +31,14 @@ def make_http_fetcher(timeout: float = 60.0,
                       chunk_size: int = 1 << 20) -> Callable[[str], bytes]:
     """Real ``fetcher`` for ingest_and_convert: streaming HTTP GET.
 
-    Returns the body as bytes (the seam's contract). Streaming chunks
-    keeps peak memory at ``chunk_size`` regardless of file size; HTTP
-    errors raise so the ingest operator records them as row-level error
-    rows (T7 tolerance).
+    Returns the body as bytes — the seam's contract — which means peak
+    memory is O(file size) (the chunks are joined into one buffer;
+    streaming only avoids a second requests-internal copy). For the
+    multi-GB NetCDF files this seam targets, use
+    ``make_s3_piping_fetcher`` / ``stream_http_to_s3`` instead: those
+    hand the raw stream to ``upload_fileobj`` and never materialize the
+    body. HTTP errors raise so the ingest operator records them as
+    row-level error rows (T7 tolerance).
     """
     _timeout, _chunk = timeout, chunk_size
 

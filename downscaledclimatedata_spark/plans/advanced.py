@@ -611,11 +611,16 @@ FROM ranked WHERE rn = 1
 
 def q39_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch accuracy, framed so it IS oracle-checkable: Spark emits
-    the exact count plus a within-5%-relative-error flag for its own
+    the exact count plus a sketch-sanity flag for its own
     approx_count_distinct; the oracle returns the exact count and TRUE.
     The sketch value itself is engine-specific (Spark's HLL++ vs DuckDB's
-    HLL differ by design), but the contract "the sketch is within rsd
-    tolerance of truth" is deterministic for a fixed dataset.
+    HLL differ by design).
+
+    Tolerance: the default rsd 0.05 is a STANDARD DEVIATION, not an error
+    bound — a group's estimate can legitimately deviate past 1 rsd at any
+    scale factor, so the flag uses a 4-sigma envelope (same probabilistic
+    gate as tests/test_sketches.py). A genuinely broken sketch (orders of
+    magnitude off) still trips it; a legitimate tail draw does not.
     """
     li = _t(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
@@ -624,12 +629,12 @@ def q39_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "l_returnflag", "exact_parts",
                 (F.abs(F.col("_approx") - F.col("exact_parts"))
-                 <= 0.05 * F.col("exact_parts")).alias("within_5pct")))
+                 <= 4 * 0.05 * F.col("exact_parts")).alias("within_4rsd")))
 
 
 _Q39_SQL = """
 SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
-       TRUE AS within_5pct
+       TRUE AS within_4rsd
 FROM lineitem GROUP BY l_returnflag
 """
 

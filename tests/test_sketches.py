@@ -60,6 +60,32 @@ def test_kmeans_refinement_reduces_distortion(spark):
     assert d3 <= d1 + 1e-6, f"distortion increased: {d1} -> {d3}"
 
 
+def test_duckdb_list_sum_is_left_fold():
+    """Canary for the float-cosine oracle's pinned assumption: DuckDB's
+    list_sum must be a strict sequential left fold, bit-identical to
+    Spark's F.aggregate. The probe values are chosen so any reordering
+    or compensated (Kahan-style) summation changes the double result:
+    (1e16 + 1) + (-1e16) + 1 = 2 under left-fold rounding, but 1 when
+    the small terms combine first and 2 when compensated differently.
+    If this fails after a DuckDB upgrade, switch _SIM_FLOAT_SQL's
+    compare to rank-order-only (see similarity.py)."""
+    import duckdb
+    probes = [
+        ([1e16, 1.0, -1e16, 1.0], (((1e16 + 1.0) - 1e16) + 1.0)),
+        ([0.1, 0.2, 0.3], ((0.1 + 0.2) + 0.3)),
+        ([1e-16, 1.0, -1.0, 1e-16], (((1e-16 + 1.0) - 1.0) + 1e-16)),
+    ]
+    con = duckdb.connect()
+    for values, expected in probes:
+        lit = "[" + ", ".join(repr(v) for v in values) + "]"
+        (got,) = con.execute(
+            f"SELECT list_sum(list_transform({lit}, x -> CAST(x AS DOUBLE)))"
+        ).fetchone()
+        assert got == expected, (
+            f"DuckDB list_sum is no longer a left fold: {values} -> {got}, "
+            f"left-fold gives {expected}")
+
+
 def test_refined_ivf_recall_gate(spark):
     """The refined-codebook IVF search must keep a usable fraction of
     the exact top-k (nprobe=1, 16 lists; observed 0.68-0.76 on the
