@@ -688,3 +688,82 @@ GROUP BY dist ORDER BY dist
 
 register(QuerySpec("dedup_levenshtein", dedup_levenshtein_query, _DEDUP_LEV_SQL,
                    description="blocked edit-distance fuzzy pairs (record-linkage blocking)"))
+
+
+# --- cross-document repeated-span detection (exact-substring dedup signal) -----
+
+SPAN_N = 5
+SPAN_MIN_DOCS = 2
+
+
+def repeated_span_stats(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = SPAN_N,
+                        min_docs: int = SPAN_MIN_DOCS) -> DataFrame:
+    """Per-doc fraction of n-token windows that also occur in >=
+    ``min_docs`` DISTINCT documents — the relational form of exact
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": duplicated spans, not just duplicated
+    documents, degrade models). The suffix-array pass of the paper is
+    replaced by a hash-per-window dictionary, which shards over a
+    cluster: one shingle explode (narrow), one (span_hash -> distinct-doc
+    count) aggregation, one left-semi join of each doc's windows against
+    the repeated-span dictionary. Every shuffle carries 8-byte hashes,
+    never text. Docs shorter than n tokens have no windows and no row.
+    """
+    spans = (shingled_rows(docs, text_col, id_col, n=n)
+             .select(F.col(id_col), md5_long(F.col("shingle")).alias("h")))
+    repeated = (spans.groupBy("h")
+                .agg(F.countDistinct(id_col).alias("nd"))
+                .filter(F.col("nd") >= min_docs).select("h"))
+    totals = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    rep = (spans.join(repeated, "h", "left_semi")
+           .groupBy(id_col).agg(F.count("*").alias("n_repeated")))
+    return (totals.join(rep, id_col, "left")
+            .select(F.col(id_col), "n_spans",
+                    F.coalesce("n_repeated", F.lit(0).cast("long"))
+                    .alias("n_repeated"),
+                    (F.coalesce("n_repeated", F.lit(0).cast("long"))
+                     .cast("double") / F.col("n_spans").cast("double"))
+                    .alias("repeated_frac")))
+
+
+def dedup_repeated_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return repeated_span_stats(docs)
+
+
+def _repeated_spans_sql() -> str:
+    span = " || ' ' || ".join(f"t[i+{k}]" for k in range(SPAN_N))
+    h = md5_long_sql(f"({span})")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, {h} AS h
+  FROM toks, LATERAL (
+    SELECT UNNEST(range(1, greatest(len(t) - {SPAN_N - 1}, 0) + 1)) AS i) idx
+),
+repeated AS (
+  SELECT h FROM (
+    SELECT h, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY h) g
+  WHERE nd >= {SPAN_MIN_DOCS}
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id),
+rep AS (
+  SELECT doc_id, COUNT(*) AS n_repeated
+  FROM spans WHERE h IN (SELECT h FROM repeated) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_spans,
+  CAST(COALESCE(r.n_repeated, 0) AS BIGINT) AS n_repeated,
+  CAST(COALESCE(r.n_repeated, 0) AS DOUBLE) / CAST(t.n_spans AS DOUBLE)
+    AS repeated_frac
+FROM totals t LEFT JOIN rep r ON r.doc_id = t.doc_id
+"""
+
+
+register(QuerySpec("dedup_repeated_spans", dedup_repeated_spans_query,
+                   _repeated_spans_sql(),
+                   description=f"cross-document repeated {SPAN_N}-token spans (exact-substring dedup signal), hash-dictionary semi-join"))

@@ -111,6 +111,13 @@ def test_repetition_flags_single_scan_no_shuffle_agg(spark):
     assert "HashAggregate" not in plan
 
 
+def test_repeated_spans_uses_semi_join(spark):
+    """The repeated-span membership check must be a LEFT SEMI join (no
+    row multiplication when a span hash repeats in the dictionary)."""
+    plan = _plan(spark, "dedup_repeated_spans")
+    assert "LeftSemi" in plan, plan
+
+
 def test_q59_packing_window_is_blocked(spark):
     """The doc-level running sum must partition by (source, block), never
     by source alone — a source-only window is one task per source at
