@@ -765,5 +765,5 @@ FROM totals t LEFT JOIN rep r ON r.doc_id = t.doc_id
 
 
 register(QuerySpec("dedup_repeated_spans", dedup_repeated_spans_query,
-                   _repeated_spans_sql(),
+                   _repeated_spans_sql(), headline=True,
                    description=f"cross-document repeated {SPAN_N}-token spans (exact-substring dedup signal), hash-dictionary semi-join"))
