@@ -153,3 +153,10 @@ def test_listing_feeds_catalog(spark):
     row = catalog.collect()[0]
     assert quarantine.count() == 0
     assert (row.variable, row.model, row.scheme) == ("pr", "netcdf", "LOCA2")
+
+
+def test_listing_from_fs_key_prefix(spark, fixture_tree):
+    """key_prefix prepends a bucket-style path so a local tree can stand
+    in for a prefixed bucket listing."""
+    got = listing_from_fs(spark, fixture_tree, key_prefix="mirror/").limit(5).collect()
+    assert got and all(r.key.startswith("mirror/") for r in got)

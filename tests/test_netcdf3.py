@@ -126,3 +126,41 @@ def test_decode_seam_through_spark(spark, tmp_path):
     assert back.count() == 48
     pruned = back.filter("model = 'GCM1' AND scenario = 'ssp245'")
     assert pruned.count() == 24
+
+
+def test_codec_roundtrip_property():
+    """Property: arbitrary small grids of ints/doubles survive the
+    write->parse roundtrip exactly (doubles are stored as NC_DOUBLE, so
+    no float32 narrowing)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(1, 4), min_size=1, max_size=3),
+        use_double=st.booleans(),
+        seed=st.integers(0, 10**6),
+    )
+    def check(sizes, use_double, seed):
+        import random
+        rng = random.Random(seed)
+        dims = [(f"d{i}", s) for i, s in enumerate(sizes)]
+        n = 1
+        for s in sizes:
+            n *= s
+        if use_double:
+            vals = [rng.randint(-10**6, 10**6) / 8.0 for _ in range(n)]
+            nc_type = NC_DOUBLE
+        else:
+            vals = [rng.randint(-2**31 + 1, 2**31 - 1) for _ in range(n)]
+            nc_type = NC_INT
+        blob = write_netcdf3(
+            dims=dims,
+            variables=[("v", nc_type, [d for d, _ in dims], vals,
+                        {"units": (2, "arbitrary")})])
+        parsed = parse_netcdf3(blob)
+        assert parsed["dims"] == dict(dims)
+        got = parsed["variables"]["v"]["data"]
+        assert got == [float(v) if use_double else v for v in vals]
+
+    check()
