@@ -456,3 +456,139 @@ register(QuerySpec("text_langid", text_langid_query, _langid_sql(),
                    description="marker-vocabulary language ID with deterministic argmax"))
 register(QuerySpec("text_fingerprint", text_fingerprint_query, _TEXT_FINGERPRINT_SQL,
                    description="60-bit md5 content fingerprint of normalized text"))
+
+
+# --- sliding-window document chunking (context-window preprocessing) -----------
+
+CHUNK_W = 64   # window size in tokens
+CHUNK_S = 48   # stride (W - S = 16-token overlap)
+
+
+def chunk_windows(df: DataFrame, text_col: str, id_col: str,
+                  window: int = CHUNK_W, stride: int = CHUNK_S) -> DataFrame:
+    """Explode each document into overlapping fixed-size token windows —
+    the context-window chunking step of a training pipeline (long doc ->
+    N model-sized sequences with overlap so no boundary context is lost).
+
+    One narrow pass: chunk starts are ``F.sequence(0, n-1, stride)``
+    filtered to full coverage, the fan-out is a single ``explode`` (no
+    shuffle at all until a consumer aggregates). Returns
+    (id, chunk_idx, chunk_start, chunk_len) with chunk_len =
+    min(window, n - start); empty docs produce no rows.
+    """
+    toked = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+    n = F.size("_toks")
+    # starts: 0, stride, 2*stride, ... while start < n (last window may be
+    # short); n == 0 -> empty array (no chunks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))) \
+        .otherwise(F.array().cast("array<int>"))
+    chunks = toked.select(
+        F.col(id_col), n.alias("n_tokens"),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"))
+    return chunks.select(
+        F.col(id_col), "chunk_idx", "chunk_start",
+        F.least(F.lit(window), F.col("n_tokens") - F.col("chunk_start"))
+        .alias("chunk_len"))
+
+
+def text_chunk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-length histogram over the corpus: full windows collapse to
+    one bucket, tail windows spread below it — verifies the window/stride
+    arithmetic and the explode fan-out exactly."""
+    from downscaledclimatedata_spark.sources.tables import load_table_parallel
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return (chunk_windows(docs, "text", "doc_id")
+            .groupBy("chunk_len")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.countDistinct("doc_id").alias("n_docs")))
+
+
+_TEXT_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+), sized AS (
+  SELECT doc_id, len(t) AS n FROM toks WHERE len(t) > 0
+), chunks AS (
+  SELECT doc_id, LEAST({CHUNK_W}, n - start) AS chunk_len
+  FROM sized, LATERAL (
+    SELECT UNNEST(range(0, n, {CHUNK_S})) AS start) s
+)
+SELECT chunk_len, COUNT(*) AS n_chunks, COUNT(DISTINCT doc_id) AS n_docs
+FROM chunks GROUP BY chunk_len
+"""
+
+
+register(QuerySpec("text_chunk_windows", text_chunk_query, _TEXT_CHUNK_SQL,
+                   description=f"overlapping {CHUNK_W}-token windows at stride {CHUNK_S}: chunk-length histogram (explode fan-out, no shuffle before agg)"))
+
+
+# --- vocabulary build + broadcast-join token encoding ---------------------------
+
+VOCAB_N = 512
+
+
+def build_vocab(df: DataFrame, text_col: str, id_col: str,
+                vocab_size: int = VOCAB_N) -> DataFrame:
+    """Top-``vocab_size`` tokens by corpus frequency with dense integer
+    ids — the vocabulary-construction half of tokenization. One hash
+    aggregation over exploded tokens (map-side partial counts), then a
+    TakeOrderedAndProject for the top-N and a row_number over the tiny
+    N-row relation. Ties break lexicographically so ids are deterministic.
+    """
+    from pyspark.sql import Window
+    counts = (df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+              .groupBy("token").agg(F.count("*").alias("freq")))
+    top = counts.orderBy(F.col("freq").desc(), F.col("token")).limit(vocab_size)
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    return top.select("token", "freq",
+                      (F.row_number().over(w) - 1).alias("token_id"))
+
+
+def encode_tokens(df: DataFrame, vocab: DataFrame, text_col: str,
+                  id_col: str) -> DataFrame:
+    """Encode each doc against the vocabulary via a BROADCAST join —
+    the scale shape of tokenization (vocab is small and replicated; the
+    token stream never shuffles). Returns per-doc
+    (n_tokens, n_oov, id_checksum) with OOV tokens counted, not dropped;
+    id_checksum = sum of matched ids (exact ints) certifies the exact
+    id assignment without emitting an array column.
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(_tokens(F.col(text_col))).alias("token"))
+    joined = toks.join(F.broadcast(vocab.select("token", "token_id")),
+                       "token", "left")
+    return (joined.groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0))
+                 .alias("n_oov"),
+                 F.sum(F.coalesce("token_id", F.lit(0))).alias("id_checksum")))
+
+
+def text_vocab_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from downscaledclimatedata_spark.sources.tables import load_table_parallel
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    vocab = build_vocab(docs, "text", "doc_id")
+    return encode_tokens(docs, vocab, "text", "doc_id")
+
+
+_TEXT_VOCAB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_TOKS_SQL}) AS token FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS freq FROM toks GROUP BY token
+), vocab AS (
+  SELECT token,
+    ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1 AS token_id
+  FROM counts ORDER BY freq DESC, token LIMIT {VOCAB_N}
+)
+SELECT t.doc_id,
+  COUNT(*) AS n_tokens,
+  CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  CAST(SUM(COALESCE(v.token_id, 0)) AS BIGINT) AS id_checksum
+FROM toks t LEFT JOIN vocab v ON v.token = t.token
+GROUP BY t.doc_id
+"""
+
+
+register(QuerySpec("text_vocab_encode", text_vocab_encode_query, _TEXT_VOCAB_SQL,
+                   description=f"top-{VOCAB_N} vocabulary build + broadcast-join token encoding (n_tokens/n_oov/id-checksum per doc)"))

@@ -111,6 +111,14 @@ def test_repetition_flags_single_scan_no_shuffle_agg(spark):
     assert "HashAggregate" not in plan
 
 
+def test_vocab_encode_broadcasts_vocab(spark):
+    """The vocabulary must replicate to the token stream via a broadcast
+    join — shuffling the exploded token relation on token value would be
+    the classic tokenization scale mistake."""
+    plan = _plan(spark, "text_vocab_encode")
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_repeated_spans_uses_semi_join(spark):
     """The repeated-span membership check must be a LEFT SEMI join (no
     row multiplication when a span hash repeats in the dictionary)."""
