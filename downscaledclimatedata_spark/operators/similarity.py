@@ -665,15 +665,18 @@ def ivf_topk_refined(emb: DataFrame, id_col: str = "vec_id",
                      query_mod: int = QUERY_MOD, n_queries: int = N_QUERIES,
                      centroid_mod: int = CENTROID_MOD,
                      n_centroids: int = N_CENTROIDS,
-                     n_iter: int = KMEANS_SEARCH_ITERS) -> DataFrame:
-    """IVF ANN search against a Lloyd's-REFINED codebook (nprobe=1).
+                     n_iter: int = KMEANS_SEARCH_ITERS,
+                     nprobe: int = 1) -> DataFrame:
+    """IVF ANN search against a Lloyd's-REFINED codebook.
 
     ``ivf_topk`` assigns against the raw fixed-sample codebook; this
     variant first refines it with ``n_iter`` k-means rounds
     (``kmeans_refine``), then builds the inverted lists by nearest
-    refined centroid and searches within the query's list. Same join
-    shape and scale properties as ``ivf_topk`` — the refinement passes
-    are each broadcast-argmin + (cid, pos) aggregation, so the codebook
+    refined centroid and searches the query's ``nprobe`` nearest lists
+    (candidate sets grow monotonically with nprobe, so recall can only
+    improve — asserted in tests). Same join shape and scale properties
+    as ``ivf_topk``/``ivf_topk_multiprobe`` — the refinement passes are
+    each broadcast-argmin + (cid, pos) aggregation, so the codebook
     build stays linear in the corpus.
 
     Determinism: refined centroid components are exact integer sums
@@ -698,13 +701,19 @@ def ivf_topk_refined(emb: DataFrame, id_col: str = "vec_id",
               .select(F.col(id_col), "cid", "qv",
                       (vn2 + F.col("cn2") - 2 * dot).alias("dist")))
     w = Window.partitionBy(id_col).orderBy("dist", "cid")
-    assigned = (scored.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1).select(id_col, "cid", "qv"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("rn") == 1).select(id_col, "cid", "qv")
     withn = (assigned.withColumn("n2", sq_norm(F.col("qv")))
              .filter(F.col("n2") > 0))  # zero-norm: no defined cosine
-    queries = (withn.filter(_fixed_sample(id_col, query_mod, n_queries))
-               .select(F.col(id_col).alias("query_id"), "cid",
-                       F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
+    qbase = (withn.filter(_fixed_sample(id_col, query_mod, n_queries))
+             .select(F.col(id_col).alias("query_id"),
+                     F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
+    # query's nprobe nearest refined lists (rn <= nprobe from the same
+    # ranking that produced the corpus assignment — no second pass)
+    probes = (ranked.filter(_fixed_sample(id_col, query_mod, n_queries)
+                            & (F.col("rn") <= nprobe))
+              .select(F.col(id_col).alias("query_id"), "cid"))
+    queries = probes.join(qbase, "query_id")
     corpus = withn.select(F.col(id_col).alias("match_id"), "cid",
                           F.col("qv").alias("cq"), F.col("n2").alias("mn2"))
     searched = (corpus.join(F.broadcast(queries), "cid")

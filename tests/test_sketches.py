@@ -106,6 +106,27 @@ def test_refined_ivf_recall_gate(spark):
     assert recall >= 0.5, f"refined-IVF recall@k collapsed: {recall:.3f}"
 
 
+def test_refined_ivf_multiprobe_recall_monotone(spark):
+    """Probing more refined lists can only grow each query's candidate
+    set, so recall@k is monotone in nprobe — and strictly useful here:
+    nprobe=2 must recover at least as much of the exact top-k."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        cosine_topk_quantized, ivf_topk_refined)
+    from downscaledclimatedata_spark.sources.tables import load_table_parallel
+
+    emb = load_table_parallel(spark, SF_CORRECTNESS, "embeddings",
+                              key="vec_id")
+    truth = {(r.query_id, r.match_id)
+             for r in cosine_topk_quantized(emb).collect()}
+    r1 = {(r.query_id, r.match_id)
+          for r in ivf_topk_refined(emb, nprobe=1).collect()}
+    r2 = {(r.query_id, r.match_id)
+          for r in ivf_topk_refined(emb, nprobe=2).collect()}
+    rec1 = len(truth & r1) / len(truth)
+    rec2 = len(truth & r2) / len(truth)
+    assert rec2 >= rec1, f"recall regressed with nprobe=2: {rec1} -> {rec2}"
+
+
 def test_refined_ivf_lists_partition_corpus(spark):
     """Assignment argmin (rn=1) must place every vector in exactly one
     refined inverted list — no drops, no duplicates."""
