@@ -470,17 +470,23 @@ def chunk_windows(df: DataFrame, text_col: str, id_col: str,
     the context-window chunking step of a training pipeline (long doc ->
     N model-sized sequences with overlap so no boundary context is lost).
 
-    One narrow pass: chunk starts are ``F.sequence(0, n-1, stride)``
-    filtered to full coverage, the fan-out is a single ``explode`` (no
-    shuffle at all until a consumer aggregates). Returns
+    One narrow pass: chunk starts are a ``F.sequence`` up to the FIRST
+    start whose window reaches the end of the doc (a naive
+    while-start<n rule would emit a final chunk fully contained in the
+    previous window); the fan-out is a single ``explode`` (no shuffle at
+    all until a consumer aggregates). Returns
     (id, chunk_idx, chunk_start, chunk_len) with chunk_len =
     min(window, n - start); empty docs produce no rows.
     """
     toked = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
     n = F.size("_toks")
-    # starts: 0, stride, 2*stride, ... while start < n (last window may be
-    # short); n == 0 -> empty array (no chunks)
-    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))) \
+    # last start = stride * ceil((n - window)/stride) when n > window
+    # (the first start covering the doc tail), else 0
+    last = F.when(
+        n > window,
+        ((n - window + (stride - 1)) / stride).cast("int") * stride
+    ).otherwise(F.lit(0))
+    starts = F.when(n > 0, F.sequence(F.lit(0), last, F.lit(stride))) \
         .otherwise(F.array().cast("array<int>"))
     chunks = toked.select(
         F.col(id_col), n.alias("n_tokens"),
@@ -508,10 +514,16 @@ WITH toks AS (
   SELECT doc_id, {_TOKS_SQL} AS t FROM documents
 ), sized AS (
   SELECT doc_id, len(t) AS n FROM toks WHERE len(t) > 0
+), bounded AS (
+  SELECT doc_id, n,
+    CASE WHEN n > {CHUNK_W}
+         THEN ((n - {CHUNK_W} + {CHUNK_S - 1}) // {CHUNK_S}) * {CHUNK_S}
+         ELSE 0 END AS last_start
+  FROM sized
 ), chunks AS (
   SELECT doc_id, LEAST({CHUNK_W}, n - start) AS chunk_len
-  FROM sized, LATERAL (
-    SELECT UNNEST(range(0, n, {CHUNK_S})) AS start) s
+  FROM bounded, LATERAL (
+    SELECT UNNEST(range(0, last_start + 1, {CHUNK_S})) AS start) s
 )
 SELECT chunk_len, COUNT(*) AS n_chunks, COUNT(DISTINCT doc_id) AS n_docs
 FROM chunks GROUP BY chunk_len
