@@ -20,17 +20,34 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to session-zoned TIMESTAMP.
+
+    Test fixtures have shipped ``ts`` as TIMESTAMP(NANOS) (read as long
+    nanos under ``nanosAsLong``) and as TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ); real lakes mix both. Dispatch on the observed type so
+    every downstream plan sees one schema. The session timezone is pinned
+    to UTC (session.py), so the NTZ cast is value-identity.
+    """
+    from pyspark.sql import functions as F
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # long nanos -> truncate to micros (DuckDB's NS->US coercion)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which the vectorized
-        # Parquet reader rejects; read as long nanos and truncate to
-        # microseconds (exactly what DuckDB does when it coerces NS->US).
-        from pyspark.sql import functions as F
+        # nanosAsLong lets TIMESTAMP(NANOS) fixtures load at all; it is a
+        # no-op for MICROS fixtures. Normalization dispatches on the type.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_events_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -32,27 +32,26 @@ DAILY_TRIGGER = "7200 seconds"
 MONTHLY_TRIGGER = "600 seconds"
 
 
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long nanos
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table with the same nano->micro
-    timestamp conversion as the batch reader (sources/tables.py), so
-    streaming and batch plans see an identical schema."""
+    """File-source stream over the events table with the same timestamp
+    normalization as the batch reader (sources/tables.py), so streaming
+    and batch plans see an identical schema. The stream source needs an
+    explicit schema, so sniff it from a batch scan of the same file —
+    this handles both the long-nanos and TIMESTAMP(MICROS) fixture
+    shapes without hard-coding either."""
+    import os
+
+    from ..sources.tables import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")).schema
     # the streaming file source requires a directory path: watch sf_dir
     # and glob down to the events table file(s)
-    raw = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    raw = (spark.readStream.schema(raw_schema)
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def manifest_stream(spark: SparkSession, manifest_dir: str) -> DataFrame:

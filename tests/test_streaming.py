@@ -63,8 +63,8 @@ def test_session_window_stream_equals_batch(spark):
 def test_stateful_running_totals_across_batches(spark, tmp_path):
     """applyInPandasWithState must accumulate per-user state across
     micro-batches: final emission per user == batch groupBy totals."""
-    from downscaledclimatedata_spark.streaming.stream import (
-        EVENTS_RAW_SCHEMA, running_user_totals)
+    from downscaledclimatedata_spark.sources.tables import normalize_events_ts
+    from downscaledclimatedata_spark.streaming.stream import running_user_totals
 
     # split the smoke events into 3 files => 3 micro-batches
     edir = str(tmp_path / "events")
@@ -72,9 +72,9 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     raw = spark.read.parquet(SF_SMOKE + "/events.parquet")
     raw.repartition(3).write.parquet(edir)
 
-    stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
-              .option("maxFilesPerTrigger", 1).parquet(edir)
-              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(edir))
     name = _run_to_memory(running_user_totals(stream), "update")
 
     # update mode accumulates emissions; the running count is monotone so
