@@ -1,0 +1,222 @@
+"""Training-data preparation operators: cleaning/PII redaction, per-source
+quota sampling, and token-balanced shard assignment via a distributed rank.
+
+These extend the engine beyond the reference's ingest surface (the
+builder-brief "large-scale training-data pipeline" family, alongside
+operators/dedup.py and operators/textops.py). Reference parity anchor:
+the reference normalizes asset text metadata with anchored regex rewrites
+(/root/reference/downscaled_climate_data/assets/loca2.py:120-143); the
+cleaning pass here applies the same regexp-rewrite discipline to document
+bodies at corpus scale.
+
+Design notes (100 TB):
+
+- Cleaning is a single narrow projection — regexp_replace / filter /
+  aggregate Catalyst expressions, no shuffle, no Python. It pushes only
+  (doc_id, text, source) through the scan.
+- Quota sampling shuffles once on ``source`` (the window key). Per-source
+  state is one counter; skewed sources cost one task's sort, bounded by
+  the per-source cap's early TakeOrdered when ``cap`` is small.
+- Shard assignment needs a GLOBAL rank by token count. A naive
+  ``row_number() OVER (ORDER BY ...)`` collapses to ONE task at any
+  scale, so rank is computed in two phases like q59's packing
+  (plans/scale.py): row_number within fixed token-count bins (parallel
+  width = bins x AQE splits) + a broadcast cumulative-offset relation
+  over the tiny per-bin histogram. Bins are ranges of the sort key, so
+  bin-major order == global order and the composition is exact, not
+  approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from downscaledclimatedata_spark.plans import QuerySpec, register
+from downscaledclimatedata_spark.sources.tables import load_table
+
+# PII patterns restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): character classes, +, {m,n} — no
+# backrefs, no lookaround.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+URL_RE = "https?://[^ ]+"
+IPV4_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+
+def clean_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Normalize + redact one document column in a single projection.
+
+    Steps (order matters — count PII before redacting): count email/URL/
+    IPv4 matches, rewrite them to typed placeholder tokens, collapse runs
+    of whitespace, trim, and derive a stopword-free content view for
+    downstream dedup/quality passes.
+    """
+    t = F.col(text_col)
+    n_pii = (F.regexp_count(t, F.lit(EMAIL_RE))
+             + F.regexp_count(t, F.lit(URL_RE))
+             + F.regexp_count(t, F.lit(IPV4_RE)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+            URL_RE, "<URL>"),
+        IPV4_RE, "<IP>")
+    clean = F.trim(F.regexp_replace(redacted, r"\s+", " "))
+    toks = F.filter(F.split(clean, " "), lambda x: x != "")
+    kept = F.filter(toks, lambda x: ~x.isin(*STOPWORDS))
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_pii.cast("bigint").alias("n_pii"),
+        F.array_join(kept, " ").alias("content_text"),
+        F.size(kept).cast("bigint").alias("n_content_tokens"),
+    )
+
+
+def source_quota_sample(df: DataFrame, cap: int,
+                        source_col: str = "source",
+                        order_col: str = "n_chars",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Keep at most ``cap`` documents per source, preferring the longest.
+
+    The domain-quota pass every crawl-derived corpus needs (bound any one
+    domain's share of the training mix). Deterministic: ties broken by id.
+    One shuffle on the source key; rank state is O(1) per task.
+    """
+    w = (Window.partitionBy(source_col)
+         .orderBy(F.col(order_col).desc(), F.col(id_col)))
+    return (df.select(id_col, source_col, order_col)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= cap))
+
+
+def token_balanced_shards(df: DataFrame, n_shards: int,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          bin_width: int = 16) -> DataFrame:
+    """Assign docs to ``n_shards`` output shards with near-equal token mass.
+
+    Longest-processing-time round-robin: rank all docs by token count
+    descending, shard = (rank-1) % n_shards. The global rank is computed
+    scale-safely in two phases (see module docstring): per-bin
+    row_number + broadcast cumulative offsets over the per-bin histogram
+    (|bins| rows — KB-sized at any corpus size).
+    """
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda x: x != "")
+    with_n = df.select(
+        F.col(id_col), F.size(toks).cast("bigint").alias("n_tokens"))
+    binned = with_n.withColumn(
+        "bin", (F.col("n_tokens") / F.lit(bin_width)).cast("bigint"))
+
+    # phase 1: rank within each token-count bin (parallel across bins)
+    wb = Window.partitionBy("bin").orderBy(
+        F.col("n_tokens").desc(), F.col(id_col))
+    ranked = binned.withColumn("rn", F.row_number().over(wb))
+
+    # phase 2: tiny histogram -> docs in strictly-higher bins = offset
+    hist = binned.groupBy("bin").agg(F.count("*").alias("n"))
+    wo = (Window.orderBy(F.col("bin").desc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = hist.select(
+        "bin", F.coalesce(F.sum("n").over(wo), F.lit(0)).alias("offset"))
+
+    return (ranked.join(F.broadcast(offsets), "bin")
+            .select(id_col, "n_tokens",
+                    (F.col("offset") + F.col("rn")).alias("global_rank"))
+            .withColumn(
+                "shard",
+                ((F.col("global_rank") - 1) % n_shards).cast("bigint")))
+
+
+# --- registered specs ----------------------------------------------------------
+
+def prep_text_clean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return clean_documents(docs).orderBy("doc_id")
+
+
+_PREP_CLEAN_SQL = r"""
+WITH red AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+          'https?://[^ ]+', '<URL>', 'g'),
+        '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
+      '\s+', ' ', 'g')) AS clean_text,
+    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}'))
+       + len(regexp_extract_all(text, 'https?://[^ ]+'))
+       + len(regexp_extract_all(text, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}'))
+       AS BIGINT) AS n_pii
+  FROM documents),
+kept AS (
+  SELECT doc_id, clean_text, n_pii,
+    list_filter(
+      list_filter(string_split(clean_text, ' '), x -> x <> ''),
+      x -> NOT list_contains(['the','a','of','and','in','to','is'], x)) AS ks
+  FROM red)
+SELECT doc_id, clean_text, n_pii,
+  array_to_string(ks, ' ') AS content_text,
+  CAST(len(ks) AS BIGINT) AS n_content_tokens
+FROM kept ORDER BY doc_id
+"""
+
+
+def prep_source_quota_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return source_quota_sample(docs, cap=10).orderBy("source", "rk")
+
+
+_PREP_QUOTA_SQL = """
+SELECT doc_id, source, n_chars, rk FROM (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents)
+WHERE rk <= 10 ORDER BY source, rk
+"""
+
+N_SHARDS = 8
+
+
+def prep_balanced_shards_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shards = token_balanced_shards(docs, n_shards=N_SHARDS)
+    return (shards.groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.min("global_rank").alias("first_rank"))
+            .orderBy("shard"))
+
+
+_PREP_SHARDS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens,
+    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS global_rank
+  FROM t)
+SELECT CAST((global_rank - 1) % {N_SHARDS} AS BIGINT) AS shard,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  MIN(global_rank) AS first_rank
+FROM r GROUP BY 1 ORDER BY shard
+"""
+
+register(QuerySpec(
+    "prep_text_clean", prep_text_clean_query, _PREP_CLEAN_SQL,
+    description="normalize + PII-redact + stopword-strip every document "
+                "in one shuffle-free projection"))
+register(QuerySpec(
+    "prep_source_quota", prep_source_quota_query, _PREP_QUOTA_SQL,
+    description="per-source document cap (domain quota), longest-first"))
+register(QuerySpec(
+    "prep_balanced_shards", prep_balanced_shards_query, _PREP_SHARDS_SQL,
+    description="LPT round-robin token-balanced shard assignment via "
+                "two-phase distributed global rank"))

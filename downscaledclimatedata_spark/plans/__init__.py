@@ -40,6 +40,6 @@ def all_specs() -> dict[str, QuerySpec]:
     from downscaledclimatedata_spark.plans import advanced, relational, scale, temporal  # noqa: F401
     from downscaledclimatedata_spark.operators import (  # noqa: F401
         catalog, discovery, dedup, maintenance, multimodal, netcdf3,
-        pandasops, similarity, textops,
+        pandasops, prep, similarity, textops,
     )
     return dict(REGISTRY)

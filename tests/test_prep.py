@@ -1,0 +1,95 @@
+"""Unit tests for training-data prep operators (operators/prep.py).
+
+The registered specs are oracle-gated by the parametrized parity suites;
+these tests cover what the synthetic corpus cannot: PII patterns actually
+firing, quota determinism, shard balance, and the two-phase global rank
+agreeing with a single-window reference on multi-bin data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from downscaledclimatedata_spark.operators.prep import (
+    clean_documents, source_quota_sample, token_balanced_shards)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+
+
+def test_clean_redacts_pii_and_normalizes(spark):
+    df = _docs(spark, [
+        (1, "contact Bob.Smith+x@example.co.uk   for   details", "s", 0),
+        (2, "see https://ex.com/a?b=1 and http://t.io now", "s", 0),
+        (3, "host 10.0.255.7 is the backup of a cluster", "s", 0),
+        (4, "plain text only", "s", 0),
+        (5, "", "s", 0),
+    ])
+    got = {r["doc_id"]: r for r in clean_documents(df).collect()}
+    assert got[1]["clean_text"] == "contact <EMAIL> for details"
+    assert got[1]["n_pii"] == 1
+    assert got[2]["clean_text"] == "see <URL> and <URL> now"
+    assert got[2]["n_pii"] == 2
+    assert got[3]["clean_text"] == "host <IP> is the backup of a cluster"
+    assert got[3]["n_pii"] == 1
+    # stopwords stripped from the content view, placeholders kept
+    assert got[3]["content_text"] == "host <IP> backup cluster"
+    assert got[4]["n_pii"] == 0 and got[4]["content_text"] == "plain text only"
+    assert got[5]["clean_text"] == "" and got[5]["n_content_tokens"] == 0
+
+
+def test_source_quota_cap_and_determinism(spark):
+    rows = [(i, f"t{i}", f"src{i % 3}", (i * 37) % 11) for i in range(60)]
+    df = _docs(spark, rows)
+    out = source_quota_sample(df, cap=5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append((r["n_chars"], r["doc_id"]))
+    assert all(len(v) == 5 for v in per.values())
+    # longest-first, ties by doc_id: re-running yields the identical set
+    again = sorted((r["doc_id"] for r in source_quota_sample(df, cap=5).collect()))
+    assert again == sorted(r["doc_id"] for r in out)
+    for v in per.values():
+        assert v == sorted(v, key=lambda t: (-t[0], t[1]))
+
+
+def test_balanced_shards_matches_single_window_rank(spark):
+    # token counts spanning many bins (1..120 words)
+    rows = [(i, " ".join(["w"] * (1 + (i * 7) % 120)), "s", 0) for i in range(200)]
+    df = _docs(spark, rows)
+    got = token_balanced_shards(df, n_shards=4, bin_width=16)
+    ref = (df.select("doc_id",
+                     F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+           .withColumn("global_rank", F.row_number().over(
+               Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id")))))
+    g = {r["doc_id"]: (r["global_rank"], r["shard"]) for r in got.collect()}
+    for r in ref.collect():
+        rank = r["global_rank"]
+        assert g[r["doc_id"]] == (rank, (rank - 1) % 4)
+
+
+def test_balanced_shards_are_balanced(spark):
+    rows = [(i, " ".join(["w"] * (1 + (i * 13) % 200)), "s", 0) for i in range(500)]
+    df = _docs(spark, rows)
+    totals = [r["t"] for r in
+              (token_balanced_shards(df, n_shards=8)
+               .groupBy("shard").agg(F.sum("n_tokens").alias("t"))
+               .collect())]
+    assert len(totals) == 8
+    # LPT round-robin keeps shard mass within one max-doc of each other
+    assert max(totals) - min(totals) <= 200
+
+
+def test_balanced_shards_rank_window_is_binned(spark):
+    """The corpus-sized window must be partitioned (by bin); only the
+    KB-sized histogram offsets window may be global."""
+    rows = [(i, " ".join(["w"] * (1 + i % 50)), "s", 0) for i in range(100)]
+    df = _docs(spark, rows)
+    plan = token_balanced_shards(df, n_shards=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    import re
+    windows = re.findall(r"Window \[row_number\(\).*", plan)
+    assert windows, plan
+    assert all("bin" in w for w in windows), windows
