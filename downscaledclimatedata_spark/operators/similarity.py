@@ -936,3 +936,237 @@ register(QuerySpec("similarity_ivf_topk", similarity_ivf_topk_query, _IVF_SQL,
 register(QuerySpec("similarity_ivf_multiprobe", similarity_ivf_multiprobe_query,
                    _IVF_MULTIPROBE_SQL,
                    description=f"IVF ANN multiprobe search (nprobe={NPROBE} recall knob)"))
+
+
+# --- product quantization (PQ) ANN ---------------------------------------------
+
+M_SUB = 4                  # subspaces
+SUB_DIM = DIM // M_SUB     # dims per subspace
+PQ_KS = 16                 # sub-codebook size per subspace
+
+
+def _subvectors(qv: Column, m_sub: int = M_SUB,
+                sub_dim: int = SUB_DIM) -> Column:
+    """array<bigint>[DIM] -> array of m_sub slices (the PQ subvectors)."""
+    return F.array(*[F.slice(qv, m * sub_dim + 1, sub_dim)
+                     for m in range(m_sub)])
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between two array<bigint>."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def pq_encode(emb: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              centroid_mod: int = CENTROID_MOD,
+              ks: int = PQ_KS, m_sub: int = M_SUB) -> DataFrame:
+    """Product-quantization encoder: each vector -> M_SUB small codes.
+
+    Sub-codebooks are the PQ analogue of ivf_assign's coarse codebook: a
+    FIXED deterministic sample of ``ks`` corpus vectors, sliced into
+    M_SUB subvectors (k-means-free so both engines reproduce the exact
+    codebook; a production build would Lloyd's-refine each subspace with
+    kmeans_refine, same join shape). Returns one row per (vector,
+    subspace): (id, m, code) where code is the id of the nearest
+    sub-centroid by exact integer squared-L2.
+
+    Scale: the codebook is M_SUB x ks rows (KB-sized) and broadcast;
+    encode cost is N x M_SUB x ks with map-side argmin only — the
+    standard PQ build pass. The encoded corpus is M_SUB bigints per
+    vector (vs DIM floats), the memory win that makes billion-scale
+    ANN fit.
+    """
+    base = emb.select(
+        F.col(id_col),
+        _subvectors(quantize(F.col(vec_col)),
+                    m_sub, DIM // m_sub).alias("subs"))
+    subs = base.select(
+        id_col, F.posexplode("subs").alias("m", "sv"))
+    cents = (base.filter(_fixed_sample(id_col, centroid_mod, ks))
+             .select(F.col(id_col).alias("cid"),
+                     F.posexplode("subs").alias("m", "cv")))
+    scored = (subs.join(F.broadcast(cents), "m")
+              .select(id_col, "m", "cid",
+                      _sq_l2(F.col("sv"), F.col("cv")).alias("d")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col, "m").orderBy("d", "cid")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "m", F.col("cid").alias("code")))
+
+
+def pq_topk(emb: DataFrame, id_col: str = "vec_id",
+            vec_col: str = "embedding", k: int = TOP_K,
+            query_mod: int = QUERY_MOD, n_queries: int = N_QUERIES,
+            centroid_mod: int = CENTROID_MOD, ks: int = PQ_KS,
+            m_sub: int = M_SUB) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: approximate L2 top-k.
+
+    Each query precomputes exact subspace distances to every sub-centroid
+    (an M_SUB x ks table, broadcast); a corpus vector's approximate
+    distance is the sum of table entries selected by its codes — an
+    equi-join on (m, code) + a sum, never touching corpus floats. All
+    arithmetic is exact integers, so results hash-match across engines.
+
+    Complements IVF (similarity_ivf_topk): IVF prunes WHICH vectors are
+    scored, PQ compresses HOW each is scored; IVF-PQ composes both.
+    """
+    from pyspark.sql import Window
+    codes = pq_encode(emb, id_col, vec_col, centroid_mod, ks, m_sub)
+    base = emb.select(
+        F.col(id_col),
+        _subvectors(quantize(F.col(vec_col)),
+                    m_sub, DIM // m_sub).alias("subs"))
+    cents = (base.filter(_fixed_sample(id_col, centroid_mod, ks))
+             .select(F.col(id_col).alias("code"),
+                     F.posexplode("subs").alias("m", "cv")))
+    qtab = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
+            .select(F.col(id_col).alias("query_id"),
+                    F.posexplode("subs").alias("m", "sv"))
+            .join(F.broadcast(cents), "m")
+            .select("query_id", "m", "code",
+                    _sq_l2(F.col("sv"), F.col("cv")).alias("qd")))
+    scored = (codes.join(F.broadcast(qtab), ["m", "code"])
+              .filter(F.col(id_col) != F.col("query_id"))
+              .groupBy("query_id", id_col)
+              .agg(F.sum("qd").alias("adc_dist"))
+              .withColumnRenamed(id_col, "match_id"))
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "match_id")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "match_id", "adc_dist", "rnk"))
+
+
+def similarity_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return pq_topk(emb)
+
+
+def _pq_adc_cte(m_sub: int) -> str:
+    """Shared DuckDB CTE chain ending in ``adc(query_id, match_id,
+    adc_dist)`` — the exact mirror of pq_encode + the ADC table join."""
+    sub_dim = DIM // m_sub
+    subs_sql = (f"list_transform(range(0, {m_sub}), "
+                f"m -> qv[m * {sub_dim} + 1 : m * {sub_dim} + {sub_dim}])")
+    d_sql = ("CAST(list_sum(list_transform(range(1, %d), "
+             "i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS BIGINT)"
+             % (sub_dim + 1))
+    return f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+subs AS (
+  SELECT vec_id, CAST(m AS INT) AS m, slices[m + 1] AS sv
+  FROM (SELECT vec_id, {subs_sql} AS slices FROM q),
+       (SELECT unnest(range(0, {m_sub})) AS m)
+), cents AS (
+  SELECT vec_id AS cid, m, sv AS cv FROM subs
+  WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, PQ_KS)}
+), enc AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT s.vec_id, s.m, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                         ORDER BY {d_sql}, c.cid) AS rn
+    FROM subs s JOIN cents c ON s.m = c.m)
+  WHERE rn = 1
+), qtab AS (
+  SELECT s.vec_id AS query_id, s.m, c.cid AS code, {d_sql} AS qd
+  FROM subs s JOIN cents c ON s.m = c.m
+  WHERE {_fixed_sample_sql('s.vec_id', QUERY_MOD, N_QUERIES)}
+), adc AS (
+  SELECT t.query_id, e.vec_id AS match_id, CAST(SUM(t.qd) AS BIGINT) AS adc_dist
+  FROM enc e JOIN qtab t ON t.m = e.m AND t.code = e.code
+  WHERE e.vec_id <> t.query_id
+  GROUP BY 1, 2
+)"""
+
+
+_PQ_SQL = f"""{_pq_adc_cte(M_SUB)},
+ranked AS (
+  SELECT query_id, match_id, adc_dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist, match_id) AS rnk
+  FROM adc
+)
+SELECT query_id, match_id, adc_dist, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+register(QuerySpec("similarity_pq_topk", similarity_pq_topk_query, _PQ_SQL,
+                   description=f"product-quantization ANN: {M_SUB}x{PQ_KS} "
+                               "deterministic sub-codebooks, exact-int ADC search"))
+
+
+# --- PQ shortlist + exact rerank ------------------------------------------------
+
+RERANK_M_SUB = 16   # finer product grid for the shortlist pass
+RERANK_POOL = 50    # ADC shortlist size per query (the recall knob)
+
+
+def pq_rerank(emb: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", k: int = TOP_K,
+              query_mod: int = QUERY_MOD, n_queries: int = N_QUERIES,
+              centroid_mod: int = CENTROID_MOD, ks: int = PQ_KS,
+              m_sub: int = RERANK_M_SUB,
+              pool: int = RERANK_POOL) -> DataFrame:
+    """Two-stage PQ search: ADC shortlist, then exact rerank.
+
+    The production ANN shape: stage 1 scans only compressed codes to cut
+    the corpus to ``pool`` candidates per query (linear, code-only);
+    stage 2 computes exact integer squared-L2 for just n_queries x pool
+    rows. Recall is the shortlist's candidate coverage — the ``pool`` /
+    ``m_sub`` knobs trade stage-1 cost for it (measured in
+    tests/test_similarity_pq.py). Stage 2's join probes the corpus by
+    match_id with a broadcast shortlist — no corpus shuffle.
+    """
+    from pyspark.sql import Window
+    shortlist = pq_topk(emb, id_col, vec_col, pool, query_mod, n_queries,
+                        centroid_mod, ks, m_sub) \
+        .select("query_id", "match_id")
+    base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
+    qvecs = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
+             .select(F.col(id_col).alias("query_id"), F.col("qv").alias("qq")))
+    cand = shortlist.join(F.broadcast(qvecs), "query_id")
+    rer = (base.withColumnRenamed(id_col, "match_id")
+           .join(F.broadcast(cand), "match_id")
+           .select("query_id", "match_id",
+                   _sq_l2(F.col("qq"), F.col("qv")).alias("l2_dist")))
+    w = Window.partitionBy("query_id").orderBy("l2_dist", "match_id")
+    return (rer.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "match_id", "l2_dist", "rnk"))
+
+
+def similarity_pq_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return pq_rerank(emb)
+
+
+_PQ_RERANK_SQL = f"""{_pq_adc_cte(RERANK_M_SUB)},
+short AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY adc_dist, match_id) AS rn
+    FROM adc)
+  WHERE rn <= {RERANK_POOL}
+), rer AS (
+  SELECT s.query_id, s.match_id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}),
+      i -> (qq.qv[i] - mv.qv[i]) * (qq.qv[i] - mv.qv[i]))) AS BIGINT) AS l2_dist
+  FROM short s
+  JOIN q qq ON qq.vec_id = s.query_id
+  JOIN q mv ON mv.vec_id = s.match_id
+), ranked AS (
+  SELECT query_id, match_id, l2_dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY l2_dist, match_id) AS rnk
+  FROM rer
+)
+SELECT query_id, match_id, l2_dist, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+register(QuerySpec("similarity_pq_rerank", similarity_pq_rerank_query,
+                   _PQ_RERANK_SQL,
+                   description=f"PQ ADC shortlist (pool={RERANK_POOL}, "
+                               f"{RERANK_M_SUB} subspaces) + exact-int L2 rerank"))
