@@ -1170,3 +1170,146 @@ register(QuerySpec("similarity_pq_rerank", similarity_pq_rerank_query,
                    _PQ_RERANK_SQL,
                    description=f"PQ ADC shortlist (pool={RERANK_POOL}, "
                                f"{RERANK_M_SUB} subspaces) + exact-int L2 rerank"))
+
+
+# --- IVF-PQ: coarse-list pruning + compressed-domain scoring --------------------
+
+def ivfpq_topk(emb: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding", k: int = TOP_K,
+               query_mod: int = QUERY_MOD, n_queries: int = N_QUERIES,
+               centroid_mod: int = CENTROID_MOD,
+               n_centroids: int = N_CENTROIDS, nprobe: int = NPROBE,
+               ks: int = PQ_KS, m_sub: int = RERANK_M_SUB) -> DataFrame:
+    """IVF-PQ search: the billion-scale ANN composition.
+
+    IVF prunes WHICH vectors are scored (each query probes its ``nprobe``
+    nearest coarse lists — candidates are a 1/n_centroids-ish fraction of
+    the corpus per probe); PQ compresses HOW each candidate is scored
+    (ADC table lookups on codes, no corpus floats). Both codebooks are
+    the deterministic fixed samples used by ivf_topk and pq_topk, so both
+    engines reproduce the identical index. Distance is approximate
+    squared-L2 in exact integer arithmetic (hash-stable).
+    """
+    from pyspark.sql import Window
+
+    # coarse stage: one N x C ranking pass -> assignment + query probes
+    base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
+                      sq_norm(quantize(F.col(vec_col))).alias("n2"))
+    cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
+             .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
+                     F.col("n2").alias("cn2")))
+    ranked = (base.crossJoin(F.broadcast(cents))
+              .select(F.col(id_col), F.col("cid"),
+                      (F.col("n2") + F.col("cn2")
+                       - 2 * int_dot(F.col("qv"), F.col("cv"))).alias("dist")))
+    w = Window.partitionBy(id_col).orderBy("dist", "cid")
+    ranked = ranked.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select(id_col, "cid")
+    probes = (ranked
+              .filter(_fixed_sample(id_col, query_mod, n_queries)
+                      & (F.col("rn") <= nprobe))
+              .select(F.col(id_col).alias("query_id"), "cid"))
+    cand = (assign.join(F.broadcast(probes), "cid")
+            .filter(F.col(id_col) != F.col("query_id"))
+            .select("query_id", F.col(id_col).alias("match_id")))
+
+    # fine stage: ADC over PQ codes, restricted to the candidate pairs
+    codes = (pq_encode(emb, id_col, vec_col, centroid_mod, ks, m_sub)
+             .withColumnRenamed(id_col, "match_id"))
+    pbase = emb.select(
+        F.col(id_col),
+        _subvectors(quantize(F.col(vec_col)),
+                    m_sub, DIM // m_sub).alias("subs"))
+    pcents = (pbase.filter(_fixed_sample(id_col, centroid_mod, ks))
+              .select(F.col(id_col).alias("code"),
+                      F.posexplode("subs").alias("m", "cv")))
+    qtab = (pbase.filter(_fixed_sample(id_col, query_mod, n_queries))
+            .select(F.col(id_col).alias("query_id"),
+                    F.posexplode("subs").alias("m", "sv"))
+            .join(F.broadcast(pcents), "m")
+            .select("query_id", "m", "code",
+                    _sq_l2(F.col("sv"), F.col("cv")).alias("qd")))
+    adc = (cand.join(codes, "match_id")
+           .join(F.broadcast(qtab), ["query_id", "m", "code"])
+           .groupBy("query_id", "match_id")
+           .agg(F.sum("qd").alias("adc_dist")))
+    w2 = Window.partitionBy("query_id").orderBy("adc_dist", "match_id")
+    return (adc.withColumn("rnk", F.row_number().over(w2))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "match_id", "adc_dist", "rnk"))
+
+
+def similarity_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return ivfpq_topk(emb)
+
+
+def _ivfpq_sql() -> str:
+    m_sub = RERANK_M_SUB
+    sub_dim = DIM // m_sub
+    subs_sql = (f"list_transform(range(0, {m_sub}), "
+                f"m -> qv[m * {sub_dim} + 1 : m * {sub_dim} + {sub_dim}])")
+    d_sql = ("CAST(list_sum(list_transform(range(1, %d), "
+             "i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS BIGINT)"
+             % (sub_dim + 1))
+    dot = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+           "i -> base.qv[i] * cents.cv[i]))")
+    return f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+base AS (
+  SELECT vec_id, qv,
+    list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS in2
+  FROM q
+), cents AS (
+  SELECT vec_id AS cid, qv AS cv, in2 AS cn2 FROM base
+  WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, N_CENTROIDS)}
+), assign_scored AS (
+  SELECT base.vec_id, cents.cid,
+    ROW_NUMBER() OVER (PARTITION BY base.vec_id
+      ORDER BY base.in2 + cents.cn2 - 2 * {dot}, cents.cid) AS rn
+  FROM base CROSS JOIN cents
+), cand AS (
+  SELECT p.query_id, a.vec_id AS match_id
+  FROM (SELECT vec_id AS query_id, cid FROM assign_scored
+        WHERE {_fixed_sample_sql('vec_id', QUERY_MOD, N_QUERIES)}
+          AND rn <= {NPROBE}) p
+  JOIN (SELECT vec_id, cid FROM assign_scored WHERE rn = 1) a
+    ON a.cid = p.cid AND a.vec_id <> p.query_id
+), subs AS (
+  SELECT vec_id, CAST(m AS INT) AS m, slices[m + 1] AS sv
+  FROM (SELECT vec_id, {subs_sql} AS slices FROM q),
+       (SELECT unnest(range(0, {m_sub})) AS m)
+), pcents AS (
+  SELECT vec_id AS code, m, sv AS cv FROM subs
+  WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, PQ_KS)}
+), enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                         ORDER BY {d_sql}, c.code) AS rn
+    FROM subs s JOIN pcents c ON s.m = c.m)
+  WHERE rn = 1
+), qtab AS (
+  SELECT s.vec_id AS query_id, s.m, c.code, {d_sql} AS qd
+  FROM subs s JOIN pcents c ON s.m = c.m
+  WHERE {_fixed_sample_sql('s.vec_id', QUERY_MOD, N_QUERIES)}
+), adc AS (
+  SELECT cd.query_id, cd.match_id, CAST(SUM(t.qd) AS BIGINT) AS adc_dist
+  FROM cand cd
+  JOIN enc e ON e.vec_id = cd.match_id
+  JOIN qtab t ON t.query_id = cd.query_id AND t.m = e.m AND t.code = e.code
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, match_id, adc_dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist, match_id) AS rnk
+  FROM adc
+)
+SELECT query_id, match_id, adc_dist, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+register(QuerySpec("similarity_ivfpq_topk", similarity_ivfpq_query,
+                   _ivfpq_sql(),
+                   description=f"IVF-PQ ANN: nprobe={NPROBE} coarse-list "
+                               "pruning + compressed-domain ADC scoring"))

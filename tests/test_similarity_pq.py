@@ -70,3 +70,37 @@ def test_pq_search_broadcasts_small_sides(spark):
     plan = pq_topk(emb)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ivfpq_candidates_come_from_probed_lists(spark):
+    from downscaledclimatedata_spark.operators.similarity import (
+        N_CENTROIDS, NPROBE, int_dot, ivfpq_topk, sq_norm)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = ivfpq_topk(emb).collect()
+    assert got, "ivfpq returned nothing"
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    for rnks in per_q.values():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+    # rebuild the coarse index independently and check every match sits
+    # in one of its query's probed lists
+    base = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"),
+                      sq_norm(quantize(F.col("embedding"))).alias("n2"))
+    cents = (base.filter(_fixed_sample("vec_id", CENTROID_MOD, N_CENTROIDS))
+             .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"),
+                     F.col("n2").alias("cn2")))
+    ranked = (base.crossJoin(F.broadcast(cents))
+              .select("vec_id", "cid",
+                      (F.col("n2") + F.col("cn2")
+                       - 2 * int_dot(F.col("qv"), F.col("cv"))).alias("d")))
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    ranked = ranked.withColumn("rn", F.row_number().over(w)).collect()
+    assign = {r.vec_id: r.cid for r in ranked if r.rn == 1}
+    probes = {}
+    for r in ranked:
+        if r.rn <= NPROBE:
+            probes.setdefault(r.vec_id, set()).add(r.cid)
+    for r in got:
+        assert assign[r.match_id] in probes[r.query_id], r
