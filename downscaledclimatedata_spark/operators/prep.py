@@ -211,6 +211,7 @@ FROM r GROUP BY 1 ORDER BY shard
 
 register(QuerySpec(
     "prep_text_clean", prep_text_clean_query, _PREP_CLEAN_SQL,
+    headline=True,
     description="normalize + PII-redact + stopword-strip every document "
                 "in one shuffle-free projection"))
 register(QuerySpec(

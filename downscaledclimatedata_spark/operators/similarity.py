@@ -261,10 +261,12 @@ def ivf_assign(emb: DataFrame, id_col: str = "vec_id",
               .select(F.col(id_col), F.col("cid"),
                       (F.col("n2") + F.col("cn2")
                        - 2 * int_dot(F.col("qv"), F.col("cv"))).alias("dist")))
-    from pyspark.sql import Window
-    w = Window.partitionBy(id_col).orderBy("dist", "cid")
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select(id_col, "cid"))
+    # argmin via lexicographic struct-min (== ORDER BY dist, cid):
+    # partial-aggregates map-side, shuffling one row per vector instead
+    # of sorting one row per (vector, centroid)
+    return (scored.groupBy(id_col)
+            .agg(F.min(F.struct("dist", "cid")).alias("best"))
+            .select(id_col, F.col("best.cid").alias("cid")))
 
 
 def ivf_topk(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
@@ -315,9 +317,10 @@ def ivf_topk_multiprobe(emb: DataFrame, id_col: str = "vec_id",
 
     The recall knob of IVF: per-query cost grows with the number of lists
     probed while recall approaches brute force. Corpus vectors still live
-    in exactly ONE list (assignment rn=1), so multiprobe never duplicates
-    a candidate and needs no dedup. One N x C centroid-ranking pass feeds
-    both the corpus assignment (rn=1) and the query probe set (rn<=nprobe).
+    in exactly ONE list (the argmin assignment), so multiprobe never
+    duplicates a candidate and needs no dedup. The corpus assignment is a
+    map-side-partial struct-min aggregation; the nprobe ranking window
+    runs only over the fixed-size query subset.
     """
     from pyspark.sql import Window
     base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
@@ -325,16 +328,15 @@ def ivf_topk_multiprobe(emb: DataFrame, id_col: str = "vec_id",
     cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
              .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
                      F.col("n2").alias("cn2")))
-    ranked = (base.crossJoin(F.broadcast(cents))
-              .select(F.col(id_col), F.col("cid"),
-                      (F.col("n2") + F.col("cn2")
-                       - 2 * int_dot(F.col("qv"), F.col("cv"))).alias("dist")))
+    assign = ivf_assign(emb, id_col, vec_col, centroid_mod, n_centroids)
+    qranked = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
+               .crossJoin(F.broadcast(cents))
+               .select(F.col(id_col), F.col("cid"),
+                       (F.col("n2") + F.col("cn2")
+                        - 2 * int_dot(F.col("qv"), F.col("cv"))).alias("dist")))
     w = Window.partitionBy(id_col).orderBy("dist", "cid")
-    ranked = ranked.withColumn("rn", F.row_number().over(w))
-    assign = ranked.filter(F.col("rn") == 1).select(id_col, "cid")
-    probes = (ranked
-              .filter(_fixed_sample(id_col, query_mod, n_queries)
-                      & (F.col("rn") <= nprobe))
+    probes = (qranked.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= nprobe)
               .select(F.col(id_col).alias("query_id"), "cid"))
     nz = base.filter(F.col("n2") > 0)  # zero-norm: no defined cosine
     corpus = (nz.join(assign, id_col)
@@ -991,11 +993,13 @@ def pq_encode(emb: DataFrame, id_col: str = "vec_id",
     scored = (subs.join(F.broadcast(cents), "m")
               .select(id_col, "m", "cid",
                       _sq_l2(F.col("sv"), F.col("cv")).alias("d")))
-    from pyspark.sql import Window
-    w = Window.partitionBy(id_col, "m").orderBy("d", "cid")
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, "m", F.col("cid").alias("code")))
+    # argmin via min(struct(d, cid)): lexicographic struct-min == ORDER BY
+    # d, cid — same deterministic tie-break as a rank-1 window, but it
+    # partial-aggregates map-side (the shuffle carries one row per
+    # (vector, subspace), not one per candidate centroid)
+    return (scored.groupBy(id_col, "m")
+            .agg(F.min(F.struct("d", "cid")).alias("best"))
+            .select(id_col, "m", F.col("best.cid").alias("code")))
 
 
 def pq_topk(emb: DataFrame, id_col: str = "vec_id",
@@ -1192,22 +1196,23 @@ def ivfpq_topk(emb: DataFrame, id_col: str = "vec_id",
     """
     from pyspark.sql import Window
 
-    # coarse stage: one N x C ranking pass -> assignment + query probes
+    # coarse stage: corpus assignment via the map-side-partial argmin in
+    # ivf_assign; the nprobe ranking is only needed for the n_queries
+    # query rows, so it runs on that tiny filtered subset alone
     base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
                       sq_norm(quantize(F.col(vec_col))).alias("n2"))
     cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
              .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
                      F.col("n2").alias("cn2")))
-    ranked = (base.crossJoin(F.broadcast(cents))
-              .select(F.col(id_col), F.col("cid"),
-                      (F.col("n2") + F.col("cn2")
-                       - 2 * int_dot(F.col("qv"), F.col("cv"))).alias("dist")))
+    assign = ivf_assign(emb, id_col, vec_col, centroid_mod, n_centroids)
+    qranked = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
+               .crossJoin(F.broadcast(cents))
+               .select(F.col(id_col), F.col("cid"),
+                       (F.col("n2") + F.col("cn2")
+                        - 2 * int_dot(F.col("qv"), F.col("cv"))).alias("dist")))
     w = Window.partitionBy(id_col).orderBy("dist", "cid")
-    ranked = ranked.withColumn("rn", F.row_number().over(w))
-    assign = ranked.filter(F.col("rn") == 1).select(id_col, "cid")
-    probes = (ranked
-              .filter(_fixed_sample(id_col, query_mod, n_queries)
-                      & (F.col("rn") <= nprobe))
+    probes = (qranked.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= nprobe)
               .select(F.col(id_col).alias("query_id"), "cid"))
     cand = (assign.join(F.broadcast(probes), "cid")
             .filter(F.col(id_col) != F.col("query_id"))
@@ -1310,6 +1315,6 @@ SELECT query_id, match_id, adc_dist, rnk FROM ranked WHERE rnk <= {TOP_K}
 
 
 register(QuerySpec("similarity_ivfpq_topk", similarity_ivfpq_query,
-                   _ivfpq_sql(),
+                   _ivfpq_sql(), headline=True,
                    description=f"IVF-PQ ANN: nprobe={NPROBE} coarse-list "
                                "pruning + compressed-domain ADC scoring"))
