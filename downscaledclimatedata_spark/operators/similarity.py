@@ -588,9 +588,13 @@ def kmeans_refine(emb: DataFrame, id_col: str = "vec_id",
         scored = (base.crossJoin(F.broadcast(c))
                   .select(F.col(id_col), "cid", "qv",
                           (vn2 + F.col("cn2") - 2 * dot).alias("dist")))
-        w = Window.partitionBy(id_col).orderBy("dist", "cid")
-        assigned = (scored.withColumn("rn", F.row_number().over(w))
-                    .filter(F.col("rn") == 1).select(id_col, "cid", "qv"))
+        # argmin via lexicographic struct-min (== ORDER BY dist, cid;
+        # cid is unique so the qv field never decides): map-side partial
+        # aggregation, one shuffled row per vector instead of k
+        assigned = (scored.groupBy(id_col)
+                    .agg(F.min(F.struct("dist", "cid", "qv")).alias("best"))
+                    .select(id_col, F.col("best.cid").alias("cid"),
+                            F.col("best.qv").alias("qv")))
         comp = assigned.select("cid", F.posexplode("qv").alias("pos", "comp"))
         means = (comp.groupBy("cid", "pos")
                  .agg(F.sum("comp").alias("s"), F.count("*").alias("n"))
@@ -702,18 +706,23 @@ def ivf_topk_refined(emb: DataFrame, id_col: str = "vec_id",
     scored = (base.crossJoin(F.broadcast(c))
               .select(F.col(id_col), "cid", "qv",
                       (vn2 + F.col("cn2") - 2 * dot).alias("dist")))
-    w = Window.partitionBy(id_col).orderBy("dist", "cid")
-    ranked = scored.withColumn("rn", F.row_number().over(w))
-    assigned = ranked.filter(F.col("rn") == 1).select(id_col, "cid", "qv")
+    # corpus assignment: lexicographic struct-min (== ORDER BY dist, cid)
+    # partial-aggregates map-side — one shuffled row per vector
+    assigned = (scored.groupBy(id_col)
+                .agg(F.min(F.struct("dist", "cid", "qv")).alias("best"))
+                .select(id_col, F.col("best.cid").alias("cid"),
+                        F.col("best.qv").alias("qv")))
     withn = (assigned.withColumn("n2", sq_norm(F.col("qv")))
              .filter(F.col("n2") > 0))  # zero-norm: no defined cosine
     qbase = (withn.filter(_fixed_sample(id_col, query_mod, n_queries))
              .select(F.col(id_col).alias("query_id"),
                      F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
-    # query's nprobe nearest refined lists (rn <= nprobe from the same
-    # ranking that produced the corpus assignment — no second pass)
-    probes = (ranked.filter(_fixed_sample(id_col, query_mod, n_queries)
-                            & (F.col("rn") <= nprobe))
+    # query's nprobe nearest refined lists: the ranking window runs only
+    # over the fixed-size query subset of the scored relation
+    w = Window.partitionBy(id_col).orderBy("dist", "cid")
+    probes = (scored.filter(_fixed_sample(id_col, query_mod, n_queries))
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= nprobe)
               .select(F.col(id_col).alias("query_id"), "cid"))
     queries = probes.join(qbase, "query_id")
     corpus = withn.select(F.col(id_col).alias("match_id"), "cid",
