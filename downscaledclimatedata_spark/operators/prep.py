@@ -46,13 +46,15 @@ STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
 
 
 def clean_documents(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Normalize + redact one document column in a single projection.
 
     Steps (order matters — count PII before redacting): count email/URL/
     IPv4 matches, rewrite them to typed placeholder tokens, collapse runs
     of whitespace, trim, and derive a stopword-free content view for
-    downstream dedup/quality passes.
+    downstream dedup/quality passes. ``keep_cols`` are passed through
+    untouched (still one projection — no join needed downstream).
     """
     t = F.col(text_col)
     n_pii = (F.regexp_count(t, F.lit(EMAIL_RE))
@@ -68,6 +70,7 @@ def clean_documents(df: DataFrame, text_col: str = "text",
     kept = F.filter(toks, lambda x: ~x.isin(*STOPWORDS))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         clean.alias("clean_text"),
         n_pii.cast("bigint").alias("n_pii"),
         F.array_join(kept, " ").alias("content_text"),
@@ -83,18 +86,19 @@ def source_quota_sample(df: DataFrame, cap: int,
 
     The domain-quota pass every crawl-derived corpus needs (bound any one
     domain's share of the training mix). Deterministic: ties broken by id.
-    One shuffle on the source key; rank state is O(1) per task.
+    One shuffle on the source key; rank state is O(1) per task. All input
+    columns are preserved (plus ``rk``) so the op composes in pipelines.
     """
     w = (Window.partitionBy(source_col)
          .orderBy(F.col(order_col).desc(), F.col(id_col)))
-    return (df.select(id_col, source_col, order_col)
-            .withColumn("rk", F.row_number().over(w))
+    return (df.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= cap))
 
 
 def token_balanced_shards(df: DataFrame, n_shards: int,
                           text_col: str = "text", id_col: str = "doc_id",
-                          bin_width: int = 16) -> DataFrame:
+                          bin_width: int = 16,
+                          n_tokens_col: str | None = None) -> DataFrame:
     """Assign docs to ``n_shards`` output shards with near-equal token mass.
 
     Longest-processing-time round-robin: rank all docs by token count
@@ -102,10 +106,17 @@ def token_balanced_shards(df: DataFrame, n_shards: int,
     scale-safely in two phases (see module docstring): per-bin
     row_number + broadcast cumulative offsets over the per-bin histogram
     (|bins| rows — KB-sized at any corpus size).
+
+    Pass ``n_tokens_col`` to reuse a token count an upstream stage
+    already computed instead of re-tokenizing ``text_col``.
     """
-    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda x: x != "")
-    with_n = df.select(
-        F.col(id_col), F.size(toks).cast("bigint").alias("n_tokens"))
+    if n_tokens_col is not None:
+        with_n = df.select(
+            F.col(id_col), F.col(n_tokens_col).cast("bigint").alias("n_tokens"))
+    else:
+        toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda x: x != "")
+        with_n = df.select(
+            F.col(id_col), F.size(toks).cast("bigint").alias("n_tokens"))
     binned = with_n.withColumn(
         "bin", (F.col("n_tokens") / F.lit(bin_width)).cast("bigint"))
 
@@ -167,7 +178,9 @@ FROM kept ORDER BY doc_id
 
 def prep_source_quota_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return source_quota_sample(docs, cap=10).orderBy("source", "rk")
+    return (source_quota_sample(docs, cap=10)
+            .select("doc_id", "source", "n_chars", "rk")
+            .orderBy("source", "rk"))
 
 
 _PREP_QUOTA_SQL = """
@@ -221,3 +234,96 @@ register(QuerySpec(
     "prep_balanced_shards", prep_balanced_shards_query, _PREP_SHARDS_SQL,
     description="LPT round-robin token-balanced shard assignment via "
                 "two-phase distributed global rank"))
+
+
+# --- prep_pipeline: the prep family composed end-to-end -------------------------
+
+PIPE_CAP = 15       # per-source quota
+PIPE_SHARDS = 4     # output shards
+
+
+def prep_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean -> per-source quota -> exact dedup -> token-balanced shards,
+    composed as one declarative plan.
+
+    The full prep pass a training-data run makes before tokenization:
+    redact and normalize every document, cap any one source's share,
+    drop exact content duplicates (min-id representative), and assign
+    survivors to near-equal-token output shards. Catalyst plans the
+    whole chain with three shuffles (source window, content-hash
+    aggregation, bin window) — none global, none quadratic. Returns
+    per-shard stats (small, deterministic).
+    """
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = clean_documents(docs, keep_cols=("source",))
+    capped = source_quota_sample(cleaned, cap=PIPE_CAP,
+                                 order_col="n_content_tokens")
+    # exact dedup on the cleaned content: keep the min doc_id per hash
+    hashed = capped.withColumn("content_hash", md5_long(F.col("content_text")))
+    keep = (hashed.groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.min_by("n_content_tokens", "doc_id").alias("n_tokens")))
+    shards = token_balanced_shards(keep, n_shards=PIPE_SHARDS,
+                                   n_tokens_col="n_tokens")
+    return (shards.groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.min("global_rank").alias("first_rank"))
+            .orderBy("shard"))
+
+
+def _prep_pipeline_sql() -> str:
+    from downscaledclimatedata_spark.functions.hashing import md5_long_sql
+    stop_list = "['" + "','".join(STOPWORDS) + "']"
+    return rf"""
+WITH red AS (
+  SELECT doc_id, source,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+          'https?://[^ ]+', '<URL>', 'g'),
+        '[0-9]{{1,3}}[.][0-9]{{1,3}}[.][0-9]{{1,3}}[.][0-9]{{1,3}}', '<IP>', 'g'),
+      '\s+', ' ', 'g')) AS clean_text
+  FROM documents),
+kept AS (
+  SELECT doc_id, source,
+    list_filter(
+      list_filter(string_split(clean_text, ' '), x -> x <> ''),
+      x -> NOT list_contains({stop_list}, x)) AS ks
+  FROM red),
+cleaned AS (
+  SELECT doc_id, source,
+    array_to_string(ks, ' ') AS content_text,
+    CAST(len(ks) AS BIGINT) AS n_content_tokens
+  FROM kept),
+capped AS (
+  SELECT doc_id, content_text, n_content_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+      ORDER BY n_content_tokens DESC, doc_id) AS rk
+    FROM cleaned)
+  WHERE rk <= {PIPE_CAP}),
+dedup AS (
+  SELECT MIN(doc_id) AS doc_id,
+    MIN_BY(n_content_tokens, doc_id) AS n_tokens
+  FROM capped
+  GROUP BY {md5_long_sql('content_text')}),
+ranked AS (
+  SELECT doc_id, n_tokens,
+    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS global_rank
+  FROM dedup)
+SELECT CAST((global_rank - 1) % {PIPE_SHARDS} AS BIGINT) AS shard,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  MIN(global_rank) AS first_rank
+FROM ranked GROUP BY 1 ORDER BY shard
+"""
+
+
+register(QuerySpec(
+    "prep_pipeline", prep_pipeline_query, _prep_pipeline_sql(),
+    description="clean -> source quota -> exact dedup -> balanced shards, "
+                "one declarative plan (3 bounded shuffles)"))

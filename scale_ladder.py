@@ -51,8 +51,9 @@ DIM_TABLES = ("region", "nation")  # fixed-size dims: copied once, unscaled
 def build_scaled(spark, src: str, dst: str, copies: int) -> None:
     from pyspark.sql import functions as F
     os.makedirs(dst, exist_ok=True)
-    # events: keep ts as raw long nanos (no conversion) so the engine's
-    # events loader sees the same shape as the driver file
+    # events: copy ts in whatever physical shape the driver file uses
+    # (long nanos under nanosAsLong, or native micros) — the engine's
+    # loader normalizes either (sources/tables.py normalize_events_ts)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for name in DIM_TABLES:
         df = spark.read.parquet(os.path.join(src, f"{name}.parquet"))
