@@ -170,7 +170,7 @@ kept AS (
       x -> NOT list_contains(['the','a','of','and','in','to','is'], x)) AS ks
   FROM red)
 SELECT doc_id, clean_text, n_pii,
-  array_to_string(ks, ' ') AS content_text,
+  coalesce(array_to_string(ks, ' '), '') AS content_text,
   CAST(len(ks) AS BIGINT) AS n_content_tokens
 FROM kept ORDER BY doc_id
 """
@@ -297,7 +297,7 @@ kept AS (
   FROM red),
 cleaned AS (
   SELECT doc_id, source,
-    array_to_string(ks, ' ') AS content_text,
+    coalesce(array_to_string(ks, ' '), '') AS content_text,
     CAST(len(ks) AS BIGINT) AS n_content_tokens
   FROM kept),
 capped AS (
