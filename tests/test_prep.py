@@ -93,3 +93,30 @@ def test_balanced_shards_rank_window_is_binned(spark):
     windows = re.findall(r"Window \[row_number\(\).*", plan)
     assert windows, plan
     assert all("bin" in w for w in windows), windows
+
+
+def test_clean_documents_is_idempotent(spark):
+    """Cleaning already-clean text must be a no-op: placeholders contain
+    no redactable syntax, whitespace is already collapsed, and stopword
+    stripping only shrinks the content view. Guards against rewrite
+    rules that feed each other (e.g. a placeholder matching the URL
+    pattern)."""
+    rows = [
+        (1, "x@y.zz mail and http://a.b/c plus 1.2.3.4 done", "s", 0),
+        (2, "  spaced   out\t\ttext  ", "s", 0),
+        (3, "the a of and in to is", "s", 0),
+        (4, "", "s", 0),
+        (5, "plain words only here", "s", 0),
+    ]
+    df = _docs(spark, rows)
+    once = clean_documents(df)
+    twice = clean_documents(
+        once.select("doc_id", F.col("clean_text").alias("text")))
+    a = {r["doc_id"]: (r["clean_text"], r["n_pii"], r["content_text"])
+         for r in once.collect()}
+    b = {r["doc_id"]: (r["clean_text"], r["n_pii"], r["content_text"])
+         for r in twice.collect()}
+    for doc_id in a:
+        assert a[doc_id][0] == b[doc_id][0], doc_id   # clean_text stable
+        assert b[doc_id][1] == 0, doc_id              # nothing left to redact
+        assert a[doc_id][2] == b[doc_id][2], doc_id   # content view stable
