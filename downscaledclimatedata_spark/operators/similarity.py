@@ -53,13 +53,29 @@ def _fixed_sample_sql(col: str, spacing: int, count: int) -> str:
     return f"{col} % {spacing} = 0 AND {col} < {spacing * count}"
 
 
+# Quantized components are clamped to ±QCLAMP so every derived integer —
+# squared norm (64·QCLAMP² ≈ 6.4e17), dot product, and L2 distance
+# (≤ 4·6.4e17) — fits in int64 with margin. Without the clamp, a vector
+# with |x| ≥ ~4e3 overflows the exact-int kernels under ANSI mode (DuckDB
+# silently promotes to HUGEINT, so the engines would also diverge).
+# Like int8 quantization in production ANN systems, the representable
+# range is part of the quantizer's contract.
+QCLAMP = 100_000_000
+
+
 def quantize(col: Column, scale: int = QUANT) -> Column:
-    """array<float> -> array<bigint>, component-wise round(x*scale).
+    """array<float> -> array<bigint>, component-wise round(x*scale)
+    clamped to ±QCLAMP.
 
     x*scale is never an exact .5 for binary-fraction floats with a
     non-power-of-two scale, so HALF_UP vs HALF_EVEN cannot diverge.
     """
-    return F.transform(col, lambda x: F.round(x.cast("double") * scale).cast("long"))
+    return F.transform(
+        col,
+        lambda x: F.least(
+            F.greatest(F.round(x.cast("double") * scale),
+                       F.lit(float(-QCLAMP))),
+            F.lit(float(QCLAMP))).cast("long"))
 
 
 def int_dot(a: Column, b: Column) -> Column:
@@ -366,7 +382,9 @@ def similarity_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_quantized(emb)
 
 
-_QVEC_SQL = f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+_QVEC_SQL = (f"list_transform(embedding, x -> CAST(least(greatest("
+             f"round(CAST(x AS DOUBLE) * {QUANT}), {-QCLAMP}.0), "
+             f"{QCLAMP}.0) AS BIGINT))")
 _SIM_TOPK_SQL = f"""
 WITH q AS (
   SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings

@@ -1,9 +1,10 @@
 """Adversarial-embeddings oracle parity: every embeddings-consuming spec
-runs on a crafted table containing zero vectors, exact duplicates,
-constant vectors, and extreme values — and must still match its DuckDB
-oracle exactly. (A zero vector makes every cosine denominator 0; the
-double division yields NaN/Inf identically in both engines, but any
-ranking over it must stay deterministic.)
+runs on a crafted corpus of edge cases — zero vectors, exact duplicates,
+negatives, huge magnitudes, and a corpus smaller than the centroid/query
+sample bounds — and must still match its DuckDB oracle exactly. The
+synthetic sf tables are well-behaved gaussians, so this suite is what
+protects the ANN operators from the zero-norm / duplicate-distance /
+sparse-sample failure class on a user's real vectors.
 """
 
 from __future__ import annotations
@@ -12,6 +13,8 @@ import os
 import shutil
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 from downscaledclimatedata_spark.plans import all_specs
@@ -23,26 +26,34 @@ SPECS = all_specs()
 DIM = 64
 
 
-def _vec(kind: str, i: int) -> list[float]:
-    if kind == "zero":
-        return [0.0] * DIM
-    if kind == "ones":
-        return [1.0] * DIM
-    if kind == "big":
-        return [1000.0 if d % 2 == 0 else -1000.0 for d in range(DIM)]
-    if kind == "tiny":
-        return [1e-4] * DIM
-    # pseudo-random but deterministic
-    return [((i * 31 + d * 17) % 41 - 20) / 10.0 for d in range(DIM)]
+def _edge_embeddings() -> pd.DataFrame:
+    rows = []
 
+    def add(vec_id, vec, label=0):
+        rows.append((vec_id, np.asarray(vec, dtype=np.float32), label))
 
-# ids 0..499 so the fixed-size query/centroid predicates (vec_id % 50 == 0
-# < 500, % 25 == 0 < 400) select a full set including the zero vector at 0
-EDGE_VECS = []
-for i in range(500):
-    kind = {0: "zero", 25: "ones", 50: "ones", 75: "big",
-            100: "tiny", 125: "zero"}.get(i, "mix")
-    EDGE_VECS.append((i, _vec(kind, i), i % 7))
+    # ids 0,25,50,...: hit both the query sample (mod 50) and the
+    # centroid sample (mod 25) so sampled rows include edge shapes
+    add(0, [0.0] * DIM)                      # zero-norm QUERY + CENTROID
+    add(25, [1.0] * DIM)                     # uniform centroid
+    add(50, [-1.0] * DIM, label=1)           # negative query
+    add(75, [1e6] * DIM, label=1)            # huge-magnitude centroid
+    add(100, [0.5] * 32 + [0.0] * 32)        # half-sparse query
+    # duplicates: identical vectors -> tied distances everywhere
+    for i, vid in enumerate((1, 2, 3)):
+        add(vid, [float(j % 7) for j in range(DIM)], label=i % 2)
+    # near-duplicates of the uniform vector
+    add(4, [1.0] * (DIM - 1) + [1.0 + 1e-3])
+    add(5, [1.0] * (DIM - 1) + [1.0 - 1e-3])
+    # a second zero vector that is NOT in any sample
+    add(6, [0.0] * DIM, label=1)
+    # generic filler so joins/aggregations have some mass
+    rng = np.random.RandomState(7)
+    for vid in range(200, 230):
+        add(vid, rng.standard_normal(DIM) * 0.1, label=vid % 3)
+    return pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).astype(
+        {"vec_id": "int64", "label": "int32"})
+
 
 _EMB_SPECS = sorted(
     n for n, s in SPECS.items()
@@ -52,14 +63,13 @@ _EMB_SPECS = sorted(
 
 @pytest.fixture(scope="module")
 def edge_dir(spark, tmp_path_factory):
-    d = str(tmp_path_factory.mktemp("edge_emb"))
+    d = str(tmp_path_factory.mktemp("edge_emb_sf"))
     for name in ("region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem", "events", "documents"):
         shutil.copy(os.path.join(SF_SMOKE, f"{name}.parquet"),
                     os.path.join(d, f"{name}.parquet"))
-    emb = spark.createDataFrame(
-        EDGE_VECS, "vec_id long, embedding array<float>, label int")
-    emb.toPandas().to_parquet(os.path.join(d, "embeddings.parquet"), index=False)
+    _edge_embeddings().to_parquet(os.path.join(d, "embeddings.parquet"),
+                                  index=False)
     return d
 
 
