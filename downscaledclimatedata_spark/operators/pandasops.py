@@ -88,8 +88,11 @@ def zscore_per_group_exact(df: DataFrame, key: str = "user_id") -> DataFrame:
         import math
         v = pdf["xq"]
         fn = float(len(v))
-        m = float(int(v.sum())) / fn
-        var = float(int((v * v).sum())) / fn - m * m
+        # arbitrary-precision python ints: numpy int64 would WRAP
+        # silently on xq² beyond ~3e9 (the oracle's HUGEINT sums match)
+        vo = v.astype(object)
+        m = float(int(vo.sum())) / fn
+        var = float(int((vo * vo).sum())) / fn - m * m
         std = math.sqrt(var) if var > 0 else 0.0
         z = (v.astype("float64") - m) / std if std > 0 else v * 0.0
         return pd.DataFrame({
@@ -108,7 +111,9 @@ def weighted_mean_agg_exact(df: DataFrame, key: str = "event_type") -> DataFrame
 
     @pandas_udf("double")
     def wmean(xq: pd.Series, w: pd.Series) -> float:
-        num, den = int((xq * w).sum()), int(w.sum())
+        # object dtype -> python-int products; int64 would wrap silently
+        num = int((xq.astype(object) * w.astype(object)).sum())
+        den = int(w.sum())
         return float(num) / float(den) if den else 0.0
 
     return (df.groupBy(key)
@@ -139,7 +144,8 @@ WITH q AS (
 ), g AS (
   SELECT user_id, COUNT(*) AS n,
          CAST(SUM(xq) AS DOUBLE) AS s,
-         CAST(SUM(xq * xq) AS DOUBLE) AS ss
+         -- HUGEINT product: xq*xq overflows INT64 past |xq| ~ 3e9
+         CAST(SUM(CAST(xq AS HUGEINT) * xq) AS DOUBLE) AS ss
   FROM q GROUP BY user_id
 ), z AS (
   SELECT q.user_id, q.xq,
@@ -162,7 +168,7 @@ def pandas_weighted_mean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WMEAN_SQL = """
 SELECT event_type,
   CASE WHEN SUM(w) > 0
-       THEN CAST(SUM(xq * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+       THEN CAST(SUM(CAST(xq AS HUGEINT) * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
        ELSE 0.0 END AS weighted_mean
 FROM (SELECT event_type, CAST(FLOOR(value * 1000.0) AS BIGINT) AS xq,
              event_id % 10 + 1 AS w

@@ -288,7 +288,9 @@ targets AS (SELECT UNNEST([50, 95, 99]) AS q)
 SELECT q, bucket, CAST(bucket AS DOUBLE) * {HIST_BIN} AS approx_value
 FROM targets, LATERAL (
   SELECT bucket FROM c, t
-  WHERE cum >= -((-t.n * targets.q) // 100)
+  -- ceil(n*q/100) in exact ints; (+99)//100 because DuckDB's // TRUNCATES
+  -- toward zero (a negated-floor ceil idiom silently floors here)
+  WHERE cum >= (t.n * targets.q + 99) // 100
   ORDER BY bucket LIMIT 1
 ) hit
 """
