@@ -86,8 +86,15 @@ def source_quota_sample(df: DataFrame, cap: int,
 
     The domain-quota pass every crawl-derived corpus needs (bound any one
     domain's share of the training mix). Deterministic: ties broken by id.
-    One shuffle on the source key; rank state is O(1) per task. All input
-    columns are preserved (plus ``rk``) so the op composes in pipelines.
+    All input columns are preserved (plus ``rk``) so the op composes in
+    pipelines.
+
+    Scale: Catalyst rewrites the ``row_number() <= cap`` filter into
+    WindowGroupLimit with a PARTIAL pass before the shuffle — every map
+    task keeps at most ``cap`` rows per source locally, so a HOT source
+    (one domain = 30% of a 100 TB crawl) ships ≤ tasks x cap rows to its
+    reducer instead of its whole partition. The plan test pins this
+    rewrite; a hand-rolled two-phase prefilter would duplicate it.
     """
     w = (Window.partitionBy(source_col)
          .orderBy(F.col(order_col).desc(), F.col(id_col)))

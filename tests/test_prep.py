@@ -120,3 +120,19 @@ def test_clean_documents_is_idempotent(spark):
         assert a[doc_id][0] == b[doc_id][0], doc_id   # clean_text stable
         assert b[doc_id][1] == 0, doc_id              # nothing left to redact
         assert a[doc_id][2] == b[doc_id][2], doc_id   # content view stable
+
+
+def test_source_quota_gets_partial_window_group_limit(spark):
+    """Catalyst must rewrite the rank<=cap filter into a PARTIAL
+    WindowGroupLimit before the shuffle — the map-side top-cap that
+    keeps a hot source from shipping its whole partition to one
+    reducer. If an upgrade or a refactor (e.g. wrapping the rank in an
+    expression Catalyst can't see through) drops this rewrite, the
+    operator silently becomes a single-task sort per source."""
+    rows = [(i, f"t{i}", "hot" if i < 150 else f"src{i % 3}", (i * 37) % 97)
+            for i in range(200)]
+    df = _docs(spark, rows)
+    got = source_quota_sample(df, cap=7)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
