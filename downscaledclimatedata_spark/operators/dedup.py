@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from downscaledclimatedata_spark.functions.hashing import md5_long, md5_long_sql
 from downscaledclimatedata_spark.plans import QuerySpec, register
 from downscaledclimatedata_spark.sources.tables import load_table, load_table_parallel
+from downscaledclimatedata_spark.functions.text import WS_RE
 
 MINHASH_PERMS = 16
 LSH_BAND_SIZE = 4
@@ -51,7 +52,7 @@ def _perm_constants(n_perms: int) -> list[tuple[int, int]]:
 
 def tokens(col: Column) -> Column:
     """Whitespace tokens of lowercased text, empty tokens dropped."""
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+    return F.filter(F.split(F.lower(col), WS_RE), lambda x: x != "")
 
 
 def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
@@ -242,7 +243,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 _SHINGLES_CTE = r"""
 toks AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
   FROM documents
 ),
 shingled AS (
@@ -264,7 +265,7 @@ def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_EXACT_SQL = rf"""
 WITH normed AS (
   SELECT doc_id,
-    coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')[1:5], ' '), '') AS norm_text
+    coalesce(array_to_string(list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> '')[1:5], ' '), '') AS norm_text
   FROM documents
 )
 SELECT {md5_long_sql('norm_text')} AS content_hash,
@@ -668,7 +669,7 @@ def dedup_levenshtein_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("dist"))
 
 
-_FIRST_TOK_SQL = (r"coalesce(list_filter(string_split_regex(lower(text), '\s+'), "
+_FIRST_TOK_SQL = (r"coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), "
                   r"x -> x <> '')[1], '')")
 _DEDUP_LEV_SQL = f"""
 WITH pref AS (
@@ -738,7 +739,7 @@ def _repeated_spans_sql() -> str:
     return rf"""
 WITH toks AS (
   SELECT doc_id,
-    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+    list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
   FROM documents
 ),
 spans AS (

@@ -47,13 +47,17 @@ def decode_payloads(df: DataFrame) -> DataFrame:
     def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd
         for pdf in batches:
-            n_bytes = pdf["payload"].map(len)
+            # NULL payload -> NULL metadata (nullable Int32 keeps NA
+            # through the arithmetic and the Arrow hand-back)
+            n_bytes = pd.Series(
+                pd.array([len(p) if p is not None else None
+                          for p in pdf["payload"]], dtype="Int32"))
             # deterministic fake dims derived from payload size
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes.astype("int32"),
-                "width": (64 + (n_bytes % 193)).astype("int32"),
-                "height": (64 + (n_bytes % 97)).astype("int32"),
+                "n_bytes": n_bytes,
+                "width": (64 + (n_bytes % 193)).astype("Int32"),
+                "height": (64 + (n_bytes % 97)).astype("Int32"),
                 "format": (n_bytes % 3).map({0: "jpeg", 1: "png", 2: "webp"}),
             })
 
@@ -95,6 +99,8 @@ def sample_frames(df: DataFrame, frame_size: int = FRAME_SIZE,
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame": [], "byte_offset": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # row-level tolerance (SURVEY §2 T7)
+                    continue
                 blob = bytes(payload)
                 n = min(max_frames, max(len(blob) - frame_size, 0) // stride + 1)
                 for i in range(n):
@@ -121,13 +127,18 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
         import numpy as np
         import pandas as pd
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
+            feats, ids = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # row-level tolerance (SURVEY §2 T7)
+                    continue
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
                 hist = np.bincount(arr % dim, minlength=dim).astype("float32")
                 norm = float(np.sqrt((hist * hist).sum())) or 1.0
                 feats.append((hist / norm).tolist())
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+                ids.append(int(doc_id))
+            if ids:  # an all-NULL batch yields nothing (empty numpy
+                # columns would defeat Arrow's list<float> conversion)
+                yield pd.DataFrame({"doc_id": ids, "feature": feats})
 
     return df.select("doc_id", "payload").mapInPandas(_extract, FEATURE_SCHEMA)
 
@@ -308,7 +319,8 @@ def multimodal_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MULTIMODAL_DECODE_SQL = """
 WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents)
-SELECT CASE WHEN n_bytes % 3 = 0 THEN 'jpeg' WHEN n_bytes % 3 = 1 THEN 'png'
+SELECT CASE WHEN n_bytes IS NULL THEN NULL
+       WHEN n_bytes % 3 = 0 THEN 'jpeg' WHEN n_bytes % 3 = 1 THEN 'png'
        ELSE 'webp' END AS format,
   COUNT(*) AS n_docs,
   CAST(SUM(64 + n_bytes % 193) AS BIGINT) AS sum_width,
@@ -329,7 +341,8 @@ def multimodal_frames_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MULTIMODAL_FRAMES_SQL = f"""
-WITH p AS (SELECT octet_length(encode(text)) AS n_bytes FROM documents),
+WITH p AS (SELECT octet_length(encode(text)) AS n_bytes FROM documents
+           WHERE text IS NOT NULL),
 f AS (SELECT CAST(LEAST({MAX_FRAMES},
         GREATEST(n_bytes - {FRAME_SIZE}, 0) // {FRAME_STRIDE} + 1) AS BIGINT)
         AS n_frames FROM p)
@@ -356,7 +369,7 @@ def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MULTIMODAL_FEATURES_SQL = f"""
 SELECT doc_id, {FEATURE_DIM} AS dim,
        octet_length(encode(text)) > 0 AS unit_norm
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 

@@ -32,12 +32,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from downscaledclimatedata_spark.functions.text import WS_RE
 from downscaledclimatedata_spark.plans import QuerySpec, register
 from downscaledclimatedata_spark.sources.tables import load_table
 
 # PII patterns restricted to syntax with identical semantics in Java
 # regex (Spark) and RE2 (DuckDB): character classes, +, {m,n} — no
-# backrefs, no lookaround.
+# backrefs, no lookaround. Whitespace uses the explicit WS_RE class
+# (functions/text.py) — Java \s matches \x0B, RE2 \s does not.
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
 URL_RE = "https?://[^ ]+"
 IPV4_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
@@ -65,7 +67,7 @@ def clean_documents(df: DataFrame, text_col: str = "text",
             F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
             URL_RE, "<URL>"),
         IPV4_RE, "<IP>")
-    clean = F.trim(F.regexp_replace(redacted, r"\s+", " "))
+    clean = F.trim(F.regexp_replace(redacted, WS_RE, " "))
     toks = F.filter(F.split(clean, " "), lambda x: x != "")
     kept = F.filter(toks, lambda x: ~x.isin(*STOPWORDS))
     return df.select(
@@ -73,7 +75,9 @@ def clean_documents(df: DataFrame, text_col: str = "text",
         *[F.col(c) for c in keep_cols],
         clean.alias("clean_text"),
         n_pii.cast("bigint").alias("n_pii"),
-        F.array_join(kept, " ").alias("content_text"),
+        # coalesce: NULL text must yield '' like the oracle's
+        # coalesce(array_to_string(...), ''), not NULL
+        F.coalesce(F.array_join(kept, " "), F.lit("")).alias("content_text"),
         F.size(kept).cast("bigint").alias("n_content_tokens"),
     )
 
@@ -117,13 +121,21 @@ def token_balanced_shards(df: DataFrame, n_shards: int,
     Pass ``n_tokens_col`` to reuse a token count an upstream stage
     already computed instead of re-tokenizing ``text_col``.
     """
+    # NULL-text docs count as 0 tokens: a NULL n_tokens would make a NULL
+    # bin, and the equi-join on bin below silently DROPS NULL keys — the
+    # doc would vanish from the shard assignment (pinned by the NULL-text
+    # row in the edge-corpus parity suite).
     if n_tokens_col is not None:
         with_n = df.select(
-            F.col(id_col), F.col(n_tokens_col).cast("bigint").alias("n_tokens"))
+            F.col(id_col),
+            F.coalesce(F.col(n_tokens_col).cast("bigint"), F.lit(0))
+            .alias("n_tokens"))
     else:
-        toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda x: x != "")
+        toks = F.filter(F.split(F.lower(text_col), WS_RE), lambda x: x != "")
         with_n = df.select(
-            F.col(id_col), F.size(toks).cast("bigint").alias("n_tokens"))
+            F.col(id_col),
+            F.coalesce(F.size(toks).cast("bigint"), F.lit(0))
+            .alias("n_tokens"))
     binned = with_n.withColumn(
         "bin", (F.col("n_tokens") / F.lit(bin_width)).cast("bigint"))
 
@@ -164,7 +176,7 @@ WITH red AS (
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
           'https?://[^ ]+', '<URL>', 'g'),
         '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
-      '\s+', ' ', 'g')) AS clean_text,
+      '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean_text,
     CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}'))
        + len(regexp_extract_all(text, 'https?://[^ ]+'))
        + len(regexp_extract_all(text, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}'))
@@ -215,8 +227,9 @@ def prep_balanced_shards_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PREP_SHARDS_SQL = rf"""
 WITH t AS (
   SELECT doc_id,
-    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
-                         x -> x <> '')) AS BIGINT) AS n_tokens
+    coalesce(CAST(len(list_filter(
+      string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+      x -> x <> '')) AS BIGINT), 0) AS n_tokens
   FROM documents),
 r AS (
   SELECT doc_id, n_tokens,
@@ -294,7 +307,7 @@ WITH red AS (
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{{2,}}', '<EMAIL>', 'g'),
           'https?://[^ ]+', '<URL>', 'g'),
         '[0-9]{{1,3}}[.][0-9]{{1,3}}[.][0-9]{{1,3}}[.][0-9]{{1,3}}', '<IP>', 'g'),
-      '\s+', ' ', 'g')) AS clean_text
+      '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean_text
   FROM documents),
 kept AS (
   SELECT doc_id, source,
@@ -315,7 +328,7 @@ capped AS (
   WHERE rk <= {PIPE_CAP}),
 dedup AS (
   SELECT MIN(doc_id) AS doc_id,
-    MIN_BY(n_content_tokens, doc_id) AS n_tokens
+    coalesce(MIN_BY(n_content_tokens, doc_id), 0) AS n_tokens
   FROM capped
   GROUP BY {md5_long_sql('content_text')}),
 ranked AS (

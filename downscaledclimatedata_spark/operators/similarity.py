@@ -56,8 +56,9 @@ def _fixed_sample_sql(col: str, spacing: int, count: int) -> str:
 # Quantized components are clamped to ±QCLAMP so every derived integer —
 # squared norm (64·QCLAMP² ≈ 6.4e17), dot product, and L2 distance
 # (≤ 4·6.4e17) — fits in int64 with margin. Without the clamp, a vector
-# with |x| ≥ ~4e3 overflows the exact-int kernels under ANSI mode (DuckDB
-# silently promotes to HUGEINT, so the engines would also diverge).
+# with |x| ≥ sqrt(2^63/64)/QUANT ≈ 3.8e5 overflows the exact-int kernels
+# under ANSI mode (DuckDB silently promotes to HUGEINT, so the engines
+# would also diverge).
 # Like int8 quantization in production ANN systems, the representable
 # range is part of the quantizer's contract.
 QCLAMP = 100_000_000

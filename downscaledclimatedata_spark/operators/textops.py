@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from downscaledclimatedata_spark.functions.hashing import md5_long, md5_long_sql
 from downscaledclimatedata_spark.plans import QuerySpec, register
 from downscaledclimatedata_spark.sources.tables import load_table, load_table_parallel
+from downscaledclimatedata_spark.functions.text import WS_RE
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
 
@@ -32,7 +33,7 @@ _WORD_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
 def _tokens(col: Column) -> Column:
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+    return F.filter(F.split(F.lower(col), WS_RE), lambda x: x != "")
 
 
 def _safe_ratio(num: Column, den: Column) -> Column:
@@ -116,7 +117,7 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 # --- oracle-checked query entries -------------------------------------------
 
-_TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+_TOKS_SQL = r"list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> '')"
 
 
 def text_token_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,9 +210,12 @@ def text_rolling_hash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     one, this composes incrementally and supports windowed substring
     fingerprinting at scale). Fold stays JVM-side via `aggregate`."""
     docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    toks = F.filter(F.split(F.lower("text"), WS_RE), lambda x: x != "")
     hashes = F.transform(toks, lambda t: md5_long(t) % F.lit(2147483647))
-    poly = F.aggregate(hashes, F.lit(0).cast("long"),
+    # NULL text hashes like an empty doc (0 = the fold's initial acc),
+    # explicitly on both sides — not left to engine NULL propagation
+    safe = F.coalesce(hashes, F.array().cast("array<bigint>"))
+    poly = F.aggregate(safe, F.lit(0).cast("long"),
                        lambda acc, h: (acc * 31 + h) % 2147483647)
     return docs.select("doc_id", poly.alias("rolling_hash"))
 
@@ -220,7 +224,8 @@ _TEXT_ROLLING_SQL = f"""
 SELECT doc_id,
   list_reduce(
     list_prepend(CAST(0 AS BIGINT),
-      list_transform({_TOKS_SQL}, x -> {md5_long_sql('x')} % 2147483647)),
+      coalesce(list_transform({_TOKS_SQL}, x -> {md5_long_sql('x')} % 2147483647),
+               [])),
     (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_hash
 FROM documents
 """

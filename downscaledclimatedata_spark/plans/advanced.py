@@ -21,6 +21,7 @@ from downscaledclimatedata_spark.functions.hashing import md5_long, md5_long_sql
 from downscaledclimatedata_spark.functions.money import dec, dec_sql
 from downscaledclimatedata_spark.plans import QuerySpec, register
 from downscaledclimatedata_spark.sources.tables import load_table
+from downscaledclimatedata_spark.functions.text import WS_RE
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -193,7 +194,7 @@ SELECT c_custkey, info.name AS name, UPPER(info.seg) AS seg_upper FROM packed
 def q32_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     toked = docs.select(
-        "doc_id", F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias("toks"))
+        "doc_id", F.filter(F.split(F.lower("text"), WS_RE), lambda x: x != "").alias("toks"))
     return (toked.select("doc_id", F.posexplode("toks").alias("pos0", "token"))
             .select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
             .filter(F.col("pos") <= 10))
@@ -201,7 +202,7 @@ def q32_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q32_SQL = r"""
 WITH toked AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> '') AS toks
   FROM documents WHERE doc_id < 50
 )
 SELECT doc_id, i AS pos, toks[i] AS token

@@ -104,7 +104,7 @@ def q53_udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q53_SQL = r"""
 WITH s AS (
-  SELECT doc_id, string_split_regex(text, '\s+') AS ws
+  SELECT doc_id, string_split_regex(text, '[ \t\n\r\f\x0B]+') AS ws
   FROM documents WHERE doc_id < 100
 ), u AS (
   SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS raw_pos
@@ -221,7 +221,7 @@ def q63_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q63_sql() -> str:
     from downscaledclimatedata_spark.functions.hashing import md5_long_sql
-    toks = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+    toks = r"list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> '')"
     accept = (f"{md5_long_sql('CAST(doc_id AS VARCHAR)', seed='wsample:')} % 1000"
               f" < least(len({toks}), 50) * 20")
     return f"""
@@ -366,7 +366,7 @@ def q59_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q59_SQL = rf"""
 WITH sized AS (
   SELECT doc_id, source,
-    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
+    len(list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> ''))
       AS n_tokens
   FROM documents
 ), chunked AS (
@@ -425,7 +425,7 @@ def _q60_sql() -> str:
     return rf"""
 WITH toks AS (
   SELECT doc_id, {bucket} AS bucket,
-    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+    list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
   FROM documents
 ),
 shingled AS (
@@ -506,7 +506,7 @@ def q55_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q55_sql() -> str:
     from downscaledclimatedata_spark.functions.hashing import md5_long_sql
     from downscaledclimatedata_spark.operators.textops import STOPWORDS
-    toks = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+    toks = r"list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> '')"
     stop_list = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
     return f"""
 WITH t AS (

@@ -38,7 +38,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     and batch plans see an identical schema. The stream source needs an
     explicit schema, so sniff it from a batch scan of the same file —
     this handles both the long-nanos and TIMESTAMP(MICROS) fixture
-    shapes without hard-coding either."""
+    shapes without hard-coding either.
+
+    ASSUMPTION: one timestamp shape per watched directory. The sniff
+    happens once at stream-definition time, so a directory that later
+    receives files of the OTHER shape would mis-parse or fail mid-stream.
+    A mixed-shape lake needs per-batch normalization instead (foreachBatch
+    re-reading each batch's files through ``normalize_events_ts``)."""
     import os
 
     from ..sources.tables import normalize_events_ts

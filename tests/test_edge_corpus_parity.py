@@ -34,6 +34,12 @@ EDGE_DOCS = [
     (9, "!!! ??? ... ;;; :::", "en", "src_edge", 19),
     (10, "a b c d e f g h i j k l m n o p q r s t u v w x y z", "en", "src_edge", 51),
     (11, "one\ttab\tseparated\tdoc", "en", "src_edge", 21),
+    # \x0B: Java \s matches it, RE2 \s does not — pins the explicit
+    # WS_RE class (functions/text.py) used by every tokenizer
+    (12, "vertical\x0Btab\x0B\x0Bseparated doc", "en", "src_edge", 25),
+    # NULL text: pins NULL-propagation parity (e.g. clean_documents'
+    # coalesce to '' mirroring the oracle's array_to_string coalesce)
+    (13, None, "en", "src_edge", 0),
 ]
 
 _DOC_SPECS = sorted(
