@@ -1204,6 +1204,301 @@ register(QuerySpec("similarity_pq_rerank", similarity_pq_rerank_query,
                                f"{RERANK_M_SUB} subspaces) + exact-int L2 rerank"))
 
 
+# --- trained PQ: per-subspace Lloyd's k-means sub-codebooks ---------------------
+
+PQ_TRAIN_ITERS = 2
+
+
+def pq_train_codebooks(emb: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       centroid_mod: int = CENTROID_MOD, ks: int = PQ_KS,
+                       m_sub: int = RERANK_M_SUB,
+                       n_iter: int = PQ_TRAIN_ITERS) -> DataFrame:
+    """Per-subspace Lloyd's k-means: the production PQ codebook builder.
+
+    ``pq_encode`` quantizes against raw sampled slices; this trains each
+    subspace's ``ks`` sub-centroids with ``n_iter`` Lloyd's rounds —
+    exactly how production PQ (FAISS-style) builds its codebooks. All
+    ``m_sub`` subspaces train in ONE relational pass per round: the
+    assignment is an equi-join on the subspace index ``m`` against the
+    broadcast (m_sub x ks)-row codebook with a struct-min argmin
+    (map-side partial aggregation, one shuffled row per (vector,
+    subspace)), and the update is a (m, cid, pos) aggregation of exact
+    integer component sums with a single division — the same two
+    relational steps as ``kmeans_refine`` (which this mirrors), keyed by
+    subspace. ``localCheckpoint`` truncates lineage per round.
+
+    Determinism: subvector components are quantized integers; means are
+    exact int sums / counts (bit-identical across engines); assignment
+    distances are fixed-order double folds with ties broken by cid.
+    Returns (m, cid, cv: array<double>).
+    """
+    sub_dim = DIM // m_sub
+    base = emb.select(
+        F.col(id_col),
+        _subvectors(quantize(F.col(vec_col)), m_sub, sub_dim).alias("subs"))
+    subs = (base.select(id_col, F.posexplode("subs").alias("m", "sv"))
+            .withColumn("dv", F.transform("sv", lambda x: x.cast("double")))
+            .localCheckpoint())
+    cents = (subs.filter(_fixed_sample(id_col, centroid_mod, ks))
+             .select("m", F.col(id_col).alias("cid"), F.col("dv").alias("cv")))
+    vn2 = F.aggregate(F.zip_with(F.col("dv"), F.col("dv"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    dot = F.aggregate(F.zip_with(F.col("dv"), F.col("cv"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    for _ in range(n_iter):
+        cn2 = F.aggregate(F.zip_with(F.col("cv"), F.col("cv"),
+                                     lambda x, y: x * y),
+                          F.lit(0.0), lambda a, x: a + x)
+        c = cents.select("m", "cid", "cv", cn2.alias("cn2"))
+        scored = (subs.join(F.broadcast(c), "m")
+                  .select(F.col(id_col), F.col("m"), F.col("cid"), F.col("sv"),
+                          (vn2 + F.col("cn2") - 2 * dot).alias("dist")))
+        assigned = (scored.groupBy(id_col, "m")
+                    .agg(F.min(F.struct("dist", "cid", "sv")).alias("best"))
+                    .select("m", F.col("best.cid").alias("cid"),
+                            F.col("best.sv").alias("sv")))
+        comp = assigned.select("m", "cid",
+                               F.posexplode("sv").alias("pos", "comp"))
+        means = (comp.groupBy("m", "cid", "pos")
+                 .agg(F.sum("comp").alias("s"), F.count("*").alias("n"))
+                 .select("m", "cid", "pos",
+                         (F.col("s").cast("double") / F.col("n").cast("double"))
+                         .alias("mc")))
+        cents = (means.groupBy("m", "cid")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "mc"))),
+                     lambda x: x["mc"]).alias("cv"))).localCheckpoint()
+    return cents
+
+
+def pq_rerank_trained(emb: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding", k: int = TOP_K,
+                      query_mod: int = QUERY_MOD, n_queries: int = N_QUERIES,
+                      centroid_mod: int = CENTROID_MOD, ks: int = PQ_KS,
+                      m_sub: int = RERANK_M_SUB, pool: int = RERANK_POOL,
+                      n_iter: int = PQ_TRAIN_ITERS) -> DataFrame:
+    """Two-stage PQ search against TRAINED sub-codebooks.
+
+    Same shape as ``pq_rerank`` (ADC shortlist -> exact-int rerank) but
+    the shortlist scans codes from Lloyd's-trained codebooks, which
+    approximate each subspace's distribution far better than raw sampled
+    slices — measurably higher recall at the same pool size (gated in
+    tests/test_similarity_pq.py).
+
+    Cross-engine determinism of the ADC stage: trained centroids are
+    doubles, and a double SUM over the (m, code) join would be
+    order-sensitive, so each subspace distance is FLOORED to int64 first
+    — the per-term doubles are bit-identical across engines (fixed-order
+    folds of identical values) and an integer sum is order-independent.
+    The <1 quantization error per term is noise at ADC's approximation
+    level, and the final ranking is the exact-int rerank anyway.
+    """
+    from pyspark.sql import Window
+    sub_dim = DIM // m_sub
+    cents = pq_train_codebooks(emb, id_col, vec_col, centroid_mod, ks,
+                               m_sub, n_iter)
+    cn2 = F.aggregate(F.zip_with(F.col("cv"), F.col("cv"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    c = cents.select("m", "cid", "cv", cn2.alias("cn2"))
+    base = emb.select(
+        F.col(id_col),
+        _subvectors(quantize(F.col(vec_col)), m_sub, sub_dim).alias("subs"))
+    subs = (base.select(id_col, F.posexplode("subs").alias("m", "sv"))
+            .withColumn("dv", F.transform("sv", lambda x: x.cast("double"))))
+    vn2 = F.aggregate(F.zip_with(F.col("dv"), F.col("dv"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    dot = F.aggregate(F.zip_with(F.col("dv"), F.col("cv"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    scored = (subs.join(F.broadcast(c), "m")
+              .select(F.col(id_col), F.col("m"), F.col("cid"),
+                      (vn2 + F.col("cn2") - 2 * dot).alias("dist")))
+    codes = (scored.groupBy(id_col, "m")
+             .agg(F.min(F.struct("dist", "cid")).alias("best"))
+             .select(id_col, "m", F.col("best.cid").alias("code")))
+    qtab = (scored.filter(_fixed_sample(id_col, query_mod, n_queries))
+            .select(F.col(id_col).alias("query_id"), "m",
+                    F.col("cid").alias("code"),
+                    F.floor(F.col("dist")).cast("long").alias("qd")))
+    adc = (codes.join(F.broadcast(qtab), ["m", "code"])
+           .filter(F.col(id_col) != F.col("query_id"))
+           .groupBy("query_id", id_col)
+           .agg(F.sum("qd").alias("adc_dist"))
+           .withColumnRenamed(id_col, "match_id"))
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "match_id")
+    shortlist = (adc.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= pool)
+                 .select("query_id", "match_id"))
+    qvecs = (emb.filter(_fixed_sample(id_col, query_mod, n_queries))
+             .select(F.col(id_col).alias("query_id"),
+                     quantize(F.col(vec_col)).alias("qq")))
+    cand = shortlist.join(F.broadcast(qvecs), "query_id")
+    rer = (emb.select(F.col(id_col).alias("match_id"),
+                      quantize(F.col(vec_col)).alias("qv"))
+           .join(F.broadcast(cand), "match_id")
+           .select("query_id", "match_id",
+                   _sq_l2(F.col("qq"), F.col("qv")).alias("l2_dist")))
+    w2 = Window.partitionBy("query_id").orderBy("l2_dist", "match_id")
+    return (rer.withColumn("rnk", F.row_number().over(w2))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "match_id", "l2_dist", "rnk"))
+
+
+def similarity_pq_refined_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the trained-PQ path, mirroring
+    ``similarity_ivf_refined``: per query, how many of the exact
+    brute-force L2 top-k survive in the trained-PQ reranked top-k. The
+    whole pipeline (per-subspace Lloyd's training -> encode -> ADC
+    shortlist -> exact rerank -> overlap vs ground truth) is mirrored in
+    the oracle, so a green row certifies the training math end-to-end."""
+    from pyspark.sql import Window
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    base = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    queries = (base.filter(_fixed_sample("vec_id", QUERY_MOD, N_QUERIES))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("qv").alias("qq")))
+    ex = (base.select(F.col("vec_id").alias("match_id"), F.col("qv").alias("cq"))
+          .crossJoin(F.broadcast(queries))
+          .filter(F.col("match_id") != F.col("query_id"))
+          .select("query_id", "match_id",
+                  _sq_l2(F.col("qq"), F.col("cq")).alias("d")))
+    w = Window.partitionBy("query_id").orderBy("d", "match_id")
+    truth = (ex.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= TOP_K).select("query_id", "match_id"))
+    approx = (pq_rerank_trained(emb)
+              .select("query_id", "match_id", F.lit(1).alias("hit")))
+    joined = truth.join(approx, ["query_id", "match_id"], "left")
+    return (joined.groupBy("query_id")
+            .agg(F.count("*").alias("n_truth"),
+                 F.count("hit").alias("n_overlap"),
+                 (F.count("hit").cast("double") / F.count("*").cast("double"))
+                 .alias("recall"))
+            .orderBy("query_id"))
+
+
+def _pq_trained_sql() -> str:
+    """DuckDB mirror of the full trained-PQ pipeline, training rounds
+    included (the ``_refined_ivf_sql`` iteration-generator pattern,
+    keyed by subspace)."""
+    m_sub, ks, pool = RERANK_M_SUB, PQ_KS, RERANK_POOL
+    sub_dim = DIM // m_sub
+    dim1, sd1 = DIM + 1, sub_dim + 1
+    subs_sql = (f"list_transform(range(0, {m_sub}), "
+                f"m -> qv[m * {sub_dim} + 1 : m * {sub_dim} + {sub_dim}])")
+
+    def iteration(i: int) -> str:
+        return f"""cw{i} AS (
+  SELECT m, cid, cv, list_sum(list_transform(cv, x -> x * x)) AS cn2
+  FROM cents{i}
+), a{i} AS (
+  SELECT b.vec_id, b.m, c.cid, b.sv,
+    ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.m ORDER BY
+      b.vn2 + c.cn2
+        - 2 * list_sum(list_transform(range(1, {sd1}), j -> b.dv[j] * c.cv[j])),
+      c.cid) AS rn
+  FROM based b JOIN cw{i} c ON c.m = b.m
+), mm{i} AS (
+  SELECT m, cid, pos, CAST(SUM(comp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mc
+  FROM (SELECT m, cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS comp
+        FROM a{i} WHERE rn = 1) x
+  GROUP BY m, cid, pos
+), cents{i + 1} AS (
+  SELECT m, cid, list(mc ORDER BY pos) AS cv FROM mm{i} GROUP BY m, cid
+)"""
+
+    n = PQ_TRAIN_ITERS
+    iters = ",\n".join(iteration(i) for i in range(n))
+    return f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+subs AS (
+  SELECT vec_id, CAST(m AS INT) AS m, slices[m + 1] AS sv
+  FROM (SELECT vec_id, {subs_sql} AS slices FROM q),
+       (SELECT unnest(range(0, {m_sub})) AS m)
+), based AS (
+  SELECT vec_id, m, sv,
+    list_transform(sv, x -> CAST(x AS DOUBLE)) AS dv,
+    list_sum(list_transform(list_transform(sv, x -> CAST(x AS DOUBLE)),
+                            x -> x * x)) AS vn2
+  FROM subs
+), cents0 AS (
+  SELECT m, vec_id AS cid, list_transform(sv, x -> CAST(x AS DOUBLE)) AS cv
+  FROM subs WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, ks)}
+),
+{iters},
+cwf AS (
+  SELECT m, cid, cv, list_sum(list_transform(cv, x -> x * x)) AS cn2
+  FROM cents{n}
+), sc AS (
+  SELECT b.vec_id, b.m, c.cid,
+    b.vn2 + c.cn2
+      - 2 * list_sum(list_transform(range(1, {sd1}), j -> b.dv[j] * c.cv[j]))
+      AS dist
+  FROM based b JOIN cwf c ON c.m = b.m
+), enc AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT vec_id, m, cid,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM sc) r
+  WHERE rn = 1
+), qtab AS (
+  SELECT vec_id AS query_id, m, cid AS code,
+    CAST(FLOOR(dist) AS BIGINT) AS qd
+  FROM sc WHERE {_fixed_sample_sql('vec_id', QUERY_MOD, N_QUERIES)}
+), adc AS (
+  SELECT t.query_id, e.vec_id AS match_id, CAST(SUM(t.qd) AS BIGINT) AS adc_dist
+  FROM enc e JOIN qtab t ON t.m = e.m AND t.code = e.code
+  WHERE e.vec_id <> t.query_id
+  GROUP BY 1, 2
+), short AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY adc_dist, match_id) AS rn
+    FROM adc) r
+  WHERE rn <= {pool}
+), rer AS (
+  SELECT s.query_id, s.match_id,
+    CAST(list_sum(list_transform(range(1, {dim1}),
+      i -> (qq.qv[i] - mv.qv[i]) * (qq.qv[i] - mv.qv[i]))) AS BIGINT) AS l2_dist
+  FROM short s
+  JOIN q qq ON qq.vec_id = s.query_id
+  JOIN q mv ON mv.vec_id = s.match_id
+), pq AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY l2_dist, match_id) AS rnk
+    FROM rer) r
+  WHERE rnk <= {TOP_K}
+), bf_scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS match_id,
+    CAST(list_sum(list_transform(range(1, {dim1}),
+      i -> (qs.qv[i] - c.qv[i]) * (qs.qv[i] - c.qv[i]))) AS BIGINT) AS d
+  FROM q qs JOIN q c ON c.vec_id <> qs.vec_id
+  WHERE {_fixed_sample_sql('qs.vec_id', QUERY_MOD, N_QUERIES)}
+), bf AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, match_id) AS rn
+    FROM bf_scored) r
+  WHERE rn <= {TOP_K}
+)
+SELECT bf.query_id, COUNT(*) AS n_truth,
+  CAST(COUNT(pq.match_id) AS BIGINT) AS n_overlap,
+  CAST(COUNT(pq.match_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM bf LEFT JOIN pq
+  ON pq.query_id = bf.query_id AND pq.match_id = bf.match_id
+GROUP BY bf.query_id ORDER BY bf.query_id
+"""
+
+
+register(QuerySpec("similarity_pq_refined", similarity_pq_refined_query,
+                   _pq_trained_sql(),
+                   description=f"PQ search against {PQ_TRAIN_ITERS}-round "
+                               "per-subspace Lloyd's-trained sub-codebooks, "
+                               "recall@k vs exact L2 top-k"))
+
+
 # --- IVF-PQ: coarse-list pruning + compressed-domain scoring --------------------
 
 def ivfpq_topk(emb: DataFrame, id_col: str = "vec_id",

@@ -65,6 +65,31 @@ def test_pq_rerank_recall_gate(spark):
     assert recall > raw_recall, (recall, raw_recall)
 
 
+def test_pq_trained_codebooks_raise_recall(spark):
+    """Per-subspace Lloyd's training must beat the raw sampled-slice
+    codebooks at the same pool size (measured 0.88 vs 0.74 on this
+    corpus; gates leave margin only for fixture regeneration)."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        pq_rerank_trained, pq_train_codebooks, RERANK_M_SUB)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = _exact_top5(spark)
+    untrained = {(r.query_id, r.match_id) for r in pq_rerank(emb).collect()}
+    trained = {(r.query_id, r.match_id)
+               for r in pq_rerank_trained(emb).collect()}
+    r_untrained = len(exact & untrained) / len(exact)
+    r_trained = len(exact & trained) / len(exact)
+    assert r_trained > r_untrained, (r_trained, r_untrained)
+    assert r_trained >= 0.8, f"trained recall@5 collapsed: {r_trained}"
+    # trained codebooks cover every subspace with at least 2 surviving
+    # centroids (Lloyd's may drop empty clusters, but not collapse)
+    cb = pq_train_codebooks(emb).collect()
+    per_m = {}
+    for r in cb:
+        per_m.setdefault(r.m, set()).add(r.cid)
+    assert set(per_m) == set(range(RERANK_M_SUB))
+    assert all(len(cids) >= 2 for cids in per_m.values())
+
+
 def test_pq_search_broadcasts_small_sides(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     plan = pq_topk(emb)._jdf.queryExecution().executedPlan().toString()
