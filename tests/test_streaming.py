@@ -337,3 +337,77 @@ def test_neardup_index_compaction_bounds_files(spark, tmp_path):
     assert len(seen) == before + 1
     assert (100, 0) in new_pairs and (100, 99) in new_pairs, \
         f"post-restart match missing: {new_pairs}"
+
+
+def test_streaming_prep_twin_equals_batch(spark, tmp_path):
+    """Stream-vs-batch equivalence for the prep family: clean + exact
+    dedup over 2 micro-batches (including a cross-batch duplicate and a
+    within-batch duplicate) must emit exactly the batch pipeline's
+    cleaned, min-id-deduped survivors — same ids, same cleaned columns.
+    A restart on the same checkpoint re-emits nothing."""
+    import os
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+    from downscaledclimatedata_spark.operators.prep import clean_documents
+    from downscaledclimatedata_spark.streaming.neardup import (
+        DOCS_SCHEMA, docs_stream)
+    from downscaledclimatedata_spark.streaming.prep import start_prep_stream
+
+    dup = "contact me at bob@example.com about the spark shuffle plan"
+    rows_b1 = [
+        (1, dup, "en", "web", len(dup)),
+        (2, "an unrelated document visiting https://example.org today",
+         "en", "web", 57),
+    ]
+    rows_b2 = [
+        (3, dup, "en", "web", len(dup)),              # cross-batch dup of 1
+        (4, "fresh words with an address 10.0.0.1 inside", "en", "web", 44),
+        (5, "fresh words with an address 10.0.0.1 inside", "en", "web", 44),
+    ]                                                  # 5 = in-batch dup of 4
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir, exist_ok=True)
+    spark.createDataFrame(rows_b1, DOCS_SCHEMA).toPandas().to_parquet(
+        docs_dir + "/b1.parquet", index=False)
+    spark.createDataFrame(rows_b2, DOCS_SCHEMA).toPandas().to_parquet(
+        docs_dir + "/b2.parquet", index=False)
+
+    got: dict[int, list] = {}
+
+    def report(survivors, epoch_id):
+        got[epoch_id] = [
+            (r.doc_id, r.source, r.clean_text, r.n_pii, r.content_text,
+             r.n_content_tokens)
+            for r in survivors.collect()]
+
+    q = start_prep_stream(docs_stream(spark, docs_dir),
+                          str(tmp_path / "index"), report,
+                          str(tmp_path / "ckpt"))
+    assert q.awaitTermination(120)
+    assert len(got) == 2, f"expected 2 epochs, got {len(got)}"
+
+    # batch twin: same clean projection + min-id exact dedup on all docs
+    all_docs = spark.createDataFrame(rows_b1 + rows_b2, DOCS_SCHEMA)
+    cleaned = clean_documents(all_docs, keep_cols=("source",))
+    batch = (cleaned.withColumn("content_hash",
+                                md5_long(F.col("content_text")))
+             .groupBy("content_hash")
+             .agg(F.min(F.struct("doc_id", "source", "clean_text", "n_pii",
+                                 "content_text", "n_content_tokens"))
+                  .alias("best"))
+             .select("best.*"))
+    expect = {(r.doc_id, r.source, r.clean_text, r.n_pii, r.content_text,
+               r.n_content_tokens) for r in batch.collect()}
+    streamed = {t for rows in got.values() for t in rows}
+    assert streamed == expect, f"stream != batch: {streamed ^ expect}"
+    assert {t[0] for t in streamed} == {1, 2, 4}, streamed
+    # cleaning really ran: PII was redacted and counted
+    by_id = {t[0]: t for t in streamed}
+    assert "<EMAIL>" in by_id[1][4] and by_id[1][3] == 1
+    assert "<IP>" in by_id[4][4] and by_id[4][3] == 1
+
+    # restart on the same checkpoint: nothing new -> no re-emission
+    got.clear()
+    q = start_prep_stream(docs_stream(spark, docs_dir),
+                          str(tmp_path / "index"), report,
+                          str(tmp_path / "ckpt"))
+    assert q.awaitTermination(120)
+    assert all(not rows for rows in got.values()), f"re-emitted: {got}"
