@@ -283,6 +283,157 @@ def decode_image_headers(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(_decode, IMAGE_DECODED_SCHEMA)
 
 
+# --- real audio codec (WAV/RIFF chunk walk + PCM amplitude features) ---------
+
+AUDIO_DECODED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("bits", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("peak_amp", T.LongType()),
+    T.StructField("energy", T.LongType()),
+    T.StructField("block_peak_sum", T.LongType()),
+])
+
+# synthesis parameters as pure functions of doc_id so the oracle can
+# recompute every decoded value (same discipline as DIM_W_MOD/DIM_H_MOD)
+WAV_FRAMES_BASE = 32
+WAV_FRAMES_MOD = 33
+WAV_RATE_BASE = 8000
+WAV_RATE_STEP = 100
+WAV_RATE_MOD = 5
+WAV_SAMPLE_A = 7919      # sample i of doc d:
+WAV_SAMPLE_B = 104729    # ((d*A + i*B) % 20001) - 10000  (int16-safe)
+WAV_SAMPLE_MOD = 20001
+WAV_SAMPLE_OFF = 10000
+WAV_BLOCK_FRAMES = 16    # per-block amplitude window
+
+
+def _build_audio_codecs():
+    """Pure-stdlib WAV/RIFF codec helpers (struct + array only).
+
+    ``make_wav`` emits a complete, spec-valid RIFF/WAVE stream: RIFF
+    header, a LIST/INFO chunk BEFORE fmt (forcing the parser to walk,
+    like the JPEG COM segment), a 16-byte PCM fmt chunk, and a data
+    chunk of little-endian int16 samples with the spec's odd-size pad.
+    ``parse_wav_features`` is a REAL decoder: it walks the chunk list,
+    reads (channels, sample rate, bit depth) out of fmt, decodes the PCM
+    bytes, and computes amplitude features (global peak, total energy,
+    per-block peak sum over ``WAV_BLOCK_FRAMES``-frame windows) knowing
+    nothing about how the payload was produced. Returns None for
+    non-RIFF or structurally broken payloads (row-level tolerance, T7).
+    """
+    import array
+    import struct
+
+    def make_wav(channels: int, sample_rate: int, samples: list[int]) -> bytes:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                          sample_rate * channels * 2, channels * 2, 16)
+        info = b"INFOsynth."  # 10 bytes, even — no pad needed
+        chunks = (b"LIST" + struct.pack("<I", len(info)) + info
+                  + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(data)) + data
+                  + (b"\x00" if len(data) % 2 else b""))
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def parse_wav_features(blob: bytes, block_frames: int = WAV_BLOCK_FRAMES):
+        if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+            return None
+        i, fmt, data = 12, None, None
+        while i + 8 <= len(blob):
+            cid = blob[i:i + 4]
+            (sz,) = struct.unpack("<I", blob[i + 4:i + 8])
+            body = blob[i + 8:i + 8 + sz]
+            if cid == b"fmt " and len(body) >= 16:
+                _, ch, sr, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+                fmt = (ch, sr, bits)
+            elif cid == b"data":
+                data = body
+            i += 8 + sz + (sz & 1)  # RIFF chunks pad to even offsets
+        if fmt is None or data is None:
+            return None
+        ch, sr, bits = fmt
+        if ch < 1 or bits != 16:
+            return None
+        pcm = array.array("h")
+        pcm.frombytes(data[: len(data) // 2 * 2])
+        n_frames = len(pcm) // ch
+        peak = max((abs(x) for x in pcm), default=0)
+        energy = sum(x * x for x in pcm)  # python int: no wrap
+        block_peak_sum = 0
+        for b in range(0, n_frames, block_frames):
+            lo, hi = b * ch, min(b + block_frames, n_frames) * ch
+            block_peak_sum += max((abs(x) for x in pcm[lo:hi]), default=0)
+        return ch, sr, bits, n_frames, peak, energy, block_peak_sum
+
+    return make_wav, parse_wav_features
+
+
+make_wav, parse_wav_features = _build_audio_codecs()
+
+
+def synthesize_wav_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> genuine RIFF/WAVE byte stream with doc_id-derived
+    channels, sample rate, and PCM samples. The derivation formulas are
+    the ONLY thing the oracle knows — the payload is real encoded bytes."""
+    mk = make_wav
+    fb, fm = WAV_FRAMES_BASE, WAV_FRAMES_MOD
+    rb, rs, rm = WAV_RATE_BASE, WAV_RATE_STEP, WAV_RATE_MOD
+    sa, sb, smod, soff = (WAV_SAMPLE_A, WAV_SAMPLE_B,
+                          WAV_SAMPLE_MOD, WAV_SAMPLE_OFF)
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                ch = 1 + d % 2
+                rate = rb + rs * (d % rm)
+                n = (fb + d % fm) * ch
+                samples = [((d * sa + i * sb) % smod) - soff
+                           for i in range(n)]
+                payloads.append(mk(ch, rate, samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(_synth, "doc_id long, payload binary")
+
+
+def decode_wav_features(df: DataFrame) -> DataFrame:
+    """REAL decode: RIFF chunk walk + PCM amplitude features read from
+    the bytes themselves. Corrupt/non-WAV payloads come back as all-NULL
+    feature rows rather than erroring the batch (T7)."""
+    parse = parse_wav_features
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in
+                                     ("channels", "sample_rate", "bits",
+                                      "n_frames", "peak_amp", "energy",
+                                      "block_peak_sum")}
+            for payload in pdf["payload"]:
+                got = parse(bytes(payload)) if payload is not None else None
+                vals = got if got is not None else (None,) * 7
+                for k, v in zip(cols, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "channels": pd.array(cols["channels"], dtype="Int32"),
+                "sample_rate": pd.array(cols["sample_rate"], dtype="Int32"),
+                "bits": pd.array(cols["bits"], dtype="Int32"),
+                "n_frames": pd.array(cols["n_frames"], dtype="Int32"),
+                "peak_amp": pd.array(cols["peak_amp"], dtype="Int64"),
+                "energy": pd.array(cols["energy"], dtype="Int64"),
+                "block_peak_sum": pd.array(cols["block_peak_sum"],
+                                           dtype="Int64"),
+            })
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, AUDIO_DECODED_SCHEMA)
+
+
 # --- oracle-checked query entries -------------------------------------------
 
 def multimodal_meta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,6 +553,48 @@ FROM p GROUP BY format
 """
 
 
+def multimodal_decode_wav_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode end-to-end: synthesize genuine RIFF/WAVE byte
+    streams (LIST + fmt + data chunks, int16 PCM), then walk the chunks
+    and compute amplitude features back OUT OF THE BYTES. The oracle
+    recomputes everything from the doc_id formulas alone, so a green row
+    proves the encode → Arrow round-trip → chunk walk → PCM feature math
+    end-to-end."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_wav_features(synthesize_wav_payloads(docs))
+
+
+_MULTIMODAL_WAV_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST(1 + abs(doc_id) % 2 AS INT) AS channels,
+    CAST({WAV_RATE_BASE} + {WAV_RATE_STEP} * (abs(doc_id) % {WAV_RATE_MOD})
+         AS INT) AS sample_rate,
+    CAST({WAV_FRAMES_BASE} + abs(doc_id) % {WAV_FRAMES_MOD} AS INT) AS n_frames
+  FROM documents
+), s AS (
+  SELECT doc_id, channels, sample_rate, n_frames,
+    list_transform(range(0, n_frames * channels),
+      i -> (d * {WAV_SAMPLE_A} + i * {WAV_SAMPLE_B}) % {WAV_SAMPLE_MOD}
+           - {WAV_SAMPLE_OFF}) AS smp
+  FROM p
+)
+SELECT doc_id, channels, sample_rate, CAST(16 AS INT) AS bits, n_frames,
+  CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak_amp,
+  CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS energy,
+  CAST(list_sum(list_transform(
+    range(0, (n_frames + {WAV_BLOCK_FRAMES} - 1) // {WAV_BLOCK_FRAMES}),
+    b -> list_max(list_transform(
+      smp[b * {WAV_BLOCK_FRAMES} * channels + 1
+          : least((b + 1) * {WAV_BLOCK_FRAMES}, n_frames) * channels],
+      x -> abs(x))))) AS BIGINT) AS block_peak_sum
+FROM s
+"""
+
+
+register(QuerySpec("multimodal_decode_wav", multimodal_decode_wav_query,
+                   _MULTIMODAL_WAV_SQL,
+                   description="real WAV/RIFF decode: chunk walk + PCM peak/energy/per-block amplitude from genuine bytes"))
 register(QuerySpec("multimodal_decode_png", multimodal_decode_png_query,
                    _MULTIMODAL_DECODE_PNG_SQL,
                    description="real PNG/JPEG header decode: dims parsed from genuine bytes (IHDR / SOF segment walk)"))

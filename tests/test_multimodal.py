@@ -142,3 +142,61 @@ def test_decode_deterministic_dims(spark):
         assert r.n_bytes == n
         assert r.width == 64 + (n % 193)
         assert r.height == 64 + (n % 97)
+
+
+def test_wav_codec_roundtrip_genuine_bytes():
+    """parse_wav_features must read fmt/data back out of real RIFF bytes
+    (including walking past the LIST chunk) and compute PCM features."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        make_wav, parse_wav_features)
+    samples = [100, -200, 300, -400, 500, -600]
+    blob = make_wav(2, 44100, samples)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    ch, sr, bits, n_frames, peak, energy, bps = parse_wav_features(blob)
+    assert (ch, sr, bits, n_frames) == (2, 44100, 16, 3)
+    assert peak == 600
+    assert energy == sum(x * x for x in samples)
+    assert bps == 600  # 3 frames = one 16-frame block
+
+    # per-block peaks: 20 mono frames -> blocks [0:16] and [16:20]
+    mono = list(range(20))
+    _, _, _, nf, pk, _, bps2 = parse_wav_features(make_wav(1, 8000, mono))
+    assert (nf, pk) == (20, 19)
+    assert bps2 == 15 + 19
+
+    # odd-length data chunk exercises the RIFF even-pad in the walk
+    odd = make_wav(1, 8000, [7])
+    assert parse_wav_features(odd)[3] == 1
+
+
+def test_wav_codec_rejects_corrupt_payloads():
+    from downscaledclimatedata_spark.operators.multimodal import (
+        make_wav, parse_wav_features)
+    assert parse_wav_features(b"") is None
+    assert parse_wav_features(b"NOTRIFF" * 4) is None
+    blob = make_wav(1, 8000, [1, 2, 3])
+    assert parse_wav_features(blob[:40]) is None  # truncated before data
+
+
+def test_wav_spec_decodes_through_spark(spark):
+    """The mapInPandas path: synthesized payloads decode to the doc_id
+    formula values (spot-checked independently of the oracle)."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        WAV_FRAMES_BASE, WAV_FRAMES_MOD, WAV_RATE_BASE, WAV_RATE_MOD,
+        WAV_RATE_STEP, WAV_SAMPLE_A, WAV_SAMPLE_B, WAV_SAMPLE_MOD,
+        WAV_SAMPLE_OFF, decode_wav_features, synthesize_wav_payloads)
+    docs = spark.range(0, 7).withColumnRenamed("id", "doc_id")
+    got = {r.doc_id: r for r in
+           decode_wav_features(synthesize_wav_payloads(docs)).collect()}
+    assert len(got) == 7
+    for d in range(7):
+        r = got[d]
+        ch = 1 + d % 2
+        nf = WAV_FRAMES_BASE + d % WAV_FRAMES_MOD
+        assert r.channels == ch
+        assert r.sample_rate == WAV_RATE_BASE + WAV_RATE_STEP * (d % WAV_RATE_MOD)
+        assert r.n_frames == nf
+        smp = [((d * WAV_SAMPLE_A + i * WAV_SAMPLE_B) % WAV_SAMPLE_MOD)
+               - WAV_SAMPLE_OFF for i in range(nf * ch)]
+        assert r.peak_amp == max(abs(x) for x in smp)
+        assert r.energy == sum(x * x for x in smp)
