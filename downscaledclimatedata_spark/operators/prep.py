@@ -106,20 +106,37 @@ def source_quota_sample(df: DataFrame, cap: int,
             .filter(F.col("rk") <= cap))
 
 
+MAX_BINS = 1_000_000  # broadcast budget for the bin histogram
+
+
+def auto_bin_width(max_tokens: int, max_bins: int = MAX_BINS,
+                   floor: int = 16) -> int:
+    """Smallest bin width keeping the bin histogram under ``max_bins``
+    rows (bins = token-count ranges, so |bins| <= max_tokens/width + 1),
+    never below ``floor``. The global rank is exact for ANY width — width
+    is a pure scale knob, auto-derived instead of hand-retuned."""
+    if max_tokens <= 0:
+        return floor
+    return max(floor, -(-(max_tokens + 1) // max_bins))
+
+
 def token_balanced_shards(df: DataFrame, n_shards: int,
                           text_col: str = "text", id_col: str = "doc_id",
-                          bin_width: int = 16,
+                          bin_width: int | None = None,
                           n_tokens_col: str | None = None) -> DataFrame:
     """Assign docs to ``n_shards`` output shards with near-equal token mass.
 
     Longest-processing-time round-robin: rank all docs by token count
     descending, shard = (rank-1) % n_shards. The global rank is computed
     scale-safely in two phases (see module docstring): per-bin
-    row_number + broadcast cumulative offsets over the per-bin histogram
-    (|bins| rows — KB-sized at any corpus size).
+    row_number + broadcast cumulative offsets over the per-bin histogram.
 
-    Pass ``n_tokens_col`` to reuse a token count an upstream stage
-    already computed instead of re-tokenizing ``text_col``.
+    ``bin_width=None`` (default) derives the width from the corpus's max
+    token count (one aggregation over the checkpointed narrow relation)
+    so the histogram is provably <= MAX_BINS rows at any corpus; results
+    are identical for every width. Pass ``n_tokens_col`` to reuse a token
+    count an upstream stage already computed instead of re-tokenizing
+    ``text_col``.
     """
     # NULL-text docs count as 0 tokens: a NULL n_tokens would make a NULL
     # bin, and the equi-join on bin below silently DROPS NULL keys — the
@@ -136,6 +153,12 @@ def token_balanced_shards(df: DataFrame, n_shards: int,
             F.col(id_col),
             F.coalesce(F.size(toks).cast("bigint"), F.lit(0))
             .alias("n_tokens"))
+    if bin_width is None:
+        # checkpoint so tokenization runs once, not once for the max and
+        # once for the ranking; the max is a bounded driver scalar
+        with_n = with_n.localCheckpoint()
+        mx = with_n.agg(F.max("n_tokens")).first()[0]
+        bin_width = auto_bin_width(int(mx or 0))
     binned = with_n.withColumn(
         "bin", (F.col("n_tokens") / F.lit(bin_width)).cast("bigint"))
 

@@ -305,9 +305,24 @@ register(QuerySpec("q64_histogram_quantile", q64_histogram_quantile, _Q64_SQL,
 PACK_CAPACITY = 512
 # Phase-1 parallel unit: docs per packing block. Parallel width of the
 # running sum is ~(corpus size / PACK_BLOCK) tasks instead of one task per
-# source; the per-block offset relation has corpus/PACK_BLOCK rows, so
-# raise PACK_BLOCK at very large scale to keep that relation broadcastable.
+# source; the per-block offset relation has corpus/PACK_BLOCK rows.
 PACK_BLOCK = 512
+# Broadcast budget for the offset relation. The chunk_id result is exact
+# for ANY block size (the two-phase composition is an identity), so the
+# block size is a pure scale knob and can be auto-derived.
+MAX_OFFSET_ROWS = 1_000_000
+
+
+def auto_pack_block(n_docs: int, max_offset_rows: int = MAX_OFFSET_ROWS,
+                    floor: int = PACK_BLOCK) -> int:
+    """Smallest block size keeping the per-block offset relation under
+    ``max_offset_rows`` (ceil(n_docs / block) <= max_offset_rows), never
+    below ``floor``. At 10^9 docs this picks 1000 (10^6 offset rows); at
+    test scale it stays at the floor. Removes the retune-by-hand footgun
+    the PACK_BLOCK comment used to carry."""
+    if n_docs <= 0:
+        return floor
+    return max(floor, -(-n_docs // max_offset_rows))
 
 
 def q59_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,9 +352,12 @@ def q59_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from downscaledclimatedata_spark.operators.textops import _tokens
     from pyspark.sql import Window
     docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    # parquet-metadata count (no data scan): the offset relation stays
+    # provably broadcastable (<= MAX_OFFSET_ROWS rows) at any corpus size
+    pack_block = auto_pack_block(docs.count())
     sized = docs.select(
         "doc_id", "source",
-        F.expr(f"doc_id DIV {PACK_BLOCK}").alias("block"),
+        F.expr(f"doc_id DIV {pack_block}").alias("block"),
         F.size(_tokens(F.col("text"))).alias("n_tokens")).localCheckpoint()
     # phase 1: running sum within (source, block) — bounded-size partitions
     wb = (Window.partitionBy("source", "block").orderBy("doc_id")

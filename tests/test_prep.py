@@ -136,3 +136,38 @@ def test_source_quota_gets_partial_window_group_limit(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan, plan
+
+
+def test_auto_sizes_bound_broadcast_relations():
+    """The two-phase ranks are exact for any block/bin size, so the only
+    contract is that the auto-chosen size keeps the broadcast relation
+    under the budget at ANY corpus size — including 10^9+ docs."""
+    from downscaledclimatedata_spark.operators.prep import (
+        MAX_BINS, auto_bin_width)
+    from downscaledclimatedata_spark.plans.scale import (
+        MAX_OFFSET_ROWS, PACK_BLOCK, auto_pack_block)
+
+    for n_docs in (0, 1, 60_000, 10**9, 10**10, 10**12):
+        block = auto_pack_block(n_docs)
+        assert block >= PACK_BLOCK
+        assert -(-n_docs // block) <= MAX_OFFSET_ROWS, (n_docs, block)
+    assert auto_pack_block(60_000) == PACK_BLOCK  # test scale: unchanged
+    assert auto_pack_block(10**9) == 1000
+
+    for mx in (0, 10, 5_000, 10**9, 10**12):
+        w = auto_bin_width(mx)
+        assert w >= 16
+        assert mx // w + 1 <= MAX_BINS, (mx, w)
+    assert auto_bin_width(5_000) == 16  # test scale: unchanged
+
+
+def test_auto_bin_width_does_not_change_shard_assignment(spark):
+    """Explicit width 16 and the auto-derived width must give identical
+    (doc_id, global_rank, shard) — width is a pure scale knob."""
+    from downscaledclimatedata_spark.sources.tables import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fixed = {(r.doc_id, r.global_rank, r.shard)
+             for r in token_balanced_shards(docs, 4, bin_width=16).collect()}
+    auto = {(r.doc_id, r.global_rank, r.shard)
+            for r in token_balanced_shards(docs, 4).collect()}
+    assert fixed == auto
