@@ -43,6 +43,12 @@ from downscaledclimatedata_spark.sources.tables import load_table
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
 URL_RE = "https?://[^ ]+"
 IPV4_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+# Separated-digit-group shapes only (4-4-4-4 cards, 3-3-4 phones with an
+# optional +CC/area parens) — unseparated digit runs are left alone so the
+# two classes cannot swallow arbitrary numeric text. Literal +() appear as
+# classes ([+] [(] [)]) — identical parse in Java regex and RE2.
+CC_RE = "[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}"
+PHONE_RE = "([+][0-9]{1,2}[-. ])?[(]?[0-9]{3}[)]?[-. ][0-9]{3}[-. ][0-9]{4}"
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
 
@@ -53,20 +59,29 @@ def clean_documents(df: DataFrame, text_col: str = "text",
     """Normalize + redact one document column in a single projection.
 
     Steps (order matters — count PII before redacting): count email/URL/
-    IPv4 matches, rewrite them to typed placeholder tokens, collapse runs
-    of whitespace, trim, and derive a stopword-free content view for
-    downstream dedup/quality passes. ``keep_cols`` are passed through
-    untouched (still one projection — no join needed downstream).
+    IPv4/credit-card/phone matches, rewrite them to typed placeholder
+    tokens (card before phone, so a card's digit groups are gone before
+    the phone shape scans), collapse runs of whitespace, trim, and
+    derive a stopword-free content view for downstream dedup/quality
+    passes. Counts are per-class over the RAW text. ``keep_cols`` are
+    passed through untouched (still one projection — no join needed
+    downstream).
     """
     t = F.col(text_col)
     n_pii = (F.regexp_count(t, F.lit(EMAIL_RE))
              + F.regexp_count(t, F.lit(URL_RE))
-             + F.regexp_count(t, F.lit(IPV4_RE)))
+             + F.regexp_count(t, F.lit(IPV4_RE))
+             + F.regexp_count(t, F.lit(CC_RE))
+             + F.regexp_count(t, F.lit(PHONE_RE)))
     redacted = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
-            URL_RE, "<URL>"),
-        IPV4_RE, "<IP>")
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+                    URL_RE, "<URL>"),
+                IPV4_RE, "<IP>"),
+            CC_RE, "<CC>"),
+        PHONE_RE, "<PHONE>")
     clean = F.trim(F.regexp_replace(redacted, WS_RE, " "))
     toks = F.filter(F.split(clean, " "), lambda x: x != "")
     kept = F.filter(toks, lambda x: ~x.isin(*STOPWORDS))
@@ -195,14 +210,20 @@ WITH red AS (
     trim(regexp_replace(
       regexp_replace(
         regexp_replace(
-          regexp_replace(text,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
-          'https?://[^ ]+', '<URL>', 'g'),
-        '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+              'https?://[^ ]+', '<URL>', 'g'),
+            '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
+          '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}', '<CC>', 'g'),
+        '([+][0-9]{1,2}[-. ])?[(]?[0-9]{3}[)]?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
       '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean_text,
     CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}'))
        + len(regexp_extract_all(text, 'https?://[^ ]+'))
        + len(regexp_extract_all(text, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}'))
+       + len(regexp_extract_all(text, '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}'))
+       + len(regexp_extract_all(text, '([+][0-9]{1,2}[-. ])?[(]?[0-9]{3}[)]?[-. ][0-9]{3}[-. ][0-9]{4}'))
        AS BIGINT) AS n_pii
   FROM documents),
 kept AS (
@@ -326,10 +347,14 @@ WITH red AS (
     trim(regexp_replace(
       regexp_replace(
         regexp_replace(
-          regexp_replace(text,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{{2,}}', '<EMAIL>', 'g'),
-          'https?://[^ ]+', '<URL>', 'g'),
-        '[0-9]{{1,3}}[.][0-9]{{1,3}}[.][0-9]{{1,3}}[.][0-9]{{1,3}}', '<IP>', 'g'),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+              'https?://[^ ]+', '<URL>', 'g'),
+            '[0-9]{{1,3}}[.][0-9]{{1,3}}[.][0-9]{{1,3}}[.][0-9]{{1,3}}', '<IP>', 'g'),
+          '[0-9]{{4}}[- ][0-9]{{4}}[- ][0-9]{{4}}[- ][0-9]{{4}}', '<CC>', 'g'),
+        '([+][0-9]{{1,2}}[-. ])?[(]?[0-9]{{3}}[)]?[-. ][0-9]{{3}}[-. ][0-9]{{4}}', '<PHONE>', 'g'),
       '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean_text
   FROM documents),
 kept AS (

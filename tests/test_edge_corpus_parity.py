@@ -40,6 +40,11 @@ EDGE_DOCS = [
     # NULL text: pins NULL-propagation parity (e.g. clean_documents'
     # coalesce to '' mirroring the oracle's array_to_string coalesce)
     (13, None, "en", "src_edge", 0),
+    # planted phone/card shapes: pins the PHONE_RE/CC_RE leftmost-first
+    # match parity (Java backtracking vs RE2) incl. digit runs and year/
+    # zip shapes that must NOT match either class
+    (14, "call +1 (555) 123-4567 or 555.123.4567; card 1234 5678 9012 3456;"
+         " serial 1234567890123456 and year 2024 stay", "en", "src_edge", 110),
 ]
 
 _DOC_SPECS = sorted(

@@ -40,6 +40,29 @@ def test_clean_redacts_pii_and_normalizes(spark):
     assert got[5]["clean_text"] == "" and got[5]["n_content_tokens"] == 0
 
 
+def test_clean_redacts_phone_and_card_shapes(spark):
+    df = _docs(spark, [
+        (1, "call 555-123-4567 or (555) 123-4567 today", "s", 0),
+        (2, "intl +1 555 123 4567 works too", "s", 0),
+        (3, "card 1234 5678 9012 3456 on file", "s", 0),
+        (4, "card 1234-5678-9012-3456 dashed", "s", 0),
+        # unseparated digit runs are NOT treated as phone/card
+        (5, "serial 1234567890123456 stays", "s", 0),
+        (6, "year 2024 and zip 61801 stay", "s", 0),
+    ])
+    got = {r["doc_id"]: r for r in clean_documents(df).collect()}
+    assert got[1]["clean_text"] == "call <PHONE> or <PHONE> today"
+    assert got[1]["n_pii"] == 2
+    assert got[2]["clean_text"] == "intl <PHONE> works too"
+    assert got[2]["n_pii"] == 1
+    assert got[3]["clean_text"] == "card <CC> on file"
+    assert got[3]["n_pii"] == 1  # 4-4-4-4 never parses as a 3-3-4 phone
+    assert got[4]["clean_text"] == "card <CC> dashed"
+    assert got[5]["clean_text"] == "serial 1234567890123456 stays"
+    assert got[5]["n_pii"] == 0
+    assert got[6]["n_pii"] == 0
+
+
 def test_source_quota_cap_and_determinism(spark):
     rows = [(i, f"t{i}", f"src{i % 3}", (i * 37) % 11) for i in range(60)]
     df = _docs(spark, rows)
