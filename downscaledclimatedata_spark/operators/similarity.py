@@ -525,41 +525,70 @@ def similarity_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb)
 
 
-_IVF_SQL = f"""
+def _coarse_sql_prefix(*, carry_n2: bool, assigned: str | None) -> str:
+    """Shared DuckDB CTE stack ``q -> base -> cents -> assign_scored
+    [-> assigned]`` — the deterministic coarse-codebook assignment every
+    IVF-family oracle re-derived inline before this generator (mirror of
+    ``ivf_assign``).
+
+    ``carry_n2``: base also carries the DOUBLE-cast squared norm (the
+    search paths divide by it; the k-means update and IVF-PQ's ADC stage
+    don't). ``assigned``: None stops at the ranked assignment
+    (IVF-PQ reads rn directly), "search" keeps (qv, n2) and drops
+    zero-norm vectors (cosine is undefined there), "update" keeps qv
+    only (the k-means mean update).
+    """
+    sq = f"list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i]))"
+    dot = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+           f"i -> base.qv[i] * cents.cv[i]))")
+    n2_line = f"\n    CAST({sq} AS DOUBLE) AS n2," if carry_n2 else ""
+    out = f"""
 WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
 base AS (
-  SELECT vec_id, qv,
-    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS DOUBLE) AS n2,
-    list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS in2
+  SELECT vec_id, qv,{n2_line}
+    {sq} AS in2
   FROM q
 ), cents AS (
   SELECT vec_id AS cid, qv AS cv, in2 AS cn2 FROM base
   WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, N_CENTROIDS)}
 ), assign_scored AS (
   SELECT base.vec_id, cents.cid,
-    base.in2 + cents.cn2
-      - 2 * list_sum(list_transform(range(1, {DIM + 1}), i -> base.qv[i] * cents.cv[i])) AS dist,
     ROW_NUMBER() OVER (PARTITION BY base.vec_id ORDER BY base.in2 + cents.cn2
-      - 2 * list_sum(list_transform(range(1, {DIM + 1}), i -> base.qv[i] * cents.cv[i])), cents.cid) AS rn
+      - 2 * {dot}, cents.cid) AS rn
   FROM base CROSS JOIN cents
-), assigned AS (
+)"""
+    if assigned == "search":
+        out += """, assigned AS (
   SELECT b.vec_id, a.cid, b.qv, b.n2
   FROM base b JOIN assign_scored a ON a.vec_id = b.vec_id AND a.rn = 1
   WHERE b.in2 > 0
-), scored AS (
-  SELECT qs.vec_id AS query_id, c.vec_id AS match_id,
-    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qs.qv[i] * c.qv[i])) AS DOUBLE)
-      / (sqrt(qs.n2) * sqrt(c.n2)) AS cosine
-  FROM assigned qs JOIN assigned c
-    ON c.cid = qs.cid AND c.vec_id <> qs.vec_id
-  WHERE {_fixed_sample_sql('qs.vec_id', QUERY_MOD, N_QUERIES)}
-), ranked AS (
+)"""
+    elif assigned == "update":
+        out += """, assigned AS (
+  SELECT b.vec_id, a.cid, b.qv
+  FROM base b JOIN assign_scored a ON a.vec_id = b.vec_id AND a.rn = 1
+)"""
+    return out
+
+
+# shared final ranking: cosine top-k per query with deterministic ties
+_RANKED_TOPK_TAIL = f""", ranked AS (
   SELECT query_id, match_id, cosine,
     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rnk
   FROM scored
 )
 SELECT query_id, match_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
 """
+
+
+_IVF_SQL = _coarse_sql_prefix(carry_n2=True, assigned="search") + f""", scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS match_id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qs.qv[i] * c.qv[i])) AS DOUBLE)
+      / (sqrt(qs.n2) * sqrt(c.n2)) AS cosine
+  FROM assigned qs JOIN assigned c
+    ON c.cid = qs.cid AND c.vec_id <> qs.vec_id
+  WHERE {_fixed_sample_sql('qs.vec_id', QUERY_MOD, N_QUERIES)}
+)""" + _RANKED_TOPK_TAIL
 
 
 # --- k-means codebook refinement (Lloyd's iterations, DataFrame-native) ---------
@@ -643,24 +672,7 @@ def similarity_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cid"))
 
 
-_KMEANS_SQL = f"""
-WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
-base AS (
-  SELECT vec_id, qv,
-    list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS in2
-  FROM q
-), cents AS (
-  SELECT vec_id AS cid, qv AS cv, in2 AS cn2 FROM base
-  WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, N_CENTROIDS)}
-), assign_scored AS (
-  SELECT base.vec_id, cents.cid,
-    ROW_NUMBER() OVER (PARTITION BY base.vec_id ORDER BY base.in2 + cents.cn2
-      - 2 * list_sum(list_transform(range(1, {DIM + 1}), i -> base.qv[i] * cents.cv[i])), cents.cid) AS rn
-  FROM base CROSS JOIN cents
-), assigned AS (
-  SELECT b.vec_id, a.cid, b.qv
-  FROM base b JOIN assign_scored a ON a.vec_id = b.vec_id AND a.rn = 1
-), comp AS (
+_KMEANS_SQL = _coarse_sql_prefix(carry_n2=False, assigned="update") + f""", comp AS (
   SELECT cid, generate_subscripts(qv, 1) AS pos, unnest(qv) AS comp
   FROM assigned
 ), means AS (
@@ -778,30 +790,47 @@ def similarity_ivf_refined_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id"))
 
 
-def _refined_ivf_sql() -> str:
-    dim1 = DIM + 1
+def _lloyd_iteration_sql(i: int, dim1: int, *, key: str | None,
+                         vec: str) -> str:
+    """One Lloyd's round as DuckDB CTEs (cw{i} -> a{i} -> mm{i} ->
+    cents{i+1}), shared by the refined-IVF and trained-PQ oracles.
 
-    def iteration(i: int) -> str:
-        return f"""cw{i} AS (
-  SELECT cid, cv, list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM cents{i}
+    ``key=None``: one global codebook over full vectors (refined IVF,
+    cross join against the whole codebook). ``key="m"``: per-subspace
+    codebooks trained jointly (trained PQ — the assignment equi-joins on
+    the subspace index, mirroring the Spark side's join on ``m``).
+    ``vec`` is the integer-component column carried through the update
+    (qv for full vectors, sv for subvectors).
+    """
+    ksel = f"{key}, " if key else ""
+    bksel = f"b.{key}, " if key else ""
+    part = f"b.vec_id, b.{key}" if key else "b.vec_id"
+    join = f"JOIN cw{i} c ON c.{key} = b.{key}" if key else f"CROSS JOIN cw{i} c"
+    return f"""cw{i} AS (
+  SELECT {ksel}cid, cv, list_sum(list_transform(cv, x -> x * x)) AS cn2
+  FROM cents{i}
 ), a{i} AS (
-  SELECT b.vec_id, c.cid, b.qv,
-    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+  SELECT b.vec_id, {bksel}c.cid, b.{vec},
+    ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY
       b.vn2 + c.cn2
         - 2 * list_sum(list_transform(range(1, {dim1}), j -> b.dv[j] * c.cv[j])),
       c.cid) AS rn
-  FROM based b CROSS JOIN cw{i} c
+  FROM based b {join}
 ), mm{i} AS (
-  SELECT cid, pos, CAST(SUM(comp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
-  FROM (SELECT cid, generate_subscripts(qv, 1) AS pos, unnest(qv) AS comp
+  SELECT {ksel}cid, pos, CAST(SUM(comp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mc
+  FROM (SELECT {ksel}cid, generate_subscripts({vec}, 1) AS pos, unnest({vec}) AS comp
         FROM a{i} WHERE rn = 1) x
-  GROUP BY cid, pos
+  GROUP BY {ksel}cid, pos
 ), cents{i + 1} AS (
-  SELECT cid, list(m ORDER BY pos) AS cv FROM mm{i} GROUP BY cid
+  SELECT {ksel}cid, list(mc ORDER BY pos) AS cv FROM mm{i} GROUP BY {ksel}cid
 )"""
 
+
+def _refined_ivf_sql() -> str:
+    dim1 = DIM + 1
     n = KMEANS_SEARCH_ITERS
-    iters = ",\n".join(iteration(i) for i in range(n))
+    iters = ",\n".join(_lloyd_iteration_sql(i, dim1, key=None, vec="qv")
+                       for i in range(n))
     return f"""
 WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
 based AS (
@@ -923,26 +952,7 @@ def similarity_ivf_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFra
     return ivf_topk_multiprobe(emb)
 
 
-_IVF_MULTIPROBE_SQL = f"""
-WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
-base AS (
-  SELECT vec_id, qv,
-    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS DOUBLE) AS n2,
-    list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS in2
-  FROM q
-), cents AS (
-  SELECT vec_id AS cid, qv AS cv, in2 AS cn2 FROM base
-  WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, N_CENTROIDS)}
-), assign_scored AS (
-  SELECT base.vec_id, cents.cid,
-    ROW_NUMBER() OVER (PARTITION BY base.vec_id ORDER BY base.in2 + cents.cn2
-      - 2 * list_sum(list_transform(range(1, {DIM + 1}), i -> base.qv[i] * cents.cv[i])), cents.cid) AS rn
-  FROM base CROSS JOIN cents
-), assigned AS (
-  SELECT b.vec_id, a.cid, b.qv, b.n2
-  FROM base b JOIN assign_scored a ON a.vec_id = b.vec_id AND a.rn = 1
-  WHERE b.in2 > 0
-), probes AS (
+_IVF_MULTIPROBE_SQL = _coarse_sql_prefix(carry_n2=True, assigned="search") + f""", probes AS (
   SELECT vec_id AS query_id, cid FROM assign_scored
   WHERE {_fixed_sample_sql('vec_id', QUERY_MOD, N_QUERIES)} AND rn <= {NPROBE}
 ), scored AS (
@@ -952,13 +962,7 @@ base AS (
   FROM probes p
   JOIN base qs ON qs.vec_id = p.query_id AND qs.in2 > 0
   JOIN assigned c ON c.cid = p.cid AND c.vec_id <> p.query_id
-), ranked AS (
-  SELECT query_id, match_id, cosine,
-    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rnk
-  FROM scored
-)
-SELECT query_id, match_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
-"""
+)""" + _RANKED_TOPK_TAIL
 
 
 register(QuerySpec("similarity_ivf_topk", similarity_ivf_topk_query, _IVF_SQL,
@@ -1385,29 +1389,9 @@ def _pq_trained_sql() -> str:
     dim1, sd1 = DIM + 1, sub_dim + 1
     subs_sql = (f"list_transform(range(0, {m_sub}), "
                 f"m -> qv[m * {sub_dim} + 1 : m * {sub_dim} + {sub_dim}])")
-
-    def iteration(i: int) -> str:
-        return f"""cw{i} AS (
-  SELECT m, cid, cv, list_sum(list_transform(cv, x -> x * x)) AS cn2
-  FROM cents{i}
-), a{i} AS (
-  SELECT b.vec_id, b.m, c.cid, b.sv,
-    ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.m ORDER BY
-      b.vn2 + c.cn2
-        - 2 * list_sum(list_transform(range(1, {sd1}), j -> b.dv[j] * c.cv[j])),
-      c.cid) AS rn
-  FROM based b JOIN cw{i} c ON c.m = b.m
-), mm{i} AS (
-  SELECT m, cid, pos, CAST(SUM(comp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mc
-  FROM (SELECT m, cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS comp
-        FROM a{i} WHERE rn = 1) x
-  GROUP BY m, cid, pos
-), cents{i + 1} AS (
-  SELECT m, cid, list(mc ORDER BY pos) AS cv FROM mm{i} GROUP BY m, cid
-)"""
-
     n = PQ_TRAIN_ITERS
-    iters = ",\n".join(iteration(i) for i in range(n))
+    iters = ",\n".join(_lloyd_iteration_sql(i, sd1, key="m", vec="sv")
+                       for i in range(n))
     return f"""
 WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
 subs AS (
@@ -1580,23 +1564,7 @@ def _ivfpq_sql() -> str:
     d_sql = ("CAST(list_sum(list_transform(range(1, %d), "
              "i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS BIGINT)"
              % (sub_dim + 1))
-    dot = (f"list_sum(list_transform(range(1, {DIM + 1}), "
-           "i -> base.qv[i] * cents.cv[i]))")
-    return f"""
-WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
-base AS (
-  SELECT vec_id, qv,
-    list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS in2
-  FROM q
-), cents AS (
-  SELECT vec_id AS cid, qv AS cv, in2 AS cn2 FROM base
-  WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, N_CENTROIDS)}
-), assign_scored AS (
-  SELECT base.vec_id, cents.cid,
-    ROW_NUMBER() OVER (PARTITION BY base.vec_id
-      ORDER BY base.in2 + cents.cn2 - 2 * {dot}, cents.cid) AS rn
-  FROM base CROSS JOIN cents
-), cand AS (
+    return _coarse_sql_prefix(carry_n2=False, assigned=None) + f""", cand AS (
   SELECT p.query_id, a.vec_id AS match_id
   FROM (SELECT vec_id AS query_id, cid FROM assign_scored
         WHERE {_fixed_sample_sql('vec_id', QUERY_MOD, N_QUERIES)}
