@@ -623,6 +623,91 @@ register(QuerySpec("dedup_lsh_bucket_stats", dedup_bucket_stats_query,
                    description="LSH bucket-size histogram + over-cap diagnostic (skew visibility)"))
 
 
+# --- containment (doc-in-doc) pairs ---------------------------------------------
+
+MAX_SHINGLE_DF = 64  # prefix-filter cap: drop shingles shared by more docs
+
+
+def containment_pairs(df: DataFrame, text_col: str, id_col: str,
+                      threshold: float = 0.5,
+                      max_df: int = MAX_SHINGLE_DF,
+                      shingled: DataFrame | None = None) -> DataFrame:
+    """Asymmetric containment |A∩B| / min(|A|,|B|) over word 3-gram
+    shingles — the doc-in-doc signal symmetric Jaccard misses.
+
+    A 200-token doc quoted inside a 5000-token doc has Jaccard ≈ 0.04
+    (invisible to minhash-LSH, which approximates Jaccard) but
+    containment ≈ 1.0. Candidates therefore come from the shingle
+    equi-join itself, guarded by the classic prefix-filter: shingles
+    occurring in more than ``max_df`` documents are dropped before
+    pairing (a shingle shared by k docs contributes k² join rows, and
+    boilerplate shingles otherwise dominate the pair space). Set sizes
+    use the FULL shingle sets, so dropping common shingles makes the
+    intersection — and hence containment — an under-estimate, never an
+    over-estimate: a reported pair always truly exceeds ``threshold``.
+
+    Scale: one shuffle keyed on shingle hash (uniform), join fan-out
+    bounded by ``max_df``² per shingle; pair aggregation shuffles only
+    candidate pairs. Never O(n²) in the corpus.
+    """
+    shingled = (shingled if shingled is not None
+                else shingled_rows(df, text_col, id_col).distinct())
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # df-capped shingles: df >= 2 (df-1 shingles cannot pair) and <= max_df
+    rare = (shingled.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+            .select("shingle"))
+    pruned = shingled.join(rare, "shingle", "left_semi")
+    a = pruned.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("sh"))
+    b = pruned.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("sh"))
+    inter = (a.join(b, (a.sh == b.sh) & (F.col("id_a") < F.col("id_b")))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
+    joined = (
+        inter
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("containment",
+                    F.col("n_inter").cast("double")
+                    / F.least("n_a", "n_b").cast("double")))
+    return (joined.filter(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "containment"))
+
+
+def dedup_containment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return containment_pairs(docs, "text", "doc_id", threshold=0.2)
+
+
+_DEDUP_CONTAINMENT_SQL = f"""
+WITH {_SHINGLES_CTE},
+dist AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dist GROUP BY doc_id),
+rare AS (
+  SELECT shingle FROM dist
+  GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+),
+pruned AS (SELECT doc_id, shingle FROM dist SEMI JOIN rare USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM pruned a JOIN pruned b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  CAST(n_inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.2
+"""
+
+register(QuerySpec("dedup_containment", dedup_containment_query,
+                   _DEDUP_CONTAINMENT_SQL,
+                   description="doc-in-doc containment pairs via df-capped "
+                               "shingle equi-join (prefix filter)"))
+
+
 # --- fuzzy (edit-distance) candidate pairs --------------------------------------
 
 def levenshtein_pairs(df: DataFrame, text_col: str, id_col: str,

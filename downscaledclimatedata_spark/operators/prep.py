@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from downscaledclimatedata_spark.functions.hashing import md5_long, md5_long_sql
 from downscaledclimatedata_spark.functions.text import WS_RE
 from downscaledclimatedata_spark.plans import QuerySpec, register
 from downscaledclimatedata_spark.sources.tables import load_table
@@ -197,6 +198,54 @@ def token_balanced_shards(df: DataFrame, n_shards: int,
                 ((F.col("global_rank") - 1) % n_shards).cast("bigint")))
 
 
+def global_shuffle(df: DataFrame, n_shards: int,
+                   id_col: str = "doc_id",
+                   seed: str = "epoch0") -> DataFrame:
+    """Deterministic seeded global shuffle for training-order randomization.
+
+    Every training epoch wants the corpus in a fresh pseudo-random order
+    that is reproducible across re-runs and independent of input
+    partitioning / task scheduling. Key = portable 60-bit md5 of
+    (seed, id); ``shard`` = key % n_shards; ``pos`` = row_number within
+    the shard ordered by (key, id). Reading shards in shard order and
+    rows in pos order realizes the composite ordering
+    ``ORDER BY (key % K, key, id)`` — a deterministic function of the
+    uniform hash key, so a new ``seed`` yields an unrelated order.
+
+    Scale: the only shuffle is the hash-partitioned window on ``shard``
+    — each window holds ~corpus/n_shards rows and ranks in parallel
+    across shards; there is never a global single-task ORDER BY (the
+    same trap token_balanced_shards avoids). ``n_shards`` is the
+    parallelism knob: size it so corpus/n_shards rows fit one task.
+    """
+    key = md5_long(F.col(id_col).cast("string"), seed=f"{seed}:")
+    keyed = df.select(F.col(id_col), key.alias("k"))
+    w = Window.partitionBy("shard").orderBy("k", id_col)
+    return (keyed.withColumn("shard", (F.col("k") % n_shards).cast("bigint"))
+            .withColumn("pos", F.row_number().over(w).cast("bigint"))
+            .select(id_col, "shard", "pos"))
+
+
+N_SHUFFLE_SHARDS = 64
+
+
+def prep_global_shuffle_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return global_shuffle(docs, N_SHUFFLE_SHARDS)
+
+
+_PREP_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+    {md5_long_sql("CAST(doc_id AS VARCHAR)", seed="epoch0:")} AS k
+  FROM documents)
+SELECT doc_id, CAST(k % {N_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY k % {N_SHUFFLE_SHARDS} ORDER BY k, doc_id) AS BIGINT) AS pos
+FROM keyed
+"""
+
+
 # --- registered specs ----------------------------------------------------------
 
 def prep_text_clean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,6 +347,10 @@ register(QuerySpec(
     "prep_balanced_shards", prep_balanced_shards_query, _PREP_SHARDS_SQL,
     description="LPT round-robin token-balanced shard assignment via "
                 "two-phase distributed global rank"))
+register(QuerySpec(
+    "prep_global_shuffle", prep_global_shuffle_query, _PREP_SHUFFLE_SQL,
+    description="seeded deterministic global shuffle (training-order "
+                "randomization) via shard-parallel windows"))
 
 
 # --- prep_pipeline: the prep family composed end-to-end -------------------------

@@ -16,6 +16,16 @@ operator. Results are recorded in BENCH_SCALE.md.
 
 Usage: python scale_ladder.py [--copies 10]
 The scaled data lands in .scale/sf1/ (gitignored, rebuilt if missing).
+
+A second rung (`--rung sf10`) adds a 100-copy dataset for the queries
+whose sf0.1->sf1 ratio exceeded 3x (q09, text_top_terms,
+dedup_repeated_spans, dedup_ngram_jaccard) plus the prep and IVF-PQ
+headliners: those plans claim "work scales linearly with data, width
+scales with partitions", and a second decade of data on fixed cores is
+the cheapest test of that claim (sf1->sf10 ratios should stay <=10 and
+ideally flatten per-token as fixed overhead amortizes). Only the tables
+those queries read (documents, events, embeddings) are materialized at
+100x.
 """
 
 from __future__ import annotations
@@ -47,8 +57,40 @@ SHIFT_COLS = {
 }
 DIM_TABLES = ("region", "nation")  # fixed-size dims: copied once, unscaled
 
+SCALE10_DIR = str(Path(__file__).resolve().parent / ".scale" / "sf10")
+# tables the sf10 target queries actually read — events (q09),
+# documents (text/dedup/prep), embeddings (IVF-PQ)
+SF10_TABLES = ("events", "documents", "embeddings")
+SF10_TARGETS = (
+    "q09_user_event_running", "text_top_terms", "dedup_repeated_spans",
+    "dedup_ngram_jaccard", "prep_text_clean", "q55_corpus_prep",
+    "similarity_ivfpq_topk",
+)
 
-def build_scaled(spark, src: str, dst: str, copies: int) -> None:
+# copy-specific text perturbation with period 260: vowel rotation keyed
+# by i % 10 composed with a lowercase Caesar shift keyed by i // 10.
+# For i < 10 the shift is 0, so the sf1 build is byte-identical to the
+# historical vowel-rotation-only build; at 100 copies no two copies get
+# the same composite permutation, so replicated docs are never
+# cross-copy near-duplicates (verbatim clones would plant deep
+# duplicate groups and quadratically inflate the dedup queries — a
+# data-character change, not a scale measurement).
+_VOWEL_ROT = ["aeiou", "eioua", "iouae", "ouaei", "uaeio",
+              "aeiuo", "eioau", "iouea", "ouaie", "uaeoi"]
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _perturb_text(col, copy: int):
+    from pyspark.sql import functions as F
+    out = F.translate(col, "aeiou", _VOWEL_ROT[copy % 10])
+    shift = (copy // 10) % 26
+    if shift:
+        out = F.translate(out, _ALPHA, _ALPHA[shift:] + _ALPHA[:shift])
+    return out
+
+
+def build_scaled(spark, src: str, dst: str, copies: int,
+                 tables: tuple[str, ...] | None = None) -> None:
     from pyspark.sql import functions as F
     os.makedirs(dst, exist_ok=True)
     # events: copy ts in whatever physical shape the driver file uses
@@ -56,15 +98,13 @@ def build_scaled(spark, src: str, dst: str, copies: int) -> None:
     # loader normalizes either (sources/tables.py normalize_events_ts)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for name in DIM_TABLES:
+        if tables is not None and name not in tables:
+            continue
         df = spark.read.parquet(os.path.join(src, f"{name}.parquet"))
         df.write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet"))
-    # copy-specific vowel rotations: cheap full-width text perturbation so
-    # replicated docs are NOT cross-copy near-duplicates (verbatim copies
-    # would plant 10-deep duplicate groups and quadratically inflate the
-    # dedup queries — a data-character change, not a scale measurement)
-    vowel_rot = ["aeiou", "eioua", "iouae", "ouaei", "uaeio",
-                 "aeiuo", "eioau", "iouea", "ouaie", "uaeoi"]
     for name, cols in SHIFT_COLS.items():
+        if tables is not None and name not in tables:
+            continue
         df = spark.read.parquet(os.path.join(src, f"{name}.parquet"))
         out = None
         for i in range(copies):
@@ -72,9 +112,7 @@ def build_scaled(spark, src: str, dst: str, copies: int) -> None:
             for c in cols:
                 copy = copy.withColumn(c, F.col(c) + F.lit(i * ID_STRIDE))
             if name == "documents" and i > 0:
-                copy = copy.withColumn(
-                    "text", F.translate("text", "aeiou",
-                                        vowel_rot[i % len(vowel_rot)]))
+                copy = copy.withColumn("text", _perturb_text(F.col("text"), i))
             if name == "embeddings" and i > 0:
                 # small copy-dependent shift keeps vectors distinct without
                 # changing magnitudes much (no cross-copy exact dups)
@@ -87,9 +125,13 @@ def build_scaled(spark, src: str, dst: str, copies: int) -> None:
          .write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet")))
 
 
-def time_headlines(spark, sf_dir: str) -> dict[str, float]:
+def time_headlines(spark, sf_dir: str,
+                   names: tuple[str, ...] | None = None) -> dict[str, float]:
     from downscaledclimatedata_spark.plans import all_specs
-    specs = {n: s for n, s in all_specs().items() if s.headline}
+    if names is None:
+        specs = {n: s for n, s in all_specs().items() if s.headline}
+    else:
+        specs = {n: s for n, s in all_specs().items() if n in names}
     warm = specs.get("q02_revenue_forecast") or next(iter(specs.values()))
     warm.spark(spark, sf_dir).collect()
     timings: dict[str, float] = {}
@@ -107,23 +149,39 @@ def main() -> None:
     copies = COPIES
     if "--copies" in sys.argv:
         copies = int(sys.argv[sys.argv.index("--copies") + 1])
-    if "--rebuild" in sys.argv and os.path.exists(SCALE_DIR):
-        shutil.rmtree(SCALE_DIR)
+    rung = "sf1"
+    if "--rung" in sys.argv:
+        rung = sys.argv[sys.argv.index("--rung") + 1]
+    if "--rebuild" in sys.argv:
+        for d in (SCALE_DIR, SCALE10_DIR):
+            if os.path.exists(d):
+                shutil.rmtree(d)
     from downscaledclimatedata_spark.session import get_spark
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("dcd-spark-scale-ladder", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     if not os.path.exists(os.path.join(SCALE_DIR, "lineitem.parquet")):
         build_scaled(spark, BASE_SF, SCALE_DIR, copies)
-    base = time_headlines(spark, BASE_SF)
-    scaled = time_headlines(spark, SCALE_DIR)
+    if rung == "sf10":
+        # second decade: sf1 -> sf10 on the >=3x-ratio queries + the
+        # prep / IVF-PQ headliners; only the tables they read are built
+        if not os.path.exists(os.path.join(SCALE10_DIR, "documents.parquet")):
+            build_scaled(spark, BASE_SF, SCALE10_DIR, copies * 10,
+                         tables=SF10_TABLES)
+        base = time_headlines(spark, SCALE_DIR, names=SF10_TARGETS)
+        scaled = time_headlines(spark, SCALE10_DIR, names=SF10_TARGETS)
+        sf_base, sf_scaled = 0.1 * copies, 1.0 * copies
+    else:
+        base = time_headlines(spark, BASE_SF)
+        scaled = time_headlines(spark, SCALE_DIR)
+        sf_base, sf_scaled = 0.1, 0.1 * copies
     ratios = {n: (round(scaled[n] / base[n], 2) if base[n] > 0 else None)
               for n in base}
     print(json.dumps({
         "metric": "scale_ladder",
         "data_ratio": copies,
-        "sf_base": 0.1,
-        "sf_scaled": 0.1 * copies,
+        "sf_base": sf_base,
+        "sf_scaled": sf_scaled,
         "base_sec": base,
         "scaled_sec": scaled,
         "time_ratio": ratios,

@@ -72,3 +72,43 @@ def test_lsh_bucket_cap_drops_mega_bucket(spark):
     small = spark.createDataFrame(
         [(i, *([7] * MINHASH_PERMS)) for i in range(10)], cols)
     assert lsh_candidate_pairs(small, "doc_id", max_bucket=50).count() == 45
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a much longer doc: containment
+    ~1.0, Jaccard far below threshold — the asymmetric signal the
+    operator exists for."""
+    from downscaledclimatedata_spark.operators.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        "doc_id int, text string",
+    )
+    pairs = containment_pairs(docs, "text", "doc_id", threshold=0.9).collect()
+    assert len(pairs) == 1
+    row = pairs[0]
+    assert (row.id_a, row.id_b) == (1, 2)
+    assert row.containment == 1.0
+    # the same pair is invisible at any reasonable Jaccard threshold
+    jac = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.0).collect()
+    assert all(r.jaccard < 0.05 for r in jac)
+
+
+def test_containment_prefix_filter_drops_boilerplate_shingles(spark):
+    """A shingle shared by > max_df docs is dropped before pairing, so
+    boilerplate alone creates no pairs (and no k-squared blow-up)."""
+    from downscaledclimatedata_spark.operators.dedup import containment_pairs
+
+    boiler = "all rights reserved worldwide"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} token{i} " + boiler) for i in range(10)],
+        "doc_id int, text string",
+    )
+    # boilerplate shingles have df=10 > max_df=4 -> no candidate pairs
+    assert containment_pairs(docs, "text", "doc_id",
+                             threshold=0.1, max_df=4).count() == 0
+    # with the cap lifted the same corpus pairs every doc with every other
+    assert containment_pairs(docs, "text", "doc_id",
+                             threshold=0.1, max_df=100).count() == 45

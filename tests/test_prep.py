@@ -194,3 +194,29 @@ def test_auto_bin_width_does_not_change_shard_assignment(spark):
     auto = {(r.doc_id, r.global_rank, r.shard)
             for r in token_balanced_shards(docs, 4).collect()}
     assert fixed == auto
+
+
+def test_global_shuffle_deterministic_and_shard_parallel(spark):
+    from downscaledclimatedata_spark.operators.prep import global_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(500)], "doc_id long, text string")
+    a = global_shuffle(docs, 8).collect()
+    b = global_shuffle(docs.repartition(13), 8).collect()
+    # partitioning-independent and re-run-stable
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    # real parallelism: rows spread over many shards, and positions are
+    # contiguous 1..n within each shard (a reader can stream shard-major)
+    assert len(by_shard) == 8
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different seed yields a genuinely different permutation
+    c = global_shuffle(docs, 8, seed="epoch1").collect()
+    assert sorted(map(tuple, c)) != sorted(map(tuple, a))
+    # plan: the ranking window is partitioned by shard, never global
+    plan = global_shuffle(docs, 8)._jdf.queryExecution().executedPlan().toString()
+    wlines = [ln for ln in plan.splitlines() if "Window" in ln and "row_number" in ln]
+    assert wlines and all("shard" in ln for ln in wlines)
