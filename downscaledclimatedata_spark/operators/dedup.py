@@ -623,6 +623,107 @@ register(QuerySpec("dedup_lsh_bucket_stats", dedup_bucket_stats_query,
                    description="LSH bucket-size histogram + over-cap diagnostic (skew visibility)"))
 
 
+# --- simhash hamming pairs (Manku et al., WWW'07) -------------------------------
+
+SIMHASH_BLOCKS = 4          # 60 bits -> 4 x 15-bit blocks
+SIMHASH_HAM_MAX = 3         # blocks - 1: pigeonhole-exact candidate recall
+
+
+def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
+                  ham_max: int = SIMHASH_HAM_MAX,
+                  max_bucket: int = MAX_BUCKET,
+                  fingerprints: DataFrame | None = None) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, at scale.
+
+    The block-permutation construction (Manku, Jain & Sarma, "Detecting
+    Near-Duplicates for Web Crawling", WWW 2007): split each 60-bit
+    fingerprint into ``SIMHASH_BLOCKS`` 15-bit blocks; two fingerprints
+    within hamming distance ``ham_max <= blocks - 1`` must agree on at
+    least one whole block (pigeonhole), so candidate generation is an
+    exact-recall equi-join on (block_index, block_value) — never O(n²).
+    Verification computes the true hamming distance with
+    ``bit_count(xor)`` on the joined fingerprints.
+
+    Over-popular blocks (> ``max_bucket`` members — e.g. the all-zeros
+    block from boilerplate-heavy corpora) are excluded like the minhash
+    LSH cap: a diagnostic-visible recall trade documented there.
+    """
+    fp = (fingerprints if fingerprints is not None
+          else simhash(df, text_col, id_col)).localCheckpoint()
+    bits_per = SIMHASH_BITS // SIMHASH_BLOCKS
+    mask = (1 << bits_per) - 1
+    blocks = fp.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftright(F.col("simhash"), bits_per * b)
+                .bitwiseAND(F.lit(mask)).alias("val"))
+            for b in range(SIMHASH_BLOCKS)])).alias("bv"),
+    ).select(id_col, "bv.blk", "bv.val")
+    ok = (blocks.groupBy("blk", "val").agg(F.count("*").alias("n"))
+          .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+          .select("blk", "val"))
+    a = blocks.join(ok, ["blk", "val"], "left_semi")
+    cand = (a.alias("x").join(
+        a.alias("y"),
+        (F.col("x.blk") == F.col("y.blk")) & (F.col("x.val") == F.col("y.val"))
+        & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+        .select(F.col(f"x.{id_col}").alias("id_a"),
+                F.col(f"y.{id_col}").alias("id_b"))
+        .distinct())
+    return (cand
+            .join(fp.select(F.col(id_col).alias("id_a"),
+                            F.col("simhash").alias("sh_a")), "id_a")
+            .join(fp.select(F.col(id_col).alias("id_b"),
+                            F.col("simhash").alias("sh_b")), "id_b")
+            .withColumn("hamming",
+                        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                        .cast("int"))
+            .filter(F.col("hamming") <= ham_max)
+            .select("id_a", "id_b", "hamming"))
+
+
+def dedup_simhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return simhash_pairs(docs, "text", "doc_id")
+
+
+_SIMHASH_BITS_PER = SIMHASH_BITS // SIMHASH_BLOCKS
+_SIMHASH_BLOCK_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS blk, (simhash >> {_SIMHASH_BITS_PER * b}) "
+    f"& {(1 << _SIMHASH_BITS_PER) - 1} AS val FROM fp"
+    for b in range(SIMHASH_BLOCKS))
+_DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH {_SHINGLES_CTE},
+hashed AS (SELECT doc_id, {md5_long_sql('shingle')} AS h FROM shingled),
+bits AS (SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM hashed GROUP BY doc_id),
+fp AS (SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM bits),
+blocks AS ({_SIMHASH_BLOCK_SELECTS}),
+ok AS (
+  SELECT blk, val FROM blocks
+  GROUP BY blk, val HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+kept AS (SELECT doc_id, blk, val FROM blocks SEMI JOIN ok USING (blk, val)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM kept x JOIN kept y
+    ON x.blk = y.blk AND x.val = y.val AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b,
+  CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER) AS hamming
+FROM cand
+JOIN fp fa ON fa.doc_id = id_a
+JOIN fp fb ON fb.doc_id = id_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {SIMHASH_HAM_MAX}
+"""
+
+register(QuerySpec("dedup_simhash_pairs", dedup_simhash_pairs_query,
+                   _DEDUP_SIMHASH_PAIRS_SQL,
+                   description="simhash hamming<=3 pairs via exact-recall "
+                               "block equi-join (Manku et al. WWW'07)"))
+
+
 # --- containment (doc-in-doc) pairs ---------------------------------------------
 
 MAX_SHINGLE_DF = 64  # prefix-filter cap: drop shingles shared by more docs

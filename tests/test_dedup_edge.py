@@ -112,3 +112,19 @@ def test_containment_prefix_filter_drops_boilerplate_shingles(spark):
     # with the cap lifted the same corpus pairs every doc with every other
     assert containment_pairs(docs, "text", "doc_id",
                              threshold=0.1, max_df=100).count() == 45
+
+
+def test_simhash_pairs_find_near_identical_docs_only(spark):
+    """Hamming <= 3 pairs surface near-identical docs; unrelated docs are
+    never paired. Candidate recall inside the hamming bound is exact by
+    the pigeonhole block construction."""
+    from downscaledclimatedata_spark.operators.dedup import simhash_pairs
+
+    base = " ".join(f"token{i} filler{i} word{i}" for i in range(60))
+    near = base.replace("token7", "token7x")  # tiny perturbation
+    other = " ".join(f"zzz{i} qqq{i} vvv{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id int, text string")
+    rows = simhash_pairs(docs, "text", "doc_id").collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    assert rows[0].hamming <= 3
