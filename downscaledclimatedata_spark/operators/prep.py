@@ -249,8 +249,13 @@ FROM keyed
 # --- registered specs ----------------------------------------------------------
 
 def prep_text_clean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No trailing orderBy: a global sort's range-sampling pass evaluates
+    # the whole (regex-heavy) projection a second time, doubling the
+    # query — and the driver compare is order-insensitive anyway. At
+    # corpus scale the cleaned output is consumed partition-wise, never
+    # globally sorted.
     docs = load_table(spark, sf_dir, "documents")
-    return clean_documents(docs).orderBy("doc_id")
+    return clean_documents(docs)
 
 
 _PREP_CLEAN_SQL = r"""
@@ -284,7 +289,7 @@ kept AS (
 SELECT doc_id, clean_text, n_pii,
   coalesce(array_to_string(ks, ' '), '') AS content_text,
   CAST(len(ks) AS BIGINT) AS n_content_tokens
-FROM kept ORDER BY doc_id
+FROM kept
 """
 
 
