@@ -647,9 +647,24 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
     Over-popular blocks (> ``max_bucket`` members — e.g. the all-zeros
     block from boilerplate-heavy corpora) are excluded like the minhash
     LSH cap: a diagnostic-visible recall trade documented there.
+
+    ``ham_max`` must be <= ``SIMHASH_BLOCKS - 1``: the pigeonhole
+    guarantee only holds up to blocks-1 differing bits, so a larger
+    radius would silently miss pairs.
+
+    A caller-supplied ``fingerprints`` relation is used as-is (it is
+    assumed already materialized/cached by the caller — e.g. when shared
+    across several pair generators); only the internally-derived
+    fingerprint relation is localCheckpointed here, since it is
+    referenced three times (block explode + two verify joins).
     """
+    if ham_max > SIMHASH_BLOCKS - 1:
+        raise ValueError(
+            f"ham_max={ham_max} exceeds SIMHASH_BLOCKS-1={SIMHASH_BLOCKS - 1}: "
+            "the block-permutation candidate join is only exact-recall up to "
+            "blocks-1 differing bits")
     fp = (fingerprints if fingerprints is not None
-          else simhash(df, text_col, id_col)).localCheckpoint()
+          else simhash(df, text_col, id_col).localCheckpoint())
     bits_per = SIMHASH_BITS // SIMHASH_BLOCKS
     mask = (1 << bits_per) - 1
     blocks = fp.select(

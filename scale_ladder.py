@@ -114,24 +114,64 @@ def build_scaled(spark, src: str, dst: str, copies: int,
             if name == "documents" and i > 0:
                 copy = copy.withColumn("text", _perturb_text(F.col("text"), i))
             if name == "embeddings" and i > 0:
-                # small copy-dependent shift keeps vectors distinct without
-                # changing magnitudes much (no cross-copy exact dups)
+                # bounded copy-dependent shift: the uniform component cycles
+                # with period 10 (max 10 * 0.0017 = 0.017 at any copy count,
+                # so copy index can't correlate with coarse-list assignment
+                # at the 100-copy rung), and a tiny dimension-dependent term
+                # keyed by i // 10 keeps copies sharing a cycle position
+                # distinct. For i < 10 both reduce to the historical
+                # i * 0.0017 uniform shift, so the sf1 build is unchanged.
+                base_shift = ((i - 1) % 10 + 1) * 0.0017
+                decade = i // 10
                 copy = copy.withColumn(
                     "embedding",
-                    F.transform("embedding",
-                                lambda x: (x + F.lit(i * 0.0017)).cast("float")))
+                    F.transform(
+                        "embedding",
+                        lambda x, j: (x + F.lit(base_shift)
+                                      + F.lit(decade * 0.00013)
+                                      * ((j % 7) - F.lit(3))).cast("float")))
             out = copy if out is None else out.unionAll(copy)
         (out.repartition(32)
          .write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet")))
 
 
+def ensure_scaled(spark, src: str, dst: str, copies: int,
+                  tables: tuple[str, ...] | None = None) -> None:
+    """Build `dst` at `copies` copies unless an up-to-date build exists.
+
+    A `_build.json` marker records the copies count (and table subset)
+    used; a marker mismatch forces a rebuild so sf_base/sf_scaled labels
+    can never disagree with the data actually on disk.
+    """
+    marker = os.path.join(dst, "_build.json")
+    want = {"copies": copies, "tables": sorted(tables) if tables else None}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            have = json.load(f)
+        if have == want:
+            return
+        shutil.rmtree(dst)
+    elif os.path.exists(dst):
+        # pre-marker build of unknown provenance: rebuild
+        shutil.rmtree(dst)
+    build_scaled(spark, src, dst, copies, tables=tables)
+    with open(marker, "w") as f:
+        json.dump(want, f)
+
+
 def time_headlines(spark, sf_dir: str,
                    names: tuple[str, ...] | None = None) -> dict[str, float]:
     from downscaledclimatedata_spark.plans import all_specs
+    registered = all_specs()
     if names is None:
-        specs = {n: s for n, s in all_specs().items() if s.headline}
+        specs = {n: s for n, s in registered.items() if s.headline}
     else:
-        specs = {n: s for n, s in all_specs().items() if n in names}
+        unknown = set(names) - set(registered)
+        if unknown:
+            raise ValueError(f"unknown spec names: {sorted(unknown)}")
+        specs = {n: s for n, s in registered.items() if n in names}
+    if not specs:
+        raise ValueError("no specs selected to time")
     warm = specs.get("q02_revenue_forecast") or next(iter(specs.values()))
     warm.spark(spark, sf_dir).collect()
     timings: dict[str, float] = {}
@@ -160,14 +200,12 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("dcd-spark-scale-ladder", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(os.path.join(SCALE_DIR, "lineitem.parquet")):
-        build_scaled(spark, BASE_SF, SCALE_DIR, copies)
+    ensure_scaled(spark, BASE_SF, SCALE_DIR, copies)
     if rung == "sf10":
         # second decade: sf1 -> sf10 on the >=3x-ratio queries + the
         # prep / IVF-PQ headliners; only the tables they read are built
-        if not os.path.exists(os.path.join(SCALE10_DIR, "documents.parquet")):
-            build_scaled(spark, BASE_SF, SCALE10_DIR, copies * 10,
-                         tables=SF10_TABLES)
+        ensure_scaled(spark, BASE_SF, SCALE10_DIR, copies * 10,
+                      tables=SF10_TABLES)
         base = time_headlines(spark, SCALE_DIR, names=SF10_TARGETS)
         scaled = time_headlines(spark, SCALE10_DIR, names=SF10_TARGETS)
         sf_base, sf_scaled = 0.1 * copies, 1.0 * copies

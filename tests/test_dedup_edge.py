@@ -128,3 +128,45 @@ def test_simhash_pairs_find_near_identical_docs_only(spark):
     rows = simhash_pairs(docs, "text", "doc_id").collect()
     assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
     assert rows[0].hamming <= 3
+
+
+def test_simhash_pairs_rejects_ham_max_beyond_pigeonhole(spark):
+    """ham_max > SIMHASH_BLOCKS-1 breaks the exact-recall guarantee of
+    the block equi-join, so it must raise rather than silently return an
+    incomplete pair set."""
+    import pytest
+
+    from downscaledclimatedata_spark.operators.dedup import (
+        SIMHASH_BLOCKS,
+        simhash_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="exact-recall"):
+        simhash_pairs(docs, "text", "doc_id", ham_max=SIMHASH_BLOCKS)
+
+
+def test_simhash_pairs_no_double_checkpoint(spark, monkeypatch):
+    """A caller-supplied fingerprints relation must be used as-is — no
+    second localCheckpoint materialization inside simhash_pairs."""
+    from pyspark.sql import DataFrame
+
+    from downscaledclimatedata_spark.operators.dedup import simhash, simhash_pairs
+
+    base = " ".join(f"token{i} filler{i} word{i}" for i in range(60))
+    near = base.replace("token7", "token7x")
+    docs = spark.createDataFrame(
+        [(1, base), (2, near)], "doc_id int, text string")
+    fp = simhash(docs, "text", "doc_id").localCheckpoint()
+
+    calls = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, *a, **kw):
+        calls.append(self)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    rows = simhash_pairs(docs, "text", "doc_id", fingerprints=fp).collect()
+    assert not calls, "pre-materialized fingerprints were re-checkpointed"
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
