@@ -212,30 +212,61 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         shingled: DataFrame | None = None) -> DataFrame:
     """Exact word-3-gram Jaccard for candidate pairs (or all pairs).
 
-    At scale this runs AFTER LSH candidate generation so the quadratic
-    verify cost applies only to candidates. Pass a pre-materialized
-    DISTINCT ``shingled`` relation to share the shingling pass with the
-    candidate-generation stage (this relation is referenced four times
-    below — without sharing, each reference re-shingles the corpus).
+    At scale this runs AFTER LSH candidate generation, and the
+    intersection is computed CANDIDATE-FIRST: candidates ⋈ A's shingles
+    ⋈ B's shingles — three equi-joins whose volume is
+    Σ_{(a,b)∈cand} (|A| + |A∩B|), never the Σ df² blow-up of a full
+    shingle self-join followed by a candidate filter (a boilerplate
+    shingle shared by k docs costs k² rows in the self-join form, and
+    the semi-join cannot be pushed below it). ``candidates`` must be a
+    distinct (id_a, id_b) relation (as ``lsh_candidate_pairs`` emits).
+
+    Pass a pre-materialized DISTINCT ``shingled`` relation to share the
+    shingling pass with the candidate-generation stage (this relation is
+    referenced four times below — without sharing, each reference
+    re-shingles the corpus).
+
+    Every corpus-scaled join side carries an explicit ``merge`` (sort-merge)
+    hint: a localCheckpointed shingle relation reaches the planner as a
+    LogicalRDD whose inherited size estimate (scan → explode → distinct)
+    is far below reality, and at sf10 Catalyst flipped these joins to
+    BroadcastHashJoin and OOMed the driver building a multi-GB hash
+    relation. Pinning the shuffled strategy keeps the plan
+    scale-correct regardless of the estimate (found by the sf1→sf10
+    scale-ladder rung).
     """
     shingled = (shingled if shingled is not None
                 else shingled_rows(df, text_col, id_col).distinct())
-    a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("sh_a"))
-    b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("sh_b"))
-    inter = (
-        a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("id_a") < F.col("id_b")))
-        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
-    )
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if candidates is not None:
+        a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+        b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (candidates.select("id_a", "id_b")
+                 .join(a.hint("merge"), "id_a")
+                 .join(b.hint("merge"), ["id_b", "shingle"])
+                 .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
+    else:
+        a = shingled.select(F.col(id_col).alias("id_a"),
+                            F.col("shingle").alias("sh_a"))
+        b = shingled.select(F.col(id_col).alias("id_b"),
+                            F.col("shingle").alias("sh_b"))
+        inter = (
+            a.join(b.hint("merge"),
+                   (F.col("sh_a") == F.col("sh_b"))
+                   & (F.col("id_a") < F.col("id_b")))
+            .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
+        )
     joined = (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        inter.join(sizes.select(F.col(id_col).alias("id_a"),
+                                F.col("n_sh").alias("n_a"))
+                   .hint("merge"), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("n_sh").alias("n_b"))
+              .hint("merge"), "id_b")
         .withColumn("jaccard",
                     F.col("n_inter").cast("double")
                     / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"))
     )
-    if candidates is not None:
-        joined = joined.join(candidates, ["id_a", "id_b"], "left_semi")
     return joined.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
@@ -450,7 +481,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
               .select("id", F.col("id").alias("comp")).localCheckpoint())
     prev = None
     for _ in range(max_iter):
-        neigh = (edges.join(labels, edges["dst"] == labels["id"])
+        # sort-merge: both sides are checkpointed corpus-scale
+        # relations with unreliable inherited size estimates (see
+        # ngram_jaccard_pairs) — never let this flip to broadcast
+        neigh = (edges.join(labels.hint("merge"),
+                            edges["dst"] == labels["id"])
                  .select(edges["src"].alias("id"), "comp"))
         labels = (labels.union(neigh).groupBy("id")
                   .agg(F.min("comp").alias("comp"))).localCheckpoint()
@@ -676,12 +711,17 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                 .bitwiseAND(F.lit(mask)).alias("val"))
             for b in range(SIMHASH_BLOCKS)])).alias("bv"),
     ).select(id_col, "bv.blk", "bv.val")
+    # `ok` is genuinely broadcastable (≤ blocks × 2^15 rows by
+    # construction); the block self-join and fingerprint verify joins are
+    # corpus-scaled, so they carry sort-merge hints — a low LogicalRDD
+    # size estimate must never flip them to broadcast (see
+    # ngram_jaccard_pairs).
     ok = (blocks.groupBy("blk", "val").agg(F.count("*").alias("n"))
           .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
           .select("blk", "val"))
     a = blocks.join(ok, ["blk", "val"], "left_semi")
     cand = (a.alias("x").join(
-        a.alias("y"),
+        a.alias("y").hint("merge"),
         (F.col("x.blk") == F.col("y.blk")) & (F.col("x.val") == F.col("y.val"))
         & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
         .select(F.col(f"x.{id_col}").alias("id_a"),
@@ -689,9 +729,11 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
         .distinct())
     return (cand
             .join(fp.select(F.col(id_col).alias("id_a"),
-                            F.col("simhash").alias("sh_a")), "id_a")
+                            F.col("simhash").alias("sh_a"))
+                  .hint("merge"), "id_a")
             .join(fp.select(F.col(id_col).alias("id_b"),
-                            F.col("simhash").alias("sh_b")), "id_b")
+                            F.col("simhash").alias("sh_b"))
+                  .hint("merge"), "id_b")
             .withColumn("hamming",
                         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
                         .cast("int"))
@@ -774,15 +816,20 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
             .agg(F.count("*").alias("df"))
             .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
             .select("shingle"))
+    # sort-merge hints: corpus-scaled sides must never flip to a
+    # broadcast on a low LogicalRDD size estimate (see ngram_jaccard_pairs)
     pruned = shingled.join(rare, "shingle", "left_semi")
     a = pruned.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("sh"))
     b = pruned.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("sh"))
-    inter = (a.join(b, (a.sh == b.sh) & (F.col("id_a") < F.col("id_b")))
+    inter = (a.join(b.hint("merge"),
+                    (a.sh == b.sh) & (F.col("id_a") < F.col("id_b")))
              .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
     joined = (
         inter
-        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+              .hint("merge"), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+              .hint("merge"), "id_b")
         .withColumn("containment",
                     F.col("n_inter").cast("double")
                     / F.least("n_a", "n_b").cast("double")))
@@ -856,7 +903,7 @@ def levenshtein_pairs(df: DataFrame, text_col: str, id_col: str,
                     F.col("p").alias("pa"))
     b = pref.select(F.col(id_col).alias("id_b"), "blk", "lbucket", "tblock",
                     F.col("p").alias("pb"))
-    return (a.join(b, ["blk", "lbucket", "tblock"])
+    return (a.join(b.hint("merge"), ["blk", "lbucket", "tblock"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
                     F.levenshtein("pa", "pb").alias("dist"))
@@ -918,9 +965,11 @@ def repeated_span_stats(docs: DataFrame, text_col: str = "text",
                 .agg(F.countDistinct(id_col).alias("nd"))
                 .filter(F.col("nd") >= min_docs).select("h"))
     totals = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
-    rep = (spans.join(repeated, "h", "left_semi")
+    # sort-merge: the repeated-span dictionary and per-doc aggregates
+    # are corpus-scaled — pin the shuffled strategy (see ngram_jaccard_pairs)
+    rep = (spans.join(repeated.hint("merge"), "h", "left_semi")
            .groupBy(id_col).agg(F.count("*").alias("n_repeated")))
-    return (totals.join(rep, id_col, "left")
+    return (totals.join(rep.hint("merge"), id_col, "left")
             .select(F.col(id_col), "n_spans",
                     F.coalesce("n_repeated", F.lit(0).cast("long"))
                     .alias("n_repeated"),
@@ -969,3 +1018,173 @@ FROM totals t LEFT JOIN rep r ON r.doc_id = t.doc_id
 register(QuerySpec("dedup_repeated_spans", dedup_repeated_spans_query,
                    _repeated_spans_sql(), headline=True,
                    description=f"cross-document repeated {SPAN_N}-token spans (exact-substring dedup signal), hash-dictionary semi-join"))
+
+# --- multi-signal near-dup clustering -------------------------------------------
+
+def multi_signal_pairs(df: DataFrame, text_col: str, id_col: str, *,
+                       jaccard_threshold: float = 0.2,
+                       containment_threshold: float = 0.2,
+                       ham_max: int = SIMHASH_HAM_MAX,
+                       max_bucket: int = MAX_BUCKET,
+                       max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """(id_a, id_b, signal) union of near-dup evidence across the three
+    pair generators: minhash-LSH-verified Jaccard, simhash hamming, and
+    doc-in-doc containment.
+
+    Production dedup merges evidence across signals — each generator has
+    a blind spot the others cover (Jaccard misses doc-in-doc, simhash
+    misses heavy reordering, containment misses dispersed edits) — so
+    clustering should see the union, with provenance preserved per edge.
+
+    One DISTINCT (id, shingle) relation is materialized and shared by
+    the minhash-signature, Jaccard-verify, and containment stages
+    (min-aggregates and set-intersections are duplicate-insensitive);
+    simhash derives its own duplicate-sensitive shingle hashes
+    internally. Each generator keeps its own scale cap (LSH/blocks
+    ``max_bucket``, containment ``max_df``), so the union inherits the
+    never-O(n²) guarantee of its parts.
+    """
+    sh = shingled_rows(df, text_col, id_col).distinct().localCheckpoint()
+    sigs = minhash_signatures(df, text_col, id_col, shingled=sh)
+    cand = lsh_candidate_pairs(sigs, id_col, max_bucket=max_bucket)
+    mh = (ngram_jaccard_pairs(df, text_col, id_col, candidates=cand,
+                              threshold=jaccard_threshold, shingled=sh)
+          .select("id_a", "id_b", F.lit("minhash_jaccard").alias("signal")))
+    sp = (simhash_pairs(df, text_col, id_col, ham_max=ham_max,
+                        max_bucket=max_bucket)
+          .select("id_a", "id_b", F.lit("simhash").alias("signal")))
+    ct = (containment_pairs(df, text_col, id_col,
+                            threshold=containment_threshold, max_df=max_df,
+                            shingled=sh)
+          .select("id_a", "id_b", F.lit("containment").alias("signal")))
+    return mh.unionAll(sp).unionAll(ct)
+
+
+def multi_signal_clusters(pairs: DataFrame) -> DataFrame:
+    """(comp, cluster_size, signals) per near-dup component over a
+    multi-signal edge relation (id_a, id_b, signal).
+
+    Components come from min-label propagation over the DISTINCT edge
+    set; ``signals`` is the sorted comma-joined set of signal names whose
+    edges fall inside the component — the provenance a reviewer needs to
+    see WHY a cluster exists (e.g. a doc-in-doc cluster visible only to
+    containment).
+    """
+    comps = connected_components(pairs.select("id_a", "id_b").distinct())
+    sizes = comps.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    provenance = (pairs
+                  .join(comps.select(F.col("id").alias("id_a"), "comp"), "id_a")
+                  .groupBy("comp")
+                  .agg(F.array_join(F.array_sort(F.collect_set("signal")), ",")
+                       .alias("signals")))
+    return sizes.join(provenance, "comp")
+
+
+def dedup_multi_signal_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return multi_signal_clusters(multi_signal_pairs(docs, "text", "doc_id"))
+
+
+_MULTI_SIGNAL_SQL = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+dist AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dist GROUP BY doc_id),
+{_HASHED_CTE},
+sigs AS (
+  SELECT doc_id, {_MINHASH_COLS_SQL}
+  FROM hashed GROUP BY doc_id
+),
+banded AS ({_BAND_SELECTS}),
+ok AS (
+  SELECT band_id, band_hash FROM banded
+  GROUP BY band_id, band_hash HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN ok ON ok.band_id = a.band_id AND ok.band_hash = a.band_hash
+  JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+j_inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM dist a JOIN dist b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac_pairs AS (
+  SELECT id_a, id_b
+  FROM j_inter
+  JOIN cand USING (id_a, id_b)
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+),
+sh_hashed AS (SELECT doc_id, {md5_long_sql('shingle')} AS h FROM shingled),
+bits AS (SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM sh_hashed GROUP BY doc_id),
+fp AS (SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM bits),
+blocks AS ({_SIMHASH_BLOCK_SELECTS}),
+blk_ok AS (
+  SELECT blk, val FROM blocks
+  GROUP BY blk, val HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+kept AS (SELECT doc_id, blk, val FROM blocks SEMI JOIN blk_ok USING (blk, val)),
+sh_cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM kept x JOIN kept y
+    ON x.blk = y.blk AND x.val = y.val AND x.doc_id < y.doc_id
+),
+sim_pairs AS (
+  SELECT id_a, id_b
+  FROM sh_cand
+  JOIN fp fa ON fa.doc_id = id_a
+  JOIN fp fb ON fb.doc_id = id_b
+  WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {SIMHASH_HAM_MAX}
+),
+rare AS (
+  SELECT shingle FROM dist
+  GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+),
+pruned AS (SELECT doc_id, shingle FROM dist SEMI JOIN rare USING (shingle)),
+c_inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM pruned a JOIN pruned b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ct_pairs AS (
+  SELECT id_a, id_b
+  FROM c_inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.2
+),
+sig_pairs AS (
+  SELECT id_a, id_b, 'minhash_jaccard' AS signal FROM jac_pairs
+  UNION ALL SELECT id_a, id_b, 'simhash' FROM sim_pairs
+  UNION ALL SELECT id_a, id_b, 'containment' FROM ct_pairs
+),
+edges AS (
+  SELECT DISTINCT id_a AS src, id_b AS dst FROM sig_pairs
+  UNION SELECT id_b, id_a FROM sig_pairs
+),
+reach(id, lab) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+csize AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp),
+prov AS (
+  SELECT c.comp, string_agg(DISTINCT p.signal, ',' ORDER BY p.signal) AS signals
+  FROM sig_pairs p JOIN comp c ON c.id = p.id_a
+  GROUP BY c.comp
+)
+SELECT comp, cluster_size, signals
+FROM csize JOIN prov USING (comp)
+"""
+
+register(QuerySpec("dedup_multi_signal_clusters",
+                   dedup_multi_signal_clusters_query, _MULTI_SIGNAL_SQL,
+                   description="near-dup components over the union of "
+                               "minhash-jaccard, simhash and containment "
+                               "evidence, per-cluster signal provenance"))

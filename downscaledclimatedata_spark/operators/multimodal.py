@@ -3,10 +3,14 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata columns beside them (the Spark-idiomatic equivalent of the
 reference treating NetCDF blobs as opaque during conversion,
-loca2.py:84-100). Real decode libraries are not in this container, so the
-decode step is a clearly-marked deterministic fake behind the REAL
-plumbing: Arrow-batched ``mapInPandas`` with an explicit output schema,
-partition-preserving, no driver collect.
+loca2.py:84-100). The stdlib-reachable decoders are REAL: PNG/JPEG
+header parse (IHDR fields / SOF marker walk), WAV/RIFF chunk walk with
+int16 PCM feature math, and full PNG pixel reconstruction (zlib IDAT
+inflate + all-five-filter scanline reversal). Only the model-based
+steps (frame embedding, learned features) remain clearly-marked
+deterministic fakes — PIL/libav/torch are not in this container — behind
+the same production plumbing: Arrow-batched ``mapInPandas`` with an
+explicit output schema, partition-preserving, no driver collect.
 """
 
 from __future__ import annotations
@@ -606,3 +610,264 @@ register(QuerySpec("multimodal_meta", multimodal_meta_query, _MULTIMODAL_META_SQ
                    description="binary payload metadata via pure expressions"))
 register(QuerySpec("multimodal_decode_stub", multimodal_decode_query, _MULTIMODAL_DECODE_SQL,
                    description="Arrow-batched mapInPandas decode plumbing (fake decode; real schema/batching)"))
+
+# --- real PNG pixel decode (stdlib zlib: IDAT inflate + filter reversal) -----
+
+PNG_PIXELS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_px", T.IntegerType()),
+    T.StructField("pix_sum", T.LongType()),
+    T.StructField("pix_min", T.IntegerType()),
+    T.StructField("pix_max", T.IntegerType()),
+])
+
+# synthesis parameters as pure functions of doc_id (oracle discipline as
+# DIM_W_MOD / WAV_*): pixel (y, x) of doc d = (d*A + y*B + x*C) % 256
+PNG_PIX_W_BASE = 8
+PNG_PIX_W_MOD = 24
+PNG_PIX_H_BASE = 8
+PNG_PIX_H_MOD = 17
+PNG_PIX_A = 7919
+PNG_PIX_B = 104729
+PNG_PIX_C = 1299721
+
+
+def _build_png_pixel_codecs():
+    """Pure-stdlib PNG pixel codec (struct + zlib).
+
+    ``make_png_pixels`` writes a spec-valid 8-bit grayscale PNG whose
+    scanline ``y`` is encoded with filter type ``y % 5`` — all five
+    standard filters (None/Sub/Up/Average/Paeth) appear in every payload
+    taller than 4 rows, so decode cannot shortcut filter reversal.
+    ``decode_png_pixel_stats`` is a REAL pixel decoder: CRC-checks every
+    chunk, concatenates multi-chunk IDAT, inflates with zlib, reverses
+    the per-scanline filters, and aggregates pixel stats from the
+    reconstructed bytes. Any structural defect (bad magic, CRC mismatch,
+    truncated chunk, wrong inflated length, unsupported color type)
+    returns None — row-level tolerance, never a batch error.
+    """
+    import struct
+    import zlib
+
+    png_magic = b"\x89PNG\r\n\x1a\n"
+
+    def _chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    def make_png_pixels(rows: list[bytes], split_idat: bool = False) -> bytes:
+        h = len(rows)
+        w = len(rows[0]) if rows else 0
+        out = bytearray()
+        prev = bytes(w)
+        for y, row in enumerate(rows):
+            ft = y % 5
+            out.append(ft)
+            if ft == 0:
+                filt = bytes(row)
+            elif ft == 1:  # Sub
+                filt = bytes((row[x] - (row[x - 1] if x else 0)) & 0xFF
+                             for x in range(w))
+            elif ft == 2:  # Up
+                filt = bytes((row[x] - prev[x]) & 0xFF for x in range(w))
+            elif ft == 3:  # Average
+                filt = bytes(
+                    (row[x] - (((row[x - 1] if x else 0) + prev[x]) >> 1)) & 0xFF
+                    for x in range(w))
+            else:  # Paeth
+                filt = bytes(
+                    (row[x] - _paeth(row[x - 1] if x else 0, prev[x],
+                                     prev[x - 1] if x else 0)) & 0xFF
+                    for x in range(w))
+            out += filt
+            prev = bytes(row)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        comp = zlib.compress(bytes(out), 6)
+        if split_idat and len(comp) > 2:
+            mid = len(comp) // 2
+            idat = _chunk(b"IDAT", comp[:mid]) + _chunk(b"IDAT", comp[mid:])
+        else:
+            idat = _chunk(b"IDAT", comp)
+        return png_magic + _chunk(b"IHDR", ihdr) + idat + _chunk(b"IEND", b"")
+
+    def decode_png_pixel_stats(blob: bytes):
+        try:
+            if bytes(blob[:8]) != png_magic:
+                return None
+            i = 8
+            w = h = depth = ctype = None
+            idat = bytearray()
+            while i + 12 <= len(blob):
+                (ln,) = struct.unpack(">I", blob[i:i + 4])
+                typ = bytes(blob[i + 4:i + 8])
+                data = bytes(blob[i + 8:i + 8 + ln])
+                if len(data) != ln or i + 12 + ln > len(blob):
+                    return None
+                (crc,) = struct.unpack(">I", blob[i + 8 + ln:i + 12 + ln])
+                if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                    return None
+                if typ == b"IHDR":
+                    if len(data) < 10:
+                        return None
+                    w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
+                elif typ == b"IDAT":
+                    idat += data
+                elif typ == b"IEND":
+                    break
+                i += 12 + ln
+            if not w or not h or depth != 8 or ctype != 0:
+                return None
+            raw = zlib.decompress(bytes(idat))
+            if len(raw) != h * (w + 1):
+                return None
+            prev = bytes(w)
+            total = 0
+            mn, mx = 255, 0
+            for y in range(h):
+                ft = raw[y * (w + 1)]
+                line = raw[y * (w + 1) + 1:(y + 1) * (w + 1)]
+                cur = bytearray(w)
+                if ft == 0:
+                    cur[:] = line
+                elif ft == 1:
+                    acc = 0
+                    for x in range(w):
+                        acc = (line[x] + acc) & 0xFF
+                        cur[x] = acc
+                elif ft == 2:
+                    for x in range(w):
+                        cur[x] = (line[x] + prev[x]) & 0xFF
+                elif ft == 3:
+                    for x in range(w):
+                        cur[x] = (line[x]
+                                  + (((cur[x - 1] if x else 0) + prev[x]) >> 1)) & 0xFF
+                elif ft == 4:
+                    for x in range(w):
+                        cur[x] = (line[x]
+                                  + _paeth(cur[x - 1] if x else 0, prev[x],
+                                           prev[x - 1] if x else 0)) & 0xFF
+                else:
+                    return None
+                total += sum(cur)
+                mn = min(mn, min(cur))
+                mx = max(mx, max(cur))
+                prev = bytes(cur)
+            return (w, h, w * h, total, mn, mx)
+        except Exception:
+            return None
+
+    return make_png_pixels, decode_png_pixel_stats
+
+
+make_png_pixels, decode_png_pixel_stats = _build_png_pixel_codecs()
+
+
+def synthesize_png_pixel_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real filtered PNG byte stream with doc_id-derived pixels.
+
+    width = 8 + d % 24, height = 8 + d % 17, pixel (y, x) =
+    (d*7919 + y*104729 + x*1299721) % 256 — the formula is the ONLY
+    thing the oracle knows; the payload is genuine zlib-compressed,
+    filter-encoded PNG bytes. Docs with d % 3 == 0 split IDAT into two
+    chunks so the decoder's chunk concatenation is exercised.
+    """
+    mk = make_png_pixels
+    wb, wm, hb, hm = PNG_PIX_W_BASE, PNG_PIX_W_MOD, PNG_PIX_H_BASE, PNG_PIX_H_MOD
+    a, b, c = PNG_PIX_A, PNG_PIX_B, PNG_PIX_C
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                w, h = wb + d % wm, hb + d % hm
+                rows = [bytes((d * a + y * b + x * c) % 256 for x in range(w))
+                        for y in range(h)]
+                payloads.append(mk(rows, split_idat=(d % 3 == 0)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(_synth, "doc_id long, payload binary")
+
+
+def decode_png_pixels(df: DataFrame) -> DataFrame:
+    """REAL pixel decode: binary payload -> per-image pixel stats read
+    from the reconstructed scanlines (zlib inflate + filter reversal).
+
+    Corrupt payloads (bad CRC, truncation, wrong inflated size) yield a
+    row of NULL stats rather than erroring the batch (SURVEY §2 T7).
+    """
+    dec = decode_png_pixel_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("width", "height", "n_px", "pix_sum", "pix_min", "pix_max")}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 6
+                for k, v in zip(cols, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "n_px": pd.array(cols["n_px"], dtype="Int32"),
+                "pix_sum": pd.array(cols["pix_sum"], dtype="Int64"),
+                "pix_min": pd.array(cols["pix_min"], dtype="Int32"),
+                "pix_max": pd.array(cols["pix_max"], dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, PNG_PIXELS_SCHEMA)
+
+
+def multimodal_decode_png_pixels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG PIXEL decode end-to-end: synthesize genuine
+    filter-encoded zlib IDAT payloads, then reconstruct the pixels back
+    OUT OF THE BYTES (inflate + per-scanline filter reversal, all five
+    standard filters) and aggregate stats. The oracle recomputes the
+    stats from the doc_id pixel formula alone, so a green row proves the
+    full encode -> Arrow round-trip -> inflate -> unfilter -> aggregate
+    pipeline — the step beyond ``multimodal_decode_png``'s header-only
+    parse."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_png_pixels(synthesize_png_pixel_payloads(docs))
+
+
+_MULTIMODAL_PNG_PIXELS_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST({PNG_PIX_W_BASE} + abs(doc_id) % {PNG_PIX_W_MOD} AS INT) AS width,
+    CAST({PNG_PIX_H_BASE} + abs(doc_id) % {PNG_PIX_H_MOD} AS INT) AS height
+  FROM documents
+), px AS (
+  SELECT doc_id, width, height,
+    list_transform(range(0, width * height),
+      i -> (d * {PNG_PIX_A} + (i // width) * {PNG_PIX_B}
+            + (i % width) * {PNG_PIX_C}) % 256) AS vals
+  FROM p
+)
+SELECT doc_id, width, height, CAST(width * height AS INT) AS n_px,
+  CAST(list_sum(vals) AS BIGINT) AS pix_sum,
+  CAST(list_min(vals) AS INT) AS pix_min,
+  CAST(list_max(vals) AS INT) AS pix_max
+FROM px
+"""
+
+register(QuerySpec("multimodal_decode_png_pixels",
+                   multimodal_decode_png_pixels_query,
+                   _MULTIMODAL_PNG_PIXELS_SQL,
+                   description="real PNG pixel decode: zlib IDAT inflate + "
+                               "all-5-filter scanline reversal, stats from "
+                               "reconstructed pixels"))

@@ -453,3 +453,170 @@ register(QuerySpec(
     "prep_pipeline", prep_pipeline_query, _prep_pipeline_sql(),
     description="clean -> source quota -> exact dedup -> balanced shards, "
                 "one declarative plan (3 bounded shuffles)"))
+
+
+# --- prep_pipeline_full: corpus -> training shards, end to end ------------------
+
+PIPE_PACK_CAPACITY = 512   # tokens per packed training sequence
+PIPE_PACK_BLOCK = 512      # phase-1 prefix-sum block (pure scale knob)
+PIPE_FULL_SHARDS = 4
+PIPE_SHUFFLE_SEED = "epoch0"
+
+
+def prep_pipeline_full(docs: DataFrame, *, cap: int,
+                       n_shards: int, pack_capacity: int,
+                       pack_block: int, seed: str,
+                       bin_width: int | None = None,
+                       checkpoint: bool = True) -> DataFrame:
+    """The whole corpus-to-training-shards job as ONE declarative plan:
+    clean -> source quota -> exact dedup -> sequence packing -> token-
+    balanced shards -> seeded in-shard shuffle order.
+
+    Output is chunk-level: (ck, n_tokens, global_rank, shard, pos) where
+    ``ck`` is the portable 60-bit hash of (source, chunk_id) — the
+    training artifact: which packed sequence goes to which shard file,
+    in which deterministic pseudo-random read order.
+
+    Corpus-scale shuffles (each bounded, none global, none quadratic):
+    quota window on source; dedup groupBy on content hash; packing
+    phase-1 window on (source, block); chunk aggregation on
+    (source, chunk_id); shard bin window; in-shard pos window. The
+    packing offsets, bin histogram and bin offsets are tiny relations
+    (≤ MAX_OFFSET_ROWS / MAX_BINS rows by construction) handled with
+    broadcast joins / one single-partition window over the histogram.
+
+    ``checkpoint=False`` keeps the full lineage in one logical plan
+    (used by the plan-regression test to count exchanges across the
+    whole chain); production leaves it True so the narrow sized
+    relation materializes once.
+    """
+    cleaned = clean_documents(docs, keep_cols=("source",))
+    capped = source_quota_sample(cleaned, cap=cap,
+                                 order_col="n_content_tokens")
+    hashed = capped.withColumn("content_hash", md5_long(F.col("content_text")))
+    keep = (hashed.groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.min_by("source", "doc_id").alias("source"),
+                 F.min_by("n_content_tokens", "doc_id").alias("n_tokens")))
+    sized = keep.select(
+        "doc_id", "source",
+        F.expr(f"doc_id DIV {pack_block}").alias("block"), "n_tokens")
+    if checkpoint:
+        sized = sized.localCheckpoint()
+    # packing: two-phase prefix sum (q59 discipline — parallel width ∝
+    # blocks, per-source offsets over the tiny per-block relation)
+    wb = (Window.partitionBy("source", "block").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = sized.withColumn(
+        "local_before", F.sum("n_tokens").over(wb) - F.col("n_tokens"))
+    wo = (Window.partitionBy("source").orderBy("block")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (sized.groupBy("source", "block")
+               .agg(F.sum("n_tokens").alias("block_total"))
+               .select("source", "block",
+                       F.coalesce(F.sum("block_total").over(wo), F.lit(0))
+                       .alias("block_offset")))
+    chunked = (local.join(F.broadcast(offsets), ["source", "block"])
+               .select("source", "n_tokens",
+                       F.floor((F.col("block_offset") + F.col("local_before"))
+                               / pack_capacity).alias("chunk_id")))
+    chunks = (chunked.groupBy("source", "chunk_id")
+              .agg(F.sum("n_tokens").alias("chunk_tokens")))
+    ck_rel = chunks.select(
+        md5_long(F.concat_ws(":", "source",
+                             F.col("chunk_id").cast("string"))).alias("ck"),
+        "chunk_tokens")
+    shards = token_balanced_shards(
+        ck_rel, n_shards=n_shards, id_col="ck",
+        n_tokens_col="chunk_tokens", bin_width=bin_width)
+    # seeded training order WITHIN each balanced shard (global_shuffle's
+    # shard-parallel window discipline, keyed on the balanced shard)
+    k = md5_long(F.col("ck").cast("string"), seed=f"{seed}:")
+    wp = Window.partitionBy("shard").orderBy("k", "ck")
+    return (shards.withColumn("k", k)
+            .withColumn("pos", F.row_number().over(wp).cast("bigint"))
+            .select("ck", "n_tokens", "global_rank", "shard", "pos"))
+
+
+def prep_pipeline_full_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return prep_pipeline_full(
+        docs, cap=PIPE_CAP, n_shards=PIPE_FULL_SHARDS,
+        pack_capacity=PIPE_PACK_CAPACITY, pack_block=PIPE_PACK_BLOCK,
+        seed=PIPE_SHUFFLE_SEED)
+
+
+def _prep_pipeline_full_sql() -> str:
+    stop_list = "['" + "','".join(STOPWORDS) + "']"
+    ck_expr = md5_long_sql("source || ':' || CAST(chunk_id AS VARCHAR)")
+    k_expr = md5_long_sql("CAST(ck AS VARCHAR)", seed=f"{PIPE_SHUFFLE_SEED}:")
+    return rf"""
+WITH red AS (
+  SELECT doc_id, source,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+              'https?://[^ ]+', '<URL>', 'g'),
+            '[0-9]{{1,3}}[.][0-9]{{1,3}}[.][0-9]{{1,3}}[.][0-9]{{1,3}}', '<IP>', 'g'),
+          '[0-9]{{4}}[- ][0-9]{{4}}[- ][0-9]{{4}}[- ][0-9]{{4}}', '<CC>', 'g'),
+        '([+][0-9]{{1,2}}[-. ])?[(]?[0-9]{{3}}[)]?[-. ][0-9]{{3}}[-. ][0-9]{{4}}', '<PHONE>', 'g'),
+      '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean_text
+  FROM documents),
+kept AS (
+  SELECT doc_id, source,
+    list_filter(
+      list_filter(string_split(clean_text, ' '), x -> x <> ''),
+      x -> NOT list_contains({stop_list}, x)) AS ks
+  FROM red),
+cleaned AS (
+  SELECT doc_id, source,
+    coalesce(array_to_string(ks, ' '), '') AS content_text,
+    CAST(len(ks) AS BIGINT) AS n_content_tokens
+  FROM kept),
+capped AS (
+  SELECT doc_id, source, content_text, n_content_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+      ORDER BY n_content_tokens DESC, doc_id) AS rk
+    FROM cleaned)
+  WHERE rk <= {PIPE_CAP}),
+dedup AS (
+  SELECT MIN(doc_id) AS doc_id,
+    MIN_BY(source, doc_id) AS source,
+    coalesce(MIN_BY(n_content_tokens, doc_id), 0) AS n_tokens
+  FROM capped
+  GROUP BY {md5_long_sql('content_text')}),
+chunked AS (
+  SELECT source, n_tokens,
+    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) / {PIPE_PACK_CAPACITY}) AS BIGINT) AS chunk_id
+  FROM dedup),
+chunks AS (
+  SELECT source, chunk_id, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+  FROM chunked GROUP BY source, chunk_id),
+ckrel AS (
+  SELECT {ck_expr} AS ck, chunk_tokens AS n_tokens FROM chunks),
+ranked AS (
+  SELECT ck, n_tokens,
+    row_number() OVER (ORDER BY n_tokens DESC, ck) AS global_rank
+  FROM ckrel),
+sharded AS (
+  SELECT ck, n_tokens, global_rank,
+    CAST((global_rank - 1) % {PIPE_FULL_SHARDS} AS BIGINT) AS shard
+  FROM ranked)
+SELECT ck, n_tokens, global_rank, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY {k_expr}, ck)
+       AS BIGINT) AS pos
+FROM sharded
+"""
+
+
+register(QuerySpec(
+    "prep_pipeline_full", prep_pipeline_full_query, _prep_pipeline_full_sql(),
+    description="corpus -> training shards end to end: clean -> quota -> "
+                "exact dedup -> sequence packing -> token-balanced shards "
+                "-> seeded in-shard order, one declarative plan"))

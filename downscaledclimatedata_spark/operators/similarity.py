@@ -771,15 +771,16 @@ def ivf_topk_refined(emb: DataFrame, id_col: str = "vec_id",
             .select("query_id", "match_id", "cosine", "rnk"))
 
 
-def similarity_ivf_refined_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_refined_recall(spark: SparkSession, sf_dir: str,
+                        **ivf_kwargs) -> DataFrame:
     """Recall gate for the refined-IVF path: per query, how many of the
     exact brute-force top-k survive in the refined-IVF top-k. The entire
-    pipeline (2 Lloyd's rounds -> inverted lists -> list-local search ->
+    pipeline (Lloyd's rounds -> inverted lists -> list-local search ->
     set overlap vs ground truth) is mirrored in the oracle, so a green
     row certifies the refinement math end-to-end, not just row counts."""
     emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
     truth = cosine_topk_quantized(emb).select("query_id", "match_id")
-    approx = (ivf_topk_refined(emb)
+    approx = (ivf_topk_refined(emb, **ivf_kwargs)
               .select("query_id", "match_id", F.lit(1).alias("hit")))
     joined = truth.join(approx, ["query_id", "match_id"], "left")
     return (joined.groupBy("query_id")
@@ -788,6 +789,29 @@ def similarity_ivf_refined_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.count("hit").cast("double") / F.count("*").cast("double"))
                  .alias("recall"))
             .orderBy("query_id"))
+
+
+def similarity_ivf_refined_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_refined_recall(spark, sf_dir)
+
+
+K256_CENTROID_MOD = 7
+K256_CENTROIDS = 256
+K256_NPROBE = 4
+K256_ITERS = 1
+
+
+def similarity_ivf_k256_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-list-count IVF path (n_centroids=256, nprobe=4) as
+    a parity-checked spec, not just a unit gate: centroid_mod=7 keeps
+    the deterministic codebook sample inside small corpora (the sample
+    shrinks with the corpus — both engines agree by construction), and
+    nprobe=4 exercises the multi-list probe ranking the nprobe=1 spec
+    never touches."""
+    return _ivf_refined_recall(spark, sf_dir,
+                               centroid_mod=K256_CENTROID_MOD,
+                               n_centroids=K256_CENTROIDS,
+                               n_iter=K256_ITERS, nprobe=K256_NPROBE)
 
 
 def _lloyd_iteration_sql(i: int, dim1: int, *, key: str | None,
@@ -826,9 +850,12 @@ def _lloyd_iteration_sql(i: int, dim1: int, *, key: str | None,
 )"""
 
 
-def _refined_ivf_sql() -> str:
+def _refined_ivf_sql(centroid_mod: int = CENTROID_MOD,
+                     n_centroids: int = N_CENTROIDS,
+                     nprobe: int = 1,
+                     n_iter: int = KMEANS_SEARCH_ITERS) -> str:
     dim1 = DIM + 1
-    n = KMEANS_SEARCH_ITERS
+    n = n_iter
     iters = ",\n".join(_lloyd_iteration_sql(i, dim1, key=None, vec="qv")
                        for i in range(n))
     return f"""
@@ -841,7 +868,7 @@ based AS (
   FROM q
 ), cents0 AS (
   SELECT vec_id AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
-  FROM q WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, N_CENTROIDS)}
+  FROM q WHERE {_fixed_sample_sql('vec_id', centroid_mod, n_centroids)}
 ),
 {iters},
 cwf AS (
@@ -858,12 +885,16 @@ cwf AS (
     CAST(list_sum(list_transform(range(1, {dim1}), j -> qv[j] * qv[j])) AS DOUBLE) AS n2
   FROM af WHERE rn = 1
     AND list_sum(list_transform(range(1, {dim1}), j -> qv[j] * qv[j])) > 0
+), probes AS (
+  SELECT vec_id, cid FROM af
+  WHERE rn <= {nprobe} AND {_fixed_sample_sql('vec_id', QUERY_MOD, N_QUERIES)}
 ), ivf_scored AS (
   SELECT qs.vec_id AS query_id, c.vec_id AS match_id,
     CAST(list_sum(list_transform(range(1, {dim1}), j -> qs.qv[j] * c.qv[j])) AS DOUBLE)
       / (sqrt(qs.n2) * sqrt(c.n2)) AS cosine
-  FROM nz qs JOIN nz c ON c.cid = qs.cid AND c.vec_id <> qs.vec_id
-  WHERE {_fixed_sample_sql('qs.vec_id', QUERY_MOD, N_QUERIES)}
+  FROM probes p
+  JOIN nz qs ON qs.vec_id = p.vec_id
+  JOIN nz c ON c.cid = p.cid AND c.vec_id <> p.vec_id
 ), ivf AS (
   SELECT query_id, match_id FROM (
     SELECT query_id, match_id,
@@ -898,6 +929,12 @@ GROUP BY bf.query_id ORDER BY bf.query_id
 register(QuerySpec("similarity_ivf_refined", similarity_ivf_refined_query,
                    _refined_ivf_sql(),
                    description=f"IVF search against a {KMEANS_SEARCH_ITERS}-round Lloyd's-refined codebook, recall@k vs exact top-k"))
+register(QuerySpec("similarity_ivf_k256", similarity_ivf_k256_query,
+                   _refined_ivf_sql(centroid_mod=K256_CENTROID_MOD,
+                                    n_centroids=K256_CENTROIDS,
+                                    nprobe=K256_NPROBE, n_iter=K256_ITERS),
+                   description="production-list-count IVF (256 lists, "
+                               "nprobe=4) recall@k vs exact top-k"))
 
 
 # --- label centroids: the codebook-building aggregate ---------------------------

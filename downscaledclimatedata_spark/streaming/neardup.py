@@ -33,8 +33,12 @@ from pyspark.sql import types as T
 from downscaledclimatedata_spark.operators.dedup import (
     LSH_BAND_SIZE,
     MINHASH_PERMS,
+    SIMHASH_BITS,
+    SIMHASH_BLOCKS,
+    SIMHASH_HAM_MAX,
     _banded,
     minhash_signatures,
+    simhash,
 )
 
 DOCS_SCHEMA = T.StructType([
@@ -79,6 +83,78 @@ def batch_neardup_candidates(batch: DataFrame, index: DataFrame | None,
     return candidates, bands
 
 
+# --- multi-signal index: minhash bands + simhash blocks -----------------------
+#
+# The generalized bucket index carries BOTH near-dup signals in one
+# append-only relation (signal, k1, k2, doc_id, fp): minhash rows are
+# (band_id, band_hash) buckets with NULL fp; simhash rows are
+# (block_index, block_value) buckets carrying the doc's full 60-bit
+# fingerprint so cross-batch candidates can be hamming-VERIFIED exactly
+# (the batch twin's bit_count(xor) <= 3), not just bucket-matched.
+# Doc-in-doc containment is NOT streamed: its candidate generation needs
+# per-shingle document frequencies over the whole corpus, which an
+# append-only bucket index cannot maintain incrementally — run the batch
+# ``containment_pairs`` over the accumulated corpus instead.
+
+def batch_multi_signal_entries(batch: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """(signal, k1, k2, doc_id, fp) bucket entries for one batch — the
+    SAME minhash banding and Manku block construction as the batch
+    operators, one code path."""
+    sigs = minhash_signatures(batch, text_col, id_col)
+    bands = _banded(sigs, id_col, MINHASH_PERMS, LSH_BAND_SIZE).select(
+        F.lit("minhash").alias("signal"),
+        F.col("band_id").cast("int").alias("k1"),
+        F.col("band_hash").cast("long").alias("k2"),
+        F.col(id_col).alias("doc_id"),
+        F.lit(None).cast("long").alias("fp"))
+    bits_per = SIMHASH_BITS // SIMHASH_BLOCKS
+    mask = (1 << bits_per) - 1
+    fps = simhash(batch, text_col, id_col)
+    blocks = fps.select(
+        F.col(id_col).alias("doc_id"), "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("k1"),
+                F.shiftright(F.col("simhash"), bits_per * b)
+                .bitwiseAND(F.lit(mask)).cast("long").alias("k2"))
+            for b in range(SIMHASH_BLOCKS)])).alias("bv"),
+    ).select(F.lit("simhash").alias("signal"),
+             F.col("bv.k1").cast("int").alias("k1"),
+             F.col("bv.k2").alias("k2"),
+             "doc_id",
+             F.col("simhash").alias("fp"))
+    return bands.unionByName(blocks)
+
+
+def batch_multi_signal_candidates(batch: DataFrame, index: DataFrame | None,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """(candidates, new_entries) for one batch against the multi-signal
+    index. Candidates are (new_id, match_id, signal): minhash rows are
+    LSH bucket matches (verify downstream, as in batch); simhash rows
+    are exact — hamming(new, indexed) <= 3 computed from the stored
+    fingerprints."""
+    entries = batch_multi_signal_entries(batch, text_col, id_col)
+    if index is None:
+        spark = batch.sparkSession
+        candidates = spark.createDataFrame(
+            [], "new_id long, match_id long, signal string")
+    else:
+        candidates = (entries.alias("n")
+                      .join(index.alias("e"), ["signal", "k1", "k2"])
+                      .filter(F.col(f"n.doc_id") != F.col(f"e.doc_id"))
+                      .filter((F.col("signal") != "simhash")
+                              | (F.bit_count(F.col("n.fp")
+                                             .bitwiseXOR(F.col("e.fp")))
+                                 <= SIMHASH_HAM_MAX))
+                      .select(F.col("n.doc_id").alias("new_id"),
+                              F.col("e.doc_id").alias("match_id"),
+                              "signal")
+                      .distinct())
+    return candidates, entries
+
+
 _COMPACT_TMP_SUFFIX = "__compacting"
 
 
@@ -111,7 +187,8 @@ def _load_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
 
 
 def compact_index(spark: SparkSession, index_dir: str,
-                  target_bytes: int | None = None) -> None:
+                  target_bytes: int | None = None,
+                  sort_cols: list[str] | None = None) -> None:
     """Rewrite the append-only band index into few band_hash-sorted files.
 
     The foreachBatch append adds one small file per micro-batch forever;
@@ -127,7 +204,7 @@ def compact_index(spark: SparkSession, index_dir: str,
     tmp = index_dir.rstrip("/") + _COMPACT_TMP_SUFFIX
     compact_parquet(spark, index_dir, tmp,
                     target_bytes=target_bytes or DEFAULT_TARGET_BYTES,
-                    sort_cols=["band_hash"])
+                    sort_cols=sort_cols or ["band_hash"])
     hp, fs = _fs_path(spark, index_dir)
     tmp_p, _ = _fs_path(spark, tmp)
     fs.delete(hp, True)
@@ -138,9 +215,16 @@ def start_neardup_stream(stream: DataFrame, index_dir: str,
                          report, checkpoint_dir: str,
                          text_col: str = "text", id_col: str = "doc_id",
                          available_now: bool = True,
-                         compact_every: int | None = 16):
-    """foreachBatch sink maintaining the band index and reporting
+                         compact_every: int | None = 16,
+                         candidate_builder=batch_neardup_candidates,
+                         compact_sort: list[str] | None = None):
+    """foreachBatch sink maintaining the bucket index and reporting
     candidates per micro-batch via ``report(candidates_df, epoch_id)``.
+
+    ``candidate_builder`` selects the index flavor: the default
+    minhash-band builder, or ``batch_multi_signal_candidates`` for the
+    band + simhash-block index (pass ``compact_sort=["signal", "k2"]``
+    so compaction sorts on that schema's join key).
 
     ``available_now=True`` drains the backlog then stops (catch-up mode);
     pass False for a continuous trigger. Every ``compact_every`` epochs
@@ -151,14 +235,14 @@ def start_neardup_stream(stream: DataFrame, index_dir: str,
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         index = _load_index(spark, index_dir)
-        candidates, bands = batch_neardup_candidates(
+        candidates, entries = candidate_builder(
             batch_df, index, text_col, id_col)
         # report BEFORE appending so a doc never matches itself via its
         # own just-written bands
         report(candidates, epoch_id)
-        bands.write.mode("append").parquet(index_dir)
+        entries.write.mode("append").parquet(index_dir)
         if compact_every and (epoch_id + 1) % compact_every == 0:
-            compact_index(spark, index_dir)
+            compact_index(spark, index_dir, sort_cols=compact_sort)
 
     writer = (stream.writeStream.foreachBatch(process)
               .option("checkpointLocation", checkpoint_dir))

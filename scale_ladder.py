@@ -64,7 +64,7 @@ SF10_TABLES = ("events", "documents", "embeddings")
 SF10_TARGETS = (
     "q09_user_event_running", "text_top_terms", "dedup_repeated_spans",
     "dedup_ngram_jaccard", "prep_text_clean", "q55_corpus_prep",
-    "similarity_ivfpq_topk",
+    "similarity_ivfpq_topk", "similarity_ivf_k256",
 )
 
 # copy-specific text perturbation with period 260: vowel rotation keyed

@@ -170,3 +170,40 @@ def test_simhash_pairs_no_double_checkpoint(spark, monkeypatch):
     rows = simhash_pairs(docs, "text", "doc_id", fingerprints=fp).collect()
     assert not calls, "pre-materialized fingerprints were re-checkpointed"
     assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+
+
+def test_multi_signal_clusters_merge_evidence_across_generators(spark):
+    """A doc-in-doc cluster visible ONLY to containment and a
+    near-identical cluster visible to minhash+simhash both appear in one
+    multi-signal clustering, each labeled with its contributing signals."""
+    from downscaledclimatedata_spark.operators.dedup import (
+        multi_signal_clusters,
+        multi_signal_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(80))
+    near_a = " ".join(f"token{i} filler{i} word{i}" for i in range(60))
+    near_b = near_a.replace("token7", "token7x")
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote + " " + filler),
+            (3, near_a),
+            (4, near_b),
+            (5, " ".join(f"zzz{i} qqq{i} vvv{i}" for i in range(60))),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = multi_signal_pairs(docs, "text", "doc_id",
+                               containment_threshold=0.9)
+    clusters = {r.comp: r for r in multi_signal_clusters(pairs).collect()}
+    assert set(clusters) == {1, 3}
+    # doc-in-doc: containment evidence ONLY — jaccard/simhash blind here
+    assert clusters[1].cluster_size == 2
+    assert clusters[1].signals == "containment"
+    # near-identical: jaccard + simhash evidence (containment may also
+    # fire — near-identical docs contain each other)
+    assert clusters[3].cluster_size == 2
+    assert "minhash_jaccard" in clusters[3].signals
+    assert "simhash" in clusters[3].signals

@@ -150,3 +150,54 @@ def test_similarity_query_set_is_bounded(spark):
     bound = str(QUERY_MOD * N_QUERIES)
     assert bound in plan, f"expected bounded query filter (< {bound}) in plan"
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_prep_pipeline_full_shuffle_budget(spark):
+    """The end-to-end corpus->training-shards plan (checkpoint=False so
+    the WHOLE lineage is one logical plan) must stay within its shuffle
+    budget: six corpus-scale exchanges (quota window, dedup hash agg,
+    packing phase-1 window, chunk agg, shard bin window, in-shard pos
+    window) plus the tiny histogram/offset exchanges — and the offset
+    relations must come back via broadcast, never a shuffled join. The
+    only single-partition exchanges allowed are over the tiny per-bin
+    histogram/offset relations."""
+    from downscaledclimatedata_spark.operators.prep import (
+        PIPE_CAP,
+        PIPE_FULL_SHARDS,
+        PIPE_PACK_BLOCK,
+        PIPE_PACK_CAPACITY,
+        PIPE_SHUFFLE_SEED,
+        prep_pipeline_full,
+    )
+    from downscaledclimatedata_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    df = prep_pipeline_full(
+        docs, cap=PIPE_CAP, n_shards=PIPE_FULL_SHARDS,
+        pack_capacity=PIPE_PACK_CAPACITY, pack_block=PIPE_PACK_BLOCK,
+        seed=PIPE_SHUFFLE_SEED, bin_width=64, checkpoint=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # checkpoint=False duplicates the shared `sized`/`with_n` subtrees
+    # once per reference (Spark plans are trees, not DAGs), so RAW
+    # exchange counts overstate the work; production (checkpoint=True)
+    # materializes each shared relation once. The invariant to pin is
+    # the SET of shuffle keys: exactly the six designed corpus-scale
+    # partitionings plus one single-partition window over the tiny bin
+    # histogram — any new key means an unplanned shuffle crept in.
+    import re
+    args = re.findall(r"\(\d+\) Exchange\s*\nInput[^\n]*\nArguments: ([^\n]*)",
+                      plan)
+    keys = {re.sub(r"#\d+L?", "", a.split(", ENSURE_REQUIREMENTS")[0])
+            for a in args}
+    singles = {k for k in keys if k == "SinglePartition"}
+    hashed = {re.search(r"hashpartitioning\(([^)]*?), \d+\)", k).group(1)
+              for k in keys - singles}
+    assert hashed == {"source", "content_hash", "source, block",
+                      "source, chunk_id", "bin", "shard"}, \
+        f"unexpected shuffle keys {hashed}:\n{plan}"
+    assert len(singles) <= 1, f"unexpected global exchange:\n{plan}"
+    assert plan.count("BroadcastExchange") >= 2, plan  # both offset relations
+    assert "CartesianProduct" not in plan, plan

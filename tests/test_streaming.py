@@ -411,3 +411,58 @@ def test_streaming_prep_twin_equals_batch(spark, tmp_path):
                           str(tmp_path / "ckpt"))
     assert q.awaitTermination(120)
     assert all(not rows for rows in got.values()), f"re-emitted: {got}"
+
+
+def test_multi_signal_stream_simhash_cross_batch(spark, tmp_path):
+    """The multi-signal index: a batch-2 doc that is a tiny perturbation
+    of a batch-1 doc surfaces as BOTH a minhash candidate and a
+    hamming-verified simhash match; an unrelated doc matches nothing.
+    Replay idempotency comes from the same checkpoint mechanics as the
+    band-only stream."""
+    import os
+    from downscaledclimatedata_spark.streaming.neardup import (
+        DOCS_SCHEMA,
+        batch_multi_signal_candidates,
+        docs_stream,
+        start_neardup_stream,
+    )
+
+    base = " ".join(f"token{i} filler{i} word{i}" for i in range(60))
+    near = base.replace("token7", "token7x")
+    other = " ".join(f"zzz{i} qqq{i} vvv{i}" for i in range(60))
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir, exist_ok=True)
+    spark.createDataFrame([(1, base, "en", "web", len(base))],
+                          DOCS_SCHEMA).toPandas().to_parquet(
+        docs_dir + "/b0.parquet", index=False)
+    spark.createDataFrame(
+        [(2, near, "en", "web", len(near)),
+         (3, other, "en", "web", len(other))],
+        DOCS_SCHEMA).toPandas().to_parquet(docs_dir + "/b1.parquet", index=False)
+
+    seen: dict[int, set] = {}
+
+    def report(cands, epoch_id):
+        seen[epoch_id] = {(r.new_id, r.match_id, r.signal)
+                          for r in cands.collect()}
+
+    index_dir, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+    q = start_neardup_stream(
+        docs_stream(spark, docs_dir), index_dir, report, ckpt,
+        candidate_builder=batch_multi_signal_candidates,
+        compact_sort=["signal", "k2"], compact_every=2)
+    q.awaitTermination(240)
+
+    assert len(seen) == 2, seen
+    assert seen[0] == set()          # nothing indexed yet
+    assert (2, 1, "simhash") in seen[1], seen[1]
+    assert (2, 1, "minhash") in seen[1], seen[1]
+    assert not any(pair[0] == 3 for pair in seen[1]), seen[1]
+
+    # the index carries both signals, compacted on the new sort key
+    idx = spark.read.parquet(index_dir)
+    kinds = {r.signal for r in idx.select("signal").distinct().collect()}
+    assert kinds == {"minhash", "simhash"}
+    # simhash rows store the full fingerprint (needed for verification)
+    assert idx.filter("signal = 'simhash' AND fp IS NULL").count() == 0
+    assert idx.filter("signal = 'minhash' AND fp IS NOT NULL").count() == 0
