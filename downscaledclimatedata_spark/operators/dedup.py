@@ -1188,3 +1188,107 @@ register(QuerySpec("dedup_multi_signal_clusters",
                    description="near-dup components over the union of "
                                "minhash-jaccard, simhash and containment "
                                "evidence, per-cluster signal provenance"))
+
+
+# --- paragraph-level exact dedup (block dedup with reassembly) ------------------
+
+PARA_BLOCK = 3  # tokens per block; 3 makes the synthetic corpus's blocks
+                # actually collide (the RefinedWeb/Dolma paragraph-dedup
+                # shape — real corpora split on blank lines instead)
+
+
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    block: int = PARA_BLOCK) -> DataFrame:
+    """Remove globally-duplicated paragraphs, keeping first occurrences,
+    and reassemble each document from its surviving paragraphs.
+
+    The corpus-level paragraph dedup of RefinedWeb/Dolma: a paragraph
+    that appears in many documents (boilerplate, license headers,
+    navigation chrome) is kept only at its first occurrence — ordered by
+    (doc_id, position) — and dropped everywhere else. The synthetic
+    corpus has no newlines, so "paragraph" here is a non-overlapping
+    ``block``-token window; the operator is agnostic to how the split
+    column is produced.
+
+    Scale: dedup keys are 60-bit md5 hashes of paragraph text, so the
+    winner-election shuffle moves (hash, doc_id, idx, text) — text must
+    travel anyway for reassembly, and the hash keys the partitioning
+    uniformly (no skew from popular paragraphs beyond their own
+    occurrence count). Two shuffles total: winner election (window on
+    hash, first-occurrence via row_number) and per-document reassembly
+    (groupBy doc_id) — each moving ~corpus bytes once, the floor for any
+    rewrite-the-corpus operator. 60-bit keys collide at ~2^30 distinct
+    paragraphs (birthday); acceptable for dedup (a collision only drops
+    one extra paragraph).
+    """
+    from pyspark.sql import Window
+    toked = df.select(F.col(id_col),
+                      tokens(F.col(text_col)).alias("t"))
+    n = F.size("t")
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(block))) \
+        .otherwise(F.array().cast("array<int>"))
+    blocks = (toked.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("block_idx", "start"),
+        F.col("t"))
+        .select(F.col(id_col), "block_idx",
+                F.concat_ws(" ", F.slice(F.col("t"), F.col("start") + 1,
+                                         block)).alias("para")))
+    hashed = blocks.withColumn("ph", md5_long(F.col("para")))
+    w = Window.partitionBy("ph").orderBy(F.col(id_col), F.col("block_idx"))
+    kept = (hashed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    per_doc = hashed.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    kept_agg = (kept.groupBy(id_col)
+                .agg(F.count("*").alias("n_kept"),
+                     F.concat_ws(" ", F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("block_idx", "para"))),
+                         lambda s: s["para"])).alias("dedup_text")))
+    return (per_doc.join(kept_agg, id_col, "left")
+            .select(F.col(id_col),
+                    F.col("n_paras").cast("bigint").alias("n_paras"),
+                    F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint")
+                    .alias("n_kept"),
+                    F.coalesce(F.col("dedup_text"), F.lit(""))
+                    .alias("dedup_text")))
+
+
+def dedup_paragraph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return paragraph_dedup(docs)
+
+
+_DEDUP_PARA_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
+  FROM documents
+), blocks AS (
+  SELECT doc_id, CAST(s / {PARA_BLOCK} AS INT) AS block_idx,
+    array_to_string(t[s + 1 : s + {PARA_BLOCK}], ' ') AS para
+  FROM toks, LATERAL (SELECT UNNEST(range(0, len(t), {PARA_BLOCK})) AS s) z
+  WHERE len(t) > 0
+), hashed AS (
+  SELECT doc_id, block_idx, para, {md5_long_sql('para')} AS ph FROM blocks
+), kept AS (
+  SELECT doc_id, block_idx, para FROM hashed
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY ph ORDER BY doc_id, block_idx) = 1
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_paras FROM hashed GROUP BY doc_id
+), kept_agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+    string_agg(para, ' ' ORDER BY block_idx) AS dedup_text
+  FROM kept GROUP BY doc_id
+)
+SELECT p.doc_id, CAST(p.n_paras AS BIGINT) AS n_paras,
+  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+  coalesce(k.dedup_text, '') AS dedup_text
+FROM per_doc p LEFT JOIN kept_agg k USING (doc_id)
+"""
+
+register(QuerySpec(
+    "dedup_paragraph", dedup_paragraph_query, _DEDUP_PARA_SQL,
+    description=f"paragraph-level exact dedup ({PARA_BLOCK}-token blocks): "
+                "first occurrence wins globally, documents reassembled "
+                "from surviving paragraphs"))

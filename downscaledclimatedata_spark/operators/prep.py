@@ -620,3 +620,257 @@ register(QuerySpec(
     description="corpus -> training shards end to end: clean -> quota -> "
                 "exact dedup -> sequence packing -> token-balanced shards "
                 "-> seeded in-shard order, one declarative plan"))
+
+
+# --- Gopher-style quality-rule filter ------------------------------------------
+
+# Rule thresholds (Rae et al. 2021 "Scaling Language Models" C4/Gopher
+# filtering, adapted to the synthetic corpus's ranges so each rule
+# actually splits it). Every rule is a pure per-row Catalyst expression.
+QF_MIN_TOKENS = 15
+QF_MAX_TOKENS = 100_000
+QF_MIN_MEAN_WLEN = 4.0
+QF_MAX_MEAN_WLEN = 10.0
+QF_MAX_SYMBOL_RATIO = 0.1
+QF_MAX_TOP_TOKEN_RATIO = 0.12
+QF_MIN_STOPWORDS = 2
+_SYMBOL_RE = "[^a-z0-9 ]"
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style rule-chain filter: per-document boolean verdicts with
+    per-rule provenance (which rule failed), not just a score.
+
+    Rules: token-count bounds, mean-word-length bounds, symbol-character
+    ratio, most-frequent-token ratio (repetition), and minimum distinct
+    stopwords. Float rules divide exact integers (counts/lengths), so the
+    doubles are correctly rounded and bit-identical to the DuckDB oracle.
+
+    Scale: one narrow projection, no shuffle, no UDF — the rule chain is
+    entirely whole-stage-codegen'd. The top-token ratio is an O(u·n)
+    per-row array expression (u = distinct tokens per doc), which stays
+    embarrassingly parallel at any corpus size.
+    """
+    # NULL text is scored like the empty document (total function — a
+    # NULL would otherwise propagate NULL rule flags in both engines)
+    low = F.coalesce(F.lower(F.col(text_col)), F.lit(""))
+    t = F.filter(F.split(low, WS_RE), lambda x: x != "")
+    n = F.size(t)
+    nd = n.cast("double")
+    mean_wlen = F.when(
+        n > 0,
+        F.aggregate(t, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.length(x)).cast("double") / nd
+    ).otherwise(F.lit(0.0))
+    top_cnt = F.when(
+        n > 0,
+        F.array_max(F.transform(
+            F.array_distinct(t),
+            lambda x: F.size(F.filter(t, lambda y: y == x))))
+    ).otherwise(F.lit(0))
+    top_ratio = F.when(n > 0, top_cnt.cast("double") / nd).otherwise(F.lit(0.0))
+    sym_ratio = F.when(
+        F.length(low) > 0,
+        F.regexp_count(low, F.lit(_SYMBOL_RE)).cast("double")
+        / F.length(low).cast("double")
+    ).otherwise(F.lit(0.0))
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(t), F.array(*[F.lit(s) for s in STOPWORDS])))
+    rules = [
+        ("r_token_count", (n >= QF_MIN_TOKENS) & (n <= QF_MAX_TOKENS)),
+        ("r_mean_word_len", (mean_wlen >= QF_MIN_MEAN_WLEN)
+                            & (mean_wlen <= QF_MAX_MEAN_WLEN)),
+        ("r_symbol_ratio", sym_ratio <= QF_MAX_SYMBOL_RATIO),
+        ("r_top_token_ratio", top_ratio <= QF_MAX_TOP_TOKEN_RATIO),
+        ("r_stopwords", n_stop >= QF_MIN_STOPWORDS),
+    ]
+    n_failed = None
+    for _, cond in rules:
+        piece = F.when(cond, F.lit(0)).otherwise(F.lit(1))
+        n_failed = piece if n_failed is None else n_failed + piece
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        mean_wlen.alias("mean_word_len"),
+        top_ratio.alias("top_token_ratio"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        *[cond.alias(name) for name, cond in rules],
+        n_failed.cast("bigint").alias("n_failed"),
+        (n_failed == 0).alias("passes"),
+    )
+
+
+def prep_quality_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_filter(docs)
+
+
+_TOKS_QF_SQL = (r"list_filter(string_split_regex(lower(text),"
+                r" '[ \t\n\r\f\x0B]+'), x -> x <> '')")
+_STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+_PREP_QUALITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, coalesce(lower(text), '') AS low,
+    list_filter(string_split_regex(coalesce(lower(text), ''),
+                '[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '') AS t
+  FROM documents
+), meas AS (
+  SELECT doc_id, len(t) AS n,
+    CASE WHEN len(t) > 0 THEN
+      CAST(list_sum(list_transform(t, x -> CAST(len(x) AS BIGINT))) AS DOUBLE)
+        / CAST(len(t) AS DOUBLE)
+      ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(t) > 0 THEN
+      CAST(list_max(list_transform(list_distinct(t),
+        x -> len(list_filter(t, y -> y = x)))) AS DOUBLE)
+        / CAST(len(t) AS DOUBLE)
+      ELSE 0.0 END AS top_token_ratio,
+    CASE WHEN len(low) > 0 THEN
+      CAST(len(regexp_extract_all(low, '{_SYMBOL_RE}')) AS DOUBLE)
+        / CAST(len(low) AS DOUBLE)
+      ELSE 0.0 END AS sym_ratio,
+    len(list_intersect(list_distinct(t), {_STOPLIST_SQL})) AS n_stop
+  FROM toks
+), flagged AS (
+  SELECT doc_id, n, mean_word_len, top_token_ratio, n_stop,
+    (n >= {QF_MIN_TOKENS} AND n <= {QF_MAX_TOKENS}) AS r_token_count,
+    (mean_word_len >= {QF_MIN_MEAN_WLEN}
+     AND mean_word_len <= {QF_MAX_MEAN_WLEN}) AS r_mean_word_len,
+    (sym_ratio <= {QF_MAX_SYMBOL_RATIO}) AS r_symbol_ratio,
+    (top_token_ratio <= {QF_MAX_TOP_TOKEN_RATIO}) AS r_top_token_ratio,
+    (n_stop >= {QF_MIN_STOPWORDS}) AS r_stopwords
+  FROM meas
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, mean_word_len,
+  top_token_ratio, CAST(n_stop AS BIGINT) AS n_stopwords,
+  r_token_count, r_mean_word_len, r_symbol_ratio, r_top_token_ratio,
+  r_stopwords,
+  CAST((CASE WHEN r_token_count THEN 0 ELSE 1 END)
+     + (CASE WHEN r_mean_word_len THEN 0 ELSE 1 END)
+     + (CASE WHEN r_symbol_ratio THEN 0 ELSE 1 END)
+     + (CASE WHEN r_top_token_ratio THEN 0 ELSE 1 END)
+     + (CASE WHEN r_stopwords THEN 0 ELSE 1 END) AS BIGINT) AS n_failed,
+  ((CASE WHEN r_token_count THEN 0 ELSE 1 END)
+ + (CASE WHEN r_mean_word_len THEN 0 ELSE 1 END)
+ + (CASE WHEN r_symbol_ratio THEN 0 ELSE 1 END)
+ + (CASE WHEN r_top_token_ratio THEN 0 ELSE 1 END)
+ + (CASE WHEN r_stopwords THEN 0 ELSE 1 END)) = 0 AS passes
+FROM flagged
+"""
+
+register(QuerySpec(
+    "prep_quality_filter", prep_quality_filter_query, _PREP_QUALITY_SQL,
+    description="Gopher-style quality rule chain: token-count / mean-word-"
+                "length / symbol-ratio / top-token-ratio / stopword rules "
+                "with per-rule verdicts, one shuffle-free projection"))
+
+
+# --- temperature-based domain-mixture sampling ---------------------------------
+
+MIX_BUDGET_TOKENS = 50_000   # target token budget for the sampled mix
+MIX_ACCEPT_MOD = 1_000_000   # acceptance-hash resolution
+
+
+def domain_mixture_sample(df: DataFrame, budget_tokens: int,
+                          source_col: str = "source",
+                          text_col: str = "text", id_col: str = "doc_id",
+                          seed: str = "mix0") -> DataFrame:
+    """Temperature-weighted per-source sampling toward a token budget.
+
+    The data-mixture step of a training pipeline: given S sources with
+    token masses tok_s, draw a sample whose expected per-source token
+    mass is budget·w_s where w_s ∝ tok_s^α (temperature α = 1/2 —
+    up-weights small sources relative to proportional sampling, the
+    standard multilingual/multi-domain mix correction). The per-source
+    acceptance rate is min(1, budget·w_s / tok_s); acceptance is a
+    deterministic seeded 60-bit hash of (seed, id), so the sample is
+    reproducible and independent of partitioning.
+
+    Cross-engine exactness: α = 1/2 is computed as floor(sqrt(tok_s)) —
+    an exact integer in both engines (IEEE sqrt is correctly rounded;
+    pow() is not, which is why α is not a free parameter here). Rates
+    are ratios of exact <2^53 integer products, so the doubles are
+    bit-identical to the oracle.
+
+    Scale: one groupBy(source) over a narrow (source, n_tokens)
+    projection; the per-source rate relation is |S| rows, broadcast back
+    onto the corpus; acceptance is a per-row hash compare. Returns
+    per-source summary (rate + realized sample size/mass).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), WS_RE),
+                    lambda x: x != "")
+    base = df.select(
+        F.col(id_col), F.col(source_col).alias("source"),
+        F.coalesce(F.size(toks).cast("bigint"), F.lit(0)).alias("n_tokens"))
+    base = base.localCheckpoint()  # tokenize once: stats pass + accept pass
+    stats = (base.groupBy("source")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("n_tokens").alias("tok_s"))
+             .withColumn("w", F.floor(F.sqrt(F.col("tok_s").cast("double")))
+                         .cast("bigint")))
+    total = stats.agg(F.sum("w").alias("total_w"))
+    rates = (stats.crossJoin(F.broadcast(total))
+             .withColumn(
+                 "rate",
+                 F.least(F.lit(1.0),
+                         (F.lit(budget_tokens) * F.col("w")).cast("double")
+                         / (F.col("total_w") * F.col("tok_s")).cast("double")))
+             .select("source", "n_docs", "tok_s", "rate"))
+    accept = (md5_long(F.col(id_col).cast("string"), seed=f"{seed}:")
+              % MIX_ACCEPT_MOD)
+    sampled = (base.join(F.broadcast(rates.select("source", "rate")), "source")
+               .filter(accept.cast("double")
+                       < F.col("rate") * MIX_ACCEPT_MOD))
+    realized = (sampled.groupBy("source")
+                .agg(F.count("*").alias("n_sampled"),
+                     F.sum("n_tokens").alias("tok_sampled")))
+    return (rates.join(realized, "source", "left")
+            .select("source", "n_docs", "tok_s", "rate",
+                    F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint")
+                    .alias("n_sampled"),
+                    F.coalesce(F.col("tok_sampled"), F.lit(0)).cast("bigint")
+                    .alias("tok_sampled")))
+
+
+def prep_domain_mixture_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mixture_sample(docs, MIX_BUDGET_TOKENS)
+
+
+_PREP_MIXTURE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+    coalesce(len({_TOKS_QF_SQL}), 0) AS n_tokens
+  FROM documents
+), stats AS (
+  -- CAST: DuckDB SUM(INTEGER) is HUGEINT, which pandas renders float64
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tok_s,
+    CAST(floor(sqrt(CAST(SUM(n_tokens) AS DOUBLE))) AS BIGINT) AS w
+  FROM base GROUP BY source
+), rates AS (
+  SELECT source, n_docs, tok_s,
+    least(1.0, CAST({MIX_BUDGET_TOKENS} * w AS DOUBLE)
+               / CAST((SELECT SUM(w) FROM stats) * tok_s AS DOUBLE)) AS rate
+  FROM stats
+), sampled AS (
+  SELECT b.source, b.n_tokens
+  FROM base b JOIN rates r ON r.source = b.source
+  WHERE CAST({md5_long_sql("CAST(doc_id AS VARCHAR)", seed="mix0:")}
+             % {MIX_ACCEPT_MOD} AS DOUBLE) < r.rate * {MIX_ACCEPT_MOD}
+), realized AS (
+  SELECT source, COUNT(*) AS n_sampled, SUM(n_tokens) AS tok_sampled
+  FROM sampled GROUP BY source
+)
+SELECT r.source, r.n_docs, r.tok_s, r.rate,
+  CAST(coalesce(z.n_sampled, 0) AS BIGINT) AS n_sampled,
+  CAST(coalesce(z.tok_sampled, 0) AS BIGINT) AS tok_sampled
+FROM rates r LEFT JOIN realized z ON z.source = r.source
+"""
+
+register(QuerySpec(
+    "prep_domain_mixture", prep_domain_mixture_query, _PREP_MIXTURE_SQL,
+    description="temperature-1/2 domain-mixture sampling to a token "
+                "budget: exact integer-sqrt weights, seeded-hash "
+                "acceptance, broadcast per-source rates"))

@@ -1646,3 +1646,162 @@ register(QuerySpec("similarity_ivfpq_topk", similarity_ivfpq_query,
                    _ivfpq_sql(), headline=True,
                    description=f"IVF-PQ ANN: nprobe={NPROBE} coarse-list "
                                "pruning + compressed-domain ADC scoring"))
+
+
+# --- approximate kNN graph (all-vectors top-k neighbors) ------------------------
+
+KNN_K = 3
+
+
+def _assigned_corpus(emb: DataFrame, id_col: str, vec_col: str,
+                     centroid_mod: int = CENTROID_MOD,
+                     n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """(id, cid, qv, n2) for every nonzero-norm vector — the coarse-
+    partitioned corpus relation the graph/prune operators join on."""
+    assign = ivf_assign(emb, id_col, vec_col, centroid_mod, n_centroids)
+    return (emb.join(assign, id_col)
+            .select(F.col(id_col), F.col("cid"),
+                    quantize(F.col(vec_col)).alias("qv"),
+                    sq_norm(quantize(F.col(vec_col))).alias("n2"))
+            .filter(F.col("n2") > 0))
+
+
+def knn_graph(emb: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", k: int = KNN_K,
+              centroid_mod: int = CENTROID_MOD,
+              n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """Approximate k-nearest-neighbor graph over the WHOLE corpus.
+
+    Unlike the ``similarity_*_topk`` family (fixed broadcast query set),
+    every vector is a query: the building block for graph-based semantic
+    clustering, label propagation, and coverage/diversity analysis of a
+    training corpus. Candidates are restricted to each vector's own
+    coarse IVF cell, so the join is an equi-join on cid — per-cell work
+    is |cell|², never corpus²; with a √N̄-sized codebook (real builds:
+    10⁴-10⁵ lists) total work is N^1.5, and the shuffle moves each side
+    once, hash-partitioned on cid. Neither side is broadcast — both are
+    corpus-sized; this is the deliberate contrast with the query-set
+    operators. Top-k per vector is a row_number window keyed by the
+    query id (uniform, no skew).
+    """
+    from pyspark.sql import Window
+    base = _assigned_corpus(emb, id_col, vec_col, centroid_mod, n_centroids)
+    a = base.select(F.col(id_col).alias("src_id"), "cid",
+                    F.col("qv").alias("aq"), F.col("n2").alias("an2"))
+    b = base.select(F.col(id_col).alias("neighbor_id"), "cid",
+                    F.col("qv").alias("bq"), F.col("n2").alias("bn2"))
+    scored = (a.join(b, "cid")
+              .filter(F.col("src_id") != F.col("neighbor_id"))
+              .select("src_id", "neighbor_id",
+                      (int_dot(F.col("aq"), F.col("bq")).cast("double")
+                       / (F.sqrt(F.col("an2").cast("double"))
+                          * F.sqrt(F.col("bn2").cast("double"))))
+                      .alias("cosine")))
+    w = Window.partitionBy("src_id").orderBy(F.col("cosine").desc(),
+                                             F.col("neighbor_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(F.col("src_id").alias("vec_id"), "neighbor_id",
+                    "cosine", "rnk"))
+
+
+def similarity_knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return knn_graph(emb)
+
+
+_KNN_GRAPH_SQL = _coarse_sql_prefix(carry_n2=True, assigned="search") + f""", scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+  FROM assigned a JOIN assigned b
+    ON b.cid = a.cid AND b.vec_id <> a.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT vec_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {KNN_K}
+"""
+
+register(QuerySpec(
+    "similarity_knn_graph", similarity_knn_graph_query, _KNN_GRAPH_SQL,
+    description=f"approximate kNN graph (top-{KNN_K} per vector, every "
+                "vector a query): IVF-cell-restricted self-join on cid, "
+                "N^1.5 with a sqrt(N) codebook, no broadcast"))
+
+
+# --- SemDeDup-style semantic dedup (cluster-scoped embedding prune) -------------
+
+SEM_TAU = 0.35  # cosine threshold; synthetic corpus max pair cosine ≈ 0.51
+
+
+def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", tau: float = SEM_TAU,
+                   centroid_mod: int = CENTROID_MOD,
+                   n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop semantic near-duplicates inside
+    each embedding cluster, keeping the smallest id of every near-pair.
+
+    A vector is removed iff some SMALLER-id vector in its coarse cluster
+    has cosine ≥ tau with it — deterministic, order-free, and exactly
+    the keep-min rule the text near-dup family uses. Pair generation is
+    cluster-scoped (equi-join on cid): the O(n²) prune SemDeDup runs
+    within k-means clusters, never across the corpus. Returns the
+    per-cluster summary (n_vectors / n_removed / n_kept).
+
+    Scale: same join shape as :func:`knn_graph` — per-cell |cell|² with
+    a √N̄ codebook; the removed-set aggregation is a distinct on
+    (cid, id), shuffle-keyed by the uniform id.
+    """
+    base = _assigned_corpus(emb, id_col, vec_col, centroid_mod, n_centroids)
+    a = base.select(F.col(id_col).alias("id_a"), "cid",
+                    F.col("qv").alias("aq"), F.col("n2").alias("an2"))
+    b = base.select(F.col(id_col).alias("id_b"), "cid",
+                    F.col("qv").alias("bq"), F.col("n2").alias("bn2"))
+    pairs = (a.join(b, "cid")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine",
+                         int_dot(F.col("aq"), F.col("bq")).cast("double")
+                         / (F.sqrt(F.col("an2").cast("double"))
+                            * F.sqrt(F.col("bn2").cast("double"))))
+             .filter(F.col("cosine") >= tau))
+    removed = (pairs.select("cid", F.col("id_b").alias("rid")).distinct()
+               .groupBy("cid").agg(F.count("*").alias("n_removed")))
+    sizes = base.groupBy("cid").agg(F.count("*").alias("n_vectors"))
+    return (sizes.join(removed, "cid", "left")
+            .select("cid", "n_vectors",
+                    F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint")
+                    .alias("n_removed"),
+                    (F.col("n_vectors")
+                     - F.coalesce(F.col("n_removed"), F.lit(0)))
+                    .cast("bigint").alias("n_kept"))
+            .withColumn("n_vectors", F.col("n_vectors").cast("bigint")))
+
+
+def dedup_semantic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return semantic_dedup(emb)
+
+
+_DEDUP_SEMANTIC_SQL = _coarse_sql_prefix(carry_n2=True, assigned="search") + f""", pairs AS (
+  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON b.cid = a.cid AND a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      / (sqrt(a.n2) * sqrt(b.n2)) >= {SEM_TAU}
+), removed AS (
+  SELECT cid, COUNT(DISTINCT id_b) AS n_removed FROM pairs GROUP BY cid
+), sizes AS (
+  SELECT cid, COUNT(*) AS n_vectors FROM assigned GROUP BY cid
+)
+SELECT s.cid, CAST(s.n_vectors AS BIGINT) AS n_vectors,
+  CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+  CAST(s.n_vectors - coalesce(r.n_removed, 0) AS BIGINT) AS n_kept
+FROM sizes s LEFT JOIN removed r USING (cid)
+"""
+
+register(QuerySpec(
+    "dedup_semantic", dedup_semantic_query, _DEDUP_SEMANTIC_SQL,
+    description=f"SemDeDup semantic prune: cluster-scoped cosine≥{SEM_TAU} "
+                "pairs, keep-min-id rule, per-cluster removal summary"))

@@ -609,3 +609,122 @@ GROUP BY t.doc_id
 
 register(QuerySpec("text_vocab_encode", text_vocab_encode_query, _TEXT_VOCAB_SQL,
                    description=f"top-{VOCAB_N} vocabulary build + broadcast-join token encoding (n_tokens/n_oov/id-checksum per doc)"))
+
+
+# --- BM25 ranked retrieval over the corpus --------------------------------------
+
+BM25_TERMS = ("table", "merge", "vector")  # fixed query term set
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPN = 25
+
+
+def bm25_topk(df: DataFrame, text_col: str, id_col: str,
+              terms: tuple[str, ...] = BM25_TERMS,
+              k1: float = BM25_K1, b: float = BM25_B,
+              topn: int = BM25_TOPN) -> DataFrame:
+    """BM25 ranked retrieval for a fixed multi-term query.
+
+    Scoring uses the ratio idf variant (N - df + ½)/(df + ½) instead of
+    its logarithm: ln() is not required to be correctly rounded by IEEE
+    754 so Spark and DuckDB may differ in the last ulp, while +, ×, ÷,
+    on the exact integer inputs here are — the score is bit-identical
+    cross-engine (same discipline as top_terms/collocations above).
+    The per-term sum is written as a fixed left-associated expression,
+    not an aggregate, for the same reason.
+
+    Scale: per-document term frequencies are per-row array expressions
+    (no explode, no shuffle); the corpus statistics (N, Σdl, per-term
+    document frequencies) are ONE single-row aggregate broadcast back
+    via crossJoin; top-n is TakeOrderedAndProject (per-partition heads,
+    never a global sort). Two narrow passes over the corpus, zero wide
+    shuffles — the inverted-index-free scoring shape that works when the
+    query set is small and fixed; for large query workloads build the
+    (term, doc, tf) relation once instead.
+    """
+    toks = _tokens(F.col(text_col))
+
+    def _tf(term: str):  # closure: a 2-arg lambda would bind the array index
+        return F.size(F.filter(toks, lambda x: x == term)).cast("bigint")
+
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)])
+    base = base.localCheckpoint()  # tokenize once: stats pass + score pass
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+          for i in range(len(terms))])
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = ((F.col("n_docs") - F.col(f"df_{i}")).cast("double") + F.lit(0.5)) \
+            / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+        part = idf * ((tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm))
+        score = part if score is None else score + part
+    ranked = scored.select(
+        F.col(id_col), F.col("dl"),
+        *[F.col(f"tf_{i}").alias(f"tf_{t}") for i, t in enumerate(terms)],
+        score.alias("bm25"))
+    return ranked.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(topn)
+
+
+def text_bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from downscaledclimatedata_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "text", "doc_id")
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n    ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS))
+    df_cols = ",\n    ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_TERMS)))
+    k1p1 = BM25_K1 + 1.0
+    one_minus_b = 1.0 - BM25_B
+    parts = []
+    for i in range(len(BM25_TERMS)):
+        idf = (f"((CAST(n_docs - df_{i} AS DOUBLE) + 0.5)"
+               f" / (CAST(df_{i} AS DOUBLE) + 0.5))")
+        part = (f"{idf} * ((CAST(tf_{i} AS DOUBLE) * {k1p1})"
+                f" / (CAST(tf_{i} AS DOUBLE) + {BM25_K1} * "
+                f"({one_minus_b} + {BM25_B} * (CAST(dl AS DOUBLE)"
+                f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))")
+        parts.append(part)
+    # left-associated like the Spark expression: ((p0 + p1) + p2)
+    score = parts[0]
+    for p in parts[1:]:
+        score = f"({score} + {p})"
+    tf_out = ", ".join(f"tf_{i} AS tf_{t}" for i, t in enumerate(BM25_TERMS))
+    return f"""
+WITH toked AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+    {tf_cols}
+  FROM toked
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+    {df_cols}
+  FROM base
+)
+SELECT doc_id, dl, {tf_out},
+  {score} AS bm25
+FROM base CROSS JOIN stats
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOPN}
+"""
+
+
+register(QuerySpec(
+    "text_bm25_search", text_bm25_query, _bm25_sql(),
+    description=f"BM25 top-{BM25_TOPN} retrieval for a fixed "
+                f"{len(BM25_TERMS)}-term query: single-row stats "
+                "broadcast, per-row tf arrays, TakeOrderedAndProject "
+                "top-n — zero wide shuffles"))

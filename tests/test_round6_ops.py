@@ -1,0 +1,224 @@
+"""Unit tests for the round-6 operator family: quality rule-chain,
+domain-mixture sampling, paragraph dedup, BM25 retrieval, kNN graph and
+semantic (SemDeDup) prune.
+
+The registered specs are oracle-gated by the parity suites; these tests
+pin the semantics the synthetic corpus cannot exercise: each quality rule
+firing on crafted inputs, mixture up-weighting of small sources,
+first-occurrence-wins paragraph removal and reassembly, a hand-computed
+BM25 score, within-cell kNN vs brute force, and the keep-min prune rule.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from downscaledclimatedata_spark.operators.dedup import paragraph_dedup
+from downscaledclimatedata_spark.operators.prep import (
+    QF_MIN_TOKENS, domain_mixture_sample, quality_filter)
+from downscaledclimatedata_spark.operators.similarity import (
+    knn_graph, semantic_dedup)
+from downscaledclimatedata_spark.operators.textops import bm25_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long")
+
+
+# --- quality_filter -------------------------------------------------------------
+
+def test_quality_filter_each_rule_fires(spark):
+    # 40 tokens: 36 distinct 6+-char words + 2x"the" + 2x"of" ->
+    # top-token ratio 0.05, mean word len ~5.6, 2 distinct stopwords
+    long_ok = " ".join([f"wordy{i:02d}" for i in range(36)]
+                       + ["the", "the", "of", "of"])
+    rows = [
+        (1, long_ok, "s", 0),                        # passes everything
+        (2, "too short of a doc", "s", 0),           # < QF_MIN_TOKENS
+        (3, "a a " * 20 + "the end of it", "s", 0),  # top-token ratio
+        (4, ("!! ?? ## $$ " * 10) + long_ok, "s", 0),  # symbol ratio
+        (5, " ".join(["xx"] * 30), "s", 0),          # mean word len + stopwords
+    ]
+    got = {r["doc_id"]: r for r in quality_filter(_docs(spark, rows)).collect()}
+    assert got[1]["passes"] and got[1]["n_failed"] == 0
+    assert not got[2]["r_token_count"] and not got[2]["passes"]
+    assert got[2]["n_tokens"] < QF_MIN_TOKENS
+    assert not got[3]["r_top_token_ratio"]
+    assert not got[4]["r_symbol_ratio"]
+    assert not got[5]["r_mean_word_len"]      # mean len 2 < 4.0
+    assert not got[5]["r_stopwords"] and got[5]["n_stopwords"] == 0
+    assert got[5]["n_failed"] >= 2
+
+
+def test_quality_filter_empty_and_null(spark):
+    got = {r["doc_id"]: r
+           for r in quality_filter(_docs(spark, [(1, "", "s", 0),
+                                                 (2, None, "s", 0)])).collect()}
+    for i in (1, 2):
+        assert got[i]["n_tokens"] == 0
+        assert got[i]["mean_word_len"] == 0.0
+        assert not got[i]["passes"]
+
+
+# --- domain_mixture_sample ------------------------------------------------------
+
+def test_mixture_upweights_small_sources(spark):
+    # big: 100 docs x 20 tokens; small: 5 docs x 20 tokens
+    rows = [(i, "w " * 20, "big", 0) for i in range(100)]
+    rows += [(1000 + i, "w " * 20, "small", 0) for i in range(5)]
+    out = {r["source"]: r
+           for r in domain_mixture_sample(_docs(spark, rows),
+                                          budget_tokens=1000).collect()}
+    big, small = out["big"], out["small"]
+    assert big["tok_s"] == 2000 and small["tok_s"] == 100
+    # temperature 1/2: rate ratio = sqrt(tok_small)/sqrt(tok_big) scaled
+    # by tok mass — small source's rate must exceed proportional share
+    assert small["rate"] > big["rate"]
+    w_big, w_small = math.isqrt(2000), math.isqrt(100)
+    tot = w_big + w_small
+    assert abs(big["rate"] - min(1.0, 1000 * w_big / (tot * 2000))) < 1e-12
+    assert abs(small["rate"] - min(1.0, 1000 * w_small / (tot * 100))) < 1e-12
+    assert 0 <= big["n_sampled"] <= 100 and 0 <= small["n_sampled"] <= 5
+    assert big["tok_sampled"] == 20 * big["n_sampled"]
+
+
+def test_mixture_rate_caps_at_one_and_is_deterministic(spark):
+    rows = [(i, "w w w", "only", 0) for i in range(10)]
+    df = _docs(spark, rows)
+    out1 = domain_mixture_sample(df, budget_tokens=10**9).collect()
+    assert out1[0]["rate"] == 1.0
+    assert out1[0]["n_sampled"] == 10  # rate 1.0 keeps everything
+    out2 = domain_mixture_sample(df, budget_tokens=10**9).collect()
+    assert out1 == out2
+
+
+# --- paragraph_dedup ------------------------------------------------------------
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    # block=3: "x y z" appears in docs 1, 2, 3 — kept only in doc 1
+    rows = [
+        (1, "x y z a b c", "s", 0),
+        (2, "x y z d e f", "s", 0),
+        (3, "q r s x y z", "s", 0),
+    ]
+    got = {r["doc_id"]: r
+           for r in paragraph_dedup(_docs(spark, rows), block=3).collect()}
+    assert got[1]["n_paras"] == 2 and got[1]["n_kept"] == 2
+    assert got[1]["dedup_text"] == "x y z a b c"
+    assert got[2]["n_kept"] == 1 and got[2]["dedup_text"] == "d e f"
+    assert got[3]["n_kept"] == 1 and got[3]["dedup_text"] == "q r s"
+
+
+def test_paragraph_dedup_fully_duplicate_doc(spark):
+    rows = [(1, "x y z", "s", 0), (2, "x y z", "s", 0)]
+    got = {r["doc_id"]: r
+           for r in paragraph_dedup(_docs(spark, rows), block=3).collect()}
+    assert got[1]["n_kept"] == 1
+    assert got[2]["n_kept"] == 0 and got[2]["dedup_text"] == ""
+
+
+def test_paragraph_dedup_within_doc_and_tail_blocks(spark):
+    # the same 2-token block twice within ONE doc + a 1-token tail
+    rows = [(1, "p q p q r", "s", 0)]
+    got = paragraph_dedup(_docs(spark, rows), block=2).collect()[0]
+    assert got["n_paras"] == 3           # "p q", "p q", "r"
+    assert got["n_kept"] == 2            # second "p q" dropped
+    assert got["dedup_text"] == "p q r"  # order preserved
+
+
+# --- bm25_topk ------------------------------------------------------------------
+
+def test_bm25_hand_computed(spark):
+    rows = [
+        (1, "cat dog cat", "s", 0),
+        (2, "dog dog dog dog", "s", 0),
+        (3, "bird", "s", 0),
+    ]
+    out = bm25_topk(_docs(spark, rows), "text", "doc_id",
+                    terms=("cat",), k1=1.2, b=0.75, topn=3).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # N=3, df(cat)=1, avgdl=8/3; idf = (3-1+0.5)/(1+0.5) = 5/3
+    idf = 2.5 / 1.5
+    tf, dl, avgdl = 2, 3, 8 / 3
+    expect = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert abs(by_id[1]["bm25"] - expect) < 1e-12
+    assert by_id[2]["bm25"] == 0.0 and by_id[3]["bm25"] == 0.0
+    assert by_id[1]["tf_cat"] == 2
+    # top-1 is the only matching doc
+    assert out[0]["doc_id"] == 1
+
+
+def test_bm25_topn_and_tiebreak(spark):
+    rows = [(i, "cat", "s", 0) for i in range(10)]
+    out = bm25_topk(_docs(spark, rows), "text", "doc_id",
+                    terms=("cat",), topn=4).collect()
+    # identical scores -> id ascending
+    assert [r["doc_id"] for r in out] == [0, 1, 2, 3]
+
+
+# --- knn_graph ------------------------------------------------------------------
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_knn_graph_matches_brute_force_within_cell(spark):
+    import random
+    rnd = random.Random(7)
+    dim = 64
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(dim)]) for i in range(60)]
+    df = _emb(spark, rows)
+    out = knn_graph(df, k=2, centroid_mod=10, n_centroids=4).collect()
+    # per-vector: at most k neighbors, ranks 1..k, cosine non-increasing
+    per = {}
+    for r in out:
+        per.setdefault(r["vec_id"], []).append(r)
+    for vid, rs in per.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 2
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.0001 <= c <= 1.0001 for c in cosines)
+        assert all(r["neighbor_id"] != vid for r in rs)
+
+
+def test_knn_graph_identical_vectors_are_top_neighbors(spark):
+    v = [1.0] * 64
+    u = [1.0] * 32 + [-1.0] * 32
+    rows = [(0, v), (1, v), (2, u), (3, u)]
+    out = knn_graph(_emb(spark, rows), k=1,
+                    centroid_mod=1, n_centroids=1).collect()
+    best = {r["vec_id"]: r for r in out}
+    assert best[0]["neighbor_id"] == 1 and abs(best[0]["cosine"] - 1.0) < 1e-9
+    assert best[1]["neighbor_id"] == 0
+    assert best[2]["neighbor_id"] == 3 and abs(best[2]["cosine"] - 1.0) < 1e-9
+
+
+# --- semantic_dedup -------------------------------------------------------------
+
+def test_semantic_dedup_keep_min_rule(spark):
+    v = [1.0] * 64
+    w = [-1.0] * 64
+    # ids 0,1,2 near-identical; 3 is their antipode (cos = -1, kept)
+    rows = [(0, v), (1, v), (2, v), (3, w)]
+    out = semantic_dedup(_emb(spark, rows), tau=0.9,
+                         centroid_mod=1, n_centroids=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_vectors"] == 4
+    assert r["n_removed"] == 2      # 1 and 2 (0 is the keeper), 3 survives
+    assert r["n_kept"] == 2
+
+
+def test_semantic_dedup_no_pairs_below_threshold(spark):
+    import random
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(20)]
+    out = semantic_dedup(_emb(spark, rows), tau=0.999,
+                         centroid_mod=1, n_centroids=1).collect()
+    assert sum(r["n_removed"] for r in out) == 0
+    assert sum(r["n_kept"] for r in out) == 20
