@@ -201,3 +201,46 @@ def test_prep_pipeline_full_shuffle_budget(spark):
     assert len(singles) <= 1, f"unexpected global exchange:\n{plan}"
     assert plan.count("BroadcastExchange") >= 2, plan  # both offset relations
     assert "CartesianProduct" not in plan, plan
+
+
+def test_quality_filter_no_shuffle(spark):
+    """The rule chain is a pure projection: zero exchanges, and the scan
+    must prune to the (doc_id, text) columns the rules read."""
+    plan = _plan(spark, "prep_quality_filter")
+    assert _n_shuffles(plan) == 0, plan
+    assert "n_chars" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_bm25_topn_operator_and_broadcast_stats(spark):
+    """BM25's top-n must be TakeOrderedAndProject (per-partition heads,
+    no global sort) and the single-row stats relation must broadcast."""
+    plan = _plan(spark, "text_bm25_search")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_knn_graph_self_join_is_not_broadcast(spark):
+    """The kNN-graph self-join is corpus x corpus on cid: BOTH sides are
+    large, so the plan must use a shuffle join (SortMerge/ShuffledHash)
+    for it — a broadcast there would ship the whole corpus to every
+    task. (The tiny centroid codebook join IS broadcast; we assert the
+    non-broadcast join exists.)"""
+    plan = _plan(spark, "similarity_knn_graph")
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+
+def test_paragraph_dedup_window_keyed_on_hash(spark):
+    """Winner election must window on the paragraph hash (uniform 60-bit
+    key), not on paragraph text or doc id."""
+    import re
+    plan = _plan(spark, "dedup_paragraph")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the winner-election window"
+    assert any("ph#" in s for s in specs), specs
+
+
+def test_domain_mixture_broadcasts_rates(spark):
+    """Per-source rates (|S| rows) must broadcast back onto the corpus —
+    the corpus never shuffles on source for the acceptance pass."""
+    plan = _plan(spark, "prep_domain_mixture")
+    assert "BroadcastExchange" in plan, plan
