@@ -1652,6 +1652,29 @@ register(QuerySpec("similarity_ivfpq_topk", similarity_ivfpq_query,
 
 KNN_K = 3
 
+# Codebook auto-sizing for the all-vectors operators (kNN graph, SemDeDup):
+# with a FIXED codebook, per-cell size grows ∝ N and the cell self-join is
+# quadratic — the sf1 ladder measured 40× time on 10× data before this
+# knob existed. A √N̄ codebook balances assignment (N·k) against cell
+# scoring (N²/k): total work N^1.5, the optimal single-level IVF choice.
+# The formula resolves to the static (CENTROID_MOD, N_CENTROIDS) for any
+# corpus below 4×BASE_N rows — in particular at the sf0.01 oracle scale
+# and on the adversarial edge corpora — so the DuckDB oracle stays a
+# fixed string.
+KNN_CODEBOOK_BASE_N = CENTROID_MOD * N_CENTROIDS  # 400
+
+
+def scaled_codebook(n_rows: int) -> tuple[int, int]:
+    """(centroid_mod, n_centroids) growing the codebook as √(N/BASE_N).
+
+    Shrinking the modulus while growing the count keeps the candidate-id
+    window (mod·count) inside the dense low-id range, so the fixed-sample
+    predicate always finds its centroids.
+    """
+    import math
+    scale = math.isqrt(max(1, n_rows // KNN_CODEBOOK_BASE_N))
+    return max(1, CENTROID_MOD // scale), N_CENTROIDS * scale
+
 
 def _assigned_corpus(emb: DataFrame, id_col: str, vec_col: str,
                      centroid_mod: int = CENTROID_MOD,
@@ -1707,7 +1730,10 @@ def knn_graph(emb: DataFrame, id_col: str = "vec_id",
 
 def similarity_knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
-    return knn_graph(emb)
+    # one cheap count job sizes the codebook ∝ √N (see scaled_codebook);
+    # identical to the static (25, 16) at oracle scale
+    mod, k = scaled_codebook(emb.count())
+    return knn_graph(emb, centroid_mod=mod, n_centroids=k)
 
 
 _KNN_GRAPH_SQL = _coarse_sql_prefix(carry_n2=True, assigned="search") + f""", scored AS (
@@ -1781,7 +1807,8 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
 
 def dedup_semantic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
-    return semantic_dedup(emb)
+    mod, k = scaled_codebook(emb.count())
+    return semantic_dedup(emb, centroid_mod=mod, n_centroids=k)
 
 
 _DEDUP_SEMANTIC_SQL = _coarse_sql_prefix(carry_n2=True, assigned="search") + f""", pairs AS (

@@ -192,6 +192,9 @@ def main() -> None:
     rung = "sf1"
     if "--rung" in sys.argv:
         rung = sys.argv[sys.argv.index("--rung") + 1]
+    names = None  # default: the headline set (sf1) / SF10_TARGETS (sf10)
+    if "--names" in sys.argv:
+        names = tuple(sys.argv[sys.argv.index("--names") + 1].split(","))
     if "--rebuild" in sys.argv:
         for d in (SCALE_DIR, SCALE10_DIR):
             if os.path.exists(d):
@@ -206,12 +209,12 @@ def main() -> None:
         # prep / IVF-PQ headliners; only the tables they read are built
         ensure_scaled(spark, BASE_SF, SCALE10_DIR, copies * 10,
                       tables=SF10_TABLES)
-        base = time_headlines(spark, SCALE_DIR, names=SF10_TARGETS)
-        scaled = time_headlines(spark, SCALE10_DIR, names=SF10_TARGETS)
+        base = time_headlines(spark, SCALE_DIR, names=names or SF10_TARGETS)
+        scaled = time_headlines(spark, SCALE10_DIR, names=names or SF10_TARGETS)
         sf_base, sf_scaled = 0.1 * copies, 1.0 * copies
     else:
-        base = time_headlines(spark, BASE_SF)
-        scaled = time_headlines(spark, SCALE_DIR)
+        base = time_headlines(spark, BASE_SF, names=names)
+        scaled = time_headlines(spark, SCALE_DIR, names=names)
         sf_base, sf_scaled = 0.1, 0.1 * copies
     ratios = {n: (round(scaled[n] / base[n], 2) if base[n] > 0 else None)
               for n in base}
