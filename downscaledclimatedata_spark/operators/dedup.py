@@ -1292,3 +1292,91 @@ register(QuerySpec(
     description=f"paragraph-level exact dedup ({PARA_BLOCK}-token blocks): "
                 "first occurrence wins globally, documents reassembled "
                 "from surviving paragraphs"))
+
+
+# --- cross-corpus dedup (new snapshot vs reference corpus) ----------------------
+
+def cross_corpus_matches(new_df: DataFrame, ref_df: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n_perms: int = MINHASH_PERMS,
+                         band_size: int = LSH_BAND_SIZE,
+                         max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Flag documents in ``new_df`` that are LSH near-dup candidates of
+    any document in ``ref_df`` — the incremental-crawl dedup pass (drop
+    what the previous snapshot already contains) as a BATCH two-corpus
+    operator (the streaming twin is streaming/neardup.py's index).
+
+    Both sides are minhash-banded; a band-bucket equi-join produces
+    (new, ref) hits; output is one row per matched new doc with the
+    distinct-ref-match count and the smallest matching ref id. Reference
+    band-buckets larger than ``max_bucket`` are dropped (boilerplate
+    mega-buckets — same cap and rationale as ``lsh_candidate_pairs``).
+
+    Scale: shuffle ∝ the banded relations (n_bands rows/doc), join
+    keyed on the uniform 60-bit band hash; neither corpus is broadcast.
+    The ref side can be a pre-materialized parquet of signatures —
+    banding is deterministic, so snapshots dedup against an index built
+    once, not recomputed per crawl.
+    """
+    b_new = _banded(minhash_signatures(new_df, text_col, id_col),
+                    id_col, n_perms, band_size) \
+        .withColumnRenamed(id_col, "new_id")
+    b_ref = _banded(minhash_signatures(ref_df, text_col, id_col),
+                    id_col, n_perms, band_size) \
+        .withColumnRenamed(id_col, "ref_id")
+    ok = (b_ref.groupBy("band_id", "band_hash")
+          .agg(F.count("*").alias("nb"))
+          .filter(F.col("nb") <= max_bucket)
+          .select("band_id", "band_hash"))
+    hits = (b_new.join(ok, ["band_id", "band_hash"], "left_semi")
+            .join(b_ref, ["band_id", "band_hash"])
+            .select("new_id", "ref_id"))
+    return (hits.groupBy("new_id")
+            .agg(F.countDistinct("ref_id").alias("n_ref_matches"),
+                 F.min("ref_id").alias("first_ref_id")))
+
+
+def dedup_cross_corpus_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splits the corpus into a deterministic ref/new halves by source
+    hash (total on ANY source value — no string parsing) and flags new
+    docs already covered by the reference half."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    is_ref = md5_long(F.col("source"), seed="xsplit:") % 2 == 0
+    return cross_corpus_matches(docs.filter(~is_ref), docs.filter(is_ref))
+
+
+_XSPLIT_SQL = f"({md5_long_sql('source', seed='xsplit:')}) % 2 = 0"
+
+_DEDUP_XCORPUS_SQL = f"""
+WITH {_SHINGLES_CTE},
+{_HASHED_CTE},
+sigs AS (
+  SELECT doc_id, {_MINHASH_COLS_SQL}
+  FROM hashed GROUP BY doc_id
+),
+banded AS ({_BAND_SELECTS}),
+sides AS (SELECT doc_id, {_XSPLIT_SQL} AS is_ref FROM documents),
+bref AS (
+  SELECT b.doc_id AS ref_id, b.band_id, b.band_hash
+  FROM banded b JOIN sides s USING (doc_id) WHERE s.is_ref),
+bnew AS (
+  SELECT b.doc_id AS new_id, b.band_id, b.band_hash
+  FROM banded b JOIN sides s USING (doc_id) WHERE NOT s.is_ref),
+ok AS (
+  SELECT band_id, band_hash FROM bref
+  GROUP BY band_id, band_hash HAVING COUNT(*) <= {MAX_BUCKET}),
+hits AS (
+  SELECT n.new_id, r.ref_id
+  FROM bnew n
+  JOIN ok USING (band_id, band_hash)
+  JOIN bref r ON r.band_id = n.band_id AND r.band_hash = n.band_hash)
+SELECT new_id, COUNT(DISTINCT ref_id) AS n_ref_matches,
+  MIN(ref_id) AS first_ref_id
+FROM hits GROUP BY new_id
+"""
+
+register(QuerySpec(
+    "dedup_cross_corpus", dedup_cross_corpus_query, _DEDUP_XCORPUS_SQL,
+    description="incremental-crawl dedup: new corpus vs reference "
+                "snapshot via minhash band-bucket equi-join, capped ref "
+                "buckets, per-doc match count"))

@@ -222,3 +222,38 @@ def test_semantic_dedup_no_pairs_below_threshold(spark):
                          centroid_mod=1, n_centroids=1).collect()
     assert sum(r["n_removed"] for r in out) == 0
     assert sum(r["n_kept"] for r in out) == 20
+
+
+# --- cross_corpus_matches -------------------------------------------------------
+
+def test_cross_corpus_flags_only_new_side_dups(spark):
+    from downscaledclimatedata_spark.operators.dedup import cross_corpus_matches
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    ref = _docs(spark, [
+        (1, base, "ref", 0),
+        (2, "totally different reference content about other things "
+            "entirely unrelated to the planted document text", "ref", 0),
+    ])
+    new = _docs(spark, [
+        (10, base, "new", 0),                       # verbatim dup of ref 1
+        (11, "fresh new document with its own words never seen in the "
+             "reference corpus at all whatsoever", "new", 0),
+    ])
+    got = {r["new_id"]: r for r in cross_corpus_matches(new, ref).collect()}
+    assert 10 in got and got[10]["first_ref_id"] == 1
+    assert got[10]["n_ref_matches"] == 1
+    assert 11 not in got  # novel doc not flagged
+
+
+def test_cross_corpus_ref_mega_bucket_capped(spark):
+    from downscaledclimatedata_spark.operators.dedup import cross_corpus_matches
+    boiler = "same boilerplate text repeated across every reference doc here"
+    ref = _docs(spark, [(i, boiler, "ref", 0) for i in range(8)])
+    new = _docs(spark, [(100, boiler, "new", 0)])
+    # cap below the ref bucket size: the mega-bucket is dropped
+    out = cross_corpus_matches(new, ref, max_bucket=4).collect()
+    assert out == []
+    # with a generous cap the match is found against all 8
+    out2 = cross_corpus_matches(new, ref, max_bucket=100).collect()
+    assert len(out2) == 1 and out2[0]["n_ref_matches"] == 8
