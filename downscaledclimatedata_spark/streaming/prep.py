@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from downscaledclimatedata_spark.functions.hashing import md5_long
-from downscaledclimatedata_spark.operators.prep import clean_documents
+from downscaledclimatedata_spark.operators.prep import (
+    clean_documents, quality_filter)
 from downscaledclimatedata_spark.streaming.neardup import _fs_path
 
 
@@ -50,7 +51,8 @@ def _load_hash_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
 
 
 def batch_prep_survivors(batch: DataFrame, index: DataFrame | None,
-                         keep_cols: tuple[str, ...] = ("source",)
+                         keep_cols: tuple[str, ...] = ("source",),
+                         quality_gate: bool = False
                          ) -> tuple[DataFrame, DataFrame]:
     """(survivors, new_hashes) for one micro-batch against the stored
     hash index — pure DataFrame logic shared by the streaming sink and
@@ -59,7 +61,17 @@ def batch_prep_survivors(batch: DataFrame, index: DataFrame | None,
     Survivors carry the full cleaned projection (clean_text, n_pii,
     content_text, n_content_tokens + keep_cols) so downstream stages
     (quota, shards) compose without re-cleaning.
+
+    ``quality_gate=True`` drops documents failing the batch engine's
+    Gopher-style rule chain (operators/prep.py ``quality_filter``) BEFORE
+    cleaning/dedup — the same code path as the batch filter, so a doc is
+    admitted by the stream iff the batch pipeline would admit it. The
+    gate is a per-row projection + semi-join bounded by the micro-batch.
     """
+    if quality_gate:
+        passing = quality_filter(batch).filter(F.col("passes")) \
+            .select("doc_id")
+        batch = batch.join(passing, "doc_id", "left_semi")
     cleaned = clean_documents(batch, keep_cols=keep_cols)
     hashed = cleaned.withColumn(
         "content_hash", md5_long(F.col("content_text")))
@@ -80,7 +92,8 @@ def batch_prep_survivors(batch: DataFrame, index: DataFrame | None,
 def start_prep_stream(stream: DataFrame, index_dir: str, report,
                       checkpoint_dir: str,
                       keep_cols: tuple[str, ...] = ("source",),
-                      available_now: bool = True):
+                      available_now: bool = True,
+                      quality_gate: bool = False):
     """foreachBatch sink: clean + cross-batch exact dedup, reporting
     survivors per micro-batch via ``report(survivors_df, epoch_id)``.
 
@@ -92,7 +105,7 @@ def start_prep_stream(stream: DataFrame, index_dir: str, report,
         spark = batch_df.sparkSession
         index = _load_hash_index(spark, index_dir)
         survivors, new_hashes = batch_prep_survivors(
-            batch_df, index, keep_cols)
+            batch_df, index, keep_cols, quality_gate=quality_gate)
         # report BEFORE appending: every crash window then reports each
         # survivor at least once (crash before append -> replay reports
         # again; crash after append -> the replay's report is suppressed

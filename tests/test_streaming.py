@@ -466,3 +466,46 @@ def test_multi_signal_stream_simhash_cross_batch(spark, tmp_path):
     # simhash rows store the full fingerprint (needed for verification)
     assert idx.filter("signal = 'simhash' AND fp IS NULL").count() == 0
     assert idx.filter("signal = 'minhash' AND fp IS NOT NULL").count() == 0
+
+
+def test_streaming_prep_quality_gate_matches_batch_filter(spark, tmp_path):
+    """quality_gate=True must admit a doc iff the BATCH quality_filter
+    passes it — same code path, stream-vs-batch equivalence across two
+    micro-batches (a failing doc in each)."""
+    import os
+    from downscaledclimatedata_spark.operators.prep import quality_filter
+    from downscaledclimatedata_spark.streaming.neardup import (
+        DOCS_SCHEMA, docs_stream)
+    from downscaledclimatedata_spark.streaming.prep import start_prep_stream
+
+    good = " ".join([f"wordy{i:02d}" for i in range(36)]
+                    + ["the", "the", "of", "of"])
+    rows_b1 = [
+        (1, good, "en", "web", len(good)),
+        (2, "too short of a doc", "en", "web", 18),     # fails token count
+    ]
+    rows_b2 = [
+        (3, " ".join(["xx"] * 30), "en", "web", 89),    # fails word len
+        (4, good + " extra tailwords here", "en", "web", 0),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir, exist_ok=True)
+    spark.createDataFrame(rows_b1, DOCS_SCHEMA).toPandas().to_parquet(
+        docs_dir + "/b1.parquet", index=False)
+    spark.createDataFrame(rows_b2, DOCS_SCHEMA).toPandas().to_parquet(
+        docs_dir + "/b2.parquet", index=False)
+
+    emitted: set[int] = set()
+
+    def report(survivors, epoch_id):
+        emitted.update(r.doc_id for r in survivors.collect())
+
+    q = start_prep_stream(docs_stream(spark, docs_dir),
+                          str(tmp_path / "index"), report,
+                          str(tmp_path / "ckpt"), quality_gate=True)
+    assert q.awaitTermination(120)
+
+    all_docs = spark.createDataFrame(rows_b1 + rows_b2, DOCS_SCHEMA)
+    batch_pass = {r.doc_id for r in
+                  quality_filter(all_docs).filter("passes").collect()}
+    assert emitted == batch_pass == {1, 4}
