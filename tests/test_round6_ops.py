@@ -257,3 +257,68 @@ def test_cross_corpus_ref_mega_bucket_capped(spark):
     # with a generous cap the match is found against all 8
     out2 = cross_corpus_matches(new, ref, max_bucket=100).collect()
     assert len(out2) == 1 and out2[0]["n_ref_matches"] == 8
+
+
+# --- property tests vs pure-Python reference implementations --------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORD = st.sampled_from(["aa", "bb", "cc", "dd"])  # tiny vocab forces collisions
+_DOC_TEXT = st.lists(_WORD, min_size=0, max_size=9).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_DOC_TEXT, min_size=1, max_size=8))
+def test_paragraph_dedup_matches_python_reference(spark, texts):
+    block = 2
+    rows = [(i, t, "s", 0) for i, t in enumerate(texts)]
+    got = {r["doc_id"]: r
+           for r in paragraph_dedup(_docs(spark, rows), block=block).collect()}
+
+    # pure-Python reference: first (doc_id, idx) occurrence of each block wins
+    seen: set[str] = set()
+    expect: dict[int, tuple[int, int, str]] = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split(" ") if w]
+        blocks = [" ".join(toks[s:s + block])
+                  for s in range(0, len(toks), block)]
+        kept = []
+        for b in blocks:
+            if b not in seen:
+                seen.add(b)
+                kept.append(b)
+        if blocks:
+            expect[i] = (len(blocks), len(kept), " ".join(kept))
+
+    assert set(got) == set(expect)
+    for i, (n_paras, n_kept, text) in expect.items():
+        assert got[i]["n_paras"] == n_paras, (i, texts)
+        assert got[i]["n_kept"] == n_kept, (i, texts)
+        assert got[i]["dedup_text"] == text, (i, texts)
+    # global invariant: every distinct paragraph kept exactly once
+    assert sum(v[1] for v in expect.values()) == len(seen)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(sizes=st.lists(st.tuples(st.integers(1, 6), st.integers(1, 40)),
+                      min_size=1, max_size=5),
+       budget=st.integers(1, 2000))
+def test_mixture_rates_match_python_reference(spark, sizes, budget):
+    rows = []
+    did = 0
+    for s, (n_docs, n_tok) in enumerate(sizes):
+        for _ in range(n_docs):
+            rows.append((did, "w " * n_tok, f"s{s}", 0))
+            did += 1
+    out = {r["source"]: r
+           for r in domain_mixture_sample(_docs(spark, rows),
+                                          budget_tokens=budget).collect()}
+    toks = {f"s{s}": n_docs * n_tok for s, (n_docs, n_tok) in enumerate(sizes)}
+    total_w = sum(math.isqrt(t) for t in toks.values())
+    for src, t in toks.items():
+        want = min(1.0, budget * math.isqrt(t) / (total_w * t))
+        assert abs(out[src]["rate"] - want) < 1e-12, (src, sizes, budget)
+        assert out[src]["tok_s"] == t
