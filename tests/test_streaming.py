@@ -509,3 +509,57 @@ def test_streaming_prep_quality_gate_matches_batch_filter(spark, tmp_path):
     batch_pass = {r.doc_id for r in
                   quality_filter(all_docs).filter("passes").collect()}
     assert emitted == batch_pass == {1, 4}
+
+
+def test_streaming_semantic_index_cross_batch(spark, tmp_path):
+    """Streaming SemDeDup admission gate: a batch-2 vector near-identical
+    to a batch-1 vector is reported with exact cosine; an orthogonal
+    batch-2 vector is not. Replay on the same checkpoint emits nothing."""
+    import os
+    from downscaledclimatedata_spark.streaming.annindex import (
+        EMB_SCHEMA, batch_semantic_candidates, emb_stream)
+    from downscaledclimatedata_spark.streaming.neardup import (
+        start_neardup_stream)
+
+    v = [1.0] * 64
+    v_near = [1.0] * 63 + [0.999]
+    u = [1.0] * 32 + [-1.0] * 32          # orthogonal to v
+    rows_b1 = [(1, v, 0), (2, u, 0)]
+    rows_b2 = [(10, v_near, 0),           # near-dup of 1
+               (11, [-1.0] * 32 + [1.0] * 32, 0)]  # -u: bucket differs from v/u
+    emb_dir = str(tmp_path / "emb")
+    os.makedirs(emb_dir, exist_ok=True)
+    spark.createDataFrame(rows_b1, EMB_SCHEMA).toPandas().to_parquet(
+        emb_dir + "/b1.parquet", index=False)
+    spark.createDataFrame(rows_b2, EMB_SCHEMA).toPandas().to_parquet(
+        emb_dir + "/b2.parquet", index=False)
+
+    got: dict[int, list] = {}
+
+    def report(candidates, epoch_id):
+        got[epoch_id] = [(r.new_id, r.match_id, r.cosine)
+                         for r in candidates.collect()]
+
+    q = start_neardup_stream(
+        emb_stream(spark, emb_dir), str(tmp_path / "index"), report,
+        str(tmp_path / "ckpt"), text_col="embedding", id_col="vec_id",
+        candidate_builder=lambda b, i, tc, ic:
+            batch_semantic_candidates(b, i, tc, ic, tau=0.9),
+        compact_sort=["bucket"])
+    assert q.awaitTermination(120)
+    assert len(got) == 2
+    assert got[0] == []                       # nothing indexed yet
+    assert len(got[1]) == 1
+    new_id, match_id, cosine = got[1][0]
+    assert (new_id, match_id) == (10, 1) and cosine > 0.999
+
+    # replay: no new files -> no batches -> no re-emission
+    got.clear()
+    q = start_neardup_stream(
+        emb_stream(spark, emb_dir), str(tmp_path / "index"), report,
+        str(tmp_path / "ckpt"), text_col="embedding", id_col="vec_id",
+        candidate_builder=lambda b, i, tc, ic:
+            batch_semantic_candidates(b, i, tc, ic, tau=0.9),
+        compact_sort=["bucket"])
+    assert q.awaitTermination(120)
+    assert all(not rows for rows in got.values()), got
