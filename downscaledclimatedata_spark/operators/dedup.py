@@ -1289,6 +1289,7 @@ FROM per_doc p LEFT JOIN kept_agg k USING (doc_id)
 
 register(QuerySpec(
     "dedup_paragraph", dedup_paragraph_query, _DEDUP_PARA_SQL,
+    headline=True,
     description=f"paragraph-level exact dedup ({PARA_BLOCK}-token blocks): "
                 "first occurrence wins globally, documents reassembled "
                 "from surviving paragraphs"))

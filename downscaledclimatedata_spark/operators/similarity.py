@@ -1752,6 +1752,7 @@ SELECT vec_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {KNN_K}
 
 register(QuerySpec(
     "similarity_knn_graph", similarity_knn_graph_query, _KNN_GRAPH_SQL,
+    headline=True,
     description=f"approximate kNN graph (top-{KNN_K} per vector, every "
                 "vector a query): IVF-cell-restricted self-join on cid, "
                 "N^1.5 with a sqrt(N) codebook, no broadcast"))
