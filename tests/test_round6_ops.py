@@ -322,3 +322,38 @@ def test_mixture_rates_match_python_reference(spark, sizes, budget):
         want = min(1.0, budget * math.isqrt(t) / (total_w * t))
         assert abs(out[src]["rate"] - want) < 1e-12, (src, sizes, budget)
         assert out[src]["tok_s"] == t
+
+
+# --- ivf_assign_two_level -------------------------------------------------------
+
+def test_two_level_degenerates_to_flat_when_all_super(spark):
+    """With n_super == n_centroids every centroid is its own super-cell
+    root, so the hierarchical route must reproduce flat assignment
+    EXACTLY (each centroid maps to itself at level 1, and level 2
+    scans... the same codebook)."""
+    import random
+    from downscaledclimatedata_spark.operators.similarity import (
+        ivf_assign, ivf_assign_two_level)
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(80)]
+    df = _emb(spark, rows)
+    flat = {r["vec_id"]: r["cid"]
+            for r in ivf_assign(df, centroid_mod=10, n_centroids=8).collect()}
+    two = {r["vec_id"]: r["cid"]
+           for r in ivf_assign_two_level(df, centroid_mod=10, n_centroids=8,
+                                         n_super=8).collect()}
+    assert two == flat
+
+
+def test_two_level_agreement_gate(spark):
+    """Single-probe hierarchical routing must agree with flat assignment
+    on a majority of the sf0.01 corpus (measured 0.57 on landing)."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        ivf_assign, ivf_assign_two_level)
+    from downscaledclimatedata_spark.sources.tables import load_table
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    flat = {r["vec_id"]: r["cid"] for r in ivf_assign(emb).collect()}
+    two = {r["vec_id"]: r["cid"] for r in ivf_assign_two_level(emb).collect()}
+    assert set(two) == set(flat)
+    agree = sum(1 for k in flat if two[k] == flat[k]) / len(flat)
+    assert agree >= 0.5, agree
