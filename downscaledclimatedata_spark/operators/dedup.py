@@ -1223,6 +1223,8 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     one extra paragraph).
     """
     from pyspark.sql import Window
+    if block < 1:
+        raise ValueError(f"block must be >= 1, got {block}")
     toked = df.select(F.col(id_col),
                       tokens(F.col(text_col)).alias("t"))
     n = F.size("t")

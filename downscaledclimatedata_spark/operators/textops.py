@@ -657,7 +657,11 @@ def bm25_topk(df: DataFrame, text_col: str, id_col: str,
         *[F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
           for i in range(len(terms))])
     scored = base.crossJoin(F.broadcast(stats))
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    # all-empty corpus: avgdl's value is irrelevant (every tf = 0 ->
+    # every score term is 0) but it must not divide by zero; pin 1.0
+    avgdl = F.when(F.col("sum_dl") > 0,
+                   F.col("sum_dl").cast("double")
+                   / F.col("n_docs").cast("double")).otherwise(F.lit(1.0))
     norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
     score = None
     for i in range(len(terms)):
@@ -695,7 +699,8 @@ def _bm25_sql() -> str:
         part = (f"{idf} * ((CAST(tf_{i} AS DOUBLE) * {k1p1})"
                 f" / (CAST(tf_{i} AS DOUBLE) + {BM25_K1} * "
                 f"({one_minus_b} + {BM25_B} * (CAST(dl AS DOUBLE)"
-                f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))")
+                f" / (CASE WHEN sum_dl > 0 THEN CAST(sum_dl AS DOUBLE)"
+                f" / CAST(n_docs AS DOUBLE) ELSE 1.0 END)))))")
         parts.append(part)
     # left-associated like the Spark expression: ((p0 + p1) + p2)
     score = parts[0]

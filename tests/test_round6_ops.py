@@ -357,3 +357,36 @@ def test_two_level_agreement_gate(spark):
     assert set(two) == set(flat)
     agree = sum(1 for k in flat if two[k] == flat[k]) / len(flat)
     assert agree >= 0.5, agree
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_DOC_TEXT, min_size=1, max_size=6))
+def test_bm25_matches_python_reference(spark, texts):
+    terms = ("aa", "bb")
+    k1, b = 1.2, 0.75
+    rows = [(i, t, "s", 0) for i, t in enumerate(texts)]
+    out = {r["doc_id"]: r["bm25"]
+           for r in bm25_topk(_docs(spark, rows), "text", "doc_id",
+                              terms=terms, k1=k1, b=b,
+                              topn=len(texts)).collect()}
+
+    toks = [[w for w in t.split(" ") if w] for t in texts]
+    n_docs = len(texts)
+    sum_dl = sum(len(t) for t in toks)
+    avgdl = sum_dl / n_docs if sum_dl > 0 else 1.0
+    dfs = [sum(1 for t in toks if term in t) for term in terms]
+    for i, t in enumerate(toks):
+        score = 0.0
+        for j, term in enumerate(terms):
+            tf = t.count(term)
+            idf = (n_docs - dfs[j] + 0.5) / (dfs[j] + 0.5)
+            score = score + idf * ((tf * (k1 + 1.0))
+                                   / (tf + k1 * (1 - b + b * len(t) / avgdl)))
+        assert abs(out[i] - score) < 1e-9, (i, texts)
+
+
+def test_paragraph_dedup_rejects_bad_block(spark):
+    import pytest
+    with pytest.raises(ValueError):
+        paragraph_dedup(_docs(spark, [(1, "a b", "s", 0)]), block=0)
