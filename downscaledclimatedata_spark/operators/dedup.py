@@ -1383,3 +1383,51 @@ register(QuerySpec(
     description="incremental-crawl dedup: new corpus vs reference "
                 "snapshot via minhash band-bucket equi-join, capped ref "
                 "buckets, per-doc match count"))
+
+
+# --- all-signal clusters: text evidence ∪ embedding evidence --------------------
+
+def dedup_all_signal_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup components over FOUR evidence channels: the three text
+    signals (minhash-jaccard, simhash, containment) plus cluster-scoped
+    embedding cosine (SemDeDup pairs) — treating row i of ``embeddings``
+    as the embedding of document i, the production shape where lexical
+    and semantic dedup evidence merge into one entity graph. Everything
+    reuses the single-signal operators (one code path per signal); the
+    union is just another edge relation for ``multi_signal_clusters``.
+    """
+    from downscaledclimatedata_spark.operators.similarity import semantic_pairs
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    text_pairs = multi_signal_pairs(docs, "text", "doc_id")
+    epairs = (semantic_pairs(emb)
+              .select("id_a", "id_b", F.lit("embedding").alias("signal")))
+    return multi_signal_clusters(text_pairs.unionByName(epairs))
+
+
+def _all_signal_sql() -> str:
+    from downscaledclimatedata_spark.operators.similarity import (
+        DIM, SEM_TAU, _coarse_sql_prefix)
+    emb_ctes = _coarse_sql_prefix(carry_n2=True, assigned="search") \
+        .replace("\nWITH ", "", 1) + f""", emb_pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON b.cid = a.cid AND a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      / (sqrt(a.n2) * sqrt(b.n2)) >= {SEM_TAU}
+),
+"""
+    sql = _MULTI_SIGNAL_SQL.replace("sig_pairs AS (", emb_ctes + "sig_pairs AS (")
+    return sql.replace(
+        "UNION ALL SELECT id_a, id_b, 'containment' FROM ct_pairs",
+        "UNION ALL SELECT id_a, id_b, 'containment' FROM ct_pairs\n"
+        "  UNION ALL SELECT id_a, id_b, 'embedding' FROM emb_pairs")
+
+
+register(QuerySpec("dedup_all_signal_clusters",
+                   dedup_all_signal_clusters_query, _all_signal_sql(),
+                   description="near-dup components over text evidence "
+                               "(minhash-jaccard, simhash, containment) "
+                               "UNION embedding evidence (cluster-scoped "
+                               "cosine) — one entity graph, per-cluster "
+                               "signal provenance"))

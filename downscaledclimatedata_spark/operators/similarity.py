@@ -1763,6 +1763,35 @@ register(QuerySpec(
 SEM_TAU = 0.35  # cosine threshold; synthetic corpus max pair cosine ≈ 0.51
 
 
+def semantic_pairs_from_assigned(base: DataFrame, id_col: str = "vec_id",
+                                 tau: float = SEM_TAU) -> DataFrame:
+    """(cid, id_a, id_b, cosine) cluster-scoped near-dup pairs over an
+    `_assigned_corpus` relation — shared by :func:`semantic_dedup` and
+    the all-signal cluster composition in operators/dedup.py."""
+    a = base.select(F.col(id_col).alias("id_a"), "cid",
+                    F.col("qv").alias("aq"), F.col("n2").alias("an2"))
+    b = base.select(F.col(id_col).alias("id_b"), "cid",
+                    F.col("qv").alias("bq"), F.col("n2").alias("bn2"))
+    return (a.join(b, "cid")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine",
+                        int_dot(F.col("aq"), F.col("bq")).cast("double")
+                        / (F.sqrt(F.col("an2").cast("double"))
+                           * F.sqrt(F.col("bn2").cast("double"))))
+            .filter(F.col("cosine") >= tau)
+            .select("cid", "id_a", "id_b", "cosine"))
+
+
+def semantic_pairs(emb: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", tau: float = SEM_TAU,
+                   centroid_mod: int = CENTROID_MOD,
+                   n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """(id_a, id_b, cosine) embedding near-dup pairs, cluster-scoped."""
+    base = _assigned_corpus(emb, id_col, vec_col, centroid_mod, n_centroids)
+    return semantic_pairs_from_assigned(base, id_col, tau) \
+        .select("id_a", "id_b", "cosine")
+
+
 def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", tau: float = SEM_TAU,
                    centroid_mod: int = CENTROID_MOD,
@@ -1782,17 +1811,7 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
     (cid, id), shuffle-keyed by the uniform id.
     """
     base = _assigned_corpus(emb, id_col, vec_col, centroid_mod, n_centroids)
-    a = base.select(F.col(id_col).alias("id_a"), "cid",
-                    F.col("qv").alias("aq"), F.col("n2").alias("an2"))
-    b = base.select(F.col(id_col).alias("id_b"), "cid",
-                    F.col("qv").alias("bq"), F.col("n2").alias("bn2"))
-    pairs = (a.join(b, "cid")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cosine",
-                         int_dot(F.col("aq"), F.col("bq")).cast("double")
-                         / (F.sqrt(F.col("an2").cast("double"))
-                            * F.sqrt(F.col("bn2").cast("double"))))
-             .filter(F.col("cosine") >= tau))
+    pairs = semantic_pairs_from_assigned(base, id_col, tau)
     removed = (pairs.select("cid", F.col("id_b").alias("rid")).distinct()
                .groupBy("cid").agg(F.count("*").alias("n_removed")))
     sizes = base.groupBy("cid").agg(F.count("*").alias("n_vectors"))

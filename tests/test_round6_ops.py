@@ -390,3 +390,28 @@ def test_paragraph_dedup_rejects_bad_block(spark):
     import pytest
     with pytest.raises(ValueError):
         paragraph_dedup(_docs(spark, [(1, "a b", "s", 0)]), block=0)
+
+
+# --- all-signal cluster composition ---------------------------------------------
+
+def test_all_signal_cluster_found_only_via_embedding(spark):
+    """Two docs with unrelated TEXT but near-identical EMBEDDINGS must
+    cluster via the embedding channel alone, with provenance naming it."""
+    from downscaledclimatedata_spark.operators.dedup import (
+        multi_signal_clusters, multi_signal_pairs)
+    from downscaledclimatedata_spark.operators.similarity import semantic_pairs
+    docs = _docs(spark, [
+        (0, "alpha beta gamma delta epsilon zeta eta theta", "s", 0),
+        (1, "one two three four five six seven eight nine ten", "s", 0),
+    ])
+    v = [1.0] * 64
+    emb = _emb(spark, [(0, v), (1, v)])  # id 0 present: the 1-centroid
+                                         # fixed sample needs it
+    text_pairs = multi_signal_pairs(docs, "text", "doc_id")
+    assert text_pairs.count() == 0  # no lexical evidence at all
+    epairs = (semantic_pairs(emb, tau=0.9, centroid_mod=1, n_centroids=1)
+              .select("id_a", "id_b", F.lit("embedding").alias("signal")))
+    out = multi_signal_clusters(text_pairs.unionByName(epairs)).collect()
+    assert len(out) == 1
+    assert out[0]["cluster_size"] == 2
+    assert out[0]["signals"] == "embedding"
