@@ -874,3 +874,25 @@ register(QuerySpec(
     description="temperature-1/2 domain-mixture sampling to a token "
                 "budget: exact integer-sqrt weights, seeded-hash "
                 "acceptance, broadcast per-source rates"))
+
+
+# --- training-shard sink --------------------------------------------------------
+
+def write_training_shards(df: DataFrame, out_dir: str,
+                          shard_col: str = "shard",
+                          pos_col: str = "pos") -> None:
+    """Materialize a sharded training corpus: one Hive-partitioned
+    directory per shard, rows stored in ``pos`` order, so a sequential
+    reader of shard/pos realizes the pipeline's seeded global order
+    (global_shuffle / prep_pipeline_full contract) without any sort at
+    read time.
+
+    Scale: repartition BY THE SHARD COLUMN first so each shard is
+    written by exactly one task (one file per shard — no small-file
+    spray), then sortWithinPartitions orders rows inside the task before
+    the write. No global sort anywhere; parallel width = shard count,
+    which the upstream pipeline already sized to fit a task.
+    """
+    (df.repartition(F.col(shard_col))
+     .sortWithinPartitions(shard_col, pos_col)
+     .write.mode("overwrite").partitionBy(shard_col).parquet(out_dir))

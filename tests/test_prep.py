@@ -220,3 +220,27 @@ def test_global_shuffle_deterministic_and_shard_parallel(spark):
     plan = global_shuffle(docs, 8)._jdf.queryExecution().executedPlan().toString()
     wlines = [ln for ln in plan.splitlines() if "Window" in ln and "row_number" in ln]
     assert wlines and all("shard" in ln for ln in wlines)
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    """One parquet file per shard partition; rows inside each file are in
+    pos order (a sequential reader sees the seeded global order)."""
+    import glob
+    from downscaledclimatedata_spark.operators.prep import (
+        global_shuffle, write_training_shards)
+    from downscaledclimatedata_spark.sources.tables import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    shuffled = global_shuffle(docs, n_shards=4)
+    out = str(tmp_path / "shards")
+    write_training_shards(shuffled, out)
+    dirs = sorted(glob.glob(out + "/shard=*"))
+    assert len(dirs) == 4, dirs
+    total = 0
+    for d in dirs:
+        files = [f for f in glob.glob(d + "/*.parquet")]
+        assert len(files) == 1, f"expected one file per shard: {files}"
+        import pandas as pd
+        pdf = pd.read_parquet(files[0])
+        assert list(pdf["pos"]) == sorted(pdf["pos"]), d
+        total += len(pdf)
+    assert total == docs.count()
