@@ -1692,7 +1692,8 @@ def _assigned_corpus(emb: DataFrame, id_col: str, vec_col: str,
 def knn_graph(emb: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding", k: int = KNN_K,
               centroid_mod: int = CENTROID_MOD,
-              n_centroids: int = N_CENTROIDS) -> DataFrame:
+              n_centroids: int = N_CENTROIDS,
+              nprobe: int = 1) -> DataFrame:
     """Approximate k-nearest-neighbor graph over the WHOLE corpus.
 
     Unlike the ``similarity_*_topk`` family (fixed broadcast query set),
@@ -1706,11 +1707,46 @@ def knn_graph(emb: DataFrame, id_col: str = "vec_id",
     corpus-sized; this is the deliberate contrast with the query-set
     operators. Top-k per vector is a row_number window keyed by the
     query id (uniform, no skew).
+
+    ``nprobe=2`` is the recall knob: the query side probes its second-
+    nearest cell too, catching true neighbors that sit across a cell
+    boundary. Because every vector is a query, the probe ranking cannot
+    be a window over the N·k assignment scores (N^1.5 rows through one
+    shuffle); the second-best cell comes from a SECOND struct-min pass
+    that excludes the argmin cell — 2× assignment compute, still one
+    shuffled row per vector. Corpus vectors stay in exactly one cell, so
+    candidates never duplicate. Only nprobe ∈ {1, 2} is supported.
     """
     from pyspark.sql import Window
+    if nprobe not in (1, 2):
+        raise ValueError(f"nprobe must be 1 or 2, got {nprobe}")
     base = _assigned_corpus(emb, id_col, vec_col, centroid_mod, n_centroids)
-    a = base.select(F.col(id_col).alias("src_id"), "cid",
-                    F.col("qv").alias("aq"), F.col("n2").alias("an2"))
+    if nprobe == 2:
+        cents = (emb.select(F.col(id_col),
+                            quantize(F.col(vec_col)).alias("qv"),
+                            sq_norm(quantize(F.col(vec_col))).alias("n2"))
+                 .filter(_fixed_sample(id_col, centroid_mod, n_centroids))
+                 .select(F.col(id_col).alias("cid2"),
+                         F.col("qv").alias("cv"), F.col("n2").alias("cn2")))
+        scored2 = (base.crossJoin(F.broadcast(cents))
+                   .filter(F.col("cid2") != F.col("cid"))
+                   .select(F.col(id_col), F.col("qv"), F.col("n2"),
+                           F.struct(
+                               (F.col("n2") + F.col("cn2")
+                                - 2 * int_dot(F.col("qv"), F.col("cv")))
+                               .alias("dist"),
+                               F.col("cid2")).alias("sd")))
+        second = (scored2.groupBy(id_col, "qv", "n2")
+                  .agg(F.min("sd").alias("best"))
+                  .select(F.col(id_col), F.col("best.cid2").alias("cid"),
+                          "qv", "n2"))
+        # the probe-2 copy extends the QUERY side only — the candidate
+        # side must keep one cell per vector or candidates duplicate
+        qbase = base.unionByName(second)
+    else:
+        qbase = base
+    a = qbase.select(F.col(id_col).alias("src_id"), "cid",
+                     F.col("qv").alias("aq"), F.col("n2").alias("an2"))
     b = base.select(F.col(id_col).alias("neighbor_id"), "cid",
                     F.col("qv").alias("bq"), F.col("n2").alias("bn2"))
     scored = (a.join(b, "cid")

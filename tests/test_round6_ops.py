@@ -415,3 +415,32 @@ def test_all_signal_cluster_found_only_via_embedding(spark):
     assert len(out) == 1
     assert out[0]["cluster_size"] == 2
     assert out[0]["signals"] == "embedding"
+
+
+def test_knn_graph_nprobe2_finds_cross_cell_neighbor(spark):
+    """A vector whose true nearest neighbor sits across the coarse-cell
+    boundary: nprobe=1 misses it, nprobe=2 finds it at rank 1."""
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0, 1.0] + [0.0] * 62
+    x = [0.6, 0.55] + [0.0] * 62   # assigned to e1's cell (closer to e1)
+    y = [0.5, 0.65] + [0.0] * 62   # assigned to e2's cell; cos(x,y)≈0.985
+    # centroids = ids 0 and 10 (mod=10, n=2)
+    rows = [(0, e1), (10, e2), (1, x), (2, y)]
+    df = _emb(spark, rows)
+    one = {r["vec_id"]: r for r in
+           knn_graph(df, k=1, centroid_mod=10, n_centroids=2,
+                     nprobe=1).collect()}
+    two = {r["vec_id"]: r for r in
+           knn_graph(df, k=1, centroid_mod=10, n_centroids=2,
+                     nprobe=2).collect()}
+    assert one[1]["neighbor_id"] != 2          # y invisible from x's cell
+    assert two[1]["neighbor_id"] == 2          # probe 2 reaches y's cell
+    assert two[1]["cosine"] > 0.98
+    # candidates never duplicate: rank-1 rows are unique per vector
+    assert len(two) == len({r for r in two})
+
+
+def test_knn_graph_rejects_bad_nprobe(spark):
+    import pytest
+    with pytest.raises(ValueError):
+        knn_graph(_emb(spark, [(0, [1.0] * 64)]), nprobe=3)
