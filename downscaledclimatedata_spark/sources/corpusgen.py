@@ -91,3 +91,41 @@ class CorpusGenDataSource(DataSource):
 
     def reader(self, schema) -> CorpusGenReader:
         return CorpusGenReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return CorpusGenStreamReader(self.options)
+
+
+# --- streaming reader (Spark 4 streaming Python DataSource API) -----------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class CorpusGenStreamReader(SimpleDataSourceStreamReader):
+    """Unbounded-feed twin of the batch reader: each micro-batch emits the
+    next ``batch_docs`` documents of the same deterministic (seed, id)
+    sequence, up to ``max_docs``. Offsets are plain doc-id cursors, so
+    ``readBetweenOffsets`` replay (crash recovery) regenerates exactly
+    the rows of the original batch — the generator IS its own
+    write-ahead log. Lets the streaming prep/near-dup pipelines be fed
+    without materializing parquet micro-batches.
+    """
+
+    def __init__(self, options: dict):
+        self.batch = max(1, int(options.get("batch_docs", 100)))
+        self.max_docs = int(options.get("max_docs", 1000))
+        self.seed = str(options.get("seed", "gen0"))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        s = int(start["i"])
+        e = min(s + self.batch, self.max_docs)
+        if e <= s:
+            return iter(()), {"i": s}
+        return iter([_doc_row(self.seed, i) for i in range(s, e)]), {"i": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_doc_row(self.seed, i)
+                     for i in range(int(start["i"]), int(end["i"]))])

@@ -67,3 +67,29 @@ def test_composes_with_corpus_operators(registered):
 def test_row_function_is_pure():
     assert _doc_row("x", 7) == _doc_row("x", 7)
     assert _doc_row("x", 7) != _doc_row("x", 8)
+
+
+def test_streaming_reader_drains_deterministically(registered, tmp_path):
+    """readStream.format('corpusgen') must emit the SAME rows as the
+    batch reader, in batch_docs-sized micro-batches, and stop advancing
+    at max_docs."""
+    import time
+    got = []
+
+    def sink(df, epoch_id):
+        got.extend((r["doc_id"], r["text"]) for r in df.collect())
+
+    q = (registered.readStream.format("corpusgen")
+         .option("batch_docs", 40).option("max_docs", 100)
+         .load().writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="0 seconds").start())
+    deadline = time.time() + 90
+    while time.time() < deadline and len(got) < 100:
+        time.sleep(0.5)
+    q.stop()
+    assert sorted(r[0] for r in got) == list(range(100))
+    batch = {(r["doc_id"], r["text"]) for r in
+             registered.read.format("corpusgen")
+             .option("n_docs", 100).load().collect()}
+    assert set(got) == batch
