@@ -1237,7 +1237,9 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
         .select(F.col(id_col), "block_idx",
                 F.concat_ws(" ", F.slice(F.col("t"), F.col("start") + 1,
                                          block)).alias("para")))
-    hashed = blocks.withColumn("ph", md5_long(F.col("para")))
+    # checkpoint: the hashed block relation feeds both the winner
+    # election and the per-doc counts — one tokenize/explode pass, not two
+    hashed = blocks.withColumn("ph", md5_long(F.col("para"))).localCheckpoint()
     w = Window.partitionBy("ph").orderBy(F.col(id_col), F.col("block_idx"))
     kept = (hashed.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1))
@@ -1324,15 +1326,19 @@ def cross_corpus_matches(new_df: DataFrame, ref_df: DataFrame,
     b_new = _banded(minhash_signatures(new_df, text_col, id_col),
                     id_col, n_perms, band_size) \
         .withColumnRenamed(id_col, "new_id")
+    # checkpoint: the ref banding feeds BOTH the bucket-size cap and the
+    # hits join — without it the ref signature pipeline runs twice.
+    # Checkpointed relations lose size estimates, so the corpus-scaled
+    # hits join carries an explicit merge hint (broadcast-OOM lesson).
     b_ref = _banded(minhash_signatures(ref_df, text_col, id_col),
                     id_col, n_perms, band_size) \
-        .withColumnRenamed(id_col, "ref_id")
+        .withColumnRenamed(id_col, "ref_id").localCheckpoint()
     ok = (b_ref.groupBy("band_id", "band_hash")
           .agg(F.count("*").alias("nb"))
           .filter(F.col("nb") <= max_bucket)
           .select("band_id", "band_hash"))
     hits = (b_new.join(ok, ["band_id", "band_hash"], "left_semi")
-            .join(b_ref, ["band_id", "band_hash"])
+            .join(b_ref.hint("merge"), ["band_id", "band_hash"])
             .select("new_id", "ref_id"))
     return (hits.groupBy("new_id")
             .agg(F.countDistinct("ref_id").alias("n_ref_matches"),

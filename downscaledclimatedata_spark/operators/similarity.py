@@ -1680,13 +1680,21 @@ def _assigned_corpus(emb: DataFrame, id_col: str, vec_col: str,
                      centroid_mod: int = CENTROID_MOD,
                      n_centroids: int = N_CENTROIDS) -> DataFrame:
     """(id, cid, qv, n2) for every nonzero-norm vector — the coarse-
-    partitioned corpus relation the graph/prune operators join on."""
+    partitioned corpus relation the graph/prune operators join on.
+
+    localCheckpoint: every consumer references the relation at least
+    twice (both self-join sides, plus the sizes aggregate in
+    semantic_dedup) — without it the N·k assignment crossJoin re-runs
+    per reference. Checkpointed relations lose their size estimates, so
+    consumers must put explicit merge hints on corpus-scaled joins (the
+    BENCH_SCALE round-6 broadcast-OOM lesson)."""
     assign = ivf_assign(emb, id_col, vec_col, centroid_mod, n_centroids)
     return (emb.join(assign, id_col)
             .select(F.col(id_col), F.col("cid"),
                     quantize(F.col(vec_col)).alias("qv"),
                     sq_norm(quantize(F.col(vec_col))).alias("n2"))
-            .filter(F.col("n2") > 0))
+            .filter(F.col("n2") > 0)
+            .localCheckpoint())
 
 
 def knn_graph(emb: DataFrame, id_col: str = "vec_id",
@@ -1749,7 +1757,7 @@ def knn_graph(emb: DataFrame, id_col: str = "vec_id",
                      F.col("qv").alias("aq"), F.col("n2").alias("an2"))
     b = base.select(F.col(id_col).alias("neighbor_id"), "cid",
                     F.col("qv").alias("bq"), F.col("n2").alias("bn2"))
-    scored = (a.join(b, "cid")
+    scored = (a.join(b.hint("merge"), "cid")
               .filter(F.col("src_id") != F.col("neighbor_id"))
               .select("src_id", "neighbor_id",
                       (int_dot(F.col("aq"), F.col("bq")).cast("double")
@@ -1808,7 +1816,7 @@ def semantic_pairs_from_assigned(base: DataFrame, id_col: str = "vec_id",
                     F.col("qv").alias("aq"), F.col("n2").alias("an2"))
     b = base.select(F.col(id_col).alias("id_b"), "cid",
                     F.col("qv").alias("bq"), F.col("n2").alias("bn2"))
-    return (a.join(b, "cid")
+    return (a.join(b.hint("merge"), "cid")
             .filter(F.col("id_a") < F.col("id_b"))
             .withColumn("cosine",
                         int_dot(F.col("aq"), F.col("bq")).cast("double")
