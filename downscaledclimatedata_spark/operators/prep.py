@@ -896,3 +896,69 @@ def write_training_shards(df: DataFrame, out_dir: str,
     (df.repartition(F.col(shard_col))
      .sortWithinPartitions(shard_col, pos_col)
      .write.mode("overwrite").partitionBy(shard_col).parquet(out_dir))
+
+
+# --- corpus report (the "corpus card" summary) ----------------------------------
+
+def corpus_report(df: DataFrame, text_col: str = "text",
+                  lang_col: str = "lang",
+                  source_col: str = "source") -> DataFrame:
+    """One-pass corpus card: doc/token/char totals overall, per language,
+    and per source — the summary table a dataset release ships.
+
+    GROUPING SETS ((), (lang), (source)) computes all three groupings in
+    a single scan + one shuffle (Spark expands rows once per set,
+    partial-aggregates map-side); `grain` labels each output row. Token
+    counts share the engine-wide tokenizer.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), WS_RE),
+                    lambda x: x != "")
+    base = df.select(
+        F.col(lang_col).alias("lang"), F.col(source_col).alias("source"),
+        F.coalesce(F.size(toks).cast("bigint"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.length(text_col).cast("bigint"), F.lit(0))
+        .alias("n_chars"))
+    g = base.groupingSets([[], [F.col("lang")], [F.col("source")]],
+                          F.col("lang"), F.col("source"))
+    return (g.agg(F.count("*").alias("n_docs"),
+                  F.sum("n_tokens").alias("total_tokens"),
+                  F.sum("n_chars").alias("total_chars"),
+                  F.max("n_tokens").alias("max_tokens"))
+            .select(
+                F.when(F.col("lang").isNotNull(), F.lit("lang"))
+                .when(F.col("source").isNotNull(), F.lit("source"))
+                .otherwise(F.lit("all")).alias("grain"),
+                F.coalesce(F.col("lang"), F.col("source"), F.lit("*"))
+                .alias("key"),
+                "n_docs", "total_tokens", "total_chars", "max_tokens"))
+
+
+def prep_corpus_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_report(docs)
+
+
+_PREP_REPORT_SQL = f"""
+WITH base AS (
+  SELECT lang, source,
+    coalesce(len({_TOKS_QF_SQL}), 0) AS n_tokens,
+    coalesce(len(text), 0) AS n_chars
+  FROM documents
+)
+SELECT
+  CASE WHEN lang IS NOT NULL THEN 'lang'
+       WHEN source IS NOT NULL THEN 'source'
+       ELSE 'all' END AS grain,
+  coalesce(lang, source, '*') AS key,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM base
+GROUP BY GROUPING SETS ((), (lang), (source))
+"""
+
+register(QuerySpec(
+    "prep_corpus_report", prep_corpus_report_query, _PREP_REPORT_SQL,
+    description="corpus card: doc/token/char totals overall + per lang "
+                "+ per source via GROUPING SETS — one scan, one shuffle"))
