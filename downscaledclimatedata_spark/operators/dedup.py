@@ -1437,3 +1437,84 @@ register(QuerySpec("dedup_all_signal_clusters",
                                "UNION embedding evidence (cluster-scoped "
                                "cosine) — one entity graph, per-cluster "
                                "signal provenance"))
+
+
+# --- dedup application: the pruned corpus ---------------------------------------
+
+def prune_corpus(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Apply a near-dup pair relation to the corpus: keep the min-id
+    representative of every connected component plus every unpaired doc
+    — the step that turns dedup ANALYSIS into the corpus a pipeline
+    actually trains on. Returns the surviving rows of ``df``.
+
+    Scale: components over the (small) pair relation, then one
+    left_anti join of the corpus against the removed-id set (ids whose
+    component label differs from their own id). The corpus itself never
+    enters the iterative component build.
+    """
+    comps = connected_components(pairs)
+    removed = comps.filter(F.col("id") != F.col("comp")) \
+        .select(F.col("id").alias(id_col))
+    return df.join(removed, id_col, "left_anti")
+
+
+def dedup_prune_corpus_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor summary after collapsing minhash-LSH components: the
+    before/after doc and token mass a dedup run reports."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    survivors = prune_corpus(docs, lsh_candidate_pairs(sigs, "doc_id"))
+    toks = F.filter(F.split(F.lower(F.col("text")), WS_RE), lambda x: x != "")
+    return survivors.agg(
+        F.count("*").alias("n_survivors"),
+        F.sum(F.coalesce(F.size(toks).cast("bigint"), F.lit(0)))
+        .alias("surviving_tokens"),
+        F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id"))
+
+
+_DEDUP_PRUNE_SQL = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_HASHED_CTE},
+sigs AS (
+  SELECT doc_id, {_MINHASH_COLS_SQL}
+  FROM hashed GROUP BY doc_id
+),
+banded AS ({_BAND_SELECTS}),
+ok AS (
+  SELECT band_id, band_hash FROM banded
+  GROUP BY band_id, band_hash HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN ok ON ok.band_id = a.band_id AND ok.band_hash = a.band_hash
+  JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, lab) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+removed AS (SELECT id AS doc_id FROM comp WHERE id <> comp),
+survivors AS (
+  SELECT d.* FROM documents d ANTI JOIN removed r ON r.doc_id = d.doc_id
+)
+SELECT COUNT(*) AS n_survivors,
+  CAST(SUM(coalesce(len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '')), 0)) AS BIGINT) AS surviving_tokens,
+  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM survivors
+"""
+
+register(QuerySpec("dedup_prune_corpus", dedup_prune_corpus_query,
+                   _DEDUP_PRUNE_SQL,
+                   description="apply near-dup components to the corpus: "
+                               "keep min-id representatives + unpaired "
+                               "docs; survivor doc/token summary"))

@@ -444,3 +444,23 @@ def test_knn_graph_rejects_bad_nprobe(spark):
     import pytest
     with pytest.raises(ValueError):
         knn_graph(_emb(spark, [(0, [1.0] * 64)]), nprobe=3)
+
+
+# --- prune_corpus ---------------------------------------------------------------
+
+def test_prune_corpus_keeps_representatives_and_unpaired(spark):
+    from downscaledclimatedata_spark.operators.dedup import prune_corpus
+    docs = _docs(spark, [(i, f"doc {i}", "s", 0) for i in range(6)])
+    # components: {0,1,2} (rep 0), {4,5} (rep 4); 3 unpaired
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"]
+                  for r in prune_corpus(docs, pairs).collect())
+    assert kept == [0, 3, 4]
+
+
+def test_prune_corpus_no_pairs_keeps_everything(spark):
+    from downscaledclimatedata_spark.operators.dedup import prune_corpus
+    docs = _docs(spark, [(i, "x", "s", 0) for i in range(4)])
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert prune_corpus(docs, pairs).count() == 4
