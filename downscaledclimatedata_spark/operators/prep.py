@@ -962,3 +962,32 @@ register(QuerySpec(
     "prep_corpus_report", prep_corpus_report_query, _PREP_REPORT_SQL,
     description="corpus card: doc/token/char totals overall + per lang "
                 "+ per source via GROUPING SETS — one scan, one shuffle"))
+
+
+# --- pipeline observability (Observation metrics) -------------------------------
+
+def observed(df: DataFrame, name: str = "prep"):
+    """Attach zero-cost pipeline counters to a prep relation: rows,
+    total tokens (when an ``n_tokens``-like column is present), and NULL
+    text count. Returns (df, Observation) — metrics materialize as a
+    side effect of whatever action the caller already runs, with NO
+    extra pass over the data (the production alternative to a separate
+    .count() job per pipeline stage).
+
+    Read ``obs.get`` AFTER an action completes.
+    """
+    from pyspark.sql import Observation
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    cols = set(df.columns)
+    for c in ("n_tokens", "n_content_tokens"):
+        if c in cols:
+            metrics.append(
+                F.sum(F.coalesce(F.col(c), F.lit(0))).alias("total_tokens"))
+            break
+    for c in ("text", "clean_text"):
+        if c in cols:
+            metrics.append(
+                F.sum(F.col(c).isNull().cast("bigint")).alias("n_null_text"))
+            break
+    return df.observe(obs, *metrics), obs

@@ -244,3 +244,25 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         assert list(pdf["pos"]) == sorted(pdf["pos"]), d
         total += len(pdf)
     assert total == docs.count()
+
+
+def test_observed_metrics_ride_the_action(spark):
+    """Observation counters must report rows/tokens/nulls from the SAME
+    action that consumed the relation — no extra pass."""
+    from downscaledclimatedata_spark.operators.prep import (
+        clean_documents, observed)
+    df = _docs(spark, [
+        (1, "alpha beta gamma", "s", 0),
+        (2, None, "s", 0),
+        (3, "the a of", "s", 0),
+    ])
+    cleaned = clean_documents(df)
+    obs_df, obs = observed(cleaned, "clean")
+    n = obs_df.count()          # the only action
+    got = obs.get
+    assert n == 3 and got["n_rows"] == 3
+    # content tokens: doc1 has 3 (no stopwords in list except none),
+    # doc2 -> 0, doc3 all-stopwords -> 0
+    total = sum(r["n_content_tokens"] or 0 for r in cleaned.collect())
+    assert got["total_tokens"] == total
+    assert got["n_null_text"] == 0  # clean_text coalesces NULL to ''
