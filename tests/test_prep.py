@@ -265,4 +265,6 @@ def test_observed_metrics_ride_the_action(spark):
     # doc2 -> 0, doc3 all-stopwords -> 0
     total = sum(r["n_content_tokens"] or 0 for r in cleaned.collect())
     assert got["total_tokens"] == total
-    assert got["n_null_text"] == 0  # clean_text coalesces NULL to ''
+    # clean_text propagates NULL (only content_text is coalesced) — the
+    # counter exists precisely to surface such rows
+    assert got["n_null_text"] == 1
