@@ -733,3 +733,106 @@ register(QuerySpec(
                 f"{len(BM25_TERMS)}-term query: single-row stats "
                 "broadcast, per-row tf arrays, TakeOrderedAndProject "
                 "top-n — zero wide shuffles"))
+
+
+# --- corpus drift: token-distribution divergence between two corpora ------------
+
+DRIFT_TOPK = 10
+
+
+def corpus_drift(ref_df: DataFrame, new_df: DataFrame,
+                 text_col: str = "text", topk: int = DRIFT_TOPK) -> DataFrame:
+    """Top drifting tokens between two corpora + the total-variation
+    distance — the monitoring op a pipeline runs between crawl
+    snapshots (did the token distribution move?).
+
+    TV distance = Σ|c_ref·N_new − c_new·N_ref| / (2·N_ref·N_new), kept
+    in exact integer arithmetic until one final double division, so the
+    statistic is bit-identical cross-engine (no float sums over the
+    vocabulary — the sum happens on exact int64). Domain: exact while
+    c·N < 2⁶³ (≈10⁹-token corpora with 10⁹-count tokens); beyond that,
+    cast the products to DECIMAL(38,0) — same expression shape.
+
+    Scale: one explode+count per corpus (shuffle keyed on token), a
+    full-outer equi-join on token, one single-row total broadcast; top-k
+    is TakeOrderedAndProject. Returns the ``topk`` largest-drift tokens
+    with (c_ref, c_new, drift_num) and the corpus-level tv_distance
+    repeated on every row (one relation, no second job).
+    """
+    def counts(df, side):
+        toks = _tokens(F.col(text_col))
+        return (df.select(F.explode(toks).alias("token"))
+                .groupBy("token").agg(F.count("*").alias(f"c_{side}")))
+
+    joined = (counts(ref_df, "ref")
+              .join(counts(new_df, "new"), "token", "full_outer")
+              .select("token",
+                      F.coalesce(F.col("c_ref"), F.lit(0)).alias("c_ref"),
+                      F.coalesce(F.col("c_new"), F.lit(0)).alias("c_new")))
+    totals = joined.agg(F.sum("c_ref").alias("n_ref"),
+                        F.sum("c_new").alias("n_new"))
+    scored = (joined.crossJoin(F.broadcast(totals))
+              .withColumn("drift_num",
+                          F.abs(F.col("c_ref") * F.col("n_new")
+                                - F.col("c_new") * F.col("n_ref"))))
+    tv = scored.agg(
+        F.sum("drift_num").alias("tv_num"),
+        F.first("n_ref").alias("n_ref"), F.first("n_new").alias("n_new"))
+    ranked = (scored.select("token", "c_ref", "c_new", "drift_num")
+              .orderBy(F.col("drift_num").desc(), F.col("token"))
+              .limit(topk))
+    return (ranked.crossJoin(F.broadcast(tv))
+            .select("token", "c_ref", "c_new", "drift_num",
+                    (F.col("tv_num").cast("double")
+                     / (F.lit(2.0) * (F.col("n_ref") * F.col("n_new"))
+                        .cast("double"))).alias("tv_distance")))
+
+
+def text_corpus_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+    from downscaledclimatedata_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    is_ref = md5_long(F.col("source"), seed="xsplit:") % 2 == 0
+    return corpus_drift(docs.filter(is_ref), docs.filter(~is_ref))
+
+
+def _corpus_drift_sql() -> str:
+    from downscaledclimatedata_spark.functions.hashing import md5_long_sql
+    split = f"({md5_long_sql('source', seed='xsplit:')}) % 2 = 0"
+    return f"""
+WITH toks AS (
+  SELECT ({split}) AS is_ref, unnest({_TOKS_SQL}) AS token FROM documents
+), cr AS (
+  SELECT token, COUNT(*) AS c_ref FROM toks WHERE is_ref GROUP BY token
+), cn AS (
+  SELECT token, COUNT(*) AS c_new FROM toks WHERE NOT is_ref GROUP BY token
+), joined AS (
+  SELECT coalesce(cr.token, cn.token) AS token,
+    CAST(coalesce(c_ref, 0) AS BIGINT) AS c_ref,
+    CAST(coalesce(c_new, 0) AS BIGINT) AS c_new
+  FROM cr FULL OUTER JOIN cn ON cn.token = cr.token
+), totals AS (
+  SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+         CAST(SUM(c_new) AS BIGINT) AS n_new FROM joined
+), scored AS (
+  SELECT token, c_ref, c_new,
+    abs(c_ref * n_new - c_new * n_ref) AS drift_num, n_ref, n_new
+  FROM joined CROSS JOIN totals
+), tv AS (
+  SELECT CAST(SUM(drift_num) AS BIGINT) AS tv_num,
+    any_value(n_ref) AS n_ref, any_value(n_new) AS n_new
+  FROM scored
+)
+SELECT token, c_ref, c_new, CAST(drift_num AS BIGINT) AS drift_num,
+  CAST(tv_num AS DOUBLE) / (2.0 * CAST(tv.n_ref * tv.n_new AS DOUBLE))
+    AS tv_distance
+FROM scored CROSS JOIN tv
+ORDER BY drift_num DESC, token LIMIT {DRIFT_TOPK}
+"""
+
+
+register(QuerySpec(
+    "text_corpus_drift", text_corpus_drift_query, _corpus_drift_sql(),
+    description="token-distribution drift between corpus halves: exact-"
+                f"integer total-variation distance + top-{DRIFT_TOPK} "
+                "drifting tokens, one explode+count per corpus"))

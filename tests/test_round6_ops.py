@@ -464,3 +464,33 @@ def test_prune_corpus_no_pairs_keeps_everything(spark):
     docs = _docs(spark, [(i, "x", "s", 0) for i in range(4)])
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert prune_corpus(docs, pairs).count() == 4
+
+
+# --- corpus_drift ---------------------------------------------------------------
+
+def test_corpus_drift_identical_and_disjoint(spark):
+    from downscaledclimatedata_spark.operators.textops import corpus_drift
+    same_a = _docs(spark, [(1, "x y z", "s", 0)])
+    same_b = _docs(spark, [(2, "x y z", "s", 0)])
+    out = corpus_drift(same_a, same_b).collect()
+    assert all(r["tv_distance"] == 0.0 for r in out)
+
+    dis_a = _docs(spark, [(1, "aa bb", "s", 0)])
+    dis_b = _docs(spark, [(2, "cc dd", "s", 0)])
+    out2 = corpus_drift(dis_a, dis_b).collect()
+    assert out2 and all(r["tv_distance"] == 1.0 for r in out2)
+    # disjoint vocab: each token fully one-sided
+    for r in out2:
+        assert (r["c_ref"] == 0) != (r["c_new"] == 0)
+
+
+def test_corpus_drift_hand_computed(spark):
+    from downscaledclimatedata_spark.operators.textops import corpus_drift
+    # ref: a a b (n=3); new: a b b b (n=4)
+    ref = _docs(spark, [(1, "a a b", "s", 0)])
+    new = _docs(spark, [(2, "a b b b", "s", 0)])
+    out = {r["token"]: r for r in corpus_drift(ref, new).collect()}
+    # drift_num(a) = |2*4 - 1*3| = 5 ; drift_num(b) = |1*4 - 3*3| = 5
+    assert out["a"]["drift_num"] == 5 and out["b"]["drift_num"] == 5
+    # tv = (5+5) / (2*3*4) = 10/24
+    assert abs(out["a"]["tv_distance"] - 10 / 24) < 1e-15
