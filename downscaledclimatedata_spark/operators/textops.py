@@ -781,11 +781,16 @@ def corpus_drift(ref_df: DataFrame, new_df: DataFrame,
     ranked = (scored.select("token", "c_ref", "c_new", "drift_num")
               .orderBy(F.col("drift_num").desc(), F.col("token"))
               .limit(topk))
+    # one side empty (comparing against an empty corpus): TV is 1.0 by
+    # convention — the guard also keeps ANSI mode from dividing by zero
+    tv_expr = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_new") > 0),
+        F.col("tv_num").cast("double")
+        / (F.lit(2.0) * (F.col("n_ref") * F.col("n_new")).cast("double"))
+    ).otherwise(F.lit(1.0))
     return (ranked.crossJoin(F.broadcast(tv))
             .select("token", "c_ref", "c_new", "drift_num",
-                    (F.col("tv_num").cast("double")
-                     / (F.lit(2.0) * (F.col("n_ref") * F.col("n_new"))
-                        .cast("double"))).alias("tv_distance")))
+                    tv_expr.alias("tv_distance")))
 
 
 def text_corpus_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,8 +829,9 @@ WITH toks AS (
   FROM scored
 )
 SELECT token, c_ref, c_new, CAST(drift_num AS BIGINT) AS drift_num,
-  CAST(tv_num AS DOUBLE) / (2.0 * CAST(tv.n_ref * tv.n_new AS DOUBLE))
-    AS tv_distance
+  CASE WHEN tv.n_ref > 0 AND tv.n_new > 0
+       THEN CAST(tv_num AS DOUBLE) / (2.0 * CAST(tv.n_ref * tv.n_new AS DOUBLE))
+       ELSE 1.0 END AS tv_distance
 FROM scored CROSS JOIN tv
 ORDER BY drift_num DESC, token LIMIT {DRIFT_TOPK}
 """
