@@ -494,3 +494,42 @@ def test_corpus_drift_hand_computed(spark):
     assert out["a"]["drift_num"] == 5 and out["b"]["drift_num"] == 5
     # tv = (5+5) / (2*3*4) = 10/24
     assert abs(out["a"]["tv_distance"] - 10 / 24) < 1e-15
+
+
+_QF_WORD = st.sampled_from(["aa", "bb", "the", "of", "longerword", "!!", "x"])
+_QF_TEXT = st.lists(_QF_WORD, min_size=0, max_size=25).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_QF_TEXT, min_size=1, max_size=6))
+def test_quality_filter_matches_python_reference(spark, texts):
+    from downscaledclimatedata_spark.operators.prep import (
+        QF_MAX_SYMBOL_RATIO, QF_MAX_TOKENS, QF_MAX_TOP_TOKEN_RATIO,
+        QF_MAX_MEAN_WLEN, QF_MIN_MEAN_WLEN, QF_MIN_STOPWORDS,
+        QF_MIN_TOKENS, STOPWORDS)
+    import re
+    rows = [(i, t, "s", 0) for i, t in enumerate(texts)]
+    got = {r["doc_id"]: r for r in quality_filter(_docs(spark, rows)).collect()}
+    for i, text in enumerate(texts):
+        low = text.lower()
+        toks = [w for w in low.split(" ") if w]
+        n = len(toks)
+        mean_wl = sum(len(w) for w in toks) / n if n else 0.0
+        top = max((toks.count(w) for w in set(toks)), default=0)
+        top_ratio = top / n if n else 0.0
+        sym = len(re.findall(r"[^a-z0-9 ]", low)) / len(low) if low else 0.0
+        n_stop = len(set(toks) & set(STOPWORDS))
+        rules = {
+            "r_token_count": QF_MIN_TOKENS <= n <= QF_MAX_TOKENS,
+            "r_mean_word_len": QF_MIN_MEAN_WLEN <= mean_wl <= QF_MAX_MEAN_WLEN,
+            "r_symbol_ratio": sym <= QF_MAX_SYMBOL_RATIO,
+            "r_top_token_ratio": top_ratio <= QF_MAX_TOP_TOKEN_RATIO,
+            "r_stopwords": n_stop >= QF_MIN_STOPWORDS,
+        }
+        r = got[i]
+        for name, want in rules.items():
+            assert r[name] == want, (i, name, text)
+        assert r["n_failed"] == sum(1 for v in rules.values() if not v)
+        assert r["passes"] == all(rules.values())
+        assert abs(r["mean_word_len"] - mean_wl) < 1e-12
