@@ -18,6 +18,8 @@ double expression order) that hash-match the DuckDB oracle bit-for-bit.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -181,3 +183,40 @@ register(QuerySpec("pandas_zscore_groups", pandas_zscore_query, _ZSCORE_SQL,
                    description="applyInPandas per-group z-score (exact int sums -> fixed double expr)"))
 register(QuerySpec("pandas_weighted_mean", pandas_weighted_mean_query, _WMEAN_SQL,
                    description="GROUPED_AGG pandas_udf weighted mean (exact int sums)"))
+
+
+def compression_signals(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio — the RedPajama/Dolma
+    repetitiveness signal (highly repetitive or templated text
+    compresses far below natural prose; near-random text ratios ≈ 1).
+
+    This is a genuine Pandas-UDF case: no Catalyst expression computes
+    DEFLATE, so the ratio runs as an Arrow-batched SCALAR_ITER pandas
+    UDF — per-batch Python dispatch, C-speed zlib per row, no
+    row-at-a-time pickling. No DuckDB oracle exists for DEFLATE either,
+    so this operator is unit-gated against direct zlib (the same
+    discipline as the multimodal decode units), not spec-registered.
+
+    Columns: raw/compressed byte counts and their ratio (1.0 for empty
+    or NULL text — "compresses to itself").
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = level
+
+    @pandas_udf("struct<n_bytes: bigint, n_compressed: bigint, ratio: double>")
+    def comp(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for s in batches:
+            raw = s.fillna("").map(lambda t: t.encode("utf-8"))
+            n = raw.map(len)
+            c = raw.map(lambda b: len(zlib.compress(b, lvl)))
+            ratio = (c / n.where(n > 0)).fillna(1.0)
+            yield pd.DataFrame(
+                {"n_bytes": n, "n_compressed": c, "ratio": ratio})
+
+    out = df.select(F.col(id_col), comp(F.col(text_col)).alias("z"))
+    return out.select(id_col, "z.n_bytes", "z.n_compressed", "z.ratio")

@@ -51,3 +51,27 @@ def test_weighted_mean_matches_expression(spark):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-9, k
+
+
+def test_compression_signals_match_direct_zlib(spark):
+    """The Arrow-batched ratio must equal direct zlib on the driver;
+    repetitive text must compress far better than high-entropy text."""
+    import zlib
+
+    from downscaledclimatedata_spark.operators.pandasops import (
+        compression_signals)
+    rep = "spam " * 200
+    rnd = " ".join(f"w{i * 7919 % 1000}x{i * 104729 % 997}"
+                   for i in range(200))
+    df = spark.createDataFrame(
+        [(1, rep), (2, rnd), (3, ""), (4, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_signals(df).collect()}
+    for i, t in [(1, rep), (2, rnd)]:
+        b = t.encode()
+        assert got[i]["n_bytes"] == len(b)
+        assert got[i]["n_compressed"] == len(zlib.compress(b, 6))
+        assert abs(got[i]["ratio"] - len(zlib.compress(b, 6)) / len(b)) < 1e-12
+    assert got[1]["ratio"] < 0.05          # boilerplate collapses
+    assert got[2]["ratio"] > 0.3           # high-entropy stays large
+    assert got[3]["ratio"] == 1.0 and got[4]["ratio"] == 1.0
