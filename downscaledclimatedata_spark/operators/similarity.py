@@ -2021,3 +2021,104 @@ register(QuerySpec(
     description=f"hierarchical IVF coarse assignment through {N_SUPER} "
                 "super-cells: N·sqrt(k) build instead of N·k — the "
                 "production-codebook (10^4-10^5 lists) assignment path"))
+
+
+# --- PageRank over the kNN graph (integer-exact power iteration) ----------------
+
+PR_ROUNDS = 3
+PR_INIT = 1_000_000    # scaled-integer initial rank
+PR_BASE = 150_000      # (1 - d) * PR_INIT with damping d = 0.85
+PR_DNUM, PR_DDEN = 85, 100
+PR_TOPN = 20
+
+
+def graph_pagerank(edges: DataFrame, rounds: int = PR_ROUNDS,
+                   src: str = "src", dst: str = "dst") -> DataFrame:
+    """Damped PageRank over a directed edge relation, in EXACT scaled-
+    integer arithmetic: rank' = 150000 + (85 · Σ floor(rank/outdeg)) / 100
+    (integer division throughout, all operands positive) — float PageRank
+    sums are order-dependent and can never hash-match a SQL oracle; the
+    integer recurrence is deterministic in both engines and converges to
+    the same ordering for ranking purposes.
+
+    Scale: the classic iterative DataFrame shape (kmeans_refine,
+    connected_components): per round one join edges⋈ranks (shuffle on
+    the uniform id) + one groupBy(dst); ranks localCheckpoint per round
+    so lineage stays flat. Returns (id, rank, out_degree) for every
+    node of the graph.
+    """
+    edges = edges.select(F.col(src).alias("src"),
+                         F.col(dst).alias("dst")).localCheckpoint()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (edges.select(F.col("src").alias("id"))
+             .union(edges.select(F.col("dst").alias("id"))).distinct())
+    ranks = nodes.select("id", F.lit(PR_INIT).cast("long").alias("rank")) \
+        .localCheckpoint()
+    for _ in range(rounds):
+        contrib = (edges
+                   .join(ranks.withColumnRenamed("id", "src"), "src")
+                   .join(outdeg, "src")
+                   .select(F.col("dst").alias("id"),
+                           F.expr("rank div outdeg").alias("c")))
+        summed = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+        ranks = (nodes.join(summed, "id", "left")
+                 .select("id",
+                         (F.lit(PR_BASE)
+                          + F.expr(f"({PR_DNUM} * coalesce(s, 0)) "
+                                   f"div {PR_DDEN}")).cast("long")
+                         .alias("rank"))
+                 .localCheckpoint())
+    return (ranks.join(outdeg.withColumnRenamed("src", "id"), "id", "left")
+            .select("id", "rank",
+                    F.coalesce(F.col("outdeg"), F.lit(0)).cast("long")
+                    .alias("out_degree")))
+
+
+def similarity_knn_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document centrality over the kNN graph — the graph-based
+    representativeness signal data-selection pipelines rank by (central
+    docs summarize their semantic neighborhood). Top-N by rank."""
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    mod, k = scaled_codebook(emb.count())
+    graph = knn_graph(emb, centroid_mod=mod, n_centroids=k).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    pr = graph_pagerank(graph)
+    return (pr.orderBy(F.col("rank").desc(), F.col("id"))
+            .limit(PR_TOPN)
+            .select(F.col("id").alias("vec_id"), "rank", "out_degree"))
+
+
+def _pagerank_sql() -> str:
+    head = _KNN_GRAPH_SQL.rsplit(
+        "SELECT vec_id, neighbor_id, cosine, rnk FROM ranked", 1)[0]
+    ctes = [f"""edges AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM ranked WHERE rnk <= {KNN_K}
+), outdeg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+), r0 AS (SELECT id, CAST({PR_INIT} AS BIGINT) AS rank FROM nodes)"""]
+    for t in range(1, PR_ROUNDS + 1):
+        ctes.append(f"""c{t} AS (
+  SELECT e.dst AS id, SUM(r.rank // o.outdeg) AS s
+  FROM edges e JOIN r{t - 1} r ON r.id = e.src
+  JOIN outdeg o ON o.src = e.src GROUP BY e.dst
+), r{t} AS (
+  SELECT n.id,
+    CAST({PR_BASE} + ({PR_DNUM} * coalesce(c.s, 0)) // {PR_DDEN} AS BIGINT)
+      AS rank
+  FROM nodes n LEFT JOIN c{t} c USING (id))""")
+    return (head + ", " + ",\n".join(ctes) + f"""
+SELECT r.id AS vec_id, r.rank,
+  CAST(coalesce(o.outdeg, 0) AS BIGINT) AS out_degree
+FROM r{PR_ROUNDS} r LEFT JOIN outdeg o ON o.src = r.id
+ORDER BY r.rank DESC, r.id LIMIT {PR_TOPN}
+""")
+
+
+register(QuerySpec(
+    "similarity_knn_pagerank", similarity_knn_pagerank_query, _pagerank_sql(),
+    description=f"integer-exact PageRank ({PR_ROUNDS} damped rounds) over "
+                "the kNN graph: document centrality for graph-based data "
+                f"selection, top-{PR_TOPN}"))

@@ -533,3 +533,37 @@ def test_quality_filter_matches_python_reference(spark, texts):
         assert r["n_failed"] == sum(1 for v in rules.values() if not v)
         assert r["passes"] == all(rules.values())
         assert abs(r["mean_word_len"] - mean_wl) < 1e-12
+
+
+# --- graph_pagerank -------------------------------------------------------------
+
+def test_pagerank_matches_python_simulation(spark):
+    from downscaledclimatedata_spark.operators.similarity import (
+        PR_BASE, PR_DDEN, PR_DNUM, PR_INIT, graph_pagerank)
+    # directed graph: 1->2, 1->3, 2->3, 3->1  (3 is the hub)
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r for r in graph_pagerank(df, rounds=3).collect()}
+
+    outdeg = {1: 2, 2: 1, 3: 1}
+    ranks = {n: PR_INIT for n in (1, 2, 3)}
+    for _ in range(3):
+        s = {n: 0 for n in ranks}
+        for a, b in edges:
+            s[b] += ranks[a] // outdeg[a]
+        ranks = {n: PR_BASE + (PR_DNUM * s[n]) // PR_DDEN for n in ranks}
+    for n in (1, 2, 3):
+        assert got[n]["rank"] == ranks[n], (n, got[n]["rank"], ranks[n])
+        assert got[n]["out_degree"] == outdeg[n]
+    # hub 3 collects from 1 and 2: highest rank
+    assert ranks[3] == max(ranks.values())
+
+
+def test_pagerank_sink_node_keeps_base_rank(spark):
+    from downscaledclimatedata_spark.operators.similarity import (
+        PR_BASE, graph_pagerank)
+    # 1 -> 2; node 2 has no out-edges, node 1 no in-edges
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["id"]: r for r in graph_pagerank(df, rounds=2).collect()}
+    assert got[1]["rank"] == PR_BASE      # no in-edges after round 1
+    assert got[2]["out_degree"] == 0
