@@ -567,3 +567,40 @@ def test_pagerank_sink_node_keeps_base_rank(spark):
     got = {r["id"]: r for r in graph_pagerank(df, rounds=2).collect()}
     assert got[1]["rank"] == PR_BASE      # no in-edges after round 1
     assert got[2]["out_degree"] == 0
+
+
+# --- partitioning invariance ----------------------------------------------------
+
+def test_round6_ops_invariant_under_partitioning(spark):
+    """Every round-6 operator must produce identical results whether its
+    input arrives as 1 partition or 7 — no dependence on task layout
+    (the determinism contract task retries and AQE re-splits rely on)."""
+    from downscaledclimatedata_spark.operators.dedup import prune_corpus
+    from downscaledclimatedata_spark.operators.textops import corpus_drift
+    rows = [(i,
+             " ".join(f"w{(i * 13 + j * 7) % 23}" for j in range(5 + i % 17))
+             + (" the of" if i % 3 == 0 else ""),
+             f"s{i % 4}", 0) for i in range(60)]
+    base = _docs(spark, rows)
+
+    def runs(fn):
+        outs = []
+        for parts in (1, 7):
+            df = base.repartition(parts)
+            outs.append(sorted(map(tuple, fn(df).collect())))
+        return outs
+
+    for fn in (
+        lambda d: quality_filter(d),
+        lambda d: domain_mixture_sample(d, budget_tokens=300),
+        lambda d: paragraph_dedup(d, block=2),
+        lambda d: bm25_topk(d, "text", "doc_id", terms=("w1", "w2")),
+        lambda d: corpus_drift(d.filter("doc_id % 2 = 0"),
+                               d.filter("doc_id % 2 = 1")),
+    ):
+        a, b = runs(fn)
+        assert a == b
+
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "id_a long, id_b long")
+    a, b = runs(lambda d: prune_corpus(d, pairs))
+    assert a == b
