@@ -244,3 +244,11 @@ def test_domain_mixture_broadcasts_rates(spark):
     the corpus never shuffles on source for the acceptance pass."""
     plan = _plan(spark, "prep_domain_mixture")
     assert "BroadcastExchange" in plan, plan
+
+
+def test_corpus_drift_broadcast_totals_and_topn(spark):
+    """Drift totals (one row) must broadcast; top-k must be
+    TakeOrderedAndProject — never a global sort of the vocabulary."""
+    plan = _plan(spark, "text_corpus_drift")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan, plan
