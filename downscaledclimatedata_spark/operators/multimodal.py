@@ -198,6 +198,15 @@ def _build_image_codecs():
                 + struct.pack(">HH", height, width) + b"\x01\x11\x00")
         return b"\xff\xd8" + app0 + com + sof0 + b"\xff\xd9"
 
+    def make_gif(width: int, height: int) -> bytes:
+        # header + logical screen descriptor (LE dims) + 2-entry global
+        # color table + trivial image descriptor/LZW body + trailer
+        lsd = struct.pack("<HH", width, height) + b"\x80\x00\x00"
+        gct = b"\x00\x00\x00\xff\xff\xff"
+        img = (b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+               + b"\x00\x02\x02\x44\x01\x00")
+        return b"GIF89a" + lsd + gct + img + b"\x3b"
+
     sof_markers = frozenset([0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                              0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF])
 
@@ -205,6 +214,9 @@ def _build_image_codecs():
         if blob[:8] == png_magic and len(blob) >= 24 and blob[12:16] == b"IHDR":
             w, h = struct.unpack(">II", blob[16:24])
             return ("png", w, h)
+        if blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
+            w, h = struct.unpack("<HH", blob[6:10])  # GIF dims are LE
+            return ("gif", w, h)
         if blob[:2] == b"\xff\xd8":
             i = 2
             while i + 4 <= len(blob):
@@ -227,12 +239,12 @@ def _build_image_codecs():
                 i += 2 + seglen
         return ("unknown", None, None)
 
-    return make_png, make_jpeg, parse_header
+    return make_png, make_jpeg, make_gif, parse_header
 
 
 # nested functions are pickled by value even via these module aliases,
 # so both tests and Spark closures can use them directly
-make_png, make_jpeg, parse_image_header = _build_image_codecs()
+make_png, make_jpeg, make_gif, parse_image_header = _build_image_codecs()
 
 
 def synthesize_image_payloads(df: DataFrame) -> DataFrame:

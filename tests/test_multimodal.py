@@ -283,3 +283,19 @@ def test_png_pixel_decode_through_spark(spark):
     rows = {r.doc_id: r for r in decode_png_pixels(mixed).collect()}
     assert rows[1].pix_sum is not None
     assert rows[2].pix_sum is None and rows[2].width is None
+
+
+def test_gif_header_decode_through_spark(spark):
+    """GIF87a/89a logical-screen dims (little-endian, unlike PNG/JPEG)
+    parsed from genuine bytes through the mapInPandas decode; corrupt
+    GIF tolerated as unknown."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_image_headers, make_gif, parse_image_header)
+    assert parse_image_header(make_gif(320, 200)) == ("gif", 320, 200)
+    df = spark.createDataFrame(
+        [(1, bytearray(make_gif(17, 9))),
+         (2, bytearray(b"GIF89a\x01"))],       # truncated LSD
+        "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_image_headers(df).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("gif", 17, 9)
+    assert got[2]["format"] == "unknown" and got[2]["width"] is None
