@@ -596,7 +596,7 @@ def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
     sigs = minhash_signatures(docs, "text", "doc_id")
     pairs = lsh_candidate_pairs(sigs, "doc_id")
-    comps = connected_components(pairs)
+    comps = connected_components_star(pairs)
     sizes = comps.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     return (sizes.groupBy("cluster_size")
             .agg(F.count("*").alias("n_clusters"))
@@ -1070,7 +1070,12 @@ def multi_signal_clusters(pairs: DataFrame) -> DataFrame:
     see WHY a cluster exists (e.g. a doc-in-doc cluster visible only to
     containment).
     """
-    comps = connected_components(pairs.select("id_a", "id_b").distinct())
+    # star variant: multi-signal evidence (containment chains quote->doc
+    # ->superset) builds LONG-CHAIN components whose diameter exceeds any
+    # fixed propagation budget at corpus scale — the sf1 ladder hit
+    # exactly this (>25-round diameter). O(log n) rounds on any shape.
+    comps = connected_components_star(
+        pairs.select("id_a", "id_b").distinct())
     sizes = comps.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     provenance = (pairs
                   .join(comps.select(F.col("id").alias("id_a"), "comp"), "id_a")
@@ -1453,7 +1458,7 @@ def prune_corpus(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     component label differs from their own id). The corpus itself never
     enters the iterative component build.
     """
-    comps = connected_components(pairs)
+    comps = connected_components_star(pairs)
     removed = comps.filter(F.col("id") != F.col("comp")) \
         .select(F.col("id").alias(id_col))
     return df.join(removed, id_col, "left_anti")
