@@ -1,0 +1,134 @@
+"""End-to-end training-corpus builder: the one-call user-facing API.
+
+Chains the engine's prep/dedup family into the artifact a training run
+consumes — raw documents in, quality-filtered deduplicated shard files
+out, with a corpus report and zero-extra-pass counters:
+
+    raw docs
+      -> Gopher quality rule chain      (operators/prep.quality_filter)
+      -> clean + PII redaction          (operators/prep.clean_documents)
+      -> near-dup prune                 (minhash LSH pairs -> star
+                                         components -> keep min-id reps)
+      -> temperature domain mixture     (operators/prep.domain_mixture)
+      -> seeded global shuffle          (operators/prep.global_shuffle)
+      -> one pos-ordered file per shard (operators/prep.write_training_shards)
+
+Every stage is the SAME operator the registry oracle-checks; this module
+only composes them. Also runnable as a CLI:
+
+    python -m downscaledclimatedata_spark.pipeline \
+        --input /root/testdata/sf0.001/documents.parquet \
+        --output /tmp/shards --budget-tokens 20000 --shards 8
+
+Scale: inherits each stage's documented shape — no stage introduces a
+global sort or an unbounded broadcast; the heaviest shuffles are the
+LSH band join and the two corpus-bytes rewrites (winner election +
+shard write).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from downscaledclimatedata_spark.functions.hashing import md5_long
+from downscaledclimatedata_spark.operators.dedup import (
+    lsh_candidate_pairs, minhash_signatures, prune_corpus)
+from downscaledclimatedata_spark.operators.prep import (
+    MIX_ACCEPT_MOD, clean_documents, domain_mixture_sample, global_shuffle,
+    observed, quality_filter, write_training_shards)
+
+
+@dataclass(frozen=True)
+class CorpusBuildResult:
+    n_input: int
+    n_quality_pass: int
+    n_after_dedup: int
+    n_sampled: int
+    total_tokens: int
+    n_shards: int
+    out_dir: str
+
+
+def build_training_corpus(docs: DataFrame, out_dir: str, *,
+                          budget_tokens: int, n_shards: int = 16,
+                          seed: str = "epoch0",
+                          text_col: str = "text", id_col: str = "doc_id",
+                          source_col: str = "source") -> CorpusBuildResult:
+    """Raw documents -> written training shards; returns stage counts.
+
+    The per-doc mixture acceptance re-derives each source's rate from
+    ``domain_mixture_sample``'s summary (a broadcastable |sources|-row
+    relation), so the sample drawn here is exactly the one the
+    registered spec accounts for.
+    """
+    n_input = docs.count()
+
+    passing = quality_filter(docs, text_col, id_col) \
+        .filter("passes").select(id_col)
+    quality_docs = docs.join(passing, id_col, "left_semi")
+    n_quality = quality_docs.count()
+
+    sigs = minhash_signatures(quality_docs, text_col, id_col)
+    deduped = prune_corpus(quality_docs, lsh_candidate_pairs(sigs, id_col),
+                           text_col, id_col)
+    n_dedup = deduped.count()
+
+    rates = domain_mixture_sample(deduped, budget_tokens,
+                                  source_col=source_col, text_col=text_col,
+                                  id_col=id_col, seed=f"{seed}-mix") \
+        .select("source", "rate")
+    accept = (md5_long(F.col(id_col).cast("string"), seed=f"{seed}-mix:")
+              % MIX_ACCEPT_MOD)
+    sampled = (deduped
+               .join(F.broadcast(rates),
+                     deduped[source_col] == rates["source"])
+               .filter(accept.cast("double") < F.col("rate") * MIX_ACCEPT_MOD)
+               .drop("source", "rate")
+               if source_col != "source" else
+               deduped.join(F.broadcast(rates), "source")
+               .filter(accept.cast("double") < F.col("rate") * MIX_ACCEPT_MOD)
+               .drop("rate"))
+
+    cleaned = clean_documents(sampled, text_col, id_col,
+                              keep_cols=(source_col,))
+    obs_df, obs = observed(cleaned, "pipeline")
+    order = global_shuffle(obs_df, n_shards, id_col=id_col,
+                           seed=f"{seed}-order")
+    final = obs_df.join(order, id_col)
+    write_training_shards(final, out_dir)
+    metrics = obs.get
+
+    return CorpusBuildResult(
+        n_input=n_input, n_quality_pass=n_quality, n_after_dedup=n_dedup,
+        n_sampled=metrics["n_rows"], total_tokens=metrics["total_tokens"],
+        n_shards=n_shards, out_dir=out_dir)
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    from downscaledclimatedata_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(
+        description="Build training shards from a documents parquet.")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--budget-tokens", type=int, required=True)
+    ap.add_argument("--shards", type=int, default=16)
+    ap.add_argument("--seed", default="epoch0")
+    args = ap.parse_args(argv)
+
+    spark = get_spark("corpus-build")
+    docs = spark.read.parquet(args.input)
+    res = build_training_corpus(docs, args.output,
+                                budget_tokens=args.budget_tokens,
+                                n_shards=args.shards, seed=args.seed)
+    import json
+    print(json.dumps(res.__dict__))
+
+
+if __name__ == "__main__":
+    main()
