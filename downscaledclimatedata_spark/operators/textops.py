@@ -842,3 +842,114 @@ register(QuerySpec(
     description="token-distribution drift between corpus halves: exact-"
                 f"integer total-variation distance + top-{DRIFT_TOPK} "
                 "drifting tokens, one explode+count per corpus"))
+
+
+# --- Count-Min Sketch term-frequency estimation ---------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TERMS = ("table", "merge", "vector", "the", "window",
+             "quasar")  # last one absent from the corpus
+
+
+def cms_estimate(df: DataFrame, text_col: str, id_col: str,
+                 terms: tuple[str, ...] = CMS_TERMS,
+                 depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Count-Min Sketch frequency estimates vs exact counts.
+
+    The CMS is the streaming/mergeable counter structure heavy-hitter
+    pipelines use when the vocabulary doesn't fit memory: depth×width
+    cells, est(t) = min_d cell[d][h_d(t)], overestimate-only. Built
+    here with the portable md5 hash family, the sketch is fully
+    DETERMINISTIC — unlike engine-native sketches (HLL), every cell and
+    therefore every estimate is bit-identical in the SQL oracle, so the
+    approximation itself is correctness-checked, not just bounded.
+
+    Scale: cell build is explode(tokens)×depth -> groupBy (d, cell) —
+    the shuffle carries ≤ depth·width counter rows out of the map side
+    (partial aggregation collapses the token stream per task); the
+    sketch (2 KiB here) is broadcast-sized and mergeable across
+    corpora by cell-wise addition. Output per query term: exact count,
+    CMS estimate, overestimate (≥ 0 by construction).
+    """
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+    toks = df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+    toks = toks.localCheckpoint()  # one tokenize: cells + exact counts
+    rows = [toks.select(F.lit(d).alias("d"),
+                        (md5_long(F.col("token"), seed=f"cms{d}:") % width)
+                        .alias("cell"))
+            for d in range(depth)]
+    union = rows[0]
+    for r in rows[1:]:
+        union = union.unionByName(r)
+    cells = union.groupBy("d", "cell").agg(F.count("*").alias("n"))
+
+    import hashlib
+
+    def h(d: int, t: str) -> int:
+        return int(hashlib.md5(f"cms{d}:{t}".encode()).hexdigest()[:15],
+                   16) % width
+    spark = df.sparkSession
+    probes = spark.createDataFrame(
+        [(t, d, h(d, t)) for t in terms for d in range(depth)],
+        "term string, d int, cell bigint")
+    est = (probes.join(cells, ["d", "cell"], "left")
+           .groupBy("term")
+           .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_est")))
+    exact = (toks.groupBy("token").agg(F.count("*").alias("exact"))
+             .withColumnRenamed("token", "term"))
+    return (est.join(exact, "term", "left")
+            .select("term",
+                    F.coalesce(F.col("exact"), F.lit(0)).cast("bigint")
+                    .alias("exact"),
+                    F.col("cms_est").cast("bigint").alias("cms_est"),
+                    (F.col("cms_est")
+                     - F.coalesce(F.col("exact"), F.lit(0))).cast("bigint")
+                    .alias("overestimate")))
+
+
+def text_cms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from downscaledclimatedata_spark.sources.tables import load_table_parallel
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return cms_estimate(docs, "text", "doc_id")
+
+
+def _cms_sql() -> str:
+    cell_selects = "\nUNION ALL\n".join(
+        f"SELECT {d} AS d, ({md5_long_sql('token', seed=f'cms{d}:')})"
+        f" % {CMS_WIDTH} AS cell FROM toks"
+        for d in range(CMS_DEPTH))
+    import hashlib
+
+    def h(d, t):
+        return int(hashlib.md5(f"cms{d}:{t}".encode()).hexdigest()[:15],
+                   16) % CMS_WIDTH
+    probe_rows = ", ".join(f"('{t}', {d}, {h(d, t)})"
+                           for t in CMS_TERMS for d in range(CMS_DEPTH))
+    return f"""
+WITH toks AS (
+  SELECT unnest({_TOKS_SQL}) AS token FROM documents
+), cellstream AS (
+{cell_selects}
+), cells AS (
+  SELECT d, cell, COUNT(*) AS n FROM cellstream GROUP BY d, cell
+), probes(term, d, cell) AS (VALUES {probe_rows}),
+est AS (
+  SELECT p.term, MIN(coalesce(c.n, 0)) AS cms_est
+  FROM probes p LEFT JOIN cells c ON c.d = p.d AND c.cell = p.cell
+  GROUP BY p.term
+), exact AS (
+  SELECT token AS term, COUNT(*) AS exact FROM toks GROUP BY token
+)
+SELECT e.term, CAST(coalesce(x.exact, 0) AS BIGINT) AS exact,
+  CAST(e.cms_est AS BIGINT) AS cms_est,
+  CAST(e.cms_est - coalesce(x.exact, 0) AS BIGINT) AS overestimate
+FROM est e LEFT JOIN exact x ON x.term = e.term
+"""
+
+
+register(QuerySpec(
+    "text_cms_heavy_hitters", text_cms_query, _cms_sql(),
+    description=f"Count-Min Sketch ({CMS_DEPTH}x{CMS_WIDTH}, portable md5 "
+                "hash family) term-frequency estimates vs exact — the "
+                "sketch itself is deterministic and oracle-checked"))

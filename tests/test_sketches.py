@@ -152,3 +152,27 @@ def test_refined_ivf_lists_partition_corpus(spark):
     n_vecs = emb.count()
     assert assigned.count() == n_vecs
     assert assigned.select("vec_id").distinct().count() == n_vecs
+
+
+def test_cms_overestimates_only_and_finds_absent_term(spark):
+    """CMS invariants: est >= exact for every term (overestimate-only
+    by construction), and a vocabulary-absent term estimates near 0
+    (bounded by collision mass, exactly reproducible)."""
+    from downscaledclimatedata_spark.operators.textops import cms_estimate
+    rows = [(i, "alpha beta beta gamma " * (1 + i % 3), "s", 0)
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long")
+    out = {r["term"]: r for r in
+           cms_estimate(df, "text", "doc_id",
+                        terms=("beta", "alpha", "nosuchterm")).collect()}
+    assert all(r["overestimate"] >= 0 for r in out.values())
+    # exact counts: alpha appears once, beta twice per repetition
+    reps = sum(1 + i % 3 for i in range(40))
+    assert out["alpha"]["exact"] == reps
+    assert out["beta"]["exact"] == 2 * reps
+    assert out["beta"]["cms_est"] >= out["beta"]["exact"]
+    assert out["nosuchterm"]["exact"] == 0
+    # 3-term vocabulary in a 512-wide sketch: collisions are unlikely,
+    # the absent term's min cell should be empty
+    assert out["nosuchterm"]["cms_est"] == 0
