@@ -1204,17 +1204,21 @@ PARA_BLOCK = 3  # tokens per block; 3 makes the synthetic corpus's blocks
 
 def paragraph_dedup(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
-                    block: int = PARA_BLOCK) -> DataFrame:
+                    block: int = PARA_BLOCK,
+                    split: str = "blocks") -> DataFrame:
     """Remove globally-duplicated paragraphs, keeping first occurrences,
     and reassemble each document from its surviving paragraphs.
 
     The corpus-level paragraph dedup of RefinedWeb/Dolma: a paragraph
     that appears in many documents (boilerplate, license headers,
     navigation chrome) is kept only at its first occurrence — ordered by
-    (doc_id, position) — and dropped everywhere else. The synthetic
-    corpus has no newlines, so "paragraph" here is a non-overlapping
-    ``block``-token window; the operator is agnostic to how the split
-    column is produced.
+    (doc_id, position) — and dropped everywhere else.
+
+    ``split`` chooses the paragraph boundary: ``"newlines"`` splits on
+    blank lines (real web corpora; reassembly joins with "\\n\\n"),
+    ``"blocks"`` uses non-overlapping ``block``-token windows (the
+    synthetic corpus has no newlines). Winner election and reassembly
+    are identical for both.
 
     Scale: dedup keys are 60-bit md5 hashes of paragraph text, so the
     winner-election shuffle moves (hash, doc_id, idx, text) — text must
@@ -1230,18 +1234,34 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     from pyspark.sql import Window
     if block < 1:
         raise ValueError(f"block must be >= 1, got {block}")
-    toked = df.select(F.col(id_col),
-                      tokens(F.col(text_col)).alias("t"))
-    n = F.size("t")
-    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(block))) \
-        .otherwise(F.array().cast("array<int>"))
-    blocks = (toked.select(
-        F.col(id_col),
-        F.posexplode(starts).alias("block_idx", "start"),
-        F.col("t"))
-        .select(F.col(id_col), "block_idx",
-                F.concat_ws(" ", F.slice(F.col("t"), F.col("start") + 1,
-                                         block)).alias("para")))
+    if split not in ("blocks", "newlines"):
+        raise ValueError(f"split must be 'blocks' or 'newlines', got {split!r}")
+    if split == "newlines":
+        # lambda, not bare F.trim: trim's optional 2nd param would make
+        # transform bind the array INDEX to it (the SKILL.md lambda trap)
+        paras = F.filter(
+            F.transform(F.split(F.col(text_col), r"\n[ \t\r]*\n"),
+                        lambda x: F.trim(x)),
+            lambda x: x != "")
+        blocks = df.select(
+            F.col(id_col),
+            F.posexplode(F.coalesce(paras, F.array().cast("array<string>")))
+            .alias("block_idx", "para"))
+        joiner = "\n\n"
+    else:
+        toked = df.select(F.col(id_col),
+                          tokens(F.col(text_col)).alias("t"))
+        n = F.size("t")
+        starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(block))) \
+            .otherwise(F.array().cast("array<int>"))
+        blocks = (toked.select(
+            F.col(id_col),
+            F.posexplode(starts).alias("block_idx", "start"),
+            F.col("t"))
+            .select(F.col(id_col), "block_idx",
+                    F.concat_ws(" ", F.slice(F.col("t"), F.col("start") + 1,
+                                             block)).alias("para")))
+        joiner = " "
     # checkpoint: the hashed block relation feeds both the winner
     # election and the per-doc counts — one tokenize/explode pass, not two
     hashed = blocks.withColumn("ph", md5_long(F.col("para"))).localCheckpoint()
@@ -1251,7 +1271,7 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     per_doc = hashed.groupBy(id_col).agg(F.count("*").alias("n_paras"))
     kept_agg = (kept.groupBy(id_col)
                 .agg(F.count("*").alias("n_kept"),
-                     F.concat_ws(" ", F.transform(
+                     F.concat_ws(joiner, F.transform(
                          F.array_sort(F.collect_list(
                              F.struct("block_idx", "para"))),
                          lambda s: s["para"])).alias("dedup_text")))

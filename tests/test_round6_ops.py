@@ -604,3 +604,26 @@ def test_round6_ops_invariant_under_partitioning(spark):
     pairs = spark.createDataFrame([(0, 1), (2, 3)], "id_a long, id_b long")
     a, b = runs(lambda d: prune_corpus(d, pairs))
     assert a == b
+
+
+def test_paragraph_dedup_newline_mode(spark):
+    """Real-corpus mode: blank-line paragraphs, shared boilerplate kept
+    only at its first occurrence, reassembly preserves \\n\\n joins."""
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"unique intro one\n\n{boiler}\n\nunique body one", "s", 0),
+        (2, f"{boiler}\n \t\n unique body two", "s", 0),
+        (3, "no duplicates here at all", "s", 0),
+    ]
+    got = {r["doc_id"]: r
+           for r in paragraph_dedup(_docs(spark, rows),
+                                    split="newlines").collect()}
+    assert got[1]["n_paras"] == 3 and got[1]["n_kept"] == 3
+    assert got[1]["dedup_text"] == \
+        f"unique intro one\n\n{boiler}\n\nunique body one"
+    assert got[2]["n_paras"] == 2 and got[2]["n_kept"] == 1
+    assert got[2]["dedup_text"] == "unique body two"
+    assert got[3]["n_kept"] == 1
+    import pytest
+    with pytest.raises(ValueError):
+        paragraph_dedup(_docs(spark, rows), split="sentences")
