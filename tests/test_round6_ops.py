@@ -627,3 +627,31 @@ def test_paragraph_dedup_newline_mode(spark):
     import pytest
     with pytest.raises(ValueError):
         paragraph_dedup(_docs(spark, rows), split="sentences")
+
+
+def test_knn_graph_recall_vs_brute_force_on_clustered_data(spark):
+    """On cluster-structured data the IVF-cell graph must recover most
+    true top-1 neighbors (brute force = the same operator with one
+    cell); nprobe=2 recall >= nprobe=1 recall."""
+    import random
+    rnd = random.Random(23)
+    rows = []
+    for c in range(4):
+        center = [(1.0 if d % 4 == c else -0.2) for d in range(64)]
+        for i in range(20):
+            vid = c * 20 + i
+            rows.append((vid, [x + rnd.uniform(-0.15, 0.15)
+                               for x in center]))
+    df = _emb(spark, rows)
+    truth = {r["vec_id"]: r["neighbor_id"] for r in
+             knn_graph(df, k=1, centroid_mod=1, n_centroids=1).collect()}
+
+    def recall(nprobe):
+        got = {r["vec_id"]: r["neighbor_id"] for r in
+               knn_graph(df, k=1, centroid_mod=20, n_centroids=4,
+                         nprobe=nprobe).collect()}
+        return sum(1 for v in truth if got.get(v) == truth[v]) / len(truth)
+
+    r1, r2 = recall(1), recall(2)
+    assert r1 >= 0.7, r1
+    assert r2 >= r1
