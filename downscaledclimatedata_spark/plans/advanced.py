@@ -786,3 +786,78 @@ GROUP BY GROUPING SETS ((event_type), (user_decile), ())
 
 register(QuerySpec("q62_grouping_sets", q62_grouping_sets, _Q62_SQL,
                    description="explicit GROUPING SETS (partial power set, one Expand)"))
+
+
+# --- q65: MAD-based robust anomaly detection ----------------------------------
+
+def q65_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type anomaly counts: |x − median| > 3·MAD.
+
+    Median and MAD are rank-defined LOWER medians (row_number pick of an
+    existing value, q27's engine-agnostic discipline) so no
+    interpolation rule can drift between engines; the 3·MAD threshold
+    compares correctly-rounded doubles built from identical operands.
+    NULL-free by fixture contract; a production run would pre-filter.
+    Same per-group window shape as q27 (few groups, rank within group).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type", "value", "event_id",
+        F.row_number().over(w1).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("cnt"))
+    med = (ranked.filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+           .select("event_type", F.col("value").alias("med")))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .select("event_type", "value", "event_id", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("adev")))
+    w2 = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    ranked2 = dev.select(
+        "event_type", "adev",
+        F.row_number().over(w2).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("cnt"))
+    mad = (ranked2.filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+           .select("event_type", F.col("adev").alias("mad")))
+    flagged = (dev.join(F.broadcast(mad), "event_type")
+               .withColumn("is_anom",
+                           F.col("adev") > F.lit(3.0) * F.col("mad")))
+    return (flagged.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.max("med").alias("med"), F.max("mad").alias("mad"),
+                 F.sum(F.col("is_anom").cast("bigint"))
+                 .alias("n_anomalies")))
+
+
+_Q65_SQL = """
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events
+), med AS (
+  SELECT event_type, value AS med FROM ranked WHERE rn = (cnt + 1) // 2
+), dev AS (
+  SELECT e.event_type, e.value, e.event_id, m.med,
+    abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+), ranked2 AS (
+  SELECT event_type, adev,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM dev
+), mad AS (
+  SELECT event_type, adev AS mad FROM ranked2 WHERE rn = (cnt + 1) // 2
+)
+SELECT d.event_type, COUNT(*) AS n_events,
+  MAX(d.med) AS med, MAX(x.mad) AS mad,
+  CAST(SUM(CASE WHEN d.adev > 3.0 * x.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_anomalies
+FROM dev d JOIN mad x USING (event_type)
+GROUP BY d.event_type
+"""
+
+register(QuerySpec("q65_anomaly_mad", q65_anomaly_mad, _Q65_SQL,
+                   description="robust anomaly counts per event type: "
+                               "rank-defined median + MAD, 3-sigma-"
+                               "equivalent threshold, no interpolation "
+                               "drift"))
