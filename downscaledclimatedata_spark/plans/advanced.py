@@ -861,3 +861,70 @@ register(QuerySpec("q65_anomaly_mad", q65_anomaly_mad, _Q65_SQL,
                                "rank-defined median + MAD, 3-sigma-"
                                "equivalent threshold, no interpolation "
                                "drift"))
+
+
+# --- q66: ordered conversion funnel -------------------------------------------
+
+_FUNNEL = ("view", "click", "signup", "purchase")
+
+
+def q66_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose FIRST view precedes their first
+    click precedes their first signup precedes their first purchase —
+    per-stage reached-user counts (the product-analytics staple).
+
+    One conditional-aggregation pass per user (min ts per stage,
+    map-side partial agg), then a single-row stage-count summary:
+    stage k is reached iff every earlier first-timestamp exists and is
+    strictly increasing. No joins, no window; shuffle is one groupBy
+    on the uniform user id. Unpivoted via STACK so the output is
+    (stage, stage_idx, n_users) rows in both engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(*[
+        F.min(F.when(F.col("event_type") == s, F.col("ts")))
+        .alias(f"t{i}") for i, s in enumerate(_FUNNEL)])
+    reached = [F.col("t0").isNotNull()]
+    for i in range(1, len(_FUNNEL)):
+        reached.append(reached[i - 1] & F.col(f"t{i}").isNotNull()
+                       & (F.col(f"t{i}") > F.col(f"t{i - 1}")))
+    counts = firsts.agg(*[
+        F.sum(r.cast("bigint")).alias(f"n{i}") for i, r in enumerate(reached)])
+    stack = ", ".join(f"'{s}', {i}, n{i}" for i, s in enumerate(_FUNNEL))
+    return counts.selectExpr(
+        f"stack({len(_FUNNEL)}, {stack}) AS (stage, stage_idx, n_users)")
+
+
+def _q66_sql() -> str:
+    t_cols = ",\n    ".join(
+        f"MIN(CASE WHEN event_type = '{s}' THEN ts END) AS t{i}"
+        for i, s in enumerate(_FUNNEL))
+    conds = ["t0 IS NOT NULL"]
+    for i in range(1, len(_FUNNEL)):
+        conds.append(f"({conds[i - 1]} AND t{i} IS NOT NULL"
+                     f" AND t{i} > t{i - 1})")
+    n_cols = ",\n    ".join(
+        f"SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS n{i}"
+        for i, c in enumerate(conds))
+    rows = " UNION ALL ".join(
+        f"SELECT '{s}' AS stage, {i} AS stage_idx,"
+        f" CAST(n{i} AS BIGINT) AS n_users FROM counts"
+        for i, s in enumerate(_FUNNEL))
+    return f"""
+WITH firsts AS (
+  SELECT user_id,
+    {t_cols}
+  FROM events GROUP BY user_id
+), counts AS (
+  SELECT
+    {n_cols}
+  FROM firsts
+)
+{rows}
+"""
+
+
+register(QuerySpec("q66_conversion_funnel", q66_conversion_funnel, _q66_sql(),
+                   description="ordered view->click->signup->purchase "
+                               "funnel: per-stage reached-user counts in "
+                               "one conditional-agg pass, no joins"))
