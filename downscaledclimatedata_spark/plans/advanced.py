@@ -928,3 +928,71 @@ register(QuerySpec("q66_conversion_funnel", q66_conversion_funnel, _q66_sql(),
                    description="ordered view->click->signup->purchase "
                                "funnel: per-stage reached-user counts in "
                                "one conditional-agg pass, no joins"))
+
+
+# --- q67: weekly cohort retention ---------------------------------------------
+
+def q67_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted in each subsequent week they return — the (cohort_week,
+    week_offset, n_active, retention) matrix every growth dashboard
+    draws.
+
+    Weeks are epoch-day // 7 buckets (calendar-rule-free: DATE_TRUNC
+    week boundaries differ between engines' locale defaults). Two
+    aggregations: first-week per user (map-side partial min), then the
+    distinct (user, week) activity relation joined back on the user id.
+    Retention divides exact integer counts — bit-identical doubles.
+    """
+    ev = _t(spark, sf_dir, "events")
+    week = (F.unix_timestamp("ts") / F.lit(86400 * 7)).cast("bigint")
+    activity = (ev.select("user_id", week.alias("week")).distinct())
+    first = activity.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    joined = (activity.join(first, "user_id")
+              .select("user_id", "cohort",
+                      (F.col("week") - F.col("cohort")).alias("offset")))
+    sizes = first.groupBy("cohort").agg(
+        F.countDistinct("user_id").alias("cohort_size"))
+    cells = (joined.groupBy("cohort", "offset")
+             .agg(F.countDistinct("user_id").alias("n_active")))
+    return (cells.join(F.broadcast(sizes), "cohort")
+            .select(F.col("cohort").cast("bigint").alias("cohort_week"),
+                    F.col("offset").cast("bigint").alias("week_offset"),
+                    F.col("n_active").cast("bigint").alias("n_active"),
+                    F.col("cohort_size").cast("bigint").alias("cohort_size"),
+                    (F.col("n_active").cast("double")
+                     / F.col("cohort_size").cast("double"))
+                    .alias("retention")))
+
+
+_Q67_SQL = """
+WITH activity AS (
+  -- floor(), not //: DuckDB's // on DOUBLE/DECIMAL operands is not a
+  -- floor division (epoch(ts) is DOUBLE with fractional seconds)
+  SELECT DISTINCT user_id,
+    CAST(floor(epoch(ts) / (86400 * 7)) AS BIGINT) AS week
+  FROM events
+), first AS (
+  SELECT user_id, MIN(week) AS cohort FROM activity GROUP BY user_id
+), sizes AS (
+  SELECT cohort, COUNT(DISTINCT user_id) AS cohort_size
+  FROM first GROUP BY cohort
+), cells AS (
+  SELECT f.cohort, a.week - f.cohort AS offset,
+    COUNT(DISTINCT a.user_id) AS n_active
+  FROM activity a JOIN first f USING (user_id)
+  GROUP BY f.cohort, a.week - f.cohort
+)
+SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
+  CAST(c.offset AS BIGINT) AS week_offset,
+  CAST(c.n_active AS BIGINT) AS n_active,
+  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+  CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+FROM cells c JOIN sizes s USING (cohort)
+"""
+
+register(QuerySpec("q67_cohort_retention", q67_cohort_retention, _Q67_SQL,
+                   description="weekly cohort retention matrix: epoch-"
+                               "week buckets (calendar-rule-free), "
+                               "distinct activity relation, broadcast "
+                               "cohort sizes"))
