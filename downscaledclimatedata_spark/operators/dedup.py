@@ -1543,3 +1543,133 @@ register(QuerySpec("dedup_prune_corpus", dedup_prune_corpus_query,
                    description="apply near-dup components to the corpus: "
                                "keep min-id representatives + unpaired "
                                "docs; survivor doc/token summary"))
+
+
+# --- LSH quality evaluation (precision/recall vs exact ground truth) ------------
+
+EVAL_JACCARD_T = 0.2
+
+
+def lsh_eval(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             threshold: float = EVAL_JACCARD_T) -> DataFrame:
+    """Candidate-generation quality report: LSH candidate pairs scored
+    against the EXACT jaccard-≥-threshold ground truth, in-engine.
+
+    Production dedup tunes (bands, rows, threshold) against measured
+    precision/recall; this operator computes both without leaving the
+    engine. Ground truth enumerates every pair sharing ≥1 shingle (the
+    uncapped shingle self-join — work ∝ Σ df² by necessity: exact truth
+    is what's being bought; run at sampled scale, which is how recall
+    is estimated on real corpora too). One full-outer alignment of the
+    two pair relations then a single-row count/ratio summary; ratios
+    divide exact counts.
+    """
+    sh = shingled_rows(df, text_col, id_col).distinct().localCheckpoint()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b.hint("merge"), "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
+    truth = (inter
+             .join(sizes.select(F.col(id_col).alias("id_a"),
+                                F.col("n_sh").alias("na")), "id_a")
+             .join(sizes.select(F.col(id_col).alias("id_b"),
+                                F.col("n_sh").alias("nb")), "id_b")
+             .filter(F.col("n_inter").cast("double")
+                     / (F.col("na") + F.col("nb")
+                        - F.col("n_inter")).cast("double")
+                     >= threshold)
+             .select("id_a", "id_b", F.lit(1).alias("in_truth")))
+    cand = (lsh_candidate_pairs(minhash_signatures(df, text_col, id_col),
+                                id_col)
+            .select("id_a", "id_b", F.lit(1).alias("in_cand")))
+    aligned = truth.join(cand, ["id_a", "id_b"], "full_outer")
+    counts = aligned.agg(
+        F.sum(F.coalesce(F.col("in_truth"), F.lit(0))).alias("n_truth"),
+        F.sum(F.coalesce(F.col("in_cand"), F.lit(0))).alias("n_candidates"),
+        F.sum((F.col("in_truth").isNotNull()
+               & F.col("in_cand").isNotNull()).cast("bigint")).alias("tp"))
+    # coalesce: SUM over the empty aligned relation (no pairs at all)
+    # is NULL in both engines; the report should read 0
+    return counts.select(
+        F.coalesce(F.col("n_truth"), F.lit(0)).cast("bigint")
+        .alias("n_truth"),
+        F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint")
+        .alias("n_candidates"),
+        F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
+        F.when(F.col("n_candidates") > 0,
+               F.col("tp").cast("double")
+               / F.col("n_candidates").cast("double"))
+        .otherwise(F.lit(1.0)).alias("precision"),
+        F.when(F.col("n_truth") > 0,
+               F.col("tp").cast("double") / F.col("n_truth").cast("double"))
+        .otherwise(F.lit(1.0)).alias("recall"))
+
+
+def dedup_lsh_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return lsh_eval(docs)
+
+
+_DEDUP_LSH_EVAL_SQL = f"""
+WITH {_SHINGLES_CTE},
+dist AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dist GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM dist a JOIN dist b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b, 1 AS in_truth
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {EVAL_JACCARD_T}
+),
+{_HASHED_CTE},
+sigs AS (
+  SELECT doc_id, {_MINHASH_COLS_SQL}
+  FROM hashed GROUP BY doc_id
+),
+banded AS ({_BAND_SELECTS}),
+ok AS (
+  SELECT band_id, band_hash FROM banded
+  GROUP BY band_id, band_hash HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS in_cand
+  FROM banded a
+  JOIN ok ON ok.band_id = a.band_id AND ok.band_hash = a.band_hash
+  JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+aligned AS (
+  SELECT coalesce(t.in_truth, 0) AS in_truth, coalesce(c.in_cand, 0) AS in_cand
+  FROM truth t FULL OUTER JOIN cand c
+    ON c.id_a = t.id_a AND c.id_b = t.id_b
+),
+counts AS (
+  SELECT CAST(coalesce(SUM(in_truth), 0) AS BIGINT) AS n_truth,
+    CAST(coalesce(SUM(in_cand), 0) AS BIGINT) AS n_candidates,
+    CAST(coalesce(SUM(in_truth * in_cand), 0) AS BIGINT) AS tp
+  FROM aligned
+)
+SELECT n_truth, n_candidates, tp,
+  CASE WHEN n_candidates > 0
+       THEN CAST(tp AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+       ELSE 1.0 END AS precision,
+  CASE WHEN n_truth > 0
+       THEN CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)
+       ELSE 1.0 END AS recall
+FROM counts
+"""
+
+register(QuerySpec(
+    "dedup_lsh_eval", dedup_lsh_eval_query, _DEDUP_LSH_EVAL_SQL,
+    description="LSH candidate quality vs EXACT jaccard ground truth: "
+                "precision/recall computed in-engine — the tuning "
+                "harness for (bands, rows, threshold)"))

@@ -655,3 +655,28 @@ def test_knn_graph_recall_vs_brute_force_on_clustered_data(spark):
     r1, r2 = recall(1), recall(2)
     assert r1 >= 0.7, r1
     assert r2 >= r1
+
+
+# --- lsh_eval -------------------------------------------------------------------
+
+def test_lsh_eval_counts_and_invariants(spark):
+    from downscaledclimatedata_spark.operators.dedup import lsh_eval
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi")
+    rows = [
+        (1, base, "s", 0),
+        (2, base, "s", 0),                          # exact dup of 1
+        (3, "completely different words in this one here nothing shared "
+            "with the pair above at all", "s", 0),
+    ]
+    r = lsh_eval(_docs(spark, rows)).collect()[0]
+    assert (r["n_truth"], r["n_candidates"], r["tp"]) == (1, 1, 1)
+    assert r["precision"] == 1.0 and r["recall"] == 1.0
+    # invariants on the sf0.01 corpus run are covered by the oracle spec
+
+
+def test_lsh_eval_empty_corpus_defines_ratios(spark):
+    from downscaledclimatedata_spark.operators.dedup import lsh_eval
+    r = lsh_eval(_docs(spark, [(1, "solo", "s", 0)])).collect()[0]
+    assert r["n_truth"] == 0 and r["n_candidates"] == 0
+    assert r["precision"] == 1.0 and r["recall"] == 1.0
