@@ -176,3 +176,33 @@ def test_cms_overestimates_only_and_finds_absent_term(spark):
     # 3-term vocabulary in a 512-wide sketch: collisions are unlikely,
     # the absent term's min cell should be empty
     assert out["nosuchterm"]["cms_est"] == 0
+
+
+def test_cms_cells_merge_cellwise(spark):
+    """Mergeability: the CMS of a union corpus equals the cell-wise sum
+    of the parts' sketches — the property that lets per-shard sketches
+    combine without re-reading data."""
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+    from pyspark.sql import functions as F
+
+    def cells(df):
+        toks = df.select(F.explode(
+            F.filter(F.split(F.lower("text"), r"[ \t\n\r\f\x0B]+"),
+                     lambda x: x != "")).alias("token"))
+        rows = [toks.select(F.lit(d).alias("d"),
+                            (md5_long(F.col("token"), seed=f"cms{d}:") % 512)
+                            .alias("cell")) for d in range(4)]
+        u = rows[0]
+        for r in rows[1:]:
+            u = u.unionByName(r)
+        return {(r["d"], r["cell"]): r["n"] for r in
+                u.groupBy("d", "cell").agg(F.count("*").alias("n")).collect()}
+
+    a = spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "y z")], "doc_id long, text string")
+    both = a.unionByName(b)
+    ca, cb, cu = cells(a), cells(b), cells(both)
+    merged = dict(ca)
+    for k, v in cb.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == cu
