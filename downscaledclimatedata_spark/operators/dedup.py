@@ -1673,3 +1673,111 @@ register(QuerySpec(
     description="LSH candidate quality vs EXACT jaccard ground truth: "
                 "precision/recall computed in-engine — the tuning "
                 "harness for (bands, rows, threshold)"))
+
+
+# --- per-source duplication diagnostics -----------------------------------------
+
+def source_dup_report(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      source_col: str = "source") -> DataFrame:
+    """Which sources are duplicated, and against whom: per-source doc
+    counts, docs involved in any LSH near-dup pair, docs whose partner
+    lives in a DIFFERENT source (cross-domain syndication vs in-domain
+    templating — different remediation), and the involvement rate.
+
+    The triage report a dedup run ships next to its prune: rates divide
+    exact counts; pair endpoints resolve their sources through two
+    broadcast-size joins against the (id, source) projection.
+    """
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(df, text_col, id_col), id_col).localCheckpoint()
+    src = df.select(F.col(id_col), F.col(source_col).alias("src"))
+    ends = (pairs
+            .join(src.select(F.col(id_col).alias("id_a"),
+                             F.col("src").alias("src_a")), "id_a")
+            .join(src.select(F.col(id_col).alias("id_b"),
+                             F.col("src").alias("src_b")), "id_b"))
+    involved = (ends.select(F.col("id_a").alias("id"),
+                            F.col("src_a").alias("src"),
+                            (F.col("src_a") != F.col("src_b"))
+                            .alias("xdomain"))
+                .unionByName(ends.select(F.col("id_b").alias("id"),
+                                         F.col("src_b").alias("src"),
+                                         (F.col("src_a") != F.col("src_b"))
+                                         .alias("xdomain")))
+                .groupBy("id", "src")
+                .agg(F.max(F.col("xdomain").cast("int")).alias("xd")))
+    per_src = (involved.groupBy("src")
+               .agg(F.count("*").alias("n_duped"),
+                    F.sum("xd").alias("n_xdomain")))
+    totals = df.groupBy(F.col(source_col).alias("src")) \
+        .agg(F.count("*").alias("n_docs"))
+    return (totals.join(per_src, "src", "left")
+            .select(F.col("src").alias("source"),
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.coalesce(F.col("n_duped"), F.lit(0)).cast("bigint")
+                    .alias("n_duped"),
+                    F.coalesce(F.col("n_xdomain"), F.lit(0)).cast("bigint")
+                    .alias("n_xdomain"),
+                    (F.coalesce(F.col("n_duped"), F.lit(0)).cast("double")
+                     / F.col("n_docs").cast("double")).alias("dup_rate")))
+
+
+def dedup_source_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return source_dup_report(docs)
+
+
+_DEDUP_SRC_REPORT_SQL = f"""
+WITH {_SHINGLES_CTE},
+{_HASHED_CTE},
+sigs AS (
+  SELECT doc_id, {_MINHASH_COLS_SQL}
+  FROM hashed GROUP BY doc_id
+),
+banded AS ({_BAND_SELECTS}),
+ok AS (
+  SELECT band_id, band_hash FROM banded
+  GROUP BY band_id, band_hash HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN ok ON ok.band_id = a.band_id AND ok.band_hash = a.band_hash
+  JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+ends AS (
+  SELECT p.id_a, p.id_b, da.source AS src_a, db.source AS src_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b
+),
+involved AS (
+  SELECT id, src, MAX(xd) AS xd FROM (
+    SELECT id_a AS id, src_a AS src,
+      CASE WHEN src_a <> src_b THEN 1 ELSE 0 END AS xd FROM ends
+    UNION ALL
+    SELECT id_b, src_b, CASE WHEN src_a <> src_b THEN 1 ELSE 0 END FROM ends
+  ) GROUP BY id, src
+),
+per_src AS (
+  SELECT src, COUNT(*) AS n_duped, SUM(xd) AS n_xdomain
+  FROM involved GROUP BY src
+),
+totals AS (
+  SELECT source AS src, COUNT(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT t.src AS source, CAST(t.n_docs AS BIGINT) AS n_docs,
+  CAST(coalesce(p.n_duped, 0) AS BIGINT) AS n_duped,
+  CAST(coalesce(p.n_xdomain, 0) AS BIGINT) AS n_xdomain,
+  CAST(coalesce(p.n_duped, 0) AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+    AS dup_rate
+FROM totals t LEFT JOIN per_src p ON p.src = t.src
+"""
+
+register(QuerySpec(
+    "dedup_source_report", dedup_source_report_query, _DEDUP_SRC_REPORT_SQL,
+    description="per-source duplication triage: docs in near-dup pairs, "
+                "cross-domain vs in-domain partners, involvement rate"))
