@@ -996,3 +996,56 @@ register(QuerySpec("q67_cohort_retention", q67_cohort_retention, _Q67_SQL,
                                "week buckets (calendar-rule-free), "
                                "distinct activity relation, broadcast "
                                "cohort sizes"))
+
+
+# --- q68: conversion-lag distribution -----------------------------------------
+
+LAG_BUCKET_HOURS = 24
+
+
+def q68_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of first-view -> first-purchase lag in 24 h buckets:
+    how long conversion takes, the companion readout to q66's funnel.
+
+    One conditional first-timestamp aggregation per user (no joins),
+    lag bucket = floor(seconds/86400/…) on exact integer epoch seconds
+    (unix_timestamp truncates to seconds in Spark; the oracle floors
+    epoch() the same way — fractional-second truncation cannot move a
+    bucket boundary, same argument as q67's weeks)."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view",
+                     F.unix_timestamp("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.unix_timestamp("ts"))).alias("t_buy"))
+    lagged = (firsts
+              .filter(F.col("t_view").isNotNull()
+                      & F.col("t_buy").isNotNull()
+                      & (F.col("t_buy") > F.col("t_view")))
+              .select(F.floor((F.col("t_buy") - F.col("t_view"))
+                              / F.lit(86400 * LAG_BUCKET_HOURS // 24))
+                      .cast("bigint").alias("lag_days")))
+    return (lagged.groupBy("lag_days")
+            .agg(F.count("*").alias("n_users")))
+
+
+_Q68_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view'
+             THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_view,
+    MIN(CASE WHEN event_type = 'purchase'
+             THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT CAST(floor((t_buy - t_view) / 86400.0) AS BIGINT) AS lag_days,
+  COUNT(*) AS n_users
+FROM firsts
+WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy > t_view
+GROUP BY 1
+"""
+
+register(QuerySpec("q68_conversion_lag", q68_conversion_lag, _Q68_SQL,
+                   description="first-view -> first-purchase lag "
+                               "histogram in day buckets, one "
+                               "conditional-agg pass"))
