@@ -2122,3 +2122,78 @@ register(QuerySpec(
     description=f"integer-exact PageRank ({PR_ROUNDS} damped rounds) over "
                 "the kNN graph: document centrality for graph-based data "
                 f"selection, top-{PR_TOPN}"))
+
+
+# --- cosine range search (threshold, not rank) ----------------------------------
+
+RANGE_TAU = 0.25
+
+
+def range_search(emb: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding", tau: float = RANGE_TAU,
+                 query_mod: int = QUERY_MOD,
+                 n_queries: int = N_QUERIES) -> DataFrame:
+    """All corpus vectors within cosine ≥ tau of each query — the
+    threshold complement of top-k (radius queries: "everything similar
+    enough", the shape dedup-by-query and policy-filter lookups use;
+    result size is data-dependent, so downstream must not assume k).
+
+    Same bounded-broadcast discipline as the top-k family: the fixed
+    query set broadcasts, exact integer dot products, one corpus scan.
+    Per-query match COUNTS are returned alongside pairs via a window so
+    callers can detect degenerate radii without a second pass.
+    """
+    from pyspark.sql import Window
+    base = (emb.select(F.col(id_col),
+                       quantize(F.col(vec_col)).alias("qv"),
+                       sq_norm(quantize(F.col(vec_col))).alias("n2"))
+            .filter(F.col("n2") > 0))
+    queries = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
+               .select(F.col(id_col).alias("query_id"),
+                       F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
+    scored = (base.crossJoin(F.broadcast(queries))
+              .filter(F.col(id_col) != F.col("query_id"))
+              .select(F.col("query_id"), F.col(id_col).alias("match_id"),
+                      (int_dot(F.col("qv"), F.col("qq")).cast("double")
+                       / (F.sqrt(F.col("n2").cast("double"))
+                          * F.sqrt(F.col("qn2").cast("double"))))
+                      .alias("cosine"))
+              .filter(F.col("cosine") >= tau))
+    w = Window.partitionBy("query_id")
+    return scored.select(
+        "query_id", "match_id", "cosine",
+        F.count("*").over(w).cast("bigint").alias("n_matches"))
+
+
+def similarity_range_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return range_search(emb)
+
+
+_RANGE_SQL = f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+base AS (
+  SELECT vec_id, qv,
+    list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS n2
+  FROM q
+), nz AS (SELECT * FROM base WHERE n2 > 0),
+queries AS (
+  SELECT vec_id AS query_id, qv AS qq, n2 AS qn2 FROM nz
+  WHERE {_fixed_sample_sql('vec_id', QUERY_MOD, N_QUERIES)}
+), scored AS (
+  SELECT queries.query_id, nz.vec_id AS match_id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> nz.qv[i] * queries.qq[i])) AS DOUBLE)
+      / (sqrt(CAST(nz.n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
+  FROM nz CROSS JOIN queries
+  WHERE nz.vec_id <> queries.query_id
+)
+SELECT query_id, match_id, cosine,
+  CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_matches
+FROM scored WHERE cosine >= {RANGE_TAU}
+"""
+
+register(QuerySpec(
+    "similarity_range_search", similarity_range_search_query, _RANGE_SQL,
+    description=f"cosine radius search (≥ {RANGE_TAU}) for the fixed "
+                "query set: threshold semantics, data-dependent result "
+                "size, per-query match counts in-row"))
