@@ -2197,3 +2197,69 @@ register(QuerySpec(
     description=f"cosine radius search (≥ {RANGE_TAU}) for the fixed "
                 "query set: threshold semantics, data-dependent result "
                 "size, per-query match counts in-row"))
+
+
+# --- coreset selection: per-cell representatives --------------------------------
+
+def cell_representatives(emb: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         centroid_mod: int = CENTROID_MOD,
+                         n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """Diversity/coreset sampling: the vector nearest its cell's
+    centroid, per IVF cell — the "pick one representative per semantic
+    region" selection step (the dual of SemDeDup's redundancy removal:
+    that PRUNES near-duplicates, this KEEPS one exemplar per region).
+
+    One broadcast-codebook distance pass + a struct-min argmin per cell
+    (map-side partial agg; shuffles one row per cell). Exact integer
+    distances; ties break on id.
+    """
+    base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
+                      sq_norm(quantize(F.col(vec_col))).alias("n2"))
+    cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
+             .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
+                     F.col("n2").alias("cn2")))
+    assign = ivf_assign(emb, id_col, vec_col, centroid_mod, n_centroids)
+    dists = (base.join(assign, id_col)
+             .join(F.broadcast(cents), "cid")
+             .select("cid", F.col(id_col),
+                     (F.col("n2") + F.col("cn2")
+                      - 2 * int_dot(F.col("qv"), F.col("cv")))
+                     .alias("dist")))
+    return (dists.groupBy("cid")
+            .agg(F.min(F.struct("dist", F.col(id_col))).alias("best"),
+                 F.count("*").alias("cell_size"))
+            .select("cid", F.col(f"best.{id_col}").alias("rep_id"),
+                    F.col("best.dist").cast("bigint").alias("rep_dist"),
+                    F.col("cell_size").cast("bigint").alias("cell_size")))
+
+
+def similarity_cell_reps_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return cell_representatives(emb)
+
+
+_CELL_REPS_SQL = _coarse_sql_prefix(carry_n2=False, assigned=None) + f""", dists AS (
+  SELECT a.cid, b.vec_id,
+    b.in2 + c.cn2 - 2 * list_sum(list_transform(range(1, {DIM + 1}),
+      i -> b.qv[i] * c.cv[i])) AS dist
+  FROM base b
+  JOIN assign_scored a ON a.vec_id = b.vec_id AND a.rn = 1
+  JOIN cents c ON c.cid = a.cid
+), ranked AS (
+  SELECT cid, vec_id, dist,
+    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rn,
+    COUNT(*) OVER (PARTITION BY cid) AS cell_size
+  FROM dists
+)
+SELECT cid, vec_id AS rep_id, CAST(dist AS BIGINT) AS rep_dist,
+  CAST(cell_size AS BIGINT) AS cell_size
+FROM ranked WHERE rn = 1
+"""
+
+register(QuerySpec(
+    "similarity_cell_representatives", similarity_cell_reps_query,
+    _CELL_REPS_SQL,
+    description="coreset selection: nearest-to-centroid exemplar per IVF "
+                "cell (+cell size) — the keep-one-per-region dual of "
+                "SemDeDup's prune"))
