@@ -883,3 +883,68 @@ register(QuerySpec("multimodal_decode_png_pixels",
                    description="real PNG pixel decode: zlib IDAT inflate + "
                                "all-5-filter scanline reversal, stats from "
                                "reconstructed pixels"))
+
+
+# --- GIF decode spec (with in-band corrupt rows) --------------------------------
+
+GIF_CORRUPT_MOD = 13
+
+
+def synthesize_gif_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real GIF89a byte stream with doc_id-derived dims; every
+    GIF_CORRUPT_MOD-th doc gets a TRUNCATED header (magic only) so the
+    row-level tolerance path is exercised in-band, not just in units."""
+    mk = make_gif
+    w_mod, h_mod, c_mod = DIM_W_MOD, DIM_H_MOD, GIF_CORRUPT_MOD
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                if d % c_mod == 0:
+                    payloads.append(b"GIF89a\x10")  # truncated LSD
+                else:
+                    payloads.append(mk(16 + d % w_mod, 16 + d % h_mod))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        _synth, "doc_id long, payload binary")
+
+
+def multimodal_decode_gif_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF decode end-to-end with planted corruption: genuine GIF89a
+    streams (little-endian logical-screen dims) decoded back out of the
+    bytes; truncated payloads surface as ('unknown', NULL) rows instead
+    of failing the batch. The oracle recomputes both populations from
+    the doc_id formulas alone."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    decoded = decode_image_headers(synthesize_gif_payloads(docs))
+    return (decoded.groupBy("format")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("width").alias("sum_width"),
+                 F.sum("height").alias("sum_height")))
+
+
+_MULTIMODAL_GIF_SQL = f"""
+WITH p AS (
+  SELECT CASE WHEN abs(doc_id) % {GIF_CORRUPT_MOD} = 0
+              THEN 'unknown' ELSE 'gif' END AS format,
+         CASE WHEN abs(doc_id) % {GIF_CORRUPT_MOD} = 0 THEN NULL
+              ELSE 16 + abs(doc_id) % {DIM_W_MOD} END AS width,
+         CASE WHEN abs(doc_id) % {GIF_CORRUPT_MOD} = 0 THEN NULL
+              ELSE 16 + abs(doc_id) % {DIM_H_MOD} END AS height
+  FROM documents)
+SELECT format, COUNT(*) AS n_docs,
+  CAST(SUM(width) AS BIGINT) AS sum_width,
+  CAST(SUM(height) AS BIGINT) AS sum_height
+FROM p GROUP BY format
+"""
+
+register(QuerySpec("multimodal_decode_gif", multimodal_decode_gif_query,
+                   _MULTIMODAL_GIF_SQL,
+                   description="real GIF decode with planted truncated "
+                               "rows: dims parsed from genuine bytes, "
+                               "corruption surfaces as unknown/NULL "
+                               "(T7), both populations formula-checked"))
