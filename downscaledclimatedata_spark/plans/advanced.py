@@ -1049,3 +1049,62 @@ register(QuerySpec("q68_conversion_lag", q68_conversion_lag, _Q68_SQL,
                    description="first-view -> first-purchase lag "
                                "histogram in day buckets, one "
                                "conditional-agg pass"))
+
+
+# --- q69: rolling 7-day active users ------------------------------------------
+
+WAU_WINDOW_DAYS = 7
+
+
+def q69_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (WAU) — the rolling-
+    DISTINCT aggregate window frames cannot express (COUNT(DISTINCT)
+    OVER a frame is unsupported in both engines for good reason: frame
+    state isn't mergeable).
+
+    The scale rewrite: each (user, day) activity contributes to the 7
+    window-end days it falls inside, so EXPLODE the contribution range
+    and count distinct users per window end — a bounded ×7 fan-out of
+    the (already deduped) activity relation, shuffled once on the day
+    key, instead of re-scanning a frame per day. Day buckets are exact
+    integer epoch-days (q67's calendar-free discipline); window ends
+    past the observed range are trimmed.
+    """
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("bigint")
+    activity = ev.select("user_id", day.alias("day")).distinct()
+    max_day = activity.agg(F.max("day").alias("mx"))
+    contrib = (activity.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("day"),
+            F.col("day") + F.lit(WAU_WINDOW_DAYS - 1))).alias("win_day")))
+    return (contrib.crossJoin(F.broadcast(max_day))
+            .filter(F.col("win_day") <= F.col("mx"))
+            .groupBy("win_day")
+            .agg(F.countDistinct("user_id").alias("wau")))
+
+
+_Q69_SQL = f"""
+WITH activity AS (
+  SELECT DISTINCT user_id,
+    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), mx AS (SELECT MAX(day) AS mx FROM activity),
+contrib AS (
+  SELECT user_id, day + d.i AS win_day
+  FROM activity, LATERAL (
+    SELECT UNNEST(range(0, {WAU_WINDOW_DAYS})) AS i) d
+)
+SELECT win_day, COUNT(DISTINCT user_id) AS wau
+FROM contrib CROSS JOIN mx
+WHERE win_day <= mx
+GROUP BY win_day
+"""
+
+register(QuerySpec("q69_rolling_active_users", q69_rolling_active_users,
+                   _Q69_SQL,
+                   description="trailing-7-day distinct active users via "
+                               "contribution explode — the rolling-"
+                               "DISTINCT rewrite window frames cannot "
+                               "express"))
