@@ -638,7 +638,8 @@ _SYMBOL_RE = "[^a-z0-9 ]"
 
 
 def quality_filter(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   keep_input: bool = False) -> DataFrame:
     """Gopher-style rule-chain filter: per-document boolean verdicts with
     per-rule provenance (which rule failed), not just a score.
 
@@ -689,6 +690,16 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     for _, cond in rules:
         piece = F.when(cond, F.lit(0)).otherwise(F.lit(1))
         n_failed = piece if n_failed is None else n_failed + piece
+    if keep_input:
+        # verdict columns appended to the full input row — lets a
+        # pipeline filter on `passes` with NO join (and therefore no
+        # shuffle) between scoring and selection.
+        return df.select(
+            "*",
+            *[cond.alias(name) for name, cond in rules],
+            n_failed.cast("bigint").alias("n_failed"),
+            (n_failed == 0).alias("passes"),
+        )
     return df.select(
         F.col(id_col),
         n.cast("bigint").alias("n_tokens"),

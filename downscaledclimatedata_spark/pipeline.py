@@ -59,22 +59,52 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
                           source_col: str = "source") -> CorpusBuildResult:
     """Raw documents -> written training shards; returns stage counts.
 
+    Zero-extra-pass funnel: every stage count is an ``Observation``
+    riding the stage's own materialization — there is NO separate
+    ``.count()`` job anywhere, and each expensive projection executes
+    exactly once:
+
+    * quality scoring uses ``quality_filter(keep_input=True)`` so the
+      verdict is a column on the full row — no score→select join (the
+      previous semi-join shuffled the whole corpus) — and the stage is
+      ``localCheckpoint``'ed so the two dedup consumers (signatures +
+      corpus side of the prune) read the materialized rows instead of
+      re-running the rule chain;
+    * the deduped corpus is ``localCheckpoint``'ed because it too has
+      two consumers (the mixture-rate aggregate and the sampled join),
+      and checkpointing caps the LSH/connected-components lineage;
+    * the cleaned sample is ``localCheckpoint``'ed because
+      ``global_shuffle`` + the final join would otherwise evaluate the
+      PII projection twice (and double-fire its Observation).
+
     The per-doc mixture acceptance re-derives each source's rate from
     ``domain_mixture_sample``'s summary (a broadcastable |sources|-row
     relation), so the sample drawn here is exactly the one the
     registered spec accounts for.
     """
-    n_input = docs.count()
+    from pyspark.sql import Observation
 
-    passing = quality_filter(docs, text_col, id_col) \
-        .filter("passes").select(id_col)
-    quality_docs = docs.join(passing, id_col, "left_semi")
-    n_quality = quality_docs.count()
+    # Stage 1: quality — ONE scan, ONE rule-chain evaluation, no join.
+    # The Observation sits above the filter so a single eager
+    # localCheckpoint materializes survivors AND counts input/passing.
+    obs_q = Observation("pipeline_quality")
+    flagged = quality_filter(docs, text_col, id_col, keep_input=True) \
+        .observe(obs_q,
+                 F.count(F.lit(1)).alias("n_input"),
+                 F.sum(F.col("passes").cast("bigint")).alias("n_pass"))
+    quality_docs = flagged.filter("passes") \
+        .select(*docs.columns).localCheckpoint()
+    qm = obs_q.get
+    n_input, n_quality = qm["n_input"], qm["n_pass"]
 
+    # Stage 2: near-dup prune over the checkpointed survivors.
     sigs = minhash_signatures(quality_docs, text_col, id_col)
+    obs_d = Observation("pipeline_dedup")
     deduped = prune_corpus(quality_docs, lsh_candidate_pairs(sigs, id_col),
-                           text_col, id_col)
-    n_dedup = deduped.count()
+                           text_col, id_col) \
+        .observe(obs_d, F.count(F.lit(1)).alias("n_rows")) \
+        .localCheckpoint()
+    n_dedup = obs_d.get["n_rows"]
 
     rates = domain_mixture_sample(deduped, budget_tokens,
                                   source_col=source_col, text_col=text_col,
@@ -95,11 +125,12 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
     cleaned = clean_documents(sampled, text_col, id_col,
                               keep_cols=(source_col,))
     obs_df, obs = observed(cleaned, "pipeline")
+    obs_df = obs_df.localCheckpoint()
+    metrics = obs.get
     order = global_shuffle(obs_df, n_shards, id_col=id_col,
                            seed=f"{seed}-order")
     final = obs_df.join(order, id_col)
     write_training_shards(final, out_dir)
-    metrics = obs.get
 
     return CorpusBuildResult(
         n_input=n_input, n_quality_pass=n_quality, n_after_dedup=n_dedup,

@@ -35,6 +35,43 @@ def test_build_training_corpus_end_to_end(spark, tmp_path):
             "source", "shard"} <= cols
 
 
+def test_build_is_zero_extra_pass(spark, tmp_path):
+    """The funnel counters ride Observations on each stage's own
+    materialization: the quality rule chain executes exactly once, and
+    no downstream plan can re-evaluate it (lineage is cut by the stage
+    checkpoint).
+    """
+    from pyspark.sql import Observation
+
+    from downscaledclimatedata_spark.operators.prep import quality_filter
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+
+    # (a) the Observation pattern the builder uses counts every input
+    # row exactly once under an eager localCheckpoint — if the scoring
+    # projection were in the materialized plan twice, the observed
+    # n_input would be 2x.
+    from pyspark.sql import functions as F
+
+    obs = Observation("once")
+    flagged = quality_filter(docs, keep_input=True).observe(
+        obs, F.count(F.lit(1)).alias("n_input"))
+    chk = flagged.filter("passes").select(*docs.columns).localCheckpoint()
+    assert obs.get["n_input"] == n_docs
+
+    # (b) downstream of the checkpoint the quality expressions are
+    # physically gone: the plan reads materialized rows, so nothing a
+    # later stage does can re-run the rule chain.
+    plan = chk._jdf.queryExecution().executedPlan().toString()
+    assert "regexp_count" not in plan and "array_distinct" not in plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan or "Scan" in plan
+
+    # (c) keep_input=True scores identically to the narrow projection.
+    a = quality_filter(docs).filter("passes").count()
+    b = quality_filter(docs, keep_input=True).filter("passes").count()
+    assert a == b == chk.count()
+
+
 def test_pipeline_cli(spark, tmp_path, capsys):
     """The __main__ entry drives the same build from arguments."""
     import json
