@@ -138,6 +138,47 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
         n_shards=n_shards, out_dir=out_dir)
 
 
+def pipeline_corpus_build_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench/ladder entry for the one-call builder: runs the FULL build
+    (quality -> dedup -> mixture -> clean -> shuffle -> shard write) to
+    a throwaway directory and returns the funnel counts as one row.
+
+    The build is eager (stage checkpoints + the shard write happen
+    inside this call), so bench timing measures the end-to-end
+    artifact, not a lazy plan. Not oracle-checked as a unit — every
+    stage it composes is its own oracle-checked spec; this entry exists
+    so the end-to-end cost is a recorded number (VERDICT r6 #5).
+    """
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="dcd_corpus_bench_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        res = build_training_corpus(docs, out, budget_tokens=200_000,
+                                    n_shards=8)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(res.n_input, res.n_quality_pass, res.n_after_dedup,
+          res.n_sampled, res.total_tokens)],
+        "n_input bigint, n_quality bigint, n_dedup bigint, "
+        "n_sampled bigint, total_tokens bigint")
+
+
+def _register_specs() -> None:
+    from downscaledclimatedata_spark.plans import QuerySpec, register
+    register(QuerySpec(
+        name="pipeline_corpus_build",
+        spark=pipeline_corpus_build_query,
+        oracle=None,  # composes oracle-checked stages; see docstring
+        headline=True,
+        description="end-to-end training-corpus build (write included)"))
+
+
+_register_specs()
+
+
 def main(argv: list[str] | None = None) -> None:
     import argparse
 

@@ -42,4 +42,5 @@ def all_specs() -> dict[str, QuerySpec]:
         catalog, discovery, dedup, maintenance, multimodal, netcdf3,
         pandasops, prep, similarity, textops,
     )
+    from downscaledclimatedata_spark import pipeline  # noqa: F401
     return dict(REGISTRY)
