@@ -896,7 +896,11 @@ def cms_estimate(df: DataFrame, text_col: str, id_col: str,
     est = (probes.join(cells, ["d", "cell"], "left")
            .groupBy("term")
            .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_est")))
-    exact = (toks.groupBy("token").agg(F.count("*").alias("exact"))
+    # exact side restricted to the probe terms BEFORE the aggregate: the
+    # groupBy shuffles |terms| rows, not the whole vocabulary (the join
+    # below would discard everything else anyway)
+    exact = (toks.filter(F.col("token").isin(*terms))
+             .groupBy("token").agg(F.count("*").alias("exact"))
              .withColumnRenamed("token", "term"))
     return (est.join(exact, "term", "left")
             .select("term",
@@ -939,7 +943,9 @@ est AS (
   FROM probes p LEFT JOIN cells c ON c.d = p.d AND c.cell = p.cell
   GROUP BY p.term
 ), exact AS (
-  SELECT token AS term, COUNT(*) AS exact FROM toks GROUP BY token
+  SELECT token AS term, COUNT(*) AS exact FROM toks
+  WHERE token IN ({", ".join(f"'{t}'" for t in CMS_TERMS)})
+  GROUP BY token
 )
 SELECT e.term, CAST(coalesce(x.exact, 0) AS BIGINT) AS exact,
   CAST(e.cms_est AS BIGINT) AS cms_est,

@@ -178,6 +178,30 @@ def test_cms_overestimates_only_and_finds_absent_term(spark):
     assert out["nosuchterm"]["cms_est"] == 0
 
 
+def test_cms_exact_side_filters_before_aggregate(spark):
+    """The exact-count branch aggregates only the probe terms: the
+    `token IN (...)` filter must sit below the exact-side aggregate in
+    the optimized plan, so its shuffle carries |terms| keys rather than
+    the corpus vocabulary."""
+    from downscaledclimatedata_spark.operators.textops import cms_estimate
+    rows = [(i, "alpha beta gamma delta epsilon zeta", "s", 0)
+            for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long")
+    out = cms_estimate(df, "text", "doc_id", terms=("beta", "zeta"))
+    import re
+
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the probe-term restriction sits directly below the exact-side
+    # token aggregate (keys bounded by the probe list, not vocabulary)
+    assert re.search(
+        r"Aggregate \[token#\d+\][^\n]*\n\s*\+- Filter token#\d+ "
+        r"IN \(beta,zeta\)", plan), plan
+    # and the results are unchanged by the pushdown
+    got = {r["term"]: r["exact"] for r in out.collect()}
+    assert got == {"beta": 10, "zeta": 10}
+
+
 def test_cms_cells_merge_cellwise(spark):
     """Mergeability: the CMS of a union corpus equals the cell-wise sum
     of the parts' sketches — the property that lets per-shard sketches
