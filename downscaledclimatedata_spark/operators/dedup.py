@@ -1675,6 +1675,217 @@ register(QuerySpec(
                 "harness for (bands, rows, threshold)"))
 
 
+def signal_eval(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                threshold: float = EVAL_JACCARD_T,
+                containment_threshold: float = 0.2) -> DataFrame:
+    """Every candidate generator scored against ONE exact Jaccard
+    ground truth: one (signal, n_truth, n_candidates, tp, precision,
+    recall) row per generator — minhash-LSH raw candidates, the
+    Jaccard-verified pairs, simhash hamming pairs, and doc-in-doc
+    containment pairs.
+
+    The engine ships four text near-dup signals; tuning them against
+    each other needs their precision/recall published side by side
+    against the SAME truth relation, computed in one pass (the exact
+    all-pairs intersection is built once and shared by truth,
+    verification, and containment — the expensive part is bought once).
+    A generator's low precision here is not a defect but a PROFILE:
+    containment deliberately fires on quote-in-doc pairs whose
+    symmetric Jaccard is far below ``threshold`` (that blind-spot
+    coverage is why the multi-signal union exists), and
+    ``jaccard_verified`` is exact verification at the truth threshold,
+    so its precision is 1.0 by construction — pinned in unit tests.
+
+    Scale: shingle relation localCheckpointed and shared four ways;
+    LSH candidates localCheckpointed (reused by verification and the
+    union); ground truth is the uncapped shingle self-join, inherently
+    Σ df² — run at sampled scale, as recall estimation always is.
+    """
+    sh = shingled_rows(df, text_col, id_col).distinct().localCheckpoint()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b.hint("merge"), "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
+    truth = (inter
+             .join(sizes.select(F.col(id_col).alias("id_a"),
+                                F.col("n_sh").alias("na")), "id_a")
+             .join(sizes.select(F.col(id_col).alias("id_b"),
+                                F.col("n_sh").alias("nb")), "id_b")
+             .filter(F.col("n_inter").cast("double")
+                     / (F.col("na") + F.col("nb")
+                        - F.col("n_inter")).cast("double")
+                     >= threshold)
+             .select("id_a", "id_b")).localCheckpoint()
+    cand = lsh_candidate_pairs(
+        minhash_signatures(df, text_col, id_col, shingled=sh),
+        id_col).localCheckpoint()
+    gens = [
+        ("minhash_lsh", cand),
+        ("jaccard_verified",
+         ngram_jaccard_pairs(df, text_col, id_col, candidates=cand,
+                             threshold=threshold, shingled=sh)),
+        ("simhash", simhash_pairs(df, text_col, id_col)),
+        ("containment",
+         containment_pairs(df, text_col, id_col,
+                           threshold=containment_threshold, shingled=sh)),
+    ]
+    union = None
+    for name, pairs in gens:
+        tagged = pairs.select(F.lit(name).alias("signal"), "id_a", "id_b")
+        union = tagged if union is None else union.unionAll(tagged)
+    per = (union
+           .join(truth.withColumn("in_truth", F.lit(1)),
+                 ["id_a", "id_b"], "left")
+           .groupBy("signal")
+           .agg(F.count(F.lit(1)).alias("n_candidates"),
+                F.sum(F.coalesce(F.col("in_truth"), F.lit(0))).alias("tp")))
+    spark = df.sparkSession
+    names = spark.createDataFrame([(n,) for n, _ in gens], "signal string")
+    tot = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (names
+            .crossJoin(F.broadcast(tot))
+            .join(F.broadcast(per), "signal", "left")
+            .select(
+                "signal",
+                F.col("n_truth").cast("bigint").alias("n_truth"),
+                F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint")
+                .alias("n_candidates"),
+                F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
+                F.when(F.coalesce(F.col("n_candidates"), F.lit(0)) > 0,
+                       F.col("tp").cast("double")
+                       / F.col("n_candidates").cast("double"))
+                .otherwise(F.lit(1.0)).alias("precision"),
+                F.when(F.col("n_truth") > 0,
+                       F.coalesce(F.col("tp"), F.lit(0)).cast("double")
+                       / F.col("n_truth").cast("double"))
+                .otherwise(F.lit(1.0)).alias("recall"))
+            .orderBy("signal"))
+
+
+def dedup_signal_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return signal_eval(docs)
+
+
+_DEDUP_SIGNAL_EVAL_SQL = f"""
+WITH {_SHINGLES_CTE},
+dist AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dist GROUP BY doc_id),
+interx AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM dist a JOIN dist b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truthp AS (
+  SELECT id_a, id_b
+  FROM interx
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {EVAL_JACCARD_T}
+),
+{_HASHED_CTE},
+sigs AS (
+  SELECT doc_id, {_MINHASH_COLS_SQL}
+  FROM hashed GROUP BY doc_id
+),
+banded AS ({_BAND_SELECTS}),
+bok AS (
+  SELECT band_id, band_hash FROM banded
+  GROUP BY band_id, band_hash HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN bok ON bok.band_id = a.band_id AND bok.band_hash = a.band_hash
+  JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b FROM cand c
+  JOIN truthp t ON t.id_a = c.id_a AND t.id_b = c.id_b
+),
+simh AS (SELECT doc_id, {md5_long_sql('shingle')} AS h FROM shingled),
+bits AS (SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM simh GROUP BY doc_id),
+fp AS (SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM bits),
+blocks AS ({_SIMHASH_BLOCK_SELECTS}),
+sok AS (
+  SELECT blk, val FROM blocks
+  GROUP BY blk, val HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+kept AS (SELECT doc_id, blk, val FROM blocks SEMI JOIN sok USING (blk, val)),
+scand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM kept x JOIN kept y
+    ON x.blk = y.blk AND x.val = y.val AND x.doc_id < y.doc_id
+),
+simpairs AS (
+  SELECT id_a, id_b FROM scand
+  JOIN fp fa ON fa.doc_id = id_a
+  JOIN fp fb ON fb.doc_id = id_b
+  WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {SIMHASH_HAM_MAX}
+),
+rare AS (
+  SELECT shingle FROM dist
+  GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+),
+pruned AS (SELECT doc_id, shingle FROM dist SEMI JOIN rare USING (shingle)),
+cinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM pruned a JOIN pruned b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+contpairs AS (
+  SELECT id_a, id_b
+  FROM cinter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE)
+        / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.2
+),
+cands AS (
+  SELECT 'minhash_lsh' AS signal, id_a, id_b FROM cand
+  UNION ALL SELECT 'jaccard_verified', id_a, id_b FROM verified
+  UNION ALL SELECT 'simhash', id_a, id_b FROM simpairs
+  UNION ALL SELECT 'containment', id_a, id_b FROM contpairs
+),
+names(signal) AS (VALUES ('minhash_lsh'), ('jaccard_verified'),
+                         ('simhash'), ('containment')),
+per AS (
+  SELECT signal, COUNT(*) AS n_candidates,
+    SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS tp
+  FROM cands c LEFT JOIN truthp t
+    ON t.id_a = c.id_a AND t.id_b = c.id_b
+  GROUP BY signal
+),
+tot AS (SELECT COUNT(*) AS n_truth FROM truthp)
+SELECT n.signal,
+  CAST(tot.n_truth AS BIGINT) AS n_truth,
+  CAST(coalesce(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+  CAST(coalesce(p.tp, 0) AS BIGINT) AS tp,
+  CASE WHEN coalesce(p.n_candidates, 0) > 0
+       THEN CAST(p.tp AS DOUBLE) / CAST(p.n_candidates AS DOUBLE)
+       ELSE 1.0 END AS precision,
+  CASE WHEN tot.n_truth > 0
+       THEN CAST(coalesce(p.tp, 0) AS DOUBLE) / CAST(tot.n_truth AS DOUBLE)
+       ELSE 1.0 END AS recall
+FROM names n CROSS JOIN tot
+LEFT JOIN per p ON p.signal = n.signal
+ORDER BY n.signal
+"""
+
+register(QuerySpec(
+    "dedup_signal_eval", dedup_signal_eval_query, _DEDUP_SIGNAL_EVAL_SQL,
+    description="ALL four candidate generators (minhash-LSH, verified "
+                "Jaccard, simhash, containment) scored against one exact "
+                "Jaccard ground truth in one pass — per-signal "
+                "precision/recall"))
+
+
 # --- per-source duplication diagnostics -----------------------------------------
 
 def source_dup_report(df: DataFrame, text_col: str = "text",

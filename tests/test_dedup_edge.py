@@ -96,6 +96,44 @@ def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
     assert all(r.jaccard < 0.05 for r in jac)
 
 
+def test_signal_eval_scores_every_generator_against_one_truth(spark):
+    """The per-signal eval publishes one row per generator, and the
+    planted quote-in-doc pair is found by containment ALONE — the
+    blind spot the multi-signal union exists to cover. The verified-
+    Jaccard signal's precision is 1.0 by construction (exact
+    verification at the truth threshold)."""
+    from downscaledclimatedata_spark.operators.dedup import signal_eval
+
+    quote = "the quick brown fox jumps over the lazy dog tonight again"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(80))
+    near_a = " ".join(f"shared{i} common{i} token{i}" for i in range(40))
+    near_b = near_a + " tailword"
+    docs = spark.createDataFrame(
+        [(1, quote),                                   # quoted short doc
+         (2, filler + " " + quote + " " + filler),     # container
+         (3, near_a), (4, near_b),                     # true near-dups
+         (5, " ".join(f"z{i} q{i}" for i in range(60)))],
+        "doc_id int, text string")
+    rows = {r["signal"]: r for r in signal_eval(docs).collect()}
+    assert set(rows) == {"minhash_lsh", "jaccard_verified", "simhash",
+                         "containment"}
+    # the (3,4) near-identical pair is ground truth; (1,2) is not
+    # (jaccard ~0.05 < 0.2)
+    assert all(r["n_truth"] == 1 for r in rows.values())
+    # containment fires on BOTH the true near-dup and the quote-in-doc
+    # pair — the extra pair the jaccard-truth signals cannot see
+    assert rows["containment"]["n_candidates"] == 2
+    assert rows["containment"]["tp"] == 1
+    # verified jaccard: exact verification at the truth threshold =>
+    # every candidate is true (precision 1.0)
+    assert rows["jaccard_verified"]["precision"] == 1.0
+    assert rows["jaccard_verified"]["tp"] == rows["jaccard_verified"]["n_candidates"]
+    # the jaccard-approximating generators do NOT emit the (1,2) pair:
+    # with only (3,4) as a plausible candidate they report at most 1
+    for s in ("minhash_lsh", "jaccard_verified", "simhash"):
+        assert rows[s]["n_candidates"] <= 1, s
+
+
 def test_containment_prefix_filter_drops_boilerplate_shingles(spark):
     """A shingle shared by > max_df docs is dropped before pairing, so
     boilerplate alone creates no pairs (and no k-squared blow-up)."""
