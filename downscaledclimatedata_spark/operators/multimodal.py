@@ -885,6 +885,376 @@ register(QuerySpec("multimodal_decode_png_pixels",
                                "reconstructed pixels"))
 
 
+# --- real GIF pixel decode (stdlib LZW: variable-width codes, sub-blocks) ----
+
+GIF_PIXELS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_px", T.IntegerType()),
+    T.StructField("pix_sum", T.LongType()),
+    T.StructField("pix_min", T.IntegerType()),
+    T.StructField("pix_max", T.IntegerType()),
+])
+
+# synthesis parameters as pure functions of doc_id (oracle discipline as
+# PNG_PIX_*): pixel (y, x) of doc d = (d*A + y*B + x*C) % 256
+GIF_PIX_W_BASE = 8
+GIF_PIX_W_MOD = 23
+GIF_PIX_H_BASE = 8
+GIF_PIX_H_MOD = 19
+GIF_PIX_A = 6151
+GIF_PIX_B = 93911
+GIF_PIX_C = 999983
+GIF_PIX_CORRUPT_MOD = 11
+
+
+def _build_gif_pixel_codecs():
+    """Pure-stdlib GIF pixel codec (struct + hand-rolled GIF LZW).
+
+    ``make_gif_pixels`` writes a spec-valid GIF89a: logical screen
+    descriptor, 256-entry grayscale global color table, image
+    descriptor, REAL LZW-compressed index stream (variable-width codes
+    starting at min_code_size+1 bits, LSB-first bit packing, CLEAR
+    emitted up front and again on table overflow at 4096, END code) in
+    ≤255-byte sub-blocks, trailer. ``decode_gif_pixel_stats`` is a REAL
+    pixel decoder: walks the block structure (skipping extensions),
+    concatenates the image sub-blocks, LZW-decompresses with the
+    matching width-growth rule (decoder's table lags the encoder's by
+    one entry, so it widens at table size 2^w - 1 where the encoder
+    widens at 2^w — the classic GIF off-by-one), maps indices through
+    the palette, and aggregates pixel stats. Any structural defect
+    (bad magic, truncated sub-block, out-of-range code, wrong pixel
+    count) returns None — row-level tolerance, never a batch error.
+    """
+    import struct
+
+    def lzw_encode(data: bytes, min_code_size: int) -> bytes:
+        clear = 1 << min_code_size
+        end = clear + 1
+        out = bytearray()
+        acc = 0
+        nbits = 0
+
+        def emit(code: int, size: int):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += size
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = end + 1
+        code_size = min_code_size + 1
+        emit(clear, code_size)
+        w = b""
+        for byte in data:
+            wk = w + bytes([byte])
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w], code_size)
+            if next_code < 4096:
+                table[wk] = next_code
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            else:
+                emit(clear, code_size)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = end + 1
+                code_size = min_code_size + 1
+            w = bytes([byte])
+        if w:
+            emit(table[w], code_size)
+            # the decoder adds a table entry after EVERY data code it
+            # reads — including this final one — so the encoder must
+            # mirror that add's width bump (entry content is irrelevant:
+            # nothing follows but END), else a table landing exactly on
+            # 2^w - 1 at the last code desyncs the END code's width
+            if next_code < 4096:
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        emit(end, code_size)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def lzw_decode(data: bytes, min_code_size: int) -> bytes:
+        clear = 1 << min_code_size
+        end = clear + 1
+        pos = 0
+        acc = 0
+        nbits = 0
+
+        def read(size: int):
+            nonlocal pos, acc, nbits
+            while nbits < size:
+                if pos >= len(data):
+                    return None
+                acc |= data[pos] << nbits
+                pos += 1
+                nbits += 8
+            code = acc & ((1 << size) - 1)
+            acc >>= size
+            nbits -= size
+            return code
+
+        out = bytearray()
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code_size + 1
+        prev = None
+        while True:
+            code = read(code_size)
+            if code is None:
+                raise ValueError("truncated LZW stream")
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                break
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad first code")
+                entry = table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                elif code == len(table):
+                    entry = prev + prev[:1]  # KwKwK
+                else:
+                    raise ValueError("code out of range")
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+                    if len(table) == (1 << code_size) - 1 and code_size < 12:
+                        code_size += 1
+            out += entry
+            prev = entry
+        return bytes(out)
+
+    gray_gct = bytes(v for i in range(256) for v in (i, i, i))
+
+    def make_gif_pixels(rows: list[bytes], block_size: int = 255) -> bytes:
+        h = len(rows)
+        w = len(rows[0]) if rows else 0
+        # LSD: GCT present, 8 bits/px, 256-entry table
+        lsd = struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+        desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        comp = lzw_encode(b"".join(bytes(r) for r in rows), 8)
+        body = bytearray([8])  # LZW minimum code size
+        for i in range(0, len(comp), block_size):
+            chunk = comp[i:i + block_size]
+            body.append(len(chunk))
+            body += chunk
+        body.append(0)  # block terminator
+        return (b"GIF89a" + lsd + gray_gct + desc + bytes(body) + b"\x3b")
+
+    def decode_gif_pixel_stats(blob: bytes):
+        try:
+            blob = bytes(blob)
+            if blob[:6] not in (b"GIF87a", b"GIF89a") or len(blob) < 13:
+                return None
+            sw, sh = struct.unpack("<HH", blob[6:10])
+            packed = blob[10]
+            i = 13
+            palette = None
+            if packed & 0x80:
+                n_gct = 2 << (packed & 0x07)
+                palette = blob[i:i + 3 * n_gct]
+                if len(palette) != 3 * n_gct:
+                    return None
+                i += 3 * n_gct
+            while i < len(blob):
+                b0 = blob[i]
+                if b0 == 0x3B:  # trailer before any image
+                    return None
+                if b0 == 0x21:  # extension: label + sub-blocks
+                    i += 2
+                    while i < len(blob) and blob[i] != 0:
+                        i += 1 + blob[i]
+                    if i >= len(blob):
+                        return None
+                    i += 1
+                    continue
+                if b0 != 0x2C:
+                    return None
+                left, top, iw, ih = struct.unpack("<HHHH", blob[i + 1:i + 9])
+                ipacked = blob[i + 9]
+                i += 10
+                if ipacked & 0x40:  # interlaced: not emitted by writer
+                    return None
+                if ipacked & 0x80:  # local color table overrides
+                    n_lct = 2 << (ipacked & 0x07)
+                    palette = blob[i:i + 3 * n_lct]
+                    if len(palette) != 3 * n_lct:
+                        return None
+                    i += 3 * n_lct
+                if palette is None or i >= len(blob):
+                    return None
+                mcs = blob[i]
+                i += 1
+                if not 2 <= mcs <= 8:
+                    return None
+                comp = bytearray()
+                while i < len(blob) and blob[i] != 0:
+                    ln = blob[i]
+                    chunk = blob[i + 1:i + 1 + ln]
+                    if len(chunk) != ln:
+                        return None
+                    comp += chunk
+                    i += 1 + ln
+                if i >= len(blob):
+                    return None
+                idx = lzw_decode(bytes(comp), mcs)
+                if len(idx) != iw * ih:
+                    return None
+                n_colors = len(palette) // 3
+                if idx and max(idx) >= n_colors:
+                    return None
+                vals = [palette[3 * j] for j in idx]  # gray: R channel
+                if not vals:
+                    return None
+                return (iw, ih, iw * ih, sum(vals), min(vals), max(vals))
+            return None
+        except (ValueError, IndexError, struct.error):
+            return None
+
+    return make_gif_pixels, decode_gif_pixel_stats, lzw_encode, lzw_decode
+
+
+(make_gif_pixels, decode_gif_pixel_stats,
+ gif_lzw_encode, gif_lzw_decode) = _build_gif_pixel_codecs()
+
+
+def synthesize_gif_pixel_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real LZW-compressed GIF89a byte stream with
+    doc_id-derived pixels; every GIF_PIX_CORRUPT_MOD-th doc gets a
+    structurally-valid GIF whose LZW data bytes are garbage (all 0xFF:
+    the first 9-bit code is 511, out of table range), so the corrupt-
+    stream tolerance path is exercised in-band.
+
+    width = 8 + d % 23, height = 8 + d % 19, pixel (y, x) =
+    (d*6151 + y*93911 + x*999983) % 256 — the formula is the ONLY thing
+    the oracle knows; the payload is genuine variable-width LZW bytes.
+    Docs with d % 3 == 0 use 100-byte sub-blocks so multi-block
+    concatenation is exercised.
+    """
+    mk = make_gif_pixels
+    wb, wm, hb, hm = GIF_PIX_W_BASE, GIF_PIX_W_MOD, GIF_PIX_H_BASE, GIF_PIX_H_MOD
+    a, b, c, cmod = GIF_PIX_A, GIF_PIX_B, GIF_PIX_C, GIF_PIX_CORRUPT_MOD
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                w, h = wb + d % wm, hb + d % hm
+                if d % cmod == 0:
+                    # valid structure, garbage LZW: 20 bytes of 0xFF in
+                    # one sub-block
+                    payloads.append(
+                        b"GIF89a" + bytes([w & 0xFF, w >> 8, h & 0xFF, h >> 8])
+                        + b"\xf7\x00\x00"
+                        + bytes(v for i in range(256) for v in (i, i, i))
+                        + b"\x2c" + bytes([0, 0, 0, 0, w & 0xFF, w >> 8,
+                                           h & 0xFF, h >> 8, 0])
+                        + b"\x08\x14" + b"\xff" * 20 + b"\x00\x3b")
+                    continue
+                rows = [bytes((d * a + y * b + x * c) % 256 for x in range(w))
+                        for y in range(h)]
+                payloads.append(mk(rows, block_size=100 if d % 3 == 0 else 255))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(_synth, "doc_id long, payload binary")
+
+
+def decode_gif_pixels(df: DataFrame) -> DataFrame:
+    """REAL pixel decode: binary payload -> per-image pixel stats read
+    from the LZW-decompressed index stream mapped through the palette.
+
+    Corrupt payloads (truncated sub-blocks, out-of-range codes, wrong
+    pixel count) yield a row of NULL stats rather than erroring the
+    batch (SURVEY §2 T7).
+    """
+    dec = decode_gif_pixel_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("width", "height", "n_px", "pix_sum", "pix_min", "pix_max")}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 6
+                for k, v in zip(cols, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "n_px": pd.array(cols["n_px"], dtype="Int32"),
+                "pix_sum": pd.array(cols["pix_sum"], dtype="Int64"),
+                "pix_min": pd.array(cols["pix_min"], dtype="Int32"),
+                "pix_max": pd.array(cols["pix_max"], dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, GIF_PIXELS_SCHEMA)
+
+
+def multimodal_decode_gif_pixels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF PIXEL decode end-to-end: synthesize genuine LZW-
+    compressed GIF89a payloads, then reconstruct the pixels back OUT OF
+    THE BYTES (sub-block walk + variable-width LZW decompression +
+    palette mapping) and aggregate stats. The oracle recomputes the
+    stats from the doc_id pixel formula alone — and NULLs for the
+    planted corrupt-LZW rows — so a green row proves the full encode ->
+    Arrow round-trip -> LZW decode -> palette -> aggregate pipeline, the
+    step beyond ``multimodal_decode_gif``'s descriptor-only parse."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_gif_pixels(synthesize_gif_pixel_payloads(docs))
+
+
+_MULTIMODAL_GIF_PIXELS_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST({GIF_PIX_W_BASE} + abs(doc_id) % {GIF_PIX_W_MOD} AS INT) AS width,
+    CAST({GIF_PIX_H_BASE} + abs(doc_id) % {GIF_PIX_H_MOD} AS INT) AS height
+  FROM documents
+), px AS (
+  SELECT doc_id, d, width, height,
+    list_transform(range(0, width * height),
+      i -> (d * {GIF_PIX_A} + (i // width) * {GIF_PIX_B}
+            + (i % width) * {GIF_PIX_C}) % 256) AS vals
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN d % {GIF_PIX_CORRUPT_MOD} = 0 THEN NULL ELSE width END AS width,
+  CASE WHEN d % {GIF_PIX_CORRUPT_MOD} = 0 THEN NULL ELSE height END AS height,
+  CASE WHEN d % {GIF_PIX_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(width * height AS INT) END AS n_px,
+  CASE WHEN d % {GIF_PIX_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_sum(vals) AS BIGINT) END AS pix_sum,
+  CASE WHEN d % {GIF_PIX_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_min(vals) AS INT) END AS pix_min,
+  CASE WHEN d % {GIF_PIX_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_max(vals) AS INT) END AS pix_max
+FROM px
+"""
+
+register(QuerySpec("multimodal_decode_gif_pixels",
+                   multimodal_decode_gif_pixels_query,
+                   _MULTIMODAL_GIF_PIXELS_SQL,
+                   description="real GIF pixel decode: sub-block walk + "
+                               "variable-width LZW decompression + palette "
+                               "mapping, stats from reconstructed pixels; "
+                               "planted corrupt-LZW rows -> NULL"))
+
+
 # --- GIF decode spec (with in-band corrupt rows) --------------------------------
 
 GIF_CORRUPT_MOD = 13

@@ -285,6 +285,99 @@ def test_png_pixel_decode_through_spark(spark):
     assert rows[2].pix_sum is None and rows[2].width is None
 
 
+def test_gif_lzw_codec_roundtrip_and_edges():
+    """The hand-rolled GIF LZW pair is exact on width-boundary and
+    KwKwK-pattern inputs — including the classic final-code edge where
+    the table lands on 2^w - 1 exactly as the last data code is emitted
+    (the decoder's post-read add widens, so the encoder must mirror it
+    before writing END)."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        gif_lzw_decode,
+        gif_lzw_encode,
+    )
+
+    # the doc-155 payload that exposed the final-code width desync
+    d = 155
+    data = bytes((d * 6151 + y * 93911 + x * 999983) % 256
+                 for y in range(11) for x in range(25))
+    assert gif_lzw_decode(gif_lzw_encode(data, 8), 8) == data
+    # KwKwK stress (runs of one symbol exercise the code==len(table) case)
+    run = bytes([3] * 500)
+    assert gif_lzw_decode(gif_lzw_encode(run, 2), 2) == run
+    # exact boundary sweep around the 9->10 bit transition
+    for n in range(240, 280):
+        seq = bytes((i * 31 + 7) % 256 for i in range(n))
+        assert gif_lzw_decode(gif_lzw_encode(seq, 8), 8) == seq
+    # table-overflow clear path (forces the 4096 reset)
+    big = bytes((i * 197 + (i >> 3)) % 256 for i in range(60000))
+    assert gif_lzw_decode(gif_lzw_encode(big, 8), 8) == big
+    # empty stream
+    assert gif_lzw_decode(gif_lzw_encode(b"", 8), 8) == b""
+
+
+def test_gif_pixel_codec_roundtrip_and_corruption():
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_gif_pixel_stats,
+        make_gif_pixels,
+    )
+
+    rows = [bytes((3 * y + 5 * x + 17) % 256 for x in range(11))
+            for y in range(10)]
+    blob = make_gif_pixels(rows)
+    flat = [v for r in rows for v in r]
+    assert decode_gif_pixel_stats(blob) == (
+        11, 10, 110, sum(flat), min(flat), max(flat))
+    # multi-sub-block body decodes identically
+    small = make_gif_pixels(rows, block_size=16)
+    assert small != blob
+    assert decode_gif_pixel_stats(small) == decode_gif_pixel_stats(blob)
+    # corrupt LZW stream (valid structure, garbage codes) -> None
+    w, h = 11, 10
+    corrupt = (b"GIF89a" + bytes([w, 0, h, 0]) + b"\xf7\x00\x00"
+               + bytes(v for i in range(256) for v in (i, i, i))
+               + b"\x2c" + bytes([0, 0, 0, 0, w, 0, h, 0, 0])
+               + b"\x08\x14" + b"\xff" * 20 + b"\x00\x3b")
+    assert decode_gif_pixel_stats(corrupt) is None
+    # truncation mid-sub-block -> None
+    assert decode_gif_pixel_stats(blob[: len(blob) - 10]) is None
+    # non-GIF -> None
+    assert decode_gif_pixel_stats(b"\x89PNG not a gif") is None
+
+
+def test_gif_pixel_decode_through_spark(spark):
+    """The registered spec path: synthesize genuine LZW GIFs through
+    mapInPandas, decode pixels back, verify against the formula — and
+    the planted corrupt-LZW rows (d % 11 == 0) come back as NULLs."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        GIF_PIX_A,
+        GIF_PIX_B,
+        GIF_PIX_C,
+        GIF_PIX_CORRUPT_MOD,
+        GIF_PIX_H_BASE,
+        GIF_PIX_H_MOD,
+        GIF_PIX_W_BASE,
+        GIF_PIX_W_MOD,
+        decode_gif_pixels,
+        synthesize_gif_pixel_payloads,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    out = {r.doc_id: r for r in
+           decode_gif_pixels(synthesize_gif_pixel_payloads(docs)).collect()}
+    assert len(out) == 30
+    for d in (1, 3, 17, 29):
+        w = GIF_PIX_W_BASE + d % GIF_PIX_W_MOD
+        h = GIF_PIX_H_BASE + d % GIF_PIX_H_MOD
+        px = [(d * GIF_PIX_A + y * GIF_PIX_B + x * GIF_PIX_C) % 256
+              for y in range(h) for x in range(w)]
+        r = out[d]
+        assert (r.width, r.height, r.n_px) == (w, h, w * h)
+        assert (r.pix_sum, r.pix_min, r.pix_max) == (sum(px), min(px), max(px))
+    for d in (0, GIF_PIX_CORRUPT_MOD, 2 * GIF_PIX_CORRUPT_MOD):
+        assert out[d].pix_sum is None and out[d].width is None
+
+
 def test_gif_header_decode_through_spark(spark):
     """GIF87a/89a logical-screen dims (little-endian, unlike PNG/JPEG)
     parsed from genuine bytes through the mapInPandas decode; corrupt
