@@ -678,33 +678,41 @@ def _build_png_pixel_codecs():
             return b
         return c
 
-    def make_png_pixels(rows: list[bytes], split_idat: bool = False) -> bytes:
+    def make_png_pixels(rows: list[bytes], split_idat: bool = False,
+                        color_type: int = 0) -> bytes:
+        """``color_type`` 0 = 8-bit grayscale (1 byte/px), 2 = 8-bit RGB
+        (3 bytes/px). PNG filters operate per BYTE with the left
+        neighbour ``bpp`` bytes back, so one loop serves both."""
+        bpp = 3 if color_type == 2 else 1
         h = len(rows)
-        w = len(rows[0]) if rows else 0
+        nb = len(rows[0]) if rows else 0  # bytes per scanline
+        w = nb // bpp
         out = bytearray()
-        prev = bytes(w)
+        prev = bytes(nb)
         for y, row in enumerate(rows):
             ft = y % 5
             out.append(ft)
             if ft == 0:
                 filt = bytes(row)
             elif ft == 1:  # Sub
-                filt = bytes((row[x] - (row[x - 1] if x else 0)) & 0xFF
-                             for x in range(w))
+                filt = bytes(
+                    (row[x] - (row[x - bpp] if x >= bpp else 0)) & 0xFF
+                    for x in range(nb))
             elif ft == 2:  # Up
-                filt = bytes((row[x] - prev[x]) & 0xFF for x in range(w))
+                filt = bytes((row[x] - prev[x]) & 0xFF for x in range(nb))
             elif ft == 3:  # Average
                 filt = bytes(
-                    (row[x] - (((row[x - 1] if x else 0) + prev[x]) >> 1)) & 0xFF
-                    for x in range(w))
+                    (row[x] - (((row[x - bpp] if x >= bpp else 0)
+                                + prev[x]) >> 1)) & 0xFF
+                    for x in range(nb))
             else:  # Paeth
                 filt = bytes(
-                    (row[x] - _paeth(row[x - 1] if x else 0, prev[x],
-                                     prev[x - 1] if x else 0)) & 0xFF
-                    for x in range(w))
+                    (row[x] - _paeth(row[x - bpp] if x >= bpp else 0, prev[x],
+                                     prev[x - bpp] if x >= bpp else 0)) & 0xFF
+                    for x in range(nb))
             out += filt
             prev = bytes(row)
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
         comp = zlib.compress(bytes(out), 6)
         if split_idat and len(comp) > 2:
             mid = len(comp) // 2
@@ -713,76 +721,114 @@ def _build_png_pixel_codecs():
             idat = _chunk(b"IDAT", comp)
         return png_magic + _chunk(b"IHDR", ihdr) + idat + _chunk(b"IEND", b"")
 
+    def _parse_and_unfilter(blob: bytes, want_ctypes: tuple[int, ...]):
+        """Chunk walk (CRC-checked) + inflate + per-scanline filter
+        reversal with the color type's bpp. Returns (w, h, bpp, rows)
+        where rows is the list of unfiltered scanline byte strings, or
+        None on any structural defect."""
+        if bytes(blob[:8]) != png_magic:
+            return None
+        i = 8
+        w = h = depth = ctype = None
+        idat = bytearray()
+        while i + 12 <= len(blob):
+            (ln,) = struct.unpack(">I", blob[i:i + 4])
+            typ = bytes(blob[i + 4:i + 8])
+            data = bytes(blob[i + 8:i + 8 + ln])
+            if len(data) != ln or i + 12 + ln > len(blob):
+                return None
+            (crc,) = struct.unpack(">I", blob[i + 8 + ln:i + 12 + ln])
+            if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                return None
+            if typ == b"IHDR":
+                if len(data) < 10:
+                    return None
+                w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            i += 12 + ln
+        if not w or not h or depth != 8 or ctype not in want_ctypes:
+            return None
+        bpp = 3 if ctype == 2 else 1
+        nb = w * bpp
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != h * (nb + 1):
+            return None
+        prev = bytes(nb)
+        rows = []
+        for y in range(h):
+            ft = raw[y * (nb + 1)]
+            line = raw[y * (nb + 1) + 1:(y + 1) * (nb + 1)]
+            cur = bytearray(nb)
+            if ft == 0:
+                cur[:] = line
+            elif ft == 1:
+                for x in range(nb):
+                    cur[x] = (line[x]
+                              + (cur[x - bpp] if x >= bpp else 0)) & 0xFF
+            elif ft == 2:
+                for x in range(nb):
+                    cur[x] = (line[x] + prev[x]) & 0xFF
+            elif ft == 3:
+                for x in range(nb):
+                    cur[x] = (line[x]
+                              + (((cur[x - bpp] if x >= bpp else 0)
+                                  + prev[x]) >> 1)) & 0xFF
+            elif ft == 4:
+                for x in range(nb):
+                    cur[x] = (line[x]
+                              + _paeth(cur[x - bpp] if x >= bpp else 0,
+                                       prev[x],
+                                       prev[x - bpp] if x >= bpp else 0)) & 0xFF
+            else:
+                return None
+            rows.append(bytes(cur))
+            prev = bytes(cur)
+        return (w, h, bpp, rows)
+
     def decode_png_pixel_stats(blob: bytes):
         try:
-            if bytes(blob[:8]) != png_magic:
+            got = _parse_and_unfilter(blob, (0,))
+            if got is None:
                 return None
-            i = 8
-            w = h = depth = ctype = None
-            idat = bytearray()
-            while i + 12 <= len(blob):
-                (ln,) = struct.unpack(">I", blob[i:i + 4])
-                typ = bytes(blob[i + 4:i + 8])
-                data = bytes(blob[i + 8:i + 8 + ln])
-                if len(data) != ln or i + 12 + ln > len(blob):
-                    return None
-                (crc,) = struct.unpack(">I", blob[i + 8 + ln:i + 12 + ln])
-                if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
-                    return None
-                if typ == b"IHDR":
-                    if len(data) < 10:
-                        return None
-                    w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
-                elif typ == b"IDAT":
-                    idat += data
-                elif typ == b"IEND":
-                    break
-                i += 12 + ln
-            if not w or not h or depth != 8 or ctype != 0:
-                return None
-            raw = zlib.decompress(bytes(idat))
-            if len(raw) != h * (w + 1):
-                return None
-            prev = bytes(w)
+            w, h, _, rows = got
             total = 0
             mn, mx = 255, 0
-            for y in range(h):
-                ft = raw[y * (w + 1)]
-                line = raw[y * (w + 1) + 1:(y + 1) * (w + 1)]
-                cur = bytearray(w)
-                if ft == 0:
-                    cur[:] = line
-                elif ft == 1:
-                    acc = 0
-                    for x in range(w):
-                        acc = (line[x] + acc) & 0xFF
-                        cur[x] = acc
-                elif ft == 2:
-                    for x in range(w):
-                        cur[x] = (line[x] + prev[x]) & 0xFF
-                elif ft == 3:
-                    for x in range(w):
-                        cur[x] = (line[x]
-                                  + (((cur[x - 1] if x else 0) + prev[x]) >> 1)) & 0xFF
-                elif ft == 4:
-                    for x in range(w):
-                        cur[x] = (line[x]
-                                  + _paeth(cur[x - 1] if x else 0, prev[x],
-                                           prev[x - 1] if x else 0)) & 0xFF
-                else:
-                    return None
+            for cur in rows:
                 total += sum(cur)
                 mn = min(mn, min(cur))
                 mx = max(mx, max(cur))
-                prev = bytes(cur)
             return (w, h, w * h, total, mn, mx)
         except Exception:
             return None
 
-    return make_png_pixels, decode_png_pixel_stats
+    def decode_png_rgb_stats(blob: bytes):
+        """Color-type-2 variant: per-CHANNEL sums plus global min/max
+        over all samples."""
+        try:
+            got = _parse_and_unfilter(blob, (2,))
+            if got is None:
+                return None
+            w, h, _, rows = got
+            sr = sg = sb = 0
+            mn, mx = 255, 0
+            for cur in rows:
+                sr += sum(cur[0::3])
+                sg += sum(cur[1::3])
+                sb += sum(cur[2::3])
+                mn = min(mn, min(cur))
+                mx = max(mx, max(cur))
+            return (w, h, w * h, sr, sg, sb, mn, mx)
+        except Exception:
+            return None
+
+    return make_png_pixels, decode_png_pixel_stats, decode_png_rgb_stats
 
 
-make_png_pixels, decode_png_pixel_stats = _build_png_pixel_codecs()
+(make_png_pixels, decode_png_pixel_stats,
+ decode_png_rgb_stats) = _build_png_pixel_codecs()
 
 
 def synthesize_png_pixel_payloads(df: DataFrame) -> DataFrame:
@@ -883,6 +929,171 @@ register(QuerySpec("multimodal_decode_png_pixels",
                    description="real PNG pixel decode: zlib IDAT inflate + "
                                "all-5-filter scanline reversal, stats from "
                                "reconstructed pixels"))
+
+
+# --- real PNG RGB pixel decode (color type 2, 3-byte pixels) -----------------
+
+PNG_RGB_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_px", T.IntegerType()),
+    T.StructField("sum_r", T.LongType()),
+    T.StructField("sum_g", T.LongType()),
+    T.StructField("sum_b", T.LongType()),
+    T.StructField("pix_min", T.IntegerType()),
+    T.StructField("pix_max", T.IntegerType()),
+])
+
+PNG_RGB_W_BASE = 8
+PNG_RGB_W_MOD = 21
+PNG_RGB_H_BASE = 8
+PNG_RGB_H_MOD = 13
+PNG_RGB_A = 4423
+PNG_RGB_B = 77977
+PNG_RGB_C = 611953
+PNG_RGB_D = 85661  # per-channel offset multiplier
+PNG_RGB_CORRUPT_MOD = 9
+
+
+def synthesize_png_rgb_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real color-type-2 PNG byte stream; every
+    PNG_RGB_CORRUPT_MOD-th doc gets a TRUNCATED-SCANLINE payload (the
+    final scanline's bytes are dropped from the raw stream before
+    compression — chunks and CRCs all valid, inflated length wrong),
+    exercising the length check, not just the CRC check.
+
+    width = 8 + d % 21, height = 8 + d % 13, sample (y, x, c) =
+    (d*4423 + y*77977 + x*611953 + c*85661) % 256 for c in (0,1,2).
+    """
+    wb, wm, hb, hm = PNG_RGB_W_BASE, PNG_RGB_W_MOD, PNG_RGB_H_BASE, PNG_RGB_H_MOD
+    a, b, c_, dd, cmod = PNG_RGB_A, PNG_RGB_B, PNG_RGB_C, PNG_RGB_D, PNG_RGB_CORRUPT_MOD
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                w, h = wb + d % wm, hb + d % hm
+                rows = [bytes((d * a + y * b + x * c_ + ch * dd) % 256
+                              for x in range(w) for ch in range(3))
+                        for y in range(h)]
+                blob = make_png_pixels(rows, color_type=2,
+                                       split_idat=(d % 4 == 0))
+                if d % cmod == 0:
+                    # rebuild the IDAT from a raw stream missing the
+                    # last scanline: valid chunks/CRCs, wrong length
+                    full = bytearray()
+                    for row in rows:
+                        full.append(0)  # filter None keeps it simple
+                        full += row
+                    comp = zlib.compress(bytes(full[:-(3 * w + 1)]), 6)
+                    magic = blob[:8]
+                    ihdr = blob[8:8 + 25]
+
+                    def _chunk(typ: bytes, data: bytes) -> bytes:
+                        return (struct.pack(">I", len(data)) + typ + data
+                                + struct.pack(
+                                    ">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+                    blob = (magic + ihdr + _chunk(b"IDAT", comp)
+                            + _chunk(b"IEND", b""))
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(_synth, "doc_id long, payload binary")
+
+
+def decode_png_rgb(df: DataFrame) -> DataFrame:
+    """REAL RGB pixel decode: binary payload -> per-channel sums read
+    from the reconstructed 3-byte-pixel scanlines (filters reverse
+    per-byte at bpp=3). Corrupt payloads yield NULL rows (T7)."""
+    dec = decode_png_rgb_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            keys = ("width", "height", "n_px", "sum_r", "sum_g", "sum_b",
+                    "pix_min", "pix_max")
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 8
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "n_px": pd.array(cols["n_px"], dtype="Int32"),
+                "sum_r": pd.array(cols["sum_r"], dtype="Int64"),
+                "sum_g": pd.array(cols["sum_g"], dtype="Int64"),
+                "sum_b": pd.array(cols["sum_b"], dtype="Int64"),
+                "pix_min": pd.array(cols["pix_min"], dtype="Int32"),
+                "pix_max": pd.array(cols["pix_max"], dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, PNG_RGB_SCHEMA)
+
+
+def multimodal_decode_png_rgb_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real RGB PNG decode end-to-end: 3-byte pixels mean the filter
+    left-neighbour is bpp=3 bytes back — the part a grayscale-only
+    decoder gets wrong — and the oracle recomputes per-channel sums
+    from the (doc_id, y, x, channel) formula alone, with NULLs for the
+    planted truncated-scanline rows."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_png_rgb(synthesize_png_rgb_payloads(docs))
+
+
+_PNG_RGB_CH_SQL = (
+    "list_transform(range(0, width * height), "
+    "i -> (d * {a} + (i // width) * {b} + (i % width) * {c} "
+    "+ {{ch}} * {dd}) % 256)").format(
+        a=PNG_RGB_A, b=PNG_RGB_B, c=PNG_RGB_C, dd=PNG_RGB_D)
+
+_MULTIMODAL_PNG_RGB_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST({PNG_RGB_W_BASE} + abs(doc_id) % {PNG_RGB_W_MOD} AS INT) AS width,
+    CAST({PNG_RGB_H_BASE} + abs(doc_id) % {PNG_RGB_H_MOD} AS INT) AS height
+  FROM documents
+), s AS (
+  SELECT doc_id, d, width, height,
+    {_PNG_RGB_CH_SQL.format(ch=0)} AS vr,
+    {_PNG_RGB_CH_SQL.format(ch=1)} AS vg,
+    {_PNG_RGB_CH_SQL.format(ch=2)} AS vb
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN d % {PNG_RGB_CORRUPT_MOD} = 0 THEN NULL ELSE width END AS width,
+  CASE WHEN d % {PNG_RGB_CORRUPT_MOD} = 0 THEN NULL ELSE height END AS height,
+  CASE WHEN d % {PNG_RGB_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(width * height AS INT) END AS n_px,
+  CASE WHEN d % {PNG_RGB_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_sum(vr) AS BIGINT) END AS sum_r,
+  CASE WHEN d % {PNG_RGB_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_sum(vg) AS BIGINT) END AS sum_g,
+  CASE WHEN d % {PNG_RGB_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_sum(vb) AS BIGINT) END AS sum_b,
+  CASE WHEN d % {PNG_RGB_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(least(list_min(vr), list_min(vg), list_min(vb)) AS INT)
+       END AS pix_min,
+  CASE WHEN d % {PNG_RGB_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(greatest(list_max(vr), list_max(vg), list_max(vb)) AS INT)
+       END AS pix_max
+FROM s
+"""
+
+register(QuerySpec("multimodal_decode_png_rgb",
+                   multimodal_decode_png_rgb_query,
+                   _MULTIMODAL_PNG_RGB_SQL,
+                   description="real RGB PNG pixel decode: bpp=3 filter "
+                               "reversal, per-channel sums; planted "
+                               "truncated-scanline rows -> NULL"))
 
 
 # --- real GIF pixel decode (stdlib LZW: variable-width codes, sub-blocks) ----

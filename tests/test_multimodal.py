@@ -285,6 +285,86 @@ def test_png_pixel_decode_through_spark(spark):
     assert rows[2].pix_sum is None and rows[2].width is None
 
 
+def test_png_rgb_codec_roundtrip_and_truncated_scanline():
+    """Color-type-2 decode: filters reverse at bpp=3 (the left
+    neighbour is three bytes back), per-channel sums come out exact,
+    and a payload whose raw stream is missing its last scanline —
+    valid chunks, valid CRCs, wrong inflated length — returns None."""
+    import zlib
+
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_png_rgb_stats,
+        make_png_pixels,
+    )
+
+    w, h = 7, 10  # height >= 8: two full filter cycles
+    rows = [bytes((3 * y + 5 * x + 11 * c) % 256
+                  for x in range(w) for c in range(3))
+            for y in range(h)]
+    blob = make_png_pixels(rows, color_type=2)
+    flat = b"".join(rows)
+    want = (w, h, w * h, sum(flat[0::3]), sum(flat[1::3]), sum(flat[2::3]),
+            min(flat), max(flat))
+    assert decode_png_rgb_stats(blob) == want
+    # split IDAT decodes identically
+    assert decode_png_rgb_stats(
+        make_png_pixels(rows, color_type=2, split_idat=True)) == want
+    # a grayscale payload is rejected by the RGB decoder (and vice versa)
+    gray = make_png_pixels([bytes(range(7)) for _ in range(8)])
+    assert decode_png_rgb_stats(gray) is None
+    # truncated scanline: rebuild IDAT minus the last row's bytes
+    import struct
+
+    def _chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    full = bytearray()
+    for row in rows:
+        full.append(0)
+        full += row
+    trunc = (blob[:8] + blob[8:33]
+             + _chunk(b"IDAT", zlib.compress(bytes(full[:-(3 * w + 1)]), 6))
+             + _chunk(b"IEND", b""))
+    assert decode_png_rgb_stats(trunc) is None
+
+
+def test_png_rgb_decode_through_spark(spark):
+    from downscaledclimatedata_spark.operators.multimodal import (
+        PNG_RGB_A,
+        PNG_RGB_B,
+        PNG_RGB_C,
+        PNG_RGB_CORRUPT_MOD,
+        PNG_RGB_D,
+        PNG_RGB_H_BASE,
+        PNG_RGB_H_MOD,
+        PNG_RGB_W_BASE,
+        PNG_RGB_W_MOD,
+        decode_png_rgb,
+        synthesize_png_rgb_payloads,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    out = {r.doc_id: r for r in
+           decode_png_rgb(synthesize_png_rgb_payloads(docs)).collect()}
+    assert len(out) == 20
+    for d in (1, 4, 13):
+        w = PNG_RGB_W_BASE + d % PNG_RGB_W_MOD
+        h = PNG_RGB_H_BASE + d % PNG_RGB_H_MOD
+        ch = [[(d * PNG_RGB_A + y * PNG_RGB_B + x * PNG_RGB_C
+                + c * PNG_RGB_D) % 256
+               for y in range(h) for x in range(w)] for c in range(3)]
+        r = out[d]
+        assert (r.width, r.height, r.n_px) == (w, h, w * h)
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(sum(c) for c in ch)
+        allv = [v for c in ch for v in c]
+        assert (r.pix_min, r.pix_max) == (min(allv), max(allv))
+    # planted truncated-scanline rows -> NULLs
+    for d in (0, PNG_RGB_CORRUPT_MOD, 2 * PNG_RGB_CORRUPT_MOD):
+        assert out[d].sum_r is None and out[d].width is None
+
+
 def test_gif_lzw_codec_roundtrip_and_edges():
     """The hand-rolled GIF LZW pair is exact on width-boundary and
     KwKwK-pattern inputs — including the classic final-code edge where
