@@ -1416,6 +1416,104 @@ register(QuerySpec(
                 "buckets, per-doc match count"))
 
 
+# --- benchmark decontamination (eval-set n-gram overlap) ------------------------
+
+DECON_NGRAM = 5  # n-gram order; GPT-3 used 13-grams on web-scale docs
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = DECON_NGRAM) -> DataFrame:
+    """Per-document benchmark-contamination report: which training
+    documents contain any ``n``-gram that also appears in the eval/
+    benchmark set (Brown et al. 2020 §C / PaLM-style decontamination —
+    the pass every serious pretraining pipeline runs before training so
+    eval numbers aren't memorization).
+
+    Returns one row per training doc: (id, n_gram_hits = distinct
+    overlapping n-grams, n_eval_docs = distinct eval documents sharing
+    at least one n-gram, contaminated). Clean docs report zeros — the
+    report covers the corpus, not just the offenders, so downstream
+    filtering is a plain ``filter(~contaminated)``.
+
+    Scale: both sides explode to DISTINCT (id, gram); the overlap is an
+    equi-join keyed on the gram — eval sets are small (benchmarks are
+    MBs against a 100 TB corpus), so the distinct eval-gram relation is
+    BROADCAST and the corpus never shuffles at all: scan → explode →
+    broadcast-hash-join → partial agg. The final per-doc aggregate is
+    the only shuffle, keyed on the uniform doc id.
+    """
+    dg = shingled_rows(docs, text_col, id_col, n=n).distinct()
+    eg = (shingled_rows(eval_docs, text_col, id_col, n=n)
+          .select(F.col("shingle"),
+                  F.col(id_col).alias("eval_id")).distinct())
+    hits = (dg.join(F.broadcast(eg), "shingle")
+            .groupBy(id_col)
+            .agg(F.countDistinct("shingle").alias("n_gram_hits"),
+                 F.countDistinct("eval_id").alias("n_eval_docs")))
+    return (docs.select(id_col)
+            .join(hits, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("n_gram_hits"), F.lit(0)).cast("bigint")
+                .alias("n_gram_hits"),
+                F.coalesce(F.col("n_eval_docs"), F.lit(0)).cast("bigint")
+                .alias("n_eval_docs"),
+                (F.coalesce(F.col("n_gram_hits"), F.lit(0)) > 0)
+                .alias("contaminated")))
+
+
+def dedup_decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic eval split: docs with md5(doc_id) % 41 == 0 play
+    the benchmark set; the report covers the remaining corpus."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    is_eval = md5_long(F.col("doc_id").cast("string"), seed="decon:") % 41 == 0
+    return decontaminate(docs.filter(~is_eval), docs.filter(is_eval))
+
+
+_DECON_SPLIT_SQL = (
+    f"({md5_long_sql('CAST(doc_id AS VARCHAR)', seed='decon:')}) % 41 = 0")
+
+_DECON_SHINGLES_CTE = r"""
+toks5 AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS gram
+  FROM toks5, LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 4, 0) + 1)) AS i) idx
+)
+"""
+
+_DEDUP_DECON_SQL = f"""
+WITH {_DECON_SHINGLES_CTE},
+sides AS (SELECT doc_id, {_DECON_SPLIT_SQL} AS is_eval FROM documents),
+dg AS (
+  SELECT DISTINCT g.doc_id, g.gram FROM grams g
+  JOIN sides s USING (doc_id) WHERE NOT s.is_eval),
+eg AS (
+  SELECT DISTINCT g.doc_id AS eval_id, g.gram FROM grams g
+  JOIN sides s USING (doc_id) WHERE s.is_eval),
+hits AS (
+  SELECT dg.doc_id, COUNT(DISTINCT dg.gram) AS n_gram_hits,
+    COUNT(DISTINCT eg.eval_id) AS n_eval_docs
+  FROM dg JOIN eg ON eg.gram = dg.gram
+  GROUP BY dg.doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(h.n_gram_hits, 0) AS BIGINT) AS n_gram_hits,
+  CAST(coalesce(h.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
+  coalesce(h.n_gram_hits, 0) > 0 AS contaminated
+FROM sides d LEFT JOIN hits h USING (doc_id)
+WHERE NOT d.is_eval
+"""
+
+register(QuerySpec(
+    "dedup_decontaminate", dedup_decontaminate_query, _DEDUP_DECON_SQL,
+    description="benchmark decontamination: per-doc eval-set 5-gram "
+                "overlap (GPT-3 §C style) via broadcast eval-gram join — "
+                "the corpus never shuffles"))
+
+
 # --- all-signal clusters: text evidence ∪ embedding evidence --------------------
 
 def dedup_all_signal_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:

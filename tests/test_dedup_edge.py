@@ -134,6 +134,33 @@ def test_signal_eval_scores_every_generator_against_one_truth(spark):
         assert rows[s]["n_candidates"] <= 1, s
 
 
+def test_decontaminate_flags_planted_eval_overlap(spark):
+    """A training doc quoting a benchmark answer verbatim is flagged
+    with the exact overlapping-gram count; clean docs report zeros; the
+    eval-gram side is broadcast so the corpus side never shuffles
+    before the join."""
+    from downscaledclimatedata_spark.operators.dedup import decontaminate
+
+    bench = "what is the capital of france the answer is paris obviously"
+    docs = spark.createDataFrame(
+        [(1, "intro text " + bench + " trailing words here"),
+         (2, "completely unrelated content with many different tokens"),
+         (3, "the answer is paris obviously said the model")],
+        "doc_id int, text string")
+    evals = spark.createDataFrame([(100, bench)], "doc_id int, text string")
+    out = {r.doc_id: r for r in decontaminate(docs, evals).collect()}
+    # doc 1 contains the full 11-token quote: 11 - 5 + 1 = 7 grams
+    assert out[1].contaminated and out[1].n_gram_hits == 7
+    assert out[1].n_eval_docs == 1
+    # doc 3 shares only the 5-gram "the answer is paris obviously"
+    assert out[3].contaminated and out[3].n_gram_hits == 1
+    assert not out[2].contaminated and out[2].n_gram_hits == 0
+    # plan: eval grams broadcast (corpus side shuffle-free up to the join)
+    plan = decontaminate(docs, evals)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_containment_prefix_filter_drops_boilerplate_shingles(spark):
     """A shingle shared by > max_df docs is dropped before pairing, so
     boilerplate alone creates no pairs (and no k-squared blow-up)."""
