@@ -959,3 +959,126 @@ register(QuerySpec(
     description=f"Count-Min Sketch ({CMS_DEPTH}x{CMS_WIDTH}, portable md5 "
                 "hash family) term-frequency estimates vs exact — the "
                 "sketch itself is deterministic and oracle-checked"))
+
+
+# --- Bloom filter membership sketch ---------------------------------------------
+
+BLOOM_K = 5        # hash functions
+BLOOM_M = 8192     # bits
+BLOOM_PROBES = ("table", "merge", "vector", "the", "window",
+                "quasar", "zyzzyva")  # last two absent from the corpus
+
+
+def bloom_membership(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     probes: tuple[str, ...] = BLOOM_PROBES,
+                     k: int = BLOOM_K, m: int = BLOOM_M) -> DataFrame:
+    """Bloom-filter membership probes vs exact membership, in-engine.
+
+    The Bloom filter is the have-we-seen-it structure of ingest dedup
+    (URL seen? content hash seen?) — one-sided error: membership may
+    false-positive, never false-negative. As with ``cms_estimate``, the
+    hash family is a deterministic portable md5 (seed ``bloom{i}:``), so
+    the SKETCH ITSELF — which bits are set, which probes hit — is
+    bit-identical across engines and oracle-checked, not just its
+    contract.
+
+    Output: one row per probe — n_bits_hit (of k), in_filter (all k
+    bits set), truly_present (exact vocabulary membership, probe-
+    filtered before the aggregate as in CMS), false_positive.
+
+    Scale: the filter relation is the DISTINCT set-bit list — at most
+    ``m`` rows regardless of corpus size (the reduction to ≤m rows is a
+    map-side-combining distinct keyed on the uniform bit index); probes
+    are a ≤|probes|·k literal relation, broadcast. Bitwise-OR merge of
+    per-shard filters = union of bit sets — pinned by the merge unit.
+    """
+    toks = df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+    bit_exprs = [(md5_long(F.col("token"), seed=f"bloom{i}:") % m)
+                 for i in range(k)]
+    bits = (toks.select(F.explode(F.array(*bit_exprs)).alias("bit"))
+            .distinct())
+    spark = df.sparkSession
+    import hashlib
+
+    def h(i: int, t: str) -> int:
+        return int(hashlib.md5(f"bloom{i}:{t}".encode()).hexdigest()[:15],
+                   16) % m
+    probe_bits = spark.createDataFrame(
+        [(t, h(i, t)) for t in probes for i in range(k)],
+        "term string, bit bigint")
+    hit = (F.broadcast(probe_bits).join(bits, "bit", "left_semi")
+           .groupBy("term").agg(F.count("*").alias("n_bits_hit")))
+    present = (toks.filter(F.col("token").isin(*probes))
+               .select(F.col("token").alias("term")).distinct()
+               .withColumn("truly_present", F.lit(True)))
+    names = spark.createDataFrame([(t,) for t in probes], "term string")
+    return (names
+            .join(hit, "term", "left")
+            .join(present, "term", "left")
+            .select(
+                "term",
+                F.coalesce(F.col("n_bits_hit"), F.lit(0)).cast("int")
+                .alias("n_bits_hit"),
+                (F.coalesce(F.col("n_bits_hit"), F.lit(0)) == k)
+                .alias("in_filter"),
+                F.coalesce(F.col("truly_present"), F.lit(False))
+                .alias("truly_present"))
+            .withColumn("false_positive",
+                        F.col("in_filter") & ~F.col("truly_present"))
+            .orderBy("term"))
+
+
+def text_bloom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from downscaledclimatedata_spark.sources.tables import load_table_parallel
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return bloom_membership(docs)
+
+
+def _bloom_sql() -> str:
+    import hashlib
+
+    def h(i, t):
+        return int(hashlib.md5(f"bloom{i}:{t}".encode()).hexdigest()[:15],
+                   16) % BLOOM_M
+    bit_selects = "\nUNION ALL\n".join(
+        f"SELECT ({md5_long_sql('token', seed=f'bloom{i}:')})"
+        f" % {BLOOM_M} AS bit FROM toks"
+        for i in range(BLOOM_K))
+    probe_rows = ", ".join(f"('{t}', {h(i, t)})"
+                           for t in BLOOM_PROBES for i in range(BLOOM_K))
+    probe_list = ", ".join(f"'{t}'" for t in BLOOM_PROBES)
+    return f"""
+WITH toks AS (
+  SELECT unnest({_TOKS_SQL}) AS token FROM documents
+), bits AS (
+  SELECT DISTINCT bit FROM (
+{bit_selects}
+  )
+), probes(term, bit) AS (VALUES {probe_rows}),
+hit AS (
+  SELECT p.term, COUNT(*) AS n_bits_hit
+  FROM probes p SEMI JOIN bits b USING (bit)
+  GROUP BY p.term
+), present AS (
+  SELECT DISTINCT token AS term, TRUE AS truly_present FROM toks
+  WHERE token IN ({probe_list})
+), names(term) AS (VALUES {", ".join(f"('{t}')" for t in BLOOM_PROBES)})
+SELECT n.term,
+  CAST(coalesce(h.n_bits_hit, 0) AS INTEGER) AS n_bits_hit,
+  coalesce(h.n_bits_hit, 0) = {BLOOM_K} AS in_filter,
+  coalesce(p.truly_present, FALSE) AS truly_present,
+  (coalesce(h.n_bits_hit, 0) = {BLOOM_K})
+    AND NOT coalesce(p.truly_present, FALSE) AS false_positive
+FROM names n
+LEFT JOIN hit h ON h.term = n.term
+LEFT JOIN present p ON p.term = n.term
+ORDER BY n.term
+"""
+
+
+register(QuerySpec(
+    "text_bloom_membership", text_bloom_query, _bloom_sql(),
+    description=f"Bloom filter ({BLOOM_K} portable md5 hashes, "
+                f"{BLOOM_M} bits) membership probes vs exact — the "
+                "sketch's set bits are deterministic and oracle-checked"))

@@ -230,3 +230,48 @@ def test_cms_cells_merge_cellwise(spark):
     for k, v in cb.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == cu
+
+
+def test_bloom_no_false_negatives_and_absent_terms(spark):
+    """One-sided error pinned: every truly-present probe is in_filter
+    (a Bloom filter can NEVER false-negative); the planted absent terms
+    are either clean misses or flagged false_positive — and with 7
+    probe terms in an 8192-bit filter over a small vocabulary, the
+    absent probes miss."""
+    from downscaledclimatedata_spark.operators.textops import bloom_membership
+    rows = [(i, "alpha beta gamma delta " * (1 + i % 2), "s", 0)
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long")
+    out = {r["term"]: r for r in bloom_membership(
+        df, probes=("alpha", "beta", "nosuchterm", "alsoabsent")).collect()}
+    assert out["alpha"].truly_present and out["alpha"].in_filter
+    assert out["beta"].truly_present and out["beta"].in_filter
+    for t in ("nosuchterm", "alsoabsent"):
+        assert not out[t].truly_present
+        assert out[t].false_positive == out[t].in_filter
+        # tiny vocabulary, 8192 bits: these specific probes miss
+        assert not out[t].in_filter and out[t].n_bits_hit < 5
+
+
+def test_bloom_bits_merge_by_union(spark):
+    """Mergeability: the set-bit relation of a union corpus equals the
+    UNION of the parts' set-bit relations — per-shard filters OR
+    together without re-reading data."""
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+    from pyspark.sql import functions as F
+
+    def bits(df):
+        toks = df.select(F.explode(
+            F.filter(F.split(F.lower("text"), r"[ \t\n\r\f\x0B]+"),
+                     lambda x: x != "")).alias("token"))
+        es = [(md5_long(F.col("token"), seed=f"bloom{i}:") % 8192)
+              for i in range(5)]
+        return {r["bit"] for r in
+                toks.select(F.explode(F.array(*es)).alias("bit"))
+                .distinct().collect()}
+
+    a = spark.createDataFrame([(1, "red green blue")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "blue cyan magenta")], "doc_id long, text string")
+    u = a.unionByName(b)
+    assert bits(u) == bits(a) | bits(b)
