@@ -1466,6 +1466,215 @@ register(QuerySpec("multimodal_decode_gif_pixels",
                                "planted corrupt-LZW rows -> NULL"))
 
 
+# --- real BMP pixel decode (24-bit uncompressed, stdlib struct) --------------
+
+BMP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_px", T.IntegerType()),
+    T.StructField("sum_r", T.LongType()),
+    T.StructField("sum_g", T.LongType()),
+    T.StructField("sum_b", T.LongType()),
+    T.StructField("first_px_r", T.IntegerType()),  # pixel (0,0): proves
+    T.StructField("last_px_b", T.IntegerType()),   # row order + BGR read
+])
+
+BMP_W_BASE = 5
+BMP_W_MOD = 22
+BMP_H_BASE = 5
+BMP_H_MOD = 15
+BMP_A = 3271
+BMP_B = 65993
+BMP_C = 444443
+BMP_D = 59999
+BMP_CORRUPT_MOD = 12
+
+
+def _build_bmp_codecs():
+    """Pure-stdlib 24-bit BMP codec. The format's quirks are the test:
+    pixel rows are stored BOTTOM-UP, samples are BGR (not RGB), and
+    every row is zero-padded to a 4-byte boundary — a decoder that
+    treats the pixel array as a flat top-down RGB buffer reads garbage
+    on any width not divisible by 4. ``decode_bmp_stats`` validates
+    magic, header sizes, bpp=24, compression=0, and the exact padded
+    pixel-array length; any defect returns None (row-level tolerance).
+    """
+    import struct
+
+    def make_bmp(rows_rgb: list[list[tuple]]) -> bytes:
+        """rows_rgb[y][x] = (r, g, b), y=0 is the TOP row."""
+        h = len(rows_rgb)
+        w = len(rows_rgb[0]) if rows_rgb else 0
+        pad = (-3 * w) % 4
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up storage
+            for (r, g, b) in rows_rgb[y]:
+                body += bytes((b, g, r))  # BGR
+            body += bytes(pad)
+        pixel_off = 14 + 40
+        file_size = pixel_off + len(body)
+        header = (b"BM" + struct.pack("<IHHI", file_size, 0, 0, pixel_off)
+                  + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                len(body), 2835, 2835, 0, 0))
+        return bytes(header + body)
+
+    def decode_bmp_stats(blob: bytes):
+        try:
+            blob = bytes(blob)
+            if blob[:2] != b"BM" or len(blob) < 54:
+                return None
+            (pixel_off,) = struct.unpack("<I", blob[10:14])
+            (dib_size, w, h, planes, bpp, comp) = struct.unpack(
+                "<IiiHHI", blob[14:34])
+            if dib_size != 40 or planes != 1 or bpp != 24 or comp != 0:
+                return None
+            if w <= 0 or h == 0:
+                return None
+            top_down = h < 0
+            h = abs(h)
+            pad = (-3 * w) % 4
+            stride = 3 * w + pad
+            body = blob[pixel_off:pixel_off + stride * h]
+            if len(body) != stride * h:
+                return None
+            sr = sg = sb = 0
+            first_r = last_b = None
+            for yi in range(h):
+                y = yi if top_down else h - 1 - yi  # logical row index
+                line = body[yi * stride:yi * stride + 3 * w]
+                sb += sum(line[0::3])
+                sg += sum(line[1::3])
+                sr += sum(line[2::3])
+                if y == 0:
+                    first_r = line[2]          # pixel (0,0) red sample
+                if y == h - 1:
+                    last_b = line[3 * (w - 1)]  # pixel (h-1,w-1) blue
+            return (w, h, w * h, sr, sg, sb, first_r, last_b)
+        except Exception:
+            return None
+
+    return make_bmp, decode_bmp_stats
+
+
+make_bmp, decode_bmp_stats = _build_bmp_codecs()
+
+
+def synthesize_bmp_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real 24-bit BMP bytes; every BMP_CORRUPT_MOD-th doc
+    gets a pixel array one byte short (valid headers, wrong length).
+
+    width = 5 + d % 22 (odd widths exercise row padding),
+    height = 5 + d % 15, channel c of pixel (y, x) =
+    (d*3271 + y*65993 + x*444443 + c*59999) % 256.
+    """
+    mk = make_bmp
+    wb, wm, hb, hm = BMP_W_BASE, BMP_W_MOD, BMP_H_BASE, BMP_H_MOD
+    a, b, c_, dd, cmod = BMP_A, BMP_B, BMP_C, BMP_D, BMP_CORRUPT_MOD
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                w, h = wb + d % wm, hb + d % hm
+                rows = [[tuple((d * a + y * b + x * c_ + ch * dd) % 256
+                               for ch in range(3)) for x in range(w)]
+                        for y in range(h)]
+                blob = mk(rows)
+                if d % cmod == 0:
+                    blob = blob[:-1]  # short pixel array
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(_synth, "doc_id long, payload binary")
+
+
+def decode_bmp(df: DataFrame) -> DataFrame:
+    dec = decode_bmp_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            keys = ("width", "height", "n_px", "sum_r", "sum_g", "sum_b",
+                    "first_px_r", "last_px_b")
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 8
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "n_px": pd.array(cols["n_px"], dtype="Int32"),
+                "sum_r": pd.array(cols["sum_r"], dtype="Int64"),
+                "sum_g": pd.array(cols["sum_g"], dtype="Int64"),
+                "sum_b": pd.array(cols["sum_b"], dtype="Int64"),
+                "first_px_r": pd.array(cols["first_px_r"], dtype="Int32"),
+                "last_px_b": pd.array(cols["last_px_b"], dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, BMP_SCHEMA)
+
+
+def multimodal_decode_bmp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BMP decode end-to-end: bottom-up BGR padded rows written and
+    read back by stdlib codecs; first_px_r / last_px_b pin the row
+    order and channel order against the formula (a top-down or RGB
+    misread flips them); planted short-pixel-array rows -> NULL."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_bmp(synthesize_bmp_payloads(docs))
+
+
+_MULTIMODAL_BMP_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST({BMP_W_BASE} + abs(doc_id) % {BMP_W_MOD} AS INT) AS width,
+    CAST({BMP_H_BASE} + abs(doc_id) % {BMP_H_MOD} AS INT) AS height
+  FROM documents
+), s AS (
+  SELECT doc_id, d, width, height,
+    list_transform(range(0, width * height),
+      i -> (d * {BMP_A} + (i // width) * {BMP_B}
+            + (i % width) * {BMP_C}) % 256) AS vr,
+    list_transform(range(0, width * height),
+      i -> (d * {BMP_A} + (i // width) * {BMP_B}
+            + (i % width) * {BMP_C} + {BMP_D}) % 256) AS vg,
+    list_transform(range(0, width * height),
+      i -> (d * {BMP_A} + (i // width) * {BMP_B}
+            + (i % width) * {BMP_C} + 2 * {BMP_D}) % 256) AS vb
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN d % {BMP_CORRUPT_MOD} = 0 THEN NULL ELSE width END AS width,
+  CASE WHEN d % {BMP_CORRUPT_MOD} = 0 THEN NULL ELSE height END AS height,
+  CASE WHEN d % {BMP_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(width * height AS INT) END AS n_px,
+  CASE WHEN d % {BMP_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_sum(vr) AS BIGINT) END AS sum_r,
+  CASE WHEN d % {BMP_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_sum(vg) AS BIGINT) END AS sum_g,
+  CASE WHEN d % {BMP_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_sum(vb) AS BIGINT) END AS sum_b,
+  CASE WHEN d % {BMP_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST((d * {BMP_A}) % 256 AS INT) END AS first_px_r,
+  CASE WHEN d % {BMP_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST((d * {BMP_A} + (height - 1) * {BMP_B}
+                  + (width - 1) * {BMP_C} + 2 * {BMP_D}) % 256 AS INT)
+       END AS last_px_b
+FROM s
+"""
+
+register(QuerySpec("multimodal_decode_bmp", multimodal_decode_bmp_query,
+                   _MULTIMODAL_BMP_SQL,
+                   description="real 24-bit BMP decode: bottom-up BGR "
+                               "padded rows; first/last-pixel probes pin "
+                               "row and channel order; planted "
+                               "short-array rows -> NULL"))
+
+
 # --- GIF decode spec (with in-band corrupt rows) --------------------------------
 
 GIF_CORRUPT_MOD = 13

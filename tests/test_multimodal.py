@@ -472,3 +472,63 @@ def test_gif_header_decode_through_spark(spark):
     got = {r["doc_id"]: r for r in decode_image_headers(df).collect()}
     assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("gif", 17, 9)
     assert got[2]["format"] == "unknown" and got[2]["width"] is None
+
+
+def test_bmp_codec_roundtrip_and_order_quirks():
+    """BMP's layout quirks pinned directly: bottom-up row storage, BGR
+    sample order, 4-byte row padding (odd width), short-pixel-array
+    rejection."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_bmp_stats,
+        make_bmp,
+    )
+
+    w, h = 3, 2  # stride 9 -> padded to 12
+    rows = [[(10, 20, 30), (11, 21, 31), (12, 22, 32)],
+            [(110, 120, 130), (111, 121, 131), (112, 122, 132)]]
+    blob = make_bmp(rows)
+    got = decode_bmp_stats(blob)
+    flat = [px for row in rows for px in row]
+    assert got == (w, h, 6,
+                   sum(p[0] for p in flat), sum(p[1] for p in flat),
+                   sum(p[2] for p in flat), 10, 132)
+    # the raw pixel array really is bottom-up BGR: first stored byte is
+    # the BLUE sample of the BOTTOM-LEFT pixel (130)
+    assert blob[54] == 130
+    # corruption: short array, bad magic
+    assert decode_bmp_stats(blob[:-1]) is None
+    assert decode_bmp_stats(b"XX" + blob[2:]) is None
+
+
+def test_bmp_decode_through_spark(spark):
+    from downscaledclimatedata_spark.operators.multimodal import (
+        BMP_A,
+        BMP_B,
+        BMP_C,
+        BMP_CORRUPT_MOD,
+        BMP_D,
+        BMP_H_BASE,
+        BMP_H_MOD,
+        BMP_W_BASE,
+        BMP_W_MOD,
+        decode_bmp,
+        synthesize_bmp_payloads,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 26).select(F.col("id").alias("doc_id"))
+    out = {r.doc_id: r for r in
+           decode_bmp(synthesize_bmp_payloads(docs)).collect()}
+    for d in (1, 7, 25):
+        w = BMP_W_BASE + d % BMP_W_MOD
+        h = BMP_H_BASE + d % BMP_H_MOD
+        ch = [[(d * BMP_A + y * BMP_B + x * BMP_C + c * BMP_D) % 256
+               for y in range(h) for x in range(w)] for c in range(3)]
+        r = out[d]
+        assert (r.width, r.height) == (w, h)
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(sum(c) for c in ch)
+        assert r.first_px_r == (d * BMP_A) % 256
+        assert r.last_px_b == (d * BMP_A + (h - 1) * BMP_B
+                               + (w - 1) * BMP_C + 2 * BMP_D) % 256
+    for d in (0, BMP_CORRUPT_MOD, 2 * BMP_CORRUPT_MOD):
+        assert out[d].sum_r is None and out[d].width is None
