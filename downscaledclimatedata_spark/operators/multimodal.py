@@ -1466,6 +1466,188 @@ register(QuerySpec("multimodal_decode_gif_pixels",
                                "planted corrupt-LZW rows -> NULL"))
 
 
+# --- real mu-law (G.711) audio decode -----------------------------------------
+
+MULAW_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("peak_abs", T.IntegerType()),
+    T.StructField("sum_pcm", T.LongType()),
+    T.StructField("energy", T.LongType()),
+])
+
+MULAW_RATE = 8000        # G.711's native rate
+MULAW_N_BASE = 64
+MULAW_N_MOD = 257
+MULAW_A = 2741
+MULAW_B = 48271
+MULAW_CORRUPT_MOD = 10
+
+
+def mulaw_decode_sample(b: int) -> int:
+    """One 8-bit mu-law byte -> linear 16-bit PCM (ITU-T G.711 decode
+    expansion): complement, split sign/exponent/mantissa, expand
+    ((8m + 132) << e) - 132. Pure integer formula — the SAME expression
+    the DuckDB oracle evaluates, so decoded PCM is oracle-checked."""
+    u = (~b) & 0xFF
+    sign = u & 0x80
+    e = (u >> 4) & 0x07
+    m = u & 0x0F
+    mag = ((8 * m + 132) << e) - 132
+    return -mag if sign else mag
+
+
+def _build_mulaw_codecs():
+    import struct
+
+    def make_mulaw_wav(mulaw_bytes: bytes,
+                       sample_rate: int = MULAW_RATE) -> bytes:
+        fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+        data = bytes(mulaw_bytes)
+        chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(data)) + data
+                  + (b"\x00" if len(data) % 2 else b""))
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def decode_mulaw_stats(blob: bytes):
+        try:
+            blob = bytes(blob)
+            if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+                return None
+            i, fmt, data = 12, None, None
+            while i + 8 <= len(blob):
+                cid = blob[i:i + 4]
+                (sz,) = struct.unpack("<I", blob[i + 4:i + 8])
+                body = blob[i + 8:i + 8 + sz]
+                if len(body) != sz:
+                    return None  # truncated chunk
+                if cid == b"fmt " and len(body) >= 16:
+                    tag, ch, sr, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+                    fmt = (tag, ch, sr, bits)
+                elif cid == b"data":
+                    data = body
+                i += 8 + sz + (sz & 1)
+            if fmt is None or data is None:
+                return None
+            tag, ch, sr, bits = fmt
+            if tag != 7 or ch != 1 or bits != 8:
+                return None
+            pcm = [mulaw_decode_sample(b) for b in data]
+            if not pcm:
+                return None
+            return (sr, len(pcm), max(abs(x) for x in pcm), sum(pcm),
+                    sum(x * x for x in pcm))
+        except Exception:
+            return None
+
+    return make_mulaw_wav, decode_mulaw_stats
+
+
+make_mulaw_wav, decode_mulaw_stats = _build_mulaw_codecs()
+
+
+def synthesize_mulaw_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real format-tag-7 RIFF/WAVE bytes whose data chunk is
+    the mu-law byte stream b_i = (d*2741 + i*48271) % 256; every
+    MULAW_CORRUPT_MOD-th doc's data chunk is truncated mid-declared-size
+    (header says N bytes, fewer follow)."""
+    mk = make_mulaw_wav
+    nb, nm, a, b, cmod = (MULAW_N_BASE, MULAW_N_MOD, MULAW_A, MULAW_B,
+                          MULAW_CORRUPT_MOD)
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                n = nb + d % nm
+                blob = mk(bytes((d * a + i * b) % 256 for i in range(n)))
+                if d % cmod == 0:
+                    blob = blob[:-(n // 2)]  # truncate inside data chunk
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(_synth, "doc_id long, payload binary")
+
+
+def decode_mulaw(df: DataFrame) -> DataFrame:
+    dec = decode_mulaw_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            keys = ("sample_rate", "n_samples", "peak_abs", "sum_pcm",
+                    "energy")
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 5
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "sample_rate": pd.array(cols["sample_rate"], dtype="Int32"),
+                "n_samples": pd.array(cols["n_samples"], dtype="Int32"),
+                "peak_abs": pd.array(cols["peak_abs"], dtype="Int32"),
+                "sum_pcm": pd.array(cols["sum_pcm"], dtype="Int64"),
+                "energy": pd.array(cols["energy"], dtype="Int64")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, MULAW_SCHEMA)
+
+
+def multimodal_decode_mulaw_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real companded-audio decode end-to-end: G.711 mu-law bytes in a
+    format-tag-7 RIFF container, expanded to linear PCM sample by
+    sample. Unlike the PCM WAV spec (which reads samples), this one
+    DECODES a compression format — and the expansion formula is pure
+    integer arithmetic, so the oracle recomputes the decoded PCM
+    itself. Planted truncated-data rows -> NULL."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_mulaw(synthesize_mulaw_payloads(docs))
+
+
+# G.711 expansion of byte b in SQL (u = 255 - b is the complement):
+_MULAW_PCM_SQL = (
+    "(CASE WHEN ((255 - {b}) & 128) > 0 THEN -1 ELSE 1 END) * "
+    "(((8 * ((255 - {b}) & 15) + 132) << (((255 - {b}) >> 4) & 7)) - 132)")
+
+_MULTIMODAL_MULAW_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST({MULAW_N_BASE} + abs(doc_id) % {MULAW_N_MOD} AS INT) AS n
+  FROM documents
+), s AS (
+  SELECT doc_id, d, n,
+    list_transform(range(0, n),
+      i -> {_MULAW_PCM_SQL.format(b=f"((d * {MULAW_A} + i * {MULAW_B}) % 256)")}
+    ) AS pcm
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN d % {MULAW_CORRUPT_MOD} = 0 THEN NULL
+       ELSE {MULAW_RATE} END AS sample_rate,
+  CASE WHEN d % {MULAW_CORRUPT_MOD} = 0 THEN NULL ELSE n END AS n_samples,
+  CASE WHEN d % {MULAW_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_max(list_transform(pcm, x -> abs(x))) AS INT)
+       END AS peak_abs,
+  CASE WHEN d % {MULAW_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_sum(pcm) AS BIGINT) END AS sum_pcm,
+  CASE WHEN d % {MULAW_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_sum(list_transform(pcm, x -> x * x)) AS BIGINT)
+       END AS energy
+FROM s
+"""
+
+register(QuerySpec("multimodal_decode_mulaw", multimodal_decode_mulaw_query,
+                   _MULTIMODAL_MULAW_SQL,
+                   description="real G.711 mu-law audio decode: companded "
+                               "bytes -> linear PCM via the integer "
+                               "expansion formula, oracle-checked sample "
+                               "math; truncated-data rows -> NULL"))
+
+
 # --- real BMP pixel decode (24-bit uncompressed, stdlib struct) --------------
 
 BMP_SCHEMA = T.StructType([

@@ -532,3 +532,52 @@ def test_bmp_decode_through_spark(spark):
                                + (w - 1) * BMP_C + 2 * BMP_D) % 256
     for d in (0, BMP_CORRUPT_MOD, 2 * BMP_CORRUPT_MOD):
         assert out[d].sum_r is None and out[d].width is None
+
+
+def test_mulaw_decode_matches_itu_reference_points():
+    """The expansion is the real G.711 curve at 16-bit scale (the
+    classic mulaw.c table): 0xFF decodes to 0, the extremes reach
+    ±32124 (0x7D7C), and sign symmetry holds across the full range."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        mulaw_decode_sample,
+    )
+
+    assert mulaw_decode_sample(0xFF) == 0
+    assert mulaw_decode_sample(0x80) == 32124
+    assert mulaw_decode_sample(0x00) == -32124
+    assert mulaw_decode_sample(0x7F) == 0  # negative zero collapses to 0
+    # monotone within the positive half: larger complement magnitude ->
+    # larger linear magnitude
+    vals = [mulaw_decode_sample(b) for b in range(0xFF, 0x7F, -1)]
+    assert vals == sorted(vals)
+    # sign symmetry
+    for b in range(0, 128):
+        assert mulaw_decode_sample(b) == -mulaw_decode_sample(b | 0x80)
+
+
+def test_mulaw_decode_through_spark(spark):
+    from downscaledclimatedata_spark.operators.multimodal import (
+        MULAW_A,
+        MULAW_B,
+        MULAW_CORRUPT_MOD,
+        MULAW_N_BASE,
+        MULAW_N_MOD,
+        decode_mulaw,
+        mulaw_decode_sample,
+        synthesize_mulaw_payloads,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 25).select(F.col("id").alias("doc_id"))
+    out = {r.doc_id: r for r in
+           decode_mulaw(synthesize_mulaw_payloads(docs)).collect()}
+    for d in (1, 7, 23):
+        n = MULAW_N_BASE + d % MULAW_N_MOD
+        pcm = [mulaw_decode_sample((d * MULAW_A + i * MULAW_B) % 256)
+               for i in range(n)]
+        r = out[d]
+        assert r.n_samples == n and r.sample_rate == 8000
+        assert (r.peak_abs, r.sum_pcm, r.energy) == (
+            max(abs(x) for x in pcm), sum(pcm), sum(x * x for x in pcm))
+    for d in (0, MULAW_CORRUPT_MOD, 2 * MULAW_CORRUPT_MOD):
+        assert out[d].energy is None and out[d].n_samples is None
