@@ -1082,3 +1082,130 @@ register(QuerySpec(
     description=f"Bloom filter ({BLOOM_K} portable md5 hashes, "
                 f"{BLOOM_M} bits) membership probes vs exact — the "
                 "sketch's set bits are deterministic and oracle-checked"))
+
+
+# --- TF-IDF weighted lexical document similarity --------------------------------
+
+TFIDF_MAX_DF = 64      # candidate generation: only terms this rare pair docs
+TFIDF_COS_T = 0.30
+
+
+def tfidf_doc_pairs(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    threshold: float = TFIDF_COS_T,
+                    max_df: int = TFIDF_MAX_DF) -> DataFrame:
+    """(id_a, id_b, cosine) document pairs by TF-IDF-weighted cosine —
+    the rarity-weighted lexical similarity that sits between raw
+    Jaccard (no term weighting) and embedding cosine (no lexical
+    grounding).
+
+    EXACT-INTEGER weighting for cross-engine bit-identity: the weight
+    of term t in doc d is ``tf(t,d) * (N - df(t))`` — an integer
+    rarity surrogate monotone in the usual idf (log(N/df)) — so dot
+    products and squared norms are exact BIGINT sums in any
+    aggregation order; only the final cosine divides (IEEE sqrt and
+    division are correctly rounded, hence deterministic). Overflow
+    bound: per-term product ≤ tf² · N², summed over shared terms —
+    inside int64 for corpora to ~10⁶ docs with bounded tf; beyond
+    that, weight terms with (N - df) / scale.
+
+    Candidates come from the same prefix-filter as containment: only
+    terms with 2 ≤ df ≤ ``max_df`` generate pairs (a term in k docs
+    contributes k² join rows; frequent terms carry ~zero idf weight
+    anyway). The full dot product then uses ALL shared terms of each
+    candidate pair, candidate-first — so the cap trades recall only,
+    never correctness of a reported cosine.
+
+    Scale: one shuffle keyed on token (uniform), fan-out bounded by
+    max_df² per rare term; dot/norm joins keyed on candidate ids.
+    Never O(n²) in the corpus.
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(_tokens(F.col(text_col))).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    w = (tf.join(dfreq, "token")
+         .crossJoin(F.broadcast(n_docs))
+         .select(F.col(id_col), "token",
+                 (F.col("tf") * (F.col("n_docs") - F.col("df")))
+                 .cast("bigint").alias("w"),
+                 "df")
+         .localCheckpoint())
+    norms = w.groupBy(id_col).agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    rare = w.filter((F.col("df") >= 2) & (F.col("df") <= max_df)) \
+        .select(id_col, "token")
+    a = rare.select(F.col(id_col).alias("id_a"), F.col("token").alias("tk"))
+    b = rare.select(F.col(id_col).alias("id_b"), F.col("token").alias("tk"))
+    cand = (a.join(b.hint("merge"),
+                   (a.tk == b.tk) & (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b").distinct())
+    wa = w.select(F.col(id_col).alias("id_a"), "token",
+                  F.col("w").alias("wa"))
+    wb = w.select(F.col(id_col).alias("id_b"), "token",
+                  F.col("w").alias("wb"))
+    dots = (cand
+            .join(wa.hint("merge"), "id_a")
+            .join(wb.hint("merge"), ["id_b", "token"])
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    return (dots
+            .join(norms.select(F.col(id_col).alias("id_a"),
+                               F.col("n2").alias("na2")).hint("merge"), "id_a")
+            .join(norms.select(F.col(id_col).alias("id_b"),
+                               F.col("n2").alias("nb2")).hint("merge"), "id_b")
+            .withColumn("cosine",
+                        F.col("dot").cast("double")
+                        / (F.sqrt(F.col("na2").cast("double"))
+                           * F.sqrt(F.col("nb2").cast("double"))))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def text_tfidf_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return tfidf_doc_pairs(docs)
+
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.token,
+    CAST(tf.tf * (nd.n_docs - dfreq.df) AS BIGINT) AS w, dfreq.df
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+), norms AS (
+  SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY doc_id
+), rare AS (
+  SELECT doc_id, token FROM w WHERE df BETWEEN 2 AND {TFIDF_MAX_DF}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b
+    ON a.token = b.token AND a.doc_id < b.doc_id
+), dots AS (
+  SELECT c.id_a, c.id_b, SUM(x.w * y.w) AS dot
+  FROM cand c
+  JOIN w x ON x.doc_id = c.id_a
+  JOIN w y ON y.doc_id = c.id_b AND y.token = x.token
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+  CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+                         * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+                             * sqrt(CAST(nb.n2 AS DOUBLE))) >= {TFIDF_COS_T}
+"""
+
+register(QuerySpec(
+    "text_tfidf_pairs", text_tfidf_pairs_query, _TFIDF_SQL,
+    description="TF-IDF-weighted lexical cosine pairs: exact-integer "
+                "rarity weights (bit-identical dots), rare-term "
+                "prefix-filter candidates, candidate-first dot products"))

@@ -1108,3 +1108,69 @@ register(QuerySpec("q69_rolling_active_users", q69_rolling_active_users,
                                "contribution explode — the rolling-"
                                "DISTINCT rewrite window frames cannot "
                                "express"))
+
+
+# --- q70: Markov transition matrix over per-user event sequences ---------------
+
+def q70_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    ordered (from_type -> to_type) pair of consecutive events in a
+    user's timeline, the transition count and the row-normalized
+    probability — the session-model input of next-event prediction and
+    anomaly scoring.
+
+    One window (per-user lag over (ts, event_id) — the id tiebreak
+    makes same-timestamp order deterministic in both engines), one
+    groupBy on the (from, to) pair, and the normalizing row totals come
+    from a second tiny aggregate broadcast back in. Probabilities
+    divide exact counts, so the doubles are bit-identical.
+
+    Scale: the window shuffles once on the uniform user id; the pair
+    aggregate shuffles |event_types|² rows at most after map-side
+    combine. No self-join of the event stream.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select("user_id", "ts", "event_id", "event_type")
+             .withColumn("from_type", F.lag("event_type").over(w))
+             .filter(F.col("from_type").isNotNull())
+             .groupBy("from_type", F.col("event_type").alias("to_type"))
+             .agg(F.count(F.lit(1)).alias("n_transitions")))
+    totals = (pairs.groupBy("from_type")
+              .agg(F.sum("n_transitions").alias("n_from")))
+    return (pairs.join(F.broadcast(totals), "from_type")
+            .select("from_type", "to_type",
+                    F.col("n_transitions").cast("bigint")
+                    .alias("n_transitions"),
+                    (F.col("n_transitions").cast("double")
+                     / F.col("n_from").cast("double")).alias("p"))
+            .orderBy("from_type", "to_type"))
+
+
+_Q70_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS from_type
+  FROM events
+), pairs AS (
+  SELECT from_type, event_type AS to_type, COUNT(*) AS n_transitions
+  FROM ordered WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+), totals AS (
+  SELECT from_type, SUM(n_transitions) AS n_from FROM pairs GROUP BY from_type
+)
+SELECT p.from_type, p.to_type,
+  CAST(p.n_transitions AS BIGINT) AS n_transitions,
+  CAST(p.n_transitions AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+FROM pairs p JOIN totals t USING (from_type)
+ORDER BY p.from_type, p.to_type
+"""
+
+register(QuerySpec("q70_markov_transitions", q70_markov_transitions, _Q70_SQL,
+                   description="first-order Markov transition matrix over "
+                               "per-user event sequences: lag window + "
+                               "pair counts + broadcast row "
+                               "normalization"))

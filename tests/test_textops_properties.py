@@ -75,3 +75,37 @@ def test_top_terms_match_python(spark, texts):
             want[(i, rnk)] = (term, -negtf, d)
     got = {(r.doc_id, r.rnk): (r.term, r.tf, r.df) for r in rows}
     assert got == want
+
+
+def test_q70_markov_rows_sum_to_one_per_from_state(spark):
+    """Row-normalization invariant: outgoing probabilities of every
+    from_type sum to exactly 1 (exact counts divided once)."""
+    from downscaledclimatedata_spark.plans import all_specs
+    rows = all_specs()["q70_markov_transitions"].spark(
+        spark, "/root/testdata/sf0.001").collect()
+    from collections import defaultdict
+    sums = defaultdict(float)
+    for r in rows:
+        sums[r.from_type] += r.p
+    assert sums and all(abs(s - 1.0) < 1e-9 for s in sums.values())
+
+
+def test_tfidf_pairs_weight_rare_overlap_over_common(spark):
+    """Two docs sharing only a RARE term score higher than two sharing
+    only a corpus-frequent term of equal tf — the weighting the raw
+    Jaccard family cannot express."""
+    from downscaledclimatedata_spark.operators.textops import tfidf_doc_pairs
+
+    common_half = [(i, "filler%d common" % i) for i in range(20)]
+    docs = spark.createDataFrame(
+        [(100, "alpha rareword"), (101, "beta rareword"),
+         (102, "gamma common"), (103, "delta common")] + common_half,
+        "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.cosine
+             for r in tfidf_doc_pairs(docs, threshold=0.0).collect()}
+    assert (100, 101) in pairs
+    rare_cos = pairs[(100, 101)]
+    common_cos = pairs.get((102, 103), 0.0)
+    assert rare_cos > common_cos
+    # identical docs would be cosine 1.0; these share one of two terms
+    assert 0.0 < rare_cos < 1.0
