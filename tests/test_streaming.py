@@ -563,3 +563,61 @@ def test_streaming_semantic_index_cross_batch(spark, tmp_path):
         compact_sort=["bucket"])
     assert q.awaitTermination(120)
     assert all(not rows for rows in got.values()), got
+
+
+def test_streaming_sketch_fold_equals_batch_sketch(spark, tmp_path):
+    """Mergeability through the stream: two micro-batches folded into
+    the persistent CMS/Bloom state give EXACTLY the sketch the batch
+    operators compute over the union corpus (the same md5 family), and
+    the point queries answer from state alone."""
+    import os
+
+    from downscaledclimatedata_spark.operators.textops import (
+        bloom_membership, cms_estimate)
+    from downscaledclimatedata_spark.streaming.neardup import (
+        DOCS_SCHEMA, docs_stream)
+    from downscaledclimatedata_spark.streaming.sketches import (
+        StreamingSketchIndex)
+
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir, exist_ok=True)
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta beta gamma", "en", "web", 21),
+         (2, "alpha delta", "en", "web", 11)], DOCS_SCHEMA)
+    b2 = spark.createDataFrame(
+        [(3, "beta epsilon epsilon epsilon", "en", "web", 28)], DOCS_SCHEMA)
+    b1.toPandas().to_parquet(docs_dir + "/b1.parquet", index=False)
+    b2.toPandas().to_parquet(docs_dir + "/b2.parquet", index=False)
+
+    idx = StreamingSketchIndex(spark, str(tmp_path / "state"))
+    q = idx.attach(docs_stream(spark, docs_dir, max_files_per_trigger=1))
+    q.awaitTermination(120)
+
+    union = b1.unionByName(b2)
+    probes = ("alpha", "beta", "epsilon", "nosuchterm")
+    batch_cms = {r["term"]: r["cms_est"] for r in
+                 cms_estimate(union, "text", "doc_id",
+                              terms=probes).collect()}
+    assert idx.estimate(probes) == batch_cms
+    batch_bloom = {r["term"]: r["in_filter"] for r in
+                   bloom_membership(union, probes=probes).collect()}
+    assert idx.might_contain(probes) == batch_bloom
+    assert idx.estimate(("beta",))["beta"] >= 3  # 2 (b1) + 1 (b2), CMS >=
+
+
+def test_streaming_sketch_replay_does_not_double_count(spark, tmp_path):
+    """The applied-batch guard: reprocessing the same batch id leaves
+    CMS counts unchanged (Bloom union is idempotent anyway)."""
+    from downscaledclimatedata_spark.streaming.neardup import DOCS_SCHEMA
+    from downscaledclimatedata_spark.streaming.sketches import (
+        StreamingSketchIndex)
+
+    b = spark.createDataFrame(
+        [(1, "alpha alpha beta", "en", "web", 16)], DOCS_SCHEMA)
+    idx = StreamingSketchIndex(spark, str(tmp_path / "state"))
+    idx.process_batch(b, 0)
+    first = idx.estimate(("alpha", "beta"))
+    idx.process_batch(b, 0)  # replay
+    assert idx.estimate(("alpha", "beta")) == first
+    idx.process_batch(b, 1)  # genuinely new batch doubles
+    assert idx.estimate(("alpha",))["alpha"] == 2 * first["alpha"]
