@@ -1002,3 +1002,98 @@ def observed(df: DataFrame, name: str = "prep"):
                 F.sum(F.col(c).isNull().cast("bigint")).alias("n_null_text"))
             break
     return df.observe(obs, *metrics), obs
+
+
+# --- curriculum ordering: quality-stratified training order --------------------
+
+CURRICULUM_STAGES = 4
+
+
+def curriculum_order(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     n_stages: int = CURRICULUM_STAGES,
+                     seed: str = "cur0") -> DataFrame:
+    """(id, quality_score, stage, pos) curriculum assignment: documents
+    stratified into ``n_stages`` quality bands (stage 0 = highest
+    quality, consumed first) with a seeded pseudo-random order inside
+    each stage — curriculum learning's data-side half.
+
+    NO global sort anywhere: stage boundaries are exact score
+    percentiles computed as ONE single-row aggregate and broadcast back
+    as scalars (the ntile() alternative is a single-partition global
+    window — a driver-sized bottleneck at corpus scale); in-stage
+    positions are row_number over a window PARTITIONED by stage,
+    ordered by the portable 60-bit seeded hash (deterministic under any
+    input partitioning). A (stage, pos)-ordered reader realizes the
+    curriculum exactly, mirroring ``global_shuffle``'s shard/pos
+    contract.
+
+    The score is ``quality_scores``' composite (exact integer ratios;
+    textops.py) so the stratification key is itself oracle-checked
+    upstream.
+    """
+    from downscaledclimatedata_spark.operators.textops import quality_scores
+
+    scored = quality_scores(df, text_col, id_col) \
+        .select(id_col, "quality_score")
+    qs = [i / n_stages for i in range(1, n_stages)]
+    cuts = scored.agg(*[
+        F.expr(f"percentile(quality_score, {q})").alias(f"c{i}")
+        for i, q in enumerate(qs)])
+    with_cuts = scored.crossJoin(F.broadcast(cuts))
+    # stage k = number of cuts the score strictly exceeds, counted from
+    # the top: highest scores -> stage 0
+    stage = F.lit(n_stages - 1)
+    for i in range(len(qs)):
+        stage = F.when(F.col("quality_score") > F.col(f"c{i}"),
+                       F.lit(n_stages - 2 - i)).otherwise(stage)
+    staged = with_cuts.select(
+        F.col(id_col), F.col("quality_score"),
+        stage.cast("int").alias("stage"))
+    w = Window.partitionBy("stage").orderBy(
+        md5_long(F.col(id_col).cast("string"), seed=f"{seed}:"), F.col(id_col))
+    return staged.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("bigint"))
+
+
+def prep_curriculum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curriculum_order(docs)
+
+
+def _curriculum_sql() -> str:
+    from downscaledclimatedata_spark.operators.textops import (
+        _TEXT_QUALITY_SQL)
+    qs = [i / CURRICULUM_STAGES for i in range(1, CURRICULUM_STAGES)]
+    cut_cols = ", ".join(
+        f"quantile_cont(quality_score, {q}) AS c{i}"
+        for i, q in enumerate(qs))
+    # flat CASE, HIGHEST cut first: a score above c2 (p75) must land in
+    # stage 0 even though it also exceeds c0/c1
+    whens = " ".join(
+        f"WHEN quality_score > c{i} THEN {CURRICULUM_STAGES - 2 - i}"
+        for i in range(len(qs) - 1, -1, -1))
+    stage_expr = f"CASE {whens} ELSE {CURRICULUM_STAGES - 1} END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, quality_score FROM ({_TEXT_QUALITY_SQL})
+), cuts AS (SELECT {cut_cols} FROM scored),
+staged AS (
+  SELECT doc_id, quality_score,
+    CAST({stage_expr} AS INTEGER) AS stage
+  FROM scored CROSS JOIN cuts
+)
+SELECT doc_id, quality_score, stage,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY stage
+    ORDER BY {md5_long_sql("CAST(doc_id AS VARCHAR)", seed="cur0:")}, doc_id
+  ) - 1 AS BIGINT) AS pos
+FROM staged
+"""
+
+
+register(QuerySpec(
+    "prep_curriculum_order", prep_curriculum_query, _curriculum_sql(),
+    description="curriculum learning order: percentile-stratified "
+                "quality stages (broadcast scalar cuts, no global "
+                "sort) + seeded in-stage positions"))

@@ -268,3 +268,36 @@ def test_observed_metrics_ride_the_action(spark):
     # clean_text propagates NULL (only content_text is coalesced) — the
     # counter exists precisely to surface such rows
     assert got["n_null_text"] == 1
+
+
+def test_curriculum_stages_are_quality_ordered(spark):
+    """Stage 0 holds the top quality band: every stage-0 score >= every
+    stage-1 score >= ... ; positions within a stage are a dense 0..k-1
+    permutation; no global sort appears in the plan (the stage cuts are
+    broadcast scalars, not an ordering exchange)."""
+    from downscaledclimatedata_spark.operators.prep import curriculum_order
+    from downscaledclimatedata_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = curriculum_order(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r.stage, []).append(r)
+    assert set(by_stage) == {0, 1, 2, 3}
+    mins = {s: min(r.quality_score for r in v) for s, v in by_stage.items()}
+    maxs = {s: max(r.quality_score for r in v) for s, v in by_stage.items()}
+    for s in (0, 1, 2):
+        assert mins[s] >= maxs[s + 1], f"stage {s} overlaps stage {s + 1}"
+    for s, v in by_stage.items():
+        assert sorted(r.pos for r in v) == list(range(len(v)))
+    # scale shape: the only windows are stage-partitioned — an
+    # unpartitioned window (ntile-style global rank) would render with
+    # an empty partition spec
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert not re.search(r"Window \[[^\n]*\], \[\], \[", plan), plan
