@@ -1209,3 +1209,80 @@ register(QuerySpec(
     description="TF-IDF-weighted lexical cosine pairs: exact-integer "
                 "rarity weights (bit-identical dots), rare-term "
                 "prefix-filter candidates, candidate-first dot products"))
+
+
+# --- inverted-index phrase search -----------------------------------------------
+
+PHRASE_QUERY = ("table", "hash")  # present in the synthetic corpus
+
+
+def phrase_search(df: DataFrame, phrase: tuple[str, ...],
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact phrase occurrences via positional postings — the inverted-
+    index primitive (term -> (doc, position) list) and its classic
+    consumer, k-term adjacency intersection, as one declarative plan.
+
+    Postings are filtered to the PHRASE'S OWN terms before any join
+    (predicate pushdown to the scan: the posting relation that shuffles
+    is ∝ occurrences of the queried terms, not the corpus token
+    stream), then the k terms chain-join on (doc, pos + offset).
+    Output: (id, n_matches, first_pos) per matching doc.
+
+    Scale: k-1 equi-joins keyed on (doc, pos) — co-partitioned after
+    the first shuffle, so Catalyst plans one exchange per side and
+    reuses it down the chain; a phrase of stopwords degrades to the
+    posting mass of those stopwords, the index's documented worst case.
+    """
+    if len(phrase) < 1:
+        raise ValueError("phrase must have at least one term")
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "token"))
+    post = toks.filter(F.col("token").isin(*phrase))
+    cur = (post.filter(F.col("token") == phrase[0])
+           .select(id_col, F.col("pos").alias("p0")))
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = (post.filter(F.col("token") == term)
+               .select(F.col(id_col), (F.col("pos") - i).alias("p0")))
+        cur = cur.join(nxt, [id_col, "p0"])
+    return (cur.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_matches"),
+                 F.min("p0").cast("bigint").alias("first_pos"))
+            .orderBy(id_col))
+
+
+def text_phrase_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return phrase_search(docs, PHRASE_QUERY)
+
+
+def _phrase_sql() -> str:
+    joins = []
+    for i in range(1, len(PHRASE_QUERY)):
+        joins.append(
+            f"JOIN post t{i} ON t{i}.doc_id = t0.doc_id"
+            f" AND t{i}.token = '{PHRASE_QUERY[i]}'"
+            f" AND t{i}.pos = t0.pos + {i}")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+), post AS (
+  SELECT doc_id, t[i] AS token, i - 1 AS pos
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) + 1)) AS i) idx
+  WHERE t[i] IN ({", ".join(f"'{w}'" for w in PHRASE_QUERY)})
+)
+SELECT t0.doc_id, COUNT(*) AS n_matches,
+  CAST(MIN(t0.pos) AS BIGINT) AS first_pos
+FROM post t0
+{chr(10).join(joins)}
+WHERE t0.token = '{PHRASE_QUERY[0]}'
+GROUP BY t0.doc_id
+ORDER BY t0.doc_id
+"""
+
+
+register(QuerySpec(
+    "text_phrase_search", text_phrase_search_query, _phrase_sql(),
+    description="positional-postings phrase search: term-filtered "
+                "postings + (doc, pos+offset) adjacency chain join"))

@@ -1174,3 +1174,68 @@ register(QuerySpec("q70_markov_transitions", q70_markov_transitions, _Q70_SQL,
                                "per-user event sequences: lag window + "
                                "pair counts + broadcast row "
                                "normalization"))
+
+
+# --- q71: trimmed mean per group (robust aggregate) ----------------------------
+
+def q71_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust mean: drop values outside the group's
+    [p10, p90] band, then average the survivors — the outlier-resistant
+    aggregate monitoring pipelines use where a raw mean is one fat
+    finger away from useless.
+
+    Exactness discipline: the band edges come from exact interpolated
+    percentiles (one tiny per-group aggregate, broadcast back); the
+    surviving values are summed as ROUND(value*100) BIGINTs — cents,
+    not doubles — so the sum is order-independent and the final mean
+    (int_sum / 100 / n) is bit-identical cross-engine. Two shuffles
+    total: the percentile agg and the survivor agg, both keyed on the
+    low-cardinality group — map-side partials collapse each to
+    |groups| rows per task.
+    """
+    ev = _t(spark, sf_dir, "events")
+    bands = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.1)").alias("lo"),
+        F.expr("percentile(value, 0.9)").alias("hi"),
+        F.count(F.lit(1)).alias("n_total"))
+    kept = (ev.join(F.broadcast(bands), "event_type")
+            .filter((F.col("value") >= F.col("lo"))
+                    & (F.col("value") <= F.col("hi"))))
+    return (kept.groupBy("event_type")
+            .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .alias("cents"),
+                 F.count(F.lit(1)).alias("n_kept"),
+                 F.max("n_total").alias("n_total"))
+            .select("event_type",
+                    F.col("n_total").cast("bigint").alias("n_total"),
+                    F.col("n_kept").cast("bigint").alias("n_kept"),
+                    (F.col("cents").cast("double") / 100.0
+                     / F.col("n_kept").cast("double")).alias("trimmed_mean"))
+            .orderBy("event_type"))
+
+
+_Q71_SQL = """
+WITH bands AS (
+  SELECT event_type,
+    quantile_cont(value, 0.1) AS lo,
+    quantile_cont(value, 0.9) AS hi,
+    COUNT(*) AS n_total
+  FROM events GROUP BY event_type
+), kept AS (
+  SELECT e.event_type, e.value, b.n_total
+  FROM events e JOIN bands b USING (event_type)
+  WHERE e.value >= b.lo AND e.value <= b.hi
+)
+SELECT event_type,
+  CAST(MAX(n_total) AS BIGINT) AS n_total,
+  CAST(COUNT(*) AS BIGINT) AS n_kept,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+    / CAST(COUNT(*) AS DOUBLE) AS trimmed_mean
+FROM kept GROUP BY event_type
+ORDER BY event_type
+"""
+
+register(QuerySpec("q71_trimmed_mean", q71_trimmed_mean, _Q71_SQL,
+                   description="per-group [p10,p90] trimmed mean: "
+                               "broadcast percentile bands + exact "
+                               "integer-cents survivor sums"))
