@@ -1286,3 +1286,92 @@ register(QuerySpec(
     "text_phrase_search", text_phrase_search_query, _phrase_sql(),
     description="positional-postings phrase search: term-filtered "
                 "postings + (doc, pos+offset) adjacency chain join"))
+
+
+# --- bigram language-model familiarity score ------------------------------------
+
+LM_SCALE = 1_000_000  # fixed-point scale for exact conditional probabilities
+
+
+def lm_familiarity(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   scale: int = LM_SCALE) -> DataFrame:
+    """Per-document bigram language-model familiarity — the in-engine
+    analogue of the LM-perplexity filter pretraining pipelines run
+    (CCNet-style): documents whose word transitions are typical of the
+    corpus score high, gibberish and boilerplate-mangled text score
+    low.
+
+    Model = corpus bigram counts with conditional probability
+    p(w2|w1) = c(w1 w2) / c(w1·), where c(w1·) is derived from the
+    bigram relation itself (prefix-marginal), so model and scorer can
+    never disagree on tokenization. Scoring is EXACT fixed-point:
+    each bigram contributes ``(c(w1 w2) * scale) div c(w1·)`` — integer
+    division, order-independent BIGINT sums — and only the final
+    familiarity = sum / (n_bigrams * scale) divides as a double.
+    (log-perplexity itself would need ln(), which is not correctly
+    rounded, hence not cross-engine hash-stable; the fixed-point mean
+    conditional probability is monotone in the same signal.)
+
+    Scale: one shuffle keyed on the bigram (count), a tiny prefix
+    marginal, one join back keyed on the bigram, one per-doc aggregate.
+    The model relation is vocabulary²-bounded, not corpus-bounded.
+    """
+    toks = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("t"))
+    bg = toks.select(
+        F.col(id_col),
+        F.explode(F.zip_with(
+            F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+            F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))).alias("p")
+    ).select(id_col, "p.w1", "p.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cbg"))
+    pref = bgc.groupBy("w1").agg(F.sum("cbg").alias("cw1"))
+    model = bgc.join(pref, "w1").select(
+        "w1", "w2",
+        F.expr(f"(cbg * CAST({scale} AS BIGINT)) div cw1").alias("fp"))
+    return (bg.join(model, ["w1", "w2"])
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("fp").alias("fp_sum"))
+            .select(id_col,
+                    F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+                    (F.col("fp_sum").cast("double")
+                     / (F.col("n_bigrams") * F.lit(scale)).cast("double"))
+                    .alias("familiarity"))
+            .orderBy(id_col))
+
+
+def text_lm_familiarity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return lm_familiarity(docs)
+
+
+_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+), bg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS i) idx
+), bgc AS (
+  SELECT w1, w2, COUNT(*) AS cbg FROM bg GROUP BY w1, w2
+), pref AS (
+  SELECT w1, SUM(cbg) AS cw1 FROM bgc GROUP BY w1
+), model AS (
+  SELECT b.w1, b.w2, (b.cbg * CAST({LM_SCALE} AS BIGINT)) // p.cw1 AS fp
+  FROM bgc b JOIN pref p USING (w1)
+)
+SELECT g.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(m.fp) AS DOUBLE)
+    / CAST(COUNT(*) * {LM_SCALE} AS DOUBLE) AS familiarity
+FROM bg g JOIN model m ON m.w1 = g.w1 AND m.w2 = g.w2
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+register(QuerySpec(
+    "text_lm_familiarity", text_lm_familiarity_query, _LM_SQL,
+    description="bigram-LM familiarity (CCNet-style LM quality signal): "
+                "exact fixed-point conditional probabilities, "
+                "order-independent integer sums"))
