@@ -1375,3 +1375,92 @@ register(QuerySpec(
     description="bigram-LM familiarity (CCNet-style LM quality signal): "
                 "exact fixed-point conditional probabilities, "
                 "order-independent integer sums"))
+
+
+# --- BPE tokenizer training (iterative pair merges) -----------------------------
+
+BPE_MERGES = 12
+EOW = "</w>"
+
+
+def bpe_train(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              n_merges: int = BPE_MERGES) -> DataFrame:
+    """Byte-Pair-Encoding tokenizer training (Sennrich et al. 2016) —
+    the vocabulary-learning step of a training-data pipeline, run
+    in-engine over word TYPES weighted by corpus frequency.
+
+    Per round: count adjacent symbol pairs (weighted by word
+    frequency), pick the most frequent (ties broken lexicographically
+    — fully deterministic), and rewrite every word's symbol array with
+    the pair greedily merged left-to-right. The rewrite is a Catalyst
+    ``aggregate`` fold over the symbol array — no UDF — and each round
+    ``localCheckpoint``s the (word, freq, syms) relation so lineage
+    stays flat across iterations (the kmeans_refine discipline).
+
+    Returns the merge table: (rank, left, right, merged, pair_count).
+    Iterative-algorithm class (streaming/PageRank family): no SQL
+    oracle — the per-round argmax + rewrite has no single-query
+    equivalent; correctness is pinned against an independent pure-
+    Python reference implementation in unit tests.
+
+    Scale: the state is the word-TYPE relation (vocabulary-bounded,
+    not corpus-bounded — 100 TB of text is still ~10⁷ word types);
+    each round is one pair-count aggregate (shuffle ∝ distinct pairs)
+    + one broadcast single-row argmax + one shuffle-free rewrite
+    projection.
+    """
+    words = (df.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+             .groupBy("w").agg(F.count("*").alias("freq"))
+             .select("w", "freq",
+                     F.concat(
+                         F.transform(F.split(F.col("w"), ""),
+                                     lambda c: c),
+                         F.array(F.lit(EOW))).alias("syms"))
+             .localCheckpoint())
+    merges = []
+    spark = df.sparkSession
+    for rank in range(n_merges):
+        pairs = (words.select(
+            "freq",
+            F.explode(F.zip_with(
+                F.slice(F.col("syms"), 1,
+                        F.greatest(F.size("syms") - 1, F.lit(0))),
+                F.slice(F.col("syms"), 2,
+                        F.greatest(F.size("syms") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")))).alias("p"))
+            .groupBy("p.l", "p.r").agg(F.sum("freq").alias("n")))
+        top = (pairs.orderBy(F.col("n").desc(), "l", "r").limit(1)
+               .collect())  # bounded: exactly one row
+        if not top or top[0]["n"] < 2:
+            break
+        left, right, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        merged = left + right
+        merges.append((rank, left, right, merged, int(n)))
+        fold = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(merged))))
+            .otherwise(F.concat(acc, F.array(x))))
+        words = words.select("w", "freq", fold.alias("syms")) \
+            .localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, "
+                "pair_count bigint")
+
+
+def text_bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return bpe_train(docs)
+
+
+register(QuerySpec(
+    "text_bpe_train", text_bpe_train_query, None,  # iterative: see docstring
+    description="BPE tokenizer training: per-round weighted pair argmax "
+                "+ Catalyst-fold greedy merge over the vocabulary-bounded "
+                "word-type relation; verified against an independent "
+                "reference implementation"))

@@ -158,3 +158,65 @@ def test_lm_familiarity_ranks_typical_over_gibberish(spark):
     det = spark.createDataFrame([(1, "p p p p")], "doc_id long, text string")
     (row,) = lm_familiarity(det).collect()
     assert row.familiarity == 1.0 and row.n_bigrams == 3
+
+
+def _reference_bpe(word_freqs: dict, n_merges: int):
+    """Independent pure-Python BPE (Sennrich et al. 2016 pseudocode):
+    the check the engine's Catalyst-fold implementation must match."""
+    vocab = {tuple(w) + ("</w>",): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs: dict = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = \
+                    pairs.get((syms[i], syms[i + 1]), 0) + f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), n = best
+        if n < 2:
+            break
+        merges.append((rank, l, r, l + r, n))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """The engine's merge sequence equals the independent reference on
+    the classic Sennrich corpus AND on a tie-heavy corpus (lexicographic
+    tie-break pinned)."""
+    from downscaledclimatedata_spark.operators.textops import bpe_train
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                    + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [(r.rank, r.left, r.right, r.merged, r.pair_count)
+           for r in bpe_train(docs, n_merges=8).collect()]
+    want = _reference_bpe({"low": 5, "lower": 2, "newest": 6, "widest": 3}, 8)
+    assert got == want
+
+    tie_docs = spark.createDataFrame(
+        [(1, "ab ab cd cd")], "doc_id long, text string")
+    got2 = [(r.left, r.right) for r in
+            bpe_train(tie_docs, n_merges=2).collect()]
+    want2 = [(m[1], m[2]) for m in _reference_bpe({"ab": 2, "cd": 2}, 2)]
+    assert got2 == want2 and got2[0] == ("a", "b")  # lexicographic tie
+
+
+def test_bpe_train_stops_when_no_pair_repeats(spark):
+    from downscaledclimatedata_spark.operators.textops import bpe_train
+    docs = spark.createDataFrame([(1, "xy")], "doc_id long, text string")
+    rows = bpe_train(docs, n_merges=5).collect()
+    assert rows == []  # every pair occurs once; threshold is 2
