@@ -1097,3 +1097,73 @@ register(QuerySpec(
     description="curriculum learning order: percentile-stratified "
                 "quality stages (broadcast scalar cuts, no global "
                 "sort) + seeded in-stage positions"))
+
+
+# --- corpus snapshot diff -------------------------------------------------------
+
+def corpus_diff(old: DataFrame, new: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document diff of two corpus snapshots: ``added`` (id only in
+    new), ``removed`` (only in old), ``changed`` (both, content hash
+    differs), ``unchanged`` — the audit primitive of corpus versioning
+    (what actually moved between crawl N and crawl N+1, before anyone
+    retrains on it).
+
+    Content equality is by portable 60-bit md5 of the text, so the diff
+    never ships document bodies — both sides reduce to (id, hash)
+    before the single full-outer join, keyed on the uniform id.
+    """
+    oh = old.select(F.col(id_col),
+                    md5_long(F.coalesce(F.col(text_col), F.lit("")))
+                    .alias("old_hash"))
+    nh = new.select(F.col(id_col),
+                    md5_long(F.coalesce(F.col(text_col), F.lit("")))
+                    .alias("new_hash"))
+    joined = oh.join(nh, id_col, "full_outer")
+    status = (F.when(F.col("old_hash").isNull(), F.lit("added"))
+              .when(F.col("new_hash").isNull(), F.lit("removed"))
+              .when(F.col("old_hash") != F.col("new_hash"),
+                    F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return joined.select(F.col(id_col), status.alias("status")) \
+        .orderBy(id_col)
+
+
+def prep_corpus_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic snapshots: old = ids with id % 7 != 0,
+    new = ids with id % 5 != 0, and new's text carries an edit marker on
+    id % 11 == 0 — so all four statuses appear in the report."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = (docs.filter(F.col("doc_id") % 5 != 0)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 11 == 0,
+                              F.concat(F.coalesce(F.col("text"), F.lit("")),
+                                       F.lit(" [edited]")))
+                       .otherwise(F.col("text"))))
+    return corpus_diff(old, new)
+
+
+_PREP_DIFF_SQL = f"""
+WITH old AS (
+  SELECT doc_id, {md5_long_sql("coalesce(text, '')")} AS old_hash
+  FROM documents WHERE doc_id % 7 <> 0
+), new AS (
+  SELECT doc_id,
+    {md5_long_sql("coalesce(text, '') || CASE WHEN doc_id % 11 = 0 THEN ' [edited]' ELSE '' END")} AS new_hash
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.old_hash IS NULL THEN 'added'
+       WHEN n.new_hash IS NULL THEN 'removed'
+       WHEN o.old_hash <> n.new_hash THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
+ORDER BY doc_id
+"""
+
+register(QuerySpec(
+    "prep_corpus_diff", prep_corpus_diff_query, _PREP_DIFF_SQL,
+    description="corpus snapshot diff: added/removed/changed/unchanged "
+                "per doc via (id, content-hash) full-outer join — bodies "
+                "never shuffle"))

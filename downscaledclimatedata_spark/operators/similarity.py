@@ -2263,3 +2263,94 @@ register(QuerySpec(
     description="coreset selection: nearest-to-centroid exemplar per IVF "
                 "cell (+cell size) — the keep-one-per-region dual of "
                 "SemDeDup's prune"))
+
+
+# --- MMR diversity selection ----------------------------------------------------
+
+MMR_K = 8
+MMR_POOL = 64
+MMR_LAMBDA = 0.7
+
+
+def mmr_select(emb: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding", k: int = MMR_K,
+               pool: int = MMR_POOL, lam: float = MMR_LAMBDA) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): pick ``k`` vectors that are RELEVANT to the query but
+    DIVERSE among themselves — the data-selection step that keeps a
+    fine-tuning batch or a RAG context from being k copies of the same
+    point. Query = the min-id corpus vector (deterministic).
+
+    Two-phase, as every production MMR reranker runs it:
+
+    1. DISTRIBUTED pool retrieval: exact cosine top-``pool`` to the
+       query over the whole corpus (broadcast query, integer dots,
+       TakeOrderedAndProject) — this is the part that touches 100 TB.
+    2. BOUNDED greedy rerank: the pool (≤ ``pool`` rows of quantized
+       vectors) is a bounded scalar by construction; the O(pool·k)
+       greedy argmax runs driver-side like the engine's other bounded
+       iterative steps (kmeans argmin collect, BPE argmax). Scores are
+       exact-integer dots scaled to doubles only inside the comparison;
+       ties break on id.
+
+    Returns (rank, vec_id, rel, max_sim_to_selected) — rank 0 is the
+    query's nearest neighbor by construction.
+    """
+    import math
+
+    base = (emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
+            .withColumn("n2", sq_norm(F.col("qv")))
+            .filter(F.col("n2") > 0))
+    qrow = base.orderBy(id_col).limit(1).collect()[0]
+    qv, qn2, qid = qrow["qv"], qrow["n2"], qrow[id_col]
+    qlit = F.array(*[F.lit(int(x)) for x in qv])
+    cand = (base.filter(F.col(id_col) != qid)
+            .withColumn("rel",
+                        int_dot(F.col("qv"), qlit).cast("double")
+                        / (F.sqrt(F.col("n2").cast("double"))
+                           * F.lit(math.sqrt(float(qn2)))))
+            .orderBy(F.col("rel").desc(), id_col)
+            .limit(pool)
+            .collect())  # bounded: <= pool rows (the rerank working set)
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    vecs = {r[id_col]: (list(r["qv"]), int(r["n2"])) for r in cand}
+    rels = {r[id_col]: float(r["rel"]) for r in cand}
+    selected: list = []
+    out = []
+    remaining = sorted(vecs)
+    for rank in range(min(k, len(remaining))):
+        best = None
+        for i in remaining:
+            if selected:
+                ms = max(
+                    dot(vecs[i][0], vecs[j][0])
+                    / (math.sqrt(vecs[i][1]) * math.sqrt(vecs[j][1]))
+                    for j in selected)
+            else:
+                ms = 0.0
+            score = lam * rels[i] - (1.0 - lam) * ms
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i, ms)
+        _, pick, ms = best
+        out.append((rank, pick, rels[pick], ms))
+        selected.append(pick)
+        remaining.remove(pick)
+    schema = (f"rank int, {id_col} long, rel double, "
+              "max_sim_to_selected double")
+    return emb.sparkSession.createDataFrame(out, schema)
+
+
+def similarity_mmr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return mmr_select(emb)
+
+
+register(QuerySpec(
+    "similarity_mmr_select", similarity_mmr_query, None,  # greedy-iterative
+    description="MMR diversity selection: distributed exact top-pool "
+                "retrieval + bounded greedy rerank; verified against an "
+                "independent reference implementation"))

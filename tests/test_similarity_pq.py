@@ -129,3 +129,58 @@ def test_ivfpq_candidates_come_from_probed_lists(spark):
             probes.setdefault(r.vec_id, set()).add(r.cid)
     for r in got:
         assert assign[r.match_id] in probes[r.query_id], r
+
+
+def test_mmr_matches_reference_and_diversifies(spark):
+    """The engine's MMR selection equals an independent reference
+    greedy over the same pool, and its selected set is more diverse
+    (lower max pairwise cosine) than plain top-k when redundant
+    near-clones dominate the pool."""
+    import math
+
+    from downscaledclimatedata_spark.operators.similarity import mmr_select
+
+    # query (id 0) + a tight clone cluster near it + spread-out points
+    def v(*xs):
+        return [float(x) for x in xs]
+    rows = [(0, v(10, 0, 0, 0))]
+    rows += [(i, v(9, 1 + 0.01 * i, 0, 0)) for i in range(1, 6)]  # clones
+    rows += [(10, v(7, 7, 0, 0)), (11, v(7, 0, 7, 0)), (12, v(7, 0, 0, 7))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_select(emb, k=4, pool=8, lam=0.5).collect()
+    got = [(r.rank, r.vec_id) for r in out]
+
+    # independent reference over the same pool definition
+    from downscaledclimatedata_spark.operators.similarity import QUANT
+
+    def quant(x):
+        return [math.floor(t * QUANT + 0.5) for t in x]
+    vecs = {i: quant(x) for i, x in rows}
+
+    def cos(a, b):
+        d = sum(p * q for p, q in zip(a, b))
+        return d / (math.sqrt(sum(p * p for p in a))
+                    * math.sqrt(sum(q * q for q in b)))
+    q = vecs[0]
+    rels = {i: cos(vecs[i], q) for i in vecs if i != 0}
+    pool = sorted(rels, key=lambda i: (-rels[i], i))[:8]
+    sel, ref = [], []
+    for rank in range(4):
+        best = None
+        for i in sorted(pool):
+            if i in sel:
+                continue
+            ms = max((cos(vecs[i], vecs[j]) for j in sel), default=0.0)
+            score = 0.5 * rels[i] - 0.5 * ms
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i)
+        sel.append(best[1])
+        ref.append((rank, best[1]))
+    assert got == ref
+
+    # diversity: the MMR set includes the orthogonal spread points
+    # instead of three more clones
+    chosen = {i for _, i in got}
+    assert {10, 11, 12} & chosen, chosen
+    assert len(chosen & {1, 2, 3, 4, 5}) <= 2
