@@ -1239,3 +1239,52 @@ register(QuerySpec("q71_trimmed_mean", q71_trimmed_mean, _Q71_SQL,
                    description="per-group [p10,p90] trimmed mean: "
                                "broadcast percentile bands + exact "
                                "integer-cents survivor sums"))
+
+
+# --- q72: top user journeys (ordered event-type paths) -------------------------
+
+PATH_TOP_N = 20
+
+
+def q72_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common user journeys: each user's full event-type sequence
+    (deterministically ordered by (ts, event_id)) rendered as a path
+    string, counted, top-N by frequency — the "what do people actually
+    do" query of product analytics.
+
+    Order inside a group is the classic correctness trap:
+    ``collect_list`` under groupBy is partition-order-dependent, so the
+    sequence is built as ``array_sort`` over (ts, event_id, type)
+    structs — deterministic under ANY partitioning — then projected to
+    the type path. One user-keyed shuffle + a top-N TakeOrdered.
+    """
+    ev = _t(spark, sf_dir, "events")
+    paths = (ev.groupBy("user_id")
+             .agg(F.array_sort(F.collect_list(F.struct(
+                 F.col("ts"), F.col("event_id"), F.col("event_type"))))
+                 .alias("seq"))
+             .select(F.concat_ws(
+                 ">", F.transform(F.col("seq"), lambda s: s["event_type"]))
+                 .alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy(F.col("n_users").desc(), "path")
+            .limit(PATH_TOP_N))
+
+
+_Q72_SQL = f"""
+WITH seqs AS (
+  SELECT user_id,
+    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id
+)
+SELECT path, COUNT(*) AS n_users
+FROM seqs GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT {PATH_TOP_N}
+"""
+
+register(QuerySpec("q72_top_paths", q72_top_paths, _Q72_SQL,
+                   description="top-N user journeys: deterministic "
+                               "(ts, event_id)-ordered event-type path "
+                               "strings, counted"))
