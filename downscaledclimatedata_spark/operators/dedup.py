@@ -2097,3 +2097,125 @@ register(QuerySpec(
     "dedup_source_report", dedup_source_report_query, _DEDUP_SRC_REPORT_SQL,
     description="per-source duplication triage: docs in near-dup pairs, "
                 "cross-domain vs in-domain partners, involvement rate"))
+
+
+# --- near-dup graph statistics (triangles / clustering coefficient) -------------
+
+def pair_graph_stats(pairs: DataFrame) -> DataFrame:
+    """Global statistics of a near-dup pair graph: nodes, edges,
+    triangles, open triads, and the global clustering coefficient —
+    the one-row health report that distinguishes chain-like duplication
+    (syndication paths, coefficient ~0) from dense clique templating
+    (boilerplate families, coefficient ~1). The shape drives remediation
+    the same way the component build does: cliques collapse safely to
+    one representative, chains need human eyes.
+
+    Exact integer arithmetic throughout: triangles via the canonical
+    oriented 3-cycle join (a<b<c, so each triangle counts exactly
+    once), open triads as Σ deg·(deg-1)/2, coefficient = 3·triangles /
+    triads as the single final double division.
+
+    Scale: the input pair relation is already candidate-capped by its
+    generator (never O(n²)); the triangle join is two self-joins keyed
+    on edge endpoints — at 100 TB-corpus pair volumes this is the
+    standard distributed triangle enumeration (edges shuffled twice).
+    """
+    edges = (pairs.select(F.least("id_a", "id_b").alias("a"),
+                          F.greatest("id_a", "id_b").alias("b"))
+             .filter(F.col("a") != F.col("b"))
+             .distinct().localCheckpoint())
+    deg = (edges.select(F.col("a").alias("v"))
+           .unionAll(edges.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count("*").alias("deg")))
+    # oriented 3-cycle: (a<b) ⋈ (b<c) ⋈ (a<c) — each triangle matched
+    # exactly once because every edge is stored with a < b
+    e1 = edges.select(F.col("a"), F.col("b"))
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tri = (e1.join(e2.hint("merge"), "b")
+           .join(edges.select(F.col("a"), F.col("b").alias("c"))
+                 .hint("merge"), ["a", "c"]))
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n")).select("n")
+    stats = (deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("bigint")
+        .alias("n_triads"))
+        .crossJoin(F.broadcast(edges.agg(
+            F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(n_tri.withColumnRenamed("n", "n_triangles"))))
+    return stats.select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        F.col("n_triads").cast("bigint").alias("n_triads"),
+        F.when(F.col("n_triads") > 0,
+               3.0 * F.col("n_triangles").cast("double")
+               / F.col("n_triads").cast("double"))
+        .otherwise(F.lit(0.0)).alias("clustering_coefficient"))
+
+
+def dedup_graph_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return pair_graph_stats(containment_pairs(docs, "text", "doc_id",
+                                              threshold=0.2))
+
+
+_DEDUP_GRAPH_STATS_SQL = f"""
+WITH {_SHINGLES_CTE},
+dist AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dist GROUP BY doc_id),
+rare AS (
+  SELECT shingle FROM dist
+  GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+),
+pruned AS (SELECT doc_id, shingle FROM dist SEMI JOIN rare USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM pruned a JOIN pruned b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cpairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE)
+        / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.2
+),
+edges AS (
+  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM cpairs WHERE id_a <> id_b
+),
+deg AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+  ) GROUP BY v
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+ds AS (
+  SELECT COUNT(*) AS n_nodes,
+    CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_triads
+  FROM deg
+),
+es AS (SELECT COUNT(*) AS n_edges FROM edges)
+SELECT CAST(ds.n_nodes AS BIGINT) AS n_nodes,
+  CAST(es.n_edges AS BIGINT) AS n_edges,
+  CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+  ds.n_triads,
+  CASE WHEN ds.n_triads > 0
+       THEN 3.0 * CAST(tri.n_triangles AS DOUBLE)
+            / CAST(ds.n_triads AS DOUBLE)
+       ELSE 0.0 END AS clustering_coefficient
+FROM ds CROSS JOIN es CROSS JOIN tri
+"""
+
+register(QuerySpec(
+    "dedup_graph_stats", dedup_graph_stats_query, _DEDUP_GRAPH_STATS_SQL,
+    description="near-dup graph health: exact triangles (oriented "
+                "3-cycle join), open triads, global clustering "
+                "coefficient over the containment pair graph"))

@@ -91,3 +91,27 @@ def test_star_algorithm_matches_label_propagation(spark):
         a = {r.id: r.comp for r in connected_components(pairs).collect()}
         b = {r.id: r.comp for r in connected_components_star(pairs).collect()}
         assert a == b, f"mismatch on {edges[:5]}..."
+
+
+def test_pair_graph_stats_on_known_graph(spark):
+    """Hand-checkable: a triangle plus a pendant edge -> 1 triangle,
+    4 nodes, 4 edges, 5 open triads (degrees 2,2,3,1 give C(2,2) +
+    C(2,2) + C(3,2) + C(1,2) = 1+1+3+0 = 5), coefficient 3/5."""
+    from downscaledclimatedata_spark.operators.dedup import pair_graph_stats
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long")
+    (r,) = pair_graph_stats(pairs).collect()
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_triads) == (4, 4, 1, 5)
+    assert abs(r.clustering_coefficient - 0.6) < 1e-12
+    # duplicate and reversed edges collapse
+    noisy = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (3, 4), (4, 3)],
+        "id_a long, id_b long")
+    (r2,) = pair_graph_stats(noisy).collect()
+    assert (r2.n_edges, r2.n_triangles) == (4, 1)
+    # empty graph
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    (r3,) = pair_graph_stats(empty).collect()
+    assert (r3.n_nodes, r3.n_triangles) == (0, 0)
+    assert r3.clustering_coefficient == 0.0
