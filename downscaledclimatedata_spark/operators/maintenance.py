@@ -106,3 +106,92 @@ FROM c
 
 register(QuerySpec("maintenance_key_skew", maintenance_skew_query, _SKEW_SQL,
                    description="per-key cardinality skew diagnostics (max/avg factor)"))
+
+
+# --- incremental aggregate maintenance (materialized-view delta merge) ---------
+
+AGG_STATE_COLS = ("n", "sum_cents", "min_v", "max_v")
+
+
+def agg_state(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Mergeable per-key aggregate state: (key, n, sum_cents, min_v,
+    max_v). Sums are ROUND(value*100) BIGINT cents so merged state is
+    exact in any order; avg is derived at read time, never stored."""
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    return df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sum_cents"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"))
+
+
+def merge_agg_state(state: DataFrame, delta: DataFrame,
+                    key_col: str) -> DataFrame:
+    """Fold a delta batch's aggregate state into an existing state —
+    the incremental-view-maintenance step that updates a 100 TB
+    rollup from a 1 GB day of new data without touching history.
+
+    Count/sum add, min/max combine; keys on either side only pass
+    through. One outer join keyed on the (uniform) group key; the
+    state relation is |keys|-bounded, not fact-bounded.
+    """
+    s = state.select(key_col, *[F.col(c).alias(f"s_{c}")
+                                for c in AGG_STATE_COLS])
+    d = delta.select(key_col, *[F.col(c).alias(f"d_{c}")
+                                for c in AGG_STATE_COLS])
+    j = s.join(d, key_col, "full_outer")
+    z = F.lit(0).cast("bigint")
+    return j.select(
+        key_col,
+        (F.coalesce(F.col("s_n"), z) + F.coalesce(F.col("d_n"), z))
+        .alias("n"),
+        (F.coalesce(F.col("s_sum_cents"), z)
+         + F.coalesce(F.col("d_sum_cents"), z)).alias("sum_cents"),
+        F.least(F.coalesce(F.col("s_min_v"), F.col("d_min_v")),
+                F.coalesce(F.col("d_min_v"), F.col("s_min_v")))
+        .alias("min_v"),
+        F.greatest(F.coalesce(F.col("s_max_v"), F.col("d_max_v")),
+                   F.coalesce(F.col("d_max_v"), F.col("s_max_v")))
+        .alias("max_v"))
+
+
+def maintenance_incremental_agg_query(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Split events into base (id % 10 != 0) and delta (id % 10 == 0),
+    build state from the base, merge the delta's state in — the result
+    must equal the one-shot aggregate over ALL events, which is exactly
+    what the oracle computes. A green row is a machine-checked proof of
+    the merge algebra, not just a unit anecdote."""
+    from downscaledclimatedata_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    base = agg_state(ev.filter(F.col("event_id") % 10 != 0),
+                     "event_type", "value")
+    delta = agg_state(ev.filter(F.col("event_id") % 10 == 0),
+                      "event_type", "value")
+    merged = merge_agg_state(base, delta, "event_type")
+    return (merged.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        "min_v", "max_v",
+        (F.col("sum_cents").cast("double") / 100.0
+         / F.col("n").cast("double")).alias("avg_v"))
+        .orderBy("event_type"))
+
+
+_INC_AGG_SQL = """
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+  MIN(value) AS min_v, MAX(value) AS max_v,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+    / CAST(COUNT(*) AS DOUBLE) AS avg_v
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+register(QuerySpec(
+    "maintenance_incremental_agg", maintenance_incremental_agg_query,
+    _INC_AGG_SQL,
+    description="incremental view maintenance: base+delta mergeable agg "
+                "state (count/sum-cents/min/max) must equal the one-shot "
+                "aggregate — merge algebra oracle-checked"))

@@ -87,3 +87,28 @@ def test_dynamic_partition_overwrite_preserves_siblings(spark, tmp_path):
     overwrite_partitions(v2, out, ["day"])
     rows = {(r.day, r.id): r.v for r in spark.read.parquet(out).collect()}
     assert rows == {("d1", 1): 10, ("d2", 2): 99}
+
+
+def test_merge_agg_state_handles_one_sided_keys(spark):
+    """Keys present only in the state or only in the delta pass through
+    intact — the outer-join edges a naive inner-join merge drops."""
+    from downscaledclimatedata_spark.operators.maintenance import (
+        agg_state, merge_agg_state)
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], "k string, v double")
+    delta = spark.createDataFrame(
+        [("a", 2.0), ("c", 7.0)], "k string, v double")
+    merged = {r.k: r for r in merge_agg_state(
+        agg_state(base, "k", "v"), agg_state(delta, "k", "v"),
+        "k").collect()}
+    assert merged["a"].n == 3 and merged["a"].sum_cents == 600
+    assert merged["a"].min_v == 1.0 and merged["a"].max_v == 3.0
+    assert merged["b"].n == 1 and merged["b"].min_v == 5.0  # state-only
+    assert merged["c"].n == 1 and merged["c"].sum_cents == 700  # delta-only
+    # merging an empty delta is the identity
+    empty = agg_state(spark.createDataFrame([], "k string, v double"),
+                      "k", "v")
+    again = {r.k: r for r in merge_agg_state(
+        agg_state(base, "k", "v"), empty, "k").collect()}
+    assert again["a"].n == 2 and again["b"].n == 1
