@@ -1288,3 +1288,53 @@ register(QuerySpec("q72_top_paths", q72_top_paths, _Q72_SQL,
                    description="top-N user journeys: deterministic "
                                "(ts, event_id)-ordered event-type path "
                                "strings, counted"))
+
+
+# --- q73: group-median null imputation (data repair) ---------------------------
+
+def q73_median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null repair by group median: rows with a (deterministically
+    simulated) missing value get their event_type's exact median of the
+    observed values — the data-cleaning primitive of feature pipelines,
+    preferred over the mean precisely because it ignores the outliers
+    the rows being repaired often are.
+
+    Medians are one tiny per-group aggregate broadcast back — the fact
+    table is scanned once and never shuffled (broadcast hash join on
+    the low-cardinality type), so the repair is a projection at any
+    scale.
+    """
+    ev = _t(spark, sf_dir, "events")
+    missing = F.col("event_id") % 13 == 0
+    masked = ev.withColumn(
+        "v", F.when(missing, F.lit(None).cast("double"))
+        .otherwise(F.col("value")))
+    med = masked.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("med"))
+    return (masked.join(F.broadcast(med), "event_type")
+            .select("event_id", "event_type",
+                    F.coalesce(F.col("v"), F.col("med"))
+                    .alias("value_imputed"),
+                    F.col("v").isNull().alias("was_imputed"))
+            .orderBy("event_id"))
+
+
+_Q73_SQL = """
+WITH masked AS (
+  SELECT event_id, event_type,
+    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+  FROM events
+), med AS (
+  SELECT event_type, quantile_cont(v, 0.5) AS med
+  FROM masked GROUP BY event_type
+)
+SELECT m.event_id, m.event_type,
+  coalesce(m.v, d.med) AS value_imputed,
+  m.v IS NULL AS was_imputed
+FROM masked m JOIN med d USING (event_type)
+ORDER BY m.event_id
+"""
+
+register(QuerySpec("q73_median_imputation", q73_median_imputation, _Q73_SQL,
+                   description="group-median null repair: broadcast exact "
+                               "medians, fact table never shuffles"))
