@@ -1327,10 +1327,14 @@ def lm_familiarity(df: DataFrame, text_col: str = "text",
     ).select(id_col, "p.w1", "p.w2")
     bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cbg"))
     pref = bgc.groupBy("w1").agg(F.sum("cbg").alias("cw1"))
-    model = bgc.join(pref, "w1").select(
+    # merge hints: the model relation is vocabulary²-bounded and the
+    # prefix marginal vocabulary-bounded — web-scale corpora put both
+    # beyond broadcast budgets, so the shuffled strategy is pinned (the
+    # checkpoint-size-estimate lesson from ngram_jaccard_pairs)
+    model = bgc.join(pref.hint("merge"), "w1").select(
         "w1", "w2",
         F.expr(f"(cbg * CAST({scale} AS BIGINT)) div cw1").alias("fp"))
-    return (bg.join(model, ["w1", "w2"])
+    return (bg.join(model.hint("merge"), ["w1", "w2"])
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.sum("fp").alias("fp_sum"))
