@@ -1245,7 +1245,11 @@ def phrase_search(df: DataFrame, phrase: tuple[str, ...],
     for i, term in enumerate(phrase[1:], start=1):
         nxt = (post.filter(F.col("token") == term)
                .select(F.col(id_col), (F.col("pos") - i).alias("p0")))
-        cur = cur.join(nxt, [id_col, "p0"])
+        # merge hint: a posting list is term-frequency-scaled — for a
+        # stopword term it is corpus-scaled, far beyond broadcast
+        # budgets; the shuffled strategy keyed (doc, pos) co-partitions
+        # the whole chain after one exchange per side
+        cur = cur.join(nxt.hint("merge"), [id_col, "p0"])
     return (cur.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_matches"),
                  F.min("p0").cast("bigint").alias("first_pos"))
