@@ -581,3 +581,42 @@ def test_mulaw_decode_through_spark(spark):
             max(abs(x) for x in pcm), sum(pcm), sum(x * x for x in pcm))
     for d in (0, MULAW_CORRUPT_MOD, 2 * MULAW_CORRUPT_MOD):
         assert out[d].energy is None and out[d].n_samples is None
+
+
+def test_thumbnail_resize_real_pixels(spark):
+    """Nearest-neighbor thumbnails come from genuinely decoded
+    scanlines: spot-check every thumb pixel against the formula, and a
+    corrupt payload yields a NULL row."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        PNG_PIX_A,
+        PNG_PIX_B,
+        PNG_PIX_C,
+        PNG_PIX_H_BASE,
+        PNG_PIX_H_MOD,
+        PNG_PIX_W_BASE,
+        PNG_PIX_W_MOD,
+        THUMB,
+        make_png_pixels,
+        synthesize_png_pixel_payloads,
+        thumbnail_png,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    out = {r.doc_id: r for r in
+           thumbnail_png(synthesize_png_pixel_payloads(docs)).collect()}
+    for d in (1, 5, 11):
+        w = PNG_PIX_W_BASE + d % PNG_PIX_W_MOD
+        h = PNG_PIX_H_BASE + d % PNG_PIX_H_MOD
+        want = [(d * PNG_PIX_A + ((i * h) // THUMB) * PNG_PIX_B
+                 + ((j * w) // THUMB) * PNG_PIX_C) % 256
+                for i in range(THUMB) for j in range(THUMB)]
+        assert list(out[d].thumb) == want
+        assert (out[d].width, out[d].height) == (w, h)
+    good = make_png_pixels([bytes(range(10)) for _ in range(8)])
+    bad = bytearray(good)
+    bad[50] ^= 0xFF  # CRC break
+    corrupt = spark.createDataFrame(
+        [(99, bytes(bad))], "doc_id long, payload binary")
+    (r,) = thumbnail_png(corrupt).collect()
+    assert r.thumb is None and r.width is None
