@@ -1,5 +1,8 @@
-"""Multimodal plumbing: the mapInPandas contracts (schema, fan-out,
-determinism) are real even though the decoders are stubs."""
+"""Multimodal codecs + plumbing: REAL stdlib decoders (PNG gray/RGB
+pixels, GIF LZW, BMP, WAV PCM, mu-law, header walks, thumbnails) over
+genuine bytes, plus the mapInPandas contracts (schema, fan-out,
+determinism) for the stubbed model stages (frames/features — no
+PIL/torch in the container)."""
 
 from __future__ import annotations
 
