@@ -1167,3 +1167,105 @@ register(QuerySpec(
     description="corpus snapshot diff: added/removed/changed/unchanged "
                 "per doc via (id, content-hash) full-outer join — bodies "
                 "never shuffle"))
+
+
+# --- batch padding-efficiency report -------------------------------------------
+
+PAD_BATCH = 32
+
+
+def padding_report(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   batch_size: int = PAD_BATCH) -> DataFrame:
+    """Padding waste of two batching strategies, measured exactly: a
+    padded batch costs ``batch_rows × max_len`` tokens, of which
+    ``sum_len`` are real — the rest is padding the GPU burns. Compares
+    ``arrival`` (id-order batches, what a naive loader does) against
+    ``length_sorted`` (length-bucketed batches, what every serious
+    loader does), per strategy: batches, real tokens, padded tokens,
+    waste ratio.
+
+    Exact integers end to end (counts and sums of token counts); the
+    one ratio divides at the end. Scale: the per-strategy batch index
+    is a row_number window over the whole relation — ordering windows
+    are the one legitimately global step here, and the relation is
+    (id, n_tokens), 16 bytes/doc, NOT corpus bytes; for truly unbounded
+    corpora the same report runs per-shard and the counters add
+    (mergeable by construction).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
+                                                   F.lit(""))), WS_RE),
+                        lambda x: x != "")).cast("bigint").alias("n_tokens"))
+    out = None
+    for strategy, order in (
+            ("arrival", [F.col(id_col)]),
+            ("length_sorted", [F.col("n_tokens"), F.col(id_col)])):
+        w = Window.orderBy(*order)
+        batched = toks.withColumn(
+            "batch", ((F.row_number().over(w) - 1)
+                      / F.lit(batch_size)).cast("bigint"))
+        per_batch = batched.groupBy("batch").agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.max("n_tokens").alias("mx"),
+            F.sum("n_tokens").alias("sm"))
+        rep = per_batch.agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("sm").alias("real_tokens"),
+            F.sum(F.col("rows") * F.col("mx") - F.col("sm"))
+            .alias("padding_tokens"),
+        ).select(
+            F.lit(strategy).alias("strategy"),
+            F.col("n_batches").cast("bigint").alias("n_batches"),
+            F.col("real_tokens").cast("bigint").alias("real_tokens"),
+            F.col("padding_tokens").cast("bigint").alias("padding_tokens"),
+            F.when(F.col("real_tokens") + F.col("padding_tokens") > 0,
+                   F.col("padding_tokens").cast("double")
+                   / (F.col("real_tokens")
+                      + F.col("padding_tokens")).cast("double"))
+            .otherwise(F.lit(0.0)).alias("waste_ratio"))
+        out = rep if out is None else out.unionAll(rep)
+    return out.orderBy("strategy")
+
+
+def prep_padding_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return padding_report(docs)
+
+
+_PAD_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(lower(coalesce(text, '')),
+      '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), strategies AS (
+  SELECT 'arrival' AS strategy, doc_id, n_tokens,
+    (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // {PAD_BATCH} AS batch
+  FROM toks
+  UNION ALL
+  SELECT 'length_sorted', doc_id, n_tokens,
+    (ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1) // {PAD_BATCH}
+  FROM toks
+), per_batch AS (
+  SELECT strategy, batch, COUNT(*) AS rows, MAX(n_tokens) AS mx,
+    SUM(n_tokens) AS sm
+  FROM strategies GROUP BY strategy, batch
+)
+SELECT strategy,
+  CAST(COUNT(*) AS BIGINT) AS n_batches,
+  CAST(SUM(sm) AS BIGINT) AS real_tokens,
+  CAST(SUM(rows * mx - sm) AS BIGINT) AS padding_tokens,
+  CASE WHEN SUM(sm) + SUM(rows * mx - sm) > 0
+       THEN CAST(SUM(rows * mx - sm) AS DOUBLE)
+            / CAST(SUM(sm) + SUM(rows * mx - sm) AS DOUBLE)
+       ELSE 0.0 END AS waste_ratio
+FROM per_batch GROUP BY strategy
+ORDER BY strategy
+"""
+
+register(QuerySpec(
+    "prep_padding_report", prep_padding_report_query, _PAD_SQL,
+    description="batch padding-waste report: arrival-order vs "
+                "length-sorted batching, exact token accounting"))

@@ -301,3 +301,22 @@ def test_curriculum_stages_are_quality_ordered(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert not re.search(r"Window \[[^\n]*\], \[\], \[", plan), plan
+
+
+def test_padding_report_sorted_never_wastes_more(spark):
+    """Length-sorted batching can only reduce padding (within-batch max
+    shrinks when lengths are grouped); real-token mass is identical
+    across strategies; a hand-built skewed corpus shows a strict win."""
+    from downscaledclimatedata_spark.operators.prep import padding_report
+
+    rows = [(i, "w " * (1 if i % 2 == 0 else 100)) for i in range(64)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = {r.strategy: r for r in
+           padding_report(docs, batch_size=8).collect()}
+    assert rep["arrival"].real_tokens == rep["length_sorted"].real_tokens
+    assert rep["length_sorted"].padding_tokens \
+        < rep["arrival"].padding_tokens
+    # alternating 1/100-token docs in arrival order: every batch pads
+    # the short docs to 100; sorted batches are homogeneous -> 0 waste
+    assert rep["length_sorted"].padding_tokens == 0
+    assert rep["arrival"].waste_ratio > 0.4
