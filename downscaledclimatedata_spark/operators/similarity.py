@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from downscaledclimatedata_spark.plans import QuerySpec, register
@@ -2354,3 +2354,97 @@ register(QuerySpec(
     description="MMR diversity selection: distributed exact top-pool "
                 "retrieval + bounded greedy rerank; verified against an "
                 "independent reference implementation"))
+
+
+# --- cluster topic cards: distinctive terms per IVF cell ------------------------
+
+TOPIC_TOP_TERMS = 3
+
+
+def cluster_topics(emb: DataFrame, docs: DataFrame,
+                   id_col: str = "vec_id", doc_id_col: str = "doc_id",
+                   text_col: str = "text",
+                   top_n: int = TOPIC_TOP_TERMS) -> DataFrame:
+    """Human-readable topic card per embedding cluster: each IVF coarse
+    cell labeled with its ``top_n`` most DISTINCTIVE member terms — the
+    text⇄embedding bridge that turns an opaque cid into something a
+    curator can read (treating embeddings row i as the embedding of
+    document i, the all-signal convention).
+
+    Distinctiveness is the exact-integer rarity weight of
+    ``tfidf_doc_pairs``: in-cell term count × (N_docs − global df) — so
+    corpus-wide boilerplate scores ~0 and cell-specific vocabulary
+    rises. Top-``top_n`` per cell via a cell-partitioned window with
+    (weight desc, token) total order.
+
+    Scale: assignment is the standard IVF build (broadcast codebook);
+    token relations shuffle on (cid, token) / token — both uniform;
+    the per-cell window is bounded by the cell vocabulary.
+    """
+    from downscaledclimatedata_spark.operators.textops import _tokens
+
+    assign = ivf_assign(emb, id_col).select(
+        F.col(id_col).alias(doc_id_col), "cid")
+    toks = docs.select(
+        F.col(doc_id_col),
+        F.explode(_tokens(F.col(text_col))).alias("token"))
+    dfreq = (toks.distinct().groupBy("token")
+             .agg(F.count("*").alias("df")))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    cell_counts = (toks.join(assign.hint("merge"), doc_id_col)
+                   .groupBy("cid", "token").agg(F.count("*").alias("cnt")))
+    weighted = (cell_counts
+                .join(dfreq.hint("merge"), "token")
+                .crossJoin(F.broadcast(n_docs))
+                .select("cid", "token",
+                        (F.col("cnt") * (F.col("n_docs") - F.col("df")))
+                        .cast("bigint").alias("weight")))
+    w = Window.partitionBy("cid").orderBy(F.col("weight").desc(), "token")
+    return (weighted.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= top_n)
+            .select("cid", F.col("rnk").cast("int").alias("rnk"),
+                    "token", "weight")
+            .orderBy("cid", "rnk"))
+
+
+def similarity_cluster_topics_query(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return cluster_topics(emb, docs)
+
+
+def _cluster_topics_sql() -> str:
+    from downscaledclimatedata_spark.operators.textops import _TOKS_SQL
+    return _coarse_sql_prefix(carry_n2=False, assigned="update") + f""",
+toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks)
+  GROUP BY token
+), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+cell_counts AS (
+  SELECT a.cid, t.token, COUNT(*) AS cnt
+  FROM toks t JOIN assigned a ON a.vec_id = t.doc_id
+  GROUP BY a.cid, t.token
+), weighted AS (
+  SELECT c.cid, c.token,
+    CAST(c.cnt * (nd.n_docs - d.df) AS BIGINT) AS weight
+  FROM cell_counts c JOIN dfreq d USING (token) CROSS JOIN nd
+), ranked AS (
+  SELECT cid, token, weight,
+    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY weight DESC, token) AS rnk
+  FROM weighted
+)
+SELECT cid, CAST(rnk AS INTEGER) AS rnk, token, weight
+FROM ranked WHERE rnk <= {TOPIC_TOP_TERMS}
+ORDER BY cid, rnk
+"""
+
+
+register(QuerySpec(
+    "similarity_cluster_topics", similarity_cluster_topics_query,
+    _cluster_topics_sql(),
+    description="topic card per IVF cell: top distinctive member terms "
+                "by exact-integer rarity weight — the text-embedding "
+                "bridge for cluster review"))
