@@ -2448,3 +2448,137 @@ register(QuerySpec(
     description="topic card per IVF cell: top distinctive member terms "
                 "by exact-integer rarity weight — the text-embedding "
                 "bridge for cluster review"))
+
+
+# --- embedding distribution drift ----------------------------------------------
+
+DRIFT_TV_SCALE = 1_000_000_000  # fixed-point scale for exact TV distance
+
+
+def embedding_drift(ref: DataFrame, new: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    centroid_mod: int = CENTROID_MOD,
+                    n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """Distribution drift between two embedding snapshots: assign both
+    to the SAME coarse codebook (built from the reference — the
+    monitored model's fixed quantizer) and compare per-cell occupancy
+    shares by exact total-variation distance — the embedding-space twin
+    of ``text_corpus_drift``, the check an ML-ops pipeline runs before
+    trusting last month's IVF index / SemDeDup thresholds on this
+    month's data.
+
+    Exact arithmetic: shares are fixed-point integers (count·SCALE //
+    total), TV = Σ|share_ref − share_new| / 2 over cells, one double
+    division at the end. The codebook comes from the reference side
+    only, so a drifted new snapshot cannot move its own yardstick.
+
+    Scale: two N·k broadcast-codebook assignment passes, two |cells|
+    aggregates, one |cells|-row join. Nothing corpus-sized shuffles.
+    """
+    base_ref = ref.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
+                          sq_norm(quantize(F.col(vec_col))).alias("n2"))
+    cents = (base_ref.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
+             .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
+                     F.col("n2").alias("cn2")).localCheckpoint())
+
+    def assign_counts(df: DataFrame) -> DataFrame:
+        base = df.select(F.col(id_col),
+                         quantize(F.col(vec_col)).alias("qv"),
+                         sq_norm(quantize(F.col(vec_col))).alias("n2"))
+        scored = (base.crossJoin(F.broadcast(cents))
+                  .select(F.col(id_col), "cid",
+                          (F.col("n2") + F.col("cn2")
+                           - 2 * int_dot(F.col("qv"), F.col("cv")))
+                          .alias("dist")))
+        best = (scored.groupBy(id_col)
+                .agg(F.min(F.struct("dist", "cid")).alias("m"))
+                .select(F.col("m.cid").alias("cid")))
+        return best.groupBy("cid").agg(F.count("*").alias("n"))
+
+    rc = assign_counts(ref).withColumnRenamed("n", "n_ref")
+    nc = assign_counts(new).withColumnRenamed("n", "n_new")
+    tot = (rc.agg(F.sum("n_ref").alias("t_ref"))
+           .crossJoin(nc.agg(F.sum("n_new").alias("t_new"))))
+    s = DRIFT_TV_SCALE
+    joined = (rc.join(nc, "cid", "full_outer")
+              .crossJoin(F.broadcast(tot))
+              .select(
+                  "cid",
+                  F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+                  F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+                  (F.coalesce(F.col("n_ref"), F.lit(0)) * F.lit(s)
+                   / F.col("t_ref")).cast("bigint").alias("sh_ref"),
+                  (F.coalesce(F.col("n_new"), F.lit(0)) * F.lit(s)
+                   / F.col("t_new")).cast("bigint").alias("sh_new")))
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("n_ref").cast("bigint").alias("n_ref_vectors"),
+        F.sum("n_new").cast("bigint").alias("n_new_vectors"),
+        (F.sum(F.abs(F.col("sh_ref") - F.col("sh_new"))).cast("double")
+         / (2.0 * s)).alias("tv_distance"))
+
+
+def similarity_embedding_drift_query(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Deterministic snapshot split by id parity — same-distribution
+    halves, so the recorded tv_distance is the sampling-noise floor a
+    monitor would alert above."""
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return embedding_drift(emb.filter(F.col("vec_id") % 2 == 0),
+                           emb.filter(F.col("vec_id") % 2 == 1))
+
+
+def _emb_drift_sql() -> str:
+    s = DRIFT_TV_SCALE
+    sq = f"list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i]))"
+    dot = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+           f"i -> b.qv[i] * c.cv[i]))")
+    return f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+refb AS (SELECT vec_id, qv, {sq} AS n2 FROM q WHERE vec_id % 2 = 0),
+newb AS (SELECT vec_id, qv, {sq} AS n2 FROM q WHERE vec_id % 2 = 1),
+cents AS (
+  SELECT vec_id AS cid, qv AS cv, n2 AS cn2 FROM refb
+  WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, N_CENTROIDS)}
+),
+rs AS (
+  SELECT b.vec_id, c.cid,
+    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      ORDER BY b.n2 + c.cn2 - 2 * {dot}, c.cid) AS rn
+  FROM refb b CROSS JOIN cents c
+),
+ra AS (SELECT vec_id, cid FROM rs WHERE rn = 1),
+ns AS (
+  SELECT b.vec_id, c.cid,
+    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      ORDER BY b.n2 + c.cn2 - 2 * {dot}, c.cid) AS rn
+  FROM newb b CROSS JOIN cents c
+),
+na AS (SELECT vec_id, cid FROM ns WHERE rn = 1),
+rc AS (SELECT cid, COUNT(*) AS n_ref FROM ra GROUP BY cid),
+nc AS (SELECT cid, COUNT(*) AS n_new FROM na GROUP BY cid),
+tot AS (
+  SELECT (SELECT SUM(n_ref) FROM rc) AS t_ref,
+         (SELECT SUM(n_new) FROM nc) AS t_new
+),
+joined AS (
+  SELECT coalesce(rc.cid, nc.cid) AS cid,
+    coalesce(rc.n_ref, 0) AS n_ref, coalesce(nc.n_new, 0) AS n_new,
+    CAST(coalesce(rc.n_ref, 0) * {s} / tot.t_ref AS BIGINT) AS sh_ref,
+    CAST(coalesce(nc.n_new, 0) * {s} / tot.t_new AS BIGINT) AS sh_new
+  FROM rc FULL OUTER JOIN nc ON nc.cid = rc.cid CROSS JOIN tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+  CAST(SUM(n_ref) AS BIGINT) AS n_ref_vectors,
+  CAST(SUM(n_new) AS BIGINT) AS n_new_vectors,
+  CAST(SUM(abs(sh_ref - sh_new)) AS DOUBLE) / (2.0 * {s}) AS tv_distance
+FROM joined
+"""
+
+
+register(QuerySpec(
+    "similarity_embedding_drift", similarity_embedding_drift_query,
+    _emb_drift_sql(),
+    description="embedding distribution drift: shared reference-built "
+                "codebook, per-cell occupancy shares, exact fixed-point "
+                "total-variation distance"))

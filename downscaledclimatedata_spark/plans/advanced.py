@@ -1338,3 +1338,78 @@ ORDER BY m.event_id
 register(QuerySpec("q73_median_imputation", q73_median_imputation, _Q73_SQL,
                    description="group-median null repair: broadcast exact "
                                "medians, fact table never shuffles"))
+
+
+# --- q74: conversion attribution (first/last touch) ----------------------------
+
+def q74_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch and last-touch attribution: every purchase credits
+    (a) the user's earliest preceding touch (view/click) and (b) the
+    latest one — the two bookends every marketing-attribution model
+    interpolates between. Output: per (model, touch_type) attributed
+    purchase counts.
+
+    One per-user window pass ordered by (ts, event_id): running FIRST
+    touch via an unbounded-preceding min-struct, running LAST touch via
+    a lag-to-current max-struct — both computed as conditional
+    min/max over struct(ts, event_id, type) so the credited touch is
+    deterministic under ties. Purchases with no preceding touch fall
+    out (reported as they are in every attribution tool: 'direct').
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    touch = F.when(F.col("event_type").isin("view", "click"),
+                   F.struct("ts", "event_id",
+                            F.col("event_type").alias("tt")))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    attributed = (ev
+                  .withColumn("first_touch", F.min(touch).over(w))
+                  .withColumn("last_touch", F.max(touch).over(w))
+                  .filter(F.col("event_type") == "purchase"))
+    first = (attributed.select(
+        F.lit("first_touch").alias("model"),
+        F.coalesce(F.col("first_touch.tt"), F.lit("direct"))
+        .alias("touch_type")))
+    last = (attributed.select(
+        F.lit("last_touch").alias("model"),
+        F.coalesce(F.col("last_touch.tt"), F.lit("direct"))
+        .alias("touch_type")))
+    return (first.unionAll(last)
+            .groupBy("model", "touch_type")
+            .agg(F.count(F.lit(1)).alias("n_purchases"))
+            .orderBy("model", "touch_type"))
+
+
+_Q74_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN event_type IN ('view', 'click')
+         THEN struct_pack(ts := ts, event_id := event_id,
+                          tt := event_type) END AS touch
+  FROM events
+), scanned AS (
+  SELECT user_id, ts, event_id, event_type,
+    MIN(touch) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+    MAX(touch) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+  FROM marked
+), purchases AS (
+  SELECT * FROM scanned WHERE event_type = 'purchase'
+), credited AS (
+  SELECT 'first_touch' AS model,
+    coalesce(first_touch.tt, 'direct') AS touch_type FROM purchases
+  UNION ALL
+  SELECT 'last_touch', coalesce(last_touch.tt, 'direct') FROM purchases
+)
+SELECT model, touch_type, COUNT(*) AS n_purchases
+FROM credited GROUP BY model, touch_type
+ORDER BY model, touch_type
+"""
+
+register(QuerySpec("q74_attribution", q74_attribution, _Q74_SQL,
+                   description="first/last-touch purchase attribution via "
+                               "one per-user window pass with struct "
+                               "min/max bookends"))
