@@ -2010,3 +2010,254 @@ register(QuerySpec("multimodal_thumbnail", multimodal_thumbnail_query,
                    description="real image resize: decoded-pixel "
                                "nearest-neighbor 4x4 thumbnails, every "
                                "output pixel oracle-checked"))
+
+
+# --- real frame sampling: multi-frame (animated) GIF decode --------------------
+
+GIF_ANIM_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("pix_sum", T.LongType()),
+    T.StructField("pix_min", T.IntegerType()),
+    T.StructField("pix_max", T.IntegerType()),
+])
+
+ANIM_W_BASE = 6
+ANIM_W_MOD = 13
+ANIM_H_BASE = 6
+ANIM_H_MOD = 11
+ANIM_FRAMES_BASE = 2
+ANIM_FRAMES_MOD = 5
+ANIM_A = 5279
+ANIM_B = 104717
+ANIM_C = 909091
+ANIM_E = 49999       # per-frame offset multiplier
+ANIM_STRIDE = 2      # sample every 2nd frame
+ANIM_CORRUPT_MOD = 14
+
+
+def make_gif_animation(frames: list, block_size: int = 255) -> bytes:
+    """Multi-frame GIF89a: one logical screen + grayscale global color
+    table, then one image descriptor + REAL LZW stream PER FRAME, then
+    the trailer. (Real animated GIFs add graphic-control extensions for
+    timing; the frame-iteration structure — which is what a sampler
+    must walk — is exactly this.)"""
+    import struct
+
+    h = len(frames[0])
+    w = len(frames[0][0]) if h else 0
+    lsd = struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    out = bytearray(b"GIF89a" + lsd + gct)
+    for rows in frames:
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        comp = gif_lzw_encode(b"".join(bytes(r) for r in rows), 8)
+        out.append(8)
+        for i in range(0, len(comp), block_size):
+            chunk = comp[i:i + block_size]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(blob: bytes):
+    """All frames of a (possibly multi-image) GIF: list of per-frame
+    (width, height, pix_sum, pix_min, pix_max), or None on any
+    structural defect. Walks every image block, skipping extensions —
+    the iteration a frame sampler drives."""
+    import struct
+
+    try:
+        blob = bytes(blob)
+        if blob[:6] not in (b"GIF87a", b"GIF89a") or len(blob) < 13:
+            return None
+        packed = blob[10]
+        i = 13
+        palette = None
+        if packed & 0x80:
+            n_gct = 2 << (packed & 0x07)
+            palette = blob[i:i + 3 * n_gct]
+            if len(palette) != 3 * n_gct:
+                return None
+            i += 3 * n_gct
+        frames = []
+        while i < len(blob):
+            b0 = blob[i]
+            if b0 == 0x3B:
+                return frames if frames else None
+            if b0 == 0x21:
+                i += 2
+                while i < len(blob) and blob[i] != 0:
+                    i += 1 + blob[i]
+                if i >= len(blob):
+                    return None
+                i += 1
+                continue
+            if b0 != 0x2C:
+                return None
+            _, _, iw, ih = struct.unpack("<HHHH", blob[i + 1:i + 9])
+            ipacked = blob[i + 9]
+            i += 10
+            pal = palette
+            if ipacked & 0x80:
+                n_lct = 2 << (ipacked & 0x07)
+                pal = blob[i:i + 3 * n_lct]
+                if len(pal) != 3 * n_lct:
+                    return None
+                i += 3 * n_lct
+            if pal is None or i >= len(blob):
+                return None
+            mcs = blob[i]
+            i += 1
+            if not 2 <= mcs <= 8:
+                return None
+            comp = bytearray()
+            while i < len(blob) and blob[i] != 0:
+                ln = blob[i]
+                chunk = blob[i + 1:i + 1 + ln]
+                if len(chunk) != ln:
+                    return None
+                comp += chunk
+                i += 1 + ln
+            if i >= len(blob):
+                return None
+            i += 1  # image-data terminator
+            idx = gif_lzw_decode(bytes(comp), mcs)
+            if len(idx) != iw * ih:
+                return None
+            n_colors = len(pal) // 3
+            if idx and max(idx) >= n_colors:
+                return None
+            vals = [pal[3 * j] for j in idx]
+            if not vals:
+                return None
+            frames.append((iw, ih, sum(vals), min(vals), max(vals)))
+        return None  # ran out of bytes before the trailer
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def synthesize_gif_animations(df: DataFrame) -> DataFrame:
+    """doc_id -> real multi-frame GIF89a; frame z pixel (y, x) =
+    (d*5279 + z*49999 + y*104717 + x*909091) % 256, n_frames =
+    2 + d % 5; every ANIM_CORRUPT_MOD-th doc's LAST frame has a
+    corrupt LZW stream (whole payload -> NULL: a sampler must not
+    return half an animation as if it were intact)."""
+    wb, wm, hb, hm = ANIM_W_BASE, ANIM_W_MOD, ANIM_H_BASE, ANIM_H_MOD
+    fb, fm = ANIM_FRAMES_BASE, ANIM_FRAMES_MOD
+    a, b, c, e, cmod = ANIM_A, ANIM_B, ANIM_C, ANIM_E, ANIM_CORRUPT_MOD
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                w, h = wb + d % wm, hb + d % hm
+                nf = fb + d % fm
+                frames = [
+                    [bytes((d * a + z * e + y * b + x * c) % 256
+                           for x in range(w)) for y in range(h)]
+                    for z in range(nf)]
+                blob = make_gif_animation(frames)
+                if d % cmod == 0:
+                    # corrupt the final frame's data sub-block bytes
+                    blob = blob[:-23] + b"\xff" * 20 + blob[-3:]
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(_synth, "doc_id long, payload binary")
+
+
+def sample_gif_frames(df: DataFrame, stride: int = ANIM_STRIDE) -> DataFrame:
+    """REAL video-style frame sampling: decode the multi-frame payload,
+    keep every ``stride``-th frame, one output row per kept frame with
+    stats computed from the genuinely decoded pixels. Corrupt payloads
+    produce a single all-NULL row (frame_idx NULL), so tolerance is
+    visible in-band."""
+    s = stride
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            ids, fidx = [], []
+            cols = {k: [] for k in
+                    ("width", "height", "pix_sum", "pix_min", "pix_max")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_gif_frames(bytes(payload))
+                if frames is None:
+                    ids.append(doc_id)
+                    fidx.append(None)
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                for z in range(0, len(frames), s):
+                    w, h, ps, mn, mx = frames[z]
+                    ids.append(doc_id)
+                    fidx.append(z)
+                    for k, v in zip(cols, (w, h, ps, mn, mx)):
+                        cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pd.array(ids, dtype="Int64"),
+                "frame_idx": pd.array(fidx, dtype="Int32"),
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "pix_sum": pd.array(cols["pix_sum"], dtype="Int64"),
+                "pix_min": pd.array(cols["pix_min"], dtype="Int32"),
+                "pix_max": pd.array(cols["pix_max"], dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(_sample, GIF_ANIM_SCHEMA)
+
+
+def multimodal_frame_sample_real_query(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """REAL frame sampling end-to-end: genuine multi-frame GIF payloads
+    (one LZW stream per frame), strided decode, per-frame stats — the
+    capability `multimodal_frame_sample` stubs, now on real bytes. The
+    oracle recomputes every sampled frame's stats from the
+    (doc_id, frame, y, x) formula, with one NULL row per planted
+    corrupt payload."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return sample_gif_frames(synthesize_gif_animations(docs))
+
+
+_MULTIMODAL_ANIM_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST({ANIM_W_BASE} + abs(doc_id) % {ANIM_W_MOD} AS INT) AS width,
+    CAST({ANIM_H_BASE} + abs(doc_id) % {ANIM_H_MOD} AS INT) AS height,
+    CAST({ANIM_FRAMES_BASE} + abs(doc_id) % {ANIM_FRAMES_MOD} AS INT)
+      AS n_frames
+  FROM documents
+), good AS (
+  SELECT doc_id, d, width, height, z
+  FROM p, LATERAL (SELECT UNNEST(range(0, n_frames, {ANIM_STRIDE})) AS z) zz
+  WHERE d % {ANIM_CORRUPT_MOD} <> 0
+), vals AS (
+  SELECT doc_id, CAST(z AS INT) AS frame_idx, width, height,
+    list_transform(range(0, width * height),
+      i -> (d * {ANIM_A} + z * {ANIM_E} + (i // width) * {ANIM_B}
+            + (i % width) * {ANIM_C}) % 256) AS v
+  FROM good
+)
+SELECT doc_id, frame_idx, width, height,
+  CAST(list_sum(v) AS BIGINT) AS pix_sum,
+  CAST(list_min(v) AS INT) AS pix_min,
+  CAST(list_max(v) AS INT) AS pix_max
+FROM vals
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
+FROM p WHERE d % {ANIM_CORRUPT_MOD} = 0
+"""
+
+register(QuerySpec("multimodal_frame_sample_real",
+                   multimodal_frame_sample_real_query,
+                   _MULTIMODAL_ANIM_SQL,
+                   description="REAL video-style frame sampling: "
+                               "multi-frame GIF payloads, strided LZW "
+                               "frame decode, per-frame stats; corrupt "
+                               "payloads -> one NULL row"))

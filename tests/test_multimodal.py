@@ -623,3 +623,49 @@ def test_thumbnail_resize_real_pixels(spark):
         [(99, bytes(bad))], "doc_id long, payload binary")
     (r,) = thumbnail_png(corrupt).collect()
     assert r.thumb is None and r.width is None
+
+
+def test_gif_animation_codec_and_frame_sampling(spark):
+    """Multi-frame GIF roundtrip: every frame's stats decode exactly;
+    strided sampling keeps frames 0, 2, 4...; a corrupt final frame
+    voids the WHOLE payload (one NULL row), never half an animation."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        ANIM_A,
+        ANIM_B,
+        ANIM_C,
+        ANIM_CORRUPT_MOD,
+        ANIM_E,
+        ANIM_FRAMES_BASE,
+        ANIM_FRAMES_MOD,
+        ANIM_H_BASE,
+        ANIM_H_MOD,
+        ANIM_STRIDE,
+        ANIM_W_BASE,
+        ANIM_W_MOD,
+        sample_gif_frames,
+        synthesize_gif_animations,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    rows = sample_gif_frames(synthesize_gif_animations(docs)).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in (1, 3, 13):
+        w = ANIM_W_BASE + d % ANIM_W_MOD
+        h = ANIM_H_BASE + d % ANIM_H_MOD
+        nf = ANIM_FRAMES_BASE + d % ANIM_FRAMES_MOD
+        want_idx = list(range(0, nf, ANIM_STRIDE))
+        got = sorted(by_doc[d], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in got] == want_idx
+        for r in got:
+            z = r.frame_idx
+            px = [(d * ANIM_A + z * ANIM_E + y * ANIM_B + x * ANIM_C) % 256
+                  for y in range(h) for x in range(w)]
+            assert (r.width, r.height) == (w, h)
+            assert (r.pix_sum, r.pix_min, r.pix_max) == (
+                sum(px), min(px), max(px))
+    for d in (0, ANIM_CORRUPT_MOD):
+        assert len(by_doc[d]) == 1 and by_doc[d][0].frame_idx is None
+        assert by_doc[d][0].pix_sum is None
