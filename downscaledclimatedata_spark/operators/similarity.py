@@ -2506,10 +2506,15 @@ def embedding_drift(ref: DataFrame, new: DataFrame, id_col: str = "vec_id",
                   "cid",
                   F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
                   F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
-                  (F.coalesce(F.col("n_ref"), F.lit(0)) * F.lit(s)
-                   / F.col("t_ref")).cast("bigint").alias("sh_ref"),
-                  (F.coalesce(F.col("n_new"), F.lit(0)) * F.lit(s)
-                   / F.col("t_new")).cast("bigint").alias("sh_new")))
+                  # integer `div`, NOT float-divide-then-cast: DuckDB's
+                  # double->BIGINT cast rounds where Spark's truncates —
+                  # a half-ULP share divergence the edge suite caught
+                  F.expr(f"(coalesce(n_ref, CAST(0 AS BIGINT))"
+                         f" * CAST({s} AS BIGINT)) div t_ref")
+                  .alias("sh_ref"),
+                  F.expr(f"(coalesce(n_new, CAST(0 AS BIGINT))"
+                         f" * CAST({s} AS BIGINT)) div t_new")
+                  .alias("sh_new")))
     return joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         F.sum("n_ref").cast("bigint").alias("n_ref_vectors"),
@@ -2564,8 +2569,8 @@ tot AS (
 joined AS (
   SELECT coalesce(rc.cid, nc.cid) AS cid,
     coalesce(rc.n_ref, 0) AS n_ref, coalesce(nc.n_new, 0) AS n_new,
-    CAST(coalesce(rc.n_ref, 0) * {s} / tot.t_ref AS BIGINT) AS sh_ref,
-    CAST(coalesce(nc.n_new, 0) * {s} / tot.t_new AS BIGINT) AS sh_new
+    (coalesce(rc.n_ref, 0) * {s}) // tot.t_ref AS sh_ref,
+    (coalesce(nc.n_new, 0) * {s}) // tot.t_new AS sh_new
   FROM rc FULL OUTER JOIN nc ON nc.cid = rc.cid CROSS JOIN tot
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
