@@ -2261,3 +2261,91 @@ register(QuerySpec("multimodal_frame_sample_real",
                                "multi-frame GIF payloads, strided LZW "
                                "frame decode, per-frame stats; corrupt "
                                "payloads -> one NULL row"))
+
+
+# --- real feature extraction: intensity-histogram descriptors ------------------
+
+HIST_BINS = 8
+
+HIST_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_px", T.IntegerType()),
+    T.StructField("hist", T.ArrayType(T.LongType())),
+    T.StructField("mean_cents", T.LongType()),
+])
+
+
+def histogram_features(df: DataFrame, bins: int = HIST_BINS) -> DataFrame:
+    """REAL image feature extraction — the classical pre-deep-learning
+    descriptor: a ``bins``-bin intensity histogram over the GENUINELY
+    decoded pixels (bin = pixel·bins // 256), plus the mean intensity
+    in exact integer cents (sum·100 // n). Exact counts end to end, so
+    the descriptor itself is oracle-checkable — unlike the stubbed
+    neural embedding (`extract_features`), which stays clearly marked
+    fake (no torch in the container). Corrupt payloads -> NULL row."""
+    b = bins
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            n_px, hists, means = [], [], []
+            for payload in pdf["payload"]:
+                got = decode_png_gray_rows(bytes(payload))
+                if got is None:
+                    n_px.append(None)
+                    hists.append(None)
+                    means.append(None)
+                    continue
+                w, h, rows = got
+                counts = [0] * b
+                total = 0
+                for r in rows:
+                    for v in r:
+                        counts[(v * b) // 256] += 1
+                        total += v
+                n = w * h
+                n_px.append(n)
+                hists.append(counts)
+                means.append((total * 100) // n if n else None)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_px": pd.array(n_px, dtype="Int32"),
+                "hist": pd.Series(hists, dtype=object),
+                "mean_cents": pd.array(means, dtype="Int64")})
+
+    return df.select("doc_id", "payload").mapInPandas(_feat, HIST_SCHEMA)
+
+
+def multimodal_feature_histogram_query(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return histogram_features(synthesize_png_pixel_payloads(docs))
+
+
+_MULTIMODAL_HIST_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST({PNG_PIX_W_BASE} + abs(doc_id) % {PNG_PIX_W_MOD} AS INT) AS width,
+    CAST({PNG_PIX_H_BASE} + abs(doc_id) % {PNG_PIX_H_MOD} AS INT) AS height
+  FROM documents
+), px AS (
+  SELECT doc_id, width, height,
+    list_transform(range(0, width * height),
+      i -> (d * {PNG_PIX_A} + (i // width) * {PNG_PIX_B}
+            + (i % width) * {PNG_PIX_C}) % 256) AS vals
+  FROM p
+)
+SELECT doc_id, CAST(width * height AS INT) AS n_px,
+  list_transform(range(0, {HIST_BINS}),
+    k -> CAST(len(list_filter(vals, v -> (v * {HIST_BINS}) // 256 = k))
+         AS BIGINT)) AS hist,
+  CAST((list_sum(vals) * 100) // (width * height) AS BIGINT) AS mean_cents
+FROM px
+"""
+
+register(QuerySpec("multimodal_feature_histogram",
+                   multimodal_feature_histogram_query,
+                   _MULTIMODAL_HIST_SQL,
+                   description="REAL classical feature extraction: 8-bin "
+                               "intensity histogram + exact-integer mean "
+                               "over genuinely decoded pixels"))
