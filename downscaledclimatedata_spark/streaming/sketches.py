@@ -6,24 +6,22 @@ cell-wise, Bloom bits OR by union — and this module is where that
 property earns its keep: each micro-batch folds into a persistent
 sketch without ever re-reading ingested data.
 
-Design: the sketch state is a tiny partitioned Parquet relation —
-CMS: (d, cell, n) with ≤ depth·width rows; Bloom: (bit) with ≤ m rows —
-shared with batch jobs and restart-safe (unlike operator-local
-streaming state). Each micro-batch:
+Exactly-once by IDEMPOTENT LAYOUT, not by ordering: each batch writes
+its OWN delta partition (``cms/batch=N/``, ``bloom/batch=N/``) computed
+with the same deterministic md5 hash family the batch operators use. A
+replayed batch overwrites the same partition with identical bytes, so
+no applied-marker bookkeeping is needed and there is no crash window
+between "state updated" and "batch recorded" (a read-modify-write
+design has exactly that window: crash after the merged write, before
+the marker, and the replay double-counts). Point queries MERGE across
+partitions at read time — cell-wise sums / bit union, the sketch's
+defining property — and ``compact()`` folds old partitions into a base
+partition to bound file counts, exactly like the near-dup index's
+compaction.
 
-1. computes the batch's OWN cells/bits with the SAME deterministic md5
-   hash family the batch operators use (one code path for the math);
-2. merges: CMS cells outer-sum with the stored cells; Bloom bits union;
-3. overwrites the state (bounded size: the write is ≤ depth·width or
-   ≤ m rows regardless of stream length).
-
-Exactly-once: replaying a batch would double-count CMS cells, so the
-state carries a `batch_ids` high-water relation and the merge skips
-already-applied batch ids (Bloom needs no guard — union is idempotent).
-
-At 100 TB/stream-day the state stays KBs: this is the sketch whose
-whole point is that per-shard/per-batch summaries combine without the
-data.
+At 100 TB/stream-day every partition stays bounded (≤ depth·width
+cells, ≤ m bits): this is the structure whose whole point is that
+per-batch summaries combine without the data.
 """
 
 from __future__ import annotations
@@ -57,14 +55,6 @@ def batch_cms_cells(batch: DataFrame, text_col: str = "text",
     return rows.groupBy("d", "cell").agg(F.count("*").alias("n"))
 
 
-def merge_cms(state: DataFrame | None, delta: DataFrame) -> DataFrame:
-    """Cell-wise sum of two CMS relations (either side may miss cells)."""
-    if state is None:
-        return delta
-    return (state.select("d", "cell", "n").unionAll(delta)
-            .groupBy("d", "cell").agg(F.sum("n").alias("n")))
-
-
 def batch_bloom_bits(batch: DataFrame, text_col: str = "text",
                      k: int = BLOOM_K, m: int = BLOOM_M) -> DataFrame:
     """DISTINCT (bit) rows set by ONE batch."""
@@ -74,20 +64,14 @@ def batch_bloom_bits(batch: DataFrame, text_col: str = "text",
     return toks.select(F.explode(F.array(*exprs)).alias("bit")).distinct()
 
 
-def merge_bloom(state: DataFrame | None, delta: DataFrame) -> DataFrame:
-    if state is None:
-        return delta
-    return state.select("bit").unionAll(delta).distinct()
-
-
 class StreamingSketchIndex:
     """foreachBatch sink folding a document stream into persistent CMS +
-    Bloom state under exactly-once replay semantics.
+    Bloom state with idempotent per-batch delta partitions.
 
     State layout under ``state_dir``:
-      cms/      (d int, cell bigint, n bigint)
-      bloom/    (bit bigint)
-      applied/  (batch_id long)   — CMS replay guard
+      cms/batch=N/     (d int, cell bigint, n bigint)  — batch N's cells
+      bloom/batch=N/   (bit bigint)                    — batch N's bits
+    ``batch=-1`` holds the compacted base.
     """
 
     def __init__(self, spark: SparkSession, state_dir: str,
@@ -96,42 +80,22 @@ class StreamingSketchIndex:
         self.state_dir = state_dir.rstrip("/")
         self.text_col = text_col
 
-    def _read(self, sub: str, schema: str) -> DataFrame | None:
+    def _read_all(self, sub: str, schema: str) -> DataFrame | None:
         import glob
-        path = f"{self.state_dir}/{sub}"
-        if not glob.glob(path + "/*.parquet"):
+        if not glob.glob(f"{self.state_dir}/{sub}/batch=*/*.parquet"):
             return None
-        return self.spark.read.schema(schema).parquet(path)
+        return (self.spark.read.schema(schema)
+                .option("basePath", f"{self.state_dir}/{sub}")
+                .parquet(f"{self.state_dir}/{sub}/batch=*"))
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        applied = self._read("applied", "batch_id long")
-        if applied is not None and applied.filter(
-                F.col("batch_id") == batch_id).count() > 0:
-            return  # replayed batch: CMS must not double-count
         batch = batch.localCheckpoint()  # one evaluation for both sketches
-
-        cms = merge_cms(self._read("cms", "d int, cell bigint, n bigint"),
-                        batch_cms_cells(batch, self.text_col))
-        bloom = merge_bloom(self._read("bloom", "bit bigint"),
-                            batch_bloom_bits(batch, self.text_col))
-        # materialize through the driver before overwriting: the merged
-        # relations still READ the paths being rewritten (overwrite-
-        # while-reading corrupts), and both are bounded by construction
-        # (≤ depth·width and ≤ m rows) — the sketch's defining property
-        cms_rows = cms.collect()
-        bloom_rows = bloom.collect()
-        self.spark.createDataFrame(cms_rows, "d int, cell bigint, n bigint") \
-            .coalesce(1).write.mode("overwrite") \
-            .parquet(f"{self.state_dir}/cms")
-        self.spark.createDataFrame(bloom_rows, "bit bigint") \
-            .coalesce(1).write.mode("overwrite") \
-            .parquet(f"{self.state_dir}/bloom")
-        new_applied = [(int(batch_id),)] + (
-            [(r.batch_id,) for r in applied.collect()]
-            if applied is not None else [])
-        self.spark.createDataFrame(new_applied, "batch_id long") \
-            .coalesce(1).write.mode("overwrite") \
-            .parquet(f"{self.state_dir}/applied")
+        batch_cms_cells(batch, self.text_col).coalesce(1) \
+            .write.mode("overwrite") \
+            .parquet(f"{self.state_dir}/cms/batch={int(batch_id)}")
+        batch_bloom_bits(batch, self.text_col).coalesce(1) \
+            .write.mode("overwrite") \
+            .parquet(f"{self.state_dir}/bloom/batch={int(batch_id)}")
 
     def attach(self, stream: DataFrame):
         """writeStream.foreachBatch wiring; returns the StreamingQuery."""
@@ -141,15 +105,43 @@ class StreamingSketchIndex:
                 .trigger(availableNow=True)
                 .start())
 
+    def compact(self) -> None:
+        """Fold every delta partition into the ``batch=-1`` base — the
+        file-count bound for long streams. Merge = the sketches' own
+        algebra (cell-wise sum / bit union), so compaction commutes
+        with queries. Materializes through the driver (bounded rows by
+        construction) because the write overwrites paths being read."""
+        cms = self._read_all("cms", "d int, cell bigint, n bigint")
+        bloom = self._read_all("bloom", "bit bigint")
+        if cms is None and bloom is None:
+            return
+        import shutil
+        if cms is not None:
+            rows = (cms.select("d", "cell", "n")
+                    .groupBy("d", "cell").agg(F.sum("n").alias("n"))
+                    .collect())
+            shutil.rmtree(f"{self.state_dir}/cms", ignore_errors=True)
+            self.spark.createDataFrame(rows, "d int, cell bigint, n bigint") \
+                .coalesce(1).write.mode("overwrite") \
+                .parquet(f"{self.state_dir}/cms/batch=-1")
+        if bloom is not None:
+            rows = bloom.select("bit").distinct().collect()
+            shutil.rmtree(f"{self.state_dir}/bloom", ignore_errors=True)
+            self.spark.createDataFrame(rows, "bit bigint") \
+                .coalesce(1).write.mode("overwrite") \
+                .parquet(f"{self.state_dir}/bloom/batch=-1")
+
     # --- queries over the folded state ---------------------------------
 
     def estimate(self, terms: tuple[str, ...]) -> dict[str, int]:
-        """CMS point estimates for probe terms from the stored cells."""
+        """CMS point estimates for probe terms: cell-wise sum across
+        batch partitions, min over the hash family."""
         import hashlib
-        cms = self._read("cms", "d int, cell bigint, n bigint")
+        cms = self._read_all("cms", "d int, cell bigint, n bigint")
         if cms is None:
             return {t: 0 for t in terms}
-        cells = {(r.d, r.cell): r.n for r in cms.collect()}
+        merged = cms.groupBy("d", "cell").agg(F.sum("n").alias("n"))
+        cells = {(r.d, r.cell): r.n for r in merged.collect()}
 
         def h(d: int, t: str) -> int:
             return int(hashlib.md5(f"cms{d}:{t}".encode()).hexdigest()[:15],
@@ -159,9 +151,9 @@ class StreamingSketchIndex:
 
     def might_contain(self, terms: tuple[str, ...]) -> dict[str, bool]:
         import hashlib
-        bloom = self._read("bloom", "bit bigint")
-        bits = ({r.bit for r in bloom.collect()} if bloom is not None
-                else set())
+        bloom = self._read_all("bloom", "bit bigint")
+        bits = ({r.bit for r in bloom.select("bit").distinct().collect()}
+                if bloom is not None else set())
 
         def h(i: int, t: str) -> int:
             return int(hashlib.md5(f"bloom{i}:{t}".encode()).hexdigest()[:15],

@@ -606,8 +606,12 @@ def test_streaming_sketch_fold_equals_batch_sketch(spark, tmp_path):
 
 
 def test_streaming_sketch_replay_does_not_double_count(spark, tmp_path):
-    """The applied-batch guard: reprocessing the same batch id leaves
-    CMS counts unchanged (Bloom union is idempotent anyway)."""
+    """Idempotent per-batch partitions: reprocessing the same batch id
+    overwrites its own delta with identical bytes, so CMS counts are
+    unchanged — there is NO read-modify-write crash window (the design
+    this replaced could double-count if it crashed between the merged
+    state write and its applied-marker write). A genuinely new batch
+    adds; compaction preserves every answer while folding partitions."""
     from downscaledclimatedata_spark.streaming.neardup import DOCS_SCHEMA
     from downscaledclimatedata_spark.streaming.sketches import (
         StreamingSketchIndex)
@@ -621,3 +625,11 @@ def test_streaming_sketch_replay_does_not_double_count(spark, tmp_path):
     assert idx.estimate(("alpha", "beta")) == first
     idx.process_batch(b, 1)  # genuinely new batch doubles
     assert idx.estimate(("alpha",))["alpha"] == 2 * first["alpha"]
+    # compaction: same answers, one base partition
+    before = idx.estimate(("alpha", "beta"))
+    bloom_before = idx.might_contain(("alpha", "nosuchterm"))
+    idx.compact()
+    assert idx.estimate(("alpha", "beta")) == before
+    assert idx.might_contain(("alpha", "nosuchterm")) == bloom_before
+    import glob
+    assert glob.glob(str(tmp_path / "state" / "cms" / "batch=-1" / "*.parquet"))
