@@ -1269,3 +1269,59 @@ register(QuerySpec(
     "prep_padding_report", prep_padding_report_query, _PAD_SQL,
     description="batch padding-waste report: arrival-order vs "
                 "length-sorted batching, exact token accounting"))
+
+
+# --- context-length truncation --------------------------------------------------
+
+TRUNC_MAX_TOKENS = 48
+
+
+def truncate_documents(df: DataFrame, max_tokens: int = TRUNC_MAX_TOKENS,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Clip every document to its first ``max_tokens`` tokens — the
+    context-length truncation step in front of any fixed-window model —
+    reporting exactly what was lost: per doc the kept text, kept/clipped
+    token counts, and the truncated flag.
+
+    One shuffle-free projection (tokenize, slice, rejoin); clipped
+    counts are exact integers, so the corpus-level loss report
+    downstream is a plain aggregate of this relation.
+    """
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                            WS_RE), lambda x: x != "")
+    n = F.size(toks)
+    kept = F.slice(toks, 1, max_tokens)
+    return df.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("kept_text"),
+        F.least(n, F.lit(max_tokens)).cast("bigint").alias("n_kept"),
+        F.greatest(n - max_tokens, F.lit(0)).cast("bigint")
+        .alias("n_clipped"),
+        (n > max_tokens).alias("truncated"))
+
+
+def prep_truncate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return truncate_documents(docs)
+
+
+_TRUNC_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(coalesce(text, '')),
+      '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+  array_to_string(t[1:{TRUNC_MAX_TOKENS}], ' ') AS kept_text,
+  CAST(least(len(t), {TRUNC_MAX_TOKENS}) AS BIGINT) AS n_kept,
+  CAST(greatest(len(t) - {TRUNC_MAX_TOKENS}, 0) AS BIGINT) AS n_clipped,
+  len(t) > {TRUNC_MAX_TOKENS} AS truncated
+FROM toks
+"""
+
+register(QuerySpec(
+    "prep_truncate", prep_truncate_query, _TRUNC_SQL,
+    description="context-length truncation: clip to max tokens with an "
+                "exact per-doc loss report, one shuffle-free projection"))

@@ -2587,3 +2587,100 @@ register(QuerySpec(
     description="embedding distribution drift: shared reference-built "
                 "codebook, per-cell occupancy shares, exact fixed-point "
                 "total-variation distance"))
+
+
+# --- IVF cell health statistics -------------------------------------------------
+
+def ivf_cell_stats(emb: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   centroid_mod: int = CENTROID_MOD,
+                   n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """Per-cell index diagnostics: member count, exact mean squared
+    distance to the centroid (scaled-integer, no float sums), and
+    radius (max squared distance) — the report that tells an index
+    operator which cells are oversized (re-split), which are diffuse
+    (bad centroid), and which are empty (wasted list), before query
+    latency does.
+
+    The assignment distance is already exact integer |v−c|²; the mean
+    divides two exact integers once per cell. One N·k broadcast
+    assignment + one |cells| aggregate; empty cells surface via a left
+    join from the centroid relation with zero counts.
+    """
+    base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
+                      sq_norm(quantize(F.col(vec_col))).alias("n2"))
+    cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
+             .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
+                     F.col("n2").alias("cn2")))
+    scored = (base.crossJoin(F.broadcast(cents))
+              .select(F.col(id_col), "cid",
+                      (F.col("n2") + F.col("cn2")
+                       - 2 * int_dot(F.col("qv"), F.col("cv")))
+                      .alias("dist")))
+    best = (scored.groupBy(id_col)
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select(F.col("m.cid").alias("cid"),
+                    F.col("m.dist").alias("dist")))
+    per_cell = best.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("dist").alias("sum_d"),
+        F.max("dist").alias("radius"))
+    return (cents.select("cid")
+            .join(per_cell, "cid", "left")
+            .select(
+                "cid",
+                F.coalesce(F.col("n_members"), F.lit(0)).cast("bigint")
+                .alias("n_members"),
+                F.when(F.coalesce(F.col("n_members"), F.lit(0)) > 0,
+                       F.col("sum_d").cast("double")
+                       / F.col("n_members").cast("double"))
+                .otherwise(F.lit(0.0)).alias("mean_sq_dist"),
+                F.coalesce(F.col("radius"), F.lit(0)).cast("bigint")
+                .alias("radius"))
+            .orderBy("cid"))
+
+
+def similarity_cell_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return ivf_cell_stats(emb)
+
+
+def _cell_stats_sql() -> str:
+    sq = f"list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i]))"
+    dot = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+           f"i -> b.qv[i] * c.cv[i]))")
+    return f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+base AS (SELECT vec_id, qv, {sq} AS n2 FROM q),
+cents AS (
+  SELECT vec_id AS cid, qv AS cv, n2 AS cn2 FROM base
+  WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, N_CENTROIDS)}
+),
+scored AS (
+  SELECT b.vec_id, c.cid, b.n2 + c.cn2 - 2 * {dot} AS dist,
+    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      ORDER BY b.n2 + c.cn2 - 2 * {dot}, c.cid) AS rn
+  FROM base b CROSS JOIN cents c
+),
+best AS (SELECT vec_id, cid, dist FROM scored WHERE rn = 1),
+per_cell AS (
+  SELECT cid, COUNT(*) AS n_members, SUM(dist) AS sum_d,
+    MAX(dist) AS radius
+  FROM best GROUP BY cid
+)
+SELECT c.cid,
+  CAST(coalesce(p.n_members, 0) AS BIGINT) AS n_members,
+  CASE WHEN coalesce(p.n_members, 0) > 0
+       THEN CAST(p.sum_d AS DOUBLE) / CAST(p.n_members AS DOUBLE)
+       ELSE 0.0 END AS mean_sq_dist,
+  CAST(coalesce(p.radius, 0) AS BIGINT) AS radius
+FROM cents c LEFT JOIN per_cell p USING (cid)
+ORDER BY c.cid
+"""
+
+
+register(QuerySpec(
+    "similarity_cell_stats", similarity_cell_stats_query, _cell_stats_sql(),
+    description="IVF cell health: member count, exact-integer mean/max "
+                "squared centroid distance per cell, empty cells "
+                "surfaced"))
