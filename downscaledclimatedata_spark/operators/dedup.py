@@ -2219,3 +2219,78 @@ register(QuerySpec(
     description="near-dup graph health: exact triangles (oriented "
                 "3-cycle join), open triads, global clustering "
                 "coefficient over the containment pair graph"))
+
+
+# --- source-pair content overlap ------------------------------------------------
+
+def source_overlap(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   source_col: str = "source") -> DataFrame:
+    """Corpus-level syndication map: for every pair of sources, the
+    exact Jaccard overlap of their DISTINCT shingle sets — which
+    domains copy from which, aggregated above the document level (the
+    per-doc pair relations answer "which docs"; this answers "which
+    FEEDS", the remediation unit a crawl operator acts on).
+
+    Exact integers: per-source distinct shingle counts and pairwise
+    intersections via one shingle-keyed join of the (source, shingle)
+    relation with itself — fan-out bounded by sources-per-shingle
+    (≤ |sources|, a constant), never documents. Output is
+    |sources|²-bounded.
+    """
+    ss = (df.select(F.col(source_col).alias("src"), F.col(id_col),
+                    F.col(text_col))
+          .transform(lambda d: shingled_rows(d, text_col, "src"))
+          .distinct())
+    sizes = ss.groupBy("src").agg(F.count("*").alias("n_sh"))
+    a = ss.select(F.col("src").alias("src_a"), "shingle")
+    b = ss.select(F.col("src").alias("src_b"), "shingle")
+    inter = (a.join(b.hint("merge"), "shingle")
+             .filter(F.col("src_a") < F.col("src_b"))
+             .groupBy("src_a", "src_b").agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.select(F.col("src").alias("src_a"),
+                               F.col("n_sh").alias("na")), "src_a")
+            .join(sizes.select(F.col("src").alias("src_b"),
+                               F.col("n_sh").alias("nb")), "src_b")
+            .select("src_a", "src_b",
+                    F.col("n_inter").cast("bigint").alias("n_shared"),
+                    (F.col("n_inter").cast("double")
+                     / (F.col("na") + F.col("nb")
+                        - F.col("n_inter")).cast("double")).alias("jaccard"))
+            .orderBy("src_a", "src_b"))
+
+
+def dedup_source_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return source_overlap(docs)
+
+
+_SOURCE_OVERLAP_SQL = r"""
+WITH toks AS (
+  SELECT source AS src, list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT src, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS i) idx
+),
+sizes AS (SELECT src, COUNT(*) AS n_sh FROM sh GROUP BY src),
+inter AS (
+  SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, CAST(n_inter AS BIGINT) AS n_shared,
+  CAST(n_inter AS DOUBLE)
+    / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.src = src_a
+JOIN sizes sb ON sb.src = src_b
+ORDER BY src_a, src_b
+"""
+
+register(QuerySpec(
+    "dedup_source_overlap", dedup_source_overlap_query, _SOURCE_OVERLAP_SQL,
+    description="source-pair syndication map: exact Jaccard of distinct "
+                "shingle sets per source pair — feed-level dedup triage"))

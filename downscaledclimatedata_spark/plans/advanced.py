@@ -1413,3 +1413,72 @@ register(QuerySpec("q74_attribution", q74_attribution, _Q74_SQL,
                    description="first/last-touch purchase attribution via "
                                "one per-user window pass with struct "
                                "min/max bookends"))
+
+
+# --- q75: daily trending terms --------------------------------------------------
+
+TREND_TOP_N = 3
+
+
+def q75_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-types per day by count ACCELERATION: each day's count
+    vs the same type's previous-day count, ranked by exact integer
+    delta — the trending dashboard primitive (what's rising today),
+    expressed without any float smoothing so both engines agree to the
+    bit.
+
+    One day×type aggregate (map-side combined), a type-partitioned lag,
+    and a day-partitioned top-N window — all keyed on low-cardinality
+    columns after the first aggregate, so the corpus-sized shuffle
+    happens exactly once.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.select(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        "event_type")
+        .groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n")))
+    lagw = Window.partitionBy("event_type").orderBy("day")
+    with_delta = (daily
+                  .withColumn("prev_n",
+                              F.coalesce(F.lag("n").over(lagw), F.lit(0)))
+                  .withColumn("delta", F.col("n") - F.col("prev_n")))
+    rankw = Window.partitionBy("day").orderBy(
+        F.col("delta").desc(), "event_type")
+    return (with_delta.withColumn("rnk", F.row_number().over(rankw))
+            .filter(F.col("rnk") <= TREND_TOP_N)
+            .select("day", F.col("rnk").cast("int").alias("rnk"),
+                    "event_type",
+                    F.col("n").cast("bigint").alias("n"),
+                    F.col("prev_n").cast("bigint").alias("prev_n"),
+                    F.col("delta").cast("bigint").alias("delta"))
+            .orderBy("day", "rnk"))
+
+
+_Q75_SQL = f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, event_type,
+    COUNT(*) AS n
+  FROM events GROUP BY day, event_type
+), with_delta AS (
+  SELECT day, event_type, n,
+    coalesce(LAG(n) OVER (PARTITION BY event_type ORDER BY day), 0) AS prev_n
+  FROM daily
+), ranked AS (
+  SELECT day, event_type, n, prev_n, n - prev_n AS delta,
+    ROW_NUMBER() OVER (PARTITION BY day
+      ORDER BY n - prev_n DESC, event_type) AS rnk
+  FROM with_delta
+)
+SELECT day, CAST(rnk AS INTEGER) AS rnk, event_type,
+  CAST(n AS BIGINT) AS n, CAST(prev_n AS BIGINT) AS prev_n,
+  CAST(delta AS BIGINT) AS delta
+FROM ranked WHERE rnk <= {TREND_TOP_N}
+ORDER BY day, rnk
+"""
+
+register(QuerySpec("q75_trending_terms", q75_trending_terms, _Q75_SQL,
+                   description="daily trending event types by exact count "
+                               "acceleration: one corpus shuffle, then "
+                               "low-cardinality windows"))
