@@ -1314,7 +1314,7 @@ WITH toks AS (
   FROM documents
 )
 SELECT doc_id,
-  array_to_string(t[1:{TRUNC_MAX_TOKENS}], ' ') AS kept_text,
+  coalesce(array_to_string(t[1:{TRUNC_MAX_TOKENS}], ' '), '') AS kept_text,
   CAST(least(len(t), {TRUNC_MAX_TOKENS}) AS BIGINT) AS n_kept,
   CAST(greatest(len(t) - {TRUNC_MAX_TOKENS}, 0) AS BIGINT) AS n_clipped,
   len(t) > {TRUNC_MAX_TOKENS} AS truncated
