@@ -677,3 +677,63 @@ _SPECS = [
 
 for _s in _SPECS:
     register(_s)
+
+
+# --- q76: market share (TPC-H Q8 shape: ratio-to-report) -----------------------
+
+def q76_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue share within its region, by order year — the
+    ratio-to-report shape (TPC-H Q8's essence): a grouped exact-DECIMAL
+    revenue aggregate, then each row divided by its (region, year)
+    window total. Shares divide two exact decimals once, so the doubles
+    hash-match; the window runs over the |nations × years| aggregate,
+    never the fact table.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(cust, orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+           .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+           .groupBy(F.col("r_name"), F.col("n_name"),
+                    F.year("o_orderdate").alias("yr"))
+           .agg(F.sum(dec("l_extendedprice", 2)
+                      * (F.lit(1) - dec("l_discount", 2))).alias("rev")))
+    w = Window.partitionBy("r_name", "yr")
+    return (rev.withColumn("region_rev", F.sum("rev").over(w))
+            .select("r_name", "yr", "n_name",
+                    F.col("rev").cast("double").alias("revenue"),
+                    # divide as doubles: Spark's DECIMAL/DECIMAL rounds
+                    # to the result scale before any cast, DuckDB's does
+                    # not — same-decimal -> same-double -> same quotient
+                    (F.col("rev").cast("double")
+                     / F.col("region_rev").cast("double")).alias("share"))
+            .orderBy("r_name", "yr", "n_name"))
+
+
+_Q76_SQL = f"""
+WITH rev AS (
+  SELECT r_name, n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+    SUM({dec_sql('l_extendedprice')} * (1 - {dec_sql('l_discount')})) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name, yr
+)
+SELECT r_name, yr, n_name,
+  CAST(rev AS DOUBLE) AS revenue,
+  CAST(rev AS DOUBLE)
+    / CAST(SUM(rev) OVER (PARTITION BY r_name, yr) AS DOUBLE) AS share
+FROM rev
+ORDER BY r_name, yr, n_name
+"""
+
+register(QuerySpec("q76_market_share", q76_market_share, _Q76_SQL,
+                   description="ratio-to-report market share (TPC-H Q8 "
+                               "shape): exact-DECIMAL revenue, window "
+                               "share over the small aggregate"))
