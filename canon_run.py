@@ -77,8 +77,11 @@ def main() -> None:
             sdf = _canon(spec.spark(spark, SF_DIR).toPandas())
             rec["spark_rows"] = len(sdf)
             if spec.oracle is None:
-                rec["oracle"] = None  # rows-only smoke, as the driver does
-                rec["rows_match"] = rec["spark_rows"] >= 0
+                # rows-only smoke, as the driver does — but against the
+                # spec's declared minimum, not the vacuous >= 0
+                rec["oracle"] = None
+                rec["min_rows"] = spec.min_rows
+                rec["rows_match"] = rec["spark_rows"] >= spec.min_rows
             else:
                 odf = _canon(con.execute(spec.oracle).df())
                 rec["oracle_rows"] = len(odf)
@@ -94,7 +97,8 @@ def main() -> None:
               file=sys.stderr)
 
     n_bad = sum(1 for r in out.values()
-                if r["err"] or r["hash_match"] is False)
+                if r["err"] or r["hash_match"] is False
+                or r["rows_match"] is False)
     artifact = {
         "round": args.round,
         "sf_dir": SF_DIR,

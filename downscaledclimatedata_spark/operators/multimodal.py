@@ -2163,10 +2163,19 @@ def synthesize_gif_animations(df: DataFrame) -> DataFrame:
                     [bytes((d * a + z * e + y * b + x * c) % 256
                            for x in range(w)) for y in range(h)]
                     for z in range(nf)]
-                blob = make_gif_animation(frames)
                 if d % cmod == 0:
-                    # corrupt the final frame's data sub-block bytes
-                    blob = blob[:-23] + b"\xff" * 20 + blob[-3:]
+                    # Replace the final frame with a structurally-valid
+                    # image block whose one-sub-block LZW stream is
+                    # garbage (first 9-bit code = 511, out of table
+                    # range), same device as the single-image synth.
+                    # Built from block structure, not byte offsets, so
+                    # it stays valid for any encoder sub-block layout.
+                    import struct as _st
+                    blob = (make_gif_animation(frames[:-1])[:-1]  # drop 0x3B
+                            + b"\x2c" + _st.pack("<HHHH", 0, 0, w, h)
+                            + b"\x00\x08\x14" + b"\xff" * 20 + b"\x00\x3b")
+                else:
+                    blob = make_gif_animation(frames)
                 payloads.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 

@@ -2301,7 +2301,12 @@ def mmr_select(emb: DataFrame, id_col: str = "vec_id",
     base = (emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
             .withColumn("n2", sq_norm(F.col("qv")))
             .filter(F.col("n2") > 0))
-    qrow = base.orderBy(id_col).limit(1).collect()[0]
+    out_schema = (f"rank int, {id_col} long, rel double, "
+                  "max_sim_to_selected double")
+    head = base.orderBy(id_col).limit(1).collect()
+    if not head:  # empty / all-zero-norm input: empty result, not IndexError
+        return emb.sparkSession.createDataFrame([], out_schema)
+    qrow = head[0]
     qv, qn2, qid = qrow["qv"], qrow["n2"], qrow[id_col]
     qlit = F.array(*[F.lit(int(x)) for x in qv])
     cand = (base.filter(F.col(id_col) != qid)
@@ -2339,9 +2344,7 @@ def mmr_select(emb: DataFrame, id_col: str = "vec_id",
         out.append((rank, pick, rels[pick], ms))
         selected.append(pick)
         remaining.remove(pick)
-    schema = (f"rank int, {id_col} long, rel double, "
-              "max_sim_to_selected double")
-    return emb.sparkSession.createDataFrame(out, schema)
+    return emb.sparkSession.createDataFrame(out, out_schema)
 
 
 def similarity_mmr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2351,6 +2354,7 @@ def similarity_mmr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(QuerySpec(
     "similarity_mmr_select", similarity_mmr_query, None,  # greedy-iterative
+    min_rows=MMR_K,  # one row per selected rank on a non-degenerate input
     description="MMR diversity selection: distributed exact top-pool "
                 "retrieval + bounded greedy rerank; verified against an "
                 "independent reference implementation"))

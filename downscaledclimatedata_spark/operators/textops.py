@@ -1007,7 +1007,16 @@ def bloom_membership(df: DataFrame, text_col: str = "text",
     probe_bits = spark.createDataFrame(
         [(t, h(i, t)) for t in probes for i in range(k)],
         "term string, bit bigint")
-    hit = (F.broadcast(probe_bits).join(bits, "bit", "left_semi")
+    # probe_bits (|probes|*k rows) is the genuinely tiny side, but Spark
+    # can only broadcast the BUILD (right) side of a semi join — a
+    # broadcast hint on the stream side is silently ignored. Joining
+    # FROM the set-bits relation with the probes broadcast realizes the
+    # intended plan: scan bits (<= m rows) -> broadcast-hash-join ->
+    # partial agg. `bits` is distinct on bit, so each probe row matches
+    # at most once and the per-term count is identical to the semi-join
+    # formulation (hash collisions within one term count once per hash
+    # fn, exactly like a real Bloom probe re-checking the same bit).
+    hit = (bits.join(F.broadcast(probe_bits), "bit")
            .groupBy("term").agg(F.count("*").alias("n_bits_hit")))
     present = (toks.filter(F.col("token").isin(*probes))
                .select(F.col("token").alias("term")).distinct()
@@ -1468,6 +1477,7 @@ def text_bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(QuerySpec(
     "text_bpe_train", text_bpe_train_query, None,  # iterative: see docstring
+    min_rows=BPE_MERGES,  # one row per merge round, or the train failed
     description="BPE tokenizer training: per-round weighted pair argmax "
                 "+ Catalyst-fold greedy merge over the vocabulary-bounded "
                 "word-type relation; verified against an independent "

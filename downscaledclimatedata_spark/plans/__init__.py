@@ -23,6 +23,11 @@ class QuerySpec:
     oracle: str | None
     headline: bool = False  # included in bench.py timing loop
     description: str = ""
+    # For oracle-less specs: the minimum row count the rows-only smoke
+    # check requires (canon_run.py records `spark_rows >= min_rows`, not
+    # the vacuous `>= 0`). Oracle-backed specs ignore it — their row
+    # count is compared against the oracle's.
+    min_rows: int = 1
 
 
 REGISTRY: dict[str, QuerySpec] = {}
