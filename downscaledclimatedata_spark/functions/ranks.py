@@ -1,0 +1,140 @@
+"""Scale-safe exact ranks: ROW_NUMBER without partition-cardinality windows.
+
+The recurring trap this module kills: ``row_number() OVER (PARTITION BY
+low_cardinality_key ORDER BY ...)`` funnels the whole relation through
+|distinct keys| tasks — a global sort in disguise (one task when the
+window is unpartitioned, four when the key is a 4-stage curriculum, five
+for TPC-H's o_orderpriority). The engine's two-phase alternative, first
+built for ``token_balanced_shards`` (operators/prep.py) and q59's bin
+packing (plans/scale.py), is factored here so every exact-rank consumer
+shares one audited implementation:
+
+phase 1 — ``row_number`` windows partitioned on (partition_cols…, bin),
+          where ``bin`` is any non-NULL column monotone non-decreasing
+          in the leading order column (``floor(key / width)`` is the
+          canonical choice). Parallelism ∝ distinct bins, not distinct
+          partition keys.
+phase 2 — the per-(partition, bin) histogram (bounded by the binning
+          contract, so broadcastable) turned into cumulative offsets
+          with a window over the HISTOGRAM ONLY, then broadcast-joined
+          back: global rank = offset + in-bin row_number.
+
+Exact for ANY bin width, because bin-major order equals global order
+when the bin is monotone in the sort key and ties on the leading key
+never straddle bins (both hold for floor(key/width) — equal keys share
+a bin). Width is a pure scale knob.
+
+Reference parity anchor: the reference's cursor ordering sorts run
+requests per model (loca2.py:150-170) at driver scale; these helpers
+are the corpus-scale equivalent of the same exact-order contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Broadcast budget for one histogram: bins-per-partition-key such that
+# |partition keys| x BINS rows stay a trivially broadcastable relation.
+DEFAULT_BINS = 65_536
+
+
+def binned_row_number(df: DataFrame, bin_col: str,
+                      order_cols: tuple,
+                      partition_cols: tuple[str, ...] = (),
+                      out: str = "rn") -> DataFrame:
+    """Attach ``out`` = exact ``ROW_NUMBER() OVER (PARTITION BY
+    partition_cols ORDER BY order_cols ASC)`` (1-based) using the
+    two-phase plan above.
+
+    Contract (caller's obligation, asserted nowhere at runtime because
+    it is a plan property): ``df[bin_col]`` is non-NULL (NULL join keys
+    would silently drop rows) and monotone non-decreasing in the first
+    element of ``order_cols``, with equal leading keys sharing a bin.
+
+    The offsets window runs over the HISTOGRAM relation only — bounded
+    rows by the binning contract — so its single-task-per-partition
+    shape is a non-issue at any corpus size.
+    """
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    wb = Window.partitionBy(*partition_cols, bin_col).orderBy(*order)
+    ranked = df.withColumn("_brn", F.row_number().over(wb))
+
+    hist = df.groupBy(*partition_cols, bin_col) \
+        .agg(F.count("*").alias("_bn"))
+    wo = (Window.partitionBy(*partition_cols)
+          .orderBy(F.col(bin_col))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = hist.select(
+        *partition_cols, bin_col,
+        F.coalesce(F.sum("_bn").over(wo), F.lit(0)).alias("_boff"))
+
+    return (ranked
+            .join(F.broadcast(offsets), [*partition_cols, bin_col])
+            .withColumn(out, (F.col("_boff") + F.col("_brn")).cast("bigint"))
+            .drop("_brn", "_boff"))
+
+
+def value_bin(col: Column, lo: float, hi: float,
+              n_bins: int = DEFAULT_BINS) -> Column:
+    """Monotone bin id for a numeric sort key with known [lo, hi]:
+    ``floor((key - lo) / width)``, degenerating to bin 0 when the range
+    is empty. Never NULL for non-NULL keys; at most ``n_bins + 1``
+    distinct values (the +1 absorbs key == hi)."""
+    span = float(hi) - float(lo)
+    if not span > 0:
+        return F.lit(0).cast("bigint")
+    width = span / n_bins
+    return F.floor((col - F.lit(float(lo))) / F.lit(width)).cast("bigint")
+
+
+def hash_bin(col: Column, shift: int = 44) -> Column:
+    """Monotone bin id for the engine's 60-bit md5 ordering hash:
+    ``hash >> shift`` — 2^(60-shift) possible bins (65,536 at the
+    default), uniform because the hash is. Equal hashes share a bin by
+    construction, so the binned-rank contract holds with (hash, id)
+    ordering."""
+    return F.shiftright(col, shift).cast("bigint")
+
+
+def interpolated_cuts(stats: list[tuple[int, float]], n: int,
+                      qs: list[float]) -> list[float]:
+    """quantile_cont / Spark-percentile values from EXACT order
+    statistics: ``stats`` holds (rank, value) for every rank in
+    ``quantile_ranks(n, qs)`` (1-based, ascending by value), ``n`` is
+    the non-NULL population size. Uses the shared linear-interpolation
+    rule ``s_lo + (h - floor(h)) * (s_hi - s_lo)`` with h = (n-1)*q —
+    the formula both Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` implement, evaluated in the same IEEE doubles.
+
+    An ulp-level divergence from either engine cannot flip a
+    ``score > cut`` stage comparison: the interpolated cut lies in the
+    CLOSED interval of two ADJACENT order statistics, and no data value
+    exists strictly between adjacent order statistics.
+    """
+    by_rank = dict(stats)
+    out = []
+    for q in qs:
+        h = (n - 1) * q
+        lo_i = int(h)
+        s_lo = by_rank[lo_i + 1]
+        frac = h - lo_i
+        if frac == 0:
+            out.append(s_lo)
+        else:
+            s_hi = by_rank[lo_i + 2]
+            out.append(s_lo + frac * (s_hi - s_lo))
+    return out
+
+
+def quantile_ranks(n: int, qs: list[float]) -> list[int]:
+    """The 1-based ranks :func:`interpolated_cuts` needs for a
+    population of ``n`` non-NULL values — at most 2 per quantile."""
+    ranks: set[int] = set()
+    for q in qs:
+        h = (n - 1) * q
+        lo_i = int(h)
+        ranks.add(lo_i + 1)
+        if h != lo_i:
+            ranks.add(lo_i + 2)
+    return sorted(ranks)

@@ -293,14 +293,20 @@ def test_curriculum_stages_are_quality_ordered(spark):
         assert mins[s] >= maxs[s + 1], f"stage {s} overlaps stage {s + 1}"
     for s, v in by_stage.items():
         assert sorted(r.pos for r in v) == list(range(len(v)))
-    # scale shape: the only windows are stage-partitioned — an
-    # unpartitioned window (ntile-style global rank) would render with
-    # an empty partition spec
+    # scale shape: no unpartitioned window (ntile-style global rank
+    # renders with an empty partition spec), and no row_number window
+    # partitioned on `stage` ALONE — the corpus-scale rank must be
+    # (stage, hash-bin)-partitioned so parallelism is ∝ bins, not ∝ the
+    # 4 stages. (The histogram's cumulative-SUM window may partition on
+    # stage: it runs over the bounded bin histogram, not the corpus.)
     import re
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert not re.search(r"Window \[[^\n]*\], \[\], \[", plan), plan
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "_hbin#" in line, plan
 
 
 def test_padding_report_sorted_never_wastes_more(spark):
