@@ -42,10 +42,14 @@ DEFAULT_BINS = 65_536
 def binned_row_number(df: DataFrame, bin_col: str,
                       order_cols: tuple,
                       partition_cols: tuple[str, ...] = (),
-                      out: str = "rn") -> DataFrame:
+                      out: str = "rn",
+                      count_col: str | None = None) -> DataFrame:
     """Attach ``out`` = exact ``ROW_NUMBER() OVER (PARTITION BY
     partition_cols ORDER BY order_cols ASC)`` (1-based) using the
-    two-phase plan above.
+    two-phase plan above. When ``count_col`` is given, also attach the
+    partition's total row count (``COUNT(*) OVER (PARTITION BY
+    partition_cols)``) — derived from the same histogram, so it costs
+    one more window over the bounded relation, not a corpus pass.
 
     Contract (caller's obligation, asserted nowhere at runtime because
     it is a plan property): ``df[bin_col]`` is non-NULL (NULL join keys
@@ -65,9 +69,12 @@ def binned_row_number(df: DataFrame, bin_col: str,
     wo = (Window.partitionBy(*partition_cols)
           .orderBy(F.col(bin_col))
           .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = hist.select(
-        *partition_cols, bin_col,
-        F.coalesce(F.sum("_bn").over(wo), F.lit(0)).alias("_boff"))
+    sel = [*[F.col(c) for c in partition_cols], F.col(bin_col),
+           F.coalesce(F.sum("_bn").over(wo), F.lit(0)).alias("_boff")]
+    if count_col is not None:
+        sel.append(F.sum("_bn").over(Window.partitionBy(*partition_cols))
+                   .cast("bigint").alias(count_col))
+    offsets = hist.select(*sel)
 
     return (ranked
             .join(F.broadcast(offsets), [*partition_cols, bin_col])

@@ -67,13 +67,31 @@ FROM s
 
 def q27_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median as avg of the middle ranks — defined via row_number so both
-    engines compute the identical value (no interpolation-rule drift)."""
+    engines compute the identical value (no interpolation-rule drift).
+
+    Scale shape (r7 audit fix): exact per-group ranks inherently need a
+    total order, but ``row_number() OVER (PARTITION BY
+    o_orderpriority)`` funnels the whole table through 5 reducers. The
+    two-phase binned rank (functions/ranks.py) computes the IDENTICAL
+    rank with windows partitioned on (priority, price-bin) — 64Ki bins,
+    parallelism ∝ bins — plus a broadcast cumulative-offset join over
+    the bounded bin histogram; the per-group count rides the same
+    histogram instead of a second corpus window. The only driver
+    scalars are the price min/max that size the bins.
+    """
+    from downscaledclimatedata_spark.functions.ranks import (
+        binned_row_number, value_bin)
+
     orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    ranked = orders.select(
-        "o_orderpriority", dec("o_totalprice", 2).alias("p"),
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("o_orderpriority")).alias("cnt"))
+    base = orders.select(
+        "o_orderpriority", dec("o_totalprice", 2).alias("p"), "o_orderkey")
+    st = base.agg(F.min("p"), F.max("p")).first()
+    lo, hi = float(st[0] or 0), float(st[1] or 0)
+    binned = base.withColumn(
+        "_pbin", value_bin(F.col("p").cast("double"), lo, hi))
+    ranked = binned_row_number(
+        binned, "_pbin", ("p", "o_orderkey"),
+        partition_cols=("o_orderpriority",), out="rn", count_col="cnt")
     mid = ranked.filter((F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
                         | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2)))
     return (mid.groupBy("o_orderpriority")

@@ -141,6 +141,21 @@ def test_q59_packing_window_is_blocked(spark):
         assert "block#" in s, f"doc-level window not blocked: {s}"
 
 
+def test_q27_median_rank_is_binned(spark):
+    """Exact per-priority median needs ranks, but a window partitioned on
+    o_orderpriority ALONE is 5 reducers sorting the whole table. The
+    binned two-phase rank must show: every row_number window partitions
+    on the price bin as well; the only priority-only windows are the
+    histogram roll-ups (sum over the bounded bin relation)."""
+    import re
+    plan = _plan(spark, "q27_exact_median")
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)",
+                       plan)
+    assert specs, "expected a row_number window in the median plan"
+    for s in specs:
+        assert "_pbin#" in s, f"rank window not price-binned: {s}"
+
+
 def test_similarity_query_set_is_bounded(spark):
     """The broadcast side must carry the fixed-size query predicate
     (id < spacing*count), not a corpus-fraction modulus alone."""
