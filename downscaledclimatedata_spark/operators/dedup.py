@@ -1463,6 +1463,26 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame,
                 .alias("contaminated")))
 
 
+def contaminated_doc_ids(docs: DataFrame, eval_docs: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = DECON_NGRAM) -> DataFrame:
+    """Distinct ids of training docs sharing ANY ``n``-gram with the
+    eval set — :func:`decontaminate`'s filter-side companion for
+    pipelines that only need the drop list, not the per-doc report.
+
+    Same 100 TB shape (broadcast eval-gram semi-join: the corpus never
+    shuffles on the gram), minus the per-doc countDistinct aggregates
+    and the report's corpus-wide left join; the only shuffle is the
+    distinct on the contaminated id subset, which is at most the
+    offending docs, not the corpus.
+    """
+    dg = shingled_rows(docs, text_col, id_col, n=n)
+    eg = (shingled_rows(eval_docs, text_col, id_col, n=n)
+          .select("shingle").distinct())
+    return (dg.join(F.broadcast(eg), "shingle", "left_semi")
+            .select(id_col).distinct())
+
+
 def dedup_decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic eval split: docs with md5(doc_id) % 41 == 0 play
     the benchmark set; the report covers the remaining corpus."""

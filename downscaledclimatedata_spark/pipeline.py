@@ -6,6 +6,8 @@ out, with a corpus report and zero-extra-pass counters:
 
     raw docs
       -> Gopher quality rule chain      (operators/prep.quality_filter)
+      -> benchmark decontamination      (opt-in eval_docs=; operators/
+                                         dedup.contaminated_doc_ids)
       -> clean + PII redaction          (operators/prep.clean_documents)
       -> near-dup prune                 (minhash LSH pairs -> star
                                          components -> keep min-id reps)
@@ -35,7 +37,8 @@ from pyspark.sql import functions as F
 
 from downscaledclimatedata_spark.functions.hashing import md5_long
 from downscaledclimatedata_spark.operators.dedup import (
-    lsh_candidate_pairs, minhash_signatures, prune_corpus)
+    DECON_NGRAM, contaminated_doc_ids, lsh_candidate_pairs,
+    minhash_signatures, prune_corpus)
 from downscaledclimatedata_spark.operators.prep import (
     MIX_ACCEPT_MOD, clean_documents, domain_mixture_sample, global_shuffle,
     observed, quality_filter, write_training_shards)
@@ -45,6 +48,7 @@ from downscaledclimatedata_spark.operators.prep import (
 class CorpusBuildResult:
     n_input: int
     n_quality_pass: int
+    n_decontaminated: int  # docs dropped for eval-set n-gram overlap
     n_after_dedup: int
     n_sampled: int
     total_tokens: int
@@ -55,6 +59,8 @@ class CorpusBuildResult:
 def build_training_corpus(docs: DataFrame, out_dir: str, *,
                           budget_tokens: int, n_shards: int = 16,
                           seed: str = "epoch0",
+                          eval_docs: DataFrame | None = None,
+                          decon_n: int = DECON_NGRAM,
                           text_col: str = "text", id_col: str = "doc_id",
                           source_col: str = "source") -> CorpusBuildResult:
     """Raw documents -> written training shards; returns stage counts.
@@ -97,6 +103,23 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
     qm = obs_q.get
     n_input, n_quality = qm["n_input"], qm["n_pass"]
 
+    # Stage 1b (opt-in): benchmark decontamination BEFORE near-dup
+    # prune, so a contaminated doc can never be elected the cluster
+    # representative that survives dedup. The eval-gram relation is
+    # broadcast (benchmarks are MBs vs a 100 TB corpus) — the corpus
+    # side of the drop never shuffles on the gram; the anti-join is the
+    # stage's only wide step. The count rides the stage checkpoint
+    # (two consumers follow: signatures + the prune's corpus side).
+    n_decon = 0
+    if eval_docs is not None:
+        bad = contaminated_doc_ids(quality_docs, eval_docs,
+                                   text_col, id_col, n=decon_n)
+        obs_c = Observation("pipeline_decon")
+        quality_docs = (quality_docs.join(bad, id_col, "left_anti")
+                        .observe(obs_c, F.count(F.lit(1)).alias("n_rows"))
+                        .localCheckpoint())
+        n_decon = int(n_quality) - int(obs_c.get["n_rows"])
+
     # Stage 2: near-dup prune over the checkpointed survivors.
     sigs = minhash_signatures(quality_docs, text_col, id_col)
     obs_d = Observation("pipeline_dedup")
@@ -133,7 +156,8 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
     write_training_shards(final, out_dir)
 
     return CorpusBuildResult(
-        n_input=n_input, n_quality_pass=n_quality, n_after_dedup=n_dedup,
+        n_input=n_input, n_quality_pass=n_quality,
+        n_decontaminated=n_decon, n_after_dedup=n_dedup,
         n_sampled=metrics["n_rows"], total_tokens=metrics["total_tokens"],
         n_shards=n_shards, out_dir=out_dir)
 
@@ -155,15 +179,20 @@ def pipeline_corpus_build_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="dcd_corpus_bench_")
     try:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        res = build_training_corpus(docs, out, budget_tokens=200_000,
-                                    n_shards=8)
+        # same deterministic eval split as dedup_decontaminate_query, so
+        # the headline build exercises the decontamination stage too
+        is_eval = (md5_long(F.col("doc_id").cast("string"), seed="decon:")
+                   % 41 == 0)
+        res = build_training_corpus(docs.filter(~is_eval), out,
+                                    budget_tokens=200_000, n_shards=8,
+                                    eval_docs=docs.filter(is_eval))
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(
-        [(res.n_input, res.n_quality_pass, res.n_after_dedup,
-          res.n_sampled, res.total_tokens)],
-        "n_input bigint, n_quality bigint, n_dedup bigint, "
-        "n_sampled bigint, total_tokens bigint")
+        [(res.n_input, res.n_quality_pass, res.n_decontaminated,
+          res.n_after_dedup, res.n_sampled, res.total_tokens)],
+        "n_input bigint, n_quality bigint, n_decon bigint, "
+        "n_dedup bigint, n_sampled bigint, total_tokens bigint")
 
 
 def _register_specs() -> None:
@@ -191,13 +220,19 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--budget-tokens", type=int, required=True)
     ap.add_argument("--shards", type=int, default=16)
     ap.add_argument("--seed", default="epoch0")
+    ap.add_argument("--eval-input", default=None,
+                    help="parquet of benchmark/eval documents; when set, "
+                         "docs sharing any 5-gram with it are dropped")
     args = ap.parse_args(argv)
 
     spark = get_spark("corpus-build")
     docs = spark.read.parquet(args.input)
+    eval_docs = (spark.read.parquet(args.eval_input)
+                 if args.eval_input else None)
     res = build_training_corpus(docs, args.output,
                                 budget_tokens=args.budget_tokens,
-                                n_shards=args.shards, seed=args.seed)
+                                n_shards=args.shards, seed=args.seed,
+                                eval_docs=eval_docs)
     import json
     print(json.dumps(res.__dict__))
 

@@ -35,6 +35,50 @@ def test_build_training_corpus_end_to_end(spark, tmp_path):
             "source", "shard"} <= cols
 
 
+def test_build_decontaminates_planted_eval_gram(spark, tmp_path):
+    """A training doc carrying a planted benchmark 5-gram must be
+    dropped by the opt-in decontamination stage (and counted), while an
+    otherwise-identical clean doc flows through; without eval_docs the
+    funnel is unchanged and n_decontaminated == 0."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    secret = "zebra quantum marmalade vortex incantation"
+    # two synthetic docs long enough to pass the quality gate: one
+    # embeds the eval 5-gram verbatim, one does not
+    filler = ("the quick brown fox jumps over a lazy dog while many "
+              "other animals watch the field in quiet wonder and the "
+              "day goes on with more of the same story being told ")
+    base = docs.limit(0)
+    extra = spark.createDataFrame(
+        [(900001, filler + secret + " " + filler, "planted"),
+         (900002, filler + "innocent words here " + filler, "planted")],
+        "doc_id long, text string, source string")
+    corpus = docs.select("doc_id", "text", "source").unionByName(
+        extra.select(*["doc_id", "text", "source"]), allowMissingColumns=False) \
+        if {"doc_id", "text", "source"} <= set(docs.columns) else base
+    eval_docs = spark.createDataFrame(
+        [(1, f"benchmark question {secret} end")],
+        "doc_id long, text string")
+
+    out = str(tmp_path / "shards_decon")
+    res = build_training_corpus(corpus, out, budget_tokens=5_000,
+                                n_shards=4, eval_docs=eval_docs)
+    assert res.n_decontaminated >= 1
+    # the planted contaminated doc is gone from the written artifact...
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("doc_id") == 900001).count() == 0
+    # ...and the funnel stays monotone around the new stage
+    assert res.n_quality_pass - res.n_decontaminated >= res.n_after_dedup
+
+    # without eval_docs the stage is inert
+    out2 = str(tmp_path / "shards_nodecon")
+    res2 = build_training_corpus(corpus, out2, budget_tokens=5_000,
+                                 n_shards=4)
+    assert res2.n_decontaminated == 0
+    assert res2.n_quality_pass >= res.n_quality_pass
+
+
 def test_build_is_zero_extra_pass(spark, tmp_path):
     """The funnel counters ride Observations on each stage's own
     materialization: the quality rule chain executes exactly once, and
