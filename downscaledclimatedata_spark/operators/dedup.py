@@ -1546,17 +1546,19 @@ def dedup_all_signal_clusters_query(spark: SparkSession, sf_dir: str) -> DataFra
     union is just another edge relation for ``multi_signal_clusters``.
     """
     from downscaledclimatedata_spark.operators.similarity import (
-        scaled_codebook, semantic_pairs)
+        scaled_codebook_two_level, semantic_pairs)
     docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
     emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
     text_pairs = multi_signal_pairs(docs, "text", "doc_id")
-    # √N̄ codebook exactly as dedup_semantic: with the FIXED default the
-    # embedding cell self-join is quadratic — the sf1 ladder measured
-    # this query at 9.32× on 10× data before this line (the text side
-    # alone is 2.3×); scaled == static at the sf0.01 oracle scale, so
-    # the fixed SQL string stays the oracle
-    mod, k = scaled_codebook(emb.count())
-    epairs = (semantic_pairs(emb, centroid_mod=mod, n_centroids=k)
+    # N^(2/3) codebook + two-level assignment exactly as dedup_semantic:
+    # with the FIXED default the embedding cell self-join is quadratic —
+    # the sf1 ladder measured this query at 9.32× on 10× data before
+    # the codebook scaled (the text side alone is 2.3×); scaled ==
+    # static flat at the sf0.01 oracle scale, so the fixed SQL string
+    # stays the oracle
+    mod, k, s = scaled_codebook_two_level(emb.count())
+    epairs = (semantic_pairs(emb, centroid_mod=mod, n_centroids=k,
+                             n_super=s)
               .select("id_a", "id_b", F.lit("embedding").alias("signal")))
     return multi_signal_clusters(text_pairs.unionByName(epairs))
 

@@ -1676,19 +1676,61 @@ def scaled_codebook(n_rows: int) -> tuple[int, int]:
     return max(1, CENTROID_MOD // scale), N_CENTROIDS * scale
 
 
+def scaled_codebook_two_level(n_rows: int) -> tuple[int, int, int]:
+    """(centroid_mod, n_centroids, n_super) for the all-vectors
+    operators when assignment routes through the two-level quantizer.
+
+    With FLAT assignment the optimal codebook is k ∝ √N (assignment
+    N·k balances cell scoring N²/k at N^1.5 — :func:`scaled_codebook`).
+    Two-level assignment costs N·√k instead of N·k, so the balance
+    point moves to k ∝ N^(2/3): assignment N·N^(1/3) and scoring
+    N²/k are BOTH N^(4/3) — the sub-N^1.5 asymptote the r7 audit asked
+    for (similarity.py docstrings: production goes hierarchical beyond
+    ~10⁹ vectors).
+
+    Below the growth threshold this returns the static codebook with
+    ``n_super == n_centroids`` — the degenerate-exact configuration —
+    and the consumers route that straight through flat
+    :func:`ivf_assign`, so plans and results at the sf0.01 oracle scale
+    (and on the adversarial edge corpora) are byte-identical to the
+    flat path and the fixed SQL oracles stay valid.
+    """
+    if n_rows < 4 * KNN_CODEBOOK_BASE_N:  # same first growth point as
+        return CENTROID_MOD, N_CENTROIDS, N_CENTROIDS  # the flat schedule
+    import math
+    r = n_rows // KNN_CODEBOOK_BASE_N
+    s = max(2, round(r ** (2.0 / 3.0)))  # codebook growth factor
+    k = N_CENTROIDS * s
+    return max(1, CENTROID_MOD // s), k, max(1, math.isqrt(k))
+
+
 def _assigned_corpus(emb: DataFrame, id_col: str, vec_col: str,
                      centroid_mod: int = CENTROID_MOD,
-                     n_centroids: int = N_CENTROIDS) -> DataFrame:
+                     n_centroids: int = N_CENTROIDS,
+                     n_super: int | None = None) -> DataFrame:
     """(id, cid, qv, n2) for every nonzero-norm vector — the coarse-
     partitioned corpus relation the graph/prune operators join on.
 
+    ``n_super``: when given and < ``n_centroids``, cell assignment
+    routes through the two-level quantizer (:func:`ivf_assign_two_level`
+    — N·√k instead of N·k comparisons), the production path once the
+    codebook outgrows what a broadcast N·k crossJoin should score.
+    ``None`` or >= ``n_centroids`` keeps exact flat assignment (the
+    degenerate-exact configuration `scaled_codebook_two_level` emits at
+    oracle scale, byte-identical plan to before the knob existed).
+
     localCheckpoint: every consumer references the relation at least
     twice (both self-join sides, plus the sizes aggregate in
-    semantic_dedup) — without it the N·k assignment crossJoin re-runs
+    semantic_dedup) — without it the assignment crossJoin re-runs
     per reference. Checkpointed relations lose their size estimates, so
     consumers must put explicit merge hints on corpus-scaled joins (the
     BENCH_SCALE round-6 broadcast-OOM lesson)."""
-    assign = ivf_assign(emb, id_col, vec_col, centroid_mod, n_centroids)
+    if n_super is not None and n_super < n_centroids:
+        assign = ivf_assign_two_level(
+            emb, id_col, vec_col, centroid_mod, n_centroids, n_super) \
+            .select(F.col(id_col), F.col("cid"))
+    else:
+        assign = ivf_assign(emb, id_col, vec_col, centroid_mod, n_centroids)
     return (emb.join(assign, id_col)
             .select(F.col(id_col), F.col("cid"),
                     quantize(F.col(vec_col)).alias("qv"),
@@ -1701,7 +1743,8 @@ def knn_graph(emb: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding", k: int = KNN_K,
               centroid_mod: int = CENTROID_MOD,
               n_centroids: int = N_CENTROIDS,
-              nprobe: int = 1) -> DataFrame:
+              nprobe: int = 1,
+              n_super: int | None = None) -> DataFrame:
     """Approximate k-nearest-neighbor graph over the WHOLE corpus.
 
     Unlike the ``similarity_*_topk`` family (fixed broadcast query set),
@@ -1728,7 +1771,11 @@ def knn_graph(emb: DataFrame, id_col: str = "vec_id",
     from pyspark.sql import Window
     if nprobe not in (1, 2):
         raise ValueError(f"nprobe must be 1 or 2, got {nprobe}")
-    base = _assigned_corpus(emb, id_col, vec_col, centroid_mod, n_centroids)
+    # n_super routes cell assignment through the two-level quantizer
+    # (N·√k); the nprobe=2 second-cell probe below is flat-only — its
+    # own registered spec runs at the static codebook
+    base = _assigned_corpus(emb, id_col, vec_col, centroid_mod,
+                            n_centroids, n_super)
     if nprobe == 2:
         cents = (emb.select(F.col(id_col),
                             quantize(F.col(vec_col)).alias("qv"),
@@ -1774,10 +1821,11 @@ def knn_graph(emb: DataFrame, id_col: str = "vec_id",
 
 def similarity_knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
-    # one cheap count job sizes the codebook ∝ √N (see scaled_codebook);
-    # identical to the static (25, 16) at oracle scale
-    mod, k = scaled_codebook(emb.count())
-    return knn_graph(emb, centroid_mod=mod, n_centroids=k)
+    # one cheap count job sizes the codebook ∝ N^(2/3) with two-level
+    # assignment (see scaled_codebook_two_level); identical to the
+    # static flat (25, 16) at oracle scale
+    mod, k, s = scaled_codebook_two_level(emb.count())
+    return knn_graph(emb, centroid_mod=mod, n_centroids=k, n_super=s)
 
 
 _KNN_GRAPH_SQL = _coarse_sql_prefix(carry_n2=True, assigned="search") + f""", scored AS (
@@ -1829,9 +1877,11 @@ def semantic_pairs_from_assigned(base: DataFrame, id_col: str = "vec_id",
 def semantic_pairs(emb: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", tau: float = SEM_TAU,
                    centroid_mod: int = CENTROID_MOD,
-                   n_centroids: int = N_CENTROIDS) -> DataFrame:
+                   n_centroids: int = N_CENTROIDS,
+                   n_super: int | None = None) -> DataFrame:
     """(id_a, id_b, cosine) embedding near-dup pairs, cluster-scoped."""
-    base = _assigned_corpus(emb, id_col, vec_col, centroid_mod, n_centroids)
+    base = _assigned_corpus(emb, id_col, vec_col, centroid_mod,
+                            n_centroids, n_super)
     return semantic_pairs_from_assigned(base, id_col, tau) \
         .select("id_a", "id_b", "cosine")
 
@@ -1839,7 +1889,8 @@ def semantic_pairs(emb: DataFrame, id_col: str = "vec_id",
 def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", tau: float = SEM_TAU,
                    centroid_mod: int = CENTROID_MOD,
-                   n_centroids: int = N_CENTROIDS) -> DataFrame:
+                   n_centroids: int = N_CENTROIDS,
+                   n_super: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): drop semantic near-duplicates inside
     each embedding cluster, keeping the smallest id of every near-pair.
 
@@ -1854,7 +1905,8 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
     a √N̄ codebook; the removed-set aggregation is a distinct on
     (cid, id), shuffle-keyed by the uniform id.
     """
-    base = _assigned_corpus(emb, id_col, vec_col, centroid_mod, n_centroids)
+    base = _assigned_corpus(emb, id_col, vec_col, centroid_mod,
+                            n_centroids, n_super)
     pairs = semantic_pairs_from_assigned(base, id_col, tau)
     removed = (pairs.select("cid", F.col("id_b").alias("rid")).distinct()
                .groupBy("cid").agg(F.count("*").alias("n_removed")))
@@ -1871,8 +1923,8 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
 
 def dedup_semantic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
-    mod, k = scaled_codebook(emb.count())
-    return semantic_dedup(emb, centroid_mod=mod, n_centroids=k)
+    mod, k, s = scaled_codebook_two_level(emb.count())
+    return semantic_dedup(emb, centroid_mod=mod, n_centroids=k, n_super=s)
 
 
 _DEDUP_SEMANTIC_SQL = _coarse_sql_prefix(carry_n2=True, assigned="search") + f""", pairs AS (
@@ -2079,8 +2131,9 @@ def similarity_knn_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame
     representativeness signal data-selection pipelines rank by (central
     docs summarize their semantic neighborhood). Top-N by rank."""
     emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
-    mod, k = scaled_codebook(emb.count())
-    graph = knn_graph(emb, centroid_mod=mod, n_centroids=k).select(
+    mod, k, s = scaled_codebook_two_level(emb.count())
+    graph = knn_graph(emb, centroid_mod=mod, n_centroids=k,
+                      n_super=s).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
     pr = graph_pagerank(graph)
     return (pr.orderBy(F.col("rank").desc(), F.col("id"))

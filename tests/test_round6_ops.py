@@ -345,6 +345,54 @@ def test_two_level_degenerates_to_flat_when_all_super(spark):
     assert two == flat
 
 
+def test_scaled_codebook_two_level_shape(spark):
+    """Below the growth threshold the two-level sizing returns the
+    static flat codebook with n_super == n_centroids (degenerate-exact,
+    so the oracle-scale plan routes through flat ivf_assign); above it,
+    k grows ∝ N^(2/3) (faster than the flat √N schedule — affordable
+    because two-level assignment is N·√k) and n_super ≈ √k."""
+    import math
+    from downscaledclimatedata_spark.operators.similarity import (
+        CENTROID_MOD, KNN_CODEBOOK_BASE_N, N_CENTROIDS,
+        scaled_codebook, scaled_codebook_two_level)
+    for n in (0, 1, KNN_CODEBOOK_BASE_N, 4 * KNN_CODEBOOK_BASE_N - 1):
+        assert scaled_codebook_two_level(n) == \
+            (CENTROID_MOD, N_CENTROIDS, N_CENTROIDS)
+    for n in (4 * KNN_CODEBOOK_BASE_N, 100 * KNN_CODEBOOK_BASE_N,
+              10_000 * KNN_CODEBOOK_BASE_N):
+        mod, k, s = scaled_codebook_two_level(n)
+        _, k_flat = scaled_codebook(n)
+        assert k >= k_flat, (k, k_flat)   # N^(2/3) >= sqrt(N) growth
+        assert s == max(1, math.isqrt(k))
+        # candidate-id window stays inside the dense id range, so the
+        # fixed-sample predicate always finds its k centroids
+        assert mod * k <= n, (mod, k, n)
+
+
+def test_assigned_corpus_two_level_route_matches_flat_in_degenerate(spark):
+    """_assigned_corpus(n_super=k) and n_super=None must be the same
+    relation (the oracle-scale guarantee), and an aggressive real
+    two-level route (n_super < k) still covers every nonzero vector
+    exactly once with valid centroid cells."""
+    import random
+    from downscaledclimatedata_spark.operators.similarity import (
+        _assigned_corpus)
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(120)]
+    df = _emb(spark, rows)
+    flat = {r["vec_id"]: r["cid"]
+            for r in _assigned_corpus(df, "vec_id", "embedding",
+                                      10, 8, None).collect()}
+    degen = {r["vec_id"]: r["cid"]
+             for r in _assigned_corpus(df, "vec_id", "embedding",
+                                       10, 8, 8).collect()}
+    assert degen == flat
+    routed = _assigned_corpus(df, "vec_id", "embedding", 10, 8, 2).collect()
+    assert len(routed) == len(flat)  # every vector assigned exactly once
+    cents = {i for i in range(120) if i % 10 == 0 and i < 80}
+    assert {r["cid"] for r in routed} <= cents
+
+
 def test_two_level_agreement_gate(spark):
     """Single-probe hierarchical routing must agree with flat assignment
     on a majority of the sf0.01 corpus (measured 0.57 on landing)."""
