@@ -2405,12 +2405,68 @@ def similarity_mmr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_select(emb)
 
 
+def _mmr_sql(k: int = MMR_K, pool: int = MMR_POOL,
+             lam: float = MMR_LAMBDA) -> str:
+    """DuckDB oracle for :func:`mmr_select` at the registered fixed
+    ``k`` — the greedy loop unrolled into chained CTEs (r7 advice #6).
+
+    Bit-exact with the driver-side greedy: the marginal score inlines
+    ``lam`` and ``repr(1.0 - lam)`` as literals so both engines evaluate
+    the identical IEEE expression (1.0 - 0.7 is NOT 0.3 in doubles);
+    cosines are exact-integer dots cast to double with the same
+    sqrt-product denominator; ties order by (score DESC, id) exactly
+    like the Python ``(-score, i)`` min-key. ``pick_r`` is empty once
+    the pool is exhausted, so a pool smaller than ``k`` short-stops
+    like ``range(min(k, len(remaining)))``.
+    """
+    oml = repr(1.0 - lam)
+    dot = (f"CAST(list_sum(list_transform(range(1, {DIM + 1}), "
+           "i -> {a}.qv[i] * {b}.qv[i])) AS DOUBLE)")
+    cos = (dot + " / (sqrt(CAST({a}.n2 AS DOUBLE)) "
+                 "* sqrt(CAST({b}.n2 AS DOUBLE)))")
+    parts = [f"""WITH q0 AS (
+  SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings
+), base AS (
+  SELECT vec_id, qv,
+    list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS n2
+  FROM q0
+), nz AS MATERIALIZED (SELECT * FROM base WHERE n2 > 0),
+qv AS MATERIALIZED (SELECT * FROM nz ORDER BY vec_id LIMIT 1),
+pool AS MATERIALIZED (
+  SELECT c.vec_id, c.qv, c.n2, {cos.format(a='c', b='q')} AS rel
+  FROM nz c, qv q WHERE c.vec_id <> q.vec_id
+  ORDER BY rel DESC, c.vec_id LIMIT {pool}
+), sim AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {cos.format(a='a', b='b')} AS cs
+  FROM pool a, pool b WHERE a.vec_id <> b.vec_id
+), pick_0 AS MATERIALIZED (
+  SELECT 0 AS rank, vec_id, rel, 0.0 AS ms FROM pool
+  ORDER BY {lam!r} * rel - {oml} * 0.0 DESC, vec_id LIMIT 1
+), sel_0 AS MATERIALIZED (SELECT * FROM pick_0)"""]
+    for r in range(1, k):
+        parts.append(f""", pick_{r} AS MATERIALIZED (
+  SELECT {r} AS rank, vec_id, rel, ms FROM (
+    SELECT p.vec_id, p.rel,
+      (SELECT max(s.cs) FROM sim s JOIN sel_{r - 1} t ON s.ib = t.vec_id
+       WHERE s.ia = p.vec_id) AS ms
+    FROM pool p
+    WHERE p.vec_id NOT IN (SELECT vec_id FROM sel_{r - 1})
+  ) ORDER BY {lam!r} * rel - {oml} * ms DESC, vec_id LIMIT 1
+), sel_{r} AS MATERIALIZED (SELECT * FROM sel_{r - 1} UNION ALL SELECT * FROM pick_{r})""")
+    parts.append(f"""
+SELECT CAST(rank AS INTEGER) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+  rel, ms AS max_sim_to_selected
+FROM sel_{k - 1}""")
+    return "".join(parts)
+
+
 register(QuerySpec(
-    "similarity_mmr_select", similarity_mmr_query, None,  # greedy-iterative
-    min_rows=MMR_K,  # one row per selected rank on a non-degenerate input
+    "similarity_mmr_select", similarity_mmr_query, _mmr_sql(),
     description="MMR diversity selection: distributed exact top-pool "
-                "retrieval + bounded greedy rerank; verified against an "
-                "independent reference implementation"))
+                "retrieval + bounded greedy rerank; oracle = the fixed-k "
+                "greedy unrolled into chained CTEs with bit-identical "
+                "float score literals, plus an independent reference "
+                "implementation in units"))
 
 
 # --- cluster topic cards: distinctive terms per IVF cell ------------------------

@@ -1475,10 +1475,72 @@ def text_bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs)
 
 
+def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB oracle for :func:`bpe_train` at the registered fixed
+    ``n_merges`` — the loop unrolled into chained CTEs (r7 advice #6:
+    the bounded-iteration specs ARE SQL-expressible at fixed rounds).
+
+    The symbol array is encoded as a delimited string: symbol ``s`` →
+    ``chr(31) + s + chr(30)``, concatenated. Under that encoding the
+    Catalyst greedy left-to-right fold is EXACTLY non-overlapping
+    ``replace()``: the pattern ``␟l␞␟r␞`` → ``␟lr␞`` consumes both
+    wrapped symbols, so a just-merged symbol cannot re-merge as the
+    LEFT of the next occurrence in the same pass (fold semantics:
+    [a,a,a] -> [aa,a]), while fresh pairs later in the word still
+    match ([a,a,a,a] -> [aa,aa]) — both verified against the fold in
+    unit tests. chr(31)/chr(30) (US/RS separators) must not appear in
+    corpus tokens; they are non-printing controls no tokenizer emits.
+
+    Early stop: ``best_r`` keeps only a pair with count >= 2; when it
+    is empty the merge row vanishes and ``words_{r+1}`` passes through
+    unchanged, so every later round is empty too — same fixpoint as
+    the Spark loop's ``break``.
+    """
+    wrap = "chr(31)||{0}||chr(30)"
+    parts = [f"""WITH toks AS (
+  SELECT unnest({_TOKS_SQL}) AS w FROM documents
+), words_0 AS MATERIALIZED (
+  SELECT w, COUNT(*) AS freq,
+    list_aggregate(list_transform(string_split(w, ''),
+                                  c -> {wrap.format('c')}), 'string_agg', '')
+      || {wrap.format("'{0}'".format(EOW))} AS syms
+  FROM toks GROUP BY w
+)"""]
+    # every per-round CTE is referenced twice (pairs_r + words_{r+1} both
+    # read words_r) — MATERIALIZED stops DuckDB's default inlining, which
+    # would otherwise double the expression tree per round (2^n_merges
+    # blowup, observed as a hang even at sf0.001)
+    for r in range(n_merges):
+        parts.append(f""", pairs_{r} AS MATERIALIZED (
+  SELECT t.sl[i] AS l, t.sl[i+1] AS r2, SUM(wd.freq) AS n
+  FROM words_{r} wd,
+       LATERAL (SELECT string_split(wd.syms[2:length(wd.syms)-1],
+                                    chr(30)||chr(31)) AS sl) t,
+       LATERAL (SELECT unnest(range(1, greatest(len(t.sl), 1))) AS i) idx
+  GROUP BY l, r2
+), best_{r} AS MATERIALIZED (
+  SELECT l, r2, n FROM pairs_{r} WHERE n >= 2 ORDER BY n DESC, l, r2 LIMIT 1
+), words_{r + 1} AS MATERIALIZED (
+  SELECT wd.w, wd.freq,
+    coalesce((SELECT replace(wd.syms,
+                             {wrap.format('b.l')}||{wrap.format('b.r2')},
+                             chr(31)||b.l||b.r2||chr(30))
+              FROM best_{r} b), wd.syms) AS syms
+  FROM words_{r} wd
+)""")
+    merge_rows = "\nUNION ALL\n".join(
+        f'SELECT CAST({r} AS INTEGER) AS rank, l AS "left", r2 AS "right", '
+        f"l||r2 AS merged, CAST(n AS BIGINT) AS pair_count FROM best_{r}"
+        for r in range(n_merges))
+    parts.append(f"\nSELECT * FROM (\n{merge_rows}\n)")
+    return "".join(parts)
+
+
 register(QuerySpec(
-    "text_bpe_train", text_bpe_train_query, None,  # iterative: see docstring
-    min_rows=BPE_MERGES,  # one row per merge round, or the train failed
+    "text_bpe_train", text_bpe_train_query, _bpe_sql(),
     description="BPE tokenizer training: per-round weighted pair argmax "
                 "+ Catalyst-fold greedy merge over the vocabulary-bounded "
-                "word-type relation; verified against an independent "
-                "reference implementation"))
+                "word-type relation; oracle = the fixed-round loop "
+                "unrolled into chained CTEs over a delimited-string "
+                "symbol encoding, plus an independent pure-Python "
+                "reference implementation in units"))

@@ -1,0 +1,240 @@
+#!/usr/bin/env python
+"""Recorded streaming end-to-end sweep: drive the four streaming twins
+(exact-dedup prep, minhash near-dup index, LSH semantic ANN index,
+CMS+Bloom sketch index) over a corpusgen-derived micro-batched corpus,
+then verify each against its BATCH twin / exact ground truth, and emit
+STREAM_r{N}.json — the committed artifact for the exactly-once and
+stream==batch claims (round-7 advice #8).
+
+Checks per phase (all booleans recorded; n_bad counts failures):
+
+* prep          — survivor doc_id set == the batch pipeline's global
+                  min-id exact-dedup winners over the same corpus.
+* neardup       — every planted cross-batch duplicate is flagged
+                  against its original; no self-pairs; pair count
+                  recorded.
+* ann           — every planted duplicate vector is flagged; every
+                  reported candidate re-verifies cosine >= SEM_TAU
+                  against the raw vectors in batch.
+* sketches      — folded CMS cells == batch one-shot cells cell-wise;
+                  CMS point estimates >= exact counts (overestimate
+                  only); Bloom has no false negatives over a probe set.
+
+Throughput (docs/sec wall-clock per phase, micro-batch count) is
+recorded so the stream surface has a number, like bench.py gives the
+batch surface. Run: ``python stream_run.py --round 8``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import tempfile
+import time
+from pathlib import Path
+
+
+def _write_batches(pdf, dup, out_dir: str, n_batches: int) -> int:
+    """Originals sliced into ``n_batches - 1`` flat parquet files plus
+    the planted duplicates as the FINAL file — every duplicate arrives
+    in a strictly later micro-batch than its original, so a correct
+    cross-batch index must flag all of them."""
+    os.makedirs(out_dir, exist_ok=True)
+    step = -(-len(pdf) // (n_batches - 1))
+    n = 0
+    for b in range(n_batches - 1):
+        part = pdf.iloc[b * step:(b + 1) * step]
+        if len(part):
+            part.to_parquet(f"{out_dir}/b{b:03d}.parquet", index=False)
+            n += 1
+    dup.to_parquet(f"{out_dir}/b{n_batches - 1:03d}_dups.parquet",
+                   index=False)
+    return n + 1
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--n-docs", type=int, default=3000)
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--dup-every", type=int, default=25)
+    args = ap.parse_args()
+
+    import sys
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from pyspark.sql import functions as F
+
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+    from downscaledclimatedata_spark.operators.prep import clean_documents
+    from downscaledclimatedata_spark.session import get_spark
+    from downscaledclimatedata_spark.streaming.annindex import (
+        batch_semantic_candidates, emb_stream)
+    from downscaledclimatedata_spark.streaming.neardup import (
+        docs_stream, start_neardup_stream)
+    from downscaledclimatedata_spark.streaming.prep import start_prep_stream
+    from downscaledclimatedata_spark.streaming.sketches import (
+        StreamingSketchIndex, batch_cms_cells)
+
+    spark = get_spark("dcd-spark-stream", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="dcd_stream_run_")
+    out: dict = {"round": args.round, "n_docs": args.n_docs,
+                 "n_batches": args.batches, "dup_every": args.dup_every,
+                 "phases": {}}
+
+    try:
+        # ---- corpus: corpusgen docs + planted cross-batch duplicates ----
+        docs = (spark.read.format("corpusgen")
+                .option("n_docs", args.n_docs)
+                .option("seed", f"stream{args.round}").load())
+        pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+        dup = pdf[pdf.doc_id % args.dup_every == 0].copy()
+        dup["doc_id"] = dup["doc_id"] + 10_000_000  # larger id, later batch
+        planted = set(zip(dup["doc_id"], dup["doc_id"] - 10_000_000))
+        full = __import__("pandas").concat([pdf, dup], ignore_index=True)
+        docs_dir = f"{work}/docs"
+        n_files = _write_batches(pdf, dup, docs_dir, args.batches)
+        full_df = spark.createDataFrame(full).localCheckpoint()
+        n_rows = len(full)
+
+        # ---- phase 1: streaming exact-dedup prep vs batch twin ----------
+        survivors: list = []
+        t0 = time.time()
+        q = start_prep_stream(
+            docs_stream(spark, docs_dir), f"{work}/prep_index",
+            lambda df, _e: survivors.extend(r.doc_id for r in
+                                            df.select("doc_id").collect()),
+            f"{work}/prep_ckpt")
+        q.awaitTermination(600)
+        el = time.time() - t0
+        want = {r.keep_id for r in
+                clean_documents(full_df)
+                .withColumn("h", md5_long(F.col("content_text")))
+                .groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+                .collect()}
+        out["phases"]["prep"] = {
+            "elapsed_sec": round(el, 2), "docs_per_sec": round(n_rows / el),
+            "batches": n_files, "survivors": len(survivors),
+            "checks": {"stream_equals_batch_winners":
+                       set(survivors) == want,
+                       "no_duplicate_reports":
+                       len(survivors) == len(set(survivors))}}
+
+        # ---- phase 2: streaming near-dup index ---------------------------
+        pairs: set = set()
+        t0 = time.time()
+        q = start_neardup_stream(
+            docs_stream(spark, docs_dir), f"{work}/nd_index",
+            lambda df, _e: pairs.update((r.new_id, r.match_id)
+                                        for r in df.collect()),
+            f"{work}/nd_ckpt", compact_every=4)
+        q.awaitTermination(600)
+        el = time.time() - t0
+        out["phases"]["neardup"] = {
+            "elapsed_sec": round(el, 2), "docs_per_sec": round(n_rows / el),
+            "batches": n_files, "pairs_reported": len(pairs),
+            "checks": {"planted_dups_all_flagged":
+                       all(p in pairs for p in planted),
+                       "no_self_pairs":
+                       all(a != b for a, b in pairs)}}
+
+        # ---- phase 3: streaming semantic ANN index -----------------------
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        epdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+        nz_mask = epdf["embedding"].map(
+            lambda v: any(float(x) != 0.0 for x in v))
+        edup = epdf[(epdf.vec_id % args.dup_every == 0) & nz_mask].copy()
+        edup["vec_id"] = edup["vec_id"] + 10_000_000
+        eplanted = set(zip(edup["vec_id"], edup["vec_id"] - 10_000_000))
+        efull = __import__("pandas").concat([epdf, edup], ignore_index=True)
+        emb_dir = f"{work}/emb"
+        en_files = _write_batches(epdf, edup, emb_dir, args.batches)
+        cands: list = []
+        t0 = time.time()
+        q = start_neardup_stream(
+            emb_stream(spark, emb_dir), f"{work}/ann_index",
+            lambda df, _e: cands.extend(
+                (r.new_id, r.match_id, r.cosine) for r in df.collect()),
+            f"{work}/ann_ckpt", text_col="embedding", id_col="vec_id",
+            candidate_builder=batch_semantic_candidates, compact_every=4,
+            compact_sort=["bucket"])
+        q.awaitTermination(600)
+        el = time.time() - t0
+        # re-verify every reported cosine >= tau from raw vectors, batch
+        from downscaledclimatedata_spark.operators.similarity import (
+            SEM_TAU, int_dot, quantize, sq_norm)
+        efull_df = spark.createDataFrame(efull)
+        qn = (efull_df.select(F.col("vec_id"),
+                              quantize(F.col("embedding")).alias("qv"))
+              .withColumn("n2", sq_norm(F.col("qv"))))
+        cpairs = spark.createDataFrame(
+            [(a, b) for a, b, _ in cands], "new_id long, match_id long")
+        bad_cos = (cpairs
+                   .join(qn.select(F.col("vec_id").alias("new_id"),
+                                   F.col("qv").alias("aq"),
+                                   F.col("n2").alias("an2")), "new_id")
+                   .join(qn.select(F.col("vec_id").alias("match_id"),
+                                   F.col("qv").alias("bq"),
+                                   F.col("n2").alias("bn2")), "match_id")
+                   .withColumn("cos",
+                               int_dot(F.col("aq"), F.col("bq"))
+                               .cast("double")
+                               / (F.sqrt(F.col("an2").cast("double"))
+                                  * F.sqrt(F.col("bn2").cast("double"))))
+                   .filter(F.col("cos") < SEM_TAU).count()) if cands else 0
+        flagged = {(a, b) for a, b, _ in cands}
+        out["phases"]["ann"] = {
+            "elapsed_sec": round(el, 2),
+            "vecs_per_sec": round(len(efull) / el),
+            "batches": en_files, "candidates_reported": len(cands),
+            "checks": {"planted_dups_all_flagged":
+                       all(p in flagged for p in eplanted),
+                       "all_candidates_verify_tau": bad_cos == 0}}
+
+        # ---- phase 4: streaming CMS + Bloom sketch index -----------------
+        idx = StreamingSketchIndex(spark, f"{work}/sketch")
+        t0 = time.time()
+        q = idx.attach(docs_stream(spark, docs_dir))
+        q.awaitTermination(600)
+        idx.compact()
+        el = time.time() - t0
+        # fold == batch: folded cells equal the one-shot batch cells
+        folded = {(r.d, r.cell): r.n for r in
+                  idx._read_all("cms", "d int, cell bigint, n bigint")
+                  .groupBy("d", "cell").agg(F.sum("n").alias("n")).collect()}
+        oneshot = {(r.d, r.cell): r.n
+                   for r in batch_cms_cells(full_df).collect()}
+        probe = ["key", "spark", "window", "zzz_absent_term"]
+        exact = {t: full_df.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+            .filter(F.col("t") == t).count() for t in probe}
+        est = idx.estimate(tuple(probe))
+        memb = idx.might_contain(tuple(probe))
+        out["phases"]["sketches"] = {
+            "elapsed_sec": round(el, 2), "docs_per_sec": round(n_rows / el),
+            "batches": n_files,
+            "checks": {"fold_equals_batch_cells": folded == oneshot,
+                       "cms_overestimates_only":
+                       all(est[t] >= exact[t] for t in probe),
+                       "cms_absent_term_small":
+                       exact["zzz_absent_term"] == 0,
+                       "bloom_no_false_negatives":
+                       all(memb[t] for t in probe if exact[t] > 0)}}
+
+        n_bad = sum(1 for ph in out["phases"].values()
+                    for ok in ph["checks"].values() if not ok)
+        out["n_bad"] = n_bad
+        path = Path(__file__).resolve().parent / \
+            f"STREAM_r{args.round:02d}.json"
+        path.write_text(json.dumps(out, indent=1))
+        print(json.dumps({"stream": str(path), "n_bad": n_bad,
+                          "phases": {k: v["elapsed_sec"]
+                                     for k, v in out["phases"].items()}}))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
