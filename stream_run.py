@@ -77,8 +77,12 @@ def main() -> None:
     from downscaledclimatedata_spark.streaming.sketches import (
         StreamingSketchIndex, batch_cms_cells)
 
+    from downscaledclimatedata_spark.sources.corpusgen import (
+        CorpusGenDataSource)
+
     spark = get_spark("dcd-spark-stream", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
+    spark.dataSource.register(CorpusGenDataSource)
     work = tempfile.mkdtemp(prefix="dcd_stream_run_")
     out: dict = {"round": args.round, "n_docs": args.n_docs,
                  "n_batches": args.batches, "dup_every": args.dup_every,
