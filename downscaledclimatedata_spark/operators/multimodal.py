@@ -2358,3 +2358,415 @@ register(QuerySpec("multimodal_feature_histogram",
                    description="REAL classical feature extraction: 8-bin "
                                "intensity histogram + exact-integer mean "
                                "over genuinely decoded pixels"))
+
+
+# --- real baseline JPEG pixel decode (stdlib Huffman + dequant + IDCT) ---------
+#
+# The one ubiquitous image format that was still header-only in this
+# engine (r7 advice #5). Follows the PNG/GIF precedent: the synthesizer
+# emits KNOWN-COEFFICIENT baseline JPEGs — per-block quantized DC values
+# derived from doc_id, AC all zero — so the DuckDB oracle can mirror the
+# decoded pixels with exact integer math (a DC-only 8x8 block IDCTs to
+# the constant dc·q/8; with q_dc = 16 that is exactly 2·dc, and the
+# float IDCT's ulp-level error can never move round() off that integer).
+# The DECODER is a real baseline-sequential JPEG pixel decoder: marker
+# parse, DQT/DHT table build (any canonical tables the stream declares),
+# entropy decode with byte unstuffing, differential DC, run-length AC
+# with EOB/ZRL, zigzag dequantization, full 2D IDCT, level shift, clamp,
+# edge-block cropping. Corrupt streams (invalid Huffman code, truncated
+# entropy, progressive SOF, wrong component count) yield NULL stats
+# (SURVEY §2 T7), never a batch error.
+
+JPEG_W_BASE, JPEG_W_MOD = 8, 21
+JPEG_H_BASE, JPEG_H_MOD = 8, 13
+JPEG_DC_A, JPEG_DC_B, JPEG_DC_C = 37, 101, 61
+JPEG_DC_MOD = 129           # dc in [-64, 64] after the -64 shift
+JPEG_CORRUPT_MOD = 17
+JPEG_QDC = 16               # dc quant step: DC-only block -> exactly 2*dc
+
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+
+def _build_jpeg_codecs():
+    """Pure-stdlib baseline JPEG codec pair (struct + math only).
+
+    Encoder: grayscale SOF0, one DQT (dc step JPEG_QDC), canonical DC
+    table covering categories 0..11, minimal AC table {EOB, 0x01, ZRL}
+    (the synth emits only EOB; the extra codes let unit tests exercise
+    the AC run-length path), differential DC with byte stuffing.
+    Decoder: see module comment — generic over any canonical tables in
+    the stream, not just the encoder's.
+    """
+    import math
+    import struct
+
+    DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    DC_VALS = tuple(range(12))
+    AC_BITS = (1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    AC_VALS = (0x00, 0x01, 0xF0)  # EOB, (run 0, size 1), ZRL
+    QTAB = (JPEG_QDC,) + (17,) * 63  # zigzag order; index 0 is DC
+
+    def _canonical(bits, vals):
+        enc, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                enc[vals[k]] = (code, ln)
+                k += 1
+                code += 1
+            code <<= 1
+        return enc
+
+    DC_ENC = _canonical(DC_BITS, DC_VALS)
+    AC_ENC = _canonical(AC_BITS, AC_VALS)
+
+    class _BitW:
+        def __init__(self):
+            self.buf, self.acc, self.n = bytearray(), 0, 0
+
+        def put(self, code, length):
+            for i in range(length - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((code >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.buf.append(self.acc)
+                    if self.acc == 0xFF:  # byte stuffing
+                        self.buf.append(0)
+                    self.acc, self.n = 0, 0
+
+        def flush(self):
+            while self.n:
+                self.put(1, 1)  # pad with 1-bits, per spec
+
+    def _cat(v):
+        return v.bit_length() if v >= 0 else (-v).bit_length()
+
+    def _amp(v, c):
+        return v if v >= 0 else v + (1 << c) - 1
+
+    def _segments(w, h):
+        out = bytearray(b"\xff\xd8")                       # SOI
+        out += b"\xff\xdb" + struct.pack(">H", 67) \
+            + b"\x00" + bytes(QTAB)                        # DQT (len 67)
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) \
+            + bytes((1, 0x11, 0))                          # SOF0 grayscale
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(DC_VALS)) \
+            + b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)    # DHT DC
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(AC_VALS)) \
+            + b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)    # DHT AC
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) \
+            + bytes((1, 0x00, 0, 63, 0))                   # SOS
+        return out
+
+    def make_jpeg_dc(dc_grid, w, h, ac_extra=None, corrupt=False) -> bytes:
+        """Baseline grayscale JPEG from a quantized-DC grid
+        (row-major, ceil(h/8) x ceil(w/8)). ``ac_extra`` optionally maps
+        block index -> signed 1-bit AC value at zigzag position 1 (unit
+        tests only). ``corrupt=True`` keeps the structure but writes an
+        undecodable all-ones entropy stream."""
+        out = _segments(w, h)
+        if corrupt:
+            out += b"\xff\x00\xff\x00"  # 16 one-bits: no 9-bit DC code
+        else:
+            bw = _BitW()
+            prev = 0
+            for bi, dc in enumerate(dc_grid):
+                diff = dc - prev
+                prev = dc
+                c = _cat(diff)
+                code, ln = DC_ENC[c]
+                bw.put(code, ln)
+                if c:
+                    bw.put(_amp(diff, c), c)
+                if ac_extra and bi in ac_extra:
+                    v = ac_extra[bi]            # run 0, size 1
+                    code, ln = AC_ENC[0x01]
+                    bw.put(code, ln)
+                    bw.put(_amp(v, 1), 1)
+                code, ln = AC_ENC[0x00]         # EOB
+                bw.put(code, ln)
+            bw.flush()
+            out += bw.buf
+        out += b"\xff\xd9"                      # EOI
+        return bytes(out)
+
+    COS = [[math.cos((2 * i + 1) * u * math.pi / 16) for u in range(8)]
+           for i in range(8)]
+    C = [1 / math.sqrt(2)] + [1.0] * 7
+
+    class _BitR:
+        def __init__(self, data):
+            self.d, self.i, self.acc, self.n = data, 0, 0, 0
+
+        def bit(self):
+            if not self.n:
+                self.acc = self.d[self.i]  # IndexError -> corrupt
+                self.i += 1
+                self.n = 8
+            self.n -= 1
+            return (self.acc >> self.n) & 1
+
+        def bits(self, k):
+            v = 0
+            for _ in range(k):
+                v = (v << 1) | self.bit()
+            return v
+
+        def huff(self, table):
+            code, ln = 0, 0
+            while ln < 16:
+                code = (code << 1) | self.bit()
+                ln += 1
+                if (ln, code) in table:
+                    return table[(ln, code)]
+            raise ValueError("invalid huffman code")
+
+    def _extend(v, c):
+        return v if v >= (1 << (c - 1)) else v - (1 << c) + 1
+
+    def decode_jpeg_pixel_stats(blob: bytes):
+        """(width, height, n_px, pix_sum, pix_min, pix_max) from a
+        baseline grayscale JPEG, or None on any structural defect."""
+        try:
+            blob = bytes(blob)
+            if blob[:2] != b"\xff\xd8":
+                return None
+            i = 2
+            qt: dict = {}
+            huffs: dict = {}
+            w = h = None
+            sos_td = sos_ta = None
+            data = None
+            while i < len(blob):
+                if blob[i] != 0xFF:
+                    return None
+                m = blob[i + 1]
+                i += 2
+                if m == 0xD9:  # EOI before SOS payload consumed
+                    return None
+                ln = struct.unpack(">H", blob[i:i + 2])[0]
+                seg = blob[i + 2:i + ln]
+                if len(seg) != ln - 2:
+                    return None
+                if m == 0xDB:  # DQT (possibly several tables)
+                    j = 0
+                    while j < len(seg):
+                        if seg[j] >> 4 != 0:
+                            return None  # 16-bit tables unsupported
+                        qt[seg[j] & 15] = list(seg[j + 1:j + 65])
+                        if len(qt[seg[j] & 15]) != 64:
+                            return None
+                        j += 65
+                elif m == 0xC0:  # SOF0 baseline
+                    prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+                    if prec != 8 or nc != 1 or seg[7] != 0x11:
+                        return None
+                    sof_tq = seg[8]
+                elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                           0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    return None  # non-baseline frame types
+                elif m == 0xC4:  # DHT (possibly several tables)
+                    j = 0
+                    while j < len(seg):
+                        tc, th = seg[j] >> 4, seg[j] & 15
+                        bits = seg[j + 1:j + 17]
+                        nv = sum(bits)
+                        vals = seg[j + 17:j + 17 + nv]
+                        if len(vals) != nv:
+                            return None
+                        tbl, code, k = {}, 0, 0
+                        for L in range(1, 17):
+                            for _ in range(bits[L - 1]):
+                                tbl[(L, code)] = vals[k]
+                                k += 1
+                                code += 1
+                            code <<= 1
+                        huffs[(tc, th)] = tbl
+                        j += 17 + nv
+                elif m == 0xDA:  # SOS: header + entropy data follow
+                    if seg[0] != 1:
+                        return None
+                    sos_td, sos_ta = seg[2] >> 4, seg[2] & 15
+                    j = i + ln
+                    data = bytearray()
+                    while j < len(blob) - 1:
+                        b0 = blob[j]
+                        if b0 == 0xFF:
+                            if blob[j + 1] == 0x00:
+                                data.append(0xFF)
+                                j += 2
+                                continue
+                            break  # real marker ends the scan
+                        data.append(b0)
+                        j += 1
+                    if blob[j:j + 2] != b"\xff\xd9":
+                        return None
+                    break
+                # APPn/COM/others: skipped
+                i += ln
+            if data is None or w is None or not w or not h:
+                return None
+            dct, act = huffs[(0, sos_td)], huffs[(1, sos_ta)]
+            q = qt[sof_tq]
+            br = _BitR(bytes(data))
+            bw_, bh_ = -(-w // 8), -(-h // 8)
+            pix = [[0] * (bw_ * 8) for _ in range(bh_ * 8)]
+            prev = 0
+            for bi in range(bw_ * bh_):
+                coef = [0] * 64
+                c = br.huff(dct)
+                if c > 11:
+                    return None
+                diff = _extend(br.bits(c), c) if c else 0
+                prev += diff
+                coef[0] = prev * q[0]
+                k = 1
+                while k < 64:
+                    rs = br.huff(act)
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    s = rs & 15
+                    if k > 63 or not s:
+                        return None
+                    coef[_JPEG_ZIGZAG[k]] = _extend(br.bits(s), s) * q[k]
+                    k += 1
+                # full 2D IDCT (rows of the 8x8 in natural order; the
+                # zigzag placement above already un-scrambled it)
+                by, bx = divmod(bi, bw_)
+                for y in range(8):
+                    for x in range(8):
+                        v = 0.0
+                        for u in range(8):
+                            cu = C[u] * COS[x][u]
+                            for t in range(8):
+                                f = coef[t * 8 + u]
+                                if f:
+                                    v += C[t] * cu * COS[y][t] * f
+                        p = int(round(v / 4)) + 128
+                        pix[by * 8 + y][bx * 8 + x] = min(255, max(0, p))
+            vals = [pix[y][x] for y in range(h) for x in range(w)]
+            return (w, h, len(vals), sum(vals), min(vals), max(vals))
+        except (ValueError, IndexError, KeyError, struct.error):
+            return None
+
+    return make_jpeg_dc, decode_jpeg_pixel_stats
+
+
+make_jpeg_dc, decode_jpeg_pixel_stats = _build_jpeg_codecs()
+
+
+def jpeg_dc_value(d: int, by: int, bx: int) -> int:
+    """The synthesized quantized DC of block (by, bx) — the ONLY thing
+    the oracle knows about a payload's content."""
+    return (d * JPEG_DC_A + by * JPEG_DC_B + bx * JPEG_DC_C) \
+        % JPEG_DC_MOD - 64
+
+
+def synthesize_jpeg_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real baseline JPEG byte stream with doc_id-derived
+    per-block DC coefficients; every JPEG_CORRUPT_MOD-th doc gets a
+    structurally-valid stream whose entropy data is an undecodable
+    all-ones bit pattern (no 9-bit DC code is assigned), exercising the
+    corrupt-stream tolerance path in-band."""
+    mk, dcv = make_jpeg_dc, jpeg_dc_value
+    wb, wm, hb, hm = JPEG_W_BASE, JPEG_W_MOD, JPEG_H_BASE, JPEG_H_MOD
+    cmod = JPEG_CORRUPT_MOD
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                w, h = wb + d % wm, hb + d % hm
+                nbx, nby = -(-w // 8), -(-h // 8)
+                grid = [dcv(d, by, bx)
+                        for by in range(nby) for bx in range(nbx)]
+                payloads.append(mk(grid, w, h, corrupt=(d % cmod == 0)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(_synth, "doc_id long, payload binary")
+
+
+def decode_jpeg_pixels(df: DataFrame) -> DataFrame:
+    """REAL pixel decode: binary payload -> per-image stats from the
+    Huffman-decoded, dequantized, IDCT-reconstructed pixels. Corrupt
+    payloads yield a row of NULL stats (SURVEY §2 T7)."""
+    dec = decode_jpeg_pixel_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("width", "height", "n_px", "pix_sum", "pix_min",
+                     "pix_max")}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 6
+                for k, v in zip(cols, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "n_px": pd.array(cols["n_px"], dtype="Int32"),
+                "pix_sum": pd.array(cols["pix_sum"], dtype="Int64"),
+                "pix_min": pd.array(cols["pix_min"], dtype="Int32"),
+                "pix_max": pd.array(cols["pix_max"], dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(
+        _decode, PNG_PIXELS_SCHEMA)
+
+
+def multimodal_decode_jpeg_pixels_query(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Real baseline JPEG decode end-to-end: synthesize genuine
+    Huffman-coded DC-differential payloads, decode them back OUT OF THE
+    BYTES (table build, entropy decode with unstuffing, dequantization,
+    full IDCT, crop) and aggregate stats. The oracle recomputes the
+    stats from the DC formula alone (a DC-only block is the constant
+    2·dc after the dc-step-16 dequant and /8 IDCT gain), so a green row
+    proves the whole encode -> decode pipeline."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_jpeg_pixels(synthesize_jpeg_payloads(docs))
+
+
+_MULTIMODAL_JPEG_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST({JPEG_W_BASE} + abs(doc_id) % {JPEG_W_MOD} AS INT) AS width,
+    CAST({JPEG_H_BASE} + abs(doc_id) % {JPEG_H_MOD} AS INT) AS height
+  FROM documents
+), px AS (
+  SELECT doc_id, width, height,
+    list_transform(range(0, width * height),
+      i -> least(greatest(
+             2 * ((d * {JPEG_DC_A} + ((i // width) // 8) * {JPEG_DC_B}
+                   + ((i % width) // 8) * {JPEG_DC_C}) % {JPEG_DC_MOD} - 64)
+             + 128, 0), 255)) AS vals
+  FROM p WHERE d % {JPEG_CORRUPT_MOD} <> 0
+)
+SELECT doc_id, width, height, CAST(width * height AS INT) AS n_px,
+  CAST(list_sum(vals) AS BIGINT) AS pix_sum,
+  CAST(list_min(vals) AS INT) AS pix_min,
+  CAST(list_max(vals) AS INT) AS pix_max
+FROM px
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
+FROM p WHERE d % {JPEG_CORRUPT_MOD} = 0
+"""
+
+register(QuerySpec("multimodal_decode_jpeg_pixels",
+                   multimodal_decode_jpeg_pixels_query,
+                   _MULTIMODAL_JPEG_SQL,
+                   description="real baseline JPEG pixel decode: Huffman "
+                               "entropy decode + dequant + IDCT from "
+                               "known-coefficient payloads; corrupt "
+                               "streams -> NULL row"))

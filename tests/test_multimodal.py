@@ -669,3 +669,81 @@ def test_gif_animation_codec_and_frame_sampling(spark):
     for d in (0, ANIM_CORRUPT_MOD):
         assert len(by_doc[d]) == 1 and by_doc[d][0].frame_idx is None
         assert by_doc[d][0].pix_sum is None
+
+
+# --- baseline JPEG pixel codec --------------------------------------------------
+
+def test_jpeg_codec_roundtrip_and_corruption():
+    """Encoder -> decoder roundtrip reproduces the DC formula pixels
+    exactly (dc step 16 makes a DC-only block exactly 2*dc + 128);
+    corrupt entropy, truncation, progressive SOF, and garbage all
+    return None instead of raising."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        JPEG_H_BASE, JPEG_H_MOD, JPEG_W_BASE, JPEG_W_MOD,
+        decode_jpeg_pixel_stats, jpeg_dc_value, make_jpeg_dc)
+
+    for d in (1, 5, 123, 4096, 999983):
+        w, h = JPEG_W_BASE + d % JPEG_W_MOD, JPEG_H_BASE + d % JPEG_H_MOD
+        nbx, nby = -(-w // 8), -(-h // 8)
+        grid = [jpeg_dc_value(d, by, bx)
+                for by in range(nby) for bx in range(nbx)]
+        blob = make_jpeg_dc(grid, w, h)
+        px = [min(255, max(0, 2 * jpeg_dc_value(d, y // 8, x // 8) + 128))
+              for y in range(h) for x in range(w)]
+        assert decode_jpeg_pixel_stats(blob) == (
+            w, h, w * h, sum(px), min(px), max(px))
+    good = make_jpeg_dc([10], 8, 8)
+    assert decode_jpeg_pixel_stats(
+        make_jpeg_dc([10], 8, 8, corrupt=True)) is None
+    assert decode_jpeg_pixel_stats(good[:30]) is None
+    assert decode_jpeg_pixel_stats(
+        good.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None  # progressive
+    assert decode_jpeg_pixel_stats(b"not a jpeg") is None
+
+
+def test_jpeg_decoder_ac_runlength_path():
+    """The AC run-length loop is real, not EOB-only: a payload carrying
+    an AC coefficient at zigzag position 1 decodes to a NON-constant
+    block whose values match an independent direct-IDCT reference, and
+    whose sum equals the DC-only sum (AC basis functions are zero-mean)."""
+    import math
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_jpeg_pixel_stats, make_jpeg_dc)
+
+    dc, acv, acq = 10, 1, 17  # quantized AC=1 at zigzag 1 -> coef 17
+    got = decode_jpeg_pixel_stats(make_jpeg_dc([dc], 8, 8, ac_extra={0: acv}))
+    base = decode_jpeg_pixel_stats(make_jpeg_dc([dc], 8, 8))
+    assert got is not None and base is not None
+    assert got[3] == base[3]          # zero-mean AC leaves the sum
+    assert (got[4], got[5]) != (base[4], base[5])
+    # independent reference: zigzag 1 = coefficient (u=1, v=0)
+    ref = []
+    for y in range(8):
+        for x in range(8):
+            v = (1 / math.sqrt(2)) * (1 / math.sqrt(2)) * dc * 16 \
+                + (1 / math.sqrt(2)) * acv * acq \
+                * math.cos((2 * x + 1) * math.pi / 16)
+            ref.append(min(255, max(0, int(round(v / 4)) + 128)))
+    assert got == (8, 8, 64, sum(ref), min(ref), max(ref))
+
+
+def test_jpeg_decode_through_spark(spark):
+    """End-to-end through mapInPandas at smoke scale: every good doc's
+    stats match the formula; corrupt docs yield NULL rows."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        JPEG_CORRUPT_MOD, JPEG_H_BASE, JPEG_H_MOD, JPEG_W_BASE, JPEG_W_MOD,
+        decode_jpeg_pixels, jpeg_dc_value, synthesize_jpeg_payloads)
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    rows = {r.doc_id: r for r in decode_jpeg_pixels(
+        synthesize_jpeg_payloads(docs)).collect()}
+    assert len(rows) == 40
+    for d, r in rows.items():
+        if d % JPEG_CORRUPT_MOD == 0:
+            assert r.width is None and r.pix_sum is None
+            continue
+        w, h = JPEG_W_BASE + d % JPEG_W_MOD, JPEG_H_BASE + d % JPEG_H_MOD
+        px = [min(255, max(0, 2 * jpeg_dc_value(d, y // 8, x // 8) + 128))
+              for y in range(h) for x in range(w)]
+        assert (r.width, r.height, r.n_px, r.pix_sum, r.pix_min,
+                r.pix_max) == (w, h, w * h, sum(px), min(px), max(px))
