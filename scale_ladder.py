@@ -67,6 +67,18 @@ SF10_TARGETS = (
     "similarity_ivfpq_topk", "similarity_ivf_k256",
 )
 
+# Third decade (sf10 -> sf100, documents only, 50M docs): the four
+# queries whose second-decade ratio stayed >= 5x — one more decade
+# decides "fixed overhead amortizing" vs "creeping super-linear"
+# (r7 advice #7). All four are per-doc or broadcast-join shapes, so
+# the perturbation scheme's period-260 permutation reuse (verbatim
+# cross-copy clones at >= 260 copies) is NOT a data-character hazard
+# here: none of them is pair- or cluster-keyed across documents.
+SCALE100_DIR = str(Path(__file__).resolve().parent / ".scale" / "sf100")
+SF100_TABLES = ("documents",)
+SF100_TARGETS = ("dedup_decontaminate", "text_lm_familiarity",
+                 "dedup_repeated_spans", "text_top_terms")
+
 # copy-specific text perturbation with period 260: vowel rotation keyed
 # by i % 10 composed with a lowercase Caesar shift keyed by i // 10.
 # For i < 10 the shift is 0, so the sf1 build is byte-identical to the
@@ -131,8 +143,14 @@ def build_scaled(spark, src: str, dst: str, copies: int,
                                       + F.lit(decade * 0.00013)
                                       * ((j % 7) - F.lit(3))).cast("float")))
             out = copy if out is None else out.unionAll(copy)
-        (out.repartition(32)
-         .write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet")))
+            # flush every 50 copies: a 1000-way union tree (the sf100
+            # rung) is quadratic to plan; chunked appends keep each job
+            # a 50-way union with identical data
+            if (i + 1) % 50 == 0 or i == copies - 1:
+                (out.repartition(32).write
+                 .mode("append" if i + 1 > 50 else "overwrite")
+                 .parquet(os.path.join(dst, f"{name}.parquet")))
+                out = None
 
 
 def ensure_scaled(spark, src: str, dst: str, copies: int,
@@ -203,6 +221,26 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("dcd-spark-scale-ladder", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    if rung == "sf100":
+        # third decade: sf10 -> sf100 on the documents-only >=5x set;
+        # both rungs built here (sf1 is not needed)
+        ensure_scaled(spark, BASE_SF, SCALE10_DIR, copies * 10,
+                      tables=SF10_TABLES)
+        ensure_scaled(spark, BASE_SF, SCALE100_DIR, copies * 100,
+                      tables=SF100_TABLES)
+        base = time_headlines(spark, SCALE10_DIR, names=names or SF100_TARGETS)
+        scaled = time_headlines(spark, SCALE100_DIR,
+                                names=names or SF100_TARGETS)
+        sf_base, sf_scaled = 1.0 * copies, 10.0 * copies
+        ratios = {n: (round(scaled[n] / base[n], 2) if base[n] > 0 else None)
+                  for n in base}
+        print(json.dumps({
+            "metric": "scale_ladder", "data_ratio": 10,
+            "sf_base": sf_base, "sf_scaled": sf_scaled,
+            "base_sec": base, "scaled_sec": scaled, "time_ratio": ratios,
+            "base_total_sec": round(sum(base.values()), 3),
+            "scaled_total_sec": round(sum(scaled.values()), 3)}))
+        return
     ensure_scaled(spark, BASE_SF, SCALE_DIR, copies)
     if rung == "sf10":
         # second decade: sf1 -> sf10 on the >=3x-ratio queries + the
