@@ -275,3 +275,24 @@ def test_bloom_bits_merge_by_union(spark):
     b = spark.createDataFrame([(2, "blue cyan magenta")], "doc_id long, text string")
     u = a.unionByName(b)
     assert bits(u) == bits(a) | bits(b)
+
+
+def test_bloom_probe_join_realizes_broadcast(spark):
+    """r8 advice fix: Spark ignores a broadcast hint on the STREAM side
+    of a semi join, so the probe-bit membership join was silently a
+    shuffle join. The rewrite joins FROM the set-bits relation with the
+    tiny probe relation broadcast — the executed plan must contain a
+    BroadcastHashJoin on the bit key, and the per-term hit counts are
+    the bloom contract (all k bits hit for present terms)."""
+    from downscaledclimatedata_spark.operators.textops import (
+        BLOOM_K, bloom_membership)
+    rows = [(i, "alpha beta gamma delta", "s", 0) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long")
+    out = bloom_membership(df, probes=("beta", "zzz_absent"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    got = {r["term"]: r for r in out.collect()}
+    assert got["beta"]["n_bits_hit"] == BLOOM_K
+    assert got["beta"]["in_filter"] and got["beta"]["truly_present"]
+    assert not got["zzz_absent"]["truly_present"]
