@@ -101,7 +101,9 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
     quality_docs = flagged.filter("passes") \
         .select(*docs.columns).localCheckpoint()
     qm = obs_q.get
-    n_input, n_quality = qm["n_input"], qm["n_pass"]
+    # SUM over zero rows observes NULL (count observes 0) — an empty or
+    # all-rejected corpus must report 0, like the oracle's coalesce
+    n_input, n_quality = qm["n_input"], int(qm["n_pass"] or 0)
 
     # Stage 1b (opt-in): benchmark decontamination BEFORE near-dup
     # prune, so a contaminated doc can never be elected the cluster
@@ -158,7 +160,8 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
     return CorpusBuildResult(
         n_input=n_input, n_quality_pass=n_quality,
         n_decontaminated=n_decon, n_after_dedup=n_dedup,
-        n_sampled=metrics["n_rows"], total_tokens=metrics["total_tokens"],
+        n_sampled=metrics["n_rows"],
+        total_tokens=int(metrics["total_tokens"] or 0),
         n_shards=n_shards, out_dir=out_dir)
 
 
@@ -169,9 +172,12 @@ def pipeline_corpus_build_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The build is eager (stage checkpoints + the shard write happen
     inside this call), so bench timing measures the end-to-end
-    artifact, not a lazy plan. Not oracle-checked as a unit — every
-    stage it composes is its own oracle-checked spec; this entry exists
-    so the end-to-end cost is a recorded number (VERDICT r6 #5).
+    artifact, not a lazy plan. Oracle-checked as a unit since r8: the
+    funnel counts are re-derived in DuckDB by composing the SAME stage
+    oracle fragments the individual specs hash against
+    (:func:`_pipeline_funnel_sql`), so the end-to-end composition —
+    stage ORDER and hand-offs, not just each stage alone — is under
+    the driver's hash gate.
     """
     import shutil
     import tempfile
@@ -195,12 +201,93 @@ def pipeline_corpus_build_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dedup bigint, n_sampled bigint, total_tokens bigint")
 
 
+def _swap(sql: str, old: str, new: str) -> str:
+    """``str.replace`` that refuses to silently no-op: composing the
+    funnel oracle from the stage fragments is textual, so every splice
+    asserts the anchor it rewrites still exists — if a stage oracle is
+    ever reworded, the funnel oracle fails LOUDLY at import instead of
+    hashing a stale pipeline."""
+    if old not in sql:
+        raise AssertionError(f"funnel-oracle anchor missing: {old!r}")
+    return sql.replace(old, new)
+
+
+def _pipeline_funnel_sql() -> str:
+    """DuckDB oracle for the WHOLE builder funnel, composed from the
+    same fragments the per-stage specs hash against (prep quality /
+    dedup decontaminate / dedup prune / prep mixture / prep clean).
+
+    Each stage oracle is inlined as a subquery with its ``documents``
+    source re-pointed at the previous stage's CTE, mirroring
+    :func:`build_training_corpus` stage order exactly:
+
+      nd (non-eval docs) -> quality pass -> decontaminate vs the eval
+      split -> minhash-LSH component prune -> temperature mixture
+      (budget 200k, seed ``epoch0-mix``) -> PII clean -> funnel counts.
+
+    Decontamination reuses the stock decon oracle UNCHANGED (it scores
+    every non-eval doc; restricting its verdict to the quality
+    survivors by anti-join is exact, because a doc's gram set does not
+    depend on which corpus subset it sits in).
+    """
+    from downscaledclimatedata_spark.operators.dedup import (
+        _DECON_SPLIT_SQL, _DEDUP_DECON_SQL, _DEDUP_PRUNE_SQL)
+    from downscaledclimatedata_spark.operators.prep import (
+        MIX_ACCEPT_MOD, _PREP_CLEAN_SQL, _PREP_MIXTURE_SQL,
+        _PREP_QUALITY_SQL)
+    from downscaledclimatedata_spark.functions.hashing import md5_long_sql
+
+    quality = _swap(_PREP_QUALITY_SQL, "FROM documents", "FROM nd")
+    prune = _swap(_DEDUP_PRUNE_SQL, "FROM documents", "FROM decon")
+    # survivors' ROWS (not the registered spec's summary aggregate)
+    prune = prune[:prune.rindex("SELECT COUNT(*)")] \
+        + "SELECT * FROM survivors"
+    mixture = _swap(_swap(_swap(
+        _PREP_MIXTURE_SQL, "FROM documents", "FROM surv"),
+        "50000 * w", "200000 * w"),       # pipeline budget_tokens
+        "md5('mix0:'", "md5('epoch0-mix:'")  # pipeline mixture seed
+    clean = _swap(_PREP_CLEAN_SQL, "FROM documents", "FROM samp")
+    accept = md5_long_sql("CAST(s.doc_id AS VARCHAR)", seed="epoch0-mix:")
+    return f"""
+WITH
+sides AS (SELECT doc_id, {_DECON_SPLIT_SQL} AS is_eval FROM documents),
+nd AS MATERIALIZED (SELECT d.* FROM documents d JOIN sides s USING (doc_id)
+       WHERE NOT s.is_eval),
+qpass AS (SELECT doc_id FROM ({quality}) WHERE passes),
+qdocs AS MATERIALIZED (SELECT nd.* FROM nd JOIN qpass USING (doc_id)),
+contam AS (SELECT doc_id FROM ({_DEDUP_DECON_SQL}) WHERE contaminated),
+decon AS MATERIALIZED (
+  SELECT q.* FROM qdocs q ANTI JOIN contam c ON c.doc_id = q.doc_id),
+-- MATERIALIZED: each stage below is referenced more than once (the
+-- funnel counts + the next stage); without the hint DuckDB re-inlines
+-- the whole upstream chain per reference and the recursive component
+-- CTE inside `surv` re-runs multiplicatively
+surv AS MATERIALIZED (SELECT * FROM ({prune})),
+mrates AS MATERIALIZED (SELECT source, rate FROM ({mixture})),
+samp AS MATERIALIZED (
+  SELECT s.doc_id, s.text FROM surv s JOIN mrates r ON r.source = s.source
+  WHERE CAST(({accept}) % {MIX_ACCEPT_MOD} AS DOUBLE)
+        < r.rate * {MIX_ACCEPT_MOD}
+),
+cleaned AS MATERIALIZED (SELECT * FROM ({clean}))
+SELECT
+  CAST((SELECT COUNT(*) FROM nd) AS BIGINT) AS n_input,
+  CAST((SELECT COUNT(*) FROM qdocs) AS BIGINT) AS n_quality,
+  CAST((SELECT COUNT(*) FROM qdocs)
+     - (SELECT COUNT(*) FROM decon) AS BIGINT) AS n_decon,
+  CAST((SELECT COUNT(*) FROM surv) AS BIGINT) AS n_dedup,
+  CAST((SELECT COUNT(*) FROM cleaned) AS BIGINT) AS n_sampled,
+  CAST((SELECT coalesce(SUM(n_content_tokens), 0) FROM cleaned) AS BIGINT)
+    AS total_tokens
+"""
+
+
 def _register_specs() -> None:
     from downscaledclimatedata_spark.plans import QuerySpec, register
     register(QuerySpec(
         name="pipeline_corpus_build",
         spark=pipeline_corpus_build_query,
-        oracle=None,  # composes oracle-checked stages; see docstring
+        oracle=_pipeline_funnel_sql(),
         headline=True,
         description="end-to-end training-corpus build (write included)"))
 
