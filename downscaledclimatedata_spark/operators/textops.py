@@ -844,6 +844,125 @@ register(QuerySpec(
                 "drifting tokens, one explode+count per corpus"))
 
 
+# --- Heaps-law vocabulary growth curve ------------------------------------------
+
+GROWTH_BUCKETS = 8
+
+
+def vocab_growth(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 n_buckets: int = GROWTH_BUCKETS) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law diagnostic): cumulative
+    distinct-type count vs cumulative token count over ``n_buckets``
+    equal doc-id slices of the corpus — the sizing curve a tokenizer /
+    vocab budget decision reads (does type growth flatten, and where?).
+
+    Exact, not sampled: a type's first appearance is ``min(doc_id)``
+    per token (one hash aggregate with map-side partial min — the
+    inherent cost of exact distinct-type counting), so the cumulative
+    type count at bucket b is just the count of tokens first seen at
+    or before b. Token mass per bucket rides a per-doc projection —
+    the corpus-scale explode is never materialized twice.
+
+    Bucketing is integer-exact in both engines: ``rid = doc_id -
+    min_id``, width ``W = (max_id - min_id) div K + 1``, bucket =
+    ``rid div W`` (truncating integer division — Spark ``div`` and
+    DuckDB ``//`` agree on nonnegative operands, and ``rid`` is
+    nonnegative by construction). The final cumulative window runs
+    over exactly ``n_buckets`` rows.
+
+    Scale: one token-keyed aggregate (partial-min combine), one
+    doc-keyed projection aggregate, two K-row relations joined and
+    windowed — no corpus-scale sort, no skew-prone key (token-keyed
+    aggregation partial-combines the stopword head on the map side).
+    """
+    bounds = F.broadcast(df.agg(
+        F.min(F.col(id_col)).alias("min_id"),
+        F.max(F.col(id_col)).alias("max_id")))
+    toks = df.select(F.col(id_col),
+                     F.explode(_tokens(F.col(text_col))).alias("token"))
+    first = (toks.groupBy("token")
+             .agg(F.min(F.col(id_col)).alias("first_seen")))
+    bucket_of = lambda c: F.expr(  # noqa: E731 — shared exact bucketing
+        f"({c} - min_id) div ((max_id - min_id) div {n_buckets} + 1)")
+    new_types = (first.crossJoin(bounds)
+                 .groupBy(bucket_of("first_seen").alias("bucket"))
+                 .agg(F.count("*").alias("n_new_types")))
+    doc_toks = df.select(
+        F.col(id_col),
+        F.coalesce(F.size(_tokens(F.col(text_col))).cast("bigint"),
+                   F.lit(0)).alias("n_toks"))
+    bucket_toks = (doc_toks.crossJoin(bounds)
+                   .groupBy(bucket_of(id_col).alias("bucket"))
+                   .agg(F.sum("n_toks").alias("bucket_tokens"),
+                        F.count("*").alias("bucket_docs")))
+    from pyspark.sql import Window
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (bucket_toks.join(new_types, "bucket", "left")
+            .select("bucket", "bucket_docs", "bucket_tokens",
+                    F.coalesce("n_new_types", F.lit(0)).cast("bigint")
+                    .alias("n_new_types"))
+            .withColumn("cum_types",
+                        F.sum("n_new_types").over(w).cast("bigint"))
+            .withColumn("cum_tokens",
+                        F.sum("bucket_tokens").over(w).cast("bigint"))
+            .withColumn("type_token_ratio",
+                        F.when(F.col("cum_tokens") > 0,
+                               F.col("cum_types").cast("double")
+                               / F.col("cum_tokens").cast("double"))
+                        .otherwise(F.lit(0.0))))
+
+
+def text_vocab_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return vocab_growth(docs)
+
+
+_VOCAB_GROWTH_SQL = f"""
+WITH bounds AS (
+  SELECT MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+    (MAX(doc_id) - MIN(doc_id)) // {GROWTH_BUCKETS} + 1 AS w
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+), first AS (
+  SELECT token, MIN(doc_id) AS first_seen FROM toks GROUP BY token
+), new_types AS (
+  SELECT (first_seen - b.min_id) // b.w AS bucket,
+         COUNT(*) AS n_new_types
+  FROM first, bounds b GROUP BY 1
+), doc_toks AS (
+  SELECT doc_id, coalesce(len({_TOKS_SQL}), 0) AS n_toks FROM documents
+), bucket_toks AS (
+  SELECT (doc_id - b.min_id) // b.w AS bucket,
+         CAST(SUM(n_toks) AS BIGINT) AS bucket_tokens,
+         COUNT(*) AS bucket_docs
+  FROM doc_toks, bounds b GROUP BY 1
+), rolled AS (
+  SELECT bt.bucket, bt.bucket_docs, bt.bucket_tokens,
+    CAST(coalesce(nt.n_new_types, 0) AS BIGINT) AS n_new_types
+  FROM bucket_toks bt LEFT JOIN new_types nt ON nt.bucket = bt.bucket
+)
+SELECT bucket, bucket_docs, bucket_tokens, n_new_types,
+  CAST(SUM(n_new_types) OVER cum AS BIGINT) AS cum_types,
+  CAST(SUM(bucket_tokens) OVER cum AS BIGINT) AS cum_tokens,
+  CASE WHEN SUM(bucket_tokens) OVER cum > 0 THEN
+    CAST(SUM(n_new_types) OVER cum AS DOUBLE)
+      / CAST(SUM(bucket_tokens) OVER cum AS DOUBLE)
+  ELSE 0.0 END AS type_token_ratio
+FROM rolled
+WINDOW cum AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+"""
+
+
+register(QuerySpec(
+    "text_vocab_growth", text_vocab_growth_query, _VOCAB_GROWTH_SQL,
+    description=f"Heaps-law vocabulary growth over {GROWTH_BUCKETS} "
+                "doc-id slices: exact first-appearance type counts + "
+                "cumulative type/token curve and TTR (token-keyed "
+                "partial-min aggregate; no corpus sort)"))
+
+
 # --- Count-Min Sketch term-frequency estimation ---------------------------------
 
 CMS_DEPTH = 4
@@ -1415,10 +1534,11 @@ def bpe_train(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     stays flat across iterations (the kmeans_refine discipline).
 
     Returns the merge table: (rank, left, right, merged, pair_count).
-    Iterative-algorithm class (streaming/PageRank family): no SQL
-    oracle — the per-round argmax + rewrite has no single-query
-    equivalent; correctness is pinned against an independent pure-
-    Python reference implementation in unit tests.
+    Iterative-algorithm class (streaming/PageRank family), but SQL-
+    expressible at the registered FIXED round count: the oracle
+    (:func:`_bpe_sql`) unrolls the loop into chained CTEs; an
+    independent pure-Python reference implementation additionally pins
+    the fold semantics in unit tests.
 
     Scale: the state is the word-TYPE relation (vocabulary-bounded,
     not corpus-bounded — 100 TB of text is still ~10⁷ word types);
@@ -1426,6 +1546,19 @@ def bpe_train(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     + one broadcast single-row argmax + one shuffle-free rewrite
     projection.
     """
+    merges, _ = _bpe_fit(df, text_col, n_merges)
+    return df.sparkSession.createDataFrame(
+        merges, "rank int, left string, right string, merged string, "
+                "pair_count bigint")
+
+
+def _bpe_fit(df: DataFrame, text_col: str,
+             n_merges: int) -> tuple[list, DataFrame]:
+    """Shared BPE fit loop: returns (merge rows, final word-type relation
+    ``(w, freq, syms)`` with every learned merge applied) so training
+    (:func:`bpe_train`) and application (:func:`bpe_encode`) run ONE
+    loop — the encoder reuses the fully-merged symbol state instead of
+    re-folding the corpus."""
     words = (df.select(F.explode(_tokens(F.col(text_col))).alias("w"))
              .groupBy("w").agg(F.count("*").alias("freq"))
              .select("w", "freq",
@@ -1435,7 +1568,6 @@ def bpe_train(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                          F.array(F.lit(EOW))).alias("syms"))
              .localCheckpoint())
     merges = []
-    spark = df.sparkSession
     for rank in range(n_merges):
         pairs = (words.select(
             "freq",
@@ -1465,9 +1597,7 @@ def bpe_train(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .otherwise(F.concat(acc, F.array(x))))
         words = words.select("w", "freq", fold.alias("syms")) \
             .localCheckpoint()
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, "
-                "pair_count bigint")
+    return merges, words
 
 
 def text_bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1475,10 +1605,12 @@ def text_bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs)
 
 
-def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
-    """DuckDB oracle for :func:`bpe_train` at the registered fixed
-    ``n_merges`` — the loop unrolled into chained CTEs (r7 advice #6:
-    the bounded-iteration specs ARE SQL-expressible at fixed rounds).
+def _bpe_chain_sql(n_merges: int = BPE_MERGES) -> str:
+    """Shared oracle prefix: the fixed-round BPE fit loop unrolled into
+    chained CTEs ending at ``words_{n_merges}`` (the fully-merged
+    word-type relation). :func:`_bpe_sql` appends the merge-table
+    select; :func:`_bpe_encode_sql` appends the per-doc segmentation
+    join instead — ONE unroll serves both specs.
 
     The symbol array is encoded as a delimited string: symbol ``s`` →
     ``chr(31) + s + chr(30)``, concatenated. Under that encoding the
@@ -1528,12 +1660,17 @@ def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
               FROM best_{r} b), wd.syms) AS syms
   FROM words_{r} wd
 )""")
+    return "".join(parts)
+
+
+def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB oracle for :func:`bpe_train`: the unrolled chain plus the
+    merge-table select (one row per non-empty ``best_r``)."""
     merge_rows = "\nUNION ALL\n".join(
         f'SELECT CAST({r} AS INTEGER) AS rank, l AS "left", r2 AS "right", '
         f"l||r2 AS merged, CAST(n AS BIGINT) AS pair_count FROM best_{r}"
         for r in range(n_merges))
-    parts.append(f"\nSELECT * FROM (\n{merge_rows}\n)")
-    return "".join(parts)
+    return _bpe_chain_sql(n_merges) + f"\nSELECT * FROM (\n{merge_rows}\n)"
 
 
 register(QuerySpec(
@@ -1544,3 +1681,90 @@ register(QuerySpec(
                 "unrolled into chained CTEs over a delimited-string "
                 "symbol encoding, plus an independent pure-Python "
                 "reference implementation in units"))
+
+
+BPE_SEG_MOD = 1_000_000_007  # segmentation-hash modulus (sums stay < 2^63)
+
+
+def bpe_encode(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               n_merges: int = BPE_MERGES) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of :func:`bpe_train`:
+    segment every document with the learned merges and report per-doc
+    subword statistics, certifying the exact segmentation via a
+    per-word-type hash.
+
+    Output per doc: ``n_words`` (whitespace tokens), ``n_subwords``
+    (BPE symbols after all merges — the sequence length a trainer
+    would see), ``max_word_subwords``, and ``seg_checksum`` =
+    Σ count(w) · (md5_60(subwords-of-w joined by space) mod 1e9+7) —
+    an order-insensitive certificate that both engines produced the
+    IDENTICAL segmentation of every token occurrence, without
+    emitting a corpus-scale array column.
+
+    Scale: segmentation happens ONCE per word TYPE (the fit loop's
+    final ``(w, freq, syms)`` state is reused — no second fold pass),
+    so the expensive part is vocabulary-bounded exactly like training.
+    The corpus-side work is one (doc, word)-grain count aggregate —
+    keyed by (doc_id, w), so no stopword skew — and a sort-merge join
+    of that relation to the word-type segmentation on ``w``
+    (merge-pinned: the checkpointed type relation has no size stats,
+    and at web scale ~10⁷-10⁸ types exceed the broadcast budget; AQE
+    skew-split handles the head words). One final per-doc aggregate.
+    """
+    _, words = _bpe_fit(df, text_col, n_merges)
+    seg = words.select(
+        "w",
+        F.size("syms").cast("bigint").alias("n_sub"),
+        (md5_long(F.array_join("syms", " ")) % BPE_SEG_MOD)
+        .alias("seg_hash"))
+    doc_words = (df.select(F.col(id_col),
+                           F.explode(_tokens(F.col(text_col))).alias("w"))
+                 .groupBy(id_col, "w").agg(F.count("*").alias("cnt")))
+    return (doc_words.join(seg.hint("merge"), "w")
+            .groupBy(id_col)
+            .agg(F.sum("cnt").alias("n_words"),
+                 F.sum(F.col("cnt") * F.col("n_sub")).alias("n_subwords"),
+                 F.max("n_sub").alias("max_word_subwords"),
+                 F.sum(F.col("cnt") * F.col("seg_hash"))
+                 .alias("seg_checksum")))
+
+
+def text_bpe_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return bpe_encode(docs)
+
+
+def _bpe_encode_sql(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB oracle for :func:`bpe_encode`: the same unrolled chain,
+    then the per-word segmentation stats decoded from the delimited
+    string and joined back to the (doc, word) count relation."""
+    inner = "syms[2:length(syms)-1]"
+    sub_list = f"string_split({inner}, chr(30)||chr(31))"
+    joined = f"array_to_string({sub_list}, ' ')"
+    return _bpe_chain_sql(n_merges) + f""", seg AS MATERIALIZED (
+  SELECT w, CAST(len({sub_list}) AS BIGINT) AS n_sub,
+    ({md5_long_sql(joined)}) % {BPE_SEG_MOD} AS seg_hash
+  FROM words_{n_merges}
+), dw AS (
+  SELECT doc_id, w, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents)
+  GROUP BY doc_id, w
+)
+SELECT dw.doc_id,
+  CAST(SUM(dw.cnt) AS BIGINT) AS n_words,
+  CAST(SUM(dw.cnt * seg.n_sub) AS BIGINT) AS n_subwords,
+  CAST(MAX(seg.n_sub) AS BIGINT) AS max_word_subwords,
+  CAST(SUM(dw.cnt * seg.seg_hash) AS BIGINT) AS seg_checksum
+FROM dw JOIN seg ON seg.w = dw.w
+GROUP BY dw.doc_id
+"""
+
+
+register(QuerySpec(
+    "text_bpe_encode", text_bpe_encode_query, _bpe_encode_sql(),
+    description="BPE tokenizer application: segment every doc with the "
+                "learned merges (segmentation computed once per word "
+                "TYPE, joined back merge-pinned); per-doc subword "
+                "counts + an exact per-occurrence segmentation "
+                "checksum"))

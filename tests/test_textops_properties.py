@@ -220,3 +220,80 @@ def test_bpe_train_stops_when_no_pair_repeats(spark):
     docs = spark.createDataFrame([(1, "xy")], "doc_id long, text string")
     rows = bpe_train(docs, n_merges=5).collect()
     assert rows == []  # every pair occurs once; threshold is 2
+
+
+def _reference_segment(word: str, merges) -> list:
+    """Apply a learned merge list to one word, one-pass non-overlapping
+    left-to-right per merge — the standard BPE apply the engine's fold
+    must match."""
+    syms = list(word) + ["</w>"]
+    for _, l, r, m, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(m)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference_segmentation(spark):
+    """Per-doc subword stats AND the exact segmentation checksum equal
+    an independent pure-Python encode on the Sennrich corpus."""
+    import hashlib
+
+    from downscaledclimatedata_spark.operators.textops import (
+        BPE_SEG_MOD, bpe_encode)
+
+    texts = {1: "low lower newest", 2: "newest newest widest low"}
+    freqs: dict = {}
+    for t in texts.values():
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    merges = _reference_bpe(freqs, 8)
+
+    def seg_hash(word):
+        s = " ".join(_reference_segment(word, merges))
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % BPE_SEG_MOD
+
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    got = {r.doc_id: r for r in bpe_encode(docs, n_merges=8).collect()}
+    for doc_id, text in texts.items():
+        words = text.split()
+        segs = [_reference_segment(w, merges) for w in words]
+        assert got[doc_id].n_words == len(words)
+        assert got[doc_id].n_subwords == sum(len(s) for s in segs)
+        assert got[doc_id].max_word_subwords == max(len(s) for s in segs)
+        assert got[doc_id].seg_checksum == sum(seg_hash(w) for w in words)
+
+
+def test_bpe_encode_one_pass_merge_semantics(spark):
+    """[a,a,a,a] must segment as [aa,aa] (one-pass non-overlapping), not
+    [aa,a,a] — the fold-vs-string-replace divergence case."""
+    from downscaledclimatedata_spark.operators.textops import bpe_encode
+    docs = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    (row,) = bpe_encode(docs, n_merges=1).collect()
+    # one merge learned: (a,a) -> each "aaaa" segments to [aa, aa, </w>]
+    assert row.n_words == 2 and row.n_subwords == 6
+    assert row.max_word_subwords == 3
+
+
+def test_vocab_growth_exact_curve(spark):
+    """Crafted corpus: 4 docs across 2 buckets; first-appearance
+    bucketing and cumulative type/token math checked by hand."""
+    from downscaledclimatedata_spark.operators.textops import vocab_growth
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a c"),          # bucket 0: types a,b,c; 4 toks
+         (2, "a b d"), (3, "d e")],      # bucket 1: new types d,e; 5 toks
+        "doc_id long, text string")
+    rows = {r.bucket: r for r in
+            vocab_growth(docs, n_buckets=2).collect()}
+    assert rows[0].n_new_types == 3 and rows[0].bucket_tokens == 4
+    assert rows[1].n_new_types == 2 and rows[1].bucket_tokens == 5
+    assert rows[1].cum_types == 5 and rows[1].cum_tokens == 9
+    assert rows[0].type_token_ratio == 3 / 4
+    assert rows[1].bucket_docs == 2
