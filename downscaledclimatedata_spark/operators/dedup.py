@@ -1019,6 +1019,130 @@ register(QuerySpec("dedup_repeated_spans", dedup_repeated_spans_query,
                    _repeated_spans_sql(), headline=True,
                    description=f"cross-document repeated {SPAN_N}-token spans (exact-substring dedup signal), hash-dictionary semi-join"))
 
+
+def span_scrub(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", n: int = SPAN_N,
+               min_docs: int = SPAN_MIN_DOCS) -> DataFrame:
+    """Corpus REWRITE form of exact-substring dedup (Lee et al. 2022
+    remove duplicated spans from the training text, they don't just
+    score them): delete every token position covered by an ``n``-token
+    window that also occurs in >= ``min_docs`` distinct documents, and
+    reassemble what remains.
+
+    Contract: operates on the normalized token stream (lowercased,
+    whitespace-split — the same stream every dedup signal reads), so
+    ``scrubbed_text`` is normalized text; docs with zero tokens have no
+    windows and no row. A fully-covered doc survives with
+    ``scrubbed_text = ''`` — the caller decides whether to drop it.
+
+    Scale (mirrors :func:`repeated_span_stats` + the paragraph_dedup
+    reassembly class): span hashes ride an 8-byte-keyed aggregate with
+    map-side partial combine; coverage explodes each repeated START to
+    its ``n`` positions — a bounded ×n fan-out on the REPEATED subset
+    only, never the corpus; the anti-join and the reassembly aggregate
+    are (doc_id, pos)-keyed, so no hot key can concentrate (doc-keyed
+    state is bounded by the longest document, same bound as the input
+    row). Corpus-scaled relations join sort-merge (`.hint("merge")` —
+    the checkpoint-free lineage has no size stats worth trusting).
+    """
+    toked = docs.select(
+        F.col(id_col),
+        F.filter(F.split(F.lower(F.col(text_col)), WS_RE),
+                 lambda x: x != "").alias("t")) \
+        .filter(F.size("t") > 0)
+    pos = toked.select(
+        F.col(id_col), F.posexplode("t").alias("pos", "token"))
+    hash5 = lambda t, i: md5_long(  # noqa: E731 — window hash at start i
+        F.concat_ws(" ", F.slice(t, i + 1, n)))
+    spans = (toked.filter(F.size("t") >= n)
+             .select(F.col(id_col),
+                     F.posexplode(
+                         F.transform(
+                             F.sequence(F.lit(0), F.size("t") - n),
+                             lambda i: hash5(F.col("t"), i)))
+                     .alias("start", "h")))
+    repeated = (spans.groupBy("h")
+                .agg(F.countDistinct(id_col).alias("nd"))
+                .filter(F.col("nd") >= min_docs).select("h"))
+    hit_starts = spans.join(repeated.hint("merge"), "h", "left_semi")
+    covered = (hit_starts
+               .select(F.col(id_col),
+                       F.explode(F.sequence(
+                           F.col("start"),
+                           F.col("start") + F.lit(n - 1))).alias("pos"))
+               .distinct())
+    kept = pos.join(covered.hint("merge"), [id_col, "pos"], "left_anti")
+    kept_agg = (kept.groupBy(id_col)
+                .agg(F.count("*").alias("n_kept"),
+                     F.array_join(
+                         F.transform(
+                             F.array_sort(F.collect_list(
+                                 F.struct("pos", "token"))),
+                             lambda s: s["token"]), " ")
+                     .alias("scrubbed_text")))
+    totals = toked.select(F.col(id_col),
+                          F.size("t").cast("bigint").alias("n_tokens"))
+    return (totals.join(kept_agg.hint("merge"), id_col, "left")
+            .select(F.col(id_col), "n_tokens",
+                    (F.col("n_tokens")
+                     - F.coalesce("n_kept", F.lit(0))).cast("bigint")
+                    .alias("n_removed"),
+                    F.coalesce("scrubbed_text", F.lit(""))
+                    .alias("scrubbed_text")))
+
+
+def dedup_span_scrub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return span_scrub(docs)
+
+
+def _span_scrub_sql() -> str:
+    h = md5_long_sql(f"array_to_string(t[s+1:s+{SPAN_N}], ' ')")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
+  FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS nt FROM toks WHERE len(t) > 0
+), pos AS (
+  SELECT doc_id, i AS pos, t[i+1] AS token
+  FROM sized, LATERAL (SELECT UNNEST(range(0, nt)) AS i) ix
+), spans AS (
+  SELECT doc_id, s AS start, {h} AS h
+  FROM sized, LATERAL (
+    SELECT UNNEST(range(0, greatest(nt - {SPAN_N - 1}, 0))) AS s) sx
+), repeated AS (
+  SELECT h FROM spans GROUP BY h
+  HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+), covered AS (
+  SELECT DISTINCT sp.doc_id, sp.start + k AS pos
+  FROM spans sp JOIN repeated r ON r.h = sp.h,
+       LATERAL (SELECT UNNEST(range(0, {SPAN_N})) AS k) kx
+), kept AS (
+  SELECT p.doc_id, p.pos, p.token
+  FROM pos p ANTI JOIN covered c
+    ON c.doc_id = p.doc_id AND c.pos = p.pos
+), kept_agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(token, ' ' ORDER BY pos) AS scrubbed_text
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(s.nt AS BIGINT) AS n_tokens,
+  CAST(s.nt - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+  coalesce(k.scrubbed_text, '') AS scrubbed_text
+FROM sized s LEFT JOIN kept_agg k ON k.doc_id = s.doc_id
+"""
+
+
+register(QuerySpec(
+    "dedup_span_scrub", dedup_span_scrub_query, _span_scrub_sql(),
+    description=f"exact-substring dedup as a corpus REWRITE: delete "
+                f"every token covered by a {SPAN_N}-token window "
+                f"repeated across >= {SPAN_MIN_DOCS} docs and "
+                "reassemble the surviving text (Lee et al. 2022 "
+                "span-removal semantics)"))
+
 # --- multi-signal near-dup clustering -------------------------------------------
 
 def multi_signal_pairs(df: DataFrame, text_col: str, id_col: str, *,

@@ -272,3 +272,37 @@ def test_multi_signal_clusters_merge_evidence_across_generators(spark):
     assert clusters[3].cluster_size == 2
     assert "minhash_jaccard" in clusters[3].signals
     assert "simhash" in clusters[3].signals
+
+
+def test_span_scrub_removes_covered_tokens_and_reassembles(spark):
+    """Hand-checked Lee-style span removal: a 5-token span shared by two
+    docs is deleted from BOTH, surrounding tokens survive in order, a
+    fully-covered doc survives as empty text, and a short doc (< n
+    tokens) passes through untouched."""
+    from downscaledclimatedata_spark.operators.dedup import span_scrub
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [(1, f"alpha {shared} omega"),
+         (2, f"{shared}"),                      # fully covered
+         (3, "tiny doc"),                       # < 5 tokens: no windows
+         (4, f"beta gamma {shared} delta")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in span_scrub(docs).collect()}
+    assert out[1].scrubbed_text == "alpha omega"
+    assert out[1].n_tokens == 7 and out[1].n_removed == 5
+    assert out[2].scrubbed_text == "" and out[2].n_removed == 5
+    assert out[3].scrubbed_text == "tiny doc" and out[3].n_removed == 0
+    assert out[4].scrubbed_text == "beta gamma delta"
+
+
+def test_span_scrub_overlapping_windows_cover_union(spark):
+    """Overlapping repeated windows delete the UNION of their positions:
+    six shared tokens = two overlapping 5-windows, all six removed."""
+    from downscaledclimatedata_spark.operators.dedup import span_scrub
+    shared = "s1 s2 s3 s4 s5 s6"
+    docs = spark.createDataFrame(
+        [(1, f"keep1 {shared} keep2"), (2, f"{shared} other words here")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in span_scrub(docs).collect()}
+    assert out[1].scrubbed_text == "keep1 keep2" and out[1].n_removed == 6
+    assert out[2].scrubbed_text == "other words here"
