@@ -1009,6 +1009,90 @@ register(QuerySpec("similarity_ivf_multiprobe", similarity_ivf_multiprobe_query,
                    description=f"IVF ANN multiprobe search (nprobe={NPROBE} recall knob)"))
 
 
+def ann_recall(emb: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding", k: int = TOP_K) -> DataFrame:
+    """Measured recall@k of the IVF searchers against the EXACT
+    brute-force ground truth, in-engine — the number an ANN deployment
+    tunes nprobe/codebook size against (the "measure, don't guess"
+    evaluation, same shape as dedup's ``lsh_eval``/``signal_eval``).
+
+    Per (method, query) row: truth size, hits, recall — exact-integer
+    counts, recall = ratio of exact ints (bit-identical cross-engine).
+    Methods evaluated: nprobe=1 and the multiprobe searcher, against
+    ONE shared exact truth (computed once, two cheap alignments).
+
+    Scale: truth is the registered brute-force headline (N x n_queries,
+    linear with a broadcast query relation); both ANN sides probe
+    inverted lists only. The alignments join (n_queries x k)-row
+    relations — trivially broadcastable; per-query aggregation state is
+    <= k rows. Nothing here adds a corpus-scale shuffle beyond what the
+    three searchers already do.
+    """
+    truth = (cosine_topk_quantized(emb, id_col, vec_col, k=k)
+             .select("query_id", "match_id").localCheckpoint())
+    methods = (
+        ("ivf_nprobe1", ivf_topk(emb, id_col, vec_col, k=k)),
+        (f"ivf_nprobe{NPROBE}",
+         ivf_topk_multiprobe(emb, id_col, vec_col, k=k)),
+    )
+    out = None
+    for name, approx in methods:
+        got = (approx.select("query_id", "match_id")
+               .withColumn("hit", F.lit(1)))
+        scored = (truth.join(F.broadcast(got), ["query_id", "match_id"],
+                             "left")
+                  .groupBy("query_id")
+                  .agg(F.count("*").alias("n_truth"),
+                       F.sum(F.coalesce("hit", F.lit(0))).cast("bigint")
+                       .alias("n_hit"))
+                  .select(F.lit(name).alias("method"), "query_id",
+                          "n_truth", "n_hit",
+                          (F.col("n_hit").cast("double")
+                           / F.col("n_truth").cast("double"))
+                          .alias("recall")))
+        out = scored if out is None else out.unionByName(scored)
+    return out
+
+
+def similarity_ann_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return ann_recall(emb)
+
+
+def _ann_recall_sql() -> str:
+    """Oracle: the three registered searcher oracles inlined verbatim as
+    subqueries (all read ``embeddings`` directly — no source rewiring),
+    aligned per method against the shared exact truth."""
+    evals = []
+    for name, sql in (("ivf_nprobe1", _IVF_SQL),
+                      (f"ivf_nprobe{NPROBE}", _IVF_MULTIPROBE_SQL)):
+        evals.append(f"""
+SELECT '{name}' AS method, t.query_id,
+  CAST(COUNT(*) AS BIGINT) AS n_truth,
+  CAST(SUM(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hit
+FROM truth t LEFT JOIN (
+  SELECT query_id, match_id FROM ({sql})
+) a ON a.query_id = t.query_id AND a.match_id = t.match_id
+GROUP BY t.query_id""")
+    body = "\nUNION ALL\n".join(evals)
+    return f"""
+WITH truth AS MATERIALIZED (
+  SELECT query_id, match_id FROM ({_SIM_TOPK_SQL})
+)
+SELECT method, query_id, n_truth, n_hit,
+  CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+FROM ({body})
+"""
+
+
+register(QuerySpec(
+    "similarity_ann_recall", similarity_ann_recall_query, _ann_recall_sql(),
+    description="measured recall@k of the IVF searchers (nprobe=1 and "
+                f"multiprobe) vs ONE shared exact brute-force truth — "
+                "per-query exact-integer hit counts"))
+
+
 # --- product quantization (PQ) ANN ---------------------------------------------
 
 M_SUB = 4                  # subspaces
