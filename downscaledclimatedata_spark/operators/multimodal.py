@@ -2383,6 +2383,17 @@ JPEG_DC_A, JPEG_DC_B, JPEG_DC_C = 37, 101, 61
 JPEG_DC_MOD = 129           # dc in [-64, 64] after the -64 shift
 JPEG_CORRUPT_MOD = 17
 JPEG_QDC = 16               # dc quant step: DC-only block -> exactly 2*dc
+# 4:2:0 color path: chroma DC grids reuse the DC formula at shifted seeds
+JPEG_CB_SEED, JPEG_CR_SEED = 1, 2
+# fixed-point YCbCr->RGB (libjpeg-style 16-bit FIX constants). The
+# codec CONTRACT is integer arithmetic with floor division — float
+# rounding would diverge between the Python decoder and the SQL oracle.
+JPEG_FIX_RCR = 91881        # FIX(1.40200)
+JPEG_FIX_GCB = 22554        # FIX(0.34414)
+JPEG_FIX_GCR = 46802        # FIX(0.71414)
+JPEG_FIX_BCB = 116130       # FIX(1.77200)
+JPEG_FIX_HALF = 32768       # rounding bias before the >>16
+JPEG_FIX_K = 1 << 20        # positivity offset: floor-div == truncate-div
 
 _JPEG_ZIGZAG = (
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -2656,10 +2667,252 @@ def _build_jpeg_codecs():
         except (ValueError, IndexError, KeyError, struct.error):
             return None
 
-    return make_jpeg_dc, decode_jpeg_pixel_stats
+    def _segments_420(w, h):
+        """SOI..SOS headers for a 3-component 4:2:0 YCbCr frame: two
+        quant tables (0 luma / 1 chroma, same steps — the DC-only
+        2*dc+128 identity must hold for every plane), the canonical
+        DC/AC tables duplicated at th=1 so the chroma components
+        exercise the multi-table paths, interleaved scan."""
+        out = bytearray(b"\xff\xd8")                       # SOI
+        for tq in (0, 1):
+            out += b"\xff\xdb" + struct.pack(">H", 67) \
+                + bytes((tq,)) + bytes(QTAB)               # DQT x2
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) \
+            + bytes((1, 0x22, 0)) + bytes((2, 0x11, 1)) \
+            + bytes((3, 0x11, 1))                          # SOF0 4:2:0
+        for th in (0, 1):
+            out += b"\xff\xc4" \
+                + struct.pack(">H", 2 + 1 + 16 + len(DC_VALS)) \
+                + bytes((th,)) + bytes(DC_BITS) + bytes(DC_VALS)
+            out += b"\xff\xc4" \
+                + struct.pack(">H", 2 + 1 + 16 + len(AC_VALS)) \
+                + bytes((0x10 | th,)) + bytes(AC_BITS) + bytes(AC_VALS)
+        out += b"\xff\xda" + struct.pack(">HB", 12, 3) \
+            + bytes((1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))  # SOS
+        return out
+
+    def make_jpeg_420(y_grid, cb_grid, cr_grid, w, h,
+                      corrupt=False) -> bytes:
+        """Baseline 4:2:0 YCbCr JPEG from quantized-DC grids: ``y_grid``
+        is row-major over the (2*ceil(h/16)) x (2*ceil(w/16)) Y block
+        grid, the chroma grids over the ceil(h/16) x ceil(w/16) MCU
+        grid. Interleaved MCUs (Y x4, Cb, Cr), per-component DC
+        predictors."""
+        out = _segments_420(w, h)
+        if corrupt:
+            out += b"\xff\x00\xff\x00"  # undecodable all-ones stream
+        else:
+            mw, mh = -(-w // 16), -(-h // 16)
+            ybw = mw * 2
+            bw = _BitW()
+            prev = [0, 0, 0]
+
+            def _dc(comp, dc):
+                diff = dc - prev[comp]
+                prev[comp] = dc
+                c = _cat(diff)
+                code, ln = DC_ENC[c]
+                bw.put(code, ln)
+                if c:
+                    bw.put(_amp(diff, c), c)
+                code, ln = AC_ENC[0x00]         # EOB
+                bw.put(code, ln)
+
+            for my in range(mh):
+                for mx in range(mw):
+                    for r in range(2):
+                        for c in range(2):
+                            _dc(0, y_grid[(my * 2 + r) * ybw
+                                          + mx * 2 + c])
+                    _dc(1, cb_grid[my * mw + mx])
+                    _dc(2, cr_grid[my * mw + mx])
+            bw.flush()
+            out += bw.buf
+        out += b"\xff\xd9"                      # EOI
+        return bytes(out)
+
+    def decode_jpeg_420_stats(blob: bytes):
+        """(width, height, n_px, sum_r, sum_g, sum_b, pix_min, pix_max)
+        from a baseline 4:2:0 YCbCr JPEG — Huffman entropy decode,
+        per-component dequant + IDCT, nearest-neighbor chroma upsample,
+        fixed-point integer YCbCr->RGB — or None on any structural
+        defect."""
+        try:
+            blob = bytes(blob)
+            if blob[:2] != b"\xff\xd8":
+                return None
+            i = 2
+            qt: dict = {}
+            huffs: dict = {}
+            w = h = None
+            comps = None        # [(cid, hv, tq), ...] in SOF order
+            scan = None         # [(td, ta), ...] in SOS order
+            data = None
+            while i < len(blob):
+                if blob[i] != 0xFF:
+                    return None
+                m = blob[i + 1]
+                i += 2
+                if m == 0xD9:
+                    return None
+                ln = struct.unpack(">H", blob[i:i + 2])[0]
+                seg = blob[i + 2:i + ln]
+                if len(seg) != ln - 2:
+                    return None
+                if m == 0xDB:
+                    j = 0
+                    while j < len(seg):
+                        if seg[j] >> 4 != 0:
+                            return None
+                        qt[seg[j] & 15] = list(seg[j + 1:j + 65])
+                        if len(qt[seg[j] & 15]) != 64:
+                            return None
+                        j += 65
+                elif m == 0xC0:
+                    prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+                    if prec != 8 or nc != 3:
+                        return None
+                    comps = [(seg[6 + 3 * k], seg[7 + 3 * k],
+                              seg[8 + 3 * k]) for k in range(3)]
+                    if [c[1] for c in comps] != [0x22, 0x11, 0x11]:
+                        return None  # only the 4:2:0 layout
+                elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                           0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    return None
+                elif m == 0xC4:
+                    j = 0
+                    while j < len(seg):
+                        tc, th = seg[j] >> 4, seg[j] & 15
+                        bits = seg[j + 1:j + 17]
+                        nv = sum(bits)
+                        vals = seg[j + 17:j + 17 + nv]
+                        if len(vals) != nv:
+                            return None
+                        tbl, code, k = {}, 0, 0
+                        for L in range(1, 17):
+                            for _ in range(bits[L - 1]):
+                                tbl[(L, code)] = vals[k]
+                                k += 1
+                                code += 1
+                            code <<= 1
+                        huffs[(tc, th)] = tbl
+                        j += 17 + nv
+                elif m == 0xDA:
+                    if seg[0] != 3:
+                        return None
+                    scan = [(seg[2 + 2 * k] >> 4, seg[2 + 2 * k] & 15)
+                            for k in range(3)]
+                    j = i + ln
+                    data = bytearray()
+                    while j < len(blob) - 1:
+                        b0 = blob[j]
+                        if b0 == 0xFF:
+                            if blob[j + 1] == 0x00:
+                                data.append(0xFF)
+                                j += 2
+                                continue
+                            break
+                        data.append(b0)
+                        j += 1
+                    if blob[j:j + 2] != b"\xff\xd9":
+                        return None
+                    break
+                i += ln
+            if data is None or not w or not h or comps is None:
+                return None
+            br = _BitR(bytes(data))
+            mw, mh = -(-w // 16), -(-h // 16)
+            yp = [[0] * (mw * 16) for _ in range(mh * 16)]
+            cbp = [[0] * (mw * 8) for _ in range(mh * 8)]
+            crp = [[0] * (mw * 8) for _ in range(mh * 8)]
+            prev = [0, 0, 0]
+
+            def _block(comp):
+                """One 8x8: huffman DC+AC, dequant, IDCT -> rows."""
+                dct = huffs[(0, scan[comp][0])]
+                act = huffs[(1, scan[comp][1])]
+                q = qt[comps[comp][2]]
+                coef = [0] * 64
+                c = br.huff(dct)
+                if c > 11:
+                    raise ValueError("bad DC category")
+                diff = _extend(br.bits(c), c) if c else 0
+                prev[comp] += diff
+                coef[0] = prev[comp] * q[0]
+                k = 1
+                while k < 64:
+                    rs = br.huff(act)
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    s = rs & 15
+                    if k > 63 or not s:
+                        raise ValueError("bad AC run/size")
+                    coef[_JPEG_ZIGZAG[k]] = _extend(br.bits(s), s) * q[k]
+                    k += 1
+                out = [[0] * 8 for _ in range(8)]
+                for y in range(8):
+                    for x in range(8):
+                        v = 0.0
+                        for u in range(8):
+                            cu = C[u] * COS[x][u]
+                            for t in range(8):
+                                f = coef[t * 8 + u]
+                                if f:
+                                    v += C[t] * cu * COS[y][t] * f
+                        out[y][x] = min(255, max(0,
+                                                 int(round(v / 4)) + 128))
+                return out
+
+            for my in range(mh):
+                for mx in range(mw):
+                    for r in range(2):
+                        for c in range(2):
+                            blk = _block(0)
+                            oy, ox = (my * 2 + r) * 8, (mx * 2 + c) * 8
+                            for y in range(8):
+                                yp[oy + y][ox:ox + 8] = blk[y]
+                    for comp, plane in ((1, cbp), (2, crp)):
+                        blk = _block(comp)
+                        oy, ox = my * 8, mx * 8
+                        for y in range(8):
+                            plane[oy + y][ox:ox + 8] = blk[y]
+            K16 = JPEG_FIX_K << 16
+            sr = sg = sb = 0
+            pmin, pmax = 255, 0
+            for r in range(h):
+                for c in range(w):
+                    yv = yp[r][c]
+                    cb = cbp[r // 2][c // 2] - 128
+                    cr = crp[r // 2][c // 2] - 128
+                    red = yv + ((JPEG_FIX_RCR * cr + JPEG_FIX_HALF
+                                 + K16) // 65536 - JPEG_FIX_K)
+                    grn = yv - ((JPEG_FIX_GCB * cb + JPEG_FIX_GCR * cr
+                                 + JPEG_FIX_HALF + K16) // 65536
+                                - JPEG_FIX_K)
+                    blu = yv + ((JPEG_FIX_BCB * cb + JPEG_FIX_HALF
+                                 + K16) // 65536 - JPEG_FIX_K)
+                    red = min(255, max(0, red))
+                    grn = min(255, max(0, grn))
+                    blu = min(255, max(0, blu))
+                    sr += red
+                    sg += grn
+                    sb += blu
+                    pmin = min(pmin, red, grn, blu)
+                    pmax = max(pmax, red, grn, blu)
+            return (w, h, w * h, sr, sg, sb, pmin, pmax)
+        except (ValueError, IndexError, KeyError, struct.error):
+            return None
+
+    return (make_jpeg_dc, decode_jpeg_pixel_stats,
+            make_jpeg_420, decode_jpeg_420_stats)
 
 
-make_jpeg_dc, decode_jpeg_pixel_stats = _build_jpeg_codecs()
+(make_jpeg_dc, decode_jpeg_pixel_stats,
+ make_jpeg_420, decode_jpeg_420_stats) = _build_jpeg_codecs()
 
 
 def jpeg_dc_value(d: int, by: int, bx: int) -> int:
@@ -2770,3 +3023,141 @@ register(QuerySpec("multimodal_decode_jpeg_pixels",
                                "entropy decode + dequant + IDCT from "
                                "known-coefficient payloads; corrupt "
                                "streams -> NULL row"))
+
+
+def synthesize_jpeg_color_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real 4:2:0 YCbCr baseline JPEG: interleaved MCUs
+    (Y x4, Cb, Cr), two quant tables, chroma components on the th=1
+    Huffman tables, per-component DC predictors; DC grids derived from
+    doc_id (chroma at seed-shifted d). Every JPEG_CORRUPT_MOD-th doc
+    gets an undecodable all-ones entropy stream."""
+    mk, dcv = make_jpeg_420, jpeg_dc_value
+    wb, wm, hb, hm = JPEG_W_BASE, JPEG_W_MOD, JPEG_H_BASE, JPEG_H_MOD
+    cbs, crs, cmod = JPEG_CB_SEED, JPEG_CR_SEED, JPEG_CORRUPT_MOD
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                w, h = wb + d % wm, hb + d % hm
+                mw, mh = -(-w // 16), -(-h // 16)
+                yg = [dcv(d, by, bx)
+                      for by in range(mh * 2) for bx in range(mw * 2)]
+                cbg = [dcv(d + cbs, my, mx)
+                       for my in range(mh) for mx in range(mw)]
+                crg = [dcv(d + crs, my, mx)
+                       for my in range(mh) for mx in range(mw)]
+                payloads.append(mk(yg, cbg, crg, w, h,
+                                   corrupt=(d % cmod == 0)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(_synth,
+                                           "doc_id long, payload binary")
+
+
+def decode_jpeg_color(df: DataFrame) -> DataFrame:
+    """REAL 4:2:0 color decode: entropy decode all six blocks per MCU,
+    per-component dequant + IDCT, nearest chroma upsample, fixed-point
+    integer YCbCr->RGB; per-image channel stats. Corrupt payloads
+    yield a NULL-stats row (SURVEY §2 T7)."""
+    dec = decode_jpeg_420_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("width", "height", "n_px", "sum_r", "sum_g",
+                     "sum_b", "pix_min", "pix_max")}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 8
+                for k, v in zip(cols, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "n_px": pd.array(cols["n_px"], dtype="Int32"),
+                "sum_r": pd.array(cols["sum_r"], dtype="Int64"),
+                "sum_g": pd.array(cols["sum_g"], dtype="Int64"),
+                "sum_b": pd.array(cols["sum_b"], dtype="Int64"),
+                "pix_min": pd.array(cols["pix_min"], dtype="Int32"),
+                "pix_max": pd.array(cols["pix_max"], dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(
+        _decode, PNG_RGB_SCHEMA)
+
+
+def multimodal_decode_jpeg_color_query(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Real 4:2:0 color JPEG end-to-end: synthesize genuine interleaved
+    YCbCr payloads, decode OUT OF THE BYTES (multi-table Huffman, six
+    blocks per MCU, chroma upsample, fixed-point RGB), aggregate
+    channel stats. The oracle recomputes everything from the DC formula
+    + the SAME integer RGB arithmetic, so a green row proves the whole
+    color pipeline."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_jpeg_color(synthesize_jpeg_color_payloads(docs))
+
+
+def _jpeg_color_sql() -> str:
+    clamp = "least(greatest({0}, 0), 255)"
+    ydc = (f"((d * {JPEG_DC_A} + ((i // width) // 8) * {JPEG_DC_B}"
+           f" + ((i % width) // 8) * {JPEG_DC_C}) % {JPEG_DC_MOD} - 64)")
+    cbdc = (f"(((d + {JPEG_CB_SEED}) * {JPEG_DC_A}"
+            f" + ((i // width) // 16) * {JPEG_DC_B}"
+            f" + ((i % width) // 16) * {JPEG_DC_C})"
+            f" % {JPEG_DC_MOD} - 64)")
+    crdc = (f"(((d + {JPEG_CR_SEED}) * {JPEG_DC_A}"
+            f" + ((i // width) // 16) * {JPEG_DC_B}"
+            f" + ((i % width) // 16) * {JPEG_DC_C})"
+            f" % {JPEG_DC_MOD} - 64)")
+    yv = clamp.format(f"2 * {ydc} + 128")
+    cb = f"({clamp.format(f'2 * {cbdc} + 128')} - 128)"
+    cr = f"({clamp.format(f'2 * {crdc} + 128')} - 128)"
+    k16 = JPEG_FIX_K << 16
+    red = clamp.format(
+        f"{yv} + (({JPEG_FIX_RCR} * {cr} + {JPEG_FIX_HALF} + {k16})"
+        f" // 65536 - {JPEG_FIX_K})")
+    grn = clamp.format(
+        f"{yv} - (({JPEG_FIX_GCB} * {cb} + {JPEG_FIX_GCR} * {cr}"
+        f" + {JPEG_FIX_HALF} + {k16}) // 65536 - {JPEG_FIX_K})")
+    blu = clamp.format(
+        f"{yv} + (({JPEG_FIX_BCB} * {cb} + {JPEG_FIX_HALF} + {k16})"
+        f" // 65536 - {JPEG_FIX_K})")
+    return f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST({JPEG_W_BASE} + abs(doc_id) % {JPEG_W_MOD} AS INT) AS width,
+    CAST({JPEG_H_BASE} + abs(doc_id) % {JPEG_H_MOD} AS INT) AS height
+  FROM documents
+), px AS (
+  SELECT doc_id, width, height,
+    list_transform(range(0, width * height), i -> {red}) AS rv,
+    list_transform(range(0, width * height), i -> {grn}) AS gv,
+    list_transform(range(0, width * height), i -> {blu}) AS bv
+  FROM p WHERE d % {JPEG_CORRUPT_MOD} <> 0
+)
+SELECT doc_id, width, height, CAST(width * height AS INT) AS n_px,
+  CAST(list_sum(rv) AS BIGINT) AS sum_r,
+  CAST(list_sum(gv) AS BIGINT) AS sum_g,
+  CAST(list_sum(bv) AS BIGINT) AS sum_b,
+  CAST(least(list_min(rv), list_min(gv), list_min(bv)) AS INT) AS pix_min,
+  CAST(greatest(list_max(rv), list_max(gv), list_max(bv)) AS INT) AS pix_max
+FROM px
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM p WHERE d % {JPEG_CORRUPT_MOD} = 0
+"""
+
+
+register(QuerySpec("multimodal_decode_jpeg_color",
+                   multimodal_decode_jpeg_color_query,
+                   _jpeg_color_sql(),
+                   description="real 4:2:0 YCbCr JPEG color decode: "
+                               "interleaved-MCU entropy decode, chroma "
+                               "upsample, fixed-point integer RGB; "
+                               "corrupt streams -> NULL row"))

@@ -747,3 +747,86 @@ def test_jpeg_decode_through_spark(spark):
               for y in range(h) for x in range(w)]
         assert (r.width, r.height, r.n_px, r.pix_sum, r.pix_min,
                 r.pix_max) == (w, h, w * h, sum(px), min(px), max(px))
+
+
+def _rgb_ref(d, w, h):
+    """Independent fixed-point RGB reference for the 4:2:0 synth."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        JPEG_CB_SEED, JPEG_CR_SEED, JPEG_FIX_BCB, JPEG_FIX_GCB,
+        JPEG_FIX_GCR, JPEG_FIX_HALF, JPEG_FIX_K, JPEG_FIX_RCR,
+        jpeg_dc_value)
+    k16 = JPEG_FIX_K << 16
+    sr = sg = sb = 0
+    pmin, pmax = 255, 0
+    for r in range(h):
+        for c in range(w):
+            yv = min(255, max(0, 2 * jpeg_dc_value(d, r // 8, c // 8) + 128))
+            cb = min(255, max(0, 2 * jpeg_dc_value(
+                d + JPEG_CB_SEED, r // 16, c // 16) + 128)) - 128
+            cr = min(255, max(0, 2 * jpeg_dc_value(
+                d + JPEG_CR_SEED, r // 16, c // 16) + 128)) - 128
+            red = min(255, max(0, yv + ((JPEG_FIX_RCR * cr + JPEG_FIX_HALF
+                                         + k16) // 65536 - JPEG_FIX_K)))
+            grn = min(255, max(0, yv - ((JPEG_FIX_GCB * cb
+                                         + JPEG_FIX_GCR * cr
+                                         + JPEG_FIX_HALF + k16) // 65536
+                                        - JPEG_FIX_K)))
+            blu = min(255, max(0, yv + ((JPEG_FIX_BCB * cb + JPEG_FIX_HALF
+                                         + k16) // 65536 - JPEG_FIX_K)))
+            sr += red
+            sg += grn
+            sb += blu
+            pmin = min(pmin, red, grn, blu)
+            pmax = max(pmax, red, grn, blu)
+    return (w, h, w * h, sr, sg, sb, pmin, pmax)
+
+
+def test_jpeg_420_codec_roundtrip_and_corruption():
+    """4:2:0 encoder -> decoder roundtrip: six blocks per MCU across
+    multi-MCU grids and odd (chroma-boundary) sizes reproduce the
+    analytic fixed-point RGB model exactly; corrupt entropy, truncation
+    and grayscale frames return None."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_jpeg_420_stats, jpeg_dc_value, make_jpeg_420)
+
+    for d, w, h in [(1, 8, 8), (5, 17, 9), (123, 28, 20), (77, 16, 16),
+                    (999983, 23, 13)]:
+        mw, mh = -(-w // 16), -(-h // 16)
+        yg = [jpeg_dc_value(d, by, bx)
+              for by in range(mh * 2) for bx in range(mw * 2)]
+        cbg = [jpeg_dc_value(d + 1, my, mx)
+               for my in range(mh) for mx in range(mw)]
+        crg = [jpeg_dc_value(d + 2, my, mx)
+               for my in range(mh) for mx in range(mw)]
+        blob = make_jpeg_420(yg, cbg, crg, w, h)
+        assert decode_jpeg_420_stats(blob) == _rgb_ref(d, w, h)
+    good = make_jpeg_420([0] * 4, [0], [0], 8, 8)
+    assert decode_jpeg_420_stats(
+        make_jpeg_420([0] * 4, [0], [0], 8, 8, corrupt=True)) is None
+    assert decode_jpeg_420_stats(good[:40]) is None
+    # a GRAYSCALE frame must be rejected by the color decoder (and the
+    # color frame by the grayscale decoder): each path validates SOF
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_jpeg_pixel_stats, make_jpeg_dc)
+    assert decode_jpeg_420_stats(make_jpeg_dc([10], 8, 8)) is None
+    assert decode_jpeg_pixel_stats(good) is None
+
+
+def test_jpeg_color_decode_through_spark(spark):
+    """4:2:0 end-to-end through mapInPandas: channel stats match the
+    fixed-point reference; corrupt docs yield NULL rows."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        JPEG_CORRUPT_MOD, JPEG_H_BASE, JPEG_H_MOD, JPEG_W_BASE,
+        JPEG_W_MOD, decode_jpeg_color, synthesize_jpeg_color_payloads)
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    rows = {r.doc_id: r for r in decode_jpeg_color(
+        synthesize_jpeg_color_payloads(docs)).collect()}
+    assert len(rows) == 40
+    for d, r in rows.items():
+        if d % JPEG_CORRUPT_MOD == 0:
+            assert r.width is None and r.sum_r is None
+            continue
+        w, h = JPEG_W_BASE + d % JPEG_W_MOD, JPEG_H_BASE + d % JPEG_H_MOD
+        assert (r.width, r.height, r.n_px, r.sum_r, r.sum_g, r.sum_b,
+                r.pix_min, r.pix_max) == _rgb_ref(d, w, h)
