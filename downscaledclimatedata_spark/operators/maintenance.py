@@ -195,3 +195,120 @@ register(QuerySpec(
     description="incremental view maintenance: base+delta mergeable agg "
                 "state (count/sum-cents/min/max) must equal the one-shot "
                 "aggregate — merge algebra oracle-checked"))
+
+
+# --- Z-order (Morton) layout clustering -----------------------------------------
+
+ZORDER_BITS = 16        # per-dimension resolution (32-bit z keys)
+ZORDER_BUCKETS = 64     # top 6 z-bits -> 3 high bits per dimension
+
+
+def zorder_key(a, b, bits: int = ZORDER_BITS):
+    """Morton interleave of two normalized nonnegative int columns —
+    even bits from ``a``, odd bits from ``b``. Pure Catalyst bit ops
+    (unrolled ``bits`` times), no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        # Column.bitwiseOR, not `|` (PySpark maps `|` to boolean OR)
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(a, i)
+                        .bitwiseAND(F.lit(1)).cast("long"), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(b, i)
+                        .bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1))
+    return z
+
+
+def zorder_layout_stats(df: DataFrame, col_a: str, col_b: str,
+                        bits: int = ZORDER_BITS,
+                        n_buckets: int = ZORDER_BUCKETS) -> DataFrame:
+    """Per-bucket locality report for a Z-ORDER file layout: normalize
+    both dimensions to ``bits``-bit grids (exact integer min/max
+    scaling), Morton-interleave, split the key space into ``n_buckets``
+    contiguous ranges (= the files a `repartitionByRange(z) +
+    sortWithinPartitions(z)` write would produce), and report each
+    bucket's row count and RAW min/max/span per dimension.
+
+    This is the number that justifies the layout: every bucket's span
+    is structurally <= range / 2^(log2(n_buckets)/2) in BOTH dimensions
+    (each top z-bit pair constrains one bit of each dim), so parquet
+    row-group min/max pruning skips files for predicates on EITHER
+    column — the multi-dimensional clustering a single-column sort
+    cannot give (sorting by a leaves b's span at ~full range per file).
+
+    Scale: two scalar aggregates (broadcast bounds), one narrow
+    projection (the unrolled interleave is whole-stage-codegen'd), one
+    ``n_buckets``-group aggregate with map-side partial combine. The
+    layout WRITE this models is `repartitionByRange` on z — a single
+    range shuffle, the same cost as any global sort the table was
+    getting anyway.
+    """
+    zmax = (1 << (2 * bits)) // n_buckets
+    bounds = F.broadcast(df.agg(
+        F.min(col_a).alias("min_a"), F.max(col_a).alias("max_a"),
+        F.min(col_b).alias("min_b"), F.max(col_b).alias("max_b")))
+    top = (1 << bits) - 1
+    na = F.expr(f"CAST((({col_a} - min_a) * {top}) "
+                f"div greatest(max_a - min_a, 1) AS BIGINT)")
+    nb = F.expr(f"CAST((({col_b} - min_b) * {top}) "
+                f"div greatest(max_b - min_b, 1) AS BIGINT)")
+    z = zorder_key(na, nb, bits)
+    return (df.crossJoin(bounds)
+            .select(F.col(col_a).alias("a"), F.col(col_b).alias("b"),
+                    (z / F.lit(zmax)).cast("long").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("a").alias("min_a"), F.max("a").alias("max_a"),
+                 F.min("b").alias("min_b"), F.max("b").alias("max_b"))
+            .select("bucket", "n_rows", "min_a", "max_a", "min_b",
+                    "max_b",
+                    (F.col("max_a") - F.col("min_a")).alias("span_a"),
+                    (F.col("max_b") - F.col("min_b")).alias("span_b")))
+
+
+def maintenance_zorder_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order locality of orders over (o_custkey, order epoch-day) —
+    the two columns an orders table is actually filtered by."""
+    orders = load_table_parallel(spark, sf_dir, "orders", key="o_orderkey")
+    df = orders.select(
+        F.col("o_custkey"),
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("long")
+        .alias("o_day"))
+    return zorder_layout_stats(df, "o_custkey", "o_day")
+
+
+def _zorder_sql() -> str:
+    top = (1 << ZORDER_BITS) - 1
+    zmax = (1 << (2 * ZORDER_BITS)) // ZORDER_BUCKETS
+    na = f"(((a - b0.min_a) * {top}) // greatest(b0.max_a - b0.min_a, 1))"
+    nb = f"(((b - b0.min_b) * {top}) // greatest(b0.max_b - b0.min_b, 1))"
+    z = " | ".join(
+        [f"((({na} >> {i}) & 1) << {2 * i})" for i in range(ZORDER_BITS)]
+        + [f"((({nb} >> {i}) & 1) << {2 * i + 1})"
+           for i in range(ZORDER_BITS)])
+    return f"""
+WITH pts AS (
+  SELECT o_custkey AS a,
+    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS b
+  FROM orders
+), b0 AS (
+  SELECT MIN(a) AS min_a, MAX(a) AS max_a,
+         MIN(b) AS min_b, MAX(b) AS max_b FROM pts
+), keyed AS (
+  SELECT a, b, ({z}) // {zmax} AS bucket FROM pts, b0
+)
+SELECT bucket, COUNT(*) AS n_rows,
+  MIN(a) AS min_a, MAX(a) AS max_a,
+  MIN(b) AS min_b, MAX(b) AS max_b,
+  MAX(a) - MIN(a) AS span_a, MAX(b) - MIN(b) AS span_b
+FROM keyed GROUP BY bucket
+"""
+
+
+register(QuerySpec(
+    "maintenance_zorder", maintenance_zorder_query, _zorder_sql(),
+    description=f"Z-order layout clustering: Morton-interleaved "
+                f"{ZORDER_BITS}-bit dims -> {ZORDER_BUCKETS} contiguous "
+                "key ranges; per-bucket raw min/max/span certifies "
+                "BOTH-dimension file-skipping locality"))

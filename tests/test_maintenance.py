@@ -112,3 +112,44 @@ def test_merge_agg_state_handles_one_sided_keys(spark):
     again = {r.k: r for r in merge_agg_state(
         agg_state(base, "k", "v"), empty, "k").collect()}
     assert again["a"].n == 2 and again["b"].n == 1
+
+
+def test_zorder_key_interleaves_bits():
+    """Hand-checked Morton values through a Spark projection."""
+    # a=0b11, b=0b01 -> z = a-even bits 1,1 at 0,2; b bit 1 at 1 -> 0b0111
+    import downscaledclimatedata_spark.operators.maintenance as M
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame([(3, 1), (0, 0), (65535, 0), (0, 65535)],
+                               "a long, b long")
+    out = df.select(M.zorder_key(F.col("a"), F.col("b")).alias("z")) \
+        .collect()
+    zs = [r.z for r in out]
+    assert zs[0] == 0b0111
+    assert zs[1] == 0
+    assert zs[2] == sum(1 << (2 * i) for i in range(16))       # even bits
+    assert zs[3] == sum(1 << (2 * i + 1) for i in range(16))   # odd bits
+
+
+def test_zorder_buckets_localize_both_dimensions(spark):
+    """The property that justifies the layout: with 64 buckets (3 top
+    bits per dim), every bucket's span is structurally ~range/8 in BOTH
+    dimensions — a single-column sort leaves the other dim at ~full
+    range."""
+    import random
+    from downscaledclimatedata_spark.operators.maintenance import (
+        zorder_layout_stats)
+    rng = random.Random(7)
+    rows = [(rng.randrange(100000), rng.randrange(5000))
+            for _ in range(20000)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    stats = zorder_layout_stats(df, "a", "b").collect()
+    range_a = max(r[0] for r in rows) - min(r[0] for r in rows)
+    range_b = max(r[1] for r in rows) - min(r[1] for r in rows)
+    # weight by rows: dominant mass must sit in tight buckets
+    tot = sum(r.n_rows for r in stats)
+    avg_a = sum(r.span_a * r.n_rows for r in stats) / tot
+    avg_b = sum(r.span_b * r.n_rows for r in stats) / tot
+    assert avg_a <= range_a / 4, (avg_a, range_a)
+    assert avg_b <= range_b / 4, (avg_b, range_b)
