@@ -2440,3 +2440,135 @@ register(QuerySpec(
     "dedup_source_overlap", dedup_source_overlap_query, _SOURCE_OVERLAP_SQL,
     description="source-pair syndication map: exact Jaccard of distinct "
                 "shingle sets per source pair — feed-level dedup triage"))
+
+
+# --- content-defined chunking (CDC) dedup ---------------------------------------
+
+CDC_W = 4        # boundary window: tokens s..s+3 decide a cut at s
+CDC_D = 16       # boundary divisor: expected chunk length ~ D tokens
+
+
+def cdc_chunk_stats(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", w: int = CDC_W,
+                    d: int = CDC_D) -> DataFrame:
+    """Content-defined chunking dedup (the LBFS/storage-dedup classic,
+    applied to the token stream): cut each document where the hash of
+    the ``w``-token window starting at a position is divisible by
+    ``d``, hash each chunk, and report how much of every doc is
+    duplicate chunk mass across the corpus.
+
+    Content-defined beats fixed-size chunking because an insertion
+    shifts ALL fixed-size chunk boundaries after it, but only the one
+    CDC chunk containing the edit — shared suffixes keep identical
+    chunk hashes, so near-identical docs dedup at sub-document
+    granularity without any pair enumeration.
+
+    Per-doc output: ``n_chunks``, ``n_dup_chunks`` (chunks whose hash
+    appears in >= 2 docs), ``dup_tokens`` (their token mass),
+    ``total_tokens``.
+
+    Scale: boundary detection, chunk splitting, and chunk hashing are
+    ALL per-row array expressions (no window function, no per-doc
+    shuffle — unlike a running-sum formulation, the boundary list is a
+    single ``filter`` over the index range). The only wide steps are
+    the chunk-hash occurrence aggregate (8-byte keys, map-side partial
+    combine) and the merge-pinned join back; the final aggregate is
+    doc-keyed. Exactly the repeated_spans class.
+    """
+    toked = docs.select(
+        F.col(id_col),
+        F.filter(F.split(F.lower(F.col(text_col)), WS_RE),
+                 lambda x: x != "").alias("t")) \
+        .filter(F.size("t") > 0)
+    t = F.col("t")
+    n = F.size(t)
+    win_hash = lambda s: md5_long(  # noqa: E731 — w-token window at s
+        F.concat_ws(" ", F.slice(t, s, w)))
+    # interior cut positions: 1-based starts s in [2, n-w+1] whose
+    # window hash divides d; chunk starts = [1] + cuts
+    cuts = F.when(
+        n >= w + 1,
+        F.filter(F.sequence(F.lit(2), n - (w - 1)),
+                 lambda s: win_hash(s) % d == 0)
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)), cuts)
+    ends = F.concat(cuts, F.array(n + 1))  # exclusive chunk ends
+    chunks = F.zip_with(
+        starts, ends,
+        lambda s, e: F.struct(
+            md5_long(F.concat_ws(" ", F.slice(t, s, e - s)))
+            .alias("chunk_hash"),
+            (e - s).cast("long").alias("chunk_len")))
+    ch = (toked.select(F.col(id_col), n.alias("total_tokens"),
+                       F.explode(chunks).alias("c"))
+          .select(id_col, "total_tokens", "c.chunk_hash", "c.chunk_len"))
+    occ = (ch.groupBy("chunk_hash")
+           .agg(F.countDistinct(id_col).alias("n_docs")))
+    return (ch.join(occ.hint("merge"), "chunk_hash")
+            .groupBy(id_col)
+            .agg(F.first("total_tokens").alias("total_tokens"),
+                 F.count("*").alias("n_chunks"),
+                 F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+                 .cast("long").alias("n_dup_chunks"),
+                 F.sum(F.when(F.col("n_docs") >= 2, F.col("chunk_len"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("dup_tokens"))
+            .select(id_col, "n_chunks", "n_dup_chunks", "dup_tokens",
+                    F.col("total_tokens").cast("long")
+                    .alias("total_tokens")))
+
+
+def dedup_cdc_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return cdc_chunk_stats(docs)
+
+
+def _cdc_sql() -> str:
+    wh = md5_long_sql(f"array_to_string(t[s:s+{CDC_W - 1}], ' ')")
+    chash = md5_long_sql("array_to_string(t[st:fin], ' ')")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
+  FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+), bounded AS (
+  SELECT doc_id, t, n,
+    [1] || CASE WHEN n >= {CDC_W + 1} THEN
+      list_filter(range(2, n - {CDC_W - 1} + 1), s -> ({wh}) % {CDC_D} = 0)
+    ELSE [] END AS starts
+  FROM sized
+), chunks AS (
+  SELECT doc_id, t, n AS total_tokens,
+    starts[i] AS st,
+    coalesce(starts[i + 1], n + 1) - 1 AS fin
+  FROM bounded, LATERAL (
+    SELECT UNNEST(range(1, len(starts) + 1)) AS i) ix
+), hashed AS (
+  SELECT doc_id, total_tokens, {chash} AS chunk_hash,
+    fin - st + 1 AS chunk_len
+  FROM chunks
+), occ AS (
+  SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs
+  FROM hashed GROUP BY chunk_hash
+)
+SELECT h.doc_id,
+  COUNT(*) AS n_chunks,
+  CAST(SUM(CASE WHEN o.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_chunks,
+  CAST(SUM(CASE WHEN o.n_docs >= 2 THEN h.chunk_len ELSE 0 END) AS BIGINT)
+    AS dup_tokens,
+  CAST(MIN(h.total_tokens) AS BIGINT) AS total_tokens
+FROM hashed h JOIN occ o ON o.chunk_hash = h.chunk_hash
+GROUP BY h.doc_id
+"""
+
+
+register(QuerySpec(
+    "dedup_cdc_chunks", dedup_cdc_chunks_query, _cdc_sql(),
+    description=f"content-defined chunking dedup: hash-gated cuts "
+                f"(window {CDC_W}, divisor {CDC_D}) -> chunk-hash "
+                "occurrence dictionary -> per-doc duplicate chunk "
+                "mass; all chunking is per-row array math, no window "
+                "functions"))

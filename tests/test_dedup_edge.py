@@ -306,3 +306,51 @@ def test_span_scrub_overlapping_windows_cover_union(spark):
     out = {r.doc_id: r for r in span_scrub(docs).collect()}
     assert out[1].scrubbed_text == "keep1 keep2" and out[1].n_removed == 6
     assert out[2].scrubbed_text == "other words here"
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """The CDC property: one token inserted at the front shifts every
+    fixed-size boundary but only the FIRST content-defined chunk —
+    later chunks keep identical hashes, so the two docs share duplicate
+    chunk mass at sub-document granularity."""
+    import hashlib
+    import random
+    from downscaledclimatedata_spark.operators.dedup import (
+        CDC_D, CDC_W, cdc_chunk_stats)
+
+    rng = random.Random(3)
+    base = [f"w{rng.randrange(5000)}" for _ in range(400)]
+
+    def cuts(toks):
+        out = []
+        for s in range(2, len(toks) - CDC_W + 2):       # 1-based starts
+            win = " ".join(toks[s - 1:s - 1 + CDC_W])
+            h = int(hashlib.md5(win.encode()).hexdigest()[:15], 16)
+            if h % CDC_D == 0:
+                out.append(s)
+        return out
+
+    assert len(cuts(base)) >= 3, "need a multi-chunk doc for the test"
+    docs = spark.createDataFrame(
+        [(1, " ".join(base)), (2, "inserted " + " ".join(base))],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in cdc_chunk_stats(docs).collect()}
+    # all chunks after the first shared cut are identical across docs
+    assert out[1].n_dup_chunks >= 2 and out[2].n_dup_chunks >= 2
+    assert out[1].dup_tokens == out[2].dup_tokens > 0
+    # and unrelated docs share nothing
+    docs2 = spark.createDataFrame(
+        [(1, " ".join(base)),
+         (2, " ".join(f"z{rng.randrange(5000)}" for _ in range(300)))],
+        "doc_id long, text string")
+    out2 = {r.doc_id: r for r in cdc_chunk_stats(docs2).collect()}
+    assert out2[1].n_dup_chunks == 0 and out2[2].n_dup_chunks == 0
+
+
+def test_cdc_short_doc_is_one_chunk(spark):
+    from downscaledclimatedata_spark.operators.dedup import cdc_chunk_stats
+    docs = spark.createDataFrame([(1, "just three tokens")],
+                                 "doc_id long, text string")
+    (row,) = cdc_chunk_stats(docs).collect()
+    assert row.n_chunks == 1 and row.total_tokens == 3
+    assert row.n_dup_chunks == 0 and row.dup_tokens == 0
