@@ -1732,6 +1732,133 @@ register(QuerySpec("similarity_ivfpq_topk", similarity_ivfpq_query,
                                "pruning + compressed-domain ADC scoring"))
 
 
+def l2_topk_exact(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding", k: int = TOP_K,
+                  query_mod: int = QUERY_MOD,
+                  n_queries: int = N_QUERIES) -> DataFrame:
+    """Exact brute-force squared-L2 top-k — the ground truth the
+    L2-metric searchers (PQ / rerank / IVF-PQ) are measured against,
+    exactly as :func:`cosine_topk_quantized` is the cosine truth.
+    Exact integer distances on the quantized grid; N x n_queries with
+    a broadcast query relation."""
+    from pyspark.sql import Window
+    base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
+    queries = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
+               .select(F.col(id_col).alias("query_id"),
+                       F.col("qv").alias("qq")))
+    scored = (base.withColumnRenamed(id_col, "match_id")
+              .crossJoin(F.broadcast(queries))
+              .filter(F.col("match_id") != F.col("query_id"))
+              .select("query_id", "match_id",
+                      _sq_l2(F.col("qq"), F.col("qv")).alias("l2_dist")))
+    w = Window.partitionBy("query_id").orderBy("l2_dist", "match_id")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "match_id", "l2_dist", "rnk"))
+
+
+def similarity_l2_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return l2_topk_exact(emb)
+
+
+_L2_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings
+), scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS match_id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}),
+      i -> (qs.qv[i] - c.qv[i]) * (qs.qv[i] - c.qv[i]))) AS BIGINT)
+      AS l2_dist
+  FROM q qs JOIN q c ON c.vec_id <> qs.vec_id
+  WHERE {_fixed_sample_sql('qs.vec_id', QUERY_MOD, N_QUERIES)}
+), ranked AS (
+  SELECT query_id, match_id, l2_dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY l2_dist, match_id) AS rnk
+  FROM scored
+)
+SELECT query_id, match_id, l2_dist, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+register(QuerySpec(
+    "similarity_l2_topk", similarity_l2_topk_query, _L2_TOPK_SQL,
+    description="exact brute-force squared-L2 top-k (integer-exact) — "
+                "the ground truth for the PQ searcher family"))
+
+
+def pq_recall(emb: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", k: int = TOP_K) -> DataFrame:
+    """Measured recall@k of the L2-metric searchers — plain PQ-ADC,
+    ADC-shortlist + exact rerank, and IVF-PQ — against ONE shared
+    exact squared-L2 truth; the companion of :func:`ann_recall` for
+    the compressed-domain family (how much recall does 4-subspace ADC
+    cost, how much does the rerank pool buy back, what does coarse
+    pruning add on top). Same shape: per-(method, query) exact-integer
+    hit counts; alignments are (n_queries x k)-row broadcasts."""
+    truth = (l2_topk_exact(emb, id_col, vec_col, k=k)
+             .select("query_id", "match_id").localCheckpoint())
+    methods = (
+        ("pq_adc", pq_topk(emb, id_col, vec_col, k=k)),
+        ("pq_rerank", pq_rerank(emb, id_col, vec_col, k=k)),
+        (f"ivfpq_nprobe{NPROBE}", ivfpq_topk(emb, id_col, vec_col, k=k)),
+    )
+    out = None
+    for name, approx in methods:
+        got = (approx.select("query_id", "match_id")
+               .withColumn("hit", F.lit(1)))
+        scored = (truth.join(F.broadcast(got), ["query_id", "match_id"],
+                             "left")
+                  .groupBy("query_id")
+                  .agg(F.count("*").alias("n_truth"),
+                       F.sum(F.coalesce("hit", F.lit(0))).cast("bigint")
+                       .alias("n_hit"))
+                  .select(F.lit(name).alias("method"), "query_id",
+                          "n_truth", "n_hit",
+                          (F.col("n_hit").cast("double")
+                           / F.col("n_truth").cast("double"))
+                          .alias("recall")))
+        out = scored if out is None else out.unionByName(scored)
+    return out
+
+
+def similarity_pq_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return pq_recall(emb)
+
+
+def _pq_recall_sql() -> str:
+    evals = []
+    for name, sql in (("pq_adc", _PQ_SQL),
+                      ("pq_rerank", _PQ_RERANK_SQL),
+                      (f"ivfpq_nprobe{NPROBE}", _ivfpq_sql())):
+        evals.append(f"""
+SELECT '{name}' AS method, t.query_id,
+  CAST(COUNT(*) AS BIGINT) AS n_truth,
+  CAST(SUM(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hit
+FROM truth t LEFT JOIN (
+  SELECT query_id, match_id FROM ({sql})
+) a ON a.query_id = t.query_id AND a.match_id = t.match_id
+GROUP BY t.query_id""")
+    body = "\nUNION ALL\n".join(evals)
+    return f"""
+WITH truth AS MATERIALIZED (
+  SELECT query_id, match_id FROM ({_L2_TOPK_SQL})
+)
+SELECT method, query_id, n_truth, n_hit,
+  CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+FROM ({body})
+"""
+
+
+register(QuerySpec(
+    "similarity_pq_recall", similarity_pq_recall_query, _pq_recall_sql(),
+    description="measured recall@k of the PQ family (ADC, rerank, "
+                "IVF-PQ) vs ONE shared exact squared-L2 truth — "
+                "per-query exact-integer hit counts"))
+
+
 # --- approximate kNN graph (all-vectors top-k neighbors) ------------------------
 
 KNN_K = 3
