@@ -1500,3 +1500,85 @@ register(QuerySpec("q75_trending_terms", q75_trending_terms, _Q75_SQL,
                    description="daily trending event types by exact count "
                                "acceleration: one corpus shuffle, then "
                                "low-cardinality windows"))
+
+
+# --- q77: type-2 slowly-changing dimension from the event change-log ---------
+
+SCD2_USER_MOD = 17  # deterministic 1/17 user sample bounds the output grain
+
+
+def q77_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from the events stream:
+    each user's activity-state history as versioned rows with
+    ``[effective_from, effective_to)`` validity and an ``is_current``
+    flag — the CDC-log -> warehouse-dimension build every nightly
+    pipeline runs.
+
+    Islands-and-gaps: per user ordered by (ts, event_id) — the
+    deterministic total order under duplicate timestamps — a lag()
+    marks rows where the state (event_type) CHANGES; consecutive runs
+    of the same state collapse into one version. A lead() over the
+    surviving version-start rows closes each interval; the last version
+    stays open (effective_to NULL, is_current true).
+
+    Scale: both windows partition by user_id — parallelism follows the
+    user population, no low-cardinality partitions. The run-collapse
+    filter drops most rows BEFORE the second window, so the lead pass
+    scans only version boundaries. The output keeps the version-row
+    grain for a deterministic 1/17 md5 user sample (mirrored in the
+    oracle); the predicate on the partition key pushes below both
+    windows, so sampled users never compute unsampled histories.
+    """
+    ev = _t(spark, sf_dir, "events").filter(
+        md5_long(F.col("user_id").cast("string"), "scd2") % SCD2_USER_MOD == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (ev
+               .withColumn("prev_state", F.lag("event_type").over(w))
+               .filter(F.col("prev_state").isNull()
+                       | (F.col("prev_state") != F.col("event_type"))))
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (changed
+            .withColumn("version_no",
+                        F.row_number().over(wv).cast("int"))
+            .withColumn("effective_to", F.lead("ts").over(wv))
+            .select("user_id",
+                    "version_no",
+                    F.col("event_type").alias("state"),
+                    F.col("ts").alias("effective_from"),
+                    "effective_to",
+                    F.col("effective_to").isNull().alias("is_current"))
+            .orderBy("user_id", "version_no"))
+
+
+_Q77_SQL = f"""
+WITH sampled AS (
+  SELECT * FROM events
+  WHERE {md5_long_sql("CAST(user_id AS VARCHAR)", "scd2")} % {SCD2_USER_MOD} = 0
+), marked AS (
+  SELECT user_id, ts, event_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_state
+  FROM sampled
+), starts AS (
+  SELECT user_id, ts, event_id, event_type FROM marked
+  WHERE prev_state IS NULL OR prev_state <> event_type
+), versioned AS (
+  SELECT user_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS INTEGER) AS version_no,
+    event_type AS state,
+    ts AS effective_from,
+    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS effective_to
+  FROM starts
+)
+SELECT user_id, version_no, state, effective_from, effective_to,
+  effective_to IS NULL AS is_current
+FROM versioned
+ORDER BY user_id, version_no
+"""
+
+register(QuerySpec("q77_scd2_history", q77_scd2_history, _Q77_SQL,
+                   description="type-2 SCD build from the event change-log: "
+                               "run-collapse + interval close, all windows "
+                               "user-keyed"))

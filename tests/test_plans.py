@@ -267,3 +267,50 @@ def test_corpus_drift_broadcast_totals_and_topn(spark):
     plan = _plan(spark, "text_corpus_drift")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q77_scd2_collapses_runs_and_chains_intervals(spark, tmp_path):
+    """Hand-built change-log: runs of the same state collapse into one
+    version, each version's effective_to equals the next version's
+    effective_from, the last version is open/current, and duplicate
+    timestamps order deterministically by event_id."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from downscaledclimatedata_spark.plans.advanced import (
+        SCD2_USER_MOD, q77_scd2_history)
+
+    # find a user id the 1/17 sample keeps
+    probe = spark.createDataFrame(
+        [(i,) for i in range(200)], "user_id bigint")
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+    from pyspark.sql import functions as F
+    uid = (probe.filter(
+        md5_long(F.col("user_id").cast("string"), "scd2")
+        % SCD2_USER_MOD == 0).limit(1).collect()[0][0])
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # run of 2x view -> one version
+        (1, t0, uid, "view", 0.0, ""),
+        (2, t0 + dt.timedelta(minutes=1), uid, "view", 0.0, ""),
+        # change to click; DUPLICATE ts with event 4 -> event_id breaks tie
+        (3, t0 + dt.timedelta(minutes=2), uid, "click", 0.0, ""),
+        (4, t0 + dt.timedelta(minutes=2), uid, "purchase", 0.0, ""),
+        # back to view (state may recur across versions)
+        (5, t0 + dt.timedelta(minutes=9), uid, "view", 0.0, ""),
+    ]
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    d = str(tmp_path)
+    pdf.to_parquet(f"{d}/events.parquet", index=False)
+
+    out = q77_scd2_history(spark, d).collect()
+    assert [(r.version_no, r.state) for r in out] == [
+        (1, "view"), (2, "click"), (3, "purchase"), (4, "view")]
+    # intervals chain: each effective_to == next effective_from
+    for a, b in zip(out, out[1:]):
+        assert a.effective_to == b.effective_from
+    assert out[-1].effective_to is None and out[-1].is_current
+    assert all(not r.is_current for r in out[:-1])
