@@ -573,3 +573,128 @@ register(QuerySpec("q53_udtf_word_positions", q53_udtf_word_positions, _Q53_SQL,
                    description="Python UDTF generator (LATERAL), oracle via split+unnest"))
 register(QuerySpec("q54_map_type_counts", q54_map_type_counts, _Q54_SQL,
                    description="MapType map_from_entries/size/element_at"))
+
+
+# --- q78: big-big interval lookup join via block bucketing -------------------
+
+IVL_WINDOWS = 48       # irregular [lo, hi) windows derived from the ts span
+IVL_BLOCKS_PER_W = 4   # target blocks per window => fan-out <= ~6
+
+
+def q78_interval_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval lookup join — assign every event to the irregular time
+    window containing its timestamp — executed as an EQUI-join on
+    fixed-width blocks, the pattern that makes range joins feasible
+    when BOTH sides are big.
+
+    Spark has no native range-join optimization: a raw
+    ``e.ts >= w.lo AND e.ts < w.hi`` join compiles to a
+    BroadcastNestedLoopJoin (O(N*W) comparisons, and impossible when
+    the window side outgrows a broadcast). The block rewrite maps each
+    event to block ``(t - lo) DIV B`` and explodes each window over the
+    <= width/B + 2 blocks it overlaps; the join becomes an equi-join on
+    the uniformly distributed block id plus a residual range filter.
+    Fan-out is bounded by construction (B is sized so a window covers
+    ~IVL_BLOCKS_PER_W blocks), and the shuffle keys are uniform —
+    no skew even when windows cluster. The join is pinned sort-merge
+    because at production scale BOTH sides are corpus-sized (a 48-row
+    dim would broadcast, hiding the plan under test).
+
+    Windows are generated in-plan (no collect): a single-row min/max
+    bounds aggregate is broadcast under the 48-row window skeleton,
+    widths are irregular via md5 weights (1..16 — small enough that
+    span_micros * total_weight stays inside int64 for multi-century
+    spans; DuckDB silently promotes to HUGEINT, ANSI Spark would
+    abort), and all boundary arithmetic is integer micros (DIV),
+    exact in both engines. The oracle runs the
+    same windows through a PLAIN range join — checking the bucketing
+    rewrite against the straightforward semantics it must preserve.
+    """
+    from pyspark.sql import Window
+
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("te"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    bounds = ev.agg(F.min("te").alias("lo"),
+                    (F.max("te") + 1).alias("hi")).filter(
+        F.col("lo").isNotNull())
+    skel = (spark.range(IVL_WINDOWS).select(
+        F.col("id").alias("window_id"),
+        (1 + md5_long(F.col("id").cast("string"), "ivl") % 16)
+        .alias("weight")))
+    cw = Window.orderBy("window_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = (skel
+           .withColumn("cum", F.sum("weight").over(cw))
+           .withColumn("total", F.sum("weight").over(
+               Window.partitionBy())))
+    win = (cum.crossJoin(F.broadcast(bounds)).select(
+        "window_id",
+        (F.col("lo") + F.expr(
+            "(hi - lo) * (cum - weight) DIV total")).alias("wlo"),
+        (F.col("lo") + F.expr("(hi - lo) * cum DIV total")).alias("whi"),
+        F.expr(f"(hi - lo) DIV {IVL_WINDOWS * IVL_BLOCKS_PER_W} + 1")
+        .alias("bsz"),
+        F.col("lo").alias("base"))
+        .filter(F.col("whi") > F.col("wlo")))
+    wblocks = win.select(
+        "window_id", "wlo", "whi",
+        F.explode(F.sequence(F.expr("(wlo - base) DIV bsz"),
+                             F.expr("(whi - 1 - base) DIV bsz")))
+        .alias("blk"),
+        "base", "bsz")
+    # block size must match the window side's: recompute from the same bounds
+    eblk = ev.crossJoin(F.broadcast(bounds)).select(
+        "te", "cents",
+        F.expr(f"(te - lo) DIV ((hi - lo) DIV {IVL_WINDOWS * IVL_BLOCKS_PER_W} + 1)")
+        .alias("blk"))
+    joined = (eblk.hint("merge")
+              .join(wblocks.hint("merge"), "blk")
+              .filter((F.col("te") >= F.col("wlo"))
+                      & (F.col("te") < F.col("whi"))))
+    return (joined.groupBy("window_id", "wlo", "whi")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("cents").alias("sum_value_cents"))
+            .orderBy("window_id"))
+
+
+def _q78_sql() -> str:
+    from downscaledclimatedata_spark.functions.hashing import md5_long_sql
+    w = md5_long_sql("CAST(i AS VARCHAR)", "ivl")
+    return f"""
+WITH bounds AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) + 1 AS hi FROM events
+), skel AS (
+  SELECT i AS window_id, 1 + {w} % 16 AS weight
+  FROM (SELECT unnest(generate_series(0, {IVL_WINDOWS - 1})) AS i)
+), cum AS (
+  SELECT window_id, weight,
+    CAST(SUM(weight) OVER (ORDER BY window_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+    CAST(SUM(weight) OVER () AS BIGINT) AS total
+  FROM skel
+), win AS (
+  SELECT window_id,
+    CAST(lo + (hi - lo) * (cum - weight) // total AS BIGINT) AS wlo,
+    CAST(lo + (hi - lo) * cum // total AS BIGINT) AS whi
+  FROM cum, bounds
+  WHERE lo IS NOT NULL
+)
+SELECT w.window_id, w.wlo, w.whi, COUNT(*) AS n_events,
+  CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+    AS sum_value_cents
+FROM win w JOIN events e
+  ON epoch_us(e.ts) >= w.wlo AND epoch_us(e.ts) < w.whi
+WHERE w.whi > w.wlo
+GROUP BY w.window_id, w.wlo, w.whi
+ORDER BY w.window_id
+"""
+
+
+register(QuerySpec("q78_interval_lookup", q78_interval_lookup, _q78_sql(),
+                   description="interval join as a block-bucketed equi-join: "
+                               "bounded fan-out, uniform shuffle keys, no "
+                               "BroadcastNestedLoopJoin; oracle is the plain "
+                               "range join"))

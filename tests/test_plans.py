@@ -314,3 +314,29 @@ def test_q77_scd2_collapses_runs_and_chains_intervals(spark, tmp_path):
         assert a.effective_to == b.effective_from
     assert out[-1].effective_to is None and out[-1].is_current
     assert all(not r.is_current for r in out[:-1])
+
+
+def test_q78_interval_join_is_block_bucketed_not_bnlj(spark):
+    """The interval lookup must compile to an equi-join on the block id
+    (sort-merge, the big-big plan), never a BroadcastNestedLoopJoin over
+    the raw range predicate."""
+    import re
+    plan = _plan(spark, "q78_interval_lookup")
+    assert "SortMergeJoin" in plan, "block equi-join must realize SMJ"
+    smj = re.search(r"^\(\d+\) SortMergeJoin\n(.*?)(?=^\(\d+\) )",
+                    plan, flags=re.MULTILINE | re.DOTALL).group(1)
+    assert "blk" in smj, f"SMJ must key on the block id: {smj}"
+    # BNLJ nodes are permitted ONLY as the condition-free single-row
+    # bounds attaches; the range predicate itself must never drive one.
+    for m in re.finditer(r"^\(\d+\) BroadcastNestedLoopJoin\n(.*?)(?=^\(\d+\) )",
+                         plan, flags=re.MULTILINE | re.DOTALL):
+        detail = m.group(1)
+        cond = next((l for l in detail.splitlines()
+                     if l.startswith("Join condition:")), "")
+        # Catalyst pushes derived constraints (isnotnull(blk), the
+        # windows-side whi > wlo validity filter) into the single-row
+        # bounds attaches — fine. What must never happen is the events-
+        # side range predicate (references te) driving a nested loop.
+        if any(op in cond for op in (">=", "<=", "< ", "> ")):
+            assert "te#" not in cond, (
+                f"event range predicate leaked into a nested-loop join: {cond}")
