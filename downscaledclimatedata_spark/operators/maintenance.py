@@ -312,3 +312,106 @@ register(QuerySpec(
                 f"{ZORDER_BITS}-bit dims -> {ZORDER_BUCKETS} contiguous "
                 "key ranges; per-bucket raw min/max/span certifies "
                 "BOTH-dimension file-skipping locality"))
+
+
+# --- one-pass column profiler -------------------------------------------------
+
+PROFILE_RENDER_LEN = 64  # profiling grain: values render as <= 64-char strings
+
+
+def table_profile(df: DataFrame, columns: list[str],
+                  render_len: int = PROFILE_RENDER_LEN) -> DataFrame:
+    """One-pass per-column data-quality profile: row/null/distinct counts,
+    rendered-length range, and the most frequent value — the profiling
+    report every ingestion pipeline runs before accepting a new drop.
+
+    Unpivot-based so the table is scanned ONCE for all columns: each row
+    explodes into (col, val) pairs with ``val`` rendered as a string
+    truncated to ``render_len`` chars (the profiler's documented grain —
+    distinct counts and top values are exact at that rendering, and the
+    shuffle never carries more than ``render_len`` chars per value no
+    matter how wide a text column is). The (col, val) aggregate
+    map-side combines, so the wide shuffle moves one row per DISTINCT
+    rendered value, not per input row; the per-column rollup then runs
+    over that distinct relation. Top-value ties break deterministically
+    on md5(val) — an ASCII hex comparison, immune to the UTF-16 (Spark)
+    vs UTF-8-byte (DuckDB) string-collation divergence on non-ASCII
+    values.
+    """
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("col"),
+                 F.substring(F.col(c).cast("string"), 1, render_len)
+                 .alias("val"))
+        for c in columns])).alias("p")).select("p.col", "p.val")
+    grouped = pairs.groupBy("col", "val").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    top = F.min(F.when(F.col("val").isNotNull(), F.struct(
+        (-F.col("cnt")).alias("nc"),
+        md5_long(F.col("val")).alias("h"),
+        F.col("val").alias("v"))))
+    return (grouped.groupBy("col").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.coalesce(F.sum(F.when(F.col("val").isNull(), F.col("cnt"))),
+                   F.lit(0)).alias("n_null"),
+        F.count(F.when(F.col("val").isNotNull(), F.lit(1)))
+        .alias("n_distinct"),
+        F.min(F.when(F.col("val").isNotNull(), F.length("val")))
+        .cast("int").alias("min_len"),
+        F.max(F.when(F.col("val").isNotNull(), F.length("val")))
+        .cast("int").alias("max_len"),
+        top.alias("_top"))
+        .select("col", "n_rows", "n_null", "n_distinct", "min_len",
+                "max_len",
+                F.col("_top.v").alias("top_value"),
+                (-F.col("_top.nc")).alias("top_count"))
+        .orderBy("col"))
+
+
+DOC_PROFILE_COLS = ("doc_id", "lang", "n_chars", "source", "text")
+
+
+def maintenance_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return table_profile(docs, list(DOC_PROFILE_COLS))
+
+
+def _profile_sql() -> str:
+    from downscaledclimatedata_spark.functions.hashing import md5_long_sql
+    unions = "\n  UNION ALL ".join(
+        f"SELECT '{c}' AS col, substr(CAST({c} AS VARCHAR), 1, "
+        f"{PROFILE_RENDER_LEN}) AS val FROM documents"
+        for c in DOC_PROFILE_COLS)
+    h = md5_long_sql("val")
+    return f"""
+WITH pairs AS (
+  {unions}
+), grouped AS (
+  SELECT col, val, COUNT(*) AS cnt FROM pairs GROUP BY col, val
+), rolled AS (
+  SELECT col,
+    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+    CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN cnt END), 0) AS BIGINT)
+      AS n_null,
+    CAST(COUNT(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT)
+      AS n_distinct,
+    CAST(MIN(CASE WHEN val IS NOT NULL THEN length(val) END) AS INTEGER)
+      AS min_len,
+    CAST(MAX(CASE WHEN val IS NOT NULL THEN length(val) END) AS INTEGER)
+      AS max_len,
+    MIN(CASE WHEN val IS NOT NULL THEN
+      struct_pack(nc := -cnt, h := {h}, v := val) END) AS top
+  FROM grouped GROUP BY col
+)
+SELECT col, n_rows, n_null, n_distinct, min_len, max_len,
+  top.v AS top_value, CAST(-top.nc AS BIGINT) AS top_count
+FROM rolled ORDER BY col
+"""
+
+
+register(QuerySpec(
+    "maintenance_table_profile", maintenance_profile_query, _profile_sql(),
+    description="one-pass unpivot column profiler: null/distinct/top-value "
+                "per column, single table scan, shuffle bounded by the "
+                "rendering grain"))

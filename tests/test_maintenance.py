@@ -153,3 +153,37 @@ def test_zorder_buckets_localize_both_dimensions(spark):
     avg_b = sum(r.span_b * r.n_rows for r in stats) / tot
     assert avg_a <= range_a / 4, (avg_a, range_a)
     assert avg_b <= range_b / 4, (avg_b, range_b)
+
+
+def test_table_profile_nulls_ties_and_truncation(spark):
+    """Hand-built frame: null accounting, deterministic tie-break on the
+    md5 of the rendered value, and the 64-char rendering grain."""
+    import pandas as pd
+
+    from downscaledclimatedata_spark.operators.maintenance import (
+        PROFILE_RENDER_LEN, table_profile)
+
+    long_a = "x" * 200  # same 64-char prefix as long_b -> one rendered value
+    long_b = "x" * 64 + "DIFFERENT-TAIL"
+    pdf = pd.DataFrame({
+        "k": ["a", "a", "b", None, "b"],
+        "t": [long_a, long_b, None, None, "short"],
+    })
+    out = {r["col"]: r for r in
+           table_profile(spark.createDataFrame(pdf), ["k", "t"]).collect()}
+
+    k = out["k"]
+    assert (k.n_rows, k.n_null, k.n_distinct) == (5, 1, 2)
+    # tie a=2 b=2 -> md5-hash tie-break, not raw collation
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+    from pyspark.sql import functions as F
+    ha, hb = (spark.range(1).select(
+        md5_long(F.lit("a")), md5_long(F.lit("b"))).collect()[0])
+    assert k.top_value == ("a" if ha < hb else "b") and k.top_count == 2
+
+    t = out["t"]
+    # long_a and long_b collapse at the rendering grain
+    assert t.n_distinct == 2 and t.top_count == 2
+    assert t.top_value == "x" * PROFILE_RENDER_LEN
+    assert (t.min_len, t.max_len) == (5, PROFILE_RENDER_LEN)
+    assert t.n_null == 2
