@@ -3161,3 +3161,184 @@ register(QuerySpec("multimodal_decode_jpeg_color",
                                "interleaved-MCU entropy decode, chroma "
                                "upsample, fixed-point integer RGB; "
                                "corrupt streams -> NULL row"))
+
+
+# --- real A-law (G.711) audio decode -------------------------------------------
+
+ALAW_RATE = 16000        # wideband-carrier rate, distinct from the mu-law spec
+ALAW_N_BASE = 48
+ALAW_N_MOD = 211
+ALAW_A = 2663
+ALAW_B = 69621
+ALAW_CORRUPT_MOD = 14
+
+
+def alaw_decode_sample(b: int) -> int:
+    """One 8-bit A-law byte -> linear 16-bit PCM (ITU-T G.711 A-law
+    expansion): XOR 0x55 toggle, split sign/segment/mantissa, expand —
+    segment 0 is the linear tail (16m + 8), higher segments shift the
+    chord (16m + 264) << (seg - 1). The SIGN BIT SET means POSITIVE in
+    A-law (opposite of mu-law). Pure integer formula — the SAME
+    expression the DuckDB oracle evaluates, so decoded PCM is
+    oracle-checked."""
+    u = b ^ 0x55
+    m = u & 0x0F
+    seg = (u >> 4) & 0x07
+    mag = (16 * m + 8) if seg == 0 else ((16 * m + 264) << (seg - 1))
+    return mag if (u & 0x80) else -mag
+
+
+def _build_alaw_codecs():
+    import struct
+
+    def make_alaw_wav(alaw_bytes: bytes, sample_rate: int = ALAW_RATE,
+                      fmt_tag: int = 6) -> bytes:
+        fmt = struct.pack("<HHIIHH", fmt_tag, 1, sample_rate, sample_rate,
+                          1, 8)
+        data = bytes(alaw_bytes)
+        chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(data)) + data
+                  + (b"\x00" if len(data) % 2 else b""))
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def decode_alaw_stats(blob: bytes):
+        try:
+            blob = bytes(blob)
+            if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+                return None
+            i, fmt, data = 12, None, None
+            while i + 8 <= len(blob):
+                cid = blob[i:i + 4]
+                (sz,) = struct.unpack("<I", blob[i + 4:i + 8])
+                body = blob[i + 8:i + 8 + sz]
+                if len(body) != sz:
+                    return None  # truncated chunk
+                if cid == b"fmt " and len(body) >= 16:
+                    tag, ch, sr, _, _, bits = struct.unpack("<HHIIHH",
+                                                            body[:16])
+                    fmt = (tag, ch, sr, bits)
+                elif cid == b"data":
+                    data = body
+                i += 8 + sz + (sz & 1)
+            if fmt is None or data is None:
+                return None
+            tag, ch, sr, bits = fmt
+            if tag != 6 or ch != 1 or bits != 8:
+                return None  # wrong-codec container rejected (T7)
+            pcm = [alaw_decode_sample(b) for b in data]
+            if not pcm:
+                return None
+            return (sr, len(pcm), max(abs(x) for x in pcm), sum(pcm),
+                    sum(x * x for x in pcm))
+        except Exception:
+            return None
+
+    return make_alaw_wav, decode_alaw_stats
+
+
+make_alaw_wav, decode_alaw_stats = _build_alaw_codecs()
+
+
+def synthesize_alaw_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real format-tag-6 RIFF/WAVE bytes whose data chunk is
+    the A-law byte stream b_i = (d*2663 + i*69621) % 256; every
+    ALAW_CORRUPT_MOD-th doc is written as a WRONG-CODEC container
+    (format tag 1 / linear PCM claiming the same 8-bit data) — the T7
+    variant the mu-law spec does not plant: structurally valid RIFF the
+    A-law decoder must REJECT rather than misinterpret."""
+    mk = make_alaw_wav
+    nb, nm, a, b, cmod = (ALAW_N_BASE, ALAW_N_MOD, ALAW_A, ALAW_B,
+                          ALAW_CORRUPT_MOD)
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                n = nb + d % nm
+                raw = bytes((d * a + i * b) % 256 for i in range(n))
+                payloads.append(mk(raw, fmt_tag=1 if d % cmod == 0 else 6))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(_synth,
+                                           "doc_id long, payload binary")
+
+
+def decode_alaw(df: DataFrame) -> DataFrame:
+    dec = decode_alaw_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            keys = ("sample_rate", "n_samples", "peak_abs", "sum_pcm",
+                    "energy")
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 5
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "sample_rate": pd.array(cols["sample_rate"], dtype="Int32"),
+                "n_samples": pd.array(cols["n_samples"], dtype="Int32"),
+                "peak_abs": pd.array(cols["peak_abs"], dtype="Int32"),
+                "sum_pcm": pd.array(cols["sum_pcm"], dtype="Int64"),
+                "energy": pd.array(cols["energy"], dtype="Int64")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, MULAW_SCHEMA)
+
+
+def multimodal_decode_alaw_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second G.711 companding law end-to-end: A-law bytes in a
+    format-tag-6 RIFF container, expanded sample by sample with the
+    chord/step formula (sign convention OPPOSITE to mu-law). The
+    planted corruption is a wrong-codec container (tag 1 linear PCM),
+    so tolerance here means codec REJECTION, not byte damage."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_alaw(synthesize_alaw_payloads(docs))
+
+
+# G.711 A-law expansion of byte b in SQL (u = xor(b, 85)):
+_ALAW_PCM_SQL = (
+    "(CASE WHEN (xor({b}, 85) & 128) > 0 THEN 1 ELSE -1 END) * "
+    "(CASE WHEN ((xor({b}, 85) >> 4) & 7) = 0 "
+    "THEN 16 * (xor({b}, 85) & 15) + 8 "
+    "ELSE (16 * (xor({b}, 85) & 15) + 264) << (((xor({b}, 85) >> 4) & 7) - 1) "
+    "END)")
+
+_MULTIMODAL_ALAW_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST({ALAW_N_BASE} + abs(doc_id) % {ALAW_N_MOD} AS INT) AS n
+  FROM documents
+), s AS (
+  SELECT doc_id, d, n,
+    list_transform(range(0, n),
+      i -> {_ALAW_PCM_SQL.format(b=f"((d * {ALAW_A} + i * {ALAW_B}) % 256)")}
+    ) AS pcm
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN d % {ALAW_CORRUPT_MOD} = 0 THEN NULL
+       ELSE {ALAW_RATE} END AS sample_rate,
+  CASE WHEN d % {ALAW_CORRUPT_MOD} = 0 THEN NULL ELSE n END AS n_samples,
+  CASE WHEN d % {ALAW_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_max(list_transform(pcm, x -> abs(x))) AS INT)
+       END AS peak_abs,
+  CASE WHEN d % {ALAW_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_sum(pcm) AS BIGINT) END AS sum_pcm,
+  CASE WHEN d % {ALAW_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_sum(list_transform(pcm, x -> x * x)) AS BIGINT)
+       END AS energy
+FROM s
+"""
+
+register(QuerySpec("multimodal_decode_alaw", multimodal_decode_alaw_query,
+                   _MULTIMODAL_ALAW_SQL,
+                   description="real G.711 A-law audio decode: chord/step "
+                               "integer expansion (sign convention opposite "
+                               "to mu-law), oracle-checked sample math; "
+                               "wrong-codec containers rejected -> NULL"))

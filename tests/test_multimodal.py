@@ -830,3 +830,56 @@ def test_jpeg_color_decode_through_spark(spark):
         w, h = JPEG_W_BASE + d % JPEG_W_MOD, JPEG_H_BASE + d % JPEG_H_MOD
         assert (r.width, r.height, r.n_px, r.sum_r, r.sum_g, r.sum_b,
                 r.pix_min, r.pix_max) == _rgb_ref(d, w, h)
+
+
+def test_alaw_decode_matches_itu_reference_points():
+    """The expansion is the real G.711 A-law curve at 16-bit scale
+    (sun g711.c alaw2linear): extremes reach ±32256, the smallest
+    magnitudes are ±8 (A-law has no zero output), sign bit SET means
+    positive, and magnitude is monotone within each sign half."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        alaw_decode_sample,
+    )
+
+    assert alaw_decode_sample(0xAA) == 32256   # u=0xFF: seg 7, m 15, +
+    assert alaw_decode_sample(0x2A) == -32256  # u=0x7F: seg 7, m 15, -
+    assert alaw_decode_sample(0xD5) == 8       # u=0x80: seg 0, m 0, +
+    assert alaw_decode_sample(0x55) == -8      # u=0x00: seg 0, m 0, -
+    # sign symmetry: toggling the sign bit negates
+    for b in range(0, 256):
+        assert alaw_decode_sample(b) == -alaw_decode_sample(b ^ 0x80)
+    # monotone in the toggled code u within the positive half
+    mags = [alaw_decode_sample(u ^ 0x55) for u in range(0x80, 0x100)]
+    assert mags == sorted(mags) and all(m > 0 for m in mags)
+
+
+def test_alaw_decode_through_spark(spark):
+    from downscaledclimatedata_spark.operators.multimodal import (
+        ALAW_A,
+        ALAW_B,
+        ALAW_CORRUPT_MOD,
+        ALAW_N_BASE,
+        ALAW_N_MOD,
+        alaw_decode_sample,
+        decode_alaw,
+        synthesize_alaw_payloads,
+    )
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(1, 31)], "doc_id long")
+    out = {r.doc_id: r
+           for r in decode_alaw(synthesize_alaw_payloads(ids)).collect()}
+    assert len(out) == 30
+    for d in range(1, 31):
+        r = out[d]
+        if d % ALAW_CORRUPT_MOD == 0:
+            # wrong-codec container (tag 1) must be REJECTED, not decoded
+            assert r.sample_rate is None and r.sum_pcm is None
+            continue
+        n = ALAW_N_BASE + d % ALAW_N_MOD
+        pcm = [alaw_decode_sample((d * ALAW_A + i * ALAW_B) % 256)
+               for i in range(n)]
+        assert r.n_samples == n
+        assert r.sum_pcm == sum(pcm)
+        assert r.peak_abs == max(abs(x) for x in pcm)
+        assert r.energy == sum(x * x for x in pcm)
