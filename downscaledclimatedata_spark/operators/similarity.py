@@ -3008,3 +3008,254 @@ register(QuerySpec(
     description="IVF cell health: member count, exact-integer mean/max "
                 "squared centroid distance per cell, empty cells "
                 "surfaced"))
+
+
+# --- residual IVF-PQ (true IVFADC, trained residual codebooks) -----------------
+
+RES_CB_OFFSET = 7  # shift the codebook sample off the coarse-centroid ids
+
+
+def ivfpq_residual_topk(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding", k: int = TOP_K,
+                        query_mod: int = QUERY_MOD,
+                        n_queries: int = N_QUERIES,
+                        centroid_mod: int = CENTROID_MOD,
+                        n_centroids: int = N_CENTROIDS,
+                        nprobe: int = NPROBE, ks: int = PQ_KS,
+                        m_sub: int = RERANK_M_SUB,
+                        n_iter: int = PQ_TRAIN_ITERS) -> DataFrame:
+    """Residual-encoding IVF-PQ — the actual IVFADC of Jegou et al.
+    (TPAMI 2011), which `ivfpq_topk` approximates by PQ-coding RAW
+    vectors. Production IVF-PQ codes the RESIDUAL r = v - centroid(v):
+    residuals concentrate near the origin, so the product grid spends
+    its codes on within-cell detail instead of re-describing the coarse
+    structure the IVF assignment already captured. Two details are
+    load-bearing and were found by MEASURING recall vs the exact-L2
+    truth rather than assuming the textbook win:
+
+    * the residual sub-codebook must not be seeded from the coarse-
+      centroid ids — their residuals are all ZERO (each centroid is its
+      own cell center), a degenerate codebook (recall 0.12 vs raw's
+      0.32 at sf0.001). The seed sample is shifted by RES_CB_OFFSET.
+    * an untrained residual codebook loses badly to raw PQ (0.26 vs
+      0.46 at sf0.01), so this operator trains its residual codebooks
+      per subspace (same discipline as ``pq_train_codebooks``) and
+      uses the floored-int ADC of the trained path for cross-engine
+      order-independent sums. Measured honestly: even trained, the
+      residual variant scores 0.28/0.30 recall@5 (sf0.001/sf0.01) vs
+      raw PQ's 0.32/0.46 at identical (nprobe, m_sub, ks) budgets —
+      the literature's IVFADC advantage assumes a TRAINED coarse
+      quantizer whose tight cells make residuals small; against this
+      family's deterministic fixed-sample coarse codebook the residual
+      distribution stays as spread as the raw one and the extra
+      indirection buys nothing. The operator is kept as the faithful
+      IVFADC composition (and the measurement that shows when NOT to
+      prefer it); production deployments should pair it with
+      kmeans-refined coarse lists (`ivf_topk_refined`).
+
+    The per-(query, probed-cell) ADC table — the query's residual
+    differs per probed centroid — is n_queries x nprobe x m_sub x ks
+    rows, broadcast; candidates are restricted to probed cells BY the
+    (cid, m, code) join itself.
+
+    Scale: coarse assign + residual subtraction ride `ivf_assign`'s
+    join with a broadcast centroid side; training state is the
+    localCheckpointed (vector, subspace) residual relation (one
+    shuffled row per pair per round, map-side-combined argmin); search
+    adds one broadcast-table join and one (query, match) aggregate —
+    the same shuffle shape as `ivfpq_topk`.
+    """
+    from pyspark.sql import Window
+
+    sub_dim = DIM // m_sub
+    base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
+                      sq_norm(quantize(F.col(vec_col))).alias("n2"))
+    cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
+             .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
+                     F.col("n2").alias("cn2")))
+    assign = ivf_assign(emb, id_col, vec_col, centroid_mod, n_centroids)
+
+    # residual vectors: v - centroid(cell(v)), exact integers
+    avec = (base.join(assign, id_col)
+            .join(F.broadcast(cents.select("cid", "cv")), "cid")
+            .select(id_col, F.col("cid").alias("cell"),
+                    F.zip_with("qv", "cv", lambda x, y: x - y).alias("rv")))
+    rsubs = (avec.select(
+        id_col, "cell",
+        F.posexplode(_subvectors(F.col("rv"), m_sub, sub_dim))
+        .alias("m", "sv"))
+        .withColumn("dv", F.transform("sv", lambda x: x.cast("double")))
+        .localCheckpoint())
+
+    # per-subspace Lloyd's over residuals, seeded off the shifted sample
+    rcb = (rsubs.filter((F.col(id_col) % centroid_mod == RES_CB_OFFSET)
+                        & (F.col(id_col) < centroid_mod * ks))
+           .select("m", F.col(id_col).alias("cid"), F.col("dv").alias("cv")))
+    vn2 = F.aggregate(F.zip_with(F.col("dv"), F.col("dv"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    dot = F.aggregate(F.zip_with(F.col("dv"), F.col("cv"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    cn2 = F.aggregate(F.zip_with(F.col("cv"), F.col("cv"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    for _ in range(n_iter):
+        c = rcb.select("m", "cid", "cv", cn2.alias("cn2"))
+        scored = (rsubs.join(F.broadcast(c), "m")
+                  .select(F.col(id_col), F.col("m"), F.col("cid"),
+                          F.col("sv"), (vn2 + F.col("cn2") - 2 * dot)
+                          .alias("dist")))
+        assigned = (scored.groupBy(id_col, "m")
+                    .agg(F.min(F.struct("dist", "cid", "sv")).alias("best"))
+                    .select("m", F.col("best.cid").alias("cid"),
+                            F.col("best.sv").alias("sv")))
+        comp = assigned.select("m", "cid",
+                               F.posexplode("sv").alias("pos", "comp"))
+        means = (comp.groupBy("m", "cid", "pos")
+                 .agg(F.sum("comp").alias("s"), F.count("*").alias("n"))
+                 .select("m", "cid", "pos",
+                         (F.col("s").cast("double")
+                          / F.col("n").cast("double")).alias("mc")))
+        rcb = (means.groupBy("m", "cid")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("pos", "mc"))),
+                   lambda x: x["mc"]).alias("cv"))).localCheckpoint()
+
+    cwf = rcb.select("m", "cid", "cv", cn2.alias("cn2"))
+    # encode every corpus residual against the trained codebook
+    sc = (rsubs.join(F.broadcast(cwf), "m")
+          .select(F.col(id_col), F.col("cid").alias("code_cid"),
+                  F.col("m"), F.col("cell"),
+                  (vn2 + F.col("cn2") - 2 * dot).alias("dist")))
+    enc = (sc.groupBy(id_col, "cell", "m")
+           .agg(F.min(F.struct("dist", "code_cid")).alias("best"))
+           .select(F.col(id_col).alias("match_id"),
+                   F.col("cell").alias("cid"), "m",
+                   F.col("best.code_cid").alias("code")))
+
+    # query probes: nprobe nearest coarse cells; residual PER probed cell
+    qbase = base.filter(_fixed_sample(id_col, query_mod, n_queries))
+    qranked = (qbase.crossJoin(F.broadcast(cents))
+               .select(F.col(id_col), F.col("cid"), F.col("qv"),
+                       F.col("cv"),
+                       (F.col("n2") + F.col("cn2")
+                        - 2 * int_dot(F.col("qv"), F.col("cv")))
+                       .alias("dist")))
+    w = Window.partitionBy(id_col).orderBy("dist", "cid")
+    probes = (qranked.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= nprobe)
+              .select(F.col(id_col).alias("query_id"), "cid",
+                      F.zip_with("qv", "cv", lambda x, y: x - y)
+                      .alias("rv")))
+    qsubs = (probes.select(
+        "query_id", F.col("cid").alias("cell"),
+        F.posexplode(_subvectors(F.col("rv"), m_sub, sub_dim))
+        .alias("m", "sv"))
+        .withColumn("dv", F.transform("sv", lambda x: x.cast("double"))))
+    qtab = (qsubs.join(F.broadcast(cwf), "m")
+            .select("query_id", F.col("cell").alias("cid"),
+                    F.col("m"), F.col("cid").alias("code"),
+                    F.floor(vn2 + F.col("cn2") - 2 * dot)
+                    .cast("long").alias("qd")))
+
+    adc = (enc.join(F.broadcast(qtab), ["cid", "m", "code"])
+           .filter(F.col("match_id") != F.col("query_id"))
+           .groupBy("query_id", "match_id")
+           .agg(F.sum("qd").alias("adc_dist")))
+    w2 = Window.partitionBy("query_id").orderBy("adc_dist", "match_id")
+    return (adc.withColumn("rnk", F.row_number().over(w2))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "match_id", "adc_dist", "rnk"))
+
+
+def similarity_ivfpq_residual_query(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return ivfpq_residual_topk(emb)
+
+
+def _ivfpq_residual_sql() -> str:
+    m_sub, ks = RERANK_M_SUB, PQ_KS
+    sub_dim = DIM // m_sub
+    sd1 = sub_dim + 1
+    subs_sql = (f"list_transform(range(0, {m_sub}), "
+                f"m -> rv[m * {sub_dim} + 1 : m * {sub_dim} + {sub_dim}])")
+    res_sql = "list_transform(range(1, %d), i -> b.qv[i] - c.cv[i])" % (DIM + 1)
+    n = PQ_TRAIN_ITERS
+    iters = ",\n".join(_lloyd_iteration_sql(i, sd1, key="m", vec="sv")
+                       for i in range(n))
+    return _coarse_sql_prefix(carry_n2=False, assigned=None) + f""", avec AS (
+  SELECT b.vec_id, a.cid AS cell, {res_sql} AS rv
+  FROM base b
+  JOIN assign_scored a ON a.vec_id = b.vec_id AND a.rn = 1
+  JOIN cents c ON c.cid = a.cid
+), based AS (
+  SELECT vec_id, cell, CAST(m AS INT) AS m, slices[m + 1] AS sv,
+    list_transform(slices[m + 1], x -> CAST(x AS DOUBLE)) AS dv,
+    list_sum(list_transform(
+      list_transform(slices[m + 1], x -> CAST(x AS DOUBLE)),
+      x -> x * x)) AS vn2
+  FROM (SELECT vec_id, cell, {subs_sql} AS slices FROM avec),
+       (SELECT unnest(range(0, {m_sub})) AS m)
+), cents0 AS (
+  SELECT m, vec_id AS cid, dv AS cv FROM based
+  WHERE vec_id % {CENTROID_MOD} = {RES_CB_OFFSET}
+    AND vec_id < {CENTROID_MOD * ks}
+),
+{iters},
+cwf AS (
+  SELECT m, cid, cv, list_sum(list_transform(cv, x -> x * x)) AS cn2
+  FROM cents{n}
+), sc AS (
+  SELECT b.vec_id, b.cell, b.m, c.cid,
+    b.vn2 + c.cn2
+      - 2 * list_sum(list_transform(range(1, {sd1}), j -> b.dv[j] * c.cv[j]))
+      AS dist
+  FROM based b JOIN cwf c ON c.m = b.m
+), enc AS (
+  SELECT vec_id AS match_id, cell AS cid, m, cid_code AS code FROM (
+    SELECT vec_id, cell, m, cid AS cid_code,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM sc) r
+  WHERE rn = 1
+), probes AS (
+  SELECT a.vec_id AS query_id, a.cid, {res_sql} AS rv
+  FROM assign_scored a
+  JOIN base b ON b.vec_id = a.vec_id
+  JOIN cents c ON c.cid = a.cid
+  WHERE {_fixed_sample_sql('a.vec_id', QUERY_MOD, N_QUERIES)}
+    AND a.rn <= {NPROBE}
+), qsubs AS (
+  SELECT query_id, cid, CAST(m AS INT) AS m, slices[m + 1] AS sv,
+    list_transform(slices[m + 1], x -> CAST(x AS DOUBLE)) AS dv,
+    list_sum(list_transform(
+      list_transform(slices[m + 1], x -> CAST(x AS DOUBLE)),
+      x -> x * x)) AS vn2
+  FROM (SELECT query_id, cid, {subs_sql} AS slices FROM probes),
+       (SELECT unnest(range(0, {m_sub})) AS m)
+), qtab AS (
+  SELECT s.query_id, s.cid, s.m, c.cid AS code,
+    CAST(FLOOR(s.vn2 + c.cn2
+      - 2 * list_sum(list_transform(range(1, {sd1}),
+                                    j -> s.dv[j] * c.cv[j]))) AS BIGINT) AS qd
+  FROM qsubs s JOIN cwf c ON c.m = s.m
+), adc AS (
+  SELECT t.query_id, e.match_id, CAST(SUM(t.qd) AS BIGINT) AS adc_dist
+  FROM enc e
+  JOIN qtab t ON t.cid = e.cid AND t.m = e.m AND t.code = e.code
+  WHERE e.match_id <> t.query_id
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, match_id, adc_dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist, match_id) AS rnk
+  FROM adc
+)
+SELECT query_id, match_id, adc_dist, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+register(QuerySpec("similarity_ivfpq_residual",
+                   similarity_ivfpq_residual_query, _ivfpq_residual_sql(),
+                   description="true IVFADC: Lloyd's-trained PQ codebooks "
+                               "over residuals v - centroid, per-(query, "
+                               "probed-cell) broadcast ADC tables, "
+                               "floored-int order-independent sums"))

