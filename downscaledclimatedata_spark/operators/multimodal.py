@@ -3342,3 +3342,292 @@ register(QuerySpec("multimodal_decode_alaw", multimodal_decode_alaw_query,
                                "integer expansion (sign convention opposite "
                                "to mu-law), oracle-checked sample math; "
                                "wrong-codec containers rejected -> NULL"))
+
+
+# --- real PNG palette pixel decode (color type 3, PLTE indexed) -------------
+
+PNG_PAL_W_BASE = 8
+PNG_PAL_W_MOD = 19
+PNG_PAL_H_BASE = 8
+PNG_PAL_H_MOD = 11
+PNG_PAL_A = 5227     # index formula multipliers
+PNG_PAL_B = 104651
+PNG_PAL_C = 611999
+PNG_PAL_P1 = 7013    # palette-entry formula multipliers
+PNG_PAL_P2 = 131071
+PNG_PAL_P3 = 92821
+PNG_PAL_CORRUPT_MOD = 13
+
+
+def _build_png_palette_codecs():
+    """Color-type-3 PNG: pixels are 1-byte indices into a PLTE chunk of
+    RGB triples. Filtering is byte-wise at bpp=1 (same as grayscale);
+    what's NEW vs types 0/2 is the palette indirection — the decoder
+    must read PLTE out of the bytes and bounds-check every index
+    (out-of-range palette indices are a real-world PNG defect class)."""
+    import struct
+    import zlib
+
+    png_magic = b"\x89PNG\r\n\x1a\n"
+
+    def _chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    def make_png_palette(idx_rows: list[bytes],
+                         palette: list[tuple[int, int, int]],
+                         split_idat: bool = False) -> bytes:
+        h = len(idx_rows)
+        w = len(idx_rows[0]) if idx_rows else 0
+        out = bytearray()
+        prev = bytes(w)
+        for y, row in enumerate(idx_rows):
+            ft = y % 5
+            out.append(ft)
+            if ft == 0:
+                filt = bytes(row)
+            elif ft == 1:  # Sub
+                filt = bytes((row[x] - (row[x - 1] if x else 0)) & 0xFF
+                             for x in range(w))
+            elif ft == 2:  # Up
+                filt = bytes((row[x] - prev[x]) & 0xFF for x in range(w))
+            elif ft == 3:  # Average
+                filt = bytes(
+                    (row[x] - (((row[x - 1] if x else 0) + prev[x]) >> 1))
+                    & 0xFF for x in range(w))
+            else:  # Paeth (left neighbour 1 byte back at bpp=1)
+                def _paeth(a, b, c):
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                filt = bytes(
+                    (row[x] - _paeth(row[x - 1] if x else 0, prev[x],
+                                     prev[x - 1] if x else 0)) & 0xFF
+                    for x in range(w))
+            out += filt
+            prev = bytes(row)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        plte = b"".join(bytes(e) for e in palette)
+        comp = zlib.compress(bytes(out), 6)
+        if split_idat and len(comp) > 2:
+            mid = len(comp) // 2
+            idat = _chunk(b"IDAT", comp[:mid]) + _chunk(b"IDAT", comp[mid:])
+        else:
+            idat = _chunk(b"IDAT", comp)
+        return (png_magic + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+                + idat + _chunk(b"IEND", b""))
+
+    def decode_png_palette_stats(blob: bytes):
+        """(w, h, n_px, sum_r, sum_g, sum_b, pix_min, pix_max) from the
+        palette-mapped samples, or None (bad magic/CRC, missing PLTE,
+        non-multiple-of-3 PLTE, wrong inflated length, or any pixel
+        index outside the palette)."""
+        try:
+            blob = bytes(blob)
+            if blob[:8] != png_magic:
+                return None
+            i = 8
+            w = h = depth = ctype = None
+            plte = None
+            idat = bytearray()
+            while i + 12 <= len(blob):
+                (ln,) = struct.unpack(">I", blob[i:i + 4])
+                typ = bytes(blob[i + 4:i + 8])
+                data = bytes(blob[i + 8:i + 8 + ln])
+                if len(data) != ln or i + 12 + ln > len(blob):
+                    return None
+                (crc,) = struct.unpack(">I", blob[i + 8 + ln:i + 12 + ln])
+                if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                    return None
+                if typ == b"IHDR":
+                    if len(data) < 10:
+                        return None
+                    w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
+                elif typ == b"PLTE":
+                    if len(data) % 3:
+                        return None
+                    plte = [(data[j], data[j + 1], data[j + 2])
+                            for j in range(0, len(data), 3)]
+                elif typ == b"IDAT":
+                    idat += data
+                elif typ == b"IEND":
+                    break
+                i += 12 + ln
+            if not w or not h or depth != 8 or ctype != 3 or plte is None:
+                return None
+            raw = zlib.decompress(bytes(idat))
+            if len(raw) != h * (w + 1):
+                return None
+            prev = bytes(w)
+            sr = sg = sb = 0
+            mn, mx = 255, 0
+            for y in range(h):
+                ft = raw[y * (w + 1)]
+                line = raw[y * (w + 1) + 1:(y + 1) * (w + 1)]
+                cur = bytearray(w)
+                if ft == 0:
+                    cur[:] = line
+                elif ft == 1:
+                    for x in range(w):
+                        cur[x] = (line[x] + (cur[x - 1] if x else 0)) & 0xFF
+                elif ft == 2:
+                    for x in range(w):
+                        cur[x] = (line[x] + prev[x]) & 0xFF
+                elif ft == 3:
+                    for x in range(w):
+                        cur[x] = (line[x] + (((cur[x - 1] if x else 0)
+                                              + prev[x]) >> 1)) & 0xFF
+                elif ft == 4:
+                    for x in range(w):
+                        a = cur[x - 1] if x else 0
+                        b = prev[x]
+                        c = prev[x - 1] if x else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pr = a if pa <= pb and pa <= pc else (b if pb <= pc
+                                                             else c)
+                        cur[x] = (line[x] + pr) & 0xFF
+                else:
+                    return None
+                for idx in cur:
+                    if idx >= len(plte):
+                        return None  # out-of-range palette index
+                    r, g, bl = plte[idx]
+                    sr += r
+                    sg += g
+                    sb += bl
+                    mn = min(mn, r, g, bl)
+                    mx = max(mx, r, g, bl)
+                prev = bytes(cur)
+            return (w, h, w * h, sr, sg, sb, mn, mx)
+        except Exception:
+            return None
+
+    return make_png_palette, decode_png_palette_stats
+
+
+make_png_palette, decode_png_palette_stats = _build_png_palette_codecs()
+
+
+def synthesize_png_palette_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real color-type-3 PNG: index (y, x) =
+    (d*5227 + y*104651 + x*611999) % 256 into a full 256-entry palette
+    whose entry (j, ch) = (d*7013 + j*131071 + ch*92821) % 256. Every
+    PNG_PAL_CORRUPT_MOD-th doc ships an EMPTY (zero-entry) PLTE —
+    structurally valid chunks and CRCs, but every pixel index is then
+    out of range, so tolerance is exercised as the palette BOUNDS
+    check rather than byte damage."""
+    mk = make_png_palette
+    wb, wm, hb, hm = (PNG_PAL_W_BASE, PNG_PAL_W_MOD, PNG_PAL_H_BASE,
+                      PNG_PAL_H_MOD)
+    a, b, c_ = PNG_PAL_A, PNG_PAL_B, PNG_PAL_C
+    p1, p2, p3 = PNG_PAL_P1, PNG_PAL_P2, PNG_PAL_P3
+    cmod = PNG_PAL_CORRUPT_MOD
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                w, h = wb + d % wm, hb + d % hm
+                rows = [bytes((d * a + y * b + x * c_) % 256
+                              for x in range(w)) for y in range(h)]
+                pal = ([] if d % cmod == 0 else
+                       [tuple((d * p1 + j * p2 + ch * p3) % 256
+                              for ch in range(3)) for j in range(256)])
+                payloads.append(mk(rows, pal, split_idat=(d % 5 == 0)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(_synth,
+                                           "doc_id long, payload binary")
+
+
+def decode_png_palette(df: DataFrame) -> DataFrame:
+    dec = decode_png_palette_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            keys = ("width", "height", "n_px", "sum_r", "sum_g", "sum_b",
+                    "pix_min", "pix_max")
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 8
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "n_px": pd.array(cols["n_px"], dtype="Int32"),
+                "sum_r": pd.array(cols["sum_r"], dtype="Int64"),
+                "sum_g": pd.array(cols["sum_g"], dtype="Int64"),
+                "sum_b": pd.array(cols["sum_b"], dtype="Int64"),
+                "pix_min": pd.array(cols["pix_min"], dtype="Int32"),
+                "pix_max": pd.array(cols["pix_max"], dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode,
+                                                      PNG_RGB_SCHEMA)
+
+
+def multimodal_decode_png_palette_query(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """The third PNG color model end-to-end: indexed color. What the
+    grayscale/RGB specs cannot exercise is the PLTE indirection — the
+    decoder reads the palette OUT OF THE BYTES and maps every
+    reconstructed index through it, bounds-checked; the oracle composes
+    the index formula with the palette formula. Planted empty-palette
+    rows -> NULL."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_png_palette(synthesize_png_palette_payloads(docs))
+
+
+_PNG_PAL_CH_SQL = (
+    "list_transform(range(0, width * height), "
+    "i -> (d * {p1} + ((d * {a} + (i // width) * {b} + (i % width) * {c})"
+    " % 256) * {p2} + {{ch}} * {p3}) % 256)").format(
+        a=PNG_PAL_A, b=PNG_PAL_B, c=PNG_PAL_C,
+        p1=PNG_PAL_P1, p2=PNG_PAL_P2, p3=PNG_PAL_P3)
+
+_MULTIMODAL_PNG_PAL_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST({PNG_PAL_W_BASE} + abs(doc_id) % {PNG_PAL_W_MOD} AS INT) AS width,
+    CAST({PNG_PAL_H_BASE} + abs(doc_id) % {PNG_PAL_H_MOD} AS INT) AS height
+  FROM documents
+), s AS (
+  SELECT doc_id, d, width, height,
+    {_PNG_PAL_CH_SQL.format(ch=0)} AS vr,
+    {_PNG_PAL_CH_SQL.format(ch=1)} AS vg,
+    {_PNG_PAL_CH_SQL.format(ch=2)} AS vb
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN d % {PNG_PAL_CORRUPT_MOD} = 0 THEN NULL ELSE width END AS width,
+  CASE WHEN d % {PNG_PAL_CORRUPT_MOD} = 0 THEN NULL ELSE height END AS height,
+  CASE WHEN d % {PNG_PAL_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(width * height AS INT) END AS n_px,
+  CASE WHEN d % {PNG_PAL_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_sum(vr) AS BIGINT) END AS sum_r,
+  CASE WHEN d % {PNG_PAL_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_sum(vg) AS BIGINT) END AS sum_g,
+  CASE WHEN d % {PNG_PAL_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_sum(vb) AS BIGINT) END AS sum_b,
+  CASE WHEN d % {PNG_PAL_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(least(list_min(vr), list_min(vg), list_min(vb)) AS INT)
+       END AS pix_min,
+  CASE WHEN d % {PNG_PAL_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(greatest(list_max(vr), list_max(vg), list_max(vb)) AS INT)
+       END AS pix_max
+FROM s
+"""
+
+register(QuerySpec("multimodal_decode_png_palette",
+                   multimodal_decode_png_palette_query,
+                   _MULTIMODAL_PNG_PAL_SQL,
+                   description="real indexed-color PNG decode: PLTE read "
+                               "from the bytes, bounds-checked palette "
+                               "mapping; empty-palette rows -> NULL"))

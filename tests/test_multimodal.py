@@ -883,3 +883,60 @@ def test_alaw_decode_through_spark(spark):
         assert r.sum_pcm == sum(pcm)
         assert r.peak_abs == max(abs(x) for x in pcm)
         assert r.energy == sum(x * x for x in pcm)
+
+
+def test_png_palette_codec_roundtrip_and_bounds():
+    """Handmade indexed image roundtrips through genuine bytes; an
+    index beyond the palette is rejected (bounds check), as is a
+    truncated (non-multiple-of-3) PLTE."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_png_palette_stats, make_png_palette)
+
+    pal = [(10, 20, 30), (200, 100, 0), (0, 0, 255)]
+    rows = [bytes([0, 1, 2, 1]), bytes([2, 2, 0, 0]),
+            bytes([1, 0, 1, 2])]  # 4x3, indices < 3
+    blob = make_png_palette(rows, pal, split_idat=True)
+    st = decode_png_palette_stats(blob)
+    assert st is not None
+    w, h, n_px, sr, sg, sb, mn, mx = st
+    assert (w, h, n_px) == (4, 3, 12)
+    flat = [pal[i] for row in rows for i in row]
+    assert sr == sum(p[0] for p in flat)
+    assert sg == sum(p[1] for p in flat)
+    assert sb == sum(p[2] for p in flat)
+    assert mn == 0 and mx == 255
+
+    # index 3 with a 3-entry palette -> out of range -> reject
+    bad = make_png_palette([bytes([0, 3])], pal)
+    assert decode_png_palette_stats(bad) is None
+    # empty palette -> every index out of range
+    assert decode_png_palette_stats(make_png_palette(rows, [])) is None
+    # CRC damage still rejected
+    broken = bytearray(blob)
+    broken[40] ^= 0xFF
+    assert decode_png_palette_stats(bytes(broken)) is None
+
+
+def test_png_palette_decode_through_spark(spark):
+    from downscaledclimatedata_spark.operators.multimodal import (
+        PNG_PAL_A, PNG_PAL_B, PNG_PAL_C, PNG_PAL_CORRUPT_MOD,
+        PNG_PAL_H_BASE, PNG_PAL_H_MOD, PNG_PAL_P1, PNG_PAL_P2, PNG_PAL_P3,
+        PNG_PAL_W_BASE, PNG_PAL_W_MOD, decode_png_palette,
+        synthesize_png_palette_payloads)
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 28)], "doc_id long")
+    out = {r.doc_id: r for r in decode_png_palette(
+        synthesize_png_palette_payloads(ids)).collect()}
+    for d in range(1, 28):
+        r = out[d]
+        if d % PNG_PAL_CORRUPT_MOD == 0:
+            assert r.width is None and r.sum_r is None
+            continue
+        w = PNG_PAL_W_BASE + d % PNG_PAL_W_MOD
+        h = PNG_PAL_H_BASE + d % PNG_PAL_H_MOD
+        assert (r.width, r.height) == (w, h)
+        exp_sr = sum((d * PNG_PAL_P1
+                      + ((d * PNG_PAL_A + y * PNG_PAL_B + x * PNG_PAL_C)
+                         % 256) * PNG_PAL_P2 + 0 * PNG_PAL_P3) % 256
+                     for y in range(h) for x in range(w))
+        assert r.sum_r == exp_sr
