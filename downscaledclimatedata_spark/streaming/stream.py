@@ -75,6 +75,27 @@ def dedup_run_keys(stream: DataFrame) -> DataFrame:
     return stream.dropDuplicates(["s3_key"])
 
 
+def dedup_events_bounded(events: DataFrame, key: str = "event_id",
+                         watermark: str = "10 minutes") -> DataFrame:
+    """BOUNDED-state streaming dedup: the production variant of
+    :func:`dedup_run_keys`. ``dropDuplicates`` keeps one state row per
+    key FOREVER — on an unbounded key domain (event ids, s3 keys over
+    years of crawl) that state grows without limit and eventually OOMs
+    the streaming job. ``dropDuplicatesWithinWatermark`` keeps a key's
+    state only until the event-time watermark passes its first-seen
+    time + the delay: duplicates arriving within the horizon are
+    suppressed, state is EVICTED afterwards, and a very-late replay of
+    an old key is re-emitted (the documented trade: exactly-once
+    within the horizon, at-least-once beyond it — the right contract
+    when upstream retries are bounded in time, which file-source
+    redelivery and queue retries are).
+
+    At 100 TB/day this is the difference between state ∝ keys-ever-seen
+    and state ∝ keys-per-horizon."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark([key]))
+
+
 def start_ingest_stream(stream: DataFrame, process_batch, checkpoint_dir: str,
                         trigger: str = MONTHLY_TRIGGER,
                         available_now: bool = False):

@@ -633,3 +633,61 @@ def test_streaming_sketch_replay_does_not_double_count(spark, tmp_path):
     assert idx.might_contain(("alpha", "nosuchterm")) == bloom_before
     import glob
     assert glob.glob(str(tmp_path / "state" / "cms" / "batch=-1" / "*.parquet"))
+
+
+def test_bounded_dedup_suppresses_within_horizon_reemits_after(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics pinned: a duplicate key
+    inside the watermark horizon is suppressed; once the watermark
+    passes the key's expiration its state is EVICTED and a very-late
+    replay is re-emitted — bounded state (∝ keys-per-horizon) traded
+    for at-least-once beyond the horizon."""
+    import datetime as dt
+    import time
+
+    import pandas as pd
+
+    from downscaledclimatedata_spark.streaming.stream import (
+        dedup_events_bounded)
+
+    d = str(tmp_path / "ev")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    batches = [
+        # batch 1: first occurrences
+        [(1, t0, 7, "view", 1.0, ""), (2, t0, 8, "click", 1.0, "")],
+        # batch 2: id 1 again 1 min later (inside 10-min horizon) ->
+        # suppressed
+        [(1, t0 + dt.timedelta(minutes=1), 7, "view", 1.0, "")],
+        # batches 3-4: watermark pushers — the watermark computed from
+        # batch N's data only takes effect in batch N+1, and state
+        # cleanup runs with that batch's own watermark, so id 1's state
+        # (expires 10:11) needs a full batch running at watermark 11:50+
+        # before a replay sees it gone
+        [(3, t0 + dt.timedelta(hours=2), 9, "view", 1.0, "")],
+        [(4, t0 + dt.timedelta(hours=2, minutes=5), 9, "view", 1.0, "")],
+        # batch 5: id 1 replayed 2h later -> state evicted -> re-emitted
+        [(1, t0 + dt.timedelta(hours=2, minutes=6), 7, "view", 1.0, "")],
+    ]
+    import os
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(batches):
+        pd.DataFrame(rows, columns=[
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ]).to_parquet(f"{d}/b{i}.parquet", index=False,
+                      coerce_timestamps="us", allow_truncated_timestamps=True)
+        time.sleep(0.05)  # order file mtimes -> deterministic batch order
+
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    name = _run_to_memory(dedup_events_bounded(stream), "append")
+    out = spark.table(name).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.event_id, []).append(r.ts)
+    assert sorted(by_id[2]) == [t0]
+    assert sorted(by_id[3]) == [t0 + dt.timedelta(hours=2)]
+    assert sorted(by_id[4]) == [t0 + dt.timedelta(hours=2, minutes=5)]
+    # id 1: first occurrence + the post-eviction replay, NOT the
+    # within-horizon duplicate
+    assert sorted(by_id[1]) == [t0, t0 + dt.timedelta(hours=2, minutes=6)]
