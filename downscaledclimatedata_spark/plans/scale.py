@@ -698,3 +698,101 @@ register(QuerySpec("q78_interval_lookup", q78_interval_lookup, _q78_sql(),
                                "bounded fan-out, uniform shuffle keys, no "
                                "BroadcastNestedLoopJoin; oracle is the plain "
                                "range join"))
+
+
+# --- q79: explicit bloom-filter join reduction -------------------------------
+
+BLOOMJ_K = 5          # hash functions
+BLOOMJ_M = 8192       # filter bits
+BLOOMJ_WORDS = BLOOMJ_M // 64
+BLOOMJ_PRIORITY = "1-URGENT"
+
+
+def q79_bloom_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-join shuffle reduction via an explicit Bloom filter —
+    the semi-join pushdown a 100 TB fact-to-filtered-dim join lives or
+    dies by. When the dim-side predicate keeps a small fraction of
+    keys, shuffling the whole fact table to discover that most rows
+    have no partner wastes the bulk of the I/O; a Bloom filter of the
+    surviving keys (bits, not keys — 1 KB here) filters the fact side
+    BEFORE any shuffle, and the subsequent exact join removes the
+    false positives, so the result is provably identical to the plain
+    join — which is exactly what the oracle checks. (Spark's AQE can
+    inject runtime bloom filters for some shapes —
+    spark.sql.optimizer.runtime.bloomFilter — but not when the build
+    side is an aggregate or the join is many-stage; the explicit
+    construction works everywhere and is engine-portable.)
+
+    The filter is a BITMAP: set bits aggregate to <= m/64 words
+    (bit_or of shifted ones, map-side combined), densified over a
+    range(m/64) skeleton, packed into ONE array row, broadcast; the
+    fact-side membership test is k O(1) array-index + mask probes per
+    row, entirely inside whole-stage codegen — no UDF, no per-row
+    array scan.
+    """
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+
+    sel = (load_table(spark, sf_dir, "orders")
+           .filter(F.col("o_orderpriority") == BLOOMJ_PRIORITY)
+           .select("o_orderkey", "o_orderpriority"))
+
+    def hashes(col):
+        return [md5_long(F.col(col).cast("string"), seed=f"bj{i}")
+                % BLOOMJ_M for i in range(BLOOMJ_K)]
+
+    bits = (sel.select(F.explode(F.array(*hashes("o_orderkey")))
+                       .alias("bit")).distinct())
+    words = (bits.groupBy((F.col("bit") / 64).cast("int").alias("idx"))
+             .agg(F.bit_or(F.expr(
+                 "shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))"))
+                  .alias("w")))
+    dense = (spark.range(BLOOMJ_WORDS).select(F.col("id").cast("int")
+                                              .alias("idx"))
+             .join(words, "idx", "left")
+             .select("idx", F.coalesce("w", F.lit(0).cast("long"))
+                     .alias("w")))
+    bitmap = dense.agg(F.transform(
+        F.array_sort(F.collect_list(F.struct("idx", "w"))),
+        lambda x: x["w"]).alias("bm"))
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("cents"))
+    probe = li.crossJoin(F.broadcast(bitmap))
+    member = None
+    for i in range(BLOOMJ_K):
+        h = (f"(CAST(conv(substring(md5(concat('bj{i}', "
+             f"CAST(l_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+             f" % {BLOOMJ_M})")
+        t = F.expr(f"(shiftright(element_at(bm, CAST({h} / 64 AS INT) + 1), "
+                   f"CAST({h} % 64 AS INT)) & 1) = 1")
+        member = t if member is None else (member & t)
+    filtered = probe.filter(member).drop("bm")
+
+    return (filtered.join(F.broadcast(sel),
+                          F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.trunc("l_shipdate", "month").alias("month"))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("cents").alias("revenue_cents"))
+            .orderBy("month"))
+
+
+_Q79_SQL = f"""
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '{BLOOMJ_PRIORITY}'
+GROUP BY 1
+ORDER BY 1
+"""
+
+register(QuerySpec("q79_bloom_join_reduction", q79_bloom_join_reduction,
+                   _Q79_SQL,
+                   description="explicit Bloom semi-join pushdown: 1 KB "
+                               "broadcast bitmap filters the fact side "
+                               "before any shuffle; exact join removes "
+                               "false positives — oracle is the plain "
+                               "join"))

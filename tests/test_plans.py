@@ -340,3 +340,43 @@ def test_q78_interval_join_is_block_bucketed_not_bnlj(spark):
         if any(op in cond for op in (">=", "<=", "< ", "> ")):
             assert "te#" not in cond, (
                 f"event range predicate leaked into a nested-loop join: {cond}")
+
+
+def test_q79_bloom_filters_fact_side_before_join(spark):
+    """The Bloom membership test must run as a Filter on the fact side
+    (below the join), inside codegen (no UDF), and it must actually be
+    selective — passing only a fraction of lineitem when the dim
+    predicate keeps ~1/5 of orders."""
+    import re
+    plan = _plan(spark, "q79_bloom_join_reduction")
+    assert "element_at" in plan, "membership probes missing from the plan"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the probes may survive as a standalone Filter or get folded into
+    # the single-row bitmap-attach join's condition; either way the node
+    # carrying them must execute BEFORE the orders join (formatted-plan
+    # ids are post-order: deeper nodes have smaller ids)
+    probe_ids = [int(m.group(1)) for m in re.finditer(
+        r"^\((\d+)\) \w+\n(.*?)(?=^\(\d+\) |\Z)", plan,
+        flags=re.MULTILINE | re.DOTALL) if "element_at" in m.group(2)]
+    assert probe_ids, "no plan node carries the bloom membership probes"
+    orders_joins = [int(m.group(1)) for m in re.finditer(
+        r"^\((\d+)\) BroadcastHashJoin\n(.*?)(?=^\(\d+\) |\Z)", plan,
+        flags=re.MULTILINE | re.DOTALL) if "o_orderkey" in m.group(2)]
+    assert orders_joins, "orders equi-join missing from the plan"
+    assert min(probe_ids) < min(orders_joins), (
+        f"bloom probes (ops {probe_ids}) do not execute below the "
+        f"orders join ({orders_joins})")
+
+    from downscaledclimatedata_spark.plans.scale import (
+        BLOOMJ_PRIORITY, q79_bloom_join_reduction)
+    from downscaledclimatedata_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    li_total = load_table(spark, SF_CORRECTNESS, "lineitem").count()
+    joined_items = sum(
+        r.n_items for r in
+        q79_bloom_join_reduction(spark, SF_CORRECTNESS).collect())
+    # the exact join keeps ~1/5 of lineitem (5 priorities); the bloom
+    # pass must therefore be well under the full table, and the final
+    # result can never exceed what the bloom let through
+    assert joined_items < li_total * 0.4, (joined_items, li_total)
