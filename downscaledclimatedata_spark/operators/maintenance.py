@@ -415,3 +415,94 @@ register(QuerySpec(
     description="one-pass unpivot column profiler: null/distinct/top-value "
                 "per column, single table scan, shuffle bounded by the "
                 "rendering grain"))
+
+
+# --- CDC apply: snapshot + change-log delta -> new snapshot -------------------
+
+def cdc_fold(changes: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Fold a change-log to its net effect per key: the LAST operation
+    in (ts, event_id) order wins — an upsert yields (key, value, ts),
+    a delete yields a tombstone. One map-side-combined max-struct
+    aggregate; no window, no per-key sort."""
+    return (changes.groupBy(key_col)
+            .agg(F.max(F.struct("ts", "event_id", "op", "cents"))
+                 .alias("last"))
+            .select(key_col, F.col("last.op").alias("op"),
+                    F.col("last.cents").alias("cents"),
+                    F.col("last.ts").alias("ts")))
+
+
+def cdc_apply(snapshot: DataFrame, delta: DataFrame,
+              key_col: str = "user_id") -> DataFrame:
+    """Apply a folded change-log delta to a keyed snapshot — the MERGE
+    step of dimension maintenance, with DELETES (which the pure-additive
+    `merge_agg_state` algebra cannot express). Per key: a delta upsert
+    replaces the snapshot row, a delta tombstone removes it, no delta
+    keeps it. One keys-bounded full-outer join; nothing corpus-sized
+    moves — the 100 TB shape is 'update a billion-row dimension from a
+    GB of change-log' and the join carries only (key, value, ts)."""
+    d = cdc_fold(delta, key_col)
+    s = snapshot.select(key_col, F.col("cents").alias("s_cents"),
+                        F.col("ts").alias("s_ts"))
+    merged = s.join(d, key_col, "full_outer")
+    return (merged
+            .filter(F.when(F.col("op").isNotNull(), F.col("op") == "U")
+                    .otherwise(F.lit(True)))
+            .select(key_col,
+                    F.coalesce(F.when(F.col("op") == "U", F.col("cents")),
+                               F.col("s_cents")).alias("cents"),
+                    F.coalesce(F.when(F.col("op") == "U", F.col("ts")),
+                               F.col("s_ts")).alias("ts")))
+
+
+def maintenance_cdc_apply_query(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The merge algebra checked against direct recomputation: events
+    are a CDC log (purchase = delete the user's row, anything else =
+    upsert the event's value). The stream splits at its midpoint
+    timestamp (computed in-plan, broadcast — no collect): the first
+    half folds into the SNAPSHOT, the second half is the DELTA, and
+    `cdc_apply(snapshot, delta)` must equal the oracle's one-shot fold
+    over the whole log — delete-then-upsert resurrection, upsert-then-
+    delete removal, and untouched-key passthrough all land in the same
+    hash. Output ordered by user for a stable grain."""
+    from downscaledclimatedata_spark.sources.tables import load_table
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "ts", "event_id",
+                  F.when(F.col("event_type") == "purchase", "D")
+                  .otherwise("U").alias("op"),
+                  F.round(F.col("value") * 100).cast("bigint")
+                  .alias("cents")))
+    bounds = (ev.agg(F.min(F.unix_micros("ts")).alias("lo"),
+                     F.max(F.unix_micros("ts")).alias("hi"))
+              .select(F.expr("lo + (hi - lo) DIV 2").alias("cut")))
+    tagged = ev.crossJoin(F.broadcast(bounds))
+    hist = tagged.filter(F.unix_micros("ts") < F.col("cut")).drop("cut")
+    delta = tagged.filter(F.unix_micros("ts") >= F.col("cut")).drop("cut")
+    snapshot = cdc_fold(hist).filter(F.col("op") == "U").drop("op")
+    return cdc_apply(snapshot, delta).orderBy("user_id")
+
+
+_CDC_SQL = """
+WITH log AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), ranked AS (
+  SELECT user_id, op, cents, ts,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+  FROM log
+)
+SELECT user_id, cents, ts FROM ranked
+WHERE rn = 1 AND op = 'U'
+ORDER BY user_id
+"""
+
+register(QuerySpec(
+    "maintenance_cdc_apply", maintenance_cdc_apply_query, _CDC_SQL,
+    description="CDC merge with deletes: snapshot + folded delta via one "
+                "keys-bounded full-outer join must equal the one-shot "
+                "fold over the whole change-log"))

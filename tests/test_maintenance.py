@@ -187,3 +187,36 @@ def test_table_profile_nulls_ties_and_truncation(spark):
     assert t.top_value == "x" * PROFILE_RENDER_LEN
     assert (t.min_len, t.max_len) == (5, PROFILE_RENDER_LEN)
     assert t.n_null == 2
+
+
+def test_cdc_apply_deletes_resurrection_and_passthrough(spark):
+    """Hand-built log: upsert-then-delete removes, delete-then-upsert
+    resurrects, untouched snapshot keys pass through, and a delta
+    upsert overwrites the snapshot value."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from downscaledclimatedata_spark.operators.maintenance import (
+        cdc_apply, cdc_fold)
+    from pyspark.sql import functions as F
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    cols = ["user_id", "ts", "event_id", "op", "cents"]
+    hist = spark.createDataFrame(pd.DataFrame([
+        (1, t(0), 1, "U", 100),   # untouched by delta -> passthrough
+        (2, t(1), 2, "U", 200),   # delta deletes
+        (3, t(2), 3, "D", 0),     # tombstone in history -> not in snapshot
+        (4, t(3), 4, "U", 400),   # delta overwrites
+    ], columns=cols))
+    delta = spark.createDataFrame(pd.DataFrame([
+        (2, t(10), 5, "D", 0),
+        (3, t(11), 6, "U", 333),  # resurrection
+        (4, t(12), 7, "U", 444),
+        (4, t(13), 8, "D", 0),    # ...then deleted: last delta op wins
+        (5, t(14), 9, "U", 555),  # brand-new key
+    ], columns=cols))
+    snapshot = cdc_fold(hist).filter(F.col("op") == "U").drop("op")
+    out = {r.user_id: r.cents
+           for r in cdc_apply(snapshot, delta).collect()}
+    assert out == {1: 100, 3: 333, 5: 555}
