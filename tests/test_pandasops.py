@@ -75,3 +75,31 @@ def test_compression_signals_match_direct_zlib(spark):
     assert got[1]["ratio"] < 0.05          # boilerplate collapses
     assert got[2]["ratio"] > 0.3           # high-entropy stays large
     assert got[3]["ratio"] == 1.0 and got[4]["ratio"] == 1.0
+
+
+def test_unicode_normalize_composed_decomposed_and_fold(spark):
+    """Composed vs decomposed 'café' must normalize to the SAME nfc
+    hash (the property that rescues exact-dedup on multilingual text),
+    the decomposed row reports nfc_changed, and accent folding maps
+    both to the hash of 'cafe'."""
+    import hashlib
+
+    import pandas as pd
+
+    from downscaledclimatedata_spark.operators.pandasops import (
+        unicode_normalize_report)
+
+    composed = "café"          # é as one code point
+    decomposed = "café"       # e + combining acute
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "text": [composed, decomposed, None]})
+    out = {r.doc_id: r for r in unicode_normalize_report(
+        spark.createDataFrame(pdf)).collect()}
+
+    h = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+    assert out[1].nfc_hash == out[2].nfc_hash == h(composed)
+    assert not out[1].nfc_changed and out[2].nfc_changed
+    assert out[1].n_chars_raw == 4 and out[2].n_chars_raw == 5
+    assert out[1].fold_hash == out[2].fold_hash == h("cafe")
+    # NULL folds to empty
+    assert out[3].n_chars_raw == 0 and out[3].nfc_hash == h("")
