@@ -506,3 +506,83 @@ register(QuerySpec(
     description="CDC merge with deletes: snapshot + folded delta via one "
                 "keys-bounded full-outer join must equal the one-shot "
                 "fold over the whole change-log"))
+
+
+# --- incremental JOIN maintenance (delta-join algebra) ------------------------
+
+def incremental_join(a_old: DataFrame, a_delta: DataFrame,
+                     b_old: DataFrame, b_delta: DataFrame,
+                     on: str) -> DataFrame:
+    """Maintain a materialized join under inserts on BOTH inputs with
+    the delta-join identity:
+
+        (A ∪ ΔA) ⋈ (B ∪ ΔB) = (A ⋈ B)  ∪  ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    so refreshing the view costs three delta-sized joins instead of
+    re-joining two 100 TB inputs (the old-old term is the already-
+    materialized view, passed through untouched). Insert-only IVM —
+    deletes need the tombstone algebra of `cdc_apply`; production
+    engines (Materialize, DBSP) generalize exactly this identity to
+    Z-sets.
+
+    Returns ONLY the incremental terms (everything new since the last
+    refresh): union of the three delta joins. Scale: each term joins a
+    delta against a base or another delta — the base sides shuffle
+    only the join column + payload, and when the delta is small
+    Catalyst broadcasts it, so the refresh never rescans base⋈base.
+    """
+    return (a_delta.join(b_old, on)
+            .unionByName(a_old.join(b_delta, on))
+            .unionByName(a_delta.join(b_delta, on)))
+
+
+def maintenance_incremental_join_query(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """The identity checked against direct recomputation: orders and
+    lineitem each split into base/delta by a deterministic md5 of the
+    order key (so delta rows on both sides correlate — the hard case:
+    the ΔA ⋈ ΔB term is non-empty and dropping it silently
+    undercounts). The maintained view = materialized base⋈base PLUS
+    the three incremental terms; the oracle computes the full join
+    from scratch. Aggregated to per-priority counts/revenue so the
+    compare is the view's content, not its row order."""
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+    from downscaledclimatedata_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint").alias("cents"))
+    o_is_delta = md5_long(F.col("o_orderkey").cast("string"), "ivmo") % 5 == 0
+    l_is_delta = md5_long(F.col("l_orderkey").cast("string"), "ivml") % 7 == 0
+    a_old, a_delta = orders.filter(~o_is_delta), orders.filter(o_is_delta)
+    b_old, b_delta = li.filter(~l_is_delta), li.filter(l_is_delta)
+
+    renamed_b = [b.withColumnRenamed("l_orderkey", "o_orderkey")
+                 for b in (b_old, b_delta)]
+    view = (a_old.join(renamed_b[0], "o_orderkey")  # materialized base⋈base
+            .unionByName(incremental_join(a_old, a_delta,
+                                          renamed_b[0], renamed_b[1],
+                                          "o_orderkey")))
+    return (view.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("cents").alias("revenue_cents"))
+            .orderBy("o_orderpriority"))
+
+
+_IVM_JOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+register(QuerySpec(
+    "maintenance_incremental_join", maintenance_incremental_join_query,
+    _IVM_JOIN_SQL,
+    description="delta-join view maintenance: base view + three "
+                "delta-sized joins must equal the from-scratch join "
+                "(insert-only IVM identity incl. the delta-delta term)"))

@@ -220,3 +220,41 @@ def test_cdc_apply_deletes_resurrection_and_passthrough(spark):
     out = {r.user_id: r.cents
            for r in cdc_apply(snapshot, delta).collect()}
     assert out == {1: 100, 3: 333, 5: 555}
+
+
+def test_incremental_join_delta_delta_term_is_load_bearing(spark):
+    """All three incremental terms must be non-empty on the correlated
+    split (the delta fractions share order keys), and dropping the
+    delta-delta term must undercount — i.e. the identity is exercised,
+    not vacuously true."""
+    from pyspark.sql import functions as F
+
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+    from downscaledclimatedata_spark.operators.maintenance import (
+        incremental_join)
+    from downscaledclimatedata_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    orders = load_table(spark, SF_CORRECTNESS, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = (load_table(spark, SF_CORRECTNESS, "lineitem")
+          .select(F.col("l_orderkey").alias("o_orderkey"),
+                  F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                  .alias("cents")))
+    o_d = md5_long(F.col("o_orderkey").cast("string"), "ivmo") % 5 == 0
+    l_d = md5_long(F.col("o_orderkey").cast("string"), "ivml") % 7 == 0
+    a_old, a_delta = orders.filter(~o_d), orders.filter(o_d)
+    b_old, b_delta = li.filter(~l_d), li.filter(l_d)
+
+    n_ab = a_delta.join(b_old, "o_orderkey").count()
+    n_ba = a_old.join(b_delta, "o_orderkey").count()
+    n_dd = a_delta.join(b_delta, "o_orderkey").count()
+    assert n_ab > 0 and n_ba > 0 and n_dd > 0, (n_ab, n_ba, n_dd)
+
+    full = orders.join(li, "o_orderkey").count()
+    base = a_old.join(b_old, "o_orderkey").count()
+    inc = incremental_join(a_old, a_delta, b_old, b_delta,
+                           "o_orderkey").count()
+    assert base + inc == full
+    assert base + n_ab + n_ba == full - n_dd, (
+        "delta-delta term must be load-bearing")
