@@ -691,3 +691,45 @@ def test_bounded_dedup_suppresses_within_horizon_reemits_after(spark, tmp_path):
     # id 1: first occurrence + the post-eviction replay, NOT the
     # within-horizon duplicate
     assert sorted(by_id[1]) == [t0, t0 + dt.timedelta(hours=2, minutes=6)]
+
+
+def test_transform_with_state_totals_match_batch(spark, tmp_path):
+    """The transformWithState twin must accumulate identical per-user
+    totals to the batch groupBy across micro-batches (same gate as the
+    applyInPandasWithState twin). Spark 4's TWS Python runner requires
+    protobuf, which this container does not ship — skipped when absent
+    (the applyInPandasWithState twin covers the stateful semantics
+    in-container; same precedent as the xarray import guard)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("protobuf unavailable: transformWithState's Python "
+                    "worker cannot start in this container")
+    from downscaledclimatedata_spark.sources.tables import (
+        normalize_events_ts)
+    from downscaledclimatedata_spark.streaming.stream import (
+        running_user_totals_tws)
+    from tests.conftest import SF_SMOKE
+
+    edir = str(tmp_path / "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    raw.repartition(3).write.parquet(edir)
+
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(edir))
+    name = _run_to_memory(running_user_totals_tws(stream), "update")
+
+    final = {r.user_id: (r.n_events, r.total_value)
+             for r in spark.table(name).orderBy("n_events").collect()}
+    batch = {r.user_id: (r.n, r.total) for r in
+             (spark.read.parquet(edir).groupBy("user_id")
+              .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+              .collect())}
+    assert set(final) == set(batch)
+    for uid, (n, total) in batch.items():
+        assert final[uid][0] == n
+        assert abs(final[uid][1] - total) < 1e-6
