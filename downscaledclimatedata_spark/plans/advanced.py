@@ -1582,3 +1582,84 @@ register(QuerySpec("q77_scd2_history", q77_scd2_history, _Q77_SQL,
                    description="type-2 SCD build from the event change-log: "
                                "run-collapse + interval close, all windows "
                                "user-keyed"))
+
+
+# --- q80: sequential pattern matching (MATCH_RECOGNIZE emulation) ------------
+
+# Patterns are written against the SPACE-JOINED symbol string ('v c p'),
+# so adjacency is 'c p' and runs are 'v v v'; all four are non-vacuous
+# on the sf0.01 sample (138/60/20/150 users).
+SEQ_PATTERNS = (
+    ("click_to_buy", "c p"),             # purchase immediately after click
+    ("view_binge", "v v v"),             # 3 consecutive views
+    ("signup_first", "^s"),              # journey opens with signup
+    ("error_recovered", "e( [vcs])* p"),  # error, then purchase with no
+                                          # further error between
+)
+
+
+def q80_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection over per-user event journeys —
+    SQL:2016 MATCH_RECOGNIZE semantics (which Spark lacks) emulated by
+    the serialize-and-regex technique: each user's journey collapses
+    to a symbol string ('v'iew 'c'lick 'p'urchase...) in deterministic
+    (ts, event_id) order, and each business pattern is a regex over
+    that string. Output: per pattern, how many users match and their
+    total journey length.
+
+    Scale: ONE user-keyed shuffle builds the journey strings
+    (array_sort(collect_list(struct)) — partition-order-independent,
+    the q72 discipline); the regex pass is a shuffle-free projection;
+    the final count is a patterns-cardinality aggregate. A journey
+    string is bounded by events-per-user — the same bound any
+    MATCH_RECOGNIZE engine needs to hold a user's match buffer.
+    Patterns test against a space-joined symbol sequence, so
+    multi-symbol regexes stay readable ('c p' = adjacency).
+    """
+    ev = _t(spark, sf_dir, "events")
+    journeys = (ev.groupBy("user_id")
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type")))
+                    .alias("seq"))
+                .select("user_id",
+                        F.concat_ws(" ", F.transform(
+                            "seq", lambda s: F.substring(s["event_type"],
+                                                         1, 1)))
+                        .alias("journey"),
+                        F.size("seq").alias("n_events")))
+    per_pattern = [
+        journeys.filter(F.col("journey").rlike(rx)).agg(
+            F.lit(name).alias("pattern"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.coalesce(F.sum("n_events"), F.lit(0)).alias("total_events"))
+        for name, rx in SEQ_PATTERNS]
+    out = per_pattern[0]
+    for df in per_pattern[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("pattern")
+
+
+def _q80_sql() -> str:
+    arms = "\n  UNION ALL ".join(
+        f"SELECT '{name}' AS pattern, COUNT(*) AS n_users, "
+        f"CAST(COALESCE(SUM(n_events), 0) AS BIGINT) AS total_events "
+        f"FROM journeys WHERE regexp_matches(journey, '{rx}')"
+        for name, rx in SEQ_PATTERNS)
+    return f"""
+WITH journeys AS (
+  SELECT user_id,
+    string_agg(substr(event_type, 1, 1), ' ' ORDER BY ts, event_id)
+      AS journey,
+    COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+)
+{arms}
+ORDER BY pattern
+"""
+
+
+register(QuerySpec("q80_sequence_pattern", q80_sequence_pattern, _q80_sql(),
+                   description="MATCH_RECOGNIZE emulation: journeys "
+                               "serialized in deterministic order, business "
+                               "patterns as regexes; one user-keyed "
+                               "shuffle"))
