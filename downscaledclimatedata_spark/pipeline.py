@@ -54,6 +54,7 @@ class CorpusBuildResult:
     total_tokens: int
     n_shards: int
     out_dir: str
+    n_normalized: int = 0  # docs whose text changed under NFC (opt-in)
 
 
 def build_training_corpus(docs: DataFrame, out_dir: str, *,
@@ -61,6 +62,7 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
                           seed: str = "epoch0",
                           eval_docs: DataFrame | None = None,
                           decon_n: int = DECON_NGRAM,
+                          normalize_unicode: bool = False,
                           text_col: str = "text", id_col: str = "doc_id",
                           source_col: str = "source") -> CorpusBuildResult:
     """Raw documents -> written training shards; returns stage counts.
@@ -90,6 +92,31 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
     """
     from pyspark.sql import Observation
 
+    # Stage 0 (opt-in): Unicode NFC canonicalization BEFORE any hashing
+    # stage — composed-vs-decomposed encodings of the same text would
+    # otherwise survive exact/near dedup as distinct documents. A
+    # shuffle-free Arrow-batched projection; its changed-count
+    # Observation rides stage 1's checkpoint action (the first
+    # materialization of this lineage), so it costs no extra pass.
+    obs_u = None
+    if normalize_unicode:
+        import unicodedata
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("struct<t: string, changed: boolean>")
+        def _nfc(col):
+            import pandas as _pd
+            raw = col.fillna("")
+            nfc = raw.map(lambda t: unicodedata.normalize("NFC", t))
+            return _pd.DataFrame({"t": nfc, "changed": nfc != raw})
+
+        obs_u = Observation("pipeline_unicode")
+        docs = (docs.withColumn("_u", _nfc(F.col(text_col)))
+                .observe(obs_u, F.sum(F.col("_u.changed").cast("bigint"))
+                         .alias("n_changed"))
+                .withColumn(text_col, F.col("_u.t")).drop("_u"))
+
     # Stage 1: quality — ONE scan, ONE rule-chain evaluation, no join.
     # The Observation sits above the filter so a single eager
     # localCheckpoint materializes survivors AND counts input/passing.
@@ -104,6 +131,7 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
     # SUM over zero rows observes NULL (count observes 0) — an empty or
     # all-rejected corpus must report 0, like the oracle's coalesce
     n_input, n_quality = qm["n_input"], int(qm["n_pass"] or 0)
+    n_normalized = int(obs_u.get["n_changed"] or 0) if obs_u else 0
 
     # Stage 1b (opt-in): benchmark decontamination BEFORE near-dup
     # prune, so a contaminated doc can never be elected the cluster
@@ -162,7 +190,7 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
         n_decontaminated=n_decon, n_after_dedup=n_dedup,
         n_sampled=metrics["n_rows"],
         total_tokens=int(metrics["total_tokens"] or 0),
-        n_shards=n_shards, out_dir=out_dir)
+        n_shards=n_shards, out_dir=out_dir, n_normalized=n_normalized)
 
 
 def pipeline_corpus_build_query(spark: SparkSession, sf_dir: str) -> DataFrame:

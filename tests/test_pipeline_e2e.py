@@ -128,3 +128,44 @@ def test_pipeline_cli(spark, tmp_path, capsys):
     got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert got["n_shards"] == 2 and got["n_sampled"] > 0
     assert spark.read.parquet(out).count() == got["n_sampled"]
+
+
+def test_build_normalizes_unicode_before_hashing(spark, tmp_path):
+    """With normalize_unicode=True, decomposed text is NFC'd BEFORE any
+    hashing stage: the written shard text contains no combining marks
+    from decomposable sequences, n_normalized counts exactly the
+    changed docs, and a composed/decomposed pair of the same text
+    collapses in the dedup stage (identical shingles)."""
+    import unicodedata
+
+    from downscaledclimatedata_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    base = load_table(spark, SF_SMOKE, "documents")
+    decomposed = ("the café corpus needs canonical text " * 12).strip()
+    composed = unicodedata.normalize("NFC", decomposed)
+    assert composed != decomposed
+    extra = spark.createDataFrame(
+        [(900001, decomposed, "en", "plant", len(decomposed)),
+         (900002, composed, "en", "plant", len(composed))],
+        base.schema)
+    docs = base.unionByName(extra)
+
+    out = str(tmp_path / "shards")
+    res = build_training_corpus(docs, out, budget_tokens=5_000, n_shards=4,
+                                normalize_unicode=True)
+    assert res.n_normalized == 1  # only the decomposed plant changed
+    # after normalization the two plants are byte-identical -> the
+    # near-dup prune keeps exactly one
+    back = spark.read.parquet(out)
+    plants = back.filter(F.col("source") == "plant").collect()
+    assert len(plants) <= 1
+    # no decomposable sequence survives anywhere in the written text
+    for r in back.select("content_text").limit(200).collect():
+        t = r.content_text or ""
+        assert unicodedata.normalize("NFC", t) == t
+
+    # default-off path unchanged: n_normalized reports 0
+    res2 = build_training_corpus(base, str(tmp_path / "s2"),
+                                 budget_tokens=2_000, n_shards=2)
+    assert res2.n_normalized == 0
