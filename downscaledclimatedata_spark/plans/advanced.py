@@ -1663,3 +1663,85 @@ register(QuerySpec("q80_sequence_pattern", q80_sequence_pattern, _q80_sql(),
                                "serialized in deterministic order, business "
                                "patterns as regexes; one user-keyed "
                                "shuffle"))
+
+
+# --- q81: Pareto frontier (skyline) via binned two-phase prefix scan ---------
+
+SKY_BINS = 64  # price-bin fan-out for the distributed prefix max
+
+
+def q81_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: parts not STRICTLY dominated — no other part is both
+    strictly cheaper and strictly larger (minimize retail price,
+    maximize size). Classic catalog analytics ("show me the efficient
+    frontier"), and in SQL engines the textbook NOT EXISTS self-join —
+    O(N²) comparisons.
+
+    The scalable form is a PREFIX SCAN: p is dominated iff
+    max(size | price < p.price) > p.size, i.e. a running max over the
+    price order. A naive ``Window.orderBy(price)`` is the
+    single-partition trap (one task scans 100 TB); this plan reuses the
+    engine's two-phase binned machinery (functions/ranks.py — here
+    generalized from row_number to MAX): price values hash into
+    SKY_BINS value bins; within each bin a bin-partitioned window
+    takes the running max over a RANGE frame ending at -1 (strictly
+    lower prices only — ties excluded by the frame, exactly the strict
+    `<`); across bins the per-bin maxima form a <= SKY_BINS-row
+    relation whose own prefix max broadcasts back. Parallelism ∝ bins,
+    both phases exact.
+
+    Ties: equal-price parts never dominate each other here (strict on
+    both axes), and the RANGE frame — not ROWS — is what makes equal
+    prices invisible to each other regardless of partition order.
+    Sizes compare on the exact integer column; prices bin on exact
+    cents.
+    """
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("int").alias("size"))
+    # value-binned by price rank-range: min/max bounds broadcast in-plan
+    b = part.agg(F.min("price_cents").alias("lo"),
+                 (F.max("price_cents") + 1).alias("hi")).filter(
+        F.col("lo").isNotNull())
+    binned = part.crossJoin(F.broadcast(b)).withColumn(
+        "pbin",
+        F.expr(f"CAST((price_cents - lo) * {SKY_BINS} DIV (hi - lo) AS INT)"))
+    inw = (Window.partitionBy("pbin").orderBy("price_cents")
+           .rangeBetween(Window.unboundedPreceding, -1))
+    local = binned.withColumn("in_max", F.max("size").over(inw))
+    bin_tops = (binned.groupBy("pbin")
+                .agg(F.max("size").alias("bmax")))
+    prefw = (Window.orderBy("pbin")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = bin_tops.withColumn("pmax", F.max("bmax").over(prefw)) \
+        .select("pbin", "pmax")
+    dominated_by = F.greatest(F.coalesce(F.col("in_max"), F.lit(-1)),
+                              F.coalesce(F.col("pmax"), F.lit(-1)))
+    return (local.join(F.broadcast(prefix), "pbin", "left")
+            .filter(dominated_by <= F.col("size"))
+            .select("p_partkey", "price_cents", "size")
+            .orderBy("price_cents", "p_partkey"))
+
+
+_Q81_SQL = """
+WITH p AS (
+  SELECT p_partkey,
+    CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+    CAST(p_size AS INTEGER) AS size
+  FROM part
+)
+SELECT a.p_partkey, a.price_cents, a.size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_cents < a.price_cents AND b.size > a.size)
+ORDER BY a.price_cents, a.p_partkey
+"""
+
+register(QuerySpec("q81_pareto_frontier", q81_pareto_frontier, _Q81_SQL,
+                   description="2-D skyline as a binned two-phase prefix "
+                               "max (parallelism ∝ bins, strict domination "
+                               "via RANGE -1 frames); oracle is the "
+                               "O(N²) NOT EXISTS definition"))

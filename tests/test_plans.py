@@ -380,3 +380,18 @@ def test_q79_bloom_filters_fact_side_before_join(spark):
     # pass must therefore be well under the full table, and the final
     # result can never exceed what the bloom let through
     assert joined_items < li_total * 0.4, (joined_items, li_total)
+
+
+def test_q81_skyline_windows_are_binned(spark):
+    """The running price-max must never run as a single global window:
+    every corpus-side window partitions on the price bin; the only
+    unpartitioned window allowed is the <= SKY_BINS-row cross-bin
+    prefix (ordered by pbin, not by a corpus column)."""
+    import re
+    plan = _plan(spark, "q81_pareto_frontier")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window operators in the skyline plan"
+    corpus_windows = [s for s in specs if "price_cents#" in s]
+    assert corpus_windows, "expected a price-ordered running-max window"
+    for s in corpus_windows:
+        assert "pbin#" in s, f"corpus window not bin-partitioned: {s}"
