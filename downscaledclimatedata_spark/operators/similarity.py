@@ -3259,3 +3259,86 @@ register(QuerySpec("similarity_ivfpq_residual",
                                "over residuals v - centroid, per-(query, "
                                "probed-cell) broadcast ADC tables, "
                                "floored-int order-independent sums"))
+
+
+# --- leave-one-out kNN classification eval (embedding quality metric) ----------
+
+def knn_classify_confusion(emb: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           label_col: str = "label",
+                           k: int = KNN_K,
+                           centroid_mod: int = CENTROID_MOD,
+                           n_centroids: int = N_CENTROIDS,
+                           n_super: int | None = None) -> DataFrame:
+    """Leave-one-out kNN classification over the labeled embedding
+    corpus: each vector's predicted label is the majority vote of its
+    approximate k nearest neighbors (self excluded by the graph), and
+    the output is the confusion matrix — the standard intrinsic
+    check that an embedding space separates its classes, computed
+    in-engine instead of exporting vectors to sklearn.
+
+    Rides :func:`knn_graph` (IVF-cell-restricted, N^1.5 with a √N̄
+    codebook, no broadcast of corpus sides); the vote is a
+    (vec, label)-grain count aggregate + a struct-min argmax (count
+    desc, label asc tie-break — deterministic cross-engine). Vectors
+    the graph excludes (zero-norm, singleton cells) drop from the
+    matrix — the oracle's inner joins mirror exactly that. Output is
+    |labels|²-bounded.
+    """
+    g = knn_graph(emb, id_col, vec_col, k, centroid_mod, n_centroids,
+                  nprobe=1, n_super=n_super)
+    nb_labels = emb.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(label_col).cast("int").alias("nb_label"))
+    votes = (g.join(nb_labels, "neighbor_id")
+             .groupBy("vec_id", "nb_label")
+             .agg(F.count(F.lit(1)).alias("c")))
+    pred = (votes.groupBy("vec_id")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "nb_label"))
+                 .alias("best"))
+            .select("vec_id", F.col("best.nb_label").alias("pred_label")))
+    truth = emb.select(F.col(id_col).alias("vec_id"),
+                       F.col(label_col).cast("int").alias("true_label"))
+    return (truth.join(pred, "vec_id")
+            .groupBy("true_label", "pred_label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("true_label", "pred_label"))
+
+
+def similarity_knn_classify_query(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    mod, k, s = scaled_codebook_two_level(emb.count())
+    return knn_classify_confusion(emb, centroid_mod=mod, n_centroids=k,
+                                  n_super=s)
+
+
+def _knn_classify_sql() -> str:
+    head = _KNN_GRAPH_SQL.rsplit(
+        "SELECT vec_id, neighbor_id, cosine, rnk FROM ranked", 1)[0]
+    return head + f""", votes AS (
+  SELECT r.vec_id, CAST(e.label AS INTEGER) AS nb_label, COUNT(*) AS c
+  FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+  WHERE r.rnk <= {KNN_K}
+  GROUP BY 1, 2
+), pred AS (
+  SELECT vec_id, nb_label AS pred_label FROM (
+    SELECT vec_id, nb_label,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY c DESC, nb_label) AS rn
+    FROM votes) x
+  WHERE rn = 1
+)
+SELECT CAST(t.label AS INTEGER) AS true_label, p.pred_label,
+  COUNT(*) AS n
+FROM pred p JOIN embeddings t ON t.vec_id = p.vec_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+register(QuerySpec(
+    "similarity_knn_classify", similarity_knn_classify_query,
+    _knn_classify_sql(),
+    description="leave-one-out kNN classification confusion matrix over "
+                "the approximate graph: the intrinsic does-the-space-"
+                "separate-classes metric, |labels|^2-bounded output"))

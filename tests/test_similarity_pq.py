@@ -228,3 +228,29 @@ def test_ivfpq_residual_candidates_from_probed_cells_only(spark):
     for r in out:
         assert assign[r.match_id] in probes[r.query_id], (
             f"match {r.match_id} outside query {r.query_id}'s probes")
+
+
+def test_knn_classify_perfect_on_separable_clusters(spark):
+    """Two well-separated label clusters must classify perfectly
+    (diagonal confusion matrix); the synthetic corpus' ~chance accuracy
+    is a data property, so the metric needs a positive control."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        DIM, knn_classify_confusion)
+
+    rows = []
+    for i in range(40):
+        base = [0.0] * DIM
+        if i % 2 == 0:
+            base[0] = 10.0 + (i % 7) * 0.01   # cluster A along dim 0
+            label = 0
+        else:
+            base[1] = 10.0 + (i % 7) * 0.01   # cluster B along dim 1
+            label = 1
+        base[2] = (i % 5) * 0.001             # tiny within-cluster jitter
+        rows.append((i, base, label))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = knn_classify_confusion(emb, k=3, centroid_mod=4, n_centroids=2)
+    cells = {(r.true_label, r.pred_label): r.n for r in out.collect()}
+    assert all(t == p for (t, p) in cells), f"off-diagonal cells: {cells}"
+    assert sum(cells.values()) > 0
