@@ -1745,3 +1745,103 @@ register(QuerySpec("q81_pareto_frontier", q81_pareto_frontier, _Q81_SQL,
                                "max (parallelism ∝ bins, strict domination "
                                "via RANGE -1 frames); oracle is the "
                                "O(N²) NOT EXISTS definition"))
+
+
+# --- q82: RFM customer segmentation via exact rank quintiles -----------------
+
+RFM_Q = 5  # quintile segmentation
+
+
+def q82_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM partition of the customer
+    base by Recency (days since last order), Frequency (order count)
+    and Monetary (lifetime revenue), each cut into exact rank
+    quintiles, reported as the 5x5x5 segment grid with sizes and
+    revenue.
+
+    Quintiles are the scale hazard: ``ntile(5)`` over all customers is
+    one task sorting the whole customer dimension. Here each metric's
+    global rank comes from the shared two-phase binned machinery
+    (functions/ranks.py): value-bin the metric (bounds from one
+    bounded 6-value collect), per-bin row_number, broadcast histogram
+    offsets — and the quintile is the pure-arithmetic
+    ``(rank-1)*5 DIV n + 1``, which needs no percentile buffer and
+    ties deterministically via (metric, custkey) ordering. Parallelism
+    ∝ bins for all three metrics; the output is 5³-bounded.
+    """
+    from downscaledclimatedata_spark.functions.ranks import (
+        binned_row_number, value_bin)
+
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("mx"))
+    cust = (orders.groupBy("o_custkey")
+            .agg(F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+                 F.count(F.lit(1)).alias("frequency"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                 .alias("cents"))
+            .crossJoin(F.broadcast(mx))
+            .select("o_custkey",
+                    F.datediff("mx", "last_d").cast("bigint")
+                    .alias("recency"),
+                    F.col("frequency").cast("bigint").alias("frequency"),
+                    "cents"))
+    bounds = cust.agg(
+        F.min("recency"), F.max("recency"), F.min("frequency"),
+        F.max("frequency"), F.min("cents"), F.max("cents")).first()
+    if bounds[0] is None:
+        return (cust.select(
+            F.col("recency").alias("r_seg"),
+            F.col("frequency").alias("f_seg"),
+            F.col("cents").alias("m_seg"),
+            F.lit(0).alias("n_customers"),
+            F.lit(0).alias("total_cents")).limit(0))
+
+    def seg(df, metric, lo, hi, out):
+        binned = df.withColumn("_vb", value_bin(F.col(metric),
+                                                float(lo), float(hi)))
+        ranked = binned_row_number(
+            binned, "_vb", (F.col(metric), F.col("o_custkey")),
+            out="_r", count_col="_n")
+        return (ranked.withColumn(
+            out, (F.expr(f"(_r - 1) * {RFM_Q} DIV _n") + 1).cast("int"))
+            .drop("_vb", "_r", "_n"))
+
+    cust = seg(cust, "recency", bounds[0], bounds[1], "r_seg")
+    cust = seg(cust, "frequency", bounds[2], bounds[3], "f_seg")
+    cust = seg(cust, "cents", bounds[4], bounds[5], "m_seg")
+    return (cust.groupBy("r_seg", "f_seg", "m_seg")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("cents").alias("total_cents"))
+            .orderBy("r_seg", "f_seg", "m_seg"))
+
+
+_Q82_SQL = f"""
+WITH cust AS (
+  SELECT o_custkey,
+    date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+              (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+      AS recency,
+    COUNT(*) AS frequency,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey, cents,
+    CAST((ROW_NUMBER() OVER (ORDER BY recency, o_custkey) - 1)
+         * {RFM_Q} // COUNT(*) OVER () + 1 AS INTEGER) AS r_seg,
+    CAST((ROW_NUMBER() OVER (ORDER BY frequency, o_custkey) - 1)
+         * {RFM_Q} // COUNT(*) OVER () + 1 AS INTEGER) AS f_seg,
+    CAST((ROW_NUMBER() OVER (ORDER BY cents, o_custkey) - 1)
+         * {RFM_Q} // COUNT(*) OVER () + 1 AS INTEGER) AS m_seg
+  FROM cust
+)
+SELECT r_seg, f_seg, m_seg, COUNT(*) AS n_customers,
+  CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM ranked GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+register(QuerySpec("q82_rfm_segments", q82_rfm_segments, _Q82_SQL,
+                   description="RFM quintile segmentation on the binned "
+                               "two-phase rank — no ntile single-task "
+                               "sort, 5^3-bounded output"))
