@@ -3631,3 +3631,278 @@ register(QuerySpec("multimodal_decode_png_palette",
                    description="real indexed-color PNG decode: PLTE read "
                                "from the bytes, bounds-checked palette "
                                "mapping; empty-palette rows -> NULL"))
+
+
+# --- real QOI image decode (qoiformat.org spec, RGB channels=3) --------------
+
+QOI_W_BASE = 8
+QOI_W_MOD = 17
+QOI_H_BASE = 6
+QOI_H_MOD = 13
+QOI_A = 6113      # doc multiplier
+QOI_B = 524287    # row multiplier
+QOI_C = 77        # channel multiplier
+QOI_CORRUPT_MOD = 15
+
+
+def qoi_pixel(d: int, y: int, x: int, ch: int) -> int:
+    """Closed-form synthetic pixel shared with the SQL oracle: constant
+    within 4-pixel spans (exercises QOI_OP_RUN), +1 steps on even rows
+    (QOI_OP_DIFF) and +3 steps on odd rows (QOI_OP_LUMA), row jumps
+    via the large B (QOI_OP_RGB), and mod-256 wraparound revisits old
+    values (QOI_OP_INDEX)."""
+    return (d * QOI_A + y * QOI_B + ch * QOI_C
+            + (x // 4) * (1 + (y % 2) * 2)) % 256
+
+
+def _build_qoi_codecs():
+    """QOI (Quite OK Image, qoiformat.org — public single-page spec):
+    byte-oriented image compression with a 64-entry running-index
+    hash table, 2-bit channel diffs, luma-relative diffs, and runs.
+    Unlike PNG there is no entropy coder — every op is a direct byte
+    pattern — which is exactly why a stdlib codec can be complete."""
+    import struct
+
+    MAGIC = b"qoif"
+    END = b"\x00" * 7 + b"\x01"
+
+    def _hash(r, g, b, a=255):
+        return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+    def make_qoi(rows):
+        """rows: list of scanlines, each a list of (r, g, b)."""
+        h = len(rows)
+        w = len(rows[0]) if rows else 0
+        out = bytearray(MAGIC)
+        out += struct.pack(">IIBB", w, h, 3, 0)
+        index = [(0, 0, 0)] * 64
+        prev = (0, 0, 0)
+        run = 0
+        for row in rows:
+            for px in row:
+                if px == prev:
+                    run += 1
+                    if run == 62:
+                        out.append(0xC0 | (run - 1))
+                        run = 0
+                    continue
+                if run:
+                    out.append(0xC0 | (run - 1))
+                    run = 0
+                hidx = _hash(*px)
+                if index[hidx] == px:
+                    out.append(hidx)  # QOI_OP_INDEX (top bits 00)
+                else:
+                    index[hidx] = px
+                    dr = (px[0] - prev[0] + 128) % 256 - 128
+                    dg = (px[1] - prev[1] + 128) % 256 - 128
+                    db = (px[2] - prev[2] + 128) % 256 - 128
+                    if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                        out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2)
+                                   | (db + 2))  # QOI_OP_DIFF
+                    elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
+                          and -8 <= db - dg <= 7):  # QOI_OP_LUMA
+                        out.append(0x80 | (dg + 32))
+                        out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                    else:  # QOI_OP_RGB
+                        out.append(0xFE)
+                        out += bytes(px)
+                prev = px
+        if run:
+            out.append(0xC0 | (run - 1))
+        out += END
+        return bytes(out)
+
+    def decode_qoi_stats(blob: bytes):
+        """(w, h, n_px, sum_r, sum_g, sum_b, pix_min, pix_max) or None
+        (bad magic/header, unsupported channels, truncated chunk,
+        pixel over/underrun, missing end marker)."""
+        try:
+            blob = bytes(blob)
+            if len(blob) < 22 or blob[:4] != MAGIC:
+                return None
+            w, h, channels, _cs = struct.unpack(">IIBB", blob[4:14])
+            if channels != 3 or not w or not h:
+                return None
+            n = w * h
+            index = [(0, 0, 0)] * 64
+            px = (0, 0, 0)
+            i = 14
+            got = 0
+            sr = sg = sb = 0
+            mn, mx = 255, 0
+            while got < n:
+                if i >= len(blob) - 8:
+                    return None  # ran into / past the end marker
+                b0 = blob[i]
+                i += 1
+                if b0 == 0xFE:  # RGB
+                    if i + 3 > len(blob) - 8:
+                        return None
+                    px = (blob[i], blob[i + 1], blob[i + 2])
+                    i += 3
+                elif b0 == 0xFF:  # RGBA unsupported at channels=3
+                    return None
+                else:
+                    tag = b0 >> 6
+                    if tag == 0:  # INDEX
+                        px = index[b0 & 0x3F]
+                    elif tag == 1:  # DIFF
+                        px = (((px[0] + ((b0 >> 4) & 3) - 2) % 256),
+                              ((px[1] + ((b0 >> 2) & 3) - 2) % 256),
+                              ((px[2] + (b0 & 3) - 2) % 256))
+                    elif tag == 2:  # LUMA
+                        if i + 1 > len(blob) - 8:
+                            return None
+                        dg = (b0 & 0x3F) - 32
+                        b1 = blob[i]
+                        i += 1
+                        px = ((px[0] + dg + ((b1 >> 4) & 0xF) - 8) % 256,
+                              (px[1] + dg) % 256,
+                              (px[2] + dg + (b1 & 0xF) - 8) % 256)
+                    else:  # RUN
+                        run = (b0 & 0x3F) + 1
+                        if got + run > n:
+                            return None  # pixel overrun
+                        for _ in range(run):
+                            sr += px[0]
+                            sg += px[1]
+                            sb += px[2]
+                            mn = min(mn, *px)
+                            mx = max(mx, *px)
+                        got += run
+                        continue
+                index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + 255 * 11)
+                      % 64] = px
+                sr += px[0]
+                sg += px[1]
+                sb += px[2]
+                mn = min(mn, *px)
+                mx = max(mx, *px)
+                got += 1
+            if blob[i:i + 8] != END:
+                return None
+            return (w, h, n, sr, sg, sb, mn, mx)
+        except Exception:
+            return None
+
+    return make_qoi, decode_qoi_stats
+
+
+make_qoi, decode_qoi_stats = _build_qoi_codecs()
+
+
+def synthesize_qoi_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real QOI byte stream of the formula image; every
+    QOI_CORRUPT_MOD-th doc is truncated mid-chunk (the end marker and
+    trailing bytes cut), so tolerance exercises the decoder's
+    chunk-boundary and end-marker checks."""
+    mk, qp = make_qoi, qoi_pixel
+    wb, wm, hb, hm, cmod = (QOI_W_BASE, QOI_W_MOD, QOI_H_BASE, QOI_H_MOD,
+                            QOI_CORRUPT_MOD)
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                w, h = wb + d % wm, hb + d % hm
+                rows = [[(qp(d, y, x, 0), qp(d, y, x, 1), qp(d, y, x, 2))
+                         for x in range(w)] for y in range(h)]
+                blob = mk(rows)
+                if d % cmod == 0:
+                    blob = blob[:-11]  # cut end marker + final chunk bytes
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(_synth,
+                                           "doc_id long, payload binary")
+
+
+def decode_qoi(df: DataFrame) -> DataFrame:
+    dec = decode_qoi_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            keys = ("width", "height", "n_px", "sum_r", "sum_g", "sum_b",
+                    "pix_min", "pix_max")
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 8
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "n_px": pd.array(cols["n_px"], dtype="Int32"),
+                "sum_r": pd.array(cols["sum_r"], dtype="Int64"),
+                "sum_g": pd.array(cols["sum_g"], dtype="Int64"),
+                "sum_b": pd.array(cols["sum_b"], dtype="Int64"),
+                "pix_min": pd.array(cols["pix_min"], dtype="Int32"),
+                "pix_max": pd.array(cols["pix_max"], dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode,
+                                                      PNG_RGB_SCHEMA)
+
+
+def multimodal_decode_qoi_query(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """A post-PNG-generation format end-to-end: QOI's byte-pattern ops
+    (runs, 64-slot hash index, 2-bit diffs, luma-relative diffs) are
+    all exercised by the synthetic image's structure — constant spans,
+    ±1 and ±3 steps, large row jumps, wraparound revisits — and the
+    decoder reconstructs every pixel with running-state bookkeeping
+    the PNG filters don't have. Planted truncations void the row."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_qoi(synthesize_qoi_payloads(docs))
+
+
+_QOI_CH_SQL = (
+    "list_transform(range(0, width * height), "
+    "i -> (d * {a} + (i // width) * {b} + {{ch}} * {c} "
+    "+ ((i % width) // 4) * (1 + ((i // width) % 2) * 2)) % 256)").format(
+        a=QOI_A, b=QOI_B, c=QOI_C)
+
+_MULTIMODAL_QOI_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST({QOI_W_BASE} + abs(doc_id) % {QOI_W_MOD} AS INT) AS width,
+    CAST({QOI_H_BASE} + abs(doc_id) % {QOI_H_MOD} AS INT) AS height
+  FROM documents
+), s AS (
+  SELECT doc_id, d, width, height,
+    {_QOI_CH_SQL.format(ch=0)} AS vr,
+    {_QOI_CH_SQL.format(ch=1)} AS vg,
+    {_QOI_CH_SQL.format(ch=2)} AS vb
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN d % {QOI_CORRUPT_MOD} = 0 THEN NULL ELSE width END AS width,
+  CASE WHEN d % {QOI_CORRUPT_MOD} = 0 THEN NULL ELSE height END AS height,
+  CASE WHEN d % {QOI_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(width * height AS INT) END AS n_px,
+  CASE WHEN d % {QOI_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_sum(vr) AS BIGINT) END AS sum_r,
+  CASE WHEN d % {QOI_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_sum(vg) AS BIGINT) END AS sum_g,
+  CASE WHEN d % {QOI_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(list_sum(vb) AS BIGINT) END AS sum_b,
+  CASE WHEN d % {QOI_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(least(list_min(vr), list_min(vg), list_min(vb)) AS INT)
+       END AS pix_min,
+  CASE WHEN d % {QOI_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(greatest(list_max(vr), list_max(vg), list_max(vb)) AS INT)
+       END AS pix_max
+FROM s
+"""
+
+register(QuerySpec("multimodal_decode_qoi", multimodal_decode_qoi_query,
+                   _MULTIMODAL_QOI_SQL,
+                   description="real QOI decode: run/index/diff/luma byte "
+                               "ops with running-state reconstruction; "
+                               "truncated payloads -> NULL"))

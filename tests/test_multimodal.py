@@ -940,3 +940,76 @@ def test_png_palette_decode_through_spark(spark):
                          % 256) * PNG_PAL_P2 + 0 * PNG_PAL_P3) % 256
                      for y in range(h) for x in range(w))
         assert r.sum_r == exp_sr
+
+
+def test_qoi_codec_roundtrip_exercises_every_op():
+    """The synthetic image must drive the encoder through ALL five QOI
+    op families (RUN / INDEX / DIFF / LUMA / RGB) — verified by a
+    byte-walk census — and the decoder must reconstruct exact pixel
+    stats; truncation and an RGBA op byte are rejected."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_qoi_stats, make_qoi, qoi_pixel)
+
+    d, w, h = 21, 20, 12
+    rows = [[(qoi_pixel(d, y, x, 0), qoi_pixel(d, y, x, 1),
+              qoi_pixel(d, y, x, 2)) for x in range(w)]
+            for y in range(h)]
+    blob = make_qoi(rows)
+
+    # op census: walk the chunk stream
+    ops = {"run": 0, "index": 0, "diff": 0, "luma": 0, "rgb": 0}
+    i = 14
+    while i < len(blob) - 8:
+        b0 = blob[i]
+        if b0 == 0xFE:
+            ops["rgb"] += 1
+            i += 4
+        elif b0 >> 6 == 0:
+            ops["index"] += 1
+            i += 1
+        elif b0 >> 6 == 1:
+            ops["diff"] += 1
+            i += 1
+        elif b0 >> 6 == 2:
+            ops["luma"] += 1
+            i += 2
+        else:
+            ops["run"] += 1
+            i += 1
+    assert all(v > 0 for v in ops.values()), ops
+
+    st = decode_qoi_stats(blob)
+    assert st is not None
+    flat = [c for row in rows for px in row for c in px]
+    assert st == (w, h, w * h,
+                  sum(px[0] for row in rows for px in row),
+                  sum(px[1] for row in rows for px in row),
+                  sum(px[2] for row in rows for px in row),
+                  min(flat), max(flat))
+
+    assert decode_qoi_stats(blob[:-11]) is None      # truncated
+    assert decode_qoi_stats(b"nope" + blob[4:]) is None  # bad magic
+    rgba = bytearray(blob)
+    rgba[14] = 0xFF  # RGBA op at channels=3 -> reject
+    assert decode_qoi_stats(bytes(rgba)) is None
+
+
+def test_qoi_decode_through_spark(spark):
+    from downscaledclimatedata_spark.operators.multimodal import (
+        QOI_CORRUPT_MOD, QOI_H_BASE, QOI_H_MOD, QOI_W_BASE, QOI_W_MOD,
+        decode_qoi, qoi_pixel, synthesize_qoi_payloads)
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 32)],
+                                "doc_id long")
+    out = {r.doc_id: r for r in
+           decode_qoi(synthesize_qoi_payloads(ids)).collect()}
+    for d in range(1, 32):
+        r = out[d]
+        if d % QOI_CORRUPT_MOD == 0:
+            assert r.width is None and r.sum_r is None
+            continue
+        w = QOI_W_BASE + d % QOI_W_MOD
+        h = QOI_H_BASE + d % QOI_H_MOD
+        assert (r.width, r.height, r.n_px) == (w, h, w * h)
+        assert r.sum_g == sum(qoi_pixel(d, y, x, 1)
+                              for y in range(h) for x in range(w))
