@@ -1845,3 +1845,105 @@ register(QuerySpec("q82_rfm_segments", q82_rfm_segments, _Q82_SQL,
                    description="RFM quintile segmentation on the binned "
                                "two-phase rank — no ntile single-task "
                                "sort, 5^3-bounded output"))
+
+
+# --- q83: market-basket association rules (support/confidence/lift) ----------
+
+BASKET_MINSUP = 50  # minimum co-occurring orders for a reported pair
+
+
+def q83_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order contents: for every
+    pair of part brands bought together in one order, exact support,
+    directional confidences and lift.
+
+    Scale design (100 TB): the brand dimension is bounded (25 values),
+    so the pair space is <= 300 rows no matter the fact size. ``part``
+    is a dimension -> broadcast onto lineitem; the (order, brand)
+    relation is distinct-reduced FIRST (one shuffle on its natural
+    key), then localCheckpointed because THREE consumers fan out from
+    it (total count, per-brand counts, the pair self-join). The pair
+    self-join shuffles on l_orderkey with both sides corpus-sized —
+    sort-merge, per-order fan-out bounded by the 25-brand dimension,
+    never O(rows^2). Per-brand counts (<= 25 rows) broadcast back onto
+    the pair relation. Ratios are exact-integer ppm via DECIMAL(38,0)
+    multiply-then-DIV (bigint*1e6*bigint overflows at petabyte order
+    counts; DECIMAL(38,0) does not), so every engine hashes the same
+    bytes.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+          .select(F.col("l_orderkey").alias("okey"),
+                  F.col("p_brand").alias("brand"))
+          .distinct()
+          .localCheckpoint(eager=False))
+    n_orders = ob.select("okey").distinct().count()
+    if n_orders == 0:
+        return spark.createDataFrame(
+            [], "brand_a string, brand_b string, n_pair bigint, "
+                "n_a bigint, n_b bigint, support_ppm bigint, "
+                "conf_a_b_ppm bigint, conf_b_a_ppm bigint, lift_ppm bigint")
+    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
+    a = ob.select(F.col("okey"), F.col("brand").alias("brand_a"))
+    b = ob.select(F.col("okey").alias("okey_b"),
+                  F.col("brand").alias("brand_b"))
+    pairs = (a.join(b, (a.okey == b.okey_b) & (F.col("brand_a") < F.col("brand_b")))
+             .groupBy("brand_a", "brand_b")
+             .agg(F.count(F.lit(1)).alias("n_pair"))
+             .filter(F.col("n_pair") >= BASKET_MINSUP))
+    pairs = (pairs
+             .join(F.broadcast(bc.select(F.col("brand").alias("brand_a"),
+                                         F.col("n_brand").alias("n_a"))),
+                   "brand_a")
+             .join(F.broadcast(bc.select(F.col("brand").alias("brand_b"),
+                                         F.col("n_brand").alias("n_b"))),
+                   "brand_b"))
+    ppm = "CAST(CAST({num} AS DECIMAL(38,0)) * 1000000 DIV CAST({den} AS DECIMAL(38,0)) AS BIGINT)"
+    return pairs.select(
+        "brand_a", "brand_b", "n_pair", "n_a", "n_b",
+        F.expr(ppm.format(num="n_pair", den=n_orders)).alias("support_ppm"),
+        F.expr(ppm.format(num="n_pair", den="n_a")).alias("conf_a_b_ppm"),
+        F.expr(ppm.format(num="n_pair", den="n_b")).alias("conf_b_a_ppm"),
+        F.expr(ppm.format(num=f"CAST(n_pair AS DECIMAL(38,0)) * {n_orders}",
+                          den="CAST(n_a AS DECIMAL(38,0)) * n_b"))
+        .alias("lift_ppm"),
+    ).orderBy("brand_a", "brand_b")
+
+
+_Q83_SQL = f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), tot AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM ob),
+bc AS (SELECT brand, COUNT(*) AS n_brand FROM ob GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MINSUP}
+)
+SELECT p.brand_a, p.brand_b, p.n_pair,
+  CAST(ca.n_brand AS BIGINT) AS n_a, CAST(cb.n_brand AS BIGINT) AS n_b,
+  CAST(CAST(p.n_pair AS HUGEINT) * 1000000 // t.n_orders AS BIGINT)
+    AS support_ppm,
+  CAST(CAST(p.n_pair AS HUGEINT) * 1000000 // ca.n_brand AS BIGINT)
+    AS conf_a_b_ppm,
+  CAST(CAST(p.n_pair AS HUGEINT) * 1000000 // cb.n_brand AS BIGINT)
+    AS conf_b_a_ppm,
+  CAST(CAST(p.n_pair AS HUGEINT) * t.n_orders * 1000000
+       // (CAST(ca.n_brand AS HUGEINT) * cb.n_brand) AS BIGINT)
+    AS lift_ppm
+FROM pairs p
+JOIN bc ca ON ca.brand = p.brand_a
+JOIN bc cb ON cb.brand = p.brand_b
+CROSS JOIN tot t
+ORDER BY p.brand_a, p.brand_b
+"""
+
+register(QuerySpec("q83_basket_lift", q83_basket_lift, _Q83_SQL,
+                   description="market-basket association rules: exact "
+                               "support/confidence/lift ppm over the "
+                               "bounded brand-pair grid; dimension "
+                               "broadcast + one okey sort-merge self-join"))

@@ -395,3 +395,13 @@ def test_q81_skyline_windows_are_binned(spark):
     assert corpus_windows, "expected a price-ordered running-max window"
     for s in corpus_windows:
         assert "pbin#" in s, f"corpus window not bin-partitioned: {s}"
+
+
+def test_q83_basket_dimension_broadcast_pair_join_shuffled(spark):
+    """part (bounded dimension) must broadcast onto lineitem; the pair
+    self-join is corpus x corpus on okey, so it must be a shuffle join
+    (sort-merge/shuffled-hash), never a broadcast of a fact side; and
+    the <= 25-row brand-count joins must broadcast back."""
+    plan = _plan(spark, "q83_basket_lift")
+    assert "BroadcastHashJoin" in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
