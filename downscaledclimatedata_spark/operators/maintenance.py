@@ -586,3 +586,155 @@ register(QuerySpec(
     description="delta-join view maintenance: base view + three "
                 "delta-sized joins must equal the from-scratch join "
                 "(insert-only IVM identity incl. the delta-delta term)"))
+
+
+# --- data-quality constraint suite (Deequ-style checks in one pass) ----------
+
+CC_NULL_MOD = 97     # plant a NULL o_custkey
+CC_DUP_MOD = 101     # plant a duplicated o_orderkey
+CC_FK_MOD = 103      # plant an orphan o_custkey (negated key)
+CC_DOM_MOD = 109     # plant an out-of-domain o_orderstatus
+CC_PRICE_LO = 5000.0
+CC_PRICE_HI = 300000.0
+CC_MIN_ROWS = 100
+PPM = 1_000_000
+
+
+def constraint_check(checked: DataFrame, dim_keys: DataFrame) -> DataFrame:
+    """Deequ-style data-quality verification as plain DataFrame jobs:
+    completeness, domain membership, numeric range, key uniqueness,
+    referential integrity, and a minimum-row-count gate — each reported
+    as (constraint, n_checked, n_violations, compliance_ppm, passed).
+
+    Scale design (100 TB): the three ROW-level constraints (not-null /
+    domain / range) ride ONE shuffle-free conditional-aggregate scan —
+    adding a row rule never adds a pass. Uniqueness is a count per key
+    on the uniform key column (one shuffle, map-side combined); RI is a
+    keys-only projection anti-joined to the dimension's key projection
+    (one shuffle — the dimension at this scale is itself fact-sized, so
+    no broadcast). Compliance ratios are exact-integer ppm via
+    DECIMAL(38,0) DIV, hash-identical cross-engine.
+    """
+    row = checked.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("v_null"),
+        F.sum(F.when(F.col("o_orderstatus").isin("O", "F", "P"), 0)
+              .otherwise(1)).cast("bigint").alias("v_dom"),
+        F.sum(F.when(F.col("o_totalprice").between(CC_PRICE_LO, CC_PRICE_HI),
+                     0).otherwise(1)).cast("bigint").alias("v_rng"),
+    ).localCheckpoint(eager=False)
+
+    uniq = (checked.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.sum(F.col("cnt") - 1).cast("bigint").alias("v_uniq"),
+                 F.lit(1).alias("k")))
+    orphans = (checked.select("o_custkey").filter(F.col("o_custkey").isNotNull())
+               .join(dim_keys.select(F.col("c_custkey").alias("o_custkey")),
+                     "o_custkey", "left_anti")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("v_fk"),
+                    F.lit(1).alias("k")))
+    wide = (row.withColumn("k", F.lit(1))
+            .join(uniq, "k").join(orphans, "k")
+            .withColumn("v_cnt",
+                        F.when(F.col("n_rows") >= CC_MIN_ROWS, F.lit(0))
+                        .otherwise(F.lit(1)).cast("bigint")))
+    report = wide.selectExpr(
+        "n_rows",
+        "stack(6, "
+        "'completeness_custkey', v_null, "
+        "'domain_orderstatus',  v_dom, "
+        "'range_totalprice',    v_rng, "
+        "'unique_orderkey',     v_uniq, "
+        "'fk_custkey_customer', v_fk, "
+        "'min_row_count',       v_cnt) AS (constraint, n_violations)")
+    return report.select(
+        "constraint",
+        F.col("n_rows").alias("n_checked"),
+        "n_violations",
+        F.expr(f"CAST(CAST(n_rows - n_violations AS DECIMAL(38,0)) * {PPM} "
+               f"DIV CAST(n_rows AS DECIMAL(38,0)) AS BIGINT)")
+        .alias("compliance_ppm"),
+        (F.col("n_violations") <= 0).alias("passed"),
+    ).orderBy("constraint")
+
+
+def _perturbed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders with deterministically planted defects (the sf tables are
+    clean, so every constraint class must be made non-vacuous): NULL
+    custkeys, duplicated orderkeys, orphaned custkeys, bad statuses."""
+    base = load_table_parallel(spark, sf_dir, "orders", key="o_orderkey")
+    unioned = base.unionAll(base.filter(F.col("o_orderkey") % CC_DUP_MOD == 0))
+    return unioned.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % CC_NULL_MOD == 0, F.lit(None))
+        .when(F.col("o_orderkey") % CC_FK_MOD == 0, -F.col("o_custkey"))
+        .otherwise(F.col("o_custkey")).alias("o_custkey"),
+        F.when(F.col("o_orderkey") % CC_DOM_MOD == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        "o_totalprice")
+
+
+def maintenance_constraint_query(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    cust = load_table_parallel(spark, sf_dir, "customer", key="c_custkey")
+    return constraint_check(_perturbed_orders(spark, sf_dir),
+                            cust.select("c_custkey"))
+
+
+_CONSTRAINT_SQL = f"""
+WITH checked AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % {CC_NULL_MOD} = 0 THEN NULL
+         WHEN o_orderkey % {CC_FK_MOD} = 0 THEN -o_custkey
+         ELSE o_custkey END AS o_custkey,
+    CASE WHEN o_orderkey % {CC_DOM_MOD} = 0 THEN 'X'
+         ELSE o_orderstatus END AS o_orderstatus,
+    o_totalprice
+  FROM (SELECT * FROM orders
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderkey % {CC_DUP_MOD} = 0)
+), rowagg AS (
+  SELECT COUNT(*) AS n_rows,
+    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_null,
+    CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+      AS BIGINT) AS v_dom,
+    CAST(SUM(CASE WHEN o_totalprice BETWEEN {CC_PRICE_LO} AND {CC_PRICE_HI}
+             THEN 0 ELSE 1 END) AS BIGINT) AS v_rng
+  FROM checked
+), uniq AS (
+  SELECT CAST(SUM(cnt - 1) AS BIGINT) AS v_uniq
+  FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM checked GROUP BY 1)
+), fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v_fk
+  FROM checked ch
+  WHERE ch.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = ch.o_custkey)
+), stacked AS (
+  SELECT r.n_rows, v.constraint, v.n_violations
+  FROM rowagg r, uniq u, fk f,
+  LATERAL (VALUES
+    ('completeness_custkey', r.v_null),
+    ('domain_orderstatus',  r.v_dom),
+    ('range_totalprice',    r.v_rng),
+    ('unique_orderkey',     u.v_uniq),
+    ('fk_custkey_customer', f.v_fk),
+    ('min_row_count', CAST(CASE WHEN r.n_rows >= {CC_MIN_ROWS}
+                           THEN 0 ELSE 1 END AS BIGINT))
+  ) AS v("constraint", n_violations)
+)
+SELECT "constraint", CAST(n_rows AS BIGINT) AS n_checked, n_violations,
+  CAST(CAST(n_rows - n_violations AS HUGEINT) * {PPM} // n_rows AS BIGINT)
+    AS compliance_ppm,
+  n_violations <= 0 AS passed
+FROM stacked ORDER BY "constraint"
+"""
+
+register(QuerySpec(
+    "maintenance_constraint_check", maintenance_constraint_query,
+    _CONSTRAINT_SQL,
+    description="Deequ-style constraint suite: completeness/domain/range "
+                "in ONE conditional-agg scan, uniqueness on the uniform "
+                "key, keys-only anti-join RI; exact ppm compliance"))

@@ -258,3 +258,46 @@ def test_incremental_join_delta_delta_term_is_load_bearing(spark):
     assert base + inc == full
     assert base + n_ab + n_ba == full - n_dd, (
         "delta-delta term must be load-bearing")
+
+
+def test_constraint_check_detects_each_planted_class(spark):
+    """Every constraint class must fire with the EXACT violation count a
+    hand-built checked relation implies, and a clean relation must pass
+    all six checks."""
+    from downscaledclimatedata_spark.operators.maintenance import (
+        CC_MIN_ROWS, constraint_check)
+
+    rows = [
+        # (orderkey, custkey, status, price)
+        (1, 10, "O", 6000.0),        # clean
+        (2, None, "F", 7000.0),      # completeness violation
+        (3, 999, "P", 8000.0),       # fk violation (999 not a dim key)
+        (4, 10, "X", 9000.0),        # domain violation
+        (5, 11, "O", 1.0),           # range violation (too low)
+        (6, 11, "O", 999999.0),      # range violation (too high)
+        (7, 10, "O", 6000.0), (7, 10, "O", 6000.0), (7, 10, "O", 6000.0),
+        # ^ orderkey 7 x3 -> 2 uniqueness violations
+    ]
+    checked = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double")
+    dims = spark.createDataFrame([(10,), (11,)], "c_custkey long")
+    rep = {r["constraint"]: r for r in
+           constraint_check(checked, dims).collect()}
+    assert rep["completeness_custkey"]["n_violations"] == 1
+    assert rep["domain_orderstatus"]["n_violations"] == 1
+    assert rep["range_totalprice"]["n_violations"] == 2
+    assert rep["unique_orderkey"]["n_violations"] == 2
+    assert rep["fk_custkey_customer"]["n_violations"] == 1
+    # 9 rows < CC_MIN_ROWS -> the row-count gate fails too
+    assert rep["min_row_count"]["n_violations"] == 1
+    assert all(r["n_checked"] == 9 for r in rep.values())
+    assert not any(r["passed"] for r in rep.values())
+
+    clean = spark.createDataFrame(
+        [(i, 10, "O", 6000.0) for i in range(CC_MIN_ROWS)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double")
+    crep = constraint_check(clean, dims).collect()
+    assert all(r["passed"] for r in crep)
+    assert all(r["compliance_ppm"] == 1_000_000 for r in crep)
