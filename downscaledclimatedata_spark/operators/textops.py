@@ -1768,3 +1768,88 @@ register(QuerySpec(
                 "TYPE, joined back merge-pinned); per-doc subword "
                 "counts + an exact per-occurrence segmentation "
                 "checksum"))
+
+
+# --- blocklist filtering (C4/RefinedWeb-style document gating) ---------------
+
+BL_WORDS = ("slow", "big", "hash")        # word-level blocklist
+BL_PHRASES = ("table table", "a a")       # substring (multi-pattern) blocklist
+BL_MAX_PPM = 60_000                       # keep iff blocked fraction < 6%
+
+
+def blocklist_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """C4/RefinedWeb-style blocklist gating: per-document blocked-token
+    fraction (exact integer ppm) + non-overlapping substring-pattern
+    hits, and the keep/drop verdict.
+
+    Scale design (100 TB): the blocklist is a LITERAL broadcast into the
+    expression tree (word membership via an array literal, phrases
+    compiled into ONE alternation regex scanned once per doc) — the
+    whole operator is a shuffle-free whole-stage-codegen projection;
+    adding a term never adds a pass over the corpus. Real blocklists
+    (10k+ entries) swap the array literal for a broadcast join on token
+    and an Aho-Corasick pandas UDF, same single-scan shape. The ratio
+    is exact-integer DIV ppm, hash-identical cross-engine.
+    """
+    safe = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(F.lower(safe), WS_RE), lambda x: x != "")
+    block_arr = F.array(*[F.lit(w) for w in BL_WORDS])
+    n = F.size(toks)
+    n_blocked = F.size(F.filter(toks, lambda t: F.array_contains(block_arr, t)))
+    import re as _re
+    pattern = "|".join(_re.escape(p) for p in BL_PHRASES)
+    n_hits = F.regexp_count(F.lower(safe), F.lit(pattern))
+    blocked_ppm = F.when(F.col("n_tokens") > 0, F.expr(
+        f"CAST(CAST(n_blocked AS DECIMAL(38,0)) * {PPM_SCALE} "
+        f"DIV CAST(n_tokens AS DECIMAL(38,0)) AS BIGINT)")).otherwise(F.lit(0))
+    base = df.select(
+        F.col(id_col), n.alias("n_tokens"), n_blocked.alias("n_blocked"),
+        n_hits.alias("n_pattern_hits"))
+    return base.select(
+        id_col, "n_tokens", "n_blocked", "n_pattern_hits",
+        blocked_ppm.cast("bigint").alias("blocked_ppm"),
+    ).withColumn(
+        "keep", (F.col("blocked_ppm") < BL_MAX_PPM)
+                & (F.col("n_pattern_hits") == 0))
+
+
+PPM_SCALE = 1_000_000
+
+
+def text_blocklist_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return blocklist_filter(
+        load_table_parallel(spark, sf_dir, "documents", key="doc_id"),
+        "text", "doc_id")
+
+
+_BL_WORD_LIST = "[" + ", ".join(f"'{w}'" for w in BL_WORDS) + "]"
+_BL_PATTERN = "|".join(BL_PHRASES)  # literals need no escaping here
+_SAFE_TOKS_SQL = (r"list_filter(string_split_regex(lower(coalesce(text, '')), "
+                  r"'[ \t\n\r\f\x0B]+'), x -> x <> '')")
+
+_TEXT_BLOCKLIST_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+    len({_SAFE_TOKS_SQL}) AS n_tokens,
+    len(list_filter({_SAFE_TOKS_SQL},
+        x -> list_contains({_BL_WORD_LIST}, x))) AS n_blocked,
+    len(regexp_extract_all(lower(coalesce(text, '')), '{_BL_PATTERN}'))
+      AS n_pattern_hits
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_blocked, n_pattern_hits,
+  CAST(CASE WHEN n_tokens > 0
+       THEN CAST(n_blocked AS HUGEINT) * {PPM_SCALE} // n_tokens
+       ELSE 0 END AS BIGINT) AS blocked_ppm,
+  (CASE WHEN n_tokens > 0
+        THEN CAST(n_blocked AS HUGEINT) * {PPM_SCALE} // n_tokens
+        ELSE 0 END) < {BL_MAX_PPM} AND n_pattern_hits = 0 AS keep
+FROM t
+"""
+
+register(QuerySpec("text_blocklist_filter", text_blocklist_query,
+                   _TEXT_BLOCKLIST_SQL,
+                   description="blocklist document gating: literal-"
+                               "broadcast word membership + one-regex "
+                               "multi-pattern scan, shuffle-free "
+                               "single-projection; exact ppm verdict"))
