@@ -305,3 +305,93 @@ register(QuerySpec(
                 "unicodedata vs DuckDB utf8proc certified byte-identical "
                 "via 60-bit checksums; Arrow-batched, no document bodies "
                 "in the shuffle"))
+
+
+# --- capped running balance (inexpressible as window functions) ---------------
+
+CAPBAL_CAP = 20_000   # balance ceiling, cents
+CAPBAL_INFLOW = ("purchase", "signup")
+CAPBAL_SCHEMA = ("user_id bigint, n_events bigint, final_balance bigint, "
+                 "n_clamped_low bigint, n_clamped_high bigint")
+
+
+def capped_balance(df: DataFrame, cap: int = CAPBAL_CAP) -> DataFrame:
+    """Per-user running balance clamped to [0, cap] at every step —
+    inventory-with-capacity / prepaid-wallet semantics.
+
+    A one-sided clamp has a closed form (S_n - min(0, running-min S))
+    and stays in window functions; the TWO-sided clamp does not — each
+    step depends non-associatively on the previous clamped value, the
+    textbook case for per-key imperative state. One shuffle on user_id,
+    then each group folds in Arrow-batched pandas with python-int
+    arithmetic (no int64 wrap), ordered by the deterministic
+    (ts, event_id) tiebreak every sequential operator in the engine
+    uses. Groups are per-user sequences — bounded; the 100 TB path
+    shards by (user, epoch-window) with carried-in opening balances,
+    the same shape as streaming's applyInPandasWithState twin.
+    """
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        bal, nlo, nhi = 0, 0, 0
+        for d in pdf["delta"]:
+            raw = bal + int(d)
+            if raw < 0:
+                bal, nlo = 0, nlo + 1
+            elif raw > cap:
+                bal, nhi = cap, nhi + 1
+            else:
+                bal = raw
+        return pd.DataFrame({
+            "user_id": pdf["user_id"].iloc[:1],
+            "n_events": [len(pdf)], "final_balance": [bal],
+            "n_clamped_low": [nlo], "n_clamped_high": [nhi]})
+
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    deltas = df.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type").isin(*CAPBAL_INFLOW), cents)
+        .otherwise(-cents).alias("delta"))
+    return deltas.groupBy("user_id").applyInPandas(fold, CAPBAL_SCHEMA)
+
+
+def pandas_capped_balance_query(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    ev = load_table_parallel(spark, sf_dir, "events", key="user_id")
+    return capped_balance(ev)
+
+
+_CAPBAL_INFLOW_SQL = "(" + ", ".join(f"'{t}'" for t in CAPBAL_INFLOW) + ")"
+
+_CAPBAL_SQL = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+    CASE WHEN event_type IN {_CAPBAL_INFLOW_SQL}
+         THEN CAST(round(value * 100) AS BIGINT)
+         ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+  FROM events
+), users AS (
+  SELECT user_id, COUNT(*) AS n FROM seq GROUP BY 1
+), bal AS (
+  SELECT user_id, 0 AS rn, CAST(0 AS BIGINT) AS bal,
+         CAST(0 AS BIGINT) AS nlo, CAST(0 AS BIGINT) AS nhi
+  FROM users
+  UNION ALL
+  SELECT s.user_id, s.rn,
+    CAST(CASE WHEN b.bal + s.delta < 0 THEN 0
+              WHEN b.bal + s.delta > {CAPBAL_CAP} THEN {CAPBAL_CAP}
+              ELSE b.bal + s.delta END AS BIGINT),
+    b.nlo + CASE WHEN b.bal + s.delta < 0 THEN 1 ELSE 0 END,
+    b.nhi + CASE WHEN b.bal + s.delta > {CAPBAL_CAP} THEN 1 ELSE 0 END
+  FROM bal b JOIN seq s ON s.user_id = b.user_id AND s.rn = b.rn + 1
+)
+SELECT u.user_id, CAST(u.n AS BIGINT) AS n_events,
+  b.bal AS final_balance, b.nlo AS n_clamped_low, b.nhi AS n_clamped_high
+FROM bal b JOIN users u ON u.user_id = b.user_id AND b.rn = u.n
+"""
+
+register(QuerySpec(
+    "pandas_capped_balance", pandas_capped_balance_query, _CAPBAL_SQL,
+    description="two-sided clamped running balance per user via "
+                "applyInPandas python-int fold (non-associative — no "
+                "window form exists); oracle is a recursive CTE"))

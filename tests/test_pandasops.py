@@ -103,3 +103,35 @@ def test_unicode_normalize_composed_decomposed_and_fold(spark):
     assert out[1].fold_hash == out[2].fold_hash == h("cafe")
     # NULL folds to empty
     assert out[3].n_chars_raw == 0 and out[3].nfc_hash == h("")
+
+
+def test_capped_balance_matches_hand_fold(spark):
+    """The two-sided clamp must equal a hand-walked sequence, including
+    consecutive clamps at both bounds and the (ts, event_id) tiebreak."""
+    import datetime as dt
+    from downscaledclimatedata_spark.operators.pandasops import (
+        CAPBAL_CAP, capped_balance)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: +150.00 (clamped high to 200.00), -300.00 (clamped low
+        # to 0), +50.00 -> 5000; same-ts pair ordered by event_id
+        (1, t0, 1, "purchase", 150.00),
+        (1, t0, 2, "signup", 150.00),     # 15000+15000=30000 -> clamp 20000
+        (1, t0 + dt.timedelta(1), 3, "click", 300.00),  # -30000 -> clamp 0
+        (1, t0 + dt.timedelta(2), 4, "purchase", 50.00),
+        # user 2: never clamps
+        (2, t0, 5, "purchase", 10.00),
+        (2, t0 + dt.timedelta(1), 6, "view", 4.00),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, "
+              "event_type string, value double")
+    got = {r["user_id"]: r for r in capped_balance(ev).collect()}
+    assert got[1]["final_balance"] == 5000
+    assert got[1]["n_clamped_high"] == 1
+    assert got[1]["n_clamped_low"] == 1
+    assert got[1]["n_events"] == 4
+    assert got[2]["final_balance"] == 600
+    assert got[2]["n_clamped_low"] == 0 and got[2]["n_clamped_high"] == 0
+    assert CAPBAL_CAP == 20_000
