@@ -3906,3 +3906,235 @@ register(QuerySpec("multimodal_decode_qoi", multimodal_decode_qoi_query,
                    description="real QOI decode: run/index/diff/luma byte "
                                "ops with running-state reconstruction; "
                                "truncated payloads -> NULL"))
+
+
+# --- real IMA ADPCM audio decode (4-bit compressed -> 16-bit PCM) ------------
+
+ADPCM_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+    7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+    18500, 20350, 22385, 24623, 27086, 29794, 32767)
+ADPCM_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+ADPCM_RATE = 8000
+ADPCM_N_BYTES_BASE = 16
+ADPCM_N_BYTES_MOD = 32
+ADPCM_A = 2741
+ADPCM_B = 48271
+ADPCM_CORRUPT_MOD = 10
+
+
+def adpcm_decode_nibble(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM 4-bit code -> (new predictor, new step index): the
+    shift-add diff expansion (no multiplies — the 1983 Intel/DVI
+    hardware path), clamped to int16 / the 89-entry step table. The
+    EXACT expression the DuckDB oracle's recursive CTE evaluates."""
+    st = ADPCM_STEP_TABLE[idx]
+    diff = (st >> 3)
+    if nib & 1:
+        diff += st >> 2
+    if nib & 2:
+        diff += st >> 1
+    if nib & 4:
+        diff += st
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + ADPCM_INDEX_TABLE[nib]))
+    return pred, idx
+
+
+def _build_adpcm_codecs():
+    import struct
+
+    def make_adpcm_wav(data_nibbles: bytes, pred0: int, idx0: int,
+                       sample_rate: int = ADPCM_RATE) -> bytes:
+        # fmt tag 0x11 (IMA ADPCM), mono, 4 bits/sample, one block whose
+        # 4-byte header carries the initial (predictor, step index)
+        n_samples = 2 * len(data_nibbles)
+        fmt = struct.pack("<HHIIHHHH", 0x11, 1, sample_rate,
+                          sample_rate // 2, 4 + len(data_nibbles), 4,
+                          2, n_samples)
+        data = struct.pack("<hBB", pred0, idx0, 0) + bytes(data_nibbles)
+        chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(data)) + data
+                  + (b"\x00" if len(data) % 2 else b""))
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def decode_adpcm_stats(blob: bytes):
+        """Block-header state + low-nibble-first code stream -> PCM
+        stats. (Single-block simplification of WAV-IMA framing: the
+        header predictor seeds state and is not itself emitted; the
+        synthesizer writes the same layout.)"""
+        try:
+            blob = bytes(blob)
+            if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+                return None
+            i, fmt, data = 12, None, None
+            while i + 8 <= len(blob):
+                cid = blob[i:i + 4]
+                (sz,) = struct.unpack("<I", blob[i + 4:i + 8])
+                body = blob[i + 8:i + 8 + sz]
+                if len(body) != sz:
+                    return None  # truncated chunk
+                if cid == b"fmt " and len(body) >= 16:
+                    tag, ch, sr, _, _, bits = struct.unpack("<HHIIHH",
+                                                            body[:16])
+                    fmt = (tag, ch, sr, bits)
+                elif cid == b"data":
+                    data = body
+                i += 8 + sz + (sz & 1)
+            if fmt is None or data is None or len(data) < 4:
+                return None
+            tag, ch, sr, bits = fmt
+            if tag != 0x11 or ch != 1 or bits != 4:
+                return None
+            pred, idx, _ = struct.unpack("<hBB", data[:4])
+            if not 0 <= idx <= 88:
+                return None
+            s = e = peak = n = 0
+            for byte in data[4:]:
+                for shift in (0, 4):  # low nibble first (IMA order)
+                    pred, idx = adpcm_decode_nibble(
+                        pred, idx, (byte >> shift) & 15)
+                    s += pred
+                    e += pred * pred
+                    peak = max(peak, abs(pred))
+                    n += 1
+            if n == 0:
+                return None
+            return (sr, n, peak, s, e)
+        except Exception:
+            return None
+
+    return make_adpcm_wav, decode_adpcm_stats
+
+
+make_adpcm_wav, decode_adpcm_stats = _build_adpcm_codecs()
+
+
+def synthesize_adpcm_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real single-block IMA ADPCM RIFF/WAVE bytes: code
+    stream byte_j = (d*2741 + j*48271) % 256, initial predictor
+    ((d*7) % 1024) - 512, initial index d % 89; every
+    ADPCM_CORRUPT_MOD-th doc truncated mid-declared-chunk."""
+    mk = make_adpcm_wav
+    nb, nm, a, b, cmod = (ADPCM_N_BYTES_BASE, ADPCM_N_BYTES_MOD,
+                          ADPCM_A, ADPCM_B, ADPCM_CORRUPT_MOD)
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                n = nb + d % nm
+                blob = mk(bytes((d * a + j * b) % 256 for j in range(n)),
+                          ((d * 7) % 1024) - 512, d % 89)
+                if d % cmod == 0:
+                    blob = blob[:-(n // 2 + 1)]
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(_synth,
+                                           "doc_id long, payload binary")
+
+
+def decode_adpcm(df: DataFrame) -> DataFrame:
+    dec = decode_adpcm_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            keys = ("sample_rate", "n_samples", "peak_abs", "sum_pcm",
+                    "energy")
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 5
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "sample_rate": pd.array(cols["sample_rate"], dtype="Int32"),
+                "n_samples": pd.array(cols["n_samples"], dtype="Int32"),
+                "peak_abs": pd.array(cols["peak_abs"], dtype="Int32"),
+                "sum_pcm": pd.array(cols["sum_pcm"], dtype="Int64"),
+                "energy": pd.array(cols["energy"], dtype="Int64")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, MULAW_SCHEMA)
+
+
+def multimodal_decode_adpcm_query(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Real COMPRESSED-audio decode: 4-bit IMA ADPCM codes expanded to
+    16-bit PCM through the sequential (predictor, step-index) state
+    machine — unlike mu-law (stateless per byte), every sample depends
+    on all previous codes, so the oracle is a recursive CTE walking the
+    identical integer recurrence. Truncated payloads -> NULL (T7)."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_adpcm(synthesize_adpcm_payloads(docs))
+
+
+def _adpcm_sql() -> str:
+    stab = "[" + ",".join(map(str, ADPCM_STEP_TABLE)) + "]"
+    itab = "[" + ",".join(map(str, ADPCM_INDEX_TABLE)) + "]"
+    return f"""
+WITH RECURSIVE p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST(2 * ({ADPCM_N_BYTES_BASE} + abs(doc_id) % {ADPCM_N_BYTES_MOD})
+      AS INT) AS n_samp,
+    CAST(((abs(doc_id) * 7) % 1024) - 512 AS INT) AS pred0,
+    CAST(abs(doc_id) % 89 AS INT) AS idx0
+  FROM documents
+), dec AS (
+  SELECT doc_id, d, n_samp, 0 AS i, pred0 AS pred, idx0 AS idx,
+         CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS e, 0 AS peak
+  FROM p
+  UNION ALL
+  SELECT b.doc_id, b.d, b.n_samp, b.i + 1, x.np, x.ni,
+         b.s + x.np, b.e + CAST(x.np AS BIGINT) * x.np,
+         greatest(b.peak, abs(x.np))
+  FROM dec b,
+  LATERAL (
+    SELECT CAST(((b.d * {ADPCM_A} + (b.i // 2) * {ADPCM_B}) % 256)
+                >> (4 * (b.i % 2)) AS INT) & 15 AS nib,
+           ({stab})[b.idx + 1] AS st
+  ) t0,
+  LATERAL (
+    SELECT (t0.st >> 3)
+         + CASE WHEN (t0.nib & 1) > 0 THEN t0.st >> 2 ELSE 0 END
+         + CASE WHEN (t0.nib & 2) > 0 THEN t0.st >> 1 ELSE 0 END
+         + CASE WHEN (t0.nib & 4) > 0 THEN t0.st ELSE 0 END AS diff
+  ) t1,
+  LATERAL (
+    SELECT CAST(least(greatest(
+             CASE WHEN (t0.nib & 8) > 0 THEN b.pred - t1.diff
+                  ELSE b.pred + t1.diff END, -32768), 32767) AS INT) AS np,
+           least(greatest(b.idx + ({itab})[t0.nib + 1], 0), 88) AS ni
+  ) x
+  WHERE b.i < b.n_samp
+)
+SELECT doc_id,
+  CASE WHEN d % {ADPCM_CORRUPT_MOD} = 0 THEN NULL
+       ELSE {ADPCM_RATE} END AS sample_rate,
+  CASE WHEN d % {ADPCM_CORRUPT_MOD} = 0 THEN NULL ELSE n_samp
+       END AS n_samples,
+  CASE WHEN d % {ADPCM_CORRUPT_MOD} = 0 THEN NULL ELSE peak
+       END AS peak_abs,
+  CASE WHEN d % {ADPCM_CORRUPT_MOD} = 0 THEN NULL ELSE s END AS sum_pcm,
+  CASE WHEN d % {ADPCM_CORRUPT_MOD} = 0 THEN NULL ELSE e END AS energy
+FROM dec WHERE i = n_samp
+"""
+
+
+register(QuerySpec("multimodal_decode_adpcm", multimodal_decode_adpcm_query,
+                   _adpcm_sql(),
+                   description="real IMA ADPCM decode: 4-bit codes -> "
+                               "16-bit PCM through the sequential "
+                               "predictor/step state machine; oracle is "
+                               "a recursive CTE over the same integer "
+                               "recurrence; truncated payloads -> NULL"))

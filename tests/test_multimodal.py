@@ -1013,3 +1013,71 @@ def test_qoi_decode_through_spark(spark):
         assert (r.width, r.height, r.n_px) == (w, h, w * h)
         assert r.sum_g == sum(qoi_pixel(d, y, x, 1)
                               for y in range(h) for x in range(w))
+
+
+def test_adpcm_nibble_state_machine_reference_points():
+    """The IMA recurrence must clamp at both int16 rails, saturate the
+    step index at [0, 88], and follow the shift-add diff expansion."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        ADPCM_STEP_TABLE,
+        adpcm_decode_nibble,
+    )
+
+    # idx 0 (step 7): nib 7 -> diff = 7>>3 + 7>>2 + 7>>1 + 7 = 0+1+3+7
+    pred, idx = adpcm_decode_nibble(0, 0, 7)
+    assert (pred, idx) == (11, 8)
+    # sign bit subtracts the same magnitude
+    pred, idx = adpcm_decode_nibble(0, 0, 15)
+    assert (pred, idx) == (-11, 8)
+    # positive rail clamps at 32767, index rail at 88
+    pred, idx = adpcm_decode_nibble(32760, 88, 7)
+    assert pred == 32767 and idx == 88
+    # negative rail clamps at -32768; nib 8 (sign + low diff) floors the
+    # index at 0 (its index delta is -1)
+    pred, idx = adpcm_decode_nibble(-32768, 0, 8)
+    assert pred == -32768 and idx == 0
+    assert len(ADPCM_STEP_TABLE) == 89
+
+
+def test_adpcm_decode_through_spark_and_corruption(spark):
+    from downscaledclimatedata_spark.operators.multimodal import (
+        ADPCM_A,
+        ADPCM_B,
+        ADPCM_CORRUPT_MOD,
+        ADPCM_N_BYTES_BASE,
+        ADPCM_N_BYTES_MOD,
+        adpcm_decode_nibble,
+        decode_adpcm,
+        synthesize_adpcm_payloads,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 25).select(F.col("id").alias("doc_id"))
+    out = {r.doc_id: r for r in
+           decode_adpcm(synthesize_adpcm_payloads(docs)).collect()}
+    assert len(out) == 25
+    for d in range(25):
+        r = out[d]
+        if d % ADPCM_CORRUPT_MOD == 0:
+            assert r.n_samples is None and r.energy is None, d
+            continue
+        # independent python walk of the same recurrence
+        pred, idx = ((d * 7) % 1024) - 512, d % 89
+        s = e = peak = 0
+        n_bytes = ADPCM_N_BYTES_BASE + d % ADPCM_N_BYTES_MOD
+        for j in range(n_bytes):
+            byte = (d * ADPCM_A + j * ADPCM_B) % 256
+            for shift in (0, 4):
+                pred, idx = adpcm_decode_nibble(pred, idx,
+                                                (byte >> shift) & 15)
+                s += pred
+                e += pred * pred
+                peak = max(peak, abs(pred))
+        assert (r.n_samples, r.peak_abs, r.sum_pcm, r.energy) == \
+            (2 * n_bytes, peak, s, e), d
+
+    # garbage bytes and a valid-RIFF/wrong-tag payload both -> NULL row
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_adpcm_stats, make_mulaw_wav)
+    assert decode_adpcm_stats(b"not a riff file") is None
+    assert decode_adpcm_stats(make_mulaw_wav(bytes(16))) is None
