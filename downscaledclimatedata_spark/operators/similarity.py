@@ -3501,3 +3501,157 @@ register(QuerySpec(
     description="signed-random-projection (JL) ANN: 4x-narrower coarse "
                 "scan, broadcast pool semi-join, exact full-dim rerank "
                 "of pool rows only"))
+
+
+# --- scalar quantization (SQ8) search -----------------------------------------
+
+SQ_LEVELS = 255  # 8-bit codes 0..255: the FAISS ScalarQuantizer QT_8bit family
+SQ_POOL = 50     # coarse-ADC candidate pool per query (then exact rerank)
+
+
+def sq8_topk(emb: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding", k: int = TOP_K,
+             query_mod: int = QUERY_MOD, n_queries: int = N_QUERIES,
+             pool: int = SQ_POOL) -> DataFrame:
+    """ANN top-k via trained 8-bit scalar quantization (SQ8): per-dim
+    [min, max] learned from the corpus, each component stored as a
+    0..255 code, coarse ASYMMETRIC scoring (full-precision query vs
+    dequantized candidates), exact full-dim rerank of the pool only.
+
+    This is the third compression family next to PQ (codebook per
+    subvector) and RP (dimensionality reduction): SQ keeps every
+    dimension but narrows each to one byte — in production the scan
+    reads 1 byte/dim (4x less than float32) and dequantizes on the
+    fly. Here codes dequantize through exact floor-div integer
+    arithmetic so the approximation itself is oracle-checkable:
+    code_d = (x_d - mn_d) * 255 DIV (mx_d - mn_d), recon_d = mn_d +
+    (code_d * (mx_d - mn_d)) DIV 255. recon stays inside [mn_d, mx_d]
+    ⊆ ±QCLAMP, so every derived dot/norm obeys the quantizer's int64
+    contract (no new overflow class; operands of every DIV are
+    non-negative, so Spark DIV and DuckDB // agree).
+
+    Scale design (100 TB): training is ONE single-row min/max
+    aggregation over a narrow projection (128 partial-agg expressions,
+    no shuffle of vectors), broadcast back as a 1-row relation. The
+    coarse pass is a shuffle-free projection + broadcast-query
+    crossJoin (N x n_queries, linear); full vectors are touched only
+    for the n_queries x pool rerank rows via broadcast semi-joins —
+    the corpus itself never shuffles.
+    """
+    from pyspark.sql import Window
+    base = (emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
+            .withColumn("n2", sq_norm(F.col("qv")))
+            .filter(F.col("n2") > 0))
+    mm = base.agg(
+        F.array(*[F.min(F.col("qv")[d]) for d in range(DIM)]).alias("mn"),
+        F.array(*[F.max(F.col("qv")[d]) for d in range(DIM)]).alias("mx"))
+    recon = F.expr(f"""
+        transform(sequence(0, {DIM - 1}), d ->
+          mn[d] + CASE WHEN mx[d] > mn[d]
+            THEN ((((qv[d] - mn[d]) * {SQ_LEVELS}) DIV (mx[d] - mn[d]))
+                  * (mx[d] - mn[d])) DIV {SQ_LEVELS}
+            ELSE CAST(0 AS BIGINT) END)
+    """)
+    cand = (base.crossJoin(F.broadcast(mm))
+            .withColumn("rv", recon)
+            .withColumn("rn2", sq_norm(F.col("rv")))
+            .filter(F.col("rn2") > 0)
+            .select(F.col(id_col).alias("match_id"), "rv", "rn2"))
+    q = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
+         .select(F.col(id_col).alias("query_id"),
+                 F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
+    adc = (int_dot(F.col("qq"), F.col("rv")).cast("double")
+           / (F.sqrt(F.col("qn2").cast("double"))
+              * F.sqrt(F.col("rn2").cast("double"))))
+    wp = Window.partitionBy("query_id").orderBy(F.col("adc").desc(),
+                                                F.col("match_id"))
+    pool_rel = (cand.crossJoin(F.broadcast(q))
+                .filter(F.col("match_id") != F.col("query_id"))
+                .select("query_id", "match_id", adc.alias("adc"))
+                .withColumn("prnk", F.row_number().over(wp))
+                .filter(F.col("prnk") <= pool)
+                .select("query_id", "match_id"))
+    full = base.select(F.col(id_col).alias("match_id"),
+                       F.col("qv").alias("cq"), F.col("n2").alias("cn2"))
+    rer = (full.join(F.broadcast(pool_rel), "match_id")
+           .join(F.broadcast(q), "query_id")
+           .select("query_id", "match_id",
+                   (int_dot(F.col("qq"), F.col("cq")).cast("double")
+                    / (F.sqrt(F.col("qn2").cast("double"))
+                       * F.sqrt(F.col("cn2").cast("double")))).alias("cosine")))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col("match_id"))
+    return (rer.withColumn("rnk", F.row_number().over(w2))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "match_id", "cosine", "rnk"))
+
+
+def similarity_sq8_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return sq8_topk(emb)
+
+
+def _sq8_topk_sql() -> str:
+    return f"""
+WITH q0 AS (
+  SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings
+), b0 AS (
+  SELECT vec_id, qv,
+    list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS n2
+  FROM q0
+), b AS (SELECT * FROM b0 WHERE n2 > 0),
+mmj AS (
+  SELECT j, min(qv[j]) AS mnj, max(qv[j]) AS mxj
+  FROM b CROSS JOIN range(1, {DIM + 1}) t(j) GROUP BY j
+), mm AS (
+  SELECT list(mnj ORDER BY j) AS mn, list(mxj ORDER BY j) AS mx FROM mmj
+), cand AS (
+  SELECT vec_id AS match_id,
+    list_transform(range(1, {DIM + 1}), j ->
+      mn[j] + CASE WHEN mx[j] > mn[j]
+        THEN ((((qv[j] - mn[j]) * {SQ_LEVELS}) // (mx[j] - mn[j]))
+              * (mx[j] - mn[j])) // {SQ_LEVELS}
+        ELSE 0 END) AS rv
+  FROM b CROSS JOIN mm
+), candn AS (
+  SELECT match_id, rv,
+    list_sum(list_transform(range(1, {DIM + 1}), i -> rv[i] * rv[i])) AS rn2
+  FROM cand
+), cnz AS (SELECT * FROM candn WHERE rn2 > 0),
+qs AS (
+  SELECT vec_id AS query_id, qv AS qq, n2 AS qn2 FROM b
+  WHERE {_fixed_sample_sql('vec_id', QUERY_MOD, N_QUERIES)}
+), pooled AS (
+  SELECT qs.query_id, c.match_id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                                 i -> qs.qq[i] * c.rv[i])) AS DOUBLE)
+      / (sqrt(CAST(qs.qn2 AS DOUBLE)) * sqrt(CAST(c.rn2 AS DOUBLE))) AS adc
+  FROM cnz c CROSS JOIN qs WHERE c.match_id <> qs.query_id
+), pool AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY adc DESC, match_id) AS prnk
+    FROM pooled) WHERE prnk <= {SQ_POOL}
+), rer AS (
+  SELECT p.query_id, p.match_id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                                 i -> qb.qv[i] * cb.qv[i])) AS DOUBLE)
+      / (sqrt(CAST(qb.n2 AS DOUBLE)) * sqrt(CAST(cb.n2 AS DOUBLE))) AS cosine
+  FROM pool p
+  JOIN b qb ON qb.vec_id = p.query_id
+  JOIN b cb ON cb.vec_id = p.match_id
+)
+SELECT query_id, match_id, cosine, rnk FROM (
+  SELECT query_id, match_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, match_id) AS rnk
+  FROM rer) WHERE rnk <= {TOP_K}
+"""
+
+
+register(QuerySpec(
+    "similarity_sq8_topk", similarity_sq8_topk_query, _sq8_topk_sql(),
+    description="trained 8-bit scalar-quantization (SQ8) ANN: one-row "
+                "min/max training broadcast back, asymmetric coarse ADC "
+                "over dequantized codes, exact rerank of pool rows only"))
