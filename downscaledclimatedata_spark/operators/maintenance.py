@@ -738,3 +738,98 @@ register(QuerySpec(
     description="Deequ-style constraint suite: completeness/domain/range "
                 "in ONE conditional-agg scan, uniqueness on the uniform "
                 "key, keys-only anti-join RI; exact ppm compliance"))
+
+
+# --- partition content checksums (replica / migration diff) -------------------
+
+def partition_checksums(li: DataFrame) -> DataFrame:
+    """Per-partition content fingerprints for certifying that two copies
+    of a table are identical without moving either: (year, month) of
+    l_shipdate -> row count, order-independent XOR of a portable 60-bit
+    row hash, exact-decimal revenue mass, and the orderkey zone-map
+    bounds. Two replicas (or a pre/post-migration pair) compare
+    |partitions| summary rows; only mismatched partitions are ever
+    re-read.
+
+    Determinism: the row hash feeds md5 a canonical rendering — integer
+    surrogates for every money column (cents via ROUND(x*100), the
+    functions/money.py contract), the DATE-cast ship date, and '|'
+    separators — so both engines hash byte-identical strings. XOR is
+    order- and partitioning-independent and cannot overflow; the
+    revenue mass aggregates as DECIMAL (exact, order-independent).
+
+    Scale design (100 TB): one scan, everything partial-aggregates
+    map-side; the only shuffle is the |partitions|-row final combine.
+    This is the standard fleet pattern for replication validation /
+    storage-format migration sign-off, and the zone-map bounds double
+    as free data-skipping stats for the partition.
+    """
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+    from downscaledclimatedata_spark.functions.money import dec, dsum
+
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint").cast("string")
+    rowstr = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        cents("l_quantity"), cents("l_extendedprice"),
+        cents("l_discount"), cents("l_tax"),
+        F.coalesce(F.col("l_returnflag"), F.lit("")),
+        F.coalesce(F.col("l_linestatus"), F.lit("")),
+        F.col("l_shipdate").cast("date").cast("string"))
+    return (li.select(
+                F.year("l_shipdate").alias("part_year"),
+                F.month("l_shipdate").alias("part_month"),
+                md5_long(rowstr, seed="pc0").alias("rh"),
+                dec(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    scale=4).alias("rev"),
+                F.col("l_orderkey"))
+            .groupBy("part_year", "part_month")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.bit_xor(F.col("rh")).alias("xor_fp"),
+                 dsum(F.col("rev"), "sum_revenue"),
+                 F.min("l_orderkey").alias("min_orderkey"),
+                 F.max("l_orderkey").alias("max_orderkey")))
+
+
+def maintenance_checksums_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return partition_checksums(
+        load_table_parallel(spark, sf_dir, "lineitem", key="l_orderkey"))
+
+
+def _checksums_sql() -> str:
+    from downscaledclimatedata_spark.functions.hashing import md5_long_sql
+    from downscaledclimatedata_spark.functions.money import dec_sql
+    cents = lambda c: f"CAST(CAST(ROUND({c} * 100) AS BIGINT) AS VARCHAR)"
+    rowstr = (
+        "concat_ws('|', CAST(l_orderkey AS VARCHAR), "
+        "CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR), "
+        "CAST(l_linenumber AS VARCHAR), "
+        f"{cents('l_quantity')}, {cents('l_extendedprice')}, "
+        f"{cents('l_discount')}, {cents('l_tax')}, "
+        "coalesce(l_returnflag, ''), coalesce(l_linestatus, ''), "
+        "CAST(CAST(l_shipdate AS DATE) AS VARCHAR))")
+    rev = dec_sql("l_extendedprice * (1 - l_discount)", scale=4)
+    return f"""
+SELECT
+  CAST(year(l_shipdate) AS INTEGER) AS part_year,
+  CAST(month(l_shipdate) AS INTEGER) AS part_month,
+  count(*) AS n_rows,
+  bit_xor({md5_long_sql(rowstr, seed="pc0")}) AS xor_fp,
+  CAST(SUM({rev}) AS DOUBLE) AS sum_revenue,
+  min(l_orderkey) AS min_orderkey,
+  max(l_orderkey) AS max_orderkey
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+register(QuerySpec(
+    "maintenance_partition_checksums", maintenance_checksums_query,
+    _checksums_sql(),
+    description="per-partition replica-diff fingerprints: one-scan "
+                "map-side partial aggregation to order-independent XOR "
+                "row hashes, exact decimal mass, and zone-map bounds — "
+                "compare |partitions| rows, re-read only mismatches"))

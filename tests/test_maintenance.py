@@ -301,3 +301,43 @@ def test_constraint_check_detects_each_planted_class(spark):
     crep = constraint_check(clean, dims).collect()
     assert all(r["passed"] for r in crep)
     assert all(r["compliance_ppm"] == 1_000_000 for r in crep)
+
+
+def test_partition_checksums_detect_single_row_corruption(spark):
+    from downscaledclimatedata_spark.operators.maintenance import (
+        partition_checksums)
+    import datetime as dt
+
+    def row(ok, month, qty):
+        return (ok, ok * 3, ok * 7, 1, qty, 100.0, 0.05, 0.02, "N", "O",
+                dt.datetime(1996, month, 2))
+
+    schema = ("l_orderkey long, l_partkey long, l_suppkey long, "
+              "l_linenumber int, l_quantity double, l_extendedprice double, "
+              "l_discount double, l_tax double, l_returnflag string, "
+              "l_linestatus string, l_shipdate timestamp")
+    rows = [row(i, 1 + i % 3, 10.0) for i in range(30)]
+    a = spark.createDataFrame(rows, schema)
+    # replica with ONE row's quantity changed in month 2
+    corrupt = [row(i, 1 + i % 3, 10.0) if i != 4 else row(4, 2, 11.0)
+               for i in range(30)]
+    b = spark.createDataFrame(corrupt, schema)
+
+    fa = {(r.part_year, r.part_month): r for r in
+          partition_checksums(a).collect()}
+    fb = {(r.part_year, r.part_month): r for r in
+          partition_checksums(b).collect()}
+    assert set(fa) == set(fb) == {(1996, 1), (1996, 2), (1996, 3)}
+    diff = [k for k in fa if fa[k].xor_fp != fb[k].xor_fp]
+    assert diff == [(1996, 2)]  # only the corrupted partition flags
+    # counts and bounds agree everywhere (the corruption is value-level)
+    assert all(fa[k].n_rows == fb[k].n_rows for k in fa)
+    assert all(fa[k].min_orderkey == fb[k].min_orderkey for k in fa)
+
+    # fingerprints are order/partitioning-independent: a reshuffled copy
+    # is byte-identical in every partition summary
+    fs = {(r.part_year, r.part_month): r for r in
+          partition_checksums(a.repartition(7)).collect()}
+    for k in fa:
+        assert (fa[k].xor_fp, fa[k].n_rows, fa[k].sum_revenue) == \
+               (fs[k].xor_fp, fs[k].n_rows, fs[k].sum_revenue)
