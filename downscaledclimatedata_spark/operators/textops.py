@@ -1853,3 +1853,118 @@ register(QuerySpec("text_blocklist_filter", text_blocklist_query,
                                "broadcast word membership + one-regex "
                                "multi-pattern scan, shuffle-free "
                                "single-projection; exact ppm verdict"))
+
+
+# --- PII detection + redaction (privacy-scrub stage) --------------------------
+
+# RE2-compatible subset (no lookaround/backrefs) so Java regex and DuckDB
+# RE2 match the SAME spans; \d and \b are ASCII-\w-based in both engines.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+PII_PLANT_MOD = 7  # every 7th doc gets a planted PII suffix
+
+
+def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Dolma/RedPajama-style privacy scrub: count and mask emails, IPv4
+    addresses, and phone-shaped numbers, reporting per-doc hit counts,
+    the redacted-length delta, and a portable fingerprint of the
+    redacted text (so a downstream pass can verify the scrub happened
+    without re-reading the original).
+
+    Redaction order is part of the contract (email first — its local
+    part may contain digits an IP/phone pattern would otherwise bite
+    into); each class replaces with a fixed tag. Everything is
+    shuffle-free whole-stage-codegen regexp work: three counts + three
+    replaces in one projection, no joins, no Python.
+
+    Scale design (100 TB): this is a pure map stage — it pipelines with
+    whatever scan feeds it and costs one pass. Real deployments add
+    more classes (SSNs, credit cards with Luhn, street addresses via a
+    model); the regex classes here are the exact-span subset both
+    engines reproduce, which is what makes the scrub itself
+    oracle-checkable.
+    """
+    safe = F.coalesce(F.col(text_col), F.lit(""))
+    n_emails = F.regexp_count(safe, F.lit(PII_EMAIL_RE))
+    red1 = F.regexp_replace(safe, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.regexp_count(red1, F.lit(PII_IPV4_RE))
+    red2 = F.regexp_replace(red1, PII_IPV4_RE, "<IP>")
+    n_phones = F.regexp_count(red2, F.lit(PII_PHONE_RE))
+    red3 = F.regexp_replace(red2, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("bigint").alias("n_emails"),
+        n_ips.cast("bigint").alias("n_ips"),
+        n_phones.cast("bigint").alias("n_phones"),
+        (F.length(safe) - F.length(red3)).cast("bigint").alias("chars_removed"),
+        md5_long(red3, seed="pii0").alias("redacted_fp"),
+        (n_emails + n_ips + n_phones > 0).alias("had_pii"))
+
+
+def _pii_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a deterministic PII suffix on every PLANT_MOD-th
+    doc — the synthetic corpus contains no organic PII, so the planted
+    rows make every regex class (and the redaction itself) load-bearing
+    inside the oracle-checked population."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    d = F.col("doc_id")
+    suffix = F.concat(
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@example.com from 10.0."), (d % 256).cast("string"),
+        F.lit("."), (d % 97).cast("string"),
+        F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit("."))
+    return docs.withColumn(
+        "text",
+        F.when(d % PII_PLANT_MOD == 0,
+               F.concat(F.coalesce(F.col("text"), F.lit("")), suffix))
+        .otherwise(F.col("text")))
+
+
+def text_pii_redact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_redact(_pii_planted(spark, sf_dir), "text", "doc_id")
+
+
+_PII_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % {PII_PLANT_MOD} = 0
+         THEN coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST(doc_id % 97 AS VARCHAR)
+              || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || '.'
+         ELSE text END AS text
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    coalesce(text, '') AS safe,
+    regexp_replace(coalesce(text, ''), '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS red1
+  FROM planted
+), r2 AS (
+  SELECT doc_id, safe,
+    len(regexp_extract_all(safe, '{PII_EMAIL_RE}')) AS n_emails,
+    len(regexp_extract_all(red1, '{PII_IPV4_RE}')) AS n_ips,
+    regexp_replace(red1, '{PII_IPV4_RE}', '<IP>', 'g') AS red2
+  FROM r
+)
+SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+  CAST(n_ips AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(red2, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+  CAST(length(safe) - length(regexp_replace(red2, '{PII_PHONE_RE}',
+       '<PHONE>', 'g')) AS BIGINT) AS chars_removed,
+  {md5_long_sql("regexp_replace(red2, '" + PII_PHONE_RE + "', '<PHONE>', 'g')",
+                seed="pii0")} AS redacted_fp,
+  n_emails + n_ips + len(regexp_extract_all(red2, '{PII_PHONE_RE}')) > 0
+    AS had_pii
+FROM r2
+"""
+
+register(QuerySpec("text_pii_redact", text_pii_redact_query, _PII_SQL,
+                   description="privacy scrub: email/IPv4/phone span "
+                               "counting + masking as one shuffle-free "
+                               "codegen projection, redacted-text "
+                               "fingerprint for downstream verification; "
+                               "planted PII keeps every class load-"
+                               "bearing"))
