@@ -1947,3 +1947,84 @@ register(QuerySpec("q83_basket_lift", q83_basket_lift, _Q83_SQL,
                                "support/confidence/lift ppm over the "
                                "bounded brand-pair grid; dimension "
                                "broadcast + one okey sort-merge self-join"))
+
+
+def q84_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event-count series — the
+    seasonality diagnostic (a weekly cycle shows as a lag-7 peak) every
+    time-series monitor computes.
+
+    Plan shape: the corpus is touched ONCE (the daily-count partial
+    aggregation); the ACF itself runs on the |days|-row series — a
+    lag-k pairing is a self-equi-join on day+k after an explode over
+    the 7 lags, NOT a lag() window (a global-order lag window would
+    funnel the series through one task; the join keeps it keyed on
+    day). Days are epoch-day buckets (calendar-rule-free, q67 idiom).
+
+    Determinism: Pearson r is combined from exact integer power sums
+    (counts are integers; every moment stays integer until the final
+    division) — never the engines' own corr(). Zero-variance lags
+    surface as NULL r rather than a divide error.
+    """
+    ev = _t(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / F.lit(86400)).cast("bigint")
+    daily = (ev.select(day.alias("day"))
+             .groupBy("day").agg(F.count(F.lit(1)).alias("x")))
+    lags = F.explode(F.array(*[F.lit(k) for k in range(1, 8)])).alias("lag")
+    left = daily.select(lags, F.col("day"), F.col("x"))
+    right = daily.select(F.col("day").alias("rday"), F.col("x").alias("y"))
+    pairs = left.join(right, F.col("day") + F.col("lag") == F.col("rday"))
+    d = lambda c: c.cast("decimal(38,0)")
+    mom = (pairs.groupBy("lag")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(d(F.col("x"))).alias("sx"),
+                F.sum(d(F.col("y"))).alias("sy"),
+                F.sum(d(F.col("x")) * d(F.col("y"))).alias("sxy"),
+                F.sum(d(F.col("x")) * d(F.col("x"))).alias("sxx"),
+                F.sum(d(F.col("y")) * d(F.col("y"))).alias("syy")))
+    num = d(F.col("n")) * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = d(F.col("n")) * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = d(F.col("n")) * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when((vx > 0) & (vy > 0),
+               num.cast("double")
+               / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))))
+    return (mom.select(F.col("lag").cast("bigint").alias("lag"),
+                       F.col("n").cast("bigint").alias("n_pairs"),
+                       r.alias("acf"))
+            .orderBy("lag"))
+
+
+_Q84_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS x
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT l.lag, a.x AS x, b.x AS y
+  FROM daily a
+  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+  JOIN daily b ON b.day = a.day + l.lag
+), mom AS (
+  SELECT lag, count(*) AS n,
+    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       THEN CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+  END AS acf
+FROM mom
+ORDER BY lag
+"""
+
+register(QuerySpec("q84_autocorrelation", q84_autocorrelation, _Q84_SQL,
+                   description="daily-series lag-1..7 autocorrelation: "
+                               "one corpus pass to the |days|-row "
+                               "series, lag pairing as a day-keyed "
+                               "self-join (no global-order window), "
+                               "Pearson r from exact integer moments"))

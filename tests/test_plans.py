@@ -405,3 +405,34 @@ def test_q83_basket_dimension_broadcast_pair_join_shuffled(spark):
     plan = _plan(spark, "q83_basket_lift")
     assert "BroadcastHashJoin" in plan, plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+
+def test_q84_acf_known_series_and_zero_variance(spark, tmp_path):
+    """A period-2 alternating daily series has ACF(-1)^k signature:
+    lag 1 -> -1, lag 2 -> +1; a constant series has no defined ACF."""
+    import datetime as dt
+    from downscaledclimatedata_spark.plans.advanced import q84_autocorrelation
+
+    def write(counts, path):
+        rows = []
+        eid = 0
+        for d, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((eid, dt.datetime(2024, 1, 1)
+                             + dt.timedelta(days=d), 1, "view", 1.0, "{}"))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+        return str(path)
+
+    alt = write([10, 20] * 8, tmp_path / "alt")
+    got = {r.lag: r for r in q84_autocorrelation(spark, alt).collect()}
+    assert abs(got[1].acf - (-1.0)) < 1e-12
+    assert abs(got[2].acf - 1.0) < 1e-12
+    assert got[1].n_pairs == 15 and got[2].n_pairs == 14
+
+    const = write([7] * 10, tmp_path / "const")
+    got = {r.lag: r for r in q84_autocorrelation(spark, const).collect()}
+    assert all(r.acf is None for r in got.values())
