@@ -2028,3 +2028,93 @@ register(QuerySpec("q84_autocorrelation", q84_autocorrelation, _Q84_SQL,
                                "series, lag pairing as a day-keyed "
                                "self-join (no global-order window), "
                                "Pearson r from exact integer moments"))
+
+
+def q85_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of an A/B split: users deterministically
+    hash-split into two variants, conversion = the user ever purchased,
+    pooled z-statistic + the |z| > 1.96 significance verdict — the
+    experiment-analysis primitive.
+
+    Determinism: the entire statistic is algebra over four exact
+    integers (n1, c1, n2, c2). z^2 = (c1*n2 - c2*n1)^2 * N /
+    (n1*n2*C*(N-C)) with C = c1+c2, N = n1+n2 — ONE division of two
+    exact DECIMAL/HUGEINT products into DOUBLE, then an
+    exactly-rounded sqrt and the c1*n2 vs c2*n1 sign. The engines'
+    own float accumulation never enters. Degenerate splits (no users,
+    all-or-none converted) surface NULL z rather than a divide error.
+
+    Scale: one pass to the per-user (variant, converted) relation
+    (map-side partial agg on user_id), then a 2-row aggregate; the
+    corpus shuffles once on user_id.
+    """
+    ev = _t(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id")
+             .agg(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("p"),
+                  F.count(F.lit(1)).alias("ne"))
+             # scale-free conversion: purchase SHARE > 20% (exact ints) —
+             # an absolute count would saturate as events-per-user grows
+             .select(md5_long(F.col("user_id").cast("string"),
+                              seed="ab0").alias("h"),
+                     F.when(F.col("p") * 5 > F.col("ne"), 1)
+                     .otherwise(0).alias("converted")))
+    per = (users.groupBy((F.col("h") % 2 == 0).alias("is_a"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("converted").alias("c")))
+    a = per.filter(F.col("is_a")).select(
+        F.col("n").alias("n1"), F.col("c").alias("c1"))
+    b = per.filter(~F.col("is_a")).select(
+        F.col("n").alias("n2"), F.col("c").alias("c2"))
+    j = a.crossJoin(b)
+    d = lambda c: c.cast("decimal(38,0)")
+    num = d(F.col("c1")) * d(F.col("n2")) - d(F.col("c2")) * d(F.col("n1"))
+    C = d(F.col("c1")) + d(F.col("c2"))
+    N = d(F.col("n1")) + d(F.col("n2"))
+    den = d(F.col("n1")) * d(F.col("n2")) * C * (N - C)
+    zsq = (num * num * N).cast("double") / den.cast("double")
+    z = F.when(den > 0, F.signum(num.cast("double")) * F.sqrt(zsq))
+    return j.select(
+        F.col("n1").cast("bigint"), F.col("c1").cast("bigint"),
+        F.col("n2").cast("bigint"), F.col("c2").cast("bigint"),
+        z.alias("z"),
+        F.coalesce(F.when(den > 0, F.abs(z) > 1.96), F.lit(False))
+        .alias("significant"))
+
+
+_Q85_SQL = f"""
+WITH users AS (
+  SELECT {md5_long_sql("CAST(user_id AS VARCHAR)", seed="ab0")} AS h,
+    CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              > count(*) THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+), per AS (
+  SELECT h % 2 = 0 AS is_a, count(*) AS n, SUM(converted) AS c
+  FROM users GROUP BY 1
+), j AS (
+  SELECT a.n AS n1, a.c AS c1, b.n AS n2, b.c AS c2
+  FROM (SELECT n, c FROM per WHERE is_a) a
+  CROSS JOIN (SELECT n, c FROM per WHERE NOT is_a) b
+), alg AS (
+  SELECT n1, c1, n2, c2,
+    CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1 AS num,
+    CAST(n1 AS HUGEINT) * n2 * (CAST(c1 AS HUGEINT) + c2)
+      * (CAST(n1 AS HUGEINT) + n2 - c1 - c2) AS den,
+    CAST(n1 AS HUGEINT) + n2 AS nn
+  FROM j
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+  CAST(n2 AS BIGINT) AS n2, CAST(c2 AS BIGINT) AS c2,
+  CASE WHEN den > 0 THEN sign(CAST(num AS DOUBLE))
+       * sqrt(CAST(num * num * nn AS DOUBLE) / CAST(den AS DOUBLE)) END AS z,
+  coalesce(CASE WHEN den > 0 THEN
+       sqrt(CAST(num * num * nn AS DOUBLE) / CAST(den AS DOUBLE)) > 1.96
+       END, FALSE) AS significant
+FROM alg
+"""
+
+register(QuerySpec("q85_ab_test", q85_ab_test, _Q85_SQL,
+                   description="two-proportion z-test over a "
+                               "deterministic hash split: statistic is "
+                               "pure integer algebra with one final "
+                               "division + sqrt, one user-keyed shuffle"))

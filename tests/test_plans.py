@@ -436,3 +436,41 @@ def test_q84_acf_known_series_and_zero_variance(spark, tmp_path):
     const = write([7] * 10, tmp_path / "const")
     got = {r.lag: r for r in q84_autocorrelation(spark, const).collect()}
     assert all(r.acf is None for r in got.values())
+
+
+def test_q85_ab_test_detects_planted_effect(spark, tmp_path):
+    """Variant A users convert (purchase-heavy), variant B don't: z is
+    large with the A-minus-B sign; a uniform corpus is insignificant."""
+    import datetime as dt
+    import hashlib
+    from downscaledclimatedata_spark.plans.advanced import q85_ab_test
+
+    def variant_a(uid):
+        h = int(hashlib.md5(f"ab0{uid}".encode()).hexdigest()[:15], 16)
+        return h % 2 == 0
+
+    def write(effect, path):
+        rows, eid = [], 0
+        for uid in range(40):
+            convert = variant_a(uid) if effect else (uid % 2 == 0)
+            # converted users: 3 purchases / 5 events (60% > 20% share);
+            # others: 0 purchases / 5 events
+            types = (["purchase"] * 3 + ["view"] * 2 if convert
+                     else ["view"] * 5)
+            for t in types:
+                rows.append((eid, dt.datetime(2024, 1, 1), uid, t, 1.0, "{}"))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+        return str(path)
+
+    eff = q85_ab_test(spark, write(True, tmp_path / "eff")).collect()[0]
+    assert eff.c1 == eff.n1 and eff.c2 == 0  # the split IS the effect
+    assert eff.significant and eff.z > 5
+
+    # same conversion rate in both variants -> |z| small, not significant
+    flat = q85_ab_test(spark, write(False, tmp_path / "flat")).collect()[0]
+    assert not flat.significant
+    assert abs(flat.z) < 1.96
