@@ -3655,3 +3655,99 @@ register(QuerySpec(
     description="trained 8-bit scalar-quantization (SQ8) ANN: one-row "
                 "min/max training broadcast back, asymmetric coarse ADC "
                 "over dequantized codes, exact rerank of pool rows only"))
+
+
+# --- semantic decontamination (embedding-channel eval overlap) ----------------
+
+EVD_MOD = 37     # spacing of the deterministic "benchmark" vector sample
+EVD_COUNT = 30   # fixed eval-set size (benchmarks are MBs, corpus is TBs)
+EVD_TAU = 0.45   # cosine threshold; organic corpus pairs top out ~0.51
+
+
+def semantic_decontaminate(emb: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           eval_mod: int = EVD_MOD,
+                           eval_count: int = EVD_COUNT,
+                           tau: float = EVD_TAU) -> DataFrame:
+    """Embedding-channel benchmark decontamination: flag every corpus
+    vector whose cosine to ANY eval-set vector reaches tau, reporting
+    the best-matching eval id. The semantic complement of the n-gram
+    `dedup_decontaminate` pass — n-grams catch verbatim and lightly
+    edited copies, embeddings catch paraphrases (the GSM8k-rephrase
+    contamination class n-gram overlap misses).
+
+    Scale design (100 TB): the eval side is a FIXED-size bounded
+    sample (benchmarks are MBs) broadcast against the corpus — the
+    scan is N x |eval| work with no corpus shuffle; the per-doc argmax
+    is a window over the ≤ |eval| matches of each flagged doc, keyed
+    by doc id. Exact-int dot products under the quantizer contract;
+    ties break (cosine desc, eval_id asc), deterministic cross-engine.
+
+    Here the eval set is a deterministic id-sample of the corpus
+    itself (the container ships no external benchmark), so every eval
+    member flags its own source row at cosine 1.0 — the planted
+    "verbatim benchmark copy" — plus any organic paraphrase-level
+    neighbours above tau.
+    """
+    from pyspark.sql import Window
+    base = (emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
+            .withColumn("n2", sq_norm(F.col("qv")))
+            .filter(F.col("n2") > 0))
+    ev = (base.filter(_fixed_sample(id_col, eval_mod, eval_count))
+          .select(F.col(id_col).alias("eval_id"),
+                  F.col("qv").alias("ev"), F.col("n2").alias("en2")))
+    cos = (int_dot(F.col("qv"), F.col("ev")).cast("double")
+           / (F.sqrt(F.col("n2").cast("double"))
+              * F.sqrt(F.col("en2").cast("double"))))
+    w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(),
+                                           F.col("eval_id"))
+    return (base.crossJoin(F.broadcast(ev))
+            .select(F.col(id_col), F.col("eval_id"), cos.alias("cosine"))
+            .filter(F.col("cosine") >= tau)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select(F.col(id_col),
+                    F.col("eval_id").alias("best_eval_id"),
+                    F.col("cosine").alias("best_cosine"),
+                    (F.col(id_col) == F.col("eval_id"))
+                    .alias("is_verbatim_self")))
+
+
+def dedup_semantic_decon_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return semantic_decontaminate(emb)
+
+
+_SEM_DECON_SQL = f"""
+WITH q AS (
+  SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings
+), b0 AS (
+  SELECT vec_id, qv,
+    list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS n2
+  FROM q
+), b AS (SELECT * FROM b0 WHERE n2 > 0),
+ev AS (
+  SELECT vec_id AS eval_id, qv AS evv, n2 AS en2 FROM b
+  WHERE {_fixed_sample_sql('vec_id', EVD_MOD, EVD_COUNT)}
+), scored AS (
+  SELECT b.vec_id, ev.eval_id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                                 i -> b.qv[i] * ev.evv[i])) AS DOUBLE)
+      / (sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(ev.en2 AS DOUBLE))) AS cosine
+  FROM b CROSS JOIN ev
+)
+SELECT vec_id, eval_id AS best_eval_id, cosine AS best_cosine,
+  vec_id = eval_id AS is_verbatim_self
+FROM (
+  SELECT vec_id, eval_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY cosine DESC, eval_id) AS rnk
+  FROM scored WHERE cosine >= {EVD_TAU}) WHERE rnk = 1
+"""
+
+register(QuerySpec(
+    "dedup_semantic_decon", dedup_semantic_decon_query, _SEM_DECON_SQL,
+    description="embedding-channel benchmark decontamination: bounded "
+                "eval set broadcast against the corpus (no corpus "
+                "shuffle), exact-int cosine, per-doc best-match argmax "
+                "— catches the paraphrase class n-gram overlap misses"))

@@ -77,3 +77,30 @@ def test_sq8_dequantization_error_bound(spark):
                .collect()[0])
     assert checked.oor == 0
     assert checked.viol == 0
+
+
+def test_semantic_decon_flags_planted_paraphrase(spark):
+    """A near-copy of an eval vector (paraphrase class) is flagged with
+    the right eval id; an orthogonal vector is not; eval members flag
+    themselves as verbatim."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        semantic_decontaminate)
+
+    def vec(i):
+        return [float(((i * 2654435761 + d * 40503) % 997) - 498) / 100.0
+                for d in range(64)]
+    rows = [(i, vec(i), 0) for i in range(80)]
+    # id 0 and 37 are eval members (EVD_MOD spacing); plant a paraphrase
+    # of eval vec 37: same direction, tiny perturbation
+    para = [v * 1.01 + 0.01 for v in vec(37)]
+    rows.append((500, para, 0))
+    # and an orthogonal one-hot vector far from everything
+    rows.append((501, [1000.0] + [0.0] * 63, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r.vec_id: r for r in semantic_decontaminate(emb).collect()}
+    assert got[0].is_verbatim_self and got[0].best_cosine == 1.0
+    assert got[37].is_verbatim_self
+    assert 500 in got and got[500].best_eval_id == 37
+    assert got[500].best_cosine > 0.99 and not got[500].is_verbatim_self
+    assert 501 not in got
