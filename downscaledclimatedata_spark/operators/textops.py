@@ -1968,3 +1968,86 @@ register(QuerySpec("text_pii_redact", text_pii_redact_query, _PII_SQL,
                                "fingerprint for downstream verification; "
                                "planted PII keeps every class load-"
                                "bearing"))
+
+
+# --- readability scoring (Flesch / Flesch-Kincaid) ----------------------------
+
+def readability_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade from regex-derived
+    counts: sentences = [.!?]+ runs, words = whitespace tokens,
+    syllables ~= [aeiouy]+ vowel groups — the classical heuristic used
+    as a quality-classifier feature in corpus pipelines (too-low AND
+    too-high readability both correlate with junk).
+
+    Everything is a shuffle-free codegen projection: three regexp
+    counts, then two fixed formulas over exact integers. The divisions
+    and double-literal multiplications are structured IDENTICALLY in
+    both engines (left-associated), so the doubles are bit-equal.
+    Empty docs (no words) surface NULL scores, not a divide error;
+    docs with words but no terminator count as one sentence.
+    """
+    safe = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(F.lower(safe), WS_RE), lambda x: x != "")
+    n_words = F.size(toks)
+    n_sent = F.greatest(F.regexp_count(safe, F.lit(r"[.!?]+")), F.lit(1))
+    n_syl = F.regexp_count(F.lower(safe), F.lit(r"[aeiouy]+"))
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syl.cast("double") / n_words.cast("double")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    has = n_words > 0
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_syl.cast("bigint").alias("n_syllables"),
+        F.when(has, wps).alias("words_per_sentence"),
+        F.when(has, spw).alias("syllables_per_word"),
+        F.when(has, flesch).alias("flesch"),
+        F.when(has, fk).alias("fk_grade"))
+
+
+def text_readability_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return readability_scores(
+        load_table_parallel(spark, sf_dir, "documents", key="doc_id"),
+        "text", "doc_id")
+
+
+_READABILITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(lower(coalesce(text, '')),
+        '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS n_words,
+    greatest(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1)
+      AS n_sentences,
+    len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+'))
+      AS n_syllables
+  FROM documents
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_sentences AS BIGINT) AS n_sentences,
+  CAST(n_syllables AS BIGINT) AS n_syllables,
+  CASE WHEN n_words > 0 THEN
+    CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+  END AS words_per_sentence,
+  CASE WHEN n_words > 0 THEN
+    CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
+  END AS syllables_per_word,
+  CASE WHEN n_words > 0 THEN
+    206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+  END AS flesch,
+  CASE WHEN n_words > 0 THEN
+    0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+    - 15.59
+  END AS fk_grade
+FROM t
+"""
+
+register(QuerySpec("text_readability", text_readability_query,
+                   _READABILITY_SQL,
+                   description="Flesch / Flesch-Kincaid readability as "
+                               "one shuffle-free codegen projection: "
+                               "regex sentence/word/vowel-group counts, "
+                               "bit-identical left-associated formulas"))

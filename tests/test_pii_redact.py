@@ -61,3 +61,25 @@ def test_pii_planted_population_is_load_bearing(spark):
                for r in planted)
     assert all(not r.had_pii for r in rows
                if r.doc_id % PII_PLANT_MOD != 0)
+
+
+def test_readability_known_text_and_empty(spark):
+    """Hand-checkable FK inputs: counts match manual tallies; empty and
+    NULL docs yield NULL scores; missing terminator counts 1 sentence."""
+    from downscaledclimatedata_spark.operators.textops import (
+        readability_scores)
+    df = spark.createDataFrame(
+        [(0, "The cat sat. The dog ran!"),
+         (1, "no terminator here"),
+         (2, ""), (3, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           readability_scores(df, "text", "doc_id").collect()}
+    # "The cat sat. The dog ran!": 6 words, 2 sentences,
+    # vowel groups: e,a,a,e,o,a = 6
+    assert (got[0].n_words, got[0].n_sentences, got[0].n_syllables) == (6, 2, 6)
+    assert abs(got[0].words_per_sentence - 3.0) < 1e-12
+    assert abs(got[0].flesch - (206.835 - 1.015 * 3 - 84.6 * 1.0)) < 1e-9
+    assert got[1].n_sentences == 1  # no [.!?] -> one sentence
+    for d in (2, 3):
+        assert got[d].n_words == 0 and got[d].flesch is None
