@@ -833,3 +833,109 @@ register(QuerySpec(
                 "map-side partial aggregation to order-independent XOR "
                 "row hashes, exact decimal mass, and zone-map bounds — "
                 "compare |partitions| rows, re-read only mismatches"))
+
+
+# --- retention planning + partition expiry (VACUUM analog) --------------------
+
+RETAIN_MONTHS = 60  # keep the trailing N months of l_shipdate partitions
+
+
+def retention_plan(li: DataFrame,
+                   retain_months: int = RETAIN_MONTHS) -> DataFrame:
+    """Time-based retention report over the (year, month) partition
+    layout: classify every partition keep/expire against a horizon
+    measured BACK FROM THE TABLE'S OWN MAX month (deterministic — a
+    wall-clock cutoff would make the result time-dependent and
+    unhashable), with per-partition row counts and exact byte-proxy
+    mass, plus each side's share of the table.
+
+    Plan shape: one scan partial-aggregates to the |partitions|-row
+    relation; the max-month horizon is a single-row aggregate joined
+    back by broadcast. The expiry itself is `expire_partitions` below
+    — a metadata-only partition-directory delete in a real lake format
+    (here: dynamic-overwrite of survivors), never a row-level rewrite.
+    The report is what an operator reviews BEFORE destructive expiry —
+    planning and acting are deliberately separate steps.
+    """
+    parts = (li.select(
+                F.year("l_shipdate").alias("part_year"),
+                F.month("l_shipdate").alias("part_month"),
+                F.length(F.concat_ws(
+                    "|", F.col("l_orderkey").cast("string"),
+                    F.col("l_returnflag"),
+                    F.col("l_linestatus"))).alias("row_bytes"))
+             .groupBy("part_year", "part_month")
+             .agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.sum(F.col("row_bytes").cast("bigint")).alias("approx_bytes")))
+    parts = parts.withColumn(
+        "mkey", F.col("part_year") * 12 + F.col("part_month") - 1)
+    horizon = parts.agg(F.max("mkey").alias("max_mkey"))
+    tot = parts.agg(F.sum("n_rows").alias("total_rows"))
+    return (parts.crossJoin(F.broadcast(horizon))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "part_year", "part_month", "n_rows", "approx_bytes",
+                (F.col("mkey") > F.col("max_mkey") - retain_months)
+                .alias("keep"),
+                (F.col("n_rows").cast("double")
+                 / F.col("total_rows").cast("double")).alias("row_share"))
+            )
+
+
+def expire_partitions(spark: SparkSession, in_dir: str, out_dir: str,
+                      retain_months: int = RETAIN_MONTHS) -> dict:
+    """Materialize the survivors of :func:`retention_plan` as a
+    (part_year, part_month)-partitioned table and report what was
+    dropped. Hive-partitioned write, so a lake engine's partition
+    pruning (and any later `overwrite_partitions` backfill) applies."""
+    li = spark.read.parquet(in_dir)
+    plan = retention_plan(li, retain_months)
+    keep = plan.filter(F.col("keep"))
+    out = (li.withColumn("part_year", F.year("l_shipdate"))
+           .withColumn("part_month", F.month("l_shipdate"))
+           .join(F.broadcast(keep.select("part_year", "part_month")),
+                 ["part_year", "part_month"]))
+    out.write.mode("overwrite").partitionBy("part_year", "part_month") \
+        .parquet(out_dir)
+    agg = plan.agg(
+        F.sum(F.when(F.col("keep"), 0).otherwise(F.col("n_rows"))).alias("dropped_rows"),
+        F.sum(F.when(F.col("keep"), F.col("n_rows")).otherwise(0)).alias("kept_rows"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("dropped_parts"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept_parts"),
+    ).collect()[0]
+    return {k: (0 if agg[k] is None else int(agg[k]))
+            for k in ("dropped_rows", "kept_rows",
+                      "dropped_parts", "kept_parts")}
+
+
+def maintenance_retention_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention_plan(
+        load_table_parallel(spark, sf_dir, "lineitem", key="l_orderkey"))
+
+
+_RETENTION_SQL = f"""
+WITH parts AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS part_year,
+    CAST(month(l_shipdate) AS INTEGER) AS part_month,
+    count(*) AS n_rows,
+    CAST(SUM(CAST(length(concat_ws('|', CAST(l_orderkey AS VARCHAR),
+        l_returnflag, l_linestatus)) AS BIGINT)) AS BIGINT) AS approx_bytes
+  FROM lineitem GROUP BY 1, 2
+), k AS (
+  SELECT *, part_year * 12 + part_month - 1 AS mkey FROM parts
+), h AS (SELECT max(mkey) AS max_mkey FROM k),
+t AS (SELECT SUM(n_rows) AS total_rows FROM k)
+SELECT part_year, part_month, n_rows, approx_bytes,
+  mkey > max_mkey - {RETAIN_MONTHS} AS keep,
+  CAST(n_rows AS DOUBLE) / CAST(total_rows AS DOUBLE) AS row_share
+FROM k CROSS JOIN h CROSS JOIN t
+"""
+
+register(QuerySpec(
+    "maintenance_retention_plan", maintenance_retention_query,
+    _RETENTION_SQL,
+    description="time-based retention report: one scan to the "
+                "|partitions|-row relation, horizon anchored at the "
+                "table's own max month (deterministic), keep/expire "
+                "verdict + shares; the destructive expiry is a "
+                "separate partition-level (metadata-only) step"))

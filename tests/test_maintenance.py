@@ -341,3 +341,46 @@ def test_partition_checksums_detect_single_row_corruption(spark):
     for k in fa:
         assert (fa[k].xor_fp, fa[k].n_rows, fa[k].sum_revenue) == \
                (fs[k].xor_fp, fs[k].n_rows, fs[k].sum_revenue)
+
+
+def test_retention_plan_and_expiry_partition_level(spark, tmp_path):
+    from downscaledclimatedata_spark.operators.maintenance import (
+        expire_partitions, retention_plan)
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    # 8 monthly partitions, 3 rows each, Jan 1995..Aug 1995
+    for m in range(1, 9):
+        for _ in range(3):
+            rows.append((eid, eid, eid, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                         dt.datetime(1995, m, 15)))
+            eid += 1
+    schema = ("l_orderkey long, l_partkey long, l_suppkey long, "
+              "l_linenumber int, l_quantity double, l_extendedprice double, "
+              "l_discount double, l_tax double, l_returnflag string, "
+              "l_linestatus string, l_shipdate timestamp")
+    li = spark.createDataFrame(rows, schema)
+
+    plan = {(r.part_year, r.part_month): r
+            for r in retention_plan(li, retain_months=3).collect()}
+    # horizon anchors at Aug: keep Jun/Jul/Aug, expire Jan..May
+    assert all(plan[(1995, m)].keep for m in (6, 7, 8))
+    assert all(not plan[(1995, m)].keep for m in range(1, 6))
+    assert abs(sum(r.row_share for r in plan.values()) - 1.0) < 1e-12
+
+    src = str(tmp_path / "src")
+    li.write.parquet(src)
+    out = str(tmp_path / "kept")
+    rep = expire_partitions(spark, src, out, retain_months=3)
+    assert rep == {"dropped_rows": 15, "kept_rows": 9,
+                   "dropped_parts": 5, "kept_parts": 3}
+    kept = spark.read.parquet(out)
+    assert kept.count() == 9
+    # hive layout: partition directories exist only for survivors
+    import os
+    months = sorted(d for d in os.listdir(out) if d.startswith("part_year="))
+    assert months == ["part_year=1995"]
+    sub = sorted(os.listdir(os.path.join(out, "part_year=1995")))
+    assert [s for s in sub if s.startswith("part_month=")] == [
+        "part_month=6", "part_month=7", "part_month=8"]
