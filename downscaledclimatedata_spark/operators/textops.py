@@ -2051,3 +2051,143 @@ register(QuerySpec("text_readability", text_readability_query,
                                "one shuffle-free codegen projection: "
                                "regex sentence/word/vowel-group counts, "
                                "bit-identical left-associated formulas"))
+
+
+# --- within-document repetition signals (Gopher quality rules) -------------------
+
+# Gopher (Rae et al. 2022, table A1) gates documents on within-doc
+# repetition: the fraction of the doc taken by its single most common
+# 2-gram, and the fraction of duplicated higher-order n-gram windows.
+# These are the WITHIN-doc complement of dedup_repeated_spans (which
+# counts spans repeated ACROSS documents).
+TOP2_MAX_FRAC = 0.20
+DUP3_MAX_FRAC = 0.20
+# a clause only votes when its n-gram relation has enough windows for a
+# fraction to mean anything (a 2-token doc's single window is trivially
+# 100% of itself — that is smallness, not repetition; Gopher likewise
+# gates its repetition rules on a minimum document length)
+MIN_WINDOWS = 5
+
+
+def intradoc_repetition(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-document within-doc repetition report: for word 2-grams and
+    3-grams, the window count, distinct-window count, the most common
+    window's count, the duplicate-window fraction
+    ((windows - distinct) / windows) and the top-window fraction
+    (top / windows), plus the Gopher-style ``repetitive`` verdict
+    (top2_frac > 0.20 OR dup3_frac > 0.20, each clause voting only when
+    its relation has >= MIN_WINDOWS windows).
+
+    Scale: each n-gram relation shuffles ONCE keyed on
+    (doc_id, window-hash) — key space grows with the corpus, so no
+    reducer sees more than one document's windows for one hash; the
+    second aggregate is keyed on doc_id alone (bounded by the largest
+    single document, the same bound tokenization itself needs). Windows
+    travel as 60-bit md5 hashes, never text. Docs with fewer than n
+    tokens have no windows: counts 0, fractions NULL, verdict FALSE —
+    a short doc is not "repetitive", it is unscoreable.
+    """
+    from downscaledclimatedata_spark.operators.dedup import shingled_rows
+
+    def stats(n: int, pre: str) -> DataFrame:
+        return (shingled_rows(df, text_col, id_col, n=n)
+                .select(F.col(id_col), md5_long(F.col("shingle")).alias("h"))
+                .groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c"))
+                .groupBy(id_col)
+                .agg(F.sum("c").cast("bigint").alias(f"{pre}_windows"),
+                     F.count(F.lit(1)).cast("bigint").alias(f"{pre}_distinct"),
+                     F.max("c").cast("bigint").alias(f"{pre}_top")))
+
+    # corpus-scaled per-doc relations: pin sort-merge (house rule for
+    # joins where neither side is provably bounded)
+    out = (df.select(F.col(id_col))
+           .join(stats(2, "n2").hint("merge"), id_col, "left")
+           .join(stats(3, "n3").hint("merge"), id_col, "left"))
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num.cast("double") / den.cast("double"))
+
+    z = F.lit(0).cast("bigint")
+    n2w = F.coalesce("n2_windows", z)
+    n3w = F.coalesce("n3_windows", z)
+    dup2 = frac(n2w - F.coalesce("n2_distinct", z), n2w)
+    top2 = frac(F.coalesce("n2_top", z), n2w)
+    dup3 = frac(n3w - F.coalesce("n3_distinct", z), n3w)
+    top3 = frac(F.coalesce("n3_top", z), n3w)
+    rep = (((n2w >= MIN_WINDOWS)
+            & F.coalesce(top2 > TOP2_MAX_FRAC, F.lit(False)))
+           | ((n3w >= MIN_WINDOWS)
+              & F.coalesce(dup3 > DUP3_MAX_FRAC, F.lit(False))))
+    return out.select(
+        F.col(id_col),
+        n2w.alias("n2_windows"), F.coalesce("n2_top", z).alias("n2_top"),
+        n3w.alias("n3_windows"), F.coalesce("n3_top", z).alias("n3_top"),
+        dup2.alias("dup2_frac"), top2.alias("top2_frac"),
+        dup3.alias("dup3_frac"), top3.alias("top3_frac"),
+        rep.alias("repetitive"))
+
+
+def text_intradoc_repetition_query(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return intradoc_repetition(docs)
+
+
+def _intradoc_sql() -> str:
+    def gram_cte(n: int, pre: str) -> str:
+        span = " || ' ' || ".join(f"t[i+{k}]" for k in range(n))
+        h = md5_long_sql(f"({span})")
+        return f"""g{pre} AS (
+  SELECT doc_id, {h} AS h
+  FROM toks, LATERAL (
+    SELECT UNNEST(range(1, greatest(len(t) - {n - 1}, 0) + 1)) AS i) idx
+), c{pre} AS (
+  SELECT doc_id, h, COUNT(*) AS c FROM g{pre} GROUP BY doc_id, h
+), s{pre} AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS {pre}_windows,
+    CAST(COUNT(*) AS BIGINT) AS {pre}_distinct,
+    CAST(MAX(c) AS BIGINT) AS {pre}_top
+  FROM c{pre} GROUP BY doc_id
+)"""
+
+    def frac(num: str, den: str) -> str:
+        return (f"CASE WHEN {den} > 0 THEN CAST({num} AS DOUBLE)"
+                f" / CAST({den} AS DOUBLE) END")
+
+    dup2 = frac("s2.n2_windows - s2.n2_distinct", "s2.n2_windows")
+    top2 = frac("s2.n2_top", "s2.n2_windows")
+    dup3 = frac("s3.n3_windows - s3.n3_distinct", "s3.n3_windows")
+    top3 = frac("s3.n3_top", "s3.n3_windows")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+), {gram_cte(2, 'n2')},
+{gram_cte(3, 'n3')}
+SELECT d.doc_id,
+  CAST(COALESCE(s2.n2_windows, 0) AS BIGINT) AS n2_windows,
+  CAST(COALESCE(s2.n2_top, 0) AS BIGINT) AS n2_top,
+  CAST(COALESCE(s3.n3_windows, 0) AS BIGINT) AS n3_windows,
+  CAST(COALESCE(s3.n3_top, 0) AS BIGINT) AS n3_top,
+  {dup2} AS dup2_frac,
+  {top2} AS top2_frac,
+  {dup3} AS dup3_frac,
+  {top3} AS top3_frac,
+  (COALESCE(s2.n2_windows, 0) >= {MIN_WINDOWS}
+     AND COALESCE({top2} > {TOP2_MAX_FRAC}, FALSE))
+    OR (COALESCE(s3.n3_windows, 0) >= {MIN_WINDOWS}
+     AND COALESCE({dup3} > {DUP3_MAX_FRAC}, FALSE)) AS repetitive
+FROM documents d
+LEFT JOIN sn2 s2 ON s2.doc_id = d.doc_id
+LEFT JOIN sn3 s3 ON s3.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+register(QuerySpec(
+    "text_intradoc_repetition", text_intradoc_repetition_query,
+    _intradoc_sql(),
+    description="Gopher within-doc repetition: duplicate / top 2- and "
+                "3-gram window fractions per document, one "
+                "(doc_id, hash)-keyed shuffle per n, windows travel as "
+                "60-bit hashes"))

@@ -297,3 +297,52 @@ def test_vocab_growth_exact_curve(spark):
     assert rows[1].cum_types == 5 and rows[1].cum_tokens == 9
     assert rows[0].type_token_ratio == 3 / 4
     assert rows[1].bucket_docs == 2
+
+
+def test_intradoc_repetition_hand_counts(spark):
+    """'a b a b a b' has 2-gram windows [ab, ba, ab, ba, ab]: 5 windows,
+    2 distinct, top 3 -> dup 0.6, top 0.6 -> repetitive. An all-distinct
+    doc is clean; 1-token and NULL docs are unscoreable (NULL fracs,
+    FALSE verdict), not errors."""
+    from downscaledclimatedata_spark.operators.textops import (
+        intradoc_repetition)
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "q w e r t y u"), (2, "one"), (3, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in intradoc_repetition(docs).collect()}
+    assert len(got) == 4
+    r0 = got[0]
+    assert (r0.n2_windows, r0.n2_top) == (5, 3)
+    assert r0.dup2_frac == 3 / 5 and r0.top2_frac == 3 / 5
+    # 3-grams: [aba, bab, aba, bab]: 4 windows, 2 distinct, top 2
+    assert (r0.n3_windows, r0.n3_top) == (4, 2)
+    assert r0.dup3_frac == 2 / 4
+    assert r0.repetitive
+    r1 = got[1]
+    assert r1.dup2_frac == 0.0 and r1.dup3_frac == 0.0
+    assert r1.n2_top == 1 and not r1.repetitive
+    for d in (2, 3):
+        r = got[d]
+        assert r.n2_windows == 0 and r.n3_windows == 0
+        assert r.dup2_frac is None and r.top3_frac is None
+        assert r.repetitive is False
+
+
+def test_intradoc_repetition_min_window_gate(spark):
+    """A 2-token doc's single window is trivially 100% of itself — the
+    MIN_WINDOWS gate keeps smallness from reading as repetition, while a
+    doc that clears the gate with the same fractions is flagged."""
+    from downscaledclimatedata_spark.operators.textops import (
+        MIN_WINDOWS, intradoc_repetition)
+    docs = spark.createDataFrame(
+        [(7, "x y"), (8, "x y " * MIN_WINDOWS)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in intradoc_repetition(docs).collect()}
+    r = got[7]
+    assert (r.n2_windows, r.n2_top, r.n3_windows) == (1, 1, 0)
+    assert r.top2_frac == 1.0 and r.dup3_frac is None
+    # top2 == 1.0 > 0.20 but only 1 window: below the gate, not flagged
+    assert not r.repetitive
+    r8 = got[8]
+    assert r8.n2_windows >= MIN_WINDOWS and r8.top2_frac > 0.20
+    assert r8.repetitive
