@@ -1425,6 +1425,37 @@ register(QuerySpec(
 LM_SCALE = 1_000_000  # fixed-point scale for exact conditional probabilities
 
 
+def _lm_doc_scores(df: DataFrame, text_col: str, id_col: str,
+                   scale: int = LM_SCALE) -> DataFrame:
+    """(id, n_bigrams, fp_sum): the exact fixed-point per-document LM
+    evidence behind :func:`lm_familiarity` — fp_sum is an
+    order-independent BIGINT sum of ``(c(w1 w2) * scale) div c(w1·)``
+    terms, so downstream consumers (the familiarity double, the
+    perplexity-bucket ranking) derive from ONE audited relation.
+    Docs with fewer than 2 tokens have no bigrams and NO row."""
+    toks = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("t"))
+    bg = toks.select(
+        F.col(id_col),
+        F.explode(F.zip_with(
+            F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+            F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))).alias("p")
+    ).select(id_col, "p.w1", "p.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cbg"))
+    pref = bgc.groupBy("w1").agg(F.sum("cbg").alias("cw1"))
+    # merge hints: the model relation is vocabulary²-bounded and the
+    # prefix marginal vocabulary-bounded — web-scale corpora put both
+    # beyond broadcast budgets, so the shuffled strategy is pinned (the
+    # checkpoint-size-estimate lesson from ngram_jaccard_pairs)
+    model = bgc.join(pref.hint("merge"), "w1").select(
+        "w1", "w2",
+        F.expr(f"(cbg * CAST({scale} AS BIGINT)) div cw1").alias("fp"))
+    return (bg.join(model.hint("merge"), ["w1", "w2"])
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("fp").alias("fp_sum")))
+
+
 def lm_familiarity(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id",
                    scale: int = LM_SCALE) -> DataFrame:
@@ -1449,27 +1480,7 @@ def lm_familiarity(df: DataFrame, text_col: str = "text",
     marginal, one join back keyed on the bigram, one per-doc aggregate.
     The model relation is vocabulary²-bounded, not corpus-bounded.
     """
-    toks = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("t"))
-    bg = toks.select(
-        F.col(id_col),
-        F.explode(F.zip_with(
-            F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
-            F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))).alias("p")
-    ).select(id_col, "p.w1", "p.w2")
-    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cbg"))
-    pref = bgc.groupBy("w1").agg(F.sum("cbg").alias("cw1"))
-    # merge hints: the model relation is vocabulary²-bounded and the
-    # prefix marginal vocabulary-bounded — web-scale corpora put both
-    # beyond broadcast budgets, so the shuffled strategy is pinned (the
-    # checkpoint-size-estimate lesson from ngram_jaccard_pairs)
-    model = bgc.join(pref.hint("merge"), "w1").select(
-        "w1", "w2",
-        F.expr(f"(cbg * CAST({scale} AS BIGINT)) div cw1").alias("fp"))
-    return (bg.join(model.hint("merge"), ["w1", "w2"])
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                 F.sum("fp").alias("fp_sum"))
+    return (_lm_doc_scores(df, text_col, id_col, scale)
             .select(id_col,
                     F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
                     (F.col("fp_sum").cast("double")
@@ -2191,3 +2202,110 @@ register(QuerySpec(
                 "3-gram window fractions per document, one "
                 "(doc_id, hash)-keyed shuffle per n, windows travel as "
                 "60-bit hashes"))
+
+
+# --- CCNet-style perplexity bucketing (head / middle / tail) ---------------------
+
+CCNET_BUCKETS = ("head", "middle", "tail")
+
+
+def perplexity_buckets(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       scale: int = LM_SCALE) -> DataFrame:
+    """CCNet's corpus partitioning (Wenzek et al. 2020): rank every
+    document by language-model quality and split the corpus into
+    head / middle / tail thirds — the head trains, the tail is dropped
+    or down-weighted. The LM signal is the engine's bigram familiarity
+    (:func:`lm_familiarity`; CCNet uses KenLM perplexity — same role,
+    and this one is exactly reproducible cross-engine).
+
+    Determinism: the ranking key is the EXACT fixed-point mean
+    ``fp_key = fp_sum div n_bigrams`` (BIGINT in [0, scale]) with
+    doc_id tie-break — no doubles anywhere in the ordering. Bucket
+    boundaries are pure rank arithmetic (rank*3 vs n), so the thirds
+    are exact by construction.
+
+    Scale: the global rank over the |docs|-row score relation uses the
+    shared binned two-phase machinery (functions/ranks.py) — row_number
+    windows partition on a 65k-way value bin of the key, never on the
+    whole relation (a bare ``row_number() OVER (ORDER BY score)`` is a
+    single-reducer global sort at 100 TB). Docs with < 2 tokens have no
+    bigrams, hence no score: they surface with NULL key/rank in the
+    'tail' bucket (CCNet likewise keeps unscoreable fragments out of
+    the head).
+    """
+    from downscaledclimatedata_spark.functions.ranks import (
+        binned_row_number, value_bin)
+
+    scores = (_lm_doc_scores(df, text_col, id_col, scale)
+              .withColumn("fp_key", F.expr("fp_sum div n_bigrams"))
+              .withColumn("_neg", -F.col("fp_key"))
+              .withColumn("_lmbin", value_bin(F.col("_neg"), -scale, 0)))
+    ranked = binned_row_number(
+        scores, "_lmbin", order_cols=(F.col("_neg"), F.col(id_col)),
+        out="lm_rank", count_col="n_scored").drop("_neg", "_lmbin",
+                                                  "fp_sum")
+    bucket = (F.when(F.col("lm_rank").isNull(), F.lit("tail"))
+              .when(F.col("lm_rank") * 3 <= F.col("n_scored"), "head")
+              .when(F.col("lm_rank") * 3 <= F.col("n_scored") * 2,
+                    "middle")
+              .otherwise("tail"))
+    # corpus-scaled score relation back onto the corpus: pin sort-merge
+    return (df.select(F.col(id_col))
+            .join(ranked.hint("merge"), id_col, "left")
+            .select(F.col(id_col),
+                    F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+                    F.col("fp_key").cast("bigint").alias("fp_key"),
+                    F.col("lm_rank").cast("bigint").alias("lm_rank"),
+                    F.col("n_scored").cast("bigint").alias("n_scored"),
+                    bucket.alias("bucket")))
+
+
+def text_perplexity_buckets_query(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return perplexity_buckets(docs)
+
+
+_PPL_BUCKETS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+), bg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS i) idx
+), bgc AS (
+  SELECT w1, w2, COUNT(*) AS cbg FROM bg GROUP BY w1, w2
+), pref AS (
+  SELECT w1, SUM(cbg) AS cw1 FROM bgc GROUP BY w1
+), model AS (
+  SELECT b.w1, b.w2, (b.cbg * CAST({LM_SCALE} AS BIGINT)) // p.cw1 AS fp
+  FROM bgc b JOIN pref p USING (w1)
+), sc AS (
+  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+    CAST(SUM(m.fp) AS BIGINT) AS fp_sum
+  FROM bg g JOIN model m ON m.w1 = g.w1 AND m.w2 = g.w2
+  GROUP BY g.doc_id
+), rk AS (
+  SELECT doc_id, n_bigrams, fp_sum // n_bigrams AS fp_key,
+    CAST(ROW_NUMBER() OVER (ORDER BY fp_sum // n_bigrams DESC, doc_id)
+         AS BIGINT) AS lm_rank,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n_scored
+  FROM sc
+)
+SELECT d.doc_id, r.n_bigrams, CAST(r.fp_key AS BIGINT) AS fp_key,
+  r.lm_rank, r.n_scored,
+  CASE WHEN r.lm_rank IS NULL THEN 'tail'
+       WHEN r.lm_rank * 3 <= r.n_scored THEN 'head'
+       WHEN r.lm_rank * 3 <= r.n_scored * 2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM documents d LEFT JOIN rk r ON r.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+register(QuerySpec(
+    "text_perplexity_buckets", text_perplexity_buckets_query,
+    _PPL_BUCKETS_SQL,
+    description="CCNet head/middle/tail corpus split by exact "
+                "fixed-point LM familiarity rank — binned two-phase "
+                "global rank (no single-reducer sort), thirds by pure "
+                "rank arithmetic"))

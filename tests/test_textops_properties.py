@@ -346,3 +346,49 @@ def test_intradoc_repetition_min_window_gate(spark):
     r8 = got[8]
     assert r8.n2_windows >= MIN_WINDOWS and r8.top2_frac > 0.20
     assert r8.repetitive
+
+
+def test_perplexity_buckets_hand_model(spark):
+    """3 scoreable docs with a hand-computable bigram model: c(a,b)=2,
+    c(a,c)=1, c(a,.)=3 -> fp_keys 666666/666666/333333 at the 1e6
+    scale; exact-thirds bucketing with doc_id tie-break; a 1-token doc
+    is unscoreable -> NULL rank, tail."""
+    from downscaledclimatedata_spark.operators.textops import (
+        perplexity_buckets)
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c"), (3, "solo")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in perplexity_buckets(docs).collect()}
+    assert got[0].fp_key == 666666 and got[2].fp_key == 333333
+    assert (got[0].lm_rank, got[1].lm_rank, got[2].lm_rank) == (1, 2, 3)
+    assert got[0].bucket == "head"      # rank 1 of 3
+    assert got[1].bucket == "middle"    # tie on key, doc_id breaks it
+    assert got[2].bucket == "tail"
+    assert got[3].lm_rank is None and got[3].bucket == "tail"
+    assert got[0].n_scored == 3
+
+
+def test_perplexity_buckets_thirds_and_binned_rank_plan(spark):
+    """Bucket sizes are exact thirds of the scored population, and every
+    row_number window in the plan partitions on the value bin — never a
+    bare global-order window (the single-reducer sort trap)."""
+    import re
+    from downscaledclimatedata_spark.operators.textops import (
+        perplexity_buckets)
+    # 12 docs with distinct scores: the shared-prefix model gives doc k
+    # bigram (w, t{k}) a distinct conditional probability via repetition
+    docs = spark.createDataFrame(
+        [(k, ("w x " * (k + 1)).strip()) for k in range(12)],
+        "doc_id long, text string")
+    out = perplexity_buckets(docs)
+    rows = out.collect()
+    sizes = {}
+    for r in rows:
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+    assert sizes == {"head": 4, "middle": 4, "tail": 4}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert not re.search(r"Window \[[^\n]*\], \[\], \[", plan), plan
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "_lmbin#" in line, plan
