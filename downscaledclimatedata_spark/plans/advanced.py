@@ -2118,3 +2118,89 @@ register(QuerySpec("q85_ab_test", q85_ab_test, _Q85_SQL,
                                "deterministic hash split: statistic is "
                                "pure integer algebra with one final "
                                "division + sqrt, one user-keyed shuffle"))
+
+
+def q86_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average event value (TWAP) — the standard
+    correction when observations arrive at irregular intervals: each
+    value is held until the user's NEXT event and weighted by how long
+    it was in force, so a burst of identical readings cannot dominate
+    the mean the way it does an arithmetic average.
+
+    Plan shape: ONE window pass partitioned by user_id (high-cardinality
+    uniform key — the safe window shape; contrast the q27 lesson on
+    low-cardinality partitions) ordering by (ts, event_id) so duplicate
+    timestamps — which the events edge suite plants — cannot make
+    lead() nondeterministic. The last event per user has no holding
+    interval and drops out, exactly as in the textbook estimator.
+
+    Determinism: value is exact at 2 decimals, so each interval
+    contributes cents * duration_us as a DECIMAL(38,0)/HUGEINT product —
+    order-independent integer sums — and the final TWAP is ONE double
+    division of two exact integers.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    iv = (ev.select(
+            "user_id", "event_id",
+            F.unix_micros("ts").alias("t_us"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+          .withColumn(
+              "next_us",
+              F.lead("t_us").over(
+                  Window.partitionBy("user_id")
+                  .orderBy("t_us", "event_id"))))
+    d = lambda c: c.cast("decimal(38,0)")
+    held = (iv.filter(F.col("next_us").isNotNull())
+            .select("user_id",
+                    (F.col("next_us") - F.col("t_us")).alias("dur_us"),
+                    F.col("cents")))
+    agg = (held.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_intervals"),
+                F.sum(d(F.col("dur_us"))).alias("total_us"),
+                F.sum(d(F.col("cents")) * d(F.col("dur_us")))
+                .alias("cd_sum")))
+    twap = F.when(
+        F.col("total_us") > 0,
+        F.col("cd_sum").cast("double")
+        / (F.col("total_us") * F.lit(100)).cast("double"))
+    return (agg.select(F.col("user_id"),
+                       F.col("n_intervals").cast("bigint")
+                       .alias("n_intervals"),
+                       F.col("total_us").cast("bigint").alias("total_us"),
+                       twap.alias("twap"))
+            .orderBy("user_id"))
+
+
+_Q86_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+    CAST(round(value * 100) AS BIGINT) AS cents,
+    LEAD(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_us
+  FROM events
+), held AS (
+  SELECT user_id, next_us - t_us AS dur_us, cents
+  FROM iv WHERE next_us IS NOT NULL
+), agg AS (
+  SELECT user_id, count(*) AS n_intervals,
+    SUM(CAST(dur_us AS HUGEINT)) AS total_us,
+    SUM(CAST(cents AS HUGEINT) * CAST(dur_us AS HUGEINT)) AS cd_sum
+  FROM held GROUP BY user_id
+)
+SELECT user_id, CAST(n_intervals AS BIGINT) AS n_intervals,
+  CAST(total_us AS BIGINT) AS total_us,
+  CASE WHEN total_us > 0
+       THEN CAST(cd_sum AS DOUBLE) / CAST(total_us * 100 AS DOUBLE)
+  END AS twap
+FROM agg
+ORDER BY user_id
+"""
+
+register(QuerySpec("q86_time_weighted_avg", q86_time_weighted_avg,
+                   _Q86_SQL,
+                   description="per-user time-weighted average value: "
+                               "one high-cardinality-keyed window pass, "
+                               "exact cents x micros integer mass, one "
+                               "final double division"))

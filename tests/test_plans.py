@@ -474,3 +474,44 @@ def test_q85_ab_test_detects_planted_effect(spark, tmp_path):
     flat = q85_ab_test(spark, write(False, tmp_path / "flat")).collect()[0]
     assert not flat.significant
     assert abs(flat.z) < 1.96
+
+
+def test_q86_twap_hand_intervals(spark, tmp_path):
+    """User 1: value 10.00 held 3 us then 20.00 held 1 us -> TWAP 12.50
+    (the arithmetic mean would say 20.00/3-biased nothing of the sort);
+    a duplicate-timestamp pair is ordered by event_id so the zero-length
+    interval contributes zero mass deterministically; a single-event
+    user has no interval and no row."""
+    import datetime as dt
+    from downscaledclimatedata_spark.plans.advanced import (
+        q86_time_weighted_avg)
+
+    t0 = dt.datetime(2024, 1, 1)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # user 1: (t0, 10.00) (t0+3us, 20.00) (t0+4us, 99.0 terminal)
+        (0, t0, 1, "view", 10.0, "{}"),
+        (1, t0 + 3 * us, 1, "view", 20.0, "{}"),
+        (2, t0 + 4 * us, 1, "view", 99.0, "{}"),
+        # user 2: duplicate ts pair then a later event
+        (3, t0, 2, "view", 4.0, "{}"),
+        (4, t0, 2, "view", 8.0, "{}"),     # same ts, higher event_id
+        (5, t0 + 2 * us, 2, "view", 1.0, "{}"),
+        # user 3: single event -> no interval
+        (6, t0, 3, "view", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    path = str(tmp_path / "twap")
+    df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+    got = {r.user_id: r for r in
+           q86_time_weighted_avg(spark, path).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert (r1.n_intervals, r1.total_us) == (2, 4)
+    assert r1.twap == (10.0 * 3 + 20.0 * 1) / 4
+    r2 = got[2]
+    # event 3 held 0 us (dup ts), event 4 held 2 us: TWAP = 8.00
+    assert (r2.n_intervals, r2.total_us) == (2, 2)
+    assert r2.twap == 8.0
