@@ -3751,3 +3751,202 @@ register(QuerySpec(
                 "eval set broadcast against the corpus (no corpus "
                 "shuffle), exact-int cosine, per-doc best-match argmax "
                 "— catches the paraphrase class n-gram overlap misses"))
+
+
+# --- IVF cell label purity (clustering-quality eval) ------------------------------
+
+def ivf_cell_purity(emb: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    label_col: str = "label",
+                    centroid_mod: int = CENTROID_MOD,
+                    n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """Per-cell label purity of the IVF assignment: member count,
+    distinct-label count, the majority label (ties broken toward the
+    smaller label id — deterministic under any partitioning) and
+    purity = majority_count / n_members. The standard external
+    clustering-quality check when ground-truth labels exist: a
+    low-purity cell means the coarse quantizer mixes classes, so
+    label-filtered ANN queries over it will scan mostly-foreign
+    vectors.
+
+    Scale: the assignment is the shared N x k broadcast-codebook pass;
+    purity itself aggregates the |cells x labels| relation (bounded by
+    k x |label alphabet|), then reduces to |cells| rows. Empty cells
+    surface with zero members and NULL majority.
+    """
+    assign = ivf_assign(emb, id_col, vec_col, centroid_mod, n_centroids)
+    lab = emb.select(F.col(id_col), F.col(label_col).alias("_lab"))
+    # (cell, label) histogram: bounded relation, exact counts
+    cl = (assign.join(lab, id_col)
+          .groupBy("cid", "_lab").agg(F.count(F.lit(1)).alias("c")))
+    per_cell = (cl.groupBy("cid")
+                .agg(F.sum("c").alias("n_members"),
+                     F.count(F.lit(1)).alias("n_labels"),
+                     F.min(F.struct((-F.col("c")).alias("nc"),
+                                    F.col("_lab").alias("lab")))
+                     .alias("m")))
+    cents = (emb.select(F.col(id_col))
+             .filter(_fixed_sample(id_col, centroid_mod, n_centroids))
+             .select(F.col(id_col).alias("cid")))
+    return (cents.join(per_cell, "cid", "left")
+            .select(
+                "cid",
+                F.coalesce("n_members", F.lit(0)).cast("bigint")
+                .alias("n_members"),
+                F.coalesce("n_labels", F.lit(0)).cast("bigint")
+                .alias("n_labels"),
+                F.col("m.lab").cast("int").alias("majority_label"),
+                F.when(F.coalesce(F.col("n_members"), F.lit(0)) > 0,
+                       (-F.col("m.nc")).cast("double")
+                       / F.col("n_members").cast("double"))
+                .alias("purity"))
+            .orderBy("cid"))
+
+
+def similarity_cell_purity_query(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return ivf_cell_purity(emb)
+
+
+def _cell_purity_sql() -> str:
+    sq = f"list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i]))"
+    dot = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+           f"i -> b.qv[i] * c.cv[i]))")
+    return f"""
+WITH q AS (SELECT vec_id, label, {_QVEC_SQL} AS qv FROM embeddings),
+base AS (SELECT vec_id, label, qv, {sq} AS n2 FROM q),
+cents AS (
+  SELECT vec_id AS cid, qv AS cv, n2 AS cn2 FROM base
+  WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, N_CENTROIDS)}
+),
+scored AS (
+  SELECT b.vec_id, b.label, c.cid,
+    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      ORDER BY b.n2 + c.cn2 - 2 * {dot}, c.cid) AS rn
+  FROM base b CROSS JOIN cents c
+),
+cl AS (
+  SELECT cid, label AS lab, COUNT(*) AS c
+  FROM scored WHERE rn = 1 GROUP BY cid, label
+),
+per_cell AS (
+  SELECT cid, SUM(c) AS n_members, COUNT(*) AS n_labels,
+    MIN({{'nc': -c, 'lab': lab}}) AS m
+  FROM cl GROUP BY cid
+)
+SELECT c.cid,
+  CAST(coalesce(p.n_members, 0) AS BIGINT) AS n_members,
+  CAST(coalesce(p.n_labels, 0) AS BIGINT) AS n_labels,
+  CAST((p.m).lab AS INTEGER) AS majority_label,
+  CASE WHEN coalesce(p.n_members, 0) > 0
+       THEN CAST(-(p.m).nc AS DOUBLE) / CAST(p.n_members AS DOUBLE)
+  END AS purity
+FROM cents c LEFT JOIN per_cell p USING (cid)
+ORDER BY c.cid
+"""
+
+
+register(QuerySpec(
+    "similarity_cell_purity", similarity_cell_purity_query,
+    _cell_purity_sql(),
+    description="IVF cell label purity: majority label + purity per "
+                "cell from the bounded (cell, label) histogram — the "
+                "external clustering-quality check"))
+
+
+# --- label-margin embedding eval (same-class vs cross-class separation) ----------
+
+def label_margin_eval(emb: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      label_col: str = "label",
+                      query_mod: int = QUERY_MOD,
+                      n_queries: int = N_QUERIES) -> DataFrame:
+    """Embedding-quality eval against labels: for each query in the
+    fixed deterministic sample, the best same-label cosine and the best
+    different-label cosine over the WHOLE corpus (exact — an index
+    would bias the eval), their margin, and whether the embedding
+    separates the query's class (margin > 0). The aggregate of
+    ``separated`` is the 1-NN label accuracy of the embedding; the
+    margin distribution is what a retrieval threshold is tuned on.
+
+    Scale: bounded query set broadcast against the corpus — one N x Q
+    scan, no corpus shuffle, map-side partial max per query. Queries
+    whose class has no other member surface NULL best_same (margin
+    NULL), not a silent drop.
+    """
+    base = (emb.select(F.col(id_col), F.col(label_col).alias("_lab"),
+                       quantize(F.col(vec_col)).alias("qv"),
+                       sq_norm(quantize(F.col(vec_col))).alias("n2"))
+            .filter(F.col("n2") > 0))
+    queries = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
+               .select(F.col(id_col).alias("query_id"),
+                       F.col("_lab").alias("qlab"),
+                       F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
+    scored = (base.crossJoin(F.broadcast(queries))
+              .filter(F.col(id_col) != F.col("query_id"))
+              .select("query_id", "qlab",
+                      (F.col("_lab") == F.col("qlab")).alias("same"),
+                      (int_dot(F.col("qq"), F.col("qv")).cast("double")
+                       / (F.sqrt(F.col("qn2").cast("double"))
+                          * F.sqrt(F.col("n2").cast("double"))))
+                      .alias("cosine")))
+    agg = (scored.groupBy("query_id", "qlab")
+           .agg(F.max(F.when(F.col("same"), F.col("cosine")))
+                .alias("best_same"),
+                F.max(F.when(~F.col("same"), F.col("cosine")))
+                .alias("best_diff")))
+    margin = F.col("best_same") - F.col("best_diff")
+    return (agg.select(F.col("query_id"),
+                       F.col("qlab").cast("int").alias("label"),
+                       "best_same", "best_diff",
+                       margin.alias("margin"),
+                       (margin > 0).alias("separated"))
+            .orderBy("query_id"))
+
+
+def similarity_label_margin_query(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return label_margin_eval(emb)
+
+
+_LABEL_MARGIN_SQL = f"""
+WITH q AS (SELECT vec_id, label, {_QVEC_SQL} AS qv FROM embeddings),
+base0 AS (
+  SELECT vec_id, label, qv,
+    list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS n2
+  FROM q
+), base AS (SELECT * FROM base0 WHERE n2 > 0),
+queries AS (
+  SELECT vec_id AS query_id, label AS qlab, qv AS qq, n2 AS qn2
+  FROM base WHERE {_fixed_sample_sql('vec_id', QUERY_MOD, N_QUERIES)}
+),
+scored AS (
+  SELECT qs.query_id, qs.qlab, b.label = qs.qlab AS same,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                                 i -> qs.qq[i] * b.qv[i])) AS DOUBLE)
+      / (sqrt(CAST(qs.qn2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+      AS cosine
+  FROM base b CROSS JOIN queries qs
+  WHERE b.vec_id <> qs.query_id
+)
+SELECT query_id, CAST(qlab AS INTEGER) AS label,
+  MAX(CASE WHEN same THEN cosine END) AS best_same,
+  MAX(CASE WHEN NOT same THEN cosine END) AS best_diff,
+  MAX(CASE WHEN same THEN cosine END)
+    - MAX(CASE WHEN NOT same THEN cosine END) AS margin,
+  MAX(CASE WHEN same THEN cosine END)
+    - MAX(CASE WHEN NOT same THEN cosine END) > 0 AS separated
+FROM scored
+GROUP BY query_id, qlab
+ORDER BY query_id
+"""
+
+register(QuerySpec(
+    "similarity_label_margin", similarity_label_margin_query,
+    _LABEL_MARGIN_SQL,
+    description="label-margin embedding eval: exact best same-label vs "
+                "cross-label cosine per sampled query (bounded "
+                "broadcast, no corpus shuffle) — 1-NN accuracy + "
+                "retrieval-margin distribution"))

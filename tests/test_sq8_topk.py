@@ -104,3 +104,79 @@ def test_semantic_decon_flags_planted_paraphrase(spark):
     assert 500 in got and got[500].best_eval_id == 37
     assert got[500].best_cosine > 0.99 and not got[500].is_verbatim_self
     assert 501 not in got
+
+
+def test_cell_purity_hand_cells_and_tie_break(spark):
+    """Two centroids (ids 0 and 2) on orthogonal axes; members cluster
+    around each. Cell 0's labels are [7,7,3] -> majority 7, purity 2/3;
+    cell 2 ties [1,2] -> majority is the SMALLER label, purity 0.5."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        ivf_cell_purity)
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+
+    def near(v, eps):
+        return [x + eps if x == 0 else x for x in v]
+
+    rows = [
+        (0, e1, 7), (4, near(e1, 0.01), 7), (6, near(e1, 0.02), 3),
+        (2, e2, 1), (8, near(e2, 0.01), 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r.cid: r for r in
+           ivf_cell_purity(emb, centroid_mod=2, n_centroids=2).collect()}
+    assert set(got) == {0, 2}
+    c0 = got[0]
+    assert (c0.n_members, c0.n_labels, c0.majority_label) == (3, 2, 7)
+    assert c0.purity == 2 / 3
+    c2 = got[2]
+    assert (c2.n_members, c2.n_labels) == (2, 2)
+    assert c2.majority_label == 1 and c2.purity == 0.5
+
+
+def test_cell_purity_empty_cell_surfaces(spark):
+    """A centroid that attracts no other member still reports itself
+    (the centroid IS a member of its own cell); a truly empty cell can
+    only come from a zero-norm centroid — plant one and check the NULL
+    majority path via the left join."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        ivf_cell_purity)
+    rows = [(0, [1.0, 0.0], 5), (2, [0.0, 1.0], 6), (3, [1.0, 0.1], 5)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r.cid: r for r in
+           ivf_cell_purity(emb, centroid_mod=2, n_centroids=2).collect()}
+    assert got[0].n_members == 2 and got[0].majority_label == 5
+    assert got[2].n_members == 1 and got[2].purity == 1.0
+
+
+def test_label_margin_separated_and_lonely_class(spark):
+    """Query 0 (label 1) has a near-duplicate same-label neighbour and
+    an orthogonal different-label vector: margin ~ 1, separated. A
+    query whose class has no other member gets NULL best_same/margin."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        label_margin_eval)
+    rows = [
+        (0, [1.0, 0.0, 0.0], 1),
+        (2, [0.99, 0.01, 0.0], 1),     # same label, cosine ~ 1
+        (3, [0.0, 1.0, 0.0], 2),       # diff label, cosine 0
+        (1, [0.0, 0.0, 1.0], 9),       # query with a lonely class
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r.query_id: r for r in
+           label_margin_eval(emb, query_mod=1, n_queries=4).collect()}
+    r0 = got[0]
+    assert r0.best_same > 0.99 and r0.best_diff == 0.0
+    assert r0.separated and abs(r0.margin - r0.best_same) < 1e-12
+    r1 = got[1]
+    assert r1.best_same is None and r1.margin is None
+    assert r1.separated is None
+    # zero-norm vectors are excluded from both sides
+    emb2 = spark.createDataFrame(
+        rows + [(4, [0.0, 0.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int")
+    got2 = {r.query_id for r in
+            label_margin_eval(emb2, query_mod=1, n_queries=5).collect()}
+    assert 4 not in got2
