@@ -2204,3 +2204,74 @@ register(QuerySpec("q86_time_weighted_avg", q86_time_weighted_avg,
                                "one high-cardinality-keyed window pass, "
                                "exact cents x micros integer mass, one "
                                "final double division"))
+
+
+def q87_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete purchase-count hazard and survival curve: for each order
+    count n, how many customers placed AT LEAST n orders (at risk), how
+    many stopped at exactly n (churned at n), the hazard
+    churned/at_risk, and survival = P(a customer with >= 1 order
+    reaches >= n). The lifecycle analysis behind every retention
+    dashboard, computed WITHOUT Kaplan-Meier float products: because
+    the time axis is discrete order counts, survival is the single
+    exact division at_risk(n)/total — no cumulative product, hence
+    nothing order-dependent to diverge cross-engine.
+
+    Plan shape: one orders scan partial-aggregates to per-customer
+    counts (high-cardinality key), a second aggregate collapses those
+    to the |distinct order counts|-row histogram, and the reverse
+    cumulative at-risk sum is a window over that BOUNDED histogram
+    only — the same bounded-relation window discipline as
+    functions/ranks.py offsets.
+    """
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("n_orders")))
+    hist = (per_cust.groupBy("n_orders")
+            .agg(F.count(F.lit(1)).alias("churned_at")))
+    w = (Window.orderBy(F.col("n_orders").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    curve = (hist
+             .withColumn("at_risk", F.sum("churned_at").over(w))
+             .withColumn("total", F.sum("churned_at").over(wt)))
+    return (curve.select(
+                F.col("n_orders").cast("bigint").alias("n_orders"),
+                F.col("churned_at").cast("bigint").alias("churned_at"),
+                F.col("at_risk").cast("bigint").alias("at_risk"),
+                (F.col("churned_at").cast("double")
+                 / F.col("at_risk").cast("double")).alias("hazard"),
+                (F.col("at_risk").cast("double")
+                 / F.col("total").cast("double")).alias("survival"))
+            .orderBy("n_orders"))
+
+
+_Q87_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+), hist AS (
+  SELECT n_orders, count(*) AS churned_at FROM per_cust GROUP BY n_orders
+), curve AS (
+  SELECT n_orders, churned_at,
+    SUM(churned_at) OVER (ORDER BY n_orders DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk,
+    SUM(churned_at) OVER () AS total
+  FROM hist
+)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+  CAST(churned_at AS BIGINT) AS churned_at,
+  CAST(at_risk AS BIGINT) AS at_risk,
+  CAST(churned_at AS DOUBLE) / CAST(at_risk AS DOUBLE) AS hazard,
+  CAST(at_risk AS DOUBLE) / CAST(total AS DOUBLE) AS survival
+FROM curve
+ORDER BY n_orders
+"""
+
+register(QuerySpec("q87_churn_hazard", q87_churn_hazard, _Q87_SQL,
+                   description="discrete order-count hazard + survival "
+                               "curve: two bounded aggregations, "
+                               "reverse-cumulative window over the "
+                               "histogram only, no float products"))

@@ -515,3 +515,29 @@ def test_q86_twap_hand_intervals(spark, tmp_path):
     # event 3 held 0 us (dup ts), event 4 held 2 us: TWAP = 8.00
     assert (r2.n_intervals, r2.total_us) == (2, 2)
     assert r2.twap == 8.0
+
+
+def test_q87_hazard_hand_curve(spark, tmp_path):
+    """Customers with 1,1,2,3 orders: at_risk 4/2/1, hazard .5/.5/1.0,
+    survival 1.0/0.5/0.25 — checked exactly (integer divisions only)."""
+    import datetime as dt
+    from downscaledclimatedata_spark.plans.advanced import q87_churn_hazard
+
+    rows, ok = [], 0
+    for cust, n in ((1, 1), (2, 1), (3, 2), (4, 3)):
+        for _ in range(n):
+            rows.append((ok, cust, "O", 10.0, dt.date(2024, 1, 1),
+                         "1-URGENT", "c", 0, "x"))
+            ok += 1
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate date, "
+              "o_orderpriority string, o_clerk string, "
+              "o_shippriority int, o_comment string")
+    path = str(tmp_path / "hz")
+    df.write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    got = {r.n_orders: r for r in q87_churn_hazard(spark, path).collect()}
+    assert [(got[n].churned_at, got[n].at_risk) for n in (1, 2, 3)] == \
+           [(2, 4), (1, 2), (1, 1)]
+    assert [got[n].hazard for n in (1, 2, 3)] == [0.5, 0.5, 1.0]
+    assert [got[n].survival for n in (1, 2, 3)] == [1.0, 0.5, 0.25]
