@@ -4138,3 +4138,291 @@ register(QuerySpec("multimodal_decode_adpcm", multimodal_decode_adpcm_query,
                                "predictor/step state machine; oracle is "
                                "a recursive CTE over the same integer "
                                "recurrence; truncated payloads -> NULL"))
+
+
+# --- real TGA decode (type 10: RLE-compressed true-color, stdlib) ---------------
+
+# RLE is the one compression scheme the codec family lacked (zlib
+# DEFLATE in PNG, LZW in GIF, Huffman+IDCT in JPEG, companding in
+# G.711, ADPCM prediction) — TGA type 10 is its canonical container.
+TGA_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_px", T.IntegerType()),
+    T.StructField("n_packets", T.LongType()),  # certifies REAL RLE ran
+    T.StructField("sum_r", T.LongType()),
+    T.StructField("sum_g", T.LongType()),
+    T.StructField("sum_b", T.LongType()),
+    T.StructField("first_px_r", T.IntegerType()),  # pixel (0,0): proves
+    T.StructField("last_px_b", T.IntegerType()),   # row order + BGR read
+])
+
+TGA_W_BASE = 6
+TGA_W_MOD = 19
+TGA_H_BASE = 4
+TGA_H_MOD = 13
+TGA_A = 2741
+TGA_B = 54001
+TGA_C = 333331
+TGA_D = 77773
+TGA_RUN_MOD = 5  # pixel value repeats in runs of 1 + (y % TGA_RUN_MOD)
+TGA_CORRUPT_MOD = 14
+
+
+def _build_tga_codecs():
+    """Pure-stdlib Targa type-10 codec with REAL run-length packets.
+
+    Writer: greedy per-row RLE — a repeat packet (high bit set,
+    7-bit count-1, one pixel) for runs >= 2, a raw packet (count-1,
+    count literal pixels) otherwise; packets never cross a scan line
+    and never exceed 128 pixels (both spec rules). Pixels are BGR,
+    rows stored BOTTOM-UP (descriptor origin bit 0) — the same layout
+    quirks BMP has, plus the packet stream.
+
+    Decoder: validates the 18-byte header (no id field, no color map,
+    image type 10, bpp 24), walks the packet stream reconstructing
+    exactly width*height pixels, and returns None on ANY defect —
+    truncated stream, packet overrunning the pixel count, or trailing
+    bytes (row-level tolerance, T7).
+    """
+    import struct
+
+    def encode_row(px: list) -> tuple:
+        out = bytearray()
+        n_packets = 0
+        i, n = 0, len(px)
+        while i < n:
+            run = 1
+            while i + run < n and run < 128 and px[i + run] == px[i]:
+                run += 1
+            if run >= 2:
+                out += bytes((0x80 | (run - 1),)) + px[i]
+                i += run
+            else:
+                j = i + 1
+                while (j < n and (j - i) < 128
+                       and not (j + 1 < n and px[j + 1] == px[j])):
+                    j += 1
+                out += bytes((j - i - 1,)) + b"".join(px[i:j])
+                i = j
+            n_packets += 1
+        return bytes(out), n_packets
+
+    def make_tga(rows_rgb: list) -> bytes:
+        """rows_rgb[y][x] = (r, g, b), y=0 the TOP row; stored bottom-up."""
+        h = len(rows_rgb)
+        w = len(rows_rgb[0]) if rows_rgb else 0
+        header = struct.pack("<BBBHHBHHHHBB", 0, 0, 10, 0, 0, 0, 0, 0,
+                             w, h, 24, 0)
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up storage
+            px = [bytes((b, g, r)) for (r, g, b) in rows_rgb[y]]
+            enc, _ = encode_row(px)
+            body += enc
+        return bytes(header + body)
+
+    def decode_tga_stats(blob: bytes):
+        try:
+            blob = bytes(blob)
+            if len(blob) < 18:
+                return None
+            (idlen, cmap, imgtype, _cm1, _cm2, _cme, _xo, _yo,
+             w, h, bpp, desc) = struct.unpack("<BBBHHBHHHHBB", blob[:18])
+            if idlen != 0 or cmap != 0 or imgtype != 10 or bpp != 24:
+                return None
+            if w <= 0 or h <= 0:
+                return None
+            top_down = bool(desc & 0x20)
+            body = blob[18:]
+            px = []
+            pos = 0
+            n_packets = 0
+            total = w * h
+            while len(px) < total:
+                if pos >= len(body):
+                    return None  # truncated stream
+                ctrl = body[pos]
+                pos += 1
+                count = (ctrl & 0x7F) + 1
+                if len(px) + count > total:
+                    return None  # packet overruns the pixel count
+                if ctrl & 0x80:
+                    if pos + 3 > len(body):
+                        return None
+                    px.extend([body[pos:pos + 3]] * count)
+                    pos += 3
+                else:
+                    if pos + 3 * count > len(body):
+                        return None
+                    for k in range(count):
+                        px.append(body[pos + 3 * k:pos + 3 * k + 3])
+                    pos += 3 * count
+                n_packets += 1
+            if pos != len(body):
+                return None  # trailing bytes
+            sr = sg = sb = 0
+            first_r = last_b = None
+            for yi in range(h):
+                y = yi if top_down else h - 1 - yi
+                row = px[yi * w:(yi + 1) * w]
+                sb += sum(p[0] for p in row)
+                sg += sum(p[1] for p in row)
+                sr += sum(p[2] for p in row)
+                if y == 0:
+                    first_r = row[0][2]
+                if y == h - 1:
+                    last_b = row[w - 1][0]
+            return (w, h, total, n_packets, sr, sg, sb, first_r, last_b)
+        except Exception:
+            return None
+
+    return make_tga, decode_tga_stats, encode_row
+
+
+make_tga, decode_tga_stats, _tga_encode_row = _build_tga_codecs()
+
+
+def synthesize_tga_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real RLE TGA bytes; every TGA_CORRUPT_MOD-th doc has the
+    packet stream truncated by its final 2 bytes (valid header, stream
+    underrun). Pixel channel c of (y, x) =
+    (d*TGA_A + y*TGA_B + (x div (1 + y % TGA_RUN_MOD))*TGA_C
+     + c*TGA_D) % 256 — the x-division creates genuine per-row runs of
+    1..TGA_RUN_MOD identical pixels, so BOTH packet kinds (repeat and
+    raw) appear in every image."""
+    mk = make_tga
+    wb, wm, hb, hm = TGA_W_BASE, TGA_W_MOD, TGA_H_BASE, TGA_H_MOD
+    a, b, c_, dd = TGA_A, TGA_B, TGA_C, TGA_D
+    rmod, cmod = TGA_RUN_MOD, TGA_CORRUPT_MOD
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                w, h = wb + d % wm, hb + d % hm
+                rows = [[tuple((d * a + y * b
+                                + (x // (1 + y % rmod)) * c_
+                                + ch * dd) % 256
+                               for ch in range(3)) for x in range(w)]
+                        for y in range(h)]
+                blob = mk(rows)
+                if d % cmod == 0:
+                    blob = blob[:-2]  # stream underrun
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        _synth, "doc_id long, payload binary")
+
+
+def decode_tga(df: DataFrame) -> DataFrame:
+    dec = decode_tga_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        keys = ("width", "height", "n_px", "n_packets", "sum_r", "sum_g",
+                "sum_b", "first_px_r", "last_px_b")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 9
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "n_px": pd.array(cols["n_px"], dtype="Int32"),
+                "n_packets": pd.array(cols["n_packets"], dtype="Int64"),
+                "sum_r": pd.array(cols["sum_r"], dtype="Int64"),
+                "sum_g": pd.array(cols["sum_g"], dtype="Int64"),
+                "sum_b": pd.array(cols["sum_b"], dtype="Int64"),
+                "first_px_r": pd.array(cols["first_px_r"], dtype="Int32"),
+                "last_px_b": pd.array(cols["last_px_b"], dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, TGA_SCHEMA)
+
+
+def multimodal_decode_tga_query(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Real RLE decode end-to-end: the writer's greedy packetization and
+    the decoder's packet walk are independent code paths meeting only
+    at the byte stream; n_packets certifies compression actually ran
+    (it is < n_px whenever any run >= 2 exists). Planted stream
+    underruns -> NULL rows (T7)."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_tga(synthesize_tga_payloads(docs))
+
+
+# Oracle packet count, derived from the run structure the pixel formula
+# guarantees: in logical row y, pixels repeat in x-division groups of
+# k = 1 + y % TGA_RUN_MOD, and adjacent groups always differ (the group
+# step TGA_C % 256 = 19 is nonzero and shared by all channels). The
+# greedy encoder therefore emits one repeat packet per group when
+# k >= 2 (a trailing size-1 group becomes one raw packet — still one
+# packet per group), i.e. ceil(w / k) packets; when k = 1 every pixel
+# is a singleton run and they coalesce into ceil(w / 128) = 1 raw
+# packet (w < 128 by construction).
+_TGA_ROW_PACKETS = (f"CASE WHEN y % {TGA_RUN_MOD} = 0 THEN 1 "
+                    f"ELSE (width + (1 + y % {TGA_RUN_MOD}) - 1) "
+                    f"// (1 + y % {TGA_RUN_MOD}) END")
+
+_MULTIMODAL_TGA_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST({TGA_W_BASE} + abs(doc_id) % {TGA_W_MOD} AS INT) AS width,
+    CAST({TGA_H_BASE} + abs(doc_id) % {TGA_H_MOD} AS INT) AS height
+  FROM documents
+), s AS (
+  SELECT doc_id, d, width, height,
+    list_sum(list_transform(range(0, width * height),
+      i -> (d * {TGA_A} + (i // width) * {TGA_B}
+            + ((i % width) // (1 + (i // width) % {TGA_RUN_MOD}))
+              * {TGA_C}) % 256)) AS sum_r,
+    list_sum(list_transform(range(0, width * height),
+      i -> (d * {TGA_A} + (i // width) * {TGA_B}
+            + ((i % width) // (1 + (i // width) % {TGA_RUN_MOD}))
+              * {TGA_C} + {TGA_D}) % 256)) AS sum_g,
+    list_sum(list_transform(range(0, width * height),
+      i -> (d * {TGA_A} + (i // width) * {TGA_B}
+            + ((i % width) // (1 + (i // width) % {TGA_RUN_MOD}))
+              * {TGA_C} + 2 * {TGA_D}) % 256)) AS sum_b,
+    list_sum(list_transform(range(0, height),
+      y -> {_TGA_ROW_PACKETS})) AS n_packets
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN d % {TGA_CORRUPT_MOD} = 0 THEN NULL ELSE width END AS width,
+  CASE WHEN d % {TGA_CORRUPT_MOD} = 0 THEN NULL ELSE height END AS height,
+  CASE WHEN d % {TGA_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(width * height AS INT) END AS n_px,
+  CASE WHEN d % {TGA_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(n_packets AS BIGINT) END AS n_packets,
+  CASE WHEN d % {TGA_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(sum_r AS BIGINT) END AS sum_r,
+  CASE WHEN d % {TGA_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(sum_g AS BIGINT) END AS sum_g,
+  CASE WHEN d % {TGA_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(sum_b AS BIGINT) END AS sum_b,
+  CASE WHEN d % {TGA_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST((d * {TGA_A}) % 256 AS INT) END AS first_px_r,
+  CASE WHEN d % {TGA_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST((d * {TGA_A} + (height - 1) * {TGA_B}
+                  + ((width - 1) // (1 + (height - 1) % {TGA_RUN_MOD}))
+                    * {TGA_C} + 2 * {TGA_D}) % 256 AS INT)
+       END AS last_px_b
+FROM s
+"""
+
+register(QuerySpec("multimodal_decode_tga", multimodal_decode_tga_query,
+                   _MULTIMODAL_TGA_SQL,
+                   description="real Targa type-10 RLE decode: greedy "
+                               "repeat/raw packetization written and "
+                               "walked by independent stdlib codecs; "
+                               "n_packets certifies compression ran; "
+                               "planted stream underruns -> NULL"))

@@ -1081,3 +1081,66 @@ def test_adpcm_decode_through_spark_and_corruption(spark):
         decode_adpcm_stats, make_mulaw_wav)
     assert decode_adpcm_stats(b"not a riff file") is None
     assert decode_adpcm_stats(make_mulaw_wav(bytes(16))) is None
+
+
+def test_tga_codec_roundtrip_and_packet_structure():
+    """Hand-checkable RLE: [A,A,B,C,C] packs as repeat(2) raw(1)
+    repeat(2); a 200-px uniform row must SPLIT at the 128-pixel packet
+    cap; decode reverses bottom-up BGR storage exactly."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        _tga_encode_row, decode_tga_stats, make_tga)
+
+    A, B, C = b"\x01\x02\x03", b"\x04\x05\x06", b"\x07\x08\x09"
+    enc, n = _tga_encode_row([A, A, B, C, C])
+    assert n == 3
+    assert enc == bytes((0x81,)) + A + bytes((0x00,)) + B + bytes((0x81,)) + C
+
+    # 128-cap split: 200 identical pixels -> repeat(128) + repeat(72)
+    enc2, n2 = _tga_encode_row([A] * 200)
+    assert n2 == 2
+    assert enc2[0] == 0x80 | 127 and enc2[4] == 0x80 | 71
+
+    # full roundtrip with formula pixels (runs + singletons per row)
+    rows = [[((y * 7 + (x // (1 + y % 3)) * 19) % 256,) * 3
+             for x in range(9)] for y in range(5)]
+    st = decode_tga_stats(make_tga(rows))
+    assert st is not None
+    w, h, n_px, n_packets, sr, sg, sb, first_r, last_b = st
+    assert (w, h, n_px) == (9, 5, 45)
+    flat = [c for row in rows for (r, g, b) in row for c in (r,)]
+    assert sr == sum(flat) and sg == sr and sb == sr
+    assert first_r == rows[0][0][0] and last_b == rows[4][8][2]
+    assert n_packets < n_px  # compression genuinely ran
+
+
+def test_tga_decode_rejects_defects():
+    """Stream underrun, trailing bytes, wrong image type, and a packet
+    overrunning the pixel count all -> None (T7 tolerance)."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_tga_stats, make_tga)
+    rows = [[(x % 256, 0, 0) for x in range(6)] for _ in range(4)]
+    blob = make_tga(rows)
+    assert decode_tga_stats(blob) is not None
+    assert decode_tga_stats(blob[:-2]) is None          # underrun
+    assert decode_tga_stats(blob + b"\x00") is None     # trailing bytes
+    bad_type = blob[:2] + b"\x02" + blob[3:]            # uncompressed tag
+    assert decode_tga_stats(bad_type) is None
+    # packet overrun: replace first ctrl byte with a 128-run
+    overrun = blob[:18] + bytes((0xFF,)) + blob[19:]
+    assert decode_tga_stats(overrun) is None
+
+
+def test_tga_decode_through_spark(spark):
+    from downscaledclimatedata_spark.operators.multimodal import (
+        TGA_CORRUPT_MOD, decode_tga, synthesize_tga_payloads)
+    docs = spark.createDataFrame(
+        [(i,) for i in range(30)], "doc_id long")
+    got = {r.doc_id: r for r in
+           decode_tga(synthesize_tga_payloads(docs)).collect()}
+    assert len(got) == 30
+    for d, r in got.items():
+        if d % TGA_CORRUPT_MOD == 0:
+            assert r.width is None and r.sum_r is None
+        else:
+            assert r.n_px == r.width * r.height
+            assert 0 < r.n_packets < r.n_px
