@@ -2275,3 +2275,92 @@ register(QuerySpec("q87_churn_hazard", q87_churn_hazard, _Q87_SQL,
                                "curve: two bounded aggregations, "
                                "reverse-cumulative window over the "
                                "histogram only, no float products"))
+
+
+GINI_BIN_DIV = 1 << 24  # cents per rank bin: histogram stays tiny even
+                        # at $10B-per-customer totals, and equal cents
+                        # share a bin (the binned-rank contract)
+
+
+def q88_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment: the exact Gini
+    coefficient of per-customer order revenue — the inequality metric
+    behind "top 1% of customers drive X% of revenue" dashboards.
+
+    Gini needs every customer's rank within its segment, which is the
+    low-cardinality-window trap (5 segments = 5 reducers sorting all
+    customers). The rank comes from the shared binned two-phase
+    machinery instead: row_number windows partition on (segment,
+    cents-bin) with broadcast cumulative offsets, so parallelism is
+    ∝ bins. The statistic itself is the rank form
+    G = (2*Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i), integer-exact until the
+    single final division (x in cents, rank products in
+    DECIMAL/HUGEINT); within a tie block the sum is permutation-
+    invariant, so the custkey tie-break cannot move the answer — it
+    only pins both engines to the same plan.
+    """
+    from downscaledclimatedata_spark.functions.ranks import (
+        binned_row_number)
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per = (orders.groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .alias("cents")))
+    seg = (per.join(cust.select(F.col("c_custkey").alias("o_custkey"),
+                                "c_mktsegment"), "o_custkey")
+           .withColumn("_gbin", F.expr(f"cents div {GINI_BIN_DIV}")))
+    ranked = binned_row_number(
+        seg, "_gbin", order_cols=(F.col("cents"), F.col("o_custkey")),
+        partition_cols=("c_mktsegment",), out="i", count_col="n")
+    d = lambda c: c.cast("decimal(38,0)")
+    agg = (ranked.groupBy("c_mktsegment")
+           .agg(F.max("n").alias("n"),
+                F.sum(d(F.col("cents"))).alias("sx"),
+                F.sum(d(F.col("i")) * d(F.col("cents"))).alias("six")))
+    gini = ((F.lit(2) * F.col("six")
+             - (d(F.col("n")) + F.lit(1)) * F.col("sx")).cast("double")
+            / (d(F.col("n")) * F.col("sx")).cast("double"))
+    return (agg.select(
+                F.col("c_mktsegment"),
+                F.col("n").cast("bigint").alias("n_customers"),
+                (F.col("sx").cast("double") / 100).alias("revenue"),
+                F.when(F.col("sx") > 0, gini).alias("gini"))
+            .orderBy("c_mktsegment"))
+
+
+_Q88_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+), seg AS (
+  SELECT p.o_custkey, p.cents, c.c_mktsegment
+  FROM per p JOIN customer c ON c.c_custkey = p.o_custkey
+), ranked AS (
+  SELECT c_mktsegment, cents,
+    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                       ORDER BY cents, o_custkey) AS i,
+    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM seg
+), agg AS (
+  SELECT c_mktsegment, MAX(n) AS n,
+    SUM(CAST(cents AS HUGEINT)) AS sx,
+    SUM(CAST(i AS HUGEINT) * CAST(cents AS HUGEINT)) AS six
+  FROM ranked GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, CAST(n AS BIGINT) AS n_customers,
+  CAST(sx AS DOUBLE) / 100 AS revenue,
+  CASE WHEN sx > 0 THEN
+    CAST(2 * six - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE)
+  END AS gini
+FROM agg
+ORDER BY c_mktsegment
+"""
+
+register(QuerySpec("q88_gini_concentration", q88_gini_concentration,
+                   _Q88_SQL,
+                   description="exact Gini revenue concentration per "
+                               "segment via the binned two-phase rank "
+                               "(no 5-reducer segment windows), "
+                               "integer-exact until one division"))

@@ -541,3 +541,48 @@ def test_q87_hazard_hand_curve(spark, tmp_path):
            [(2, 4), (1, 2), (1, 1)]
     assert [got[n].hazard for n in (1, 2, 3)] == [0.5, 0.5, 1.0]
     assert [got[n].survival for n in (1, 2, 3)] == [1.0, 0.5, 0.25]
+
+
+def test_q88_gini_known_distributions_and_binned_plan(spark, tmp_path):
+    """Equal revenues -> Gini 0; one customer holding everything in an
+    n=4 segment -> (n-1)/n = 0.75; and no row_number window in the plan
+    partitions on the segment alone (the 5-reducer trap)."""
+    import datetime as dt
+    import re
+    from downscaledclimatedata_spark.plans.advanced import (
+        q88_gini_concentration)
+
+    orders, cust, ok = [], [], 0
+    # segment EQ: 3 customers, 10.00 each -> gini 0
+    for ck in (1, 2, 3):
+        cust.append((ck, f"c{ck}", "a", 0, "p", 1.0, "EQ", "x"))
+        orders.append((ok, ck, "O", 10.0, dt.date(2024, 1, 1),
+                       "1-URGENT", "c", 0, "x"))
+        ok += 1
+    # segment ONE: customers 4..7, only 4 has revenue
+    for ck in (4, 5, 6, 7):
+        cust.append((ck, f"c{ck}", "a", 0, "p", 1.0, "ONE", "x"))
+        orders.append((ok, ck, "O", 40.0 if ck == 4 else 0.0,
+                       dt.date(2024, 1, 1), "1-URGENT", "c", 0, "x"))
+        ok += 1
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate date, "
+                "o_orderpriority string, o_clerk string, "
+                "o_shippriority int, o_comment string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        cust, "c_custkey long, c_name string, c_address string, "
+              "c_nationkey long, c_phone string, c_acctbal double, "
+              "c_mktsegment string, c_comment string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+
+    out = q88_gini_concentration(spark, str(tmp_path))
+    got = {r.c_mktsegment: r for r in out.collect()}
+    assert got["EQ"].gini == 0.0 and got["EQ"].n_customers == 3
+    assert got["ONE"].gini == 0.75 and got["ONE"].revenue == 40.0
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "_gbin#" in line, plan
