@@ -2364,3 +2364,64 @@ register(QuerySpec("q88_gini_concentration", q88_gini_concentration,
                                "segment via the binned two-phase rank "
                                "(no 5-reducer segment windows), "
                                "integer-exact until one division"))
+
+
+def q89_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into NEW (first-ever activity today) vs
+    RETURNING — the growth-accounting view every product dashboard
+    leads with.
+
+    Plan shape: one scan to the distinct (day, user) presence relation
+    (epoch-day buckets, q67 idiom); each user's first day is a
+    partial-min over THAT relation (no second scan); the new/returning
+    verdict is a user-keyed sort-merge join of two corpus-scaled
+    relations, then a |days|-row aggregate. All counts integer-exact;
+    the only division is the final new_frac.
+    """
+    ev = _t(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / F.lit(86400)).cast("bigint")
+    pres = (ev.select(day.alias("day"), "user_id").distinct())
+    first = (pres.groupBy("user_id")
+             .agg(F.min("day").alias("first_day")))
+    tagged = pres.join(first.hint("merge"), "user_id")
+    return (tagged.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_active"),
+                 F.sum(F.when(F.col("day") == F.col("first_day"), 1)
+                       .otherwise(0)).alias("n_new"))
+            .select(F.col("day").cast("bigint").alias("day"),
+                    F.col("n_active").cast("bigint").alias("n_active"),
+                    F.col("n_new").cast("bigint").alias("n_new"),
+                    (F.col("n_active") - F.col("n_new")).cast("bigint")
+                    .alias("n_returning"),
+                    (F.col("n_new").cast("double")
+                     / F.col("n_active").cast("double"))
+                    .alias("new_frac"))
+            .orderBy("day"))
+
+
+_Q89_SQL = """
+WITH pres AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    user_id
+  FROM events
+), first AS (
+  SELECT user_id, MIN(day) AS first_day FROM pres GROUP BY user_id
+)
+SELECT p.day,
+  CAST(count(*) AS BIGINT) AS n_active,
+  CAST(SUM(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_new,
+  CAST(count(*) - SUM(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_returning,
+  CAST(SUM(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS new_frac
+FROM pres p JOIN first f USING (user_id)
+GROUP BY p.day
+ORDER BY p.day
+"""
+
+register(QuerySpec("q89_new_vs_returning", q89_new_vs_returning, _Q89_SQL,
+                   description="daily new vs returning users: distinct "
+                               "presence relation scanned once, "
+                               "first-day partial-min over it, "
+                               "user-keyed sort-merge verdict join"))

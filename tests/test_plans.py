@@ -586,3 +586,33 @@ def test_q88_gini_known_distributions_and_binned_plan(spark, tmp_path):
     for line in plan.splitlines():
         if "row_number()" in line:
             assert "_gbin#" in line, plan
+
+
+def test_q89_new_vs_returning_hand_days(spark, tmp_path):
+    """Day 0: users 1,2 (both new). Day 1: users 1 (returning), 3 (new).
+    Multiple same-day events collapse to one presence."""
+    import datetime as dt
+    from downscaledclimatedata_spark.plans.advanced import (
+        q89_new_vs_returning)
+
+    t0 = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0, 1, "view", 1.0, "{}"),     # same user same day again
+        (2, t0, 2, "view", 1.0, "{}"),
+        (3, t0 + day, 1, "view", 1.0, "{}"),
+        (4, t0 + day, 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    path = str(tmp_path / "nvr")
+    df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+    got = sorted(q89_new_vs_returning(spark, path).collect(),
+                 key=lambda r: r.day)
+    d0, d1 = got
+    assert (d0.n_active, d0.n_new, d0.n_returning) == (2, 2, 0)
+    assert d0.new_frac == 1.0
+    assert (d1.n_active, d1.n_new, d1.n_returning) == (2, 1, 1)
+    assert d1.new_frac == 0.5
