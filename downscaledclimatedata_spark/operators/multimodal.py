@@ -354,7 +354,9 @@ def _build_audio_codecs():
                   + (b"\x00" if len(data) % 2 else b""))
         return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
-    def parse_wav_features(blob: bytes, block_frames: int = WAV_BLOCK_FRAMES):
+    def parse_wav_pcm(blob: bytes):
+        """RIFF walk shared by every WAV feature extractor: returns
+        (channels, sample_rate, bits, int16 pcm array) or None."""
         if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
             return None
         i, fmt, data = 12, None, None
@@ -375,6 +377,13 @@ def _build_audio_codecs():
             return None
         pcm = array.array("h")
         pcm.frombytes(data[: len(data) // 2 * 2])
+        return ch, sr, bits, pcm
+
+    def parse_wav_features(blob: bytes, block_frames: int = WAV_BLOCK_FRAMES):
+        parsed = parse_wav_pcm(blob)
+        if parsed is None:
+            return None
+        ch, sr, bits, pcm = parsed
         n_frames = len(pcm) // ch
         peak = max((abs(x) for x in pcm), default=0)
         energy = sum(x * x for x in pcm)  # python int: no wrap
@@ -384,21 +393,45 @@ def _build_audio_codecs():
             block_peak_sum += max((abs(x) for x in pcm[lo:hi]), default=0)
         return ch, sr, bits, n_frames, peak, energy, block_peak_sum
 
-    return make_wav, parse_wav_features
+    def parse_wav_zcr(blob: bytes):
+        """Channel-0 zero-crossing count + amplitude stats from the
+        decoded PCM: the classic voiced/unvoiced + noisiness signal an
+        audio-quality gate computes. Sign convention is ``x >= 0`` on
+        BOTH engines (int16 has no -0), counted over consecutive
+        channel-0 frames of the de-interleaved stream."""
+        parsed = parse_wav_pcm(blob)
+        if parsed is None:
+            return None
+        ch, sr, bits, pcm = parsed
+        ch0 = pcm[0::ch]
+        n_frames = len(ch0)
+        zcr = sum(1 for a, b in zip(ch0, ch0[1:])
+                  if (a >= 0) != (b >= 0))
+        peak0 = max((abs(x) for x in ch0), default=0)
+        sum0 = sum(ch0)  # python int: exact
+        return ch, n_frames, zcr, peak0, sum0
+
+    return make_wav, parse_wav_features, parse_wav_zcr
 
 
-make_wav, parse_wav_features = _build_audio_codecs()
+make_wav, parse_wav_features, parse_wav_zcr = _build_audio_codecs()
 
 
-def synthesize_wav_payloads(df: DataFrame) -> DataFrame:
+def synthesize_wav_payloads(df: DataFrame,
+                            corrupt_mod: int | None = None) -> DataFrame:
     """doc_id -> genuine RIFF/WAVE byte stream with doc_id-derived
     channels, sample rate, and PCM samples. The derivation formulas are
-    the ONLY thing the oracle knows — the payload is real encoded bytes."""
+    the ONLY thing the oracle knows — the payload is real encoded bytes.
+    With ``corrupt_mod``, every corrupt_mod-th doc is truncated to its
+    first 8 bytes (a RIFF header with no WAVE tag) for in-band T7
+    coverage; the default leaves every payload intact (the original
+    `multimodal_decode_wav` contract)."""
     mk = make_wav
     fb, fm = WAV_FRAMES_BASE, WAV_FRAMES_MOD
     rb, rs, rm = WAV_RATE_BASE, WAV_RATE_STEP, WAV_RATE_MOD
     sa, sb, smod, soff = (WAV_SAMPLE_A, WAV_SAMPLE_B,
                           WAV_SAMPLE_MOD, WAV_SAMPLE_OFF)
+    cmod = corrupt_mod
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd
@@ -411,7 +444,10 @@ def synthesize_wav_payloads(df: DataFrame) -> DataFrame:
                 n = (fb + d % fm) * ch
                 samples = [((d * sa + i * sb) % smod) - soff
                            for i in range(n)]
-                payloads.append(mk(ch, rate, samples))
+                blob = mk(ch, rate, samples)
+                if cmod is not None and d % cmod == 0:
+                    blob = blob[:8]
+                payloads.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return df.select("doc_id").mapInPandas(_synth, "doc_id long, payload binary")
@@ -4426,3 +4462,99 @@ register(QuerySpec("multimodal_decode_tga", multimodal_decode_tga_query,
                                "walked by independent stdlib codecs; "
                                "n_packets certifies compression ran; "
                                "planted stream underruns -> NULL"))
+
+
+# --- audio zero-crossing-rate features (over genuinely decoded PCM) -------------
+
+WAV_ZCR_CORRUPT_MOD = 16
+
+ZCR_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("zcr", T.LongType()),
+    T.StructField("peak0", T.IntegerType()),
+    T.StructField("sum0", T.LongType()),
+])
+
+
+def decode_wav_zcr(df: DataFrame) -> DataFrame:
+    parse = parse_wav_zcr
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        keys = ("channels", "n_frames", "zcr", "peak0", "sum0")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = parse(bytes(payload))
+                vals = st if st is not None else (None,) * 5
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "channels": pd.array(cols["channels"], dtype="Int32"),
+                "n_frames": pd.array(cols["n_frames"], dtype="Int32"),
+                "zcr": pd.array(cols["zcr"], dtype="Int64"),
+                "peak0": pd.array(cols["peak0"], dtype="Int32"),
+                "sum0": pd.array(cols["sum0"], dtype="Int64")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, ZCR_SCHEMA)
+
+
+def multimodal_audio_zcr_query(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Zero-crossing count + channel-0 amplitude stats from REAL RIFF
+    decode — the classic voiced/unvoiced + noisiness signal an
+    audio-quality gate computes before admitting a clip to a training
+    corpus. De-interleaving (pcm[0::channels]) is load-bearing: half
+    the docs are stereo, and a decoder that counts crossings over the
+    interleaved stream gets a different answer the oracle will
+    catch. Every 16th payload is truncated to a WAVE-less RIFF stub
+    -> NULL row (T7)."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_wav_zcr(
+        synthesize_wav_payloads(docs, corrupt_mod=WAV_ZCR_CORRUPT_MOD))
+
+
+def _zcr_sql() -> str:
+    def s(idx: str) -> str:
+        return (f"((d * {WAV_SAMPLE_A} + ({idx}) * {WAV_SAMPLE_B}) "
+                f"% {WAV_SAMPLE_MOD}) - {WAV_SAMPLE_OFF}")
+
+    cm = WAV_ZCR_CORRUPT_MOD
+    return f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST(1 + abs(doc_id) % 2 AS INT) AS channels,
+    CAST({WAV_FRAMES_BASE} + abs(doc_id) % {WAV_FRAMES_MOD} AS INT)
+      AS n_frames
+  FROM documents
+), feat AS (
+  SELECT doc_id, d, channels, n_frames,
+    list_sum(list_transform(range(0, n_frames - 1),
+      f -> CASE WHEN ({s('f * channels')} >= 0)
+                  <> ({s('(f + 1) * channels')} >= 0)
+           THEN 1 ELSE 0 END)) AS zcr,
+    list_max(list_transform(range(0, n_frames),
+      f -> abs({s('f * channels')}))) AS peak0,
+    list_sum(list_transform(range(0, n_frames),
+      f -> {s('f * channels')})) AS sum0
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN d % {cm} = 0 THEN NULL ELSE channels END AS channels,
+  CASE WHEN d % {cm} = 0 THEN NULL ELSE n_frames END AS n_frames,
+  CASE WHEN d % {cm} = 0 THEN NULL ELSE CAST(zcr AS BIGINT) END AS zcr,
+  CASE WHEN d % {cm} = 0 THEN NULL ELSE CAST(peak0 AS INT) END AS peak0,
+  CASE WHEN d % {cm} = 0 THEN NULL ELSE CAST(sum0 AS BIGINT) END AS sum0
+FROM feat
+"""
+
+
+register(QuerySpec("multimodal_audio_zcr", multimodal_audio_zcr_query,
+                   _zcr_sql(),
+                   description="zero-crossing + channel-0 stats from "
+                               "real RIFF/PCM decode; de-interleaving "
+                               "is load-bearing (half the corpus is "
+                               "stereo); truncated payloads -> NULL"))

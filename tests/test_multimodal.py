@@ -1144,3 +1144,42 @@ def test_tga_decode_through_spark(spark):
         else:
             assert r.n_px == r.width * r.height
             assert 0 < r.n_packets < r.n_px
+
+
+def test_wav_zcr_deinterleave_and_signs():
+    """Stereo stream where channel 0 alternates sign every frame but the
+    INTERLEAVED stream would not: de-interleaving is load-bearing.
+    int16 has no -0, so the x >= 0 convention is exact."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        make_wav, parse_wav_zcr)
+    # frames (ch0, ch1): (5, 1) (-5, 2) (5, 3) (-5, 4)
+    samples = [5, 1, -5, 2, 5, 3, -5, 4]
+    st = parse_wav_zcr(make_wav(2, 8000, samples))
+    ch, n_frames, zcr, peak0, sum0 = st
+    assert (ch, n_frames) == (2, 4)
+    assert zcr == 3            # every ch0 step flips sign
+    assert peak0 == 5 and sum0 == 0
+    # interleaved counting would see 1,-5,2,5,... = 7 sign pairs, not 3
+    mono = parse_wav_zcr(make_wav(1, 8000, samples))
+    assert mono[2] != zcr
+
+    # zero counts as non-negative: [0, -1, 0] has 2 crossings
+    st0 = parse_wav_zcr(make_wav(1, 8000, [0, -1, 0]))
+    assert st0[2] == 2
+    assert parse_wav_zcr(b"RIFF\x00\x00\x00\x00") is None
+
+
+def test_wav_zcr_through_spark(spark):
+    from downscaledclimatedata_spark.operators.multimodal import (
+        WAV_ZCR_CORRUPT_MOD, decode_wav_zcr, synthesize_wav_payloads)
+    docs = spark.createDataFrame([(i,) for i in range(34)], "doc_id long")
+    got = {r.doc_id: r for r in decode_wav_zcr(
+        synthesize_wav_payloads(
+            docs, corrupt_mod=WAV_ZCR_CORRUPT_MOD)).collect()}
+    assert len(got) == 34
+    for d, r in got.items():
+        if d % WAV_ZCR_CORRUPT_MOD == 0:
+            assert r.zcr is None and r.channels is None
+        else:
+            assert r.channels == 1 + d % 2
+            assert 0 <= r.zcr < r.n_frames
