@@ -939,3 +939,63 @@ register(QuerySpec(
                 "table's own max month (deterministic), keep/expire "
                 "verdict + shares; the destructive expiry is a "
                 "separate partition-level (metadata-only) step"))
+
+
+# --- orphan-file report (VACUUM dry-run) -----------------------------------------
+
+def orphan_file_report(spark: SparkSession, root: str,
+                       manifest: DataFrame | None = None,
+                       data_suffix: str = ".parquet") -> DataFrame:
+    """Files under a table root that do not belong to the table — the
+    dry-run every lake VACUUM runs before deleting. Three orphan
+    classes, each a real incident shape:
+
+    - ``bad_suffix``: not a data file (editor droppings, temp files a
+      crashed writer left behind),
+    - ``bad_layout``: parked under a directory that is not Hive
+      ``col=value`` partition layout (a stray subtree a manual copy
+      created),
+    - ``unreferenced``: on disk but absent from the given manifest
+      relation (``key`` column) — the snapshot-diff class a lake
+      format's metadata makes precise; pass the previous
+      :func:`~..operators.listing.listing_from_fs` snapshot or a
+      format manifest.
+
+    Scale: the listing is the executor-parallel metadata-only
+    ``binaryFile`` walk (no content reads, plan-asserted in
+    test_listing.py); classification is a shuffle-free projection;
+    the manifest check is a key-keyed left anti join. Planning and
+    deleting are separate steps, like :func:`retention_plan`.
+
+    Caveat (inherent to Hadoop listings): names starting with ``_`` or
+    ``.`` (``_SUCCESS``, ``.crc``) are invisible to the walk, so they
+    never appear — they are also invisible to every reader, hence
+    harmless by the same rule that hides them.
+    """
+    from downscaledclimatedata_spark.operators.listing import (
+        listing_from_fs)
+
+    listing = listing_from_fs(spark, root)
+    dirs = F.slice(F.split(F.col("key"), "/"), 1,
+                   F.greatest(F.size(F.split(F.col("key"), "/")) - 1,
+                              F.lit(0)))
+    classified = listing.select(
+        "key", "size",
+        (~F.col("key").endswith(data_suffix)).alias("bad_suffix"),
+        F.exists(dirs, lambda d: ~d.contains("=")).alias("bad_layout"))
+    if manifest is not None:
+        known = manifest.select(F.col("key")).distinct()
+        unref = (listing.join(known, "key", "left_anti")
+                 .select("key", F.lit(True).alias("unreferenced")))
+        classified = (classified.join(unref.hint("merge"), "key", "left")
+                      .withColumn("unreferenced",
+                                  F.coalesce("unreferenced",
+                                             F.lit(False))))
+    else:
+        classified = classified.withColumn("unreferenced", F.lit(False))
+    return (classified
+            .filter(F.col("bad_suffix") | F.col("bad_layout")
+                    | F.col("unreferenced"))
+            .select("key", "size", "bad_suffix", "bad_layout",
+                    "unreferenced")
+            .orderBy("key"))

@@ -384,3 +384,44 @@ def test_retention_plan_and_expiry_partition_level(spark, tmp_path):
     sub = sorted(os.listdir(os.path.join(out, "part_year=1995")))
     assert [s for s in sub if s.startswith("part_month=")] == [
         "part_month=6", "part_month=7", "part_month=8"]
+
+
+def test_orphan_file_report_three_classes(spark, tmp_path):
+    from downscaledclimatedata_spark.operators.listing import (
+        listing_from_fs)
+    from downscaledclimatedata_spark.operators.maintenance import (
+        orphan_file_report)
+    import os
+
+    root = tmp_path / "tbl"
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20)], "k long, part_year int")
+    df.write.partitionBy("part_year").parquet(str(root))
+    # snapshot manifest BEFORE planting junk
+    manifest = listing_from_fs(spark, str(root)).select("key").cache()
+    manifest.count()
+    # class 1: non-data file inside a partition dir
+    pdir = next(p for p in os.listdir(root) if p.startswith("part_year="))
+    (root / pdir / "notes.txt").write_text("junk")
+    # class 2: stray non-partition subtree with a parquet-named file
+    os.makedirs(root / "backup")
+    (root / "backup" / "old.parquet").write_bytes(b"\x00")
+    # class 3: a well-formed data file the manifest doesn't know
+    import shutil
+    real = next(f for f in os.listdir(root / pdir) if f.endswith(".parquet"))
+    shutil.copy(root / pdir / real, root / pdir / "smuggled.parquet")
+
+    rep = {r.key: r for r in
+           orphan_file_report(spark, str(root), manifest).collect()}
+    assert f"{pdir}/notes.txt" in rep
+    assert rep[f"{pdir}/notes.txt"].bad_suffix
+    assert rep["backup/old.parquet"].bad_layout
+    assert not rep["backup/old.parquet"].bad_suffix
+    assert rep[f"{pdir}/smuggled.parquet"].unreferenced
+    assert not rep[f"{pdir}/smuggled.parquet"].bad_layout
+    # nothing legitimate is flagged
+    assert all(("notes" in k) or ("backup" in k) or ("smuggled" in k)
+               for k in rep)
+    # without a manifest only structural classes fire
+    rep2 = {r.key for r in orphan_file_report(spark, str(root)).collect()}
+    assert rep2 == {f"{pdir}/notes.txt", "backup/old.parquet"}
