@@ -2572,3 +2572,100 @@ register(QuerySpec(
                 "occurrence dictionary -> per-doc duplicate chunk "
                 "mass; all chunking is per-row array math, no window "
                 "functions"))
+
+
+# --- leakage-safe train/test split (split by near-dup family) -------------------
+
+SPLIT_TRAIN_PCT = 80
+
+
+def leakage_safe_split(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       train_pct: int = SPLIT_TRAIN_PCT) -> DataFrame:
+    """Train/test assignment that cannot leak near-duplicates across the
+    boundary: the split hash is computed on the NEAR-DUP FAMILY id
+    (minhash -> LSH pairs -> connected components; singletons are their
+    own family), so two paraphrases of one document land on the same
+    side by construction. A per-document hash split (q56) guarantees
+    stability but not this — eval contamination via near-dups is
+    exactly the failure mode benchmark decontamination keeps finding,
+    and the right fix is to split families, not documents.
+
+    Scale: the family labels are the same bounded-iteration star
+    components the dedup family already runs; the split itself is a
+    shuffle-free seeded-hash projection over (doc, family). The
+    membership join is corpus-scaled — sort-merge pinned.
+    """
+    sigs = minhash_signatures(docs, text_col, id_col)
+    pairs = lsh_candidate_pairs(sigs, id_col)
+    comps = connected_components_star(pairs) \
+        .withColumnRenamed("id", id_col)
+    fam = (docs.select(F.col(id_col))
+           .join(comps.hint("merge"), id_col, "left")
+           .select(F.col(id_col),
+                   F.coalesce("comp", F.col(id_col)).alias("family_id")))
+    bucket = md5_long(F.col("family_id").cast("string"),
+                      seed="famsplit:") % 100
+    split = F.when(bucket < train_pct, "train").otherwise("test")
+    return (fam.select(F.col(id_col), F.col("family_id"),
+                       split.alias("split"))
+            .orderBy(id_col))
+
+
+def prep_leakage_safe_split_query(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return leakage_safe_split(docs)
+
+
+def _leakage_split_sql() -> str:
+    bucket = (f"{md5_long_sql('CAST(family_id AS VARCHAR)', seed='famsplit:')}"
+              f" % 100")
+    return f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_HASHED_CTE},
+sigs AS (
+  SELECT doc_id, {_MINHASH_COLS_SQL}
+  FROM hashed GROUP BY doc_id
+),
+banded AS ({_BAND_SELECTS}),
+ok AS (
+  SELECT band_id, band_hash FROM banded
+  GROUP BY band_id, band_hash HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN ok ON ok.band_id = a.band_id AND ok.band_hash = a.band_hash
+  JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, lab) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+fam AS (
+  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS family_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+)
+SELECT doc_id, family_id,
+  CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train' ELSE 'test' END
+    AS split
+FROM fam
+ORDER BY doc_id
+"""
+
+
+register(QuerySpec(
+    "prep_leakage_safe_split", prep_leakage_safe_split_query,
+    _leakage_split_sql(),
+    description="train/test split hashed on the near-dup FAMILY id "
+                "(LSH components; singletons their own family) so "
+                "paraphrase pairs cannot straddle the eval boundary"))

@@ -354,3 +354,38 @@ def test_cdc_short_doc_is_one_chunk(spark):
     (row,) = cdc_chunk_stats(docs).collect()
     assert row.n_chunks == 1 and row.total_tokens == 3
     assert row.n_dup_chunks == 0 and row.dup_tokens == 0
+
+
+def test_leakage_safe_split_keeps_families_together(spark):
+    """Near-identical docs share a family and hence a split — even when
+    their per-document hashes WOULD straddle the boundary (the q56
+    failure mode this operator exists to prevent). Singletons are their
+    own family."""
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+    from downscaledclimatedata_spark.operators.dedup import (
+        leakage_safe_split)
+    from pyspark.sql import functions as F
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest tonight")
+    # find two ids whose DOC-level split hashes differ across the 80
+    # boundary, to prove the family split overrides them
+    probe = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long").select(
+        "doc_id",
+        (md5_long(F.col("doc_id").cast("string"), seed="famsplit:")
+         % 100).alias("b")).collect()
+    by = {r.doc_id: r.b for r in probe}
+    lo = next(i for i in by if by[i] < 80)
+    hi = next(i for i in by if by[i] >= 80)
+    docs = spark.createDataFrame(
+        [(lo, base), (hi, base + " extra"), (199, "totally different "
+          "unrelated text about spark shuffles and parquet footers "
+          "written in another register entirely for the test")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in leakage_safe_split(docs).collect()}
+    assert got[lo].family_id == got[hi].family_id == min(lo, hi)
+    assert got[lo].split == got[hi].split          # no straddle
+    assert got[199].family_id == 199               # singleton
+    # doc-level hashes DID straddle — the family hash decided
+    assert (by[lo] < 80) != (by[hi] < 80)
