@@ -2309,3 +2309,83 @@ register(QuerySpec(
                 "fixed-point LM familiarity rank — binned two-phase "
                 "global rank (no single-reducer sort), thirds by pure "
                 "rank arithmetic"))
+
+
+# --- language-ID evaluation (confusion vs the labeled lang column) ---------------
+
+def langid_confusion(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     label_col: str = "lang") -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the
+    corpus's labeled ``lang`` column: per (true, predicted) pair the
+    doc count and its share of the true class — the eval every
+    classifier-gated pipeline stage owes its operators before its
+    verdicts route documents. One classification projection
+    (shuffle-free), one bounded |langs|² aggregate.
+    """
+    from pyspark.sql import Window
+
+    pred = language_id(df, text_col, id_col).select(
+        F.col(id_col), "predicted_lang")
+    truth = df.select(F.col(id_col), F.col(label_col).alias("true_lang"))
+    # corpus-scaled join keyed on the id — sort-merge pinned
+    cm = (truth.join(pred.hint("merge"), id_col)
+          .groupBy("true_lang", "predicted_lang")
+          .agg(F.count(F.lit(1)).alias("n_docs")))
+    # per-true-class share: window over the BOUNDED |langs|² confusion
+    # relation only (the low-cardinality-window rule applies to corpus
+    # relations, not bounded roll-ups — same as the ranks.py offsets)
+    w = F.sum("n_docs").over(Window.partitionBy("true_lang"))
+    return (cm.select("true_lang", "predicted_lang",
+                      F.col("n_docs").cast("bigint").alias("n_docs"),
+                      (F.col("n_docs").cast("double")
+                       / w.cast("double")).alias("share_of_true"))
+            .orderBy("true_lang", "predicted_lang"))
+
+
+def text_langid_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return langid_confusion(docs)
+
+
+def _langid_eval_sql() -> str:
+    score_cols = ",\n    ".join(
+        f"len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + f"], x))) AS score_{lang}"
+        for lang in _LANG_ORDER)
+    cases = []
+    for lang in _LANG_ORDER:
+        conds = []
+        for other in _LANG_ORDER:
+            if other == lang:
+                continue
+            op = (">=" if _LANG_ORDER.index(other) > _LANG_ORDER.index(lang)
+                  else ">")
+            conds.append(f"score_{lang} {op} score_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{_LANG_ORDER[0]}' END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+s AS (SELECT doc_id, lang AS true_lang,
+    {score_cols}
+  FROM t),
+p AS (SELECT doc_id, true_lang, {case_sql} AS predicted_lang FROM s),
+cm AS (
+  SELECT true_lang, predicted_lang, COUNT(*) AS n_docs
+  FROM p GROUP BY true_lang, predicted_lang
+)
+SELECT true_lang, predicted_lang, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_docs AS DOUBLE)
+    / CAST(SUM(n_docs) OVER (PARTITION BY true_lang) AS DOUBLE)
+    AS share_of_true
+FROM cm
+ORDER BY true_lang, predicted_lang
+"""
+
+
+register(QuerySpec(
+    "text_langid_eval", text_langid_eval_query, _langid_eval_sql(),
+    description="language-ID confusion matrix vs the labeled lang "
+                "column: one classification projection, bounded "
+                "|langs|^2 aggregate, per-true-class shares"))

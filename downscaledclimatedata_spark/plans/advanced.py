@@ -2425,3 +2425,83 @@ register(QuerySpec("q89_new_vs_returning", q89_new_vs_returning, _Q89_SQL,
                                "presence relation scanned once, "
                                "first-day partial-min over it, "
                                "user-keyed sort-merge verdict join"))
+
+
+def q90_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-seasonality test: the chi-square statistic of event
+    counts against a uniform week — the screening stat monitors use to
+    decide whether a weekly cycle exists before fitting anything.
+
+    Exactness trick: with expected = T/7 for every cell, chi-square
+    collapses to sum((7·o_i − T)²) / (7·T) — ONE division of two exact
+    integers, instead of a per-cell o²/e sum of doubles whose addition
+    order could differ across engines. Empty weekdays still contribute
+    ((0·7 − T)²) via the dense 7-row calendar (explode/range), so a
+    corpus clustered in one weekday maximizes the statistic instead of
+    shrinking the table. Weekday is epoch-day arithmetic
+    ((day + 4) % 7, 0 = Sunday) — calendar-function-free, so both
+    engines agree by construction.
+
+    Plan: one scan partial-aggregates to <= 7 rows; everything after is
+    constant-size.
+    """
+    ev = _t(spark, sf_dir, "events")
+    dow = ((F.unix_timestamp("ts") / F.lit(86400)).cast("bigint")
+           + F.lit(4)) % 7
+    counts = (ev.select(dow.alias("dow"))
+              .groupBy("dow").agg(F.count(F.lit(1)).alias("o")))
+    week = spark.range(7).select(F.col("id").cast("bigint").alias("dow"))
+    dense = (week.join(counts, "dow", "left")
+             .select("dow", F.coalesce("o", F.lit(0)).alias("o")))
+    d = lambda c: c.cast("decimal(38,0)")
+    agg = dense.agg(
+        F.sum(d(F.col("o"))).alias("t"),
+        F.min(F.struct((-F.col("o")).alias("no"),
+                       F.col("dow").alias("dw"))).alias("peak"),
+        F.min(F.struct(F.col("o"), F.col("dow"))).alias("trough"))
+    dev = dense.crossJoin(F.broadcast(agg)).agg(
+        F.sum((d(F.col("o")) * 7 - F.col("t"))
+              * (d(F.col("o")) * 7 - F.col("t"))).alias("ss"),
+        F.max(F.col("t")).alias("t"),
+        F.max(F.col("peak.dw")).alias("peak_dow"),
+        F.max(F.col("trough.dow")).alias("trough_dow"))
+    return dev.select(
+        F.col("t").cast("bigint").alias("n_events"),
+        F.when(F.col("t") > 0,
+               F.col("ss").cast("double")
+               / (F.col("t") * 7).cast("double")).alias("chi2"),
+        F.col("peak_dow").cast("bigint").alias("peak_dow"),
+        F.col("trough_dow").cast("bigint").alias("trough_dow"))
+
+
+_Q90_SQL = """
+WITH counts AS (
+  SELECT (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS dow,
+    count(*) AS o
+  FROM events GROUP BY 1
+), dense AS (
+  SELECT w.dow, COALESCE(c.o, 0) AS o
+  FROM (SELECT UNNEST(range(0, 7)) AS dow) w
+  LEFT JOIN counts c ON c.dow = w.dow
+), agg AS (
+  SELECT SUM(CAST(o AS HUGEINT)) AS t,
+    MIN({'no': -o, 'dw': dow}) AS peak,
+    MIN({'o': o, 'dow': dow}) AS trough
+  FROM dense
+)
+SELECT CAST(a.t AS BIGINT) AS n_events,
+  CASE WHEN a.t > 0 THEN
+    CAST((SELECT SUM((CAST(o AS HUGEINT) * 7 - a.t)
+                     * (CAST(o AS HUGEINT) * 7 - a.t)) FROM dense)
+         AS DOUBLE) / CAST(a.t * 7 AS DOUBLE)
+  END AS chi2,
+  CAST((a.peak).dw AS BIGINT) AS peak_dow,
+  CAST((a.trough).dow AS BIGINT) AS trough_dow
+FROM agg a
+"""
+
+register(QuerySpec("q90_weekday_chi2", q90_weekday_chi2, _Q90_SQL,
+                   description="weekday-seasonality chi-square vs "
+                               "uniform week: collapses to ONE exact "
+                               "integer division; dense 7-cell "
+                               "calendar; epoch-day weekday arithmetic"))

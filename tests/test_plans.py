@@ -616,3 +616,33 @@ def test_q89_new_vs_returning_hand_days(spark, tmp_path):
     assert d0.new_frac == 1.0
     assert (d1.n_active, d1.n_new, d1.n_returning) == (2, 1, 1)
     assert d1.new_frac == 0.5
+
+
+def test_q90_chi2_concentrated_and_uniform(spark, tmp_path):
+    """All T events on one weekday -> chi2 = 6T exactly (collapsed
+    integer form); a perfectly uniform week -> chi2 = 0."""
+    import datetime as dt
+    from downscaledclimatedata_spark.plans.advanced import q90_weekday_chi2
+
+    def write(day_counts, path):
+        rows, eid = [], 0
+        for d, c in day_counts:
+            for _ in range(c):
+                rows.append((eid, dt.datetime(1970, 1, 1)
+                             + dt.timedelta(days=d), 1, "view", 1.0, "{}"))
+                eid += 1
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string"
+        ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+        return str(path)
+
+    # day 0 is 1970-01-01, a Thursday -> dow (0+4)%7 = 4
+    one = write([(0, 21)], tmp_path / "one")
+    (r,) = q90_weekday_chi2(spark, one).collect()
+    assert r.n_events == 21 and r.chi2 == 6 * 21
+    assert r.peak_dow == 4 and r.trough_dow == 0
+
+    uni = write([(d, 3) for d in range(7)], tmp_path / "uni")
+    (r2,) = q90_weekday_chi2(spark, uni).collect()
+    assert r2.n_events == 21 and r2.chi2 == 0.0

@@ -392,3 +392,23 @@ def test_perplexity_buckets_thirds_and_binned_rank_plan(spark):
     for line in plan.splitlines():
         if "row_number()" in line:
             assert "_lmbin#" in line, plan
+
+
+def test_langid_confusion_hand_matrix(spark):
+    """Two labeled-en docs (one with Spanish markers -> predicted es)
+    and one labeled-es doc predicted es: confusion counts and per-true
+    shares are exact."""
+    from downscaledclimatedata_spark.operators.textops import (
+        langid_confusion)
+    docs = spark.createDataFrame(
+        [(0, "the quick fox and the dog", "en"),
+         (1, "el perro y la casa de los gatos", "en"),   # mislabeled
+         (2, "el gato y el perro en la casa", "es")],
+        "doc_id long, text string, lang string")
+    got = {(r.true_lang, r.predicted_lang): r
+           for r in langid_confusion(docs).collect()}
+    assert got[("en", "en")].n_docs == 1
+    assert got[("en", "es")].n_docs == 1
+    assert got[("en", "en")].share_of_true == 0.5
+    assert got[("es", "es")].n_docs == 1
+    assert got[("es", "es")].share_of_true == 1.0
