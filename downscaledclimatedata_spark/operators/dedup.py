@@ -2669,3 +2669,130 @@ register(QuerySpec(
     description="train/test split hashed on the near-dup FAMILY id "
                 "(LSH components; singletons their own family) so "
                 "paraphrase pairs cannot straddle the eval boundary"))
+
+
+# --- quality-aware representative election -----------------------------------
+
+def quality_keep(docs: DataFrame, pairs: DataFrame,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Representative election that keeps the HIGHEST-QUALITY member of
+    every near-dup component instead of the min id — what a production
+    prune actually does (the min-id rule is deterministic but happily
+    discards the clean copy and keeps the boilerplate-mangled one).
+    Tie-break on min id keeps the election deterministic. Emits one
+    row per multi-member component with the electorate size, the
+    winner, its score, and whether the min-id rule would have chosen
+    differently (the cost of the naive rule, measurable).
+
+    Scale: components over the bounded pair relation; the score join is
+    corpus-keyed sort-merge; the election is a struct-min aggregate
+    (map-side partial), never a per-component sort.
+    """
+    from downscaledclimatedata_spark.operators.textops import quality_scores
+
+    comps = connected_components_star(pairs) \
+        .withColumnRenamed("id", id_col)
+    q = quality_scores(docs, text_col, id_col) \
+        .select(F.col(id_col), "quality_score")
+    m = comps.join(q.hint("merge"), id_col)
+    elect = (m.groupBy("comp")
+             .agg(F.count(F.lit(1)).alias("n_members"),
+                  F.min(F.struct((-F.col("quality_score")).alias("ns"),
+                                 F.col(id_col).alias("kid"))).alias("w"),
+                  F.min(id_col).alias("min_id")))
+    return (elect.filter(F.col("n_members") >= 2)
+            .select(F.col("comp").cast("bigint").alias("comp"),
+                    F.col("n_members").cast("bigint").alias("n_members"),
+                    F.col("w.kid").alias("keep_id"),
+                    (-F.col("w.ns")).alias("kept_score"),
+                    (F.col("w.kid") != F.col("min_id"))
+                    .alias("beats_min_id"))
+            .orderBy("comp"))
+
+
+def dedup_quality_keep_query(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    return quality_keep(docs, lsh_candidate_pairs(sigs, "doc_id"))
+
+
+def _quality_keep_sql() -> str:
+    from downscaledclimatedata_spark.operators.textops import (
+        _STOP_LIST, _TOKS_SQL)
+    return f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_HASHED_CTE},
+sigs AS (
+  SELECT doc_id, {_MINHASH_COLS_SQL}
+  FROM hashed GROUP BY doc_id
+),
+banded AS ({_BAND_SELECTS}),
+ok AS (
+  SELECT band_id, band_hash FROM banded
+  GROUP BY band_id, band_hash HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN ok ON ok.band_id = a.band_id AND ok.band_hash = a.band_hash
+  JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, lab) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+qm AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    len(list_filter(toks, x -> list_contains({_STOP_LIST}, x))) AS n_stop,
+    len(list_distinct(toks)) AS n_uniq
+  FROM t
+),
+q AS (
+  SELECT doc_id,
+    0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+    + 0.3 * (CASE WHEN n_tokens > 0
+                  THEN CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  ELSE 0.0 END)
+    + 0.3 * least((CASE WHEN n_tokens > 0
+                        THEN CAST(n_stop AS DOUBLE)
+                             / CAST(n_tokens AS DOUBLE)
+                        ELSE 0.0 END) * 5, 1.0) AS quality_score
+  FROM qm
+),
+m AS (
+  SELECT c.comp, c.id AS doc_id, q.quality_score
+  FROM comp c JOIN q ON q.doc_id = c.id
+),
+elect AS (
+  SELECT comp, COUNT(*) AS n_members,
+    MIN({{'ns': -quality_score, 'kid': doc_id}}) AS w,
+    MIN(doc_id) AS min_id
+  FROM m GROUP BY comp
+)
+SELECT CAST(comp AS BIGINT) AS comp,
+  CAST(n_members AS BIGINT) AS n_members,
+  (w).kid AS keep_id,
+  -(w).ns AS kept_score,
+  (w).kid <> min_id AS beats_min_id
+FROM elect WHERE n_members >= 2
+ORDER BY comp
+"""
+
+
+register(QuerySpec(
+    "dedup_quality_keep", dedup_quality_keep_query, _quality_keep_sql(),
+    description="quality-aware dedup representative election: keep the "
+                "highest-quality component member (tie: min id), report "
+                "where the naive min-id rule would differ"))

@@ -389,3 +389,33 @@ def test_leakage_safe_split_keeps_families_together(spark):
     assert got[199].family_id == 199               # singleton
     # doc-level hashes DID straddle — the family hash decided
     assert (by[lo] < 80) != (by[hi] < 80)
+
+
+def test_quality_keep_elects_better_doc_over_min_id(spark):
+    """Two near-dup docs where the LOWER id is the degraded copy: the
+    election keeps the higher-quality higher-id doc and reports that it
+    beats the min-id rule; singletons emit no row."""
+    from downscaledclimatedata_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures, quality_keep)
+
+    rich = ("the quick brown fox jumps over the lazy dog while the "
+            "other animals watch from the shade of a tall green tree "
+            "and the river runs quietly behind them all day as birds "
+            "sing their evening songs and a warm wind moves the grass "
+            "toward the old stone bridge near the quiet village road")
+    # degraded copy: past the 50-token length cap on both docs, so the
+    # repeated filler can only CRUSH the unique-ratio term
+    degraded = rich + " spam" * 30
+    docs = spark.createDataFrame(
+        [(10, degraded), (20, rich),
+         (99, "an unrelated singleton about parquet row groups and "
+              "vectorized readers that matches nothing else here")],
+        "doc_id long, text string")
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    assert pairs.count() >= 1, "planted near-dups must be candidates"
+    rows = quality_keep(docs, pairs).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r.n_members == 2
+    assert r.keep_id == 20 and r.beats_min_id
