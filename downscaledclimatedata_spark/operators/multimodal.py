@@ -4558,3 +4558,155 @@ register(QuerySpec("multimodal_audio_zcr", multimodal_audio_zcr_query,
                                "real RIFF/PCM decode; de-interleaving "
                                "is load-bearing (half the corpus is "
                                "stereo); truncated payloads -> NULL"))
+
+
+# --- perceptual-hash image dedup (dHash over genuinely decoded pixels) ----------
+
+# Scene grid: 8x8 logical pixels upsampled by per-doc integer factors,
+# so the SAME scene ships at DIFFERENT image sizes — the case byte-level
+# dedup can never catch and perceptual hashing exists for.
+PHASH_GRID = 8
+PHASH_SCENE_MOD = 16     # docs with equal d % MOD share a scene
+PHASH_A = 8887
+PHASH_B = 50021
+PHASH_C = 299993
+PHASH_CORRUPT_MOD = 15
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("dhash", T.LongType()),
+])
+
+
+def synthesize_scene_png_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real PNG bytes of an 8x8 logical scene upsampled by
+    (1 + d % 3, 1 + d % 2): scene id s = d % PHASH_SCENE_MOD, scene
+    pixel (i, j) = (s*A + i*B + j*C) % 256, image pixel (y, x) =
+    scene(y div kh, x div kw). Every PHASH_CORRUPT_MOD-th payload is
+    truncated (T7)."""
+    mk = make_png_pixels
+    g, smod = PHASH_GRID, PHASH_SCENE_MOD
+    a, b, c = PHASH_A, PHASH_B, PHASH_C
+    cmod = PHASH_CORRUPT_MOD
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                s = d % smod
+                kw, kh = 1 + d % 3, 1 + d % 2
+                w, h = g * kw, g * kh
+                rows = [bytes((s * a + (y // kh) * b + (x // kw) * c) % 256
+                              for x in range(w)) for y in range(h)]
+                blob = mk(rows)
+                if d % cmod == 0:
+                    blob = blob[:20]
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        _synth, "doc_id long, payload binary")
+
+
+def dhash_images(df: DataFrame, grid: int = PHASH_GRID) -> DataFrame:
+    """Difference hash over REAL decoded pixels: inflate + filter
+    reversal, nearest-neighbor resize to grid×grid, then 56 bits of
+    horizontal gradient sign (bit (i,j) = px(i,j) > px(i,j+1), 7 per
+    row — 7·8 = 56 bits keeps the hash inside a signed BIGINT on both
+    engines). Identical scenes at different sizes collapse to one hash
+    because nearest-neighbor sampling at integer upsample factors
+    recovers the scene grid exactly."""
+    g = grid
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            ws, hs, hh = [], [], []
+            for payload in pdf["payload"]:
+                got = decode_png_gray_rows(bytes(payload))
+                if got is None:
+                    ws.append(None); hs.append(None); hh.append(None)
+                    continue
+                w, h, rows = got
+                px = [[rows[(i * h) // g][(j * w) // g] for j in range(g)]
+                      for i in range(g)]
+                val = 0
+                for i in range(g):
+                    for j in range(g - 1):
+                        if px[i][j] > px[i][j + 1]:
+                            val |= 1 << (i * (g - 1) + j)
+                ws.append(w); hs.append(h); hh.append(val)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "dhash": pd.array(hh, dtype="Int64")})
+
+    return df.select("doc_id", "payload").mapInPandas(_hash, PHASH_SCHEMA)
+
+
+def multimodal_phash_dedup_query(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Perceptual dedup end-to-end: real PNG decode -> real resize ->
+    dHash -> hash-keyed group sizes. The planted duplicates ship at
+    DIFFERENT pixel dimensions, so a green row proves the pipeline
+    finds resized copies byte-level dedup cannot. Corrupt payloads
+    surface NULL hashes and join no group."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    hashed = dhash_images(synthesize_scene_png_payloads(docs))
+    groups = (hashed.filter(F.col("dhash").isNotNull())
+              .groupBy("dhash")
+              .agg(F.count(F.lit(1)).alias("group_size"),
+                   F.min("doc_id").alias("group_rep")))
+    # corpus-scaled hash-keyed join back: sort-merge pinned
+    return (hashed.join(groups.hint("merge"), "dhash", "left")
+            .select("doc_id", "width", "height", "dhash",
+                    F.col("group_size").cast("bigint").alias("group_size"),
+                    F.col("group_rep").cast("bigint").alias("group_rep"))
+            .orderBy("doc_id"))
+
+
+def _phash_sql() -> str:
+    g, gm = PHASH_GRID, PHASH_GRID - 1
+    scene = (f"((abs(doc_id) % {PHASH_SCENE_MOD}) * {PHASH_A}"
+             f" + ({{i}}) * {PHASH_B} + ({{j}}) * {PHASH_C}) % 256")
+    si = scene.format(i=f"t // {gm}", j=f"t % {gm}")
+    sj = scene.format(i=f"t // {gm}", j=f"t % {gm} + 1")
+    return f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d FROM documents
+), hashed AS (
+  SELECT doc_id,
+    CASE WHEN d % {PHASH_CORRUPT_MOD} = 0 THEN NULL
+         ELSE CAST({PHASH_GRID} * (1 + d % 3) AS INT) END AS width,
+    CASE WHEN d % {PHASH_CORRUPT_MOD} = 0 THEN NULL
+         ELSE CAST({PHASH_GRID} * (1 + d % 2) AS INT) END AS height,
+    CASE WHEN d % {PHASH_CORRUPT_MOD} = 0 THEN NULL
+         ELSE CAST(list_sum(list_transform(range(0, {g * gm}),
+           t -> CASE WHEN {si} > {sj}
+                THEN CAST(1 AS BIGINT) << t ELSE CAST(0 AS BIGINT) END))
+           AS BIGINT) END AS dhash
+  FROM p
+), groups AS (
+  SELECT dhash, COUNT(*) AS group_size, MIN(doc_id) AS group_rep
+  FROM hashed WHERE dhash IS NOT NULL GROUP BY dhash
+)
+SELECT h.doc_id, h.width, h.height, h.dhash,
+  CAST(g.group_size AS BIGINT) AS group_size,
+  CAST(g.group_rep AS BIGINT) AS group_rep
+FROM hashed h LEFT JOIN groups g ON g.dhash = h.dhash
+ORDER BY h.doc_id
+"""
+
+
+register(QuerySpec(
+    "multimodal_phash_dedup", multimodal_phash_dedup_query, _phash_sql(),
+    description="perceptual-hash image dedup: real PNG decode -> real "
+                "nearest-neighbor resize -> 56-bit dHash -> hash-keyed "
+                "groups; planted duplicates ship at DIFFERENT sizes, "
+                "the case byte dedup cannot catch"))

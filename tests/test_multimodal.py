@@ -1183,3 +1183,24 @@ def test_wav_zcr_through_spark(spark):
         else:
             assert r.channels == 1 + d % 2
             assert 0 <= r.zcr < r.n_frames
+
+
+def test_phash_dedup_groups_resized_copies(spark):
+    """Docs 1 and 17 share scene 1 % 16 but ship at different pixel
+    sizes (kw/kh differ): same dHash, same group — the resized-copy
+    case byte dedup cannot catch. Doc 15 is corrupt -> NULL hash, no
+    group."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        dhash_images, synthesize_scene_png_payloads)
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1,), (17,), (2,), (15,)], "doc_id long")
+    hashed = dhash_images(synthesize_scene_png_payloads(docs))
+    got = {r.doc_id: r for r in hashed.collect()}
+    r1, r17 = got[1], got[17]
+    assert (r1.width, r1.height) != (r17.width, r17.height)
+    assert r1.dhash == r17.dhash            # perceptual match survives resize
+    assert got[2].dhash != r1.dhash         # different scene, different hash
+    assert got[15].dhash is None            # corrupt (15 % 15 == 0)
+    assert r1.dhash is not None and r1.dhash >= 0   # 56-bit: sign-safe
