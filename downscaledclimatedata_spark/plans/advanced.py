@@ -2505,3 +2505,108 @@ register(QuerySpec("q90_weekday_chi2", q90_weekday_chi2, _Q90_SQL,
                                "uniform week: collapses to ONE exact "
                                "integer division; dense 7-cell "
                                "calendar; epoch-day weekday arithmetic"))
+
+
+BOT_BURST_PER_MIN = 30   # no human emits 30+ events in one minute
+BOT_MIN_EVENTS = 12      # regularity only means something with volume
+
+
+def q91_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user automation signals: event volume, the hottest single
+    minute (burst), and inter-event gap regularity (a scripted client
+    fires on a timer, so its gap set collapses to one or two distinct
+    values) — the abuse-detection triage every event pipeline runs
+    before engagement metrics can be trusted.
+
+    Exactness: every signal is integer (counts, microsecond gaps,
+    distinct-gap cardinality); the verdict is integer comparisons
+    against documented thresholds. Duplicate timestamps order by
+    (ts, event_id) in the gap window, so ties cannot flip gaps between
+    engines (the q86 discipline).
+
+    Scale: the minute histogram partial-aggregates before its per-user
+    max; the gap window partitions on the HIGH-cardinality user key.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("user_id", "event_id",
+                     F.unix_micros("ts").alias("t_us"))
+    per_min = (base.select("user_id",
+                           (F.col("t_us") / F.lit(60_000_000))
+                           .cast("bigint").alias("minute"))
+               .groupBy("user_id", "minute")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .groupBy("user_id")
+               .agg(F.max("c").alias("max_per_minute")))
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    gaps = (base.withColumn("prev", F.lag("t_us").over(w))
+            .filter(F.col("prev").isNotNull())
+            .select("user_id", (F.col("t_us") - F.col("prev"))
+                    .alias("gap_us")))
+    gap_stats = (gaps.groupBy("user_id")
+                 .agg(F.count(F.lit(1)).alias("n_gaps"),
+                      F.countDistinct("gap_us").alias("n_distinct_gaps")))
+    vol = base.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    j = (vol.join(per_min.hint("merge"), "user_id")
+         .join(gap_stats.hint("merge"), "user_id", "left"))
+    burst = F.col("max_per_minute") >= BOT_BURST_PER_MIN
+    regular = ((F.col("n_events") >= BOT_MIN_EVENTS)
+               & (F.coalesce(F.col("n_distinct_gaps"), F.lit(0)) <= 2))
+    return (j.select(
+                "user_id",
+                F.col("n_events").cast("bigint").alias("n_events"),
+                F.col("max_per_minute").cast("bigint")
+                .alias("max_per_minute"),
+                F.coalesce(F.col("n_distinct_gaps"), F.lit(0))
+                .cast("bigint").alias("n_distinct_gaps"),
+                burst.alias("burst_flag"),
+                regular.alias("regular_flag"),
+                (burst | regular).alias("is_bot"))
+            .orderBy("user_id"))
+
+
+_Q91_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
+), per_min AS (
+  SELECT user_id, MAX(c) AS max_per_minute FROM (
+    SELECT user_id, CAST(floor(t_us / 60000000) AS BIGINT) AS minute,
+      COUNT(*) AS c
+    FROM base GROUP BY user_id, minute) m
+  GROUP BY user_id
+), gaps AS (
+  SELECT user_id, t_us - prev AS gap_us FROM (
+    SELECT user_id, t_us,
+      LAG(t_us) OVER (PARTITION BY user_id
+                      ORDER BY t_us, event_id) AS prev
+    FROM base) g
+  WHERE prev IS NOT NULL
+), gap_stats AS (
+  SELECT user_id, COUNT(*) AS n_gaps,
+    COUNT(DISTINCT gap_us) AS n_distinct_gaps
+  FROM gaps GROUP BY user_id
+), vol AS (
+  SELECT user_id, COUNT(*) AS n_events FROM base GROUP BY user_id
+)
+SELECT v.user_id,
+  CAST(v.n_events AS BIGINT) AS n_events,
+  CAST(p.max_per_minute AS BIGINT) AS max_per_minute,
+  CAST(COALESCE(g.n_distinct_gaps, 0) AS BIGINT) AS n_distinct_gaps,
+  p.max_per_minute >= {BOT_BURST_PER_MIN} AS burst_flag,
+  v.n_events >= {BOT_MIN_EVENTS}
+    AND COALESCE(g.n_distinct_gaps, 0) <= 2 AS regular_flag,
+  (p.max_per_minute >= {BOT_BURST_PER_MIN})
+    OR (v.n_events >= {BOT_MIN_EVENTS}
+        AND COALESCE(g.n_distinct_gaps, 0) <= 2) AS is_bot
+FROM vol v
+JOIN per_min p USING (user_id)
+LEFT JOIN gap_stats g USING (user_id)
+ORDER BY v.user_id
+"""
+
+register(QuerySpec("q91_bot_detection", q91_bot_detection, _Q91_SQL,
+                   description="per-user automation signals: burst "
+                               "minute, gap-regularity (scripted "
+                               "clients collapse to <=2 distinct gaps), "
+                               "integer-exact verdicts"))

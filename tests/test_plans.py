@@ -646,3 +646,38 @@ def test_q90_chi2_concentrated_and_uniform(spark, tmp_path):
     uni = write([(d, 3) for d in range(7)], tmp_path / "uni")
     (r2,) = q90_weekday_chi2(spark, uni).collect()
     assert r2.n_events == 21 and r2.chi2 == 0.0
+
+
+def test_q91_bot_signals(spark, tmp_path):
+    """A timer bot (constant 1s gap, 40 events) trips the regularity
+    flag; a burst user (40 events in one minute, human-jittered gaps)
+    trips the burst flag; an organic user trips neither."""
+    import datetime as dt
+    from downscaledclimatedata_spark.plans.advanced import (
+        q91_bot_detection)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def add(uid, offsets_s):
+        nonlocal eid
+        for o in offsets_s:
+            rows.append((eid, t0 + dt.timedelta(seconds=o), uid,
+                         "view", 1.0, "{}"))
+            eid += 1
+
+    add(1, [i * 1.0 for i in range(40)])                 # timer bot
+    add(2, [i * 1.13 + (i * i % 7) * 0.013
+            for i in range(40)])                         # burst, jittered
+    add(3, [i * 3600 * (1 + 0.1 * i) for i in range(8)])  # organic, sparse
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    path = str(tmp_path / "bots")
+    df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+    got = {r.user_id: r for r in q91_bot_detection(spark, path).collect()}
+    assert got[1].regular_flag and got[1].is_bot
+    assert got[1].n_distinct_gaps == 1
+    assert got[2].burst_flag and got[2].is_bot
+    assert not got[2].regular_flag          # jittered gaps are distinct
+    assert not got[3].is_bot
