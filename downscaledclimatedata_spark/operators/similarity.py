@@ -3950,3 +3950,101 @@ register(QuerySpec(
                 "cross-label cosine per sampled query (bounded "
                 "broadcast, no corpus shuffle) — 1-NN accuracy + "
                 "retrieval-margin distribution"))
+
+
+# --- out-of-distribution vector detection (codebook-distance outliers) ----------
+
+OOD_FACTOR = 4  # flag vectors whose nearest-centroid distance exceeds
+                # OOD_FACTOR x the corpus mean — scale-free, so the rule
+                # survives re-embedding and corpus growth unchanged
+
+
+def ood_vectors(emb: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                centroid_mod: int = CENTROID_MOD,
+                n_centroids: int = N_CENTROIDS,
+                factor: int = OOD_FACTOR) -> DataFrame:
+    """Embedding-hygiene gate: vectors whose nearest-centroid squared
+    distance exceeds ``factor`` x the corpus mean — encoder glitches,
+    wrong-modality rows, and truncation artifacts sit far from every
+    cell of a codebook fit to the real distribution, and admitting
+    them poisons both ANN recall and k-means refinement.
+
+    Determinism: distances are the exact-integer IVF assignment
+    distances; the verdict multiplies through the mean's denominator
+    (dist * N > factor * sum_dist) so NOTHING divides — pure BIGINT /
+    HUGEINT comparison (sum_dist can exceed int64: N x 4·QCLAMP²
+    overflows at ~14 corpus rows, hence DECIMAL(38,0)). The reported
+    ratio divides once for the human reading the report.
+
+    Scale: one N x k broadcast assignment, a single-row global sum
+    broadcast back, a shuffle-free verdict filter.
+    """
+    base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
+                      sq_norm(quantize(F.col(vec_col))).alias("n2"))
+    cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
+             .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
+                     F.col("n2").alias("cn2")))
+    best = (base.crossJoin(F.broadcast(cents))
+            .select(F.col(id_col), "cid",
+                    (F.col("n2") + F.col("cn2")
+                     - 2 * int_dot(F.col("qv"), F.col("cv"))).alias("dist"))
+            .groupBy(id_col)
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select(F.col(id_col), F.col("m.cid").alias("cid"),
+                    F.col("m.dist").alias("dist")))
+    d38 = lambda c: c.cast("decimal(38,0)")
+    tot = best.agg(F.sum(d38(F.col("dist"))).alias("sum_dist"),
+                   F.count(F.lit(1)).alias("n"))
+    return (best.crossJoin(F.broadcast(tot))
+            .filter(d38(F.col("dist")) * F.col("n")
+                    > F.lit(factor) * F.col("sum_dist"))
+            .select(F.col(id_col), "cid",
+                    F.col("dist").cast("bigint").alias("dist"),
+                    (F.col("dist").cast("double") * F.col("n").cast("double")
+                     / F.col("sum_dist").cast("double"))
+                    .alias("mean_ratio"))
+            .orderBy(id_col))
+
+
+def similarity_ood_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return ood_vectors(emb)
+
+
+def _ood_sql() -> str:
+    sq = f"list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i]))"
+    dot = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+           f"i -> b.qv[i] * c.cv[i]))")
+    return f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+base AS (SELECT vec_id, qv, {sq} AS n2 FROM q),
+cents AS (
+  SELECT vec_id AS cid, qv AS cv, n2 AS cn2 FROM base
+  WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, N_CENTROIDS)}
+),
+scored AS (
+  SELECT b.vec_id, c.cid, b.n2 + c.cn2 - 2 * {dot} AS dist,
+    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      ORDER BY b.n2 + c.cn2 - 2 * {dot}, c.cid) AS rn
+  FROM base b CROSS JOIN cents c
+),
+best AS (SELECT vec_id, cid, dist FROM scored WHERE rn = 1),
+tot AS (
+  SELECT SUM(CAST(dist AS HUGEINT)) AS sum_dist, COUNT(*) AS n FROM best
+)
+SELECT b.vec_id, b.cid, CAST(b.dist AS BIGINT) AS dist,
+  CAST(b.dist AS DOUBLE) * CAST(t.n AS DOUBLE)
+    / CAST(t.sum_dist AS DOUBLE) AS mean_ratio
+FROM best b CROSS JOIN tot t
+WHERE CAST(b.dist AS HUGEINT) * t.n > {OOD_FACTOR} * t.sum_dist
+ORDER BY b.vec_id
+"""
+
+
+register(QuerySpec(
+    "similarity_ood_vectors", similarity_ood_query, _ood_sql(),
+    description="OOD embedding gate: nearest-centroid distance > "
+                "factor x corpus mean, verdict as pure integer "
+                "comparison (nothing divides), one broadcast "
+                "assignment pass"))

@@ -180,3 +180,27 @@ def test_label_margin_separated_and_lonely_class(spark):
     got2 = {r.query_id for r in
             label_margin_eval(emb2, query_mod=1, n_queries=5).collect()}
     assert 4 not in got2
+
+
+def test_ood_vectors_flags_planted_outlier(spark):
+    """A clean corpus yields an EMPTY report (the correct answer, not a
+    vacuous one); planting one huge-magnitude vector flags exactly it
+    with mean_ratio > factor."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        OOD_FACTOR, ood_vectors)
+
+    def vec(seed, mag=1.0):
+        return [mag * ((seed * 31 + i * 7) % 13 - 6) / 6.0
+                for i in range(8)]
+
+    clean = [(i, vec(i)) for i in range(12)]
+    emb = spark.createDataFrame(
+        clean, "vec_id long, embedding array<float>")
+    assert ood_vectors(emb, centroid_mod=3, n_centroids=3).count() == 0
+
+    planted = clean + [(99, [2000.0] * 8)]
+    emb2 = spark.createDataFrame(
+        planted, "vec_id long, embedding array<float>")
+    rows = ood_vectors(emb2, centroid_mod=3, n_centroids=3).collect()
+    assert [r.vec_id for r in rows] == [99]
+    assert rows[0].mean_ratio > OOD_FACTOR
