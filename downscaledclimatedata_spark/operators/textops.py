@@ -2389,3 +2389,100 @@ register(QuerySpec(
     description="language-ID confusion matrix vs the labeled lang "
                 "column: one classification projection, bounded "
                 "|langs|^2 aggregate, per-true-class shares"))
+
+
+# --- code-vs-prose detection (corpus routing signal) ------------------------------
+
+# Documented thresholds: symbol-heavy, brace/semicolon-bearing,
+# low-stopword text reads as code. Mirrors the routing gate pretraining
+# pipelines run before tokenizer training (code and prose want different
+# vocabularies and different quality rules).
+CODE_SYMBOL_MIN = 0.05   # code symbols per character
+CODE_STOPWORD_MAX = 0.05  # prose carries stopwords; code barely does
+CODE_MIN_CHARS = 40
+
+
+def code_signals(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document code-likeness: counts of code-signal characters
+    (braces/brackets/semicolons/operators), their density per char,
+    stopword density per token, and the routing verdict
+    (symbol-dense AND stopword-poor AND long enough to mean it).
+    One shuffle-free codegen projection — regexp counts + the shared
+    tokenizer; the verdict is two exact-ratio comparisons against
+    documented thresholds (each ratio is ONE division of exact ints,
+    so the comparison is engine-stable).
+    """
+    safe = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(safe)
+    n_sym = F.regexp_count(safe, F.lit(r"[{}\[\]();=<>+*/&|^%#]"))
+    toks = _tokens(safe)
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    sym_density = F.when(n_chars > 0,
+                         n_sym.cast("double") / n_chars.cast("double"))
+    stop_density = F.when(n_tok > 0,
+                          n_stop.cast("double") / n_tok.cast("double"))
+    is_code = ((n_chars >= CODE_MIN_CHARS)
+               & F.coalesce(sym_density > CODE_SYMBOL_MIN, F.lit(False))
+               & F.coalesce(stop_density < CODE_STOPWORD_MAX,
+                            F.lit(False)))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_sym.cast("bigint").alias("n_code_symbols"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        sym_density.alias("symbol_density"),
+        stop_density.alias("stopword_density"),
+        is_code.alias("is_code"))
+
+
+def text_code_detect_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return code_signals(docs)
+
+
+def _code_detect_sql() -> str:
+    stop_list = _STOP_LIST
+    return rf"""
+WITH m AS (
+  SELECT doc_id,
+    length(coalesce(text, '')) AS n_chars,
+    length(coalesce(text, ''))
+      - length(regexp_replace(coalesce(text, ''),
+                              '[{{}}\[\]();=<>+*/&|^%#]', '', 'g'))
+      AS n_sym,
+    {_SAFE_TOKS_SQL} AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars, n_sym, len(toks) AS n_tok,
+    len(list_filter(toks, x -> list_contains({stop_list}, x))) AS n_stop
+  FROM m
+)
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_sym AS BIGINT) AS n_code_symbols,
+  CAST(n_stop AS BIGINT) AS n_stopwords,
+  CASE WHEN n_chars > 0
+       THEN CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE) END
+    AS symbol_density,
+  CASE WHEN n_tok > 0
+       THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) END
+    AS stopword_density,
+  n_chars >= {CODE_MIN_CHARS}
+    AND COALESCE(CASE WHEN n_chars > 0
+          THEN CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE) END
+          > {CODE_SYMBOL_MIN}, FALSE)
+    AND COALESCE(CASE WHEN n_tok > 0
+          THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) END
+          < {CODE_STOPWORD_MAX}, FALSE) AS is_code
+FROM s
+"""
+
+
+register(QuerySpec(
+    "text_code_detect", text_code_detect_query, _code_detect_sql(),
+    description="code-vs-prose routing signal: symbol density + "
+                "stopword density, shuffle-free projection, "
+                "engine-stable exact-ratio thresholds"))

@@ -412,3 +412,22 @@ def test_langid_confusion_hand_matrix(spark):
     assert got[("en", "en")].share_of_true == 0.5
     assert got[("es", "es")].n_docs == 1
     assert got[("es", "es")].share_of_true == 1.0
+
+
+def test_code_detect_routes_code_vs_prose(spark):
+    """A function body is flagged; prose with the same length is not;
+    a short symbol-dense fragment fails the length gate; NULL text is
+    unscoreable-not-code."""
+    from downscaledclimatedata_spark.operators.textops import code_signals
+    code = ("int f(int x) { int y = 0; for (int i = 0; i < x; i++) "
+            "{ y += v[i] * w[i]; } return y; }")
+    prose = ("the quiet morning light settled over the valley and the "
+             "river carried a thin mist toward the village in the east")
+    docs = spark.createDataFrame(
+        [(0, code), (1, prose), (2, "{x=1;}"), (3, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in code_signals(docs).collect()}
+    assert got[0].is_code and got[0].symbol_density > 0.05
+    assert not got[1].is_code and got[1].stopword_density > 0.05
+    assert not got[2].is_code          # below CODE_MIN_CHARS
+    assert not got[3].is_code and got[3].n_chars == 0
