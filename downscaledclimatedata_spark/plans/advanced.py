@@ -1529,6 +1529,16 @@ def q77_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle); the predicate on the partition key pushes below both
     windows, so sampled users never compute unsampled histories.
     """
+    return (_scd2_versions(spark, sf_dir)
+            .select("user_id", "version_no", "state", "effective_from",
+                    "effective_to",
+                    F.col("effective_to").isNull().alias("is_current"))
+            .orderBy("user_id", "version_no"))
+
+
+def _scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SCD2 version relation (the q77 build, unsorted): one row
+    per (user, state run) with [effective_from, effective_to)."""
     ev = _t(spark, sf_dir, "events").filter(
         md5_long(F.col("user_id").cast("string"), "scd2") % SCD2_USER_MOD == 0)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1541,13 +1551,10 @@ def q77_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("version_no",
                         F.row_number().over(wv).cast("int"))
             .withColumn("effective_to", F.lead("ts").over(wv))
-            .select("user_id",
-                    "version_no",
+            .select("user_id", "version_no",
                     F.col("event_type").alias("state"),
                     F.col("ts").alias("effective_from"),
-                    "effective_to",
-                    F.col("effective_to").isNull().alias("is_current"))
-            .orderBy("user_id", "version_no"))
+                    "effective_to"))
 
 
 _Q77_SQL = f"""
@@ -2610,3 +2617,74 @@ register(QuerySpec("q91_bot_detection", q91_bot_detection, _Q91_SQL,
                                "minute, gap-regularity (scripted "
                                "clients collapse to <=2 distinct gaps), "
                                "integer-exact verdicts"))
+
+
+def q92_scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read over the type-2 dimension q77 builds: each
+    sampled user's state AS OF the probe instant — the query an SCD2
+    table exists to answer ("what plan was this account on when the
+    incident happened?").
+
+    The probe instant is the midpoint of the table's own time range
+    (exact integer micros, single-row aggregate broadcast) so the read
+    is deterministic and hashable — a wall-clock probe would be
+    time-dependent, the retention_plan lesson. Interval containment is
+    ``effective_from <= probe < effective_to`` with the open current
+    version matching any probe past its start; the filter is
+    shuffle-free on the version relation.
+    """
+    versions = _scd2_versions(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+         / F.lit(2)).cast("bigint").alias("probe_us"))
+    hit = (versions.crossJoin(F.broadcast(probe))
+           .filter((F.unix_micros("effective_from") <= F.col("probe_us"))
+                   & (F.col("effective_to").isNull()
+                      | (F.col("probe_us")
+                         < F.unix_micros("effective_to")))))
+    return (hit.select("user_id", "version_no", "state",
+                       "effective_from",
+                       F.col("effective_to").isNull().alias("is_current"))
+            .orderBy("user_id"))
+
+
+_Q92_SQL = f"""
+WITH sampled AS (
+  SELECT * FROM events
+  WHERE {md5_long_sql("CAST(user_id AS VARCHAR)", "scd2")} % {SCD2_USER_MOD} = 0
+), marked AS (
+  SELECT user_id, ts, event_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_state
+  FROM sampled
+), starts AS (
+  SELECT user_id, ts, event_id, event_type FROM marked
+  WHERE prev_state IS NULL OR prev_state <> event_type
+), versioned AS (
+  SELECT user_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS INTEGER) AS version_no,
+    event_type AS state,
+    ts AS effective_from,
+    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS effective_to
+  FROM starts
+), probe AS (
+  SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS BIGINT)
+    AS probe_us
+  FROM events
+)
+SELECT v.user_id, v.version_no, v.state, v.effective_from,
+  v.effective_to IS NULL AS is_current
+FROM versioned v CROSS JOIN probe p
+WHERE epoch_us(v.effective_from) <= p.probe_us
+  AND (v.effective_to IS NULL OR p.probe_us < epoch_us(v.effective_to))
+ORDER BY v.user_id
+"""
+
+register(QuerySpec("q92_scd2_asof_read", q92_scd2_asof_read, _Q92_SQL,
+                   description="time-travel read over the SCD2 "
+                               "dimension: state as of the data's own "
+                               "midpoint instant (deterministic probe), "
+                               "shuffle-free interval filter"))

@@ -681,3 +681,43 @@ def test_q91_bot_signals(spark, tmp_path):
     assert got[2].burst_flag and got[2].is_bot
     assert not got[2].regular_flag          # jittered gaps are distinct
     assert not got[3].is_bot
+
+
+def test_q92_asof_read_picks_covering_version(spark, tmp_path):
+    """A user whose state flips A->B->C: the as-of read at the data
+    midpoint returns exactly the version covering that instant; a user
+    whose only version starts after the midpoint has no row."""
+    import datetime as dt
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+    from downscaledclimatedata_spark.plans.advanced import (
+        SCD2_USER_MOD, q92_scd2_asof_read)
+    from pyspark.sql import functions as F
+
+    # find two user ids inside the scd2 sample
+    probe = spark.createDataFrame(
+        [(i,) for i in range(400)], "user_id long").select(
+        "user_id",
+        (md5_long(F.col("user_id").cast("string"), "scd2")
+         % SCD2_USER_MOD).alias("m")).collect()
+    ids = [r.user_id for r in probe if r.m == 0]
+    u1, u2 = ids[0], ids[1]
+    t0 = dt.datetime(2024, 1, 1)
+    hr = dt.timedelta(hours=1)
+    rows = [
+        # u1: view [0h,2h) -> purchase [2h,8h) -> click [8h, open)
+        (0, t0, u1, "view", 1.0, "{}"),
+        (1, t0 + 2 * hr, u1, "purchase", 1.0, "{}"),
+        (2, t0 + 8 * hr, u1, "click", 1.0, "{}"),
+        # u2: single version starting after the midpoint (4h)
+        (3, t0 + 7 * hr, u2, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    path = str(tmp_path / "asof")
+    df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+    # midpoint of [0h, 8h] = 4h -> u1's purchase version covers it
+    got = {r.user_id: r for r in q92_scd2_asof_read(spark, path).collect()}
+    assert set(got) == {u1}
+    assert got[u1].state == "purchase" and got[u1].version_no == 2
+    assert not got[u1].is_current
