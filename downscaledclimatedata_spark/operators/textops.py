@@ -2486,3 +2486,142 @@ register(QuerySpec(
     description="code-vs-prose routing signal: symbol density + "
                 "stopword density, shuffle-free projection, "
                 "engine-stable exact-ratio thresholds"))
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm) ---------
+
+WINNOW_K = 3   # k-gram size (tokens)
+WINNOW_W = 4   # window: every w consecutive k-grams contribute >= 1 print
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> DataFrame:
+    """Winnowing document fingerprints: in every window of ``w``
+    consecutive k-gram hashes select the minimum, breaking ties toward
+    the RIGHTMOST position (the paper's rule — it maximizes window
+    overlap so consecutive windows usually reselect the same print).
+    Unlike mod-p fingerprint sampling (text_rolling_hash), winnowing
+    GUARANTEES every w-window is covered, so no shared substring of
+    length >= w + k - 1 tokens can escape detection — the property
+    plagiarism/overlap detectors are built on.
+
+    Output per doc: k-gram count, selected-print count, an
+    order-independent XOR checksum of the selected (hash, pos) set, and
+    density (prints per window; the paper's expected density is
+    2/(w+1)). Shuffles are keyed on (doc, window-start) — key space
+    grows with the corpus — and rows carry 8-byte hashes.
+    """
+    # positions must be the in-document k-gram index, so k-grams are
+    # built with posexplode here rather than via shingled_rows (which
+    # drops positions)
+    toked = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("t"))
+    # sequence(1, stop) DESCENDS when stop < 1 (the shingles_of_tokens
+    # gotcha) — short docs must produce an EMPTY index array
+    idx = F.when(F.size("t") >= k,
+                 F.sequence(F.lit(1), F.size("t") - (k - 1))
+                 ).otherwise(F.array().cast("array<int>"))
+    grams = toked.select(
+        F.col(id_col),
+        F.posexplode(F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("t", i + j) for j in range(k)])))
+        .alias("pos", "gram")).select(
+        F.col(id_col), "pos", md5_long(F.col("gram")).alias("h"))
+    # windows: gram at pos joins every window starting in
+    # [pos - w + 1, pos]; clip to valid starts later via the group key
+    offs = F.explode(F.array(*[F.lit(o) for o in range(w)])).alias("off")
+    win = (grams.select(F.col(id_col), "pos", "h", offs)
+           .select(F.col(id_col), (F.col("pos") - F.col("off"))
+                   .alias("wstart"), "pos", "h")
+           .filter(F.col("wstart") >= 0))
+    n_grams = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    full = (win.join(F.broadcast(
+                n_grams.select(F.col(id_col), (F.col("n_grams") - w)
+                               .alias("max_start"))).hint("merge"),
+                id_col)
+            .filter(F.col("wstart") <= F.col("max_start")))
+    sel = (full.groupBy(id_col, "wstart")
+           .agg(F.min(F.struct(F.col("h"),
+                               (-F.col("pos")).alias("np"))).alias("m"))
+           .select(F.col(id_col), F.col("m.h").alias("h"),
+                   (-F.col("m.np")).alias("pos"))
+           .distinct())
+    # XOR fingerprint of the selected set: order-independent and
+    # overflow-free (a SUM of 60-bit hashes wraps int64 within ~8 rows)
+    prints = (sel.select(id_col, (F.col("h") + F.col("pos")).alias("hp"))
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_prints"),
+                   F.expr("bit_xor(hp)").alias("checksum")))
+    return (df.select(F.col(id_col))
+            .join(n_grams.hint("merge"), id_col, "left")
+            .join(prints.hint("merge"), id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("n_grams", F.lit(0)).cast("bigint")
+                .alias("n_grams"),
+                F.coalesce("n_prints", F.lit(0)).cast("bigint")
+                .alias("n_prints"),
+                F.coalesce("checksum", F.lit(0)).cast("bigint")
+                .alias("checksum"),
+                F.when(F.coalesce("n_grams", F.lit(0)) >= w,
+                       F.coalesce("n_prints", F.lit(0)).cast("double")
+                       / (F.col("n_grams") - w + 1).cast("double"))
+                .alias("density"))
+            .orderBy(id_col))
+
+
+def text_winnow_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return winnow_fingerprints(docs)
+
+
+def _winnow_sql() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    span = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    h = md5_long_sql(f"({span})")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, {h} AS h
+  FROM toks, LATERAL (
+    SELECT UNNEST(range(1, greatest(len(t) - {k - 1}, 0) + 1)) AS i) idx
+), ng AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+), win AS (
+  SELECT g.doc_id, g.pos - o.off AS wstart, g.pos, g.h
+  FROM grams g, LATERAL (SELECT UNNEST(range(0, {w})) AS off) o
+  WHERE g.pos - o.off >= 0
+), valid AS (
+  SELECT w1.* FROM win w1 JOIN ng ON ng.doc_id = w1.doc_id
+  WHERE w1.wstart <= ng.n_grams - {w}
+), sel AS (
+  SELECT DISTINCT doc_id, (m).h AS h, -(m).np AS pos FROM (
+    SELECT doc_id, wstart, MIN({{'h': h, 'np': -pos}}) AS m
+    FROM valid GROUP BY doc_id, wstart)
+), prints AS (
+  SELECT doc_id, COUNT(*) AS n_prints, BIT_XOR(h + pos) AS checksum
+  FROM sel GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(n.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(COALESCE(p.n_prints, 0) AS BIGINT) AS n_prints,
+  CAST(COALESCE(p.checksum, 0) AS BIGINT) AS checksum,
+  CASE WHEN COALESCE(n.n_grams, 0) >= {w}
+       THEN CAST(COALESCE(p.n_prints, 0) AS DOUBLE)
+            / CAST(n.n_grams - {w} + 1 AS DOUBLE) END AS density
+FROM documents d
+LEFT JOIN ng n ON n.doc_id = d.doc_id
+LEFT JOIN prints p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+register(QuerySpec(
+    "text_winnow_fingerprints", text_winnow_query, _winnow_sql(),
+    description="winnowing (MOSS) fingerprints: rightmost-min per "
+                "w-window of k-gram hashes — guaranteed coverage of "
+                "every w-window, unlike mod-p sampling; "
+                "(doc, window)-keyed shuffles of 8-byte hashes"))

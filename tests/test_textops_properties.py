@@ -431,3 +431,54 @@ def test_code_detect_routes_code_vs_prose(spark):
     assert not got[1].is_code and got[1].stopword_density > 0.05
     assert not got[2].is_code          # below CODE_MIN_CHARS
     assert not got[3].is_code and got[3].n_chars == 0
+
+
+def _py_winnow(text: str, k: int, w: int):
+    """Independent pure-Python winnowing (Schleimer et al. 2003 fig. 5:
+    rightmost minimal hash per window, record each print once)."""
+    import hashlib
+    toks = _py_tokens(text)
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    sel = set()
+    for s in range(0, len(hs) - w + 1):
+        win = hs[s:s + w]
+        m = min(win)
+        # rightmost occurrence of the min in this window
+        pos = s + max(i for i, v in enumerate(win) if v == m)
+        sel.add((hs[pos], pos))
+    return len(grams), sel
+
+
+def test_winnow_matches_python_reference_and_coverage(spark):
+    """n_prints and the XOR checksum equal an independent Python
+    winnower on repetitive AND diverse docs; every w-window contains a
+    selected print (the guarantee mod-p sampling lacks); short docs are
+    unscoreable, not errors."""
+    from functools import reduce
+    from downscaledclimatedata_spark.operators.textops import (
+        WINNOW_K, WINNOW_W, winnow_fingerprints)
+    texts = {
+        0: "a b a b a b a b a b a b",         # heavy repetition: few prints
+        1: ("one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen"),
+        2: "x y",                              # < k tokens: no grams
+        3: "p q r s t",                        # grams but < w windows
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string")
+    got = {r.doc_id: r for r in winnow_fingerprints(docs).collect()}
+    for d in (0, 1):
+        n_grams, sel = _py_winnow(texts[d], WINNOW_K, WINNOW_W)
+        assert got[d].n_grams == n_grams
+        assert got[d].n_prints == len(sel), texts[d]
+        want = reduce(lambda a, b: a ^ b, (h + p for h, p in sel), 0)
+        assert got[d].checksum == want
+        # coverage guarantee: each window start has a print inside it
+        poss = sorted(p for _h, p in sel)
+        for s in range(0, n_grams - WINNOW_W + 1):
+            assert any(s <= p < s + WINNOW_W for p in poss)
+        assert got[d].density >= 1.0 / WINNOW_W
+    assert got[2].n_grams == 0 and got[2].n_prints == 0
+    assert got[2].density is None
+    assert got[3].n_grams == 3 and got[3].n_prints == 0  # no full window
