@@ -2104,7 +2104,18 @@ def decode_gif_frames(blob: bytes):
     """All frames of a (possibly multi-image) GIF: list of per-frame
     (width, height, pix_sum, pix_min, pix_max), or None on any
     structural defect. Walks every image block, skipping extensions —
-    the iteration a frame sampler drives."""
+    the iteration a frame sampler drives. Stats derive from
+    :func:`decode_gif_frame_pixels`, the shared pixel-level walk."""
+    got = decode_gif_frame_pixels(blob)
+    if got is None:
+        return None
+    return [(iw, ih, sum(vals), min(vals), max(vals))
+            for (iw, ih, vals) in got]
+
+
+def decode_gif_frame_pixels(blob: bytes):
+    """Pixel-level multi-frame GIF decode: list of per-frame
+    (width, height, [gray values]) or None on any structural defect."""
     import struct
 
     try:
@@ -2171,7 +2182,7 @@ def decode_gif_frames(blob: bytes):
             vals = [pal[3 * j] for j in idx]
             if not vals:
                 return None
-            frames.append((iw, ih, sum(vals), min(vals), max(vals)))
+            frames.append((iw, ih, vals))
         return None  # ran out of bytes before the trailer
     except (ValueError, IndexError, struct.error):
         return None
@@ -4710,3 +4721,176 @@ register(QuerySpec(
                 "nearest-neighbor resize -> 56-bit dHash -> hash-keyed "
                 "groups; planted duplicates ship at DIFFERENT sizes, "
                 "the case byte dedup cannot catch"))
+
+
+# --- video shot detection over decoded frames ------------------------------------
+
+SHOT_LEN = 2       # frames per shot in the synthesis
+SHOT_JUMP = 101    # cross-shot pixel jump
+SHOT_DRIFT = 1     # within-shot per-frame drift
+SHOT_CUT_MEAN = 50  # cut when mean per-pixel |delta| exceeds this
+SHOT_FRAMES_BASE = 4
+SHOT_FRAMES_MOD = 4
+SHOT_CORRUPT_MOD = 13
+
+SHOT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("n_pairs", T.IntegerType()),
+    T.StructField("n_cuts", T.IntegerType()),
+    T.StructField("first_cut_pair", T.IntegerType()),
+    T.StructField("max_pair_delta", T.LongType()),
+])
+
+
+def synthesize_shot_gifs(df: DataFrame) -> DataFrame:
+    """doc_id -> real multi-frame GIF with SHOT structure: frame z pixel
+    (y, x) = (d*A + (z div SHOT_LEN)*SHOT_JUMP + z*SHOT_DRIFT
+    + y*B + x*C) % 256 — small within-shot drift, a big jump at every
+    shot boundary. n_frames = 4 + d % 4. Every SHOT_CORRUPT_MOD-th doc
+    gets the structurally-valid garbage-LZW final frame (whole payload
+    -> NULL: half-decoded video must not pass as intact)."""
+    wb, wm, hb, hm = ANIM_W_BASE, ANIM_W_MOD, ANIM_H_BASE, ANIM_H_MOD
+    fb, fm = SHOT_FRAMES_BASE, SHOT_FRAMES_MOD
+    a, b, c = ANIM_A, ANIM_B, ANIM_C
+    sl, sj, sd = SHOT_LEN, SHOT_JUMP, SHOT_DRIFT
+    cmod = SHOT_CORRUPT_MOD
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                w, h = wb + d % wm, hb + d % hm
+                nf = fb + d % fm
+                frames = [
+                    [bytes((d * a + (z // sl) * sj + z * sd
+                            + y * b + x * c) % 256
+                           for x in range(w)) for y in range(h)]
+                    for z in range(nf)]
+                if d % cmod == 0:
+                    import struct as _st
+                    blob = (make_gif_animation(frames[:-1])[:-1]
+                            + b"\x2c" + _st.pack("<HHHH", 0, 0, w, h)
+                            + b"\x00\x08\x14" + b"\xff" * 20 + b"\x00\x3b")
+                else:
+                    blob = make_gif_animation(frames)
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        _synth, "doc_id long, payload binary")
+
+
+def detect_shots(df: DataFrame,
+                 cut_mean: int = SHOT_CUT_MEAN) -> DataFrame:
+    """Shot-boundary detection over REAL decoded frames: per adjacent
+    frame pair, the exact integer sum of per-pixel |delta|; a cut where
+    the mean per-pixel delta exceeds ``cut_mean`` (compared as
+    sum_delta > cut_mean * n_px — nothing divides). The first video
+    operator every ingest pipeline runs (sampling one frame per SHOT
+    beats sampling every k-th frame of a static scene)."""
+    cm = cut_mean
+    dec = decode_gif_frame_pixels
+
+    def _detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        keys = ("n_frames", "n_pairs", "n_cuts", "first_cut_pair",
+                "max_pair_delta")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                got = dec(bytes(payload))
+                if got is None:
+                    for k in keys:
+                        cols[k].append(None)
+                    continue
+                deltas = []
+                for (w1, h1, v1), (w2, h2, v2) in zip(got, got[1:]):
+                    if (w1, h1) != (w2, h2):
+                        deltas = None
+                        break
+                    deltas.append(sum(abs(a2 - a1)
+                                      for a1, a2 in zip(v1, v2)))
+                if deltas is None:
+                    for k in keys:
+                        cols[k].append(None)
+                    continue
+                n_px = got[0][0] * got[0][1]
+                cuts = [z for z, s in enumerate(deltas)
+                        if s > cm * n_px]
+                cols["n_frames"].append(len(got))
+                cols["n_pairs"].append(len(deltas))
+                cols["n_cuts"].append(len(cuts))
+                cols["first_cut_pair"].append(cuts[0] if cuts else None)
+                cols["max_pair_delta"].append(max(deltas) if deltas
+                                              else None)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_frames": pd.array(cols["n_frames"], dtype="Int32"),
+                "n_pairs": pd.array(cols["n_pairs"], dtype="Int32"),
+                "n_cuts": pd.array(cols["n_cuts"], dtype="Int32"),
+                "first_cut_pair": pd.array(cols["first_cut_pair"],
+                                           dtype="Int32"),
+                "max_pair_delta": pd.array(cols["max_pair_delta"],
+                                           dtype="Int64")})
+
+    return df.select("doc_id", "payload").mapInPandas(_detect, SHOT_SCHEMA)
+
+
+def multimodal_shot_detect_query(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return detect_shots(synthesize_shot_gifs(docs))
+
+
+def _shot_sql() -> str:
+    v = (f"((d * {ANIM_A} + (({{z}}) // {SHOT_LEN}) * {SHOT_JUMP}"
+         f" + ({{z}}) * {SHOT_DRIFT}"
+         f" + (i // width) * {ANIM_B} + (i % width) * {ANIM_C}) % 256)")
+    v1, v2 = v.format(z="z"), v.format(z="z + 1")
+    cm = SHOT_CORRUPT_MOD
+    return f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST({ANIM_W_BASE} + abs(doc_id) % {ANIM_W_MOD} AS INT) AS width,
+    CAST({ANIM_H_BASE} + abs(doc_id) % {ANIM_H_MOD} AS INT) AS height,
+    CAST({SHOT_FRAMES_BASE} + abs(doc_id) % {SHOT_FRAMES_MOD} AS INT)
+      AS n_frames
+  FROM documents
+), pairs AS (
+  SELECT doc_id, d, width, height, n_frames, z.z,
+    list_sum(list_transform(range(0, width * height),
+      i -> abs({v2} - {v1}))) AS sum_delta
+  FROM p, LATERAL (SELECT UNNEST(range(0, n_frames - 1)) AS z) z
+), agg AS (
+  SELECT doc_id, d, MAX(n_frames) AS n_frames,
+    COUNT(*) AS n_pairs,
+    SUM(CASE WHEN sum_delta > {SHOT_CUT_MEAN} * width * height
+        THEN 1 ELSE 0 END) AS n_cuts,
+    MIN(CASE WHEN sum_delta > {SHOT_CUT_MEAN} * width * height
+        THEN z END) AS first_cut_pair,
+    MAX(sum_delta) AS max_pair_delta
+  FROM pairs GROUP BY doc_id, d
+)
+SELECT doc_id,
+  CASE WHEN d % {cm} = 0 THEN NULL ELSE n_frames END AS n_frames,
+  CASE WHEN d % {cm} = 0 THEN NULL
+       ELSE CAST(n_pairs AS INT) END AS n_pairs,
+  CASE WHEN d % {cm} = 0 THEN NULL ELSE CAST(n_cuts AS INT) END AS n_cuts,
+  CASE WHEN d % {cm} = 0 THEN NULL
+       ELSE CAST(first_cut_pair AS INT) END AS first_cut_pair,
+  CASE WHEN d % {cm} = 0 THEN NULL
+       ELSE CAST(max_pair_delta AS BIGINT) END AS max_pair_delta
+FROM agg
+"""
+
+
+register(QuerySpec(
+    "multimodal_shot_detect", multimodal_shot_detect_query, _shot_sql(),
+    description="video shot-boundary detection over REAL decoded GIF "
+                "frames: exact per-pair pixel-delta mass, divide-free "
+                "cut verdict; corrupt final frame -> whole payload "
+                "NULL"))

@@ -1204,3 +1204,20 @@ def test_phash_dedup_groups_resized_copies(spark):
     assert got[2].dhash != r1.dhash         # different scene, different hash
     assert got[15].dhash is None            # corrupt (15 % 15 == 0)
     assert r1.dhash is not None and r1.dhash >= 0   # 56-bit: sign-safe
+
+
+def test_shot_detect_finds_exact_boundaries(spark):
+    """SHOT_LEN=2: a 6-frame doc cuts exactly at pairs 1 and 3 (frame
+    1->2 and 3->4); within-shot drift stays far under the threshold;
+    a corrupt payload is all-NULL, never half a video."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        SHOT_CORRUPT_MOD, SHOT_FRAMES_BASE, SHOT_FRAMES_MOD,
+        detect_shots, synthesize_shot_gifs)
+    # d=2 -> n_frames = 4 + 2 % 4 = 6; d=13 -> corrupt
+    docs = spark.createDataFrame([(2,), (13,)], "doc_id long")
+    got = {r.doc_id: r for r in
+           detect_shots(synthesize_shot_gifs(docs)).collect()}
+    r = got[2]
+    assert (r.n_frames, r.n_pairs) == (6, 5)
+    assert r.n_cuts == 2 and r.first_cut_pair == 1
+    assert got[13].n_frames is None and got[13].n_cuts is None
