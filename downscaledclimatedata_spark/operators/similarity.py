@@ -4048,3 +4048,111 @@ register(QuerySpec(
                 "factor x corpus mean, verdict as pure integer "
                 "comparison (nothing divides), one broadcast "
                 "assignment pass"))
+
+
+# --- Matryoshka prefix-dimension recall (truncated-embedding eval) ---------------
+
+MRL_PREFIXES = (8, 16, 32)
+
+
+def prefix_dim_recall(emb: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding", k: int = TOP_K,
+                      prefixes: tuple = MRL_PREFIXES) -> DataFrame:
+    """Recall@k of EXACT search over truncated (prefix) dimensions vs
+    the full-dimension exact truth — the evaluation behind
+    Matryoshka-style embeddings (Kusupati et al. 2022): if recall at
+    16 of 64 dims is high, the index can store 4x fewer bytes and
+    rerank the shortlist at full width. Same measure-don't-guess shape
+    as ann_recall, with the approximation being dimension truncation
+    instead of an index.
+
+    Per (prefix_dim, query) row: truth size, hits, recall — exact
+    integer counts, one ratio. Each prefix search is the same N x Q
+    broadcast scan as the exact baseline, just over narrower vectors.
+    """
+    truth = (cosine_topk_quantized(emb, id_col, vec_col, k=k)
+             .select("query_id", "match_id").localCheckpoint())
+    out = None
+    for p in prefixes:
+        sliced = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), 1, p).alias("_pv"))
+        approx = (cosine_topk_quantized(sliced, id_col, "_pv", k=k)
+                  .select("query_id", "match_id")
+                  .withColumn("hit", F.lit(1)))
+        scored = (truth.join(F.broadcast(approx),
+                             ["query_id", "match_id"], "left")
+                  .groupBy("query_id")
+                  .agg(F.count(F.lit(1)).alias("n_truth"),
+                       F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"))
+                  .select(F.lit(p).cast("int").alias("prefix_dim"),
+                          "query_id",
+                          F.col("n_truth").cast("bigint").alias("n_truth"),
+                          F.col("n_hit").cast("bigint").alias("n_hit"),
+                          (F.col("n_hit").cast("double")
+                           / F.col("n_truth").cast("double"))
+                          .alias("recall")))
+        out = scored if out is None else out.unionByName(scored)
+    return out.orderBy("prefix_dim", "query_id")
+
+
+def similarity_prefix_recall_query(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return prefix_dim_recall(emb)
+
+
+def _prefix_recall_sql() -> str:
+    def qvec(dim: int) -> str:
+        return (f"list_transform(embedding[1:{dim}], x -> CAST(least("
+                f"greatest(round(CAST(x AS DOUBLE) * {QUANT}), "
+                f"{-QCLAMP}.0), {QCLAMP}.0) AS BIGINT))")
+
+    def topk(dim: int, name: str) -> str:
+        sq = (f"list_sum(list_transform(range(1, {dim + 1}), "
+              f"i -> qv[i] * qv[i]))")
+        return f"""{name}_q AS (
+  SELECT vec_id, {qvec(dim)} AS qv FROM embeddings
+), {name}_b0 AS (
+  SELECT vec_id, qv, CAST({sq} AS DOUBLE) AS n2 FROM {name}_q
+), {name}_b AS (SELECT * FROM {name}_b0 WHERE n2 > 0), {name}_s AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS match_id,
+    CAST(list_sum(list_transform(range(1, {dim + 1}),
+                                 i -> qs.qv[i] * c.qv[i])) AS DOUBLE)
+      / (sqrt(qs.n2) * sqrt(c.n2)) AS cosine
+  FROM {name}_b qs JOIN {name}_b c ON c.vec_id <> qs.vec_id
+  WHERE {_fixed_sample_sql('qs.vec_id', QUERY_MOD, N_QUERIES)}
+), {name} AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, match_id) AS rnk
+    FROM {name}_s) WHERE rnk <= {TOP_K}
+)"""
+
+    parts = [topk(DIM, "truth")]
+    selects = []
+    for p in MRL_PREFIXES:
+        parts.append(topk(p, f"pfx{p}"))
+        selects.append(f"""
+SELECT CAST({p} AS INTEGER) AS prefix_dim, t.query_id,
+  CAST(COUNT(*) AS BIGINT) AS n_truth,
+  CAST(SUM(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_hit,
+  CAST(SUM(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM truth t LEFT JOIN pfx{p} a
+  ON a.query_id = t.query_id AND a.match_id = t.match_id
+GROUP BY t.query_id""")
+    u = " UNION ALL ".join(f"({s})" for s in selects)
+    return ("WITH " + ",\n".join(parts) + "\n" + u
+            + "\nORDER BY prefix_dim, query_id")
+
+
+register(QuerySpec(
+    "similarity_prefix_recall", similarity_prefix_recall_query,
+    _prefix_recall_sql(),
+    description="Matryoshka prefix-dimension recall@k vs full-width "
+                "exact truth (8/16/32 of 64 dims) — the truncated-"
+                "embedding storage/recall tuning curve, exact-integer "
+                "counts"))

@@ -204,3 +204,24 @@ def test_ood_vectors_flags_planted_outlier(spark):
     rows = ood_vectors(emb2, centroid_mod=3, n_centroids=3).collect()
     assert [r.vec_id for r in rows] == [99]
     assert rows[0].mean_ratio > OOD_FACTOR
+
+
+def test_prefix_recall_monotone_and_full_width_perfect(spark):
+    """Recall must be perfect when the 'prefix' is the full width, and
+    the mean recall curve must be non-decreasing in prefix_dim on the
+    real corpus (more dims can only add ranking information on
+    average)."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        DIM, prefix_dim_recall)
+    from downscaledclimatedata_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings").cache()
+    rows = prefix_dim_recall(emb, prefixes=(8, 32, DIM)).collect()
+    by_p: dict = {}
+    for r in rows:
+        by_p.setdefault(r.prefix_dim, []).append(r.recall)
+    mean = {p: sum(v) / len(v) for p, v in by_p.items()}
+    assert mean[DIM] == 1.0            # full width == exact truth
+    assert mean[8] <= mean[32] + 1e-9 <= mean[DIM] + 1e-9
+    assert all(r.n_truth >= r.n_hit for r in rows)
