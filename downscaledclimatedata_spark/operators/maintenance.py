@@ -999,3 +999,33 @@ def orphan_file_report(spark: SparkSession, root: str,
             .select("key", "size", "bad_suffix", "bad_layout",
                     "unreferenced")
             .orderBy("key"))
+
+
+def delete_orphans(spark: SparkSession, root: str,
+                   manifest: DataFrame | None = None,
+                   data_suffix: str = ".parquet") -> dict:
+    """Apply step for :func:`orphan_file_report` — the destructive half
+    of VACUUM, deliberately a separate call (plan, review, then act;
+    the retention_plan/expire_partitions discipline). Deletes exactly
+    the files the report lists, via the driver-side filesystem for
+    local paths (the report is |orphans|-bounded — orphans are
+    incidents, not data volume), and returns counts + reclaimed bytes.
+    Refuses to touch anything the report did not flag.
+    """
+    import os
+
+    rep = orphan_file_report(spark, root, manifest, data_suffix).collect()
+    base = os.path.abspath(root)
+    n = 0
+    freed = 0
+    for r in rep:
+        path = os.path.join(base, r.key)
+        # the key is root-relative by construction; never follow ..
+        if not os.path.abspath(path).startswith(base + os.sep):
+            continue
+        if os.path.isfile(path):
+            freed += os.path.getsize(path)
+            os.remove(path)
+            n += 1
+    return {"n_deleted": n, "bytes_reclaimed": freed,
+            "n_flagged": len(rep)}

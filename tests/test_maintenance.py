@@ -425,3 +425,29 @@ def test_orphan_file_report_three_classes(spark, tmp_path):
     # without a manifest only structural classes fire
     rep2 = {r.key for r in orphan_file_report(spark, str(root)).collect()}
     assert rep2 == {f"{pdir}/notes.txt", "backup/old.parquet"}
+
+
+def test_delete_orphans_removes_only_flagged(spark, tmp_path):
+    import os
+    from downscaledclimatedata_spark.operators.listing import (
+        listing_from_fs)
+    from downscaledclimatedata_spark.operators.maintenance import (
+        delete_orphans, orphan_file_report)
+
+    root = tmp_path / "tbl2"
+    spark.createDataFrame([(1, 10)], "k long, part_year int") \
+        .write.partitionBy("part_year").parquet(str(root))
+    manifest = listing_from_fs(spark, str(root)).select("key").cache()
+    manifest.count()
+    pdir = next(p for p in os.listdir(root) if p.startswith("part_year="))
+    junk = root / pdir / "junk.tmp"
+    junk.write_text("x" * 64)
+    n_before = sum(len(fs) for _, _, fs in os.walk(root))
+    rep = delete_orphans(spark, str(root), manifest)
+    assert rep["n_deleted"] == 1 and rep["bytes_reclaimed"] == 64
+    assert not junk.exists()
+    # every legitimate file survived, and the table still reads
+    assert sum(len(fs) for _, _, fs in os.walk(root)) == n_before - 1
+    assert spark.read.parquet(str(root)).count() == 1
+    # second pass: nothing left to delete
+    assert orphan_file_report(spark, str(root), manifest).count() == 0
