@@ -2625,3 +2625,64 @@ register(QuerySpec(
                 "w-window of k-gram hashes — guaranteed coverage of "
                 "every w-window, unlike mod-p sampling; "
                 "(doc, window)-keyed shuffles of 8-byte hashes"))
+
+
+# --- mojibake (encoding-damage) detection ----------------------------------------
+
+# The classic UTF-8-read-as-Latin-1 artifacts: accented letters become
+# "Ã" + a continuation glyph, smart quotes become "â€™"-family triples,
+# and NBSP becomes "Â ". Literal alternation (no classes) so the Java
+# and RE2 engines match byte-identical spans.
+MOJIBAKE_RE = ("(Ã©|Ã¨|Ã¡|Ã³|Ãº|Ã±|Ã¤|Ã¶|Ã¼|Ã§|"
+               "â€™|â€œ|â€˜|â€“|â€”|Â )")
+
+
+def mojibake_signals(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Encoding-damage report: count of classic UTF-8-as-Latin-1
+    artifact sequences per document, their density per character, and
+    the damaged verdict (any artifact — one mojibake sequence means
+    the document took a wrong decode somewhere in the pipeline and
+    every non-ASCII char in it is suspect; the ftfy repair class).
+    One shuffle-free codegen projection.
+    """
+    safe = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.regexp_count(safe, F.lit(MOJIBAKE_RE))
+    n_chars = F.length(safe)
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        n.cast("bigint").alias("n_mojibake"),
+        F.when(n_chars > 0, n.cast("double") / n_chars.cast("double"))
+        .alias("mojibake_density"),
+        (n > 0).alias("encoding_damaged"))
+
+
+def text_mojibake_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return mojibake_signals(docs)
+
+
+_MOJIBAKE_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+    length(coalesce(text, '')) AS n_chars,
+    length(regexp_split_to_array(coalesce(text, ''),
+                                 '{MOJIBAKE_RE}')) - 1 AS n
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n AS BIGINT) AS n_mojibake,
+  CASE WHEN n_chars > 0
+       THEN CAST(n AS DOUBLE) / CAST(n_chars AS DOUBLE) END
+    AS mojibake_density,
+  n > 0 AS encoding_damaged
+FROM m
+"""
+
+register(QuerySpec(
+    "text_mojibake", text_mojibake_query, _MOJIBAKE_SQL,
+    description="encoding-damage detection: UTF-8-as-Latin-1 artifact "
+                "count per doc (literal alternation, engine-identical "
+                "spans), shuffle-free projection"))

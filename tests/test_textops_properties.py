@@ -482,3 +482,21 @@ def test_winnow_matches_python_reference_and_coverage(spark):
     assert got[2].n_grams == 0 and got[2].n_prints == 0
     assert got[2].density is None
     assert got[3].n_grams == 3 and got[3].n_prints == 0  # no full window
+
+
+def test_mojibake_detects_damaged_text(spark):
+    """Planted UTF-8-as-Latin-1 artifacts are counted; clean text with
+    REAL accents is not flagged (the detector must not punish correct
+    non-ASCII); NULL text unscoreable."""
+    from downscaledclimatedata_spark.operators.textops import (
+        mojibake_signals)
+    damaged = ("the caf\u00c3\u00a9 serves na\u00c3\u00afve customers "
+               "\u00e2\u20ac\u0153quoted\u00e2\u20ac\u2122 texts")
+    clean = "the caf\u00e9 serves na\u00efve customers \u201cquoted\u201d texts"
+    docs = spark.createDataFrame(
+        [(0, damaged), (1, clean), (2, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in mojibake_signals(docs).collect()}
+    assert got[0].encoding_damaged and got[0].n_mojibake >= 2
+    assert not got[1].encoding_damaged and got[1].n_mojibake == 0
+    assert got[2].n_chars == 0 and not got[2].encoding_damaged
