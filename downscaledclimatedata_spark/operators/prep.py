@@ -1363,3 +1363,134 @@ register(QuerySpec(
     "prep_truncate", prep_truncate_query, _TRUNC_SQL,
     description="context-length truncation: clip to max tokens with an "
                 "exact per-doc loss report, one shuffle-free projection"))
+
+
+# --- exact token-budget waterfilling (mixture planning) ---------------------------
+
+WATERFILL_BUDGET = 12_000  # tokens, for the registered spec
+
+
+def token_budget_waterfill(df: DataFrame, budget_tokens: int,
+                           source_col: str = "source",
+                           text_col: str = "text") -> DataFrame:
+    """Exact waterfilling allocation of a token budget across sources:
+    every source is capped at its own mass; the remainder is shared at
+    a common water level t, computed EXACTLY in integers — small
+    sources keep everything they have, big sources are clipped to t,
+    and the ``rem`` leftover units go one-each to the first ``rem``
+    unsaturated sources in (mass, name) order so Σ alloc == min(budget,
+    total) holds to the token. This is the allocation the temperature
+    mixture (domain_mixture_sample) RATES approximate in expectation;
+    the waterfill is the deterministic plan a mixture budget review
+    signs off on.
+
+    Scale: one corpus scan partial-aggregates to the |sources|-row
+    relation; every window below runs over that bounded relation only
+    (the ranks.py-offsets discipline), so the corpus never sorts.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
+                                               F.lit(""))), WS_RE),
+                    lambda x: x != "")
+    src = (df.select(F.col(source_col).alias("source"),
+                     F.size(toks).cast("bigint").alias("n"))
+           .groupBy("source").agg(F.sum("n").alias("tok")))
+    w = Window.orderBy("tok", "source")
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    b = F.lit(int(budget_tokens)).cast("bigint")
+    lev = (src
+           .withColumn("rn", F.row_number().over(w).cast("bigint"))
+           .withColumn("cum_prev",
+                       F.coalesce(F.sum("tok").over(
+                           Window.orderBy("tok", "source")
+                           .rowsBetween(Window.unboundedPreceding, -1)),
+                           F.lit(0)).cast("bigint"))
+           .withColumn("s_total", F.count(F.lit(1)).over(wall))
+           .withColumn("nrest", F.col("s_total") - F.col("rn") + 1)
+           .withColumn("level",
+                       F.expr("(CAST({b} AS BIGINT) - cum_prev) div nrest"
+                              .format(b=int(budget_tokens)))))
+    bound = lev.withColumn(
+        "boundary",
+        F.min(F.when(F.col("tok") > F.col("level"), F.col("rn")))
+        .over(wall))
+    at_b = bound.filter(F.col("rn") == F.col("boundary")).select(
+        F.col("level").alias("t_level"),
+        ((b - F.col("cum_prev")) % F.col("nrest")).alias("t_rem"),
+        F.col("boundary").alias("b_rn"))
+    # when no boundary exists (total <= budget) at_b is empty: left join
+    # on TRUE keeps every source with NULL level fields
+    out = bound.join(F.broadcast(at_b), F.lit(True), "left")
+    alloc = (F.when(F.col("b_rn").isNull()
+                    | (F.col("rn") < F.col("b_rn")), F.col("tok"))
+             .otherwise(F.col("t_level")
+                        + F.when(F.col("rn") - F.col("b_rn")
+                                 < F.col("t_rem"), 1).otherwise(0)))
+    return (out.select(
+                "source",
+                F.col("tok").cast("bigint").alias("tok_tokens"),
+                alloc.cast("bigint").alias("alloc_tokens"),
+                F.when(F.col("tok") > 0,
+                       alloc.cast("double") / F.col("tok").cast("double"))
+                .alias("rate"),
+                (alloc < F.col("tok")).alias("clipped"))
+            .orderBy("source"))
+
+
+def prep_waterfill_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_waterfill(docs, WATERFILL_BUDGET)
+
+
+_WATERFILL_SQL = rf"""
+WITH src AS (
+  SELECT source,
+    CAST(SUM(len(list_filter(string_split_regex(lower(coalesce(text, '')),
+      '[ \t\n\r\f\x0B]+'), x -> x <> ''))) AS BIGINT) AS tok
+  FROM documents GROUP BY source
+), lev AS (
+  SELECT source, tok,
+    CAST(ROW_NUMBER() OVER (ORDER BY tok, source) AS BIGINT) AS rn,
+    CAST(COALESCE(SUM(tok) OVER (ORDER BY tok, source
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_prev,
+    COUNT(*) OVER () AS s_total
+  FROM src
+), lv2 AS (
+  SELECT *, s_total - rn + 1 AS nrest,
+    ({WATERFILL_BUDGET} - cum_prev) // (s_total - rn + 1) AS level
+  FROM lev
+), bnd AS (
+  SELECT *, MIN(CASE WHEN tok > level THEN rn END) OVER () AS b_rn
+  FROM lv2
+), atb AS (
+  SELECT level AS t_level,
+    ({WATERFILL_BUDGET} - cum_prev) % nrest AS t_rem, rn AS bb
+  FROM bnd WHERE rn = b_rn
+), j AS (
+  SELECT b.*, a.t_level, a.t_rem FROM bnd b LEFT JOIN atb a ON TRUE
+), alloc AS (
+  SELECT source, tok,
+    CASE WHEN b_rn IS NULL OR rn < b_rn THEN tok
+         ELSE t_level + CASE WHEN rn - b_rn < t_rem THEN 1 ELSE 0 END
+    END AS alloc
+  FROM j
+)
+SELECT source, CAST(tok AS BIGINT) AS tok_tokens,
+  CAST(alloc AS BIGINT) AS alloc_tokens,
+  CASE WHEN tok > 0 THEN CAST(alloc AS DOUBLE) / CAST(tok AS DOUBLE) END
+    AS rate,
+  alloc < tok AS clipped
+FROM alloc
+ORDER BY source
+"""
+
+register(QuerySpec(
+    "prep_token_waterfill", prep_waterfill_query, _WATERFILL_SQL,
+    description="exact integer waterfilling of a token budget across "
+                "sources: caps, common water level, remainder units "
+                "placed deterministically so the allocation sums to "
+                "the budget TO THE TOKEN; all windows over the bounded "
+                "source relation"))

@@ -326,3 +326,38 @@ def test_padding_report_sorted_never_wastes_more(spark):
     # the short docs to 100; sorted batches are homogeneous -> 0 waste
     assert rep["length_sorted"].padding_tokens == 0
     assert rep["arrival"].waste_ratio > 0.4
+
+
+def test_waterfill_exact_budget_and_caps(spark):
+    """Hand corpus: masses 2/5/100/100 with budget 57 -> small sources
+    keep all (2, 5), the rest split 50: level 25, no remainder ->
+    25/25; Σ alloc == budget exactly. Budget above total -> everyone
+    full, nothing clipped. Remainder units land on the FIRST
+    unsaturated sources in (mass, name) order."""
+    from downscaledclimatedata_spark.operators.prep import (
+        token_budget_waterfill)
+
+    def docs(masses):
+        rows = []
+        for i, (s, m) in enumerate(masses):
+            rows.append((i, "w " * m, s))
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+
+    d = docs([("a", 2), ("b", 5), ("c", 100), ("d", 100)])
+    got = {r.source: r for r in
+           token_budget_waterfill(d, 57).collect()}
+    assert [got[s].alloc_tokens for s in "abcd"] == [2, 5, 25, 25]
+    assert sum(r.alloc_tokens for r in got.values()) == 57
+    assert not got["a"].clipped and got["c"].clipped
+
+    # remainder: budget 58 -> level 25 rem 1 -> first unsaturated (c)
+    got2 = {r.source: r for r in token_budget_waterfill(d, 58).collect()}
+    assert [got2[s].alloc_tokens for s in "abcd"] == [2, 5, 26, 25]
+    assert sum(r.alloc_tokens for r in got2.values()) == 58
+
+    # budget >= total: full allocation
+    got3 = {r.source: r for r in token_budget_waterfill(d, 999).collect()}
+    assert all(r.alloc_tokens == r.tok_tokens and not r.clipped
+               for r in got3.values())
+    assert got3["a"].rate == 1.0
