@@ -2688,3 +2688,86 @@ register(QuerySpec("q92_scd2_asof_read", q92_scd2_asof_read, _Q92_SQL,
                                "dimension: state as of the data's own "
                                "midpoint instant (deterministic probe), "
                                "shuffle-free interval filter"))
+
+
+def q93_top_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "top 10% of customers drive X% of revenue" number, exact,
+    per market segment: rank customers by revenue DESC within their
+    segment via the shared binned two-phase rank (never a 5-reducer
+    segment window), take the top ceil(n/10), and report their share
+    of the segment's exact cents mass — integer arithmetic with one
+    final division. Complements q88's Gini with the headline
+    concentration statistic executives actually quote.
+    """
+    from downscaledclimatedata_spark.functions.ranks import (
+        binned_row_number)
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per = (orders.groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .alias("cents")))
+    seg = (per.join(cust.select(F.col("c_custkey").alias("o_custkey"),
+                                "c_mktsegment"), "o_custkey")
+           .withColumn("_dbin", F.expr(f"(-cents) div {GINI_BIN_DIV}")))
+    ranked = binned_row_number(
+        seg, "_dbin", order_cols=(-F.col("cents"), F.col("o_custkey")),
+        partition_cols=("c_mktsegment",), out="rnk", count_col="n")
+    d = lambda c: c.cast("decimal(38,0)")
+    # top decile size: ceil(n/10) with positive operands (the verify
+    # gotcha: negated-floor ceil silently floors in DuckDB)
+    topn = F.expr("(n + 9) div 10")
+    agg = (ranked.groupBy("c_mktsegment")
+           .agg(F.max("n").alias("n_customers"),
+                F.sum(d(F.col("cents"))).alias("total_cents"),
+                F.sum(F.when(F.col("rnk") <= topn, d(F.col("cents")))
+                      .otherwise(F.lit(0).cast("decimal(38,0)")))
+                .alias("top_cents"),
+                F.max(topn).alias("top_n")))
+    return (agg.select(
+                "c_mktsegment",
+                F.col("n_customers").cast("bigint").alias("n_customers"),
+                F.col("top_n").cast("bigint").alias("top_n"),
+                (F.col("total_cents").cast("double") / 100)
+                .alias("revenue"),
+                F.when(F.col("total_cents") > 0,
+                       F.col("top_cents").cast("double")
+                       / F.col("total_cents").cast("double"))
+                .alias("top_decile_share"))
+            .orderBy("c_mktsegment"))
+
+
+_Q93_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+), seg AS (
+  SELECT p.o_custkey, p.cents, c.c_mktsegment
+  FROM per p JOIN customer c ON c.c_custkey = p.o_custkey
+), ranked AS (
+  SELECT c_mktsegment, cents,
+    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                       ORDER BY cents DESC, o_custkey) AS rnk,
+    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM seg
+)
+SELECT c_mktsegment,
+  CAST(MAX(n) AS BIGINT) AS n_customers,
+  CAST(MAX((n + 9) // 10) AS BIGINT) AS top_n,
+  CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100 AS revenue,
+  CASE WHEN SUM(CAST(cents AS HUGEINT)) > 0 THEN
+    CAST(SUM(CASE WHEN rnk <= (n + 9) // 10
+             THEN CAST(cents AS HUGEINT) ELSE 0 END) AS DOUBLE)
+      / CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE)
+  END AS top_decile_share
+FROM ranked
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+register(QuerySpec("q93_top_decile_share", q93_top_decile_share, _Q93_SQL,
+                   description="top-decile revenue share per segment "
+                               "via the binned two-phase rank; exact "
+                               "cents mass, positive-operand ceil, one "
+                               "division"))

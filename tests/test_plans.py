@@ -721,3 +721,44 @@ def test_q92_asof_read_picks_covering_version(spark, tmp_path):
     assert set(got) == {u1}
     assert got[u1].state == "purchase" and got[u1].version_no == 2
     assert not got[u1].is_current
+
+
+def test_q93_top_decile_share_hand_segments(spark, tmp_path):
+    """Equal-revenue segment of 3 -> top_n=1, share exactly 1/3;
+    one-holder segment of 4 -> share 1.0; rank windows stay binned."""
+    import datetime as dt
+    from downscaledclimatedata_spark.plans.advanced import (
+        q93_top_decile_share)
+
+    orders, cust, ok = [], [], 0
+    for ck in (1, 2, 3):
+        cust.append((ck, f"c{ck}", "a", 0, "p", 1.0, "EQ", "x"))
+        orders.append((ok, ck, "O", 10.0, dt.date(2024, 1, 1),
+                       "1-URGENT", "c", 0, "x"))
+        ok += 1
+    for ck in (4, 5, 6, 7):
+        cust.append((ck, f"c{ck}", "a", 0, "p", 1.0, "ONE", "x"))
+        orders.append((ok, ck, "O", 40.0 if ck == 4 else 0.0,
+                       dt.date(2024, 1, 1), "1-URGENT", "c", 0, "x"))
+        ok += 1
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate date, "
+                "o_orderpriority string, o_clerk string, "
+                "o_shippriority int, o_comment string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        cust, "c_custkey long, c_name string, c_address string, "
+              "c_nationkey long, c_phone string, c_acctbal double, "
+              "c_mktsegment string, c_comment string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+
+    out = q93_top_decile_share(spark, str(tmp_path))
+    got = {r.c_mktsegment: r for r in out.collect()}
+    assert got["EQ"].top_n == 1 and abs(got["EQ"].top_decile_share
+                                        - 1 / 3) < 1e-12
+    assert got["ONE"].top_n == 1 and got["ONE"].top_decile_share == 1.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "_dbin#" in line, plan
