@@ -4156,3 +4156,93 @@ register(QuerySpec(
                 "exact truth (8/16/32 of 64 dims) — the truncated-"
                 "embedding storage/recall tuning curve, exact-integer "
                 "counts"))
+
+
+# --- kNN-graph hubness diagnostic ------------------------------------------------
+
+def knn_hubness(emb: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """k-occurrence distribution of the kNN graph — the hubness
+    diagnostic (Radovanović et al. 2010): in high dimensions a few
+    "hub" vectors appear in a disproportionate share of neighbor
+    lists while many vectors appear in NONE, and both tails degrade
+    ANN recall and kNN classification. Output: one row per
+    k-occurrence count c with the number (and share) of eligible
+    vectors appearing in exactly c neighbor lists — INCLUDING the
+    c = 0 anti-hub row, which a naive groupBy silently drops and
+    which is precisely the tail an index operator worries about.
+
+    Scale: rides the registered kNN graph (cell-restricted self-join);
+    hubness itself is one neighbor-keyed count and a bounded histogram
+    roll-up; the eligible-population row is a single-row aggregate
+    broadcast.
+    """
+    g = knn_graph(emb, id_col, vec_col)
+    occ = (g.groupBy(F.col("neighbor_id"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    hist = occ.groupBy("c").agg(F.count(F.lit(1)).alias("n_vectors"))
+    base = emb.select(quantize(F.col(vec_col)).alias("qv"))
+    eligible = base.filter(sq_norm(F.col("qv")) > 0) \
+        .agg(F.count(F.lit(1)).alias("n_eligible"))
+    n_hubs = occ.agg(F.count(F.lit(1)).alias("n_with_occ"))
+    zero = (eligible.crossJoin(F.broadcast(n_hubs))
+            .select(F.lit(0).cast("bigint").alias("c"),
+                    (F.col("n_eligible") - F.col("n_with_occ"))
+                    .alias("n_vectors"))
+            .filter(F.col("n_vectors") > 0))
+    out = hist.select(F.col("c").cast("bigint").alias("c"),
+                      F.col("n_vectors").cast("bigint")
+                      .alias("n_vectors")).unionByName(zero)
+    return (out.crossJoin(F.broadcast(eligible))
+            .select(F.col("c").alias("k_occurrence"),
+                    "n_vectors",
+                    (F.col("n_vectors").cast("double")
+                     / F.col("n_eligible").cast("double")).alias("share"))
+            .orderBy("k_occurrence"))
+
+
+def similarity_hubness_query(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return knn_hubness(emb)
+
+
+def _hubness_sql() -> str:
+    from downscaledclimatedata_spark.plans import REGISTRY
+    graph_sql = REGISTRY["similarity_knn_graph"].oracle
+    sq = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+          f"i -> qv[i] * qv[i]))")
+    return f"""
+WITH g AS (
+  FROM ({graph_sql})
+), occ AS (
+  SELECT neighbor_id, COUNT(*) AS c FROM g GROUP BY neighbor_id
+), hist AS (
+  SELECT c, COUNT(*) AS n_vectors FROM occ GROUP BY c
+), elig AS (
+  SELECT COUNT(*) AS n_eligible FROM (
+    SELECT {_QVEC_SQL} AS qv FROM embeddings) q
+  WHERE {sq} > 0
+), zero AS (
+  SELECT CAST(0 AS BIGINT) AS c,
+    e.n_eligible - (SELECT COUNT(*) FROM occ) AS n_vectors
+  FROM elig e
+), uni AS (
+  SELECT CAST(c AS BIGINT) AS c, CAST(n_vectors AS BIGINT) AS n_vectors
+  FROM hist
+  UNION ALL
+  SELECT c, CAST(n_vectors AS BIGINT) FROM zero WHERE n_vectors > 0
+)
+SELECT u.c AS k_occurrence, u.n_vectors,
+  CAST(u.n_vectors AS DOUBLE) / CAST(e.n_eligible AS DOUBLE) AS share
+FROM uni u CROSS JOIN elig e
+ORDER BY k_occurrence
+"""
+
+
+register(QuerySpec(
+    "similarity_knn_hubness", similarity_hubness_query, _hubness_sql(),
+    description="kNN-graph hubness: k-occurrence distribution incl. "
+                "the c=0 anti-hub row a naive groupBy drops — the "
+                "high-dimensional pathology diagnostic for ANN "
+                "recall"))

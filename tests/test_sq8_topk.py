@@ -225,3 +225,21 @@ def test_prefix_recall_monotone_and_full_width_perfect(spark):
     assert mean[DIM] == 1.0            # full width == exact truth
     assert mean[8] <= mean[32] + 1e-9 <= mean[DIM] + 1e-9
     assert all(r.n_truth >= r.n_hit for r in rows)
+
+
+def test_hubness_mass_conservation_and_zero_row(spark):
+    """Σ n_vectors over the distribution equals the eligible population
+    (zero-norm excluded), Σ (c * n_vectors) equals the graph's edge
+    count, and the c=0 anti-hub row is present on the real corpus."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        knn_graph, knn_hubness)
+    from downscaledclimatedata_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings").cache()
+    rows = knn_hubness(emb).collect()
+    n_edges = knn_graph(emb).count()
+    assert sum(r.n_vectors for r in rows) == emb.count()  # no zero-norm in corpus
+    assert sum(r.k_occurrence * r.n_vectors for r in rows) == n_edges
+    assert rows[0].k_occurrence == 0 and rows[0].n_vectors > 0
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
