@@ -1029,3 +1029,51 @@ def delete_orphans(spark: SparkSession, root: str,
             n += 1
     return {"n_deleted": n, "bytes_reclaimed": freed,
             "n_flagged": len(rep)}
+
+
+# --- write-audit-publish (WAP) ----------------------------------------------------
+
+def write_audit_publish(spark: SparkSession, df: DataFrame,
+                        final_dir: str,
+                        audits: list,
+                        fmt: str = "parquet") -> dict:
+    """The write-audit-publish pattern: materialize to a STAGING
+    location, audit WHAT WAS WRITTEN (re-read from disk — auditing the
+    logical plan would miss writer bugs, schema coercions, and partial
+    files), and only then atomically publish by directory rename.
+    A failed audit leaves staging in place for inspection and the
+    final location untouched — downstream readers never see bad data,
+    which is the entire point of the pattern.
+
+    ``audits`` is a list of (name, violation_condition Column) pairs;
+    all are evaluated in ONE conditional-aggregate pass over the
+    staged bytes. Publish is a filesystem rename: effectively atomic
+    on posix/HDFS; on object stores a real deployment substitutes the
+    table format's commit, same seam.
+    """
+    import os
+    import shutil
+
+    staging = final_dir.rstrip("/") + "._staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    df.write.mode("errorifexists").format(fmt).save(staging)
+    staged = spark.read.format(fmt).load(staging)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, cond in audits:
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                    .cast("bigint").alias(name))
+    row = staged.agg(*aggs).collect()[0]
+    report = {name: int(row[name]) for name, _ in audits}
+    report["n_rows"] = int(row["_n"])
+    passed = all(v == 0 for k, v in report.items() if k != "n_rows")
+    report["passed"] = passed
+    report["staging"] = staging
+    report["published"] = False
+    if passed:
+        if os.path.exists(final_dir):
+            shutil.rmtree(final_dir)
+        os.rename(staging, final_dir)
+        report["published"] = True
+        report["staging"] = None
+    return report

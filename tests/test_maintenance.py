@@ -451,3 +451,32 @@ def test_delete_orphans_removes_only_flagged(spark, tmp_path):
     assert spark.read.parquet(str(root)).count() == 1
     # second pass: nothing left to delete
     assert orphan_file_report(spark, str(root), manifest).count() == 0
+
+
+def test_write_audit_publish_gates_bad_data(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from downscaledclimatedata_spark.operators.maintenance import (
+        write_audit_publish)
+    import os
+
+    final = str(tmp_path / "published")
+    audits = [("v_null_key", F.col("k").isNull()),
+              ("v_neg", F.col("x") < 0)]
+    good = spark.createDataFrame([(1, 5), (2, 7)], "k long, x long")
+    rep = write_audit_publish(spark, good, final, audits)
+    assert rep["passed"] and rep["published"]
+    assert rep == {**rep, "v_null_key": 0, "v_neg": 0, "n_rows": 2}
+    assert spark.read.parquet(final).count() == 2
+
+    bad = spark.createDataFrame([(None, 5), (3, -1)], "k long, x long")
+    final2 = str(tmp_path / "published2")
+    rep2 = write_audit_publish(spark, bad, final2, audits)
+    assert not rep2["passed"] and not rep2["published"]
+    assert rep2["v_null_key"] == 1 and rep2["v_neg"] == 1
+    assert not os.path.exists(final2)               # readers never see it
+    assert os.path.exists(rep2["staging"])          # kept for inspection
+
+    # a failed publish does not clobber a previous good snapshot
+    rep3 = write_audit_publish(spark, bad, final, audits)
+    assert not rep3["published"]
+    assert spark.read.parquet(final).count() == 2
