@@ -4161,7 +4161,7 @@ register(QuerySpec(
 # --- kNN-graph hubness diagnostic ------------------------------------------------
 
 def knn_hubness(emb: DataFrame, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding", **graph_kwargs) -> DataFrame:
     """k-occurrence distribution of the kNN graph — the hubness
     diagnostic (Radovanović et al. 2010): in high dimensions a few
     "hub" vectors appear in a disproportionate share of neighbor
@@ -4177,7 +4177,7 @@ def knn_hubness(emb: DataFrame, id_col: str = "vec_id",
     roll-up; the eligible-population row is a single-row aggregate
     broadcast.
     """
-    g = knn_graph(emb, id_col, vec_col)
+    g = knn_graph(emb, id_col, vec_col, **graph_kwargs)
     occ = (g.groupBy(F.col("neighbor_id"))
            .agg(F.count(F.lit(1)).alias("c")))
     hist = occ.groupBy("c").agg(F.count(F.lit(1)).alias("n_vectors"))
@@ -4204,7 +4204,11 @@ def knn_hubness(emb: DataFrame, id_col: str = "vec_id",
 def similarity_hubness_query(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
-    return knn_hubness(emb)
+    # size the codebook exactly like the registered graph query — the
+    # FIXED default codebook is the quadratic cell-self-join trap the
+    # sf1 ladder catches (21.6x measured before this sizing was added)
+    mod, k, s = scaled_codebook_two_level(emb.count())
+    return knn_hubness(emb, centroid_mod=mod, n_centroids=k, n_super=s)
 
 
 def _hubness_sql() -> str:
