@@ -1071,9 +1071,25 @@ def write_audit_publish(spark: SparkSession, df: DataFrame,
     report["staging"] = staging
     report["published"] = False
     if passed:
-        if os.path.exists(final_dir):
-            shutil.rmtree(final_dir)
-        os.rename(staging, final_dir)
+        # Publish ordering that can never leave readers with NOTHING:
+        # rename the live table ASIDE first, then staging into place,
+        # and only then delete the old bytes. If the staging->final
+        # rename fails (EXDEV across mounts, permissions), the aside
+        # copy is restored — the prior snapshot survives every path.
+        aside = final_dir.rstrip("/") + "._old"
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
+        had_prior = os.path.exists(final_dir)
+        if had_prior:
+            os.rename(final_dir, aside)
+        try:
+            os.rename(staging, final_dir)
+        except OSError:
+            if had_prior:
+                os.rename(aside, final_dir)
+            raise
+        if had_prior:
+            shutil.rmtree(aside)
         report["published"] = True
         report["staging"] = None
     return report

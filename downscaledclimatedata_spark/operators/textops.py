@@ -2537,9 +2537,12 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                    .alias("wstart"), "pos", "h")
            .filter(F.col("wstart") >= 0))
     n_grams = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    full = (win.join(F.broadcast(
+    # merge-pinned (NOT broadcast): n_grams is one row per DOCUMENT —
+    # corpus-scale — and Spark resolves BROADCAST over MERGE when both
+    # hints are present, which would broadcast a corpus-sized relation
+    full = (win.join(
                 n_grams.select(F.col(id_col), (F.col("n_grams") - w)
-                               .alias("max_start"))).hint("merge"),
+                               .alias("max_start")).hint("merge"),
                 id_col)
             .filter(F.col("wstart") <= F.col("max_start")))
     sel = (full.groupBy(id_col, "wstart")

@@ -107,9 +107,14 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
         @pandas_udf("struct<t: string, changed: boolean>")
         def _nfc(col):
             import pandas as _pd
-            raw = col.fillna("")
-            nfc = raw.map(lambda t: unicodedata.normalize("NFC", t))
-            return _pd.DataFrame({"t": nfc, "changed": nfc != raw})
+            # NULL text stays NULL (changed=False): the opt-in flag must
+            # not alter NULL handling vs the non-normalized path — the
+            # downstream quality/dedup/decon stages see identical inputs
+            nfc = col.map(
+                lambda t: t if t is None
+                else unicodedata.normalize("NFC", t))
+            changed = (nfc != col) & col.notna()
+            return _pd.DataFrame({"t": nfc, "changed": changed})
 
         obs_u = Observation("pipeline_unicode")
         docs = (docs.withColumn("_u", _nfc(F.col(text_col)))

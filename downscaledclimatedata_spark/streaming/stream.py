@@ -233,6 +233,16 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     this container does not ship — in-container the
     applyInPandasWithState twin is the executed evidence and the TWS
     test skips (same pattern as the xarray NetCDF-4 path)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise RuntimeError(
+            "running_user_totals_tws requires protobuf (the Spark 4 "
+            "transformWithStateInPandas runner imports it); this "
+            "environment does not ship it. Use running_user_totals "
+            "(applyInPandasWithState) — same output contract, "
+            "equivalence-tested against this twin where protobuf "
+            "exists.") from exc
     return (events.select("user_id", "value")
             .groupBy("user_id")
             .transformWithStateInPandas(

@@ -480,3 +480,40 @@ def test_write_audit_publish_gates_bad_data(spark, tmp_path):
     rep3 = write_audit_publish(spark, bad, final, audits)
     assert not rep3["published"]
     assert spark.read.parquet(final).count() == 2
+
+
+def test_write_audit_publish_failed_rename_restores_prior(
+        spark, tmp_path, monkeypatch):
+    """If the staging->final rename fails AFTER audits pass (EXDEV
+    across mounts, permissions), readers must still see the PRIOR
+    snapshot — the publish order renames the live table aside first
+    and restores it on failure, never deleting it up front."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from downscaledclimatedata_spark.operators.maintenance import (
+        write_audit_publish)
+
+    final = str(tmp_path / "published")
+    audits = [("v_neg", F.col("x") < 0)]
+    v1 = spark.createDataFrame([(1, 5), (2, 7)], "k long, x long")
+    assert write_audit_publish(spark, v1, final, audits)["published"]
+
+    real_rename = os.rename
+    staging = final.rstrip("/") + "._staging"
+
+    def failing_rename(src, dst):
+        if src == staging and dst == final:
+            raise OSError(18, "Invalid cross-device link")  # EXDEV
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    v2 = spark.createDataFrame([(3, 9)], "k long, x long")
+    import pytest
+    with pytest.raises(OSError):
+        write_audit_publish(spark, v2, final, audits)
+    monkeypatch.undo()
+    # the prior snapshot survived the failed publish, byte for byte
+    assert spark.read.parquet(final).count() == 2
+    assert not os.path.exists(final.rstrip("/") + "._old")

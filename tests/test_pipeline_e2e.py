@@ -169,3 +169,33 @@ def test_build_normalizes_unicode_before_hashing(spark, tmp_path):
     res2 = build_training_corpus(base, str(tmp_path / "s2"),
                                  budget_tokens=2_000, n_shards=2)
     assert res2.n_normalized == 0
+
+
+def test_normalize_unicode_preserves_null_text(spark, tmp_path):
+    """The opt-in NFC stage must not change NULL handling: a NULL-text
+    document flows through quality/dedup/decontamination with the SAME
+    semantics under normalize_unicode=True as under the default path
+    (previously fillna('') silently rewrote NULL -> empty string)."""
+    from downscaledclimatedata_spark.sources.tables import load_table
+
+    base = load_table(spark, SF_SMOKE, "documents").limit(40)
+    extra = spark.createDataFrame(
+        [(900101, None, "en", "nulltext", 0)], base.schema)
+    docs = base.unionByName(extra)
+
+    res_off = build_training_corpus(
+        docs, str(tmp_path / "off"), budget_tokens=4_000, n_shards=2)
+    res_on = build_training_corpus(
+        docs, str(tmp_path / "on"), budget_tokens=4_000, n_shards=2,
+        normalize_unicode=True)
+    # identical funnel under both configurations
+    assert res_on.n_quality_pass == res_off.n_quality_pass
+    assert res_on.n_after_dedup == res_off.n_after_dedup
+    # the NULL row is not counted as "normalized" (nothing changed)
+    ids_on = {r.doc_id for r in
+              spark.read.parquet(str(tmp_path / "on"))
+              .select("doc_id").collect()}
+    ids_off = {r.doc_id for r in
+               spark.read.parquet(str(tmp_path / "off"))
+               .select("doc_id").collect()}
+    assert ids_on == ids_off

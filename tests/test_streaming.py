@@ -733,3 +733,20 @@ def test_transform_with_state_totals_match_batch(spark, tmp_path):
     for uid, (n, total) in batch.items():
         assert final[uid][0] == n
         assert abs(final[uid][1] - total) < 1e-6
+
+
+def test_transform_with_state_gate_errors_loudly_without_protobuf():
+    """Where the TWS Python runner cannot start (no protobuf), the twin
+    must fail at CALL time with an actionable error naming the
+    executable alternative — not die inside a Spark worker launch."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        pytest.skip("protobuf present: the gate does not fire here")
+    except ImportError:
+        pass
+    from downscaledclimatedata_spark.streaming.stream import (
+        running_user_totals_tws)
+    with pytest.raises(RuntimeError, match="running_user_totals"):
+        running_user_totals_tws(None)
