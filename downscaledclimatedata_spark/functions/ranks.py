@@ -145,3 +145,59 @@ def quantile_ranks(n: int, qs: list[float]) -> list[int]:
         if h != lo_i:
             ranks.add(lo_i + 2)
     return sorted(ranks)
+
+
+def grouped_quantile_cont(df: DataFrame, value_col: str,
+                          qs_named: list[tuple[float, str]],
+                          group_cols: tuple[str, ...] = (),
+                          id_cols: tuple[str, ...] = (),
+                          count_name: str | None = None,
+                          n_bins: int = DEFAULT_BINS) -> DataFrame:
+    """Per-group EXACT interpolated quantiles (``quantile_cont`` /
+    Spark-``percentile`` semantics) as a bounded relation — one row per
+    group with one column per requested quantile — WITHOUT
+    ``percentile()``'s aggregation buffer (per-distinct-value state:
+    ~N/|groups| doubles per reducer on a high-cardinality column).
+
+    Plan: non-NULL values are value-binned, exact 1-based per-group
+    ranks come from :func:`binned_row_number` (windows partitioned on
+    (group, bin) — parallelism ∝ bins, never ∝ |groups|), and the
+    interpolation ``s_lo + (h - floor(h)) * (s_hi - s_lo)`` with
+    ``h = (n-1)*q`` is evaluated in-plan from the ≤2 order statistics
+    per quantile that a conditional-max aggregation picks out. Same
+    IEEE-double formula both engines implement, so results hash-match
+    ``quantile_cont`` (see :func:`interpolated_cuts`). Driver scalars:
+    one global (min, max) pair sizing the bins.
+
+    ``count_name`` additionally emits the per-group NON-NULL value
+    count (the same population the quantile ranks over).
+    """
+    nn = df.filter(F.col(value_col).isNotNull())
+    st = nn.agg(F.min(value_col), F.max(value_col)).first()
+    lo, hi = float(st[0] or 0), float(st[1] or 0)
+    binned = nn.withColumn(
+        "_gqb", value_bin(F.col(value_col).cast("double"), lo, hi, n_bins))
+    ranked = binned_row_number(
+        binned, "_gqb", (value_col, *id_cols),
+        partition_cols=group_cols, out="_gqr", count_col="_gqn")
+    h_of = {name: (F.col("_gqn") - 1).cast("double") * F.lit(float(q))
+            for q, name in qs_named}
+    aggs, sel = [], [F.col(c) for c in group_cols]
+    for q, name in qs_named:
+        h = h_of[name]
+        aggs += [
+            F.max(F.when(F.col("_gqr") == F.floor(h) + 1,
+                         F.col(value_col))).alias(f"_{name}_lo"),
+            F.max(F.when(F.col("_gqr") == F.ceil(h) + 1,
+                         F.col(value_col))).alias(f"_{name}_hi"),
+            F.max(h - F.floor(h).cast("double")).alias(f"_{name}_fr"),
+        ]
+        sel.append((F.col(f"_{name}_lo").cast("double")
+                    + F.col(f"_{name}_fr")
+                    * (F.col(f"_{name}_hi").cast("double")
+                       - F.col(f"_{name}_lo").cast("double")))
+                   .alias(name))
+    if count_name is not None:
+        aggs.append(F.max("_gqn").cast("bigint").alias(count_name))
+        sel.append(F.col(count_name))
+    return ranked.groupBy(*group_cols).agg(*aggs).select(*sel)

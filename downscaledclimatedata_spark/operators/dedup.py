@@ -2607,9 +2607,11 @@ def leakage_safe_split(docs: DataFrame, text_col: str = "text",
     bucket = md5_long(F.col("family_id").cast("string"),
                       seed="famsplit:") % 100
     split = F.when(bucket < train_pct, "train").otherwise("test")
-    return (fam.select(F.col(id_col), F.col("family_id"),
-                       split.alias("split"))
-            .orderBy(id_col))
+    # no trailing global orderBy: the output contract is a relation
+    # (consumers key on id / split), and a corpus-sized range sort buys
+    # determinism nothing at 100 TB (r8 audit sweep)
+    return fam.select(F.col(id_col), F.col("family_id"),
+                      split.alias("split"))
 
 
 def prep_leakage_safe_split_query(spark: SparkSession,

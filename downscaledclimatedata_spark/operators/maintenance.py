@@ -253,7 +253,7 @@ def zorder_layout_stats(df: DataFrame, col_a: str, col_b: str,
     nb = F.expr(f"CAST((({col_b} - min_b) * {top}) "
                 f"div greatest(max_b - min_b, 1) AS BIGINT)")
     z = zorder_key(na, nb, bits)
-    return (df.crossJoin(bounds)
+    return (df.crossJoin(F.broadcast(bounds))
             .select(F.col(col_a).alias("a"), F.col(col_b).alias("b"),
                     (z / F.lit(zmax)).cast("long").alias("bucket"))
             .groupBy("bucket")

@@ -1163,8 +1163,8 @@ def corpus_diff(old: DataFrame, new: DataFrame, text_col: str = "text",
               .when(F.col("old_hash") != F.col("new_hash"),
                     F.lit("changed"))
               .otherwise(F.lit("unchanged")))
-    return joined.select(F.col(id_col), status.alias("status")) \
-        .orderBy(id_col)
+    # corpus-sized output: no trailing global sort (r8 audit sweep)
+    return joined.select(F.col(id_col), status.alias("status"))
 
 
 def prep_corpus_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1224,25 +1224,43 @@ def padding_report(df: DataFrame, text_col: str = "text",
     waste ratio.
 
     Exact integers end to end (counts and sums of token counts); the
-    one ratio divides at the end. Scale: the per-strategy batch index
-    is a row_number window over the whole relation — ordering windows
-    are the one legitimately global step here, and the relation is
-    (id, n_tokens), 16 bytes/doc, NOT corpus bytes; for truly unbounded
-    corpora the same report runs per-shard and the counters add
-    (mergeable by construction).
+    one ratio divides at the end.
+
+    Scale (r8 audit fix): the per-strategy batch index is a GLOBAL
+    exact rank, but never a single-task window — both orderings
+    (arrival id and token length) run on the binned two-phase
+    row_number (functions/ranks.py), the same machinery behind
+    global_shuffle and perplexity_buckets: windows partitioned on a
+    64Ki value bin of the leading sort key, cumulative offsets over the
+    bounded histogram broadcast back. The ranked relation is
+    (id, n_tokens) — 16 bytes/doc — checkpointed once so tokenization
+    runs a single time; driver scalars are the two (min, max) pairs
+    sizing the bins.
     """
+    from downscaledclimatedata_spark.functions.ranks import (
+        binned_row_number, value_bin)
+
     toks = df.select(
         F.col(id_col),
         F.size(F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
                                                    F.lit(""))), WS_RE),
-                        lambda x: x != "")).cast("bigint").alias("n_tokens"))
+                        lambda x: x != "")).cast("bigint").alias("n_tokens")) \
+        .localCheckpoint()
+    st = toks.agg(F.min(id_col), F.max(id_col),
+                  F.min("n_tokens"), F.max("n_tokens")).first()
+    bounds = {id_col: (float(st[0] or 0), float(st[1] or 0)),
+              "n_tokens": (float(st[2] or 0), float(st[3] or 0))}
     out = None
-    for strategy, order in (
-            ("arrival", [F.col(id_col)]),
-            ("length_sorted", [F.col("n_tokens"), F.col(id_col)])):
-        w = Window.orderBy(*order)
-        batched = toks.withColumn(
-            "batch", ((F.row_number().over(w) - 1)
+    for strategy, lead, order in (
+            ("arrival", id_col, [F.col(id_col)]),
+            ("length_sorted", "n_tokens",
+             [F.col("n_tokens"), F.col(id_col)])):
+        lo, hi = bounds[lead]
+        binned = toks.withColumn(
+            "_pbin", value_bin(F.col(lead).cast("double"), lo, hi))
+        batched = binned_row_number(
+            binned, "_pbin", tuple(order), out="_prn").withColumn(
+            "batch", ((F.col("_prn") - 1)
                       / F.lit(batch_size)).cast("bigint"))
         per_batch = batched.groupBy("batch").agg(
             F.count(F.lit(1)).alias("rows"),

@@ -2822,7 +2822,7 @@ def embedding_drift(ref: DataFrame, new: DataFrame, id_col: str = "vec_id",
     rc = assign_counts(ref).withColumnRenamed("n", "n_ref")
     nc = assign_counts(new).withColumnRenamed("n", "n_new")
     tot = (rc.agg(F.sum("n_ref").alias("t_ref"))
-           .crossJoin(nc.agg(F.sum("n_new").alias("t_new"))))
+           .crossJoin(F.broadcast(nc.agg(F.sum("n_new").alias("t_new")))))
     s = DRIFT_TV_SCALE
     joined = (rc.join(nc, "cid", "full_outer")
               .crossJoin(F.broadcast(tot))

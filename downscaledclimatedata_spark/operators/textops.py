@@ -885,14 +885,14 @@ def vocab_growth(df: DataFrame, text_col: str = "text",
              .agg(F.min(F.col(id_col)).alias("first_seen")))
     bucket_of = lambda c: F.expr(  # noqa: E731 — shared exact bucketing
         f"({c} - min_id) div ((max_id - min_id) div {n_buckets} + 1)")
-    new_types = (first.crossJoin(bounds)
+    new_types = (first.crossJoin(F.broadcast(bounds))
                  .groupBy(bucket_of("first_seen").alias("bucket"))
                  .agg(F.count("*").alias("n_new_types")))
     doc_toks = df.select(
         F.col(id_col),
         F.coalesce(F.size(_tokens(F.col(text_col))).cast("bigint"),
                    F.lit(0)).alias("n_toks"))
-    bucket_toks = (doc_toks.crossJoin(bounds)
+    bucket_toks = (doc_toks.crossJoin(F.broadcast(bounds))
                    .groupBy(bucket_of(id_col).alias("bucket"))
                    .agg(F.sum("n_toks").alias("bucket_tokens"),
                         F.count("*").alias("bucket_docs")))
@@ -1378,10 +1378,11 @@ def phrase_search(df: DataFrame, phrase: tuple[str, ...],
         # budgets; the shuffled strategy keyed (doc, pos) co-partitions
         # the whole chain after one exchange per side
         cur = cur.join(nxt.hint("merge"), [id_col, "p0"])
+    # match relation is corpus-scaled for common phrases: no
+    # trailing global sort (r8 audit sweep)
     return (cur.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_matches"),
-                 F.min("p0").cast("bigint").alias("first_pos"))
-            .orderBy(id_col))
+                 F.min("p0").cast("bigint").alias("first_pos")))
 
 
 def text_phrase_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -479,14 +479,30 @@ FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey
 def q46_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p25/p50/p75 defined by rank position (the value at
     ceil(q*n)) so both engines compute identical results — no
-    interpolation-rule drift."""
+    interpolation-rule drift.
+
+    Scale shape (r8 audit fix, q27's precedent): ``row_number() OVER
+    (PARTITION BY l_returnflag)`` has 3 distinct partition values, so 3
+    reducers would sort the whole lineitem table. The two-phase binned
+    rank (functions/ranks.py) computes the IDENTICAL rank with windows
+    partitioned on (returnflag, quantity-bin) — parallelism ∝ bins —
+    plus a broadcast cumulative-offset join over the bounded histogram;
+    the per-group count rides the same histogram. The only driver
+    scalars are the quantity min/max that size the bins."""
+    from downscaledclimatedata_spark.functions.ranks import (
+        binned_row_number, value_bin)
+
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_quantity", "l_orderkey", "l_linenumber")
-    ranked = li.select(
+    base = li.select(
         "l_returnflag", dec("l_quantity", 2).alias("qty"),
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("l_returnflag")).alias("cnt"))
+        "l_orderkey", "l_linenumber")
+    st = base.agg(F.min("qty"), F.max("qty")).first()
+    lo, hi = float(st[0] or 0), float(st[1] or 0)
+    binned = base.withColumn(
+        "_qbin", value_bin(F.col("qty").cast("double"), lo, hi))
+    ranked = binned_row_number(
+        binned, "_qbin", ("qty", "l_orderkey", "l_linenumber"),
+        partition_cols=("l_returnflag",), out="rn", count_col="cnt")
     picks = [
         F.max(F.when(F.col("rn") == F.ceil(F.col("cnt") * q), F.col("qty")))
         .cast("double").alias(name)
@@ -816,24 +832,37 @@ def q65_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation rule can drift between engines; the 3·MAD threshold
     compares correctly-rounded doubles built from identical operands.
     NULL-free by fixture contract; a production run would pre-filter.
-    Same per-group window shape as q27 (few groups, rank within group).
+
+    Scale shape (r8 audit fix): both medians previously ranked via
+    ``row_number() OVER (PARTITION BY event_type)`` — ~5 distinct
+    values, so ~5 reducers sorted the full events table TWICE per
+    query. Both ranks now run on the two-phase binned rank
+    (functions/ranks.py): windows partitioned on (type, value-bin),
+    per-group counts from the bounded histogram, broadcast offset
+    joins. Driver scalars: the two min/max pairs sizing the bins.
     """
+    from downscaledclimatedata_spark.functions.ranks import (
+        binned_row_number, value_bin)
+
     ev = _t(spark, sf_dir, "events")
-    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.select(
-        "event_type", "value", "event_id",
-        F.row_number().over(w1).alias("rn"),
-        F.count("*").over(Window.partitionBy("event_type")).alias("cnt"))
+    base = ev.select("event_type", "value", "event_id")
+    st = base.agg(F.min("value"), F.max("value")).first()
+    lo, hi = float(st[0] or 0), float(st[1] or 0)
+    ranked = binned_row_number(
+        base.withColumn("_vbin", value_bin(F.col("value"), lo, hi)),
+        "_vbin", ("value", "event_id"),
+        partition_cols=("event_type",), out="rn", count_col="cnt")
     med = (ranked.filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
            .select("event_type", F.col("value").alias("med")))
     dev = (ev.join(F.broadcast(med), "event_type")
            .select("event_type", "value", "event_id", "med",
                    F.abs(F.col("value") - F.col("med")).alias("adev")))
-    w2 = Window.partitionBy("event_type").orderBy("adev", "event_id")
-    ranked2 = dev.select(
-        "event_type", "adev",
-        F.row_number().over(w2).alias("rn"),
-        F.count("*").over(Window.partitionBy("event_type")).alias("cnt"))
+    st2 = dev.agg(F.min("adev"), F.max("adev")).first()
+    lo2, hi2 = float(st2[0] or 0), float(st2[1] or 0)
+    ranked2 = binned_row_number(
+        dev.withColumn("_abin", value_bin(F.col("adev"), lo2, hi2)),
+        "_abin", ("adev", "event_id"),
+        partition_cols=("event_type",), out="rn", count_col="cnt")
     mad = (ranked2.filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
            .select("event_type", F.col("adev").alias("mad")))
     flagged = (dev.join(F.broadcast(mad), "event_type")
@@ -1203,19 +1232,30 @@ def q71_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     finger away from useless.
 
     Exactness discipline: the band edges come from exact interpolated
-    percentiles (one tiny per-group aggregate, broadcast back); the
-    surviving values are summed as ROUND(value*100) BIGINTs — cents,
-    not doubles — so the sum is order-independent and the final mean
-    (int_sum / 100 / n) is bit-identical cross-engine. Two shuffles
-    total: the percentile agg and the survivor agg, both keyed on the
-    low-cardinality group — map-side partials collapse each to
-    |groups| rows per task.
+    percentiles (quantile_cont's formula over exact order statistics,
+    broadcast back); the surviving values are summed as
+    ROUND(value*100) BIGINTs — cents, not doubles — so the sum is
+    order-independent and the final mean (int_sum / 100 / n) is
+    bit-identical cross-engine. An ulp of interpolation drift cannot
+    flip the >=/<= band comparisons: the interpolated edge lies in the
+    closed interval of two ADJACENT order statistics, where no data
+    value exists (functions/ranks.py).
+
+    Scale shape (r8 audit fix): ``percentile()``'s aggregation buffer
+    holds per-distinct-value state — ~N/|groups| doubles per reducer on
+    a high-cardinality double column. The band edges now come from
+    :func:`grouped_quantile_cont` (functions/ranks.py): binned
+    two-phase ranks (parallelism ∝ bins) + in-plan interpolation from
+    the ≤2 order statistics per quantile.
     """
+    from downscaledclimatedata_spark.functions.ranks import (
+        grouped_quantile_cont)
+
     ev = _t(spark, sf_dir, "events")
-    bands = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.1)").alias("lo"),
-        F.expr("percentile(value, 0.9)").alias("hi"),
-        F.count(F.lit(1)).alias("n_total"))
+    bands = grouped_quantile_cont(
+        ev, "value", [(0.1, "lo"), (0.9, "hi")],
+        group_cols=("event_type",), id_cols=("event_id",),
+        count_name="n_total")
     kept = (ev.join(F.broadcast(bands), "event_type")
             .filter((F.col("value") >= F.col("lo"))
                     & (F.col("value") <= F.col("hi"))))
@@ -1317,24 +1357,34 @@ def q73_median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     preferred over the mean precisely because it ignores the outliers
     the rows being repaired often are.
 
-    Medians are one tiny per-group aggregate broadcast back — the fact
-    table is scanned once and never shuffled (broadcast hash join on
+    Medians are a bounded per-group relation broadcast back — the fact
+    table is never shuffled for the repair join (broadcast hash join on
     the low-cardinality type), so the repair is a projection at any
     scale.
+
+    Scale shape (r8 audit fix): the exact medians come from
+    :func:`grouped_quantile_cont` (binned two-phase ranks + in-plan
+    interpolation) instead of ``percentile()``'s per-distinct-value
+    aggregation buffer; and the trailing corpus-sized ``orderBy`` is
+    gone — the output contract is a relation, not an ordering, and the
+    driver's hash is order-insensitive.
     """
+    from downscaledclimatedata_spark.functions.ranks import (
+        grouped_quantile_cont)
+
     ev = _t(spark, sf_dir, "events")
     missing = F.col("event_id") % 13 == 0
     masked = ev.withColumn(
         "v", F.when(missing, F.lit(None).cast("double"))
         .otherwise(F.col("value")))
-    med = masked.groupBy("event_type").agg(
-        F.expr("percentile(v, 0.5)").alias("med"))
+    med = grouped_quantile_cont(
+        masked, "v", [(0.5, "med")],
+        group_cols=("event_type",), id_cols=("event_id",))
     return (masked.join(F.broadcast(med), "event_type")
             .select("event_id", "event_type",
                     F.coalesce(F.col("v"), F.col("med"))
                     .alias("value_imputed"),
-                    F.col("v").isNull().alias("was_imputed"))
-            .orderBy("event_id"))
+                    F.col("v").isNull().alias("was_imputed")))
 
 
 _Q73_SQL = """
@@ -1350,7 +1400,6 @@ SELECT m.event_id, m.event_type,
   coalesce(m.v, d.med) AS value_imputed,
   m.v IS NULL AS was_imputed
 FROM masked m JOIN med d USING (event_type)
-ORDER BY m.event_id
 """
 
 register(QuerySpec("q73_median_imputation", q73_median_imputation, _Q73_SQL,
@@ -2073,7 +2122,7 @@ def q85_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n1"), F.col("c").alias("c1"))
     b = per.filter(~F.col("is_a")).select(
         F.col("n").alias("n2"), F.col("c").alias("c2"))
-    j = a.crossJoin(b)
+    j = a.crossJoin(F.broadcast(b))
     d = lambda c: c.cast("decimal(38,0)")
     num = d(F.col("c1")) * d(F.col("n2")) - d(F.col("c2")) * d(F.col("n1"))
     C = d(F.col("c1")) + d(F.col("c2"))

@@ -762,3 +762,46 @@ def test_q93_top_decile_share_hand_segments(spark, tmp_path):
     for line in plan.splitlines():
         if "row_number()" in line:
             assert "_dbin#" in line, plan
+
+
+def test_q46_quartile_rank_is_binned(spark):
+    """Exact per-returnflag quartiles need ranks, but a window
+    partitioned on l_returnflag ALONE is 3 reducers sorting the whole
+    lineitem table. Every row_number window must partition on the
+    quantity bin as well (q27's two-phase discipline)."""
+    import re
+    plan = _plan(spark, "q46_quartiles")
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)",
+                       plan)
+    assert specs, "expected a row_number window in the quartile plan"
+    for s in specs:
+        assert "_qbin#" in s, f"rank window not quantity-binned: {s}"
+
+
+def test_q65_mad_ranks_are_binned(spark):
+    """Both the median and the MAD rank in q65 must partition on a
+    value bin, never on the ~5-value event_type alone — previously the
+    full events table funneled through 5 reducers twice per query."""
+    import re
+    plan = _plan(spark, "q65_anomaly_mad")
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)",
+                       plan)
+    assert len(specs) >= 2, "expected two rank windows (median + MAD)"
+    for s in specs:
+        assert ("_vbin#" in s) or ("_abin#" in s), \
+            f"rank window not value-binned: {s}"
+
+
+def test_padding_report_batch_index_is_binned(spark):
+    """The per-strategy batch index is a GLOBAL exact rank, but must
+    never be a single-task window: every row_number window in the
+    padding report partitions on the 64Ki value bin of its leading
+    sort key (previously Window.orderBy(...) with no partition — one
+    reducer numbering the whole (id, n_tokens) relation, twice)."""
+    import re
+    plan = _plan(spark, "prep_padding_report")
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)",
+                       plan)
+    assert len(specs) >= 2, "expected a rank window per strategy"
+    for s in specs:
+        assert "_pbin#" in s, f"batch-index window not binned: {s}"
