@@ -2713,6 +2713,38 @@ def quality_keep(docs: DataFrame, pairs: DataFrame,
             .orderBy("comp"))
 
 
+def prune_corpus_quality(df: DataFrame, pairs: DataFrame,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """:func:`prune_corpus` with :func:`quality_keep`'s election rule:
+    every near-dup component keeps its HIGHEST-quality member (min-id
+    tie-break) instead of the min id — so a boilerplate-mangled low-id
+    copy can no longer shadow the clean one. Returns the surviving rows
+    of ``df``; unpaired docs pass through untouched.
+
+    Scale: identical to the min-id prune plus one corpus-keyed
+    sort-merge score join restricted to COMPONENT MEMBERS (a semi-join
+    first, so quality is only scored for docs that are in some pair) —
+    the corpus never enters the iterative component build.
+    """
+    from downscaledclimatedata_spark.operators.textops import quality_scores
+
+    comps = connected_components_star(pairs) \
+        .withColumnRenamed("id", id_col)
+    members = df.join(comps.select(id_col).hint("merge"), id_col,
+                      "left_semi")
+    q = quality_scores(members, text_col, id_col) \
+        .select(F.col(id_col), "quality_score")
+    m = comps.join(q.hint("merge"), id_col)
+    winners = (m.groupBy("comp")
+               .agg(F.min(F.struct((-F.col("quality_score")).alias("ns"),
+                                   F.col(id_col).alias("kid"))).alias("w"))
+               .select(F.col("w.kid").alias(id_col)))
+    removed = comps.join(winners, id_col, "left_anti") \
+        .select(F.col(id_col))
+    return df.join(removed, id_col, "left_anti")
+
+
 def dedup_quality_keep_query(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")

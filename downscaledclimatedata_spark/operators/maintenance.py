@@ -1051,13 +1051,25 @@ def write_audit_publish(spark: SparkSession, df: DataFrame,
     on posix/HDFS; on object stores a real deployment substitutes the
     table format's commit, same seam.
     """
+    return publish_audited(
+        spark, final_dir, audits,
+        lambda staging: df.write.mode("errorifexists").format(fmt)
+        .save(staging), fmt=fmt)
+
+
+def publish_audited(spark: SparkSession, final_dir: str, audits: list,
+                    write_fn, fmt: str = "parquet") -> dict:
+    """Generalized WAP core: ``write_fn(staging_dir)`` materializes the
+    table with ANY writer (plain save, hive-partitioned shard write,
+    ...); the audit + aside-rename publish are shared. This is the seam
+    the corpus builder's ``audits=`` option publishes through."""
     import os
     import shutil
 
     staging = final_dir.rstrip("/") + "._staging"
     if os.path.exists(staging):
         shutil.rmtree(staging)
-    df.write.mode("errorifexists").format(fmt).save(staging)
+    write_fn(staging)
     staged = spark.read.format(fmt).load(staging)
     aggs = [F.count(F.lit(1)).alias("_n")]
     for name, cond in audits:

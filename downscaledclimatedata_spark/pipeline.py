@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from downscaledclimatedata_spark.functions.hashing import md5_long
 from downscaledclimatedata_spark.operators.dedup import (
     DECON_NGRAM, contaminated_doc_ids, lsh_candidate_pairs,
-    minhash_signatures, prune_corpus)
+    minhash_signatures, prune_corpus, prune_corpus_quality)
 from downscaledclimatedata_spark.operators.prep import (
     MIX_ACCEPT_MOD, clean_documents, domain_mixture_sample, global_shuffle,
     observed, quality_filter, write_training_shards)
@@ -55,6 +55,7 @@ class CorpusBuildResult:
     n_shards: int
     out_dir: str
     n_normalized: int = 0  # docs whose text changed under NFC (opt-in)
+    publish_report: dict | None = None  # WAP audit report (audits= opt-in)
 
 
 def build_training_corpus(docs: DataFrame, out_dir: str, *,
@@ -63,6 +64,8 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
                           eval_docs: DataFrame | None = None,
                           decon_n: int = DECON_NGRAM,
                           normalize_unicode: bool = False,
+                          keep: str = "min_id",
+                          audits: list | None = None,
                           text_col: str = "text", id_col: str = "doc_id",
                           source_col: str = "source") -> CorpusBuildResult:
     """Raw documents -> written training shards; returns stage counts.
@@ -89,6 +92,20 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
     ``domain_mixture_sample``'s summary (a broadcastable |sources|-row
     relation), so the sample drawn here is exactly the one the
     registered spec accounts for.
+
+    ``keep`` picks the near-dup representative rule: ``"min_id"``
+    (default, the registry-oracled funnel) or ``"quality"`` — every
+    component keeps its highest-quality member (dedup.py
+    ``prune_corpus_quality``; ``quality_keep``'s ``beats_min_id``
+    measures what the naive rule costs on a given corpus).
+
+    ``audits`` (opt-in, list of (name, violation Column) pairs) routes
+    the shard write through write-audit-publish
+    (maintenance.py ``publish_audited``): shards stage beside
+    ``out_dir``, the audits run over the STAGED BYTES, and only a clean
+    report publishes — a failed audit leaves any prior snapshot at
+    ``out_dir`` untouched and the staging files for inspection
+    (``publish_report`` carries the verdict either way).
     """
     from pyspark.sql import Observation
 
@@ -156,10 +173,13 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
         n_decon = int(n_quality) - int(obs_c.get["n_rows"])
 
     # Stage 2: near-dup prune over the checkpointed survivors.
+    if keep not in ("min_id", "quality"):
+        raise ValueError(f"keep must be 'min_id' or 'quality': {keep!r}")
+    prune = prune_corpus if keep == "min_id" else prune_corpus_quality
     sigs = minhash_signatures(quality_docs, text_col, id_col)
     obs_d = Observation("pipeline_dedup")
-    deduped = prune_corpus(quality_docs, lsh_candidate_pairs(sigs, id_col),
-                           text_col, id_col) \
+    deduped = prune(quality_docs, lsh_candidate_pairs(sigs, id_col),
+                    text_col, id_col) \
         .observe(obs_d, F.count(F.lit(1)).alias("n_rows")) \
         .localCheckpoint()
     n_dedup = obs_d.get["n_rows"]
@@ -188,14 +208,23 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
     order = global_shuffle(obs_df, n_shards, id_col=id_col,
                            seed=f"{seed}-order")
     final = obs_df.join(order, id_col)
-    write_training_shards(final, out_dir)
+    publish_report = None
+    if audits is not None:
+        from downscaledclimatedata_spark.operators.maintenance import (
+            publish_audited)
+        publish_report = publish_audited(
+            docs.sparkSession, out_dir, audits,
+            lambda staging: write_training_shards(final, staging))
+    else:
+        write_training_shards(final, out_dir)
 
     return CorpusBuildResult(
         n_input=n_input, n_quality_pass=n_quality,
         n_decontaminated=n_decon, n_after_dedup=n_dedup,
         n_sampled=metrics["n_rows"],
         total_tokens=int(metrics["total_tokens"] or 0),
-        n_shards=n_shards, out_dir=out_dir, n_normalized=n_normalized)
+        n_shards=n_shards, out_dir=out_dir, n_normalized=n_normalized,
+        publish_report=publish_report)
 
 
 def pipeline_corpus_build_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -199,3 +199,80 @@ def test_normalize_unicode_preserves_null_text(spark, tmp_path):
                spark.read.parquet(str(tmp_path / "off"))
                .select("doc_id").collect()}
     assert ids_on == ids_off
+
+
+def test_build_keep_quality_elects_clean_representative(spark, tmp_path):
+    """keep='quality' routes the prune through the quality election: a
+    near-dup pair whose LOW id is the degraded copy keeps the clean
+    high-id doc; the default min-id rule on the same corpus keeps the
+    degraded one. Same funnel counts either way (one survivor)."""
+    from downscaledclimatedata_spark.operators.prep import quality_filter
+    from downscaledclimatedata_spark.sources.tables import load_table
+
+    # crafted to PASS the Gopher gate (mostly-unique short words, two
+    # stopword kinds, mean word len in [4,10], top-token ratio < 0.12
+    # even after the spam filler) while the filler crushes the
+    # degraded copy's unique-token quality term
+    words = []
+    for i in range(230):
+        words.append(f"tok{i}wd")
+        if i % 40 == 0:
+            words.extend(["the", "of"])
+    rich = " ".join(words)
+    degraded = rich + " spam" * 28
+    base = load_table(spark, SF_SMOKE, "documents").limit(30)
+    extra = spark.createDataFrame(
+        [(910, degraded, "en", "plant", len(degraded)),
+         (920, rich, "en", "plant", len(rich))], base.schema)
+    docs = base.unionByName(extra)
+    # the planted pair must survive the quality gate or no pair forms
+    gate = {r.doc_id for r in
+            quality_filter(extra, "text", "doc_id", keep_input=True)
+            .filter("passes").select("doc_id").collect()}
+    assert gate == {910, 920}, f"planted docs fell to quality: {gate}"
+
+    kept = {}
+    for keep in ("min_id", "quality"):
+        out = str(tmp_path / keep)
+        res = build_training_corpus(docs, out, budget_tokens=10**9,
+                                    n_shards=2, keep=keep)
+        ids = {r.doc_id for r in
+               spark.read.parquet(out).select("doc_id").collect()}
+        kept[keep] = ids & {910, 920}
+        assert res.n_after_dedup < res.n_quality_pass  # a prune happened
+    assert kept["min_id"] == {910}
+    assert kept["quality"] == {920}
+
+
+def test_build_audited_publish_gates_and_preserves_prior(spark, tmp_path):
+    """audits= routes the shard write through write-audit-publish: a
+    clean audit publishes the hive-partitioned shards atomically; a
+    failing audit leaves the PRIOR published corpus untouched and the
+    staged shards on disk for inspection."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from downscaledclimatedata_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    out = str(tmp_path / "corpus")
+    ok = [("v_null_text", F.col("content_text").isNull()),
+          ("v_bad_shard", F.col("shard").isNull())]
+    res1 = build_training_corpus(docs, out, budget_tokens=5_000,
+                                 n_shards=2, audits=ok)
+    rep1 = res1.publish_report
+    assert rep1["passed"] and rep1["published"]
+    assert rep1["v_null_text"] == 0 and rep1["n_rows"] == res1.n_sampled
+    assert spark.read.parquet(out).count() == res1.n_sampled
+
+    # second epoch fails its audit: every staged row "violates"
+    res2 = build_training_corpus(docs, out, budget_tokens=5_000,
+                                 n_shards=2, seed="epoch1",
+                                 audits=[("v_always", F.lit(True))])
+    rep2 = res2.publish_report
+    assert not rep2["passed"] and not rep2["published"]
+    assert rep2["v_always"] == rep2["n_rows"] > 0
+    assert os.path.exists(rep2["staging"])          # kept for inspection
+    # the prior epoch's corpus is still what readers see
+    assert spark.read.parquet(out).count() == res1.n_sampled
