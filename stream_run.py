@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""Recorded streaming end-to-end sweep: drive the four streaming twins
+"""Recorded streaming end-to-end sweep: drive the six streaming twins
 (exact-dedup prep, minhash near-dup index, LSH semantic ANN index,
-CMS+Bloom sketch index) over a corpusgen-derived micro-batched corpus,
+CMS+Bloom sketch index, multi-signal minhash+simhash index,
+bounded-state watermark dedup) over micro-batched corpora,
 then verify each against its BATCH twin / exact ground truth, and emit
 STREAM_r{N}.json — the committed artifact for the exactly-once and
 stream==batch claims (round-7 advice #8).
@@ -19,6 +20,13 @@ Checks per phase (all booleans recorded; n_bad counts failures):
 * sketches      — folded CMS cells == batch one-shot cells cell-wise;
                   CMS point estimates >= exact counts (overestimate
                   only); Bloom has no false negatives over a probe set.
+* multisignal   — every planted cross-batch duplicate flagged by BOTH
+                  signals; every reported simhash match re-verifies
+                  hamming <= max against batch fingerprints.
+* bounded_dedup — within-horizon duplicate suppressed; first
+                  occurrences emitted once; a very-late replay after
+                  watermark eviction is re-emitted (the documented
+                  bounded-state trade).
 
 Throughput (docs/sec wall-clock per phase, micro-batch count) is
 recorded so the stream surface has a number, like bench.py gives the
@@ -226,6 +234,119 @@ def main() -> None:
                        exact["zzz_absent_term"] == 0,
                        "bloom_no_false_negatives":
                        all(memb[t] for t in probe if exact[t] > 0)}}
+
+        # ---- phase 5: multi-signal (minhash + simhash) index -------------
+        from downscaledclimatedata_spark.operators.dedup import (
+            SIMHASH_HAM_MAX, simhash)
+        from downscaledclimatedata_spark.streaming.neardup import (
+            batch_multi_signal_candidates)
+
+        ms_pairs: set = set()
+        t0 = time.time()
+        q = start_neardup_stream(
+            docs_stream(spark, docs_dir), f"{work}/ms_index",
+            lambda df, _e: ms_pairs.update((r.new_id, r.match_id, r.signal)
+                                           for r in df.collect()),
+            f"{work}/ms_ckpt",
+            candidate_builder=batch_multi_signal_candidates,
+            compact_every=4, compact_sort=["signal", "k2"])
+        q.awaitTermination(600)
+        el = time.time() - t0
+        # every reported simhash match must hamming-verify against the
+        # batch-computed fingerprints of the full corpus
+        sim_pairs = [(a, b) for a, b, s in ms_pairs if s == "simhash"]
+        if sim_pairs:
+            fps = simhash(full_df, "text", "doc_id")
+            sp = spark.createDataFrame(sim_pairs,
+                                       "new_id long, match_id long")
+            bad_ham = (sp.join(fps.select(F.col("doc_id").alias("new_id"),
+                                          F.col("simhash").alias("fa")),
+                               "new_id")
+                       .join(fps.select(F.col("doc_id").alias("match_id"),
+                                        F.col("simhash").alias("fb")),
+                             "match_id")
+                       .filter(F.bit_count(F.col("fa").bitwiseXOR(
+                           F.col("fb"))) > SIMHASH_HAM_MAX).count())
+        else:
+            bad_ham = 0
+        by_sig = {s: {(a, b) for a, b, s2 in ms_pairs if s2 == s}
+                  for s in ("minhash", "simhash")}
+        out["phases"]["multisignal"] = {
+            "elapsed_sec": round(el, 2), "docs_per_sec": round(n_rows / el),
+            "batches": n_files, "pairs_reported": len(ms_pairs),
+            "checks": {
+                # planted dups are EXACT copies in a later batch: both
+                # signals must flag every one against its original
+                "planted_dups_flagged_by_minhash":
+                all(p in by_sig["minhash"] for p in planted),
+                "planted_dups_flagged_by_simhash":
+                all(p in by_sig["simhash"] for p in planted),
+                "all_simhash_matches_hamming_verify": bad_ham == 0,
+                "no_self_pairs":
+                all(a != b for a, b, _s in ms_pairs)}}
+
+        # ---- phase 6: bounded-state streaming dedup ----------------------
+        import datetime as dt
+
+        import pandas as pd
+
+        from downscaledclimatedata_spark.streaming.stream import (
+            dedup_events_bounded)
+
+        ev_dir = f"{work}/ev"
+        os.makedirs(ev_dir, exist_ok=True)
+        e0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+        ev_batches = [
+            [(1, e0, 7, "view", 1.0, ""), (2, e0, 8, "click", 1.0, "")],
+            # id 1 again inside the 10-min horizon -> suppressed
+            [(1, e0 + dt.timedelta(minutes=1), 7, "view", 1.0, "")],
+            # watermark pushers (cleanup runs a batch behind the data)
+            [(3, e0 + dt.timedelta(hours=2), 9, "view", 1.0, "")],
+            [(4, e0 + dt.timedelta(hours=2, minutes=5), 9, "view",
+              1.0, "")],
+            # very-late replay of id 1 -> state evicted -> re-emitted
+            [(1, e0 + dt.timedelta(hours=2, minutes=6), 7, "view",
+              1.0, "")],
+        ]
+        for i, rows in enumerate(ev_batches):
+            pd.DataFrame(rows, columns=[
+                "event_id", "ts", "user_id", "event_type", "value", "props"
+            ]).to_parquet(f"{ev_dir}/b{i}.parquet", index=False,
+                          coerce_timestamps="us",
+                          allow_truncated_timestamps=True)
+            time.sleep(0.05)  # mtime order -> deterministic batch order
+        ev_stream = (spark.readStream
+                     .schema("event_id long, ts timestamp, user_id long, "
+                             "event_type string, value double, "
+                             "props string")
+                     .option("maxFilesPerTrigger", 1).parquet(ev_dir))
+        t0 = time.time()
+        q = (dedup_events_bounded(ev_stream)
+             .writeStream.format("memory").queryName("stream_run_bd")
+             .outputMode("append")
+             .option("checkpointLocation", f"{work}/bd_ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        el = time.time() - t0
+        by_id: dict = {}
+        for r in spark.table("stream_run_bd").collect():
+            by_id.setdefault(r.event_id, []).append(r.ts)
+        out["phases"]["bounded_dedup"] = {
+            "elapsed_sec": round(el, 2),
+            "batches": len(ev_batches),
+            "emitted": sum(len(v) for v in by_id.values()),
+            "checks": {
+                "first_occurrences_emitted":
+                sorted(by_id.get(2, [])) == [e0]
+                and sorted(by_id.get(3, []))
+                == [e0 + dt.timedelta(hours=2)]
+                and sorted(by_id.get(4, []))
+                == [e0 + dt.timedelta(hours=2, minutes=5)],
+                "within_horizon_duplicate_suppressed":
+                e0 + dt.timedelta(minutes=1) not in by_id.get(1, []),
+                "post_eviction_replay_reemitted":
+                sorted(by_id.get(1, []))
+                == [e0, e0 + dt.timedelta(hours=2, minutes=6)]}}
 
         n_bad = sum(1 for ph in out["phases"].values()
                     for ok in ph["checks"].values() if not ok)
