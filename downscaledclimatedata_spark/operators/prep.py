@@ -1512,3 +1512,108 @@ register(QuerySpec(
                 "placed deterministically so the allocation sums to "
                 "the budget TO THE TOKEN; all windows over the bounded "
                 "source relation"))
+
+
+# --- data-constrained epoch schedule (repetition planner) -------------------------
+
+MAX_EPOCHS = 4
+
+
+def epoch_schedule(df: DataFrame, budget_tokens: int,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   source_col: str = "source",
+                   max_epochs: int = MAX_EPOCHS) -> DataFrame:
+    """Data-constrained repetition plan: how many epochs each source
+    repeats to fill its share of a token budget — the schedule a
+    data-constrained training run derives when unique data is scarcer
+    than compute (repeat clean sources a few epochs, never past the
+    point of diminishing returns; cap at ``max_epochs``).
+
+    Per source (exact integer arithmetic end to end):
+      quota   = budget * n_tokens / total_tokens   (proportional share,
+                truncating div — identical in both engines on
+                nonnegative operands)
+      epochs  = ceil(quota / n_tokens), clamped to [1, max_epochs]
+      used    = min(quota, n_tokens * max_epochs)
+      deficit = quota - used  (> 0 iff even max_epochs repeats cannot
+                fill the share — the budget the mixture must
+                reallocate)
+
+    Scale: one corpus scan to |sources| token sums (map-side partials);
+    every subsequent expression runs on the bounded summary. Products
+    as DECIMAL(38,0) — budget * n_tokens overflows int64 at ~1e9 docs.
+    """
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
+                                               F.lit(""))), WS_RE),
+                    lambda x: x != "")
+    per = (df.groupBy(source_col)
+           .agg(F.sum(F.size(toks).cast("bigint")).alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_docs")))
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    d = lambda c: c.cast("decimal(38,0)")
+    # floor, not cast: Spark's decimal->decimal cast rounds HALF_UP
+    # while the oracle's HUGEINT // truncates — floor on positive
+    # operands matches // exactly
+    quota = F.floor(d(F.lit(int(budget_tokens))) * d(F.col("n_tokens"))
+                    / d(F.col("total_tokens")))
+    j = per.crossJoin(F.broadcast(tot)) \
+        .filter(F.col("n_tokens") > 0) \
+        .withColumn("quota", quota.cast("bigint"))
+    nt = F.col("n_tokens")
+    epochs = F.least(
+        F.greatest(((F.col("quota") + nt - 1) / nt).cast("bigint"),
+                   F.lit(1)),
+        F.lit(int(max_epochs)))
+    used = F.least(F.col("quota"), nt * F.lit(int(max_epochs)))
+    return (j.select(
+        F.col(source_col).alias("source"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        nt.cast("bigint").alias("n_tokens"),
+        F.col("quota").cast("bigint").alias("quota_tokens"),
+        epochs.cast("bigint").alias("epochs"),
+        used.cast("bigint").alias("used_tokens"),
+        (F.col("quota") - used).cast("bigint").alias("deficit_tokens"))
+        .orderBy("source"))
+
+
+def prep_epoch_schedule_query(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_schedule(docs, budget_tokens=5_000_000)
+
+
+_EPOCH_TOKS = (r"list_filter(string_split_regex(lower(coalesce(text, '')), "
+               r"'[ \t\n\r\f\x0B]+'), x -> x <> '')")
+
+_EPOCH_SQL = f"""
+WITH per AS (
+  SELECT source,
+    CAST(SUM(len({_EPOCH_TOKS})) AS BIGINT) AS n_tokens,
+    COUNT(*) AS n_docs
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n_tokens) AS total_tokens FROM per
+), j AS (
+  SELECT p.source, p.n_docs, p.n_tokens,
+    CAST(CAST(5000000 AS HUGEINT) * CAST(p.n_tokens AS HUGEINT)
+         // CAST(t.total_tokens AS HUGEINT) AS BIGINT) AS quota
+  FROM per p CROSS JOIN tot t
+  WHERE p.n_tokens > 0
+)
+SELECT source,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  n_tokens,
+  quota AS quota_tokens,
+  CAST(LEAST(GREATEST((quota + n_tokens - 1) // n_tokens, 1), 4)
+       AS BIGINT) AS epochs,
+  CAST(LEAST(quota, n_tokens * 4) AS BIGINT) AS used_tokens,
+  CAST(quota - LEAST(quota, n_tokens * 4) AS BIGINT) AS deficit_tokens
+FROM j ORDER BY source
+"""
+
+register(QuerySpec(
+    "prep_epoch_schedule", prep_epoch_schedule_query, _EPOCH_SQL,
+    description="data-constrained repetition plan per source: "
+                "proportional token quota, epoch count (ceil, capped), "
+                "usable mass and unfillable deficit — exact integers "
+                "on the bounded source summary"))

@@ -2690,3 +2690,90 @@ register(QuerySpec(
     description="encoding-damage detection: UTF-8-as-Latin-1 artifact "
                 "count per doc (literal alternation, engine-identical "
                 "spans), shuffle-free projection"))
+
+
+# --- vocabulary coverage / OOV rate on a held-out split ---------------------------
+
+def oov_rate(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Out-of-vocabulary rate of a frozen vocabulary on held-out text:
+    the vocabulary is every distinct token of the TRAIN half (even doc
+    ids — the engine's deterministic split idiom), measured per
+    language on the TEST half as both token-occurrence OOV mass and
+    distinct-type OOV — the first number a tokenizer/vocab budget
+    review asks for (what fraction of tomorrow's text does today's
+    vocab not cover?).
+
+    Scale: one explode per half; the vocab relation is DISTINCT tokens
+    (vocab-bounded, far below corpus scale) and the membership test is
+    a token-keyed left join of test-token COUNTS (not occurrences)
+    against it — the stopword head partial-combines map-side before
+    the shuffle, so the join carries |test types| rows, and the final
+    report is a |langs|-row aggregate. No windows, no sorts.
+    """
+    toks = df.select(F.col(id_col), F.col("lang"),
+                     F.explode(_tokens(F.coalesce(F.col(text_col),
+                                                  F.lit("")))).alias("t"))
+    vocab = (toks.filter(F.col(id_col) % 2 == 0)
+             .select("t").distinct()
+             .withColumn("in_vocab", F.lit(1)))
+    test = (toks.filter(F.col(id_col) % 2 == 1)
+            .groupBy("lang", "t").agg(F.count(F.lit(1)).alias("n")))
+    j = test.join(vocab.hint("merge"), "t", "left")
+    oov = F.col("in_vocab").isNull()
+    return (j.groupBy("lang")
+            .agg(F.sum("n").alias("n_tokens"),
+                 F.sum(F.when(oov, F.col("n")).otherwise(0))
+                 .alias("n_oov"),
+                 F.count(F.lit(1)).alias("n_types"),
+                 F.sum(F.when(oov, 1).otherwise(0)).alias("n_oov_types"))
+            .select("lang",
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.col("n_oov").cast("bigint").alias("n_oov"),
+                    F.when(F.col("n_tokens") > 0,
+                           F.col("n_oov").cast("double")
+                           / F.col("n_tokens").cast("double"))
+                    .otherwise(F.lit(0.0)).alias("oov_rate"),
+                    F.col("n_types").cast("bigint").alias("n_types"),
+                    F.col("n_oov_types").cast("bigint")
+                    .alias("n_oov_types"))
+            .orderBy("lang"))
+
+
+def text_oov_rate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return oov_rate(load_table_parallel(spark, sf_dir, "documents",
+                                        key="doc_id"))
+
+
+_OOV_TOKS = (r"list_filter(string_split_regex(lower(coalesce(text, '')), "
+             r"'[ \t\n\r\f\x0B]+'), x -> x <> '')")
+
+_OOV_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_OOV_TOKS}) AS t FROM documents
+), vocab AS (
+  SELECT DISTINCT t FROM toks WHERE doc_id % 2 = 0
+), test AS (
+  SELECT lang, t, COUNT(*) AS n FROM toks WHERE doc_id % 2 = 1
+  GROUP BY lang, t
+), j AS (
+  SELECT test.lang, test.t, test.n, vocab.t IS NULL AS oov
+  FROM test LEFT JOIN vocab ON test.t = vocab.t
+)
+SELECT lang,
+  CAST(SUM(n) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN oov THEN n ELSE 0 END) AS BIGINT) AS n_oov,
+  CASE WHEN SUM(n) > 0
+       THEN CAST(SUM(CASE WHEN oov THEN n ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(n) AS DOUBLE) ELSE 0.0 END AS oov_rate,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_types
+FROM j GROUP BY lang ORDER BY lang
+"""
+
+register(QuerySpec(
+    "text_oov_rate", text_oov_rate_query, _OOV_SQL,
+    description="frozen-vocab OOV rate on a held-out split, per "
+                "language: occurrence mass and distinct types; "
+                "membership join carries type counts, never "
+                "occurrences"))

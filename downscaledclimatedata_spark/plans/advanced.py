@@ -2820,3 +2820,306 @@ register(QuerySpec("q93_top_decile_share", q93_top_decile_share, _Q93_SQL,
                                "via the binned two-phase rank; exact "
                                "cents mass, positive-operand ceil, one "
                                "division"))
+
+
+# --- q94: ordered conversion funnel ---------------------------------------------
+
+def q94_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step ordered funnel (view -> click -> purchase): a user
+    reaches step k only via a strictly increasing (ts, event_id) chain
+    through the earlier steps — earliest QUALIFYING event per step,
+    ties broken on event_id so both engines agree. Sequential-chain
+    semantics, deliberately different from q66's first-timestamps
+    funnel: a user whose first click precedes their first view still
+    converts here if ANY later click follows the chosen view (q66
+    drops them), which is how funnel engines actually match steps.
+
+    Plan: three user-keyed aggregations, each a sort-merge join of the
+    events relation against the previous step's bounded-per-user
+    struct-min — one row per user per step, no window over the event
+    stream and no per-user sort. Counts are exact integers; the two
+    conversion rates divide once at the end.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                            "event_type")
+
+    def step_min(df, etype):
+        return (df.filter(F.col("event_type") == etype)
+                .groupBy("user_id")
+                .agg(F.min(F.struct("ts", "event_id")).alias("m"))
+                .select("user_id", F.col("m.ts").alias("t"),
+                        F.col("m.event_id").alias("e")))
+
+    after = lambda t, e: ((F.col("ts") > t)
+                          | ((F.col("ts") == t) & (F.col("event_id") > e)))
+    s1 = step_min(ev, "view")
+    s2 = step_min(
+        ev.join(s1.withColumnRenamed("t", "t1").withColumnRenamed("e", "e1")
+                .hint("merge"), "user_id")
+        .filter(after(F.col("t1"), F.col("e1"))), "click")
+    s3 = step_min(
+        ev.join(s2.withColumnRenamed("t", "t2").withColumnRenamed("e", "e2")
+                .hint("merge"), "user_id")
+        .filter(after(F.col("t2"), F.col("e2"))), "purchase")
+    n1, n2, n3 = (s.agg(F.count(F.lit(1)).alias("n")) for s in (s1, s2, s3))
+    return (n1.select(F.col("n").alias("n_view"))
+            .crossJoin(F.broadcast(n2.select(F.col("n").alias("n_click"))))
+            .crossJoin(F.broadcast(n3.select(F.col("n").alias("n_purchase"))))
+            .select(
+                F.col("n_view").cast("bigint").alias("n_view"),
+                F.col("n_click").cast("bigint").alias("n_click"),
+                F.col("n_purchase").cast("bigint").alias("n_purchase"),
+                F.when(F.col("n_view") > 0,
+                       F.col("n_click").cast("double")
+                       / F.col("n_view").cast("double"))
+                .otherwise(F.lit(0.0)).alias("view_to_click"),
+                F.when(F.col("n_click") > 0,
+                       F.col("n_purchase").cast("double")
+                       / F.col("n_click").cast("double"))
+                .otherwise(F.lit(0.0)).alias("click_to_purchase")))
+
+
+def _q94_sql() -> str:
+    """Composed funnel oracle: each step is the (ts, event_id)-lexical
+    min of qualifying events; step k qualifies only strictly after step
+    k-1's pick. Steps use per-user ROW_NUMBER picks — fine in the
+    oracle engine at sf0.01; the Spark side uses struct-min
+    aggregations instead (no per-user window)."""
+    return """
+WITH s1 AS (
+  SELECT user_id, t, e FROM (
+    SELECT user_id, ts AS t, event_id AS e,
+      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'view') WHERE rn = 1
+), s2 AS (
+  SELECT user_id, t, e FROM (
+    SELECT ev.user_id, ev.ts AS t, ev.event_id AS e,
+      ROW_NUMBER() OVER (PARTITION BY ev.user_id
+                         ORDER BY ev.ts, ev.event_id) AS rn
+    FROM events ev JOIN s1 USING (user_id)
+    WHERE ev.event_type = 'click'
+      AND (ev.ts > s1.t OR (ev.ts = s1.t AND ev.event_id > s1.e))
+  ) WHERE rn = 1
+), s3 AS (
+  SELECT user_id, t, e FROM (
+    SELECT ev.user_id, ev.ts AS t, ev.event_id AS e,
+      ROW_NUMBER() OVER (PARTITION BY ev.user_id
+                         ORDER BY ev.ts, ev.event_id) AS rn
+    FROM events ev JOIN s2 USING (user_id)
+    WHERE ev.event_type = 'purchase'
+      AND (ev.ts > s2.t OR (ev.ts = s2.t AND ev.event_id > s2.e))
+  ) WHERE rn = 1
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_view,
+  CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click,
+  CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase,
+  CASE WHEN (SELECT COUNT(*) FROM s1) > 0 THEN
+    CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+      / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) ELSE 0.0 END
+    AS view_to_click,
+  CASE WHEN (SELECT COUNT(*) FROM s2) > 0 THEN
+    CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+      / CAST((SELECT COUNT(*) FROM s2) AS DOUBLE) ELSE 0.0 END
+    AS click_to_purchase
+"""
+
+
+register(QuerySpec("q94_funnel", q94_funnel, _q94_sql(),
+                   description="ordered view->click->purchase funnel: "
+                               "per-step earliest qualifying event via "
+                               "struct-min chains, strict (ts, id) "
+                               "ordering between steps"))
+
+
+# --- q95: weekly cohort retention triangle --------------------------------------
+
+def q95_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by their first
+    active epoch-week; for every (cohort, week-offset) cell, how many
+    of that cohort were active — plus the retained fraction of the
+    cohort's size. THE growth chart every subscription dashboard draws.
+
+    Plan: one scan to the distinct (week, user) presence relation;
+    per-user first week is a partial-min over that relation; the cell
+    counts are one aggregate over the user-keyed merge join of the two
+    — no window over the event stream, all counts exact integers, the
+    retention fraction divides once per (|cohorts| x |offsets|) output
+    row.
+    """
+    ev = _t(spark, sf_dir, "events")
+    week = (F.unix_timestamp("ts") / F.lit(604800)).cast("bigint")
+    pres = ev.select(week.alias("week"), "user_id").distinct()
+    first = pres.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    cells = (pres.join(first.hint("merge"), "user_id")
+             .groupBy("cohort", (F.col("week") - F.col("cohort"))
+                      .alias("offset_weeks"))
+             .agg(F.count(F.lit(1)).alias("n_active")))
+    return (cells.join(F.broadcast(sizes), "cohort")
+            .select(F.col("cohort").cast("bigint").alias("cohort"),
+                    F.col("offset_weeks").cast("bigint")
+                    .alias("offset_weeks"),
+                    F.col("n_active").cast("bigint").alias("n_active"),
+                    F.col("cohort_size").cast("bigint")
+                    .alias("cohort_size"),
+                    (F.col("n_active").cast("double")
+                     / F.col("cohort_size").cast("double"))
+                    .alias("retained_frac"))
+            .orderBy("cohort", "offset_weeks"))
+
+
+_Q95_SQL = """
+WITH pres AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+    user_id
+  FROM events
+), first AS (
+  SELECT user_id, MIN(week) AS cohort FROM pres GROUP BY user_id
+), sizes AS (
+  SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY cohort
+), cells AS (
+  SELECT f.cohort, p.week - f.cohort AS offset_weeks,
+    COUNT(*) AS n_active
+  FROM pres p JOIN first f USING (user_id)
+  GROUP BY f.cohort, p.week - f.cohort
+)
+SELECT c.cohort, c.offset_weeks,
+  CAST(c.n_active AS BIGINT) AS n_active,
+  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+  CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+    AS retained_frac
+FROM cells c JOIN sizes s USING (cohort)
+ORDER BY c.cohort, c.offset_weeks
+"""
+
+register(QuerySpec("q95_cohort_retention", q95_cohort_retention, _Q95_SQL,
+                   description="weekly cohort retention triangle: "
+                               "distinct presence -> first-week cohorts "
+                               "-> exact cell counts + retained "
+                               "fraction"))
+
+
+# --- q96: rolling 7-day active users --------------------------------------------
+
+def q96_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (the WAU curve a
+    DAU/WAU/MAU dashboard interpolates): a user active on day d counts
+    toward every window day in [d, d+6].
+
+    Sliding-window DISTINCT does not decompose as a windowed sum — the
+    same user may appear on several days of one window. The exact
+    decomposition used here: dedup the stream to day-grain presence
+    FIRST (the only corpus-sized step, one shuffle), then explode each
+    presence row to the <= 7 window days it serves and count DISTINCT
+    (user) per window day. The 7x expansion applies to the DAY-GRAIN
+    relation (|users| x |days|, thousands of times smaller than the
+    event stream), never to raw events. Output restricted to window
+    days with at least one active day inside the data's span.
+    """
+    ev = _t(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / F.lit(86400)).cast("bigint")
+    pres = ev.select(day.alias("day"), "user_id").distinct()
+    hi = pres.agg(F.max("day").alias("max_day"))
+    win = (pres.select(
+        "user_id", "day",
+        F.explode(F.sequence(F.col("day"),
+                             F.col("day") + F.lit(6))).alias("wday")))
+    return (win.crossJoin(F.broadcast(hi))
+            .filter(F.col("wday") <= F.col("max_day"))
+            .groupBy("wday")
+            .agg(F.countDistinct("user_id").alias("wau"))
+            .select(F.col("wday").cast("bigint").alias("wday"),
+                    F.col("wau").cast("bigint").alias("wau"))
+            .orderBy("wday"))
+
+
+_Q96_SQL = """
+WITH pres AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    user_id
+  FROM events
+), win AS (
+  SELECT p.user_id, p.day + o.off AS wday
+  FROM pres p CROSS JOIN (
+    SELECT UNNEST(range(7)) AS off) o
+)
+SELECT wday, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+FROM win
+WHERE wday <= (SELECT MAX(day) FROM pres)
+GROUP BY wday ORDER BY wday
+"""
+
+register(QuerySpec("q96_rolling_active", q96_rolling_active, _Q96_SQL,
+                   description="rolling 7-day distinct active users: "
+                               "day-grain dedup first, then bounded 7x "
+                               "window expansion of the presence "
+                               "relation"))
+
+
+# --- q97: source concentration (HHI) per language -------------------------------
+
+def q97_source_concentration(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Corpus-diversity report: per language, the Herfindahl–Hirschman
+    concentration of documents across sources, the effective number of
+    sources (1/HHI), and the top source's share — the numbers a dataset
+    card quotes when it claims the corpus is not one crawl in a trench
+    coat. Log-free on purpose: HHI = sum((n_i/N)^2) is an exact
+    rational (sum of squared bigints over a squared bigint), so both
+    engines produce bit-identical doubles with ONE division — entropy's
+    per-row log() would hash-flakily diverge between libm builds.
+
+    Plan: two bounded aggregations (|lang x source| then |lang|) after
+    one scan with map-side partials; squares summed as DECIMAL(38,0) so
+    1e11-doc sources cannot overflow the int64 sum.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    per = (docs.groupBy("lang", "source")
+           .agg(F.count(F.lit(1)).alias("n")))
+    d = F.col("n").cast("decimal(38,0)")
+    agg = (per.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_sources"),
+                F.sum("n").alias("n_docs"),
+                F.sum(d * d).alias("sum_sq"),
+                F.max("n").alias("top_n")))
+    N = F.col("n_docs").cast("double")
+    hhi = F.col("sum_sq").cast("double") / (N * N)
+    return (agg.select(
+        "lang",
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        hhi.alias("hhi"),
+        (F.lit(1.0) / hhi).alias("effective_sources"),
+        (F.col("top_n").cast("double") / N).alias("top_share"))
+        .orderBy("lang"))
+
+
+_Q97_SQL = """
+WITH per AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+), agg AS (
+  SELECT lang, COUNT(*) AS n_sources, SUM(n) AS n_docs,
+    SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS sum_sq,
+    MAX(n) AS top_n
+  FROM per GROUP BY lang
+)
+SELECT lang,
+  CAST(n_sources AS BIGINT) AS n_sources,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(sum_sq AS DOUBLE)
+    / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS hhi,
+  1.0 / (CAST(sum_sq AS DOUBLE)
+    / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+    AS effective_sources,
+  CAST(top_n AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_share
+FROM agg ORDER BY lang
+"""
+
+register(QuerySpec("q97_source_concentration", q97_source_concentration,
+                   _Q97_SQL,
+                   description="per-language HHI source concentration, "
+                               "effective source count and top share — "
+                               "log-free exact-rational diversity "
+                               "report"))

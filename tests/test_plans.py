@@ -805,3 +805,109 @@ def test_padding_report_batch_index_is_binned(spark):
     assert len(specs) >= 2, "expected a rank window per strategy"
     for s in specs:
         assert "_pbin#" in s, f"batch-index window not binned: {s}"
+
+
+def test_q94_funnel_sequential_chain_semantics(spark, tmp_path):
+    """q94 is the sequential-chain funnel, not q66's first-timestamps
+    rule: a user whose first click PRECEDES their first view still
+    converts when a later click follows the chosen view; a user whose
+    only click precedes their view does not. Ties on ts resolve by
+    event_id strictly greater."""
+    import datetime as dt
+
+    from downscaledclimatedata_spark.plans.advanced import q94_funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m, 0)
+    rows = [
+        # user 1: click@0 (early), view@1, click@2, purchase@3 -> converts
+        (10, t(0), 1, "click", 1.0, ""), (11, t(1), 1, "view", 1.0, ""),
+        (12, t(2), 1, "click", 1.0, ""), (13, t(3), 1, "purchase", 1.0, ""),
+        # user 2: click only BEFORE the view -> stops at view
+        (20, t(0), 2, "click", 1.0, ""), (21, t(1), 2, "view", 1.0, ""),
+        # user 3: tie on ts — click at the SAME ts as view with larger
+        # event_id qualifies (strict (ts, id) order)
+        (30, t(0), 3, "view", 1.0, ""), (31, t(0), 3, "click", 1.0, ""),
+        # user 4: purchase before click -> stops at click
+        (40, t(0), 4, "view", 1.0, ""), (41, t(1), 4, "purchase", 1.0, ""),
+        (42, t(2), 4, "click", 1.0, ""),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+    (r,) = q94_funnel(spark, sf).collect()
+    assert (r.n_view, r.n_click, r.n_purchase) == (4, 3, 1)
+    assert r.view_to_click == 3 / 4 and r.click_to_purchase == 1 / 3
+
+
+def test_q95_q96_q97_planted_semantics(spark, tmp_path):
+    """Known-answer fixtures: a two-cohort retention triangle, the
+    7-day rolling-distinct window (one presence day serves <= 7 window
+    days, clipped at the data's max day), and HHI extremes (single
+    source -> 1.0; two equal sources -> 0.5)."""
+    import datetime as dt
+
+    from downscaledclimatedata_spark.plans.advanced import (
+        q95_cohort_retention, q96_rolling_active,
+        q97_source_concentration)
+
+    w0 = dt.datetime(2024, 1, 4, 12, 0, 0)     # inside epoch-week W
+    wk = dt.timedelta(weeks=1)
+    rows = [
+        # cohort W: users 1,2 active week 0; user 1 returns week 1
+        (1, w0, 1, "view", 1.0, ""), (2, w0, 2, "view", 1.0, ""),
+        (3, w0 + wk, 1, "view", 1.0, ""),
+        # cohort W+1: user 3
+        (4, w0 + wk, 3, "view", 1.0, ""),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+    ret = {(r.offset_weeks, r.cohort_size, r.n_active)
+           for r in q95_cohort_retention(spark, sf).collect()}
+    assert (0, 2, 2) in ret        # cohort W week 0: both active
+    assert (1, 2, 1) in ret        # cohort W week 1: user 1 retained
+    assert (0, 1, 1) in ret        # cohort W+1 week 0
+
+    wau = {r.wday: r.wau for r in q96_rolling_active(spark, sf).collect()}
+    d0 = int(w0.timestamp() // 86400)
+    d1 = int((w0 + wk).timestamp() // 86400)
+    assert wau[d0] == 2            # day 0 window: users 1,2
+    assert wau[d0 + 6] == 2        # d0's presence still inside
+    # d1 = d0 + 7: d0's users have aged out; only day-d1 actives count
+    assert wau[d1] == 2            # users 1 and 3
+    assert max(wau.keys()) == d1   # windows clip at max presence day
+
+    docs = spark.createDataFrame(
+        [(1, "t", "mono", "only", 1), (2, "t", "mono", "only", 1),
+         (3, "t", "duo", "a", 1), (4, "t", "duo", "b", 1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    hhi = {r.lang: r for r in
+           q97_source_concentration(spark, sf).collect()}
+    assert hhi["mono"].hhi == 1.0
+    assert hhi["mono"].effective_sources == 1.0
+    assert hhi["duo"].hhi == 0.5 and hhi["duo"].top_share == 0.5
+
+
+def test_text_oov_rate_planted(spark, tmp_path):
+    """Frozen even-id vocab {a,b,c}; odd-id test text 'a b x x y' ->
+    5 token occurrences, 3 OOV occurrences (x x y), 4 types, 2 OOV
+    types. Lang with no odd-id docs emits no row (empty test half)."""
+    from downscaledclimatedata_spark.operators.textops import oov_rate
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "en", "s", 5),
+         (1, "a b x x y", "en", "s", 9),
+         (2, "nur gerade", "de", "s", 10)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = {r.lang: r for r in oov_rate(docs).collect()}
+    assert set(out) == {"en"}
+    r = out["en"]
+    assert (r.n_tokens, r.n_oov, r.n_types, r.n_oov_types) == (5, 3, 4, 2)
+    assert r.oov_rate == 3 / 5

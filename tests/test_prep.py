@@ -361,3 +361,39 @@ def test_waterfill_exact_budget_and_caps(spark):
     assert all(r.alloc_tokens == r.tok_tokens and not r.clipped
                for r in got3.values())
     assert got3["a"].rate == 1.0
+
+
+def test_epoch_schedule_planted(spark):
+    """Known-answer repetition plans over 100/900/9000-token sources:
+    under a small budget every quota fits in one epoch (deficit 0);
+    under a 10x-oversubscribed budget each source wants 10 epochs,
+    clamps at the 4-epoch cap, and reports the exact unfillable
+    deficit."""
+    from downscaledclimatedata_spark.operators.prep import epoch_schedule
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(100)), "en", "scarce", 0),
+         (2, " ".join(f"b{i}" for i in range(900)), "en", "mid", 0),
+         (3, " ".join(f"c{i}" for i in range(9000)), "en", "rich", 0)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = {r.source: r for r in
+           epoch_schedule(docs, budget_tokens=5000).collect()}
+    assert out["scarce"].quota_tokens == 50      # 5000*100//10000
+    assert out["scarce"].epochs == 1             # quota < unique tokens
+    assert out["scarce"].deficit_tokens == 0
+    assert out["mid"].quota_tokens == 450
+    assert out["mid"].epochs == 1
+    # make one source dominate the budget: re-plan with a huge budget
+    out2 = {r.source: r for r in
+            epoch_schedule(docs, budget_tokens=100_000).collect()}
+    # scarce: quota 1000 over 100 unique -> wants 10 epochs, clamps at
+    # 4 -> uses 400, deficit 600
+    assert out2["scarce"].quota_tokens == 1000
+    assert out2["scarce"].epochs == 4
+    assert out2["scarce"].used_tokens == 400
+    assert out2["scarce"].deficit_tokens == 600
+    # rich: quota 90000 over 9000 unique -> exactly 10 epochs wanted,
+    # clamps at 4
+    assert out2["rich"].epochs == 4
+    assert out2["rich"].used_tokens == 36000
