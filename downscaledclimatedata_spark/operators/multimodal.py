@@ -4894,3 +4894,486 @@ register(QuerySpec(
                 "frames: exact per-pair pixel-delta mass, divide-free "
                 "cut verdict; corrupt final frame -> whole payload "
                 "NULL"))
+
+
+# --- real netpbm P6 (binary PPM) decode ------------------------------------------
+
+# The netpbm header is TEXT inside a binary format — tokens separated
+# by arbitrary whitespace, '#' comments legal anywhere between them —
+# the classic "simplest format with a real parser" (every toolkit has
+# shipped a PPM comment bug). maxval varies per doc, so the pixel
+# formula's modulus is exercised at more than one value.
+PPM_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_px", T.IntegerType()),
+    T.StructField("maxval", T.IntegerType()),
+    T.StructField("sum_r", T.LongType()),
+    T.StructField("sum_g", T.LongType()),
+    T.StructField("sum_b", T.LongType()),
+    T.StructField("first_px_r", T.IntegerType()),
+    T.StructField("last_px_b", T.IntegerType()),
+])
+
+PPM_W_BASE = 5
+PPM_W_MOD = 23
+PPM_H_BASE = 4
+PPM_H_MOD = 11
+PPM_MV_BASE = 191          # maxval in [191, 255]
+PPM_MV_MOD = 65
+PPM_A = 6151
+PPM_B = 93179
+PPM_C = 455849
+PPM_D = 30011
+PPM_COMMENT_MOD = 3        # every 3rd doc gets a header comment line
+PPM_CORRUPT_MOD = 12       # body truncated by one byte
+
+
+def _build_ppm_codecs():
+    """Pure-stdlib binary-PPM (P6) writer + decoder.
+
+    Writer: emits the magic, a '# synthetic' comment on some docs
+    (legal, and the part naive parsers break on), then width, height,
+    maxval tokens with mixed separators, then exactly w*h*3 raw bytes.
+
+    Decoder: a real netpbm tokenizer — skips whitespace and
+    '#'-to-end-of-line comments BETWEEN tokens, reads the three header
+    integers, requires a single whitespace byte after maxval (spec:
+    exactly one), validates maxval in [1, 255] and the body length to
+    the byte, computes channel stats. Returns None on any defect (T7).
+    """
+
+    def make_ppm(rows_rgb: list, maxval: int, comment: bool) -> bytes:
+        h = len(rows_rgb)
+        w = len(rows_rgb[0]) if rows_rgb else 0
+        head = bytearray(b"P6\n")
+        if comment:
+            head += b"# synthetic corpus image\n"
+        head += f"{w} {h}\n{maxval}\n".encode()
+        body = bytearray()
+        for row in rows_rgb:
+            for (r, g, b) in row:
+                body += bytes((r, g, b))
+        return bytes(head + body)
+
+    def _token(blob: bytes, pos: int):
+        """Next header token after whitespace/comments; (tok, new_pos)."""
+        n = len(blob)
+        while pos < n:
+            c = blob[pos]
+            if c in b" \t\r\n\x0b\x0c":
+                pos += 1
+            elif c == 0x23:  # '#': comment to end of line
+                while pos < n and blob[pos] not in b"\r\n":
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < n and blob[pos] not in b" \t\r\n\x0b\x0c":
+            pos += 1
+        return blob[start:pos], pos
+
+    def decode_ppm_stats(blob: bytes):
+        try:
+            blob = bytes(blob)
+            if blob[:2] != b"P6":
+                return None
+            pos = 2
+            nums = []
+            for _ in range(3):
+                tok, pos = _token(blob, pos)
+                if not tok.isdigit():
+                    return None
+                nums.append(int(tok))
+            w, h, maxval = nums
+            if w <= 0 or h <= 0 or not (1 <= maxval <= 255):
+                return None
+            # spec: exactly ONE whitespace byte after maxval
+            if pos >= len(blob) or blob[pos] not in b" \t\r\n\x0b\x0c":
+                return None
+            pos += 1
+            body = blob[pos:]
+            if len(body) != w * h * 3:
+                return None
+            sr = sum(body[0::3])
+            sg = sum(body[1::3])
+            sb = sum(body[2::3])
+            return (w, h, w * h, maxval, sr, sg, sb, body[0], body[-1])
+        except Exception:
+            return None
+
+    return make_ppm, decode_ppm_stats
+
+
+make_ppm, decode_ppm_stats = _build_ppm_codecs()
+
+
+def synthesize_ppm_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real P6 bytes. Channel c of pixel (y, x) =
+    (d*PPM_A + y*PPM_B + x*PPM_C + c*PPM_D) % (maxval + 1) with
+    maxval = PPM_MV_BASE + d % PPM_MV_MOD. Every PPM_COMMENT_MOD-th doc
+    carries a header comment (decoder must skip it); every
+    PPM_CORRUPT_MOD-th doc has its body truncated by one byte."""
+    mk = make_ppm
+    wb, wm, hb, hm = PPM_W_BASE, PPM_W_MOD, PPM_H_BASE, PPM_H_MOD
+    mvb, mvm = PPM_MV_BASE, PPM_MV_MOD
+    a, b, c_, dd = PPM_A, PPM_B, PPM_C, PPM_D
+    cm, xm = PPM_COMMENT_MOD, PPM_CORRUPT_MOD
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                w, h = wb + d % wm, hb + d % hm
+                mv = mvb + d % mvm
+                rows = [[tuple((d * a + y * b + x * c_ + ch * dd)
+                               % (mv + 1) for ch in range(3))
+                         for x in range(w)] for y in range(h)]
+                blob = mk(rows, mv, d % cm == 0)
+                if d % xm == 0:
+                    blob = blob[:-1]
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        _synth, "doc_id long, payload binary")
+
+
+def decode_ppm(df: DataFrame) -> DataFrame:
+    dec = decode_ppm_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        keys = ("width", "height", "n_px", "maxval", "sum_r", "sum_g",
+                "sum_b", "first_px_r", "last_px_b")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 9
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "n_px": pd.array(cols["n_px"], dtype="Int32"),
+                "maxval": pd.array(cols["maxval"], dtype="Int32"),
+                "sum_r": pd.array(cols["sum_r"], dtype="Int64"),
+                "sum_g": pd.array(cols["sum_g"], dtype="Int64"),
+                "sum_b": pd.array(cols["sum_b"], dtype="Int64"),
+                "first_px_r": pd.array(cols["first_px_r"], dtype="Int32"),
+                "last_px_b": pd.array(cols["last_px_b"], dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, PPM_SCHEMA)
+
+
+def multimodal_decode_ppm_query(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Real netpbm parse end-to-end: text tokenizer (whitespace +
+    comments) inside a binary container, per-doc maxval moduli, planted
+    one-byte body underruns -> NULL rows (T7)."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_ppm(synthesize_ppm_payloads(docs))
+
+
+def _ppm_ch_sql(ch: int) -> str:
+    return (f"list_sum(list_transform(range(0, width * height), "
+            f"i -> (d * {PPM_A} + (i // width) * {PPM_B} "
+            f"+ (i % width) * {PPM_C} + {ch} * {PPM_D}) "
+            f"% (maxval + 1)))")
+
+
+_MULTIMODAL_PPM_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST({PPM_W_BASE} + abs(doc_id) % {PPM_W_MOD} AS INT) AS width,
+    CAST({PPM_H_BASE} + abs(doc_id) % {PPM_H_MOD} AS INT) AS height,
+    CAST({PPM_MV_BASE} + abs(doc_id) % {PPM_MV_MOD} AS INT) AS maxval
+  FROM documents
+), s AS (
+  SELECT doc_id, d, width, height, maxval,
+    {_ppm_ch_sql(0)} AS sum_r,
+    {_ppm_ch_sql(1)} AS sum_g,
+    {_ppm_ch_sql(2)} AS sum_b
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN d % {PPM_CORRUPT_MOD} = 0 THEN NULL ELSE width END AS width,
+  CASE WHEN d % {PPM_CORRUPT_MOD} = 0 THEN NULL ELSE height END AS height,
+  CASE WHEN d % {PPM_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(width * height AS INT) END AS n_px,
+  CASE WHEN d % {PPM_CORRUPT_MOD} = 0 THEN NULL ELSE maxval END AS maxval,
+  CASE WHEN d % {PPM_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(sum_r AS BIGINT) END AS sum_r,
+  CASE WHEN d % {PPM_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(sum_g AS BIGINT) END AS sum_g,
+  CASE WHEN d % {PPM_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(sum_b AS BIGINT) END AS sum_b,
+  CASE WHEN d % {PPM_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST((d * {PPM_A}) % (maxval + 1) AS INT) END AS first_px_r,
+  CASE WHEN d % {PPM_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST((d * {PPM_A} + (height - 1) * {PPM_B}
+                  + (width - 1) * {PPM_C} + 2 * {PPM_D})
+                 % (maxval + 1) AS INT) END AS last_px_b
+FROM s
+"""
+
+register(QuerySpec("multimodal_decode_ppm", multimodal_decode_ppm_query,
+                   _MULTIMODAL_PPM_SQL,
+                   description="real binary-PPM (P6) decode: netpbm "
+                               "text tokenizer with comment skipping "
+                               "inside a binary container, per-doc "
+                               "maxval; planted body underruns -> "
+                               "NULL"))
+
+
+# --- real AIFF decode (big-endian PCM + 80-bit extended sample rate) -------------
+
+# AIFF is the codec family's only BIG-endian container, and its COMM
+# chunk stores the sample rate as an 80-bit IEEE 754 extended float —
+# the format quirk every AIFF implementation has to hand-roll (no
+# stdlib type for it). Chunk order is free in IFF, so the decoder must
+# walk chunks, not assume COMM-before-SSND.
+AIFF_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("sum_abs", T.LongType()),
+    T.StructField("max_abs", T.IntegerType()),
+    T.StructField("first_sample", T.IntegerType()),
+    T.StructField("last_sample", T.IntegerType()),
+])
+
+AIFF_FRAMES_BASE = 24
+AIFF_FRAMES_MOD = 41
+AIFF_RATE_BASE = 8000
+AIFF_RATE_STEP = 25
+AIFF_RATE_MOD = 7
+AIFF_A = 7919
+AIFF_B = 104729
+AIFF_SAMPLE_MOD = 20001    # samples in [-10000, 10000] (int16-safe)
+AIFF_SAMPLE_OFF = 10000
+AIFF_SWAP_MOD = 2          # every 2nd doc writes SSND before COMM
+AIFF_CORRUPT_MOD = 13      # SSND truncated by 2 bytes
+
+
+def _build_aiff_codecs():
+    """Pure-stdlib AIFF writer + decoder (mono, 16-bit big-endian PCM).
+
+    The 80-bit extended float is encoded/decoded exactly for integer
+    rates: exponent 16383 + msb, 64-bit mantissa with the explicit
+    leading 1; the decoder refuses non-integer or negative rates so a
+    corrupted rate field cannot round-trip silently. Chunk walk
+    validates the FORM size, requires exactly one COMM and one SSND
+    (either order), odd-sized chunks consume their IFF pad byte, and
+    the SSND byte count must equal numSampleFrames * 2 (T7: any
+    mismatch -> None for the whole payload).
+    """
+    import struct
+
+    def ext80_encode(v: int) -> bytes:
+        if v <= 0:
+            raise ValueError("positive rates only")
+        msb = v.bit_length() - 1
+        return struct.pack(">HQ", 16383 + msb, v << (63 - msb))
+
+    def ext80_decode(b: bytes):
+        exp_raw, mant = struct.unpack(">HQ", b)
+        if exp_raw & 0x8000 or mant == 0:
+            return None
+        shift = (exp_raw & 0x7FFF) - 16383 - 63
+        if shift >= 0:
+            return mant << shift
+        if mant & ((1 << -shift) - 1):
+            return None  # not an exact integer
+        return mant >> -shift
+
+    def make_aiff(samples: list, rate: int, ssnd_first: bool) -> bytes:
+        pcm = struct.pack(f">{len(samples)}h", *samples)
+        comm = (b"COMM" + struct.pack(">i", 18)
+                + struct.pack(">hih", 1, len(samples), 16)
+                + ext80_encode(rate))
+        ssnd = (b"SSND" + struct.pack(">i", 8 + len(pcm))
+                + struct.pack(">II", 0, 0) + pcm)
+        if len(pcm) % 2:
+            ssnd += b"\x00"  # IFF pad byte (odd chunk sizes)
+        chunks = (ssnd + comm) if ssnd_first else (comm + ssnd)
+        return (b"FORM" + struct.pack(">i", 4 + len(chunks))
+                + b"AIFF" + chunks)
+
+    def decode_aiff_stats(blob: bytes):
+        try:
+            blob = bytes(blob)
+            if len(blob) < 12 or blob[:4] != b"FORM":
+                return None
+            (form_size,) = struct.unpack(">i", blob[4:8])
+            if form_size != len(blob) - 8 or blob[8:12] != b"AIFF":
+                return None
+            pos, comm, pcm = 12, None, None
+            while pos < len(blob):
+                if pos + 8 > len(blob):
+                    return None
+                cid = blob[pos:pos + 4]
+                (csz,) = struct.unpack(">i", blob[pos + 4:pos + 8])
+                data = blob[pos + 8:pos + 8 + csz]
+                if csz < 0 or len(data) != csz:
+                    return None
+                if cid == b"COMM":
+                    if comm is not None or csz != 18:
+                        return None
+                    ch, nf, bits = struct.unpack(">hih", data[:8])
+                    rate = ext80_decode(data[8:18])
+                    if ch != 1 or bits != 16 or rate is None:
+                        return None
+                    comm = (nf, rate)
+                elif cid == b"SSND":
+                    if pcm is not None or csz < 8:
+                        return None
+                    off, blk = struct.unpack(">II", data[:8])
+                    if off != 0 or blk != 0:
+                        return None
+                    pcm = data[8:]
+                pos += 8 + csz + (csz & 1)  # odd chunks carry a pad byte
+            if comm is None or pcm is None:
+                return None
+            nf, rate = comm
+            if nf < 0 or len(pcm) != nf * 2 or rate > 2**31 - 1:
+                return None
+            samples = struct.unpack(f">{nf}h", pcm)
+            if nf == 0:
+                return (0, rate, 0, 0, None, None)
+            return (nf, rate, sum(abs(s) for s in samples),
+                    max(abs(s) for s in samples), samples[0],
+                    samples[-1])
+        except Exception:
+            return None
+
+    return make_aiff, decode_aiff_stats, ext80_encode, ext80_decode
+
+
+(make_aiff, decode_aiff_stats,
+ _ext80_encode, _ext80_decode) = _build_aiff_codecs()
+
+
+def synthesize_aiff_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real AIFF bytes. Sample i of doc d =
+    ((d*AIFF_A + i*AIFF_B) % AIFF_SAMPLE_MOD) - AIFF_SAMPLE_OFF, rate =
+    AIFF_RATE_BASE + AIFF_RATE_STEP * (d % AIFF_RATE_MOD). Every 2nd
+    doc stores SSND before COMM (legal IFF — exercises the chunk walk);
+    every AIFF_CORRUPT_MOD-th doc has its SSND truncated by 2 bytes."""
+    mk = make_aiff
+    fb, fm = AIFF_FRAMES_BASE, AIFF_FRAMES_MOD
+    rb, rs, rm = AIFF_RATE_BASE, AIFF_RATE_STEP, AIFF_RATE_MOD
+    a, b = AIFF_A, AIFF_B
+    smod, soff = AIFF_SAMPLE_MOD, AIFF_SAMPLE_OFF
+    swm, cm = AIFF_SWAP_MOD, AIFF_CORRUPT_MOD
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                nf = fb + d % fm
+                rate = rb + rs * (d % rm)
+                samples = [((d * a + i * b) % smod) - soff
+                           for i in range(nf)]
+                blob = mk(samples, rate, d % swm == 0)
+                if d % cm == 0:
+                    blob = blob[:-2]
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        _synth, "doc_id long, payload binary")
+
+
+def decode_aiff(df: DataFrame) -> DataFrame:
+    dec = decode_aiff_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        keys = ("n_frames", "sample_rate", "sum_abs", "max_abs",
+                "first_sample", "last_sample")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 6
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_frames": pd.array(cols["n_frames"], dtype="Int64"),
+                "sample_rate": pd.array(cols["sample_rate"],
+                                        dtype="Int32"),
+                "sum_abs": pd.array(cols["sum_abs"], dtype="Int64"),
+                "max_abs": pd.array(cols["max_abs"], dtype="Int32"),
+                "first_sample": pd.array(cols["first_sample"],
+                                         dtype="Int32"),
+                "last_sample": pd.array(cols["last_sample"],
+                                        dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, AIFF_SCHEMA)
+
+
+def multimodal_decode_aiff_query(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Real big-endian audio decode end-to-end: IFF chunk walk in
+    either order, 80-bit extended-float rate decoded exactly, SSND
+    byte-count validation; planted truncations -> NULL rows (T7).
+    Corruption lands on the LAST chunk of whichever order the doc
+    uses, so both the COMM-last and SSND-last validation paths fire.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_aiff(synthesize_aiff_payloads(docs))
+
+
+_AIFF_SAMPLE = (f"(abs(doc_id) * {AIFF_A} + i * {AIFF_B}) "
+                f"% {AIFF_SAMPLE_MOD} - {AIFF_SAMPLE_OFF}")
+
+_MULTIMODAL_AIFF_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    {AIFF_FRAMES_BASE} + abs(doc_id) % {AIFF_FRAMES_MOD} AS nf
+  FROM documents
+), s AS (
+  SELECT doc_id, d, nf,
+    list_sum(list_transform(range(0, nf), i -> abs({_AIFF_SAMPLE})))
+      AS sum_abs,
+    list_max(list_transform(range(0, nf), i -> abs({_AIFF_SAMPLE})))
+      AS max_abs
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN d % {AIFF_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(nf AS BIGINT) END AS n_frames,
+  CASE WHEN d % {AIFF_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST({AIFF_RATE_BASE} + {AIFF_RATE_STEP} * (d % {AIFF_RATE_MOD})
+                 AS INT) END AS sample_rate,
+  CASE WHEN d % {AIFF_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(sum_abs AS BIGINT) END AS sum_abs,
+  CASE WHEN d % {AIFF_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(max_abs AS INT) END AS max_abs,
+  CASE WHEN d % {AIFF_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST((d * {AIFF_A}) % {AIFF_SAMPLE_MOD} - {AIFF_SAMPLE_OFF}
+                 AS INT) END AS first_sample,
+  CASE WHEN d % {AIFF_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST((d * {AIFF_A} + (nf - 1) * {AIFF_B})
+                 % {AIFF_SAMPLE_MOD} - {AIFF_SAMPLE_OFF} AS INT)
+       END AS last_sample
+FROM s
+"""
+
+register(QuerySpec("multimodal_decode_aiff", multimodal_decode_aiff_query,
+                   _MULTIMODAL_AIFF_SQL,
+                   description="real AIFF decode: big-endian PCM, IFF "
+                               "chunk walk in either order, exact "
+                               "80-bit extended-float rate; planted "
+                               "SSND truncations -> NULL"))

@@ -1221,3 +1221,66 @@ def test_shot_detect_finds_exact_boundaries(spark):
     assert (r.n_frames, r.n_pairs) == (6, 5)
     assert r.n_cuts == 2 and r.first_cut_pair == 1
     assert got[13].n_frames is None and got[13].n_cuts is None
+
+
+def test_ppm_codec_quirks_and_corruption():
+    """Byte-level netpbm behavior: comments and arbitrary whitespace
+    between header tokens parse; the spec's exactly-one-whitespace rule
+    after maxval is enforced; body length is validated to the byte;
+    maxval 0 / 256 rejected."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_ppm_stats, make_ppm)
+
+    rows = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (250, 251, 252)]]
+    blob = make_ppm(rows, 255, comment=True)
+    st = decode_ppm_stats(blob)
+    assert st == (2, 2, 4, 255, 1 + 4 + 7 + 250, 2 + 5 + 8 + 251,
+                  3 + 6 + 9 + 252, 1, 252)
+    # hand-built header: comments anywhere between tokens, mixed ws
+    hand = (b"P6 # c1\n  2\t# c2\n2 # why not\n255\n"
+            + bytes(v for row in rows for px in row for v in px))
+    assert decode_ppm_stats(hand) == st
+    # one byte short / one byte long -> rejected
+    assert decode_ppm_stats(blob[:-1]) is None
+    assert decode_ppm_stats(blob + b"\x00") is None
+    # maxval out of range
+    assert decode_ppm_stats(b"P6\n2 2\n0\n" + b"\x00" * 12) is None
+    assert decode_ppm_stats(b"P6\n2 2\n256\n" + b"\x00" * 12) is None
+    # non-digit token
+    assert decode_ppm_stats(b"P6\n2 x\n255\n" + b"\x00" * 12) is None
+
+
+def test_aiff_codec_ext80_chunk_order_and_validation():
+    """80-bit extended-float rates round-trip EXACTLY for integers and
+    refuse inexact mantissas; chunk order is free; odd SSND sizes carry
+    the IFF pad byte; byte-count and duplicate-chunk defects reject."""
+    import struct
+
+    from downscaledclimatedata_spark.operators.multimodal import (
+        _ext80_decode, _ext80_encode, decode_aiff_stats, make_aiff)
+
+    for rate in (1, 8000, 44100, 48000, 96001, 2**30):
+        assert _ext80_decode(_ext80_encode(rate)) == rate
+    # non-integer mantissa (44100.5) must refuse
+    enc = bytearray(_ext80_encode(44100))
+    exp, mant = struct.unpack(">HQ", bytes(enc))
+    assert _ext80_decode(struct.pack(">HQ", exp, mant | 1)) is None
+
+    samples = [0, 5, -7, 10000, -10000, 3, 42]
+    for order in (False, True):
+        blob = make_aiff(samples, 44100, ssnd_first=order)
+        st = decode_aiff_stats(blob)
+        assert st == (7, 44100, sum(abs(s) for s in samples),
+                      10000, 0, 42)
+    # single-sample payload: odd SSND chunk size (8 + 2 = 10 is even,
+    # but 1 sample -> csz 10; the writer's pad-byte branch fires for
+    # odd csz and the decoder's pad skip must mirror it)
+    one = make_aiff([123], 8000, ssnd_first=True)
+    assert decode_aiff_stats(one) == (1, 8000, 123, 123, 123, 123)
+    # truncation (the planted class) and frame-count mismatch reject
+    assert decode_aiff_stats(make_aiff(samples, 8000, False)[:-2]) is None
+    bad = bytearray(make_aiff(samples, 8000, False))
+    # bump numSampleFrames by one: SSND byte count no longer matches
+    i = bad.index(b"COMM") + 8 + 2
+    bad[i:i + 4] = struct.pack(">i", len(samples) + 1)
+    assert decode_aiff_stats(bytes(bad)) is None
