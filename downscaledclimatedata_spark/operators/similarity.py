@@ -4250,3 +4250,110 @@ register(QuerySpec(
                 "the c=0 anti-hub row a naive groupBy drops — the "
                 "high-dimensional pathology diagnostic for ANN "
                 "recall"))
+
+
+# --- kNN-graph triangle count / clustering coefficient ----------------------------
+
+def knn_triangles(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding", **graph_kwargs) -> DataFrame:
+    """Exact triangle count and global clustering coefficient of the
+    UNDIRECTED kNN graph — the cohesion diagnostic that separates a
+    corpus whose neighborhoods are mutually consistent (high
+    clustering: duplicates, tight topic clusters) from one whose
+    neighbor lists are hub noise (low clustering, cf. knn_hubness).
+
+    Forward-edge algorithm: orient every undirected edge low-id ->
+    high-id, then one join chains u<v<w wedges and a second confirms
+    the closing (u, w) edge — each triangle counted EXACTLY once, no
+    directionality double-count. Wedges come from the degree relation
+    (sum of d*(d-1)/2, exact integers); clustering = 3*triangles /
+    wedges is the single division.
+
+    Scale: the edge relation is n*k rows (k-bounded by construction),
+    both joins are vertex-keyed shuffles of that bounded relation, and
+    degree skew is bounded by the hubness distribution the companion
+    diagnostic measures. Nothing touches raw vectors after the graph.
+    """
+    g = knn_graph(emb, id_col, vec_col, **graph_kwargs)
+    e = (g.filter(F.col(id_col) != F.col("neighbor_id"))
+         .select(F.least(F.col(id_col), F.col("neighbor_id")).alias("a"),
+                 F.greatest(F.col(id_col), F.col("neighbor_id"))
+                 .alias("b"))
+         .distinct().localCheckpoint())
+    deg = (e.select(F.col("a").alias("v"))
+           .unionAll(e.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2"))
+        .alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_vertices"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (e1.join(e2.hint("merge"), F.col("e1.b") == F.col("e2.a"))
+           .join(e3.hint("merge"),
+                 (F.col("e3.a") == F.col("e1.a"))
+                 & (F.col("e3.b") == F.col("e2.b")))
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (edges.crossJoin(F.broadcast(tri))
+            .crossJoin(F.broadcast(wedges))
+            .select(
+                F.col("n_vertices").cast("bigint").alias("n_vertices"),
+                F.col("n_edges").cast("bigint").alias("n_edges"),
+                F.col("n_triangles").cast("bigint").alias("n_triangles"),
+                F.col("n_wedges").cast("bigint").alias("n_wedges"),
+                F.when(F.col("n_wedges") > 0,
+                       F.lit(3.0) * F.col("n_triangles").cast("double")
+                       / F.col("n_wedges").cast("double"))
+                .otherwise(F.lit(0.0)).alias("clustering_coeff")))
+
+
+def similarity_triangles_query(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    mod, k, s = scaled_codebook_two_level(emb.count())
+    return knn_triangles(emb, centroid_mod=mod, n_centroids=k, n_super=s)
+
+
+def _triangles_sql() -> str:
+    from downscaledclimatedata_spark.plans import REGISTRY
+    graph_sql = REGISTRY["similarity_knn_graph"].oracle
+    return f"""
+WITH g AS (
+  FROM ({graph_sql})
+), e AS (
+  SELECT DISTINCT LEAST(vec_id, neighbor_id) AS a,
+    GREATEST(vec_id, neighbor_id) AS b
+  FROM g WHERE vec_id <> neighbor_id
+), deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+  GROUP BY v
+), w AS (
+  SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+    COUNT(*) AS n_vertices
+  FROM deg
+), tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST(w.n_vertices AS BIGINT) AS n_vertices,
+  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+  CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+  w.n_wedges,
+  CASE WHEN w.n_wedges > 0
+       THEN 3.0 * CAST(tri.n_triangles AS DOUBLE)
+            / CAST(w.n_wedges AS DOUBLE)
+       ELSE 0.0 END AS clustering_coeff
+FROM w CROSS JOIN tri
+"""
+
+
+register(QuerySpec(
+    "similarity_knn_triangles", similarity_triangles_query,
+    _triangles_sql(),
+    description="exact triangle count + global clustering coefficient "
+                "of the undirected kNN graph via low-id forward-edge "
+                "orientation — each triangle counted once, wedges from "
+                "the degree relation"))

@@ -2777,3 +2777,79 @@ register(QuerySpec(
                 "language: occurrence mass and distinct types; "
                 "membership join carries type counts, never "
                 "occurrences"))
+
+
+# --- hapax / type-token lexical profile --------------------------------------------
+
+def hapax_profile(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  source_col: str = "source") -> DataFrame:
+    """Per-source lexical-richness profile: token mass, distinct types,
+    hapax legomena (types occurring exactly once IN THAT SOURCE),
+    type/token ratio and hapax share — the Zipf-tail health check that
+    distinguishes genuinely diverse text from template spam (boilerplate
+    sources have cratered TTR and hapax share; OCR noise inflates both).
+
+    Scale: one explode to (source, token) counts — the stopword head
+    partial-combines map-side, so the shuffle carries |source x type|
+    rows — then a |sources|-row roll-up. Exact integers; two divisions
+    at the end.
+    """
+    toks = df.select(F.col(source_col).alias("source"),
+                     F.explode(_tokens(F.coalesce(F.col(text_col),
+                                                  F.lit("")))).alias("t"))
+    per = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    return (per.groupBy("source")
+            .agg(F.sum("n").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_types"),
+                 F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+                 .alias("n_hapax"))
+            .select("source",
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.col("n_types").cast("bigint").alias("n_types"),
+                    F.col("n_hapax").cast("bigint").alias("n_hapax"),
+                    F.when(F.col("n_tokens") > 0,
+                           F.col("n_types").cast("double")
+                           / F.col("n_tokens").cast("double"))
+                    .otherwise(F.lit(0.0)).alias("type_token_ratio"),
+                    F.when(F.col("n_types") > 0,
+                           F.col("n_hapax").cast("double")
+                           / F.col("n_types").cast("double"))
+                    .otherwise(F.lit(0.0)).alias("hapax_share"))
+            .orderBy("source"))
+
+
+def text_hapax_profile_query(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    return hapax_profile(load_table_parallel(spark, sf_dir, "documents",
+                                             key="doc_id"))
+
+
+_HAPAX_TOKS = (r"list_filter(string_split_regex(lower(coalesce(text, '')), "
+               r"'[ \t\n\r\f\x0B]+'), x -> x <> '')")
+
+_HAPAX_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({_HAPAX_TOKS}) AS t FROM documents
+), per AS (
+  SELECT source, t, COUNT(*) AS n FROM toks GROUP BY source, t
+)
+SELECT source,
+  CAST(SUM(n) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  CASE WHEN SUM(n) > 0
+       THEN CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+       ELSE 0.0 END AS type_token_ratio,
+  CASE WHEN COUNT(*) > 0
+       THEN CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)
+       ELSE 0.0 END AS hapax_share
+FROM per GROUP BY source ORDER BY source
+"""
+
+register(QuerySpec(
+    "text_hapax_profile", text_hapax_profile_query, _HAPAX_SQL,
+    description="per-source lexical richness: hapax legomena, "
+                "type/token ratio, hapax share — exact counts, "
+                "map-side-combined token shuffle"))

@@ -3123,3 +3123,129 @@ register(QuerySpec("q97_source_concentration", q97_source_concentration,
                                "effective source count and top share — "
                                "log-free exact-rational diversity "
                                "report"))
+
+
+# --- q98: duplicate-transaction detection ----------------------------------------
+
+def q98_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate transaction detection: events by the same user
+    with the SAME value within 300 seconds of the previous such event —
+    the double-charge / double-click guard every payments pipeline
+    runs. Per event type: how many events are repeats inside the
+    window, and how many (user, value) groups have at least one.
+
+    Plan: one window pass over (user_id, value) partitions ordered by
+    (ts, event_id) — a lag of the previous timestamp (whole-second
+    truncation per timestamp, unix_timestamp semantics, mirrored as
+    floor(epoch()) in the oracle); the key is
+    near-uniform (value decimal spreads users' events), so no skewed
+    reducer. Counts are exact; no self-join of the event stream (the
+    naive range self-join is quadratic per hot key).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "value").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    tagged = ev.select(
+        "event_type", "user_id", "value",
+        (gap <= 300).alias("is_dup"))
+    return (tagged.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+                 .alias("n_dup_events"),
+                 F.countDistinct(
+                     F.when(F.col("is_dup"),
+                            F.struct("user_id", "value")))
+                 .alias("n_dup_groups"))
+            .select("event_type",
+                    F.col("n_events").cast("bigint").alias("n_events"),
+                    F.col("n_dup_events").cast("bigint")
+                    .alias("n_dup_events"),
+                    F.col("n_dup_groups").cast("bigint")
+                    .alias("n_dup_groups"))
+            .orderBy("event_type"))
+
+
+_Q98_SQL = """
+WITH lagged AS (
+  SELECT event_type, user_id, value,
+    floor(epoch(ts))
+      - floor(epoch(LAG(ts) OVER (PARTITION BY user_id, value
+                                  ORDER BY ts, event_id))) AS gap
+  FROM events
+), tagged AS (
+  SELECT event_type, user_id, value, gap <= 300 AS is_dup FROM lagged
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_events,
+  CAST(COUNT(DISTINCT CASE WHEN is_dup
+                           THEN ROW(user_id, value) END) AS BIGINT)
+    AS n_dup_groups
+FROM tagged GROUP BY event_type ORDER BY event_type
+"""
+
+register(QuerySpec("q98_duplicate_payments", q98_duplicate_payments,
+                   _Q98_SQL,
+                   description="same-user same-value repeats within "
+                               "300s via one lag window on the "
+                               "(user, value) key — no quadratic "
+                               "range self-join"))
+
+
+# --- q99: inter-event gap histogram ----------------------------------------------
+
+GAP_BUCKET_SEC = 60
+GAP_BUCKET_MAX = 60
+
+
+def q99_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-time histogram per event type: gaps between a
+    user's consecutive events of the same type, bucketed in exact
+    minutes (capped at an hour) — the latency-distribution view that
+    sizes session timeouts and retry budgets.
+
+    One lag window per (user, type) ordered by (ts, event_id), then a
+    bounded (|types| x 61)-row aggregate. Bucketing is truncating
+    integer division of nonnegative gaps — identical in both engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type") \
+        .orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # filter the RAW gap, not the bucket: Spark's least() IGNORES
+    # NULLs (least(NULL, 60) = 60), so a first-row NULL gap would
+    # silently land in the cap bucket
+    bucket = F.least(F.floor(F.col("gap") / GAP_BUCKET_SEC),
+                     F.lit(GAP_BUCKET_MAX)).cast("bigint")
+    return (ev.select("event_type", gap.alias("gap"))
+            .filter(F.col("gap").isNotNull())
+            .select("event_type", bucket.alias("gap_bucket"))
+            .groupBy("event_type", "gap_bucket")
+            .agg(F.count(F.lit(1)).alias("n_gaps"))
+            .select("event_type", "gap_bucket",
+                    F.col("n_gaps").cast("bigint").alias("n_gaps"))
+            .orderBy("event_type", "gap_bucket"))
+
+
+_Q99_SQL = f"""
+WITH lagged AS (
+  SELECT event_type,
+    floor(epoch(ts))
+      - floor(epoch(LAG(ts) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id))) AS gap
+  FROM events
+)
+SELECT event_type,
+  CAST(LEAST(floor(gap / {GAP_BUCKET_SEC}), {GAP_BUCKET_MAX}) AS BIGINT)
+    AS gap_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM lagged WHERE gap IS NOT NULL
+GROUP BY event_type, gap_bucket
+ORDER BY event_type, gap_bucket
+"""
+
+register(QuerySpec("q99_gap_histogram", q99_gap_histogram, _Q99_SQL,
+                   description="per-type inter-event-time histogram in "
+                               "capped minute buckets from one lag "
+                               "window"))

@@ -911,3 +911,79 @@ def test_text_oov_rate_planted(spark, tmp_path):
     r = out["en"]
     assert (r.n_tokens, r.n_oov, r.n_types, r.n_oov_types) == (5, 3, 4, 2)
     assert r.oov_rate == 3 / 5
+
+
+def test_q98_q99_gap_semantics(spark, tmp_path):
+    """Planted duplicate-payment and gap-histogram fixtures: a repeat
+    at exactly 300s counts as a dup, 301s does not; a different VALUE
+    at the same instant never pairs; first occurrences produce no gap
+    row (Spark's NULL-skipping least() must not leak them into the
+    cap bucket)."""
+    import datetime as dt
+
+    from downscaledclimatedata_spark.plans.advanced import (
+        q98_duplicate_payments, q99_gap_histogram)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    rows = [
+        (1, t0, 1, "purchase", 9.99, ""),
+        (2, t0 + 300 * sec, 1, "purchase", 9.99, ""),   # dup (== 300s)
+        (3, t0 + 601 * sec, 1, "purchase", 9.99, ""),   # 301s after -> no
+        (4, t0, 2, "purchase", 5.00, ""),
+        (5, t0 + 10 * sec, 2, "purchase", 7.00, ""),    # other value
+        (6, t0 + 3 * 3600 * sec, 2, "purchase", 5.00, ""),  # far -> no
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+    (r,) = q98_duplicate_payments(spark, sf).collect()
+    assert (r.n_events, r.n_dup_events, r.n_dup_groups) == (6, 1, 1)
+
+    hist = {(h.event_type, h.gap_bucket): h.n_gaps
+            for h in q99_gap_histogram(spark, sf).collect()}
+    # user 1 gaps: 300s (bucket 5), 301s (bucket 5); user 2 same-type
+    # gaps: 10s (bucket 0), 10790s (capped 60). Firsts emit nothing.
+    assert hist == {("purchase", 5): 2, ("purchase", 0): 1,
+                    ("purchase", 60): 1}
+
+
+def test_knn_triangles_two_cliques(spark):
+    """Two orthogonal clusters of 4 identical vectors each: with k=3
+    every clone's neighbors are exactly its 3 cluster mates, so the
+    undirected graph is two K4s — 12 edges, 8 triangles, 24 wedges,
+    clustering coefficient exactly 1.0."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        knn_triangles)
+
+    dim = 64
+    a = [1.0] + [0.0] * (dim - 1)
+    b = [0.0, 1.0] + [0.0] * (dim - 2)
+    rows = [(i, a if i < 4 else b) for i in range(8)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    (r,) = knn_triangles(emb).collect()
+    assert (r.n_vertices, r.n_edges, r.n_triangles, r.n_wedges) == \
+        (8, 12, 8, 24)
+    assert r.clustering_coeff == 1.0
+
+
+def test_hapax_profile_planted(spark):
+    """'a b a c' -> 4 tokens, 3 types, 2 hapax (b, c); TTR 3/4 and
+    hapax share 2/3 exactly. A source with no tokens emits NO row —
+    explode and the oracle's unnest agree on dropping it."""
+    from downscaledclimatedata_spark.operators.textops import (
+        hapax_profile)
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c", "en", "rich", 7),
+         (2, None, "en", "empty", 0)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = {r.source: r for r in hapax_profile(docs).collect()}
+    r = out["rich"]
+    assert (r.n_tokens, r.n_types, r.n_hapax) == (4, 3, 2)
+    assert r.type_token_ratio == 3 / 4 and r.hapax_share == 2 / 3
+    assert "empty" not in out
