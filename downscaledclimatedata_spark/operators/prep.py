@@ -1617,3 +1617,149 @@ register(QuerySpec(
                 "proportional token quota, epoch count (ceil, capped), "
                 "usable mass and unfillable deficit — exact integers "
                 "on the bounded source summary"))
+
+
+# --- exact stratified sample (Neyman-style allocation) -----------------------------
+
+STRAT_SAMPLE_N = 2000
+
+
+def stratified_sample(df: DataFrame, n_sample: int,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      source_col: str = "source",
+                      seed: str = "strat0") -> DataFrame:
+    """EXACT-size stratified sample: allocate ``n_sample`` docs across
+    sources Neyman-style (more budget to strata with more docs AND more
+    internal spread) and draw exactly the allocated count from each —
+    unlike rate-based sampling (domain_mixture), the output size is
+    deterministic TO THE DOCUMENT, which eval-set construction needs.
+
+    Exactness discipline: the textbook S_h (per-stratum std) is a
+    double whose ulps could flip largest-remainder orderings between
+    engines, so the spread term is the exact integer token-count RANGE
+    (max - min) + 1 — same monotone intent (uniform strata get less
+    budget), fully integer. Allocation = floor(n * units_h / total)
+    with the leftover seats placed by largest remainder (exact integer
+    remainders, ties by source name); per-stratum quotas are then
+    realized by taking the ``quota_h`` lowest seeded-hash docs — a
+    deterministic function of (seed, id), so re-runs and engines agree.
+    ONE allocation round: a quota exceeding its stratum's population
+    caps there and the excess seats are NOT redistributed (the sample
+    is exactly ``n_sample`` whenever no stratum saturates, smaller by
+    the capped seats otherwise — deterministic either way).
+
+    Scale: one scan to the bounded per-source summary (map-side
+    partials); the draw ranks by hash with the binned two-phase
+    row_number partitioned on (source, hash-bin) — never |sources|
+    single-task windows — and the quota join broadcasts the bounded
+    allocation relation.
+    """
+    from downscaledclimatedata_spark.functions.ranks import (
+        binned_row_number, hash_bin)
+
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
+                                               F.lit(""))), WS_RE),
+                    lambda x: x != "")
+    base = df.select(F.col(id_col), F.col(source_col).alias("source"),
+                     F.size(toks).cast("bigint").alias("n_toks"))
+    per = (base.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                (F.max("n_toks") - F.min("n_toks") + 1).alias("spread")))
+    d = lambda c: c.cast("decimal(38,0)")
+    units = d(F.col("n_docs")) * d(F.col("spread"))
+    tot = per.select(F.sum(units).alias("total_units"),
+                     F.count(F.lit(1)).alias("n_sources"))
+    alloc = (per.crossJoin(F.broadcast(tot))
+             .withColumn("units", units)
+             .withColumn("base_quota",
+                         F.floor(d(F.lit(int(n_sample)))
+                                 * F.col("units")
+                                 / F.col("total_units")))
+             .withColumn("rem",
+                         (d(F.lit(int(n_sample))) * F.col("units"))
+                         % F.col("total_units")))
+    # leftover seats: n_sample - sum(base_quota), one each to the
+    # largest integer remainders (source-name tie-break) — the
+    # allocation relation is |sources|-bounded, so this window is free
+    wr = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    leftover = F.lit(int(n_sample)) - F.sum("base_quota").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    alloc = (alloc.withColumn("seat", F.row_number().over(wr))
+             .withColumn("quota",
+                         (F.col("base_quota")
+                          + F.when(F.col("seat") <= leftover, 1)
+                          .otherwise(0))
+                         # a stratum cannot give more docs than it has
+                         .cast("bigint"))
+             .withColumn("quota", F.least(F.col("quota"),
+                                          F.col("n_docs").cast("bigint")))
+             .select("source", "quota"))
+    keyed = base.withColumn(
+        "h", md5_long(F.col(id_col).cast("string"), seed=f"{seed}:"))
+    ranked = binned_row_number(
+        keyed.withColumn("_hb", hash_bin(F.col("h"))),
+        "_hb", (F.col("h"), F.col(id_col)),
+        partition_cols=("source",), out="rk")
+    return (ranked.join(F.broadcast(alloc), "source")
+            .filter(F.col("rk") <= F.col("quota"))
+            .select(F.col(id_col), F.col("source"),
+                    F.col("rk").cast("bigint").alias("stratum_rank")))
+
+
+def prep_stratified_sample_query(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, STRAT_SAMPLE_N)
+
+
+def _strat_sql() -> str:
+    toks = (r"list_filter(string_split_regex(lower(coalesce(text, '')), "
+            r"'[ \t\n\r\f\x0B]+'), x -> x <> '')")
+    h = md5_long_sql("CAST(doc_id AS VARCHAR)", seed="strat0:")
+    n = STRAT_SAMPLE_N
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+    CAST(len({toks}) AS BIGINT) AS n_toks,
+    {h} AS h
+  FROM documents
+), per AS (
+  SELECT source, COUNT(*) AS n_docs,
+    CAST(MAX(n_toks) - MIN(n_toks) + 1 AS HUGEINT)
+      * CAST(COUNT(*) AS HUGEINT) AS units
+  FROM base GROUP BY source
+), tot AS (
+  SELECT SUM(units) AS total_units FROM per
+), alloc0 AS (
+  SELECT p.source, p.n_docs,
+    CAST({n} AS HUGEINT) * p.units // t.total_units AS base_quota,
+    (CAST({n} AS HUGEINT) * p.units) % t.total_units AS rem
+  FROM per p CROSS JOIN tot t
+), seats AS (
+  SELECT source, n_docs, base_quota, rem,
+    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS seat,
+    {n} - SUM(base_quota) OVER () AS leftover
+  FROM alloc0
+), alloc AS (
+  SELECT source,
+    LEAST(base_quota + CASE WHEN seat <= leftover THEN 1 ELSE 0 END,
+          CAST(n_docs AS HUGEINT)) AS quota
+  FROM seats
+), ranked AS (
+  SELECT doc_id, source, h,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+  FROM base
+)
+SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS stratum_rank
+FROM ranked r JOIN alloc a USING (source)
+WHERE r.rk <= a.quota
+"""
+
+
+register(QuerySpec(
+    "prep_stratified_sample", prep_stratified_sample_query, _strat_sql(),
+    description="exact-size Neyman-style stratified sample: integer "
+                "range-proxy allocation + largest-remainder seats, "
+                "realized by the quota_h lowest seeded-hash docs per "
+                "stratum via binned ranks"))

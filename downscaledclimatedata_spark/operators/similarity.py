@@ -4357,3 +4357,101 @@ register(QuerySpec(
                 "of the undirected kNN graph via low-id forward-edge "
                 "orientation — each triangle counted once, wedges from "
                 "the degree relation"))
+
+
+# --- ANN mean reciprocal rank (integer-exact) --------------------------------------
+
+MRR_LCM = 60  # lcm(1..TOP_K=5): 1/rnk as exact integer units
+
+
+def ann_mrr(emb: DataFrame, id_col: str = "vec_id",
+            vec_col: str = "embedding", k: int = TOP_K) -> DataFrame:
+    """Mean reciprocal rank of the IVF searchers: at what position does
+    each searcher place the TRUE nearest neighbor? Complements
+    recall@k (ann_recall): recall says whether truth appears anywhere
+    in the list; MRR says how high — the metric that moves when an
+    index returns the right answers in the wrong order.
+
+    Exactness: 1/rank sums are order-dependent in floating point, so
+    the reciprocal is accumulated as INTEGER units of lcm(1..k) = 60
+    (60/1, 60/2, ... 60/5 are all exact integers) and divided once at
+    the end — bit-identical cross-engine, same discipline as the cents
+    sums. Per method: one row with n_queries, n_found, exact unit sum,
+    and mrr = units / (60 * n_queries).
+
+    Scale: rides the registered searchers; the alignment joins two
+    (n_queries x k)-row broadcast relations.
+    """
+    truth1 = (cosine_topk_quantized(emb, id_col, vec_col, k=k)
+              .filter(F.col("rnk") == 1)
+              .select("query_id", "match_id").localCheckpoint())
+    methods = (
+        ("ivf_nprobe1", ivf_topk(emb, id_col, vec_col, k=k)),
+        (f"ivf_nprobe{NPROBE}",
+         ivf_topk_multiprobe(emb, id_col, vec_col, k=k)),
+    )
+    out = None
+    for name, approx in methods:
+        got = approx.select("query_id", "match_id",
+                            F.col("rnk").alias("found_rnk"))
+        scored = (truth1.join(F.broadcast(got),
+                              ["query_id", "match_id"], "left")
+                  .agg(F.count(F.lit(1)).alias("n_queries"),
+                       F.sum(F.when(F.col("found_rnk").isNotNull(), 1)
+                             .otherwise(0)).alias("n_found"),
+                       F.sum(F.when(
+                           F.col("found_rnk").isNotNull(),
+                           F.expr(f"{MRR_LCM} div found_rnk"))
+                           .otherwise(0)).alias("mrr_units"))
+                  .select(F.lit(name).alias("method"),
+                          F.col("n_queries").cast("bigint")
+                          .alias("n_queries"),
+                          F.col("n_found").cast("bigint").alias("n_found"),
+                          F.col("mrr_units").cast("bigint")
+                          .alias("mrr_units"),
+                          F.when(F.col("n_queries") > 0,
+                                 F.col("mrr_units").cast("double")
+                                 / (F.lit(float(MRR_LCM))
+                                    * F.col("n_queries").cast("double")))
+                          .otherwise(F.lit(0.0)).alias("mrr")))
+        out = scored if out is None else out.unionByName(scored)
+    return out
+
+
+def similarity_mrr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return ann_mrr(emb)
+
+
+def _ann_mrr_sql() -> str:
+    evals = []
+    for name, sql in (("ivf_nprobe1", _IVF_SQL),
+                      (f"ivf_nprobe{NPROBE}", _IVF_MULTIPROBE_SQL)):
+        evals.append(f"""
+SELECT '{name}' AS method,
+  CAST(COUNT(*) AS BIGINT) AS n_queries,
+  CAST(SUM(CASE WHEN a.rnk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_found,
+  CAST(SUM(CASE WHEN a.rnk IS NOT NULL THEN {MRR_LCM} // a.rnk
+           ELSE 0 END) AS BIGINT) AS mrr_units
+FROM truth1 t LEFT JOIN (
+  SELECT query_id, match_id, rnk FROM ({sql})
+) a ON a.query_id = t.query_id AND a.match_id = t.match_id""")
+    body = "\nUNION ALL\n".join(evals)
+    return f"""
+WITH truth1 AS MATERIALIZED (
+  SELECT query_id, match_id FROM ({_SIM_TOPK_SQL}) WHERE rnk = 1
+)
+SELECT method, n_queries, n_found, mrr_units,
+  CASE WHEN n_queries > 0
+       THEN CAST(mrr_units AS DOUBLE) / ({MRR_LCM}.0 * n_queries)
+       ELSE 0.0 END AS mrr
+FROM ({body})
+"""
+
+
+register(QuerySpec(
+    "similarity_ann_mrr", similarity_mrr_query, _ann_mrr_sql(),
+    description="mean reciprocal rank of the IVF searchers vs the "
+                "exact top-1 truth — reciprocals summed as exact "
+                "integer lcm units, one final division"))

@@ -2853,3 +2853,166 @@ register(QuerySpec(
     description="per-source lexical richness: hapax legomena, "
                 "type/token ratio, hapax share — exact counts, "
                 "map-side-combined token shuffle"))
+
+
+# --- sentence segmentation stats ----------------------------------------------------
+
+SENT_RE = "[.!?]+"
+
+
+def sentence_stats(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-doc sentence segmentation profile: sentence count, token
+    mass, mean and max sentence length — the upstream signal for
+    chunkers (split on sentence boundaries, pack to a token budget)
+    and for quality heuristics (wall-of-text docs have one giant
+    "sentence"; listicles have hundreds of tiny ones).
+
+    Shuffle-free higher-order-function projection: one regex split on
+    the terminator class, trim + drop empties, then per-sentence token
+    counts folded with ``aggregate`` — no explode, so the corpus-scale
+    row count never multiplies. The splitter is the same literal class
+    in both engines (Java regex == DuckDB RE2 on this pattern).
+    """
+    low = F.coalesce(F.col(text_col), F.lit(""))
+    sents = F.filter(
+        F.transform(F.split(low, SENT_RE), lambda s: F.trim(s)),
+        lambda s: s != "")
+    tok_counts = F.transform(
+        sents,
+        lambda s: F.size(F.filter(F.split(F.lower(s), WS_RE),
+                                  lambda x: x != "")).cast("bigint"))
+    n_sent = F.size(sents).cast("bigint")
+    n_tok = F.aggregate(tok_counts, F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x)
+    return df.select(
+        F.col(id_col),
+        n_sent.alias("n_sentences"),
+        n_tok.alias("n_tokens"),
+        F.when(n_sent > 0, n_tok.cast("double") / n_sent.cast("double"))
+        .otherwise(F.lit(0.0)).alias("mean_sentence_tokens"),
+        F.when(n_sent > 0, F.array_max(tok_counts))
+        .otherwise(F.lit(0)).cast("bigint").alias("max_sentence_tokens"))
+
+
+def text_sentence_stats_query(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    return sentence_stats(load_table_parallel(spark, sf_dir, "documents",
+                                              key="doc_id"))
+
+
+_SENT_LIST = (r"list_filter(list_transform("
+              r"string_split_regex(coalesce(text, ''), '[.!?]+'), "
+              r"s -> trim(s)), s -> s <> '')")
+_SENT_TOKS = (r"list_transform(" + _SENT_LIST + r", "
+              r"s -> CAST(len(list_filter(string_split_regex(lower(s), "
+              r"'[ \t\n\r\f\x0B]+'), x -> x <> '')) AS BIGINT))")
+
+_SENT_SQL = f"""
+WITH s AS (
+  SELECT doc_id, {_SENT_TOKS} AS tc FROM documents
+)
+SELECT doc_id,
+  CAST(len(tc) AS BIGINT) AS n_sentences,
+  CAST(coalesce(list_sum(tc), 0) AS BIGINT) AS n_tokens,
+  CASE WHEN len(tc) > 0
+       THEN CAST(list_sum(tc) AS DOUBLE) / CAST(len(tc) AS DOUBLE)
+       ELSE 0.0 END AS mean_sentence_tokens,
+  CAST(CASE WHEN len(tc) > 0 THEN list_max(tc) ELSE 0 END AS BIGINT)
+    AS max_sentence_tokens
+FROM s
+"""
+
+register(QuerySpec(
+    "text_sentence_stats", text_sentence_stats_query, _SENT_SQL,
+    description="per-doc sentence segmentation profile via "
+                "higher-order functions — no explode, corpus rows "
+                "never multiply"))
+
+
+# --- character-class (charset) profile ----------------------------------------------
+
+def charset_profile(df: DataFrame, text_col: str = "text",
+                    lang_col: str = "lang") -> DataFrame:
+    """Per-language character-class census: lowercase / uppercase /
+    digit / whitespace / other counts and the ascii-letter fraction —
+    the cheap signal behind language-ID features, OCR-noise detection
+    (inflated 'other'), and tokenizer byte-budget planning.
+
+    Shuffle-free regexp_count projections (identical literal classes
+    in both regex engines), then one |langs|-row aggregate with
+    map-side partials. Exact integers; one division.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    cls = {"n_lower": "[a-z]", "n_upper": "[A-Z]", "n_digit": "[0-9]",
+           "n_space": r"[ \t\n\r\f\x0B]"}
+    proj = df.select(
+        F.col(lang_col).alias("lang"),
+        F.length(t).cast("bigint").alias("n_chars"),
+        *[F.regexp_count(t, F.lit(p)).cast("bigint").alias(k)
+          for k, p in cls.items()])
+    agg = proj.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        *[F.sum(k).alias(k) for k in cls])
+    other = (F.col("n_chars") - F.col("n_lower") - F.col("n_upper")
+             - F.col("n_digit") - F.col("n_space"))
+    return (agg.select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        *[F.col(k).cast("bigint").alias(k) for k in cls],
+        other.cast("bigint").alias("n_other"),
+        F.when(F.col("n_chars") > 0,
+               (F.col("n_lower") + F.col("n_upper")).cast("double")
+               / F.col("n_chars").cast("double"))
+        .otherwise(F.lit(0.0)).alias("ascii_letter_frac"))
+        .orderBy("lang"))
+
+
+def text_charset_profile_query(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    return charset_profile(load_table_parallel(spark, sf_dir, "documents",
+                                               key="doc_id"))
+
+
+_CHARSET_SQL = r"""
+WITH proj AS (
+  SELECT lang,
+    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+    CAST(length(coalesce(text, ''))
+         - length(regexp_replace(coalesce(text, ''), '[a-z]', '', 'g'))
+         AS BIGINT) AS n_lower,
+    CAST(length(coalesce(text, ''))
+         - length(regexp_replace(coalesce(text, ''), '[A-Z]', '', 'g'))
+         AS BIGINT) AS n_upper,
+    CAST(length(coalesce(text, ''))
+         - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g'))
+         AS BIGINT) AS n_digit,
+    CAST(length(coalesce(text, ''))
+         - length(regexp_replace(coalesce(text, ''),
+                                 '[ \t\n\r\f\x0B]', '', 'g'))
+         AS BIGINT) AS n_space
+  FROM documents
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+  CAST(SUM(n_lower) AS BIGINT) AS n_lower,
+  CAST(SUM(n_upper) AS BIGINT) AS n_upper,
+  CAST(SUM(n_digit) AS BIGINT) AS n_digit,
+  CAST(SUM(n_space) AS BIGINT) AS n_space,
+  CAST(SUM(n_chars) - SUM(n_lower) - SUM(n_upper) - SUM(n_digit)
+       - SUM(n_space) AS BIGINT) AS n_other,
+  CASE WHEN SUM(n_chars) > 0
+       THEN CAST(SUM(n_lower) + SUM(n_upper) AS DOUBLE)
+            / CAST(SUM(n_chars) AS DOUBLE)
+       ELSE 0.0 END AS ascii_letter_frac
+FROM proj GROUP BY lang ORDER BY lang
+"""
+
+register(QuerySpec(
+    "text_charset_profile", text_charset_profile_query, _CHARSET_SQL,
+    description="per-language character-class census (lower/upper/"
+                "digit/space/other + ascii-letter fraction) — "
+                "shuffle-free projections, bounded aggregate"))

@@ -3249,3 +3249,47 @@ register(QuerySpec("q99_gap_histogram", q99_gap_histogram, _Q99_SQL,
                    description="per-type inter-event-time histogram in "
                                "capped minute buckets from one lag "
                                "window"))
+
+
+# --- q100: weekly median value per event type ------------------------------------
+
+def q100_weekly_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weekly median event value per type — the percentile-band
+    time series a latency/revenue dashboard plots. Composite-group
+    showcase for :func:`grouped_quantile_cont` (functions/ranks.py):
+    the same binned two-phase machinery that replaced percentile() in
+    q71/q73 partitions on (type, week, value-bin) here, so parallelism
+    scales with bins regardless of how many (type, week) cells exist.
+    """
+    from downscaledclimatedata_spark.functions.ranks import (
+        grouped_quantile_cont)
+
+    ev = _t(spark, sf_dir, "events")
+    week = (F.unix_timestamp("ts") / F.lit(604800)).cast("bigint")
+    med = grouped_quantile_cont(
+        ev.withColumn("week", week), "value",
+        [(0.5, "median_value")],
+        group_cols=("event_type", "week"), id_cols=("event_id",),
+        count_name="n_events")
+    return med.select("event_type",
+                      F.col("week").cast("bigint").alias("week"),
+                      "median_value",
+                      F.col("n_events").cast("bigint").alias("n_events")) \
+        .orderBy("event_type", "week")
+
+
+_Q100_SQL = """
+SELECT event_type,
+  CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+  quantile_cont(value, 0.5) AS median_value,
+  CAST(COUNT(value) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type, week
+ORDER BY event_type, week
+"""
+
+register(QuerySpec("q100_weekly_median", q100_weekly_median, _Q100_SQL,
+                   description="exact weekly median value per type via "
+                               "grouped_quantile_cont on the composite "
+                               "(type, week) group — binned ranks, no "
+                               "percentile() buffer"))

@@ -987,3 +987,75 @@ def test_hapax_profile_planted(spark):
     assert (r.n_tokens, r.n_types, r.n_hapax) == (4, 3, 2)
     assert r.type_token_ratio == 3 / 4 and r.hapax_share == 2 / 3
     assert "empty" not in out
+
+
+def test_sentence_and_charset_planted(spark):
+    """'One two. Three! Four five six?' -> 3 sentences, 6 tokens, max 3;
+    charset census exact on a hand-counted string."""
+    from downscaledclimatedata_spark.operators.textops import (
+        charset_profile, sentence_stats)
+
+    docs = spark.createDataFrame(
+        [(1, "One two. Three! Four five six?", "en", "s", 30),
+         (2, "   ", "en", "s", 3),
+         (3, None, "xx", "s", 0)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    st = {r.doc_id: r for r in sentence_stats(docs).collect()}
+    assert (st[1].n_sentences, st[1].n_tokens,
+            st[1].max_sentence_tokens) == (3, 6, 3)
+    assert st[1].mean_sentence_tokens == 2.0
+    assert (st[2].n_sentences, st[2].mean_sentence_tokens) == (0, 0.0)
+    assert st[3].n_sentences == 0
+
+    cs = {r.lang: r for r in charset_profile(docs).collect()}
+    en = cs["en"]
+    # 'One two. Three! Four five six?': 19 lower, 3 upper, 5 spaces,
+    # 3 punct (. ! ?) -> 30 chars; doc 2 adds three spaces
+    assert (en.n_chars, en.n_lower, en.n_upper) == (33, 19, 3)
+    assert en.n_space == 5 + 3 and en.n_digit == 0
+    assert en.n_other == 3
+    assert cs["xx"].n_chars == 0 and cs["xx"].ascii_letter_frac == 0.0
+
+
+def test_stratified_sample_exact_quotas(spark):
+    """The drawn sample hits every stratum quota exactly and sums to
+    n_sample TO THE DOCUMENT; a stratum smaller than its allocation
+    caps at its population."""
+    from pyspark.sql import functions as F
+
+    from downscaledclimatedata_spark.operators.prep import (
+        stratified_sample)
+
+    rows = []
+    did = 0
+    for src, n, toks in (("big", 40, 30), ("small", 3, 5),
+                         ("mid", 12, 10)):
+        for i in range(n):
+            # vary token counts inside each stratum so spread > 1
+            rows.append((did, " ".join(f"w{j}" for j in range(
+                toks + (i % 4))), "en", src, 0))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = stratified_sample(docs, 20).groupBy("source").count().collect()
+    got = {r.source: r["count"] for r in out}
+    # no stratum saturates at n=20 -> the sample is EXACTLY 20 docs
+    assert sum(got.values()) == 20
+    assert got.get("small", 0) <= 3
+    # per-stratum draw is a contiguous 1..quota hash-rank prefix
+    ranks = stratified_sample(docs, 20).groupBy("source").agg(
+        F.max("stratum_rank").alias("mx"),
+        F.count("*").alias("n")).collect()
+    for r in ranks:
+        assert r.mx == r.n
+    # saturation case (documented one-round semantics): asking for the
+    # whole population caps each quota at its stratum size; seats
+    # landing on a capped stratum are not redistributed, so the draw
+    # is <= n_sample but every stratum never exceeds its population
+    full = {r.source: r["count"] for r in
+            stratified_sample(docs, 55).groupBy("source")
+            .count().collect()}
+    assert full["big"] <= 40 and full["small"] <= 3 and full["mid"] <= 12
+    assert sum(full.values()) <= 55
