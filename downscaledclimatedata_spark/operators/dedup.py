@@ -2830,3 +2830,103 @@ register(QuerySpec(
     description="quality-aware dedup representative election: keep the "
                 "highest-quality component member (tie: min id), report "
                 "where the naive min-id rule would differ"))
+
+
+# --- contamination overlap curve (n-gram order sweep) ------------------------------
+
+OVERLAP_NS = (4, 8, 13)
+
+
+def overlap_curve(docs: DataFrame, eval_docs: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  ns: tuple = OVERLAP_NS) -> DataFrame:
+    """Contamination rate as a function of n-gram order — the knob
+    curve behind every decontamination threshold decision (GPT-3 used
+    13-grams; short n over-flags boilerplate, long n under-flags
+    paraphrase): for each n, how many training docs share ANY n-gram
+    with the eval set.
+
+    One row per n: train-doc population, contaminated count, rate.
+    Each order reuses :func:`contaminated_doc_ids`' 100 TB shape —
+    eval grams broadcast, corpus side never shuffles on the gram —
+    and the final relation is |ns| rows.
+    """
+    train_n = docs.select(F.count(F.lit(1)).alias("n_train"))
+    out = None
+    for n in ns:
+        bad = contaminated_doc_ids(docs, eval_docs, text_col, id_col,
+                                   n=n)
+        row = (bad.agg(F.count(F.lit(1)).alias("n_contaminated"))
+               .crossJoin(F.broadcast(train_n))
+               .select(F.lit(int(n)).cast("bigint").alias("ngram_order"),
+                       F.col("n_train").cast("bigint").alias("n_train"),
+                       F.col("n_contaminated").cast("bigint")
+                       .alias("n_contaminated"),
+                       F.when(F.col("n_train") > 0,
+                              F.col("n_contaminated").cast("double")
+                              / F.col("n_train").cast("double"))
+                       .otherwise(F.lit(0.0))
+                       .alias("contamination_rate")))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("ngram_order")
+
+
+def dedup_overlap_curve_query(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Same deterministic eval split as dedup_decontaminate."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    is_eval = md5_long(F.col("doc_id").cast("string"),
+                       seed="decon:") % 41 == 0
+    return overlap_curve(docs.filter(~is_eval), docs.filter(is_eval))
+
+
+def _overlap_curve_sql() -> str:
+    parts = []
+    for n in OVERLAP_NS:
+        gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+        parts.append(f"""
+SELECT CAST({n} AS BIGINT) AS ngram_order,
+  (SELECT COUNT(*) FROM train) AS n_train,
+  CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS n_contaminated
+FROM (
+  SELECT tk.doc_id, {gram} AS gram
+  FROM (SELECT doc_id,
+          list_filter(string_split_regex(lower(coalesce(text, '')),
+                      '[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '') AS t
+        FROM train) tk,
+  LATERAL (SELECT UNNEST(range(1, greatest(len(t) - {n - 1}, 0) + 1))
+           AS i) idx
+) g
+WHERE g.gram IN (
+  SELECT {gram} AS gram
+  FROM (SELECT list_filter(string_split_regex(lower(coalesce(text, '')),
+               '[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '') AS t
+        FROM evalset) tk,
+  LATERAL (SELECT UNNEST(range(1, greatest(len(t) - {n - 1}, 0) + 1))
+           AS i) idx
+)""")
+        # the per-n blocks align on identical split CTEs below
+    body = "\nUNION ALL\n".join(parts)
+    split = (f"({md5_long_sql('CAST(doc_id AS VARCHAR)', seed='decon:')})"
+             " % 41 = 0")
+    return f"""
+WITH train AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE NOT ({split})
+), evalset AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE {split}
+)
+SELECT ngram_order, n_train, n_contaminated,
+  CASE WHEN n_train > 0
+       THEN CAST(n_contaminated AS DOUBLE) / CAST(n_train AS DOUBLE)
+       ELSE 0.0 END AS contamination_rate
+FROM ({body})
+ORDER BY ngram_order
+"""
+
+
+register(QuerySpec(
+    "dedup_overlap_curve", dedup_overlap_curve_query,
+    _overlap_curve_sql(),
+    description="contamination rate vs n-gram order (4/8/13): the "
+                "decon threshold knob curve, eval grams broadcast at "
+                "every order"))

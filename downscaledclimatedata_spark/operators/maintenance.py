@@ -1105,3 +1105,54 @@ def publish_audited(spark: SparkSession, final_dir: str, audits: list,
         report["published"] = True
         report["staging"] = None
     return report
+
+
+# --- schema evolution: read drifted parquet generations as one table ----------------
+
+_NUMERIC_WIDTH = ["tinyint", "smallint", "int", "bigint",
+                  "float", "double"]
+
+
+def _widen(a: str, b: str) -> str:
+    """Widest of two Spark simpleString types under the SQL numeric
+    promotion ladder; non-numeric types must match exactly (a silent
+    string<->numeric coercion is a data bug, not evolution)."""
+    if a == b:
+        return a
+    if a in _NUMERIC_WIDTH and b in _NUMERIC_WIDTH:
+        return _NUMERIC_WIDTH[max(_NUMERIC_WIDTH.index(a),
+                                  _NUMERIC_WIDTH.index(b))]
+    raise ValueError(f"incompatible schema evolution: {a} vs {b}")
+
+
+def read_evolved(spark: SparkSession, paths: list) -> DataFrame:
+    """Read parquet generations whose schemas DRIFTED — added columns
+    and widened numeric types — as one table. Spark's own
+    ``mergeSchema`` handles added columns but REFUSES a type widening
+    (int files next to long files fail the footer merge); years of
+    accumulated pipeline output have exactly that drift.
+
+    Per generation: read with its own schema, cast every shared column
+    to the union-widened type, and ``unionByName`` with missing
+    columns null-filled. Casting happens per-generation at scan time
+    (a projection — no shuffle); incompatible non-numeric drift raises
+    instead of coercing. Column order follows first appearance across
+    generations, so adding ``paths`` in write order keeps the table
+    stable.
+    """
+    dfs = [spark.read.parquet(p) for p in paths]
+    merged: dict = {}
+    for df in dfs:
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            merged[f.name] = (_widen(merged[f.name], t)
+                              if f.name in merged else t)
+    out = None
+    for df in dfs:
+        have = {f.name for f in df.schema.fields}
+        cols = [(F.col(n).cast(t) if n in have
+                 else F.lit(None).cast(t)).alias(n)
+                for n, t in merged.items()]
+        part = df.select(*cols)
+        out = part if out is None else out.unionByName(part)
+    return out

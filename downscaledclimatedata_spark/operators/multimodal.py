@@ -5377,3 +5377,243 @@ register(QuerySpec("multimodal_decode_aiff", multimodal_decode_aiff_query,
                                "chunk walk in either order, exact "
                                "80-bit extended-float rate; planted "
                                "SSND truncations -> NULL"))
+
+
+# --- real ICO container decode (directory of PNG-or-DIB entries) --------------------
+
+# ICO is a CONTAINER OF CONTAINERS: a directory whose entries each hold
+# either a full PNG stream or a headerless BMP DIB (with the infamous
+# doubled biHeight covering the AND transparency mask) — the decoder
+# must SNIFF each payload and cross-check the directory's claimed
+# dimensions against the payload's own header, the classic ICO defect
+# class (directories that lie about their payloads).
+ICO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_images", T.IntegerType()),
+    T.StructField("n_png", T.IntegerType()),
+    T.StructField("n_dib", T.IntegerType()),
+    T.StructField("sum_w", T.LongType()),
+    T.StructField("sum_h", T.LongType()),
+    T.StructField("max_w", T.IntegerType()),
+])
+
+ICO_N_MOD = 3              # 1 + d % 3 entries per doc
+ICO_W_BASE = 4
+ICO_W_MOD = 13
+ICO_H_BASE = 4
+ICO_H_MOD = 9
+ICO_CORRUPT_MOD = 11       # entry-0 directory width byte lies
+
+
+def _build_ico_codecs():
+    """Pure-stdlib ICO writer + decoder.
+
+    Writer: ICONDIR (reserved 0, type 1, count) + one ICONDIRENTRY per
+    image (width/height bytes, size, offset) + payloads: even entries a
+    REAL zlib PNG (8-bit grayscale, zero scanlines), odd entries a
+    headerless 24bpp DIB with biHeight = 2*h and an all-zero AND mask
+    padded to 32-bit rows (both spec rules).
+
+    Decoder: validates the directory, walks every entry by its
+    (offset, size), sniffs PNG magic vs biSize=40 DIB, reads the
+    payload's OWN dimensions (PNG IHDR big-endian / DIB little-endian
+    with the halved height), and returns None unless every entry's
+    payload agrees with its directory row (0 in a directory byte means
+    256 — the other famous ICO quirk, handled on both sides).
+    """
+    import struct
+    import zlib
+
+    def _png_payload(w: int, h: int) -> bytes:
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data)
+                                  & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        raw = b"".join(b"\x00" + bytes(w) for _ in range(h))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw, 1))
+                + chunk(b"IEND", b""))
+
+    def _dib_payload(w: int, h: int) -> bytes:
+        hdr = struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 24,
+                          0, 0, 0, 0, 0, 0)
+        xor_pad = (-3 * w) % 4
+        xor = (bytes(3 * w) + bytes(xor_pad)) * h
+        and_row_bytes = ((w + 31) // 32) * 4
+        mask = bytes(and_row_bytes) * h
+        return hdr + xor + mask
+
+    def make_ico(dims: list, kinds: list) -> bytes:
+        payloads = [(_png_payload(w, h) if k == "png"
+                     else _dib_payload(w, h))
+                    for (w, h), k in zip(dims, kinds)]
+        n = len(dims)
+        off = 6 + 16 * n
+        head = struct.pack("<HHH", 0, 1, n)
+        entries = bytearray()
+        for (w, h), p in zip(dims, payloads):
+            entries += struct.pack("<BBBBHHII", w % 256, h % 256, 0, 0,
+                                   1, 32, len(p), off)
+            off += len(p)
+        return bytes(head + entries + b"".join(payloads))
+
+    def decode_ico_stats(blob: bytes):
+        try:
+            blob = bytes(blob)
+            if len(blob) < 6:
+                return None
+            res, typ, n = struct.unpack("<HHH", blob[:6])
+            if res != 0 or typ != 1 or n == 0:
+                return None
+            n_png = n_dib = 0
+            sw = sh = 0
+            mw = 0
+            for i in range(n):
+                e = blob[6 + 16 * i:6 + 16 * (i + 1)]
+                if len(e) != 16:
+                    return None
+                wb, hb, _c, _r, _pl, _bpp, size, off = struct.unpack(
+                    "<BBBBHHII", e)
+                dw = wb or 256   # 0 means 256
+                dh = hb or 256
+                p = blob[off:off + size]
+                if len(p) != size:
+                    return None
+                if p[:8] == b"\x89PNG\r\n\x1a\n":
+                    if p[12:16] != b"IHDR":
+                        return None
+                    pw, ph = struct.unpack(">II", p[16:24])
+                    n_png += 1
+                elif len(p) >= 40 and struct.unpack("<I", p[:4])[0] == 40:
+                    _sz, pw, ph2 = struct.unpack("<Iii", p[:12])
+                    if ph2 % 2:
+                        return None  # doubled height must be even
+                    ph = ph2 // 2
+                    n_dib += 1
+                else:
+                    return None
+                # the directory must agree with the payload's own header
+                if pw != dw or ph != dh:
+                    return None
+                sw += dw
+                sh += dh
+                mw = max(mw, dw)
+            return (n, n_png, n_dib, sw, sh, mw)
+        except Exception:
+            return None
+
+    return make_ico, decode_ico_stats
+
+
+make_ico, decode_ico_stats = _build_ico_codecs()
+
+
+def synthesize_ico_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real ICO bytes with 1 + d % ICO_N_MOD entries; entry j
+    is w = ICO_W_BASE + (d + 3j) % ICO_W_MOD, h = ICO_H_BASE +
+    (d + 5j) % ICO_H_MOD, PNG when (d + j) is even else DIB. Every
+    ICO_CORRUPT_MOD-th doc's entry-0 directory width byte is bumped so
+    the directory LIES about its payload (the consistency-check T7
+    class, not byte damage)."""
+    mk = make_ico
+    nm, wb, wm, hb, hm = (ICO_N_MOD, ICO_W_BASE, ICO_W_MOD,
+                          ICO_H_BASE, ICO_H_MOD)
+    cm = ICO_CORRUPT_MOD
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                n = 1 + d % nm
+                dims = [(wb + (d + 3 * j) % wm, hb + (d + 5 * j) % hm)
+                        for j in range(n)]
+                kinds = ["png" if (d + j) % 2 == 0 else "dib"
+                         for j in range(n)]
+                blob = bytearray(mk(dims, kinds))
+                if d % cm == 0:
+                    blob[6] = (blob[6] + 1) % 256  # directory lies
+                payloads.append(bytes(blob))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        _synth, "doc_id long, payload binary")
+
+
+def decode_ico(df: DataFrame) -> DataFrame:
+    dec = decode_ico_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        keys = ("n_images", "n_png", "n_dib", "sum_w", "sum_h", "max_w")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 6
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_images": pd.array(cols["n_images"], dtype="Int32"),
+                "n_png": pd.array(cols["n_png"], dtype="Int32"),
+                "n_dib": pd.array(cols["n_dib"], dtype="Int32"),
+                "sum_w": pd.array(cols["sum_w"], dtype="Int64"),
+                "sum_h": pd.array(cols["sum_h"], dtype="Int64"),
+                "max_w": pd.array(cols["max_w"], dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, ICO_SCHEMA)
+
+
+def multimodal_decode_ico_query(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Container-of-containers decode: the directory walk sniffs PNG vs
+    DIB per entry and cross-checks claimed vs actual dimensions;
+    planted lying directories -> NULL rows (T7)."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_ico(synthesize_ico_payloads(docs))
+
+
+_MULTIMODAL_ICO_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    1 + abs(doc_id) % {ICO_N_MOD} AS n
+  FROM documents
+), s AS (
+  SELECT doc_id, d, n,
+    list_sum(list_transform(range(0, n),
+      j -> CASE WHEN (d + j) % 2 = 0 THEN 1 ELSE 0 END)) AS n_png,
+    list_sum(list_transform(range(0, n),
+      j -> {ICO_W_BASE} + (d + 3 * j) % {ICO_W_MOD})) AS sum_w,
+    list_sum(list_transform(range(0, n),
+      j -> {ICO_H_BASE} + (d + 5 * j) % {ICO_H_MOD})) AS sum_h,
+    list_max(list_transform(range(0, n),
+      j -> {ICO_W_BASE} + (d + 3 * j) % {ICO_W_MOD})) AS max_w
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN d % {ICO_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(n AS INT) END AS n_images,
+  CASE WHEN d % {ICO_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(n_png AS INT) END AS n_png,
+  CASE WHEN d % {ICO_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(n - n_png AS INT) END AS n_dib,
+  CASE WHEN d % {ICO_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(sum_w AS BIGINT) END AS sum_w,
+  CASE WHEN d % {ICO_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(sum_h AS BIGINT) END AS sum_h,
+  CASE WHEN d % {ICO_CORRUPT_MOD} = 0 THEN NULL
+       ELSE CAST(max_w AS INT) END AS max_w
+FROM s
+"""
+
+register(QuerySpec("multimodal_decode_ico", multimodal_decode_ico_query,
+                   _MULTIMODAL_ICO_SQL,
+                   description="real ICO container decode: per-entry "
+                               "PNG-vs-DIB sniffing, doubled-DIB-height "
+                               "and 0-means-256 quirks, directory-vs-"
+                               "payload consistency; lying directories "
+                               "-> NULL"))

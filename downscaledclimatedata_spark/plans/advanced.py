@@ -3293,3 +3293,187 @@ register(QuerySpec("q100_weekly_median", q100_weekly_median, _Q100_SQL,
                                "grouped_quantile_cont on the composite "
                                "(type, week) group — binned ranks, no "
                                "percentile() buffer"))
+
+
+# --- q101: promotion revenue share (TPC-H Q14 shape) --------------------------------
+
+def q101_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly promotion revenue share (TPC-H Q14 adapted to the
+    fixture's columns): of each ship-month's discounted revenue, what
+    fraction came from parts whose type starts with a promo prefix.
+
+    Exact DECIMAL revenue sums (the engine-wide cents discipline), the
+    share dividing two exact decimals once per month row. The
+    lineitem-part join is partkey-keyed sort-merge (part is a fact-
+    scaled dimension — NOT broadcast); months aggregate with map-side
+    partials to a bounded relation.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    month = F.trunc(F.col("l_shipdate"), "month").alias("month")
+    rev = dec("l_extendedprice", 2) * (F.lit(1) - dec("l_discount", 2))
+    promo = F.col("p_type").startswith("PROMO")
+    j = li.join(part.hint("merge"), li.l_partkey == part.p_partkey)
+    return (j.groupBy(month)
+            .agg(F.sum(rev).alias("rev"),
+                 F.sum(F.when(promo, rev).otherwise(F.lit(0)
+                                                    .cast("decimal(38,4)")))
+                 .alias("promo_rev"))
+            .select(F.col("month"),
+                    F.col("rev").cast("double").alias("revenue"),
+                    F.col("promo_rev").cast("double")
+                    .alias("promo_revenue"),
+                    F.when(F.col("rev") != 0,
+                           (F.lit(100.0) * F.col("promo_rev")
+                            .cast("double"))
+                           / F.col("rev").cast("double"))
+                    .otherwise(F.lit(0.0)).alias("promo_pct"))
+            .orderBy("month"))
+
+
+_Q101_SQL = f"""
+WITH j AS (
+  SELECT date_trunc('month', l_shipdate) AS month,
+    {dec_sql('l_extendedprice')} * (1 - {dec_sql('l_discount')}) AS rev,
+    p_type LIKE 'PROMO%' AS promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT CAST(month AS DATE) AS month,
+  CAST(SUM(rev) AS DOUBLE) AS revenue,
+  CAST(SUM(CASE WHEN promo THEN rev ELSE CAST(0 AS DECIMAL(38,4)) END)
+       AS DOUBLE) AS promo_revenue,
+  CASE WHEN SUM(rev) <> 0
+       THEN 100.0 * CAST(SUM(CASE WHEN promo THEN rev
+                             ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+            / CAST(SUM(rev) AS DOUBLE)
+       ELSE 0.0 END AS promo_pct
+FROM j GROUP BY month ORDER BY month
+"""
+
+register(QuerySpec("q101_promo_revenue", q101_promo_revenue, _Q101_SQL,
+                   description="TPC-H Q14 shape: monthly promo revenue "
+                               "share from exact decimal sums, "
+                               "partkey-keyed merge join"))
+
+
+# --- q102: monthly revenue with MoM growth ------------------------------------------
+
+def q102_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue time series with month-over-month growth — the
+    first chart of every revenue review. Growth is a lag window over
+    the BOUNDED month relation (the corpus aggregates first; the
+    window never sees fact rows), so the single-partition window is a
+    non-issue at any scale.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    month = F.trunc(F.col("l_shipdate"), "month").alias("month")
+    rev = dec("l_extendedprice", 2) * (F.lit(1) - dec("l_discount", 2))
+    monthly = li.groupBy(month).agg(F.sum(rev).alias("rev"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return (monthly
+            .select("month", F.col("rev").cast("double").alias("revenue"),
+                    prev.cast("double").alias("prev_revenue"),
+                    F.when(prev.isNotNull() & (prev != 0),
+                           (F.col("rev") - prev).cast("double")
+                           / prev.cast("double"))
+                    .alias("mom_growth"))
+            .orderBy("month"))
+
+
+_Q102_SQL = f"""
+WITH monthly AS (
+  SELECT date_trunc('month', l_shipdate) AS month,
+    SUM({dec_sql('l_extendedprice')} * (1 - {dec_sql('l_discount')}))
+      AS rev
+  FROM lineitem GROUP BY month
+)
+SELECT CAST(month AS DATE) AS month,
+  CAST(rev AS DOUBLE) AS revenue,
+  CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS prev_revenue,
+  CASE WHEN LAG(rev) OVER (ORDER BY month) IS NOT NULL
+            AND LAG(rev) OVER (ORDER BY month) <> 0
+       THEN CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE)
+            / CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE)
+       END AS mom_growth
+FROM monthly ORDER BY month
+"""
+
+register(QuerySpec("q102_monthly_growth", q102_monthly_growth, _Q102_SQL,
+                   description="monthly revenue + MoM growth: exact "
+                               "decimal sums, lag window over the "
+                               "bounded month relation only"))
+
+
+# --- q104: 7-day return rate after first purchase -----------------------------------
+
+def q104_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-7 return rate by first-purchase day: of the users whose
+    FIRST purchase happened on day D, how many came back (any event)
+    within the next 7 days — the activation metric a growth team pairs
+    with q95's cohort triangle.
+
+    First purchase is a struct-min per user (map-side partial);
+    "returned" is ONE user-keyed semi join of the event stream against
+    that bounded relation with the window predicate evaluated on
+    whole-second truncations (unix_timestamp semantics, floor(epoch())
+    in the oracle) and strict (ts, event_id) ordering so a same-second
+    event still counts. No windows over the event stream.
+    """
+    ev = _t(spark, sf_dir, "events")
+    fp = (ev.filter(F.col("event_type") == "purchase")
+          .groupBy("user_id")
+          .agg(F.min(F.struct("ts", "event_id")).alias("m"))
+          .select("user_id", F.col("m.ts").alias("fp_ts"),
+                  F.col("m.event_id").alias("fp_id")))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("fp_ts")
+    after = ((F.col("ts") > F.col("fp_ts"))
+             | ((F.col("ts") == F.col("fp_ts"))
+                & (F.col("event_id") > F.col("fp_id"))))
+    returned = (ev.join(fp.hint("merge"), "user_id")
+                .filter(after & (gap <= 604800))
+                .select("user_id").distinct()
+                .withColumn("ret", F.lit(1)))
+    day = (F.unix_timestamp("fp_ts") / F.lit(86400)).cast("bigint")
+    return (fp.join(returned.hint("merge"), "user_id", "left")
+            .groupBy(day.alias("cohort_day"))
+            .agg(F.count(F.lit(1)).alias("n_purchasers"),
+                 F.sum(F.coalesce("ret", F.lit(0))).alias("n_returned"))
+            .select(F.col("cohort_day"),
+                    F.col("n_purchasers").cast("bigint")
+                    .alias("n_purchasers"),
+                    F.col("n_returned").cast("bigint").alias("n_returned"),
+                    (F.col("n_returned").cast("double")
+                     / F.col("n_purchasers").cast("double"))
+                    .alias("return_rate"))
+            .orderBy("cohort_day"))
+
+
+_Q104_SQL = """
+WITH fp AS (
+  SELECT user_id, t AS fp_ts, e AS fp_id FROM (
+    SELECT user_id, ts AS t, event_id AS e,
+      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        AS rn
+    FROM events WHERE event_type = 'purchase') WHERE rn = 1
+), returned AS (
+  SELECT DISTINCT ev.user_id
+  FROM events ev JOIN fp USING (user_id)
+  WHERE (ev.ts > fp.fp_ts
+         OR (ev.ts = fp.fp_ts AND ev.event_id > fp.fp_id))
+    AND floor(epoch(ev.ts)) - floor(epoch(fp.fp_ts)) <= 604800
+)
+SELECT CAST(floor(epoch(fp.fp_ts) / 86400) AS BIGINT) AS cohort_day,
+  CAST(COUNT(*) AS BIGINT) AS n_purchasers,
+  CAST(SUM(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_returned,
+  CAST(SUM(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS return_rate
+FROM fp LEFT JOIN returned r USING (user_id)
+GROUP BY cohort_day ORDER BY cohort_day
+"""
+
+register(QuerySpec("q104_return_rate", q104_return_rate, _Q104_SQL,
+                   description="day-7 return rate by first-purchase "
+                               "cohort: struct-min first purchase + one "
+                               "user-keyed semi-join window test"))

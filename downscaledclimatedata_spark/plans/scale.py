@@ -796,3 +796,72 @@ register(QuerySpec("q79_bloom_join_reduction", q79_bloom_join_reduction,
                                "before any shuffle; exact join removes "
                                "false positives — oracle is the plain "
                                "join"))
+
+
+# --- q103: salted skew join -----------------------------------------------------
+
+SALT_FACTOR = 8
+
+
+def q103_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join salting, made explicit: the fact side appends a
+    deterministic salt in [0, SALT_FACTOR) to its join key; the
+    (bounded) dim side replicates once per salt value; the join runs on
+    (key, salt), so a key whose fact rows would all land in ONE reducer
+    now spreads across SALT_FACTOR of them. The result is provably
+    identical to the plain join — which is what the oracle checks —
+    because every fact row still meets exactly one dim replica.
+
+    This is the manual cure for the skew AQE's skew-join handles only
+    for sort-merge shapes it can detect at runtime; salting works for
+    any shape and any engine, at the cost of a SALT_FACTOR x dim
+    replication (dim here is a per-user aggregate — |users| rows — so
+    replication is |users| x 8, still dim-scale).
+
+    The salt must be DETERMINISTIC (id-derived, not rand()): replayed
+    tasks must salt a row identically or the join drops/duplicates
+    rows under retry — the same replay discipline as the streaming
+    delta partitions.
+    """
+    ev = load_table_parallel(spark, sf_dir, "events", key="user_id")
+    # dim: per-user lifetime value (bounded by |users|)
+    dim = (ev.groupBy("user_id")
+           .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .alias("ltv_cents")))
+    salt_vals = F.explode(
+        F.array(*[F.lit(s) for s in range(SALT_FACTOR)])).alias("salt")
+    dim_rep = dim.select("user_id", "ltv_cents", salt_vals)
+    fact = ev.select(
+        "user_id", "event_type",
+        (F.col("event_id") % SALT_FACTOR).cast("int").alias("salt"))
+    joined = fact.join(dim_rep.hint("merge"), ["user_id", "salt"])
+    return (joined.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("ltv_cents").alias("sum_ltv_cents"))
+            .select("event_type",
+                    F.col("n_events").cast("bigint").alias("n_events"),
+                    F.col("sum_ltv_cents").cast("bigint")
+                    .alias("sum_ltv_cents"))
+            .orderBy("event_type"))
+
+
+_Q103_SQL = """
+WITH dim AS (
+  SELECT user_id,
+    SUM(CAST(round(value * 100) AS BIGINT)) AS ltv_cents
+  FROM events GROUP BY user_id
+)
+SELECT e.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(d.ltv_cents) AS BIGINT) AS sum_ltv_cents
+FROM events e JOIN dim d USING (user_id)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+register(QuerySpec("q103_salted_skew_join", q103_salted_skew_join,
+                   _Q103_SQL,
+                   description="explicit hot-key join salting: "
+                               "deterministic fact-side salt + "
+                               "SALT_FACTOR dim replication on "
+                               "(key, salt) — oracle is the plain "
+                               "join"))

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""Recorded streaming end-to-end sweep: drive the six streaming twins
+"""Recorded streaming end-to-end sweep: drive the seven streaming twins
 (exact-dedup prep, minhash near-dup index, LSH semantic ANN index,
 CMS+Bloom sketch index, multi-signal minhash+simhash index,
-bounded-state watermark dedup) over micro-batched corpora,
+bounded-state watermark dedup, incremental IVM rollup) over
+micro-batched corpora,
 then verify each against its BATCH twin / exact ground truth, and emit
 STREAM_r{N}.json — the committed artifact for the exactly-once and
 stream==batch claims (round-7 advice #8).
@@ -27,6 +28,9 @@ Checks per phase (all booleans recorded; n_bad counts failures):
                   occurrences emitted once; a very-late replay after
                   watermark eviction is re-emitted (the documented
                   bounded-state trade).
+* rollup        — the streamed incremental rollup equals the one-shot
+                  batch aggregate; compaction folds deltas to one base
+                  without changing the merged answer.
 
 Throughput (docs/sec wall-clock per phase, micro-batch count) is
 recorded so the stream surface has a number, like bench.py gives the
@@ -347,6 +351,47 @@ def main() -> None:
                 "post_eviction_replay_reemitted":
                 sorted(by_id.get(1, []))
                 == [e0, e0 + dt.timedelta(hours=2, minutes=6)]}}
+
+        # ---- phase 7: incremental rollup (streaming IVM) -----------------
+        from downscaledclimatedata_spark.operators.maintenance import (
+            agg_state)
+        from downscaledclimatedata_spark.sources.tables import (
+            normalize_events_ts)
+        from downscaledclimatedata_spark.streaming.ivm import (
+            compact_rollup, read_rollup, start_rollup_stream)
+
+        iv_src = f"{work}/iv_events"
+        raw = normalize_events_ts(
+            spark.read.parquet("/root/testdata/sf0.01/events.parquet"))
+        raw.repartition(args.batches).write.parquet(iv_src)
+        schema_df = spark.read.parquet(iv_src)
+        state = f"{work}/iv_state"
+        t0 = time.time()
+        q = start_rollup_stream(
+            spark.readStream.schema(schema_df.schema)
+            .option("maxFilesPerTrigger", 1).parquet(iv_src),
+            state, f"{work}/iv_ckpt")
+        q.awaitTermination(600)
+        el = time.time() - t0
+        want = {r.event_type: (r.n, r.sum_cents, r.min_v, r.max_v)
+                for r in agg_state(schema_df, "event_type", "value")
+                .collect()}
+        got = {r.event_type: (r.n, r.sum_cents, r.min_v, r.max_v)
+               for r in read_rollup(spark, state).collect()}
+        import glob as _glob
+        n_folded = compact_rollup(spark, state)
+        got_c = {r.event_type: (r.n, r.sum_cents, r.min_v, r.max_v)
+                 for r in read_rollup(spark, state).collect()}
+        n_events = schema_df.count()
+        out["phases"]["rollup"] = {
+            "elapsed_sec": round(el, 2),
+            "events_per_sec": round(n_events / el),
+            "deltas_folded": n_folded,
+            "checks": {
+                "stream_rollup_equals_batch": got == want,
+                "compacted_rollup_unchanged": got_c == want,
+                "compaction_bounds_files":
+                len(_glob.glob(state + "/batch=*")) == 1}}
 
         n_bad = sum(1 for ph in out["phases"].values()
                     for ok in ph["checks"].values() if not ok)

@@ -517,3 +517,42 @@ def test_write_audit_publish_failed_rename_restores_prior(
     # the prior snapshot survived the failed publish, byte for byte
     assert spark.read.parquet(final).count() == 2
     assert not os.path.exists(final.rstrip("/") + "._old")
+
+
+def test_read_evolved_widens_and_nullfills(spark, tmp_path):
+    """Three parquet generations with drifted schemas — int->bigint
+    widening (which mergeSchema refuses), float->double, columns added
+    and columns absent — read back as ONE table with the union-widened
+    schema; a string<->numeric drift raises instead of coercing."""
+    import pytest
+
+    from downscaledclimatedata_spark.operators.maintenance import (
+        read_evolved)
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    v3 = str(tmp_path / "v3")
+    spark.createDataFrame([(1, 1.5, "a")],
+                          "id int, x float, tag string").write.parquet(v1)
+    spark.createDataFrame([(2**40, 2.5, 7)],
+                          "id bigint, x double, extra int"
+                          ).write.parquet(v2)
+    spark.createDataFrame([(3,)], "id int").write.parquet(v3)
+
+    got = read_evolved(spark, [v1, v2, v3])
+    types = {f.name: f.dataType.simpleString() for f in got.schema.fields}
+    assert types == {"id": "bigint", "x": "double", "tag": "string",
+                     "extra": "int"}
+    rows = {r.id: r for r in got.collect()}
+    assert rows[1].tag == "a" and rows[1].extra is None
+    assert rows[2**40].x == 2.5 and rows[2**40].tag is None
+    assert rows[3].x is None and rows[3].extra is None
+    # mergeSchema itself refuses this tree (the gap this op fills)
+    with pytest.raises(Exception):
+        spark.read.option("mergeSchema", "true").parquet(
+            str(tmp_path / "v*")).collect()
+
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame([("oops",)], "id string").write.parquet(bad)
+    with pytest.raises(ValueError, match="incompatible"):
+        read_evolved(spark, [v1, bad])

@@ -1284,3 +1284,32 @@ def test_aiff_codec_ext80_chunk_order_and_validation():
     i = bad.index(b"COMM") + 8 + 2
     bad[i:i + 4] = struct.pack(">i", len(samples) + 1)
     assert decode_aiff_stats(bytes(bad)) is None
+
+
+def test_ico_codec_sniffing_quirks_and_lies():
+    """Mixed PNG/DIB entries decode with per-entry sniffing; a 256-wide
+    entry round-trips through the 0-means-256 directory byte; a
+    directory that lies about a payload's dimensions rejects; odd
+    doubled DIB heights reject; truncated payloads reject."""
+    import struct
+
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_ico_stats, make_ico)
+
+    blob = make_ico([(8, 6), (5, 4)], ["png", "dib"])
+    assert decode_ico_stats(blob) == (2, 1, 1, 13, 10, 8)
+    # 256-wide PNG entry: directory byte stores 0, decoder reads 256
+    wide = make_ico([(256, 4)], ["png"])
+    assert struct.unpack("<B", wide[6:7])[0] == 0
+    assert decode_ico_stats(wide) == (1, 1, 0, 256, 4, 256)
+    # lying directory (the planted class)
+    lie = bytearray(blob)
+    lie[6] = (lie[6] + 1) % 256
+    assert decode_ico_stats(bytes(lie)) is None
+    # truncated final payload
+    assert decode_ico_stats(blob[:-3]) is None
+    # odd doubled height in a DIB is structurally invalid
+    bad = bytearray(make_ico([(5, 4)], ["dib"]))
+    off = struct.unpack("<I", bad[18:22])[0]
+    bad[off + 4:off + 12] = struct.pack("<ii", 5, 9)  # biHeight odd
+    assert decode_ico_stats(bytes(bad)) is None

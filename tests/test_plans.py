@@ -1059,3 +1059,86 @@ def test_stratified_sample_exact_quotas(spark):
             .count().collect()}
     assert full["big"] <= 40 and full["small"] <= 3 and full["mid"] <= 12
     assert sum(full.values()) <= 55
+
+
+def test_q103_join_runs_on_salted_key(spark):
+    """The physical join must key on (user_id, salt) — salting that
+    doesn't reach the join keys is a no-op that still pays the dim
+    replication."""
+    import re
+    plan = _plan(spark, "q103_salted_skew_join")
+    # formatted-mode detail section: "Left keys [2]: [user_id#N, salt#M]"
+    keys = re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert keys, f"no join key details in plan:\n{plan[:2000]}"
+    salted = [k for k in keys if "salt#" in k]
+    assert len(salted) == len(keys), f"join keys missing salt: {keys}"
+
+
+def test_q101_q102_planted_revenue(spark, tmp_path):
+    """Hand-built lineitem/part: one promo and one standard part in the
+    same month -> exact promo share; two months -> exact MoM growth."""
+    import datetime as dt
+
+    from downscaledclimatedata_spark.plans.advanced import (
+        q101_promo_revenue, q102_monthly_growth)
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "part one", "B1", "PROMO BRUSHED", 1, 10.0),
+         (2, "part two", "B2", "STANDARD ANODIZED", 1, 10.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double").write.parquet(
+        f"{sf}/part.parquet")
+    d1, d2 = dt.date(2024, 1, 10), dt.date(2024, 2, 10)
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 100.0, 0.10, 0.0, "N", "O", d1),
+         (2, 2, 1, 1, 1.0, 300.0, 0.00, 0.0, "N", "O", d1),
+         (3, 2, 1, 1, 1.0, 100.0, 0.00, 0.0, "N", "O", d2)],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate date").write.parquet(
+        f"{sf}/lineitem.parquet")
+
+    rows = {r.month: r for r in q101_promo_revenue(spark, sf).collect()}
+    jan = rows[d1.replace(day=1)]
+    # promo: 100*(1-0.1)=90; total: 90+300=390 -> 90/390
+    assert jan.revenue == 390.0 and jan.promo_revenue == 90.0
+    assert abs(jan.promo_pct - 100.0 * 90 / 390) < 1e-12
+    feb = rows[d2.replace(day=1)]
+    assert feb.promo_revenue == 0.0 and feb.promo_pct == 0.0
+
+    g = {r.month: r for r in q102_monthly_growth(spark, sf).collect()}
+    assert g[d1.replace(day=1)].prev_revenue is None
+    assert g[d2.replace(day=1)].prev_revenue == 390.0
+    assert abs(g[d2.replace(day=1)].mom_growth
+               - (100.0 - 390.0) / 390.0) < 1e-12
+
+
+def test_q104_return_rate_planted(spark, tmp_path):
+    """User A returns on day 3 (counts), user B's only later event is 8
+    days out (misses the 7-day window), user C never purchases (not a
+    cohort member); pre-purchase events never count as returns."""
+    import datetime as dt
+
+    from downscaledclimatedata_spark.plans.advanced import (
+        q104_return_rate)
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    day = dt.timedelta(days=1)
+    rows = [
+        (1, t0 - day, 1, "view", 1.0, ""),          # pre-purchase
+        (2, t0, 1, "purchase", 1.0, ""),
+        (3, t0 + 3 * day, 1, "view", 1.0, ""),       # returns
+        (4, t0, 2, "purchase", 1.0, ""),
+        (5, t0 + 8 * day, 2, "view", 1.0, ""),       # too late
+        (6, t0, 3, "view", 1.0, ""),                 # never purchases
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+    (r,) = q104_return_rate(spark, sf).collect()
+    assert (r.n_purchasers, r.n_returned) == (2, 1)
+    assert r.return_rate == 0.5

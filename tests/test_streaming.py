@@ -750,3 +750,58 @@ def test_transform_with_state_gate_errors_loudly_without_protobuf():
         running_user_totals_tws)
     with pytest.raises(RuntimeError, match="running_user_totals"):
         running_user_totals_tws(None)
+
+
+def test_streaming_rollup_matches_batch_and_compacts(spark, tmp_path):
+    """The streamed incremental rollup must equal the one-shot batch
+    aggregate over the same events after any number of micro-batches;
+    compaction folds deltas into one base without changing the merged
+    answer; a replayed delta partition (idempotent overwrite) does not
+    double-count."""
+    from downscaledclimatedata_spark.operators.maintenance import (
+        agg_state)
+    from downscaledclimatedata_spark.streaming.ivm import (
+        compact_rollup, read_rollup, start_rollup_stream)
+    from downscaledclimatedata_spark.sources.tables import (
+        normalize_events_ts)
+    from tests.conftest import SF_SMOKE
+
+    edir = str(tmp_path / "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    raw.repartition(4).write.parquet(edir)
+
+    state = str(tmp_path / "state")
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(edir))
+    q = start_rollup_stream(stream, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    want = {r.event_type: (r.n, r.sum_cents, r.min_v, r.max_v)
+            for r in agg_state(normalize_events_ts(
+                spark.read.parquet(edir)), "event_type", "value")
+            .collect()}
+    got = {r.event_type: (r.n, r.sum_cents, r.min_v, r.max_v)
+           for r in read_rollup(spark, state).collect()}
+    assert got == want
+
+    # replay: re-writing one delta partition is a byte-identical
+    # overwrite, so the merged rollup is unchanged
+    import glob
+    one = sorted(glob.glob(state + "/batch=*"))[0]
+    # materialize before self-overwrite (lazy read would see the
+    # deleted files)
+    delta = spark.read.parquet(one).localCheckpoint()
+    delta.coalesce(1).write.mode("overwrite").parquet(one)
+    got2 = {r.event_type: (r.n, r.sum_cents, r.min_v, r.max_v)
+            for r in read_rollup(spark, state).collect()}
+    assert got2 == want
+
+    # compaction: many deltas -> one base, same answer
+    n_folded = compact_rollup(spark, state)
+    assert n_folded >= 2
+    assert len(glob.glob(state + "/batch=*")) == 1
+    got3 = {r.event_type: (r.n, r.sum_cents, r.min_v, r.max_v)
+            for r in read_rollup(spark, state).collect()}
+    assert got3 == want
