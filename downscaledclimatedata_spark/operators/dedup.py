@@ -2926,7 +2926,7 @@ ORDER BY ngram_order
 
 register(QuerySpec(
     "dedup_overlap_curve", dedup_overlap_curve_query,
-    _overlap_curve_sql(),
+    _overlap_curve_sql(), headline=True,
     description="contamination rate vs n-gram order (4/8/13): the "
                 "decon threshold knob curve, eval grams broadcast at "
                 "every order"))

@@ -4352,7 +4352,7 @@ FROM w CROSS JOIN tri
 
 register(QuerySpec(
     "similarity_knn_triangles", similarity_triangles_query,
-    _triangles_sql(),
+    _triangles_sql(), headline=True,
     description="exact triangle count + global clustering coefficient "
                 "of the undirected kNN graph via low-id forward-edge "
                 "orientation — each triangle counted once, wedges from "
