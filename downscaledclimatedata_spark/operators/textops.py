@@ -3016,3 +3016,138 @@ register(QuerySpec(
     description="per-language character-class census (lower/upper/"
                 "digit/space/other + ascii-letter fraction) — "
                 "shuffle-free projections, bounded aggregate"))
+
+
+# --- RAKE-style keyword extraction ---------------------------------------------------
+
+RAKE_MIN_FREQ = 3
+RAKE_MAX_PHRASE = 4
+
+
+def rake_keywords(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  min_freq: int = RAKE_MIN_FREQ,
+                  max_phrase: int = RAKE_MAX_PHRASE) -> DataFrame:
+    """RAKE-style corpus keywords (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each is scored by its words'
+    corpus-wide degree (co-occurrence mass) against their frequency.
+    The classic unsupervised keyword extractor — no model, one pass of
+    counting.
+
+    Scoring deviation, for exactness: canonical RAKE sums PER-WORD
+    ratios deg(w)/freq(w) — a float accumulation whose order is not
+    reproducible cross-engine. Here the phrase score is
+    sum(deg(w)) / sum(freq(w)) — the same two integer masses, ONE
+    division — which preserves the metric's direction (degree-rich
+    words up, common words down) and is bit-identical everywhere.
+
+    Plan: posexplode to (doc, pos, token); phrase ids are a running
+    stopword count per doc (doc-keyed window, uniform); phrases over
+    ``max_phrase`` words are discarded (RAKE's own practice); word
+    stats aggregate over phrase-word rows (map-side combine); phrase
+    relation joins word stats on the word. Output is every phrase with
+    corpus frequency >= ``min_freq`` (a deterministic threshold, not a
+    ratio-ordered top-k whose cutoff could ulp-flip between engines).
+    """
+    from pyspark.sql import Window
+
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(_tokens(F.coalesce(F.col(text_col), F.lit(""))))
+        .alias("pos", "token"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    marked = toks.withColumn(
+        "grp", F.sum(F.array_contains(stop_arr, F.col("token"))
+                     .cast("int")).over(w))
+    words = marked.filter(~F.array_contains(stop_arr, F.col("token")))
+    phrases = (words.groupBy(id_col, "grp")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", "token"))),
+                       lambda x: x["token"]), " ").alias("phrase"),
+                   F.count(F.lit(1)).alias("n_words"))
+               .filter(F.col("n_words") <= max_phrase))
+    pw = phrases.select("phrase", "n_words",
+                        F.explode(F.split("phrase", " ")).alias("wd"))
+    wstats = (pw.groupBy("wd")
+              .agg(F.count(F.lit(1)).alias("freq"),
+                   F.sum("n_words").alias("deg")))
+    scored = (pw.join(wstats.hint("merge"), "wd")
+              .groupBy("phrase")
+              .agg((F.count(F.lit(1))
+                    / F.max("n_words")).cast("bigint").alias("n_occur"),
+                   F.sum("deg").alias("sum_deg"),
+                   F.sum("freq").alias("sum_freq")))
+    # sums above count each occurrence once per word; normalize the
+    # occurrence count by the phrase's word count (exact integer div —
+    # the pw relation has n_words rows per occurrence)
+    return (scored.filter(F.col("n_occur") >= min_freq)
+            .select("phrase",
+                    F.col("n_occur").cast("bigint").alias("n_occur"),
+                    F.col("sum_deg").cast("bigint").alias("sum_deg"),
+                    F.col("sum_freq").cast("bigint").alias("sum_freq"),
+                    (F.col("sum_deg").cast("double")
+                     / F.col("sum_freq").cast("double")).alias("score"))
+            .orderBy("phrase"))
+
+
+def text_rake_keywords_query(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    return rake_keywords(load_table_parallel(spark, sf_dir, "documents",
+                                             key="doc_id"))
+
+
+_RAKE_TOKS = (r"list_filter(string_split_regex(lower(coalesce(text, '')), "
+              r"'[ \t\n\r\f\x0B]+'), x -> x <> '')")
+
+_RAKE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS token
+  FROM (SELECT doc_id, {_RAKE_TOKS} AS t FROM documents),
+  LATERAL (SELECT UNNEST(range(1, len(t) + 1)) AS i) ix
+), marked AS (
+  SELECT doc_id, pos, token,
+    SUM(CASE WHEN token IN {_STOP_LIST.replace('[', '(').replace(']', ')')}
+        THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM toks
+), words AS (
+  SELECT * FROM marked
+  WHERE token NOT IN {_STOP_LIST.replace('[', '(').replace(']', ')')}
+), phrases AS (
+  SELECT doc_id, grp,
+    array_to_string(list_transform(
+      list_sort(list({{'p': pos, 't': token}})), x -> x['t']), ' ')
+      AS phrase,
+    COUNT(*) AS n_words
+  FROM words GROUP BY doc_id, grp
+  HAVING COUNT(*) <= {RAKE_MAX_PHRASE}
+), pw AS (
+  SELECT phrase, n_words, UNNEST(string_split(phrase, ' ')) AS wd
+  FROM phrases
+), wstats AS (
+  SELECT wd, COUNT(*) AS freq, SUM(n_words) AS deg FROM pw GROUP BY wd
+), scored AS (
+  SELECT p.phrase,
+    COUNT(*) // MAX(p.n_words) AS n_occur,
+    SUM(w.deg) AS sum_deg,
+    SUM(w.freq) AS sum_freq
+  FROM pw p JOIN wstats w USING (wd)
+  GROUP BY p.phrase
+)
+SELECT phrase,
+  CAST(n_occur AS BIGINT) AS n_occur,
+  CAST(sum_deg AS BIGINT) AS sum_deg,
+  CAST(sum_freq AS BIGINT) AS sum_freq,
+  CAST(sum_deg AS DOUBLE) / CAST(sum_freq AS DOUBLE) AS score
+FROM scored WHERE n_occur >= {RAKE_MIN_FREQ}
+ORDER BY phrase
+"""
+
+register(QuerySpec(
+    "text_rake_keywords", text_rake_keywords_query, _RAKE_SQL,
+    description="RAKE-style keywords: stopword-delimited phrase runs "
+                "scored by exact integer degree/frequency masses with "
+                "one division — no model, deterministic threshold"))

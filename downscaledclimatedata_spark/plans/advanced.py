@@ -3477,3 +3477,175 @@ register(QuerySpec("q104_return_rate", q104_return_rate, _Q104_SQL,
                    description="day-7 return rate by first-purchase "
                                "cohort: struct-min first purchase + one "
                                "user-keyed semi-join window test"))
+
+
+# --- q105: session-level conversion rate -------------------------------------------
+
+def q105_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level conversion: sessions (q36's >300s-gap rule)
+    bucketed by length, with the share containing a purchase — the
+    engagement-vs-conversion curve (do longer sessions convert
+    better?). Session length buckets are capped exact integers.
+
+    Same two-window one-shuffle session construction as q36 (user-keyed,
+    uniform); the session rollup and the bucket report are bounded
+    aggregates. Note date_diff vs unix_timestamp subtraction agree
+    because both truncate each timestamp to whole seconds first.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.when((F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts", 1).over(w))) > 300, 1)
+        .otherwise(0).alias("new_session"))
+    sessioned = gapped.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess = (sessioned.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.max((F.col("event_type") == "purchase").cast("int"))
+                 .alias("converted")))
+    bucket = F.least(F.col("n_events"), F.lit(10)).cast("bigint")
+    return (sess.groupBy(bucket.alias("len_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("converted").alias("n_converted"))
+            .select("len_bucket",
+                    F.col("n_sessions").cast("bigint").alias("n_sessions"),
+                    F.col("n_converted").cast("bigint")
+                    .alias("n_converted"),
+                    (F.col("n_converted").cast("double")
+                     / F.col("n_sessions").cast("double"))
+                    .alias("conversion_rate"))
+            .orderBy("len_bucket"))
+
+
+_Q105_SQL = """
+WITH gapped AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN date_diff('second', LAG(ts, 1) OVER w, ts) > 300
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, event_type,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gapped
+), sess AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM sessioned GROUP BY user_id, session_id
+)
+SELECT CAST(LEAST(n_events, 10) AS BIGINT) AS len_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(SUM(converted) AS BIGINT) AS n_converted,
+  CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+    AS conversion_rate
+FROM sess GROUP BY len_bucket ORDER BY len_bucket
+"""
+
+register(QuerySpec("q105_session_conversion", q105_session_conversion,
+                   _Q105_SQL,
+                   description="session-length vs purchase-conversion "
+                               "curve on q36's gap sessions — bounded "
+                               "rollups after one user-keyed shuffle"))
+
+
+# --- q106: mergeable histogram quantiles ---------------------------------------------
+
+HIST_Q_BINS = 4096
+
+
+def q106_histogram_quantiles(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 per event type from a fixed-bin
+    histogram — the MERGEABLE quantile sketch (bin counts add across
+    partitions/days/streams, unlike exact rank state), with a declared
+    error bound of one bin width. The deterministic cousin of
+    approx_percentile: same one-pass map-side-combinable shape, but
+    both engines compute the identical answer, so it oracle-checks.
+
+    Per type: bin counts -> cumulative share -> the lower edge of the
+    first bin whose cumulative count reaches ceil(q * n). All integer
+    until the final edge arithmetic; the histogram relation is
+    |types| x 4096 rows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    st = ev.agg(F.min("value"), F.max("value")).first()
+    lo, hi = float(st[0] or 0), float(st[1] or 0)
+    width = (hi - lo) / HIST_Q_BINS if hi > lo else 1.0
+    b = F.least(F.floor((F.col("value") - F.lit(lo)) / F.lit(width)),
+                F.lit(HIST_Q_BINS - 1)).cast("bigint")
+    hist = (ev.groupBy("event_type", b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (hist.withColumn("cn", F.sum("n").over(w))
+           .withColumn("total", F.sum("n").over(
+               Window.partitionBy("event_type"))))
+    picks = []
+    for q, name in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+        need = F.ceil(F.col("total") * F.lit(q))
+        picks.append(
+            F.min(F.when(F.col("cn") >= need, F.col("bin")))
+            .alias(f"_{name}_bin"))
+    agg = cum.groupBy("event_type").agg(*picks,
+                                        F.max("total").alias("n_events"))
+    sel = [F.col("event_type"),
+           F.col("n_events").cast("bigint").alias("n_events")]
+    for name in ("p50", "p95", "p99"):
+        sel.append((F.lit(lo) + F.col(f"_{name}_bin").cast("double")
+                    * F.lit(width)).alias(name))
+    return (agg.select(*sel, F.lit(width).alias("max_err"))
+            .orderBy("event_type"))
+
+
+def _q106_sql() -> str:
+    k = HIST_Q_BINS
+    return f"""
+WITH bounds AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+), params AS (
+  SELECT lo, CASE WHEN hi > lo THEN (hi - lo) / {k} ELSE 1.0 END AS w
+  FROM bounds
+), hist AS (
+  SELECT event_type,
+    LEAST(floor((value - p.lo) / p.w), {k - 1}) AS bin,
+    COUNT(*) AS n
+  FROM events, params p
+  GROUP BY event_type, bin
+), cum AS (
+  SELECT event_type, bin, n,
+    SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+    SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM hist
+), agg AS (
+  SELECT event_type, MAX(total) AS n_events,
+    MIN(CASE WHEN cn >= ceil(total * 0.5) THEN bin END) AS b50,
+    MIN(CASE WHEN cn >= ceil(total * 0.95) THEN bin END) AS b95,
+    MIN(CASE WHEN cn >= ceil(total * 0.99) THEN bin END) AS b99
+  FROM cum GROUP BY event_type
+)
+SELECT event_type,
+  CAST(n_events AS BIGINT) AS n_events,
+  (SELECT lo FROM params) + CAST(b50 AS DOUBLE) * (SELECT w FROM params)
+    AS p50,
+  (SELECT lo FROM params) + CAST(b95 AS DOUBLE) * (SELECT w FROM params)
+    AS p95,
+  (SELECT lo FROM params) + CAST(b99 AS DOUBLE) * (SELECT w FROM params)
+    AS p99,
+  (SELECT w FROM params) AS max_err
+FROM agg ORDER BY event_type
+"""
+
+
+register(QuerySpec("q106_histogram_quantiles", q106_histogram_quantiles,
+                   _q106_sql(),
+                   description="mergeable fixed-bin histogram quantiles "
+                               "(p50/p95/p99 + declared one-bin error "
+                               "bound) — deterministic "
+                               "approx_percentile twin that "
+                               "oracle-checks"))

@@ -1142,3 +1142,63 @@ def test_q104_return_rate_planted(spark, tmp_path):
     (r,) = q104_return_rate(spark, sf).collect()
     assert (r.n_purchasers, r.n_returned) == (2, 1)
     assert r.return_rate == 0.5
+
+
+def test_rake_keywords_planted(spark):
+    """'deep learning is the deep learning of deep learning' -> one
+    candidate phrase 'deep learning' occurring 3 times; both words have
+    freq 3 and degree 6, so sum_deg=36, sum_freq=18, score exactly 2.0
+    (each word's deg/freq = 2 — the RAKE direction preserved by the
+    single-division variant). Phrases below min_freq are dropped."""
+    from downscaledclimatedata_spark.operators.textops import (
+        rake_keywords)
+
+    docs = spark.createDataFrame(
+        [(1, "deep learning is the deep learning of deep learning",
+          "en", "s", 50),
+         (2, "rare phrase is here", "en", "s", 20)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = {r.phrase: r for r in rake_keywords(docs).collect()}
+    assert set(out) == {"deep learning"}
+    r = out["deep learning"]
+    assert (r.n_occur, r.sum_deg, r.sum_freq) == (3, 36, 18)
+    assert r.score == 2.0
+
+
+def test_q105_q106_semantics(spark, tmp_path):
+    """q105: a 2-event session with a purchase converts, a 1-event
+    session without one doesn't. q106: the histogram quantile honors
+    its declared one-bin-width error bound against the exact order
+    statistic, per event type."""
+    import datetime as dt
+
+    from downscaledclimatedata_spark.plans.advanced import (
+        q105_session_conversion, q106_histogram_quantiles)
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, t0, 1, "view", 1.0, ""), (2, t0 + 10 * s, 1, "purchase",
+                                      2.0, ""),
+        (3, t0 + 1000 * s, 1, "view", 3.0, ""),       # new session
+        (4, t0, 2, "view", 4.0, ""),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+    conv = {r.len_bucket: (r.n_sessions, r.n_converted)
+            for r in q105_session_conversion(spark, sf).collect()}
+    assert conv[2] == (1, 1)      # the purchase session
+    assert conv[1] == (2, 0)      # two singleton view sessions
+
+    hist = {r.event_type: r
+            for r in q106_histogram_quantiles(spark, sf).collect()}
+    import numpy as np
+    vals = sorted([1.0, 3.0, 4.0])
+    exact_p50 = np.quantile(vals, 0.5)
+    r = hist["view"]
+    assert abs(r.p50 - exact_p50) <= r.max_err + 1e-9
+    assert r.p50 <= r.p95 <= r.p99
