@@ -3649,3 +3649,93 @@ register(QuerySpec("q106_histogram_quantiles", q106_histogram_quantiles,
                                "bound) — deterministic "
                                "approx_percentile twin that "
                                "oracle-checks"))
+
+
+# --- q107: spend-quintile migration matrix -------------------------------------------
+
+def q107_quintile_migration(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Customer spend-quintile migration between the data's two date
+    halves — the period-over-period CRM movement matrix (who climbed,
+    who lapsed, who arrived): counts per (quintile_then,
+    quintile_now) cell, with NULL cells for customers present in only
+    one period (new arrivals / churned).
+
+    The split date is the exact integer midpoint of the order-date
+    range (the SCD2 time-travel probe idiom — deterministic, derived
+    from the data). Each period's quintile uses the q82 discipline:
+    binned two-phase rank over spend (parallelism ∝ bins, never one
+    ntile task) and the pure-arithmetic (rank-1)*5 div n + 1 cut. The
+    migration join is customer-keyed; output is <= 36 cells.
+    """
+    from downscaledclimatedata_spark.functions.ranks import (
+        binned_row_number, value_bin)
+
+    orders = _t(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi")).first()
+    mid_days = int((b["hi"] - b["lo"]).days // 2)
+
+    def quintiles(df):
+        per = (df.groupBy("o_custkey")
+               .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                          .cast("bigint")).alias("cents")))
+        st = per.agg(F.min("cents"), F.max("cents")).first()
+        lo, hi = float(st[0] or 0), float(st[1] or 0)
+        ranked = binned_row_number(
+            per.withColumn("_cb", value_bin(F.col("cents")
+                                            .cast("double"), lo, hi)),
+            "_cb", ("cents", "o_custkey"), out="rk", count_col="n")
+        return ranked.select(
+            "o_custkey",
+            (((F.col("rk") - 1) * 5 / F.col("n")).cast("bigint")
+             + 1).alias("quintile"))
+
+    split = F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit(b["lo"])) <= mid_days
+    q_then = quintiles(orders.filter(split)) \
+        .withColumnRenamed("quintile", "q_then")
+    q_now = quintiles(orders.filter(~split)) \
+        .withColumnRenamed("quintile", "q_now")
+    return (q_then.join(q_now.hint("merge"), "o_custkey", "full_outer")
+            .groupBy("q_then", "q_now")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .select(F.col("q_then").cast("bigint").alias("q_then"),
+                    F.col("q_now").cast("bigint").alias("q_now"),
+                    F.col("n_customers").cast("bigint")
+                    .alias("n_customers"))
+            .orderBy("q_then", "q_now"))
+
+
+def _q107_sql() -> str:
+    per = """
+  SELECT o_custkey,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders WHERE {pred} GROUP BY o_custkey"""
+    quint = """
+  SELECT o_custkey,
+    ((ROW_NUMBER() OVER (ORDER BY cents, o_custkey) - 1) * 5)
+      // COUNT(*) OVER () + 1 AS quintile
+  FROM ({per})"""
+    pred1 = ("date_diff('day', (SELECT MIN(o_orderdate) FROM orders), "
+             "o_orderdate) <= (SELECT (date_diff('day', "
+             "MIN(o_orderdate), MAX(o_orderdate))) // 2 FROM orders)")
+    q1 = quint.format(per=per.format(pred=pred1))
+    q2 = quint.format(per=per.format(pred=f"NOT ({pred1})"))
+    return f"""
+WITH q_then AS ({q1}), q_now AS ({q2})
+SELECT CAST(t.quintile AS BIGINT) AS q_then,
+  CAST(n.quintile AS BIGINT) AS q_now,
+  CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM q_then t FULL OUTER JOIN q_now n USING (o_custkey)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+register(QuerySpec("q107_quintile_migration", q107_quintile_migration,
+                   _q107_sql(),
+                   description="period-over-period spend-quintile "
+                               "migration matrix: binned-rank quintiles "
+                               "per date half, full-outer customer join "
+                               "-> <=36 cells incl. new/churned NULLs"))

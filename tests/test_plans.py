@@ -1202,3 +1202,26 @@ def test_q105_q106_semantics(spark, tmp_path):
     r = hist["view"]
     assert abs(r.p50 - exact_p50) <= r.max_err + 1e-9
     assert r.p50 <= r.p95 <= r.p99
+
+
+def test_q107_binned_and_conserves_customers(spark):
+    """Every rank window is spend-binned (no single-task ntile); the
+    matrix conserves customers: cell counts sum to |customers active in
+    either half|."""
+    import re
+
+    from downscaledclimatedata_spark.plans.advanced import (
+        q107_quintile_migration)
+    from downscaledclimatedata_spark.sources.tables import load_table
+
+    plan = _plan(spark, "q107_quintile_migration")
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)",
+                       plan)
+    assert specs and all("_cb#" in s for s in specs), specs
+
+    out = q107_quintile_migration(spark, SF_CORRECTNESS).collect()
+    total = sum(r.n_customers for r in out)
+    n_cust = (load_table(spark, SF_CORRECTNESS, "orders")
+              .select("o_custkey").distinct().count())
+    assert total == n_cust
+    assert all(r.q_then is None or 1 <= r.q_then <= 5 for r in out)
