@@ -1763,3 +1763,95 @@ register(QuerySpec(
                 "range-proxy allocation + largest-remainder seats, "
                 "realized by the quota_h lowest seeded-hash docs per "
                 "stratum via binned ranks"))
+
+
+# --- epoch-expanded training order ---------------------------------------------------
+
+def epoch_expand(df: DataFrame, budget_tokens: int,
+                 n_shards: int = 16,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 source_col: str = "source",
+                 max_epochs: int = MAX_EPOCHS,
+                 seed: str = "epoch-expand0") -> DataFrame:
+    """Materialize :func:`epoch_schedule` into an actual training
+    order: every document appears once per scheduled epoch of its
+    source, and the (doc, epoch) copies are seeded-hash shuffled into
+    (shard, pos) — each copy independently and uniformly placed, so
+    repeats are spread across the realized order in expectation (naive
+    epoch concatenation places every repeat exactly one corpus-length
+    apart; adjacent repeats here have ~1/N probability instead of a
+    structural guarantee).
+
+    The expansion is a broadcast join of the |sources|-row schedule +
+    one ``explode(sequence(1, epochs))`` — output rows ∝ corpus x
+    epochs, exactly the training mix. Order keys are md5(seed, id,
+    epoch): deterministic, epoch-sensitive (each epoch's pass is an
+    unrelated permutation), realized with global_shuffle's shard/pos
+    contract (per-shard windows, never a global sort).
+    """
+    sched = (epoch_schedule(df, budget_tokens, text_col, id_col,
+                            source_col, max_epochs)
+             .select("source", "epochs"))
+    src = F.col(source_col).alias("source") if source_col != "source" \
+        else F.col("source")
+    expanded = (df.select(F.col(id_col), src)
+                .join(F.broadcast(sched), "source")
+                .select(F.col(id_col),
+                        F.explode(F.sequence(F.lit(1), F.col("epochs")))
+                        .alias("epoch")))
+    key = md5_long(F.concat_ws("|", F.col(id_col).cast("string"),
+                               F.col("epoch").cast("string")),
+                   seed=f"{seed}:")
+    keyed = expanded.select(F.col(id_col), "epoch", key.alias("k"))
+    w = Window.partitionBy("shard").orderBy("k", id_col, "epoch")
+    return (keyed.withColumn("shard",
+                             (F.col("k") % n_shards).cast("bigint"))
+            .withColumn("pos", F.row_number().over(w).cast("bigint"))
+            .select(F.col(id_col), F.col("epoch").cast("bigint")
+                    .alias("epoch"), "shard", "pos"))
+
+
+def prep_epoch_expand_query(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_expand(docs, budget_tokens=50_000_000, n_shards=16)
+
+
+def _epoch_expand_sql() -> str:
+    key = md5_long_sql(
+        "concat_ws('|', CAST(doc_id AS VARCHAR), CAST(epoch AS VARCHAR))",
+        seed="epoch-expand0:")
+    return f"""
+WITH per AS (
+  SELECT source,
+    CAST(SUM(len({_EPOCH_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n_tokens) AS total_tokens FROM per
+), sched AS (
+  SELECT p.source,
+    LEAST(GREATEST((CAST(CAST(50000000 AS HUGEINT)
+                         * CAST(p.n_tokens AS HUGEINT)
+                         // CAST(t.total_tokens AS HUGEINT) AS BIGINT)
+                    + p.n_tokens - 1) // p.n_tokens, 1), 4) AS epochs
+  FROM per p CROSS JOIN tot t
+  WHERE p.n_tokens > 0
+), expanded AS (
+  SELECT d.doc_id, UNNEST(range(1, s.epochs + 1)) AS epoch
+  FROM documents d JOIN sched s USING (source)
+), keyed AS (
+  SELECT doc_id, epoch, {key} AS k FROM expanded
+)
+SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+  CAST(k % 16 AS BIGINT) AS shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY k % 16
+                          ORDER BY k, doc_id, epoch) AS BIGINT) AS pos
+FROM keyed
+"""
+
+
+register(QuerySpec(
+    "prep_epoch_expand", prep_epoch_expand_query, _epoch_expand_sql(),
+    description="epoch-expanded training order: schedule epochs "
+                "broadcast-exploded per doc, (id, epoch)-seeded hash "
+                "shuffle to shard/pos so repeats land far apart"))

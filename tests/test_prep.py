@@ -397,3 +397,46 @@ def test_epoch_schedule_planted(spark):
     # clamps at 4
     assert out2["rich"].epochs == 4
     assert out2["rich"].used_tokens == 36000
+
+
+def test_epoch_expand_copies_and_spread(spark):
+    """Each doc appears exactly epochs(source) times; (shard, pos) is a
+    dense per-shard order; every copy of a doc occupies a DISTINCT
+    slot; and placements differ across epochs for most docs (the
+    copies are independently hashed — adjacency is possible by chance,
+    so no stronger claim is asserted)."""
+    from downscaledclimatedata_spark.operators.prep import (
+        epoch_expand, epoch_schedule)
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(50)), "en",
+          "scarce" if i < 3 else "rich", 0) for i in range(30)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    budget = 10_000
+    sched = {r.source: r.epochs for r in
+             epoch_schedule(docs, budget).collect()}
+    out = epoch_expand(docs, budget, n_shards=4).collect()
+    from collections import Counter
+    per_doc = Counter(r.doc_id for r in out)
+    for i in range(30):
+        want = sched["scarce" if i < 3 else "rich"]
+        assert per_doc[i] == want, (i, per_doc[i], want)
+    # dense per-shard positions
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # every copy of a doc occupies its own distinct slot
+    spots = {}
+    for r in out:
+        spots.setdefault(r.doc_id, []).append((r.shard, r.pos))
+    for doc, sp in spots.items():
+        assert len(sp) == len(set(sp)), (doc, sp)
+    # the copies are spread: at least one repeated doc has copies in
+    # DIFFERENT shards (all-in-one-shard would mean the epoch is not
+    # in the hash key)
+    multi = [sp for sp in spots.values() if len(sp) >= 2]
+    if multi:
+        assert any(len({sh for sh, _ in sp}) > 1 for sp in multi)
