@@ -3739,3 +3739,107 @@ register(QuerySpec("q107_quintile_migration", q107_quintile_migration,
                                "migration matrix: binned-rank quintiles "
                                "per date half, full-outer customer join "
                                "-> <=36 cells incl. new/churned NULLs"))
+
+
+# --- q108: peak concurrent sessions ---------------------------------------------------
+
+def q108_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions (capacity planning's first number):
+    sessions are q36's gap rule; each contributes +1 at its start and
+    -1 after its end; the running sum's maximum is the peak.
+
+    The sweep needs a GLOBAL time order — realized with the
+    two-phase-binned prefix-sum (the running-sum generalization of
+    functions/ranks.binned_row_number): running delta sums inside
+    (time-bin) windows + per-bin totals cumulated over the bounded bin
+    relation and broadcast back. Parallelism ∝ bins; no single-task
+    ORDER BY over the delta stream. Tie rule at equal seconds: starts
+    (+1) before ends (-1), then (user, session) — instantaneous
+    sessions count, and both engines sweep the identical sequence.
+    """
+    from downscaledclimatedata_spark.functions.ranks import value_bin
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.select(
+        "user_id", "event_id", "ts",
+        F.when((F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts", 1).over(w))) > 300, 1)
+        .otherwise(0).alias("new_session"))
+    sess = (gapped.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(F.unix_timestamp(F.min("ts")).alias("t_start"),
+             F.unix_timestamp(F.max("ts")).alias("t_end")))
+    deltas = (sess.select("user_id", "session_id",
+                          F.col("t_start").alias("t"),
+                          F.lit(1).alias("d"))
+              .unionByName(
+                  sess.select("user_id", "session_id",
+                              (F.col("t_end") + 1).alias("t"),
+                              F.lit(-1).alias("d"))))
+    st = deltas.agg(F.min("t"), F.max("t")).first()
+    lo, hi = float(st[0] or 0), float(st[1] or 0)
+    binned = deltas.withColumn(
+        "_tb", value_bin(F.col("t").cast("double"), lo, hi))
+    order = [F.col("t"), F.col("d").desc(), F.col("user_id"),
+             F.col("session_id")]
+    wb = Window.partitionBy("_tb").orderBy(*order)
+    run = binned.withColumn("_rs", F.sum("d").over(
+        wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    totals = binned.groupBy("_tb").agg(F.sum("d").alias("_bt"))
+    woff = (Window.orderBy("_tb")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = totals.select(
+        "_tb", F.coalesce(F.sum("_bt").over(woff), F.lit(0))
+        .alias("_off"))
+    swept = run.join(F.broadcast(offs), "_tb") \
+        .select((F.col("_rs") + F.col("_off")).alias("conc"))
+    n_sessions = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (swept.agg(F.max("conc").alias("peak_concurrency"))
+            .crossJoin(F.broadcast(n_sessions))
+            .select(F.col("n_sessions").cast("bigint").alias("n_sessions"),
+                    F.col("peak_concurrency").cast("bigint")
+                    .alias("peak_concurrency")))
+
+
+_Q108_SQL = """
+WITH gapped AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN date_diff('second', LAG(ts, 1) OVER w, ts) > 300
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gapped
+), sess AS (
+  SELECT user_id, session_id,
+    floor(epoch(MIN(ts))) AS t_start,
+    floor(epoch(MAX(ts))) AS t_end
+  FROM sessioned GROUP BY user_id, session_id
+), deltas AS (
+  SELECT user_id, session_id, t_start AS t, 1 AS d FROM sess
+  UNION ALL
+  SELECT user_id, session_id, t_end + 1 AS t, -1 AS d FROM sess
+), swept AS (
+  SELECT SUM(d) OVER (ORDER BY t, d DESC, user_id, session_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM deltas
+)
+SELECT CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions,
+  CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+FROM swept
+"""
+
+register(QuerySpec("q108_peak_concurrency", q108_peak_concurrency,
+                   _Q108_SQL,
+                   description="peak simultaneous sessions via the "
+                               "two-phase-binned PREFIX SUM (the "
+                               "running-sum generalization of the "
+                               "binned rank) — no single-task global "
+                               "sweep"))

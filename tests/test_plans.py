@@ -1225,3 +1225,42 @@ def test_q107_binned_and_conserves_customers(spark):
               .select("o_custkey").distinct().count())
     assert total == n_cust
     assert all(r.q_then is None or 1 <= r.q_then <= 5 for r in out)
+
+
+def test_q108_peak_concurrency_planted(spark, tmp_path):
+    """Three users: A 10:00-10:04, B 10:02-10:06 (overlap 2), C alone
+    at 11:00 -> peak 2, 3 sessions; the instantaneous C session still
+    counts (+1 sorts before -1). The sweep's running-sum window must be
+    time-binned, never a global single-task window."""
+    import datetime as dt
+    import re
+
+    from downscaledclimatedata_spark.plans.advanced import (
+        q108_peak_concurrency)
+
+    t = lambda m, s=0: dt.datetime(2024, 1, 1, 10, m, s)
+    rows = [
+        (1, t(0), 1, "view", 1.0, ""), (2, t(4), 1, "view", 1.0, ""),
+        (3, t(2), 2, "view", 1.0, ""), (4, t(6), 2, "view", 1.0, ""),
+        (5, dt.datetime(2024, 1, 1, 11, 0), 3, "view", 1.0, ""),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+    (r,) = q108_peak_concurrency(spark, sf).collect()
+    # 240s intra-user gaps stay under the 300s rule, so A and B are one
+    # session each; C is an instantaneous single-event session
+    assert (r.n_sessions, r.peak_concurrency) == (3, 2)
+
+    plan_df = q108_peak_concurrency(spark, SF_CORRECTNESS)
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    sweeps = re.findall(
+        r"sum\(d#\d+\) windowspecdefinition\(([^)]*)\)", plan)
+    assert sweeps and all("_tb#" in s for s in sweeps), sweeps
