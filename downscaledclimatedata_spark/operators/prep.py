@@ -1855,3 +1855,78 @@ register(QuerySpec(
     description="epoch-expanded training order: schedule epochs "
                 "broadcast-exploded per doc, (id, epoch)-seeded hash "
                 "shuffle to shard/pos so repeats land far apart"))
+
+
+# --- shard balance report --------------------------------------------------------------
+
+def shard_balance(df: DataFrame, n_shards: int = N_SHUFFLE_SHARDS,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  seed: str = "epoch0") -> DataFrame:
+    """Token-mass balance of :func:`global_shuffle`'s shards — the
+    pre-flight check before a training run trusts its data loader: a
+    hash shuffle balances DOC COUNTS by construction, but token mass
+    can still skew when document lengths are heavy-tailed. One row:
+    shard count, min/max/total token mass, and the max/mean imbalance
+    ratio (1.0 = perfectly even; the number the loader's stragglers
+    follow).
+
+    Plan: the shuffle assignment is re-derived from the same seeded
+    hash (a projection — global_shuffle's window is not needed for
+    per-shard SUMS), so the report costs one scan + a |shards|-row
+    aggregate.
+    """
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
+                                               F.lit(""))), WS_RE),
+                    lambda x: x != "")
+    key = md5_long(F.col(id_col).cast("string"), seed=f"{seed}:")
+    per = (df.select((key % n_shards).alias("shard"),
+                     F.size(toks).cast("bigint").alias("n_toks"))
+           .groupBy("shard").agg(F.sum("n_toks").alias("mass")))
+    return (per.agg(F.count(F.lit(1)).alias("n_shards"),
+                    F.min("mass").alias("min_mass"),
+                    F.max("mass").alias("max_mass"),
+                    F.sum("mass").alias("total_mass"))
+            .select(F.col("n_shards").cast("bigint").alias("n_shards"),
+                    F.col("min_mass").cast("bigint").alias("min_mass"),
+                    F.col("max_mass").cast("bigint").alias("max_mass"),
+                    F.col("total_mass").cast("bigint").alias("total_mass"),
+                    F.when(F.col("total_mass") > 0,
+                           F.col("max_mass").cast("double")
+                           * F.col("n_shards").cast("double")
+                           / F.col("total_mass").cast("double"))
+                    .otherwise(F.lit(0.0)).alias("imbalance")))
+
+
+def prep_shard_balance_query(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_balance(docs)
+
+
+def _shard_balance_sql() -> str:
+    toks = (r"list_filter(string_split_regex(lower(coalesce(text, '')), "
+            r"'[ \t\n\r\f\x0B]+'), x -> x <> '')")
+    key = md5_long_sql("CAST(doc_id AS VARCHAR)", seed="epoch0:")
+    return f"""
+WITH per AS (
+  SELECT ({key}) % {N_SHUFFLE_SHARDS} AS shard,
+    SUM(CAST(len({toks}) AS BIGINT)) AS mass
+  FROM documents GROUP BY shard
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+  CAST(MIN(mass) AS BIGINT) AS min_mass,
+  CAST(MAX(mass) AS BIGINT) AS max_mass,
+  CAST(SUM(mass) AS BIGINT) AS total_mass,
+  CASE WHEN SUM(mass) > 0
+       THEN CAST(MAX(mass) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+            / CAST(SUM(mass) AS DOUBLE)
+       ELSE 0.0 END AS imbalance
+FROM per
+"""
+
+
+register(QuerySpec(
+    "prep_shard_balance", prep_shard_balance_query, _shard_balance_sql(),
+    description="token-mass balance of the seeded shuffle's shards: "
+                "min/max/total mass + max/mean imbalance ratio from "
+                "one scan and a |shards|-row aggregate"))

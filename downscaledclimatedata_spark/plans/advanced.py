@@ -3843,3 +3843,72 @@ register(QuerySpec("q108_peak_concurrency", q108_peak_concurrency,
                                "running-sum generalization of the "
                                "binned rank) — no single-task global "
                                "sweep"))
+
+
+# --- q109: time-to-convert distribution ----------------------------------------------
+
+def q109_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of view -> purchase latency: for every converting
+    user, the delay between their first view and the earliest purchase
+    STRICTLY AFTER it (q94's chain semantics, not first-timestamps),
+    bucketed in capped hours — the histogram a growth team reads
+    before setting retargeting windows.
+
+    Two struct-min aggregations chained by one user-keyed merge join
+    (no event-stream window); delays are whole-second differences
+    (unix_timestamp / floor(epoch()) on each side); the bucket relation
+    is <= 49 rows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    v1 = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id")
+          .agg(F.min(F.struct("ts", "event_id")).alias("m"))
+          .select("user_id", F.col("m.ts").alias("v_ts"),
+                  F.col("m.event_id").alias("v_id")))
+    after = ((F.col("ts") > F.col("v_ts"))
+             | ((F.col("ts") == F.col("v_ts"))
+                & (F.col("event_id") > F.col("v_id"))))
+    p1 = (ev.filter(F.col("event_type") == "purchase")
+          .join(v1.hint("merge"), "user_id")
+          .filter(after)
+          .groupBy("user_id")
+          .agg(F.min(F.struct("ts", "event_id")).alias("m"),
+               F.max("v_ts").alias("v_ts"))
+          .select("user_id",
+                  (F.unix_timestamp(F.col("m.ts"))
+                   - F.unix_timestamp("v_ts")).alias("delay_sec")))
+    bucket = F.least(F.floor(F.col("delay_sec") / 3600),
+                     F.lit(48)).cast("bigint")
+    return (p1.groupBy(bucket.alias("hour_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .select("hour_bucket",
+                    F.col("n_users").cast("bigint").alias("n_users"))
+            .orderBy("hour_bucket"))
+
+
+_Q109_SQL = """
+WITH v1 AS (
+  SELECT user_id, t AS v_ts, e AS v_id FROM (
+    SELECT user_id, ts AS t, event_id AS e,
+      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        AS rn
+    FROM events WHERE event_type = 'view') WHERE rn = 1
+), p1 AS (
+  SELECT ev.user_id,
+    MIN(floor(epoch(ev.ts))) - MAX(floor(epoch(v1.v_ts))) AS delay_sec
+  FROM events ev JOIN v1 USING (user_id)
+  WHERE ev.event_type = 'purchase'
+    AND (ev.ts > v1.v_ts
+         OR (ev.ts = v1.v_ts AND ev.event_id > v1.v_id))
+  GROUP BY ev.user_id
+)
+SELECT CAST(LEAST(floor(delay_sec / 3600), 48) AS BIGINT) AS hour_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p1 GROUP BY hour_bucket ORDER BY hour_bucket
+"""
+
+register(QuerySpec("q109_time_to_convert", q109_time_to_convert,
+                   _Q109_SQL,
+                   description="view->purchase latency histogram with "
+                               "q94's strict chain semantics: two "
+                               "struct-min passes, capped hour buckets"))

@@ -1264,3 +1264,35 @@ def test_q108_peak_concurrency_planted(spark, tmp_path):
     sweeps = re.findall(
         r"sum\(d#\d+\) windowspecdefinition\(([^)]*)\)", plan)
     assert sweeps and all("_tb#" in s for s in sweeps), sweeps
+
+
+def test_q109_time_to_convert_planted(spark, tmp_path):
+    """Chain semantics: a purchase BEFORE the first view doesn't count;
+    the earliest qualifying purchase sets the delay; buckets cap at
+    48 h."""
+    import datetime as dt
+
+    from downscaledclimatedata_spark.plans.advanced import (
+        q109_time_to_convert)
+
+    t0 = dt.datetime(2024, 5, 1, 8, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: view, purchase 90 min later -> bucket 1
+        (1, t0, 1, "view", 1.0, ""),
+        (2, t0 + dt.timedelta(minutes=90), 1, "purchase", 1.0, ""),
+        (3, t0 + 5 * h, 1, "purchase", 1.0, ""),       # later: ignored
+        # user 2: purchase BEFORE any view -> never converts
+        (4, t0, 2, "purchase", 1.0, ""), (5, t0 + h, 2, "view", 1.0, ""),
+        # user 3: converts 100 h later -> capped bucket 48
+        (6, t0, 3, "view", 1.0, ""),
+        (7, t0 + 100 * h, 3, "purchase", 1.0, ""),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+    out = {r.hour_bucket: r.n_users
+           for r in q109_time_to_convert(spark, sf).collect()}
+    assert out == {1: 1, 48: 1}
