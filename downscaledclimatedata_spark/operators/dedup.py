@@ -2930,3 +2930,71 @@ register(QuerySpec(
     description="contamination rate vs n-gram order (4/8/13): the "
                 "decon threshold knob curve, eval grams broadcast at "
                 "every order"))
+
+
+# --- LSH bucket occupancy histogram --------------------------------------------------
+
+BUCKET_HIST_CAP = 20
+
+
+def lsh_bucket_histogram(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         cap: int = BUCKET_HIST_CAP) -> DataFrame:
+    """Occupancy distribution of the minhash LSH band buckets — the
+    index-health view behind the band join's cost model: candidate
+    pairs grow with sum over buckets of size², so a fat tail here IS
+    the skew that blows up the band join (the df-cap's justification,
+    made measurable). One row per (capped) bucket size with bucket
+    count and the pair mass that size class contributes.
+
+    Scale: the banding is the registered signature explode; occupancy
+    is one (band, hash)-keyed count with map-side partials; the
+    histogram is a bounded (<= cap+1 row) roll-up.
+    """
+    sigs = minhash_signatures(docs, text_col, id_col)
+    bands = _banded(sigs, id_col, MINHASH_PERMS, LSH_BAND_SIZE)
+    occ = (bands.groupBy("band_id", "band_hash")
+           .agg(F.count(F.lit(1)).alias("sz")))
+    capped = F.least(F.col("sz"), F.lit(cap)).cast("bigint")
+    d = lambda c: c.cast("decimal(38,0)")
+    return (occ.groupBy(capped.alias("bucket_size"))
+            .agg(F.count(F.lit(1)).alias("n_buckets"),
+                 F.sum(d(F.col("sz")) * (d(F.col("sz")) - 1) / 2)
+                 .cast("bigint").alias("pair_mass"))
+            .select("bucket_size",
+                    F.col("n_buckets").cast("bigint").alias("n_buckets"),
+                    "pair_mass")
+            .orderBy("bucket_size"))
+
+
+def dedup_lsh_bucket_histogram_query(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return lsh_bucket_histogram(docs)
+
+
+_LSH_BUCKET_HIST_SQL = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_HASHED_CTE},
+sigs AS (
+  SELECT doc_id, {_MINHASH_COLS_SQL}
+  FROM hashed GROUP BY doc_id
+),
+banded AS ({_BAND_SELECTS}),
+occ AS (
+  SELECT band_id, band_hash, COUNT(*) AS sz
+  FROM banded GROUP BY band_id, band_hash
+)
+SELECT CAST(LEAST(sz, {BUCKET_HIST_CAP}) AS BIGINT) AS bucket_size,
+  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+  CAST(SUM(CAST(sz AS HUGEINT) * (CAST(sz AS HUGEINT) - 1) // 2)
+       AS BIGINT) AS pair_mass
+FROM occ GROUP BY bucket_size ORDER BY bucket_size
+"""
+
+register(QuerySpec(
+    "dedup_lsh_bucket_histogram", dedup_lsh_bucket_histogram_query,
+    _LSH_BUCKET_HIST_SQL,
+    description="LSH band-bucket occupancy histogram + per-size-class "
+                "candidate pair mass — the band join's cost model made "
+                "measurable"))

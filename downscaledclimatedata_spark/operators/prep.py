@@ -1930,3 +1930,67 @@ register(QuerySpec(
     description="token-mass balance of the seeded shuffle's shards: "
                 "min/max/total mass + max/mean imbalance ratio from "
                 "one scan and a |shards|-row aggregate"))
+
+
+# --- per-source document-length profile ---------------------------------------------
+
+def length_profile(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   source_col: str = "source") -> DataFrame:
+    """Per-source document-length percentile table (p25/p50/p75/p95 of
+    token counts + count) — the dataset-card table that exposes
+    truncation risk (p95 vs the training context window) and
+    boilerplate collapse (p25 near zero). Exact interpolated
+    percentiles from :func:`grouped_quantile_cont` — binned two-phase
+    ranks, no percentile() buffer, parallelism ∝ bins regardless of
+    |sources|.
+    """
+    from downscaledclimatedata_spark.functions.ranks import (
+        grouped_quantile_cont)
+
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
+                                               F.lit(""))), WS_RE),
+                    lambda x: x != "")
+    base = df.select(F.col(id_col),
+                     F.col(source_col).alias("source"),
+                     F.size(toks).cast("double").alias("n_toks"))
+    prof = grouped_quantile_cont(
+        base, "n_toks",
+        [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")],
+        group_cols=("source",), id_cols=(id_col,), count_name="n_docs")
+    return prof.select("source",
+                       F.col("n_docs").cast("bigint").alias("n_docs"),
+                       "p25", "p50", "p75", "p95") \
+        .orderBy("source")
+
+
+def prep_length_profile_query(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return length_profile(docs)
+
+
+def _length_profile_sql() -> str:
+    toks = (r"list_filter(string_split_regex(lower(coalesce(text, '')), "
+            r"'[ \t\n\r\f\x0B]+'), x -> x <> '')")
+    return f"""
+WITH base AS (
+  SELECT source, CAST(len({toks}) AS DOUBLE) AS n_toks FROM documents
+)
+SELECT source,
+  CAST(COUNT(n_toks) AS BIGINT) AS n_docs,
+  quantile_cont(n_toks, 0.25) AS p25,
+  quantile_cont(n_toks, 0.5) AS p50,
+  quantile_cont(n_toks, 0.75) AS p75,
+  quantile_cont(n_toks, 0.95) AS p95
+FROM base GROUP BY source ORDER BY source
+"""
+
+
+register(QuerySpec(
+    "prep_length_profile", prep_length_profile_query,
+    _length_profile_sql(),
+    description="per-source token-length percentile table "
+                "(p25/p50/p75/p95) via grouped_quantile_cont — the "
+                "dataset-card truncation-risk view, no percentile() "
+                "buffer"))

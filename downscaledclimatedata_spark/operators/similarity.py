@@ -4455,3 +4455,83 @@ register(QuerySpec(
     description="mean reciprocal rank of the IVF searchers vs the "
                 "exact top-1 truth — reciprocals summed as exact "
                 "integer lcm units, one final division"))
+
+
+# --- embedding norm histogram ---------------------------------------------------------
+
+NORM_HIST_BINS = 32
+
+
+def norm_histogram(emb: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label",
+                   n_bins: int = NORM_HIST_BINS) -> DataFrame:
+    """Per-label distribution of embedding norms — the first diagnostic
+    when cosine and dot-product retrieval disagree (norm stratification
+    by label means dot-product search encodes label priors; a spike at
+    zero means dead vectors). Buckets are equal-width over the EXACT
+    integer squared norm (sqrt would be irrational — the squared
+    domain gives both engines identical integers), sized by one
+    min/max driver scalar pair.
+
+    One projection + one (label, bucket) aggregate with map-side
+    partials; output <= |labels| x bins rows.
+    """
+    base = emb.select(F.col(label_col).alias("label"),
+                      sq_norm(quantize(F.col(vec_col))).alias("sq"))
+    st = base.agg(F.min("sq"), F.max("sq")).first()
+    lo, hi = int(st[0] or 0), int(st[1] or 0)
+    span = hi - lo
+    if span <= 0:
+        bucket = F.lit(0).cast("bigint")
+    else:
+        # integer bucketing: (sq - lo) * n_bins / span, clamped — all
+        # int64-safe because sq <= 64 * QCLAMP^2 fits decimal(38,0)
+        d = lambda c: c.cast("decimal(38,0)")
+        bucket = F.least(
+            F.floor(d(F.col("sq") - F.lit(lo)) * F.lit(int(n_bins))
+                    / d(F.lit(span))),
+            F.lit(int(n_bins) - 1)).cast("bigint")
+    return (base.groupBy("label", bucket.alias("norm_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+            .select(F.col("label").cast("int").alias("label"),
+                    "norm_bucket",
+                    F.col("n_vectors").cast("bigint").alias("n_vectors"))
+            .orderBy("label", "norm_bucket"))
+
+
+def similarity_norm_histogram_query(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return norm_histogram(emb)
+
+
+def _norm_hist_sql() -> str:
+    sq = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+          f"i -> qv[i] * qv[i]))")
+    return f"""
+WITH base AS (
+  SELECT CAST(label AS INTEGER) AS label, {sq} AS sq
+  FROM (SELECT label, {_QVEC_SQL} AS qv FROM embeddings)
+), bounds AS (
+  SELECT MIN(sq) AS lo, MAX(sq) AS hi FROM base
+)
+SELECT b.label,
+  CAST(CASE WHEN t.hi > t.lo
+       THEN LEAST(CAST(CAST(b.sq - t.lo AS HUGEINT)
+                       * {NORM_HIST_BINS}
+                       // CAST(t.hi - t.lo AS HUGEINT) AS BIGINT),
+                  {NORM_HIST_BINS - 1})
+       ELSE 0 END AS BIGINT) AS norm_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM base b, bounds t
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+register(QuerySpec(
+    "similarity_norm_histogram", similarity_norm_histogram_query,
+    _norm_hist_sql(),
+    description="per-label embedding-norm histogram over the exact "
+                "integer squared-norm domain — the dot-vs-cosine "
+                "retrieval diagnostic"))

@@ -3912,3 +3912,60 @@ register(QuerySpec("q109_time_to_convert", q109_time_to_convert,
                    description="view->purchase latency histogram with "
                                "q94's strict chain semantics: two "
                                "struct-min passes, capped hour buckets"))
+
+
+# --- q110: open-order backlog aging --------------------------------------------------
+
+def q110_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog aging: non-finished orders (status O/P) bucketed by age
+    in quarters at the data's horizon (max order date), with order
+    counts and exact value mass per (status, age bucket) — the ops
+    report that shows whether the backlog is fresh churn or fossilized
+    debt.
+
+    One scan; the horizon is a single-row broadcast; buckets are
+    truncating integer division of day ages (both engines agree on
+    nonnegative operands); value mass in exact cents.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max(F.col("o_orderdate").cast("date"))
+                    .alias("horizon"))
+    aged = (orders.filter(F.col("o_orderstatus") != "F")
+            .crossJoin(F.broadcast(mx))
+            .select("o_orderstatus",
+                    (F.datediff("horizon",
+                                F.col("o_orderdate").cast("date"))
+                     / F.lit(90)).cast("bigint").alias("age_q"),
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                    .alias("cents")))
+    bucket = F.least(F.col("age_q"), F.lit(12))
+    return (aged.groupBy("o_orderstatus", bucket.alias("age_quarters"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("cents").alias("value_cents"))
+            .select("o_orderstatus",
+                    F.col("age_quarters").cast("bigint")
+                    .alias("age_quarters"),
+                    F.col("n_orders").cast("bigint").alias("n_orders"),
+                    F.col("value_cents").cast("bigint")
+                    .alias("value_cents"))
+            .orderBy("o_orderstatus", "age_quarters"))
+
+
+_Q110_SQL = """
+WITH mx AS (SELECT MAX(o_orderdate) AS horizon FROM orders)
+SELECT o_orderstatus,
+  CAST(LEAST(date_diff('day', o_orderdate, mx.horizon) // 90, 12)
+       AS BIGINT) AS age_quarters,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS value_cents
+FROM orders, mx
+WHERE o_orderstatus <> 'F'
+GROUP BY o_orderstatus, age_quarters
+ORDER BY o_orderstatus, age_quarters
+"""
+
+register(QuerySpec("q110_backlog_aging", q110_backlog_aging, _Q110_SQL,
+                   description="open-order backlog aging: quarter "
+                               "buckets at the data horizon, exact "
+                               "cents mass per (status, age)"))
