@@ -2998,3 +2998,62 @@ register(QuerySpec(
     description="LSH band-bucket occupancy histogram + per-size-class "
                 "candidate pair mass — the band join's cost model made "
                 "measurable"))
+
+
+# --- exact-duplicate cluster size histogram --------------------------------------------
+
+EXACT_HIST_CAP = 20
+
+
+def exact_cluster_histogram(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            cap: int = EXACT_HIST_CAP) -> DataFrame:
+    """Size distribution of EXACT-duplicate clusters (by portable
+    content hash) — the companion to the near-dup graph stats: one row
+    per (capped) cluster size with cluster count, doc mass, and the
+    docs dedup would remove from that size class. Size-1 clusters are
+    the unique mass; a fat tail is template spam.
+
+    One content-hash aggregate (uniform key, map-side partials) + a
+    bounded histogram roll-up.
+    """
+    h = md5_long(F.coalesce(F.col(text_col), F.lit("")))
+    clusters = (docs.select(h.alias("h"))
+                .groupBy("h").agg(F.count(F.lit(1)).alias("sz")))
+    capped = F.least(F.col("sz"), F.lit(cap)).cast("bigint")
+    return (clusters.groupBy(capped.alias("cluster_size"))
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 F.sum("sz").alias("n_docs"),
+                 F.sum(F.col("sz") - 1).alias("n_removable"))
+            .select("cluster_size",
+                    F.col("n_clusters").cast("bigint").alias("n_clusters"),
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("n_removable").cast("bigint")
+                    .alias("n_removable"))
+            .orderBy("cluster_size"))
+
+
+def dedup_exact_histogram_query(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return exact_cluster_histogram(docs)
+
+
+_EXACT_HIST_SQL = f"""
+WITH clusters AS (
+  SELECT {md5_long_sql("coalesce(text, '')")} AS h, COUNT(*) AS sz
+  FROM documents GROUP BY h
+)
+SELECT CAST(LEAST(sz, {EXACT_HIST_CAP}) AS BIGINT) AS cluster_size,
+  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  CAST(SUM(sz) AS BIGINT) AS n_docs,
+  CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+FROM clusters GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+register(QuerySpec(
+    "dedup_exact_histogram", dedup_exact_histogram_query,
+    _EXACT_HIST_SQL,
+    description="exact-duplicate cluster size histogram by content "
+                "hash: unique mass, removable mass, template-spam "
+                "tail"))

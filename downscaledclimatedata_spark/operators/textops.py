@@ -3151,3 +3151,65 @@ register(QuerySpec(
     description="RAKE-style keywords: stopword-delimited phrase runs "
                 "scored by exact integer degree/frequency masses with "
                 "one division — no model, deterministic threshold"))
+
+
+# --- byte fertility (bytes per token) per language -------------------------------------
+
+def byte_fertility(df: DataFrame, text_col: str = "text",
+                   lang_col: str = "lang") -> DataFrame:
+    """Bytes-per-token by language — the tokenizer-budget planning
+    number (byte-level models pay this directly; BPE vocab sizing
+    follows it): exact UTF-8 byte mass over exact whitespace-token
+    counts, one division per language row.
+
+    Shuffle-free projections (octet_length / token size), one bounded
+    aggregate with map-side partials.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(F.lower(t), WS_RE), lambda x: x != "")
+    proj = df.select(F.col(lang_col).alias("lang"),
+                     F.octet_length(t).cast("bigint").alias("n_bytes"),
+                     F.size(toks).cast("bigint").alias("n_toks"))
+    return (proj.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_bytes").alias("n_bytes"),
+                 F.sum("n_toks").alias("n_tokens"))
+            .select("lang",
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("n_bytes").cast("bigint").alias("n_bytes"),
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.when(F.col("n_tokens") > 0,
+                           F.col("n_bytes").cast("double")
+                           / F.col("n_tokens").cast("double"))
+                    .otherwise(F.lit(0.0)).alias("bytes_per_token"))
+            .orderBy("lang"))
+
+
+def text_byte_fertility_query(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    return byte_fertility(load_table_parallel(spark, sf_dir, "documents",
+                                              key="doc_id"))
+
+
+_FERTILITY_SQL = r"""
+WITH proj AS (
+  SELECT lang,
+    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+    CAST(len(list_filter(string_split_regex(lower(coalesce(text, '')),
+         '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS BIGINT) AS n_toks
+  FROM documents
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+  CASE WHEN SUM(n_toks) > 0
+       THEN CAST(SUM(n_bytes) AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE)
+       ELSE 0.0 END AS bytes_per_token
+FROM proj GROUP BY lang ORDER BY lang
+"""
+
+register(QuerySpec(
+    "text_byte_fertility", text_byte_fertility_query, _FERTILITY_SQL,
+    description="bytes-per-token by language: exact UTF-8 byte mass / "
+                "token counts, shuffle-free projections"))
