@@ -171,6 +171,14 @@ def grouped_quantile_cont(df: DataFrame, value_col: str,
 
     ``count_name`` additionally emits the per-group NON-NULL value
     count (the same population the quantile ranks over).
+
+    Groups whose values are ALL NULL are kept — the group list is
+    derived from ``df``, not the non-NULL subset, and the quantile
+    columns left-join on (so such groups emit NULL quantiles and a 0
+    count, exactly DuckDB's ``quantile_cont`` / ``count(value)``
+    behavior). With empty ``group_cols`` the output is the usual
+    single global-aggregate row (NULL quantiles, 0 count when no
+    non-NULL values exist) — both engines' convention.
     """
     nn = df.filter(F.col(value_col).isNotNull())
     st = nn.agg(F.min(value_col), F.max(value_col)).first()
@@ -200,4 +208,13 @@ def grouped_quantile_cont(df: DataFrame, value_col: str,
     if count_name is not None:
         aggs.append(F.max("_gqn").cast("bigint").alias(count_name))
         sel.append(F.col(count_name))
-    return ranked.groupBy(*group_cols).agg(*aggs).select(*sel)
+    res = ranked.groupBy(*group_cols).agg(*aggs).select(*sel)
+    if group_cols:
+        # Keep all-NULL groups: group list from df, quantiles left-join.
+        groups = df.select(*group_cols).distinct()
+        res = groups.join(res, list(group_cols), "left")
+    if count_name is not None:
+        res = res.withColumn(
+            count_name,
+            F.coalesce(F.col(count_name), F.lit(0)).cast("bigint"))
+    return res

@@ -1109,19 +1109,36 @@ def publish_audited(spark: SparkSession, final_dir: str, audits: list,
 
 # --- schema evolution: read drifted parquet generations as one table ----------------
 
-_NUMERIC_WIDTH = ["tinyint", "smallint", "int", "bigint",
-                  "float", "double"]
+_INTEGRAL_WIDTH = ["tinyint", "smallint", "int", "bigint"]
+_FLOAT_WIDTH = ["float", "double"]
 
 
 def _widen(a: str, b: str) -> str:
-    """Widest of two Spark simpleString types under the SQL numeric
-    promotion ladder; non-numeric types must match exactly (a silent
-    string<->numeric coercion is a data bug, not evolution)."""
+    """Widest of two Spark simpleString types under the parquet/Iceberg
+    evolution rules: integrals widen among themselves, float widens to
+    double, and an int/smallint/tinyint vs float/double drift widens to
+    double (lossless: double's 53-bit mantissa holds every int32). A
+    bigint-vs-float/double drift RAISES — long does not fit a double
+    exactly above 2^53, so "widening" it would silently corrupt large
+    ids, the very class evolution readers must refuse. Non-numeric
+    types must match exactly (a silent string<->numeric coercion is a
+    data bug, not evolution)."""
     if a == b:
         return a
-    if a in _NUMERIC_WIDTH and b in _NUMERIC_WIDTH:
-        return _NUMERIC_WIDTH[max(_NUMERIC_WIDTH.index(a),
-                                  _NUMERIC_WIDTH.index(b))]
+    if a in _INTEGRAL_WIDTH and b in _INTEGRAL_WIDTH:
+        return _INTEGRAL_WIDTH[max(_INTEGRAL_WIDTH.index(a),
+                                   _INTEGRAL_WIDTH.index(b))]
+    if a in _FLOAT_WIDTH and b in _FLOAT_WIDTH:
+        return _FLOAT_WIDTH[max(_FLOAT_WIDTH.index(a),
+                                _FLOAT_WIDTH.index(b))]
+    pair = {a, b}
+    if pair & set(_INTEGRAL_WIDTH) and pair & set(_FLOAT_WIDTH):
+        if "bigint" in pair:
+            raise ValueError(
+                f"incompatible schema evolution: {a} vs {b} "
+                "(bigint does not fit a double exactly above 2^53; "
+                "refusing lossy widening)")
+        return "double"
     raise ValueError(f"incompatible schema evolution: {a} vs {b}")
 
 

@@ -4678,8 +4678,9 @@ def multimodal_phash_dedup_query(spark: SparkSession,
     return (hashed.join(groups.hint("merge"), "dhash", "left")
             .select("doc_id", "width", "height", "dhash",
                     F.col("group_size").cast("bigint").alias("group_size"),
-                    F.col("group_rep").cast("bigint").alias("group_rep"))
-            .orderBy("doc_id"))
+                    F.col("group_rep").cast("bigint").alias("group_rep")))
+    # no trailing orderBy: one row per doc — a global sort here is a
+    # pure full-range-shuffle tax (compares are order-insensitive)
 
 
 def _phash_sql() -> str:

@@ -1560,8 +1560,10 @@ def epoch_schedule(df: DataFrame, budget_tokens: int,
         .filter(F.col("n_tokens") > 0) \
         .withColumn("quota", quota.cast("bigint"))
     nt = F.col("n_tokens")
+    # integer ceil-div via `div` (exact at any magnitude; `/` would go
+    # through double and drift past ~2^53)
     epochs = F.least(
-        F.greatest(((F.col("quota") + nt - 1) / nt).cast("bigint"),
+        F.greatest(F.expr("(quota + n_tokens - 1) div n_tokens"),
                    F.lit(1)),
         F.lit(int(max_epochs)))
     used = F.least(F.col("quota"), nt * F.lit(int(max_epochs)))

@@ -4003,8 +4003,9 @@ def ood_vectors(emb: DataFrame, id_col: str = "vec_id",
                     F.col("dist").cast("bigint").alias("dist"),
                     (F.col("dist").cast("double") * F.col("n").cast("double")
                      / F.col("sum_dist").cast("double"))
-                    .alias("mean_ratio"))
-            .orderBy(id_col))
+                    .alias("mean_ratio")))
+    # no trailing orderBy: the OOD set is corpus-proportional in the
+    # worst case — sorting it globally is a full-range-shuffle tax
 
 
 def similarity_ood_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1486,8 +1486,10 @@ def lm_familiarity(df: DataFrame, text_col: str = "text",
                     F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
                     (F.col("fp_sum").cast("double")
                      / (F.col("n_bigrams") * F.lit(scale)).cast("double"))
-                    .alias("familiarity"))
-            .orderBy(id_col))
+                    .alias("familiarity")))
+    # no trailing orderBy: one row per doc — a corpus-sized output whose
+    # global sort would be a pure full-range-shuffle tax at scale
+    # (driver hash and canon compares are order-insensitive)
 
 
 def text_lm_familiarity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2572,8 +2574,9 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                 F.when(F.coalesce("n_grams", F.lit(0)) >= w,
                        F.coalesce("n_prints", F.lit(0)).cast("double")
                        / (F.col("n_grams") - w + 1).cast("double"))
-                .alias("density"))
-            .orderBy(id_col))
+                .alias("density")))
+    # no trailing orderBy: per-doc report is corpus-sized; sorting it
+    # globally is a full-range-shuffle tax with no consumer
 
 
 def text_winnow_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3687,10 +3687,11 @@ def q107_quintile_migration(spark: SparkSession,
             per.withColumn("_cb", value_bin(F.col("cents")
                                             .cast("double"), lo, hi)),
             "_cb", ("cents", "o_custkey"), out="rk", count_col="n")
+        # `div`, not `/`: exact integer quintile cut at any magnitude
+        # (double division drifts past ~2^53)
         return ranked.select(
             "o_custkey",
-            (((F.col("rk") - 1) * 5 / F.col("n")).cast("bigint")
-             + 1).alias("quintile"))
+            (F.expr("((rk - 1) * 5) div n") + 1).alias("quintile"))
 
     split = F.datediff(F.col("o_orderdate").cast("date"),
                        F.lit(b["lo"])) <= mid_days

@@ -38,6 +38,8 @@ def start_rollup_stream(stream: DataFrame, state_dir: str,
     Uses availableNow so tests and backfills drain the source and
     stop; a production run would use a processing-time trigger."""
 
+    _check_no_aside(state_dir)
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         delta = agg_state(batch_df, key_col, value_col) \
             .withColumnRenamed(key_col, "key")
@@ -49,12 +51,31 @@ def start_rollup_stream(stream: DataFrame, state_dir: str,
             .trigger(availableNow=True).start())
 
 
+def _check_no_aside(state_dir: str) -> None:
+    """Refuse to operate next to a leftover ``._old`` aside tree: it
+    means a compaction crashed between its two renames and the live
+    tree may be missing history stranded in the aside. Silent reads
+    here under-report; the loud failure names the recovery."""
+    import os
+    aside = state_dir.rstrip("/") + "._old"
+    if os.path.exists(aside):
+        raise RuntimeError(
+            f"rollup state has a leftover aside tree {aside!r} from a "
+            "crashed compaction; restore it (rename it back over "
+            f"{state_dir!r} if the live tree is absent or incomplete) "
+            "before reading or appending")
+
+
 def read_rollup(spark: SparkSession, state_dir: str,
                 key_col: str = "event_type") -> DataFrame:
     """Merged rollup across all delta partitions: one groupBy over the
     bounded summary rows (count/sum add, min/max combine) — identical
     algebra to ``merge_agg_state``, realized as a single aggregate so N
-    partitions merge in one pass instead of N-1 pairwise joins."""
+    partitions merge in one pass instead of N-1 pairwise joins.
+
+    Fails loudly if a crashed compaction left an aside tree — reading
+    past it would silently drop the history stranded there."""
+    _check_no_aside(state_dir)
     df = (spark.read.schema(_STATE_SCHEMA)
           .option("basePath", state_dir)
           .parquet(f"{state_dir}/batch=*"))
@@ -75,8 +96,13 @@ def compact_rollup(spark: SparkSession, state_dir: str) -> int:
     summed state read alongside its own inputs double-counts — so the
     swap is all-or-nothing: the merged base stages in a sibling
     directory and two renames publish it (live -> aside, staging ->
-    live) before the aside tree is deleted. A crash at any point leaves
-    either the complete old tree or the complete new one."""
+    live) before the aside tree is deleted. If the second rename fails
+    the aside tree is renamed back, so every exit leaves a complete
+    live tree; the one uncoverable case — a hard crash BETWEEN the two
+    renames — strands the aside, and the loud ``_check_no_aside`` gate
+    on every subsequent read/append turns that silent-under-count into
+    an explicit recovery step (same discipline as
+    ``maintenance.publish_audited``)."""
     import glob
     import os
     import shutil
@@ -94,10 +120,14 @@ def compact_rollup(spark: SparkSession, state_dir: str) -> int:
                           _STATE_SCHEMA) \
         .coalesce(1).write.mode("overwrite") \
         .parquet(f"{staging}/batch=-1")
-    old = state_dir + "._old"
+    old = state_dir.rstrip("/") + "._old"
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(state_dir, old)
-    os.rename(staging, state_dir)
+    try:
+        os.rename(staging, state_dir)
+    except OSError:
+        os.rename(old, state_dir)  # restore the complete old tree
+        raise
     shutil.rmtree(old)
     return len(parts)

@@ -556,3 +556,37 @@ def test_read_evolved_widens_and_nullfills(spark, tmp_path):
     spark.createDataFrame([("oops",)], "id string").write.parquet(bad)
     with pytest.raises(ValueError, match="incompatible"):
         read_evolved(spark, [v1, bad])
+
+
+def test_read_evolved_int_float_widens_to_double_bigint_refuses(
+        spark, tmp_path):
+    """int-vs-float drift widens to DOUBLE (lossless — double holds
+    every int32 exactly; float's 24-bit mantissa does not hold ints
+    above 2^24), while bigint-vs-float/double RAISES — long does not
+    fit a double above 2^53, so "widening" would silently corrupt
+    large ids (the parquet/Iceberg evolution rules forbid it)."""
+    import pytest
+
+    from downscaledclimatedata_spark.operators.maintenance import (
+        _widen, read_evolved)
+
+    assert _widen("int", "float") == "double"
+    assert _widen("float", "smallint") == "double"
+    assert _widen("int", "double") == "double"
+    for other in ("float", "double"):
+        with pytest.raises(ValueError, match="2\\^53"):
+            _widen("bigint", other)
+
+    ia = str(tmp_path / "ia")
+    fb = str(tmp_path / "fb")
+    big = 16_777_217  # 2^24 + 1: float would round it to 16_777_216
+    spark.createDataFrame([(big,)], "v int").write.parquet(ia)
+    spark.createDataFrame([(0.5,)], "v float").write.parquet(fb)
+    got = read_evolved(spark, [ia, fb])
+    assert got.schema["v"].dataType.simpleString() == "double"
+    assert sorted(r.v for r in got.collect()) == [0.5, float(big)]
+
+    lb = str(tmp_path / "lb")
+    spark.createDataFrame([(2**60,)], "v bigint").write.parquet(lb)
+    with pytest.raises(ValueError, match="incompatible"):
+        read_evolved(spark, [lb, fb])

@@ -792,6 +792,34 @@ def test_q65_mad_ranks_are_binned(spark):
             f"rank window not value-binned: {s}"
 
 
+def test_grouped_quantile_keeps_all_null_groups(spark):
+    """A group whose values are ALL NULL must not vanish: DuckDB's
+    quantile_cont keeps the group with NULL quantiles (and count 0),
+    and downstream inner joins on the quantile relation would silently
+    drop every row of a vanished group. Latent-nullable-input contract
+    from the r9 advisor."""
+    from pyspark.sql import functions as F
+
+    from downscaledclimatedata_spark.functions.ranks import (
+        grouped_quantile_cont)
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", None), ("b", None)],
+        "g string, v double")
+    out = grouped_quantile_cont(
+        df, "v", [(0.5, "p50")], group_cols=("g",), count_name="n_v")
+    rows = {r.g: r for r in out.collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"].p50 == 2.0 and rows["a"].n_v == 2
+    assert rows["b"].p50 is None and rows["b"].n_v == 0
+
+    # global (no group cols) on an all-NULL population: one row, NULLs
+    allnull = df.filter(F.col("g") == "b")
+    g = grouped_quantile_cont(allnull, "v", [(0.5, "p50")],
+                              count_name="n_v").collect()
+    assert len(g) == 1 and g[0].p50 is None and g[0].n_v == 0
+
+
 def test_padding_report_batch_index_is_binned(spark):
     """The per-strategy batch index is a GLOBAL exact rank, but must
     never be a single-task window: every row_number window in the

@@ -805,3 +805,69 @@ def test_streaming_rollup_matches_batch_and_compacts(spark, tmp_path):
     got3 = {r.event_type: (r.n, r.sum_cents, r.min_v, r.max_v)
             for r in read_rollup(spark, state).collect()}
     assert got3 == want
+
+
+def test_rollup_compaction_crash_recovery(spark, tmp_path):
+    """Compaction's two-rename swap under failure: (a) if the second
+    rename FAILS, the old tree is restored and the error propagates —
+    readers never see an empty dir; (b) a hard crash BETWEEN the two
+    renames strands the aside tree, and every subsequent read/append
+    fails LOUDLY instead of silently under-reporting the stranded
+    history; (c) renaming the aside back recovers the full answer."""
+    import os
+    import shutil
+
+    import pytest
+
+    from downscaledclimatedata_spark.streaming.ivm import (
+        compact_rollup, read_rollup, start_rollup_stream)
+
+    state = str(tmp_path / "state")
+    for i, rows in enumerate([[("a", 1, 100, 1.0, 1.0)],
+                              [("a", 2, 300, 1.5, 2.0),
+                               ("b", 1, 50, 0.5, 0.5)]]):
+        spark.createDataFrame(
+            rows, "key string, n bigint, sum_cents bigint, "
+                  "min_v double, max_v double") \
+            .coalesce(1).write.parquet(f"{state}/batch={i}")
+    want = {r.key: (r.n, r.sum_cents, r.min_v, r.max_v)
+            for r in read_rollup(spark, state, key_col="key").collect()}
+    assert want == {"a": (3, 400, 1.0, 2.0), "b": (1, 50, 0.5, 0.5)}
+
+    # (a) second rename fails -> old tree restored, error propagates
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def flaky(src, dst):
+        if src.endswith("._compacting"):
+            raise OSError("simulated publish failure")
+        real_rename(src, dst)
+
+    os.rename = flaky
+    try:
+        with pytest.raises(OSError, match="simulated"):
+            compact_rollup(spark, state)
+    finally:
+        os.rename = real_rename
+    assert not os.path.exists(state + "._old")
+    got = {r.key: (r.n, r.sum_cents, r.min_v, r.max_v)
+           for r in read_rollup(spark, state, key_col="key").collect()}
+    assert got == want
+
+    # (b) crash BETWEEN renames: aside exists -> loud refusal everywhere
+    shutil.rmtree(state + "._compacting", ignore_errors=True)
+    real_rename(state, state + "._old")
+    os.makedirs(state)  # restarted stream would recreate it empty
+    with pytest.raises(RuntimeError, match="aside tree"):
+        read_rollup(spark, state, key_col="key").collect()
+    with pytest.raises(RuntimeError, match="aside tree"):
+        start_rollup_stream(
+            spark.readStream.format("rate").load(), state,
+            str(tmp_path / "ckpt2"))
+
+    # (c) documented recovery: restore the aside -> full answer back
+    os.rmdir(state)
+    real_rename(state + "._old", state)
+    got2 = {r.key: (r.n, r.sum_cents, r.min_v, r.max_v)
+            for r in read_rollup(spark, state, key_col="key").collect()}
+    assert got2 == want
