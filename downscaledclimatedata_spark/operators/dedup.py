@@ -2709,8 +2709,9 @@ def quality_keep(docs: DataFrame, pairs: DataFrame,
                     F.col("w.kid").alias("keep_id"),
                     (-F.col("w.ns")).alias("kept_score"),
                     (F.col("w.kid") != F.col("min_id"))
-                    .alias("beats_min_id"))
-            .orderBy("comp"))
+                    .alias("beats_min_id")))
+    # no trailing orderBy: one row per multi-member component —
+    # duplicate-mass-proportional, i.e. corpus-scaled
 
 
 def prune_corpus_quality(df: DataFrame, pairs: DataFrame,

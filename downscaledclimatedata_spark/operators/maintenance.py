@@ -481,7 +481,8 @@ def maintenance_cdc_apply_query(spark: SparkSession,
     hist = tagged.filter(F.unix_micros("ts") < F.col("cut")).drop("cut")
     delta = tagged.filter(F.unix_micros("ts") >= F.col("cut")).drop("cut")
     snapshot = cdc_fold(hist).filter(F.col("op") == "U").drop("op")
-    return cdc_apply(snapshot, delta).orderBy("user_id")
+    # no trailing orderBy: one row per user — corpus-proportional
+    return cdc_apply(snapshot, delta)
 
 
 _CDC_SQL = """
@@ -1173,3 +1174,147 @@ def read_evolved(spark: SparkSession, paths: list) -> DataFrame:
         part = df.select(*cols)
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def maintenance_read_evolved_query(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Three drifted parquet generations MATERIALIZED from ``orders``
+    (int vs bigint key, int vs bigint cents, float vs double score, a
+    column added mid-stream) read back as one table via
+    :func:`read_evolved`, then summarized. The oracle re-derives the
+    same union relationally from ``orders``, so the widening ladder,
+    the per-generation casts, and the null-fill are all under the hash
+    gate — not just unit-asserted. (Spark's own ``mergeSchema`` refuses
+    this exact tree: int files next to bigint files fail the footer
+    merge.)
+
+    Score is quarters (k/4 — exact in float AND double), summed as
+    ``score*4`` BIGINT so the cross-engine sum is integer-exact.
+    """
+    import shutil
+    import tempfile
+
+    from downscaledclimatedata_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100)
+    score = (F.col("o_orderkey") % 1000).cast("double") / 4
+    base = tempfile.mkdtemp(prefix="dcd_evolved_")
+    try:
+        g1 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").cast("int").alias("okey"),
+            cents.cast("int").alias("cents"))
+        g2 = orders.filter(F.col("o_orderkey") % 3 == 1).select(
+            F.col("o_orderkey").cast("bigint").alias("okey"),
+            cents.cast("bigint").alias("cents"),
+            F.col("o_orderpriority").alias("priority"),
+            score.cast("float").alias("score"))
+        g3 = orders.filter(F.col("o_orderkey") % 3 == 2).select(
+            F.col("o_orderkey").cast("int").alias("okey"),
+            score.cast("double").alias("score"))
+        paths = []
+        for i, g in enumerate((g1, g2, g3)):
+            p = f"{base}/gen{i}"
+            g.write.parquet(p)
+            paths.append(p)
+        u = read_evolved(spark, paths)
+        assert [f.dataType.simpleString() for f in u.schema.fields] == \
+            ["bigint", "bigint", "string", "double"], u.schema
+        return u.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("okey").cast("bigint").alias("sum_okey"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.sum(F.col("cents").isNull().cast("bigint"))
+            .cast("bigint").alias("n_null_cents"),
+            F.count("priority").cast("bigint").alias("n_priority"),
+            F.sum((F.col("score") * 4).cast("bigint"))
+            .cast("bigint").alias("sum_score_q")).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_READ_EVOLVED_SQL = """
+WITH g1 AS (
+  SELECT o_orderkey AS okey,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+    NULL AS priority, CAST(NULL AS DOUBLE) AS score
+  FROM orders WHERE o_orderkey % 3 = 0),
+g2 AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+    o_orderpriority, CAST(o_orderkey % 1000 AS DOUBLE) / 4
+  FROM orders WHERE o_orderkey % 3 = 1),
+g3 AS (
+  SELECT o_orderkey, NULL, NULL, CAST(o_orderkey % 1000 AS DOUBLE) / 4
+  FROM orders WHERE o_orderkey % 3 = 2),
+u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+      UNION ALL SELECT * FROM g3)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(okey) AS BIGINT) AS sum_okey,
+  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+  CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_cents,
+  CAST(COUNT(priority) AS BIGINT) AS n_priority,
+  CAST(SUM(CAST(score * 4 AS BIGINT)) AS BIGINT) AS sum_score_q
+FROM u
+"""
+
+register(QuerySpec(
+    "maintenance_read_evolved", maintenance_read_evolved_query,
+    _READ_EVOLVED_SQL,
+    description="schema-evolution reader: drifted parquet generations "
+                "(key/cents widening, float->double, added column) as "
+                "one table; union summary oracle-checked"))
+
+
+def streaming_rollup_ivm_query(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The streaming incremental rollup (streaming/ivm.py) driven
+    end-to-end: events re-staged as 4 files, streamed one file per
+    micro-batch through ``start_rollup_stream`` (each batch writing its
+    idempotent delta partition), compacted, and read back merged. The
+    oracle is the ONE-SHOT aggregate over all events — a green row
+    proves delta decomposition + merge + all-or-nothing compaction
+    reproduce the batch answer exactly.
+    """
+    import shutil
+    import tempfile
+
+    from downscaledclimatedata_spark.sources.tables import load_table
+    from downscaledclimatedata_spark.streaming.ivm import (
+        compact_rollup, read_rollup, start_rollup_stream)
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="dcd_rollup_")
+    try:
+        edir = f"{base}/events"
+        ev.repartition(4).write.parquet(edir)
+        staged = spark.read.parquet(edir)
+        stream = (spark.readStream.schema(staged.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(edir))
+        q = start_rollup_stream(stream, f"{base}/state", f"{base}/ckpt")
+        q.awaitTermination(300)
+        compact_rollup(spark, f"{base}/state")
+        out = read_rollup(spark, f"{base}/state").select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("sum_cents").cast("bigint").alias("sum_cents"),
+            "min_v", "max_v")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_ROLLUP_IVM_SQL = """
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+  MIN(value) AS min_v, MAX(value) AS max_v
+FROM events GROUP BY event_type
+"""
+
+register(QuerySpec(
+    "streaming_rollup_ivm", streaming_rollup_ivm_query, _ROLLUP_IVM_SQL,
+    description="streaming incremental materialized rollup: per-batch "
+                "idempotent delta partitions, one-groupBy merged read, "
+                "atomic-swap compaction — merged state equals the "
+                "one-shot aggregate (oracle-checked)"))

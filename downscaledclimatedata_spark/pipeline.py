@@ -274,7 +274,52 @@ def _swap(sql: str, old: str, new: str) -> str:
     return sql.replace(old, new)
 
 
-def _pipeline_funnel_sql() -> str:
+def _quality_election_ctes() -> str:
+    """The ``removed`` CTE of the min-id prune rewritten to the
+    QUALITY election (dedup.py ``prune_corpus_quality``): every
+    component keeps its highest-quality member, min-id tie-break.
+    Score formula is the same fragment ``dedup_quality_keep`` hashes
+    against (textops ``quality_scores``); the named-struct MIN realizes
+    the deterministic argmax."""
+    from downscaledclimatedata_spark.operators.textops import (
+        _STOP_LIST, _TOKS_SQL)
+    return f"""qt AS (
+  SELECT d.doc_id, {_TOKS_SQL} AS toks
+  FROM decon d JOIN comp c ON c.id = d.doc_id
+),
+qm2 AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    len(list_filter(toks, x -> list_contains({_STOP_LIST}, x))) AS n_stop,
+    len(list_distinct(toks)) AS n_uniq
+  FROM qt
+),
+q2 AS (
+  SELECT doc_id,
+    0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+    + 0.3 * (CASE WHEN n_tokens > 0
+                  THEN CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  ELSE 0.0 END)
+    + 0.3 * least((CASE WHEN n_tokens > 0
+                        THEN CAST(n_stop AS DOUBLE)
+                             / CAST(n_tokens AS DOUBLE)
+                        ELSE 0.0 END) * 5, 1.0) AS quality_score
+  FROM qm2
+),
+winners AS (
+  SELECT c.comp, MIN({{'ns': -q2.quality_score, 'kid': c.id}}) AS w
+  FROM comp c JOIN q2 ON q2.doc_id = c.id
+  GROUP BY c.comp
+),
+removed AS (
+  SELECT c.id AS doc_id FROM comp c
+  ANTI JOIN (SELECT (w).kid AS doc_id FROM winners) k
+    ON k.doc_id = c.id
+),"""
+
+
+def _pipeline_funnel_sql(keep: str = "min_id",
+                         audited: bool = False) -> str:
     """DuckDB oracle for the WHOLE builder funnel, composed from the
     same fragments the per-stage specs hash against (prep quality /
     dedup decontaminate / dedup prune / prep mixture / prep clean).
@@ -291,6 +336,12 @@ def _pipeline_funnel_sql() -> str:
     every non-eval doc; restricting its verdict to the quality
     survivors by anti-join is exact, because a doc's gram set does not
     depend on which corpus subset it sits in).
+
+    ``keep="quality"`` swaps the prune's min-id ``removed`` CTE for
+    the quality election (:func:`_quality_election_ctes`);
+    ``audited=True`` appends the write-audit-publish verdict columns —
+    staged row count, per-audit violation counts over the STAGED
+    relation, and the publish decision they imply.
     """
     from downscaledclimatedata_spark.operators.dedup import (
         _DECON_SPLIT_SQL, _DEDUP_DECON_SQL, _DEDUP_PRUNE_SQL)
@@ -304,6 +355,11 @@ def _pipeline_funnel_sql() -> str:
     # survivors' ROWS (not the registered spec's summary aggregate)
     prune = prune[:prune.rindex("SELECT COUNT(*)")] \
         + "SELECT * FROM survivors"
+    if keep == "quality":
+        prune = _swap(
+            prune,
+            "removed AS (SELECT id AS doc_id FROM comp WHERE id <> comp),",
+            _quality_election_ctes())
     mixture = _swap(_swap(_swap(
         _PREP_MIXTURE_SQL, "FROM documents", "FROM surv"),
         "50000 * w", "200000 * w"),       # pipeline budget_tokens
@@ -340,8 +396,77 @@ SELECT
   CAST((SELECT COUNT(*) FROM surv) AS BIGINT) AS n_dedup,
   CAST((SELECT COUNT(*) FROM cleaned) AS BIGINT) AS n_sampled,
   CAST((SELECT coalesce(SUM(n_content_tokens), 0) FROM cleaned) AS BIGINT)
-    AS total_tokens
+    AS total_tokens{_AUDIT_SELECT_SQL if audited else ""}
 """
+
+
+# Audit verdict over the STAGED relation (= cleaned: the shard write
+# adds shard/pos but drops no row): the same violation SUMs
+# ``publish_audited`` computes over the staged bytes, plus the publish
+# decision they imply. The audit NAMES must match the Spark side's
+# ``_QUALITY_BUILD_AUDITS``.
+_AUDIT_SELECT_SQL = """,
+  CAST((SELECT COUNT(*) FROM cleaned) AS BIGINT) AS n_staged,
+  CAST((SELECT coalesce(SUM(CASE WHEN content_text IS NULL
+                            THEN 1 ELSE 0 END), 0) FROM cleaned)
+       AS BIGINT) AS v_null_text,
+  CAST((SELECT coalesce(SUM(CASE WHEN content_text = ''
+                            THEN 1 ELSE 0 END), 0) FROM cleaned)
+       AS BIGINT) AS v_empty_content,
+  ((SELECT coalesce(SUM(CASE WHEN content_text IS NULL
+                         THEN 1 ELSE 0 END), 0) FROM cleaned) = 0
+   AND
+   (SELECT coalesce(SUM(CASE WHEN content_text = ''
+                         THEN 1 ELSE 0 END), 0) FROM cleaned) = 0)
+    AS published"""
+
+
+# Audits the quality build publishes through (names must match
+# _AUDIT_SELECT_SQL): violation = the staged corpus carries a NULL or
+# empty content_text — either would be a wasted training row.
+def _quality_build_audits() -> list:
+    return [("v_null_text", F.col("content_text").isNull()),
+            ("v_empty_content", F.col("content_text") == "")]
+
+
+def pipeline_corpus_build_quality_query(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """The PRODUCTION-shaped builder run: same funnel as
+    :func:`pipeline_corpus_build_query` but with the quality-elected
+    near-dup representative (``keep="quality"`` — every component keeps
+    its highest-quality member, not the min id) and the shard write
+    routed through write-audit-publish (``audits=`` — shards stage,
+    the audits run over the staged bytes, and only a clean report
+    publishes). The returned row extends the funnel counts with the
+    WAP verdict: staged row count, per-audit violation counts, and the
+    publish decision — all re-derived relationally by the oracle, so
+    the election rule AND the audit arithmetic are under the hash gate.
+    """
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="dcd_corpus_bench_q_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        is_eval = (md5_long(F.col("doc_id").cast("string"), seed="decon:")
+                   % 41 == 0)
+        res = build_training_corpus(
+            docs.filter(~is_eval), f"{out}/corpus",
+            budget_tokens=200_000, n_shards=8,
+            eval_docs=docs.filter(is_eval),
+            keep="quality", audits=_quality_build_audits())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    rep = res.publish_report
+    return spark.createDataFrame(
+        [(res.n_input, res.n_quality_pass, res.n_decontaminated,
+          res.n_after_dedup, res.n_sampled, res.total_tokens,
+          rep["n_rows"], rep["v_null_text"], rep["v_empty_content"],
+          rep["published"])],
+        "n_input bigint, n_quality bigint, n_decon bigint, "
+        "n_dedup bigint, n_sampled bigint, total_tokens bigint, "
+        "n_staged bigint, v_null_text bigint, v_empty_content bigint, "
+        "published boolean")
 
 
 def _register_specs() -> None:
@@ -352,6 +477,14 @@ def _register_specs() -> None:
         oracle=_pipeline_funnel_sql(),
         headline=True,
         description="end-to-end training-corpus build (write included)"))
+    register(QuerySpec(
+        name="pipeline_corpus_build_quality",
+        spark=pipeline_corpus_build_quality_query,
+        oracle=_pipeline_funnel_sql(keep="quality", audited=True),
+        headline=True,
+        description="production-shaped corpus build: quality-elected "
+                    "near-dup representatives + write-audit-publish, "
+                    "funnel counts and WAP verdict oracle-checked"))
 
 
 _register_specs()

@@ -1581,8 +1581,9 @@ def q77_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (_scd2_versions(spark, sf_dir)
             .select("user_id", "version_no", "state", "effective_from",
                     "effective_to",
-                    F.col("effective_to").isNull().alias("is_current"))
-            .orderBy("user_id", "version_no"))
+                    F.col("effective_to").isNull().alias("is_current")))
+    # no trailing orderBy: one row per (user, version) — user-keyed,
+    # corpus-proportional; a global sort here is pure shuffle tax
 
 
 def _scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2221,12 +2222,12 @@ def q86_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_us") > 0,
         F.col("cd_sum").cast("double")
         / (F.col("total_us") * F.lit(100)).cast("double"))
-    return (agg.select(F.col("user_id"),
-                       F.col("n_intervals").cast("bigint")
-                       .alias("n_intervals"),
-                       F.col("total_us").cast("bigint").alias("total_us"),
-                       twap.alias("twap"))
-            .orderBy("user_id"))
+    return agg.select(F.col("user_id"),
+                      F.col("n_intervals").cast("bigint")
+                      .alias("n_intervals"),
+                      F.col("total_us").cast("bigint").alias("total_us"),
+                      twap.alias("twap"))
+    # no trailing orderBy: one row per user — corpus-proportional
 
 
 _Q86_SQL = """
@@ -2618,8 +2619,8 @@ def q91_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint").alias("n_distinct_gaps"),
                 burst.alias("burst_flag"),
                 regular.alias("regular_flag"),
-                (burst | regular).alias("is_bot"))
-            .orderBy("user_id"))
+                (burst | regular).alias("is_bot")))
+    # no trailing orderBy: one row per user — corpus-proportional
 
 
 _Q91_SQL = f"""
@@ -2692,10 +2693,10 @@ def q92_scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("effective_to").isNull()
                       | (F.col("probe_us")
                          < F.unix_micros("effective_to")))))
-    return (hit.select("user_id", "version_no", "state",
-                       "effective_from",
-                       F.col("effective_to").isNull().alias("is_current"))
-            .orderBy("user_id"))
+    return hit.select("user_id", "version_no", "state",
+                      "effective_from",
+                      F.col("effective_to").isNull().alias("is_current"))
+    # no trailing orderBy: one row per probed user — user-keyed
 
 
 _Q92_SQL = f"""
