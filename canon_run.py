@@ -73,8 +73,10 @@ def main() -> None:
         rec: dict = {"rows_match": None, "schema_match": None,
                      "hash_match": None, "spark_rows": None,
                      "oracle_rows": None, "err": None}
+        t_spec = time.time()
         try:
             sdf = _canon(spec.spark(spark, SF_DIR).toPandas())
+            rec["spark_sec"] = round(time.time() - t_spec, 2)
             rec["spark_rows"] = len(sdf)
             if spec.oracle is None:
                 # rows-only smoke, as the driver does — but against the
@@ -91,6 +93,7 @@ def main() -> None:
                                      and _value_hash(sdf) == _value_hash(odf))
         except Exception as e:  # recorded, not raised: the sweep completes
             rec["err"] = f"{type(e).__name__}: {e}"[:300]
+        rec["total_sec"] = round(time.time() - t_spec, 2)
         out[name] = rec
         print(f"[{i + 1}/{len(names)}] {name}: "
               f"{'ERR' if rec['err'] else ('ok' if rec.get('hash_match') or (spec.oracle is None and rec['rows_match']) else 'MISMATCH')}",
@@ -99,12 +102,27 @@ def main() -> None:
     n_bad = sum(1 for r in out.values()
                 if r["err"] or r["hash_match"] is False
                 or r["rows_match"] is False)
+    # per-family rollup (prefix before the first underscore; qNN -> "q"):
+    # makes the full-registry evidence legible per family — spec counts,
+    # bad counts, and Spark wall-time
+    fams: dict[str, dict] = {}
+    for n, r in out.items():
+        fam = n.split("_", 1)[0]
+        fam = "q" if fam.startswith("q") and fam[1:].isdigit() else fam
+        f = fams.setdefault(fam, {"n_specs": 0, "n_bad": 0,
+                                  "spark_sec": 0.0, "total_sec": 0.0})
+        f["n_specs"] += 1
+        f["n_bad"] += bool(r["err"] or r["hash_match"] is False
+                           or r["rows_match"] is False)
+        f["spark_sec"] = round(f["spark_sec"] + (r.get("spark_sec") or 0), 2)
+        f["total_sec"] = round(f["total_sec"] + (r.get("total_sec") or 0), 2)
     artifact = {
         "round": args.round,
         "sf_dir": SF_DIR,
         "n_specs": len(out),
         "n_bad": n_bad,
         "elapsed_sec": round(time.time() - t0, 1),
+        "families": dict(sorted(fams.items())),
         "results": out,
     }
     path = Path(__file__).resolve().parent / f"CANON_r{args.round:02d}.json"

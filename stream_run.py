@@ -393,6 +393,73 @@ def main() -> None:
                 "compaction_bounds_files":
                 len(_glob.glob(state + "/batch=*")) == 1}}
 
+        # ---- phase 8: crash-mid-compaction recovery ----------------------
+        # The rollup compaction publishes with two renames. Simulate (a) a
+        # FAILED second rename (EXDEV-style) -> the aside tree must be
+        # restored and the merged answer unchanged; (b) a hard crash
+        # BETWEEN the renames -> readers must fail LOUDLY on the stranded
+        # aside instead of silently under-reporting, and the documented
+        # recovery (rename the aside back) must restore the full answer.
+        import os as _os
+
+        t0 = time.time()
+        state2 = f"{work}/iv_state_crash"
+        for i, rows in enumerate([[("a", 2, 300, 1.0, 2.0)],
+                                  [("a", 1, 100, 0.5, 0.5),
+                                   ("b", 4, 900, 1.0, 3.0)]]):
+            spark.createDataFrame(
+                rows, "key string, n bigint, sum_cents bigint, "
+                      "min_v double, max_v double") \
+                .coalesce(1).write.parquet(f"{state2}/batch={i}")
+        want2 = {r.key: (r.n, r.sum_cents, r.min_v, r.max_v)
+                 for r in read_rollup(spark, state2, key_col="key")
+                 .collect()}
+
+        real_rename = _os.rename
+
+        def _flaky(src, dst):
+            if src.endswith("._compacting"):
+                raise OSError("simulated publish failure")
+            real_rename(src, dst)
+
+        _os.rename = _flaky
+        try:
+            try:
+                compact_rollup(spark, state2)
+                failed_rename_raised = False
+            except OSError:
+                failed_rename_raised = True
+        finally:
+            _os.rename = real_rename
+        after_fail = {r.key: (r.n, r.sum_cents, r.min_v, r.max_v)
+                      for r in read_rollup(spark, state2, key_col="key")
+                      .collect()}
+        aside_cleaned = not _os.path.exists(state2 + "._old")
+
+        # hard crash between the renames: live tree gone, aside stranded
+        import shutil as _sh
+        _sh.rmtree(state2 + "._compacting", ignore_errors=True)
+        real_rename(state2, state2 + "._old")
+        _os.makedirs(state2)  # a restarted stream recreates it empty
+        try:
+            read_rollup(spark, state2, key_col="key").collect()
+            loud_gate_fired = False
+        except RuntimeError:
+            loud_gate_fired = True
+        _os.rmdir(state2)
+        real_rename(state2 + "._old", state2)  # documented recovery
+        recovered = {r.key: (r.n, r.sum_cents, r.min_v, r.max_v)
+                     for r in read_rollup(spark, state2, key_col="key")
+                     .collect()}
+        out["phases"]["compaction_crash_recovery"] = {
+            "elapsed_sec": round(time.time() - t0, 2),
+            "checks": {
+                "failed_publish_raises": failed_rename_raised,
+                "failed_publish_restores_aside": after_fail == want2,
+                "no_aside_left_after_restore": aside_cleaned,
+                "stranded_aside_fails_loudly": loud_gate_fired,
+                "recovery_restores_full_answer": recovered == want2}}
+
         n_bad = sum(1 for ph in out["phases"].values()
                     for ok in ph["checks"].values() if not ok)
         out["n_bad"] = n_bad
