@@ -5618,3 +5618,361 @@ register(QuerySpec("multimodal_decode_ico", multimodal_decode_ico_query,
                                "and 0-means-256 quirks, directory-vs-"
                                "payload consistency; lying directories "
                                "-> NULL"))
+
+
+# --- real baseline TIFF decode (tag directory + strips + PackBits) ---------------
+
+# TIFF is the family's first TAG-DIRECTORY container: the reader cannot
+# stream it — it must follow the header pointer to the IFD, walk typed
+# 12-byte entries (skipping tags it does not know), distinguish INLINE
+# values (left-justified in the 4-byte field, so endianness-sensitive
+# even for SHORTs) from OFFSET values, then gather pixel data from
+# scattered strips. Per-doc byte order (II vs MM) and per-doc PackBits
+# compression make both dispatch axes load-bearing; a planted
+# beyond-EOF strip offset is the T7 class (a lying directory, the TIFF
+# analogue of the ICO's lying entries).
+TIFF_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("byte_order", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_strips", T.IntegerType()),
+    T.StructField("compression", T.IntegerType()),
+    T.StructField("n_data_bytes", T.LongType()),
+    T.StructField("sum_px", T.LongType()),
+    T.StructField("first_px", T.IntegerType()),
+    T.StructField("last_px", T.IntegerType()),
+])
+
+TIFF_W_BASE = 100          # widths cross 128 so PackBits runs SPLIT
+TIFF_W_MOD = 60
+TIFF_H_BASE = 5
+TIFF_H_MOD = 9
+TIFF_RPS_MOD = 7           # rows per strip in [1, 7] -> multi-strip
+TIFF_A = 7207
+TIFF_B = 104729
+TIFF_C = 611953
+TIFF_PACK_MOD = 3          # every 3rd doc PackBits (row-constant px)
+TIFF_BE_MOD = 5            # every 5th doc big-endian (MM)
+TIFF_SOFT_MOD = 4          # every 4th doc carries an ASCII Software tag
+TIFF_CORRUPT_MOD = 11      # last strip offset points beyond EOF
+
+
+def _build_tiff_codecs():
+    """Pure-stdlib baseline-TIFF writer + reader.
+
+    Writer: header | strip data | IFD | external arrays (strip
+    offsets/counts when n_strips > 1, Software string). Width is a
+    SHORT, height a LONG, so the reader's typed-value extraction is
+    exercised on both; PackBits strips encode each row independently
+    (runs capped at 128 per the spec).
+
+    Reader: real TIFF semantics — byte-order dispatch, magic 42, IFD
+    walk into a tag dict (unknown tags skipped), inline-vs-offset
+    value resolution by type size, strip gathering with bounds checks,
+    general PackBits decode (literals, runs, 0x80 noop), and the final
+    decoded-length == width*height validation. Returns None on any
+    defect (T7).
+    """
+    import struct
+
+    def _pack_row(row: bytes) -> bytes:
+        # row-constant rows by construction: emit runs of <= 128
+        out = bytearray()
+        n = len(row)
+        i = 0
+        while i < n:
+            run = min(128, n - i)
+            out += bytes(((257 - run) & 0xFF, row[i]))
+            i += run
+        return bytes(out)
+
+    def make_tiff(d: int, w: int, h: int, rps: int, packbits: bool,
+                  big_endian: bool, software: bool,
+                  corrupt: bool) -> bytes:
+        e = ">" if big_endian else "<"
+        px = [bytes((d * TIFF_A + y * TIFF_B
+                     + (0 if packbits else x * TIFF_C)) % 256
+                    for x in range(w)) for y in range(h)]
+        strips = []
+        for s0 in range(0, h, rps):
+            rows = px[s0:s0 + rps]
+            if packbits:
+                strips.append(b"".join(_pack_row(r) for r in rows))
+            else:
+                strips.append(b"".join(rows))
+        n_strips = len(strips)
+        data = b"".join(strips)
+        offs, pos = [], 8
+        for s in strips:
+            offs.append(pos)
+            pos += len(s)
+        ifd_off = pos
+        soft = b"synthetic corpus tiff\x00" if software else b""
+        tags = [(256, 3, 1, w), (257, 4, 1, h), (258, 3, 1, 8),
+                (259, 3, 1, 32773 if packbits else 1), (262, 3, 1, 1),
+                (273, 4, n_strips, None), (277, 3, 1, 1),
+                (278, 3, 1, rps), (279, 4, n_strips, None)]
+        if software:
+            tags.append((305, 2, len(soft), None))
+        tags.sort()
+        ifd_len = 2 + 12 * len(tags) + 4
+        arr_off = ifd_off + ifd_len
+        ext = bytearray()
+
+        def _place(values, fmt):
+            nonlocal ext
+            off = arr_off + len(ext)
+            ext += b"".join(struct.pack(e + fmt, v) for v in values)
+            return off
+
+        counts = [len(s) for s in strips]
+        if corrupt:
+            offs = offs[:-1] + [10 ** 7]  # lying directory: beyond EOF
+        entries = bytearray()
+        for tag, typ, cnt, val in tags:
+            if tag == 273:
+                val = offs[0] if n_strips == 1 else _place(offs, "I")
+            elif tag == 279:
+                val = counts[0] if n_strips == 1 else _place(counts, "I")
+            elif tag == 305:
+                val = _place(soft, "B") if cnt > 4 else None
+            entries += struct.pack(e + "HHI", tag, typ, cnt)
+            if typ == 3:  # SHORT: left-justified in the 4-byte field
+                entries += struct.pack(e + "H", val) + (
+                    b"\x00\x00" if not big_endian else b"\x00\x00")
+            else:
+                entries += struct.pack(e + "I", val)
+        ifd = struct.pack(e + "H", len(tags)) + bytes(entries) \
+            + struct.pack(e + "I", 0)
+        head = (b"MM" if big_endian else b"II") \
+            + struct.pack(e + "H", 42) + struct.pack(e + "I", ifd_off)
+        return head + data + ifd + bytes(ext)
+
+    def _unpackbits(src: bytes):
+        out = bytearray()
+        i, n = 0, len(src)
+        while i < n:
+            c = src[i]
+            i += 1
+            if c == 128:          # noop
+                continue
+            if c < 128:           # literal run of c+1 bytes
+                if i + c + 1 > n:
+                    return None
+                out += src[i:i + c + 1]
+                i += c + 1
+            else:                 # repeat next byte 257-c times
+                if i >= n:
+                    return None
+                out += bytes((src[i],)) * (257 - c)
+                i += 1
+        return bytes(out)
+
+    def decode_tiff_stats(blob: bytes):
+        try:
+            blob = bytes(blob)
+            if blob[:2] == b"II":
+                e = "<"
+            elif blob[:2] == b"MM":
+                e = ">"
+            else:
+                return None
+            if struct.unpack(e + "H", blob[2:4])[0] != 42:
+                return None
+            ifd_off = struct.unpack(e + "I", blob[4:8])[0]
+            if ifd_off + 2 > len(blob):
+                return None
+            n_tags = struct.unpack(e + "H",
+                                   blob[ifd_off:ifd_off + 2])[0]
+            if ifd_off + 2 + 12 * n_tags + 4 > len(blob):
+                return None
+            tags = {}
+            for i in range(n_tags):
+                o = ifd_off + 2 + 12 * i
+                tag, typ, cnt = struct.unpack(e + "HHI", blob[o:o + 8])
+                field = blob[o + 8:o + 12]
+                size = {1: 1, 2: 1, 3: 2, 4: 4}.get(typ)
+                if size is None:
+                    continue  # unknown type: skip the entry
+                if size * cnt <= 4:
+                    # inline, left-justified in the field
+                    fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+                    vals = [struct.unpack(e + fmt,
+                                          field[j * size:(j + 1) * size])[0]
+                            for j in range(cnt)]
+                else:
+                    off = struct.unpack(e + "I", field)[0]
+                    if off + size * cnt > len(blob):
+                        return None
+                    fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+                    vals = [struct.unpack(
+                        e + fmt, blob[off + j * size:off + (j + 1) * size])[0]
+                        for j in range(cnt)]
+                tags[tag] = vals
+            try:
+                w = tags[256][0]
+                h = tags[257][0]
+                comp = tags[259][0]
+                offs = tags[273]
+                counts = tags[279]
+            except KeyError:
+                return None
+            if w <= 0 or h <= 0 or len(offs) != len(counts):
+                return None
+            if tags.get(258, [8])[0] != 8 or tags.get(277, [1])[0] != 1:
+                return None
+            if comp not in (1, 32773):
+                return None
+            data = bytearray()
+            n_data = 0
+            for off, cnt in zip(offs, counts):
+                if off + cnt > len(blob):
+                    return None  # lying directory
+                raw = blob[off:off + cnt]
+                n_data += cnt
+                if comp == 32773:
+                    dec = _unpackbits(raw)
+                    if dec is None:
+                        return None
+                    data += dec
+                else:
+                    data += raw
+            if len(data) != w * h:
+                return None
+            return (blob[:2].decode("ascii"), w, h, len(offs), comp,
+                    n_data, sum(data), data[0], data[-1])
+        except Exception:
+            return None
+
+    return make_tiff, decode_tiff_stats
+
+
+make_tiff, decode_tiff_stats = _build_tiff_codecs()
+
+
+def synthesize_tiff_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real baseline-TIFF bytes. Pixel (y, x) =
+    (d*TIFF_A + y*TIFF_B + x*TIFF_C) % 256; PackBits docs drop the x
+    term (row-constant rows, so the packed byte count is
+    h * 2 * ceil(w/128) — closed-form for the oracle). Every
+    TIFF_CORRUPT_MOD-th doc's last strip offset points beyond EOF."""
+    mk = make_tiff
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                payloads.append(mk(
+                    d, TIFF_W_BASE + d % TIFF_W_MOD,
+                    TIFF_H_BASE + d % TIFF_H_MOD,
+                    1 + d % TIFF_RPS_MOD,
+                    d % TIFF_PACK_MOD == 0, d % TIFF_BE_MOD == 0,
+                    d % TIFF_SOFT_MOD == 0,
+                    d % TIFF_CORRUPT_MOD == 0))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        _synth, "doc_id long, payload binary")
+
+
+def decode_tiff(df: DataFrame) -> DataFrame:
+    dec = decode_tiff_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        keys = ("byte_order", "width", "height", "n_strips",
+                "compression", "n_data_bytes", "sum_px", "first_px",
+                "last_px")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 9
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "byte_order": cols["byte_order"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "n_strips": pd.array(cols["n_strips"], dtype="Int32"),
+                "compression": pd.array(cols["compression"],
+                                        dtype="Int32"),
+                "n_data_bytes": pd.array(cols["n_data_bytes"],
+                                         dtype="Int64"),
+                "sum_px": pd.array(cols["sum_px"], dtype="Int64"),
+                "first_px": pd.array(cols["first_px"], dtype="Int32"),
+                "last_px": pd.array(cols["last_px"], dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, TIFF_SCHEMA)
+
+
+def multimodal_decode_tiff_query(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Real baseline-TIFF parse end-to-end: endianness dispatch, typed
+    tag directory, scattered strips, general PackBits; lying strip
+    offsets -> NULL rows (T7)."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_tiff(synthesize_tiff_payloads(docs))
+
+
+_TIFF_NULL = f"d % {TIFF_CORRUPT_MOD} = 0"
+
+_MULTIMODAL_TIFF_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST({TIFF_W_BASE} + abs(doc_id) % {TIFF_W_MOD} AS INT) AS width,
+    CAST({TIFF_H_BASE} + abs(doc_id) % {TIFF_H_MOD} AS INT) AS height,
+    1 + abs(doc_id) % {TIFF_RPS_MOD} AS rps,
+    abs(doc_id) % {TIFF_PACK_MOD} = 0 AS packed
+  FROM documents
+), s AS (
+  SELECT doc_id, d, width, height, packed,
+    CAST((height + rps - 1) // rps AS INT) AS n_strips,
+    CASE WHEN packed THEN
+      list_sum(list_transform(range(0, height),
+        y -> width * ((d * {TIFF_A} + y * {TIFF_B}) % 256)))
+    ELSE
+      list_sum(list_transform(range(0, width * height),
+        i -> (d * {TIFF_A} + (i // width) * {TIFF_B}
+              + (i % width) * {TIFF_C}) % 256))
+    END AS sum_px,
+    CASE WHEN packed
+         THEN height * 2 * ((width + 127) // 128)
+         ELSE width * height END AS n_data_bytes,
+    CASE WHEN packed
+         THEN (d * {TIFF_A} + (height - 1) * {TIFF_B}) % 256
+         ELSE (d * {TIFF_A} + (height - 1) * {TIFF_B}
+               + (width - 1) * {TIFF_C}) % 256 END AS last_px
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN {_TIFF_NULL} THEN NULL
+       WHEN d % {TIFF_BE_MOD} = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+  CASE WHEN {_TIFF_NULL} THEN NULL ELSE width END AS width,
+  CASE WHEN {_TIFF_NULL} THEN NULL ELSE height END AS height,
+  CASE WHEN {_TIFF_NULL} THEN NULL ELSE n_strips END AS n_strips,
+  CASE WHEN {_TIFF_NULL} THEN NULL
+       WHEN packed THEN 32773 ELSE 1 END AS compression,
+  CASE WHEN {_TIFF_NULL} THEN NULL
+       ELSE CAST(n_data_bytes AS BIGINT) END AS n_data_bytes,
+  CASE WHEN {_TIFF_NULL} THEN NULL
+       ELSE CAST(sum_px AS BIGINT) END AS sum_px,
+  CASE WHEN {_TIFF_NULL} THEN NULL
+       ELSE CAST((d * {TIFF_A}) % 256 AS INT) END AS first_px,
+  CASE WHEN {_TIFF_NULL} THEN NULL
+       ELSE CAST(last_px AS INT) END AS last_px
+FROM s
+"""
+
+register(QuerySpec("multimodal_decode_tiff", multimodal_decode_tiff_query,
+                   _MULTIMODAL_TIFF_SQL,
+                   description="real baseline-TIFF decode: II/MM "
+                               "endianness dispatch, typed tag-directory "
+                               "walk (inline vs offset values), "
+                               "scattered strips, general PackBits; "
+                               "lying strip offsets -> NULL"))

@@ -1313,3 +1313,59 @@ def test_ico_codec_sniffing_quirks_and_lies():
     off = struct.unpack("<I", bad[18:22])[0]
     bad[off + 4:off + 12] = struct.pack("<ii", 5, 9)  # biHeight odd
     assert decode_ico_stats(bytes(bad)) is None
+
+
+def test_tiff_codec_directory_strips_packbits_and_lies():
+    """Byte-level baseline-TIFF behavior: II and MM parse identically;
+    SHORT inline values honor byte order; multi-strip gathering
+    reassembles exactly width*height bytes; the general PackBits
+    decoder handles literals, runs, and the 0x80 noop; a lying strip
+    offset (beyond EOF), a wrong magic, and a short body all reject."""
+    import struct
+
+    from downscaledclimatedata_spark.operators.multimodal import (
+        TIFF_A, TIFF_B, decode_tiff_stats, make_tiff)
+
+    d, w, h, rps = 77, 130, 6, 4  # w > 128: PackBits runs must split
+    for be in (False, True):
+        blob = make_tiff(d, w, h, rps, packbits=False, big_endian=be,
+                         software=True, corrupt=False)
+        st = decode_tiff_stats(blob)
+        assert st is not None
+        assert st[0] == ("MM" if be else "II")
+        assert st[1:6] == (w, h, 2, 1, w * h)
+        # packed twin: same pixels minus the x term, closed-form size
+        pk = decode_tiff_stats(make_tiff(d, w, h, rps, packbits=True,
+                                         big_endian=be, software=False,
+                                         corrupt=False))
+        assert pk[3:6] == (2, 32773, h * 2 * 2)  # ceil(130/128) == 2
+        assert pk[6] == sum(w * ((d * TIFF_A + y * TIFF_B) % 256)
+                            for y in range(h))
+
+    # lying directory: last strip offset beyond EOF
+    assert decode_tiff_stats(make_tiff(d, w, h, rps, False, False,
+                                       False, corrupt=True)) is None
+    # wrong magic / truncated body
+    blob = make_tiff(d, w, h, rps, False, False, False, False)
+    bad = bytearray(blob)
+    bad[2:4] = struct.pack("<H", 43)
+    assert decode_tiff_stats(bytes(bad)) is None
+    assert decode_tiff_stats(blob[:40]) is None
+
+    # PackBits decoder generality: literal + noop + run, hand-built
+    # single-strip 1x6 image: literal(3) 1 2 3, noop, run(3 x 9)
+    strip = bytes((2, 1, 2, 3, 0x80, 257 - 3 & 0xFF, 9))
+    head = b"II" + struct.pack("<H", 42) + struct.pack("<I", 8 + len(strip))
+    tags = [(256, 3, 1, 6), (257, 4, 1, 1), (258, 3, 1, 8),
+            (259, 3, 1, 32773), (262, 3, 1, 1), (273, 4, 1, 8),
+            (277, 3, 1, 1), (278, 3, 1, 1), (279, 4, 1, len(strip))]
+    ifd = struct.pack("<H", len(tags))
+    for tag, typ, cnt, val in tags:
+        ifd += struct.pack("<HHI", tag, typ, cnt)
+        ifd += (struct.pack("<H", val) + b"\x00\x00" if typ == 3
+                else struct.pack("<I", val))
+    ifd += struct.pack("<I", 0)
+    st = decode_tiff_stats(head + strip + ifd)
+    assert st is not None
+    assert st[1:7] == (6, 1, 1, 32773, len(strip), 1 + 2 + 3 + 27)
+    assert (st[7], st[8]) == (1, 9)
