@@ -3058,3 +3058,110 @@ register(QuerySpec(
     description="exact-duplicate cluster size histogram by content "
                 "hash: unique mass, removable mass, template-spam "
                 "tail"))
+
+
+# --- near-dup cluster source purity (dedup QA) -----------------------------------
+
+def cluster_source_purity(docs: DataFrame, pairs: DataFrame,
+                          source_col: str = "source",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per multi-member near-dup cluster: how many distinct SOURCES its
+    members span and the majority source's share — the dedup-QA signal
+    that separates within-site boilerplate (1 source, prune freely)
+    from cross-site syndication (many sources, a licensing/provenance
+    decision). Exact integer masses; the share is one final division.
+
+    Scale: components over the bounded pair relation; one corpus-keyed
+    merge join attaches sources to members; the argmax is a struct-min
+    over the (cluster, source) counts (map-side partials), never a
+    per-cluster sort.
+    """
+    comps = connected_components_star(pairs) \
+        .withColumnRenamed("id", id_col)
+    m = comps.join(
+        docs.select(id_col, source_col).hint("merge"), id_col)
+    per_src = m.groupBy("comp", source_col).agg(
+        F.count(F.lit(1)).alias("n_src"))
+    elect = per_src.groupBy("comp").agg(
+        F.sum("n_src").alias("n_members"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.min(F.struct((-F.col("n_src")).alias("neg"),
+                       F.col(source_col).alias("src"))).alias("w"))
+    return (elect.filter(F.col("n_members") >= 2)
+            .select(F.col("comp").cast("bigint").alias("comp"),
+                    F.col("n_members").cast("bigint").alias("n_members"),
+                    F.col("n_sources").cast("bigint").alias("n_sources"),
+                    F.col("w.src").alias("majority_source"),
+                    (-F.col("w.neg")).cast("bigint")
+                    .alias("majority_count"),
+                    ((-F.col("w.neg")).cast("double")
+                     / F.col("n_members").cast("double"))
+                    .alias("majority_share")))
+    # no trailing orderBy: one row per multi-member cluster —
+    # duplicate-mass-proportional (corpus-scaled)
+
+
+def dedup_cluster_purity_query(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    return cluster_source_purity(docs, lsh_candidate_pairs(sigs, "doc_id"))
+
+
+def _cluster_purity_sql() -> str:
+    return f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_HASHED_CTE},
+sigs AS (
+  SELECT doc_id, {_MINHASH_COLS_SQL}
+  FROM hashed GROUP BY doc_id
+),
+banded AS ({_BAND_SELECTS}),
+ok AS (
+  SELECT band_id, band_hash FROM banded
+  GROUP BY band_id, band_hash HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN ok ON ok.band_id = a.band_id AND ok.band_hash = a.band_hash
+  JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, lab) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+per_src AS (
+  SELECT c.comp, d.source, COUNT(*) AS n_src
+  FROM comp c JOIN documents d ON d.doc_id = c.id
+  GROUP BY 1, 2
+),
+elect AS (
+  SELECT comp, SUM(n_src) AS n_members, COUNT(*) AS n_sources,
+    MIN({{'neg': -n_src, 'src': source}}) AS w
+  FROM per_src GROUP BY comp
+)
+SELECT CAST(comp AS BIGINT) AS comp,
+  CAST(n_members AS BIGINT) AS n_members,
+  CAST(n_sources AS BIGINT) AS n_sources,
+  (w).src AS majority_source,
+  CAST(-(w).neg AS BIGINT) AS majority_count,
+  CAST(-(w).neg AS DOUBLE) / CAST(n_members AS DOUBLE) AS majority_share
+FROM elect WHERE n_members >= 2
+"""
+
+
+register(QuerySpec(
+    "dedup_cluster_purity", dedup_cluster_purity_query,
+    _cluster_purity_sql(),
+    description="near-dup cluster source purity: distinct sources and "
+                "majority share per cluster — separates within-site "
+                "boilerplate from cross-site syndication"))

@@ -3971,3 +3971,600 @@ register(QuerySpec("q110_backlog_aging", q110_backlog_aging, _Q110_SQL,
                    description="open-order backlog aging: quarter "
                                "buckets at the data horizon, exact "
                                "cents mass per (status, age)"))
+
+
+# --- q111: min-cost supplier per part (TPC-H Q2 shape) ---------------------------
+
+def q111_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted to the fixture (no partsupp table): for every
+    size-multiple-of-10 part, the cheapest ASIA-region supplier, where
+    a (part, supplier) supply cost is the MIN observed line price.
+    The correlated-min-subquery shape realized as two aggregates and a
+    struct-min argmax (deterministic: suppkey tie-break).
+
+    Scale: part filter FIRST (merge join prunes lineitem to 1/10 of
+    parts), supplier region filter via broadcast nation; both groupBys
+    partial-aggregate map-side; no window, no correlated re-scan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    asia_nk = (nation.join(F.broadcast(region.filter(
+        F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey"))
+    asia_supp = supp.join(F.broadcast(asia_nk),
+                          supp.s_nationkey == asia_nk.n_nationkey) \
+        .select("s_suppkey")
+    parts = part.filter(F.col("p_size") % 10 == 0) \
+        .select("p_partkey", "p_name")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    cost = (li.join(parts.hint("merge"), li.l_partkey == parts.p_partkey)
+            .join(asia_supp.hint("merge"),
+                  li.l_suppkey == asia_supp.s_suppkey)
+            .groupBy("p_partkey", "p_name", "s_suppkey")
+            .agg(F.min(cents).alias("cost_cents")))
+    return (cost.groupBy("p_partkey", "p_name")
+            .agg(F.min(F.struct(F.col("cost_cents"),
+                                F.col("s_suppkey"))).alias("w"))
+            .select(F.col("p_partkey").cast("bigint").alias("p_partkey"),
+                    "p_name",
+                    F.col("w.s_suppkey").cast("bigint").alias("s_suppkey"),
+                    F.col("w.cost_cents").cast("bigint")
+                    .alias("cost_cents")))
+    # no trailing orderBy: one row per qualifying part — part-scaled
+
+
+_Q111_SQL = """
+WITH asia AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'ASIA'
+), cost AS (
+  SELECT p_partkey, p_name, l_suppkey AS s_suppkey,
+    MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN asia ON s_suppkey = l_suppkey
+  WHERE p_size % 10 = 0
+  GROUP BY 1, 2, 3
+), elect AS (
+  SELECT p_partkey, p_name,
+    MIN({'cost_cents': cost_cents, 's_suppkey': s_suppkey}) AS w
+  FROM cost GROUP BY 1, 2
+)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name,
+  CAST((w).s_suppkey AS BIGINT) AS s_suppkey,
+  CAST((w).cost_cents AS BIGINT) AS cost_cents
+FROM elect
+"""
+
+register(QuerySpec("q111_min_cost_supplier", q111_min_cost_supplier,
+                   _Q111_SQL,
+                   description="TPC-H Q2 shape: cheapest in-region "
+                               "supplier per filtered part — correlated "
+                               "min as two aggregates + struct-min "
+                               "argmax, exact cents"))
+
+
+# --- q112: nation-pair trade matrix (TPC-H Q7 shape) -----------------------------
+
+def q112_nation_trade_matrix(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-H Q7: discounted revenue shipped between DIFFERENT
+    supplier/customer nations per ship year. Three corpus-keyed joins
+    (orders, customer, supplier) with both nation legs broadcast; the
+    output is the bounded |nations|^2 x years matrix, aggregated with
+    map-side partials. Exact DECIMAL revenue, one double cast per row.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    n1 = nation.select(F.col("n_nationkey").alias("snk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("cnk"),
+                       F.col("n_name").alias("cust_nation"))
+    rev = dec("l_extendedprice", 2) * (F.lit(1) - dec("l_discount", 2))
+    j = (li
+         .join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+         .join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
+         .join(supp.hint("merge"), li.l_suppkey == supp.s_suppkey)
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("snk"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cnk"))
+         .filter(F.col("snk") != F.col("cnk")))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+            .agg(F.sum(rev).alias("rev"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .select("supp_nation", "cust_nation",
+                    F.col("l_year").cast("int").alias("l_year"),
+                    F.col("rev").cast("double").alias("volume"),
+                    F.col("n_lines").cast("bigint").alias("n_lines")))
+
+
+_Q112_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INT) AS l_year,
+  CAST(SUM({dec_sql('l_extendedprice')}
+           * (1 - {dec_sql('l_discount')})) AS DOUBLE) AS volume,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_nationkey <> n2.n_nationkey
+GROUP BY 1, 2, 3
+"""
+
+register(QuerySpec("q112_nation_trade_matrix", q112_nation_trade_matrix,
+                   _Q112_SQL,
+                   description="TPC-H Q7: cross-nation trade volume per "
+                               "ship year — 3 fact joins + 2 broadcast "
+                               "nation legs, bounded matrix output"))
+
+
+# --- q113: product-line profit by nation/year (TPC-H Q9 shape) -------------------
+
+def q113_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (no partsupp): profit = discounted revenue
+    minus a 0.9 x retail-price x quantity supply cost, for parts whose
+    name contains 'red', grouped by supplier nation and order year.
+    All money stays DECIMAL end-to-end (0.90 and quantity are exact
+    decimals), one double cast per output row.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    reds = part.filter(F.col("p_name").contains("red")) \
+        .select("p_partkey", "p_retailprice")
+    rev = dec("l_extendedprice", 2) * (F.lit(1) - dec("l_discount", 2))
+    cost = (dec("p_retailprice", 2) * F.lit("0.90").cast("decimal(4,2)")
+            * dec("l_quantity", 2))
+    j = (li.join(reds.hint("merge"), li.l_partkey == reds.p_partkey)
+         .join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+         .join(supp.hint("merge"), li.l_suppkey == supp.s_suppkey)
+         .join(F.broadcast(nation),
+               F.col("s_nationkey") == F.col("n_nationkey")))
+    return (j.groupBy(F.col("n_name").alias("nation"),
+                      F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(rev - cost).alias("profit"))
+            .select("nation", F.col("o_year").cast("int").alias("o_year"),
+                    F.col("profit").cast("double").alias("profit")))
+
+
+_Q113_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+  CAST(SUM({dec_sql('l_extendedprice')} * (1 - {dec_sql('l_discount')})
+           - {dec_sql('p_retailprice')} * CAST(0.90 AS DECIMAL(4,2))
+             * {dec_sql('l_quantity')}) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+register(QuerySpec("q113_product_profit", q113_product_profit, _Q113_SQL,
+                   description="TPC-H Q9 shape: nation/year profit on a "
+                               "part-name filter, exact decimal "
+                               "revenue-minus-cost"))
+
+
+# --- q114: top supplier(s) by window revenue, ties kept (TPC-H Q15) --------------
+
+def q114_top_supplier_ties(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the MAX revenue over a fixed
+    ship-date quarter — the ties-ALL argmax (Q15's subtlety: every
+    supplier equal to the max is returned, so a struct-argmax would be
+    wrong). Exact DECIMAL revenue compared for equality against the
+    broadcast single-row max; the double cast happens after the
+    comparison, so ties are decided on exact values.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    win = li.filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01")))
+    rev = dec("l_extendedprice", 2) * (F.lit(1) - dec("l_discount", 2))
+    per = win.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    mx = per.agg(F.max("total_rev").alias("max_rev"))
+    return (per.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_rev") == F.col("max_rev"))
+            .join(supp.hint("merge"),
+                  F.col("l_suppkey") == supp.s_suppkey)
+            .select(F.col("l_suppkey").cast("bigint").alias("s_suppkey"),
+                    "s_name",
+                    F.col("total_rev").cast("double")
+                    .alias("total_revenue")))
+
+
+_Q114_SQL = f"""
+WITH per AS (
+  SELECT l_suppkey AS s_suppkey,
+    SUM({dec_sql('l_extendedprice')} * (1 - {dec_sql('l_discount')}))
+      AS total_rev
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+  GROUP BY 1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+  CAST(total_rev AS DOUBLE) AS total_revenue
+FROM per JOIN supplier USING (s_suppkey)
+WHERE total_rev = (SELECT MAX(total_rev) FROM per)
+"""
+
+register(QuerySpec("q114_top_supplier_ties", q114_top_supplier_ties,
+                   _Q114_SQL,
+                   description="TPC-H Q15: max-revenue supplier with "
+                               "ties kept — exact-decimal equality vs a "
+                               "broadcast single-row max"))
+
+
+# --- q115: small-quantity revenue (TPC-H Q17 shape) ------------------------------
+
+def q115_small_qty_revenue(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from Brand#3 lines whose quantity is below
+    20% of that part's average quantity. The correlated AVG comparison
+    is cross-multiplied into integers — qty * 5 * n < sum_qty — so the
+    threshold is EXACT (no float average, no engine divergence at the
+    boundary). One per-part aggregate broadcast back by a merge join.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    brand = part.filter(F.col("p_brand") == "Brand#3") \
+        .select("p_partkey")
+    lines = li.join(brand.hint("merge"), li.l_partkey == brand.p_partkey)
+    qty = F.col("l_quantity").cast("bigint")
+    per = lines.groupBy("p_partkey").agg(
+        F.count(F.lit(1)).alias("n_part"),
+        F.sum(qty).alias("sum_qty"))
+    small = (lines.join(per.hint("merge"), "p_partkey")
+             .filter(qty * 5 * F.col("n_part") < F.col("sum_qty")))
+    return small.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(dec("l_extendedprice", 2)).cast("double")
+        .alias("small_qty_revenue"))
+
+
+_Q115_SQL = f"""
+WITH lines AS (
+  SELECT l_partkey AS p_partkey,
+    CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#3'
+), per AS (
+  SELECT p_partkey, COUNT(*) AS n_part, SUM(qty) AS sum_qty
+  FROM lines GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM({dec_sql('l_extendedprice')}) AS DOUBLE) AS small_qty_revenue
+FROM lines JOIN per USING (p_partkey)
+WHERE qty * 5 * n_part < sum_qty
+"""
+
+register(QuerySpec("q115_small_qty_revenue", q115_small_qty_revenue,
+                   _Q115_SQL,
+                   description="TPC-H Q17: below-20%-of-part-average "
+                               "quantity revenue — correlated avg "
+                               "cross-multiplied to exact integers"))
+
+
+# --- q116: large-volume orders (TPC-H Q18 shape) ---------------------------------
+
+Q116_QTY_THRESHOLD = 250
+
+
+def q116_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total line quantity exceeds the
+    threshold, with their customer. The IN-(grouped-HAVING-subquery)
+    shape realized as aggregate-then-join; integer quantity sums are
+    exact, and the HAVING prunes BEFORE the orders/customer joins so
+    only qualifying orderkeys (rare) reach them.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("bigint"))
+                .alias("sum_qty"))
+           .filter(F.col("sum_qty") > Q116_QTY_THRESHOLD))
+    return (big.join(orders.hint("merge"),
+                     big.l_orderkey == orders.o_orderkey)
+            .join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
+            .select(F.col("c_custkey").cast("bigint").alias("c_custkey"),
+                    "c_name",
+                    F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+                    F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                    F.col("o_totalprice").cast("double")
+                    .alias("o_totalprice"),
+                    F.col("sum_qty").cast("bigint").alias("sum_qty")))
+    # no trailing orderBy: output is order-keyed (corpus-proportional)
+
+
+_Q116_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > {Q116_QTY_THRESHOLD}
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+  CAST(o_orderkey AS BIGINT) AS o_orderkey,
+  CAST(o_orderdate AS DATE) AS o_orderdate,
+  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+  CAST(sum_qty AS BIGINT) AS sum_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+register(QuerySpec("q116_large_orders", q116_large_orders, _Q116_SQL,
+                   description="TPC-H Q18: grouped-HAVING order volume "
+                               "filter before the customer join, exact "
+                               "integer quantity sums"))
+
+
+# --- q117: suppliers who alone delayed multi-supplier orders (TPC-H Q21) ---------
+
+Q117_LATE_DAYS = 90
+
+
+def q117_waiting_suppliers(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted to the fixture's dates (late = shipped more
+    than 90 days after the order date): per supplier, the number of
+    multi-supplier orders where THEY were late and NO other supplier
+    was. Q21's EXISTS/NOT-EXISTS double correlation collapses into ONE
+    (orderkey, suppkey) aggregate + one bounded per-order summary join
+    — no self-join of lineitem against itself on the fact side.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    late = (F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"),
+                         Q117_LATE_DAYS))
+    g = (li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+         .groupBy("l_orderkey", "l_suppkey")
+         .agg(F.max(late.cast("int")).alias("late")))
+    per_order = g.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late"))
+    blame = (g.filter(F.col("late") == 1)
+             .join(per_order.hint("merge"), "l_orderkey")
+             .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)))
+    return (blame.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .join(supp.hint("merge"),
+                  F.col("l_suppkey") == supp.s_suppkey)
+            .select(F.col("l_suppkey").cast("bigint").alias("s_suppkey"),
+                    "s_name",
+                    F.col("numwait").cast("bigint").alias("numwait")))
+    # no trailing orderBy: supplier-keyed output (corpus-proportional)
+
+
+_Q117_SQL = f"""
+WITH g AS (
+  SELECT l_orderkey, l_suppkey,
+    MAX(CASE WHEN CAST(l_shipdate AS DATE)
+              > CAST(o_orderdate AS DATE) + {Q117_LATE_DAYS}
+         THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+), per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+  FROM g GROUP BY 1
+)
+SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey, s_name,
+  CAST(COUNT(*) AS BIGINT) AS numwait
+FROM g
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE g.late = 1 AND n_supp >= 2 AND n_late = 1
+GROUP BY 1, 2
+"""
+
+register(QuerySpec("q117_waiting_suppliers", q117_waiting_suppliers,
+                   _Q117_SQL,
+                   description="TPC-H Q21 shape: sole-late supplier per "
+                               "multi-supplier order — EXISTS/NOT-EXISTS "
+                               "collapsed to one aggregate, no fact "
+                               "self-join"))
+
+
+# --- q118: dormant above-average customers by nation (TPC-H Q22) -----------------
+
+def q118_dormant_customers(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted to the fixture's order density (every
+    customer has SOME order, so Q22's literal no-orders-ever set is
+    empty): customers with no order in the last 365 days of the data
+    whose balance exceeds the average positive balance, counted per
+    nation. The scalar-subquery average is cross-multiplied into exact
+    integers (cents * n > sum_cents) against a broadcast single-row
+    global; the NOT EXISTS is a left-anti join against the
+    recent-order custkeys; output is the bounded nation summary.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    pos = cust.filter(F.col("c_acctbal") > 0) \
+        .select("c_custkey", "c_nationkey", cents.alias("cents"))
+    glob = pos.agg(F.sum("cents").alias("sum_cents"),
+                   F.count(F.lit(1)).alias("n_pos"))
+    rich = (pos.crossJoin(F.broadcast(glob))
+            .filter(F.col("cents") * F.col("n_pos") > F.col("sum_cents")))
+    hz = orders.agg(F.max(F.col("o_orderdate").cast("date"))
+                    .alias("horizon"))
+    recent = (orders.crossJoin(F.broadcast(hz))
+              .filter(F.col("o_orderdate").cast("date")
+                      >= F.date_sub(F.col("horizon"), 365))
+              .select("o_custkey"))
+    dormant = rich.join(recent.hint("merge"),
+                        rich.c_custkey == F.col("o_custkey"), "left_anti")
+    return (dormant.join(F.broadcast(nation),
+                         F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("cents").alias("bal_cents"))
+            .select("nation",
+                    F.col("n_customers").cast("bigint")
+                    .alias("n_customers"),
+                    (F.col("bal_cents").cast("double") / 100.0)
+                    .alias("total_balance")))
+
+
+_Q118_SQL = """
+WITH pos AS (
+  SELECT c_custkey, c_nationkey,
+    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer WHERE c_acctbal > 0
+), gl AS (
+  SELECT SUM(cents) AS sum_cents, COUNT(*) AS n_pos FROM pos
+), recent AS (
+  SELECT o_custkey FROM orders
+  WHERE CAST(o_orderdate AS DATE)
+        >= (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders) - 365
+)
+SELECT n_name AS nation,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_balance
+FROM pos CROSS JOIN gl
+JOIN nation ON n_nationkey = c_nationkey
+WHERE cents * n_pos > sum_cents
+  AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+register(QuerySpec("q118_dormant_customers", q118_dormant_customers,
+                   _Q118_SQL,
+                   description="TPC-H Q22 shape: recency-dormant "
+                               "customers above the exact average "
+                               "positive balance, per nation — cross-"
+                               "multiplied scalar subquery + anti join"))
+
+
+# --- q119: shipping punctuality by priority class (TPC-H Q12 shape) --------------
+
+Q119_LATE_DAYS = 60
+
+
+def q119_priority_punctuality(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted to the fixture (no shipmode/commitdate): per
+    ship YEAR, how many lines of high-priority (1-URGENT/2-HIGH) vs
+    lower-priority orders shipped more than 60 days after the order
+    date. Q12's conditional CASE aggregation over a fact join; exact
+    integer counts, bounded |years| output.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    late = (F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"),
+                         Q119_LATE_DAYS))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    return (j.groupBy(F.year("l_shipdate").alias("l_year"))
+            .agg(F.sum((high & late).cast("bigint"))
+                 .alias("high_late"),
+                 F.sum((high & ~late).cast("bigint"))
+                 .alias("high_ontime"),
+                 F.sum(((~high) & late).cast("bigint"))
+                 .alias("low_late"),
+                 F.sum(((~high) & ~late).cast("bigint"))
+                 .alias("low_ontime"))
+            .select(F.col("l_year").cast("int").alias("l_year"),
+                    F.col("high_late").cast("bigint").alias("high_late"),
+                    F.col("high_ontime").cast("bigint")
+                    .alias("high_ontime"),
+                    F.col("low_late").cast("bigint").alias("low_late"),
+                    F.col("low_ontime").cast("bigint")
+                    .alias("low_ontime")))
+
+
+_Q119_SQL = f"""
+SELECT CAST(year(l_shipdate) AS INT) AS l_year,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             AND CAST(l_shipdate AS DATE)
+                 > CAST(o_orderdate AS DATE) + {Q119_LATE_DAYS}
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_late,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             AND NOT (CAST(l_shipdate AS DATE)
+                      > CAST(o_orderdate AS DATE) + {Q119_LATE_DAYS})
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_ontime,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             AND CAST(l_shipdate AS DATE)
+                 > CAST(o_orderdate AS DATE) + {Q119_LATE_DAYS}
+            THEN 1 ELSE 0 END) AS BIGINT) AS low_late,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             AND NOT (CAST(l_shipdate AS DATE)
+                      > CAST(o_orderdate AS DATE) + {Q119_LATE_DAYS})
+            THEN 1 ELSE 0 END) AS BIGINT) AS low_ontime
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+register(QuerySpec("q119_priority_punctuality",
+                   q119_priority_punctuality, _Q119_SQL,
+                   description="TPC-H Q12 shape: late vs on-time line "
+                               "counts by priority class per ship year "
+                               "— conditional CASE aggregation, exact "
+                               "integers"))
+
+
+# --- q120: supplier diversity per part class (TPC-H Q16 shape) -------------------
+
+def q120_supplier_diversity(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (no partsupp: supply evidence = observed
+    lineitem pairs): DISTINCT supplier count per (p_type, p_size)
+    class, excluding Brand#13 parts. Q16's distinct-count-after-
+    exclusion shape: the (part, supplier) evidence relation is
+    DISTINCT-ed once (map-side partial dedup), the exclusion is a
+    dimension filter BEFORE the fact join, and the bounded class
+    relation aggregates countDistinct.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    keep = part.filter(F.col("p_brand") != "Brand#13") \
+        .select("p_partkey", "p_type", "p_size")
+    ev = (li.join(keep.hint("merge"), li.l_partkey == keep.p_partkey)
+          .select("p_type", "p_size", "l_suppkey").distinct())
+    return (ev.groupBy("p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .select("p_type", F.col("p_size").cast("int").alias("p_size"),
+                    F.col("supplier_cnt").cast("bigint")
+                    .alias("supplier_cnt")))
+
+
+_Q120_SQL = """
+SELECT p_type, CAST(p_size AS INT) AS p_size,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+GROUP BY 1, 2
+"""
+
+register(QuerySpec("q120_supplier_diversity", q120_supplier_diversity,
+                   _Q120_SQL,
+                   description="TPC-H Q16 shape: distinct suppliers per "
+                               "(type, size) part class after brand "
+                               "exclusion — distinct-then-count over "
+                               "supply evidence"))

@@ -79,6 +79,15 @@ SF100_TABLES = ("documents",)
 SF100_TARGETS = ("dedup_decontaminate", "text_lm_familiarity",
                  "dedup_repeated_spans", "text_top_terms")
 
+# Third decade, EMBEDDINGS rung (sf10 -> sf100, 10M vectors): r9's
+# verdict asked for knn_triangles' third decade — its two merge-pinned
+# joins over the k-bounded edge relation are the likeliest place for
+# skew to appear at 10x more cells. Separate dir: the documents sf100
+# build above stays untouched (ensure_scaled markers are per-dir).
+SCALE100E_DIR = str(Path(__file__).resolve().parent / ".scale" / "sf100emb")
+SF100E_TABLES = ("embeddings",)
+SF100E_TARGETS = ("similarity_knn_triangles",)
+
 # copy-specific text perturbation with period 260: vowel rotation keyed
 # by i % 10 composed with a lowercase Caesar shift keyed by i // 10.
 # For i < 10 the shift is 0, so the sf1 build is byte-identical to the
@@ -221,6 +230,25 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("dcd-spark-scale-ladder", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    if rung == "sf100emb":
+        # third decade on the embeddings rung (10M vectors)
+        ensure_scaled(spark, BASE_SF, SCALE10_DIR, copies * 10,
+                      tables=SF10_TABLES)
+        ensure_scaled(spark, BASE_SF, SCALE100E_DIR, copies * 100,
+                      tables=SF100E_TABLES)
+        base = time_headlines(spark, SCALE10_DIR,
+                              names=names or SF100E_TARGETS)
+        scaled = time_headlines(spark, SCALE100E_DIR,
+                                names=names or SF100E_TARGETS)
+        ratios = {n: (round(scaled[n] / base[n], 2) if base[n] > 0 else None)
+                  for n in base}
+        print(json.dumps({
+            "metric": "scale_ladder", "data_ratio": 10,
+            "sf_base": 1.0 * copies, "sf_scaled": 10.0 * copies,
+            "base_sec": base, "scaled_sec": scaled, "time_ratio": ratios,
+            "base_total_sec": round(sum(base.values()), 3),
+            "scaled_total_sec": round(sum(scaled.values()), 3)}))
+        return
     if rung == "sf100":
         # third decade: sf10 -> sf100 on the documents-only >=5x set;
         # both rungs built here (sf1 is not needed)

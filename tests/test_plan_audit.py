@@ -78,6 +78,7 @@ BNLJ_OK = {
     "prep_token_waterfill",
     "q108_peak_concurrency",
     "q110_backlog_aging",
+    "q118_dormant_customers",   # broadcast global balance + horizon rows
     "q24_above_average_customers",
     "q64_histogram_quantile",
     "q69_rolling_active_users",

@@ -1324,3 +1324,86 @@ def test_q109_time_to_convert_planted(spark, tmp_path):
     out = {r.hour_bucket: r.n_users
            for r in q109_time_to_convert(spark, sf).collect()}
     assert out == {1: 1, 48: 1}
+
+
+def test_q117_sole_late_supplier_semantics(spark, tmp_path):
+    """Planted Q21 semantics: credit ONLY the supplier who was alone
+    late in a multi-supplier order — both-late orders credit nobody,
+    single-supplier orders credit nobody."""
+    import datetime as dt
+
+    from downscaledclimatedata_spark.plans.advanced import (
+        q117_waiting_suppliers)
+
+    d0 = dt.datetime(2020, 1, 1)
+    late = d0 + dt.timedelta(days=120)
+    ontime = d0 + dt.timedelta(days=10)
+    spark.createDataFrame(
+        [(1, d0, 1, "O", 1.0, "1-URGENT"),
+         (2, d0, 1, "O", 1.0, "1-URGENT"),
+         (3, d0, 1, "O", 1.0, "1-URGENT")],
+        "o_orderkey long, o_orderdate timestamp, o_custkey long, "
+        "o_orderstatus string, o_totalprice double, "
+        "o_orderpriority string").write.parquet(
+        str(tmp_path / "orders.parquet"))
+    rows = [
+        # O1: A late, B on time -> A credited
+        (1, 10, 101, late), (1, 20, 102, ontime),
+        # O2: both late -> nobody
+        (2, 10, 103, late), (2, 20, 104, late),
+        # O3: single supplier, late -> nobody (no other supplier waited)
+        (3, 30, 105, late),
+    ]
+    spark.createDataFrame(
+        [(o, s, ln, 1.0, 10.0, 0.0, 0.0, "N", "O", sd, s)
+         for (o, s, ln, sd) in rows],
+        "l_orderkey long, l_partkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp, l_suppkey long").write.parquet(
+        str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(10, "SUPP_A", 0, 0.0), (20, "SUPP_B", 0, 0.0),
+         (30, "SUPP_C", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, "
+        "s_acctbal double").write.parquet(
+        str(tmp_path / "supplier.parquet"))
+
+    got = {(r.s_suppkey, r.numwait)
+           for r in q117_waiting_suppliers(spark, str(tmp_path)).collect()}
+    assert got == {(10, 1)}
+
+
+def test_q114_ties_all_semantics(spark, tmp_path):
+    """Planted Q15 semantics: EVERY supplier at the exact max revenue
+    is returned (the struct-argmax would silently drop one)."""
+    import datetime as dt
+
+    from downscaledclimatedata_spark.plans.advanced import (
+        q114_top_supplier_ties)
+
+    inwin = dt.datetime(1996, 2, 1)
+    outwin = dt.datetime(1995, 2, 1)
+    rows = [
+        (1, 10, 1, 100.0, 0.0, inwin), (2, 20, 1, 100.0, 0.0, inwin),
+        (3, 30, 1, 50.0, 0.0, inwin),
+        (4, 30, 1, 1000.0, 0.0, outwin),  # outside window: ignored
+    ]
+    spark.createDataFrame(
+        [(o, s, ln, 1.0, ep, disc, 0.0, "N", "O", sd, s)
+         for (o, s, ln, ep, disc, sd) in rows],
+        "l_orderkey long, l_partkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp, l_suppkey long").write.parquet(
+        str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(10, "SUPP_A", 0, 0.0), (20, "SUPP_B", 0, 0.0),
+         (30, "SUPP_C", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, "
+        "s_acctbal double").write.parquet(
+        str(tmp_path / "supplier.parquet"))
+
+    got = {(r.s_suppkey, r.total_revenue)
+           for r in q114_top_supplier_ties(spark, str(tmp_path)).collect()}
+    assert got == {(10, 100.0), (20, 100.0)}
