@@ -1201,8 +1201,13 @@ def maintenance_read_evolved_query(spark: SparkSession,
     score = (F.col("o_orderkey") % 1000).cast("double") / 4
     base = tempfile.mkdtemp(prefix="dcd_evolved_")
     try:
+        # the int-vs-bigint drift evidence lives on CENTS (price
+        # magnitudes are scale-invariant, so the int32 domain holds at
+        # any SF); keys stay bigint — replica-shifted orderkeys exceed
+        # int32 on the sf1+ ladder rungs, which is a data-domain fact,
+        # not schema drift
         g1 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
-            F.col("o_orderkey").cast("int").alias("okey"),
+            F.col("o_orderkey").cast("bigint").alias("okey"),
             cents.cast("int").alias("cents"))
         g2 = orders.filter(F.col("o_orderkey") % 3 == 1).select(
             F.col("o_orderkey").cast("bigint").alias("okey"),
@@ -1210,7 +1215,7 @@ def maintenance_read_evolved_query(spark: SparkSession,
             F.col("o_orderpriority").alias("priority"),
             score.cast("float").alias("score"))
         g3 = orders.filter(F.col("o_orderkey") % 3 == 2).select(
-            F.col("o_orderkey").cast("int").alias("okey"),
+            F.col("o_orderkey").cast("bigint").alias("okey"),
             score.cast("double").alias("score"))
         paths = []
         for i, g in enumerate((g1, g2, g3)):
