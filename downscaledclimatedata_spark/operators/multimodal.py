@@ -5976,3 +5976,298 @@ register(QuerySpec("multimodal_decode_tiff", multimodal_decode_tiff_query,
                                "walk (inline vs offset values), "
                                "scattered strips, general PackBits; "
                                "lying strip offsets -> NULL"))
+
+
+# --- real BMP RLE8 decode (escape codes, delta moves, bottom-up rows) ------------
+
+# RLE8 is the family's first ESCAPE-DRIVEN compression: the stream
+# interleaves (count, value) runs with escape sequences — end-of-line,
+# end-of-bitmap, delta cursor moves that leave UNDEFINED gaps, and
+# absolute-mode literal blocks padded to even length. And BMP stores
+# rows BOTTOM-UP, so a decoder that forgets the flip reports a
+# vertically mirrored image (first_px/last_px pin the flip).
+BMPRLE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("sum_idx", T.LongType()),
+    T.StructField("first_px", T.IntegerType()),
+    T.StructField("last_px", T.IntegerType()),
+    T.StructField("n_abs_rows", T.IntegerType()),
+    T.StructField("n_delta_rows", T.IntegerType()),
+])
+
+BMPRLE_W_BASE = 9
+BMPRLE_W_MOD = 300         # widths cross 255: run rows need SPLIT runs
+BMPRLE_H_BASE = 4
+BMPRLE_H_MOD = 9
+BMPRLE_A = 48271
+BMPRLE_B = 16807
+BMPRLE_C = 69621
+BMPRLE_ABS_MOD = 3         # image rows y % 3 == 0 use ABSOLUTE mode
+BMPRLE_DELTA_MOD = 5       # other rows with y % 5 == 0 start with a
+BMPRLE_DELTA_SKIP = 3      # delta move leaving a 3-pixel zero gap
+BMPRLE_CORRUPT_MOD = 13    # a run overflows its row -> reject
+
+
+def _build_bmprle_codecs():
+    """Pure-stdlib 8-bit RLE BMP writer + decoder.
+
+    Writer: BITMAPFILEHEADER + BITMAPINFOHEADER(40, biCompression=1)
+    + 256-entry palette + the RLE stream, rows emitted bottom-up.
+    Image row y: absolute-mode rows carry per-pixel values (blocks of
+    <= 255, odd blocks padded), run rows carry a row-constant value in
+    runs of <= 255; delta rows first emit (0,2,dx,0) leaving a zero
+    gap. Every row ends with EOL except the last, which ends with EOF
+    (both forms legal; decoder must accept either).
+
+    Decoder: validates both headers, walks the escape-driven stream
+    with strict bounds (a run or absolute block overflowing the row
+    width rejects — the planted corruption), fills delta gaps with 0
+    per the de-facto convention, flips bottom-up rows, and reports
+    stats over IMAGE-ordered pixels. Returns None on any defect (T7).
+    """
+    import struct
+
+    def _rle_row(vals: list, is_abs: bool) -> bytes:
+        out = bytearray()
+        if is_abs:
+            i = 0
+            while i < len(vals):
+                n = min(255, len(vals) - i)
+                if n >= 3:
+                    out += bytes((0, n)) + bytes(vals[i:i + n])
+                    if n % 2:
+                        out += b"\x00"  # absolute blocks pad to even
+                else:
+                    for v in vals[i:i + n]:
+                        out += bytes((1, v))
+                i += n
+        else:
+            i = 0
+            while i < len(vals):
+                n = min(255, len(vals) - i)
+                out += bytes((n, vals[i]))
+                i += n
+        return bytes(out)
+
+    def make_bmprle(d: int, w: int, h: int, corrupt: bool) -> bytes:
+        rows = []
+        for y in range(h):  # IMAGE order; emitted reversed (bottom-up)
+            is_abs = y % BMPRLE_ABS_MOD == 0
+            delta = (not is_abs) and y % BMPRLE_DELTA_MOD == 0
+            if is_abs:
+                vals = [(d * BMPRLE_A + y * BMPRLE_B + x * BMPRLE_C)
+                        % 256 for x in range(w)]
+                body = _rle_row(vals, True)
+            elif delta:
+                v = (d * BMPRLE_A + y * BMPRLE_B) % 256
+                body = bytes((0, 2, BMPRLE_DELTA_SKIP, 0)) \
+                    + _rle_row([v] * (w - BMPRLE_DELTA_SKIP), False)
+            else:
+                v = (d * BMPRLE_A + y * BMPRLE_B) % 256
+                body = _rle_row([v] * w, False)
+            rows.append(body)
+        if corrupt:
+            # a 255-run into a row with < 255 pixels left: overflow
+            rows[0] = bytes((255, 7)) + rows[0]
+        stream = bytearray()
+        for i, body in enumerate(reversed(rows)):  # bottom-up
+            stream += body
+            last = i == len(rows) - 1
+            stream += bytes((0, 1)) if last else bytes((0, 0))
+        palette = b"".join(bytes((i % 256, (i * 2) % 256,
+                                  (i * 3) % 256, 0)) for i in range(256))
+        off = 14 + 40 + len(palette)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1,
+                           len(stream), 2835, 2835, 0, 0)
+        head = b"BM" + struct.pack("<IHHI", off + len(stream), 0, 0, off)
+        return head + info + palette + bytes(stream)
+
+    def decode_bmprle_stats(blob: bytes):
+        try:
+            blob = bytes(blob)
+            if blob[:2] != b"BM" or len(blob) < 54:
+                return None
+            off = struct.unpack("<I", blob[10:14])[0]
+            (bisize, w, h, planes, bpp, comp, _simg, _xp, _yp, clr,
+             _imp) = struct.unpack("<IiiHHIIiiII", blob[14:54])
+            if bisize != 40 or planes != 1 or bpp != 8 or comp != 1:
+                return None
+            if w <= 0 or h <= 0 or clr not in (0, 256):
+                return None
+            if off != 14 + 40 + 256 * 4 or off > len(blob):
+                return None
+            # file rows are bottom-up: px[file_y][x], file_y 0 = bottom
+            px = [[0] * w for _ in range(h)]
+            fy, x = 0, 0
+            i = off
+            abs_rows: set = set()
+            n_delta = 0
+            done = False
+            while i + 1 < len(blob) and not done:
+                c, v = blob[i], blob[i + 1]
+                i += 2
+                if c > 0:  # run
+                    if fy >= h or x + c > w:
+                        return None
+                    for k in range(c):
+                        px[fy][x + k] = v
+                    x += c
+                elif v == 0:    # end of line
+                    fy += 1
+                    x = 0
+                elif v == 1:    # end of bitmap
+                    done = True
+                elif v == 2:    # delta move (gap stays 0)
+                    if i + 1 >= len(blob):
+                        return None
+                    dx, dy = blob[i], blob[i + 1]
+                    i += 2
+                    n_delta += 1
+                    x += dx
+                    fy += dy
+                    if fy > h or x > w:
+                        return None
+                else:           # absolute block of v pixels
+                    if fy >= h or x + v > w or i + v > len(blob):
+                        return None
+                    for k in range(v):
+                        px[fy][x + k] = blob[i + k]
+                    x += v
+                    i += v + (v % 2)  # even padding
+                    abs_rows.add(fy)
+            if not done:
+                return None
+            img = list(reversed(px))  # flip bottom-up to image order
+            sum_idx = sum(sum(r) for r in img)
+            return (w, h, sum_idx, img[0][0], img[-1][-1],
+                    len(abs_rows), n_delta)
+        except Exception:
+            return None
+
+    return make_bmprle, decode_bmprle_stats
+
+
+make_bmprle, decode_bmprle_stats = _build_bmprle_codecs()
+
+
+def synthesize_bmprle_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real RLE8 BMP bytes. Image row y: absolute-mode rows
+    (y % 3 == 0) carry per-pixel (d*A + y*B + x*C) % 256; other rows
+    are row-constant (d*A + y*B) % 256, and those with y % 5 == 0
+    start with a delta move leaving a DELTA_SKIP zero gap. Every
+    BMPRLE_CORRUPT_MOD-th doc's bottom row starts with a 255-run that
+    overflows the row."""
+    mk = make_bmprle
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                payloads.append(mk(
+                    d, BMPRLE_W_BASE + d % BMPRLE_W_MOD,
+                    BMPRLE_H_BASE + d % BMPRLE_H_MOD,
+                    d % BMPRLE_CORRUPT_MOD == 0))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        _synth, "doc_id long, payload binary")
+
+
+def decode_bmprle(df: DataFrame) -> DataFrame:
+    dec = decode_bmprle_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        keys = ("width", "height", "sum_idx", "first_px", "last_px",
+                "n_abs_rows", "n_delta_rows")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 7
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "sum_idx": pd.array(cols["sum_idx"], dtype="Int64"),
+                "first_px": pd.array(cols["first_px"], dtype="Int32"),
+                "last_px": pd.array(cols["last_px"], dtype="Int32"),
+                "n_abs_rows": pd.array(cols["n_abs_rows"], dtype="Int32"),
+                "n_delta_rows": pd.array(cols["n_delta_rows"],
+                                         dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(
+        _decode, BMPRLE_SCHEMA)
+
+
+def multimodal_decode_bmprle_query(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Real RLE8 parse end-to-end: escape-driven stream (EOL/EOF/delta
+    gaps/absolute padding), strict row bounds, bottom-up flip pinned
+    by first/last pixel; overflowing runs -> NULL rows (T7)."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_bmprle(synthesize_bmprle_payloads(docs))
+
+
+_BMPRLE_NULL = f"d % {BMPRLE_CORRUPT_MOD} = 0"
+
+_MULTIMODAL_BMPRLE_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST({BMPRLE_W_BASE} + abs(doc_id) % {BMPRLE_W_MOD} AS INT) AS width,
+    CAST({BMPRLE_H_BASE} + abs(doc_id) % {BMPRLE_H_MOD} AS INT) AS height
+  FROM documents
+), s AS (
+  SELECT doc_id, d, width, height,
+    list_sum(list_transform(range(0, height), y ->
+      CASE
+        WHEN y % {BMPRLE_ABS_MOD} = 0 THEN
+          list_sum(list_transform(range(0, width), x ->
+            (d * {BMPRLE_A} + y * {BMPRLE_B} + x * {BMPRLE_C}) % 256))
+        WHEN y % {BMPRLE_DELTA_MOD} = 0 THEN
+          (width - {BMPRLE_DELTA_SKIP})
+            * ((d * {BMPRLE_A} + y * {BMPRLE_B}) % 256)
+        ELSE width * ((d * {BMPRLE_A} + y * {BMPRLE_B}) % 256)
+      END)) AS sum_idx,
+    CASE WHEN (height - 1) % {BMPRLE_ABS_MOD} = 0 THEN
+      (d * {BMPRLE_A} + (height - 1) * {BMPRLE_B}
+       + (width - 1) * {BMPRLE_C}) % 256
+    ELSE (d * {BMPRLE_A} + (height - 1) * {BMPRLE_B}) % 256
+    END AS last_px,
+    len(list_filter(range(0, height),
+        y -> y % {BMPRLE_ABS_MOD} = 0)) AS n_abs_rows,
+    len(list_filter(range(0, height),
+        y -> y % {BMPRLE_ABS_MOD} <> 0
+         AND y % {BMPRLE_DELTA_MOD} = 0)) AS n_delta_rows
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN {_BMPRLE_NULL} THEN NULL ELSE width END AS width,
+  CASE WHEN {_BMPRLE_NULL} THEN NULL ELSE height END AS height,
+  CASE WHEN {_BMPRLE_NULL} THEN NULL
+       ELSE CAST(sum_idx AS BIGINT) END AS sum_idx,
+  CASE WHEN {_BMPRLE_NULL} THEN NULL
+       ELSE CAST((d * {BMPRLE_A}) % 256 AS INT) END AS first_px,
+  CASE WHEN {_BMPRLE_NULL} THEN NULL
+       ELSE CAST(last_px AS INT) END AS last_px,
+  CASE WHEN {_BMPRLE_NULL} THEN NULL
+       ELSE CAST(n_abs_rows AS INT) END AS n_abs_rows,
+  CASE WHEN {_BMPRLE_NULL} THEN NULL
+       ELSE CAST(n_delta_rows AS INT) END AS n_delta_rows
+FROM s
+"""
+
+register(QuerySpec("multimodal_decode_bmprle",
+                   multimodal_decode_bmprle_query,
+                   _MULTIMODAL_BMPRLE_SQL,
+                   description="real BMP RLE8 decode: escape-driven "
+                               "stream (EOL/EOF/delta gaps/absolute "
+                               "padding), strict row bounds, bottom-up "
+                               "flip; overflowing runs -> NULL"))

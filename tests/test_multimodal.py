@@ -1369,3 +1369,44 @@ def test_tiff_codec_directory_strips_packbits_and_lies():
     assert st is not None
     assert st[1:7] == (6, 1, 1, 32773, len(strip), 1 + 2 + 3 + 27)
     assert (st[7], st[8]) == (1, 9)
+
+
+def test_bmprle_codec_escapes_flip_and_bounds():
+    """Byte-level RLE8 behavior: bottom-up rows are flipped (first_px
+    is the IMAGE top-left, i.e. the LAST row in file order); delta
+    gaps read back as zeros; absolute blocks pad to even; a run
+    overflowing its row, a truncated stream (no EOF), and a wrong
+    magic all reject."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        BMPRLE_A, BMPRLE_B, BMPRLE_C, BMPRLE_DELTA_SKIP,
+        decode_bmprle_stats, make_bmprle)
+
+    d, w, h = 41, 260, 7  # w > 255: runs and absolute blocks split
+    st = decode_bmprle_stats(make_bmprle(d, w, h, corrupt=False))
+    assert st is not None
+    assert st[:2] == (w, h)
+    # first_px: image row 0 is absolute mode -> formula at (0, 0)
+    assert st[3] == (d * BMPRLE_A) % 256
+    # last_px: image row 6 is absolute (6 % 3 == 0) -> x = w-1 term
+    assert st[4] == (d * BMPRLE_A + 6 * BMPRLE_B
+                     + (w - 1) * BMPRLE_C) % 256
+    # rows 0,3,6 absolute; rows 5 (not mult of 3, mult of 5) delta
+    assert (st[5], st[6]) == (3, 1)
+    # the delta row's sum contribution excludes the zero gap
+    v5 = (d * BMPRLE_A + 5 * BMPRLE_B) % 256
+    full = decode_bmprle_stats(make_bmprle(d, w, h, corrupt=False))[2]
+    assert full == sum(
+        (sum((d * BMPRLE_A + y * BMPRLE_B + x * BMPRLE_C) % 256
+             for x in range(w)) if y % 3 == 0 else
+         (w - BMPRLE_DELTA_SKIP if y % 5 == 0 else w)
+         * ((d * BMPRLE_A + y * BMPRLE_B) % 256))
+        for y in range(h))
+    assert v5 >= 0  # (documents the delta-row value used above)
+
+    # corrupt: planted 255-run overflowing the bottom row
+    assert decode_bmprle_stats(make_bmprle(d, w, h, corrupt=True)) is None
+    blob = make_bmprle(d, w, h, corrupt=False)
+    # truncated stream: EOF marker never reached
+    assert decode_bmprle_stats(blob[:-2]) is None
+    # wrong magic
+    assert decode_bmprle_stats(b"BA" + blob[2:]) is None
