@@ -4536,3 +4536,107 @@ register(QuerySpec(
     description="per-label embedding-norm histogram over the exact "
                 "integer squared-norm domain — the dot-vs-cosine "
                 "retrieval diagnostic"))
+
+
+# --- recall-vs-nprobe tuning curve (ANN operability) -----------------------------
+
+NPROBE_CURVE = (1, 2, 4, 8)
+
+
+def nprobe_recall_curve(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        k: int = TOP_K,
+                        nprobes: tuple = NPROBE_CURVE) -> DataFrame:
+    """The recall-vs-nprobe TUNING CURVE: aggregate recall@k of the
+    IVF searcher at each probe depth against ONE exact truth — the
+    table an ANN deployment actually reads when picking nprobe (the
+    per-query recall spec ``similarity_ann_recall`` shows spread; this
+    shows the knob's curve). Candidate sets grow monotonically with
+    nprobe, so recall is non-decreasing along the output (pinned by
+    unit test).
+
+    One bounded row per probe depth: (nprobe, n_queries, sum_truth,
+    sum_hits, recall) — exact integer totals, recall one final
+    division, bit-identical cross-engine.
+
+    Scale: the exact truth is computed ONCE (the brute-force headline's
+    linear scan); each curve point probes inverted lists only, and the
+    alignments join (n_queries x k)-row broadcastable relations.
+    """
+    truth = (cosine_topk_quantized(emb, id_col, vec_col, k=k)
+             .select("query_id", "match_id").localCheckpoint())
+    out = None
+    for np_ in nprobes:
+        got = (ivf_topk_multiprobe(emb, id_col, vec_col, k=k, nprobe=np_)
+               .select("query_id", "match_id")
+               .withColumn("hit", F.lit(1)))
+        scored = (truth.join(F.broadcast(got), ["query_id", "match_id"],
+                             "left")
+                  .agg(F.count(F.lit(1)).alias("sum_truth"),
+                       F.sum(F.coalesce("hit", F.lit(0)))
+                       .cast("bigint").alias("sum_hits"),
+                       F.countDistinct("query_id").alias("n_queries"))
+                  .select(F.lit(np_).cast("int").alias("nprobe"),
+                          F.col("n_queries").cast("bigint")
+                          .alias("n_queries"),
+                          F.col("sum_truth").cast("bigint")
+                          .alias("sum_truth"),
+                          "sum_hits",
+                          (F.col("sum_hits").cast("double")
+                           / F.col("sum_truth").cast("double"))
+                          .alias("recall")))
+        out = scored if out is None else out.unionByName(scored)
+    return out
+
+
+def similarity_nprobe_curve_query(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return nprobe_recall_curve(emb)
+
+
+def _ivf_multiprobe_sql_n(nprobe: int) -> str:
+    """The multiprobe searcher oracle at an arbitrary probe depth —
+    the registered ``_IVF_MULTIPROBE_SQL`` with nprobe as a knob."""
+    return _coarse_sql_prefix(carry_n2=True, assigned="search") + f""", probes AS (
+  SELECT vec_id AS query_id, cid FROM assign_scored
+  WHERE {_fixed_sample_sql('vec_id', QUERY_MOD, N_QUERIES)} AND rn <= {nprobe}
+), scored AS (
+  SELECT p.query_id, c.vec_id AS match_id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qs.qv[i] * c.qv[i])) AS DOUBLE)
+      / (sqrt(qs.n2) * sqrt(c.n2)) AS cosine
+  FROM probes p
+  JOIN base qs ON qs.vec_id = p.query_id AND qs.in2 > 0
+  JOIN assigned c ON c.cid = p.cid AND c.vec_id <> p.query_id
+)""" + _RANKED_TOPK_TAIL
+
+
+def _nprobe_curve_sql() -> str:
+    points = []
+    for np_ in NPROBE_CURVE:
+        points.append(f"""
+SELECT CAST({np_} AS INT) AS nprobe,
+  CAST(COUNT(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+  CAST(COUNT(*) AS BIGINT) AS sum_truth,
+  CAST(SUM(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS sum_hits
+FROM truth t LEFT JOIN (
+  SELECT query_id, match_id FROM ({_ivf_multiprobe_sql_n(np_)})
+) a ON a.query_id = t.query_id AND a.match_id = t.match_id""")
+    body = "\nUNION ALL\n".join(points)
+    return f"""
+WITH truth AS MATERIALIZED (
+  SELECT query_id, match_id FROM ({_SIM_TOPK_SQL})
+)
+SELECT nprobe, n_queries, sum_truth, sum_hits,
+  CAST(sum_hits AS DOUBLE) / CAST(sum_truth AS DOUBLE) AS recall
+FROM ({body})
+"""
+
+
+register(QuerySpec(
+    "similarity_nprobe_curve", similarity_nprobe_curve_query,
+    _nprobe_curve_sql(),
+    description="recall@k vs nprobe tuning curve: one exact truth, "
+                "four probe depths, exact integer totals — the table "
+                "an ANN deployment tunes its recall knob against"))

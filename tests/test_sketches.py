@@ -296,3 +296,21 @@ def test_bloom_probe_join_realizes_broadcast(spark):
     assert got["beta"]["n_bits_hit"] == BLOOM_K
     assert got["beta"]["in_filter"] and got["beta"]["truly_present"]
     assert not got["zzz_absent"]["truly_present"]
+
+
+def test_nprobe_curve_monotone_and_saturating(spark):
+    """Candidate sets grow monotonically with nprobe, so the recall
+    curve must be non-decreasing; at nprobe >= n_centroids it probes
+    every list, so recall reaches the searcher's ceiling."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        similarity_nprobe_curve_query)
+    from tests.conftest import SF_CORRECTNESS
+
+    rows = {r.nprobe: r for r in
+            similarity_nprobe_curve_query(spark, SF_CORRECTNESS)
+            .collect()}
+    assert sorted(rows) == [1, 2, 4, 8]
+    recalls = [rows[n].recall for n in (1, 2, 4, 8)]
+    assert all(b >= a for a, b in zip(recalls, recalls[1:])), recalls
+    assert all(r.sum_hits <= r.sum_truth for r in rows.values())
+    assert rows[8].recall > 0.5  # deep probing must actually help
