@@ -1067,18 +1067,30 @@ def publish_audited(spark: SparkSession, final_dir: str, audits: list,
     import os
     import shutil
 
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     staging = final_dir.rstrip("/") + "._staging"
     if os.path.exists(staging):
         shutil.rmtree(staging)
     write_fn(staging)
-    staged = spark.read.format(fmt).load(staging)
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for name, cond in audits:
-        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
-                    .cast("bigint").alias(name))
-    row = staged.agg(*aggs).collect()[0]
-    report = {name: int(row[name]) for name, _ in audits}
-    report["n_rows"] = int(row["_n"])
+    try:
+        staged = spark.read.format(fmt).load(staging)
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for name, cond in audits:
+            aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                        .cast("bigint").alias(name))
+        row = staged.agg(*aggs).collect()[0]
+        report = {name: int(row[name]) for name, _ in audits}
+        report["n_rows"] = int(row["_n"])
+    except AnalysisException as e:
+        # an EMPTY staged write leaves no footers to infer a schema
+        # from; zero rows trivially satisfy every audit, and an empty
+        # corpus must still publish (atomically replacing any prior
+        # snapshot with the honest empty result)
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        report = {name: 0 for name, _ in audits}
+        report["n_rows"] = 0
     passed = all(v == 0 for k, v in report.items() if k != "n_rows")
     report["passed"] = passed
     report["staging"] = staging
