@@ -125,7 +125,10 @@ def main() -> None:
         "families": dict(sorted(fams.items())),
         "results": out,
     }
-    path = Path(__file__).resolve().parent / f"CANON_r{args.round:02d}.json"
+    # --only runs are spot-checks: never clobber the round artifact.
+    stem = (f"CANON_r{args.round:02d}.json" if args.only is None
+            else "CANON_check.json")
+    path = Path(__file__).resolve().parent / stem
     path.write_text(json.dumps(artifact, indent=1))
     print(json.dumps({"canon": str(path), "n_specs": len(out),
                       "n_bad": n_bad}))

@@ -179,6 +179,19 @@ def grouped_quantile_cont(df: DataFrame, value_col: str,
     behavior). With empty ``group_cols`` the output is the usual
     single global-aggregate row (NULL quantiles, 0 count when no
     non-NULL values exist) — both engines' convention.
+
+    A quantile may be given as ``((num, den), name)`` instead of
+    ``(q, name)`` — the EXACT-RATIONAL path for INTEGER value columns:
+    ``h = (n-1)*num/den`` is carried as integers (``fh = div``,
+    ``m = mod``) and the interpolation is computed as the exact
+    integer numerator ``lo*den + m*(hi-lo)`` with ONE final division
+    by ``den``. Use it when value magnitudes (e.g. 1e11 microsecond
+    gaps) make ``lo + frac*(hi-lo)`` ulp-divergent across engines —
+    the float path's same-IEEE-formula guarantee only covers engines
+    using the identical multiply-add order, and DuckDB's
+    ``quantile_cont`` does not at every magnitude. The oracle side
+    must mirror the same integer formula (order statistics + one
+    division), not call ``quantile_cont``.
     """
     nn = df.filter(F.col(value_col).isNotNull())
     st = nn.agg(F.min(value_col), F.max(value_col)).first()
@@ -188,11 +201,27 @@ def grouped_quantile_cont(df: DataFrame, value_col: str,
     ranked = binned_row_number(
         binned, "_gqb", (value_col, *id_cols),
         partition_cols=group_cols, out="_gqr", count_col="_gqn")
-    h_of = {name: (F.col("_gqn") - 1).cast("double") * F.lit(float(q))
-            for q, name in qs_named}
     aggs, sel = [], [F.col(c) for c in group_cols]
     for q, name in qs_named:
-        h = h_of[name]
+        if isinstance(q, tuple):
+            num, den = int(q[0]), int(q[1])
+            fh = F.expr(f"((_gqn - 1) * {num}) div {den}")
+            m = (F.col("_gqn") - 1) * num % den
+            aggs += [
+                F.max(F.when(F.col("_gqr") == fh + 1,
+                             F.col(value_col).cast("bigint")))
+                .alias(f"_{name}_lo"),
+                F.max(F.when(F.col("_gqr") == fh + 2,
+                             F.col(value_col).cast("bigint")))
+                .alias(f"_{name}_hi"),
+                F.max(m).cast("bigint").alias(f"_{name}_m"),
+            ]
+            lo, hi = F.col(f"_{name}_lo"), F.col(f"_{name}_hi")
+            sel.append(((lo * den + F.col(f"_{name}_m")
+                         * (F.coalesce(hi, lo) - lo)).cast("double")
+                        / F.lit(float(den))).alias(name))
+            continue
+        h = (F.col("_gqn") - 1).cast("double") * F.lit(float(q))
         aggs += [
             F.max(F.when(F.col("_gqr") == F.floor(h) + 1,
                          F.col(value_col))).alias(f"_{name}_lo"),

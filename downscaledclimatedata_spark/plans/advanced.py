@@ -4568,3 +4568,86 @@ register(QuerySpec("q120_supplier_diversity", q120_supplier_diversity,
                                "(type, size) part class after brand "
                                "exclusion — distinct-then-count over "
                                "supply evidence"))
+
+
+# --- q121: inter-arrival gap quantiles per event type ----------------------------
+
+def q121_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 inter-arrival gaps per event type — the
+    latency-distribution table q99's fixed histogram approximates,
+    with EXACT-RATIONAL interpolation from the shared
+    ``grouped_quantile_cont`` machinery (functions/ranks.py): gaps are
+    integer microseconds ~1e11, where the float ``lo + frac*(hi-lo)``
+    path is ulp-divergent across engines, so the quantiles are carried
+    as integer numerators ``lo*den + m*(hi-lo)`` with ONE final
+    division (den = 2/10/100) — bit-identical in both engines. The
+    oracle mirrors the same order-statistics formula instead of
+    calling ``quantile_cont``.
+
+    Each user's first event has a NULL gap (no predecessor): excluded
+    from the quantile population, its event types kept with ``n_gaps``
+    counting only real gaps (the r10 all-NULL-group contract).
+
+    Plan: one lag window over (user) partitions ordered by (ts,
+    event_id) — user is high-cardinality; quantile rank windows
+    partition on (type, bin).
+    """
+    from downscaledclimatedata_spark.functions.ranks import (
+        grouped_quantile_cont)
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type", "event_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+        .alias("gap_us"))
+    out = grouped_quantile_cont(
+        gaps, "gap_us", [((1, 2), "p50_us"), ((9, 10), "p90_us"),
+                         ((99, 100), "p99_us")],
+        group_cols=("event_type",), id_cols=("event_id",),
+        count_name="n_gaps")
+    return out.select("event_type",
+                      F.col("n_gaps").cast("bigint").alias("n_gaps"),
+                      "p50_us", "p90_us", "p99_us")
+
+
+def _q121_point(num: int, den: int, name: str) -> str:
+    """Integer-exact interpolated quantile from the ranked relation:
+    fh/m carried as integers, numerator exact, ONE division."""
+    fh = f"(((n - 1) * {num}) // {den})"        # per-row (inside CASE)
+    m = f"(((MAX(n) - 1) * {num}) % {den})"     # grouped context
+    return f"""
+    CAST((MAX(CASE WHEN rk = {fh} + 1 THEN gap_us END) * {den}
+          + {m} * (coalesce(MAX(CASE WHEN rk = {fh} + 2 THEN gap_us END),
+                            MAX(CASE WHEN rk = {fh} + 1 THEN gap_us END))
+                   - MAX(CASE WHEN rk = {fh} + 1 THEN gap_us END)))
+         AS DOUBLE) / {den} AS {name}"""
+
+
+def _q121_sql() -> str:
+    pts = ",".join([_q121_point(1, 2, "p50_us"),
+                    _q121_point(9, 10, "p90_us"),
+                    _q121_point(99, 100, "p99_us")])
+    return f"""
+WITH g AS (
+  SELECT event_type, event_id,
+    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+), nn AS (
+  SELECT event_type, gap_us,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY gap_us, event_id) AS rk,
+    COUNT(gap_us) OVER (PARTITION BY event_type) AS n
+  FROM g WHERE gap_us IS NOT NULL
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,{pts}
+FROM nn GROUP BY event_type
+"""
+
+
+register(QuerySpec("q121_gap_quantiles", q121_gap_quantiles, _q121_sql(),
+                   description="exact-rational p50/p90/p99 inter-"
+                               "arrival gaps per event type — integer "
+                               "numerator interpolation, one division, "
+                               "bit-identical cross-engine"))
