@@ -1996,3 +1996,81 @@ register(QuerySpec(
                 "(p25/p50/p75/p95) via grouped_quantile_cont — the "
                 "dataset-card truncation-risk view, no percentile() "
                 "buffer"))
+
+
+# --- deterministic source interleave ---------------------------------------------
+
+def source_interleave(df: DataFrame, key_col: str = "source",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, key, pos) deterministic round-robin interleave of the
+    corpus's sources: position ``pos = rnk * n_sources + sidx`` where
+    ``rnk`` is the document's 0-based sequence number within its source
+    (ordered by id) and ``sidx`` is the source's 0-based index in
+    sorted source order. Reading ORDER BY pos yields
+    s0[0] s1[0] ... sK[0] s0[1] s1[1] ... — the fixed-stride domain
+    mixing a multi-source training run wants, independent of input
+    partitioning. ``pos`` is a TOTAL ORDER, not a contiguous index:
+    once a smaller source exhausts, its stride slots are simply absent
+    (readers consume by order, so gaps cost nothing — renumbering them
+    contiguously would require exactly the global corpus sort this
+    engine refuses).
+
+    Plan: per-source ranks come from the two-phase binned row_number
+    (functions/ranks.py) over id-value bins — windows partition on
+    (source, bin), parallelism ∝ bins; the source-index relation is
+    |sources|-bounded (its unpartitioned windows are over that bounded
+    relation only, WINDOW_OK) and joins back broadcast. Driver
+    scalars: the one (min, max) id pair sizing the bins. Output is
+    corpus-sized — no trailing sort by contract.
+    """
+    from downscaledclimatedata_spark.functions.ranks import (
+        binned_row_number, value_bin)
+
+    st = df.agg(F.min(id_col), F.max(id_col)).first()
+    if st[0] is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, {key_col} string, pos long")
+    lo, hi = float(st[0]), float(st[1])
+    binned = df.select(id_col, key_col).withColumn(
+        "_ibin", value_bin(F.col(id_col).cast("double"), lo, hi))
+    ranked = binned_row_number(binned, "_ibin", (id_col,),
+                               partition_cols=(key_col,), out="_irk")
+    wsrc = Window.orderBy(F.asc_nulls_first(key_col))
+    src = (df.select(key_col).distinct()
+           .select(key_col,
+                   (F.row_number().over(wsrc) - 1).alias("_sidx"),
+                   F.count(F.lit(1)).over(
+                       Window.partitionBy()).alias("_nsrc")))
+    return (ranked.join(F.broadcast(src), key_col)
+            .select(id_col, key_col,
+                    ((F.col("_irk") - 1) * F.col("_nsrc")
+                     + F.col("_sidx")).cast("bigint").alias("pos")))
+
+
+def prep_interleave_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return source_interleave(docs)
+
+
+_INTERLEAVE_SQL = """
+WITH s AS (
+  SELECT source,
+    ROW_NUMBER() OVER (ORDER BY source NULLS FIRST) - 1 AS sidx,
+    COUNT(*) OVER () AS n_src
+  FROM (SELECT DISTINCT source FROM documents)
+), r AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rnk
+  FROM documents
+)
+SELECT doc_id, source,
+  CAST(rnk * n_src + sidx AS BIGINT) AS pos
+FROM r JOIN s USING (source)
+"""
+
+register(QuerySpec(
+    "prep_interleave", prep_interleave_query, _INTERLEAVE_SQL,
+    description="deterministic round-robin source interleave: "
+                "pos = rnk * n_sources + source_idx on binned "
+                "per-source ranks — fixed-stride domain mixing "
+                "without a global sort"))

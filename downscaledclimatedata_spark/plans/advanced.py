@@ -4651,3 +4651,206 @@ register(QuerySpec("q121_gap_quantiles", q121_gap_quantiles, _q121_sql(),
                                "arrival gaps per event type — integer "
                                "numerator interpolation, one division, "
                                "bit-identical cross-engine"))
+
+
+# --- q122: important parts by supply-value share (TPC-H Q11 shape) ---------------
+
+Q122_NATION = "NATION_7"
+Q122_SHARE_DEN = 500  # keep parts holding > 1/500 of the nation's value
+
+
+def q122_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp: supply value = observed lineitem
+    revenue from the nation's suppliers): parts whose share of
+    NATION_7's total supply value exceeds 1/500. Q11's
+    HAVING-against-a-global-scalar shape: the per-part aggregate is
+    compared to the one-row grand total by a broadcast crossJoin and
+    the fraction test is cross-multiplied into exact integer cents —
+    ``part_cents * 500 > total_cents`` — so the threshold has no float
+    boundary (reference loca2.py has no relational engine; shape parity
+    is with TPC-H itself).
+
+    Plan: nation filter reduces supplier to a broadcast dim BEFORE the
+    fact join; one shuffle for the per-part agg; the grand total is a
+    second aggregate over the per-part relation (never a second corpus
+    pass); single-row broadcast crossJoin (BNLJ_OK).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    nsupp = (supp.join(F.broadcast(
+        nation.filter(F.col("n_name") == Q122_NATION)),
+        supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    per_part = (li.join(F.broadcast(nsupp),
+                        li.l_suppkey == nsupp.s_suppkey)
+                .groupBy("l_partkey")
+                .agg(F.sum(cents).alias("part_cents")))
+    total = per_part.agg(F.sum("part_cents").alias("total_cents"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .filter(F.col("part_cents") * Q122_SHARE_DEN
+                    > F.col("total_cents"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    (F.col("part_cents").cast("double") / 100.0)
+                    .alias("supply_value")))
+    # no trailing orderBy: part-keyed output grows with the dimension
+
+
+_Q122_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS part_cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = '{Q122_NATION}'
+  GROUP BY 1
+), gl AS (SELECT SUM(part_cents) AS total_cents FROM per_part)
+SELECT p_partkey,
+  CAST(part_cents AS DOUBLE) / 100.0 AS supply_value
+FROM per_part CROSS JOIN gl
+WHERE part_cents * {Q122_SHARE_DEN} > total_cents
+"""
+
+register(QuerySpec("q122_important_parts", q122_important_parts,
+                   _Q122_SQL,
+                   description="TPC-H Q11 shape: parts above a 1/500 "
+                               "share of a nation's supply value — "
+                               "cross-multiplied integer-cents "
+                               "threshold vs a broadcast grand total"))
+
+
+# --- q123: disjunctive-branch revenue (TPC-H Q19 shape) --------------------------
+
+# (brand, max size, quantity lo, quantity hi) per branch
+Q123_BRANCHES = (("Brand#12", 15, 1, 11),
+                 ("Brand#21", 25, 10, 20),
+                 ("Brand#4", 35, 20, 30))
+
+
+def q123_branch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: discounted revenue from lines matching ANY of three
+    conjunctive (brand, size-range, quantity-range) branches — the
+    disjunctive-predicate-pushdown shape. Each line is tagged with the
+    FIRST branch it matches (branches are disjoint on quantity bounds
+    here, but first-match keeps the contract explicit) and revenue is
+    reported per branch, so the result shows each disjunct's
+    contribution rather than one opaque total.
+
+    Plan: the disjunction over part attributes prunes the part dim
+    before the broadcast fact join; quantity conjuncts stay on the
+    fact scan (pushed filters); exact DECIMAL revenue.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    pdis = F.lit(False)
+    for b, sz, _, _ in Q123_BRANCHES:
+        pdis = pdis | ((F.col("p_brand") == b) & (F.col("p_size") <= sz))
+    pk = part.filter(pdis).select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey)
+    branch = F.lit(None).cast("int")
+    cond_any = F.lit(False)
+    for i, (b, sz, qlo, qhi) in enumerate(Q123_BRANCHES, start=1):
+        c = ((F.col("p_brand") == b) & (F.col("p_size") <= sz)
+             & (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi))
+        branch = F.when(c & ~cond_any, i).otherwise(branch)
+        cond_any = cond_any | c
+    return (j.withColumn("branch", branch)
+            .filter(F.col("branch").isNotNull())
+            .groupBy("branch")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                 F.sum(dec("l_extendedprice", 2)
+                       * (F.lit(1) - dec("l_discount", 2)))
+                 .cast("double").alias("revenue"))
+            .select(F.col("branch").cast("int").alias("branch"),
+                    "n_lines", "revenue"))
+
+
+def _q123_sql() -> str:
+    whens = []
+    for i, (b, sz, qlo, qhi) in enumerate(Q123_BRANCHES, start=1):
+        whens.append(f"WHEN p_brand = '{b}' AND p_size <= {sz} "
+                     f"AND l_quantity >= {qlo} AND l_quantity <= {qhi} "
+                     f"THEN {i}")
+    case = "CASE " + " ".join(whens) + " END"
+    return f"""
+WITH tagged AS (
+  SELECT {case} AS branch, l_extendedprice, l_discount
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+)
+SELECT CAST(branch AS INT) AS branch,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM({dec_sql('l_extendedprice')}
+           * (1 - {dec_sql('l_discount')})) AS DOUBLE) AS revenue
+FROM tagged WHERE branch IS NOT NULL GROUP BY 1
+"""
+
+register(QuerySpec("q123_branch_revenue", q123_branch_revenue,
+                   _q123_sql(),
+                   description="TPC-H Q19 shape: per-branch discounted "
+                               "revenue over a 3-way disjunction of "
+                               "(brand, size, quantity) conjunctions"))
+
+
+# --- q124: dominant-share suppliers (TPC-H Q20 shape) ----------------------------
+
+Q124_YEAR = 1998
+
+
+def q124_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp: availability = observed shipped
+    quantity): suppliers who in 1998 shipped MORE THAN HALF of some
+    part's total shipped quantity — per supplier, on how many parts
+    they held that dominant share. Q20's nested half-of-aggregate
+    shape with the threshold cross-multiplied into exact integers
+    (``2 * supp_qty > part_qty``; quantities are integral by fixture
+    contract, cast bigint).
+
+    Plan: the year filter prunes the fact scan; ONE shuffle builds the
+    (part, supplier) aggregate; the per-part total is a rollup of that
+    relation (map-side combinable, never a second corpus pass); the
+    supplier dim joins broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    yr = li.filter(F.year("l_shipdate") == Q124_YEAR)
+    ps = (yr.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum(F.col("l_quantity").cast("bigint"))
+               .alias("supp_qty")))
+    per_part = (ps.groupBy("l_partkey")
+                .agg(F.sum("supp_qty").alias("part_qty")))
+    dom = (ps.join(per_part.hint("merge"), "l_partkey")
+           .filter(F.col("supp_qty") * 2 > F.col("part_qty")))
+    return (dom.join(F.broadcast(supp),
+                     dom.l_suppkey == supp.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).cast("bigint")
+                 .alias("n_dominant_parts"),
+                 F.sum("supp_qty").cast("bigint").alias("qty_held")))
+
+
+_Q124_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+    SUM(CAST(l_quantity AS BIGINT)) AS supp_qty
+  FROM lineitem WHERE year(l_shipdate) = {Q124_YEAR}
+  GROUP BY 1, 2
+), per_part AS (
+  SELECT l_partkey, SUM(supp_qty) AS part_qty FROM ps GROUP BY 1
+)
+SELECT s_name,
+  CAST(COUNT(*) AS BIGINT) AS n_dominant_parts,
+  CAST(SUM(supp_qty) AS BIGINT) AS qty_held
+FROM ps JOIN per_part USING (l_partkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE supp_qty * 2 > part_qty
+GROUP BY 1
+"""
+
+register(QuerySpec("q124_dominant_suppliers", q124_dominant_suppliers,
+                   _Q124_SQL,
+                   description="TPC-H Q20 shape: suppliers shipping "
+                               "more than half of a part's yearly "
+                               "quantity — exact-integer half "
+                               "threshold, one fact shuffle"))

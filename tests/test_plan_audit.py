@@ -79,6 +79,7 @@ BNLJ_OK = {
     "q108_peak_concurrency",
     "q110_backlog_aging",
     "q118_dormant_customers",   # broadcast global balance + horizon rows
+    "q122_important_parts",     # broadcast single-row grand total
     "q24_above_average_customers",
     "q64_histogram_quantile",
     "q69_rolling_active_users",
@@ -216,6 +217,8 @@ WINDOW_OK = {
     # windows over the |sources|-bounded Neyman/water-fill allocation
     "prep_stratified_sample",
     "prep_token_waterfill",
+    # source-index windows over the |sources|-bounded distinct relation
+    "prep_interleave",
     # bounded month relation (≤ months in the data)
     "q102_monthly_growth",
     # fixed-bin histogram relation (≤64 bins per event_type)

@@ -1407,3 +1407,120 @@ def test_q114_ties_all_semantics(spark, tmp_path):
     got = {(r.s_suppkey, r.total_revenue)
            for r in q114_top_supplier_ties(spark, str(tmp_path)).collect()}
     assert got == {(10, 100.0), (20, 100.0)}
+
+
+def test_q122_boundary_and_nation_filter(spark, tmp_path):
+    """Planted Q11 semantics: a part at EXACTLY 1/500 of the nation's
+    value is excluded (strict >), and value from other nations'
+    suppliers never counts."""
+    import datetime as dt
+
+    from downscaledclimatedata_spark.plans.advanced import (
+        q122_important_parts)
+
+    sd = dt.datetime(1998, 1, 1)
+    rows = [
+        # (orderkey, partkey, suppkey, extendedprice)
+        (1, 100, 10, 0.02),    # part 100 via NATION_7: 2 cents
+        (2, 200, 10, 9.98),    # part 200 via NATION_7: 998 cents
+        (3, 100, 99, 500.0),   # foreign supplier: ignored
+    ]
+    spark.createDataFrame(
+        [(o, p, s, 1, 1.0, ep, 0.0, 0.0, "N", "O", sd)
+         for (o, p, s, ep) in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp").write.parquet(
+        str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(10, "SUPP_IN", 7, 0.0), (99, "SUPP_OUT", 3, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, "
+        "s_acctbal double").write.parquet(
+        str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(
+        [(7, "NATION_7", 0), (3, "NATION_3", 0)],
+        "n_nationkey int, n_name string, n_regionkey int"
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+
+    got = {(r.p_partkey, r.supply_value)
+           for r in q122_important_parts(spark, str(tmp_path)).collect()}
+    # total = 1000 cents; part 100 holds 2 * 500 == 1000 -> NOT strictly
+    # above the 1/500 share; part 200 holds 998 * 500 > 1000 -> kept
+    assert got == {(200, 9.98)}
+
+
+def test_q123_branch_tagging(spark, tmp_path):
+    """Planted Q19 semantics: quantity outside a branch's range drops
+    the line even when brand+size match; revenue is discounted."""
+    import datetime as dt
+
+    from downscaledclimatedata_spark.plans.advanced import (
+        q123_branch_revenue)
+
+    sd = dt.datetime(1998, 1, 1)
+    rows = [
+        # (orderkey, partkey, qty, price, discount) -> part decides brand
+        (1, 1, 5.0, 100.0, 0.10),   # Brand#12 size 10, qty 5: branch 1
+        (2, 2, 15.0, 50.0, 0.0),    # Brand#21 size 20, qty 15: branch 2
+        (3, 1, 40.0, 999.0, 0.0),   # Brand#12 but qty 40: no branch
+        (4, 3, 25.0, 10.0, 0.0),    # Brand#4 size 30, qty 25: branch 3
+        (5, 4, 5.0, 777.0, 0.0),    # Brand#9: never matches
+    ]
+    spark.createDataFrame(
+        [(o, p, 10, 1, q, ep, disc, 0.0, "N", "O", sd)
+         for (o, p, q, ep, disc) in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp").write.parquet(
+        str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "p1", "Brand#12", "T", 10, 1.0),
+         (2, "p2", "Brand#21", "T", 20, 1.0),
+         (3, "p3", "Brand#4", "T", 30, 1.0),
+         (4, "p4", "Brand#9", "T", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double").write.parquet(
+        str(tmp_path / "part.parquet"))
+
+    got = {(r.branch, r.n_lines, r.revenue)
+           for r in q123_branch_revenue(spark, str(tmp_path)).collect()}
+    assert got == {(1, 1, 90.0), (2, 1, 50.0), (3, 1, 10.0)}
+
+
+def test_q124_half_threshold(spark, tmp_path):
+    """Planted Q20 semantics: EXACTLY half of a part's quantity is not
+    dominant (strict >); out-of-year lines never count."""
+    import datetime as dt
+
+    from downscaledclimatedata_spark.plans.advanced import (
+        q124_dominant_suppliers)
+
+    in98 = dt.datetime(1998, 6, 1)
+    in97 = dt.datetime(1997, 6, 1)
+    rows = [
+        # part 1: A ships 6 of 10 (dominant), B ships 4
+        (1, 1, 10, 6.0, in98), (2, 1, 20, 4.0, in98),
+        # part 2: A and B ship exactly half each -> nobody dominant
+        (3, 2, 10, 5.0, in98), (4, 2, 20, 5.0, in98),
+        # 1997 line that would make B dominant on part 2: ignored
+        (5, 2, 20, 50.0, in97),
+    ]
+    spark.createDataFrame(
+        [(o, p, s, 1, q, 1.0, 0.0, 0.0, "N", "O", sd)
+         for (o, p, s, q, sd) in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp").write.parquet(
+        str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(10, "SUPP_A", 0, 0.0), (20, "SUPP_B", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, "
+        "s_acctbal double").write.parquet(
+        str(tmp_path / "supplier.parquet"))
+
+    got = {(r.s_name, r.n_dominant_parts, r.qty_held)
+           for r in q124_dominant_suppliers(spark, str(tmp_path)).collect()}
+    assert got == {("SUPP_A", 1, 6)}

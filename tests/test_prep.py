@@ -440,3 +440,29 @@ def test_epoch_expand_copies_and_spread(spark):
     multi = [sp for sp in spots.values() if len(sp) >= 2]
     if multi:
         assert any(len({sh for sh, _ in sp}) > 1 for sp in multi)
+
+
+def test_source_interleave_round_robin(spark):
+    """Planted interleave semantics: fixed-stride positions, round-robin
+    read order until a source exhausts, unique positions."""
+    from downscaledclimatedata_spark.operators.prep import (
+        source_interleave)
+
+    docs = spark.createDataFrame(
+        [(1, "X"), (2, "X"), (3, "X"), (9, "Y")],
+        "doc_id long, source string")
+    rows = source_interleave(docs).collect()
+    pos = {r.doc_id: r.pos for r in rows}
+    # sidx: X=0, Y=1 (sorted); stride n_src=2
+    assert pos == {1: 0, 9: 1, 2: 2, 3: 4}
+    assert len(set(pos.values())) == len(pos)
+    order = [r.doc_id for r in sorted(rows, key=lambda r: r.pos)]
+    assert order == [1, 9, 2, 3]
+
+
+def test_source_interleave_empty(spark):
+    from downscaledclimatedata_spark.operators.prep import (
+        source_interleave)
+
+    docs = spark.createDataFrame([], "doc_id long, source string")
+    assert source_interleave(docs).count() == 0
