@@ -4640,3 +4640,114 @@ register(QuerySpec(
     description="recall@k vs nprobe tuning curve: one exact truth, "
                 "four probe depths, exact integer totals — the table "
                 "an ANN deployment tunes its recall knob against"))
+
+
+# --- MIPS: max-inner-product top-k with a Cauchy-Schwarz norm prune ---------------
+
+MIPS_SEED = 32  # seed-pass size: top-MIPS_SEED corpus vectors by norm
+
+
+def mips_topk_pruned(emb: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding", k: int = TOP_K,
+                     query_mod: int = QUERY_MOD,
+                     n_queries: int = N_QUERIES,
+                     seed_size: int = MIPS_SEED) -> DataFrame:
+    """Exact max-INNER-PRODUCT top-k per query — the recommendation /
+    reward-model retrieval objective, where norm matters and cosine's
+    normalization is wrong — with a two-pass NORM-BOUND PRUNE instead
+    of cosine's brute force:
+
+    1. seed pass: the ``seed_size`` highest-norm corpus vectors (a
+       TakeOrdered relation, broadcast) are scored exactly against
+       every query; the per-query k-th seed score is a LOWER bound on
+       the true k-th inner product.
+    2. pruned pass: a corpus row can only enter the top-k if its
+       Cauchy-Schwarz ceiling reaches that bound —
+       ``dot(q,c)² ≤ ‖q‖²·‖c‖²``, so when ``kth > 0`` and
+       ``qn2·cn2 < kth²`` (exact DECIMAL(38,0) products: the squares
+       reach ~4e35, past int64) the row is dropped BEFORE the
+       64-element dot fold, which is the dominant per-row cost. The
+       prune is a PROOF, not a heuristic — at least k seed candidates
+       already score ≥ kth, and strict < means the dropped row can
+       never displace them — so the oracle is the plain brute force.
+       A negative or missing bound (all-negative dots; corpus smaller
+       than the seed) disables pruning and degrades to brute force.
+
+    Inner products, norms, and the bound are exact int64/decimal on
+    quantized components (QCLAMP contract above). Zero-norm vectors
+    KEEP their defined dot of 0 — only cosine has to exclude them.
+    """
+    from pyspark.sql import Window
+
+    base = emb.select(F.col(id_col),
+                      quantize(F.col(vec_col)).alias("q"))
+    base = base.withColumn("n2", sq_norm(F.col("q")))
+    queries = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
+               .select(F.col(id_col).alias("query_id"),
+                       F.col("q").alias("qq"), F.col("n2").alias("qn2")))
+    corpus = base.select(F.col(id_col).alias("match_id"),
+                         F.col("q").alias("cq"), F.col("n2").alias("cn2"))
+    # 1. seed: bounded TakeOrdered relation, exact per-query kth score
+    seed = (corpus.orderBy(F.col("cn2").desc(), "match_id")
+            .limit(seed_size))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), "match_id")
+    kth = (F.broadcast(seed).crossJoin(F.broadcast(queries))
+           .filter(F.col("match_id") != F.col("query_id"))
+           .select("query_id", "match_id",
+                   int_dot(F.col("qq"), F.col("cq")).alias("ip"))
+           .withColumn("_r", F.row_number().over(wq))
+           .filter(F.col("_r") == k)
+           .select("query_id", F.col("ip").alias("kth")))
+    qb = queries.join(kth, "query_id", "left")
+    # 2. pruned scan: the bound test (two multiplies) runs before the
+    # 64-element fold; survivors get the exact dot
+    d38 = "decimal(38,0)"
+    cannot_win = (F.col("kth").isNotNull() & (F.col("kth") > 0)
+                  & (F.col("qn2").cast(d38) * F.col("cn2").cast(d38)
+                     < F.col("kth").cast(d38) * F.col("kth").cast(d38)))
+    scored = (corpus.crossJoin(F.broadcast(qb))
+              .filter(F.col("match_id") != F.col("query_id"))
+              .filter(~cannot_win)
+              .select("query_id", "match_id",
+                      int_dot(F.col("qq"), F.col("cq")).alias("ip")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), "match_id")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "match_id",
+                    F.col("ip").cast("bigint").alias("ip"),
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
+def similarity_mips_topk_query(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return mips_topk_pruned(emb)
+
+
+_MIPS_SQL = f"""
+WITH q AS (
+  SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings
+), scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS match_id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                                 i -> qs.qv[i] * c.qv[i])) AS BIGINT) AS ip
+  FROM q qs JOIN q c ON c.vec_id <> qs.vec_id
+  WHERE {_fixed_sample_sql('qs.vec_id', QUERY_MOD, N_QUERIES)}
+), ranked AS (
+  SELECT query_id, match_id, ip,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ip DESC, match_id) AS rnk
+  FROM scored
+)
+SELECT query_id, match_id, ip, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+register(QuerySpec(
+    "similarity_mips_topk", similarity_mips_topk_query, _MIPS_SQL,
+    description="exact max-inner-product top-k with a Cauchy-Schwarz "
+                "norm-bound prune: seed pass on the highest-norm "
+                "vectors, bound test before the dot fold — the prune "
+                "is a proof, so the oracle is plain brute force"))

@@ -112,6 +112,7 @@ BNLJ_OK = {
     "similarity_knn_triangles",
     "similarity_l2_topk",
     "similarity_label_margin",
+    "similarity_mips_topk",
     "similarity_nprobe_curve",
     "similarity_ood_vectors",
     "similarity_pq_recall",

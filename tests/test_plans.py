@@ -1524,3 +1524,60 @@ def test_q124_half_threshold(spark, tmp_path):
     got = {(r.s_name, r.n_dominant_parts, r.qty_held)
            for r in q124_dominant_suppliers(spark, str(tmp_path)).collect()}
     assert got == {("SUPP_A", 1, 6)}
+
+
+def test_mips_norm_beats_cosine_alignment(spark):
+    """Planted MIPS semantics: the LARGE-NORM vector wins the inner
+    product even when a small vector is better cosine-aligned (the
+    exact case where normalizing is wrong); results equal brute force
+    on a corpus smaller than the seed (prune disabled path); a zero
+    vector keeps its defined dot of 0."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        DIM, mips_topk_pruned)
+
+    def vec(*head):
+        return list(head) + [0.0] * (DIM - len(head))
+
+    rows = [
+        (0, vec(1.0, 0.0)),      # query (id 0 is in the fixed sample)
+        (1, vec(0.9, 0.0)),      # perfectly aligned, small norm
+        (2, vec(10.0, 10.0)),    # misaligned but huge: largest dot
+        (3, vec(0.0, 0.0)),      # zero vector: dot 0, still ranked
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [(r.match_id, r.ip) for r in
+           mips_topk_pruned(emb).filter("query_id = 0")
+           .orderBy("rnk").collect()]
+    # quantized: q=[1000,...], dots: id2 = 1000*10000 = 1e7,
+    # id1 = 1000*900 = 9e5, id3 = 0
+    assert got == [(2, 10_000_000), (1, 900_000), (3, 0)]
+
+
+def test_mips_prune_matches_brute_force_when_active(spark):
+    """With a corpus big enough to arm the seed bound, the pruned plan
+    returns exactly the brute-force top-k (the Cauchy-Schwarz prune is
+    a proof; this pins it against off-by-one regressions in the bound
+    or the strict <)."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        DIM, MIPS_SEED, int_dot, mips_topk_pruned, quantize)
+
+    import pyspark.sql.functions as F
+
+    n = MIPS_SEED * 3
+    rows = [(i, [((i * 37 + j * 11) % 13 - 6) / 3.0 for j in range(DIM)])
+            for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.query_id, r.rnk): r.match_id
+           for r in mips_topk_pruned(emb).collect()}
+
+    q = emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    qs = {r.vec_id: r.q for r in q.collect()}
+    queries = [i for i in sorted(qs) if i % 50 == 0 and i < 500]
+    want = {}
+    for qid in queries:
+        scored = sorted(
+            ((-sum(a * b for a, b in zip(qs[qid], qs[m])), m)
+             for m in qs if m != qid))
+        for rnk, (_, m) in enumerate(scored[:5], start=1):
+            want[(qid, rnk)] = m
+    assert got == want
