@@ -253,3 +253,76 @@ register(QuerySpec("q41_session_window", q41_session_window, _Q41_SQL,
                    description="native session_window gap sessions, oracle = lag/running-sum formulation"))
 register(QuerySpec("q42_tumbling_window", q42_tumbling_window, _Q42_SQL,
                    description="epoch-aligned tumbling window agg with exact quantized sums"))
+
+
+# --- streaming twin of q42: the REAL stream, oracled against the same SQL --------
+
+def streaming_tumbling_counts_query(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """q42's tumbling-window aggregation executed as an ACTUAL
+    Structured Streaming job: events re-staged as 4 files, streamed one
+    file per micro-batch with an event-time watermark, aggregated in
+    complete mode into a memory sink, final table returned. The oracle
+    is q42's batch SQL — a green row proves the streaming agg's
+    incremental state (partial counts merged across micro-batches)
+    reproduces the one-shot answer exactly, end-to-end through a real
+    checkpointed query rather than the unit harness.
+
+    Complete mode is deliberate: with a bounded availableNow input the
+    final windows never cross the watermark, so append mode would hold
+    them in state forever; complete emits the whole aggregate each
+    batch and the LAST emission is the total answer.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="dcd_swin_")
+    try:
+        edir = f"{base}/events"
+        ev.repartition(4).write.parquet(edir)
+        staged = spark.read.parquet(edir)
+        stream = (spark.readStream.schema(staged.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(edir))
+        agg = (stream.withWatermark("ts", "10 minutes")
+               .groupBy(F.window("ts", f"{TUMBLE_S} seconds").alias("w"),
+                        "event_type")
+               .agg(F.count("*").alias("n_events"),
+                    F.sum(F.floor(F.col("value") * 1000).cast("long"))
+                    .alias("sum_value_milli")))
+        name = f"swin_{uuid.uuid4().hex[:8]}"
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", f"{base}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        out = (spark.table(name)
+               .select(F.col("w.start").alias("window_start"),
+                       "event_type",
+                       F.col("n_events").cast("bigint").alias("n_events"),
+                       F.col("sum_value_milli").cast("bigint")
+                       .alias("sum_value_milli")))
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_STREAM_Q42_SQL = f"""
+SELECT
+  make_timestamp((epoch_us(ts) // {TUMBLE_S * 1_000_000}) * {TUMBLE_S * 1_000_000})
+    AS window_start,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM events
+GROUP BY 1, 2
+"""
+
+register(QuerySpec(
+    "streaming_tumbling_counts", streaming_tumbling_counts_query,
+    _STREAM_Q42_SQL,
+    description="q42's tumbling-window agg run as a REAL structured-"
+                "streaming job (4 micro-batches, watermark, complete-"
+                "mode memory sink) — streaming state merge equals the "
+                "one-shot batch answer"))

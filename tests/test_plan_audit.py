@@ -47,6 +47,7 @@ EAGER_SPECS = {
     "pipeline_corpus_build_quality",
     "maintenance_read_evolved",
     "streaming_rollup_ivm",
+    "streaming_tumbling_counts",
 }
 
 # C2: every BroadcastNestedLoopJoin below broadcasts a provably bounded
