@@ -6271,3 +6271,316 @@ register(QuerySpec("multimodal_decode_bmprle",
                                "stream (EOL/EOF/delta gaps/absolute "
                                "padding), strict row bounds, bottom-up "
                                "flip; overflowing runs -> NULL"))
+
+
+# --- real AVI/RIFF video container (nested LISTs + idx1 frame seek) ---------------
+
+# AVI is the family's first VIDEO CONTAINER: nested RIFF LISTs
+# (hdrl -> strl, movi), word-aligned chunk skipping (a planted
+# odd-sized JUNK chunk makes the pad byte load-bearing), and — the
+# video-specific discipline — the reader does NOT scan 'movi'
+# linearly: it reads the idx1 frame index and SEEKS to the sampled
+# frames only, verifying fourcc+size at each seek target. Frame
+# sampling over a 100 TB video corpus is exactly this access pattern
+# (read the index, touch 1/stride of the bytes). A lying idx1 offset
+# (entry 0 shifted by 2) fails the seek-target verification -> NULL
+# row: the T7 class, the AVI analogue of TIFF's lying strip offset.
+# Frames are 24-bit bottom-up DIBs with 4-byte row padding, so the
+# BMP flip/stride rules apply inside each frame.
+AVI_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("us_per_frame", T.IntegerType()),
+    T.StructField("n_sampled", T.IntegerType()),
+    T.StructField("n_frame_bytes", T.LongType()),
+    T.StructField("sum_px", T.LongType()),
+    T.StructField("first_px", T.IntegerType()),
+    T.StructField("last_px", T.IntegerType()),
+])
+
+AVI_W_BASE, AVI_W_MOD = 8, 9       # width 8..16: strides hit all 4 pads
+AVI_H_BASE, AVI_H_MOD = 4, 5       # height 4..8
+AVI_NF_BASE, AVI_NF_MOD = 2, 5     # 2..6 frames
+AVI_UPF_BASE, AVI_UPF_MOD = 40000, 100  # per-doc frame duration (us)
+AVI_SAMPLE_STRIDE = 2              # decode every 2nd frame via idx1
+AVI_A, AVI_B, AVI_C, AVI_D, AVI_E = 5431, 91, 47, 17, 113
+AVI_CORRUPT_MOD = 13               # idx1 entry 0 offset shifted by 2
+
+
+def _build_avi_codecs():
+    """Pure-stdlib AVI writer + index-seeking reader.
+
+    Writer: RIFF(AVI ) { LIST(hdrl){ avih, LIST(strl){ strh 'vids'/
+    'DIB ', strf BITMAPINFOHEADER 24bpp } }, JUNK(13 bytes, odd:
+    forces the word-align pad), LIST(movi){ '00db' frames }, idx1 }.
+    idx1 offsets are relative to the 'movi' fourcc (first chunk = 4,
+    the standard convention). Pixel (f, y, x, c) =
+    (d*A + f*B + y*C + x*D + c*E) % 256 in IMAGE coordinates; rows are
+    written bottom-up with zero padding to 4-byte strides.
+
+    Reader: real RIFF semantics — size-bounded recursive LIST walk
+    with odd-size pad skipping, unknown chunks (JUNK, strh) skipped,
+    avih/strf cross-validation (dims match, 24bpp, uncompressed), then
+    per SAMPLED frame: seek movi+offset, verify fourcc and size
+    against both the index entry and stride*h, flip bottom-up rows,
+    skip padding, accumulate exact pixel sums. Returns None on any
+    defect (T7).
+    """
+    import struct
+
+    def make_avi(d: int, w: int, h: int, nf: int, upf: int,
+                 corrupt: bool) -> bytes:
+        stride = (w * 3 + 3) & ~3
+        u32 = lambda x: struct.pack("<I", x)
+
+        def chunk(fcc: bytes, data: bytes) -> bytes:
+            pad = b"\x00" if len(data) & 1 else b""
+            return fcc + u32(len(data)) + data + pad
+
+        frames = []
+        for f in range(nf):
+            rows = []
+            for y in range(h - 1, -1, -1):  # bottom-up storage
+                row = bytearray()
+                for x in range(w):
+                    for c in range(3):
+                        row.append((d * AVI_A + f * AVI_B + y * AVI_C
+                                    + x * AVI_D + c * AVI_E) % 256)
+                row += b"\x00" * (stride - w * 3)
+                rows.append(bytes(row))
+            frames.append(b"".join(rows))
+        avih = struct.pack("<14I", upf, 0, 0, 0x10, nf, 0, 1,
+                           stride * h, w, h, 0, 0, 0, 0)
+        strh = (b"vids" + b"DIB "
+                + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0,
+                              nf, stride * h, 0, 0)
+                + struct.pack("<HHHH", 0, 0, w, h))
+        strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                           stride * h, 0, 0, 0, 0)
+        strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+        hdrl = b"hdrl" + chunk(b"avih", avih) + chunk(b"LIST", strl)
+        movi_payload = b"movi"
+        offsets = []
+        for fr in frames:
+            offsets.append(len(movi_payload))
+            movi_payload += chunk(b"00db", fr)
+        idx = b""
+        for f, off in enumerate(offsets):
+            o = off + (2 if (corrupt and f == 0) else 0)
+            idx += b"00db" + u32(0x10) + u32(o) + u32(stride * h)
+        body = (b"AVI " + chunk(b"LIST", hdrl)
+                + chunk(b"JUNK", bytes(13))
+                + chunk(b"LIST", movi_payload) + chunk(b"idx1", idx))
+        return b"RIFF" + u32(len(body)) + body
+
+    def decode_avi_stats(blob: bytes):
+        u32 = lambda p: struct.unpack_from("<I", blob, p)[0]
+        try:
+            if blob[0:4] != b"RIFF" or blob[8:12] != b"AVI ":
+                return None
+            end = 8 + u32(4)
+            if end > len(blob):
+                return None
+            found = {"avih": None, "strf": None, "movi": None,
+                     "idx": None}
+
+            def walk(p: int, stop: int) -> bool:
+                while p + 8 <= stop:
+                    fcc = blob[p:p + 4]
+                    size = u32(p + 4)
+                    d0 = p + 8
+                    if d0 + size > stop:
+                        return False
+                    if fcc == b"LIST":
+                        ltype = blob[d0:d0 + 4]
+                        if ltype == b"movi":
+                            found["movi"] = d0
+                        elif not walk(d0 + 4, d0 + size):
+                            return False
+                    elif fcc == b"avih":
+                        if size < 56:
+                            return False
+                        found["avih"] = struct.unpack_from(
+                            "<14I", blob, d0)
+                    elif fcc == b"strf":
+                        if size < 40:
+                            return False
+                        found["strf"] = struct.unpack_from(
+                            "<IiiHHI", blob, d0)
+                    elif fcc == b"idx1":
+                        found["idx"] = [
+                            struct.unpack_from("<4sIII", blob,
+                                               d0 + 16 * i)
+                            for i in range(size // 16)]
+                    # JUNK / strh / unknown: skipped, word-aligned
+                    p = d0 + size + (size & 1)
+                return True
+
+            if not walk(12, end) or any(v is None
+                                        for v in found.values()):
+                return None
+            avih, strf = found["avih"], found["strf"]
+            movi_pos, idx = found["movi"], found["idx"]
+            upf, nf, nstreams = avih[0], avih[4], avih[6]
+            w, h = avih[8], avih[9]
+            _, bi_w, bi_h, _, bpp, comp = strf
+            if ((bi_w, bi_h) != (w, h) or bpp != 24 or comp != 0
+                    or nstreams != 1 or nf < 1 or len(idx) < nf
+                    or w < 1 or h < 1):
+                return None
+            stride = (w * 3 + 3) & ~3
+            total = 0
+            nbytes = 0
+            nsamp = 0
+            first = None
+            last = None
+            for f in range(0, nf, AVI_SAMPLE_STRIDE):
+                fcc, _, off, sz = idx[f]
+                p = movi_pos + off
+                if p + 8 + sz > len(blob):
+                    return None
+                if (blob[p:p + 4] != fcc or u32(p + 4) != sz
+                        or sz != stride * h):
+                    return None
+                data = blob[p + 8:p + 8 + sz]
+                nsamp += 1
+                nbytes += sz
+                for yi in range(h):  # image row yi = file row h-1-yi
+                    ro = (h - 1 - yi) * stride
+                    row = data[ro:ro + w * 3]
+                    total += sum(row)
+                    if first is None:
+                        first = row[0]
+                    last = row[-1]
+            return (w, h, nf, upf, nsamp, nbytes, total, first, last)
+        except (struct.error, IndexError):
+            return None
+
+    return make_avi, decode_avi_stats
+
+
+make_avi, decode_avi_stats = _build_avi_codecs()
+
+
+def synthesize_avi_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real AVI bytes. Pixel (f, y, x, c) =
+    (d*AVI_A + f*AVI_B + y*AVI_C + x*AVI_D + c*AVI_E) % 256 — closed
+    form for the oracle. Every AVI_CORRUPT_MOD-th doc's idx1 entry 0
+    offset is shifted by 2 (a lying frame index)."""
+    mk = make_avi
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                payloads.append(mk(
+                    d, AVI_W_BASE + d % AVI_W_MOD,
+                    AVI_H_BASE + d % AVI_H_MOD,
+                    AVI_NF_BASE + d % AVI_NF_MOD,
+                    AVI_UPF_BASE + d % AVI_UPF_MOD,
+                    d % AVI_CORRUPT_MOD == 0))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        _synth, "doc_id long, payload binary")
+
+
+def decode_avi(df: DataFrame) -> DataFrame:
+    dec = decode_avi_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        keys = ("width", "height", "n_frames", "us_per_frame",
+                "n_sampled", "n_frame_bytes", "sum_px", "first_px",
+                "last_px")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 9
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "n_frames": pd.array(cols["n_frames"], dtype="Int32"),
+                "us_per_frame": pd.array(cols["us_per_frame"],
+                                         dtype="Int32"),
+                "n_sampled": pd.array(cols["n_sampled"], dtype="Int32"),
+                "n_frame_bytes": pd.array(cols["n_frame_bytes"],
+                                          dtype="Int64"),
+                "sum_px": pd.array(cols["sum_px"], dtype="Int64"),
+                "first_px": pd.array(cols["first_px"], dtype="Int32"),
+                "last_px": pd.array(cols["last_px"], dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, AVI_SCHEMA)
+
+
+def multimodal_decode_avi_query(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Real AVI parse end-to-end: nested LIST walk, JUNK/pad skipping,
+    idx1 frame-index SEEK sampling (every 2nd frame), bottom-up DIB
+    flip; lying index offsets -> NULL rows (T7)."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_avi(synthesize_avi_payloads(docs))
+
+
+_AVI_NULL = f"d % {AVI_CORRUPT_MOD} = 0"
+
+_MULTIMODAL_AVI_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    {AVI_W_BASE} + abs(doc_id) % {AVI_W_MOD} AS w,
+    {AVI_H_BASE} + abs(doc_id) % {AVI_H_MOD} AS h,
+    {AVI_NF_BASE} + abs(doc_id) % {AVI_NF_MOD} AS nf,
+    {AVI_UPF_BASE} + abs(doc_id) % {AVI_UPF_MOD} AS upf
+  FROM documents
+), s AS (
+  SELECT doc_id, d, w, h, nf, upf,
+    (nf + {AVI_SAMPLE_STRIDE} - 1) // {AVI_SAMPLE_STRIDE} AS nsamp,
+    ((w * 3 + 3) // 4) * 4 AS stride,
+    list_sum(list_transform(
+      range(0, (nf + {AVI_SAMPLE_STRIDE} - 1) // {AVI_SAMPLE_STRIDE}),
+      si -> list_sum(list_transform(range(0, w * h * 3),
+        i -> (d * {AVI_A} + (si * {AVI_SAMPLE_STRIDE}) * {AVI_B}
+              + (i // (w * 3)) * {AVI_C} + ((i % (w * 3)) // 3) * {AVI_D}
+              + (i % 3) * {AVI_E}) % 256)))) AS sum_px
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN {_AVI_NULL} THEN NULL ELSE CAST(w AS INT) END AS width,
+  CASE WHEN {_AVI_NULL} THEN NULL ELSE CAST(h AS INT) END AS height,
+  CASE WHEN {_AVI_NULL} THEN NULL ELSE CAST(nf AS INT) END AS n_frames,
+  CASE WHEN {_AVI_NULL} THEN NULL ELSE CAST(upf AS INT) END
+    AS us_per_frame,
+  CASE WHEN {_AVI_NULL} THEN NULL ELSE CAST(nsamp AS INT) END
+    AS n_sampled,
+  CASE WHEN {_AVI_NULL} THEN NULL
+       ELSE CAST(nsamp * stride * h AS BIGINT) END AS n_frame_bytes,
+  CASE WHEN {_AVI_NULL} THEN NULL ELSE CAST(sum_px AS BIGINT) END
+    AS sum_px,
+  CASE WHEN {_AVI_NULL} THEN NULL
+       ELSE CAST((d * {AVI_A}) % 256 AS INT) END AS first_px,
+  CASE WHEN {_AVI_NULL} THEN NULL
+       ELSE CAST((d * {AVI_A}
+                  + ({AVI_SAMPLE_STRIDE}
+                     * ((nf + {AVI_SAMPLE_STRIDE} - 1)
+                        // {AVI_SAMPLE_STRIDE} - 1)) * {AVI_B}
+                  + (h - 1) * {AVI_C} + (w - 1) * {AVI_D}
+                  + 2 * {AVI_E}) % 256 AS INT) END AS last_px
+FROM s
+"""
+
+register(QuerySpec("multimodal_decode_avi", multimodal_decode_avi_query,
+                   _MULTIMODAL_AVI_SQL,
+                   description="real AVI/RIFF video container decode: "
+                               "nested LIST walk with word-align pads, "
+                               "idx1 frame-index seek sampling, "
+                               "bottom-up 24-bit DIB frames; lying "
+                               "index offsets -> NULL"))

@@ -1410,3 +1410,46 @@ def test_bmprle_codec_escapes_flip_and_bounds():
     assert decode_bmprle_stats(blob[:-2]) is None
     # wrong magic
     assert decode_bmprle_stats(b"BA" + blob[2:]) is None
+
+
+def test_avi_codec_index_seek_flip_and_lies():
+    """Byte-level AVI behavior: stats come from SAMPLED frames only
+    (idx1 seek, stride 2); first_px is the IMAGE top-left of frame 0
+    (the LAST row in file order — the bottom-up flip); last_px is the
+    bottom-right of the last sampled frame; a lying idx1 offset, a
+    truncated file, a wrong fourcc, and a dims mismatch all reject."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        AVI_A, AVI_B, AVI_C, AVI_D, AVI_E, decode_avi_stats, make_avi)
+
+    d, w, h, nf, upf = 7, 9, 5, 5, 40007
+    st = decode_avi_stats(make_avi(d, w, h, nf, upf, corrupt=False))
+    assert st is not None
+    assert st[:5] == (w, h, nf, upf, 3)  # frames 0, 2, 4 sampled
+    stride = (w * 3 + 3) & ~3
+    assert st[5] == 3 * stride * h
+    # exact pixel sums over the sampled frames, image coordinates
+    want = sum((d * AVI_A + f * AVI_B + y * AVI_C + x * AVI_D
+                + c * AVI_E) % 256
+               for f in (0, 2, 4) for y in range(h)
+               for x in range(w) for c in range(3))
+    assert st[6] == want
+    assert st[7] == (d * AVI_A) % 256  # frame 0, (0,0,0): top-left
+    assert st[8] == (d * AVI_A + 4 * AVI_B + (h - 1) * AVI_C
+                     + (w - 1) * AVI_D + 2 * AVI_E) % 256
+    # unsampled-frame content must NOT leak into the stats: frame 1's
+    # first byte differs from frame 0's, but the sum above matches
+    # exactly, so stride sampling is pinned by the equality.
+
+    # lying idx1 entry 0 (offset + 2): seek-target fourcc mismatch
+    assert decode_avi_stats(make_avi(d, w, h, nf, upf,
+                                     corrupt=True)) is None
+    blob = make_avi(d, w, h, nf, upf, corrupt=False)
+    # truncation: RIFF size now points past EOF
+    assert decode_avi_stats(blob[:-10]) is None
+    # wrong container fourcc
+    assert decode_avi_stats(blob[:8] + b"WAVE" + blob[12:]) is None
+    # header cross-validation: avih dims vs strf dims disagree
+    i = blob.index(b"avih")
+    bad = bytearray(blob)
+    bad[i + 8 + 32:i + 8 + 36] = (w + 1).to_bytes(4, "little")
+    assert decode_avi_stats(bytes(bad)) is None
