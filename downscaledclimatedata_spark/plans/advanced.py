@@ -4854,3 +4854,131 @@ register(QuerySpec("q124_dominant_suppliers", q124_dominant_suppliers,
                                "more than half of a part's yearly "
                                "quantity — exact-integer half "
                                "threshold, one fact shuffle"))
+
+
+# --- q125: supplier balance percentiles (percent_rank / cume_dist / ntile) -------
+
+def q125_supplier_percentiles(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-nation supplier account-balance standing: percent_rank,
+    cume_dist and ntile(4) — the three ranking window functions no
+    other spec exercises. The ordering key is (acctbal, suppkey), so
+    ranks are tie-free and both engines compute the same
+    (rank-1)/(n-1) and rank/n doubles (one integer division each — no
+    accumulation order to diverge).
+
+    Plan note: the window partitions the SUPPLIER DIMENSION by nation
+    — a |suppliers|/|nations| relation, not a fact table; per-nation
+    percentile standings over a dimension are the textbook use of
+    these functions, and the relation is bounded by the dimension's
+    size, not the corpus.
+    """
+    supp = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc())
+    return supp.select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("int").alias("s_nationkey"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+        F.ntile(4).over(w).cast("int").alias("bal_quartile"))
+    # no trailing orderBy: one row per supplier (dimension-sized)
+
+
+_Q125_SQL = """
+SELECT s_suppkey, CAST(s_nationkey AS INT) AS s_nationkey,
+  percent_rank() OVER w AS bal_pct_rank,
+  cume_dist() OVER w AS bal_cume_dist,
+  CAST(ntile(4) OVER w AS INT) AS bal_quartile
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+"""
+
+register(QuerySpec("q125_supplier_percentiles",
+                   q125_supplier_percentiles, _Q125_SQL,
+                   description="percent_rank / cume_dist / ntile(4) "
+                               "supplier standings per nation — "
+                               "tie-free ordering, single-division "
+                               "doubles identical across engines"))
+
+
+# --- q126: MapType higher-order pipeline (map_filter / zip / transform) ----------
+
+Q126_MIN_EVENTS = 3
+
+
+def q126_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity maps driven through the three MapType
+    higher-order functions no other spec exercises: each user's
+    event_type->count and event_type->cents maps are built with
+    ``map_from_entries``, pruned with ``map_filter`` (types seen
+    < 3 times dropped), joined value-wise with ``map_zip_with``, and
+    re-scaled with ``transform_values`` (exact integer cents-per-event
+    via ``div``), then exploded back to rows — map semantics in the
+    plan, relational semantics in the oracle (a GROUP BY + HAVING +
+    integer division computes the same rows, which is the point: the
+    HOF pipeline must agree with its relational reading).
+
+    Per-user maps are bounded by |event types|, so collect_list state
+    never scales with the corpus — only with the type alphabet.
+    """
+    ev = _t(spark, sf_dir, "events")
+    per = (ev.groupBy("user_id", "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .alias("cents")))
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))).alias("mn"),
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cents"))).alias("mc"))
+    kept = maps.select(
+        "user_id",
+        F.map_filter("mn", lambda k, v: v >= Q126_MIN_EVENTS).alias("mn"),
+        F.col("mc"))
+    zipped = kept.select(
+        "user_id",
+        F.map_zip_with(
+            "mn", "mc",
+            lambda k, n, c: F.when(n.isNotNull(),
+                                   F.struct(n.alias("n"),
+                                            c.alias("cents")))).alias("mz"))
+    # transform_values: exact truncating integer division expressed in
+    # Column ops — (c - c % n) / n strips the remainder first, so the
+    # double division is exact for any sign and magnitude under 2^53
+    scaled = zipped.select(
+        "user_id",
+        F.transform_values(
+            "mz",
+            lambda k, v: F.when(
+                v.isNotNull(),
+                v.withField(
+                    "avg_cents",
+                    ((v["cents"] - v["cents"] % v["n"]) / v["n"])
+                    .cast("long")))).alias("mz"))
+    return (scaled.select("user_id",
+                          F.explode("mz").alias("event_type", "v"))
+            .filter(F.col("v").isNotNull())
+            .select("user_id", "event_type",
+                    F.col("v.n").cast("bigint").alias("n_events"),
+                    F.col("v.cents").cast("bigint").alias("sum_cents"),
+                    F.col("v.avg_cents").cast("bigint")
+                    .alias("avg_cents_div")))
+
+
+_Q126_SQL = f"""
+SELECT user_id, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT))
+       // COUNT(*) AS BIGINT) AS avg_cents_div
+FROM events
+GROUP BY 1, 2
+HAVING COUNT(*) >= {Q126_MIN_EVENTS}
+"""
+
+register(QuerySpec("q126_map_hof", q126_map_hof, _Q126_SQL,
+                   description="MapType HOF pipeline: map_from_entries "
+                               "-> map_filter -> map_zip_with -> "
+                               "explode, agreeing with its relational "
+                               "GROUP BY/HAVING reading"))
