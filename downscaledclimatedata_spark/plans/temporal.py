@@ -326,3 +326,172 @@ register(QuerySpec(
                 "streaming job (4 micro-batches, watermark, complete-"
                 "mode memory sink) — streaming state merge equals the "
                 "one-shot batch answer"))
+
+
+# --- q127: forward + nearest as-of joins (one union, two frames) -----------------
+
+def q127_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q40's backward-inclusive as-of extended to the other two
+    directions a feature pipeline needs — for each purchase: the
+    EARLIEST click strictly AFTER it (forward-EXCLUSIVE as-of) and the
+    NEAREST click in either direction (backward wins ties). ONE
+    union+window relation serves all three: clicks sort before
+    purchases at equal ts (side 0 < 1), so the backward frame
+    (unboundedPreceding..current) is inclusive and the forward frame
+    (1..unboundedFollowing) is exclusive — the same ordering gives both
+    semantics, no second shuffle. Gaps are exact integer MICROSECONDS
+    (no whole-second truncation ambiguity); nearest compares absolute
+    gaps as integers, ties to backward.
+
+    Tie-breaks pinned by the ordering (ts, side, c_id): simultaneous
+    backward clicks resolve to the HIGHEST id (last in frame),
+    simultaneous forward clicks to the LOWEST (first in frame).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("c_id"),
+        F.lit(None).cast("timestamp").alias("c_ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"))
+    base = (Window.partitionBy("user_id")
+            .orderBy("ts", "side", "c_id"))
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(1, Window.unboundedFollowing)
+    u = purchases.unionByName(clicks).select(
+        "user_id", "ts", "side", "purchase_id",
+        F.last("c_id", ignorenulls=True).over(wb).alias("back_id"),
+        F.last("c_ts", ignorenulls=True).over(wb).alias("back_ts"),
+        F.first("c_id", ignorenulls=True).over(wf).alias("fwd_id"),
+        F.first("c_ts", ignorenulls=True).over(wf).alias("fwd_ts"))
+    p = u.filter(F.col("side") == 1)
+    back_gap = F.unix_micros("back_ts") - F.unix_micros("ts")  # <= 0
+    fwd_gap = F.unix_micros("fwd_ts") - F.unix_micros("ts")    # > 0
+    take_back = F.col("back_id").isNotNull() & (
+        F.col("fwd_id").isNull() | (-back_gap <= fwd_gap))
+    return p.select(
+        "user_id", "purchase_id",
+        F.col("fwd_id").alias("fwd_click_id"),
+        fwd_gap.cast("bigint").alias("fwd_wait_us"),
+        F.when(take_back, F.col("back_id")).otherwise(F.col("fwd_id"))
+        .alias("nearest_click_id"),
+        F.when(take_back, back_gap).otherwise(fwd_gap)
+        .cast("bigint").alias("nearest_gap_us"))
+
+
+_Q127_SQL = """
+WITH u AS (
+  SELECT user_id, ts, 1 AS side, event_id AS purchase_id,
+    CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS TIMESTAMP) AS c_ts
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 0, NULL, event_id, ts
+  FROM events WHERE event_type = 'click'
+), f AS (
+  SELECT user_id, ts, side, purchase_id,
+    LAST_VALUE(c_id IGNORE NULLS) OVER w_back AS back_id,
+    LAST_VALUE(c_ts IGNORE NULLS) OVER w_back AS back_ts,
+    FIRST_VALUE(c_id IGNORE NULLS) OVER w_fwd AS fwd_id,
+    FIRST_VALUE(c_ts IGNORE NULLS) OVER w_fwd AS fwd_ts
+  FROM u
+  WINDOW
+    w_back AS (PARTITION BY user_id ORDER BY ts, side, c_id NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY user_id ORDER BY ts, side, c_id NULLS FIRST
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, purchase_id,
+  fwd_id AS fwd_click_id,
+  CAST(epoch_us(fwd_ts) - epoch_us(ts) AS BIGINT) AS fwd_wait_us,
+  CASE WHEN back_id IS NOT NULL AND (fwd_id IS NULL OR
+            epoch_us(ts) - epoch_us(back_ts)
+            <= epoch_us(fwd_ts) - epoch_us(ts))
+       THEN back_id ELSE fwd_id END AS nearest_click_id,
+  CAST(CASE WHEN back_id IS NOT NULL AND (fwd_id IS NULL OR
+                 epoch_us(ts) - epoch_us(back_ts)
+                 <= epoch_us(fwd_ts) - epoch_us(ts))
+            THEN epoch_us(back_ts) - epoch_us(ts)
+            ELSE epoch_us(fwd_ts) - epoch_us(ts) END AS BIGINT)
+    AS nearest_gap_us
+FROM f WHERE side = 1
+"""
+
+register(QuerySpec("q127_asof_directions", q127_asof_directions,
+                   _Q127_SQL,
+                   description="forward-exclusive and nearest as-of "
+                               "joins from ONE union+window relation — "
+                               "two frames over the same ordering, "
+                               "exact microsecond gaps, ties pinned"))
+
+
+# --- q128: dyadic-weight EWMA via bounded lag unroll ------------------------------
+
+Q128_HORIZON = 8  # last 8 events; weight 2^(H-1-j) for lag j
+
+
+def q128_dyadic_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event cents —
+    an ORDER-DEPENDENT RECURRENCE, the class that cannot hash-match
+    cross-engine as floats (every engine folds the recurrence in its
+    own accumulation order). Made exact by bounding the horizon to the
+    last 8 events with dyadic weights 2^7..2^0 (current weighted
+    highest): the numerator is an exact integer built from 8 unrolled
+    ``lag`` columns over one (user) window, the denominator sums the
+    weights of the lags that EXIST (partial-history rows use partial
+    weights), and the single num/den division is the only double — the
+    same IEEE division in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    d = ev.select("event_id", "user_id", "ts", cents.alias("cents"))
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for j in range(Q128_HORIZON):
+        lj = F.lag("cents", j).over(w)
+        wt = 1 << (Q128_HORIZON - 1 - j)
+        num = num + F.coalesce(lj * wt, F.lit(0))
+        den = den + F.when(lj.isNotNull(), F.lit(wt)).otherwise(0)
+    return d.select(
+        "event_id", "user_id",
+        num.alias("ewma_num"), den.alias("ewma_den"),
+        (num.cast("double") / den.cast("double")).alias("ewma_cents"))
+
+
+def _q128_sql() -> str:
+    nums, dens = [], []
+    for j in range(Q128_HORIZON):
+        wt = 1 << (Q128_HORIZON - 1 - j)
+        lj = (f"LAG(cents, {j}) OVER (PARTITION BY user_id "
+              f"ORDER BY ts, event_id)")
+        nums.append(f"COALESCE({lj} * {wt}, 0)")
+        dens.append(f"CASE WHEN {lj} IS NOT NULL THEN {wt} ELSE 0 END")
+    return f"""
+WITH d AS (
+  SELECT event_id, user_id, ts,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), e AS (
+  SELECT event_id, user_id,
+    {' + '.join(nums)} AS ewma_num,
+    {' + '.join(dens)} AS ewma_den
+  FROM d
+)
+SELECT event_id, user_id,
+  CAST(ewma_num AS BIGINT) AS ewma_num,
+  CAST(ewma_den AS BIGINT) AS ewma_den,
+  CAST(ewma_num AS DOUBLE) / CAST(ewma_den AS DOUBLE) AS ewma_cents
+FROM e
+"""
+
+register(QuerySpec("q128_dyadic_ewma", q128_dyadic_ewma, _q128_sql(),
+                   description="bounded-horizon EWMA with dyadic "
+                               "integer weights: 8 unrolled lags, "
+                               "exact integer numerator/denominator, "
+                               "one final division"))

@@ -1581,3 +1581,79 @@ def test_mips_prune_matches_brute_force_when_active(spark):
         for rnk, (_, m) in enumerate(scored[:5], start=1):
             want[(qid, rnk)] = m
     assert got == want
+
+
+def test_q127_asof_tie_and_nearest_semantics(spark, tmp_path):
+    """Planted as-of directions: a simultaneous click matches BACKWARD
+    (inclusive) but never FORWARD (exclusive); nearest ties go to the
+    backward click; a purchase with clicks on only one side degrades
+    to that side."""
+    import datetime as dt
+
+    import shutil
+    from downscaledclimatedata_spark.plans.temporal import (
+        q127_asof_directions)
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: clicks at -10s, 0s (simultaneous), +10s around a
+        # purchase at 0s -> backward = simultaneous click (id 11),
+        # forward = +10s click (id 12), nearest tie... back gap 0 vs
+        # fwd 10s -> backward (id 11)
+        (10, s(-10), 1, "click", 1.0, "{}"),
+        (11, s(0), 1, "click", 1.0, "{}"),
+        (12, s(10), 1, "click", 1.0, "{}"),
+        (13, s(0), 1, "purchase", 5.0, "{}"),
+        # user 2: click only AFTER the purchase (+7s): backward null,
+        # nearest = forward
+        (20, s(7), 2, "click", 1.0, "{}"),
+        (21, s(0), 2, "purchase", 5.0, "{}"),
+        # user 3: equidistant clicks (-5s, +5s): tie -> backward
+        (30, s(-5), 3, "click", 1.0, "{}"),
+        (31, s(5), 3, "click", 1.0, "{}"),
+        (32, s(0), 3, "purchase", 5.0, "{}"),
+    ]
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    spark.createDataFrame(pdf).write.parquet(
+        str(tmp_path / "events.parquet"))
+
+    got = {r.purchase_id: (r.fwd_click_id, r.fwd_wait_us,
+                           r.nearest_click_id, r.nearest_gap_us)
+           for r in q127_asof_directions(spark, str(tmp_path)).collect()}
+    assert got[13] == (12, 10_000_000, 11, 0)
+    assert got[21] == (20, 7_000_000, 20, 7_000_000)
+    assert got[32] == (31, 5_000_000, 30, -5_000_000)
+
+
+def test_q128_partial_history_weights(spark, tmp_path):
+    """Planted EWMA semantics: the first rows of a user use PARTIAL
+    denominators (only the weights of existing lags), and the exact
+    integer num/den pin the dyadic weighting."""
+    import datetime as dt
+
+    import pandas as pd
+    from downscaledclimatedata_spark.plans.temporal import (
+        q128_dyadic_ewma)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(minutes=i), 1, "e", float(i + 1), "{}")
+            for i in range(3)]  # cents: 100, 200, 300
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    spark.createDataFrame(pdf).write.parquet(
+        str(tmp_path / "events.parquet"))
+
+    got = {r.event_id: (r.ewma_num, r.ewma_den)
+           for r in q128_dyadic_ewma(spark, str(tmp_path)).collect()}
+    # row 0: num = 100*128, den = 128
+    # row 1: num = 200*128 + 100*64, den = 192
+    # row 2: num = 300*128 + 200*64 + 100*32, den = 224
+    assert got == {0: (12800, 128), 1: (32000, 192), 2: (54400, 224)}
