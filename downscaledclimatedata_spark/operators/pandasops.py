@@ -395,3 +395,104 @@ register(QuerySpec(
     description="two-sided clamped running balance per user via "
                 "applyInPandas python-int fold (non-associative — no "
                 "window form exists); oracle is a recursive CTE"))
+
+
+# --- vectorized cosine top-k: the Arrow/numpy twin of the JVM kernel --------------
+
+def cosine_topk_vectorized(emb: DataFrame, k: int | None = None) -> DataFrame:
+    """Brute-force cosine top-k where the per-batch scoring runs as ONE
+    numpy int64 matmul inside mapInPandas — the vectorized-Python path
+    for kernels the built-in expressions cannot express (here they can,
+    which is the point: the Arrow twin must agree with the JVM fold and
+    the DuckDB oracle bit-for-bit).
+
+    Exactness: dots are int64 matmuls of the QUANTIZED vectors (exact —
+    |component| <= QCLAMP so a 64-dim dot is <= 6.4e17, inside int64;
+    numpy would wrap silently past that, which is why the clamp is part
+    of the quantizer contract), and only the final
+    ``dot / (sqrt(qn2) * sqrt(cn2))`` is floating — the identical
+    per-pair IEEE expression all three implementations use, so no
+    accumulation-order drift exists anywhere.
+
+    Scale: the fixed query matrix (<= N_QUERIES rows by contract)
+    ships inside the closure; each Arrow batch emits only its LOCAL
+    top-k per query — global top-k under (cosine DESC, match_id) is a
+    subset of the union of per-batch top-ks under the same order — so
+    the final exact rank window runs over a <= batches*k*queries
+    relation, never the corpus.
+    """
+    from downscaledclimatedata_spark.operators.similarity import (
+        N_QUERIES, QUERY_MOD, TOP_K, _fixed_sample, quantize, sq_norm)
+    from pyspark.sql import Window
+
+    k = TOP_K if k is None else k
+    base = emb.select(
+        F.col("vec_id"), quantize(F.col("embedding")).alias("q"))
+    base = base.withColumn("n2", sq_norm(F.col("q"))).filter(
+        F.col("n2") > 0)
+    qrows = (base.filter(_fixed_sample("vec_id", QUERY_MOD, N_QUERIES))
+             .select("vec_id", "q").collect())  # bounded by contract
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, match_id long, cosine double, rnk int")
+    qids = [r["vec_id"] for r in qrows]
+    qmat = [list(r["q"]) for r in qrows]
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+        qm = np.asarray(qmat, dtype=np.int64)          # (Q, D)
+        qn = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+        qid = np.asarray(qids, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.asarray(list(pdf["q"]), dtype=np.int64)  # (B, D)
+            cid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cn = np.sqrt((cm * cm).sum(axis=1).astype(np.float64))
+            dots = cm @ qm.T                            # exact int64
+            cos = dots.astype(np.float64) / (cn[:, None] * qn[None, :])
+            out_q, out_m, out_c = [], [], []
+            for j in range(len(qid)):
+                col = cos[:, j]
+                mask = cid != qid[j]
+                order = np.lexsort((cid[mask], -col[mask]))[:k]
+                sel = np.flatnonzero(mask)[order]
+                out_q.extend([qid[j]] * len(sel))
+                out_m.extend(cid[sel].tolist())
+                out_c.extend(col[sel].tolist())
+            yield pd.DataFrame({"query_id": out_q, "match_id": out_m,
+                                "cosine": out_c})
+
+    partial = base.select("vec_id", "q").mapInPandas(
+        _score, "query_id long, match_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "match_id")
+    return (partial.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "match_id", "cosine",
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
+def pandas_cosine_topk_query(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return cosine_topk_vectorized(emb)
+
+
+def _pandas_cosine_sql() -> str:
+    from downscaledclimatedata_spark.operators.similarity import (
+        _SIM_TOPK_SQL)
+    # cosine_topk_quantized's rnk is bigint; this spec casts to int
+    return _SIM_TOPK_SQL.replace(
+        "SELECT query_id, match_id, cosine, rnk FROM ranked",
+        "SELECT query_id, match_id, cosine, CAST(rnk AS INT) AS rnk "
+        "FROM ranked")
+
+
+register(QuerySpec(
+    "pandas_cosine_topk", pandas_cosine_topk_query, _pandas_cosine_sql(),
+    description="Arrow/numpy twin of the exact cosine top-k: int64 "
+                "matmul per batch, per-batch partial top-k, final rank "
+                "over a bounded relation — bit-identical to the JVM "
+                "fold and the DuckDB oracle"))

@@ -4747,6 +4747,7 @@ FROM ranked WHERE rnk <= {TOP_K}
 
 register(QuerySpec(
     "similarity_mips_topk", similarity_mips_topk_query, _MIPS_SQL,
+    headline=True,
     description="exact max-inner-product top-k with a Cauchy-Schwarz "
                 "norm-bound prune: seed pass on the highest-norm "
                 "vectors, bound test before the dot fold — the prune "

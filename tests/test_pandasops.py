@@ -135,3 +135,23 @@ def test_capped_balance_matches_hand_fold(spark):
     assert got[2]["final_balance"] == 600
     assert got[2]["n_clamped_low"] == 0 and got[2]["n_clamped_high"] == 0
     assert CAPBAL_CAP == 20_000
+
+
+def test_vectorized_cosine_equals_jvm_kernel(spark):
+    """The numpy/Arrow twin must equal the JVM fold kernel EXACTLY —
+    same dots (int64 matmul vs codegen fold), same per-pair IEEE
+    division, same tie-breaks across batch boundaries."""
+    from downscaledclimatedata_spark.operators.pandasops import (
+        cosine_topk_vectorized)
+    from downscaledclimatedata_spark.operators.similarity import (
+        DIM, cosine_topk_quantized)
+
+    rows = [(i, [((i * 31 + j * 7) % 17 - 8) / 4.0 for j in range(DIM)])
+            for i in range(120)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(8)
+    got = {(r.query_id, r.rnk): (r.match_id, r.cosine)
+           for r in cosine_topk_vectorized(emb).collect()}
+    want = {(r.query_id, r.rnk): (r.match_id, r.cosine)
+            for r in cosine_topk_quantized(emb).collect()}
+    assert got == want and len(got) > 0
