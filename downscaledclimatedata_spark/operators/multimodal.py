@@ -6584,3 +6584,268 @@ register(QuerySpec("multimodal_decode_avi", multimodal_decode_avi_query,
                                "idx1 frame-index seek sampling, "
                                "bottom-up 24-bit DIB frames; lying "
                                "index offsets -> NULL"))
+
+
+# --- real ZIP archive decode (EOCD backward search + CRC32 integrity) -------------
+
+# ZIP is the family's first TAIL-ANCHORED container: there is no magic
+# at offset 0 — the reader must scan BACKWARD from EOF for the
+# end-of-central-directory record, walk the central directory it
+# points at, and only then seek each member's local header. Real-world
+# robustness disciplines made load-bearing here: a junk PREFIX is
+# prepended (self-extracting-archive style), so every stored offset is
+# wrong by the prefix length and the reader must derive the
+# concatenation shift (actual CD position minus the EOCD's stated CD
+# offset) and apply it to all local offsets; members mix STORED and
+# real DEFLATE (raw zlib, wbits=-15) per member; and every member's
+# bytes are verified against the central directory's CRC32 and
+# uncompressed size — the planted corruption (a flipped payload byte)
+# is only detectable through that integrity check (T7).
+ZIP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_members", T.IntegerType()),
+    T.StructField("n_deflated", T.IntegerType()),
+    T.StructField("total_uncomp", T.LongType()),
+    T.StructField("sum_bytes", T.LongType()),
+    T.StructField("first_byte", T.IntegerType()),
+    T.StructField("last_byte", T.IntegerType()),
+])
+
+ZIP_M_BASE, ZIP_M_MOD = 2, 3      # 2..4 members per archive
+ZIP_L_BASE, ZIP_L_MOD = 20, 30    # member lengths 20..49
+ZIP_A, ZIP_B, ZIP_C = 3413, 211, 59
+ZIP_PREFIX = 7                    # junk bytes prepended (SFX shift)
+ZIP_CORRUPT_MOD = 17              # flip a payload byte post-CRC
+
+
+def _build_zip_codecs():
+    """Pure-stdlib ZIP writer + reader (STORED + raw-DEFLATE members).
+
+    Writer: [junk prefix] then per member a local header + data, then
+    the central directory, then EOCD. Offsets are recorded WITHOUT the
+    prefix (exactly what prepending data to a finished zip produces).
+
+    Reader: backward EOCD signature scan from EOF, concatenation-shift
+    derivation (actual CD position - stated offset), central-directory
+    walk, per-member local-header validation (signature + name match
+    against the central entry), raw-inflate for method 8, and CRC32 +
+    size verification of every member. Returns None on any defect.
+    """
+    import struct
+    import zlib
+
+    def member_content(d: int, i: int) -> bytes:
+        ln = ZIP_L_BASE + (d + i) % ZIP_L_MOD
+        return bytes((d * ZIP_A + i * ZIP_B + j * ZIP_C) % 256
+                     for j in range(ln))
+
+    def make_zip(d: int, corrupt: bool) -> bytes:
+        nm = ZIP_M_BASE + d % ZIP_M_MOD
+        locs = []
+        body = bytearray()
+        centrals = []
+        for i in range(nm):
+            raw = member_content(d, i)
+            crc = zlib.crc32(raw)
+            method = 0 if (d + i) % 2 == 0 else 8
+            if method == 8:
+                co = zlib.compressobj(6, zlib.DEFLATED, -15)
+                data = co.compress(raw) + co.flush()
+            else:
+                data = raw
+            if corrupt and i == 0:
+                data = bytes([data[0] ^ 0xFF]) + data[1:]
+            name = f"m{i}.bin".encode()
+            off = len(body)  # offset WITHOUT the junk prefix
+            body += struct.pack("<IHHHHHIIIHH", 0x04034b50, 20, 0,
+                                method, 0, 0, crc, len(data), len(raw),
+                                len(name), 0) + name + data
+            centrals.append((name, method, crc, len(data), len(raw),
+                             off))
+            locs.append(off)
+        cd_off = len(body)
+        for name, method, crc, csz, usz, off in centrals:
+            body += struct.pack("<IHHHHHHIIIHHHHHII", 0x02014b50, 20,
+                                20, 0, method, 0, 0, crc, csz, usz,
+                                len(name), 0, 0, 0, 0, 0, off) + name
+        cd_size = len(body) - cd_off
+        body += struct.pack("<IHHHHIIH", 0x06054b50, 0, 0, len(centrals),
+                            len(centrals), cd_size, cd_off, 0)
+        return bytes(range(ZIP_PREFIX)) + bytes(body)
+
+    def decode_zip_stats(blob: bytes):
+        try:
+            # 1. backward EOCD scan (last signature wins)
+            tail_from = max(0, len(blob) - 65557)
+            pos = blob.rfind(b"PK\x05\x06", tail_from)
+            if pos < 0 or pos + 22 > len(blob):
+                return None
+            (_, _, _, n_here, n_total, cd_size,
+             cd_off, cmt) = struct.unpack_from("<IHHHHIIH", blob, pos)
+            if n_here != n_total or n_total < 1:
+                return None
+            # 2. concatenation shift: where the CD actually is vs where
+            # the EOCD claims it is
+            actual_cd = pos - cd_size
+            if actual_cd < 0:
+                return None
+            shift = actual_cd - cd_off
+            if shift < 0:
+                return None
+            # 3. central walk
+            p = actual_cd
+            members = []
+            for _ in range(n_total):
+                if blob[p:p + 4] != b"PK\x01\x02":
+                    return None
+                (_, _, _, _, method, _, _, crc, csz, usz, nlen, elen,
+                 clen, _, _, _, off) = struct.unpack_from(
+                    "<IHHHHHHIIIHHHHHII", blob, p)
+                name = blob[p + 46:p + 46 + nlen]
+                members.append((name, method, crc, csz, usz,
+                                off + shift))
+                p += 46 + nlen + elen + clen
+            # 4. per-member local validation + integrity
+            total_u = 0
+            sum_b = 0
+            n_defl = 0
+            first = None
+            last = None
+            for name, method, crc, csz, usz, off in members:
+                if blob[off:off + 4] != b"PK\x03\x04":
+                    return None
+                (_, _, _, lmethod, _, _, _, _, _, lnlen,
+                 lelen) = struct.unpack_from("<IHHHHHIIIHH", blob, off)
+                lname = blob[off + 30:off + 30 + lnlen]
+                if lname != name or lmethod != method:
+                    return None
+                dstart = off + 30 + lnlen + lelen
+                data = blob[dstart:dstart + csz]
+                if len(data) != csz:
+                    return None
+                if method == 8:
+                    raw = zlib.decompress(data, -15)
+                    n_defl += 1
+                elif method == 0:
+                    raw = data
+                else:
+                    return None
+                if len(raw) != usz or zlib.crc32(raw) != crc:
+                    return None
+                total_u += usz
+                sum_b += sum(raw)
+                if first is None:
+                    first = raw[0]
+                last = raw[-1]
+            return (len(members), n_defl, total_u, sum_b, first, last)
+        except (struct.error, IndexError, zlib.error):
+            return None
+
+    return make_zip, decode_zip_stats
+
+
+make_zip, decode_zip_stats = _build_zip_codecs()
+
+
+def synthesize_zip_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real (junk-prefixed) ZIP bytes. Member i byte j =
+    (d*ZIP_A + i*ZIP_B + j*ZIP_C) % 256, length 20 + (d+i) % 30 —
+    closed form for the oracle. Every ZIP_CORRUPT_MOD-th doc has one
+    payload byte flipped AFTER its CRC was recorded."""
+    mk = make_zip
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = [mk(abs(int(doc_id)),
+                           abs(int(doc_id)) % ZIP_CORRUPT_MOD == 0)
+                        for doc_id in pdf["doc_id"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        _synth, "doc_id long, payload binary")
+
+
+def decode_zip(df: DataFrame) -> DataFrame:
+    dec = decode_zip_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        keys = ("n_members", "n_deflated", "total_uncomp", "sum_bytes",
+                "first_byte", "last_byte")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 6
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_members": pd.array(cols["n_members"], dtype="Int32"),
+                "n_deflated": pd.array(cols["n_deflated"],
+                                       dtype="Int32"),
+                "total_uncomp": pd.array(cols["total_uncomp"],
+                                         dtype="Int64"),
+                "sum_bytes": pd.array(cols["sum_bytes"], dtype="Int64"),
+                "first_byte": pd.array(cols["first_byte"],
+                                       dtype="Int32"),
+                "last_byte": pd.array(cols["last_byte"], dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, ZIP_SCHEMA)
+
+
+def multimodal_decode_zip_query(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Real ZIP parse end-to-end: backward EOCD search, prepended-junk
+    concatenation shift, central/local cross-validation, raw DEFLATE,
+    CRC32 integrity; flipped payload bytes -> NULL rows (T7)."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_zip(synthesize_zip_payloads(docs))
+
+
+_ZIP_NULL = f"d % {ZIP_CORRUPT_MOD} = 0"
+
+_MULTIMODAL_ZIP_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    {ZIP_M_BASE} + abs(doc_id) % {ZIP_M_MOD} AS nm
+  FROM documents
+), s AS (
+  SELECT doc_id, d, nm,
+    list_sum(list_transform(range(0, nm),
+      i -> CASE WHEN (d + i) % 2 = 1 THEN 1 ELSE 0 END)) AS n_defl,
+    list_sum(list_transform(range(0, nm),
+      i -> {ZIP_L_BASE} + (d + i) % {ZIP_L_MOD})) AS total_u,
+    list_sum(list_transform(range(0, nm),
+      i -> list_sum(list_transform(
+             range(0, {ZIP_L_BASE} + (d + i) % {ZIP_L_MOD}),
+             j -> (d * {ZIP_A} + i * {ZIP_B} + j * {ZIP_C}) % 256))))
+      AS sum_b
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN {_ZIP_NULL} THEN NULL ELSE CAST(nm AS INT) END AS n_members,
+  CASE WHEN {_ZIP_NULL} THEN NULL ELSE CAST(n_defl AS INT) END
+    AS n_deflated,
+  CASE WHEN {_ZIP_NULL} THEN NULL ELSE CAST(total_u AS BIGINT) END
+    AS total_uncomp,
+  CASE WHEN {_ZIP_NULL} THEN NULL ELSE CAST(sum_b AS BIGINT) END
+    AS sum_bytes,
+  CASE WHEN {_ZIP_NULL} THEN NULL
+       ELSE CAST((d * {ZIP_A}) % 256 AS INT) END AS first_byte,
+  CASE WHEN {_ZIP_NULL} THEN NULL
+       ELSE CAST((d * {ZIP_A} + (nm - 1) * {ZIP_B}
+                  + ({ZIP_L_BASE} + (d + nm - 1) % {ZIP_L_MOD} - 1)
+                    * {ZIP_C}) % 256 AS INT) END AS last_byte
+FROM s
+"""
+
+register(QuerySpec("multimodal_decode_zip", multimodal_decode_zip_query,
+                   _MULTIMODAL_ZIP_SQL,
+                   description="real ZIP archive decode: backward EOCD "
+                               "search, prepended-junk concatenation "
+                               "shift, central/local cross-validation, "
+                               "raw DEFLATE, CRC32 integrity; flipped "
+                               "bytes -> NULL"))

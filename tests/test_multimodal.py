@@ -1453,3 +1453,38 @@ def test_avi_codec_index_seek_flip_and_lies():
     bad = bytearray(blob)
     bad[i + 8 + 32:i + 8 + 36] = (w + 1).to_bytes(4, "little")
     assert decode_avi_stats(bytes(bad)) is None
+
+
+def test_zip_codec_shift_crc_and_concatenation():
+    """Byte-level ZIP behavior: the prepended junk prefix is absorbed
+    by the concatenation shift (and so is an ENTIRE other zip glued in
+    front — the reader must decode the LAST archive); CRC catches a
+    flipped payload byte; truncating the EOCD rejects; stored member
+    stats are exact."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        ZIP_A, ZIP_B, ZIP_C, ZIP_L_BASE, ZIP_L_MOD, ZIP_M_BASE,
+        ZIP_M_MOD, ZIP_PREFIX, decode_zip_stats, make_zip)
+
+    d = 5
+    st = decode_zip_stats(make_zip(d, corrupt=False))
+    nm = ZIP_M_BASE + d % ZIP_M_MOD
+    lens = [ZIP_L_BASE + (d + i) % ZIP_L_MOD for i in range(nm)]
+    want_sum = sum((d * ZIP_A + i * ZIP_B + j * ZIP_C) % 256
+                   for i in range(nm) for j in range(lens[i]))
+    assert st == (nm, sum((d + i) % 2 for i in range(nm)),
+                  sum(lens), want_sum, (d * ZIP_A) % 256,
+                  (d * ZIP_A + (nm - 1) * ZIP_B
+                   + (lens[-1] - 1) * ZIP_C) % 256)
+
+    # stripping the junk prefix only changes the shift (0 instead of 7)
+    assert decode_zip_stats(make_zip(d, False)[ZIP_PREFIX:]) == st
+    # an entire other archive glued in FRONT is just a bigger prefix:
+    # the backward EOCD scan finds the LAST archive and the shift
+    # absorbs everything before it
+    assert decode_zip_stats(make_zip(9, False) + make_zip(d, False)[ZIP_PREFIX:]) == st
+
+    # CRC integrity: flipped payload byte (stored or deflated) rejects
+    assert decode_zip_stats(make_zip(d, corrupt=True)) is None
+    assert decode_zip_stats(make_zip(17, corrupt=True)) is None
+    # truncated EOCD rejects
+    assert decode_zip_stats(make_zip(d, False)[:-4]) is None
