@@ -865,3 +865,80 @@ register(QuerySpec("q103_salted_skew_join", q103_salted_skew_join,
                                "SALT_FACTOR dim replication on "
                                "(key, salt) — oracle is the plain "
                                "join"))
+
+
+# --- q129: POLYMORPHIC Python UDTF (analyze-time schema, TABLE argument) ----------
+
+Q129_NS = (1, 2, 3)
+Q129_DOC_CAP = 200  # bounded demo population (row-at-a-time Python)
+
+
+class NgramProfile:
+    """Polymorphic UDTF: output SCHEMA is computed at plan time by
+    ``analyze`` from the literal n-list argument — for ns='1,2,3' the
+    columns are doc_id, n1_total, n1_distinct, n2_total, n2_distinct,
+    n3_total, n3_distinct. Consumes its input as a TABLE argument
+    (Spark 4's table-valued UDTF protocol), one profile row per input
+    row: character n-gram totals and distinct counts per requested n.
+
+    This is the analyze()-driven half of the UDTF surface q53's plain
+    generator UDTF does not exercise.
+    """
+
+    @staticmethod
+    def analyze(row, ns):  # noqa: D102 - UDTF protocol
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import (LongType, StructField, StructType)
+
+        fields = [StructField("doc_id", LongType())]
+        for n in str(ns.value).split(","):
+            n = int(n)
+            fields.append(StructField(f"n{n}_total", LongType()))
+            fields.append(StructField(f"n{n}_distinct", LongType()))
+        return AnalyzeResult(schema=StructType(fields))
+
+    def eval(self, row, ns):  # noqa: D102 - UDTF protocol
+        text = row["text"] or ""
+        out = [row["doc_id"]]
+        for n in str(ns).split(","):
+            n = int(n)
+            total = max(len(text) - n + 1, 0)
+            out.append(total)
+            out.append(len({text[i:i + n] for i in range(total)}))
+        yield tuple(out)
+
+
+def q129_udtf_ngram_profile(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < Q129_DOC_CAP)
+    docs.select("doc_id", "text").createOrReplaceTempView("q129_docs")
+    spark.udtf.register("ngram_profile", udtf(NgramProfile))
+    ns = ",".join(str(n) for n in Q129_NS)
+    return spark.sql(f"""
+        SELECT * FROM ngram_profile(
+            TABLE(SELECT doc_id, text FROM q129_docs), '{ns}')
+    """)
+
+
+def _q129_sql() -> str:
+    cols = []
+    for n in Q129_NS:
+        m = f"greatest(length(t) - {n} + 1, 0)"
+        cols.append(f"CAST({m} AS BIGINT) AS n{n}_total")
+        cols.append(
+            f"CAST(len(list_distinct(list_transform(range(1, {m} + 1), "
+            f"i -> substring(t, CAST(i AS INT), {n})))) AS BIGINT) "
+            f"AS n{n}_distinct")
+    return f"""
+SELECT doc_id, {', '.join(cols)}
+FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents
+      WHERE doc_id < {Q129_DOC_CAP})
+"""
+
+register(QuerySpec("q129_udtf_ngram_profile", q129_udtf_ngram_profile,
+                   _q129_sql(),
+                   description="polymorphic UDTF: analyze()-computed "
+                               "schema from a literal argument, TABLE "
+                               "input, per-doc char n-gram profile"))

@@ -495,3 +495,75 @@ register(QuerySpec("q128_dyadic_ewma", q128_dyadic_ewma, _q128_sql(),
                                "integer weights: 8 unrolled lags, "
                                "exact integer numerator/denominator, "
                                "one final division"))
+
+
+# --- streaming twin #2: the REAL stream-stream interval join ----------------------
+
+def streaming_attribution_join_query(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The ad-attribution stream-stream interval join
+    (streaming/stream.py `attribution_join`) run as an ACTUAL
+    checkpointed streaming query: events staged as 4 files, both sides
+    (purchases and clicks) read from the SAME file stream, watermarked,
+    interval-joined in append mode, drained with availableNow. The
+    oracle is the equivalent batch interval join in SQL — a green row
+    proves the dual-watermark join state machine (click state retained
+    for watermark + window, purchases matched across micro-batch
+    boundaries) emits exactly the batch answer. Unlike the unit test
+    (tests/test_streaming.py), this runs through the driver contract on
+    an arbitrary session and corpus.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from downscaledclimatedata_spark.streaming.stream import (
+        attribution_join)
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="dcd_sattr_")
+    try:
+        edir = f"{base}/events"
+        ev.repartitionByRange(4, "ts").write.parquet(edir)
+        staged = spark.read.parquet(edir)
+        stream = (spark.readStream.schema(staged.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(edir))
+        # Watermark past the fixture's whole time span: the file source
+        # does NOT guarantee arrival order (listing order is mtime-
+        # based and racy), and an out-of-order replay with a short
+        # watermark correctly drops genuinely-late clicks — real
+        # streaming semantics, but nondeterministic vs the batch
+        # answer this spec certifies. With the horizon beyond the data
+        # span nothing is ever late or evicted during the bounded run;
+        # the bounded-state eviction path itself is pinned by
+        # tests/test_streaming.py's ordered-arrival unit.
+        joined = attribution_join(stream, watermark="365 days")
+        name = f"sattr_{uuid.uuid4().hex[:8]}"
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", f"{base}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        out = spark.table(name).select(
+            "user_id", "purchase_id", "click_id", "p_ts", "c_ts")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_STREAM_ATTR_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+  p.ts AS p_ts, c.ts AS c_ts
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
+"""
+
+register(QuerySpec(
+    "streaming_attribution_join", streaming_attribution_join_query,
+    _STREAM_ATTR_SQL,
+    description="the stream-stream interval join run as a REAL "
+                "streaming query (dual watermarks, append mode, 4 "
+                "micro-batches) — emits exactly the batch interval "
+                "join"))

@@ -48,6 +48,7 @@ EAGER_SPECS = {
     "maintenance_read_evolved",
     "streaming_rollup_ivm",
     "streaming_tumbling_counts",
+    "streaming_attribution_join",
 }
 
 # C2: every BroadcastNestedLoopJoin below broadcasts a provably bounded
