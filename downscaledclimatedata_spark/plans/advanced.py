@@ -4982,3 +4982,56 @@ register(QuerySpec("q126_map_hof", q126_map_hof, _Q126_SQL,
                                "-> map_filter -> map_zip_with -> "
                                "explode, agreeing with its relational "
                                "GROUP BY/HAVING reading"))
+
+
+# --- q130: ANSI-safe try_* arithmetic ---------------------------------------------
+
+def q130_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase-cents-per-click via ``try_divide`` — the
+    ANSI-mode discipline spec. This engine runs with ANSI semantics
+    (overflow/division errors ABORT, they never wrap or NULL
+    silently), so intentional partial arithmetic must be spelled
+    ``try_*``: users with zero clicks yield NULL, not a crash and not
+    a 0. The oracle spells the same contract as an explicit CASE
+    guard, which is precisely the rewrite ``try_divide`` encapsulates.
+    The division is exact (integer remainder stripped first), so the
+    NULL-vs-value boundary is the only behavior under test.
+    """
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase",
+                     F.round(F.col("value") * 100).cast("bigint"))
+              .otherwise(0)).alias("purchase_cents"),
+        F.sum((F.col("event_type") == "click").cast("bigint"))
+        .alias("n_clicks"))
+    num = (F.col("purchase_cents")
+           - F.col("purchase_cents") % F.nullif(F.col("n_clicks"),
+                                                F.lit(0)))
+    return per.select(
+        "user_id", "purchase_cents", "n_clicks",
+        F.try_divide(num, F.col("n_clicks")).cast("bigint")
+        .alias("cents_per_click"))
+
+
+_Q130_SQL = """
+WITH per AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN event_type = 'purchase'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+      AS BIGINT) AS purchase_cents,
+    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks
+  FROM events GROUP BY 1
+)
+SELECT user_id, purchase_cents, CAST(n_clicks AS BIGINT) AS n_clicks,
+  CAST(CASE WHEN n_clicks = 0 THEN NULL
+       ELSE (purchase_cents - purchase_cents % n_clicks) / n_clicks
+  END AS BIGINT) AS cents_per_click
+FROM per
+"""
+
+register(QuerySpec("q130_try_arithmetic", q130_try_arithmetic,
+                   _Q130_SQL,
+                   description="ANSI-safe try_divide: zero-click users "
+                               "yield NULL (never crash, never 0) — "
+                               "the CASE-guard contract the oracle "
+                               "spells explicitly"))
