@@ -2074,3 +2074,90 @@ register(QuerySpec(
                 "pos = rnk * n_sources + source_idx on binned "
                 "per-source ranks — fixed-stride domain mixing "
                 "without a global sort"))
+
+
+# --- mixture temperature curve -----------------------------------------------------
+
+def mixture_temperature_curve(df: DataFrame, budget_tokens: int,
+                              source_col: str = "source",
+                              text_col: str = "text") -> DataFrame:
+    """The tuning table for :func:`domain_mixture_sample`'s α knob:
+    per-source weight, mixture share and acceptance rate at the three
+    temperatures whose arithmetic is EXACT cross-engine — α=1
+    (proportional, w = tok), α=1/2 (w = floor(sqrt(tok))) and α=1/4
+    (w = floor(sqrt(floor(sqrt(tok)))), two correctly-rounded sqrts) —
+    pow() is not correctly rounded per IEEE-754, so α is a menu of
+    sqrt-composable values here, not a float free-for-all. One
+    |sources|×3 bounded relation: the table a pipeline owner reads to
+    see how hard each temperature up-weights the small sources before
+    committing a budget.
+
+    Shares and rates are single divisions of exact <2^53 integer
+    products — bit-identical in both engines.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), WS_RE),
+                    lambda x: x != "")
+    stats = (df.select(F.col(source_col).alias("source"),
+                       F.coalesce(F.size(toks).cast("bigint"), F.lit(0))
+                       .alias("n_tokens"))
+             .groupBy("source")
+             .agg(F.sum("n_tokens").alias("tok_s")))
+    sqrt1 = F.floor(F.sqrt(F.col("tok_s").cast("double"))).cast("bigint")
+    curves = []
+    for label, w in (("1", F.col("tok_s")),
+                     ("1/2", sqrt1),
+                     ("1/4", F.floor(F.sqrt(sqrt1.cast("double")))
+                      .cast("bigint"))):
+        curves.append(stats.select(
+            F.lit(label).alias("alpha"), "source", "tok_s",
+            w.alias("w")))
+    cur = curves[0].unionByName(curves[1]).unionByName(curves[2])
+    tot = cur.groupBy("alpha").agg(F.sum("w").alias("total_w"))
+    return (cur.join(F.broadcast(tot), "alpha")
+            .select(
+                "alpha", "source", "tok_s", "w",
+                (F.col("w").cast("double")
+                 / F.col("total_w").cast("double")).alias("share"),
+                F.least(F.lit(1.0),
+                        (F.lit(budget_tokens) * F.col("w")).cast("double")
+                        / (F.col("total_w") * F.col("tok_s"))
+                        .cast("double")).alias("rate")))
+
+
+def prep_mixture_curve_query(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_temperature_curve(docs, MIX_BUDGET_TOKENS)
+
+
+_MIX_CURVE_SQL = f"""
+WITH base AS (
+  SELECT source, coalesce(len({_TOKS_QF_SQL}), 0) AS n_tokens
+  FROM documents
+), stats AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tok_s
+  FROM base GROUP BY source
+), cur AS (
+  SELECT '1' AS alpha, source, tok_s, tok_s AS w FROM stats
+  UNION ALL
+  SELECT '1/2', source, tok_s,
+    CAST(floor(sqrt(CAST(tok_s AS DOUBLE))) AS BIGINT) FROM stats
+  UNION ALL
+  SELECT '1/4', source, tok_s,
+    CAST(floor(sqrt(floor(sqrt(CAST(tok_s AS DOUBLE))))) AS BIGINT)
+  FROM stats
+), tot AS (
+  SELECT alpha, CAST(SUM(w) AS BIGINT) AS total_w FROM cur GROUP BY alpha
+)
+SELECT alpha, source, tok_s, CAST(w AS BIGINT) AS w,
+  CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE) AS share,
+  least(1.0, CAST({MIX_BUDGET_TOKENS} * w AS DOUBLE)
+             / CAST(total_w * tok_s AS DOUBLE)) AS rate
+FROM cur JOIN tot USING (alpha)
+"""
+
+register(QuerySpec(
+    "prep_mixture_curve", prep_mixture_curve_query, _MIX_CURVE_SQL,
+    description="mixture temperature tuning curve: per-source weight/"
+                "share/rate at alpha = 1, 1/2, 1/4 — sqrt-composable "
+                "exact temperatures, single-division doubles"))

@@ -5035,3 +5035,66 @@ register(QuerySpec("q130_try_arithmetic", q130_try_arithmetic,
                                "yield NULL (never crash, never 0) — "
                                "the CASE-guard contract the oracle "
                                "spells explicitly"))
+
+
+# --- q131: DISCRETE quantiles (order statistic at ceil(q*n)) ----------------------
+
+def q131_quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type p50/p90 DISCRETE quantiles of event cents — the
+    quantile family's other semantics: the actual data element at rank
+    ``ceil(q*n)``, never an interpolated value (what a latency SLO or
+    a billing threshold quotes). Ranks come from the same two-phase
+    binned row_number the continuous path uses (functions/ranks.py
+    discipline: windows on (type, bin), parallelism ∝ bins), and the
+    rank arithmetic is pure integers — ``(n*num + den - 1) div den`` —
+    so there is no float anywhere in the result.
+    """
+    from downscaledclimatedata_spark.functions.ranks import (
+        binned_row_number, value_bin)
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type", "event_id",
+                  F.round(F.col("value") * 100).cast("bigint")
+                  .alias("cents"))
+    st = d.agg(F.min("cents"), F.max("cents")).first()
+    lo, hi = float(st[0] or 0), float(st[1] or 0)
+    binned = d.withColumn(
+        "_qdb", value_bin(F.col("cents").cast("double"), lo, hi))
+    ranked = binned_row_number(binned, "_qdb", ("cents", "event_id"),
+                               partition_cols=("event_type",),
+                               out="_rk", count_col="_n")
+    r50 = F.expr("(_n * 1 + 1) div 2")
+    r90 = F.expr("(_n * 9 + 9) div 10")
+    return (ranked.groupBy("event_type")
+            .agg(F.max("_n").cast("bigint").alias("n"),
+                 F.max(F.when(F.col("_rk") == r50, F.col("cents")))
+                 .cast("bigint").alias("p50_cents"),
+                 F.max(F.when(F.col("_rk") == r90, F.col("cents")))
+                 .cast("bigint").alias("p90_cents")))
+
+
+_Q131_SQL = """
+WITH d AS (
+  SELECT event_type, event_id,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT event_type, cents,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY cents, event_id) AS rk,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+  CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS BIGINT)
+    AS p50_cents,
+  CAST(MAX(CASE WHEN rk = (n * 9 + 9) // 10 THEN cents END) AS BIGINT)
+    AS p90_cents
+FROM r GROUP BY event_type
+"""
+
+register(QuerySpec("q131_quantile_disc", q131_quantile_disc, _Q131_SQL,
+                   description="discrete p50/p90 (order statistic at "
+                               "ceil(q*n)) per event type — pure "
+                               "integer rank arithmetic on binned "
+                               "two-phase ranks, no float anywhere"))

@@ -1657,3 +1657,25 @@ def test_q128_partial_history_weights(spark, tmp_path):
     # row 1: num = 200*128 + 100*64, den = 192
     # row 2: num = 300*128 + 200*64 + 100*32, den = 224
     assert got == {0: (12800, 128), 1: (32000, 192), 2: (54400, 224)}
+
+
+def test_q131_disc_is_data_element(spark, tmp_path):
+    """Planted discrete-quantile semantics: the result is the ACTUAL
+    element at rank ceil(q*n), never an interpolated value."""
+    import datetime as dt
+
+    import pandas as pd
+    from downscaledclimatedata_spark.plans.advanced import (
+        q131_quantile_disc)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, 1, "e", v, "{}")
+            for i, v in enumerate([0.10, 0.20, 0.30, 0.40])]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    spark.createDataFrame(pdf).write.parquet(
+        str(tmp_path / "events.parquet"))
+    [r] = q131_quantile_disc(spark, str(tmp_path)).collect()
+    # n=4: p50 rank ceil(2)=2 -> 20 cents; p90 rank ceil(3.6)=4 -> 40
+    assert (r.n, r.p50_cents, r.p90_cents) == (4, 20, 40)

@@ -466,3 +466,22 @@ def test_source_interleave_empty(spark):
 
     docs = spark.createDataFrame([], "doc_id long, source string")
     assert source_interleave(docs).count() == 0
+
+
+def test_mixture_curve_upweights_small_sources(spark):
+    """Planted temperature semantics: exact sqrt-chain weights, and the
+    small source's share rises monotonically as alpha drops."""
+    from downscaledclimatedata_spark.operators.prep import (
+        mixture_temperature_curve)
+
+    docs = spark.createDataFrame(
+        [(1, "small", "a " * 100), (2, "big", "a " * 10000)],
+        "doc_id long, source string, text string")
+    rows = mixture_temperature_curve(docs, 1000).collect()
+    w = {(r.alpha, r.source): r.w for r in rows}
+    assert w[("1", "small")] == 100 and w[("1", "big")] == 10000
+    assert w[("1/2", "small")] == 10 and w[("1/2", "big")] == 100
+    assert w[("1/4", "small")] == 3 and w[("1/4", "big")] == 10
+    share = {(r.alpha, r.source): r.share for r in rows}
+    assert (share[("1", "small")] < share[("1/2", "small")]
+            < share[("1/4", "small")])
