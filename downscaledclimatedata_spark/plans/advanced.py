@@ -5098,3 +5098,92 @@ register(QuerySpec("q131_quantile_disc", q131_quantile_disc, _Q131_SQL,
                                "ceil(q*n)) per event type — pure "
                                "integer rank arithmetic on binned "
                                "two-phase ranks, no float anywhere"))
+
+
+# --- q132/q133: column-codec roundtrips (from_csv / from_xml) ---------------------
+
+def q132_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`to_csv` -> `from_csv` struct roundtrip — the per-row CSV codec
+    a Kafka-style text payload pipeline needs (distinct from the FILE
+    CSV source S10): each order is serialized to one CSV line,
+    re-parsed with an explicit schema, and the parsed fields must
+    aggregate exactly as the originals. The oracle skips the codec —
+    identity is the contract — so any quoting/escaping asymmetry
+    between the two directions hash-fails.
+    """
+    o = _t(spark, sf_dir, "orders")
+    line = F.to_csv(F.struct(
+        F.col("o_orderkey"), F.col("o_custkey"),
+        F.col("o_orderpriority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents")))
+    parsed = o.select(
+        F.from_csv(line,
+                   "o_orderkey bigint, o_custkey bigint, "
+                   "o_orderpriority string, cents bigint").alias("r"))
+    return (parsed.groupBy(F.col("r.o_orderpriority")
+                           .alias("o_orderpriority"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                 F.sum("r.cents").cast("bigint").alias("sum_cents"),
+                 F.countDistinct("r.o_custkey").cast("bigint")
+                 .alias("n_customers")))
+
+
+_Q132_SQL = """
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_cents,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders GROUP BY 1
+"""
+
+register(QuerySpec("q132_csv_roundtrip", q132_csv_roundtrip, _Q132_SQL,
+                   description="to_csv -> from_csv per-row codec "
+                               "roundtrip: parsed fields aggregate "
+                               "exactly as the originals (oracle skips "
+                               "the codec — identity is the contract)"))
+
+
+def q133_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`to_xml` -> `from_xml` struct roundtrip (Spark 4's XML column
+    codec): per-event XML documents re-parsed with an explicit schema,
+    re-aggregated, and compared to the codec-free oracle. XML is the
+    interchange format catalog feeds still arrive in; the oracle
+    contract pins entity-escaping symmetry (event types and JSON props
+    pass through the XML layer byte-identical).
+    """
+    ev = _t(spark, sf_dir, "events")
+    doc = F.to_xml(F.struct(
+        F.col("event_id"), F.col("user_id"), F.col("event_type"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.col("props")))
+    parsed = ev.select(
+        F.from_xml(doc,
+                   "event_id bigint, user_id bigint, "
+                   "event_type string, cents bigint, props string")
+        .alias("r"))
+    return (parsed.groupBy(F.col("r.event_type").alias("event_type"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum("r.cents").cast("bigint").alias("sum_cents"),
+                 F.countDistinct("r.user_id").cast("bigint")
+                 .alias("n_users"),
+                 F.sum(F.length("r.props")).cast("bigint")
+                 .alias("props_chars")))
+
+
+_Q133_SQL = """
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(SUM(length(props)) AS BIGINT) AS props_chars
+FROM events GROUP BY 1
+"""
+
+register(QuerySpec("q133_xml_roundtrip", q133_xml_roundtrip, _Q133_SQL,
+                   description="to_xml -> from_xml per-row codec "
+                               "roundtrip (Spark 4 XML functions): "
+                               "parsed fields aggregate exactly as the "
+                               "originals incl. JSON props through "
+                               "entity escaping"))
