@@ -496,3 +496,91 @@ register(QuerySpec(
                 "matmul per batch, per-batch partial top-k, final rank "
                 "over a bounded relation — bit-identical to the JVM "
                 "fold and the DuckDB oracle"))
+
+
+# --- capped sessionization: the grouped-map op built-ins cannot express ------------
+
+CAP_GAP_US = 1_800_000_000    # 30 min inactivity splits
+CAP_SPAN_US = 7_200_000_000   # 2 h max session span splits
+
+
+def capped_sessions(ev: DataFrame, gap_us: int = CAP_GAP_US,
+                    cap_us: int = CAP_SPAN_US) -> DataFrame:
+    """Sessions that split on EITHER a 30-minute inactivity gap OR a
+    2-hour maximum span since the session started. The span cap makes
+    this a true sequential recurrence — each row's session depends on
+    the session START its predecessor chose, which `session_window`
+    (gap-only) and window functions (no carried state) cannot express
+    — so this is the principled applyInPandas escape hatch: sequential
+    WITHIN each user's bounded group, parallel ACROSS users, exact
+    integer microsecond arithmetic throughout.
+
+    The oracle is a linear recursion (DuckDB WITH RECURSIVE walking
+    rn -> rn+1 per user), the SQL spelling of the same recurrence.
+    """
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        sids = []
+        sid = -1
+        start = prev = None
+        for t in pdf["ts_us"]:
+            t = int(t)
+            if prev is None or t - prev > gap_us or t - start > cap_us:
+                sid += 1
+                start = t
+            prev = t
+            sids.append(sid)
+        pdf = pdf.assign(session_id=sids)
+        g = pdf.groupby("session_id", as_index=False).agg(
+            n_events=("event_id", "size"),
+            start_us=("ts_us", "min"),
+            end_us=("ts_us", "max"))
+        g.insert(0, "user_id", pdf["user_id"].iloc[0])
+        g["span_us"] = g["end_us"] - g["start_us"]
+        return g[["user_id", "session_id", "n_events", "span_us"]]
+
+    base = ev.select("user_id", "event_id",
+                     F.unix_micros("ts").alias("ts_us"))
+    return base.groupBy("user_id").applyInPandas(
+        assign, "user_id long, session_id long, n_events long, "
+                "span_us long")
+
+
+def pandas_capped_sessions_query(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from downscaledclimatedata_spark.sources.tables import load_table
+    return capped_sessions(load_table(spark, sf_dir, "events"))
+
+
+_CAPPED_SESSIONS_SQL = f"""
+WITH RECURSIVE numbered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), walk(user_id, rn, ts_us, sess_start, sid) AS (
+  SELECT user_id, rn, ts_us, ts_us, 0 FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.rn, n.ts_us,
+    CASE WHEN n.ts_us - w.ts_us > {CAP_GAP_US}
+           OR n.ts_us - w.sess_start > {CAP_SPAN_US}
+         THEN n.ts_us ELSE w.sess_start END,
+    CASE WHEN n.ts_us - w.ts_us > {CAP_GAP_US}
+           OR n.ts_us - w.sess_start > {CAP_SPAN_US}
+         THEN w.sid + 1 ELSE w.sid END
+  FROM walk w
+  JOIN numbered n ON n.user_id = w.user_id AND n.rn = w.rn + 1
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS span_us
+FROM walk GROUP BY user_id, sid
+"""
+
+register(QuerySpec(
+    "pandas_capped_sessions", pandas_capped_sessions_query,
+    _CAPPED_SESSIONS_SQL,
+    description="gap-OR-span-capped sessionization: a true sequential "
+                "recurrence (session depends on the start its "
+                "predecessor chose) — applyInPandas per user, oracle = "
+                "the same recurrence as a linear recursive CTE"))

@@ -155,3 +155,34 @@ def test_vectorized_cosine_equals_jvm_kernel(spark):
     want = {(r.query_id, r.rnk): (r.match_id, r.cosine)
             for r in cosine_topk_quantized(emb).collect()}
     assert got == want and len(got) > 0
+
+
+def test_capped_sessions_cap_splits_without_gap(spark):
+    """Planted cap semantics: events 15 min apart never trip the
+    30-min gap, but the 2-h span cap splits the run — and the new
+    session's span clock restarts at the splitting event."""
+    import datetime as dt
+
+    from downscaledclimatedata_spark.operators.pandasops import (
+        capped_sessions)
+
+    t0 = dt.datetime(2024, 1, 1)
+    # 12 events, 15 min apart: span would be 165 min > 120 -> split at
+    # the first event beyond the cap (minute 135, index 9)
+    rows = [(i, t0 + dt.timedelta(minutes=15 * i), 1, "e", 1.0, "{}")
+            for i in range(12)]
+    # user 2: a 31-minute gap splits despite a tiny span
+    rows += [(100, t0, 2, "e", 1.0, "{}"),
+             (101, t0 + dt.timedelta(minutes=31), 2, "e", 1.0, "{}")]
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    ev = spark.createDataFrame(pdf)
+    got = {(r.user_id, r.session_id): (r.n_events, r.span_us)
+           for r in capped_sessions(ev).collect()}
+    # user 1: events 0..8 (span 120 min == cap, not >) then 9..11
+    assert got[(1, 0)] == (9, 120 * 60_000_000)
+    assert got[(1, 1)] == (3, 30 * 60_000_000)
+    # user 2: gap split -> two singleton sessions
+    assert got[(2, 0)] == (1, 0) and got[(2, 1)] == (1, 0)
