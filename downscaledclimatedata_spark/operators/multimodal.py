@@ -6849,3 +6849,233 @@ register(QuerySpec("multimodal_decode_zip", multimodal_decode_zip_query,
                                "shift, central/local cross-validation, "
                                "raw DEFLATE, CRC32 integrity; flipped "
                                "bytes -> NULL"))
+
+
+# --- real TAR archive decode (the WebDataset shard container) ----------------------
+
+# TAR is how multimodal training data actually ships (WebDataset
+# shards are plain tar files read sequentially): a BLOCK-STRUCTURED
+# container — 512-byte header blocks with OCTAL-ASCII numeric fields,
+# a header CHECKSUM computed with the checksum field blanked to
+# spaces, ustar magic, per-entry typeflags (the reader must SKIP
+# non-file entries: a planted directory entry makes the dispatch
+# load-bearing), data padded to block boundaries, and an end-of-
+# archive marker of two zero blocks. The planted corruption is an
+# off-by-one header checksum — only the checksum verification can see
+# it (T7), the tar analogue of ZIP's CRC class.
+TAR_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_members", T.IntegerType()),
+    T.StructField("n_skipped", T.IntegerType()),
+    T.StructField("total_bytes", T.LongType()),
+    T.StructField("sum_bytes", T.LongType()),
+    T.StructField("first_byte", T.IntegerType()),
+    T.StructField("last_byte", T.IntegerType()),
+])
+
+TAR_M_BASE, TAR_M_MOD = 2, 3      # 2..4 file members per archive
+TAR_L_BASE, TAR_L_MOD = 30, 40    # member lengths 30..69
+TAR_A, TAR_B, TAR_C = 2741, 173, 31
+TAR_CORRUPT_MOD = 19              # first member's checksum off by one
+
+
+def _build_tar_codecs():
+    """Pure-stdlib ustar writer + reader (hand-rolled, not tarfile —
+    the byte-level block/octal/checksum discipline is the point)."""
+
+    def _octal(n: int, width: int) -> bytes:
+        return (f"{n:0{width - 1}o}").encode() + b"\x00"
+
+    def _header(name: bytes, size: int, typeflag: bytes) -> bytes:
+        h = bytearray(512)
+        h[0:len(name)] = name
+        h[100:108] = _octal(0o644, 8)       # mode
+        h[108:116] = _octal(0, 8)           # uid
+        h[116:124] = _octal(0, 8)           # gid
+        h[124:136] = _octal(size, 12)       # size
+        h[136:148] = _octal(0, 12)          # mtime
+        h[148:156] = b" " * 8               # chksum blanked for the sum
+        h[156:157] = typeflag
+        h[257:263] = b"ustar\x00"
+        h[263:265] = b"00"
+        csum = sum(h)
+        h[148:155] = f"{csum:06o}".encode() + b"\x00"
+        h[155:156] = b" "
+        return bytes(h)
+
+    def member_content(d: int, i: int) -> bytes:
+        ln = TAR_L_BASE + (d + i) % TAR_L_MOD
+        return bytes((d * TAR_A + i * TAR_B + j * TAR_C) % 256
+                     for j in range(ln))
+
+    def make_tar(d: int, corrupt: bool) -> bytes:
+        nm = TAR_M_BASE + d % TAR_M_MOD
+        out = bytearray()
+        # planted non-file entry: readers must dispatch on typeflag
+        out += _header(b"data/", 0, b"5")
+        for i in range(nm):
+            raw = member_content(d, i)
+            hdr = _header(f"data/m{i}.bin".encode(), len(raw), b"0")
+            if corrupt and i == 0:
+                # off-by-one checksum: the only visible defect
+                h = bytearray(hdr)
+                stated = int(hdr[148:155].rstrip(b"\x00"), 8)
+                h[148:155] = f"{stated + 1:06o}".encode() + b"\x00"
+                hdr = bytes(h)
+            out += hdr + raw
+            pad = (-len(raw)) % 512
+            out += b"\x00" * pad
+        out += b"\x00" * 1024  # end-of-archive marker
+        return bytes(out)
+
+    def decode_tar_stats(blob: bytes):
+        try:
+            p = 0
+            n_files = 0
+            n_skipped = 0
+            total = 0
+            sum_b = 0
+            first = None
+            last = None
+            while p + 512 <= len(blob):
+                h = blob[p:p + 512]
+                if h == b"\x00" * 512:
+                    break  # end-of-archive
+                if h[257:263] != b"ustar\x00":
+                    return None
+                stated = int(h[148:156].replace(b"\x00", b" ")
+                             .strip() or b"0", 8)
+                actual = sum(h[:148]) + 8 * 32 + sum(h[156:])
+                if stated != actual:
+                    return None
+                size = int(h[124:136].replace(b"\x00", b" ")
+                           .strip() or b"0", 8)
+                typeflag = h[156:157]
+                p += 512
+                data_end = p + size
+                if data_end > len(blob):
+                    return None
+                if typeflag == b"0":
+                    data = blob[p:data_end]
+                    n_files += 1
+                    total += size
+                    sum_b += sum(data)
+                    if size:
+                        if first is None:
+                            first = data[0]
+                        last = data[-1]
+                else:
+                    n_skipped += 1
+                p = data_end + ((-size) % 512)
+            else:
+                return None  # ran off the end without a zero block
+            if n_files < 1:
+                return None
+            return (n_files, n_skipped, total, sum_b, first, last)
+        except (ValueError, IndexError):
+            return None
+
+    return make_tar, decode_tar_stats
+
+
+make_tar, decode_tar_stats = _build_tar_codecs()
+
+
+def synthesize_tar_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real ustar bytes (one directory entry + 2..4 file
+    members; member i byte j = (d*TAR_A + i*TAR_B + j*TAR_C) % 256).
+    Every TAR_CORRUPT_MOD-th doc's first member header carries an
+    off-by-one checksum."""
+    mk = make_tar
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = [mk(abs(int(doc_id)),
+                           abs(int(doc_id)) % TAR_CORRUPT_MOD == 0)
+                        for doc_id in pdf["doc_id"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        _synth, "doc_id long, payload binary")
+
+
+def decode_tar(df: DataFrame) -> DataFrame:
+    dec = decode_tar_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        keys = ("n_members", "n_skipped", "total_bytes", "sum_bytes",
+                "first_byte", "last_byte")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 6
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_members": pd.array(cols["n_members"], dtype="Int32"),
+                "n_skipped": pd.array(cols["n_skipped"], dtype="Int32"),
+                "total_bytes": pd.array(cols["total_bytes"],
+                                        dtype="Int64"),
+                "sum_bytes": pd.array(cols["sum_bytes"], dtype="Int64"),
+                "first_byte": pd.array(cols["first_byte"],
+                                       dtype="Int32"),
+                "last_byte": pd.array(cols["last_byte"], dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, TAR_SCHEMA)
+
+
+def multimodal_decode_tar_query(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Real ustar parse end-to-end: block walk, octal fields, header
+    checksum verification, typeflag dispatch (directory skipped),
+    zero-block termination; off-by-one checksums -> NULL rows (T7)."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_tar(synthesize_tar_payloads(docs))
+
+
+_TAR_NULL = f"d % {TAR_CORRUPT_MOD} = 0"
+
+_MULTIMODAL_TAR_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    {TAR_M_BASE} + abs(doc_id) % {TAR_M_MOD} AS nm
+  FROM documents
+), s AS (
+  SELECT doc_id, d, nm,
+    list_sum(list_transform(range(0, nm),
+      i -> {TAR_L_BASE} + (d + i) % {TAR_L_MOD})) AS total_b,
+    list_sum(list_transform(range(0, nm),
+      i -> list_sum(list_transform(
+             range(0, {TAR_L_BASE} + (d + i) % {TAR_L_MOD}),
+             j -> (d * {TAR_A} + i * {TAR_B} + j * {TAR_C}) % 256))))
+      AS sum_b
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN {_TAR_NULL} THEN NULL ELSE CAST(nm AS INT) END AS n_members,
+  CASE WHEN {_TAR_NULL} THEN NULL ELSE 1 END AS n_skipped,
+  CASE WHEN {_TAR_NULL} THEN NULL ELSE CAST(total_b AS BIGINT) END
+    AS total_bytes,
+  CASE WHEN {_TAR_NULL} THEN NULL ELSE CAST(sum_b AS BIGINT) END
+    AS sum_bytes,
+  CASE WHEN {_TAR_NULL} THEN NULL
+       ELSE CAST((d * {TAR_A}) % 256 AS INT) END AS first_byte,
+  CASE WHEN {_TAR_NULL} THEN NULL
+       ELSE CAST((d * {TAR_A} + (nm - 1) * {TAR_B}
+                  + ({TAR_L_BASE} + (d + nm - 1) % {TAR_L_MOD} - 1)
+                    * {TAR_C}) % 256 AS INT) END AS last_byte
+FROM s
+"""
+
+register(QuerySpec("multimodal_decode_tar", multimodal_decode_tar_query,
+                   _MULTIMODAL_TAR_SQL,
+                   description="real ustar/WebDataset-shard decode: "
+                               "512-byte block walk, octal-ASCII "
+                               "fields, header checksum verification, "
+                               "typeflag dispatch; off-by-one "
+                               "checksums -> NULL"))

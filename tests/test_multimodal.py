@@ -1488,3 +1488,42 @@ def test_zip_codec_shift_crc_and_concatenation():
     assert decode_zip_stats(make_zip(17, corrupt=True)) is None
     # truncated EOCD rejects
     assert decode_zip_stats(make_zip(d, False)[:-4]) is None
+
+
+def test_tar_codec_blocks_checksum_and_dispatch():
+    """Byte-level ustar behavior: exact member stats, the planted
+    directory entry is SKIPPED not summed, an off-by-one header
+    checksum rejects, a missing end-of-archive marker rejects, and the
+    output of Python's own tarfile agrees with our hand-rolled reader
+    on member names and sizes (the format is real, not private)."""
+    import io
+    import tarfile
+
+    from downscaledclimatedata_spark.operators.multimodal import (
+        TAR_A, TAR_B, TAR_C, TAR_L_BASE, TAR_L_MOD, TAR_M_BASE,
+        TAR_M_MOD, decode_tar_stats, make_tar)
+
+    d = 7
+    blob = make_tar(d, corrupt=False)
+    st = decode_tar_stats(blob)
+    nm = TAR_M_BASE + d % TAR_M_MOD
+    lens = [TAR_L_BASE + (d + i) % TAR_L_MOD for i in range(nm)]
+    want_sum = sum((d * TAR_A + i * TAR_B + j * TAR_C) % 256
+                   for i in range(nm) for j in range(lens[i]))
+    assert st == (nm, 1, sum(lens), want_sum, (d * TAR_A) % 256,
+                  (d * TAR_A + (nm - 1) * TAR_B
+                   + (lens[-1] - 1) * TAR_C) % 256)
+
+    # cross-validation with the stdlib reader: real ustar, byte for byte
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        names = [(m.name, m.size, m.isdir()) for m in tf.getmembers()]
+    assert names == [("data", 0, True)] + [
+        (f"data/m{i}.bin", lens[i], False) for i in range(nm)]
+
+    assert decode_tar_stats(make_tar(d, corrupt=True)) is None
+    # truncated: end-of-archive marker gone
+    assert decode_tar_stats(blob[:-1024]) is None
+    # non-ustar magic rejects
+    bad = bytearray(blob)
+    bad[257:263] = b"notme\x00"
+    assert decode_tar_stats(bytes(bad)) is None
