@@ -76,8 +76,20 @@ def binned_row_number(df: DataFrame, bin_col: str,
                    .cast("bigint").alias(count_col))
     offsets = hist.select(*sel)
 
+    # NULL-SAFE on the partition cols: a NULL group key is a real SQL
+    # GROUP BY group and its rows must keep their ranks (a plain
+    # equi-join here silently dropped every NULL-keyed row). bin_col
+    # stays non-NULL by the binning contract; eqNullSafe keys still
+    # take the BroadcastHashJoin path.
+    off = offsets
+    for c in [*partition_cols, bin_col]:
+        off = off.withColumnRenamed(c, f"_brj_{c}")
+    cond = ranked[bin_col].eqNullSafe(off[f"_brj_{bin_col}"])
+    for c in partition_cols:
+        cond = cond & ranked[c].eqNullSafe(off[f"_brj_{c}"])
     return (ranked
-            .join(F.broadcast(offsets), [*partition_cols, bin_col])
+            .join(F.broadcast(off), cond)
+            .drop(*[f"_brj_{c}" for c in [*partition_cols, bin_col]])
             .withColumn(out, (F.col("_boff") + F.col("_brn")).cast("bigint"))
             .drop("_brn", "_boff"))
 
@@ -240,8 +252,20 @@ def grouped_quantile_cont(df: DataFrame, value_col: str,
     res = ranked.groupBy(*group_cols).agg(*aggs).select(*sel)
     if group_cols:
         # Keep all-NULL groups: group list from df, quantiles left-join.
+        # Join null-SAFELY (eqNullSafe): a NULL group key must still match
+        # its own computed aggregates, mirroring SQL GROUP BY, where NULL
+        # forms a real group. A plain equi-join would drop the computed
+        # quantiles for a NULL-keyed group that has non-NULL values.
         groups = df.select(*group_cols).distinct()
-        res = groups.join(res, list(group_cols), "left")
+        r = res
+        for c in group_cols:
+            r = r.withColumnRenamed(c, f"_gqj_{c}")
+        cond = None
+        for c in group_cols:
+            e = groups[c].eqNullSafe(r[f"_gqj_{c}"])
+            cond = e if cond is None else (cond & e)
+        res = groups.join(r, cond, "left").drop(
+            *[f"_gqj_{c}" for c in group_cols])
     if count_name is not None:
         res = res.withColumn(
             count_name,

@@ -5738,9 +5738,10 @@ def _build_tiff_codecs():
             elif tag == 305:
                 val = _place(soft, "B") if cnt > 4 else None
             entries += struct.pack(e + "HHI", tag, typ, cnt)
-            if typ == 3:  # SHORT: left-justified in the 4-byte field
-                entries += struct.pack(e + "H", val) + (
-                    b"\x00\x00" if not big_endian else b"\x00\x00")
+            if typ == 3:
+                # SHORT: left-justified in the 4-byte value field, so
+                # the 2-byte zero pad is byte-order independent.
+                entries += struct.pack(e + "H", val) + b"\x00\x00"
             else:
                 entries += struct.pack(e + "I", val)
         ifd = struct.pack(e + "H", len(tags)) + bytes(entries) \

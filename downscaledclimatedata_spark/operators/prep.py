@@ -2119,9 +2119,14 @@ def mixture_temperature_curve(df: DataFrame, budget_tokens: int,
                 (F.col("w").cast("double")
                  / F.col("total_w").cast("double")).alias("share"),
                 F.least(F.lit(1.0),
-                        (F.lit(budget_tokens) * F.col("w")).cast("double")
-                        / (F.col("total_w") * F.col("tok_s"))
-                        .cast("double")).alias("rate")))
+                        (F.lit(float(budget_tokens))
+                         * F.col("w").cast("double"))
+                        / (F.col("total_w").cast("double")
+                           * F.col("tok_s").cast("double")))
+                .alias("rate")))
+    # rate denominator: cast EACH factor to double BEFORE multiplying —
+    # at alpha=1, total_w * tok_s ~ (corpus tokens)^2, which overflows
+    # int64 under ANSI semantics well below real corpus scale.
 
 
 def prep_mixture_curve_query(spark: SparkSession,
@@ -2151,8 +2156,8 @@ WITH base AS (
 )
 SELECT alpha, source, tok_s, CAST(w AS BIGINT) AS w,
   CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE) AS share,
-  least(1.0, CAST({MIX_BUDGET_TOKENS} * w AS DOUBLE)
-             / CAST(total_w * tok_s AS DOUBLE)) AS rate
+  least(1.0, (CAST({MIX_BUDGET_TOKENS} AS DOUBLE) * CAST(w AS DOUBLE))
+             / (CAST(total_w AS DOUBLE) * CAST(tok_s AS DOUBLE))) AS rate
 FROM cur JOIN tot USING (alpha)
 """
 

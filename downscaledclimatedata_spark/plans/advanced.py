@@ -4640,9 +4640,17 @@ WITH g AS (
                        ORDER BY gap_us, event_id) AS rk,
     COUNT(gap_us) OVER (PARTITION BY event_type) AS n
   FROM g WHERE gap_us IS NOT NULL
+), q AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,{pts}
+  FROM nn GROUP BY event_type
 )
-SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,{pts}
-FROM nn GROUP BY event_type
+-- Group list from ALL of g (not just rows with a gap): an event type
+-- whose every occurrence is a user's first event must survive with
+-- NULL quantiles and n_gaps = 0, mirroring the Spark contract.
+SELECT t.event_type, coalesce(q.n_gaps, 0) AS n_gaps,
+       q.p50_us, q.p90_us, q.p99_us
+FROM (SELECT DISTINCT event_type FROM g) t
+LEFT JOIN q USING (event_type)
 """
 
 

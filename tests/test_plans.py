@@ -820,6 +820,40 @@ def test_grouped_quantile_keeps_all_null_groups(spark):
     assert len(g) == 1 and g[0].p50 is None and g[0].n_v == 0
 
 
+def test_grouped_quantile_null_key_group_keeps_values(spark):
+    """The keep-all-groups left-join must be NULL-SAFE: a NULL group
+    key forms a real group in SQL GROUP BY, so a NULL-keyed group
+    WITH non-NULL values must retain its computed quantiles. A plain
+    equi-join never matches NULL = NULL and reported p50=None, n=0
+    for that group (r10 advisor repro)."""
+    from downscaledclimatedata_spark.functions.ranks import (
+        grouped_quantile_cont)
+
+    df = spark.createDataFrame(
+        [(None, 10.0), (None, 20.0), ("a", 5.0)],
+        "g string, v double")
+    out = grouped_quantile_cont(
+        df, "v", [(0.5, "p50")], group_cols=("g",), count_name="n_v")
+    rows = {r.g: r for r in out.collect()}
+    assert set(rows) == {None, "a"}
+    assert rows[None].p50 == 15.0 and rows[None].n_v == 2
+    assert rows["a"].p50 == 5.0 and rows["a"].n_v == 1
+
+    # multi-column group keys: every mixed-NULL combination survives
+    df2 = spark.createDataFrame(
+        [(None, "x", 1.0), (None, "x", 3.0), ("a", None, 7.0),
+         (None, None, 9.0)],
+        "g1 string, g2 string, v double")
+    out2 = grouped_quantile_cont(
+        df2, "v", [(0.5, "p50")], group_cols=("g1", "g2"),
+        count_name="n_v")
+    rows2 = {(r.g1, r.g2): r for r in out2.collect()}
+    assert set(rows2) == {(None, "x"), ("a", None), (None, None)}
+    assert rows2[(None, "x")].p50 == 2.0
+    assert rows2[("a", None)].p50 == 7.0
+    assert rows2[(None, None)].p50 == 9.0
+
+
 def test_padding_report_batch_index_is_binned(spark):
     """The per-strategy batch index is a GLOBAL exact rank, but must
     never be a single-task window: every row_number window in the
