@@ -90,6 +90,23 @@ def wait_for_quiet_box() -> dict:
     }
 
 
+def host_anchor(spark) -> float:
+    """Measured host speed: median-of-3 of a PINNED pure-JVM compute
+    (sum over a fixed 200M-row range — no IO, no shuffle, no Python),
+    in seconds. Recorded as ``host_anchor_sec`` in every bench/ladder
+    JSON so cross-round comparisons can divide by measured host speed
+    instead of trusting loadavg: round 10 saw ~35-45% uniform slowdown
+    on UNCHANGED code that had to be explained in prose. The workload
+    is frozen — changing it breaks the normalizer's comparability."""
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(id * 2 + 7) AS s").collect()
+        runs.append(time.perf_counter() - t0)
+    return round(sorted(runs)[1], 3)
+
+
 def main() -> None:
     provenance = wait_for_quiet_box()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -103,6 +120,8 @@ def main() -> None:
     # warm the file-scan + JVM path once with the cheapest query
     warm = specs.get("q02_revenue_forecast") or next(iter(specs.values()))
     warm.spark(spark, sf_dir).collect()
+
+    anchor = host_anchor(spark)
 
     timings: dict[str, float] = {}
     for name in sorted(specs):
@@ -121,6 +140,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_runs": N_RUNS,
+        "host_anchor_sec": anchor,
         **provenance,
     }))
 

@@ -12,6 +12,7 @@ expressed here as plain DataFrame jobs.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1124,6 +1125,7 @@ def publish_audited(spark: SparkSession, final_dir: str, audits: list,
 
 _INTEGRAL_WIDTH = ["tinyint", "smallint", "int", "bigint"]
 _FLOAT_WIDTH = ["float", "double"]
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
 
 
 def _widen(a: str, b: str) -> str:
@@ -1152,6 +1154,22 @@ def _widen(a: str, b: str) -> str:
                 "(bigint does not fit a double exactly above 2^53; "
                 "refusing lossy widening)")
         return "double"
+    da, db = _DECIMAL_RE.match(a), _DECIMAL_RE.match(b)
+    if da and db:
+        # decimal(p,s) -> decimal(p',s): SAME-scale precision growth is
+        # the Iceberg/parquet decimal evolution rule — exact (every
+        # decimal(p,s) value IS a decimal(p',s) value for p' > p, no
+        # float transit). A SCALE change is refused: rescaling either
+        # rounds (shrink) or re-interprets unscaled longs (grow), and
+        # both silently alter stored values.
+        pa, sa = int(da.group(1)), int(da.group(2))
+        pb, sb = int(db.group(1)), int(db.group(2))
+        if sa != sb:
+            raise ValueError(
+                f"incompatible schema evolution: {a} vs {b} "
+                "(decimal SCALE changed; refusing a value-altering "
+                "rescale — only same-scale precision growth is exact)")
+        return f"decimal({max(pa, pb)},{sa})"
     raise ValueError(f"incompatible schema evolution: {a} vs {b}")
 
 
@@ -1218,9 +1236,14 @@ def maintenance_read_evolved_query(spark: SparkSession,
         # any SF); keys stay bigint — replica-shifted orderkeys exceed
         # int32 on the sf1+ ladder rungs, which is a data-domain fact,
         # not schema drift
+        # decimal drift rides an INTEGER-derived value (okey % 100000
+        # cast to decimal: fractional part .00 exact in both engines —
+        # a double->decimal cast would hit rounding-mode divergence)
+        dval = F.col("o_orderkey") % 100000
         g1 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
             F.col("o_orderkey").cast("bigint").alias("okey"),
-            cents.cast("int").alias("cents"))
+            cents.cast("int").alias("cents"),
+            dval.cast("decimal(12,2)").alias("dval"))
         g2 = orders.filter(F.col("o_orderkey") % 3 == 1).select(
             F.col("o_orderkey").cast("bigint").alias("okey"),
             cents.cast("bigint").alias("cents"),
@@ -1228,7 +1251,8 @@ def maintenance_read_evolved_query(spark: SparkSession,
             score.cast("float").alias("score"))
         g3 = orders.filter(F.col("o_orderkey") % 3 == 2).select(
             F.col("o_orderkey").cast("bigint").alias("okey"),
-            score.cast("double").alias("score"))
+            score.cast("double").alias("score"),
+            dval.cast("decimal(18,2)").alias("dval"))
         paths = []
         for i, g in enumerate((g1, g2, g3)):
             p = f"{base}/gen{i}"
@@ -1236,7 +1260,8 @@ def maintenance_read_evolved_query(spark: SparkSession,
             paths.append(p)
         u = read_evolved(spark, paths)
         assert [f.dataType.simpleString() for f in u.schema.fields] == \
-            ["bigint", "bigint", "string", "double"], u.schema
+            ["bigint", "bigint", "decimal(18,2)", "string", "double"], \
+            u.schema
         return u.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.sum("okey").cast("bigint").alias("sum_okey"),
@@ -1245,7 +1270,11 @@ def maintenance_read_evolved_query(spark: SparkSession,
             .cast("bigint").alias("n_null_cents"),
             F.count("priority").cast("bigint").alias("n_priority"),
             F.sum((F.col("score") * 4).cast("bigint"))
-            .cast("bigint").alias("sum_score_q")).localCheckpoint()
+            .cast("bigint").alias("sum_score_q"),
+            F.sum((F.col("dval") * 100).cast("bigint"))
+            .cast("bigint").alias("sum_dval_c"),
+            F.sum(F.col("dval").isNull().cast("bigint"))
+            .cast("bigint").alias("n_null_dval")).localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -1254,14 +1283,17 @@ _READ_EVOLVED_SQL = """
 WITH g1 AS (
   SELECT o_orderkey AS okey,
     CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+    CAST(o_orderkey % 100000 AS DECIMAL(12,2)) AS dval,
     NULL AS priority, CAST(NULL AS DOUBLE) AS score
   FROM orders WHERE o_orderkey % 3 = 0),
 g2 AS (
   SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+    CAST(NULL AS DECIMAL(18,2)),
     o_orderpriority, CAST(o_orderkey % 1000 AS DOUBLE) / 4
   FROM orders WHERE o_orderkey % 3 = 1),
 g3 AS (
-  SELECT o_orderkey, NULL, NULL, CAST(o_orderkey % 1000 AS DOUBLE) / 4
+  SELECT o_orderkey, NULL, CAST(o_orderkey % 100000 AS DECIMAL(18,2)),
+    NULL, CAST(o_orderkey % 1000 AS DOUBLE) / 4
   FROM orders WHERE o_orderkey % 3 = 2),
 u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
       UNION ALL SELECT * FROM g3)
@@ -1271,7 +1303,10 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
   CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     AS n_null_cents,
   CAST(COUNT(priority) AS BIGINT) AS n_priority,
-  CAST(SUM(CAST(score * 4 AS BIGINT)) AS BIGINT) AS sum_score_q
+  CAST(SUM(CAST(score * 4 AS BIGINT)) AS BIGINT) AS sum_score_q,
+  CAST(SUM(CAST(dval * 100 AS BIGINT)) AS BIGINT) AS sum_dval_c,
+  CAST(SUM(CASE WHEN dval IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_dval
 FROM u
 """
 

@@ -1915,10 +1915,59 @@ def scaled_codebook_two_level(n_rows: int) -> tuple[int, int, int]:
     return max(1, CENTROID_MOD // s), k, max(1, math.isqrt(k))
 
 
+def scaled_codebook_three_level(
+        n_rows: int) -> tuple[int, int, int, int, int | None]:
+    """(centroid_mod, n_centroids, n_super, n_super2, spread_every) for
+    the all-vectors operators with THREE-level assignment routing.
+
+    Two-level assignment (N·√k) balances cell scoring (N²/k) at
+    k ∝ N^(2/3) — both terms N^(4/3), and the sf100 ladder measured
+    that asymptote arriving at 2M+ vectors (18.84× on 10× data,
+    BENCH_SCALE.md r10). Routing through a THIRD level costs
+    N·(s2 + s1/s2 + k/s1) ≈ 3·N·k^(1/3), moving the balance point to
+    k ∝ N^(3/4): assignment and scoring are BOTH N^(5/4). Production
+    systems keep adding levels while the codebook outgrows the
+    broadcast budget; three is the deepest this repo ladders.
+
+    ``spread_every`` is the nested-hash centroid sampling modulus
+    (:func:`_spread_sample`): the dense-low-id window the flat/static
+    schedules use (``id % mod == 0 AND id < mod·k``) SATURATES when ids
+    are striped rather than dense — the scale_ladder fixture's
+    1e9-strided copies cap the effective codebook at the base-corpus
+    size no matter what k the schedule asks for (the hidden second
+    cause of the r10 sf100 finding). Hash-spread sampling draws
+    ~n_rows/spread_every centroids uniformly from WHATEVER id layout
+    the corpus has, so the codebook actually reaches its scheduled
+    size; nested moduli (every·e1, every·e1·e2) keep each level a
+    subset of the one below, mirroring the static stride construction.
+
+    Below the growth threshold this returns the static codebook with
+    ``n_super == n_super2 == n_centroids`` and ``spread_every=None`` —
+    consumers route that straight through flat :func:`ivf_assign`, so
+    plans and results at the sf0.01 oracle scale (and on the
+    adversarial edge corpora) are byte-identical to the flat path and
+    the fixed SQL oracles stay valid.
+    """
+    if n_rows < 4 * KNN_CODEBOOK_BASE_N:
+        return (CENTROID_MOD, N_CENTROIDS, N_CENTROIDS, N_CENTROIDS,
+                None)
+    r = n_rows // KNN_CODEBOOK_BASE_N
+    g = max(2, round(r ** 0.75))  # codebook growth factor: k ∝ N^(3/4)
+    k = N_CENTROIDS * g
+    s1 = max(2, round(k ** (2.0 / 3.0)))
+    s2 = max(1, round(k ** (1.0 / 3.0)))
+    if s2 >= s1:  # tiny-growth corner: keep the hierarchy strict
+        s2 = max(1, s1 // 2)
+    return (max(1, CENTROID_MOD // g), k, s1, s2,
+            max(1, n_rows // k))
+
+
 def _assigned_corpus(emb: DataFrame, id_col: str, vec_col: str,
                      centroid_mod: int = CENTROID_MOD,
                      n_centroids: int = N_CENTROIDS,
-                     n_super: int | None = None) -> DataFrame:
+                     n_super: int | None = None,
+                     n_super2: int | None = None,
+                     spread_every: int | None = None) -> DataFrame:
     """(id, cid, qv, n2) for every nonzero-norm vector — the coarse-
     partitioned corpus relation the graph/prune operators join on.
 
@@ -1936,7 +1985,13 @@ def _assigned_corpus(emb: DataFrame, id_col: str, vec_col: str,
     per reference. Checkpointed relations lose their size estimates, so
     consumers must put explicit merge hints on corpus-scaled joins (the
     BENCH_SCALE round-6 broadcast-OOM lesson)."""
-    if n_super is not None and n_super < n_centroids:
+    if (n_super is not None and n_super2 is not None
+            and n_super2 < n_super < n_centroids):
+        assign = ivf_assign_three_level(
+            emb, id_col, vec_col, centroid_mod, n_centroids, n_super,
+            n_super2, spread_every=spread_every) \
+            .select(F.col(id_col), F.col("cid"))
+    elif n_super is not None and n_super < n_centroids:
         assign = ivf_assign_two_level(
             emb, id_col, vec_col, centroid_mod, n_centroids, n_super) \
             .select(F.col(id_col), F.col("cid"))
@@ -1955,7 +2010,9 @@ def knn_graph(emb: DataFrame, id_col: str = "vec_id",
               centroid_mod: int = CENTROID_MOD,
               n_centroids: int = N_CENTROIDS,
               nprobe: int = 1,
-              n_super: int | None = None) -> DataFrame:
+              n_super: int | None = None,
+              n_super2: int | None = None,
+              spread_every: int | None = None) -> DataFrame:
     """Approximate k-nearest-neighbor graph over the WHOLE corpus.
 
     Unlike the ``similarity_*_topk`` family (fixed broadcast query set),
@@ -1983,10 +2040,12 @@ def knn_graph(emb: DataFrame, id_col: str = "vec_id",
     if nprobe not in (1, 2):
         raise ValueError(f"nprobe must be 1 or 2, got {nprobe}")
     # n_super routes cell assignment through the two-level quantizer
-    # (N·√k); the nprobe=2 second-cell probe below is flat-only — its
-    # own registered spec runs at the static codebook
+    # (N·√k); n_super2 additionally through the three-level one
+    # (N·k^(1/3), see scaled_codebook_three_level). The nprobe=2
+    # second-cell probe below is flat-only — its own registered spec
+    # runs at the static codebook
     base = _assigned_corpus(emb, id_col, vec_col, centroid_mod,
-                            n_centroids, n_super)
+                            n_centroids, n_super, n_super2, spread_every)
     if nprobe == 2:
         cents = (emb.select(F.col(id_col),
                             quantize(F.col(vec_col)).alias("qv"),
@@ -2032,11 +2091,12 @@ def knn_graph(emb: DataFrame, id_col: str = "vec_id",
 
 def similarity_knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
-    # one cheap count job sizes the codebook ∝ N^(2/3) with two-level
-    # assignment (see scaled_codebook_two_level); identical to the
+    # one cheap count job sizes the codebook ∝ N^(3/4) with three-level
+    # assignment (see scaled_codebook_three_level); identical to the
     # static flat (25, 16) at oracle scale
-    mod, k, s = scaled_codebook_two_level(emb.count())
-    return knn_graph(emb, centroid_mod=mod, n_centroids=k, n_super=s)
+    mod, k, s1, s2, ev = scaled_codebook_three_level(emb.count())
+    return knn_graph(emb, centroid_mod=mod, n_centroids=k, n_super=s1,
+                     n_super2=s2, spread_every=ev)
 
 
 _KNN_GRAPH_SQL = _coarse_sql_prefix(carry_n2=True, assigned="search") + f""", scored AS (
@@ -2101,7 +2161,9 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", tau: float = SEM_TAU,
                    centroid_mod: int = CENTROID_MOD,
                    n_centroids: int = N_CENTROIDS,
-                   n_super: int | None = None) -> DataFrame:
+                   n_super: int | None = None,
+                   n_super2: int | None = None,
+                   spread_every: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): drop semantic near-duplicates inside
     each embedding cluster, keeping the smallest id of every near-pair.
 
@@ -2117,7 +2179,7 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
     (cid, id), shuffle-keyed by the uniform id.
     """
     base = _assigned_corpus(emb, id_col, vec_col, centroid_mod,
-                            n_centroids, n_super)
+                            n_centroids, n_super, n_super2, spread_every)
     pairs = semantic_pairs_from_assigned(base, id_col, tau)
     removed = (pairs.select("cid", F.col("id_b").alias("rid")).distinct()
                .groupBy("cid").agg(F.count("*").alias("n_removed")))
@@ -2134,8 +2196,9 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
 
 def dedup_semantic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
-    mod, k, s = scaled_codebook_two_level(emb.count())
-    return semantic_dedup(emb, centroid_mod=mod, n_centroids=k, n_super=s)
+    mod, k, s1, s2, ev = scaled_codebook_three_level(emb.count())
+    return semantic_dedup(emb, centroid_mod=mod, n_centroids=k,
+                          n_super=s1, n_super2=s2, spread_every=ev)
 
 
 _DEDUP_SEMANTIC_SQL = _coarse_sql_prefix(carry_n2=True, assigned="search") + f""", pairs AS (
@@ -2286,6 +2349,209 @@ register(QuerySpec(
                 "production-codebook (10^4-10^5 lists) assignment path"))
 
 
+# --- three-level IVF coarse assignment (the N^(5/4) kNN-graph path) -------------
+
+N_SUPER2 = 2  # super²-cell count at the oracle scale (≈ k^(1/3))
+
+
+def _spread_sample(id_col: str, every: int) -> Column:
+    """Deterministic ~1/every id sample, UNIFORM over ANY id layout.
+
+    The flat window sample (``id % mod == 0 AND id < mod·count``)
+    assumes a dense low-id range; on striped or sparse id spaces it
+    saturates at however many ids happen to sit in the window (the
+    hidden second cause of the r10 sf100 kNN finding: the ladder's
+    1e9-strided replica ids capped the effective codebook at the base
+    corpus size). Hashing first makes the sample insensitive to layout,
+    and nested moduli (every, every·e1, every·e1·e2) make each
+    hierarchy level an exact subset of the one below — the property
+    the stride construction gives the static path.
+    """
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(every)) == 0
+
+
+def ivf_assign_three_level(emb: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           centroid_mod: int = CENTROID_MOD,
+                           n_centroids: int = N_CENTROIDS,
+                           n_super: int = N_SUPER,
+                           n_super2: int = N_SUPER2,
+                           spread_every: int | None = None) -> DataFrame:
+    """Three-level hierarchical IVF coarse quantizer: route through
+    ~k^(1/3) super²-cells, then ~k^(2/3) super-cells, then centroids.
+
+    Per-vector assignment work is s2 + s1/s2 + k/s1 ≈ 3·k^(1/3)
+    comparisons (vs √k two-level, k flat). With the codebook schedule
+    k ∝ N^(3/4) (:func:`scaled_codebook_three_level`) both the N·3k^(1/3)
+    assignment AND the N²/k cell scoring are N^(5/4) — the fix for the
+    N^(4/3) asymptote the r10 sf100 ladder measured at 2M+ vectors.
+    Every level's candidate relation is codebook-sized and broadcast;
+    the argmin joins explode to N·(level fan-out) rows but partial
+    min-struct aggregation combines them map-side, so each level
+    shuffles ~N rows once. Approximation: the true nearest centroid can
+    live across a super-cell boundary at either level (the recall knob
+    is multiprobe, as everywhere in this family).
+
+    ``spread_every``: when given, all three levels sample by nested id
+    hash (:func:`_spread_sample` — layout-robust, the scaled path);
+    when ``None``, by the static stride construction (deterministic in
+    plain SQL, so the fixed DuckDB oracle reproduces both levels).
+    With ``n_super2 == n_super == n_centroids`` the construction
+    degenerates to exact flat assignment (pinned by unit test).
+
+    Returns (id, super2_cid, super_cid, cid).
+    """
+    base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
+                      sq_norm(quantize(F.col(vec_col))).alias("n2"))
+    if spread_every is not None:
+        e1 = max(1, n_centroids // n_super)
+        e2 = max(1, n_super // n_super2)
+        cents_pred = _spread_sample(id_col, spread_every)
+        sup1_pred = _spread_sample("cid", spread_every * e1)
+        sup2_pred = _spread_sample("sid1", spread_every * e1 * e2)
+    else:
+        stride1 = max(1, n_centroids // n_super)
+        stride2 = max(1, n_super // n_super2)
+        cents_pred = _fixed_sample(id_col, centroid_mod, n_centroids)
+        sup1_pred = _fixed_sample("cid", centroid_mod * stride1, n_super)
+        sup2_pred = _fixed_sample("sid1", centroid_mod * stride1 * stride2,
+                                  n_super2)
+    cents = base.filter(cents_pred).select(
+        F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
+        F.col("n2").alias("cn2"))
+    sup1 = cents.filter(sup1_pred).select(
+        F.col("cid").alias("sid1"), F.col("cv").alias("s1v"),
+        F.col("cn2").alias("s1n2"))
+    sup2 = sup1.filter(sup2_pred).select(
+        F.col("sid1").alias("sid2"), F.col("s1v").alias("s2v"),
+        F.col("s1n2").alias("s2n2"))
+
+    def _argmin(df, vcol, ncol, keep, cands, ckey, cvec, cnorm,
+                route=None):
+        """struct-min L2 argmin over broadcast ``cands``; ``route``
+        restricts candidates to the parent cell via an equi-join."""
+        j = (df.crossJoin(F.broadcast(cands)) if route is None
+             else df.join(F.broadcast(cands), route))
+        scored = j.select(
+            *keep,
+            F.struct((F.col(ncol) + F.col(cnorm)
+                      - 2 * int_dot(F.col(vcol), F.col(cvec)))
+                     .alias("dist"),
+                     F.col(ckey)).alias("sd"))
+        return (scored.groupBy(*keep)
+                .agg(F.min("sd").alias("best"))
+                .select(*keep, F.col(f"best.{ckey}").alias(ckey)))
+
+    # codebook-internal routing (all relations codebook-sized)
+    s1map = _argmin(sup1, "s1v", "s1n2", ["sid1", "s1v", "s1n2"],
+                    sup2, "sid2", "s2v", "s2n2")
+    c2s2 = _argmin(cents, "cv", "cn2", ["cid", "cv", "cn2"],
+                   sup2, "sid2", "s2v", "s2n2")
+    c2s1 = _argmin(c2s2, "cv", "cn2", ["cid"],
+                   s1map, "sid1", "s1v", "s1n2", route="sid2")
+    cmap = cents.join(F.broadcast(c2s1), "cid")
+    # corpus routing: one shuffled row per vector per level
+    v2 = _argmin(base, "qv", "n2", [id_col, "qv", "n2"],
+                 sup2, "sid2", "s2v", "s2n2")
+    v1 = _argmin(v2, "qv", "n2", [id_col, "qv", "n2", "sid2"],
+                 s1map, "sid1", "s1v", "s1n2", route="sid2")
+    out = _argmin(v1, "qv", "n2", [id_col, "sid2", "sid1"],
+                  cmap, "cid", "cv", "cn2", route="sid1")
+    return out.select(F.col(id_col), F.col("sid2").alias("super2_cid"),
+                      F.col("sid1").alias("super_cid"), F.col("cid"))
+
+
+def similarity_ivf_three_level_query(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return ivf_assign_three_level(emb)
+
+
+def _three_level_sql(centroid_mod: int = CENTROID_MOD,
+                     n_centroids: int = N_CENTROIDS,
+                     n_super: int = N_SUPER,
+                     n_super2: int = N_SUPER2) -> str:
+    stride1 = max(1, n_centroids // n_super)
+    stride2 = max(1, n_super // n_super2)
+    dot = lambda a, b: (f"list_sum(list_transform(range(1, {DIM + 1}), "
+                        f"i -> {a}[i] * {b}[i]))")
+    return f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+base AS (
+  SELECT vec_id, qv,
+    list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS in2
+  FROM q
+), cents AS (
+  SELECT vec_id AS cid, qv AS cv, in2 AS cn2 FROM base
+  WHERE {_fixed_sample_sql('vec_id', centroid_mod, n_centroids)}
+), sup1 AS (
+  SELECT cid AS sid1, cv AS s1v, cn2 AS s1n2 FROM cents
+  WHERE {_fixed_sample_sql('cid', centroid_mod * stride1, n_super)}
+), sup2 AS (
+  SELECT sid1 AS sid2, s1v AS s2v, s1n2 AS s2n2 FROM sup1
+  WHERE {_fixed_sample_sql('sid1', centroid_mod * stride1 * stride2,
+                           n_super2)}
+), s1map AS (
+  SELECT sid1, sid2 FROM (
+    SELECT sup1.sid1, sup2.sid2,
+      ROW_NUMBER() OVER (PARTITION BY sup1.sid1
+        ORDER BY sup1.s1n2 + sup2.s2n2 - 2 * {dot('sup1.s1v', 'sup2.s2v')},
+                 sup2.sid2) AS rn
+    FROM sup1 CROSS JOIN sup2) WHERE rn = 1
+), c2s2 AS (
+  SELECT cid, sid2 FROM (
+    SELECT cents.cid, sup2.sid2,
+      ROW_NUMBER() OVER (PARTITION BY cents.cid
+        ORDER BY cents.cn2 + sup2.s2n2 - 2 * {dot('cents.cv', 'sup2.s2v')},
+                 sup2.sid2) AS rn
+    FROM cents CROSS JOIN sup2) WHERE rn = 1
+), c2s1 AS (
+  SELECT cid, sid1 FROM (
+    SELECT c.cid, m.sid1,
+      ROW_NUMBER() OVER (PARTITION BY c.cid
+        ORDER BY c.cn2 + s.s1n2 - 2 * {dot('c.cv', 's.s1v')}, m.sid1) AS rn
+    FROM cents c
+    JOIN c2s2 x ON x.cid = c.cid
+    JOIN s1map m ON m.sid2 = x.sid2
+    JOIN sup1 s ON s.sid1 = m.sid1) WHERE rn = 1
+), v2s2 AS (
+  SELECT vec_id, sid2 FROM (
+    SELECT base.vec_id, sup2.sid2,
+      ROW_NUMBER() OVER (PARTITION BY base.vec_id
+        ORDER BY base.in2 + sup2.s2n2 - 2 * {dot('base.qv', 'sup2.s2v')},
+                 sup2.sid2) AS rn
+    FROM base CROSS JOIN sup2) WHERE rn = 1
+), v2s1 AS (
+  SELECT vec_id, sid2, sid1 FROM (
+    SELECT b.vec_id, v.sid2, m.sid1,
+      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        ORDER BY b.in2 + s.s1n2 - 2 * {dot('b.qv', 's.s1v')}, m.sid1) AS rn
+    FROM base b
+    JOIN v2s2 v ON v.vec_id = b.vec_id
+    JOIN s1map m ON m.sid2 = v.sid2
+    JOIN sup1 s ON s.sid1 = m.sid1) WHERE rn = 1
+)
+SELECT vec_id, sid2 AS super2_cid, sid1 AS super_cid, cid FROM (
+  SELECT b.vec_id, v.sid2, v.sid1, c.cid,
+    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      ORDER BY b.in2 + c.cn2 - 2 * {dot('b.qv', 'c.cv')}, c.cid) AS rn
+  FROM base b
+  JOIN v2s1 v ON v.vec_id = b.vec_id
+  JOIN c2s1 x ON x.sid1 = v.sid1
+  JOIN cents c ON c.cid = x.cid) WHERE rn = 1
+"""
+
+
+register(QuerySpec(
+    "similarity_ivf_three_level", similarity_ivf_three_level_query,
+    _three_level_sql(),
+    description=f"three-level IVF coarse assignment through {N_SUPER2} "
+                f"super²- and {N_SUPER} super-cells: N·k^(1/3) build — "
+                "moves the kNN-graph codebook balance to k ∝ N^(3/4), "
+                "making build AND cell scoring N^(5/4) (the r10 sf100 "
+                "N^(4/3) asymptote fix)"))
+
+
 # --- PageRank over the kNN graph (integer-exact power iteration) ----------------
 
 PR_ROUNDS = 3
@@ -2342,9 +2608,9 @@ def similarity_knn_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame
     representativeness signal data-selection pipelines rank by (central
     docs summarize their semantic neighborhood). Top-N by rank."""
     emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
-    mod, k, s = scaled_codebook_two_level(emb.count())
-    graph = knn_graph(emb, centroid_mod=mod, n_centroids=k,
-                      n_super=s).select(
+    mod, k, s1, s2, ev = scaled_codebook_three_level(emb.count())
+    graph = knn_graph(emb, centroid_mod=mod, n_centroids=k, n_super=s1,
+                      n_super2=s2, spread_every=ev).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
     pr = graph_pagerank(graph)
     return (pr.orderBy(F.col("rank").desc(), F.col("id"))
@@ -3269,7 +3535,9 @@ def knn_classify_confusion(emb: DataFrame, id_col: str = "vec_id",
                            k: int = KNN_K,
                            centroid_mod: int = CENTROID_MOD,
                            n_centroids: int = N_CENTROIDS,
-                           n_super: int | None = None) -> DataFrame:
+                           n_super: int | None = None,
+                           n_super2: int | None = None,
+                           spread_every: int | None = None) -> DataFrame:
     """Leave-one-out kNN classification over the labeled embedding
     corpus: each vector's predicted label is the majority vote of its
     approximate k nearest neighbors (self excluded by the graph), and
@@ -3286,7 +3554,8 @@ def knn_classify_confusion(emb: DataFrame, id_col: str = "vec_id",
     |labels|²-bounded.
     """
     g = knn_graph(emb, id_col, vec_col, k, centroid_mod, n_centroids,
-                  nprobe=1, n_super=n_super)
+                  nprobe=1, n_super=n_super, n_super2=n_super2,
+                  spread_every=spread_every)
     nb_labels = emb.select(F.col(id_col).alias("neighbor_id"),
                            F.col(label_col).cast("int").alias("nb_label"))
     votes = (g.join(nb_labels, "neighbor_id")
@@ -3307,9 +3576,10 @@ def knn_classify_confusion(emb: DataFrame, id_col: str = "vec_id",
 def similarity_knn_classify_query(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
-    mod, k, s = scaled_codebook_two_level(emb.count())
+    mod, k, s1, s2, ev = scaled_codebook_three_level(emb.count())
     return knn_classify_confusion(emb, centroid_mod=mod, n_centroids=k,
-                                  n_super=s)
+                                  n_super=s1, n_super2=s2,
+                                  spread_every=ev)
 
 
 def _knn_classify_sql() -> str:
@@ -4208,8 +4478,9 @@ def similarity_hubness_query(spark: SparkSession,
     # size the codebook exactly like the registered graph query — the
     # FIXED default codebook is the quadratic cell-self-join trap the
     # sf1 ladder catches (21.6x measured before this sizing was added)
-    mod, k, s = scaled_codebook_two_level(emb.count())
-    return knn_hubness(emb, centroid_mod=mod, n_centroids=k, n_super=s)
+    mod, k, s1, s2, ev = scaled_codebook_three_level(emb.count())
+    return knn_hubness(emb, centroid_mod=mod, n_centroids=k, n_super=s1,
+                       n_super2=s2, spread_every=ev)
 
 
 def _hubness_sql() -> str:
@@ -4311,8 +4582,9 @@ def knn_triangles(emb: DataFrame, id_col: str = "vec_id",
 def similarity_triangles_query(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
-    mod, k, s = scaled_codebook_two_level(emb.count())
-    return knn_triangles(emb, centroid_mod=mod, n_centroids=k, n_super=s)
+    mod, k, s1, s2, ev = scaled_codebook_three_level(emb.count())
+    return knn_triangles(emb, centroid_mod=mod, n_centroids=k,
+                         n_super=s1, n_super2=s2, spread_every=ev)
 
 
 def _triangles_sql() -> str:

@@ -230,6 +230,8 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("dcd-spark-scale-ladder", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    from bench import host_anchor  # pinned JVM micro-anchor (bench.py)
+    anchor = host_anchor(spark)
     if rung == "sf100emb":
         # third decade on the embeddings rung (10M vectors)
         ensure_scaled(spark, BASE_SF, SCALE10_DIR, copies * 10,
@@ -244,6 +246,7 @@ def main() -> None:
                   for n in base}
         print(json.dumps({
             "metric": "scale_ladder", "data_ratio": 10,
+            "host_anchor_sec": anchor,
             "sf_base": 1.0 * copies, "sf_scaled": 10.0 * copies,
             "base_sec": base, "scaled_sec": scaled, "time_ratio": ratios,
             "base_total_sec": round(sum(base.values()), 3),
@@ -264,6 +267,7 @@ def main() -> None:
                   for n in base}
         print(json.dumps({
             "metric": "scale_ladder", "data_ratio": 10,
+            "host_anchor_sec": anchor,
             "sf_base": sf_base, "sf_scaled": sf_scaled,
             "base_sec": base, "scaled_sec": scaled, "time_ratio": ratios,
             "base_total_sec": round(sum(base.values()), 3),
@@ -287,6 +291,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "scale_ladder",
         "data_ratio": copies,
+        "host_anchor_sec": anchor,
         "sf_base": sf_base,
         "sf_scaled": sf_scaled,
         "base_sec": base,

@@ -590,3 +590,47 @@ def test_read_evolved_int_float_widens_to_double_bigint_refuses(
     spark.createDataFrame([(2**60,)], "v bigint").write.parquet(lb)
     with pytest.raises(ValueError, match="incompatible"):
         read_evolved(spark, [lb, fb])
+
+
+def test_read_evolved_decimal_precision_widens_scale_refuses(
+        spark, tmp_path):
+    """decimal(p,s) -> decimal(p',s): same-scale precision growth is the
+    other common parquet/Iceberg decimal evolution — EXACT (every
+    decimal(12,2) value is a decimal(18,2) value, no float transit;
+    pinned with a value whose unscaled long exceeds 2^53, which any
+    double round-trip would corrupt). A SCALE change refuses: either
+    direction alters stored values. decimal-vs-float also refuses (the
+    exact-vs-binary coercion is lossy both ways)."""
+    from decimal import Decimal
+
+    import pytest
+
+    from downscaledclimatedata_spark.operators.maintenance import (
+        _widen, read_evolved)
+
+    assert _widen("decimal(12,2)", "decimal(18,2)") == "decimal(18,2)"
+    assert _widen("decimal(18,2)", "decimal(12,2)") == "decimal(18,2)"
+    assert _widen("decimal(7,0)", "decimal(7,0)") == "decimal(7,0)"
+    with pytest.raises(ValueError, match="SCALE"):
+        _widen("decimal(12,2)", "decimal(12,4)")
+    with pytest.raises(ValueError, match="incompatible"):
+        _widen("decimal(12,2)", "double")
+    with pytest.raises(ValueError, match="incompatible"):
+        _widen("decimal(12,2)", "int")
+
+    lo = str(tmp_path / "dlo")
+    hi = str(tmp_path / "dhi")
+    # unscaled 2^53 + 1: survives only an exact decimal widening
+    big = Decimal("90071992547409.93")
+    spark.createDataFrame([(Decimal("12345.67"),)], "v decimal(12,2)") \
+        .write.parquet(lo)
+    spark.createDataFrame([(big,)], "v decimal(18,2)").write.parquet(hi)
+    got = read_evolved(spark, [lo, hi])
+    assert got.schema["v"].dataType.simpleString() == "decimal(18,2)"
+    assert sorted(r.v for r in got.collect()) == [Decimal("12345.67"), big]
+
+    bad = str(tmp_path / "dbad")
+    spark.createDataFrame([(Decimal("1.2345"),)], "v decimal(12,4)") \
+        .write.parquet(bad)
+    with pytest.raises(ValueError, match="SCALE"):
+        read_evolved(spark, [lo, bad])

@@ -107,6 +107,7 @@ BNLJ_OK = {
     "similarity_ivf_multiprobe",
     "similarity_ivf_refined",
     "similarity_ivf_topk",
+    "similarity_ivf_three_level",
     "similarity_ivf_two_level",
     "similarity_ivfpq_residual",
     "similarity_ivfpq_topk",

@@ -407,6 +407,91 @@ def test_two_level_agreement_gate(spark):
     assert agree >= 0.5, agree
 
 
+# --- ivf_assign_three_level ------------------------------------------------------
+
+def test_three_level_degenerates_to_flat_when_all_super(spark):
+    """With n_super2 == n_super == n_centroids both routing levels are
+    the full codebook, so three-level assignment must reproduce flat
+    assignment EXACTLY (the canon-scale guarantee)."""
+    import random
+    from downscaledclimatedata_spark.operators.similarity import (
+        ivf_assign, ivf_assign_three_level)
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(80)]
+    df = _emb(spark, rows)
+    flat = {r["vec_id"]: r["cid"]
+            for r in ivf_assign(df, centroid_mod=10, n_centroids=8).collect()}
+    three = {r["vec_id"]: r["cid"]
+             for r in ivf_assign_three_level(
+                 df, centroid_mod=10, n_centroids=8, n_super=8,
+                 n_super2=8).collect()}
+    assert three == flat
+
+
+def test_scaled_codebook_three_level_shape(spark):
+    """Below the growth threshold: static flat codebook (degenerate-
+    exact, spread_every=None so consumers route flat and canon oracles
+    hold). Above: k ∝ N^(3/4) (faster than the two-level N^(2/3)
+    schedule — affordable because three-level assignment is N·k^(1/3)),
+    s1 ≈ k^(2/3), s2 ≈ k^(1/3), and spread_every ≈ N/k so the hash
+    sample draws ~k centroids from ANY id layout."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        CENTROID_MOD, KNN_CODEBOOK_BASE_N, N_CENTROIDS,
+        scaled_codebook_three_level, scaled_codebook_two_level)
+    for n in (0, 1, KNN_CODEBOOK_BASE_N, 4 * KNN_CODEBOOK_BASE_N - 1):
+        assert scaled_codebook_three_level(n) == \
+            (CENTROID_MOD, N_CENTROIDS, N_CENTROIDS, N_CENTROIDS, None)
+    for n in (4 * KNN_CODEBOOK_BASE_N, 100 * KNN_CODEBOOK_BASE_N,
+              10_000 * KNN_CODEBOOK_BASE_N):
+        mod, k, s1, s2, ev = scaled_codebook_three_level(n)
+        _, k2, _ = scaled_codebook_two_level(n)
+        assert k >= k2, (k, k2)          # N^(3/4) >= N^(2/3) growth
+        assert 1 <= s2 < s1 < k, (s2, s1, k)
+        assert ev >= 1 and abs(n // ev - k) <= k, (n, ev, k)
+
+
+def test_three_level_spread_sample_survives_strided_ids(spark):
+    """THE r10 sf100 regression: the flat window sample (id % mod == 0
+    AND id < mod·k) saturates at the base-corpus size when ids are
+    striped by a large stride (scale_ladder replicas: i·1e9 + base), so
+    the codebook silently stops growing and cell scoring goes quadratic.
+    The hash-spread sample must draw centroids from EVERY stripe and
+    assign every vector."""
+    import random
+    from downscaledclimatedata_spark.operators.similarity import (
+        ivf_assign_three_level)
+    rnd = random.Random(5)
+    rows = [(copy * 1_000_000_000 + j,
+             [rnd.uniform(-1, 1) for _ in range(64)])
+            for copy in range(3) for j in range(120)]
+    df = _emb(spark, rows)
+    out = ivf_assign_three_level(
+        df, n_centroids=24, n_super=8, n_super2=3,
+        spread_every=len(rows) // 24).collect()
+    assert len(out) == len(rows)  # every vector assigned exactly once
+    stripes = {r["cid"] // 1_000_000_000 for r in out}
+    assert len(stripes) >= 2, stripes  # centroids from multiple stripes
+    # hierarchy is consistent: each cid routes under its own super cells
+    for r in out:
+        assert r["super2_cid"] is not None and r["super_cid"] is not None
+
+
+def test_three_level_agreement_gate(spark):
+    """Single-probe three-level routing must agree with flat assignment
+    on a majority of the sf0.01 corpus (one more approximate hand-off
+    than two-level, so a weaker bound would hide a routing bug)."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        ivf_assign, ivf_assign_three_level)
+    from downscaledclimatedata_spark.sources.tables import load_table
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    flat = {r["vec_id"]: r["cid"] for r in ivf_assign(emb).collect()}
+    three = {r["vec_id"]: r["cid"]
+             for r in ivf_assign_three_level(emb).collect()}
+    assert set(three) == set(flat)
+    agree = sum(1 for k in flat if three[k] == flat[k]) / len(flat)
+    assert agree >= 0.4, agree
+
+
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(texts=st.lists(_DOC_TEXT, min_size=1, max_size=6))
