@@ -5979,6 +5979,423 @@ register(QuerySpec("multimodal_decode_tiff", multimodal_decode_tiff_query,
                                "lying strip offsets -> NULL"))
 
 
+# --- real TIFF-LZW decode (MSB-first early-change LZW + predictor) ---------------
+
+# The family's GIF codec (r7) decodes LSB-first late-change LZW; TIFF
+# LZW is the OTHER variable-width discipline — codes packed MSB-first,
+# and the code width grows one entry EARLY (encoder bumps when the
+# next free entry reaches (1<<w)-1; the decoder, which lags the
+# encoder's table by exactly one entry at read time, must bump at
+# (1<<w)-2 — the fencepost that breaks naive ports of a GIF decoder).
+# Compression composes with the horizontal-differencing predictor
+# (tag 317 = 2): rows are stored as byte deltas, turning smooth
+# gradients into constant runs — which also makes every predicted
+# strip hit LZW's KwKwK code-not-yet-in-table case. T7 class: a
+# truncated code stream (EOI never arrives) -> NULL row.
+TIFFLZ_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("byte_order", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_strips", T.IntegerType()),
+    T.StructField("predictor", T.IntegerType()),
+    T.StructField("sum_px", T.LongType()),
+    T.StructField("sum_stored", T.LongType()),
+    T.StructField("first_px", T.IntegerType()),
+    T.StructField("last_px", T.IntegerType()),
+])
+
+TIFFLZ_W_BASE = 40
+TIFFLZ_W_MOD = 50
+TIFFLZ_H_BASE = 6
+TIFFLZ_H_MOD = 8
+TIFFLZ_RPS_MOD = 5
+TIFFLZ_A = 9173
+TIFFLZ_B = 104059
+TIFFLZ_C = 613651           # odd: raw rows cycle mod 256 only after 256
+TIFFLZ_PRED_MOD = 6         # every 6th doc predictor=1 (raw bytes)
+TIFFLZ_BE_MOD = 3           # every 3rd doc big-endian (MM)
+TIFFLZ_CORRUPT_MOD = 13     # truncated code stream, EOI never arrives
+
+
+def _build_tiff_lzw_codecs():
+    """Pure-stdlib TIFF-LZW writer + reader (compression = 5).
+
+    LZW discipline (vs the GIF codec): codes are packed MSB-FIRST into
+    the byte stream; ClearCode = 256, EOI = 257, first dynamic
+    entry 258, width 9 -> 12. EARLY CHANGE: the encoder widens when its
+    next free entry reaches (1<<w)-1. At the moment the decoder READS
+    code k it has made one FEWER table insertion than the encoder had
+    made when it WROTE code k (the decoder's insert needs the next
+    entry's first byte), so the decoder widens at (1<<w)-2 — one lower,
+    derived here from the alignment requirement and pinned by the
+    width-crossing roundtrip unit. Each strip is an independent stream
+    (Clear first, EOI last). The greedy encoder's constant-delta
+    predicted rows produce runs that force the decoder's KwKwK
+    (code == next_code) path.
+
+    Predictor (tag 317 = 2): each row stored as horizontal byte
+    deltas; the reader undifferences AFTER decompression, per row.
+    ``sum_stored`` reports the byte sum BEFORE undifferencing, so the
+    predictor reversal is independently pinned by the oracle.
+    """
+    import struct
+
+    CLEAR, EOI, FIRST = 256, 257, 258
+
+    def lzw_encode(data: bytes) -> bytes:
+        out = bytearray()
+        acc = n_acc = 0
+
+        def emit(code: int, width: int):
+            nonlocal acc, n_acc
+            acc = (acc << width) | code
+            n_acc += width
+            while n_acc >= 8:
+                n_acc -= 8
+                out.append((acc >> n_acc) & 0xFF)
+
+        width, next_code = 9, FIRST
+        table: dict = {bytes((i,)): i for i in range(256)}
+        emit(CLEAR, width)
+        w = b""
+        for b in data:
+            wc = w + bytes((b,))
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w], width)
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+            w = bytes((b,))
+        if w:
+            emit(table[w], width)
+        emit(EOI, width)
+        if n_acc:
+            out.append((acc << (8 - n_acc)) & 0xFF)
+        return bytes(out)
+
+    def lzw_decode(src: bytes):
+        """Decode one strip stream; None on any defect (T7): a code
+        beyond the table, or bits exhausted before EOI."""
+        out = bytearray()
+        pos = 0          # bit cursor, MSB-first
+        total = len(src) * 8
+
+        def read(width: int):
+            nonlocal pos
+            if pos + width > total:
+                return None
+            v = 0
+            p = pos
+            for _ in range(width):
+                v = (v << 1) | ((src[p >> 3] >> (7 - (p & 7))) & 1)
+                p += 1
+            pos = p
+            return v
+
+        width, next_code = 9, FIRST
+        table: list = [bytes((i,)) for i in range(256)] + [b"", b""]
+        prev = None
+        while True:
+            code = read(width)
+            if code is None:
+                return None           # truncated: EOI never arrived
+            if code == EOI:
+                return bytes(out)
+            if code == CLEAR:
+                width, next_code = 9, FIRST
+                del table[FIRST:]
+                prev = None
+                continue
+            if prev is None:          # first code after a clear
+                if code >= 256:
+                    return None
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+            elif code == next_code:   # KwKwK: not yet in the table
+                entry = prev + prev[:1]
+            else:
+                return None
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) - 2 and width < 12:
+                    width += 1        # decoder lags one entry: -2
+            prev = entry
+        return None
+
+    def make_tiff_lzw(d: int, w: int, h: int, rps: int, predictor: int,
+                      big_endian: bool, corrupt: bool) -> bytes:
+        e = ">" if big_endian else "<"
+        px = [bytes((d * TIFFLZ_A + y * TIFFLZ_B + x * TIFFLZ_C) % 256
+                    for x in range(w)) for y in range(h)]
+        strips = []
+        for s0 in range(0, h, rps):
+            raw = bytearray()
+            for row in px[s0:s0 + rps]:
+                if predictor == 2:
+                    raw += bytes((row[0],)) + bytes(
+                        (row[x] - row[x - 1]) % 256 for x in range(1, w))
+                else:
+                    raw += row
+            strips.append(lzw_encode(bytes(raw)))
+        if corrupt:  # truncate the final stream mid-code: EOI lost
+            strips[-1] = strips[-1][:max(1, len(strips[-1]) - 3)]
+        n_strips = len(strips)
+        data = b"".join(strips)
+        offs, pos = [], 8
+        for s in strips:
+            offs.append(pos)
+            pos += len(s)
+        counts = [len(s) for s in strips]
+        ifd_off = pos
+        tags = [(256, 3, 1, w), (257, 4, 1, h), (258, 3, 1, 8),
+                (259, 3, 1, 5), (262, 3, 1, 1),
+                (273, 4, n_strips, None), (277, 3, 1, 1),
+                (278, 3, 1, rps), (279, 4, n_strips, None),
+                (317, 3, 1, predictor)]
+        tags.sort()
+        arr_off = ifd_off + 2 + 12 * len(tags) + 4
+        ext = bytearray()
+
+        def _place(values):
+            off = arr_off + len(ext)
+            ext.extend(b"".join(struct.pack(e + "I", v) for v in values))
+            return off
+
+        entries = bytearray()
+        for tag, typ, cnt, val in tags:
+            if tag == 273:
+                val = offs[0] if n_strips == 1 else _place(offs)
+            elif tag == 279:
+                val = counts[0] if n_strips == 1 else _place(counts)
+            entries += struct.pack(e + "HHI", tag, typ, cnt)
+            if typ == 3:   # SHORT, left-justified: pad is order-free
+                entries += struct.pack(e + "H", val) + b"\x00\x00"
+            else:
+                entries += struct.pack(e + "I", val)
+        ifd = struct.pack(e + "H", len(tags)) + bytes(entries) \
+            + struct.pack(e + "I", 0)
+        head = (b"MM" if big_endian else b"II") \
+            + struct.pack(e + "H", 42) + struct.pack(e + "I", ifd_off)
+        return head + data + ifd + bytes(ext)
+
+    def decode_tiff_lzw_stats(blob: bytes):
+        try:
+            blob = bytes(blob)
+            if blob[:2] == b"II":
+                e = "<"
+            elif blob[:2] == b"MM":
+                e = ">"
+            else:
+                return None
+            if struct.unpack(e + "H", blob[2:4])[0] != 42:
+                return None
+            ifd_off = struct.unpack(e + "I", blob[4:8])[0]
+            if ifd_off + 2 > len(blob):
+                return None
+            n_tags = struct.unpack(e + "H", blob[ifd_off:ifd_off + 2])[0]
+            if ifd_off + 2 + 12 * n_tags + 4 > len(blob):
+                return None
+            tags = {}
+            for i in range(n_tags):
+                o = ifd_off + 2 + 12 * i
+                tag, typ, cnt = struct.unpack(e + "HHI", blob[o:o + 8])
+                field = blob[o + 8:o + 12]
+                size = {1: 1, 2: 1, 3: 2, 4: 4}.get(typ)
+                if size is None:
+                    continue
+                fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+                if size * cnt <= 4:
+                    vals = [struct.unpack(
+                        e + fmt, field[j * size:(j + 1) * size])[0]
+                        for j in range(cnt)]
+                else:
+                    off = struct.unpack(e + "I", field)[0]
+                    if off + size * cnt > len(blob):
+                        return None
+                    vals = [struct.unpack(
+                        e + fmt,
+                        blob[off + j * size:off + (j + 1) * size])[0]
+                        for j in range(cnt)]
+                tags[tag] = vals
+            try:
+                w, h = tags[256][0], tags[257][0]
+                offs, counts = tags[273], tags[279]
+            except KeyError:
+                return None
+            if w <= 0 or h <= 0 or len(offs) != len(counts):
+                return None
+            if tags.get(259, [1])[0] != 5:
+                return None
+            predictor = tags.get(317, [1])[0]
+            if predictor not in (1, 2):
+                return None
+            rps = tags.get(278, [h])[0]
+            rows = []
+            sum_stored = 0
+            for si, (off, cnt) in enumerate(zip(offs, counts)):
+                if off + cnt > len(blob):
+                    return None
+                dec = lzw_decode(blob[off:off + cnt])
+                if dec is None:
+                    return None
+                n_rows = min(rps, h - si * rps)
+                if len(dec) != n_rows * w:
+                    return None
+                sum_stored += sum(dec)
+                for r in range(n_rows):
+                    row = bytearray(dec[r * w:(r + 1) * w])
+                    if predictor == 2:   # undifference, per row
+                        for x in range(1, w):
+                            row[x] = (row[x] + row[x - 1]) % 256
+                    rows.append(bytes(row))
+            if len(rows) != h:
+                return None
+            sum_px = sum(sum(r) for r in rows)
+            return (blob[:2].decode("ascii"), w, h, len(offs),
+                    predictor, sum_px, sum_stored, rows[0][0],
+                    rows[-1][-1])
+        except Exception:
+            return None
+
+    return make_tiff_lzw, decode_tiff_lzw_stats, lzw_encode, lzw_decode
+
+
+(make_tiff_lzw, decode_tiff_lzw_stats,
+ tiff_lzw_encode, tiff_lzw_decode) = _build_tiff_lzw_codecs()
+
+
+def synthesize_tiff_lzw_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real TIFF-LZW bytes. Pixel (y, x) =
+    (d*TIFFLZ_A + y*TIFFLZ_B + x*TIFFLZ_C) % 256. Every
+    TIFFLZ_PRED_MOD-th doc stores RAW bytes (predictor 1 — stride
+    rows, the dictionary-heavy case that crosses the 9->10 width
+    boundary); the rest store horizontal deltas (predictor 2 —
+    constant runs, the KwKwK case). Every TIFFLZ_CORRUPT_MOD-th doc's
+    final code stream is truncated so EOI never arrives."""
+    mk = make_tiff_lzw
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                payloads.append(mk(
+                    d, TIFFLZ_W_BASE + d % TIFFLZ_W_MOD,
+                    TIFFLZ_H_BASE + d % TIFFLZ_H_MOD,
+                    1 + d % TIFFLZ_RPS_MOD,
+                    1 if d % TIFFLZ_PRED_MOD == 0 else 2,
+                    d % TIFFLZ_BE_MOD == 0,
+                    d % TIFFLZ_CORRUPT_MOD == 0))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        _synth, "doc_id long, payload binary")
+
+
+def decode_tiff_lzw(df: DataFrame) -> DataFrame:
+    dec = decode_tiff_lzw_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        keys = ("byte_order", "width", "height", "n_strips",
+                "predictor", "sum_px", "sum_stored", "first_px",
+                "last_px")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 9
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "byte_order": cols["byte_order"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "n_strips": pd.array(cols["n_strips"], dtype="Int32"),
+                "predictor": pd.array(cols["predictor"], dtype="Int32"),
+                "sum_px": pd.array(cols["sum_px"], dtype="Int64"),
+                "sum_stored": pd.array(cols["sum_stored"],
+                                       dtype="Int64"),
+                "first_px": pd.array(cols["first_px"], dtype="Int32"),
+                "last_px": pd.array(cols["last_px"], dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode,
+                                                      TIFFLZ_SCHEMA)
+
+
+def multimodal_decode_tiff_lzw_query(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Real TIFF-LZW parse end-to-end: MSB-first early-change LZW per
+    strip, horizontal-differencing predictor reversal; truncated code
+    streams -> NULL rows (T7)."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_tiff_lzw(synthesize_tiff_lzw_payloads(docs))
+
+
+_TIFFLZ_NULL = f"d % {TIFFLZ_CORRUPT_MOD} = 0"
+
+_MULTIMODAL_TIFFLZ_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST({TIFFLZ_W_BASE} + abs(doc_id) % {TIFFLZ_W_MOD} AS INT) AS width,
+    CAST({TIFFLZ_H_BASE} + abs(doc_id) % {TIFFLZ_H_MOD} AS INT) AS height,
+    1 + abs(doc_id) % {TIFFLZ_RPS_MOD} AS rps,
+    CASE WHEN abs(doc_id) % {TIFFLZ_PRED_MOD} = 0
+         THEN 1 ELSE 2 END AS predictor
+  FROM documents
+), s AS (
+  SELECT doc_id, d, width, height, predictor,
+    CAST((height + rps - 1) // rps AS INT) AS n_strips,
+    list_sum(list_transform(range(0, width * height),
+      i -> (d * {TIFFLZ_A} + (i // width) * {TIFFLZ_B}
+            + (i % width) * {TIFFLZ_C}) % 256)) AS sum_px,
+    -- predictor-2 rows store [p(y,0), delta x (w-1)] with the delta
+    -- constant = C mod 256 (arithmetic-progression rows)
+    list_sum(list_transform(range(0, height),
+      y -> (d * {TIFFLZ_A} + y * {TIFFLZ_B}) % 256))
+      + height * (width - 1) * ({TIFFLZ_C} % 256) AS sum_diff
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN {_TIFFLZ_NULL} THEN NULL
+       WHEN d % {TIFFLZ_BE_MOD} = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+  CASE WHEN {_TIFFLZ_NULL} THEN NULL ELSE width END AS width,
+  CASE WHEN {_TIFFLZ_NULL} THEN NULL ELSE height END AS height,
+  CASE WHEN {_TIFFLZ_NULL} THEN NULL ELSE n_strips END AS n_strips,
+  CASE WHEN {_TIFFLZ_NULL} THEN NULL ELSE predictor END AS predictor,
+  CASE WHEN {_TIFFLZ_NULL} THEN NULL
+       ELSE CAST(sum_px AS BIGINT) END AS sum_px,
+  CASE WHEN {_TIFFLZ_NULL} THEN NULL
+       WHEN predictor = 2 THEN CAST(sum_diff AS BIGINT)
+       ELSE CAST(sum_px AS BIGINT) END AS sum_stored,
+  CASE WHEN {_TIFFLZ_NULL} THEN NULL
+       ELSE CAST((d * {TIFFLZ_A}) % 256 AS INT) END AS first_px,
+  CASE WHEN {_TIFFLZ_NULL} THEN NULL
+       ELSE CAST((d * {TIFFLZ_A} + (height - 1) * {TIFFLZ_B}
+                  + (width - 1) * {TIFFLZ_C}) % 256 AS INT) END AS last_px
+FROM s
+"""
+
+register(QuerySpec(
+    "multimodal_decode_tiff_lzw", multimodal_decode_tiff_lzw_query,
+    _MULTIMODAL_TIFFLZ_SQL,
+    description="real TIFF-LZW decode: MSB-first variable-width codes "
+                "with EARLY width change (decoder lags the encoder one "
+                "table entry), per-strip Clear/EOI streams, KwKwK runs "
+                "from constant-delta predictor rows, horizontal-"
+                "differencing reversal; truncated code stream -> NULL"))
+
+
 # --- real BMP RLE8 decode (escape codes, delta moves, bottom-up rows) ------------
 
 # RLE8 is the family's first ESCAPE-DRIVEN compression: the stream

@@ -67,7 +67,9 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
                           keep: str = "min_id",
                           audits: list | None = None,
                           text_col: str = "text", id_col: str = "doc_id",
-                          source_col: str = "source") -> CorpusBuildResult:
+                          source_col: str = "source",
+                          stage_times: dict | None = None
+                          ) -> CorpusBuildResult:
     """Raw documents -> written training shards; returns stage counts.
 
     Zero-extra-pass funnel: every stage count is an ``Observation``
@@ -107,7 +109,22 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
     ``out_dir`` untouched and the staging files for inspection
     (``publish_report`` carries the verdict either way).
     """
+    import time as _time
+
     from pyspark.sql import Observation
+
+    # stage_times (opt-in, pass a dict): per-stage wall seconds at the
+    # funnel's EAGER boundaries (each stage materializes via its
+    # localCheckpoint / write, so boundary deltas attribute real work)
+    # — the ladder's curvature-attribution hook, zero cost when None.
+    _t_last = _time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t_last
+        if stage_times is not None:
+            now = _time.perf_counter()
+            stage_times[stage] = round(now - _t_last, 3)
+            _t_last = now
 
     # Stage 0 (opt-in): Unicode NFC canonicalization BEFORE any hashing
     # stage — composed-vs-decomposed encodings of the same text would
@@ -154,6 +171,7 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
     # all-rejected corpus must report 0, like the oracle's coalesce
     n_input, n_quality = qm["n_input"], int(qm["n_pass"] or 0)
     n_normalized = int(obs_u.get["n_changed"] or 0) if obs_u else 0
+    _mark("quality")
 
     # Stage 1b (opt-in): benchmark decontamination BEFORE near-dup
     # prune, so a contaminated doc can never be elected the cluster
@@ -171,6 +189,7 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
                         .observe(obs_c, F.count(F.lit(1)).alias("n_rows"))
                         .localCheckpoint())
         n_decon = int(n_quality) - int(obs_c.get["n_rows"])
+        _mark("decontaminate")
 
     # Stage 2: near-dup prune over the checkpointed survivors.
     if keep not in ("min_id", "quality"):
@@ -183,6 +202,7 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
         .observe(obs_d, F.count(F.lit(1)).alias("n_rows")) \
         .localCheckpoint()
     n_dedup = obs_d.get["n_rows"]
+    _mark("dedup")
 
     rates = domain_mixture_sample(deduped, budget_tokens,
                                   source_col=source_col, text_col=text_col,
@@ -205,6 +225,7 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
     obs_df, obs = observed(cleaned, "pipeline")
     obs_df = obs_df.localCheckpoint()
     metrics = obs.get
+    _mark("mixture_clean")
     order = global_shuffle(obs_df, n_shards, id_col=id_col,
                            seed=f"{seed}-order")
     final = obs_df.join(order, id_col)
@@ -217,6 +238,7 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
             lambda staging: write_training_shards(final, staging))
     else:
         write_training_shards(final, out_dir)
+    _mark("shuffle_write")
 
     return CorpusBuildResult(
         n_input=n_input, n_quality_pass=n_quality,

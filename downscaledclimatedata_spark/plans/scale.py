@@ -942,3 +942,55 @@ register(QuerySpec("q129_udtf_ngram_profile", q129_udtf_ngram_profile,
                    description="polymorphic UDTF: analyze()-computed "
                                "schema from a literal argument, TABLE "
                                "input, per-doc char n-gram profile"))
+
+
+# --- q134: the ARROW-optimized UDTF twin — full corpus, no demo cap ---------------
+
+
+def q134_udtf_ngram_profile_arrow(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The scale-honest twin of q129: the SAME polymorphic UDTF class
+    (same ``analyze``-computed schema, same per-row profile) executed
+    through Spark 4's ARROW-optimized Python UDTF path
+    (``udtf(..., useArrow=True)``) over the FULL documents table — no
+    ``doc_id < 200`` demo cap. Arrow replaces the per-row pickle
+    round-trip with columnar batch transfer, which is what makes a
+    row-at-a-time UDTF surface acceptable on a corpus: the Python work
+    per row is a handful of slicing ops; the serialization tax was the
+    scale problem. q129 stays registered as the capped row-pickle
+    reference so the two protocols are testable against the SAME
+    oracle shape.
+    """
+    from pyspark.sql.functions import udtf
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("q134_docs")
+    spark.udtf.register("ngram_profile_arrow",
+                        udtf(NgramProfile, useArrow=True))
+    ns = ",".join(str(n) for n in Q129_NS)
+    return spark.sql(f"""
+        SELECT * FROM ngram_profile_arrow(
+            TABLE(SELECT doc_id, text FROM q134_docs), '{ns}')
+    """)
+
+
+def _q134_sql() -> str:
+    cols = []
+    for n in Q129_NS:
+        m = f"greatest(length(t) - {n} + 1, 0)"
+        cols.append(f"CAST({m} AS BIGINT) AS n{n}_total")
+        cols.append(
+            f"CAST(len(list_distinct(list_transform(range(1, {m} + 1), "
+            f"i -> substring(t, CAST(i AS INT), {n})))) AS BIGINT) "
+            f"AS n{n}_distinct")
+    return f"""
+SELECT doc_id, {', '.join(cols)}
+FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+"""
+
+register(QuerySpec("q134_udtf_ngram_profile_arrow",
+                   q134_udtf_ngram_profile_arrow, _q134_sql(),
+                   description="Arrow-optimized polymorphic UDTF over "
+                               "the FULL corpus (useArrow=True, no demo "
+                               "cap): same analyze-time schema as q129, "
+                               "columnar batch transfer instead of "
+                               "per-row pickle"))

@@ -567,3 +567,136 @@ register(QuerySpec(
                 "streaming query (dual watermarks, append mode, 4 "
                 "micro-batches) — emits exactly the batch interval "
                 "join"))
+
+
+# --- streaming twin #3: LATE-DATA DROP under a SHORT watermark, pinned ------------
+
+ATTR_LATE_BASE_S = 1_700_000_000   # fixed synthetic epoch (seconds)
+ATTR_LATE_EPOCH_GAP = {0: 0, 1: 7200, 2: 0, 3: 10800}  # file -> offset
+ATTR_LATE_SPAN_S = 600             # epoch width == join window == horizon
+_HB_CLICK_USER = -(2 ** 61)        # heartbeat identities: far outside
+_HB_PURCHASE_USER = -(2 ** 61) - 1  # any real or edge-corpus id range
+
+
+def streaming_attribution_late_drop_query(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    """The race round 10 FOUND, turned into pinned behavior: a SHORT
+    watermark + out-of-order file arrival makes a real streaming join
+    DROP genuinely-late rows. The r10 spec certifies equality with
+    batch by setting the horizon past the data span; this spec runs
+    the same join with horizon = 10 minutes against a replay that is
+    deliberately out of order — and DETERMINISTIC, unlike the race:
+
+    - Rows get SYNTHETIC event times in four 600 s epochs keyed by
+      ``pmod(event_id, 4)``: files 0 and 2 share the OLD epoch, files
+      1 and 3 sit 2 h and 3 h later.
+    - Each file is staged as ONE parquet file whose mtime is set
+      explicitly (``os.utime``), because the file source orders new
+      files by modification time — the r10 nondeterminism was exactly
+      an unpinned mtime race. Arrival order is 0, 1, 2, 3.
+    - Every file carries one heartbeat click AND one heartbeat
+      purchase at its epoch's end (reserved user ids that can never
+      match anything), so BOTH sides' watermarks advance every batch
+      even on adversarial corpora with no clicks or no purchases —
+      the global watermark is the MIN across sides.
+
+    After batch 1 the watermark stands at (BASE + 7200 + 599) - 600,
+    far above file 2's whole epoch, so EVERY file-2 row is late and
+    dropped — purchases and clicks alike. The oracle is the batch
+    interval join over the NON-dropped buckets (b != 2), computable
+    relationally because the late set is a pure function of the
+    arrival order and horizon. Reference: loca2.py has no streaming;
+    the semantics pinned here are Spark's own late-data contract.
+    """
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+    import time as timemod
+    import uuid
+
+    from downscaledclimatedata_spark.streaming.stream import (
+        attribution_join)
+
+    ev = load_table(spark, sf_dir, "events") \
+        .filter(F.col("event_type").isin("click", "purchase"))
+    b = F.pmod(F.col("event_id"), F.lit(4)).cast("int")
+    epoch = (F.when(b == 1, F.lit(ATTR_LATE_EPOCH_GAP[1]))
+             .when(b == 3, F.lit(ATTR_LATE_EPOCH_GAP[3]))
+             .otherwise(F.lit(0)))
+    off = F.pmod(F.expr("event_id div 4"), F.lit(ATTR_LATE_SPAN_S))
+    staged = ev.select(
+        "event_id", "user_id", "event_type", b.alias("bucket"),
+        F.timestamp_seconds(F.lit(ATTR_LATE_BASE_S) + epoch + off)
+        .alias("ts"))
+    base = tempfile.mkdtemp(prefix="dcd_slate_")
+    try:
+        edir = f"{base}/events"
+        os.makedirs(edir)
+        t0 = int(timemod.time()) - 3600
+        for bi in range(4):
+            hb_ts = (ATTR_LATE_BASE_S + ATTR_LATE_EPOCH_GAP[bi]
+                     + ATTR_LATE_SPAN_S - 1)
+            hb = spark.createDataFrame(
+                [(-(10 + bi), _HB_CLICK_USER, "click"),
+                 (-(20 + bi), _HB_PURCHASE_USER, "purchase")],
+                "event_id long, user_id long, event_type string"
+            ).select("event_id", "user_id", "event_type",
+                     F.timestamp_seconds(F.lit(hb_ts)).alias("ts"))
+            part_dir = f"{base}/tmp{bi}"
+            (staged.filter(F.col("bucket") == bi).drop("bucket")
+             .unionByName(hb).coalesce(1).write.parquet(part_dir))
+            part = globmod.glob(f"{part_dir}/part-*.parquet")[0]
+            dst = f"{edir}/f{bi}.parquet"
+            shutil.move(part, dst)
+            os.utime(dst, (t0 + 100 * bi, t0 + 100 * bi))
+        schema = spark.read.parquet(edir).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(edir))
+        joined = attribution_join(stream, watermark="10 minutes")
+        name = f"slate_{uuid.uuid4().hex[:8]}"
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", f"{base}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        out = spark.table(name).select(
+            "user_id", "purchase_id", "click_id",
+            F.unix_timestamp("p_ts").cast("bigint").alias("p_s"),
+            F.unix_timestamp("c_ts").cast("bigint").alias("c_s"))
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_STREAM_ATTR_LATE_SQL = f"""
+WITH s AS (
+  SELECT event_id, user_id, event_type,
+    ((event_id % 4) + 4) % 4 AS b,
+    {ATTR_LATE_BASE_S}
+      + CASE ((event_id % 4) + 4) % 4
+          WHEN 1 THEN {ATTR_LATE_EPOCH_GAP[1]}
+          WHEN 3 THEN {ATTR_LATE_EPOCH_GAP[3]} ELSE 0 END
+      + ((((event_id // 4) % {ATTR_LATE_SPAN_S}) + {ATTR_LATE_SPAN_S})
+         % {ATTR_LATE_SPAN_S}) AS t_s
+  FROM events WHERE event_type IN ('click', 'purchase')
+), live AS (
+  -- bucket 2 arrives entirely below the post-batch-1 watermark: every
+  -- one of its rows is late and dropped, both sides of the join
+  SELECT * FROM s WHERE b <> 2
+)
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+  CAST(p.t_s AS BIGINT) AS p_s, CAST(c.t_s AS BIGINT) AS c_s
+FROM live p JOIN live c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.t_s <= p.t_s AND c.t_s >= p.t_s - {ATTR_LATE_SPAN_S}
+"""
+
+register(QuerySpec(
+    "streaming_attribution_late_drop",
+    streaming_attribution_late_drop_query, _STREAM_ATTR_LATE_SQL,
+    description="late-data DROP pinned: out-of-order replay (mtime-"
+                "pinned file order, per-epoch dual heartbeats) under a "
+                "10-minute watermark — the late bucket vanishes from "
+                "the join exactly as the relational oracle predicts"))

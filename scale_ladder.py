@@ -212,6 +212,45 @@ def time_headlines(spark, sf_dir: str,
     return timings
 
 
+def time_builders(spark, sf_dir: str) -> dict:
+    """Both corpus-builder shapes (min_id funnel; quality-elected +
+    write-audit-publish) end-to-end at ``sf_dir``, with the PER-STAGE
+    wall split from build_training_corpus's eager boundaries — the
+    attribution hook for any decade curvature (r10 verdict #2: the
+    builders' first decade was overhead-dominated, i.e. untested where
+    it costs)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+    from downscaledclimatedata_spark.pipeline import (
+        _quality_build_audits, build_training_corpus)
+
+    out = {}
+    for shape, kw in (("min_id", {}),
+                      ("quality_wap", {"keep": "quality",
+                                       "audits": _quality_build_audits()})):
+        stages: dict = {}
+        tmp = tempfile.mkdtemp(prefix="dcd_ladder_builder_")
+        try:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            is_eval = (md5_long(F.col("doc_id").cast("string"),
+                                seed="decon:") % 41 == 0)
+            t0 = time.perf_counter()
+            build_training_corpus(
+                docs.filter(~is_eval), f"{tmp}/corpus",
+                budget_tokens=200_000, n_shards=8,
+                eval_docs=docs.filter(is_eval),
+                stage_times=stages, **kw)
+            total = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        out[shape] = {"total_sec": total, "stages": stages}
+    return out
+
+
 def main() -> None:
     copies = COPIES
     if "--copies" in sys.argv:
@@ -232,6 +271,29 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from bench import host_anchor  # pinned JVM micro-anchor (bench.py)
     anchor = host_anchor(spark)
+    if rung == "builders":
+        # second decade (sf1 -> sf10) for BOTH corpus-builder shapes,
+        # quality/WAP path on, with the per-stage wall split
+        ensure_scaled(spark, BASE_SF, SCALE_DIR, copies)
+        ensure_scaled(spark, BASE_SF, SCALE10_DIR, copies * 10,
+                      tables=SF10_TABLES)
+        base = time_builders(spark, SCALE_DIR)
+        scaled = time_builders(spark, SCALE10_DIR)
+        ratios = {s: round(scaled[s]["total_sec"] / base[s]["total_sec"], 2)
+                  for s in base}
+        stage_ratios = {
+            s: {st: (round(scaled[s]["stages"][st]
+                           / base[s]["stages"][st], 2)
+                     if base[s]["stages"].get(st) else None)
+                for st in scaled[s]["stages"]}
+            for s in base}
+        print(json.dumps({
+            "metric": "scale_ladder_builders", "data_ratio": 10,
+            "host_anchor_sec": anchor,
+            "sf_base": 0.1 * copies, "sf_scaled": 1.0 * copies,
+            "base": base, "scaled": scaled, "time_ratio": ratios,
+            "stage_ratios": stage_ratios}))
+        return
     if rung == "sf100emb":
         # third decade on the embeddings rung (10M vectors)
         ensure_scaled(spark, BASE_SF, SCALE10_DIR, copies * 10,

@@ -1371,6 +1371,54 @@ def test_tiff_codec_directory_strips_packbits_and_lies():
     assert (st[7], st[8]) == (1, 9)
 
 
+def test_tiff_lzw_codec_roundtrip_widths_kwkwk_and_truncation():
+    """Byte-level TIFF-LZW behavior: MSB-first variable-width codes
+    roundtrip across the 9->10->11 width boundaries (the early-change
+    fencepost: decoder widens at (1<<w)-2, one entry below the
+    encoder); constant runs exercise KwKwK; the predictor-2 container
+    undifferences back to the exact pixel formula; truncated code
+    streams (EOI never arrives) reject."""
+    import random
+
+    from downscaledclimatedata_spark.operators.multimodal import (
+        TIFFLZ_A, TIFFLZ_B, TIFFLZ_C, decode_tiff_lzw_stats,
+        make_tiff_lzw, tiff_lzw_decode, tiff_lzw_encode)
+
+    rnd = random.Random(42)
+    for data in (b"", b"\x07" * 700,            # KwKwK run
+                 bytes(range(256)) * 4,          # crosses 9->10
+                 bytes(rnd.randrange(256) for _ in range(3000)),  # ->11
+                 b"abab" * 200):
+        assert tiff_lzw_decode(tiff_lzw_encode(data)) == data
+    enc = tiff_lzw_encode(b"hello world" * 40)
+    assert tiff_lzw_decode(enc[:-3]) is None     # EOI never arrives
+    assert tiff_lzw_decode(b"") is None
+
+    d, w, h, rps = 77, 60, 9, 4
+    for be in (False, True):
+        for pred in (1, 2):
+            st = decode_tiff_lzw_stats(make_tiff_lzw(
+                d, w, h, rps, pred, be, corrupt=False))
+            assert st is not None
+            assert st[0] == ("MM" if be else "II")
+            assert st[1:5] == (w, h, 3, pred)
+            want = sum((d * TIFFLZ_A + y * TIFFLZ_B
+                        + x * TIFFLZ_C) % 256
+                       for y in range(h) for x in range(w))
+            assert st[5] == want
+            if pred == 2:   # stored bytes are the differenced rows
+                assert st[6] == sum(
+                    (d * TIFFLZ_A + y * TIFFLZ_B) % 256
+                    for y in range(h)) + h * (w - 1) * (TIFFLZ_C % 256)
+            else:
+                assert st[6] == want
+            assert st[7] == (d * TIFFLZ_A) % 256
+            assert st[8] == (d * TIFFLZ_A + (h - 1) * TIFFLZ_B
+                             + (w - 1) * TIFFLZ_C) % 256
+    assert decode_tiff_lzw_stats(make_tiff_lzw(
+        d, w, h, rps, 2, False, corrupt=True)) is None
+
+
 def test_bmprle_codec_escapes_flip_and_bounds():
     """Byte-level RLE8 behavior: bottom-up rows are flipped (first_px
     is the IMAGE top-left, i.e. the LAST row in file order); delta
