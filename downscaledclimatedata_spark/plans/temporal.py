@@ -572,7 +572,7 @@ register(QuerySpec(
 # --- streaming twin #3: LATE-DATA DROP under a SHORT watermark, pinned ------------
 
 ATTR_LATE_BASE_S = 1_700_000_000   # fixed synthetic epoch (seconds)
-ATTR_LATE_EPOCH_GAP = {0: 0, 1: 7200, 2: 0, 3: 10800}  # file -> offset
+ATTR_LATE_EPOCH_GAP = {0: 0, 1: 7200, 2: 10800, 3: 0}  # bucket -> offset
 ATTR_LATE_SPAN_S = 600             # epoch width == join window == horizon
 _HB_CLICK_USER = -(2 ** 61)        # heartbeat identities: far outside
 _HB_PURCHASE_USER = -(2 ** 61) - 1  # any real or edge-corpus id range
@@ -580,33 +580,46 @@ _HB_PURCHASE_USER = -(2 ** 61) - 1  # any real or edge-corpus id range
 
 def streaming_attribution_late_drop_query(spark: SparkSession,
                                           sf_dir: str) -> DataFrame:
-    """The race round 10 FOUND, turned into pinned behavior: a SHORT
-    watermark + out-of-order file arrival makes a real streaming join
-    DROP genuinely-late rows. The r10 spec certifies equality with
-    batch by setting the horizon past the data span; this spec runs
-    the same join with horizon = 10 minutes against a replay that is
-    deliberately out of order — and DETERMINISTIC, unlike the race:
+    """The race round 10 FOUND, turned into pinned behavior: under a
+    SHORT watermark, genuinely-late rows lose their matches in a real
+    stream-stream join. Building this spec pinned the MECHANISM, which
+    is sharper than r10's phrasing: Spark does NOT input-filter late
+    rows on an inner join (a late row one batch behind still matched —
+    observed here first-hand; the progress log shows the late batch
+    joining below the watermark). The guaranteed drop is STATE
+    EVICTION: once the watermark passes an epoch, the opposing side's
+    state for it is removed at batch commit, so a late row arriving
+    AFTER that eviction finds nothing to match. The replay is built to
+    make eviction — not scheduling luck — decide the outcome:
 
-    - Rows get SYNTHETIC event times in four 600 s epochs keyed by
-      ``pmod(event_id, 4)``: files 0 and 2 share the OLD epoch, files
-      1 and 3 sit 2 h and 3 h later.
+    - Rows get SYNTHETIC event times in 600 s epochs keyed by
+      ``pmod(event_id, 4)``: buckets 0 and 3 share the OLD epoch,
+      buckets 1 and 2 sit 2 h and 3 h later.
+    - Bucket 3's CLICKS are withheld into the LAST file; bucket 3's
+      purchases ride file 0 on time. Arrival epochs: OLD, +2 h, +3 h,
+      then the late OLD clicks — TWO watermark advances after their
+      epoch, so every purchase they could match is provably evicted
+      (purchase state evicts when wm > p_ts; click state when
+      wm > c_ts + window — both cleared by wm ≈ BASE+7200-1). A
+      one-batch lag would NOT be enough; that is exactly the
+      first-draft mistake this spec's history encodes.
     - Each file is staged as ONE parquet file whose mtime is set
       explicitly (``os.utime``), because the file source orders new
       files by modification time — the r10 nondeterminism was exactly
       an unpinned mtime race. Arrival order is 0, 1, 2, 3.
     - Every file carries one heartbeat click AND one heartbeat
-      purchase at its epoch's end (reserved user ids that can never
-      match anything), so BOTH sides' watermarks advance every batch
-      even on adversarial corpora with no clicks or no purchases —
-      the global watermark is the MIN across sides.
+      purchase (reserved user ids that can never match anything), so
+      BOTH sides' watermarks advance every batch even on adversarial
+      corpora with no clicks or no purchases — the global watermark
+      is the MIN across sides.
 
-    After batch 1 the watermark stands at (BASE + 7200 + 599) - 600,
-    far above file 2's whole epoch, so EVERY file-2 row is late and
-    dropped — purchases and clicks alike. The oracle is the batch
-    interval join over the NON-dropped buckets (b != 2), computable
-    relationally because the late set is a pure function of the
-    arrival order and horizon. Reference: loca2.py has no streaming;
-    the semantics pinned here are Spark's own late-data contract.
+    The oracle is the batch interval join minus the late click set —
+    computable relationally because the late set is a pure function
+    of arrival order + horizon: every pair except those whose click
+    is a bucket-3 click. Reference: loca2.py has no streaming; the
+    semantics pinned here are Spark's own late-data contract
+    ("data delayed more than the horizon may or may not be
+    processed" — this replay makes the MAY NOT deterministic).
     """
     import glob as globmod
     import os
@@ -622,11 +635,15 @@ def streaming_attribution_late_drop_query(spark: SparkSession,
         .filter(F.col("event_type").isin("click", "purchase"))
     b = F.pmod(F.col("event_id"), F.lit(4)).cast("int")
     epoch = (F.when(b == 1, F.lit(ATTR_LATE_EPOCH_GAP[1]))
-             .when(b == 3, F.lit(ATTR_LATE_EPOCH_GAP[3]))
-             .otherwise(F.lit(0)))
+             .when(b == 2, F.lit(ATTR_LATE_EPOCH_GAP[2]))
+             .otherwise(F.lit(0)))   # buckets 0 and 3: the OLD epoch
     off = F.pmod(F.expr("event_id div 4"), F.lit(ATTR_LATE_SPAN_S))
+    # file routing: bucket-3 CLICKS arrive LAST (file 3, two watermark
+    # advances after their epoch); bucket-3 purchases ride file 0
+    fid = (F.when((b == 3) & (F.col("event_type") == "click"), F.lit(3))
+           .when(b == 3, F.lit(0)).otherwise(b))
     staged = ev.select(
-        "event_id", "user_id", "event_type", b.alias("bucket"),
+        "event_id", "user_id", "event_type", fid.alias("bucket"),
         F.timestamp_seconds(F.lit(ATTR_LATE_BASE_S) + epoch + off)
         .alias("ts"))
     base = tempfile.mkdtemp(prefix="dcd_slate_")
@@ -676,14 +693,15 @@ WITH s AS (
     {ATTR_LATE_BASE_S}
       + CASE ((event_id % 4) + 4) % 4
           WHEN 1 THEN {ATTR_LATE_EPOCH_GAP[1]}
-          WHEN 3 THEN {ATTR_LATE_EPOCH_GAP[3]} ELSE 0 END
+          WHEN 2 THEN {ATTR_LATE_EPOCH_GAP[2]} ELSE 0 END
       + ((((event_id // 4) % {ATTR_LATE_SPAN_S}) + {ATTR_LATE_SPAN_S})
          % {ATTR_LATE_SPAN_S}) AS t_s
   FROM events WHERE event_type IN ('click', 'purchase')
 ), live AS (
-  -- bucket 2 arrives entirely below the post-batch-1 watermark: every
-  -- one of its rows is late and dropped, both sides of the join
-  SELECT * FROM s WHERE b <> 2
+  -- the late set: bucket-3 clicks arrive two watermark advances after
+  -- their epoch, so every purchase they could match has been EVICTED
+  -- from state — they vanish from the join; everything else survives
+  SELECT * FROM s WHERE NOT (b = 3 AND event_type = 'click')
 )
 SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
   CAST(p.t_s AS BIGINT) AS p_s, CAST(c.t_s AS BIGINT) AS c_s
