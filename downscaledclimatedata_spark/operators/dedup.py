@@ -1448,6 +1448,119 @@ register(QuerySpec(
                 "from surviving paragraphs"))
 
 
+# --- corpus-frequency boilerplate strip (CCNet-style line removal) ---------------
+
+BOILER_MIN_DOCS = 3  # a block in >= this many DISTINCT docs is chrome
+
+
+def boilerplate_strip(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      block: int = PARA_BLOCK,
+                      min_docs: int = BOILER_MIN_DOCS) -> DataFrame:
+    """Remove corpus-frequent blocks from EVERY document — the
+    CCNet/RefinedWeb boilerplate pass, and deliberately NOT
+    :func:`paragraph_dedup`: paragraph dedup keeps the FIRST occurrence
+    of a duplicated block (dedup semantics), while boilerplate strip
+    removes ALL occurrences once a block appears in ``min_docs``
+    distinct documents (navigation chrome, cookie banners, license
+    headers carry no training signal even once — frequency across
+    documents is the evidence, so the first copy is as worthless as the
+    last).
+
+    Spark shape: one tokenize/explode pass produces the hashed block
+    relation (checkpointed — it feeds the frequency count, the strip
+    join, and the per-doc totals); block frequency is an exact
+    ``countDistinct(doc_id)`` grouped on the 60-bit hash; the strip is a
+    LEFT ANTI join of blocks against the over-threshold hash set; and
+    documents reassemble with the same array_sort/collect_list idiom as
+    paragraph dedup. No windows at all — the whole operator is groupBys
+    and one anti join, every shuffle keyed on the uniform md5 hash (no
+    skew beyond a popular block's own occurrence count, and those rows
+    are exactly the ones the anti join deletes).
+
+    Scale: the over-threshold hash set is tiny in real corpora
+    (boilerplate is frequent but not diverse) — at cluster scale Spark's
+    AQE converts the anti join to broadcast when the build side fits;
+    the plan stays correct either way.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    n = F.size("t")
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(block))) \
+        .otherwise(F.array().cast("array<int>"))
+    blocks = (toked.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("block_idx", "start"),
+        F.col("t"))
+        .select(F.col(id_col), "block_idx",
+                F.concat_ws(" ", F.slice(F.col("t"), F.col("start") + 1,
+                                         block)).alias("para")))
+    hashed = blocks.withColumn("ph", md5_long(F.col("para"))).localCheckpoint()
+    boiler = (hashed.groupBy("ph")
+              .agg(F.countDistinct(id_col).alias("n_docs"))
+              .filter(F.col("n_docs") >= min_docs)
+              .select("ph"))
+    kept = hashed.join(boiler, "ph", "left_anti")
+    per_doc = hashed.groupBy(id_col).agg(F.count("*").alias("n_blocks"))
+    kept_agg = (kept.groupBy(id_col)
+                .agg(F.count("*").alias("n_kept"),
+                     F.concat_ws(" ", F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("block_idx", "para"))),
+                         lambda s: s["para"])).alias("clean_text")))
+    return (per_doc.join(kept_agg, id_col, "left")
+            .select(F.col(id_col),
+                    F.col("n_blocks").cast("bigint").alias("n_blocks"),
+                    (F.col("n_blocks") - F.coalesce(F.col("n_kept"),
+                                                    F.lit(0)))
+                    .cast("bigint").alias("n_removed"),
+                    F.coalesce(F.col("clean_text"), F.lit(""))
+                    .alias("clean_text")))
+
+
+def dedup_boilerplate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return boilerplate_strip(docs)
+
+
+_DEDUP_BOILER_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
+  FROM documents
+), blocks AS (
+  SELECT doc_id, CAST(s / {PARA_BLOCK} AS INT) AS block_idx,
+    array_to_string(t[s + 1 : s + {PARA_BLOCK}], ' ') AS para
+  FROM toks, LATERAL (SELECT UNNEST(range(0, len(t), {PARA_BLOCK})) AS s) z
+  WHERE len(t) > 0
+), hashed AS (
+  SELECT doc_id, block_idx, para, {md5_long_sql('para')} AS ph FROM blocks
+), boiler AS (
+  SELECT ph FROM hashed GROUP BY ph
+  HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+), kept AS (
+  SELECT doc_id, block_idx, para FROM hashed
+  WHERE ph NOT IN (SELECT ph FROM boiler)
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_blocks FROM hashed GROUP BY doc_id
+), kept_agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+    string_agg(para, ' ' ORDER BY block_idx) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT p.doc_id, CAST(p.n_blocks AS BIGINT) AS n_blocks,
+  CAST(p.n_blocks - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+  coalesce(k.clean_text, '') AS clean_text
+FROM per_doc p LEFT JOIN kept_agg k USING (doc_id)
+"""
+
+register(QuerySpec(
+    "dedup_boilerplate_strip", dedup_boilerplate_query, _DEDUP_BOILER_SQL,
+    description=f"corpus-frequency boilerplate strip: blocks in >= "
+                f"{BOILER_MIN_DOCS} distinct docs removed EVERYWHERE "
+                "(not keep-first), window-free anti-join shape"))
+
+
 # --- cross-corpus dedup (new snapshot vs reference corpus) ----------------------
 
 def cross_corpus_matches(new_df: DataFrame, ref_df: DataFrame,

@@ -5195,3 +5195,86 @@ register(QuerySpec("q133_xml_roundtrip", q133_xml_roundtrip, _Q133_SQL,
                                "parsed fields aggregate exactly as the "
                                "originals incl. JSON props through "
                                "entity escaping"))
+
+
+# --- q135: interval-union coverage (gaps-and-islands merge) ---------------------
+
+def q135_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user total COVERED time across overlapping activity
+    intervals — the interval-union / gaps-and-islands merge that
+    sessionization (q36, point events + gap) cannot express: each event
+    opens an interval ``[ts, ts + dur)`` and overlapping or touching
+    intervals must be merged before their lengths are summed, or
+    double-billing inflates the answer.
+
+    Classic island detection: per user, ordered by (start, event_id), an
+    interval starts a NEW island iff the running max of all previous
+    ends is strictly before its start; island ids are the running sum of
+    those starts; coverage per island is ``max(end) - min(start)``.
+    Duration is a deterministic integer minute count derived from
+    event_id (the fixture has no duration column), and all arithmetic is
+    integer microseconds — no float time math to drift across engines.
+
+    Scale shape: both window passes partition on ``user_id`` (high
+    cardinality — parallelism ∝ users, the C4-clean shape) with the SAME
+    (user_id, start, event_id) ordering, so Catalyst evaluates them in
+    one shuffle + one sort; the island rollup and the per-user rollup
+    are partial-aggregated map-side. Tie-safety: two intervals sharing a
+    start overlap each other by construction, so either tie order lands
+    them in the same island and max/min make the result order-blind.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts")
+         + (F.col("event_id") % 7 + 1) * F.lit(60_000_000)).alias("e"))
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "ni", F.when(prev_end >= F.col("s"), F.lit(0)).otherwise(F.lit(1)))
+    isl = marked.withColumn(
+        "island", F.sum("ni").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    per_isl = (isl.groupBy("user_id", "island")
+               .agg((F.max("e") - F.min("s")).alias("cov")))
+    return (per_isl.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+                 F.sum("cov").cast("bigint").alias("covered_us")))
+
+
+_Q135_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+    epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, s, e,
+    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              >= s
+         THEN 0 ELSE 1 END AS ni
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+    SUM(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+                  ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+), per_isl AS (
+  SELECT user_id, island, MAX(e) - MIN(s) AS cov
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+  CAST(SUM(cov) AS BIGINT) AS covered_us
+FROM per_isl GROUP BY user_id
+"""
+
+register(QuerySpec("q135_interval_coverage", q135_interval_coverage,
+                   _Q135_SQL,
+                   description="interval-union coverage per user: "
+                               "overlap-merged islands (running-max-end "
+                               "window on the high-cardinality user key), "
+                               "integer-microsecond lengths"))

@@ -1713,3 +1713,37 @@ def test_q131_disc_is_data_element(spark, tmp_path):
     [r] = q131_quantile_disc(spark, str(tmp_path)).collect()
     # n=4: p50 rank ceil(2)=2 -> 20 cents; p90 rank ceil(3.6)=4 -> 40
     assert (r.n, r.p50_cents, r.p90_cents) == (4, 20, 40)
+
+
+def test_q135_interval_merge_and_touching(spark, tmp_path):
+    """Planted islands: overlapping intervals merge (no double-count),
+    TOUCHING intervals (prev end == next start) merge too, and a gap
+    starts a new island."""
+    import datetime as dt
+
+    import pandas as pd
+    from downscaledclimatedata_spark.plans.advanced import (
+        q135_interval_coverage)
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    # durations are (event_id % 7 + 1) minutes
+    rows = [
+        # user 1: [0, 60s) and [30s, 150s) overlap -> one island of 150s;
+        # [600s, 780s) is its own island (180s)
+        (0, t0, 1, "e", 0.0, "{}"),
+        (1, t0 + 30 * sec, 1, "e", 0.0, "{}"),
+        (2, t0 + 600 * sec, 1, "e", 0.0, "{}"),
+        # user 2: [0, 240s) then [240s, 540s) TOUCHING -> one 540s island
+        (3, t0, 2, "e", 0.0, "{}"),
+        (4, t0 + 240 * sec, 2, "e", 0.0, "{}"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    spark.createDataFrame(pdf).write.parquet(
+        str(tmp_path / "events.parquet"))
+    got = {r.user_id: r
+           for r in q135_interval_coverage(spark, str(tmp_path)).collect()}
+    assert (got[1].n_islands, got[1].covered_us) == (2, 330_000_000)
+    assert (got[2].n_islands, got[2].covered_us) == (1, 540_000_000)

@@ -15,7 +15,7 @@ import math
 
 from pyspark.sql import functions as F
 
-from downscaledclimatedata_spark.operators.dedup import paragraph_dedup
+from downscaledclimatedata_spark.operators.dedup import boilerplate_strip, paragraph_dedup
 from downscaledclimatedata_spark.operators.prep import (
     QF_MIN_TOKENS, domain_mixture_sample, quality_filter)
 from downscaledclimatedata_spark.operators.similarity import (
@@ -813,3 +813,48 @@ def test_lsh_eval_empty_corpus_defines_ratios(spark):
     r = lsh_eval(_docs(spark, [(1, "solo", "s", 0)])).collect()[0]
     assert r["n_truth"] == 0 and r["n_candidates"] == 0
     assert r["precision"] == 1.0 and r["recall"] == 1.0
+# --- boilerplate_strip ------------------------------------------------------------
+
+def test_boilerplate_strip_removes_all_occurrences(spark):
+    # block=3, min_docs=3: "x y z" in docs 1,2,3 -> removed EVERYWHERE
+    # (incl. the first occurrence paragraph_dedup would keep);
+    # "d e f" in only docs 2,4 -> kept in both.
+    rows = [
+        (1, "x y z a b c", "s", 0),
+        (2, "x y z d e f", "s", 0),
+        (3, "q r s x y z", "s", 0),
+        (4, "d e f", "s", 0),
+    ]
+    got = {r["doc_id"]: r
+           for r in boilerplate_strip(_docs(spark, rows), block=3,
+                                      min_docs=3).collect()}
+    assert got[1]["n_blocks"] == 2 and got[1]["n_removed"] == 1
+    assert got[1]["clean_text"] == "a b c"
+    assert got[2]["clean_text"] == "d e f"
+    assert got[3]["clean_text"] == "q r s"
+    assert got[4]["n_removed"] == 0 and got[4]["clean_text"] == "d e f"
+
+
+def test_boilerplate_strip_within_doc_repeats_dont_trigger(spark):
+    # "p q" twice inside ONE doc: countDistinct(doc_id) == 1 < 2, kept;
+    # frequency is across documents, not occurrences.
+    rows = [(1, "p q p q", "s", 0), (2, "m n", "s", 0)]
+    got = {r["doc_id"]: r
+           for r in boilerplate_strip(_docs(spark, rows), block=2,
+                                      min_docs=2).collect()}
+    assert got[1]["n_removed"] == 0 and got[1]["clean_text"] == "p q p q"
+
+
+def test_boilerplate_strip_fully_boiler_doc_empties(spark):
+    rows = [(1, "x y", "s", 0), (2, "x y", "s", 0), (3, "x y z w", "s", 0)]
+    got = {r["doc_id"]: r
+           for r in boilerplate_strip(_docs(spark, rows), block=2,
+                                      min_docs=2).collect()}
+    assert got[1]["clean_text"] == "" and got[1]["n_removed"] == 1
+    assert got[3]["clean_text"] == "z w"
+
+
+def test_boilerplate_strip_min_docs_validated(spark):
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        boilerplate_strip(_docs(spark, [(1, "a", "s", 0)]), min_docs=1)
