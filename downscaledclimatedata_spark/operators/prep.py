@@ -2166,3 +2166,125 @@ register(QuerySpec(
     description="mixture temperature tuning curve: per-source weight/"
                 "share/rate at alpha = 1, 1/2, 1/4 — sqrt-composable "
                 "exact temperatures, single-division doubles"))
+
+
+# --- DSIR-style importance resampling (exact-integer) ---------------------------
+
+DSIR_BUCKETS = 256        # hashed unigram feature buckets
+DSIR_SCALE = 1_000_000    # per-bucket likelihood-ratio fixed point
+DSIR_KEEP_DIV = 10        # keep n_docs div 10 (rank-defined top decile)
+
+
+def dsir_resample(df: DataFrame, target_lang: str = "en",
+                  text_col: str = "text", id_col: str = "doc_id",
+                  buckets: int = DSIR_BUCKETS,
+                  keep_div: int = DSIR_KEEP_DIV) -> DataFrame:
+    """Data Selection via Importance Resampling (the DSIR recipe of
+    Xie et al. 2023), made deterministic and exact-integer: score every
+    raw document by how much its hashed-unigram profile looks like a
+    TARGET domain (here: the ``lang == target_lang`` subset standing in
+    for "high-quality target distribution"), then keep the top
+    ``1/keep_div`` of the corpus by score.
+
+    Exactness discipline: real DSIR sums per-token ``log(p_tgt/p_raw)``
+    — floats whose sum is order-dependent. This twin carries the
+    likelihood ratio per feature bucket as the INTEGER
+    ``((n_tgt+1) * SCALE) div (n_raw+1)`` (add-one smoothing on both
+    sides) and a document's score as the integer mean over its tokens
+    (one ``div`` by the token count). Because the target is a SUBSET of
+    the raw corpus, ``n_tgt <= n_raw`` for every bucket, so each ratio
+    is <= SCALE and a document score is <= SCALE — no overflow at any
+    corpus size. Selection is rank-defined (top ``n div keep_div`` by
+    (score, doc_id)), not threshold-defined, so ties cannot make the
+    output size data-dependent.
+
+    Spark shape: one tokenize/explode pass feeds both bucket-count
+    relations; the per-bucket score table is ``buckets`` rows —
+    broadcast back onto the token relation; ranking runs on the
+    two-phase binned rank (windows on score bins, never a global sort);
+    the count scalars (corpus size for the quota, min/max sizing the
+    bins) are single-row driver aggregates. Zero-token documents score
+    0 and rank below every scored document deterministically.
+    """
+    from downscaledclimatedata_spark.functions.ranks import (
+        binned_row_number, value_bin)
+
+    if keep_div < 2:
+        raise ValueError(f"keep_div must be >= 2, got {keep_div}")
+    toks = df.select(
+        F.col(id_col), F.col("lang"),
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), WS_RE),
+                           lambda x: x != "")).alias("tok"))
+    feat = toks.select(
+        F.col(id_col), F.col("lang"),
+        (md5_long(F.col("tok")) % buckets).alias("b")).localCheckpoint()
+    raw_cnt = feat.groupBy("b").agg(F.count("*").alias("ns"))
+    tgt_cnt = (feat.filter(F.col("lang") == target_lang)
+               .groupBy("b").agg(F.count("*").alias("nt")))
+    score = (raw_cnt.join(tgt_cnt, "b", "left")
+             .select("b", ((F.coalesce(F.col("nt"), F.lit(0)) + 1)
+                           * F.lit(DSIR_SCALE))
+                     .cast("bigint").alias("num"),
+                     (F.col("ns") + 1).cast("bigint").alias("den"))
+             .select("b", F.expr("num div den").alias("sc")))
+    docw = (feat.join(F.broadcast(score), "b")
+            .groupBy(id_col)
+            .agg(F.sum("sc").alias("tot"), F.count("*").alias("ntok"))
+            .select(F.col(id_col),
+                    F.expr("tot div ntok").alias("w")))
+    allw = (df.select(id_col).join(docw, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("w"), F.lit(0)).cast("bigint")
+                    .alias("w")))
+    n_docs = allw.count()
+    quota = n_docs // keep_div
+    st = allw.agg(F.min("w"), F.max("w")).first()
+    lo, hi = float(st[0] or 0), float(st[1] or 0)
+    ranked = binned_row_number(
+        allw.withColumn("_wbin", value_bin(F.col("w"), lo, hi)),
+        "_wbin", ("w", id_col), out="rn")
+    return (ranked.filter(F.col("rn") > n_docs - quota)
+            .select(F.col(id_col), F.col("w").alias("dsir_score")))
+
+
+def prep_dsir_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_resample(docs)
+
+
+_DSIR_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS tok
+  FROM documents
+), feat AS (
+  SELECT doc_id, lang, {md5_long_sql('tok')} % {DSIR_BUCKETS} AS b FROM toks
+), raw_cnt AS (
+  SELECT b, COUNT(*) AS ns FROM feat GROUP BY b
+), tgt_cnt AS (
+  SELECT b, COUNT(*) AS nt FROM feat WHERE lang = 'en' GROUP BY b
+), score AS (
+  SELECT r.b, ((coalesce(t.nt, 0) + 1) * {DSIR_SCALE}) // (r.ns + 1) AS sc
+  FROM raw_cnt r LEFT JOIN tgt_cnt t USING (b)
+), docw AS (
+  SELECT f.doc_id, SUM(s.sc) // COUNT(*) AS w
+  FROM feat f JOIN score s USING (b) GROUP BY f.doc_id
+), allw AS (
+  SELECT d.doc_id, CAST(coalesce(dw.w, 0) AS BIGINT) AS w
+  FROM documents d LEFT JOIN docw dw USING (doc_id)
+), ranked AS (
+  SELECT doc_id, w,
+    ROW_NUMBER() OVER (ORDER BY w, doc_id) AS rn,
+    COUNT(*) OVER () AS n
+  FROM allw
+)
+SELECT doc_id, w AS dsir_score
+FROM ranked WHERE rn > n - (n // {DSIR_KEEP_DIV})
+"""
+
+register(QuerySpec(
+    "prep_dsir_resample", prep_dsir_query, _DSIR_SQL,
+    description=f"DSIR importance resampling: exact-integer hashed-"
+                f"unigram likelihood ratios ({DSIR_BUCKETS} buckets, "
+                "add-one smoothing), rank-defined top-decile keep on "
+                "the binned two-phase rank"))

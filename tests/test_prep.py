@@ -485,3 +485,47 @@ def test_mixture_curve_upweights_small_sources(spark):
     share = {(r.alpha, r.source): r.share for r in rows}
     assert (share[("1", "small")] < share[("1/2", "small")]
             < share[("1/4", "small")])
+
+
+# --- dsir_resample ---------------------------------------------------------------
+
+def _lang_docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_dsir_target_like_doc_outranks(spark):
+    from downscaledclimatedata_spark.operators.prep import dsir_resample
+    # target (en) vocabulary {alpha beta}; off-target {zzz www}.
+    # doc 10 speaks pure target vocabulary, doc 11 pure off-target:
+    # with keep 1-of-2 candidates... use keep_div=2 over 4 docs -> top 2.
+    rows = [
+        (1, "alpha beta alpha beta", "en", "s", 0),
+        (2, "zzz www zzz www", "de", "s", 0),
+        (10, "alpha beta", "de", "s", 0),   # target-LIKE but not in target
+        (11, "zzz www", "de", "s", 0),
+    ]
+    got = {r["doc_id"]: r["dsir_score"]
+           for r in dsir_resample(_lang_docs(spark, rows),
+                                  keep_div=2).collect()}
+    assert len(got) == 2
+    assert 1 in got and 10 in got          # the target-vocabulary docs win
+    assert 11 not in got and 2 not in got
+
+
+def test_dsir_scores_bounded_and_zero_token_doc(spark):
+    from downscaledclimatedata_spark.operators.prep import (
+        DSIR_SCALE, dsir_resample)
+    rows = [(1, "a b c", "en", "s", 0), (2, "", "de", "s", 0),
+            (3, "a b", "en", "s", 0), (4, "x", "de", "s", 0)]
+    out = dsir_resample(_lang_docs(spark, rows), keep_div=4).collect()
+    # quota = 4 div 4 = 1 row, and any score respects the subset bound
+    assert len(out) == 1
+    assert all(0 <= r["dsir_score"] <= DSIR_SCALE for r in out)
+
+
+def test_dsir_keep_div_validated(spark):
+    import pytest as _pytest
+    from downscaledclimatedata_spark.operators.prep import dsir_resample
+    with _pytest.raises(ValueError):
+        dsir_resample(_lang_docs(spark, [(1, "a", "en", "s", 0)]), keep_div=1)
