@@ -1370,3 +1370,103 @@ register(QuerySpec(
                 "idempotent delta partitions, one-groupBy merged read, "
                 "atomic-swap compaction — merged state equals the "
                 "one-shot aggregate (oracle-checked)"))
+
+
+# --- compaction bin-packing planner (OPTIMIZE small-file planning) ---------------
+
+COMPACT_TARGET = 100_000_000  # target bin size (simulated bytes = cents)
+
+
+def compaction_plan(files: DataFrame, part_col: str = "part",
+                    file_col: str = "file_id", size_col: str = "size_bytes",
+                    target: int = COMPACT_TARGET) -> DataFrame:
+    """Plan small-file compaction bins per table partition — the
+    planning half of Delta/Iceberg ``OPTIMIZE``: group each partition's
+    files into output bins of at most ``target`` bytes using
+    next-fit-DECREASING (sort by size descending, open a new bin
+    whenever the next file no longer fits; a single file larger than
+    ``target`` gets its own bin).
+
+    Bin packing is a true sequential recurrence — each file's bin
+    depends on the FILL the previous decision left behind, which no
+    window function carries — so it runs via ``applyInPandas``:
+    sequential WITHIN a partition's file list (bounded: file counts per
+    table partition are thousands, not corpus rows), parallel ACROSS
+    partitions. Pure python-int arithmetic (no numpy wrap). The oracle
+    is the same recurrence as a DuckDB linear recursive CTE.
+
+    Output: one row per planned bin — (part, bin_id, n_files,
+    bin_bytes) — the work list a compaction executor would consume.
+    """
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([size_col, file_col],
+                              ascending=[False, True])
+        bins, fills, nfiles = [], [], []
+        bin_id, fill, nf = 0, 0, 0
+        for s in pdf[size_col]:
+            s = int(s)
+            if nf > 0 and fill + s > target:
+                bins.append((bin_id, nf, fill))
+                bin_id, fill, nf = bin_id + 1, 0, 0
+            fill += s
+            nf += 1
+        if nf > 0:
+            bins.append((bin_id, nf, fill))
+        out = pd.DataFrame(bins, columns=["bin_id", "n_files",
+                                          "bin_bytes"])
+        out.insert(0, part_col, pdf[part_col].iloc[0])
+        return out
+
+    return files.groupBy(part_col).applyInPandas(
+        pack, f"{part_col} string, bin_id long, n_files long, "
+              "bin_bytes long")
+
+
+def maintenance_compaction_query(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    orders = load_table_parallel(spark, sf_dir, "orders", key="o_orderkey")
+    files = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part"),
+        F.col("o_orderkey").alias("file_id"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("size_bytes"))
+    return compaction_plan(files)
+
+
+_COMPACT_SQL = f"""
+WITH RECURSIVE files AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS part,
+    o_orderkey AS file_id,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS size_bytes
+  FROM orders
+), numbered AS (
+  SELECT part, file_id, size_bytes,
+    ROW_NUMBER() OVER (PARTITION BY part
+                       ORDER BY size_bytes DESC, file_id) AS rn
+  FROM files
+), walk(part, rn, size_bytes, bin_id, fill) AS (
+  SELECT part, rn, size_bytes, 0, size_bytes FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.part, n.rn, n.size_bytes,
+    CASE WHEN w.fill + n.size_bytes > {COMPACT_TARGET}
+         THEN w.bin_id + 1 ELSE w.bin_id END,
+    CASE WHEN w.fill + n.size_bytes > {COMPACT_TARGET}
+         THEN n.size_bytes ELSE w.fill + n.size_bytes END
+  FROM walk w
+  JOIN numbered n ON n.part = w.part AND n.rn = w.rn + 1
+)
+SELECT part, CAST(bin_id AS BIGINT) AS bin_id,
+  CAST(COUNT(*) AS BIGINT) AS n_files,
+  CAST(SUM(size_bytes) AS BIGINT) AS bin_bytes
+FROM walk GROUP BY part, bin_id
+"""
+
+register(QuerySpec(
+    "maintenance_compaction_plan", maintenance_compaction_query,
+    _COMPACT_SQL,
+    description="compaction bin-packing planner (OPTIMIZE): next-fit-"
+                "decreasing per table partition via applyInPandas "
+                "(sequential within a partition's bounded file list, "
+                "parallel across partitions), recursive-CTE oracle"))

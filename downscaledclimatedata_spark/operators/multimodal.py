@@ -7497,3 +7497,251 @@ register(QuerySpec("multimodal_decode_tar", multimodal_decode_tar_query,
                                "fields, header checksum verification, "
                                "typeflag dispatch; off-by-one "
                                "checksums -> NULL"))
+
+
+# --- real MIDI (SMF format 0) decode: VLQ delta times + running status -----------
+
+MIDI_DIV = 480          # ticks per quarter note
+MIDI_N_BASE = 4         # notes per file = BASE + d % MOD
+MIDI_N_MOD = 13
+MIDI_CORRUPT_MOD = 41   # every 41st doc: lying MTrk length (truncation)
+
+MIDI_SCHEMA = ("doc_id long, n_notes int, total_ticks bigint, "
+               "pitch_sum bigint, vel_sum bigint, max_delta int, "
+               "tempo_us int")
+
+
+def _build_midi_codecs():
+    """Pure-stdlib Standard-MIDI-File writer + reader (hand-rolled, not
+    a library): the disciplines here are the VARIABLE-LENGTH-QUANTITY
+    delta-time encoding (7 data bits per byte, high bit = continuation,
+    big-endian — the family's first VLQ after bit-packed LZW) and
+    RUNNING STATUS (a channel-message status byte is omitted when it
+    repeats; note-offs are written as velocity-0 note-ons precisely so
+    the whole track rides one 0x90 status — the classic SMF idiom a
+    naive parser breaks on)."""
+
+    def vlq(n: int) -> bytes:
+        if n < 0:
+            raise ValueError("vlq of negative")
+        out = [n & 0x7F]
+        n >>= 7
+        while n:
+            out.append((n & 0x7F) | 0x80)
+            n >>= 7
+        return bytes(reversed(out))
+
+    def _note_params(d: int, k: int):
+        pitch = 36 + (d * 7 + k * 5) % 48
+        vel = 32 + (d * 11 + k * 13) % 64
+        delta_on = (d * 17 + k * 37) % 1000
+        dur = 60 + (d + k * 29) % 200
+        return pitch, vel, delta_on, dur
+
+    def make_midi(d: int, corrupt: bool) -> bytes:
+        nn = MIDI_N_BASE + d % MIDI_N_MOD
+        tempo = 400_000 + (d % 100) * 1_000
+        ev = bytearray()
+        ev += vlq(0) + b"\xff\x51\x03" + tempo.to_bytes(3, "big")
+        for k in range(nn):
+            pitch, vel, delta_on, dur = _note_params(d, k)
+            ev += vlq(delta_on)
+            if k == 0:
+                ev += b"\x90"          # status stated once...
+            ev += bytes((pitch, vel))  # ...then running status
+            ev += vlq(dur) + bytes((pitch, 0))  # vel-0 note-off
+        ev += vlq(0) + b"\xff\x2f\x00"  # end of track
+        stated = len(ev) + (7 if corrupt else 0)  # lying length -> walk
+        hdr = (b"MThd" + (6).to_bytes(4, "big")
+               + (0).to_bytes(2, "big") + (1).to_bytes(2, "big")
+               + MIDI_DIV.to_bytes(2, "big"))
+        return hdr + b"MTrk" + stated.to_bytes(4, "big") + bytes(ev)
+
+    def read_vlq(blob: bytes, p: int, end: int):
+        n = 0
+        for i in range(4):  # spec: a VLQ is at most 4 bytes
+            if p >= end:
+                raise ValueError("truncated vlq")
+            b = blob[p]
+            p += 1
+            n = (n << 7) | (b & 0x7F)
+            if not b & 0x80:
+                return n, p
+        raise ValueError("overlong vlq")
+
+    def decode_midi_stats(blob: bytes):
+        try:
+            if blob[:4] != b"MThd" or len(blob) < 14:
+                return None
+            if int.from_bytes(blob[4:8], "big") != 6:
+                return None
+            fmt = int.from_bytes(blob[8:10], "big")
+            ntrks = int.from_bytes(blob[10:12], "big")
+            if fmt != 0 or ntrks != 1:
+                return None
+            if blob[14:18] != b"MTrk":
+                return None
+            tlen = int.from_bytes(blob[18:22], "big")
+            p, end = 22, 22 + tlen
+            if end > len(blob):
+                return None
+            n_notes = total_ticks = pitch_sum = vel_sum = 0
+            max_delta = 0
+            tempo = None
+            status = None
+            ended = False
+            while p < end:
+                delta, p = read_vlq(blob, p, end)
+                total_ticks += delta
+                max_delta = max(max_delta, delta)
+                if p >= end:
+                    return None
+                b = blob[p]
+                if b == 0xFF:                      # meta event
+                    if p + 2 > end:
+                        return None
+                    mtype = blob[p + 1]
+                    mlen, q = read_vlq(blob, p + 2, end)
+                    if q + mlen > end:
+                        return None
+                    if mtype == 0x51:
+                        if mlen != 3:
+                            return None
+                        tempo = int.from_bytes(blob[q:q + mlen], "big")
+                    if mtype == 0x2F:
+                        if mlen != 0 or q != end:
+                            return None  # EOT must close the track
+                        ended = True
+                        p = q
+                        break
+                    p = q + mlen
+                    continue
+                if b & 0x80:                       # new status byte
+                    status = b
+                    p += 1
+                if status is None or not 0x80 <= status <= 0xEF:
+                    return None
+                ndata = 1 if status & 0xF0 in (0xC0, 0xD0) else 2
+                if p + ndata > end:
+                    return None
+                if status & 0xF0 == 0x90 and blob[p + 1] > 0:
+                    n_notes += 1
+                    pitch_sum += blob[p]
+                    vel_sum += blob[p + 1]
+                p += ndata
+            if not ended or tempo is None or n_notes < 1:
+                return None
+            return (n_notes, total_ticks, pitch_sum, vel_sum,
+                    max_delta, tempo)
+        except (ValueError, IndexError):
+            return None
+
+    return make_midi, decode_midi_stats, vlq, read_vlq
+
+
+make_midi, decode_midi_stats, midi_vlq_encode, midi_vlq_read = \
+    _build_midi_codecs()
+
+
+def synthesize_midi_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real SMF-0 bytes (tempo meta + 4..16 notes as
+    running-status velocity-0 pairs, multi-byte VLQ deltas up to 999
+    ticks). Every MIDI_CORRUPT_MOD-th doc's MTrk states a length 7
+    bytes past the actual events (T7: the walk runs off the stated
+    window before end-of-track)."""
+    mk = make_midi
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = [mk(abs(int(doc_id)),
+                           abs(int(doc_id)) % MIDI_CORRUPT_MOD == 0)
+                        for doc_id in pdf["doc_id"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        _synth, "doc_id long, payload binary")
+
+
+def decode_midi(df: DataFrame) -> DataFrame:
+    dec = decode_midi_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        keys = ("n_notes", "total_ticks", "pitch_sum", "vel_sum",
+                "max_delta", "tempo_us")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 6
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_notes": pd.array(cols["n_notes"], dtype="Int32"),
+                "total_ticks": pd.array(cols["total_ticks"],
+                                        dtype="Int64"),
+                "pitch_sum": pd.array(cols["pitch_sum"], dtype="Int64"),
+                "vel_sum": pd.array(cols["vel_sum"], dtype="Int64"),
+                "max_delta": pd.array(cols["max_delta"], dtype="Int32"),
+                "tempo_us": pd.array(cols["tempo_us"], dtype="Int32")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, MIDI_SCHEMA)
+
+
+def multimodal_decode_midi_query(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Real SMF parse end-to-end: VLQ delta times, running status,
+    meta-event walk, EOT-closes-stated-length check; lying MTrk
+    lengths -> NULL rows (T7)."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_midi(synthesize_midi_payloads(docs))
+
+
+_MIDI_NULL = f"d % {MIDI_CORRUPT_MOD} = 0"
+
+_MULTIMODAL_MIDI_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    {MIDI_N_BASE} + abs(doc_id) % {MIDI_N_MOD} AS nn
+  FROM documents
+), s AS (
+  SELECT doc_id, d, nn,
+    list_sum(list_transform(range(0, nn),
+      k -> 36 + (d * 7 + k * 5) % 48)) AS pitch_sum,
+    list_sum(list_transform(range(0, nn),
+      k -> 32 + (d * 11 + k * 13) % 64)) AS vel_sum,
+    list_sum(list_transform(range(0, nn),
+      k -> (d * 17 + k * 37) % 1000 + 60 + (d + k * 29) % 200))
+      AS total_ticks,
+    greatest(
+      list_max(list_transform(range(0, nn),
+        k -> (d * 17 + k * 37) % 1000)),
+      list_max(list_transform(range(0, nn),
+        k -> 60 + (d + k * 29) % 200))) AS max_delta
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN {_MIDI_NULL} THEN NULL ELSE CAST(nn AS INT) END AS n_notes,
+  CASE WHEN {_MIDI_NULL} THEN NULL ELSE CAST(total_ticks AS BIGINT) END
+    AS total_ticks,
+  CASE WHEN {_MIDI_NULL} THEN NULL ELSE CAST(pitch_sum AS BIGINT) END
+    AS pitch_sum,
+  CASE WHEN {_MIDI_NULL} THEN NULL ELSE CAST(vel_sum AS BIGINT) END
+    AS vel_sum,
+  CASE WHEN {_MIDI_NULL} THEN NULL ELSE CAST(max_delta AS INT) END
+    AS max_delta,
+  CASE WHEN {_MIDI_NULL} THEN NULL
+       ELSE CAST(400000 + (d % 100) * 1000 AS INT) END AS tempo_us
+FROM s
+"""
+
+register(QuerySpec("multimodal_decode_midi", multimodal_decode_midi_query,
+                   _MULTIMODAL_MIDI_SQL,
+                   description="real SMF-0 MIDI decode: VLQ delta "
+                               "times (7-bit continuation bytes), "
+                               "running status over velocity-0 "
+                               "note-offs, meta-event walk; lying "
+                               "track lengths -> NULL"))

@@ -634,3 +634,40 @@ def test_read_evolved_decimal_precision_widens_scale_refuses(
         .write.parquet(bad)
     with pytest.raises(ValueError, match="SCALE"):
         read_evolved(spark, [lo, bad])
+
+
+# --- compaction_plan --------------------------------------------------------------
+
+def test_compaction_nfd_hand_case(spark):
+    from downscaledclimatedata_spark.operators.maintenance import (
+        compaction_plan)
+    files = spark.createDataFrame(
+        [("p1", 1, 60), ("p1", 2, 50), ("p1", 3, 40), ("p1", 4, 30)],
+        "part string, file_id long, size_bytes long")
+    got = {r.bin_id: (r.n_files, r.bin_bytes)
+           for r in compaction_plan(files, target=100).collect()}
+    # desc order 60,50,40,30: [60] | [50,40] | [30]
+    assert got == {0: (1, 60), 1: (2, 90), 2: (1, 30)}
+
+
+def test_compaction_oversized_file_own_bin(spark):
+    from downscaledclimatedata_spark.operators.maintenance import (
+        compaction_plan)
+    files = spark.createDataFrame(
+        [("p1", 1, 150), ("p1", 2, 10)],
+        "part string, file_id long, size_bytes long")
+    got = {r.bin_id: (r.n_files, r.bin_bytes)
+           for r in compaction_plan(files, target=100).collect()}
+    assert got == {0: (1, 150), 1: (1, 10)}
+
+
+def test_compaction_partitions_independent(spark):
+    from downscaledclimatedata_spark.operators.maintenance import (
+        compaction_plan)
+    files = spark.createDataFrame(
+        [("a", 1, 90), ("a", 2, 90), ("b", 3, 10), ("b", 4, 10)],
+        "part string, file_id long, size_bytes long")
+    rows = compaction_plan(files, target=100).collect()
+    a = sorted((r.bin_id, r.bin_bytes) for r in rows if r.part == "a")
+    b = sorted((r.bin_id, r.bin_bytes) for r in rows if r.part == "b")
+    assert a == [(0, 90), (1, 90)] and b == [(0, 20)]

@@ -1575,3 +1575,62 @@ def test_tar_codec_blocks_checksum_and_dispatch():
     bad = bytearray(blob)
     bad[257:263] = b"notme\x00"
     assert decode_tar_stats(bytes(bad)) is None
+
+
+# --- MIDI / SMF-0 codec -----------------------------------------------------------
+
+def test_midi_vlq_roundtrip_boundaries():
+    from downscaledclimatedata_spark.operators.multimodal import (
+        midi_vlq_encode, midi_vlq_read)
+    for n in (0, 1, 127, 128, 129, 16383, 16384, 2097151, 2097152,
+              0x0FFFFFFF):
+        enc = midi_vlq_encode(n)
+        got, p = midi_vlq_read(enc, 0, len(enc))
+        assert (got, p) == (n, len(enc)), n
+
+
+def test_midi_overlong_and_truncated_vlq_rejected():
+    import pytest as _pytest
+    from downscaledclimatedata_spark.operators.multimodal import (
+        midi_vlq_read)
+    with _pytest.raises(ValueError):
+        midi_vlq_read(b"\x81\x81\x81\x81\x01", 0, 5)  # 5 bytes: overlong
+    with _pytest.raises(ValueError):
+        midi_vlq_read(b"\x81\x81", 0, 2)              # never terminates
+
+
+def test_midi_decode_matches_formula():
+    from downscaledclimatedata_spark.operators.multimodal import (
+        MIDI_N_BASE, MIDI_N_MOD, decode_midi_stats, make_midi)
+    for d in (5, 77, 123):  # d=77: deltas cross the 127 VLQ boundary
+        nn = MIDI_N_BASE + d % MIDI_N_MOD
+        want = (
+            nn,
+            sum((d * 17 + k * 37) % 1000 + 60 + (d + k * 29) % 200
+                for k in range(nn)),
+            sum(36 + (d * 7 + k * 5) % 48 for k in range(nn)),
+            sum(32 + (d * 11 + k * 13) % 64 for k in range(nn)),
+            max(max((d * 17 + k * 37) % 1000 for k in range(nn)),
+                max(60 + (d + k * 29) % 200 for k in range(nn))),
+            400_000 + (d % 100) * 1_000)
+        assert decode_midi_stats(make_midi(d, False)) == want, d
+
+
+def test_midi_running_status_is_real():
+    from downscaledclimatedata_spark.operators.multimodal import make_midi
+    blob = make_midi(9, False)
+    # exactly ONE 0x90 status byte in the whole track: every later
+    # note-on/off rides running status (0x90 never reappears as a
+    # status; it can't appear as data since pitch<84 and vel<96)
+    track = blob[22:]
+    assert track.count(0x90) == 1
+
+
+def test_midi_lying_track_length_rejected():
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_midi_stats, make_midi)
+    assert decode_midi_stats(make_midi(41, True)) is None
+    assert decode_midi_stats(make_midi(41, False)) is not None
+    # hard truncation mid-event also rejected
+    good = make_midi(7, False)
+    assert decode_midi_stats(good[:len(good) - 3]) is None
