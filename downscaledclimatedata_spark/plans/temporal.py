@@ -718,3 +718,134 @@ register(QuerySpec(
                 "pinned file order, per-epoch dual heartbeats) under a "
                 "10-minute watermark — the late bucket vanishes from "
                 "the join exactly as the relational oracle predicts"))
+
+
+# --- streaming twin #4: LEFT-OUTER null emission is watermark-delayed -------------
+
+OUTER_BASE_S = 1_700_000_000    # fixed synthetic epoch (seconds)
+OUTER_SPAN_S = 600              # epoch width == join window == horizon
+OUTER_FLUSH_1 = 20_000          # far-future heartbeat: watermark source
+OUTER_FLUSH_2 = 40_000          # one batch later: null-emission trigger
+
+
+def streaming_left_outer_join_query(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join run as a REAL checkpointed
+    streaming query, certifying the semantics batch users trip over:
+    an unmatched purchase is NOT emitted when first seen — a matching
+    click may still arrive — so Spark holds it in join state and emits
+    the NULL-click row only once the WATERMARK proves its interval
+    window closed. The replay forces that proof inside a bounded
+    availableNow run:
+
+    - Real click/purchase rows get synthetic times inside ONE 600 s
+      epoch (``BASE + pmod(event_id, 600)``), split across three
+      mtime-ordered files. Nothing is late: under the 10-minute
+      horizon the watermark stays below BASE until the whole epoch has
+      arrived, so no state is evicted while real data flows (the
+      late-DROP path is the previous spec's subject).
+    - Two trailing files carry only far-future heartbeat click AND
+      purchase pairs (reserved ids): the first advances the watermark
+      past every real window at its batch's END, the second gives the
+      engine the batch DURING which that watermark flushes every
+      unmatched purchase as a NULL row. Two files, because eviction
+      uses the watermark computed at the END of the PREVIOUS batch.
+
+    A green row proves the watermark-delayed NULL emission — matched
+    pairs, cross-batch matches, and held-back-then-flushed unmatched
+    rows — equals the batch LEFT JOIN, which is the oracle.
+    """
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+    import time as timemod
+    import uuid
+
+    from downscaledclimatedata_spark.streaming.stream import (
+        attribution_join)
+
+    hb_click_user = -(2 ** 61)
+    hb_purchase_user = -(2 ** 61) - 1
+    ev = load_table(spark, sf_dir, "events") \
+        .filter(F.col("event_type").isin("click", "purchase"))
+    staged = ev.select(
+        "event_id", "user_id", "event_type",
+        F.pmod(F.col("event_id"), F.lit(3)).cast("int").alias("bucket"),
+        F.timestamp_seconds(
+            F.lit(OUTER_BASE_S) + F.pmod(F.col("event_id"),
+                                         F.lit(OUTER_SPAN_S)))
+        .alias("ts"))
+    base = tempfile.mkdtemp(prefix="dcd_souter_")
+    try:
+        edir = f"{base}/events"
+        os.makedirs(edir)
+        t0 = int(timemod.time()) - 3600
+
+        def _stage(df, idx):
+            part_dir = f"{base}/tmp{idx}"
+            df.coalesce(1).write.parquet(part_dir)
+            part = globmod.glob(f"{part_dir}/part-*.parquet")[0]
+            dst = f"{edir}/f{idx}.parquet"
+            shutil.move(part, dst)
+            os.utime(dst, (t0 + 100 * idx, t0 + 100 * idx))
+
+        for bi in range(3):
+            _stage(staged.filter(F.col("bucket") == bi).drop("bucket"),
+                   bi)
+        for j, flush in enumerate((OUTER_FLUSH_1, OUTER_FLUSH_2)):
+            hb = spark.createDataFrame(
+                [(-(30 + j), hb_click_user, "click"),
+                 (-(40 + j), hb_purchase_user, "purchase")],
+                "event_id long, user_id long, event_type string"
+            ).select("event_id", "user_id", "event_type",
+                     F.timestamp_seconds(F.lit(OUTER_BASE_S + flush))
+                     .alias("ts"))
+            _stage(hb, 3 + j)
+        schema = spark.read.parquet(edir).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(edir))
+        joined = attribution_join(stream, watermark="10 minutes",
+                                  how="leftOuter")
+        name = f"souter_{uuid.uuid4().hex[:8]}"
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", f"{base}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        out = (spark.table(name)
+               .filter(F.col("user_id") > hb_purchase_user + 2)
+               .select("user_id", "purchase_id", "click_id",
+                       F.unix_timestamp("p_ts").cast("bigint")
+                       .alias("p_s"),
+                       F.unix_timestamp("c_ts").cast("bigint")
+                       .alias("c_s")))
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_STREAM_OUTER_SQL = f"""
+WITH s AS (
+  SELECT event_id, user_id, event_type,
+    {OUTER_BASE_S}
+      + ((event_id % {OUTER_SPAN_S}) + {OUTER_SPAN_S})
+        % {OUTER_SPAN_S} AS t_s
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+  CAST(p.t_s AS BIGINT) AS p_s, CAST(c.t_s AS BIGINT) AS c_s
+FROM (SELECT * FROM s WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM s WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.t_s <= p.t_s AND c.t_s >= p.t_s - {OUTER_SPAN_S}
+"""
+
+register(QuerySpec(
+    "streaming_left_outer_join", streaming_left_outer_join_query,
+    _STREAM_OUTER_SQL,
+    description="stream-stream LEFT OUTER join as a REAL streaming "
+                "query: unmatched purchases held in state and flushed "
+                "as NULL rows only after the watermark closes their "
+                "window (two-file flush tail) — equals the batch "
+                "LEFT JOIN"))

@@ -122,13 +122,23 @@ def start_ingest_stream(stream: DataFrame, process_batch, checkpoint_dir: str,
 
 
 def attribution_join(events: DataFrame, window: str = "10 minutes",
-                     watermark: str = "1 hour") -> DataFrame:
+                     watermark: str = "1 hour",
+                     how: str = "inner") -> DataFrame:
     """Stream-stream interval join: each purchase matched to the same
     user's clicks within the preceding ``window`` (ad-attribution shape).
 
     Works identically on static DataFrames and on streams; in streaming,
     the watermarks bound both sides' join state so it never grows
     unboundedly (Spark drops click state older than watermark + window).
+
+    ``how="leftOuter"`` keeps purchases with NO qualifying click as
+    NULL-click rows. In streaming this is the watermark-DELAYED
+    emission semantics: an unmatched purchase cannot be emitted when
+    first seen (a matching click may still arrive), so Spark holds it
+    in state and emits the NULL row only once the watermark proves the
+    join window closed — the batch answer arrives, just later. The
+    interval condition is what makes the outer join legal on streams:
+    it bounds how long either side must wait.
     """
     purchases = (events.filter(F.col("event_type") == "purchase")
                  .select(F.col("user_id").alias("p_user"),
@@ -143,7 +153,7 @@ def attribution_join(events: DataFrame, window: str = "10 minutes",
     cond = ((F.col("p_user") == F.col("c_user"))
             & (F.col("c_ts") <= F.col("p_ts"))
             & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}")))
-    return (purchases.join(clicks, cond, "inner")
+    return (purchases.join(clicks, cond, how)
             .select(F.col("p_user").alias("user_id"), "purchase_id",
                     "click_id", "p_ts", "c_ts"))
 

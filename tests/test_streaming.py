@@ -871,3 +871,39 @@ def test_rollup_compaction_crash_recovery(spark, tmp_path):
     got2 = {r.key: (r.n, r.sum_cents, r.min_v, r.max_v)
             for r in read_rollup(spark, state, key_col="key").collect()}
     assert got2 == want
+
+
+def test_attribution_join_left_outer_static_nulls(spark):
+    """how='leftOuter' on a static frame: a purchase with no click in
+    its window survives with NULL click columns."""
+    import datetime as dt
+
+    from downscaledclimatedata_spark.streaming.stream import (
+        attribution_join)
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "click", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=5), 7, "purchase", 0.0, "{}"),
+        (3, t0 + dt.timedelta(hours=3), 7, "purchase", 0.0, "{}"),  # no click
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r.purchase_id: r.click_id
+           for r in attribution_join(ev, how="leftOuter").collect()}
+    assert got == {2: 1, 3: None}
+
+
+def test_streaming_left_outer_emits_null_rows(spark):
+    """The REAL streaming run emits watermark-flushed NULL-click rows
+    (not just matched pairs) — the semantics the spec exists to pin."""
+    from downscaledclimatedata_spark.plans.temporal import (
+        streaming_left_outer_join_query)
+
+    out = streaming_left_outer_join_query(
+        spark, "/root/testdata/sf0.001").collect()
+    nulls = [r for r in out if r.click_id is None]
+    matched = [r for r in out if r.click_id is not None]
+    assert nulls and matched
+    assert all(r.c_s is None for r in nulls)
