@@ -5278,3 +5278,94 @@ register(QuerySpec("q135_interval_coverage", q135_interval_coverage,
                                "overlap-merged islands (running-max-end "
                                "window on the high-cardinality user key), "
                                "integer-microsecond lengths"))
+
+
+# --- q136: exact weighted median per group (binned weighted prefix sum) ----------
+
+def q136_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact LOWER weighted median of extended price per return flag,
+    weighted by quantity — "the price at which half the unit volume
+    sits below": the robust revenue statistic plain medians (each row
+    counted once) misstate whenever order sizes vary.
+
+    Definition (engine-agnostic, no interpolation rule to drift): order
+    rows by (price, orderkey, linenumber); the weighted median is the
+    first price whose running weight reaches half the group's total
+    weight — the crossing row satisfies ``2*cumw >= W`` and
+    ``2*(cumw - w) < W``, which names exactly one row per group.
+
+    Scale shape: the running weight is the two-phase-binned PREFIX SUM
+    (q108's discipline, here per group): in-bin running sums under
+    windows partitioned on (flag, price-bin) — parallelism ∝ bins,
+    never ∝ |flags| — plus per-bin totals cumulated over the bounded
+    bin histogram and broadcast back. Weights are exact integers
+    (quantity is integral by TPC-H construction), prices exact cents.
+    Driver scalars: one global (min, max) pair sizing the bins.
+
+    Cross-engine trap found on landing: BOTH engines resolve column
+    references case-insensitively, so a total aliased ``W`` silently
+    shadows the weight column ``w`` (Spark raises AMBIGUOUS_REFERENCE;
+    DuckDB silently picks the inner ``w`` and returns garbage) — hence
+    ``wtot``.
+    """
+    from downscaledclimatedata_spark.functions.ranks import value_bin
+
+    li = _t(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("cents"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("w"),
+        "l_orderkey", "l_linenumber")
+    st = vals.agg(F.min("cents"), F.max("cents")).first()
+    lo, hi = float(st[0] or 0), float(st[1] or 0)
+    binned = vals.withColumn(
+        "_cb", value_bin(F.col("cents").cast("double"), lo, hi))
+    order = [F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")]
+    wb = Window.partitionBy("flag", "_cb").orderBy(*order)
+    run = binned.withColumn("_rs", F.sum("w").over(
+        wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    totals = binned.groupBy("flag", "_cb").agg(F.sum("w").alias("_bt"))
+    woff = (Window.partitionBy("flag").orderBy("_cb")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = totals.select(
+        "flag", "_cb",
+        F.coalesce(F.sum("_bt").over(woff), F.lit(0)).alias("_off"))
+    grp_tot = binned.groupBy("flag").agg(F.sum("w").alias("wtot"))
+    swept = (run.join(F.broadcast(offs), ["flag", "_cb"])
+             .withColumn("cumw", F.col("_rs") + F.col("_off"))
+             .join(F.broadcast(grp_tot), "flag"))
+    return (swept.filter((2 * F.col("cumw") >= F.col("wtot"))
+                         & (2 * (F.col("cumw") - F.col("w"))
+                            < F.col("wtot")))
+            .select("flag",
+                    F.col("cents").alias("wmedian_cents"),
+                    F.col("wtot").cast("bigint").alias("total_qty")))
+
+
+_Q136_SQL = """
+WITH vals AS (
+  SELECT l_returnflag AS flag,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+    CAST(round(l_quantity) AS BIGINT) AS w,
+    l_orderkey, l_linenumber
+  FROM lineitem
+), c AS (
+  SELECT flag, cents, w,
+    SUM(w) OVER (PARTITION BY flag
+                 ORDER BY cents, l_orderkey, l_linenumber
+                 ROWS UNBOUNDED PRECEDING) AS cumw,
+    SUM(w) OVER (PARTITION BY flag) AS wtot
+  FROM vals
+)
+SELECT flag, cents AS wmedian_cents, CAST(wtot AS BIGINT) AS total_qty
+FROM c WHERE 2 * cumw >= wtot AND 2 * (cumw - w) < wtot
+"""
+
+register(QuerySpec("q136_weighted_median", q136_weighted_median,
+                   _Q136_SQL,
+                   description="exact lower weighted median per group: "
+                               "two-phase-binned weighted PREFIX SUM "
+                               "(windows on (flag, price-bin), bounded "
+                               "histogram offsets), crossing-row "
+                               "election, integer cents/quantities"))

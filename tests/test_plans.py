@@ -1747,3 +1747,27 @@ def test_q135_interval_merge_and_touching(spark, tmp_path):
            for r in q135_interval_coverage(spark, str(tmp_path)).collect()}
     assert (got[1].n_islands, got[1].covered_us) == (2, 330_000_000)
     assert (got[2].n_islands, got[2].covered_us) == (1, 540_000_000)
+
+
+def test_q136_weighted_vs_plain_median(spark, tmp_path):
+    """Planted: a heavy row drags the WEIGHTED median away from the
+    plain median; the lower-median tie rule picks the crossing row."""
+    import pandas as pd
+    from downscaledclimatedata_spark.plans.advanced import (
+        q136_weighted_median)
+
+    rows = [
+        # flag X: prices 10,20,30 with weights 1,1,10 -> wmedian 30
+        ("X", 1, 1, 0.10, 1.0), ("X", 1, 2, 0.20, 1.0),
+        ("X", 2, 1, 0.30, 10.0),
+        # flag Y: two equal weights -> LOWER weighted median = 10
+        ("Y", 3, 1, 0.10, 1.0), ("Y", 3, 2, 0.20, 1.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["l_returnflag", "l_orderkey",
+                                      "l_linenumber", "l_extendedprice",
+                                      "l_quantity"])
+    spark.createDataFrame(pdf).write.parquet(
+        str(tmp_path / "lineitem.parquet"))
+    got = {r.flag: (r.wmedian_cents, r.total_qty)
+           for r in q136_weighted_median(spark, str(tmp_path)).collect()}
+    assert got == {"X": (30, 12), "Y": (10, 2)}
