@@ -801,7 +801,7 @@ def maintenance_checksums_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table_parallel(spark, sf_dir, "lineitem", key="l_orderkey"))
 
 
-def _checksums_sql() -> str:
+def _checksums_sql(from_clause: str = "lineitem") -> str:
     from downscaledclimatedata_spark.functions.hashing import md5_long_sql
     from downscaledclimatedata_spark.functions.money import dec_sql
     cents = lambda c: f"CAST(CAST(ROUND({c} * 100) AS BIGINT) AS VARCHAR)"
@@ -823,7 +823,7 @@ SELECT
   CAST(SUM({rev}) AS DOUBLE) AS sum_revenue,
   min(l_orderkey) AS min_orderkey,
   max(l_orderkey) AS max_orderkey
-FROM lineitem
+FROM {from_clause}
 GROUP BY 1, 2
 """
 
@@ -1470,3 +1470,91 @@ register(QuerySpec(
                 "decreasing per table partition via applyInPandas "
                 "(sequential within a partition's bounded file list, "
                 "parallel across partitions), recursive-CTE oracle"))
+
+
+# --- snapshot manifest diff (partition-granularity change detection) -------------
+
+MANIFEST_DEL_MOD = 101  # snapshot B deletes l_orderkey % 101 == 0 rows
+MANIFEST_UPD_MOD = 97   # ...and bumps quantity on % 97 == 0 rows
+
+
+def manifest_diff(snap_a: DataFrame, snap_b: DataFrame) -> DataFrame:
+    """Partition-granularity diff of two table snapshots — the
+    incremental-maintenance planner's first question ("which partitions
+    changed since the last run?") answered WITHOUT reading either
+    snapshot twice: each side collapses to its
+    :func:`partition_checksums` summary (one scan, map-side partial
+    aggregation), and the diff is a FULL OUTER join of two
+    |partitions|-row relations. Status per partition: ``added`` /
+    ``removed`` / ``changed`` (count or order-independent XOR
+    fingerprint differs) / ``unchanged`` — downstream recomputation
+    touches only the non-unchanged partitions.
+    """
+    ca = partition_checksums(snap_a).select(
+        "part_year", "part_month",
+        F.col("n_rows").alias("rows_a"), F.col("xor_fp").alias("fp_a"))
+    cb = partition_checksums(snap_b).select(
+        "part_year", "part_month",
+        F.col("n_rows").alias("rows_b"), F.col("xor_fp").alias("fp_b"))
+    j = ca.join(cb, ["part_year", "part_month"], "full_outer")
+    status = (F.when(F.col("fp_a").isNull(), F.lit("added"))
+              .when(F.col("fp_b").isNull(), F.lit("removed"))
+              .when((F.col("fp_a") == F.col("fp_b"))
+                    & (F.col("rows_a") == F.col("rows_b")),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select(
+        "part_year", "part_month", status.alias("status"),
+        F.coalesce(F.col("rows_a"), F.lit(0)).cast("bigint")
+        .alias("rows_a"),
+        F.coalesce(F.col("rows_b"), F.lit(0)).cast("bigint")
+        .alias("rows_b"))
+
+
+def maintenance_manifest_diff_query(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Snapshot B simulates a CDC day: every ``% 101`` orderkey's rows
+    deleted, every ``% 97``'s quantity bumped — partitions holding
+    neither class must report ``unchanged``."""
+    li = load_table_parallel(spark, sf_dir, "lineitem", key="l_orderkey")
+    upd = F.col("l_orderkey") % MANIFEST_UPD_MOD == 0
+    snap_b = (li.filter(F.col("l_orderkey") % MANIFEST_DEL_MOD != 0)
+              .withColumn("l_quantity",
+                          F.when(upd, F.col("l_quantity") + 1)
+                          .otherwise(F.col("l_quantity"))))
+    return manifest_diff(li, snap_b)
+
+
+def _manifest_diff_sql() -> str:
+    snap_b = f"""(
+  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+    CASE WHEN l_orderkey % {MANIFEST_UPD_MOD} = 0
+         THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+    l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+    l_shipdate
+  FROM lineitem WHERE l_orderkey % {MANIFEST_DEL_MOD} <> 0
+)"""
+    return f"""
+WITH ca AS ({_checksums_sql()}),
+cb AS ({_checksums_sql(snap_b)})
+SELECT coalesce(a.part_year, b.part_year) AS part_year,
+  coalesce(a.part_month, b.part_month) AS part_month,
+  CASE WHEN a.xor_fp IS NULL THEN 'added'
+       WHEN b.xor_fp IS NULL THEN 'removed'
+       WHEN a.xor_fp = b.xor_fp AND a.n_rows = b.n_rows
+            THEN 'unchanged'
+       ELSE 'changed' END AS status,
+  CAST(coalesce(a.n_rows, 0) AS BIGINT) AS rows_a,
+  CAST(coalesce(b.n_rows, 0) AS BIGINT) AS rows_b
+FROM ca a FULL JOIN cb b
+  ON a.part_year = b.part_year AND a.part_month = b.part_month
+"""
+
+
+register(QuerySpec(
+    "maintenance_manifest_diff", maintenance_manifest_diff_query,
+    _manifest_diff_sql(),
+    description="snapshot manifest diff: two one-scan checksum "
+                "summaries full-outer-joined at partition granularity "
+                "— added/removed/changed/unchanged without a row-level "
+                "compare"))

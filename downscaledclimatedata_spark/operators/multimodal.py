@@ -7745,3 +7745,300 @@ register(QuerySpec("multimodal_decode_midi", multimodal_decode_midi_query,
                                "running status over velocity-0 "
                                "note-offs, meta-event walk; lying "
                                "track lengths -> NULL"))
+
+
+# --- real PNG Adam7 INTERLACED decode (7-pass extraction + deinterlace) ----------
+
+ADAM7_W_BASE = 9    # >= 9 so all seven passes are non-empty
+ADAM7_W_MOD = 22
+ADAM7_H_BASE = 9
+ADAM7_H_MOD = 15
+ADAM7_A = 6007
+ADAM7_B = 100_003
+ADAM7_C = 999_983
+ADAM7_CORRUPT_MOD = 43  # every 43rd doc: truncated deflate stream
+
+ADAM7_SCHEMA = ("doc_id long, width int, height int, n_px int, "
+                "pix_sum bigint, pix_min int, pix_max int, "
+                "pass1_sum bigint")
+
+# (x_start, y_start, x_step, y_step) per PNG spec §8.2
+ADAM7_PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _build_png_adam7_codecs():
+    """Pure-stdlib Adam7-interlaced PNG codec (struct + zlib).
+
+    The new discipline vs the sequential PNG codec: interlacing splits
+    the image into SEVEN reduced sub-images, each with its own scanline
+    geometry and its own filter context (the previous row is the
+    previous row OF THE PASS, reset at every pass boundary; empty
+    passes contribute zero bytes, not empty scanlines). A sequential
+    decoder fed an interlaced stream sees the wrong raw length and must
+    reject it — asserted in the units — so deinterlacing cannot be
+    faked by ignoring the IHDR interlace flag."""
+    import struct
+    import zlib
+
+    png_magic = b"\x89PNG\r\n\x1a\n"
+
+    def _chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    def _filt(row: bytes, prev: bytes, ft: int) -> bytes:
+        if ft == 0:
+            return bytes(row)
+        if ft == 1:
+            return bytes((row[x] - (row[x - 1] if x >= 1 else 0)) & 0xFF
+                         for x in range(len(row)))
+        if ft == 2:
+            return bytes((row[x] - prev[x]) & 0xFF
+                         for x in range(len(row)))
+        if ft == 3:
+            return bytes((row[x] - (((row[x - 1] if x >= 1 else 0)
+                                     + prev[x]) >> 1)) & 0xFF
+                         for x in range(len(row)))
+        return bytes((row[x] - _paeth(row[x - 1] if x >= 1 else 0,
+                                      prev[x],
+                                      prev[x - 1] if x >= 1 else 0)) & 0xFF
+                     for x in range(len(row)))
+
+    def make_png_adam7(img: list[bytes], corrupt: bool = False) -> bytes:
+        h = len(img)
+        w = len(img[0]) if h else 0
+        out = bytearray()
+        for (x0, y0, dx, dy) in ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue  # empty pass: NO bytes at all
+            prev = bytes(pw)
+            for j in range(ph):
+                row = bytes(img[y0 + j * dy][x0 + i * dx]
+                            for i in range(pw))
+                ft = j % 5
+                out.append(ft)
+                out += _filt(row, prev, ft)
+                prev = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)  # interlace=1
+        comp = zlib.compress(bytes(out), 6)
+        if corrupt:
+            comp = comp[:-4]  # truncated deflate: CRCs still verify
+        return (png_magic + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", comp) + _chunk(b"IEND", b""))
+
+    def _unfilt(line: bytes, prev: bytes, ft: int):
+        n = len(line)
+        cur = bytearray(n)
+        if ft == 0:
+            cur[:] = line
+        elif ft == 1:
+            for x in range(n):
+                cur[x] = (line[x] + (cur[x - 1] if x >= 1 else 0)) & 0xFF
+        elif ft == 2:
+            for x in range(n):
+                cur[x] = (line[x] + prev[x]) & 0xFF
+        elif ft == 3:
+            for x in range(n):
+                cur[x] = (line[x] + (((cur[x - 1] if x >= 1 else 0)
+                                      + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:
+            for x in range(n):
+                cur[x] = (line[x] + _paeth(cur[x - 1] if x >= 1 else 0,
+                                           prev[x],
+                                           prev[x - 1] if x >= 1
+                                           else 0)) & 0xFF
+        else:
+            return None
+        return bytes(cur)
+
+    def decode_png_adam7_stats(blob: bytes):
+        try:
+            if bytes(blob[:8]) != png_magic:
+                return None
+            i = 8
+            w = h = depth = ctype = inter = None
+            idat = bytearray()
+            while i + 12 <= len(blob):
+                (ln,) = struct.unpack(">I", blob[i:i + 4])
+                typ = bytes(blob[i + 4:i + 8])
+                data = bytes(blob[i + 8:i + 8 + ln])
+                if len(data) != ln or i + 12 + ln > len(blob):
+                    return None
+                (crc,) = struct.unpack(">I", blob[i + 8 + ln:i + 12 + ln])
+                if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                    return None
+                if typ == b"IHDR":
+                    if len(data) != 13:
+                        return None
+                    w, h, depth, ctype, _, _, inter = struct.unpack(
+                        ">IIBBBBB", data)
+                elif typ == b"IDAT":
+                    idat += data
+                elif typ == b"IEND":
+                    break
+                i += 12 + ln
+            if not w or not h or depth != 8 or ctype != 0 or inter != 1:
+                return None
+            raw = zlib.decompress(bytes(idat))
+            img = [bytearray(w) for _ in range(h)]
+            p = 0
+            for (x0, y0, dx, dy) in ADAM7_PASSES:
+                pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+                ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+                if pw == 0 or ph == 0:
+                    continue
+                prev = bytes(pw)
+                for j in range(ph):
+                    if p + 1 + pw > len(raw):
+                        return None
+                    cur = _unfilt(raw[p + 1:p + 1 + pw], prev, raw[p])
+                    if cur is None:
+                        return None
+                    p += 1 + pw
+                    for k in range(pw):
+                        img[y0 + j * dy][x0 + k * dx] = cur[k]
+                    prev = cur
+            if p != len(raw):
+                return None  # trailing bytes: not a valid interlaced body
+            total = 0
+            mn, mx = 255, 0
+            p1 = 0
+            for y in range(h):
+                row = img[y]
+                total += sum(row)
+                mn = min(mn, min(row))
+                mx = max(mx, max(row))
+                if y % 8 == 0:
+                    p1 += sum(row[0::8])
+            return (w, h, w * h, total, mn, mx, p1)
+        except Exception:
+            return None
+
+    return make_png_adam7, decode_png_adam7_stats
+
+
+make_png_adam7, decode_png_adam7_stats = _build_png_adam7_codecs()
+
+
+def synthesize_png_adam7_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> real Adam7-interlaced PNG bytes; pixel (y, x) =
+    (d*A + y*B + x*C) % 256, width/height >= 9 so all seven passes are
+    exercised. Every ADAM7_CORRUPT_MOD-th doc ships a truncated deflate
+    stream whose chunk CRCs still verify (the defect is only visible to
+    the inflater)."""
+    mk = make_png_adam7
+    wb, wm, hb, hm = ADAM7_W_BASE, ADAM7_W_MOD, ADAM7_H_BASE, ADAM7_H_MOD
+    a, b, c = ADAM7_A, ADAM7_B, ADAM7_C
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                w, h = wb + d % wm, hb + d % hm
+                img = [bytes((d * a + y * b + x * c) % 256
+                             for x in range(w)) for y in range(h)]
+                payloads.append(mk(img, corrupt=(d % ADAM7_CORRUPT_MOD
+                                                 == 0)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        _synth, "doc_id long, payload binary")
+
+
+def decode_png_adam7(df: DataFrame) -> DataFrame:
+    dec = decode_png_adam7_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        keys = ("width", "height", "n_px", "pix_sum", "pix_min",
+                "pix_max", "pass1_sum")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 7
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "n_px": pd.array(cols["n_px"], dtype="Int32"),
+                "pix_sum": pd.array(cols["pix_sum"], dtype="Int64"),
+                "pix_min": pd.array(cols["pix_min"], dtype="Int32"),
+                "pix_max": pd.array(cols["pix_max"], dtype="Int32"),
+                "pass1_sum": pd.array(cols["pass1_sum"], dtype="Int64")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode,
+                                                      ADAM7_SCHEMA)
+
+
+def multimodal_decode_png_adam7_query(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Real Adam7 decode end-to-end: 7-pass sub-image extraction with
+    per-pass filter contexts on the encode side, inflate + per-pass
+    unfilter + DEINTERLACE on the decode side; stats (plus the pass-1
+    lattice sum proving placement) recomputed by the oracle from the
+    pixel formula alone. Truncated deflate -> NULL rows (T7)."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_png_adam7(synthesize_png_adam7_payloads(docs))
+
+
+_ADAM7_NULL = f"d % {ADAM7_CORRUPT_MOD} = 0"
+
+_MULTIMODAL_ADAM7_SQL = f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST({ADAM7_W_BASE} + abs(doc_id) % {ADAM7_W_MOD} AS INT) AS width,
+    CAST({ADAM7_H_BASE} + abs(doc_id) % {ADAM7_H_MOD} AS INT) AS height
+  FROM documents
+), px AS (
+  SELECT doc_id, d, width, height,
+    list_transform(range(0, width * height),
+      i -> (d * {ADAM7_A} + (i // width) * {ADAM7_B}
+            + (i % width) * {ADAM7_C}) % 256) AS vals,
+    list_sum(list_transform(range(0, width * height),
+      i -> CASE WHEN (i // width) % 8 = 0 AND (i % width) % 8 = 0
+           THEN (d * {ADAM7_A} + (i // width) * {ADAM7_B}
+                 + (i % width) * {ADAM7_C}) % 256 ELSE 0 END)) AS p1
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN {_ADAM7_NULL} THEN NULL ELSE width END AS width,
+  CASE WHEN {_ADAM7_NULL} THEN NULL ELSE height END AS height,
+  CASE WHEN {_ADAM7_NULL} THEN NULL
+       ELSE CAST(width * height AS INT) END AS n_px,
+  CASE WHEN {_ADAM7_NULL} THEN NULL
+       ELSE CAST(list_sum(vals) AS BIGINT) END AS pix_sum,
+  CASE WHEN {_ADAM7_NULL} THEN NULL
+       ELSE CAST(list_min(vals) AS INT) END AS pix_min,
+  CASE WHEN {_ADAM7_NULL} THEN NULL
+       ELSE CAST(list_max(vals) AS INT) END AS pix_max,
+  CASE WHEN {_ADAM7_NULL} THEN NULL
+       ELSE CAST(p1 AS BIGINT) END AS pass1_sum
+FROM px
+"""
+
+register(QuerySpec("multimodal_decode_png_adam7",
+                   multimodal_decode_png_adam7_query,
+                   _MULTIMODAL_ADAM7_SQL,
+                   description="real Adam7-interlaced PNG decode: "
+                               "7-pass extraction, per-pass filter "
+                               "contexts, deinterlace placement (pass-1 "
+                               "lattice sum pinned); truncated deflate "
+                               "-> NULL"))

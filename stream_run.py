@@ -1,9 +1,9 @@
 #!/usr/bin/env python
-"""Recorded streaming end-to-end sweep: drive the seven streaming twins
+"""Recorded streaming end-to-end sweep: drive the streaming twins
 (exact-dedup prep, minhash near-dup index, LSH semantic ANN index,
 CMS+Bloom sketch index, multi-signal minhash+simhash index,
-bounded-state watermark dedup, incremental IVM rollup) over
-micro-batched corpora,
+bounded-state watermark dedup, incremental IVM rollup, left-outer
+null-emission flush) over micro-batched corpora,
 then verify each against its BATCH twin / exact ground truth, and emit
 STREAM_r{N}.json — the committed artifact for the exactly-once and
 stream==batch claims (round-7 advice #8).
@@ -31,6 +31,12 @@ Checks per phase (all booleans recorded; n_bad counts failures):
 * rollup        — the streamed incremental rollup equals the one-shot
                   batch aggregate; compaction folds deltas to one base
                   without changing the merged answer.
+* left_outer_flush — stream-stream LEFT OUTER: unmatched purchases are
+                  flushed as NULL rows exactly once, and ONLY when a
+                  watermark advance closes their window (the same
+                  staged stream without the flush tail emits no NULL
+                  row) — emission is watermark-driven, not
+                  end-of-stream.
 
 Throughput (docs/sec wall-clock per phase, micro-batch count) is
 recorded so the stream surface has a number, like bench.py gives the
@@ -459,6 +465,83 @@ def main() -> None:
                 "no_aside_left_after_restore": aside_cleaned,
                 "stranded_aside_fails_loudly": loud_gate_fired,
                 "recovery_restores_full_answer": recovered == want2}}
+
+        # ---- phase 9: LEFT-OUTER null emission is watermark-driven -------
+        # Planted users: matched pair, purchase with no click, purchase
+        # whose only click is AFTER it (outside the window), two-click
+        # purchase. The same staged stream runs TWICE: with two trailing
+        # far-future heartbeat files (watermark flush) and WITHOUT them —
+        # null rows must appear ONLY in the flushed run, proving emission
+        # is the watermark closing the window, not end-of-stream.
+        import glob as _glob2
+        import uuid as _uuid
+
+        from downscaledclimatedata_spark.streaming.stream import (
+            attribution_join)
+
+        t0 = time.time()
+        B = 1_700_000_000
+        hb_user = -(2 ** 61)
+
+        def _ev(rows):
+            return spark.createDataFrame(
+                rows, "event_id long, user_id long, event_type string, "
+                      "t_s long") \
+                .select("event_id", "user_id", "event_type",
+                        F.timestamp_seconds(F.col("t_s")).alias("ts"))
+
+        f0 = _ev([(1, 1, "click", B + 10), (2, 4, "click", B + 5),
+                  (3, 4, "click", B + 15), (4, 2, "purchase", B + 30)])
+        f1 = _ev([(5, 1, "purchase", B + 20), (6, 3, "purchase", B + 40),
+                  (7, 3, "click", B + 100), (8, 4, "purchase", B + 20)])
+        f2 = _ev([(-1, hb_user, "click", B + 20_000),
+                  (-2, hb_user - 1, "purchase", B + 20_000)])
+        f3 = _ev([(-3, hb_user, "click", B + 40_000),
+                  (-4, hb_user - 1, "purchase", B + 40_000)])
+
+        def _run_outer(files, tag):
+            edir = f"{work}/outer_{tag}/events"
+            _os.makedirs(edir)
+            t00 = int(time.time()) - 3600
+            for idx, df in enumerate(files):
+                pdir = f"{work}/outer_{tag}/tmp{idx}"
+                df.coalesce(1).write.parquet(pdir)
+                part = _glob2.glob(f"{pdir}/part-*.parquet")[0]
+                dst = f"{edir}/f{idx}.parquet"
+                _sh.move(part, dst)
+                _os.utime(dst, (t00 + 100 * idx, t00 + 100 * idx))
+            schema = spark.read.parquet(edir).schema
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(edir))
+            joined = attribution_join(stream, watermark="10 minutes",
+                                      how="leftOuter")
+            name = f"souter_{_uuid.uuid4().hex[:8]}"
+            q = (joined.writeStream.format("memory").queryName(name)
+                 .outputMode("append")
+                 .option("checkpointLocation",
+                         f"{work}/outer_{tag}/ckpt")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
+            return [r for r in spark.table(name).collect()
+                    if r.user_id > hb_user]  # excludes hb_user, hb_user-1
+
+        flushed = _run_outer([f0, f1, f2, f3], "flush")
+        unflushed = _run_outer([f0, f1], "noflush")
+        nulls = sorted(r.purchase_id for r in flushed
+                       if r.click_id is None)
+        matched = sorted((r.purchase_id, r.click_id) for r in flushed
+                         if r.click_id is not None)
+        out["phases"]["left_outer_flush"] = {
+            "elapsed_sec": round(time.time() - t0, 2),
+            "checks": {
+                "unmatched_flushed_once": nulls == [4, 6],
+                "matched_equal_batch": matched == [(5, 1), (8, 2),
+                                                   (8, 3)],
+                "no_nulls_without_flush":
+                all(r.click_id is not None for r in unflushed),
+                "matched_emitted_without_flush":
+                sorted((r.purchase_id, r.click_id)
+                       for r in unflushed) == [(5, 1), (8, 2), (8, 3)]}}
 
         n_bad = sum(1 for ph in out["phases"].values()
                     for ok in ph["checks"].values() if not ok)

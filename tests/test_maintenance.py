@@ -671,3 +671,38 @@ def test_compaction_partitions_independent(spark):
     a = sorted((r.bin_id, r.bin_bytes) for r in rows if r.part == "a")
     b = sorted((r.bin_id, r.bin_bytes) for r in rows if r.part == "b")
     assert a == [(0, 90), (1, 90)] and b == [(0, 20)]
+
+
+# --- manifest_diff ----------------------------------------------------------------
+
+def test_manifest_diff_all_four_statuses(spark):
+    import datetime as dt
+
+    from downscaledclimatedata_spark.operators.maintenance import (
+        manifest_diff)
+
+    def li(rows):
+        return spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long, l_suppkey long, "
+                  "l_linenumber int, l_quantity double, "
+                  "l_extendedprice double, l_discount double, "
+                  "l_tax double, l_returnflag string, "
+                  "l_linestatus string, l_shipdate date")
+
+    def row(k, month, qty=1.0):
+        return (k, 1, 1, 1, qty, 100.0, 0.0, 0.0, "N", "O",
+                dt.date(2024, month, 15))
+
+    a = li([row(1, 1), row(2, 2), row(3, 3), row(4, 4)])
+    # month 1 unchanged; month 2 qty bumped (changed); month 3 dropped
+    # (removed); month 5 new (added)
+    b = li([row(1, 1), row(2, 2, qty=2.0), row(4, 4), row(5, 5)])
+    got = {(r.part_year, r.part_month): (r.status, r.rows_a, r.rows_b)
+           for r in manifest_diff(a, b).collect()}
+    assert got == {
+        (2024, 1): ("unchanged", 1, 1),
+        (2024, 2): ("changed", 1, 1),
+        (2024, 3): ("removed", 1, 0),
+        (2024, 4): ("unchanged", 1, 1),
+        (2024, 5): ("added", 0, 1),
+    }

@@ -1634,3 +1634,66 @@ def test_midi_lying_track_length_rejected():
     # hard truncation mid-event also rejected
     good = make_midi(7, False)
     assert decode_midi_stats(good[:len(good) - 3]) is None
+
+
+# --- PNG Adam7 interlace codec ------------------------------------------------------
+
+def _adam7_img(d):
+    from downscaledclimatedata_spark.operators.multimodal import (
+        ADAM7_A, ADAM7_B, ADAM7_C, ADAM7_H_BASE, ADAM7_H_MOD,
+        ADAM7_W_BASE, ADAM7_W_MOD)
+    w, h = ADAM7_W_BASE + d % ADAM7_W_MOD, ADAM7_H_BASE + d % ADAM7_H_MOD
+    return [bytes((d * ADAM7_A + y * ADAM7_B + x * ADAM7_C) % 256
+                  for x in range(w)) for y in range(h)], w, h
+
+
+def test_adam7_roundtrip_matches_formula():
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_png_adam7_stats, make_png_adam7)
+    for d in (5, 77, 123):
+        img, w, h = _adam7_img(d)
+        flat = [v for row in img for v in row]
+        p1 = sum(img[y][x] for y in range(0, h, 8)
+                 for x in range(0, w, 8))
+        assert decode_png_adam7_stats(make_png_adam7(img)) == (
+            w, h, w * h, sum(flat), min(flat), max(flat), p1)
+
+
+def test_adam7_sequential_decoder_rejects_interlaced():
+    """A decoder that ignores the IHDR interlace flag sees the wrong
+    raw length and must reject — deinterlacing cannot be faked."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_png_adam7_stats, decode_png_pixel_stats, make_png_adam7,
+        make_png_pixels)
+    img, _, _ = _adam7_img(9)
+    assert decode_png_pixel_stats(make_png_adam7(img)) is None
+    # and vice versa: the interlaced decoder rejects sequential streams
+    assert decode_png_adam7_stats(make_png_pixels(img)) is None
+
+
+def test_adam7_truncated_deflate_rejected_crc_clean():
+    """The planted corruption is invisible to every chunk CRC — only
+    the inflater can see it."""
+    import struct
+    import zlib
+
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_png_adam7_stats, make_png_adam7)
+    img, _, _ = _adam7_img(43)
+    blob = make_png_adam7(img, corrupt=True)
+    assert decode_png_adam7_stats(blob) is None
+    i = 8
+    while i + 12 <= len(blob):  # every CRC still verifies
+        (ln,) = struct.unpack(">I", blob[i:i + 4])
+        typ, data = blob[i + 4:i + 8], blob[i + 8:i + 8 + ln]
+        (crc,) = struct.unpack(">I", blob[i + 8 + ln:i + 12 + ln])
+        assert zlib.crc32(typ + data) & 0xFFFFFFFF == crc
+        i += 12 + ln
+
+
+def test_adam7_single_pixel_image():
+    """1x1 forces six EMPTY passes (zero bytes, not empty scanlines)."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_png_adam7_stats, make_png_adam7)
+    assert decode_png_adam7_stats(make_png_adam7([b"\x7f"])) == (
+        1, 1, 1, 127, 127, 127, 127)
