@@ -411,10 +411,36 @@ def _build_audio_codecs():
         sum0 = sum(ch0)  # python int: exact
         return ch, n_frames, zcr, peak0, sum0
 
-    return make_wav, parse_wav_features, parse_wav_zcr
+    def parse_wav_fir(blob: bytes, taps: int = 4, hot: int = 15000):
+        """Integer box-FIR over the de-interleaved channel-0 stream —
+        the family's convolution discipline: y_f = sum(ch0[f:f+taps])
+        in 'valid' mode (n_frames - taps + 1 outputs), features =
+        (output count, peak |y|, exact sum, count of |y| > hot).
+        Everything is python-int arithmetic (|y| <= taps * 32767, but
+        no wrap is possible regardless)."""
+        parsed = parse_wav_pcm(blob)
+        if parsed is None:
+            return None
+        ch, sr, bits, pcm = parsed
+        ch0 = pcm[0::ch]
+        n_out = max(0, len(ch0) - taps + 1)
+        run = sum(ch0[:taps]) if n_out else 0
+        peak = abs(run) if n_out else 0
+        tot = run if n_out else 0
+        n_hot = 1 if (n_out and abs(run) > hot) else 0
+        for f in range(1, n_out):
+            run += ch0[f + taps - 1] - ch0[f - 1]
+            peak = max(peak, abs(run))
+            tot += run
+            if abs(run) > hot:
+                n_hot += 1
+        return ch, n_out, peak, tot, n_hot
+
+    return make_wav, parse_wav_features, parse_wav_zcr, parse_wav_fir
 
 
-make_wav, parse_wav_features, parse_wav_zcr = _build_audio_codecs()
+(make_wav, parse_wav_features, parse_wav_zcr,
+ parse_wav_fir) = _build_audio_codecs()
 
 
 def synthesize_wav_payloads(df: DataFrame,
@@ -8042,3 +8068,95 @@ register(QuerySpec("multimodal_decode_png_adam7",
                                "contexts, deinterlace placement (pass-1 "
                                "lattice sum pinned); truncated deflate "
                                "-> NULL"))
+
+
+# --- audio FIR convolution features (box filter over decoded PCM) ----------------
+
+FIR_TAPS = 4
+FIR_HOT = 15_000
+FIR_CORRUPT_MOD = 19
+
+FIR_SCHEMA = ("doc_id long, channels int, n_out int, fir_peak int, "
+              "fir_sum bigint, fir_hot bigint")
+
+
+def decode_wav_fir(df: DataFrame) -> DataFrame:
+    parse = parse_wav_fir
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        keys = ("channels", "n_out", "fir_peak", "fir_sum", "fir_hot")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = parse(bytes(payload))
+                vals = st if st is not None else (None,) * 5
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "channels": pd.array(cols["channels"], dtype="Int32"),
+                "n_out": pd.array(cols["n_out"], dtype="Int32"),
+                "fir_peak": pd.array(cols["fir_peak"], dtype="Int32"),
+                "fir_sum": pd.array(cols["fir_sum"], dtype="Int64"),
+                "fir_hot": pd.array(cols["fir_hot"], dtype="Int64")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, FIR_SCHEMA)
+
+
+def multimodal_audio_fir_query(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Integer box-FIR (4-tap 'valid' convolution) over genuinely
+    decoded, de-interleaved channel-0 PCM — the smoothing/feature
+    kernel an audio-quality gate runs before thresholding; the sliding
+    window is maintained as a running sum (one add + one subtract per
+    output, not taps multiplies). Truncated RIFF stubs -> NULL (T7)."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_wav_fir(
+        synthesize_wav_payloads(docs, corrupt_mod=FIR_CORRUPT_MOD))
+
+
+def _fir_sql() -> str:
+    def s(idx: str) -> str:
+        return (f"((d * {WAV_SAMPLE_A} + ({idx}) * {WAV_SAMPLE_B}) "
+                f"% {WAV_SAMPLE_MOD}) - {WAV_SAMPLE_OFF}")
+
+    y = " + ".join(s(f"(f + {j}) * channels") for j in range(FIR_TAPS))
+    cm = FIR_CORRUPT_MOD
+    return f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    CAST(1 + abs(doc_id) % 2 AS INT) AS channels,
+    CAST({WAV_FRAMES_BASE} + abs(doc_id) % {WAV_FRAMES_MOD} AS INT)
+      AS n_frames
+  FROM documents
+), feat AS (
+  SELECT doc_id, d, channels,
+    n_frames - {FIR_TAPS} + 1 AS n_out,
+    list_max(list_transform(range(0, n_frames - {FIR_TAPS} + 1),
+      f -> abs({y}))) AS fir_peak,
+    list_sum(list_transform(range(0, n_frames - {FIR_TAPS} + 1),
+      f -> {y})) AS fir_sum,
+    list_sum(list_transform(range(0, n_frames - {FIR_TAPS} + 1),
+      f -> CASE WHEN abs({y}) > {FIR_HOT} THEN 1 ELSE 0 END)) AS fir_hot
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN d % {cm} = 0 THEN NULL ELSE channels END AS channels,
+  CASE WHEN d % {cm} = 0 THEN NULL ELSE CAST(n_out AS INT) END AS n_out,
+  CASE WHEN d % {cm} = 0 THEN NULL
+       ELSE CAST(fir_peak AS INT) END AS fir_peak,
+  CASE WHEN d % {cm} = 0 THEN NULL
+       ELSE CAST(fir_sum AS BIGINT) END AS fir_sum,
+  CASE WHEN d % {cm} = 0 THEN NULL
+       ELSE CAST(fir_hot AS BIGINT) END AS fir_hot
+FROM feat
+"""
+
+
+register(QuerySpec("multimodal_audio_fir", multimodal_audio_fir_query,
+                   _fir_sql(),
+                   description="integer box-FIR convolution features "
+                               "over decoded de-interleaved PCM "
+                               "(running-sum sliding window); "
+                               "truncated RIFF -> NULL"))

@@ -5369,3 +5369,87 @@ register(QuerySpec("q136_weighted_median", q136_weighted_median,
                                "(windows on (flag, price-bin), bounded "
                                "histogram offsets), crossing-row "
                                "election, integer cents/quantities"))
+
+
+# --- q137: hierarchy rollup via arithmetic ancestor enumeration ------------------
+
+HIER_MAX_DEPTH = 13  # supports node ids < 10^13
+
+
+def q137_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree rollup over an id-encoded hierarchy — the org-chart /
+    category-tree aggregation class — WITHOUT recursion or iteration:
+    nodes are (abs) user ids, the parent is ``node div 10`` (a 10-ary
+    tree encoded in the id's digits), and each node's subtree event
+    total is wanted.
+
+    The Spark-first trick is the materialized-path closure: a node's
+    ancestor set is computable ARITHMETICALLY (``node div 10^k`` for
+    k = 0.. until the chain hits root 0), so the transitive closure is
+    a bounded <= 13x explode + one groupBy — no iterative joins, no
+    recursive CTE on the engine side, depth grows only with log10(max
+    id) at any corpus size. Output keeps EXISTING nodes only (implied
+    ancestors that never appear as users are dropped by the closing
+    join); ``n_desc`` counts existing subtree nodes including self.
+
+    The oracle mirrors the same closure with a DuckDB list_transform /
+    unnest (a recursive CTE would also work — the point is the engine
+    side never needs one).
+    """
+    ev = _t(spark, sf_dir, "events")
+    per_user = (ev.groupBy(F.abs(F.col("user_id")).alias("node"))
+                .agg(F.count(F.lit(1)).alias("own")))
+    cols = []
+    for k in range(HIER_MAX_DEPTH):
+        anc = F.expr(f"node div {10 ** k}")
+        if k == 0:
+            cols.append(anc)
+        else:
+            cols.append(F.when(F.col("node") >= 10 ** (k - 1), anc))
+    rolled = (per_user
+              .select(F.explode(F.array_compact(F.array(*cols)))
+                      .alias("anc"), "own")
+              .groupBy("anc")
+              .agg(F.sum("own").alias("subtree_events"),
+                   F.count(F.lit(1)).alias("n_desc")))
+    return (per_user.join(rolled,
+                          per_user["node"] == rolled["anc"])
+            .select(F.col("node").cast("bigint").alias("node_id"),
+                    F.col("own").cast("bigint").alias("own_events"),
+                    F.col("subtree_events").cast("bigint")
+                    .alias("subtree_events"),
+                    F.col("n_desc").cast("bigint").alias("n_desc")))
+
+
+def _q137_sql() -> str:
+    pows = "[" + ", ".join(str(10 ** k)
+                           for k in range(HIER_MAX_DEPTH + 1)) + "]"
+    return f"""
+WITH per_user AS (
+  SELECT abs(user_id) AS node, COUNT(*) AS own FROM events GROUP BY 1
+), anc AS (
+  SELECT u.node, u.own, UNNEST(list_filter(list_transform(
+    range(0, {HIER_MAX_DEPTH}),
+    k -> CASE WHEN k = 0 OR u.node >= ({pows})[k]
+         THEN u.node // ({pows})[k + 1] ELSE NULL END),
+    x -> x IS NOT NULL)) AS anc
+  FROM per_user u
+), rolled AS (
+  SELECT anc, SUM(own) AS subtree_events, COUNT(*) AS n_desc
+  FROM anc GROUP BY anc
+)
+SELECT CAST(u.node AS BIGINT) AS node_id,
+  CAST(u.own AS BIGINT) AS own_events,
+  CAST(r.subtree_events AS BIGINT) AS subtree_events,
+  CAST(r.n_desc AS BIGINT) AS n_desc
+FROM per_user u JOIN rolled r ON r.anc = u.node
+"""
+
+
+register(QuerySpec("q137_hierarchy_rollup", q137_hierarchy_rollup,
+                   _q137_sql(),
+                   description="hierarchy subtree rollup without "
+                               "recursion: arithmetic ancestor "
+                               "enumeration (node div 10^k), bounded "
+                               "13x explode + one groupBy — the "
+                               "materialized-path closure"))

@@ -1697,3 +1697,41 @@ def test_adam7_single_pixel_image():
         decode_png_adam7_stats, make_png_adam7)
     assert decode_png_adam7_stats(make_png_adam7([b"\x7f"])) == (
         1, 1, 1, 127, 127, 127, 127)
+
+
+# --- audio FIR --------------------------------------------------------------------
+
+def test_fir_matches_naive_convolution():
+    from downscaledclimatedata_spark.operators.multimodal import (
+        FIR_TAPS, make_wav, parse_wav_fir)
+    samples = [100, -200, 300, 15900, 15900, -16000, 7, 0, -1]
+    blob = make_wav(1, 8000, samples)
+    ch, n_out, peak, tot, hot = parse_wav_fir(blob)
+    ys = [sum(samples[f:f + FIR_TAPS])
+          for f in range(len(samples) - FIR_TAPS + 1)]
+    assert (ch, n_out) == (1, len(ys))
+    assert peak == max(abs(y) for y in ys)
+    assert tot == sum(ys)
+    assert hot == sum(1 for y in ys if abs(y) > 15000)
+
+
+def test_fir_deinterleaves_channel0():
+    """Stereo: channel 1 carries huge values; a decoder convolving the
+    interleaved stream would report a wrong peak."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        make_wav, parse_wav_fir)
+    inter = []
+    ch0 = [10, 20, 30, 40, 50]
+    for v in ch0:
+        inter += [v, 30000]
+    blob = make_wav(2, 8000, inter)
+    ch, n_out, peak, tot, hot = parse_wav_fir(blob)
+    assert (ch, n_out, peak, hot) == (2, 2, 140, 0)
+    assert tot == (10 + 20 + 30 + 40) + (20 + 30 + 40 + 50)
+
+
+def test_fir_short_stream_and_corrupt():
+    from downscaledclimatedata_spark.operators.multimodal import (
+        make_wav, parse_wav_fir)
+    assert parse_wav_fir(make_wav(1, 8000, [1, 2])) == (1, 0, 0, 0, 0)
+    assert parse_wav_fir(make_wav(1, 8000, [1, 2, 3])[:8]) is None

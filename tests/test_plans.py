@@ -1771,3 +1771,34 @@ def test_q136_weighted_vs_plain_median(spark, tmp_path):
     got = {r.flag: (r.wmedian_cents, r.total_qty)
            for r in q136_weighted_median(spark, str(tmp_path)).collect()}
     assert got == {"X": (30, 12), "Y": (10, 2)}
+
+
+def test_q137_hierarchy_hand_tree(spark, tmp_path):
+    """Planted tree: users 5, 57, 571, 6 — 5's subtree is {5, 57, 571},
+    57's is {57, 571}; node 0 absent (no user 0) so no root row."""
+    import datetime as dt
+
+    import pandas as pd
+    from downscaledclimatedata_spark.plans.advanced import (
+        q137_hierarchy_rollup)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u, n in ((5, 2), (57, 3), (571, 1), (6, 4)):
+        for _ in range(n):
+            rows.append((eid, t0, u, "e", 0.0, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    spark.createDataFrame(pdf).write.parquet(
+        str(tmp_path / "events.parquet"))
+    got = {r.node_id: (r.own_events, r.subtree_events, r.n_desc)
+           for r in q137_hierarchy_rollup(spark, str(tmp_path)).collect()}
+    assert got == {
+        5: (2, 6, 3),     # 2 own + 3 (57) + 1 (571)
+        57: (3, 4, 2),
+        571: (1, 1, 1),
+        6: (4, 4, 1),
+    }
