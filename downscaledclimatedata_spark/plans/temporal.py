@@ -849,3 +849,121 @@ register(QuerySpec(
                 "as NULL rows only after the watermark closes their "
                 "window (two-file flush tail) — equals the batch "
                 "LEFT JOIN"))
+
+
+# --- streaming twin #5: the Spark-4 streaming PYTHON DataSource, end-to-end -------
+
+PYSRC_SEED = "pys11"
+PYSRC_MAX_DOCS = 600
+PYSRC_BATCH = 100
+
+
+def streaming_pysource_agg_query(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The engine's custom streaming PYTHON DataSource
+    (sources/corpusgen.py `CorpusGenStreamReader`,
+    `simpleStreamReader`) driven as a REAL checkpointed stream with a
+    STATEFUL complete-mode aggregation on top: six 100-doc micro-batches
+    flow through the source's own offset management (plain doc-id
+    cursors; `readBetweenOffsets` replay makes the generator its own
+    write-ahead log), and per-(lang, source) counts/sums accumulate in
+    streaming state.
+
+    The oracle is GENERATIVE SQL: it reproduces the (seed, doc_id) md5
+    derivation — token count from hash byte 0, lang/source from bytes
+    1-2, every vocabulary word from byte (k mod 16) of
+    md5(seed:i:k div 16) — builds the same text, and aggregates. A green
+    row therefore proves the whole chain: Python source partition/offset
+    protocol -> Arrow transfer -> streaming stateful agg == a from-
+    first-principles reconstruction in a different engine. No fixture
+    table is read; the corpus exists only as the deterministic function
+    both engines evaluate.
+    """
+    import shutil
+    import tempfile
+    import time as timemod
+    import uuid
+
+    from downscaledclimatedata_spark.sources.corpusgen import (
+        CorpusGenDataSource)
+
+    try:
+        spark.dataSource.register(CorpusGenDataSource)
+    except Exception:
+        pass  # already registered on this session
+    base = tempfile.mkdtemp(prefix="dcd_pysrc_")
+    name = f"pysrc_{uuid.uuid4().hex[:8]}"
+    try:
+        stream = (spark.readStream.format("corpusgen")
+                  .option("batch_docs", PYSRC_BATCH)
+                  .option("max_docs", PYSRC_MAX_DOCS)
+                  .option("seed", PYSRC_SEED).load())
+        agg = (stream.groupBy("lang", "source")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                    F.sum("doc_id").cast("bigint").alias("sum_id"),
+                    F.sum("n_chars").cast("bigint").alias("sum_chars")))
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", f"{base}/ckpt")
+             .trigger(processingTime="0 seconds").start())
+        deadline = timemod.time() + 180
+        total = 0
+        while timemod.time() < deadline:
+            rows = spark.table(name).agg(F.sum("n_docs")).first()
+            total = int(rows[0] or 0)
+            if total >= PYSRC_MAX_DOCS:
+                break
+            timemod.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+        if total < PYSRC_MAX_DOCS:
+            raise RuntimeError(
+                f"streaming python source drained only {total} of "
+                f"{PYSRC_MAX_DOCS} docs before the deadline")
+        return spark.table(name).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _pysource_sql() -> str:
+    # the EXACT vocabulary and derivation of sources/corpusgen._doc_row
+    vocab = ("key agg row scan slow fast table value part hash merge "
+             "batch spark line sort window order data column join small "
+             "customer query big stream group vector filter the a").split()
+    vlist = "[" + ", ".join(f"'{w}'" for w in vocab) + "]"
+    langs = "['en', 'es', 'fr', 'de', 'zh']"
+    byte0 = f"CAST(('0x' || substr(md5('{PYSRC_SEED}:' || i), 1, 2)) AS INT)"
+    byte1 = f"CAST(('0x' || substr(md5('{PYSRC_SEED}:' || i), 3, 2)) AS INT)"
+    byte2 = f"CAST(('0x' || substr(md5('{PYSRC_SEED}:' || i), 5, 2)) AS INT)"
+    wordk = (f"({vlist})[CAST(('0x' || substr("
+             f"md5('{PYSRC_SEED}:' || i || ':' || (k // 16)), "
+             f"(k % 16) * 2 + 1, 2)) AS INT) % {len(vocab)} + 1]")
+    return f"""
+WITH ids AS (
+  SELECT UNNEST(range(0, {PYSRC_MAX_DOCS})) AS i
+), base AS (
+  SELECT i, 10 + {byte0} % 90 AS n_tokens,
+    ({langs})[{byte1} % 5 + 1] AS lang,
+    'src' || CAST({byte2} % 20 AS VARCHAR) AS source
+  FROM ids
+), txt AS (
+  SELECT i, lang, source,
+    array_to_string(list_transform(range(0, n_tokens), k -> {wordk}),
+                    ' ') AS text
+  FROM base
+)
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(i) AS BIGINT) AS sum_id,
+  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM txt GROUP BY lang, source
+"""
+
+
+register(QuerySpec(
+    "streaming_pysource_agg", streaming_pysource_agg_query,
+    _pysource_sql(),
+    description="Spark-4 streaming PYTHON DataSource as a real "
+                "checkpointed stream (offset-cursor micro-batches) "
+                "with a stateful complete-mode agg — hash-matched "
+                "against a generative SQL oracle that rebuilds the "
+                "corpus from the md5 derivation"))
