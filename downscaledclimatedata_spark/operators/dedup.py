@@ -1482,6 +1482,16 @@ def boilerplate_strip(df: DataFrame, text_col: str = "text",
     (boilerplate is frequent but not diverse) — at cluster scale Spark's
     AQE converts the anti join to broadcast when the build side fits;
     the plan stays correct either way.
+
+    Output contract (asymmetric by design, identical on both engines):
+    a document whose text tokenizes to ZERO tokens produces no block
+    rows at all (posexplode of an empty starts array) and is DROPPED
+    from the output entirely, while a document whose every block is
+    boilerplate survives with ``clean_text = ''`` and ``n_kept = 0`` —
+    the anti join removes its blocks but the per-doc totals row still
+    exists (``n_removed = n_blocks``). Callers that need empty docs
+    represented should left-join this result back to the input on
+    ``id_col``.
     """
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")

@@ -325,6 +325,13 @@ WAV_SAMPLE_MOD = 20001
 WAV_SAMPLE_OFF = 10000
 WAV_BLOCK_FRAMES = 16    # per-block amplitude window
 
+# FIR box-filter parameters — single source of truth for BOTH the Python
+# decoder (parse_wav_fir defaults, captured at closure-build time) and the
+# SQL oracle string built in the FIR spec section below; defined here, before
+# the codec builder, so the two can never silently desync.
+FIR_TAPS = 4
+FIR_HOT = 15_000
+
 
 def _build_audio_codecs():
     """Pure-stdlib WAV/RIFF codec helpers (struct + array only).
@@ -411,7 +418,8 @@ def _build_audio_codecs():
         sum0 = sum(ch0)  # python int: exact
         return ch, n_frames, zcr, peak0, sum0
 
-    def parse_wav_fir(blob: bytes, taps: int = 4, hot: int = 15000):
+    def parse_wav_fir(blob: bytes, taps: int = FIR_TAPS,
+                      hot: int = FIR_HOT):
         """Integer box-FIR over the de-interleaved channel-0 stream —
         the family's convolution discipline: y_f = sum(ch0[f:f+taps])
         in 'valid' mode (n_frames - taps + 1 outputs), features =
@@ -8071,9 +8079,10 @@ register(QuerySpec("multimodal_decode_png_adam7",
 
 
 # --- audio FIR convolution features (box filter over decoded PCM) ----------------
+# FIR_TAPS / FIR_HOT are defined next to the other WAV constants above
+# _build_audio_codecs so the Python decoder defaults and this SQL oracle
+# share one definition.
 
-FIR_TAPS = 4
-FIR_HOT = 15_000
 FIR_CORRUPT_MOD = 19
 
 FIR_SCHEMA = ("doc_id long, channels int, n_out int, fir_peak int, "

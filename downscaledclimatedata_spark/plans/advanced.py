@@ -5212,8 +5212,11 @@ def q135_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends is strictly before its start; island ids are the running sum of
     those starts; coverage per island is ``max(end) - min(start)``.
     Duration is a deterministic integer minute count derived from
-    event_id (the fixture has no duration column), and all arithmetic is
-    integer microseconds — no float time math to drift across engines.
+    event_id via ``pmod`` (the fixture has no duration column), so it is
+    1..7 minutes and strictly positive even for negative ids — no
+    zero-/negative-length intervals can reach the island logic — and all
+    arithmetic is integer microseconds, no float time math to drift
+    across engines.
 
     Scale shape: both window passes partition on ``user_id`` (high
     cardinality — parallelism ∝ users, the C4-clean shape) with the SAME
@@ -5230,7 +5233,8 @@ def q135_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id",
         F.unix_micros("ts").alias("s"),
         (F.unix_micros("ts")
-         + (F.col("event_id") % 7 + 1) * F.lit(60_000_000)).alias("e"))
+         + (F.pmod(F.col("event_id"), F.lit(7)) + 1)
+         * F.lit(60_000_000)).alias("e"))
     w = Window.partitionBy("user_id").orderBy("s", "event_id")
     prev_end = F.max("e").over(
         w.rowsBetween(Window.unboundedPreceding, -1))
@@ -5249,7 +5253,7 @@ def q135_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q135_SQL = """
 WITH iv AS (
   SELECT user_id, event_id, epoch_us(ts) AS s,
-    epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e
+    epoch_us(ts) + (((event_id % 7) + 7) % 7 + 1) * 60000000 AS e
   FROM events
 ), marked AS (
   SELECT user_id, event_id, s, e,
@@ -5373,6 +5377,9 @@ register(QuerySpec("q136_weighted_median", q136_weighted_median,
 
 # --- q137: hierarchy rollup via arithmetic ancestor enumeration ------------------
 
+# Ancestor chain covers k = 0..HIER_MAX_DEPTH inclusive (deepest ancestor
+# node div 10^HIER_MAX_DEPTH), so every node id < 10^HIER_MAX_DEPTH reaches
+# root 0 — the explode is bounded at HIER_MAX_DEPTH + 1 entries per node.
 HIER_MAX_DEPTH = 13  # supports node ids < 10^13
 
 
@@ -5386,7 +5393,7 @@ def q137_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Spark-first trick is the materialized-path closure: a node's
     ancestor set is computable ARITHMETICALLY (``node div 10^k`` for
     k = 0.. until the chain hits root 0), so the transitive closure is
-    a bounded <= 13x explode + one groupBy — no iterative joins, no
+    a bounded <= 14x explode + one groupBy — no iterative joins, no
     recursive CTE on the engine side, depth grows only with log10(max
     id) at any corpus size. Output keeps EXISTING nodes only (implied
     ancestors that never appear as users are dropped by the closing
@@ -5400,7 +5407,7 @@ def q137_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = (ev.groupBy(F.abs(F.col("user_id")).alias("node"))
                 .agg(F.count(F.lit(1)).alias("own")))
     cols = []
-    for k in range(HIER_MAX_DEPTH):
+    for k in range(HIER_MAX_DEPTH + 1):
         anc = F.expr(f"node div {10 ** k}")
         if k == 0:
             cols.append(anc)
@@ -5423,13 +5430,13 @@ def q137_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q137_sql() -> str:
     pows = "[" + ", ".join(str(10 ** k)
-                           for k in range(HIER_MAX_DEPTH + 1)) + "]"
+                           for k in range(HIER_MAX_DEPTH + 2)) + "]"
     return f"""
 WITH per_user AS (
   SELECT abs(user_id) AS node, COUNT(*) AS own FROM events GROUP BY 1
 ), anc AS (
   SELECT u.node, u.own, UNNEST(list_filter(list_transform(
-    range(0, {HIER_MAX_DEPTH}),
+    range(0, {HIER_MAX_DEPTH + 1}),
     k -> CASE WHEN k = 0 OR u.node >= ({pows})[k]
          THEN u.node // ({pows})[k + 1] ELSE NULL END),
     x -> x IS NOT NULL)) AS anc
@@ -5451,5 +5458,5 @@ register(QuerySpec("q137_hierarchy_rollup", q137_hierarchy_rollup,
                    description="hierarchy subtree rollup without "
                                "recursion: arithmetic ancestor "
                                "enumeration (node div 10^k), bounded "
-                               "13x explode + one groupBy — the "
+                               "14x explode + one groupBy — the "
                                "materialized-path closure"))

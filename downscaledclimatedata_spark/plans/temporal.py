@@ -889,8 +889,12 @@ def streaming_pysource_agg_query(spark: SparkSession,
 
     try:
         spark.dataSource.register(CorpusGenDataSource)
-    except Exception:
-        pass  # already registered on this session
+    except Exception as exc:
+        # Re-registering the same short name on a warm session is the only
+        # benign failure; anything else (API drift, pickling error) must
+        # surface HERE, not later as a confusing "format not found".
+        if "already" not in str(exc).lower():
+            raise
     base = tempfile.mkdtemp(prefix="dcd_pysrc_")
     name = f"pysrc_{uuid.uuid4().hex[:8]}"
     try:
