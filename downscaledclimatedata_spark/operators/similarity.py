@@ -1874,6 +1874,12 @@ KNN_K = 3
 # fixed string.
 KNN_CODEBOOK_BASE_N = CENTROID_MOD * N_CENTROIDS  # 400
 
+# Measured crossover where three-level routing starts beating two-level
+# (r12 same-box interleaved A/B, BENCH_SCALE.md: 2k vectors +16.9%,
+# 4k +3.4%, 8k +5.8% — both within run noise — 20k −40%): below this,
+# scaled_codebook_three_level returns the two-level configuration.
+KNN_THREE_LEVEL_MIN_N = 4_000
+
 
 def scaled_codebook(n_rows: int) -> tuple[int, int]:
     """(centroid_mod, n_centroids) growing the codebook as √(N/BASE_N).
@@ -1947,10 +1953,24 @@ def scaled_codebook_three_level(
     plans and results at the sf0.01 oracle scale (and on the
     adversarial edge corpora) are byte-identical to the flat path and
     the fixed SQL oracles stay valid.
+
+    TIERED schedule (r12): in the band [4·BASE_N, THREE_LEVEL_MIN_N)
+    this returns the TWO-level configuration (``n_super2 == n_super``,
+    which :func:`_assigned_corpus` routes through
+    :func:`ivf_assign_two_level`). The r12 same-box interleaved A/B
+    (BENCH_SCALE.md) measured the three-level routing constant at
+    +16.9% wall AND −0.044 mean recall at 2,000 vectors, shrinking to
+    +3–6% (noise) at 4,000–8,000 and flipping to a 40% WIN at 20,000 —
+    three extra argmin aggregations only pay once cells are big enough
+    that scoring dominates routing. Flat < two-level < three-level is
+    exactly the depth-vs-N ladder production coarse quantizers walk.
     """
     if n_rows < 4 * KNN_CODEBOOK_BASE_N:
         return (CENTROID_MOD, N_CENTROIDS, N_CENTROIDS, N_CENTROIDS,
                 None)
+    if n_rows < KNN_THREE_LEVEL_MIN_N:
+        mod, k, s = scaled_codebook_two_level(n_rows)
+        return (mod, k, s, s, None)
     r = n_rows // KNN_CODEBOOK_BASE_N
     g = max(2, round(r ** 0.75))  # codebook growth factor: k ∝ N^(3/4)
     k = N_CENTROIDS * g
@@ -2031,19 +2051,60 @@ def knn_graph(emb: DataFrame, id_col: str = "vec_id",
     nearest cell too, catching true neighbors that sit across a cell
     boundary. Because every vector is a query, the probe ranking cannot
     be a window over the N·k assignment scores (N^1.5 rows through one
-    shuffle); the second-best cell comes from a SECOND struct-min pass
-    that excludes the argmin cell — 2× assignment compute, still one
-    shuffled row per vector. Corpus vectors stay in exactly one cell, so
-    candidates never duplicate. Only nprobe ∈ {1, 2} is supported.
+    shuffle). On the FLAT path the second-best cell comes from a SECOND
+    struct-min pass that excludes the argmin cell — 2× assignment
+    compute, still one shuffled row per vector. On the THREE-LEVEL
+    (scaled) path the probe is hierarchical: the runner-up super-cell
+    at the last routing level yields ``cid2``
+    (:func:`ivf_assign_three_level` with ``nprobe=2`` — one extra
+    ~N-row routed argmin, NOT a flat rescan, so the recall knob
+    survives the scaled codebook where a flat second pass would cost
+    the N·k the hierarchy exists to avoid). In both cases corpus
+    vectors stay in exactly one cell, so candidates never duplicate.
+    Only nprobe ∈ {1, 2} is supported.
     """
     from pyspark.sql import Window
     if nprobe not in (1, 2):
         raise ValueError(f"nprobe must be 1 or 2, got {nprobe}")
     # n_super routes cell assignment through the two-level quantizer
     # (N·√k); n_super2 additionally through the three-level one
-    # (N·k^(1/3), see scaled_codebook_three_level). The nprobe=2
-    # second-cell probe below is flat-only — its own registered spec
-    # runs at the static codebook
+    # (N·k^(1/3), see scaled_codebook_three_level)
+    three_level = (n_super is not None and n_super2 is not None
+                   and n_super2 < n_super < n_centroids)
+    if nprobe == 2 and three_level:
+        assign = ivf_assign_three_level(
+            emb, id_col, vec_col, centroid_mod, n_centroids, n_super,
+            n_super2, spread_every=spread_every, nprobe=2)
+        enriched = (emb.join(assign.select(id_col, "cid", "cid2"), id_col)
+                    .select(F.col(id_col), F.col("cid"), F.col("cid2"),
+                            quantize(F.col(vec_col)).alias("qv"),
+                            sq_norm(quantize(F.col(vec_col))).alias("n2"))
+                    .filter(F.col("n2") > 0)
+                    .localCheckpoint())
+        base = enriched.select(F.col(id_col), "cid", "qv", "n2")
+        # the probe-2 copy extends the QUERY side only, as on the flat
+        # path — the candidate side must keep one cell per vector
+        qbase = base.unionByName(
+            enriched.filter(F.col("cid2").isNotNull())
+            .select(F.col(id_col), F.col("cid2").alias("cid"),
+                    "qv", "n2"))
+        a = qbase.select(F.col(id_col).alias("src_id"), "cid",
+                         F.col("qv").alias("aq"), F.col("n2").alias("an2"))
+        b = base.select(F.col(id_col).alias("neighbor_id"), "cid",
+                        F.col("qv").alias("bq"), F.col("n2").alias("bn2"))
+        scored = (a.join(b.hint("merge"), "cid")
+                  .filter(F.col("src_id") != F.col("neighbor_id"))
+                  .select("src_id", "neighbor_id",
+                          (int_dot(F.col("aq"), F.col("bq")).cast("double")
+                           / (F.sqrt(F.col("an2").cast("double"))
+                              * F.sqrt(F.col("bn2").cast("double"))))
+                          .alias("cosine")))
+        w = Window.partitionBy("src_id").orderBy(F.col("cosine").desc(),
+                                                 F.col("neighbor_id"))
+        return (scored.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= k)
+                .select(F.col("src_id").alias("vec_id"), "neighbor_id",
+                        "cosine", "rnk"))
     base = _assigned_corpus(emb, id_col, vec_col, centroid_mod,
                             n_centroids, n_super, n_super2, spread_every)
     if nprobe == 2:
@@ -2119,6 +2180,136 @@ register(QuerySpec(
     description=f"approximate kNN graph (top-{KNN_K} per vector, every "
                 "vector a query): IVF-cell-restricted self-join on cid, "
                 "N^1.5 with a sqrt(N) codebook, no broadcast"))
+
+
+# --- kNN-graph edge recall vs exact brute force ----------------------------------
+
+KNN_RECALL_EVERY = 10  # spacing of the fixed recall query sample
+KNN_RECALL_N = 50      # fixed query-set size: ids 0, 10, ..., 490
+
+
+def knn_graph_recall(emb: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding", k: int = KNN_K,
+                     centroid_mod: int = CENTROID_MOD,
+                     n_centroids: int = N_CENTROIDS,
+                     nprobe: int = 1,
+                     n_super: int | None = None,
+                     n_super2: int | None = None,
+                     spread_every: int | None = None,
+                     query_every: int = KNN_RECALL_EVERY,
+                     query_hash: bool = False) -> DataFrame:
+    """Edge recall@k of :func:`knn_graph` against EXACT brute force on a
+    sampled query subset — the neighbor-QUALITY measurement the r11
+    verdict flagged as the sharpest remaining 100 TB risk: the scaled
+    codebook's SPEED is laddered per decade, but a graph that is fast
+    and increasingly wrong would pass every timing check.
+
+    Per sampled query: ``n_truth`` = exact top-k set size (< k only
+    when the corpus has fewer candidates), ``n_hit`` = how many of the
+    graph's edges for that query are in the exact set, ``recall`` =
+    the ratio. Both sides break cosine ties by (cosine DESC, id), so
+    the comparison is deterministic on both engines.
+
+    Scale shape: ground truth is |Q|·N dot products with the BOUNDED
+    |Q|-row query relation BROADCAST — the same linear-with-constant
+    shape as the registered brute-force headline
+    (`similarity_cosine_topk`), so measuring recall at the sf10/sf100
+    rungs costs one extra corpus scan, not a second graph build. The
+    graph side reuses :func:`knn_graph` unchanged; the alignment joins
+    |Q|·k-row relations.
+
+    ``query_hash=True`` samples ~``n/query_every`` queries by id hash
+    instead of the fixed ``id % every == 0 AND id < every·count``
+    window — REQUIRED on the scale ladder's strided-id replicas, where
+    the window sample would draw all queries from near-clones of a few
+    base vectors (the same layout trap :func:`_spread_sample` fixes
+    for centroids); the ladder scales ``query_every`` with N so the
+    sample stays bounded. The fixed-window default is what the DuckDB
+    oracle reproduces, bounded at ``KNN_RECALL_N`` rows by
+    construction (the broadcast-side bound the plan audit requires).
+    """
+    from pyspark.sql import Window
+    base = (emb.select(F.col(id_col),
+                       quantize(F.col(vec_col)).alias("qv"),
+                       sq_norm(quantize(F.col(vec_col))).alias("n2"))
+            .filter(F.col("n2") > 0))
+    pred = (_spread_sample(id_col, query_every) if query_hash
+            else _fixed_sample(id_col, query_every, KNN_RECALL_N))
+    queries = (base.filter(pred)
+               .select(F.col(id_col).alias("query_id"),
+                       F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
+    scored = (base.crossJoin(F.broadcast(queries))
+              .filter(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      (int_dot(F.col("qq"), F.col("qv")).cast("double")
+                       / (F.sqrt(F.col("qn2").cast("double"))
+                          * F.sqrt(F.col("n2").cast("double"))))
+                      .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    truth = (scored.withColumn("rnk", F.row_number().over(w))
+             .filter(F.col("rnk") <= k)
+             .select("query_id", "neighbor_id"))
+    graph = knn_graph(emb, id_col, vec_col, k, centroid_mod, n_centroids,
+                      nprobe, n_super, n_super2, spread_every)
+    got = (graph.select(F.col("vec_id").alias("query_id"), "neighbor_id")
+           .withColumn("hit", F.lit(1)))
+    return (truth.join(got, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+                 F.sum(F.coalesce("hit", F.lit(0))).cast("bigint")
+                 .alias("n_hit"))
+            .select("query_id", "n_truth", "n_hit",
+                    (F.col("n_hit").cast("double")
+                     / F.col("n_truth").cast("double")).alias("recall")))
+
+
+def similarity_knn_recall_query(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return knn_graph_recall(emb)
+
+
+_KNN_RECALL_SQL = f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+base0 AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS DOUBLE) AS n2
+  FROM q
+), base AS (SELECT * FROM base0 WHERE n2 > 0),
+tscored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qs.qv[i] * c.qv[i])) AS DOUBLE)
+      / (sqrt(qs.n2) * sqrt(c.n2)) AS cosine
+  FROM base qs JOIN base c ON c.vec_id <> qs.vec_id
+  WHERE {_fixed_sample_sql('qs.vec_id', KNN_RECALL_EVERY, KNN_RECALL_N)}
+), truth AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM tscored) WHERE rnk <= {KNN_K}
+), approx AS MATERIALIZED (
+  SELECT vec_id AS query_id, neighbor_id FROM ({_KNN_GRAPH_SQL})
+  WHERE {_fixed_sample_sql('vec_id', KNN_RECALL_EVERY, KNN_RECALL_N)}
+)
+SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hit,
+  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM truth t LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+register(QuerySpec(
+    "similarity_knn_recall", similarity_knn_recall_query, _KNN_RECALL_SQL,
+    description=f"edge recall@{KNN_K} of the kNN graph vs exact brute "
+                f"force on a fixed {KNN_RECALL_N}-query sample: per-query "
+                "exact-integer hit counts against one broadcast-query "
+                "corpus scan — the neighbor-quality gate the speed "
+                "ladder can't see"))
 
 
 # --- SemDeDup-style semantic dedup (cluster-scoped embedding prune) -------------
@@ -2376,7 +2567,8 @@ def ivf_assign_three_level(emb: DataFrame, id_col: str = "vec_id",
                            n_centroids: int = N_CENTROIDS,
                            n_super: int = N_SUPER,
                            n_super2: int = N_SUPER2,
-                           spread_every: int | None = None) -> DataFrame:
+                           spread_every: int | None = None,
+                           nprobe: int = 1) -> DataFrame:
     """Three-level hierarchical IVF coarse quantizer: route through
     ~k^(1/3) super²-cells, then ~k^(2/3) super-cells, then centroids.
 
@@ -2399,8 +2591,22 @@ def ivf_assign_three_level(emb: DataFrame, id_col: str = "vec_id",
     With ``n_super2 == n_super == n_centroids`` the construction
     degenerates to exact flat assignment (pinned by unit test).
 
-    Returns (id, super2_cid, super_cid, cid).
+    ``nprobe=2`` is the recall knob for the SCALED path (the r11
+    verdict's missing lever): the second-best super-cell at the LAST
+    routing level — the runner-up ``sid1`` within the vector's
+    ``sid2`` — is probed too, and the cid argmin runs inside it,
+    yielding a second candidate cell ``cid2``. The exact cid scoring
+    already covers the best sid1's interior, so the first recall loss
+    is across its boundary; the runner-up sid1 is the cheapest repair
+    (one more ~N-row routed argmin, no fan-out growth). ``cid2`` is
+    NULL when the vector's sid2 contains a single sid1, and is never
+    equal to ``cid`` (each centroid maps to exactly one sid1).
+
+    Returns (id, super2_cid, super_cid, cid) — plus ``cid2`` when
+    ``nprobe=2``.
     """
+    if nprobe not in (1, 2):
+        raise ValueError(f"nprobe must be 1 or 2, got {nprobe}")
     base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
                       sq_norm(quantize(F.col(vec_col))).alias("n2"))
     if spread_every is not None:
@@ -2453,12 +2659,45 @@ def ivf_assign_three_level(emb: DataFrame, id_col: str = "vec_id",
     # corpus routing: one shuffled row per vector per level
     v2 = _argmin(base, "qv", "n2", [id_col, "qv", "n2"],
                  sup2, "sid2", "s2v", "s2n2")
-    v1 = _argmin(v2, "qv", "n2", [id_col, "qv", "n2", "sid2"],
-                 s1map, "sid1", "s1v", "s1n2", route="sid2")
-    out = _argmin(v1, "qv", "n2", [id_col, "sid2", "sid1"],
+    if nprobe == 1:
+        v1 = _argmin(v2, "qv", "n2", [id_col, "qv", "n2", "sid2"],
+                     s1map, "sid1", "s1v", "s1n2", route="sid2")
+        out = _argmin(v1, "qv", "n2", [id_col, "sid2", "sid1"],
+                      cmap, "cid", "cv", "cn2", route="sid1")
+        return out.select(F.col(id_col), F.col("sid2").alias("super2_cid"),
+                          F.col("sid1").alias("super_cid"), F.col("cid"))
+    # nprobe == 2: one pass yields BOTH the best and runner-up sid1 —
+    # sort_array over the per-vector struct(dist, sid1) list; group
+    # state is bounded by the sid2's sid1 fan-out (~s1/s2 ≈ k^(1/3)),
+    # codebook-scale, never corpus-scale.
+    scored1 = (v2.join(F.broadcast(s1map), "sid2")
+               .select(F.col(id_col), "qv", "n2", "sid2",
+                       F.struct((F.col("n2") + F.col("s1n2")
+                                 - 2 * int_dot(F.col("qv"), F.col("s1v")))
+                                .alias("dist"),
+                                F.col("sid1")).alias("sd")))
+    top2 = (scored1.groupBy(id_col, "qv", "n2", "sid2")
+            .agg(F.slice(F.array_sort(F.collect_list("sd")), 1, 2)
+                 .alias("t2"))
+            .select(F.col(id_col), "qv", "n2", "sid2",
+                    F.col("t2")[0]["sid1"].alias("sid1"),
+                    # try_: a sid2 with one sid1 has no runner-up (ANSI
+                    # element_at would abort on the 1-element array)
+                    F.try_element_at("t2", F.lit(2))["sid1"].alias("sid1b"))
+            .localCheckpoint())  # feeds both the best- and second-cell argmins
+    out = _argmin(top2.select(id_col, "qv", "n2", "sid2", "sid1"),
+                  "qv", "n2", [id_col, "sid2", "sid1"],
                   cmap, "cid", "cv", "cn2", route="sid1")
-    return out.select(F.col(id_col), F.col("sid2").alias("super2_cid"),
-                      F.col("sid1").alias("super_cid"), F.col("cid"))
+    sec = _argmin(top2.filter(F.col("sid1b").isNotNull())
+                  .select(F.col(id_col), "qv", "n2",
+                          F.col("sid1b").alias("sid1")),
+                  "qv", "n2", [id_col],
+                  cmap, "cid", "cv", "cn2", route="sid1") \
+        .select(F.col(id_col), F.col("cid").alias("cid2"))
+    return (out.join(sec, id_col, "left")
+            .select(F.col(id_col), F.col("sid2").alias("super2_cid"),
+                    F.col("sid1").alias("super_cid"), F.col("cid"),
+                    F.col("cid2")))
 
 
 def similarity_ivf_three_level_query(spark: SparkSession,
@@ -2550,6 +2789,121 @@ register(QuerySpec(
                 "moves the kNN-graph codebook balance to k ∝ N^(3/4), "
                 "making build AND cell scoring N^(5/4) (the r10 sf100 "
                 "N^(4/3) asymptote fix)"))
+
+
+def similarity_three_level_probe2_query(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    # cid2 coalesced to -1 on both engines: a nullable int column
+    # round-trips through pandas as float64 only when nulls are present,
+    # so the stringified canon would depend on WHETHER any sid2 happens
+    # to hold a single sid1 — the sentinel keeps the column int64 always
+    return (ivf_assign_three_level(emb, nprobe=2)
+            .withColumn("cid2", F.coalesce(F.col("cid2"), F.lit(-1))))
+
+
+def _three_level_probe2_sql(centroid_mod: int = CENTROID_MOD,
+                            n_centroids: int = N_CENTROIDS,
+                            n_super: int = N_SUPER,
+                            n_super2: int = N_SUPER2) -> str:
+    """Level-by-level pin of the nprobe=2 cascade at the static stride
+    configuration — identical prefix to :func:`_three_level_sql` through
+    ``v2s2``, then the sid1 ranking keeps rn <= 2 and the cid argmin
+    runs inside BOTH cells."""
+    stride1 = max(1, n_centroids // n_super)
+    stride2 = max(1, n_super // n_super2)
+    dot = lambda a, b: (f"list_sum(list_transform(range(1, {DIM + 1}), "
+                        f"i -> {a}[i] * {b}[i]))")
+    return f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+base AS (
+  SELECT vec_id, qv,
+    list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS in2
+  FROM q
+), cents AS (
+  SELECT vec_id AS cid, qv AS cv, in2 AS cn2 FROM base
+  WHERE {_fixed_sample_sql('vec_id', centroid_mod, n_centroids)}
+), sup1 AS (
+  SELECT cid AS sid1, cv AS s1v, cn2 AS s1n2 FROM cents
+  WHERE {_fixed_sample_sql('cid', centroid_mod * stride1, n_super)}
+), sup2 AS (
+  SELECT sid1 AS sid2, s1v AS s2v, s1n2 AS s2n2 FROM sup1
+  WHERE {_fixed_sample_sql('sid1', centroid_mod * stride1 * stride2,
+                           n_super2)}
+), s1map AS (
+  SELECT sid1, sid2 FROM (
+    SELECT sup1.sid1, sup2.sid2,
+      ROW_NUMBER() OVER (PARTITION BY sup1.sid1
+        ORDER BY sup1.s1n2 + sup2.s2n2 - 2 * {dot('sup1.s1v', 'sup2.s2v')},
+                 sup2.sid2) AS rn
+    FROM sup1 CROSS JOIN sup2) WHERE rn = 1
+), c2s2 AS (
+  SELECT cid, sid2 FROM (
+    SELECT cents.cid, sup2.sid2,
+      ROW_NUMBER() OVER (PARTITION BY cents.cid
+        ORDER BY cents.cn2 + sup2.s2n2 - 2 * {dot('cents.cv', 'sup2.s2v')},
+                 sup2.sid2) AS rn
+    FROM cents CROSS JOIN sup2) WHERE rn = 1
+), c2s1 AS (
+  SELECT cid, sid1 FROM (
+    SELECT c.cid, m.sid1,
+      ROW_NUMBER() OVER (PARTITION BY c.cid
+        ORDER BY c.cn2 + s.s1n2 - 2 * {dot('c.cv', 's.s1v')}, m.sid1) AS rn
+    FROM cents c
+    JOIN c2s2 x ON x.cid = c.cid
+    JOIN s1map m ON m.sid2 = x.sid2
+    JOIN sup1 s ON s.sid1 = m.sid1) WHERE rn = 1
+), v2s2 AS (
+  SELECT vec_id, sid2 FROM (
+    SELECT base.vec_id, sup2.sid2,
+      ROW_NUMBER() OVER (PARTITION BY base.vec_id
+        ORDER BY base.in2 + sup2.s2n2 - 2 * {dot('base.qv', 'sup2.s2v')},
+                 sup2.sid2) AS rn
+    FROM base CROSS JOIN sup2) WHERE rn = 1
+), v2s1r AS (
+  SELECT vec_id, sid2, sid1, rn FROM (
+    SELECT b.vec_id, v.sid2, m.sid1,
+      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        ORDER BY b.in2 + s.s1n2 - 2 * {dot('b.qv', 's.s1v')}, m.sid1) AS rn
+    FROM base b
+    JOIN v2s2 v ON v.vec_id = b.vec_id
+    JOIN s1map m ON m.sid2 = v.sid2
+    JOIN sup1 s ON s.sid1 = m.sid1) WHERE rn <= 2
+), best AS (SELECT vec_id, sid2, sid1 FROM v2s1r WHERE rn = 1),
+second AS (SELECT vec_id, sid1 FROM v2s1r WHERE rn = 2),
+cid_best AS (
+  SELECT vec_id, sid2, sid1, cid FROM (
+    SELECT v.vec_id, v.sid2, v.sid1, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY b.in2 + c.cn2 - 2 * {dot('b.qv', 'c.cv')}, c.cid) AS rn
+    FROM best v
+    JOIN base b ON b.vec_id = v.vec_id
+    JOIN c2s1 x ON x.sid1 = v.sid1
+    JOIN cents c ON c.cid = x.cid) WHERE rn = 1
+), cid_second AS (
+  SELECT vec_id, cid AS cid2 FROM (
+    SELECT v.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY b.in2 + c.cn2 - 2 * {dot('b.qv', 'c.cv')}, c.cid) AS rn
+    FROM second v
+    JOIN base b ON b.vec_id = v.vec_id
+    JOIN c2s1 x ON x.sid1 = v.sid1
+    JOIN cents c ON c.cid = x.cid) WHERE rn = 1
+)
+SELECT cb.vec_id, cb.sid2 AS super2_cid, cb.sid1 AS super_cid, cb.cid,
+  COALESCE(cs.cid2, -1) AS cid2
+FROM cid_best cb LEFT JOIN cid_second cs ON cs.vec_id = cb.vec_id
+"""
+
+
+register(QuerySpec(
+    "similarity_ivf_three_level_probe2", similarity_three_level_probe2_query,
+    _three_level_probe2_sql(),
+    description="nprobe=2 on the three-level cascade: the runner-up "
+                "super-cell at the LAST routing level is probed too and "
+                "the cid argmin runs inside both — the scaled path's "
+                "recall knob (one extra ~N-row routed argmin), pinned "
+                "level-by-level at the static stride configuration"))
 
 
 # --- PageRank over the kNN graph (integer-exact power iteration) ----------------

@@ -186,6 +186,95 @@ def ensure_scaled(spark, src: str, dst: str, copies: int,
         json.dump(want, f)
 
 
+def _load_emb(spark, sf_dir: str):
+    from downscaledclimatedata_spark.sources.tables import load_table_parallel
+    return load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+
+
+RECALL_QUERIES = 200  # hash-sampled query budget per rung
+
+
+def measure_recall(spark, sf_dir: str, n_queries: int = RECALL_QUERIES) -> dict:
+    """Edge recall@k of the kNN graph at ``sf_dir``'s corpus under the
+    SCHEDULED three-level codebook, nprobe 1 and 2 — the r11 verdict's
+    #1: neighbor QUALITY per decade next to the time ratio. Queries are
+    hash-sampled (``query_hash=True``) because the rungs' strided ids
+    would make the fixed-window sample degenerate (near-clone queries).
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from downscaledclimatedata_spark.operators.similarity import (
+        knn_graph_recall, scaled_codebook_three_level)
+    emb = _load_emb(spark, sf_dir)
+    n = emb.count()
+    mod, k, s1, s2, ev = scaled_codebook_three_level(n)
+    out = {"n_vectors": n,
+           "codebook": {"centroid_mod": mod, "n_centroids": k,
+                        "n_super": s1, "n_super2": s2, "spread_every": ev}}
+    for nprobe in (1, 2):
+        t0 = _t.perf_counter()
+        agg = (knn_graph_recall(
+            emb, nprobe=nprobe, centroid_mod=mod, n_centroids=k,
+            n_super=s1, n_super2=s2, spread_every=ev,
+            query_every=max(1, n // n_queries), query_hash=True)
+            .agg(F.count(F.lit(1)).alias("q"),
+                 F.avg("recall").alias("mean"),
+                 F.avg((F.col("recall") >= 1.0).cast("double"))
+                 .alias("frac_perfect")).first())
+        out[f"nprobe{nprobe}"] = {
+            "queries": int(agg["q"]),
+            "mean_recall": round(float(agg["mean"]), 4),
+            "frac_perfect": round(float(agg["frac_perfect"]), 4),
+            "sec": round(_t.perf_counter() - t0, 1)}
+    return out
+
+
+def time_knn_ab(spark, sf_dir: str) -> dict:
+    """Same-box A/B of the two-level vs three-level schedules on
+    knn_graph at ``sf_dir`` (r11 verdict #2: the +18.5% bench
+    regression confounded host drift with the three-level routing
+    constant — this isolates the code share). Best-of-2 wall each,
+    interleaved A/B/A/B so slow drift cancels; recall recorded too,
+    so a tiering decision sees what quality it trades."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from downscaledclimatedata_spark.operators.similarity import (
+        knn_graph, knn_graph_recall, scaled_codebook_three_level,
+        scaled_codebook_two_level)
+    emb = _load_emb(spark, sf_dir)
+    n = emb.count()
+    m2, k2, s2 = scaled_codebook_two_level(n)
+    m3, k3, s31, s32, ev3 = scaled_codebook_three_level(n)
+    configs = {
+        "two_level": dict(centroid_mod=m2, n_centroids=k2, n_super=s2),
+        "three_level": dict(centroid_mod=m3, n_centroids=k3, n_super=s31,
+                            n_super2=s32, spread_every=ev3),
+    }
+    out: dict = {"n_vectors": n}
+    walls = {name: [] for name in configs}
+    for _ in range(2):  # interleaved: A B A B
+        for name, kw in configs.items():
+            t0 = _t.perf_counter()
+            knn_graph(emb, **kw).collect()
+            walls[name].append(_t.perf_counter() - t0)
+    for name, kw in configs.items():
+        mean = (knn_graph_recall(
+            emb, query_every=max(1, n // RECALL_QUERIES),
+            query_hash=True, **kw)
+            .agg(F.avg("recall")).first()[0])
+        out[name] = {"codebook": kw,
+                     "best_sec": round(min(walls[name]), 3),
+                     "runs_sec": [round(w, 3) for w in walls[name]],
+                     "mean_recall": round(float(mean), 4)}
+    out["three_over_two"] = round(
+        out["three_level"]["best_sec"] / out["two_level"]["best_sec"], 3)
+    return out
+
+
 def time_headlines(spark, sf_dir: str,
                    names: tuple[str, ...] | None = None) -> dict[str, float]:
     from downscaledclimatedata_spark.plans import all_specs
@@ -293,6 +382,31 @@ def main() -> None:
             "sf_base": 0.1 * copies, "sf_scaled": 1.0 * copies,
             "base": base, "scaled": scaled, "time_ratio": ratios,
             "stage_ratios": stage_ratios}))
+        return
+    if rung == "recall":
+        # recall-per-decade for the kNN graph (r12): sf0.1 base plus the
+        # sf1 / sf10 / sf100emb embedding rungs, nprobe 1 and 2 at each
+        ensure_scaled(spark, BASE_SF, SCALE_DIR, copies)
+        ensure_scaled(spark, BASE_SF, SCALE10_DIR, copies * 10,
+                      tables=SF10_TABLES)
+        ensure_scaled(spark, BASE_SF, SCALE100E_DIR, copies * 100,
+                      tables=SF100E_TABLES)
+        rungs = {}
+        for label, d in (("sf0.1", BASE_SF), ("sf1", SCALE_DIR),
+                         ("sf10", SCALE10_DIR), ("sf100", SCALE100E_DIR)):
+            rungs[label] = measure_recall(spark, d)
+        print(json.dumps({"metric": "knn_recall_ladder",
+                          "host_anchor_sec": anchor, "k": 3,
+                          "rungs": rungs}))
+        return
+    if rung == "ab":
+        # two-level vs three-level schedule A/B at the small rungs
+        ensure_scaled(spark, BASE_SF, SCALE_DIR, copies)
+        rungs = {}
+        for label, d in (("sf0.1", BASE_SF), ("sf1", SCALE_DIR)):
+            rungs[label] = time_knn_ab(spark, d)
+        print(json.dumps({"metric": "knn_schedule_ab",
+                          "host_anchor_sec": anchor, "rungs": rungs}))
         return
     if rung == "sf100emb":
         # third decade on the embeddings rung (10M vectors)

@@ -108,7 +108,9 @@ BNLJ_OK = {
     "similarity_ivf_refined",
     "similarity_ivf_topk",
     "similarity_ivf_three_level",
+    "similarity_ivf_three_level_probe2",  # broadcast ≤16-row codebook levels
     "similarity_ivf_two_level",
+    "similarity_knn_recall",  # broadcast fixed ≤50-row query sample
     "similarity_ivfpq_residual",
     "similarity_ivfpq_topk",
     "similarity_knn_hubness",

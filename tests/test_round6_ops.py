@@ -438,10 +438,18 @@ def test_scaled_codebook_three_level_shape(spark):
     from downscaledclimatedata_spark.operators.similarity import (
         CENTROID_MOD, KNN_CODEBOOK_BASE_N, N_CENTROIDS,
         scaled_codebook_three_level, scaled_codebook_two_level)
+    from downscaledclimatedata_spark.operators.similarity import (
+        KNN_THREE_LEVEL_MIN_N)
     for n in (0, 1, KNN_CODEBOOK_BASE_N, 4 * KNN_CODEBOOK_BASE_N - 1):
         assert scaled_codebook_three_level(n) == \
             (CENTROID_MOD, N_CENTROIDS, N_CENTROIDS, N_CENTROIDS, None)
-    for n in (4 * KNN_CODEBOOK_BASE_N, 100 * KNN_CODEBOOK_BASE_N,
+    # tiered band (r12 measured crossover): two-level config — n_super2
+    # == n_super routes ivf_assign_two_level, spread_every None
+    for n in (4 * KNN_CODEBOOK_BASE_N, KNN_THREE_LEVEL_MIN_N - 1):
+        mod, k, s1, s2, ev = scaled_codebook_three_level(n)
+        assert (mod, k, s1) == scaled_codebook_two_level(n)
+        assert s2 == s1 and ev is None
+    for n in (KNN_THREE_LEVEL_MIN_N, 100 * KNN_CODEBOOK_BASE_N,
               10_000 * KNN_CODEBOOK_BASE_N):
         mod, k, s1, s2, ev = scaled_codebook_three_level(n)
         _, k2, _ = scaled_codebook_two_level(n)
