@@ -1173,12 +1173,13 @@ def _widen(a: str, b: str) -> str:
     raise ValueError(f"incompatible schema evolution: {a} vs {b}")
 
 
-def read_evolved(spark: SparkSession, paths: list) -> DataFrame:
-    """Read parquet generations whose schemas DRIFTED — added columns
-    and widened numeric types — as one table. Spark's own
-    ``mergeSchema`` handles added columns but REFUSES a type widening
-    (int files next to long files fail the footer merge); years of
-    accumulated pipeline output have exactly that drift.
+def read_evolved(spark: SparkSession, paths: list,
+                 renames: dict | None = None) -> DataFrame:
+    """Read parquet generations whose schemas DRIFTED — added columns,
+    widened numeric types, and RENAMED columns — as one table. Spark's
+    own ``mergeSchema`` handles added columns but REFUSES a type
+    widening (int files next to long files fail the footer merge);
+    years of accumulated pipeline output have exactly that drift.
 
     Per generation: read with its own schema, cast every shared column
     to the union-widened type, and ``unionByName`` with missing
@@ -1187,8 +1188,41 @@ def read_evolved(spark: SparkSession, paths: list) -> DataFrame:
     instead of coercing. Column order follows first appearance across
     generations, so adding ``paths`` in write order keeps the table
     stable.
+
+    ``renames`` maps HISTORICAL column name -> CURRENT name — the
+    field-id-style identity Iceberg keeps in metadata and raw parquet
+    loses: without it a renamed column reads as drop + add and NULLs
+    the history. Each generation is renamed before the widening union,
+    so rename composes with widening (old name at int, new name at
+    bigint reads as one bigint column, no NULL rows). Every historical
+    alias maps directly to the CURRENT name (for a -> b -> c pass
+    ``{"a": "c", "b": "c"}``). AMBIGUOUS mappings refuse loudly: a
+    generation carrying both the old and the new name cannot be
+    resolved (which one is the field?), nor can two aliases of the
+    same field co-occurring in one generation.
     """
-    dfs = [spark.read.parquet(p) for p in paths]
+    renames = dict(renames or {})
+    for old, new in renames.items():
+        if old == new:
+            raise ValueError(f"rename maps {old!r} to itself")
+    dfs = []
+    for p in paths:
+        df = spark.read.parquet(p)
+        have = {f.name for f in df.schema.fields}
+        todo = {o: n for o, n in renames.items() if o in have}
+        for old, new in todo.items():
+            if new in have:
+                raise ValueError(
+                    f"ambiguous rename {old!r} -> {new!r}: generation "
+                    f"{p} carries BOTH names; refusing to guess which "
+                    "is the field")
+        targets = sorted(todo.values())
+        dup = {t for t in targets if targets.count(t) > 1}
+        if dup:
+            raise ValueError(
+                f"ambiguous rename: aliases of {sorted(dup)} co-occur "
+                f"in generation {p}")
+        dfs.append(df.withColumnsRenamed(todo) if todo else df)
     merged: dict = {}
     for df in dfs:
         for f in df.schema.fields:
@@ -1316,6 +1350,91 @@ register(QuerySpec(
     description="schema-evolution reader: drifted parquet generations "
                 "(key/cents widening, float->double, added column) as "
                 "one table; union summary oracle-checked"))
+
+
+def maintenance_read_renamed_query(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Three-generation rename tree (r11 advice #7) materialized from
+    ``orders`` and read back through :func:`read_evolved` with a
+    rename mapping: gen0 writes ``amount_cents`` int, gen1 RENAMES it
+    to ``cents`` (still int, plus an added ``priority`` column), gen2
+    keeps ``cents`` but WIDENS it to bigint — so the mapping must
+    compose with both the null-fill and the widening ladder. The pin
+    that matters: ``n_null_cents = 0`` — without the mapping the gen0
+    history would read as a dropped column and NULL a third of the
+    rows. The oracle re-derives the union relationally.
+    """
+    import shutil
+    import tempfile
+
+    from downscaledclimatedata_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100)
+    base = tempfile.mkdtemp(prefix="dcd_renamed_")
+    try:
+        g0 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").cast("bigint").alias("okey"),
+            cents.cast("int").alias("amount_cents"))
+        g1 = orders.filter(F.col("o_orderkey") % 3 == 1).select(
+            F.col("o_orderkey").cast("bigint").alias("okey"),
+            cents.cast("int").alias("cents"),
+            F.col("o_orderpriority").alias("priority"))
+        g2 = orders.filter(F.col("o_orderkey") % 3 == 2).select(
+            F.col("o_orderkey").cast("bigint").alias("okey"),
+            cents.cast("bigint").alias("cents"))
+        paths = []
+        for i, g in enumerate((g0, g1, g2)):
+            p = f"{base}/gen{i}"
+            g.write.parquet(p)
+            paths.append(p)
+        u = read_evolved(spark, paths, renames={"amount_cents": "cents"})
+        assert [(f.name, f.dataType.simpleString())
+                for f in u.schema.fields] == \
+            [("okey", "bigint"), ("cents", "bigint"),
+             ("priority", "string")], u.schema
+        return u.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("okey").cast("bigint").alias("sum_okey"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.sum(F.col("cents").isNull().cast("bigint"))
+            .cast("bigint").alias("n_null_cents"),
+            F.count("priority").cast("bigint").alias("n_priority")
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_READ_RENAMED_SQL = """
+WITH u AS (
+  SELECT o_orderkey AS okey,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, NULL AS priority
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+    o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 1
+  UNION ALL
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT), NULL
+  FROM orders WHERE o_orderkey % 3 = 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(okey) AS BIGINT) AS sum_okey,
+  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+  CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_cents,
+  CAST(COUNT(priority) AS BIGINT) AS n_priority
+FROM u
+"""
+
+register(QuerySpec(
+    "maintenance_read_renamed", maintenance_read_renamed_query,
+    _READ_RENAMED_SQL,
+    description="schema-evolution reader with a field-id-style rename "
+                "mapping: orig -> renamed -> renamed+widened tree reads "
+                "as one bigint column with ZERO nulls (raw parquet "
+                "would read the rename as drop+add and null the "
+                "history); ambiguous mappings refuse"))
 
 
 def streaming_rollup_ivm_query(spark: SparkSession,

@@ -8169,3 +8169,492 @@ register(QuerySpec("multimodal_audio_fir", multimodal_audio_fir_query,
                                "over decoded de-interleaved PCM "
                                "(running-sum sliding window); "
                                "truncated RIFF -> NULL"))
+
+
+# --- JPEG restart-interval (DRI/RSTn) decode with per-segment salvage ------------
+#
+# The family's first RESYNC discipline (r12): every prior corruption
+# class is all-or-nothing — one bad byte NULLs the whole payload. Real
+# baseline JPEG has the repair mechanism built in: a DRI marker declares
+# a restart interval, RST0..RST7 markers punctuate the entropy stream
+# every N MCUs, and the DC predictor resets at each one — so a decoder
+# that hits garbage can SKIP to the next restart marker and keep
+# decoding, losing only the damaged interval. That per-segment salvage
+# (what a production corpus pipeline actually does with damaged images)
+# is the new semantic: a corrupt segment yields a row with the OTHER
+# segments' pixels accounted, not a NULL row. Reference decode behavior
+# per ITU T.81 §B.2.1.2 (DRI), §E.2.4 (restart processing).
+#
+# Planted classes (disjoint by CASE precedence, mirrored in the oracle):
+#   d % DRI_CORRUPT_MOD == 0 -> ONE segment's entropy is an undecodable
+#       bit pattern; every other segment decodes (salvage).
+#   d % DRI_TRUNC_MOD == 0   -> the stream ends right after the last
+#       RST: the tail segment and EOI never arrive; everything before
+#       the cut decodes (salvage) — unless the image has a single
+#       segment, where there is no marker to resync to and the payload
+#       is honestly lost (NULL row).
+#   d % DRI_BADRST_MOD == 0  -> a restart marker carries the WRONG
+#       ordinal (RST1 where RST0 is due): the marker sequence itself is
+#       corrupt, so block positions can no longer be trusted -> NULL.
+
+DRI_W_BASE, DRI_W_MOD = 8, 21
+DRI_H_BASE, DRI_H_MOD = 8, 13
+DRI_R_BASE, DRI_R_MOD = 2, 5      # restart interval: 2..6 MCUs
+DRI_CORRUPT_MOD = 11
+DRI_TRUNC_MOD = 13
+DRI_BADRST_MOD = 19
+
+DRI_SCHEMA = ("doc_id long, width int, height int, n_blocks int, "
+              "n_segs int, n_ok_blocks int, ok_pix_sum bigint")
+
+
+def _build_jpeg_dri_codecs():
+    """Pure-stdlib DRI-enabled baseline JPEG codec pair. Self-contained
+    closure factory (the multimodal discipline: classes/functions that
+    ship to executors pickle by VALUE). Huffman/quant tables match the
+    plain JPEG builder — one shared table discipline — but the plain
+    decoder deliberately REJECTS restart-punctuated scans (an RST where
+    it expects EOI), and this decoder requires a DRI marker: each
+    certifies its own stream class."""
+    import math
+    import struct
+
+    DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    DC_VALS = tuple(range(12))
+    AC_BITS = (1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    AC_VALS = (0x00, 0x01, 0xF0)
+    QTAB = (JPEG_QDC,) + (17,) * 63
+
+    def _canonical(bits, vals):
+        enc, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                enc[vals[k]] = (code, ln)
+                k += 1
+                code += 1
+            code <<= 1
+        return enc
+
+    DC_ENC = _canonical(DC_BITS, DC_VALS)
+    AC_ENC = _canonical(AC_BITS, AC_VALS)
+
+    class _BitW:
+        def __init__(self):
+            self.buf, self.acc, self.n = bytearray(), 0, 0
+
+        def put(self, code, length):
+            for i in range(length - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((code >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.buf.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.buf.append(0)
+                    self.acc, self.n = 0, 0
+
+        def flush(self):
+            while self.n:
+                self.put(1, 1)
+
+    def _cat(v):
+        return v.bit_length() if v >= 0 else (-v).bit_length()
+
+    def _amp(v, c):
+        return v if v >= 0 else v + (1 << c) - 1
+
+    def _headers(w, h, restart_every):
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(QTAB)
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) \
+            + bytes((1, 0x11, 0))
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(DC_VALS)) \
+            + b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(AC_VALS)) \
+            + b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_every)  # DRI
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) \
+            + bytes((1, 0x00, 0, 63, 0))
+        return out
+
+    def make_jpeg_dri(dc_grid, w, h, restart_every, corrupt_seg=None,
+                      truncate_tail=False, bad_rst=False) -> bytes:
+        """Baseline grayscale JPEG with a DRI marker and RSTn-punctuated
+        entropy segments of ``restart_every`` MCUs; DC prediction resets
+        per segment (the resync contract). ``corrupt_seg`` replaces that
+        segment's entropy with an undecodable bit pattern; ``truncate``
+        drops the final segment AND the EOI; ``bad_rst`` writes RST1
+        where RST0 is due."""
+        out = _headers(w, h, restart_every)
+        nb = len(dc_grid)
+        n_segs = -(-nb // restart_every)
+        for s in range(n_segs):
+            if s == n_segs - 1 and truncate_tail:
+                return bytes(out)  # tail segment + EOI never arrive
+            if s == corrupt_seg:
+                out += b"\xff\x00\xff\x00"  # 16 one-bits: no DC code
+            else:
+                bw = _BitW()
+                prev = 0
+                for bi in range(s * restart_every,
+                                min((s + 1) * restart_every, nb)):
+                    diff = dc_grid[bi] - prev
+                    prev = dc_grid[bi]
+                    c = _cat(diff)
+                    code, ln = DC_ENC[c]
+                    bw.put(code, ln)
+                    if c:
+                        bw.put(_amp(diff, c), c)
+                    code, ln = AC_ENC[0x00]
+                    bw.put(code, ln)
+                bw.flush()
+                out += bw.buf
+            if s < n_segs - 1:
+                m = s % 8
+                if bad_rst and s == 0:
+                    m = (m + 1) % 8
+                out += bytes((0xFF, 0xD0 + m))
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    COS = [[math.cos((2 * i + 1) * u * math.pi / 16) for u in range(8)]
+           for i in range(8)]
+    C = [1 / math.sqrt(2)] + [1.0] * 7
+
+    class _BitR:
+        def __init__(self, data):
+            self.d, self.i, self.acc, self.n = data, 0, 0, 0
+
+        def bit(self):
+            if not self.n:
+                self.acc = self.d[self.i]  # IndexError -> segment bad
+                self.i += 1
+                self.n = 8
+            self.n -= 1
+            return (self.acc >> self.n) & 1
+
+        def bits(self, k):
+            v = 0
+            for _ in range(k):
+                v = (v << 1) | self.bit()
+            return v
+
+        def huff(self, table):
+            code, ln = 0, 0
+            while ln < 16:
+                code = (code << 1) | self.bit()
+                ln += 1
+                if (ln, code) in table:
+                    return table[(ln, code)]
+            raise ValueError("invalid huffman code")
+
+    def _extend(v, c):
+        return v if v >= (1 << (c - 1)) else v - (1 << c) + 1
+
+    def decode_jpeg_dri_stats(blob: bytes):
+        """(width, height, n_blocks, n_segs, n_ok_blocks, ok_pix_sum)
+        with per-segment SALVAGE, or None on structural defects (bad
+        ordinal sequence, more segments than the geometry admits, no
+        resync point on a truncated stream). ``ok_pix_sum`` sums the
+        in-image pixels of every block whose segment decoded."""
+        try:
+            blob = bytes(blob)
+            if blob[:2] != b"\xff\xd8":
+                return None
+            i = 2
+            qt: dict = {}
+            huffs: dict = {}
+            w = h = sof_tq = None
+            dri = None
+            segs = None
+            rst_ords: list = []
+            ended_with_eoi = False
+            while i < len(blob):
+                if blob[i] != 0xFF:
+                    return None
+                m = blob[i + 1]
+                i += 2
+                if m == 0xD9:
+                    return None  # EOI before any scan data
+                ln = struct.unpack(">H", blob[i:i + 2])[0]
+                seg = blob[i + 2:i + ln]
+                if len(seg) != ln - 2:
+                    return None
+                if m == 0xDB:
+                    j = 0
+                    while j < len(seg):
+                        if seg[j] >> 4 != 0:
+                            return None
+                        qt[seg[j] & 15] = list(seg[j + 1:j + 65])
+                        if len(qt[seg[j] & 15]) != 64:
+                            return None
+                        j += 65
+                elif m == 0xC0:
+                    prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+                    if prec != 8 or nc != 1 or seg[7] != 0x11:
+                        return None
+                    sof_tq = seg[8]
+                elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                           0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    return None
+                elif m == 0xC4:
+                    j = 0
+                    while j < len(seg):
+                        tc, th = seg[j] >> 4, seg[j] & 15
+                        bits = seg[j + 1:j + 17]
+                        nv = sum(bits)
+                        vals = seg[j + 17:j + 17 + nv]
+                        if len(vals) != nv:
+                            return None
+                        tbl, code, k = {}, 0, 0
+                        for L in range(1, 17):
+                            for _ in range(bits[L - 1]):
+                                tbl[(L, code)] = vals[k]
+                                k += 1
+                                code += 1
+                            code <<= 1
+                        huffs[(tc, th)] = tbl
+                        j += 17 + nv
+                elif m == 0xDD:  # DRI
+                    if len(seg) != 2:
+                        return None
+                    dri = struct.unpack(">H", seg)[0]
+                elif m == 0xDA:
+                    if seg[0] != 1:
+                        return None
+                    sos_td, sos_ta = seg[2] >> 4, seg[2] & 15
+                    j = i + ln
+                    segs = [bytearray()]
+                    while j < len(blob):
+                        b0 = blob[j]
+                        if b0 == 0xFF:
+                            if j + 1 >= len(blob):
+                                break  # dangling FF: truncated
+                            nxt = blob[j + 1]
+                            if nxt == 0x00:
+                                segs[-1].append(0xFF)
+                                j += 2
+                                continue
+                            if 0xD0 <= nxt <= 0xD7:  # RSTn: resync point
+                                rst_ords.append(nxt - 0xD0)
+                                segs.append(bytearray())
+                                j += 2
+                                continue
+                            if nxt == 0xD9:
+                                ended_with_eoi = True
+                            break
+                        segs[-1].append(b0)
+                        j += 1
+                    break
+                i += ln
+            if segs is None or w is None or not w or not h or not dri:
+                return None
+            # the marker SEQUENCE is the resync trust anchor: a wrong
+            # ordinal means block positions can't be recovered
+            for idx, mm in enumerate(rst_ords):
+                if mm != idx % 8:
+                    return None
+            if not ended_with_eoi and not rst_ords:
+                return None  # truncated with nothing to resync to
+            dct, act = huffs[(0, sos_td)], huffs[(1, sos_ta)]
+            q = qt[sof_tq]
+            nbx, nby = -(-w // 8), -(-h // 8)
+            nb = nbx * nby
+            n_segs = -(-nb // dri)
+            if len(segs) > n_segs:
+                return None  # more restart intervals than MCUs admit
+            n_ok = 0
+            pix_sum = 0
+            for s in range(n_segs):
+                if s >= len(segs):
+                    break  # lost to truncation: blocks stay missing
+                lo, hi = s * dri, min((s + 1) * dri, nb)
+                br = _BitR(bytes(segs[s]))
+                prev = 0
+                got = []  # (bi, coef) decoded this segment
+                try:
+                    for bi in range(lo, hi):
+                        coef = [0] * 64
+                        c = br.huff(dct)
+                        if c > 11:
+                            raise ValueError("bad DC category")
+                        diff = _extend(br.bits(c), c) if c else 0
+                        prev += diff
+                        coef[0] = prev * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = br.huff(act)
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            sz = rs & 15
+                            if k > 63 or not sz:
+                                raise ValueError("bad AC run")
+                            coef[_JPEG_ZIGZAG[k]] = \
+                                _extend(br.bits(sz), sz) * q[k]
+                            k += 1
+                        got.append((bi, coef))
+                except (ValueError, IndexError):
+                    continue  # segment lost; next RST resyncs
+                for bi, coef in got:
+                    by, bx = divmod(bi, nbx)
+                    for y in range(min(8, h - by * 8)):
+                        for x in range(min(8, w - bx * 8)):
+                            v = 0.0
+                            for u in range(8):
+                                cu = C[u] * COS[x][u]
+                                for t in range(8):
+                                    f = coef[t * 8 + u]
+                                    if f:
+                                        v += C[t] * cu * COS[y][t] * f
+                            p = int(round(v / 4)) + 128
+                            pix_sum += min(255, max(0, p))
+                n_ok += len(got)
+            return (w, h, nb, n_segs, n_ok, pix_sum)
+        except (ValueError, IndexError, KeyError, struct.error):
+            return None
+
+    return make_jpeg_dri, decode_jpeg_dri_stats
+
+
+make_jpeg_dri, decode_jpeg_dri_stats = _build_jpeg_dri_codecs()
+
+
+def synthesize_jpeg_dri_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> DRI-enabled baseline JPEG (restart interval 2..6 MCUs,
+    doc-derived) with the three planted damage classes in-band; DC
+    grids reuse :func:`jpeg_dc_value`."""
+    mk, dcv = make_jpeg_dri, jpeg_dc_value
+    wb, wm, hb, hm = DRI_W_BASE, DRI_W_MOD, DRI_H_BASE, DRI_H_MOD
+    rb, rm = DRI_R_BASE, DRI_R_MOD
+    cm, tm, bm = DRI_CORRUPT_MOD, DRI_TRUNC_MOD, DRI_BADRST_MOD
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                w, h = wb + d % wm, hb + d % hm
+                r = rb + d % rm
+                nbx, nby = -(-w // 8), -(-h // 8)
+                nb = nbx * nby
+                n_segs = -(-nb // r)
+                grid = [dcv(d, by, bx)
+                        for by in range(nby) for bx in range(nbx)]
+                kw = {}
+                if d % cm == 0:
+                    kw["corrupt_seg"] = (d // cm) % n_segs
+                elif d % tm == 0:
+                    kw["truncate_tail"] = True
+                elif d % bm == 0 and n_segs > 1:
+                    # a single-segment image writes no RST marker, so
+                    # there is no ordinal to corrupt: such docs are OK
+                    kw["bad_rst"] = True
+                payloads.append(mk(grid, w, h, r, **kw))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        _synth, "doc_id long, payload binary")
+
+
+def decode_jpeg_dri(df: DataFrame) -> DataFrame:
+    dec = decode_jpeg_dri_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        keys = ("width", "height", "n_blocks", "n_segs", "n_ok_blocks",
+                "ok_pix_sum")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 6
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "n_blocks": pd.array(cols["n_blocks"], dtype="Int32"),
+                "n_segs": pd.array(cols["n_segs"], dtype="Int32"),
+                "n_ok_blocks": pd.array(cols["n_ok_blocks"],
+                                        dtype="Int32"),
+                "ok_pix_sum": pd.array(cols["ok_pix_sum"],
+                                       dtype="Int64")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, DRI_SCHEMA)
+
+
+def multimodal_jpeg_restart_query(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """DRI/RSTn salvage end-to-end: synthesize restart-punctuated
+    streams with planted per-segment damage, decode OUT OF THE BYTES
+    with resync, and pin the salvage accounting against the oracle's
+    arithmetic mirror (which segment each block belongs to, which
+    segments survive each damage class, the in-image pixel count and
+    the 2·dc+128 constant of every surviving block)."""
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_jpeg_dri(synthesize_jpeg_dri_payloads(docs))
+
+
+def _jpeg_dri_sql() -> str:
+    dcv = (f"((d * {JPEG_DC_A} + (i // nbx) * {JPEG_DC_B} "
+           f"+ (i % nbx) * {JPEG_DC_C}) % {JPEG_DC_MOD} - 64)")
+    npix = (f"(least(8, height - (i // nbx) * 8) "
+            f"* least(8, width - (i % nbx) * 8))")
+    seg_ok = (f"CASE WHEN cls = 'corrupt' THEN (i // r) <> cseg "
+              f"WHEN cls = 'trunc' THEN (i // r) < n_segs - 1 "
+              f"ELSE TRUE END")
+    return f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    {DRI_W_BASE} + abs(doc_id) % {DRI_W_MOD} AS width,
+    {DRI_H_BASE} + abs(doc_id) % {DRI_H_MOD} AS height,
+    {DRI_R_BASE} + abs(doc_id) % {DRI_R_MOD} AS r
+  FROM documents
+), g AS (
+  SELECT doc_id, d, width, height, r,
+    (width + 7) // 8 AS nbx,
+    ((width + 7) // 8) * ((height + 7) // 8) AS nb
+  FROM p
+), cl AS (
+  SELECT *, (nb + r - 1) // r AS n_segs,
+    CASE WHEN d % {DRI_CORRUPT_MOD} = 0 THEN 'corrupt'
+         WHEN d % {DRI_TRUNC_MOD} = 0 THEN 'trunc'
+         WHEN d % {DRI_BADRST_MOD} = 0 AND (nb + r - 1) // r > 1
+           THEN 'badrst'
+         ELSE 'ok' END AS cls,
+    CASE WHEN d % {DRI_CORRUPT_MOD} = 0
+         THEN (d // {DRI_CORRUPT_MOD}) % ((nb + r - 1) // r) END AS cseg
+  FROM g
+), ok AS (
+  SELECT doc_id, width, height, nb, n_segs,
+    CAST(list_sum(list_transform(range(0, nb),
+      i -> CASE WHEN {seg_ok} THEN 1 ELSE 0 END)) AS INT) AS n_ok_blocks,
+    CAST(list_sum(list_transform(range(0, nb),
+      i -> CASE WHEN {seg_ok}
+           THEN {npix} * least(greatest(2 * {dcv} + 128, 0), 255)
+           ELSE 0 END)) AS BIGINT) AS ok_pix_sum
+  FROM cl WHERE cls <> 'badrst' AND NOT (cls = 'trunc' AND n_segs = 1)
+)
+SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+  CAST(nb AS INT) AS n_blocks, CAST(n_segs AS INT) AS n_segs,
+  n_ok_blocks, ok_pix_sum
+FROM ok
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
+FROM cl WHERE cls = 'badrst' OR (cls = 'trunc' AND n_segs = 1)
+"""
+
+
+register(QuerySpec("multimodal_jpeg_restart", multimodal_jpeg_restart_query,
+                   _jpeg_dri_sql(),
+                   description="DRI/RSTn restart-interval JPEG decode "
+                               "with per-segment SALVAGE: a corrupt or "
+                               "truncated interval loses only itself "
+                               "(the family's first resync discipline); "
+                               "wrong restart ordinal -> NULL"))

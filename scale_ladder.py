@@ -360,6 +360,33 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from bench import host_anchor  # pinned JVM micro-anchor (bench.py)
     anchor = host_anchor(spark)
+    if rung == "builders100":
+        # THIRD decade (sf10 -> sf100, 5M docs) for both corpus-builder
+        # shapes with the per-stage split (r11 verdict #4): the second
+        # decade showed the quality scan reaching linearity with every
+        # other stage overhead-dominated — one more decade decides
+        # whether any stage curves once overhead stops dominating.
+        ensure_scaled(spark, BASE_SF, SCALE10_DIR, copies * 10,
+                      tables=SF10_TABLES)
+        ensure_scaled(spark, BASE_SF, SCALE100_DIR, copies * 100,
+                      tables=SF100_TABLES)
+        base = time_builders(spark, SCALE10_DIR)
+        scaled = time_builders(spark, SCALE100_DIR)
+        ratios = {s: round(scaled[s]["total_sec"] / base[s]["total_sec"], 2)
+                  for s in base}
+        stage_ratios = {
+            s: {st: (round(scaled[s]["stages"][st]
+                           / base[s]["stages"][st], 2)
+                     if base[s]["stages"].get(st) else None)
+                for st in scaled[s]["stages"]}
+            for s in base}
+        print(json.dumps({
+            "metric": "scale_ladder_builders", "data_ratio": 10,
+            "host_anchor_sec": anchor,
+            "sf_base": 1.0 * copies, "sf_scaled": 10.0 * copies,
+            "base": base, "scaled": scaled, "time_ratio": ratios,
+            "stage_ratios": stage_ratios}))
+        return
     if rung == "builders":
         # second decade (sf1 -> sf10) for BOTH corpus-builder shapes,
         # quality/WAP path on, with the per-stage wall split

@@ -37,6 +37,10 @@ Checks per phase (all booleans recorded; n_bad counts failures):
                   staged stream without the flush tail emits no NULL
                   row) — emission is watermark-driven, not
                   end-of-stream.
+* pysource_replay — the Python DataSource stream is KILLED mid-sequence
+                  and restarted from its checkpoint; the final agg
+                  equals the generative oracle (readBetweenOffsets
+                  replay: no gaps, no double-counts across the crash).
 
 Throughput (docs/sec wall-clock per phase, micro-batch count) is
 recorded so the stream surface has a number, like bench.py gives the
@@ -542,6 +546,82 @@ def main() -> None:
                 "matched_emitted_without_flush":
                 sorted((r.purchase_id, r.click_id)
                        for r in unflushed) == [(5, 1), (8, 2), (8, 3)]}}
+
+        # ---- phase 10: pysource checkpoint replay/recovery ---------------
+        # The Python DataSource's crash-recovery claim ("the generator is
+        # its own write-ahead log", corpusgen.py readBetweenOffsets) is
+        # proven, not just documented: a checkpointed stream over the
+        # source is KILLED mid-sequence, restarted from the same
+        # checkpoint (which makes Spark replay the committed-but-unfinished
+        # batch through readBetweenOffsets), run to completion, and the
+        # final per-(lang, source) aggregate is compared against the
+        # GENERATIVE oracle — the same md5 derivation evaluated directly.
+        # Equality proves no gaps and no double-counts across the restart.
+        import hashlib as _hl
+        import uuid as _uuid2
+
+        from downscaledclimatedata_spark.sources.corpusgen import _doc_row
+
+        t0 = time.time()
+        RP_MAX, RP_BATCH, RP_SEED = 900, 60, "replay12"
+        ckpt = f"{work}/pysrc_replay/ckpt"
+
+        def _start(name):
+            stream = (spark.readStream.format("corpusgen")
+                      .option("batch_docs", RP_BATCH)
+                      .option("max_docs", RP_MAX)
+                      .option("seed", RP_SEED).load())
+            agg = (stream.groupBy("lang", "source")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                        F.sum("doc_id").cast("bigint").alias("sum_id"),
+                        F.sum("n_chars").cast("bigint").alias("sum_chars")))
+            return (agg.writeStream.format("memory").queryName(name)
+                    .outputMode("complete")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(processingTime="0 seconds").start())
+
+        def _total(name):
+            row = spark.table(name).agg(F.sum("n_docs")).first()
+            return int(row[0] or 0)
+
+        n1 = f"rp1_{_uuid2.uuid4().hex[:8]}"
+        q1 = _start(n1)
+        deadline = time.time() + 120
+        seen_partial = 0
+        while time.time() < deadline:
+            seen_partial = _total(n1)
+            if seen_partial >= RP_MAX // 3:
+                break
+            time.sleep(0.2)
+        q1.stop()          # kill mid-sequence: state + offsets persist,
+        q1.awaitTermination(60)   # the in-flight batch does not commit
+        killed_midway = 0 < seen_partial < RP_MAX
+
+        n2 = f"rp2_{_uuid2.uuid4().hex[:8]}"
+        q2 = _start(n2)
+        deadline = time.time() + 180
+        total = 0
+        while time.time() < deadline:
+            total = _total(n2)
+            if total >= RP_MAX:
+                break
+            time.sleep(0.3)
+        q2.stop()
+        q2.awaitTermination(60)
+        got = {(r.lang, r.source): (r.n_docs, r.sum_id, r.sum_chars)
+               for r in spark.table(n2).collect()}
+        want: dict = {}
+        for i in range(RP_MAX):
+            doc_id, text, lang, source, n_chars = _doc_row(RP_SEED, i)
+            n, s, c = want.get((lang, source), (0, 0, 0))
+            want[(lang, source)] = (n + 1, s + doc_id, c + n_chars)
+        out["phases"]["pysource_replay"] = {
+            "elapsed_sec": round(time.time() - t0, 2),
+            "docs_at_kill": seen_partial,
+            "checks": {
+                "killed_midway": killed_midway,
+                "resumed_to_completion": total >= RP_MAX,
+                "agg_matches_generative_oracle": got == want}}
 
         n_bad = sum(1 for ph in out["phases"].values()
                     for ok in ph["checks"].values() if not ok)

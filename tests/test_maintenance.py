@@ -558,6 +558,57 @@ def test_read_evolved_widens_and_nullfills(spark, tmp_path):
         read_evolved(spark, [v1, bad])
 
 
+def test_read_evolved_rename_composes_with_widening(spark, tmp_path):
+    """orig -> renamed -> renamed+widened: the mapping re-unifies the
+    history (zero nulls) and the widening ladder still applies; chained
+    aliases map each historical name straight to the current one."""
+    from downscaledclimatedata_spark.operators.maintenance import (
+        read_evolved)
+
+    g0, g1, g2 = (str(tmp_path / f"g{i}") for i in range(3))
+    spark.createDataFrame([(1, 10)],
+                          "id int, amount_cents int").write.parquet(g0)
+    spark.createDataFrame([(2, 20)], "id int, cents int").write.parquet(g1)
+    spark.createDataFrame([(3, 2**40)],
+                          "id int, cents bigint").write.parquet(g2)
+    got = read_evolved(spark, [g0, g1, g2],
+                       renames={"amount_cents": "cents"})
+    types = {f.name: f.dataType.simpleString() for f in got.schema.fields}
+    assert types == {"id": "int", "cents": "bigint"}
+    rows = {r.id: r.cents for r in got.collect()}
+    assert rows == {1: 10, 2: 20, 3: 2**40}
+    # two aliases of one field across DIFFERENT generations are fine
+    g3 = str(tmp_path / "g3")
+    spark.createDataFrame([(4, 40)], "id int, amt int").write.parquet(g3)
+    got2 = read_evolved(spark, [g0, g3, g2],
+                        renames={"amount_cents": "cents", "amt": "cents"})
+    assert {r.id: r.cents for r in got2.collect()} == \
+        {1: 10, 3: 2**40, 4: 40}
+
+
+def test_read_evolved_rename_refuses_ambiguity(spark, tmp_path):
+    import pytest
+
+    from downscaledclimatedata_spark.operators.maintenance import (
+        read_evolved)
+
+    both = str(tmp_path / "both")
+    spark.createDataFrame([(1, 10, 11)],
+                          "id int, amount_cents int, cents int"
+                          ).write.parquet(both)
+    with pytest.raises(ValueError, match="BOTH names"):
+        read_evolved(spark, [both], renames={"amount_cents": "cents"})
+    co = str(tmp_path / "co")
+    spark.createDataFrame([(1, 10, 11)],
+                          "id int, amount_cents int, amt int"
+                          ).write.parquet(co)
+    with pytest.raises(ValueError, match="co-occur"):
+        read_evolved(spark, [co], renames={"amount_cents": "cents",
+                                           "amt": "cents"})
+    with pytest.raises(ValueError, match="itself"):
+        read_evolved(spark, [co], renames={"cents": "cents"})
+
+
 def test_read_evolved_int_float_widens_to_double_bigint_refuses(
         spark, tmp_path):
     """int-vs-float drift widens to DOUBLE (lossless — double holds

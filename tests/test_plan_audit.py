@@ -46,6 +46,7 @@ EAGER_SPECS = {
     "pipeline_corpus_build",
     "pipeline_corpus_build_quality",
     "maintenance_read_evolved",
+    "maintenance_read_renamed",
     "streaming_rollup_ivm",
     "streaming_tumbling_counts",
     "streaming_attribution_join",

@@ -142,3 +142,93 @@ def test_knn_graph_hierarchical_probe2_spread_sampling(spark):
         assert key not in seen
         seen.add(key)
     assert len({r["vec_id"] for r in out}) >= 50
+
+
+# --- JPEG restart-interval (DRI/RSTn) salvage codec ------------------------------
+
+def _dri_expected(grid, w, h):
+    """Python mirror of the oracle's per-block arithmetic."""
+    nbx = -(-w // 8)
+    tot = 0
+    for bi, dc in enumerate(grid):
+        by, bx = divmod(bi, nbx)
+        npix = min(8, h - by * 8) * min(8, w - bx * 8)
+        tot += npix * min(255, max(0, 2 * dc + 128))
+    return tot
+
+
+def test_jpeg_dri_clean_roundtrip():
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_jpeg_dri_stats, make_jpeg_dri)
+    w, h = 20, 12  # 3x2 blocks
+    grid = [5, -64, 64, 0, -3, 17]
+    blob = make_jpeg_dri(grid, w, h, restart_every=2)
+    got = decode_jpeg_dri_stats(blob)
+    assert got == (w, h, 6, 3, 6, _dri_expected(grid, w, h))
+
+
+def test_jpeg_dri_corrupt_segment_salvages_the_rest():
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_jpeg_dri_stats, make_jpeg_dri)
+    w, h = 20, 12
+    grid = [5, -64, 64, 0, -3, 17]
+    blob = make_jpeg_dri(grid, w, h, restart_every=2, corrupt_seg=1)
+    got = decode_jpeg_dri_stats(blob)
+    keep = [0, 1, 4, 5]  # segment 1 = blocks 2,3 lost
+    nbx = 3
+    want = 0
+    for bi in keep:
+        by, bx = divmod(bi, nbx)
+        npix = min(8, h - by * 8) * min(8, w - bx * 8)
+        want += npix * min(255, max(0, 2 * grid[bi] + 128))
+    assert got == (w, h, 6, 3, 4, want)
+
+
+def test_jpeg_dri_truncated_tail_salvages_prefix():
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_jpeg_dri_stats, make_jpeg_dri)
+    w, h = 20, 12
+    grid = [5, -64, 64, 0, -3, 17]
+    blob = make_jpeg_dri(grid, w, h, restart_every=2, truncate_tail=True)
+    assert not blob.endswith(b"\xff\xd9")  # EOI genuinely lost
+    got = decode_jpeg_dri_stats(blob)
+    nbx = 3
+    want = 0
+    for bi in (0, 1, 2, 3):  # final segment = blocks 4,5 lost
+        by, bx = divmod(bi, nbx)
+        npix = min(8, h - by * 8) * min(8, w - bx * 8)
+        want += npix * min(255, max(0, 2 * grid[bi] + 128))
+    assert got == (w, h, 6, 3, 4, want)
+    # single-segment truncation: nothing to resync to -> lost payload
+    blob1 = make_jpeg_dri([5], 8, 8, restart_every=2, truncate_tail=True)
+    assert decode_jpeg_dri_stats(blob1) is None
+
+
+def test_jpeg_dri_bad_ordinal_and_cross_rejection():
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_jpeg_dri_stats, decode_jpeg_pixel_stats, make_jpeg_dc,
+        make_jpeg_dri)
+    grid = [5, -64, 64, 0, -3, 17]
+    bad = make_jpeg_dri(grid, 20, 12, restart_every=2, bad_rst=True)
+    assert decode_jpeg_dri_stats(bad) is None
+    # the plain decoder rejects restart-punctuated scans; the DRI
+    # decoder requires a DRI marker — each certifies its own class
+    dri = make_jpeg_dri(grid, 20, 12, restart_every=2)
+    assert decode_jpeg_pixel_stats(dri) is None
+    plain = make_jpeg_dc(grid, 20, 12)
+    assert decode_jpeg_dri_stats(plain) is None
+
+
+def test_jpeg_dri_dc_reset_is_real():
+    """DC prediction must reset at each restart: a decoder that carries
+    the predictor across segments reconstructs wrong values. Pin it by
+    decoding a 2-segment stream whose second segment's first DC equals
+    the first segment's last (diff 0 under carry, full value under
+    reset) and checking the pixel sum matches the reset semantics."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_jpeg_dri_stats, make_jpeg_dri)
+    w, h = 16, 8
+    grid = [40, 40]  # one block per segment
+    blob = make_jpeg_dri(grid, w, h, restart_every=1)
+    got = decode_jpeg_dri_stats(blob)
+    assert got == (w, h, 2, 2, 2, 2 * 64 * (2 * 40 + 128))
