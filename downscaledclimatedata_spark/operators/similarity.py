@@ -1969,8 +1969,11 @@ def scaled_codebook_three_level(
         return (CENTROID_MOD, N_CENTROIDS, N_CENTROIDS, N_CENTROIDS,
                 None)
     if n_rows < KNN_THREE_LEVEL_MIN_N:
+        # two-level routing, but with the layout-robust hash-spread
+        # sample — the window sample would saturate (or come up empty)
+        # on striped/offset id layouts, the r10 bug class
         mod, k, s = scaled_codebook_two_level(n_rows)
-        return (mod, k, s, s, None)
+        return (mod, k, s, s, max(1, n_rows // k))
     r = n_rows // KNN_CODEBOOK_BASE_N
     g = max(2, round(r ** 0.75))  # codebook growth factor: k ∝ N^(3/4)
     k = N_CENTROIDS * g
@@ -2013,7 +2016,8 @@ def _assigned_corpus(emb: DataFrame, id_col: str, vec_col: str,
             .select(F.col(id_col), F.col("cid"))
     elif n_super is not None and n_super < n_centroids:
         assign = ivf_assign_two_level(
-            emb, id_col, vec_col, centroid_mod, n_centroids, n_super) \
+            emb, id_col, vec_col, centroid_mod, n_centroids, n_super,
+            spread_every=spread_every) \
             .select(F.col(id_col), F.col("cid"))
     else:
         assign = ivf_assign(emb, id_col, vec_col, centroid_mod, n_centroids)
@@ -2108,10 +2112,16 @@ def knn_graph(emb: DataFrame, id_col: str = "vec_id",
     base = _assigned_corpus(emb, id_col, vec_col, centroid_mod,
                             n_centroids, n_super, n_super2, spread_every)
     if nprobe == 2:
+        # the probe's centroid relation must be sampled EXACTLY like the
+        # assignment's, or the second-best cell id won't name any
+        # candidate cell (spread-assigned cells vs window-probed ids)
+        cents_pred = (_spread_sample(id_col, spread_every)
+                      if spread_every is not None
+                      else _fixed_sample(id_col, centroid_mod, n_centroids))
         cents = (emb.select(F.col(id_col),
                             quantize(F.col(vec_col)).alias("qv"),
                             sq_norm(quantize(F.col(vec_col))).alias("n2"))
-                 .filter(_fixed_sample(id_col, centroid_mod, n_centroids))
+                 .filter(cents_pred)
                  .select(F.col(id_col).alias("cid2"),
                          F.col("qv").alias("cv"), F.col("n2").alias("cn2")))
         scored2 = (base.crossJoin(F.broadcast(cents))
@@ -2424,7 +2434,8 @@ def ivf_assign_two_level(emb: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          centroid_mod: int = CENTROID_MOD,
                          n_centroids: int = N_CENTROIDS,
-                         n_super: int = N_SUPER) -> DataFrame:
+                         n_super: int = N_SUPER,
+                         spread_every: int | None = None) -> DataFrame:
     """Hierarchical IVF coarse quantizer: route through √k super-cells.
 
     Flat assignment is N·k comparisons — fine while the codebook is
@@ -2443,15 +2454,25 @@ def ivf_assign_two_level(emb: DataFrame, id_col: str = "vec_id",
 
     Super-centroids are a deterministic stride-subsample OF the centroid
     sample, so both levels reproduce exactly in the DuckDB oracle.
+    ``spread_every`` switches both levels to the nested id-hash sample
+    (:func:`_spread_sample` — layout-robust; REQUIRED when the tiered
+    schedule picks this path on a corpus whose ids are striped or
+    offset, where the window sample would saturate or come up empty).
     Returns (id, super_cid, cid).
     """
     stride = max(1, n_centroids // n_super)
     base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
                       sq_norm(quantize(F.col(vec_col))).alias("n2"))
-    cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
+    if spread_every is not None:
+        cents_pred = _spread_sample(id_col, spread_every)
+        supers_pred = _spread_sample("cid", spread_every * stride)
+    else:
+        cents_pred = _fixed_sample(id_col, centroid_mod, n_centroids)
+        supers_pred = _fixed_sample("cid", centroid_mod * stride, n_super)
+    cents = (base.filter(cents_pred)
              .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
                      F.col("n2").alias("cn2")))
-    supers = (cents.filter(_fixed_sample("cid", centroid_mod * stride, n_super))
+    supers = (cents.filter(supers_pred)
               .select(F.col("cid").alias("sid"), F.col("cv").alias("sv"),
                       F.col("cn2").alias("sn2")))
 

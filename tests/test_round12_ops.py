@@ -232,3 +232,29 @@ def test_jpeg_dri_dc_reset_is_real():
     blob = make_jpeg_dri(grid, w, h, restart_every=1)
     got = decode_jpeg_dri_stats(blob)
     assert got == (w, h, 2, 2, 2, 2 * 64 * (2 * 40 + 128))
+
+
+def test_tiered_band_two_level_survives_offset_ids(spark):
+    """The [1600, THREE_LEVEL_MIN_N) tier routes two-level — and must
+    use the hash-spread centroid sample there: with window sampling an
+    all-offset id layout (no ids below mod*k) would yield an EMPTY
+    codebook and a silently empty graph (the r10 saturation class)."""
+    import random
+
+    from downscaledclimatedata_spark.operators.similarity import (
+        ivf_assign_two_level, knn_graph, scaled_codebook_three_level)
+    rnd = random.Random(41)
+    n = 1700
+    rows = [(5_000_000_000 + i,
+             [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(n)]
+    df = _emb(spark, rows)
+    mod, k, s1, s2, ev = scaled_codebook_three_level(n)
+    assert s2 == s1 and ev is not None  # the band config under test
+    assign = ivf_assign_two_level(df, centroid_mod=mod, n_centroids=k,
+                                  n_super=s1, spread_every=ev).collect()
+    assert len(assign) == n  # every vector assigned exactly once
+    cells = {r["cid"] for r in assign}
+    assert len(cells) > 10, len(cells)  # codebook sampled despite offset
+    out = knn_graph(df, centroid_mod=mod, n_centroids=k, n_super=s1,
+                    n_super2=s2, spread_every=ev).collect()
+    assert len({r["vec_id"] for r in out}) > 0.9 * n

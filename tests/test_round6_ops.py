@@ -448,7 +448,9 @@ def test_scaled_codebook_three_level_shape(spark):
     for n in (4 * KNN_CODEBOOK_BASE_N, KNN_THREE_LEVEL_MIN_N - 1):
         mod, k, s1, s2, ev = scaled_codebook_three_level(n)
         assert (mod, k, s1) == scaled_codebook_two_level(n)
-        assert s2 == s1 and ev is None
+        # n_super2 == n_super routes two-level; hash-spread sampling so
+        # the band survives striped/offset id layouts
+        assert s2 == s1 and ev == max(1, n // k)
     for n in (KNN_THREE_LEVEL_MIN_N, 100 * KNN_CODEBOOK_BASE_N,
               10_000 * KNN_CODEBOOK_BASE_N):
         mod, k, s1, s2, ev = scaled_codebook_three_level(n)
