@@ -24,6 +24,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from downscaledclimatedata_spark.functions.text import WS_RE
 from downscaledclimatedata_spark.plans import QuerySpec, register
 from downscaledclimatedata_spark.sources.tables import load_table, load_table_parallel
 
@@ -5399,3 +5400,145 @@ register(QuerySpec(
                 "norm-bound prune: seed pass on the highest-norm "
                 "vectors, bound test before the dot fold — the prune "
                 "is a proof, so the oracle is plain brute force"))
+
+
+# --- hybrid retrieval: reciprocal-rank fusion of dense + lexical top-k -----------
+#
+# The retrieval shape real RAG/data pipelines run: a dense (embedding
+# cosine) shortlist and a lexical (term-frequency) shortlist, fused with
+# reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09):
+# score(d) = Σ_lists 1/(K + rank_list(d)), K = 60. RRF is the standard
+# zero-tuning fusion because it only consumes RANKS — the two scorers'
+# incomparable scales never meet. The engine's twist for oracle
+# exactness: reciprocals are scaled-integer (RRF_SCALE // (K + r), the
+# lcm-unit trick similarity_ann_mrr introduced), so fusion is exact
+# integer arithmetic on both engines — float 1/x sums would be
+# summation-order-sensitive.
+#
+# Scale shape: each shortlist is orderBy().limit() — Catalyst compiles
+# TakeOrderedAndProject (per-partition heap + driver merge of
+# RRF_SHORTLIST rows, never a global sort); the rank windows and the
+# full-outer fusion run on the two ≤RRF_SHORTLIST-row relations. The
+# dense side broadcasts ONE query vector; the lexical side is a
+# projection + filter. Nothing corpus-scale shuffles.
+
+RRF_K = 60
+RRF_SCALE = 10 ** 12
+RRF_TERM = "data"       # fixture-vocab lexical query
+RRF_QUERY_ID = 0        # dense query = this row's embedding
+RRF_SHORTLIST = 50
+RRF_OUT = 20
+
+
+def hybrid_rrf(docs: DataFrame, emb: DataFrame, term: str = RRF_TERM,
+               query_id: int = RRF_QUERY_ID, k: int = RRF_K,
+               shortlist: int = RRF_SHORTLIST,
+               out_n: int = RRF_OUT) -> DataFrame:
+    """(id, rank_dense, rank_lex, rrf_score) — top ``out_n`` fused.
+
+    Missing-from-one-list ids contribute only the other list's term
+    (the standard RRF convention); ranks surface as -1 sentinels so the
+    nullable-int column stays int64 through pandas on both engines."""
+    from pyspark.sql import Window
+
+    from downscaledclimatedata_spark.operators.dedup import tokens
+
+    base = (emb.select(F.col("vec_id"),
+                       quantize(F.col("embedding")).alias("qv"),
+                       sq_norm(quantize(F.col("embedding"))).alias("n2"))
+            .filter(F.col("n2") > 0))
+    qvec = (base.filter(F.col("vec_id") == query_id)
+            .select(F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
+    dense_scored = (base.crossJoin(F.broadcast(qvec))
+                    .filter(F.col("vec_id") != query_id)
+                    .select(F.col("vec_id").alias("id"),
+                            (int_dot(F.col("qv"), F.col("qq"))
+                             .cast("double")
+                             / (F.sqrt(F.col("n2").cast("double"))
+                                * F.sqrt(F.col("qn2").cast("double"))))
+                            .alias("cosine")))
+    dense_top = dense_scored.orderBy(F.col("cosine").desc(),
+                                     F.col("id")).limit(shortlist)
+    w_d = Window.orderBy(F.col("cosine").desc(), F.col("id"))
+    dense = dense_top.select("id", F.row_number().over(w_d)
+                             .alias("rank_dense"))
+    tf = (docs.select(F.col("doc_id").alias("id"),
+                      F.size(F.filter(tokens(F.col("text")),
+                                      lambda t: t == F.lit(term)))
+                      .alias("tf"))
+          .filter((F.col("tf") > 0) & (F.col("id") != query_id)))
+    lex_top = tf.orderBy(F.col("tf").desc(), F.col("id")).limit(shortlist)
+    w_l = Window.orderBy(F.col("tf").desc(), F.col("id"))
+    lex = lex_top.select("id", F.row_number().over(w_l).alias("rank_lex"))
+    rd = (F.when(F.col("rank_dense").isNotNull(),
+                 F.expr(f"{RRF_SCALE} div ({k} + rank_dense)"))
+          .otherwise(F.lit(0)).cast("long"))
+    rl = (F.when(F.col("rank_lex").isNotNull(),
+                 F.expr(f"{RRF_SCALE} div ({k} + rank_lex)"))
+          .otherwise(F.lit(0)).cast("long"))
+    fused = (dense.join(lex, "id", "full_outer")
+             .select("id",
+                     F.coalesce("rank_dense", F.lit(-1)).alias("rank_dense"),
+                     F.coalesce("rank_lex", F.lit(-1)).alias("rank_lex"),
+                     (rd + rl).alias("rrf_score")))
+    return (fused.orderBy(F.col("rrf_score").desc(), F.col("id"))
+            .limit(out_n))
+
+
+def similarity_hybrid_rrf_query(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return hybrid_rrf(docs, emb)
+
+
+_HYBRID_RRF_SQL = rf"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+base0 AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS DOUBLE) AS n2
+  FROM q
+), base AS (SELECT * FROM base0 WHERE n2 > 0),
+qv AS (SELECT qv AS qq, n2 AS qn2 FROM base WHERE vec_id = {RRF_QUERY_ID}),
+dense_top AS (
+  SELECT b.vec_id AS id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> b.qv[i] * qv.qq[i])) AS DOUBLE)
+      / (sqrt(b.n2) * sqrt(qv.qn2)) AS cosine
+  FROM base b CROSS JOIN qv
+  WHERE b.vec_id <> {RRF_QUERY_ID}
+  ORDER BY cosine DESC, id LIMIT {RRF_SHORTLIST}
+), dense AS (
+  SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, id) AS INT)
+    AS rank_dense
+  FROM dense_top
+), tf AS (
+  SELECT doc_id AS id,
+    len(list_filter(string_split_regex(lower(text), '{WS_RE}'),
+                    t -> t = '{RRF_TERM}')) AS tf
+  FROM documents WHERE doc_id <> {RRF_QUERY_ID}
+), lex_top AS (
+  SELECT id, tf FROM tf WHERE tf > 0 ORDER BY tf DESC, id
+  LIMIT {RRF_SHORTLIST}
+), lex AS (
+  SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, id) AS INT)
+    AS rank_lex
+  FROM lex_top
+), fused AS (
+  SELECT COALESCE(d.id, l.id) AS id,
+    COALESCE(d.rank_dense, -1) AS rank_dense,
+    COALESCE(l.rank_lex, -1) AS rank_lex,
+    CAST(COALESCE({RRF_SCALE} // ({RRF_K} + d.rank_dense), 0)
+       + COALESCE({RRF_SCALE} // ({RRF_K} + l.rank_lex), 0) AS BIGINT)
+      AS rrf_score
+  FROM dense d FULL OUTER JOIN lex l ON l.id = d.id
+)
+SELECT id, rank_dense, rank_lex, rrf_score FROM fused
+ORDER BY rrf_score DESC, id LIMIT {RRF_OUT}
+"""
+
+register(QuerySpec(
+    "similarity_hybrid_rrf", similarity_hybrid_rrf_query, _HYBRID_RRF_SQL,
+    description=f"hybrid retrieval: dense cosine + lexical tf shortlists "
+                f"fused by reciprocal-rank fusion (K={RRF_K}) in exact "
+                "scaled-integer arithmetic; TakeOrderedAndProject "
+                "shortlists, windows only on the fused ≤50-row lists"))

@@ -111,6 +111,7 @@ BNLJ_OK = {
     "similarity_ivf_three_level",
     "similarity_ivf_three_level_probe2",  # broadcast ≤16-row codebook levels
     "similarity_ivf_two_level",
+    "similarity_hybrid_rrf",  # broadcast single-row query vector
     "similarity_knn_recall",  # broadcast fixed ≤50-row query sample
     "similarity_ivfpq_residual",
     "similarity_ivfpq_topk",
@@ -242,6 +243,8 @@ WINDOW_OK = {
     "text_langid_eval",
     # term-count relation under the top-512 vocab cap
     "text_vocab_encode",
+    # rank windows over the two TakeOrdered ≤50-row RRF shortlists
+    "similarity_hybrid_rrf",
 }
 
 
