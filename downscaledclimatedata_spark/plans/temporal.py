@@ -328,6 +328,80 @@ register(QuerySpec(
                 "one-shot batch answer"))
 
 
+def streaming_stateful_totals_query(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL operator (streaming/stream.py
+    running_user_totals, applyInPandasWithState) driven as a REAL
+    checkpointed stream: events re-staged as 4 files, streamed one per
+    micro-batch, per-user (count, sum) state persisted in the
+    checkpoint across batches, update-mode memory sink. The final
+    emission per user (update mode re-emits a user's row whenever a
+    batch touches them; the count strictly increases, so max-count =
+    final) must equal the one-shot batch aggregate — proving the
+    GroupState accumulate/merge across micro-batches, not just the
+    unit harness's two-batch walk.
+
+    Value is floored to exact milli-units BEFORE the stateful op (the
+    q42 discipline): the processor's per-batch Python accumulation is
+    then integer-exact, so the cross-engine hash cannot depend on
+    float summation order.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from downscaledclimatedata_spark.streaming.stream import (
+        running_user_totals)
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="dcd_stws_")
+    try:
+        edir = f"{base}/events"
+        ev.repartition(4).write.parquet(edir)
+        staged = spark.read.parquet(edir)
+        stream = (spark.readStream.schema(staged.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(edir)
+                  .select("user_id",
+                          F.floor(F.col("value") * 1000).cast("double")
+                          .alias("value")))
+        name = f"stws_{uuid.uuid4().hex[:8]}"
+        q = (running_user_totals(stream)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", f"{base}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("n_events").desc())
+        out = (spark.table(name)
+               .withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1)
+               .select("user_id",
+                       F.col("n_events").cast("bigint").alias("n_events"),
+                       F.col("total_value").cast("bigint")
+                       .alias("total_milli")))
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_STREAM_STATEFUL_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS total_milli
+FROM events GROUP BY user_id
+"""
+
+register(QuerySpec(
+    "streaming_stateful_totals", streaming_stateful_totals_query,
+    _STREAM_STATEFUL_SQL,
+    description="the applyInPandasWithState custom stateful operator "
+                "run as a REAL checkpointed stream (4 micro-batches, "
+                "update-mode sink): per-user GroupState accumulated "
+                "across batches equals the one-shot batch aggregate"))
+
+
 # --- q127: forward + nearest as-of joins (one union, two frames) -----------------
 
 def q127_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
