@@ -402,6 +402,107 @@ register(QuerySpec(
                 "across batches equals the one-shot batch aggregate"))
 
 
+def streaming_session_windows_query(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """q41's gap-based sessionization run as a REAL append-mode
+    checkpointed stream — the session-window STATE STORE is a different
+    animal from tumbling windows: partial sessions land in state and
+    MERGE when a later micro-batch brings events that bridge the gap
+    (the random 3-file split guarantees plenty of cross-batch
+    sessions), and a session is emitted exactly once, when the
+    watermark passes its end.
+
+    Staging discipline (the left_outer_flush lessons): files are
+    mtime-pinned so the two far-future HEARTBEAT files arrive last;
+    the watermark horizon exceeds the fixture's whole ts span so the
+    random split can never make a real event late; TWO heartbeat files
+    because eviction uses the watermark computed at the end of the
+    PREVIOUS batch. Heartbeat rows ride a real event row with user_id
+    and ts overwritten, and are filtered from the result; the oracle is
+    q41's batch SQL verbatim.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    hb_user = -(2 ** 61)
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")) \
+        .first()
+    span_s = int((bounds["hi"] - bounds["lo"]).total_seconds())
+    horizon_s = span_s + SESSION_GAP_S + 3600
+    base = tempfile.mkdtemp(prefix="dcd_ssess_")
+    try:
+        seed = ev.orderBy("event_id").limit(1)
+        hb = []
+        for i in (1, 2):
+            off = horizon_s + SESSION_GAP_S + i * 3600
+            hb.append(seed.withColumn("user_id", F.lit(hb_user))
+                      .withColumn("ts", F.lit(bounds["hi"])
+                                  + F.expr(f"INTERVAL {off} SECONDS")))
+        edir = f"{base}/events"
+        os.makedirs(edir)
+        t00 = int(__import__("time").time()) - 7200
+        idx = 0
+        for part in range(3):
+            df = ev.withColumn("_p", F.pmod(F.xxhash64("event_id"),
+                                            F.lit(3))) \
+                .filter(F.col("_p") == part).drop("_p")
+            pdir = f"{base}/tmp{idx}"
+            df.coalesce(1).write.parquet(pdir)
+            src = glob.glob(f"{pdir}/part-*.parquet")[0]
+            dst = f"{edir}/f{idx}.parquet"
+            shutil.move(src, dst)
+            os.utime(dst, (t00 + 100 * idx, t00 + 100 * idx))
+            idx += 1
+        for df in hb:
+            pdir = f"{base}/tmp{idx}"
+            df.coalesce(1).write.parquet(pdir)
+            src = glob.glob(f"{pdir}/part-*.parquet")[0]
+            dst = f"{edir}/f{idx}.parquet"
+            shutil.move(src, dst)
+            os.utime(dst, (t00 + 100 * idx, t00 + 100 * idx))
+            idx += 1
+        schema = spark.read.parquet(edir).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(edir))
+        agg = (stream.withWatermark("ts", f"{horizon_s} seconds")
+               .groupBy("user_id",
+                        F.session_window("ts", SESSION_GAP).alias("w"))
+               .agg(F.count("*").alias("n_events"),
+                    F.max("event_id").alias("last_event_id"))
+               .select("user_id",
+                       F.col("w.start").alias("session_start"),
+                       F.col("w.end").alias("session_end"),
+                       "n_events", "last_event_id"))
+        name = f"ssess_{uuid.uuid4().hex[:8]}"
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", f"{base}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        out = (spark.table(name)
+               .filter(F.col("user_id") != hb_user)
+               .select("user_id", "session_start", "session_end",
+                       F.col("n_events").cast("bigint").alias("n_events"),
+                       "last_event_id"))
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+register(QuerySpec(
+    "streaming_session_windows", streaming_session_windows_query,
+    _Q41_SQL,
+    description="q41's session windows as a REAL append-mode stream: "
+                "partial sessions MERGE in the state store across "
+                "micro-batches and each session is emitted exactly "
+                "once when the watermark (advanced by two heartbeat "
+                "tail files) passes its end — equals the batch answer"))
+
+
 # --- q127: forward + nearest as-of joins (one union, two frames) -----------------
 
 def q127_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:

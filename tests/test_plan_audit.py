@@ -48,6 +48,7 @@ EAGER_SPECS = {
     "maintenance_read_evolved",
     "maintenance_read_renamed",
     "streaming_rollup_ivm",
+    "streaming_session_windows",
     "streaming_stateful_totals",
     "streaming_tumbling_counts",
     "streaming_attribution_join",
