@@ -1209,20 +1209,20 @@ def read_evolved(spark: SparkSession, paths: list,
     for p in paths:
         df = spark.read.parquet(p)
         have = {f.name for f in df.schema.fields}
-        todo = {o: n for o, n in renames.items() if o in have}
-        for old, new in todo.items():
+        pending = {o: n for o, n in renames.items() if o in have}
+        for old, new in pending.items():
             if new in have:
                 raise ValueError(
                     f"ambiguous rename {old!r} -> {new!r}: generation "
                     f"{p} carries BOTH names; refusing to guess which "
                     "is the field")
-        targets = sorted(todo.values())
+        targets = sorted(pending.values())
         dup = {t for t in targets if targets.count(t) > 1}
         if dup:
             raise ValueError(
                 f"ambiguous rename: aliases of {sorted(dup)} co-occur "
                 f"in generation {p}")
-        dfs.append(df.withColumnsRenamed(todo) if todo else df)
+        dfs.append(df.withColumnsRenamed(pending) if pending else df)
     merged: dict = {}
     for df in dfs:
         for f in df.schema.fields:
