@@ -5542,3 +5542,131 @@ register(QuerySpec(
                 f"fused by reciprocal-rank fusion (K={RRF_K}) in exact "
                 "scaled-integer arithmetic; TakeOrderedAndProject "
                 "shortlists, windows only on the fused ≤50-row lists"))
+
+
+# --- SemDeDup pair recall vs exact threshold truth --------------------------------
+#
+# The r12 quality program applied to the dedup family: knn_graph's
+# recall ladder measures the GRAPH's neighbor quality; this measures
+# how many true >= tau near-pairs the CLUSTER-SCOPED pass (the
+# SemDeDup prune's candidate generator) actually sees. A pair is
+# missed exactly when its two vectors land in different coarse cells —
+# the approximation semantic dedup trades for never running corpus².
+# Missed pairs at the prune threshold = duplicates that survive
+# dedup, so this recall IS the operator's false-negative rate.
+
+def semantic_pair_recall(emb: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         tau: float = SEM_TAU,
+                         centroid_mod: int = CENTROID_MOD,
+                         n_centroids: int = N_CENTROIDS,
+                         n_super: int | None = None,
+                         n_super2: int | None = None,
+                         spread_every: int | None = None,
+                         query_every: int = KNN_RECALL_EVERY,
+                         query_hash: bool = False) -> DataFrame:
+    """Per sampled query: ``n_truth`` = corpus vectors with exact
+    cosine >= tau against it, ``n_hit`` = how many of those partners
+    the cluster-scoped pair pass also reports, ``recall`` = the ratio.
+    Queries with no true partner produce no row (recall undefined).
+
+    Scale shape: truth is the same bounded-broadcast |Q|·N scan as
+    :func:`knn_graph_recall`; the approx side reuses the EXACT
+    relation semantic_dedup prunes from (`_assigned_corpus` +
+    `semantic_pairs_from_assigned`), so the measurement certifies the
+    operator as deployed, not a reimplementation.
+    """
+    base = (emb.select(F.col(id_col),
+                       quantize(F.col(vec_col)).alias("qv"),
+                       sq_norm(quantize(F.col(vec_col))).alias("n2"))
+            .filter(F.col("n2") > 0))
+    pred = (_spread_sample(id_col, query_every) if query_hash
+            else _fixed_sample(id_col, query_every, KNN_RECALL_N))
+    queries = (base.filter(pred)
+               .select(F.col(id_col).alias("query_id"),
+                       F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
+    truth = (base.crossJoin(F.broadcast(queries))
+             .filter(F.col(id_col) != F.col("query_id"))
+             .filter((int_dot(F.col("qq"), F.col("qv")).cast("double")
+                      / (F.sqrt(F.col("qn2").cast("double"))
+                         * F.sqrt(F.col("n2").cast("double")))) >= tau)
+             .select("query_id", F.col(id_col).alias("partner_id")))
+    assigned = _assigned_corpus(emb, id_col, vec_col, centroid_mod,
+                                n_centroids, n_super, n_super2,
+                                spread_every)
+    pairs = semantic_pairs_from_assigned(assigned, id_col, tau)
+    got = (pairs.select(F.col("id_a").alias("query_id"),
+                        F.col("id_b").alias("partner_id"))
+           .unionByName(pairs.select(
+               F.col("id_b").alias("query_id"),
+               F.col("id_a").alias("partner_id")))
+           .withColumn("hit", F.lit(1)))
+    return (truth.join(got, ["query_id", "partner_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+                 F.sum(F.coalesce("hit", F.lit(0))).cast("bigint")
+                 .alias("n_hit"))
+            .select("query_id", "n_truth", "n_hit",
+                    (F.col("n_hit").cast("double")
+                     / F.col("n_truth").cast("double")).alias("recall")))
+
+
+def similarity_semantic_recall_query(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return semantic_pair_recall(emb)
+
+
+_SEM_RECALL_SQL = f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+base0 AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS DOUBLE) AS n2,
+    list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS in2
+  FROM q
+), base AS (SELECT * FROM base0 WHERE n2 > 0),
+cents AS (
+  SELECT vec_id AS cid, qv AS cv, in2 AS cn2 FROM base
+  WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, N_CENTROIDS)}
+), assign_scored AS (
+  SELECT base.vec_id, cents.cid,
+    ROW_NUMBER() OVER (PARTITION BY base.vec_id ORDER BY base.in2 + cents.cn2
+      - 2 * list_sum(list_transform(range(1, {DIM + 1}), i -> base.qv[i] * cents.cv[i])), cents.cid) AS rn
+  FROM base CROSS JOIN cents
+), assigned AS (
+  SELECT b.vec_id, a.cid, b.qv, b.n2
+  FROM base b JOIN assign_scored a ON a.vec_id = b.vec_id AND a.rn = 1
+), truth AS MATERIALIZED (
+  SELECT qs.vec_id AS query_id, c.vec_id AS partner_id
+  FROM base qs JOIN base c ON c.vec_id <> qs.vec_id
+  WHERE {_fixed_sample_sql('qs.vec_id', KNN_RECALL_EVERY, KNN_RECALL_N)}
+    AND CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qs.qv[i] * c.qv[i])) AS DOUBLE)
+      / (sqrt(qs.n2) * sqrt(c.n2)) >= {SEM_TAU}
+), cellpairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON b.cid = a.cid AND a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      / (sqrt(a.n2) * sqrt(b.n2)) >= {SEM_TAU}
+), got AS (
+  SELECT id_a AS query_id, id_b AS partner_id FROM cellpairs
+  UNION ALL
+  SELECT id_b, id_a FROM cellpairs
+)
+SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+  CAST(SUM(CASE WHEN g.partner_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hit,
+  CAST(SUM(CASE WHEN g.partner_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM truth t LEFT JOIN got g
+  ON g.query_id = t.query_id AND g.partner_id = t.partner_id
+GROUP BY t.query_id
+"""
+
+register(QuerySpec(
+    "similarity_semantic_recall", similarity_semantic_recall_query,
+    _SEM_RECALL_SQL,
+    description=f"SemDeDup pair recall at tau={SEM_TAU}: how many true "
+                ">= tau near-pairs the cluster-scoped candidate pass "
+                "sees, per sampled query vs exact broadcast-query truth "
+                "— the prune's false-negative rate, measured in-engine"))

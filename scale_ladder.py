@@ -231,6 +231,41 @@ def measure_recall(spark, sf_dir: str, n_queries: int = RECALL_QUERIES) -> dict:
     return out
 
 
+def measure_sem_recall(spark, sf_dir: str,
+                       n_queries: int = RECALL_QUERIES) -> dict:
+    """SemDeDup pair recall at tau per decade under the SCHEDULED
+    codebook — the dedup-family twin of :func:`measure_recall`: missed
+    >= tau pairs are duplicates the prune never sees."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from downscaledclimatedata_spark.operators.similarity import (
+        scaled_codebook_three_level, semantic_pair_recall)
+    emb = _load_emb(spark, sf_dir)
+    n = emb.count()
+    mod, k, s1, s2, ev = scaled_codebook_three_level(n)
+    t0 = _t.perf_counter()
+    agg = (semantic_pair_recall(
+        emb, centroid_mod=mod, n_centroids=k, n_super=s1, n_super2=s2,
+        spread_every=ev, query_every=max(1, n // n_queries),
+        query_hash=True)
+        .agg(F.count(F.lit(1)).alias("q"),
+             F.avg("recall").alias("mean"),
+             F.sum("n_truth").alias("nt"),
+             F.sum("n_hit").alias("nh")).first())
+    return {"n_vectors": n,
+            "codebook": {"centroid_mod": mod, "n_centroids": k,
+                         "n_super": s1, "n_super2": s2,
+                         "spread_every": ev},
+            "queries_with_truth": int(agg["q"]),
+            "mean_recall": round(float(agg["mean"]), 4),
+            "truth_pairs": int(agg["nt"]), "hit_pairs": int(agg["nh"]),
+            "micro_recall": round(int(agg["nh"]) / max(1, int(agg["nt"])),
+                                  4),
+            "sec": round(_t.perf_counter() - t0, 1)}
+
+
 def time_knn_ab(spark, sf_dir: str) -> dict:
     """Same-box A/B of the two-level vs three-level schedules on
     knn_graph at ``sf_dir`` (r11 verdict #2: the +18.5% bench
@@ -424,6 +459,21 @@ def main() -> None:
             rungs[label] = measure_recall(spark, d)
         print(json.dumps({"metric": "knn_recall_ladder",
                           "host_anchor_sec": anchor, "k": 3,
+                          "rungs": rungs}))
+        return
+    if rung == "recallsem":
+        # SemDeDup pair recall per decade (dedup-family quality twin)
+        ensure_scaled(spark, BASE_SF, SCALE_DIR, copies)
+        ensure_scaled(spark, BASE_SF, SCALE10_DIR, copies * 10,
+                      tables=SF10_TABLES)
+        ensure_scaled(spark, BASE_SF, SCALE100E_DIR, copies * 100,
+                      tables=SF100E_TABLES)
+        rungs = {}
+        for label, d in (("sf0.1", BASE_SF), ("sf1", SCALE_DIR),
+                         ("sf10", SCALE10_DIR), ("sf100", SCALE100E_DIR)):
+            rungs[label] = measure_sem_recall(spark, d)
+        print(json.dumps({"metric": "semantic_pair_recall_ladder",
+                          "host_anchor_sec": anchor,
                           "rungs": rungs}))
         return
     if rung == "ab":

@@ -115,6 +115,7 @@ BNLJ_OK = {
     "similarity_ivf_two_level",
     "similarity_hybrid_rrf",  # broadcast single-row query vector
     "similarity_knn_recall",  # broadcast fixed ≤50-row query sample
+    "similarity_semantic_recall",  # broadcast query sample + codebook
     "similarity_ivfpq_residual",
     "similarity_ivfpq_topk",
     "similarity_knn_hubness",

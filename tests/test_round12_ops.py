@@ -258,3 +258,33 @@ def test_tiered_band_two_level_survives_offset_ids(spark):
     out = knn_graph(df, centroid_mod=mod, n_centroids=k, n_super=s1,
                     n_super2=s2, spread_every=ev).collect()
     assert len({r["vec_id"] for r in out}) > 0.9 * n
+
+
+def test_semantic_pair_recall_floor_and_invariants(spark):
+    """SemDeDup pair recall at the static fixture: the cluster-scoped
+    pass must see a stable fraction of the true >= tau pairs (measured
+    0.325 mean / 0.42 micro on landing — uniform-random vectors, the
+    worst case); invariants pin the accounting."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        semantic_pair_recall)
+    rows = semantic_pair_recall(
+        load_table(spark, SF, "embeddings")).collect()
+    assert rows, "no query had a true partner — tau drifted?"
+    for r in rows:
+        assert r["n_truth"] >= 1
+        assert 0 <= r["n_hit"] <= r["n_truth"]
+    mean = sum(r["recall"] for r in rows) / len(rows)
+    assert mean >= 0.2, mean
+
+
+def test_semantic_pair_recall_perfect_with_one_cell(spark):
+    """With a single coarse cell the cluster scope is the whole corpus,
+    so recall must be exactly 1.0 for every query."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        semantic_pair_recall)
+    df = _emb(spark, _clustered_rows(n_clusters=2, per=20))
+    rows = semantic_pair_recall(df, tau=0.5, centroid_mod=1,
+                                n_centroids=1, query_every=4,
+                                query_hash=True).collect()
+    assert rows
+    assert all(r["recall"] == 1.0 for r in rows)
