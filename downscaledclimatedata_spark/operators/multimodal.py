@@ -8658,3 +8658,432 @@ register(QuerySpec("multimodal_jpeg_restart", multimodal_jpeg_restart_query,
                                "truncated interval loses only itself "
                                "(the family's first resync discipline); "
                                "wrong restart ordinal -> NULL"))
+
+
+# --- progressive JPEG (SOF2): DC scan + successive-approximation refinement ------
+#
+# The family's first MULTI-SCAN accumulation discipline (r12): baseline
+# JPEG delivers each block once; progressive JPEG delivers the image as
+# a SEQUENCE of scans that successively refine shared coefficient
+# state — the format every large web corpus is full of, and the reason
+# thumbnailers can render a preview from a prefix of the file. This
+# codec implements the DC band (Ss=Se=0) pair per ITU T.81 §G: a FIRST
+# scan carrying the point-transformed coefficients (dc >> Al,
+# Huffman-coded diffs exactly like baseline — the arithmetic shift is
+# two's-complement, so Python's >> on negatives is the spec behavior)
+# and a REFINEMENT scan (Ah=1, Al=0) carrying ONE RAW BIT per block —
+# no Huffman at all, the successive-approximation low bit:
+# dc = (first << 1) | bit. Blocks whose refinement bit never arrives
+# keep their PREVIEW value (first << 1 = dc − (dc & 1)) — which makes
+# truncated refinement a PER-BLOCK salvage class, sharper than the
+# DRI codec's per-segment one.
+#
+# Planted classes (CASE precedence, mirrored in the oracle):
+#   d % PROG_PARTIAL_MOD == 0 -> the refinement scan is truncated to K
+#       unstuffed bytes: the first min(nb, 8K) blocks are refined, the
+#       rest stay preview (mixed per-block state, exactly what a real
+#       decoder shows for a half-downloaded progressive file).
+#   d % PROG_PREVIEW_MOD == 0 -> the refinement scan never arrives
+#       (n_scans = 1): every block at its preview value.
+#   d % PROG_BASELINE_MOD == 0 -> a BASELINE (SOF0) stream: the
+#       progressive decoder rejects it (NULL row) just as the baseline
+#       decoders reject SOF2 — each certifies its own frame class.
+
+PROG_W_BASE, PROG_W_MOD = 8, 21
+PROG_H_BASE, PROG_H_MOD = 8, 13
+PROG_PARTIAL_MOD = 11
+PROG_PREVIEW_MOD = 13
+PROG_BASELINE_MOD = 19
+PROG_AL = 1  # successive-approximation split: first scan sends dc >> 1
+
+PROG_SCHEMA = ("doc_id long, width int, height int, n_blocks int, "
+               "n_scans int, n_refined int, pix_sum bigint")
+
+
+def _build_jpeg_prog_codecs():
+    """Pure-stdlib progressive-DC JPEG codec pair (closure factory:
+    ships to executors by value)."""
+    import struct
+
+    DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    DC_VALS = tuple(range(12))
+    QTAB = (JPEG_QDC,) + (17,) * 63
+
+    def _canonical(bits, vals):
+        enc, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                enc[vals[k]] = (code, ln)
+                k += 1
+                code += 1
+            code <<= 1
+        return enc
+
+    DC_ENC = _canonical(DC_BITS, DC_VALS)
+
+    class _BitW:
+        def __init__(self):
+            self.buf, self.acc, self.n = bytearray(), 0, 0
+
+        def put(self, code, length):
+            for i in range(length - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((code >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.buf.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.buf.append(0)
+                    self.acc, self.n = 0, 0
+
+        def flush(self):
+            while self.n:
+                self.put(1, 1)
+
+    def _cat(v):
+        return v.bit_length() if v >= 0 else (-v).bit_length()
+
+    def _amp(v, c):
+        return v if v >= 0 else v + (1 << c) - 1
+
+    def make_jpeg_prog(dc_grid, w, h, refine=True,
+                       refine_bytes=None) -> bytes:
+        """Progressive grayscale JPEG: SOF2 + DC first scan at Al=1 +
+        (optionally) the Ah=1 refinement scan. ``refine_bytes``
+        truncates the refinement data to that many UNSTUFFED bytes
+        (None = full)."""
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(QTAB)
+        out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1) \
+            + bytes((1, 0x11, 0))                          # SOF2
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(DC_VALS)) \
+            + b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
+        # scan 1: DC first scan, Ss=Se=0, Ah=0, Al=PROG_AL
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) \
+            + bytes((1, 0x00, 0, 0, PROG_AL))
+        bw = _BitW()
+        prev = 0
+        for dc in dc_grid:
+            v = dc >> PROG_AL  # arithmetic shift: the DC point transform
+            diff = v - prev
+            prev = v
+            c = _cat(diff)
+            code, ln = DC_ENC[c]
+            bw.put(code, ln)
+            if c:
+                bw.put(_amp(diff, c), c)
+        bw.flush()
+        out += bw.buf
+        if refine:
+            # scan 2: DC refinement, Ah=PROG_AL, Al=0 — one raw bit per
+            # block, NO Huffman (T.81 §G.1.2.1)
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1) \
+                + bytes((1, 0x00, 0, 0, (PROG_AL << 4) | 0))
+            raw = bytearray()
+            acc, n = 0, 0
+            for dc in dc_grid:
+                acc = (acc << 1) | (dc & 1)
+                n += 1
+                if n == 8:
+                    raw.append(acc)
+                    acc, n = 0, 0
+            if n:
+                raw.append((acc << (8 - n)) | ((1 << (8 - n)) - 1))
+            if refine_bytes is not None:
+                raw = raw[:refine_bytes]
+            for b in raw:  # stuff on write, like any entropy data
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0)
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    class _BitR:
+        def __init__(self, data):
+            self.d, self.i, self.acc, self.n = data, 0, 0, 0
+
+        def bit(self):
+            if not self.n:
+                self.acc = self.d[self.i]
+                self.i += 1
+                self.n = 8
+            self.n -= 1
+            return (self.acc >> self.n) & 1
+
+        def bits(self, k):
+            v = 0
+            for _ in range(k):
+                v = (v << 1) | self.bit()
+            return v
+
+        def huff(self, table):
+            code, ln = 0, 0
+            while ln < 16:
+                code = (code << 1) | self.bit()
+                ln += 1
+                if (ln, code) in table:
+                    return table[(ln, code)]
+            raise ValueError("invalid huffman code")
+
+    def _extend(v, c):
+        return v if v >= (1 << (c - 1)) else v - (1 << c) + 1
+
+    def decode_jpeg_prog_stats(blob: bytes):
+        """(width, height, n_blocks, n_scans, n_refined, pix_sum) from
+        a progressive DC-band stream, or None on structural defects
+        (non-SOF2 frame, AC scans, wrong approximation parameters).
+        Blocks without a refinement bit keep the preview value — the
+        per-block salvage contract."""
+        try:
+            blob = bytes(blob)
+            if blob[:2] != b"\xff\xd8":
+                return None
+            i = 2
+            qt: dict = {}
+            huffs: dict = {}
+            w = h = sof_tq = None
+            scans = []  # (Ss, Se, Ah, Al, td, data)
+            while i < len(blob):
+                if blob[i] != 0xFF:
+                    return None
+                m = blob[i + 1]
+                i += 2
+                if m == 0xD9:
+                    break
+                ln = struct.unpack(">H", blob[i:i + 2])[0]
+                seg = blob[i + 2:i + ln]
+                if len(seg) != ln - 2:
+                    return None
+                if m == 0xDB:
+                    j = 0
+                    while j < len(seg):
+                        if seg[j] >> 4 != 0:
+                            return None
+                        qt[seg[j] & 15] = list(seg[j + 1:j + 65])
+                        if len(qt[seg[j] & 15]) != 64:
+                            return None
+                        j += 65
+                elif m == 0xC2:  # SOF2 progressive — the ONLY frame here
+                    prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+                    if prec != 8 or nc != 1 or seg[7] != 0x11:
+                        return None
+                    sof_tq = seg[8]
+                elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                           0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    return None  # every other frame class rejected
+                elif m == 0xC4:
+                    j = 0
+                    while j < len(seg):
+                        tc, th = seg[j] >> 4, seg[j] & 15
+                        bits = seg[j + 1:j + 17]
+                        nv = sum(bits)
+                        vals = seg[j + 17:j + 17 + nv]
+                        if len(vals) != nv:
+                            return None
+                        tbl, code, k = {}, 0, 0
+                        for L in range(1, 17):
+                            for _ in range(bits[L - 1]):
+                                tbl[(L, code)] = vals[k]
+                                k += 1
+                                code += 1
+                            code <<= 1
+                        huffs[(tc, th)] = tbl
+                        j += 17 + nv
+                elif m == 0xDA:
+                    if seg[0] != 1:
+                        return None
+                    td = seg[2] >> 4
+                    ss, se, ahal = seg[3], seg[4], seg[5]
+                    data = bytearray()
+                    j = i + ln
+                    while j < len(blob) - 1:
+                        b0 = blob[j]
+                        if b0 == 0xFF:
+                            if blob[j + 1] == 0x00:
+                                data.append(0xFF)
+                                j += 2
+                                continue
+                            break
+                        data.append(b0)
+                        j += 1
+                    scans.append((ss, se, ahal >> 4, ahal & 15, td,
+                                  bytes(data)))
+                    i = j
+                    continue
+                i += ln
+            if w is None or not w or not h or not scans:
+                return None
+            nbx, nby = -(-w // 8), -(-h // 8)
+            nb = nbx * nby
+            ss, se, ah, al, td, data = scans[0]
+            if (ss, se, ah, al) != (0, 0, 0, PROG_AL):
+                return None  # first scan must be the DC band at Al
+            dct = huffs[(0, td)]
+            q = qt[sof_tq]
+            br = _BitR(data)
+            prev = 0
+            first = []
+            for _ in range(nb):
+                c = br.huff(dct)
+                if c > 11:
+                    return None
+                diff = _extend(br.bits(c), c) if c else 0
+                prev += diff
+                first.append(prev)
+            n_refined = 0
+            refined_dc = [v << PROG_AL for v in first]  # preview values
+            if len(scans) > 1:
+                ss2, se2, ah2, al2, _, rdata = scans[1]
+                if (ss2, se2, ah2, al2) != (0, 0, PROG_AL, 0):
+                    return None
+                if len(scans) > 2:
+                    return None  # AC scans: outside this decoder's band
+                n_refined = min(nb, len(rdata) * 8)
+                rr = _BitR(rdata)
+                for bi in range(n_refined):
+                    refined_dc[bi] |= rr.bit()
+            # Se=0 scans carry NO AC, so the 8x8 IDCT of each block is
+            # the constant dc·q0/8 exactly — computed directly (the
+            # baseline decoders run the full IDCT because AC can exist)
+            pix_sum = 0
+            for bi, dc in enumerate(refined_dc):
+                by, bx = divmod(bi, nbx)
+                npix = min(8, h - by * 8) * min(8, w - bx * 8)
+                val = (dc * q[0]) // 8 if (dc * q[0]) % 8 == 0 else None
+                if val is None:  # q0=16 makes this exact; guard anyway
+                    val = round(dc * q[0] / 8)
+                pix_sum += npix * min(255, max(0, val + 128))
+            return (w, h, nb, len(scans), n_refined, pix_sum)
+        except (ValueError, IndexError, KeyError, struct.error):
+            return None
+
+    return make_jpeg_prog, decode_jpeg_prog_stats
+
+
+make_jpeg_prog, decode_jpeg_prog_stats = _build_jpeg_prog_codecs()
+
+
+def synthesize_jpeg_prog_payloads(df: DataFrame) -> DataFrame:
+    mk, dcv, mk_base = make_jpeg_prog, jpeg_dc_value, make_jpeg_dc
+    wb, wm, hb, hm = PROG_W_BASE, PROG_W_MOD, PROG_H_BASE, PROG_H_MOD
+    cm, tm, bm = PROG_PARTIAL_MOD, PROG_PREVIEW_MOD, PROG_BASELINE_MOD
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                w, h = wb + d % wm, hb + d % hm
+                nbx, nby = -(-w // 8), -(-h // 8)
+                nb = nbx * nby
+                grid = [dcv(d, by, bx)
+                        for by in range(nby) for bx in range(nbx)]
+                if d % cm == 0:
+                    kept = (d // cm) % (nb // 8 + 1)
+                    payloads.append(mk(grid, w, h, refine_bytes=kept))
+                elif d % tm == 0:
+                    payloads.append(mk(grid, w, h, refine=False))
+                elif d % bm == 0:
+                    payloads.append(mk_base(grid, w, h))  # SOF0 in-band
+                else:
+                    payloads.append(mk(grid, w, h))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        _synth, "doc_id long, payload binary")
+
+
+def decode_jpeg_prog(df: DataFrame) -> DataFrame:
+    dec = decode_jpeg_prog_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        keys = ("width", "height", "n_blocks", "n_scans", "n_refined",
+                "pix_sum")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 6
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "n_blocks": pd.array(cols["n_blocks"], dtype="Int32"),
+                "n_scans": pd.array(cols["n_scans"], dtype="Int32"),
+                "n_refined": pd.array(cols["n_refined"], dtype="Int32"),
+                "pix_sum": pd.array(cols["pix_sum"], dtype="Int64")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, PROG_SCHEMA)
+
+
+def multimodal_jpeg_progressive_query(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_jpeg_prog(synthesize_jpeg_prog_payloads(docs))
+
+
+def _jpeg_prog_sql() -> str:
+    # preview value of a block = dc − (dc & 1); low bit via pmod (both
+    # engines' % is sign-preserving, so ((dc % 2) + 2) % 2 is the
+    # two's-complement low bit for negatives too)
+    dcv = (f"((d * {JPEG_DC_A} + (i // nbx) * {JPEG_DC_B} "
+           f"+ (i % nbx) * {JPEG_DC_C}) % {JPEG_DC_MOD} - 64)")
+    npix = (f"(least(8, height - (i // nbx) * 8) "
+            f"* least(8, width - (i % nbx) * 8))")
+    refined = (f"CASE WHEN cls = 'full' THEN TRUE "
+               f"WHEN cls = 'partial' THEN i < n_ref ELSE FALSE END")
+    val = (f"CASE WHEN {refined} THEN {dcv} "
+           f"ELSE {dcv} - ((({dcv}) % 2) + 2) % 2 END")
+    return f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    {PROG_W_BASE} + abs(doc_id) % {PROG_W_MOD} AS width,
+    {PROG_H_BASE} + abs(doc_id) % {PROG_H_MOD} AS height
+  FROM documents
+), g AS (
+  SELECT doc_id, d, width, height,
+    (width + 7) // 8 AS nbx,
+    ((width + 7) // 8) * ((height + 7) // 8) AS nb
+  FROM p
+), cl AS (
+  SELECT *,
+    CASE WHEN d % {PROG_PARTIAL_MOD} = 0 THEN 'partial'
+         WHEN d % {PROG_PREVIEW_MOD} = 0 THEN 'preview'
+         WHEN d % {PROG_BASELINE_MOD} = 0 THEN 'baseline'
+         ELSE 'full' END AS cls,
+    CASE WHEN d % {PROG_PARTIAL_MOD} = 0
+         THEN least(nb, 8 * ((d // {PROG_PARTIAL_MOD}) % (nb // 8 + 1)))
+         ELSE 0 END AS n_ref
+  FROM g
+), ok AS (
+  SELECT doc_id, width, height, nb,
+    CASE WHEN cls = 'preview' THEN 1 ELSE 2 END AS n_scans,
+    CASE WHEN cls = 'full' THEN nb ELSE n_ref END AS n_refined,
+    CAST(list_sum(list_transform(range(0, nb),
+      i -> {npix} * least(greatest(2 * ({val}) + 128, 0), 255)))
+      AS BIGINT) AS pix_sum
+  FROM cl WHERE cls <> 'baseline'
+)
+SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+  CAST(nb AS INT) AS n_blocks, CAST(n_scans AS INT) AS n_scans,
+  CAST(n_refined AS INT) AS n_refined, pix_sum
+FROM ok
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
+FROM cl WHERE cls = 'baseline'
+"""
+
+
+register(QuerySpec("multimodal_jpeg_progressive",
+                   multimodal_jpeg_progressive_query, _jpeg_prog_sql(),
+                   description="progressive (SOF2) JPEG DC-band decode: "
+                               "point-transformed first scan + raw-bit "
+                               "successive-approximation refinement "
+                               "scan accumulated into shared state; "
+                               "truncated refinement salvages PER BLOCK "
+                               "(preview value), baseline frames "
+                               "rejected"))

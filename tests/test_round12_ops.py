@@ -288,3 +288,67 @@ def test_semantic_pair_recall_perfect_with_one_cell(spark):
                                 query_hash=True).collect()
     assert rows
     assert all(r["recall"] == 1.0 for r in rows)
+
+
+# --- progressive JPEG DC-band codec ----------------------------------------------
+
+def _prog_sum(grid, w, h, refined_upto=None):
+    """Expected pix_sum: refined blocks use dc, the rest the preview
+    value dc - (dc & 1) (two's-complement low bit, negatives included)."""
+    nbx = -(-w // 8)
+    tot = 0
+    for bi, dc in enumerate(grid):
+        use = dc if (refined_upto is None or bi < refined_upto) \
+            else dc - (dc & 1)
+        by, bx = divmod(bi, nbx)
+        npix = min(8, h - by * 8) * min(8, w - bx * 8)
+        tot += npix * min(255, max(0, 2 * use + 128))
+    return tot
+
+
+def test_jpeg_prog_two_scan_roundtrip_exact():
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_jpeg_prog_stats, make_jpeg_prog)
+    w, h = 20, 12
+    grid = [5, -64, 64, 0, -3, 17]
+    got = decode_jpeg_prog_stats(make_jpeg_prog(grid, w, h))
+    assert got == (w, h, 6, 2, 6, _prog_sum(grid, w, h))
+
+
+def test_jpeg_prog_preview_only_uses_point_transform():
+    """Without the refinement scan every block sits at (dc >> 1) << 1 —
+    for negative dc the arithmetic shift floors, so -5 previews as -6
+    (dc - (dc & 1)), NOT -4: the two's-complement contract."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_jpeg_prog_stats, make_jpeg_prog)
+    w, h = 16, 8
+    grid = [-5, 7]
+    got = decode_jpeg_prog_stats(make_jpeg_prog(grid, w, h, refine=False))
+    assert got == (w, h, 2, 1, 0, _prog_sum(grid, w, h, refined_upto=0))
+    assert _prog_sum([-5], 8, 8, 0) == 64 * (2 * -6 + 128)
+
+
+def test_jpeg_prog_partial_refinement_per_block():
+    """Truncated refinement refines exactly the first 8*bytes blocks;
+    the rest keep preview values — mixed per-block state."""
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_jpeg_prog_stats, make_jpeg_prog)
+    w, h = 80, 16  # 10x2 = 20 blocks
+    grid = [((i * 7) % 129) - 64 for i in range(20)]
+    blob = make_jpeg_prog(grid, w, h, refine_bytes=1)  # 8 blocks refined
+    got = decode_jpeg_prog_stats(blob)
+    assert got == (w, h, 20, 2, 8, _prog_sum(grid, w, h, refined_upto=8))
+    empty = make_jpeg_prog(grid, w, h, refine_bytes=0)
+    got0 = decode_jpeg_prog_stats(empty)
+    assert got0 == (w, h, 20, 2, 0, _prog_sum(grid, w, h, refined_upto=0))
+
+
+def test_jpeg_prog_frame_class_cross_rejection():
+    from downscaledclimatedata_spark.operators.multimodal import (
+        decode_jpeg_pixel_stats, decode_jpeg_prog_stats, make_jpeg_dc,
+        make_jpeg_prog)
+    grid = [5, -64, 64, 0, -3, 17]
+    prog = make_jpeg_prog(grid, 20, 12)
+    base = make_jpeg_dc(grid, 20, 12)
+    assert decode_jpeg_prog_stats(base) is None   # SOF0 rejected
+    assert decode_jpeg_pixel_stats(prog) is None  # SOF2 rejected
