@@ -232,7 +232,8 @@ def measure_recall(spark, sf_dir: str, n_queries: int = RECALL_QUERIES) -> dict:
 
 
 def measure_sem_recall(spark, sf_dir: str,
-                       n_queries: int = RECALL_QUERIES) -> dict:
+                       n_queries: int = RECALL_QUERIES,
+                       tau: float | None = None) -> dict:
     """SemDeDup pair recall at tau per decade under the SCHEDULED
     codebook — the dedup-family twin of :func:`measure_recall`: missed
     >= tau pairs are duplicates the prune never sees."""
@@ -242,12 +243,14 @@ def measure_sem_recall(spark, sf_dir: str,
 
     from downscaledclimatedata_spark.operators.similarity import (
         scaled_codebook_three_level, semantic_pair_recall)
+    from downscaledclimatedata_spark.operators.similarity import SEM_TAU
     emb = _load_emb(spark, sf_dir)
     n = emb.count()
     mod, k, s1, s2, ev = scaled_codebook_three_level(n)
     t0 = _t.perf_counter()
     agg = (semantic_pair_recall(
-        emb, centroid_mod=mod, n_centroids=k, n_super=s1, n_super2=s2,
+        emb, tau=(SEM_TAU if tau is None else tau),
+        centroid_mod=mod, n_centroids=k, n_super=s1, n_super2=s2,
         spread_every=ev, query_every=max(1, n // n_queries),
         query_hash=True)
         .agg(F.count(F.lit(1)).alias("q"),
