@@ -5670,3 +5670,132 @@ register(QuerySpec(
                 ">= tau near-pairs the cluster-scoped candidate pass "
                 "sees, per sampled query vs exact broadcast-query truth "
                 "— the prune's false-negative rate, measured in-engine"))
+
+
+# --- iterated SemDeDup: the measured fix for codebook shattering ------------------
+#
+# The r12 recallsem ladder measured duplicate clusters deeper than N/k
+# SHATTERING across their own corpus-sampled centroids (~5 survivors
+# per 1,000-clone group at 2M vectors, removal rate 0.9957). The
+# standard fix is to ITERATE on the survivor set: pass 2 re-clusters
+# only the survivors (0.5% of the corpus) with a codebook scheduled to
+# THEIR count, so shards of a shattered group land together and prune
+# each other. Cost: pass 1 dominates; pass 2 is the same operator on a
+# corpus two orders smaller.
+
+def semantic_survivors(emb: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding", tau: float = SEM_TAU,
+                       centroid_mod: int = CENTROID_MOD,
+                       n_centroids: int = N_CENTROIDS,
+                       n_super: int | None = None,
+                       n_super2: int | None = None,
+                       spread_every: int | None = None) -> DataFrame:
+    """Ids KEPT by one SemDeDup pass (keep-min within >= tau cell
+    pairs) — zero-norm vectors pass through untouched (they have no
+    defined cosine, so no pair can remove them)."""
+    base = _assigned_corpus(emb, id_col, vec_col, centroid_mod,
+                            n_centroids, n_super, n_super2, spread_every)
+    removed = (semantic_pairs_from_assigned(base, id_col, tau)
+               .select(F.col("id_b").alias(id_col)).distinct())
+    return emb.select(F.col(id_col)).join(removed, id_col, "left_anti")
+
+
+def semantic_dedup_iterated(emb: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            tau: float = SEM_TAU,
+                            schedule=None) -> DataFrame:
+    """Two-pass SemDeDup summary: (n_input, n_removed_p1, n_removed_p2,
+    n_kept). ``schedule`` maps a row count to the 5-tuple codebook
+    configuration (default :func:`scaled_codebook_three_level`) and is
+    re-evaluated on the PASS-2 corpus — the survivors — which is what
+    reunites the shards of a shattered duplicate group.
+    """
+    sched = schedule or scaled_codebook_three_level
+    n0 = emb.count()
+    mod, k, s1, s2, ev = sched(n0)
+    surv1 = semantic_survivors(emb, id_col, vec_col, tau, mod, k,
+                               s1, s2, ev).localCheckpoint()
+    n1 = surv1.count()
+    emb2 = emb.join(surv1, id_col).localCheckpoint()
+    mod2, k2, s12, s22, ev2 = sched(n1)
+    surv2 = semantic_survivors(emb2, id_col, vec_col, tau, mod2, k2,
+                               s12, s22, ev2)
+    n2 = surv2.count()
+    return emb.sparkSession.createDataFrame(
+        [(n0, n0 - n1, n1 - n2, n2)],
+        "n_input long, n_removed_p1 long, n_removed_p2 long, n_kept long")
+
+
+def dedup_semantic_iterated_query(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return semantic_dedup_iterated(emb)
+
+
+# Oracle: both passes at the degenerate-exact static codebook (the
+# fixture is below every tier threshold, so sched() returns (25,16,...)
+# for pass 1 AND for the ~pass-1-survivor count). Pass-2 centroids are
+# the fixed window sample OVER THE SURVIVORS — expressible because the
+# window predicate only references ids.
+_SEM_ITER_SQL = f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+base0 AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS DOUBLE) AS n2,
+    list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS in2
+  FROM q
+), base AS (SELECT * FROM base0 WHERE n2 > 0),
+cents1 AS (
+  SELECT vec_id AS cid, qv AS cv, in2 AS cn2 FROM base
+  WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, N_CENTROIDS)}
+), asg1 AS (
+  SELECT b.vec_id, b.qv, b.n2, a.cid
+  FROM base b JOIN (
+    SELECT base.vec_id, cents1.cid,
+      ROW_NUMBER() OVER (PARTITION BY base.vec_id ORDER BY base.in2 + cents1.cn2
+        - 2 * list_sum(list_transform(range(1, {DIM + 1}), i -> base.qv[i] * cents1.cv[i])), cents1.cid) AS rn
+    FROM base CROSS JOIN cents1) a
+    ON a.vec_id = b.vec_id AND a.rn = 1
+), rm1 AS (
+  SELECT DISTINCT b.vec_id FROM asg1 a JOIN asg1 b
+    ON b.cid = a.cid AND a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      / (sqrt(a.n2) * sqrt(b.n2)) >= {SEM_TAU}
+), surv1 AS (
+  SELECT e.vec_id FROM embeddings e
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM rm1)
+), base2 AS (
+  SELECT b.* FROM base b JOIN surv1 s ON s.vec_id = b.vec_id
+), cents2 AS (
+  SELECT vec_id AS cid, qv AS cv, in2 AS cn2 FROM base2
+  WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, N_CENTROIDS)}
+), asg2 AS (
+  SELECT b.vec_id, b.qv, b.n2, a.cid
+  FROM base2 b JOIN (
+    SELECT base2.vec_id, cents2.cid,
+      ROW_NUMBER() OVER (PARTITION BY base2.vec_id ORDER BY base2.in2 + cents2.cn2
+        - 2 * list_sum(list_transform(range(1, {DIM + 1}), i -> base2.qv[i] * cents2.cv[i])), cents2.cid) AS rn
+    FROM base2 CROSS JOIN cents2) a
+    ON a.vec_id = b.vec_id AND a.rn = 1
+), rm2 AS (
+  SELECT DISTINCT b.vec_id FROM asg2 a JOIN asg2 b
+    ON b.cid = a.cid AND a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      / (sqrt(a.n2) * sqrt(b.n2)) >= {SEM_TAU}
+)
+SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_input,
+  CAST((SELECT COUNT(*) FROM rm1) AS BIGINT) AS n_removed_p1,
+  CAST((SELECT COUNT(*) FROM rm2) AS BIGINT) AS n_removed_p2,
+  CAST((SELECT COUNT(*) FROM embeddings)
+     - (SELECT COUNT(*) FROM rm1)
+     - (SELECT COUNT(*) FROM rm2) AS BIGINT) AS n_kept
+"""
+
+register(QuerySpec(
+    "dedup_semantic_iterated", dedup_semantic_iterated_query,
+    _SEM_ITER_SQL,
+    description="two-pass SemDeDup (iterate on survivors): pass 2 "
+                "re-clusters only pass 1's keepers with a codebook "
+                "scheduled to THEIR count — the measured fix for deep "
+                "duplicate clusters shattering across corpus-sampled "
+                "centroids (BENCH_SCALE r12 batch 7)"))

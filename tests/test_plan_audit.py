@@ -43,6 +43,7 @@ from tests.conftest import SF_CORRECTNESS
 # the stage operators they compose (each separately registered and
 # audited here) plus their own e2e tests.
 EAGER_SPECS = {
+    "dedup_semantic_iterated",
     "pipeline_corpus_build",
     "pipeline_corpus_build_quality",
     "maintenance_read_evolved",

@@ -352,3 +352,25 @@ def test_jpeg_prog_frame_class_cross_rejection():
     base = make_jpeg_dc(grid, 20, 12)
     assert decode_jpeg_prog_stats(base) is None   # SOF0 rejected
     assert decode_jpeg_pixel_stats(prog) is None  # SOF2 rejected
+
+
+def test_semantic_dedup_iterated_reunites_shattered_groups(spark):
+    """Planted shattering: 3 clusters x 40 perturbed clones with a
+    pass-1 codebook drawn FROM the corpus (several centroids inside
+    each cluster) leaves shard survivors; pass 2 on the survivors with
+    a one-cell codebook converges to exactly one keeper per cluster."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        semantic_dedup_iterated)
+    df = _emb(spark, _clustered_rows(n_clusters=3, per=40, seed=7))
+
+    def schedule(n):
+        if n > 50:  # pass 1: ~24 hash-spread centroids -> ~8 per cluster
+            return (1, 24, 24, 24, 5)
+        return (1, 1, 1, 1, None)  # pass 2: single cell (vec 0 exists)
+
+    r = semantic_dedup_iterated(df, tau=0.5, schedule=schedule).first()
+    assert r["n_input"] == 120
+    assert r["n_removed_p1"] + r["n_removed_p2"] + r["n_kept"] == 120
+    kept_after_p1 = r["n_input"] - r["n_removed_p1"]
+    assert kept_after_p1 > 3, kept_after_p1   # pass 1 shattered
+    assert r["n_kept"] == 3, r["n_kept"]      # pass 2 converged
