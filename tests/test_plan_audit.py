@@ -44,6 +44,7 @@ from tests.conftest import SF_CORRECTNESS
 # audited here) plus their own e2e tests.
 EAGER_SPECS = {
     "dedup_semantic_iterated",
+    "similarity_index_persist",
     "pipeline_corpus_build",
     "pipeline_corpus_build_quality",
     "maintenance_read_evolved",

@@ -374,3 +374,23 @@ def test_semantic_dedup_iterated_reunites_shattered_groups(spark):
     kept_after_p1 = r["n_input"] - r["n_removed_p1"]
     assert kept_after_p1 > 3, kept_after_p1   # pass 1 shattered
     assert r["n_kept"] == 3, r["n_kept"]      # pass 2 converged
+
+
+def test_ann_index_persist_roundtrip_and_partition_pruning(spark, tmp_path):
+    """Persistence must change nothing (results == inline searcher) and
+    the serve-side scan must be DYNAMICALLY PARTITION-PRUNED to the
+    probed inverted lists — the build-once/serve-many contract."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        ann_index_build, ann_index_search, ivf_topk)
+    from downscaledclimatedata_spark.sources.tables import load_table
+    emb = load_table(spark, SF, "embeddings")
+    base = str(tmp_path / "idx")
+    ann_index_build(emb, base)
+    served = ann_index_search(spark, base)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan[:800]
+    got = {(r["query_id"], r["rnk"]): r["match_id"]
+           for r in served.collect()}
+    want = {(r["query_id"], r["rnk"]): r["match_id"]
+            for r in ivf_topk(emb).collect()}
+    assert got == want
