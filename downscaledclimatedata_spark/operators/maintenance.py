@@ -1293,9 +1293,10 @@ def maintenance_read_evolved_query(spark: SparkSession,
             g.write.parquet(p)
             paths.append(p)
         u = read_evolved(spark, paths)
-        assert [f.dataType.simpleString() for f in u.schema.fields] == \
-            ["bigint", "bigint", "decimal(18,2)", "string", "double"], \
-            u.schema
+        got_types = [f.dataType.simpleString() for f in u.schema.fields]
+        if got_types != ["bigint", "bigint", "decimal(18,2)", "string",
+                         "double"]:
+            raise ValueError(f"unified schema mismatch: {u.schema}")
         return u.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.sum("okey").cast("bigint").alias("sum_okey"),
@@ -1389,10 +1390,11 @@ def maintenance_read_renamed_query(spark: SparkSession,
             g.write.parquet(p)
             paths.append(p)
         u = read_evolved(spark, paths, renames={"amount_cents": "cents"})
-        assert [(f.name, f.dataType.simpleString())
-                for f in u.schema.fields] == \
-            [("okey", "bigint"), ("cents", "bigint"),
-             ("priority", "string")], u.schema
+        got_fields = [(f.name, f.dataType.simpleString())
+                      for f in u.schema.fields]
+        if got_fields != [("okey", "bigint"), ("cents", "bigint"),
+                          ("priority", "string")]:
+            raise ValueError(f"unified schema mismatch: {u.schema}")
         return u.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.sum("okey").cast("bigint").alias("sum_okey"),

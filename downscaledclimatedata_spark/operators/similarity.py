@@ -5833,21 +5833,62 @@ def ann_index_build(emb: DataFrame, path: str, id_col: str = "vec_id",
         .write.mode("overwrite").parquet(f"{path}/meta")
 
 
+# Query batches at or below this row count are broadcast to the probed
+# lists; above it the serve join falls back to a cid-keyed shuffle so a
+# large serving batch never hits the broadcast ceiling.
+ANN_SERVE_BROADCAST_MAX = 100_000
+
+
+def ann_index_meta(spark: SparkSession, path: str) -> tuple:
+    """Read the index's build configuration from ``meta/``. Raises if
+    the relation is missing or malformed — a persisted index without
+    its codebook parameters is not servable."""
+    rows = spark.read.parquet(f"{path}/meta").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"ANN index meta at {path}/meta must hold exactly one row, "
+            f"got {len(rows)}")
+    return int(rows[0].centroid_mod), int(rows[0].n_centroids)
+
+
 def ann_index_search(spark: SparkSession, path: str, k: int = TOP_K,
                      query_mod: int = QUERY_MOD,
-                     n_queries: int = N_QUERIES) -> DataFrame:
+                     n_queries: int = N_QUERIES,
+                     expect_centroid_mod: int = None,
+                     expect_n_centroids: int = None,
+                     broadcast_queries: bool = None) -> DataFrame:
     """Serve top-k from a persisted index: queries are looked up in the
     index itself (their list + vector), candidates come only from the
     probed inverted lists — the scan is partition-pruned on cid, so a
-    query batch reads |probed lists|, never the corpus."""
+    query batch reads |probed lists|, never the corpus.
+
+    The searcher reads ``meta/`` at serve time and refuses to serve if
+    it is missing, malformed, or (when ``expect_*`` is given) does not
+    match the configuration the caller built with — the build
+    parameters are validated, not write-only. Query batches above
+    ``ANN_SERVE_BROADCAST_MAX`` rows join the lists by a cid-keyed
+    shuffle instead of a broadcast (override with
+    ``broadcast_queries``)."""
     from pyspark.sql import Window
+    got_mod, got_k = ann_index_meta(spark, path)
+    if expect_centroid_mod is not None and got_mod != expect_centroid_mod:
+        raise ValueError(
+            f"index at {path} was built with centroid_mod={got_mod}, "
+            f"caller expected {expect_centroid_mod}")
+    if expect_n_centroids is not None and got_k != expect_n_centroids:
+        raise ValueError(
+            f"index at {path} was built with n_centroids={got_k}, "
+            f"caller expected {expect_n_centroids}")
     lists = spark.read.parquet(f"{path}/lists")
     queries = (lists.filter(_fixed_sample("id", query_mod, n_queries))
                .select(F.col("id").alias("query_id"), F.col("cid"),
                        F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
+    if broadcast_queries is None:
+        broadcast_queries = n_queries <= ANN_SERVE_BROADCAST_MAX
+    qside = F.broadcast(queries) if broadcast_queries else queries
     corpus = lists.select(F.col("id").alias("match_id"), F.col("cid"),
                           F.col("qv").alias("cq"), F.col("n2").alias("cn2"))
-    scored = (corpus.join(F.broadcast(queries), "cid")
+    scored = (corpus.join(qside, "cid")
               .filter(F.col("match_id") != F.col("query_id"))
               .select("query_id", "match_id",
                       (int_dot(F.col("qq"), F.col("cq")).cast("double")
@@ -5874,7 +5915,9 @@ def similarity_index_persist_query(spark: SparkSession,
     base = tempfile.mkdtemp(prefix="dcd_annidx_")
     try:
         ann_index_build(emb, base)
-        return ann_index_search(spark, base).localCheckpoint()
+        return ann_index_search(
+            spark, base, expect_centroid_mod=CENTROID_MOD,
+            expect_n_centroids=N_CENTROIDS).localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

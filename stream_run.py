@@ -566,7 +566,10 @@ def main() -> None:
         RP_MAX, RP_BATCH, RP_SEED = 900, 60, "replay12"
         ckpt = f"{work}/pysrc_replay/ckpt"
 
-        def _start(name):
+        def _start(name, trigger_sec):
+            # Run 1 is throttled (one micro-batch per trigger tick) so a
+            # fast box cannot finish all RP_MAX docs before the poll
+            # observes a partial total; run 2 is unthrottled.
             stream = (spark.readStream.format("corpusgen")
                       .option("batch_docs", RP_BATCH)
                       .option("max_docs", RP_MAX)
@@ -578,27 +581,34 @@ def main() -> None:
             return (agg.writeStream.format("memory").queryName(name)
                     .outputMode("complete")
                     .option("checkpointLocation", ckpt)
-                    .trigger(processingTime="0 seconds").start())
+                    .trigger(processingTime=
+                             f"{int(trigger_sec * 1000)} milliseconds")
+                    .start())
 
         def _total(name):
-            row = spark.table(name).agg(F.sum("n_docs")).first()
+            # The memory-sink table registers asynchronously after
+            # start(); treat not-yet-registered as zero docs seen.
+            try:
+                row = spark.table(name).agg(F.sum("n_docs")).first()
+            except Exception:
+                return 0
             return int(row[0] or 0)
 
         n1 = f"rp1_{_uuid2.uuid4().hex[:8]}"
-        q1 = _start(n1)
+        q1 = _start(n1, 0.5)
         deadline = time.time() + 120
         seen_partial = 0
         while time.time() < deadline:
             seen_partial = _total(n1)
             if seen_partial >= RP_MAX // 3:
                 break
-            time.sleep(0.2)
+            time.sleep(0.05)
         q1.stop()          # kill mid-sequence: state + offsets persist,
         q1.awaitTermination(60)   # the in-flight batch does not commit
         killed_midway = 0 < seen_partial < RP_MAX
 
         n2 = f"rp2_{_uuid2.uuid4().hex[:8]}"
-        q2 = _start(n2)
+        q2 = _start(n2, 0)
         deadline = time.time() + 180
         total = 0
         while time.time() < deadline:
