@@ -5544,6 +5544,164 @@ register(QuerySpec(
                 "shortlists, windows only on the fused ≤50-row lists"))
 
 
+# --- hybrid retrieval, BM25 lexical leg ------------------------------------------
+#
+# The r12 fusion ranked its lexical shortlist by raw term frequency —
+# fine for a single-term query, but the standard hybrid-retrieval shape
+# fuses dense ranks with BM25 ranks over a MULTI-term query. The engine
+# already has an exact-arithmetic BM25 scorer (textops.bm25_topk: ratio
+# idf instead of ln() so the double is bit-identical cross-engine,
+# single-row stats broadcast, TakeOrderedAndProject top-n); this spec
+# fuses ITS ranks with the dense cosine ranks under the same
+# scaled-integer RRF. Scale shape unchanged: two shortlists built
+# without wide shuffles, rank windows and the full-outer fusion only on
+# the two ≤RRF_SHORTLIST-row relations.
+
+def hybrid_rrf_bm25(docs: DataFrame, emb: DataFrame,
+                    terms: tuple = None,
+                    query_id: int = RRF_QUERY_ID, k: int = RRF_K,
+                    shortlist: int = RRF_SHORTLIST,
+                    out_n: int = RRF_OUT) -> DataFrame:
+    """(id, rank_dense, rank_lex, rrf_score) — top ``out_n`` fused,
+    lexical ranks from the engine's BM25 scorer over ``terms``."""
+    from pyspark.sql import Window
+
+    from downscaledclimatedata_spark.operators.textops import (
+        BM25_TERMS, bm25_topk)
+    if terms is None:
+        terms = BM25_TERMS
+
+    base = (emb.select(F.col("vec_id"),
+                       quantize(F.col("embedding")).alias("qv"),
+                       sq_norm(quantize(F.col("embedding"))).alias("n2"))
+            .filter(F.col("n2") > 0))
+    qvec = (base.filter(F.col("vec_id") == query_id)
+            .select(F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
+    dense_scored = (base.crossJoin(F.broadcast(qvec))
+                    .filter(F.col("vec_id") != query_id)
+                    .select(F.col("vec_id").alias("id"),
+                            (int_dot(F.col("qv"), F.col("qq"))
+                             .cast("double")
+                             / (F.sqrt(F.col("n2").cast("double"))
+                                * F.sqrt(F.col("qn2").cast("double"))))
+                            .alias("cosine")))
+    dense_top = dense_scored.orderBy(F.col("cosine").desc(),
+                                     F.col("id")).limit(shortlist)
+    w_d = Window.orderBy(F.col("cosine").desc(), F.col("id"))
+    dense = dense_top.select("id", F.row_number().over(w_d)
+                             .alias("rank_dense"))
+    lex_top = (bm25_topk(docs.filter(F.col("doc_id") != query_id),
+                         "text", "doc_id", terms=terms, topn=shortlist)
+               .select(F.col("doc_id").alias("id"), "bm25"))
+    w_l = Window.orderBy(F.col("bm25").desc(), F.col("id"))
+    lex = lex_top.select("id", F.row_number().over(w_l).alias("rank_lex"))
+    rd = (F.when(F.col("rank_dense").isNotNull(),
+                 F.expr(f"{RRF_SCALE} div ({k} + rank_dense)"))
+          .otherwise(F.lit(0)).cast("long"))
+    rl = (F.when(F.col("rank_lex").isNotNull(),
+                 F.expr(f"{RRF_SCALE} div ({k} + rank_lex)"))
+          .otherwise(F.lit(0)).cast("long"))
+    fused = (dense.join(lex, "id", "full_outer")
+             .select("id",
+                     F.coalesce("rank_dense", F.lit(-1)).alias("rank_dense"),
+                     F.coalesce("rank_lex", F.lit(-1)).alias("rank_lex"),
+                     (rd + rl).alias("rrf_score")))
+    return (fused.orderBy(F.col("rrf_score").desc(), F.col("id"))
+            .limit(out_n))
+
+
+def similarity_hybrid_rrf_bm25_query(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return hybrid_rrf_bm25(docs, emb)
+
+
+def _hybrid_rrf_bm25_sql() -> str:
+    from downscaledclimatedata_spark.operators.textops import (
+        _TOKS_SQL, BM25_B, BM25_K1, BM25_TERMS)
+    tf_cols = ",\n    ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS))
+    df_cols = ",\n    ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_TERMS)))
+    k1p1 = BM25_K1 + 1.0
+    one_minus_b = 1.0 - BM25_B
+    parts = []
+    for i in range(len(BM25_TERMS)):
+        idf = (f"((CAST(n_docs - df_{i} AS DOUBLE) + 0.5)"
+               f" / (CAST(df_{i} AS DOUBLE) + 0.5))")
+        part = (f"{idf} * ((CAST(tf_{i} AS DOUBLE) * {k1p1})"
+                f" / (CAST(tf_{i} AS DOUBLE) + {BM25_K1} * "
+                f"({one_minus_b} + {BM25_B} * (CAST(dl AS DOUBLE)"
+                f" / (CASE WHEN sum_dl > 0 THEN CAST(sum_dl AS DOUBLE)"
+                f" / CAST(n_docs AS DOUBLE) ELSE 1.0 END)))))")
+        parts.append(part)
+    score = parts[0]
+    for p in parts[1:]:
+        score = f"({score} + {p})"
+    return rf"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+base0 AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS DOUBLE) AS n2
+  FROM q
+), base AS (SELECT * FROM base0 WHERE n2 > 0),
+qv AS (SELECT qv AS qq, n2 AS qn2 FROM base WHERE vec_id = {RRF_QUERY_ID}),
+dense_top AS (
+  SELECT b.vec_id AS id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> b.qv[i] * qv.qq[i])) AS DOUBLE)
+      / (sqrt(b.n2) * sqrt(qv.qn2)) AS cosine
+  FROM base b CROSS JOIN qv
+  WHERE b.vec_id <> {RRF_QUERY_ID}
+  ORDER BY cosine DESC, id LIMIT {RRF_SHORTLIST}
+), dense AS (
+  SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, id) AS INT)
+    AS rank_dense
+  FROM dense_top
+), toked AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+  WHERE doc_id <> {RRF_QUERY_ID}
+), bbase AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+    {tf_cols}
+  FROM toked
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+    {df_cols}
+  FROM bbase
+), lex_top AS (
+  SELECT doc_id AS id, {score} AS bm25
+  FROM bbase CROSS JOIN stats
+  ORDER BY bm25 DESC, id LIMIT {RRF_SHORTLIST}
+), lex AS (
+  SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS INT)
+    AS rank_lex
+  FROM lex_top
+), fused AS (
+  SELECT COALESCE(d.id, l.id) AS id,
+    COALESCE(d.rank_dense, -1) AS rank_dense,
+    COALESCE(l.rank_lex, -1) AS rank_lex,
+    CAST(COALESCE({RRF_SCALE} // ({RRF_K} + d.rank_dense), 0)
+       + COALESCE({RRF_SCALE} // ({RRF_K} + l.rank_lex), 0) AS BIGINT)
+      AS rrf_score
+  FROM dense d FULL OUTER JOIN lex l ON l.id = d.id
+)
+SELECT id, rank_dense, rank_lex, rrf_score FROM fused
+ORDER BY rrf_score DESC, id LIMIT {RRF_OUT}
+"""
+
+
+register(QuerySpec(
+    "similarity_hybrid_rrf_bm25", similarity_hybrid_rrf_bm25_query,
+    _hybrid_rrf_bm25_sql(),
+    description="hybrid retrieval with the standard BM25 lexical leg: "
+                "dense cosine shortlist fused with the engine's exact-"
+                "arithmetic BM25 ranks (ratio idf, multi-term query) "
+                "under scaled-integer reciprocal-rank fusion"))
+
+
 # --- SemDeDup pair recall vs exact threshold truth --------------------------------
 #
 # The r12 quality program applied to the dedup family: knn_graph's
@@ -5818,7 +5976,10 @@ def ann_index_build(emb: DataFrame, path: str, id_col: str = "vec_id",
                     centroid_mod: int = CENTROID_MOD,
                     n_centroids: int = N_CENTROIDS) -> None:
     """Materialize the IVF index: flat assignment + quantized vectors,
-    cid-partitioned (the inverted-list layout)."""
+    cid-partitioned (the inverted-list layout). The codebook itself is
+    persisted too (``centroids/``): a delta batch appended later must
+    be assigned against the BUILD's centroids — re-deriving them from a
+    changed corpus would silently re-key every existing list."""
     assign = ivf_assign(emb, id_col, vec_col, centroid_mod, n_centroids)
     lists = (emb.join(assign, id_col)
              .select(F.col("cid"), F.col(id_col).alias("id"),
@@ -5827,10 +5988,76 @@ def ann_index_build(emb: DataFrame, path: str, id_col: str = "vec_id",
              .filter(F.col("n2") > 0))
     lists.write.partitionBy("cid").mode("overwrite") \
         .parquet(f"{path}/lists")
+    base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
+                      sq_norm(quantize(F.col(vec_col))).alias("n2"))
+    cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
+             .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
+                     F.col("n2").alias("cn2")))
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
     emb.sparkSession.createDataFrame(
         [(centroid_mod, n_centroids)],
         "centroid_mod int, n_centroids int") \
         .write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def ann_index_append(emb_delta: DataFrame, path: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Ingest a delta batch into a persisted index: assign the new
+    vectors against the PERSISTED codebook (never re-derived — the
+    whole point of persisting it) and append their rows into the same
+    cid-partitioned inverted-list layout. A 100 TB index ingests deltas
+    far more often than it rebuilds; append touches only the delta's
+    rows and the partitions they land in, nothing existing is read or
+    rewritten. Serve results over base+delta are identical to a fresh
+    rebuild over the union corpus whenever the union's codebook sample
+    equals the build's (the registered spec's construction)."""
+    spark = emb_delta.sparkSession
+    ann_index_meta(spark, path)  # refuse to append into a broken index
+    cents = spark.read.parquet(f"{path}/centroids")
+    base = (emb_delta.select(F.col(id_col).alias("id"),
+                             quantize(F.col(vec_col)).alias("qv"),
+                             sq_norm(quantize(F.col(vec_col))).alias("n2"))
+            .filter(F.col("n2") > 0))
+    scored = (base.crossJoin(F.broadcast(cents))
+              .select("id", "qv", "n2", F.col("cid"),
+                      (F.col("n2") + F.col("cn2")
+                       - 2 * int_dot(F.col("qv"), F.col("cv")))
+                      .alias("dist")))
+    assigned = (scored.groupBy("id")
+                .agg(F.min(F.struct("dist", "cid")).alias("best"),
+                     F.first("qv").alias("qv"), F.first("n2").alias("n2"))
+                .select(F.col("best.cid").alias("cid"), "id", "qv", "n2"))
+    assigned.write.partitionBy("cid").mode("append") \
+        .parquet(f"{path}/lists")
+
+
+def ann_index_compact(spark: SparkSession, path: str) -> dict:
+    """Rewrite the inverted lists to one file per cid partition —
+    repeated appends leave one small file per (append, cid) touched,
+    and a probed read pays per-file open cost. One cid-keyed shuffle,
+    then a clean-directory swap (at object-store scale the swap is a
+    manifest commit; the rewrite itself is the same cid-keyed job).
+    Returns {"files_before": n, "files_after": n, "rows": n}."""
+    import glob
+    import os
+    import shutil
+
+    def _nfiles(d):
+        return len(glob.glob(os.path.join(d, "**", "*.parquet"),
+                             recursive=True))
+
+    lists_dir = f"{path}/lists"
+    before = _nfiles(lists_dir)
+    lists = spark.read.parquet(lists_dir)
+    n_rows = lists.count()
+    tmp = f"{path}/lists_compacting"
+    (lists.repartition("cid").write.partitionBy("cid")
+     .mode("overwrite").parquet(tmp))
+    shutil.rmtree(lists_dir)
+    os.rename(tmp, lists_dir)
+    return {"files_before": before, "files_after": _nfiles(lists_dir),
+            "rows": n_rows}
 
 
 # Query batches at or below this row count are broadcast to the probed
@@ -5930,3 +6157,48 @@ register(QuerySpec(
                 "plus a codebook meta relation; search reads only the "
                 "partition-pruned probed lists — results identical to "
                 "the inline searcher (same oracle SQL verbatim)"))
+
+
+# Delta rows for the incremental-maintenance spec: vec_id % 5 == 3.
+# Chosen so the codebook window (id % CENTROID_MOD == 0 ⇒ id % 5 == 0)
+# and the query window (id % QUERY_MOD == 0 ⇒ id % 5 == 0) can NEVER
+# land in the delta — the base build's centroid sample therefore equals
+# the union corpus's sample, which is exactly the condition under which
+# base+append must equal a fresh rebuild. This holds on ANY corpus (the
+# adversarial edge suites included), not just the fixture.
+ANN_DELTA_MOD, ANN_DELTA_REM = 5, 3
+
+
+def similarity_index_append_query(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Incremental index maintenance, proven by rebuild-equality: build
+    the index over the base slice, APPEND the delta slice against the
+    persisted codebook, COMPACT the inverted lists (one file per cid),
+    then serve — the oracle is the inline IVF searcher over the WHOLE
+    corpus verbatim, so base+delta+compaction must be indistinguishable
+    from a fresh rebuild over the union."""
+    import shutil
+    import tempfile
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    is_delta = F.col("vec_id") % ANN_DELTA_MOD == ANN_DELTA_REM
+    base = tempfile.mkdtemp(prefix="dcd_annappend_")
+    try:
+        ann_index_build(emb.filter(~is_delta), base)
+        ann_index_append(emb.filter(is_delta), base)
+        ann_index_compact(spark, base)
+        return ann_index_search(
+            spark, base, expect_centroid_mod=CENTROID_MOD,
+            expect_n_centroids=N_CENTROIDS).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+register(QuerySpec(
+    "similarity_index_append", similarity_index_append_query,
+    _IVF_SQL,
+    description="incremental ANN index maintenance: delta batch "
+                "assigned against the PERSISTED codebook and appended "
+                "into the cid-partitioned lists, then compacted to one "
+                "file per list — serve results equal a fresh rebuild "
+                "over the union corpus (same oracle SQL verbatim)"))

@@ -116,6 +116,7 @@ BNLJ_OK = {
     "similarity_ivf_three_level_probe2",  # broadcast ≤16-row codebook levels
     "similarity_ivf_two_level",
     "similarity_hybrid_rrf",  # broadcast single-row query vector
+    "similarity_hybrid_rrf_bm25",  # broadcast single-row query vector + stats
     "similarity_knn_recall",  # broadcast fixed ≤50-row query sample
     "similarity_semantic_recall",  # broadcast query sample + codebook
     "similarity_ivfpq_residual",
@@ -250,6 +251,7 @@ WINDOW_OK = {
     "text_vocab_encode",
     # rank windows over the two TakeOrdered ≤50-row RRF shortlists
     "similarity_hybrid_rrf",
+    "similarity_hybrid_rrf_bm25",
 }
 
 
