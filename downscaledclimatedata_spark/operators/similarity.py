@@ -5959,6 +5959,138 @@ register(QuerySpec(
                 "centroids (BENCH_SCALE r12 batch 7)"))
 
 
+# --- SemDeDup to convergence (fixed point, capped) --------------------------------
+#
+# r12 measured two passes leaving a 0.5%-of-ideal survivor excess at 2M
+# vectors (removal 0.9998, BENCH_SCALE batch 8); the natural question
+# is the fixed point. The iteration is monotone — each pass removes a
+# subset of its survivors, and a pass that removes nothing recomputes
+# identically forever after — so "run until a pass removes 0" is
+# well-defined, and a FIXED-depth unrolling is equal to the early-
+# stopping loop whenever convergence arrives within the cap. That
+# equality is what lets a while-loop operator carry a fixed-string SQL
+# oracle: the oracle unrolls SEM_CONV_MAX_PASSES rounds, and rounds
+# after convergence contribute zero removals on both engines.
+
+SEM_CONV_MAX_PASSES = 3
+
+
+def semantic_dedup_converged(emb: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             tau: float = SEM_TAU,
+                             schedule=None,
+                             max_passes: int = SEM_CONV_MAX_PASSES,
+                             pass_counts: list | None = None) -> DataFrame:
+    """Iterate SemDeDup on survivors until a pass removes nothing (or
+    ``max_passes``). Each pass re-schedules the codebook to the CURRENT
+    survivor count. Returns one row: (n_input, n_removed_p1..p3,
+    n_kept, n_passes) where n_passes counts passes that removed > 0.
+    ``pass_counts``, if given, collects the per-pass removal counts for
+    callers that want the convergence curve (the scale ladder)."""
+    sched = schedule or scaled_codebook_three_level
+    n_input = emb.count()
+    cur, n_cur = emb, n_input
+    removed: list = []
+    for _ in range(max_passes):
+        mod, k, s1, s2, ev = sched(n_cur)
+        surv = semantic_survivors(cur, id_col, vec_col, tau, mod, k,
+                                  s1, s2, ev).localCheckpoint()
+        n_new = surv.count()
+        removed.append(n_cur - n_new)
+        if n_new == n_cur:
+            break
+        cur = cur.join(surv, id_col).localCheckpoint()
+        n_cur = n_new
+    while len(removed) < max_passes:
+        removed.append(0)
+    if pass_counts is not None:
+        pass_counts.extend(removed)
+    n_passes = sum(1 for r in removed if r > 0)
+    return emb.sparkSession.createDataFrame(
+        [(n_input, removed[0], removed[1], removed[2], n_cur, n_passes)],
+        "n_input long, n_removed_p1 long, n_removed_p2 long, "
+        "n_removed_p3 long, n_kept long, n_passes long")
+
+
+def dedup_semantic_converged_query(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return semantic_dedup_converged(emb)
+
+
+def _sem_conv_sql() -> str:
+    """Unroll SEM_CONV_MAX_PASSES SemDeDup rounds: each round's
+    centroids are the fixed window sample OVER THAT ROUND'S SURVIVORS
+    (expressible because the window predicate only references ids) —
+    the degenerate-exact static codebook at the oracle scale, same as
+    the iterated spec's oracle, extended one level."""
+    rounds = []
+    prev_base = "base"
+    for i in range(1, SEM_CONV_MAX_PASSES + 1):
+        rounds.append(f"""cents{i} AS (
+  SELECT vec_id AS cid, qv AS cv, in2 AS cn2 FROM {prev_base}
+  WHERE {_fixed_sample_sql('vec_id', CENTROID_MOD, N_CENTROIDS)}
+), asg{i} AS (
+  SELECT b.vec_id, b.qv, b.n2, a.cid
+  FROM {prev_base} b JOIN (
+    SELECT {prev_base}.vec_id, cents{i}.cid,
+      ROW_NUMBER() OVER (PARTITION BY {prev_base}.vec_id
+        ORDER BY {prev_base}.in2 + cents{i}.cn2
+        - 2 * list_sum(list_transform(range(1, {DIM + 1}),
+                       j -> {prev_base}.qv[j] * cents{i}.cv[j])),
+        cents{i}.cid) AS rn
+    FROM {prev_base} CROSS JOIN cents{i}) a
+    ON a.vec_id = b.vec_id AND a.rn = 1
+), rm{i} AS (
+  SELECT DISTINCT b.vec_id FROM asg{i} a JOIN asg{i} b
+    ON b.cid = a.cid AND a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                      j -> a.qv[j] * b.qv[j])) AS DOUBLE)
+      / (sqrt(a.n2) * sqrt(b.n2)) >= {SEM_TAU}
+), base{i + 1} AS (
+  SELECT b.* FROM {prev_base} b
+  WHERE b.vec_id NOT IN (SELECT vec_id FROM rm{i})
+)""")
+        prev_base = f"base{i + 1}"
+    body = ",\n".join(rounds)
+    rm_counts = ", ".join(
+        f"(SELECT COUNT(*) FROM rm{i}) AS r{i}"
+        for i in range(1, SEM_CONV_MAX_PASSES + 1))
+    total_removed = " + ".join(f"r{i}"
+                               for i in range(1, SEM_CONV_MAX_PASSES + 1))
+    return f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+base0 AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS DOUBLE) AS n2,
+    list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * qv[i])) AS in2
+  FROM q
+), base AS (SELECT * FROM base0 WHERE n2 > 0),
+{body},
+counts AS (SELECT {rm_counts})
+SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_input,
+  CAST(r1 AS BIGINT) AS n_removed_p1,
+  CAST(r2 AS BIGINT) AS n_removed_p2,
+  CAST(r3 AS BIGINT) AS n_removed_p3,
+  CAST((SELECT COUNT(*) FROM embeddings) - ({total_removed}) AS BIGINT)
+    AS n_kept,
+  CAST(CASE WHEN r1 = 0 THEN 0 WHEN r2 = 0 THEN 1
+            WHEN r3 = 0 THEN 2 ELSE 3 END AS BIGINT) AS n_passes
+FROM counts
+"""
+
+
+register(QuerySpec(
+    "dedup_semantic_converged", dedup_semantic_converged_query,
+    _sem_conv_sql(),
+    description=f"SemDeDup iterated to its fixed point (capped at "
+                f"{SEM_CONV_MAX_PASSES} passes): each pass re-clusters "
+                "the current survivors with a codebook scheduled to "
+                "their count and stops when a pass removes nothing — "
+                "the monotone iteration makes the early-stopping loop "
+                "equal to the oracle's fixed-depth unrolling"))
+
+
 # --- ANN index persistence: build once, serve many --------------------------------
 #
 # Every searcher above derives the IVF index (assignment + quantized

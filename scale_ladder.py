@@ -191,6 +191,182 @@ def _load_emb(spark, sf_dir: str):
     return load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
 
 
+# --- clustered-but-not-cloned rung family (r13) -----------------------------------
+#
+# The r12 recall evidence bracketed reality from both sides: the
+# uniform-random fixture (structureless worst case, recall 0.11-0.20)
+# and the replica-clone rungs (the clones ARE the true neighbors,
+# recall ~0.97). A real embedding corpus sits between: topically
+# CLUSTERED, but with no exact or near-exact clones. This family
+# synthesizes that regime deterministically and fully JVM-side: a
+# mixture of Gaussians-ish clusters — cluster centers md5-hashed into
+# [-1,1]^64, per-vector noise md5-hashed at sigma — with DENSE ids
+# 0..N-1, so the fixed-window query/centroid samples stay valid at
+# every rung without the replica family's stride workarounds.
+#
+# Geometry: |center|^2 ~ 64/3, |noise|^2 ~ 64*sigma^2/3, so expected
+# within-cluster cosine ~ 1/(1+sigma^2) ~ 0.86 at sigma=0.4 — close
+# neighbors without clones; cross-cluster cosine ~ 0. Average cluster
+# depth CLUSTER_PER=200 is comparable to the scheduled codebook's mean
+# cell size at every rung, which is exactly the regime where a
+# corpus-sampled codebook can split topics across cells.
+
+CLUSTERED_BASE = str(Path(__file__).resolve().parent / ".scale" / "clustered")
+CLUSTER_PER = 200
+CLUSTER_SIGMA = 0.4
+CLUSTER_RUNGS = (("20k", 20_000), ("200k", 200_000), ("2m", 2_000_000))
+
+
+def clustered_embeddings(spark, n_rows: int, per_cluster: int = CLUSTER_PER,
+                         sigma: float = CLUSTER_SIGMA, seed: str = "mog13"):
+    """(vec_id, embedding) mixture-of-clusters corpus, deterministic in
+    (n_rows, per_cluster, sigma, seed) and independent of partitioning."""
+    from pyspark.sql import functions as F
+
+    from downscaledclimatedata_spark.functions.hashing import md5_long
+
+    n_clusters = max(2, n_rows // per_cluster)
+    df = (spark.range(0, n_rows, 1, 32)
+          .select(F.col("id").alias("vec_id")))
+    cid = md5_long(F.col("vec_id").cast("string"),
+                   seed=f"{seed}:c:") % n_clusters
+
+    def _unit(col):  # md5 -> uniform in [-1, 1], 2001 levels
+        return ((col % 2001) - 1000).cast("double") / 1000.0
+
+    def component(j):
+        center = _unit(md5_long(
+            F.concat_ws(":", F.col("cid").cast("string"),
+                        j.cast("string")), seed=f"{seed}:mu:"))
+        noise = _unit(md5_long(
+            F.concat_ws(":", F.col("vec_id").cast("string"),
+                        j.cast("string")), seed=f"{seed}:eps:"))
+        return (center + F.lit(float(sigma)) * noise).cast("float")
+
+    return (df.withColumn("cid", cid)
+            .select("vec_id",
+                    F.transform(F.sequence(F.lit(0), F.lit(63)),
+                                component).alias("embedding")))
+
+
+def ensure_clustered(spark, dst: str, n_rows: int) -> None:
+    marker = os.path.join(dst, "_build.json")
+    want = {"n_rows": n_rows, "per": CLUSTER_PER, "sigma": CLUSTER_SIGMA}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == want:
+                return
+        shutil.rmtree(dst)
+    elif os.path.exists(dst):
+        shutil.rmtree(dst)
+    os.makedirs(dst, exist_ok=True)
+    clustered_embeddings(spark, n_rows).write.mode("overwrite") \
+        .parquet(os.path.join(dst, "embeddings.parquet"))
+    with open(marker, "w") as f:
+        json.dump(want, f)
+
+
+def measure_serve_recall(spark, sf_dir: str, n_queries: int = 100,
+                         k: int = None) -> dict:
+    """Top-k recall of the SERVE-path searchers — IVF-PQ, ADC-shortlist
+    + exact rerank, and the persisted index (`ann_index_search`) —
+    against exact truth on a query sample, under the flat SCALED
+    codebook (`scaled_codebook(n)`, the serve family's schedule). The
+    r12 verdict's #2: these are the searchers a product actually reads
+    from, and their recall was measured only at the toy configuration.
+
+    Requires DENSE ids 0..N-1 (the clustered rung family), where the
+    fixed-window samples with scaled spacing are uniform by
+    construction. Each L2-metric searcher is scored against exact
+    squared-L2 truth; the cosine-serving persisted index against exact
+    cosine truth — each searcher against its own metric.
+    """
+    import shutil as _sh
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from downscaledclimatedata_spark.operators.similarity import (
+        PQ_KS, RERANK_M_SUB, TOP_K, _fixed_sample, ann_index_build,
+        ann_index_search, int_dot, ivfpq_topk, pq_rerank, quantize,
+        scaled_codebook, sq_norm)
+    if k is None:
+        k = TOP_K
+    emb = _load_emb(spark, sf_dir)
+    n = emb.count()
+    mod, kc = scaled_codebook(n)
+    q_every = max(1, n // n_queries)
+
+    base = (emb.select(F.col("vec_id"),
+                       quantize(F.col("embedding")).alias("qv"),
+                       sq_norm(quantize(F.col("embedding"))).alias("n2"))
+            .filter(F.col("n2") > 0))
+    queries = (base.filter(_fixed_sample("vec_id", q_every, n_queries))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
+    scored = (base.crossJoin(F.broadcast(queries))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("match_id"),
+                      (F.col("qn2") + F.col("n2")
+                       - 2 * int_dot(F.col("qq"), F.col("qv")))
+                      .alias("l2"),
+                      (int_dot(F.col("qq"), F.col("qv")).cast("double")
+                       / (F.sqrt(F.col("qn2").cast("double"))
+                          * F.sqrt(F.col("n2").cast("double"))))
+                      .alias("cosine")))
+    w_l2 = Window.partitionBy("query_id").orderBy("l2", "match_id")
+    w_cos = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                   "match_id")
+    truth_l2 = (scored.withColumn("rnk", F.row_number().over(w_l2))
+                .filter(F.col("rnk") <= k)
+                .select("query_id", "match_id").localCheckpoint())
+    truth_cos = (scored.withColumn("rnk", F.row_number().over(w_cos))
+                 .filter(F.col("rnk") <= k)
+                 .select("query_id", "match_id").localCheckpoint())
+
+    def _recall(truth, approx_df):
+        got = (approx_df.select("query_id", "match_id")
+               .withColumn("hit", F.lit(1)))
+        agg = (truth.join(F.broadcast(got), ["query_id", "match_id"],
+                          "left")
+               .groupBy("query_id")
+               .agg(F.count(F.lit(1)).alias("nt"),
+                    F.sum(F.coalesce("hit", F.lit(0))).alias("nh"))
+               .agg(F.avg(F.col("nh").cast("double")
+                          / F.col("nt").cast("double")).alias("mean"),
+                    F.count(F.lit(1)).alias("q")).first())
+        return float(agg["mean"]), int(agg["q"])
+
+    out = {"n_vectors": n, "k": k,
+           "codebook": {"centroid_mod": mod, "n_centroids": kc},
+           "n_queries": n_queries}
+    t0 = _t.perf_counter()
+    r, q = _recall(truth_l2, ivfpq_topk(
+        emb, k=k, query_mod=q_every, n_queries=n_queries,
+        centroid_mod=mod, n_centroids=kc))
+    out["ivfpq"] = {"mean_recall": round(r, 4), "queries": q,
+                    "sec": round(_t.perf_counter() - t0, 1)}
+    t0 = _t.perf_counter()
+    r, q = _recall(truth_l2, pq_rerank(
+        emb, k=k, query_mod=q_every, n_queries=n_queries,
+        centroid_mod=mod))
+    out["pq_rerank"] = {"mean_recall": round(r, 4), "queries": q,
+                        "sec": round(_t.perf_counter() - t0, 1)}
+    t0 = _t.perf_counter()
+    idx = tempfile.mkdtemp(prefix="dcd_serveidx_")
+    try:
+        ann_index_build(emb, idx, centroid_mod=mod, n_centroids=kc)
+        r, q = _recall(truth_cos, ann_index_search(
+            spark, idx, k=k, query_mod=q_every, n_queries=n_queries))
+    finally:
+        _sh.rmtree(idx, ignore_errors=True)
+    out["index_serve"] = {"mean_recall": round(r, 4), "queries": q,
+                          "sec": round(_t.perf_counter() - t0, 1)}
+    return out
+
+
 RECALL_QUERIES = 200  # hash-sampled query budget per rung
 
 
@@ -463,6 +639,61 @@ def main() -> None:
         print(json.dumps({"metric": "knn_recall_ladder",
                           "host_anchor_sec": anchor, "k": 3,
                           "rungs": rungs}))
+        return
+    if rung == "recallclustered":
+        # kNN-graph recall per decade on the clustered-but-not-cloned
+        # family (r13): the realistic regime between the uniform-random
+        # worst case and the replica-clone rungs
+        rungs = {}
+        for label, n_rows in CLUSTER_RUNGS:
+            d = os.path.join(CLUSTERED_BASE, label)
+            ensure_clustered(spark, d, n_rows)
+            rungs[label] = measure_recall(spark, d)
+        print(json.dumps({"metric": "knn_recall_ladder_clustered",
+                          "host_anchor_sec": anchor, "k": 3,
+                          "per_cluster": CLUSTER_PER,
+                          "sigma": CLUSTER_SIGMA,
+                          "rungs": rungs}))
+        return
+    if rung == "recallserve":
+        # serve-path recall per decade (r13): IVF-PQ, ADC+rerank, and
+        # the persisted index vs exact truth, on the clustered family
+        # (dense ids), under the flat scaled codebook
+        rungs = {}
+        for label, n_rows in CLUSTER_RUNGS:
+            d = os.path.join(CLUSTERED_BASE, label)
+            ensure_clustered(spark, d, n_rows)
+            rungs[label] = measure_serve_recall(spark, d)
+        print(json.dumps({"metric": "serve_recall_ladder",
+                          "host_anchor_sec": anchor,
+                          "rungs": rungs}))
+        return
+    if rung == "semconv":
+        # SemDeDup convergence curve per decade (r13): survivors per
+        # pass until a pass removes nothing (capped), on the replica
+        # family where the shattering was measured
+        from downscaledclimatedata_spark.operators.similarity import (
+            semantic_dedup_converged)
+        ensure_scaled(spark, BASE_SF, SCALE_DIR, copies)
+        ensure_scaled(spark, BASE_SF, SCALE10_DIR, copies * 10,
+                      tables=SF10_TABLES)
+        ensure_scaled(spark, BASE_SF, SCALE100E_DIR, copies * 100,
+                      tables=SF100E_TABLES)
+        rungs = {}
+        for label, d in (("sf0.1", BASE_SF), ("sf1", SCALE_DIR),
+                         ("sf10", SCALE10_DIR), ("sf100", SCALE100E_DIR)):
+            counts: list = []
+            t0 = time.perf_counter()
+            row = semantic_dedup_converged(
+                _load_emb(spark, d), max_passes=5,
+                pass_counts=counts).first()
+            rungs[label] = {
+                "n_input": row["n_input"], "n_kept": row["n_kept"],
+                "removed_per_pass": counts,
+                "n_passes": sum(1 for c in counts if c > 0),
+                "sec": round(time.perf_counter() - t0, 1)}
+        print(json.dumps({"metric": "semantic_dedup_convergence",
+                          "host_anchor_sec": anchor, "rungs": rungs}))
         return
     if rung == "recallsem":
         # SemDeDup pair recall per decade (dedup-family quality twin)

@@ -44,7 +44,9 @@ from tests.conftest import SF_CORRECTNESS
 # audited here) plus their own e2e tests.
 EAGER_SPECS = {
     "dedup_semantic_iterated",
+    "dedup_semantic_converged",
     "similarity_index_persist",
+    "similarity_index_append",
     "pipeline_corpus_build",
     "pipeline_corpus_build_quality",
     "maintenance_read_evolved",

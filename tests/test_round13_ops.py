@@ -93,6 +93,130 @@ def test_ann_index_serve_shuffle_fallback_same_results(spark, tmp_path):
         "sortmergejoin" in plan or "shuffledhashjoin" in plan
 
 
+def _clustered_rows(n_clusters=3, per=40, seed=7):
+    import random
+    rnd = random.Random(seed)
+    rows = []
+    for c in range(n_clusters):
+        center = [(1.0 if d % n_clusters == c else -0.2) for d in range(64)]
+        for i in range(per):
+            rows.append((c * per + i,
+                         [x + rnd.uniform(-0.15, 0.15) for x in center]))
+    return rows
+
+
+def test_semantic_dedup_converged_multi_level_shattering(spark):
+    """A duplicate-cluster fixture where TWO passes still leave shards
+    (the codebook shatters the clusters at pass 1 AND pass 2) must
+    reach exactly one keeper per cluster at the fixed point — and the
+    two-pass iterated operator must provably NOT get there, which is
+    what the third pass is for."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        semantic_dedup_converged, semantic_dedup_iterated)
+    df = spark.createDataFrame(_clustered_rows(),
+                               "vec_id long, embedding array<float>")
+
+    def make_schedule():
+        state = {"pass": 0}
+
+        def schedule(n):
+            state["pass"] += 1
+            if state["pass"] == 1:   # ~24 centroids -> ~8 per cluster
+                return (1, 24, 24, 24, 5)
+            if state["pass"] == 2:   # ~6 centroids -> ~2 per cluster
+                return (1, 6, 6, 6, max(1, n // 6))
+            return (1, 1, 1, 1, None)  # single cell: exact within-pass
+
+        return schedule
+
+    counts: list = []
+    r = semantic_dedup_converged(df, tau=0.5, schedule=make_schedule(),
+                                 pass_counts=counts).first()
+    assert r["n_input"] == 120
+    assert r["n_removed_p1"] > 0 and r["n_removed_p2"] > 0
+    assert r["n_removed_p3"] > 0, \
+        "fixture must still be shattered after two passes"
+    assert r["n_kept"] == 3, r["n_kept"]
+    assert r["n_passes"] == 3
+    assert counts == [r["n_removed_p1"], r["n_removed_p2"],
+                      r["n_removed_p3"]]
+    # the two-pass operator on the same schedule cannot converge here
+    r2 = semantic_dedup_iterated(df, tau=0.5,
+                                 schedule=make_schedule()).first()
+    assert r2["n_kept"] > 3
+
+
+def test_semantic_dedup_converged_early_stop(spark):
+    """On an already-converged corpus (single survivor per cell at
+    pass 1) later passes remove nothing and the loop stops early."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        semantic_dedup_converged)
+    emb = load_table(spark, SF, "embeddings")
+    r = semantic_dedup_converged(emb).first()
+    assert r["n_input"] == 500
+    assert (r["n_removed_p1"] + r["n_removed_p2"] + r["n_removed_p3"]
+            + r["n_kept"]) == 500
+    # monotone: once a pass removes 0, every later pass removes 0
+    removed = [r["n_removed_p1"], r["n_removed_p2"], r["n_removed_p3"]]
+    seen_zero = False
+    for x in removed:
+        if seen_zero:
+            assert x == 0
+        seen_zero = seen_zero or x == 0
+    assert r["n_passes"] == sum(1 for x in removed if x > 0)
+
+
+# Measured on the deterministic clustered fixture (4,000 vectors, 20
+# clusters of ~200 at sigma=0.4, scaled codebooks): knn nprobe1 0.316 /
+# nprobe2 0.378; serve paths ivfpq 0.122, pq_rerank 0.592, index_serve
+# 0.696. The clustered-but-not-cloned regime sits exactly where the r12
+# verdict predicted — between the structureless fixture (0.11-0.22) and
+# the replica-clone rungs (~0.97). Floors guard machinery regression
+# with ~30% margin; the ladder (`--rung recallclustered/recallserve`)
+# records the same numbers per decade.
+CLUSTERED_N = 4_000
+CLU_KNN_FLOOR_P1 = 0.22
+CLU_KNN_FLOOR_P2 = 0.27
+CLU_SERVE_FLOORS = {"ivfpq": 0.08, "pq_rerank": 0.45, "index_serve": 0.55}
+
+
+@pytest.fixture(scope="module")
+def clustered_dir(spark, tmp_path_factory):
+    import scale_ladder as sl
+    d = str(tmp_path_factory.mktemp("clustered"))
+    (sl.clustered_embeddings(spark, CLUSTERED_N)
+     .write.mode("overwrite").parquet(f"{d}/embeddings.parquet"))
+    return d
+
+
+def test_clustered_knn_recall_floor(spark, clustered_dir):
+    """kNN-graph recall on the realistic clustered regime under the
+    SCHEDULED codebook must clear the measured floor, and nprobe=2
+    must not lose to nprobe=1."""
+    import scale_ladder as sl
+    out = sl.measure_recall(spark, clustered_dir)
+    assert out["n_vectors"] == CLUSTERED_N
+    r1 = out["nprobe1"]["mean_recall"]
+    r2 = out["nprobe2"]["mean_recall"]
+    assert r1 >= CLU_KNN_FLOOR_P1, out
+    assert r2 >= CLU_KNN_FLOOR_P2, out
+    assert r2 >= r1, out
+
+
+def test_clustered_serve_recall_floors(spark, clustered_dir):
+    """The serve-path searchers (IVF-PQ, ADC+rerank, persisted index)
+    must clear their measured floors on the clustered fixture under
+    the scaled codebook — the r12 verdict's #2 made quality where a
+    product actually reads a gated number."""
+    import scale_ladder as sl
+    out = sl.measure_serve_recall(spark, clustered_dir)
+    for method, floor in CLU_SERVE_FLOORS.items():
+        assert out[method]["mean_recall"] >= floor, (method, out)
+        assert out[method]["queries"] == 100, (method, out)
+    # rerank must buy back recall over the coarse-pruned ADC path
+    assert out["pq_rerank"]["mean_recall"] > out["ivfpq"]["mean_recall"]
+
+
 def test_hybrid_rrf_bm25_fusion_invariants(spark):
     """The BM25 leg's ranks must agree with the engine's own bm25_topk
     ordering, and the fusion must obey the scaled-integer RRF formula
