@@ -9087,3 +9087,512 @@ register(QuerySpec("multimodal_jpeg_progressive",
                                "truncated refinement salvages PER BLOCK "
                                "(preview value), baseline frames "
                                "rejected"))
+
+
+# --- progressive JPEG (SOF2): AC spectral-selection scans with EOBRUN -------------
+#
+# The DC codec above covers the successive-approximation axis of
+# progression; real progressive files also progress along the SPECTRAL
+# axis — AC coefficients delivered in band scans (Ss..Se, T.81 §G.1.2.2)
+# whose entropy coding differs from baseline in one fundamental way:
+# the END-OF-BAND symbol carries a RUN LENGTH (EOBRUN = 2^R + R raw
+# bits − 1), terminating the band in up to 32767 CONSECUTIVE BLOCKS
+# with a single code. That cross-block run is the genuinely new
+# entropy discipline here: baseline and the DC scans reset state per
+# block, while an AC band scan's decode state (the pending EOBRUN)
+# spans blocks — mis-tracking it desynchronizes every later block in
+# the scan. The encoder also exercises ZRL (0xF0 = 16 zeros) for the
+# long in-band gaps the planted spectra contain.
+#
+# Streams carry three spectral-selection scans — DC (Ss=Se=0), low AC
+# band (1..5), high AC band (6..63), all Ah=Al=0 — and the decoder
+# salvages at SCAN granularity: a scan whose entropy data exhausts
+# mid-decode contributes nothing (a viewer renders the last complete
+# scan), earlier complete scans keep their coefficients. Output is
+# entropy-domain (coefficient counts/checksums, no IDCT), which the
+# arithmetic oracle reproduces from the plant formulas exactly.
+#
+# Planted classes (CASE precedence, mirrored in the oracle):
+#   d % ACS_TRUNC_MOD == 0 -> the high-band scan's entropy data is cut
+#       to zero bytes (died right after the scan header): that scan is
+#       dropped, DC + low band survive (n_scans_ok = 2).
+#   d % ACS_DCONLY_MOD == 0 -> only the DC scan is present.
+#   d % ACS_BASELINE_MOD == 0 -> SOF0 baseline stream: rejected (NULL),
+#       and this decoder likewise rejects the DC codec's Ah/Al != 0
+#       successive-approximation streams — the two progressive
+#       disciplines certify each other's frame class.
+
+ACS_W_BASE, ACS_W_MOD = 8, 29
+ACS_H_BASE, ACS_H_MOD = 8, 23
+ACS_TRUNC_MOD = 11
+ACS_DCONLY_MOD = 13
+ACS_BASELINE_MOD = 19
+ACS_BANDS = ((1, 5), (6, 63))
+
+ACS_SCHEMA = ("doc_id long, width int, height int, n_blocks int, "
+              "n_scans_ok int, n_ac int, ac_checksum bigint, "
+              "dc_sum bigint")
+
+
+def jpeg_ac_plant(d: int, bi: int) -> dict:
+    """The synthesized AC spectrum of block ``bi`` (natural in-scan
+    coefficient order): sparse, with empty-band blocks (EOBRUN food),
+    long zero gaps (ZRL food), and sign/amplitude variety. The oracle
+    knows payload content ONLY through this formula."""
+    coeffs = {}
+    if (d + bi) % 3 != 0:  # low band (1..5): at most one coefficient
+        k = 1 + (d + bi) % 5
+        v = 1 + (d * 7 + bi) % 6
+        coeffs[k] = v if (d + bi) % 2 == 0 else -v
+    if (d + bi) % 4 == 1:  # high band (6..63): two, far apart
+        k1 = 6 + (d + bi * 3) % 20
+        coeffs[k1] = 1 + (d + bi) % 3
+        k2 = 30 + (d * 3 + bi) % 34
+        coeffs[k2] = -(1 + (d * 5 + bi) % 4)
+    return coeffs
+
+
+def _build_jpeg_ac_codecs():
+    """Pure-stdlib spectral-selection progressive codec pair (closure
+    factory: ships to executors by value)."""
+    import struct
+
+    DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    DC_VALS = tuple(range(12))
+    # AC table: every RS symbol the encoder can emit — EOBRUN lengths
+    # (r<<4)|0 for r = 0..14, ZRL (0xF0), and (run<<4)|size for
+    # run 0..15, size 1..3. 64 symbols: 62 six-bit + 2 seven-bit codes
+    # (a full-depth tree would leave no code space — T.81 canonical
+    # tables must be incomplete at the last length).
+    AC_VALS = tuple([(r << 4) | 0 for r in range(15)] + [0xF0]
+                    + [(r << 4) | s for r in range(16)
+                       for s in range(1, 4)])
+    AC_BITS = (0, 0, 0, 0, 0, 62, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    QTAB = (JPEG_QDC,) + (17,) * 63
+
+    def _canonical(bits, vals):
+        enc, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                enc[vals[k]] = (code, ln)
+                k += 1
+                code += 1
+            code <<= 1
+        return enc
+
+    DC_ENC = _canonical(DC_BITS, DC_VALS)
+    AC_ENC = _canonical(AC_BITS, AC_VALS)
+
+    class _BitW:
+        def __init__(self):
+            self.buf, self.acc, self.n = bytearray(), 0, 0
+
+        def put(self, code, length):
+            for i in range(length - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((code >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.buf.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.buf.append(0)
+                    self.acc, self.n = 0, 0
+
+        def flush(self):
+            while self.n:
+                self.put(1, 1)
+
+    def _cat(v):
+        return v.bit_length() if v >= 0 else (-v).bit_length()
+
+    def _amp(v, c):
+        return v if v >= 0 else v + (1 << c) - 1
+
+    def _encode_band(blocks_coeffs, ss, se):
+        """One AC first scan's entropy data (T.81 §G.1.2.2): zero runs
+        with ZRL escapes inside a block, EOBRUN accumulation across
+        blocks."""
+        bw = _BitW()
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            while eobrun > 0:
+                r = min(14, eobrun.bit_length() - 1)
+                take = min(eobrun, (1 << (r + 1)) - 1)
+                r = take.bit_length() - 1
+                code, ln = AC_ENC[(r << 4) | 0]
+                bw.put(code, ln)
+                if r:
+                    bw.put(take - (1 << r), r)
+                eobrun -= take
+
+        for coeffs in blocks_coeffs:
+            band = [(k, v) for k, v in sorted(coeffs.items())
+                    if ss <= k <= se]
+            if not band:
+                eobrun += 1
+                continue
+            flush_eobrun()
+            pos = ss
+            for k, v in band:
+                run = k - pos
+                while run > 15:
+                    code, ln = AC_ENC[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                s = _cat(v)
+                code, ln = AC_ENC[(run << 4) | s]
+                bw.put(code, ln)
+                bw.put(_amp(v, s), s)
+                pos = k + 1
+            if pos <= se:   # trailing zeros: this block ends-of-band
+                eobrun += 1
+        flush_eobrun()
+        bw.flush()
+        return bw.buf
+
+    def make_jpeg_ac(dc_grid, ac_grid, w, h, bands=ACS_BANDS,
+                     n_band_scans=None, trunc_last=False) -> bytes:
+        """Spectral-selection progressive grayscale JPEG: SOF2, DC
+        first scan (Al=0), then one AC first scan per band.
+        ``n_band_scans`` keeps only the first that many band scans;
+        ``trunc_last`` writes the final band scan's header but zero
+        entropy bytes."""
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(QTAB)
+        out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1) \
+            + bytes((1, 0x11, 0))                          # SOF2
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(DC_VALS)) \
+            + b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(AC_VALS)) \
+            + b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)
+        # scan 1: DC band, Ss=Se=0, Ah=Al=0 (pure spectral selection)
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) \
+            + bytes((1, 0x00, 0, 0, 0))
+        bw = _BitW()
+        prev = 0
+        for dc in dc_grid:
+            diff = dc - prev
+            prev = dc
+            c = _cat(diff)
+            code, ln = DC_ENC[c]
+            bw.put(code, ln)
+            if c:
+                bw.put(_amp(diff, c), c)
+        bw.flush()
+        out += bw.buf
+        use = bands if n_band_scans is None else bands[:n_band_scans]
+        for bi, (ss, se) in enumerate(use):
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1) \
+                + bytes((1, 0x00, ss, se, 0))  # Td=0 unused, Ta=0
+            if trunc_last and bi == len(use) - 1:
+                continue  # header only: the data died with the socket
+            out += _encode_band(ac_grid, ss, se)
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    class _BitR:
+        def __init__(self, data):
+            self.d, self.i, self.acc, self.n = data, 0, 0, 0
+
+        def bit(self):
+            if not self.n:
+                self.acc = self.d[self.i]
+                self.i += 1
+                self.n = 8
+            self.n -= 1
+            return (self.acc >> self.n) & 1
+
+        def bits(self, k):
+            v = 0
+            for _ in range(k):
+                v = (v << 1) | self.bit()
+            return v
+
+        def huff(self, table):
+            code, ln = 0, 0
+            while ln < 16:
+                code = (code << 1) | self.bit()
+                ln += 1
+                if (ln, code) in table:
+                    return table[(ln, code)]
+            raise ValueError("invalid huffman code")
+
+    def _extend(v, c):
+        return v if v >= (1 << (c - 1)) else v - (1 << c) + 1
+
+    def decode_jpeg_ac_stats(blob: bytes):
+        """(width, height, n_blocks, n_scans_ok, n_ac, ac_checksum,
+        dc_sum) from a spectral-selection progressive stream, or None
+        on structural defects (non-SOF2 frames, successive-
+        approximation scans, bad first scan). A band scan whose
+        entropy data exhausts mid-decode is dropped whole — salvage at
+        scan granularity — without poisoning other scans."""
+        try:
+            blob = bytes(blob)
+            if blob[:2] != b"\xff\xd8":
+                return None
+            i = 2
+            huffs: dict = {}
+            w = h = None
+            scans = []  # (ss, se, ah, al, td, ta, data)
+            while i < len(blob):
+                if blob[i] != 0xFF:
+                    return None
+                m = blob[i + 1]
+                i += 2
+                if m == 0xD9:
+                    break
+                ln = struct.unpack(">H", blob[i:i + 2])[0]
+                seg = blob[i + 2:i + ln]
+                if len(seg) != ln - 2:
+                    return None
+                if m == 0xC2:
+                    prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+                    if prec != 8 or nc != 1 or seg[7] != 0x11:
+                        return None
+                elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                           0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    return None
+                elif m == 0xC4:
+                    j = 0
+                    while j < len(seg):
+                        tc, th = seg[j] >> 4, seg[j] & 15
+                        bits = seg[j + 1:j + 17]
+                        nv = sum(bits)
+                        vals = seg[j + 17:j + 17 + nv]
+                        if len(vals) != nv:
+                            return None
+                        tbl, code, k = {}, 0, 0
+                        for L in range(1, 17):
+                            for _ in range(bits[L - 1]):
+                                tbl[(L, code)] = vals[k]
+                                k += 1
+                                code += 1
+                            code <<= 1
+                        huffs[(tc, th)] = tbl
+                        j += 17 + nv
+                elif m == 0xDA:
+                    if seg[0] != 1:
+                        return None
+                    td, ta = seg[2] >> 4, seg[2] & 15
+                    ss, se, ahal = seg[3], seg[4], seg[5]
+                    data = bytearray()
+                    j = i + ln
+                    while j < len(blob) - 1:
+                        b0 = blob[j]
+                        if b0 == 0xFF:
+                            if blob[j + 1] == 0x00:
+                                data.append(0xFF)
+                                j += 2
+                                continue
+                            break
+                        data.append(b0)
+                        j += 1
+                    scans.append((ss, se, ahal >> 4, ahal & 15, td, ta,
+                                  bytes(data)))
+                    i = j
+                    continue
+                i += ln
+            if w is None or not w or not h or not scans:
+                return None
+            nbx, nby = -(-w // 8), -(-h // 8)
+            nb = nbx * nby
+            ss, se, ah, al, td, _, data = scans[0]
+            if (ss, se, ah, al) != (0, 0, 0, 0):
+                return None  # first scan must be the plain DC band
+            br = _BitR(data)
+            prev, dc_sum = 0, 0
+            dct = huffs[(0, td)]
+            for _ in range(nb):
+                c = br.huff(dct)
+                if c > 11:
+                    return None
+                prev += _extend(br.bits(c), c) if c else 0
+                dc_sum += prev
+            n_scans_ok, n_ac, ac_checksum = 1, 0, 0
+            seen = [(0, 0)]
+            for ss, se, ah, al, _, ta, data in scans[1:]:
+                if (ah, al) != (0, 0):
+                    return None  # successive approximation: not ours
+                if ss < 1 or se > 63 or se < ss:
+                    return None
+                if any(not (se < s0 or ss > s1) for s0, s1 in seen):
+                    return None  # bands must be disjoint (first scans)
+                seen.append((ss, se))
+                act = huffs[(1, ta)]
+                rr = _BitR(data)
+                eobrun = 0
+                got = []  # (bi, k, v) — committed only if scan completes
+                try:
+                    for bi in range(nb):
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = rr.huff(act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += rr.bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("run past band end")
+                            got.append((bi, k, _extend(rr.bits(s), s)))
+                            k += 1
+                except (ValueError, IndexError):
+                    continue  # truncated/corrupt scan: dropped whole
+                n_scans_ok += 1
+                for bi, k, v in got:
+                    n_ac += 1
+                    ac_checksum += k * v * (bi + 1)
+            return (w, h, nb, n_scans_ok, n_ac, ac_checksum, dc_sum)
+        except (ValueError, IndexError, KeyError, struct.error):
+            return None
+
+    return make_jpeg_ac, decode_jpeg_ac_stats
+
+
+make_jpeg_ac, decode_jpeg_ac_stats = _build_jpeg_ac_codecs()
+
+
+def synthesize_jpeg_ac_payloads(df: DataFrame) -> DataFrame:
+    mk, dcv, plant, mk_base = (make_jpeg_ac, jpeg_dc_value, jpeg_ac_plant,
+                               make_jpeg_dc)
+    wb, wm, hb, hm = ACS_W_BASE, ACS_W_MOD, ACS_H_BASE, ACS_H_MOD
+    tm, dm, bm = ACS_TRUNC_MOD, ACS_DCONLY_MOD, ACS_BASELINE_MOD
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = abs(int(doc_id))
+                w, h = wb + d % wm, hb + d % hm
+                nbx, nby = -(-w // 8), -(-h // 8)
+                nb = nbx * nby
+                grid = [dcv(d, by, bx)
+                        for by in range(nby) for bx in range(nbx)]
+                acg = [plant(d, bi) for bi in range(nb)]
+                if d % tm == 0:
+                    payloads.append(mk(grid, acg, w, h, trunc_last=True))
+                elif d % dm == 0:
+                    payloads.append(mk(grid, acg, w, h, n_band_scans=0))
+                elif d % bm == 0:
+                    payloads.append(mk_base(grid, w, h))  # SOF0 in-band
+                else:
+                    payloads.append(mk(grid, acg, w, h))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        _synth, "doc_id long, payload binary")
+
+
+def decode_jpeg_ac(df: DataFrame) -> DataFrame:
+    dec = decode_jpeg_ac_stats
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        keys = ("width", "height", "n_blocks", "n_scans_ok", "n_ac",
+                "ac_checksum", "dc_sum")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for payload in pdf["payload"]:
+                st = dec(bytes(payload))
+                vals = st if st is not None else (None,) * 7
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "n_blocks": pd.array(cols["n_blocks"], dtype="Int32"),
+                "n_scans_ok": pd.array(cols["n_scans_ok"], dtype="Int32"),
+                "n_ac": pd.array(cols["n_ac"], dtype="Int32"),
+                "ac_checksum": pd.array(cols["ac_checksum"],
+                                        dtype="Int64"),
+                "dc_sum": pd.array(cols["dc_sum"], dtype="Int64")})
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, ACS_SCHEMA)
+
+
+def multimodal_jpeg_ac_query(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents", key="doc_id")
+    return decode_jpeg_ac(synthesize_jpeg_ac_payloads(docs))
+
+
+def _jpeg_ac_sql() -> str:
+    dc = (f"((d * {JPEG_DC_A} + (i // nbx) * {JPEG_DC_B} "
+          f"+ (i % nbx) * {JPEG_DC_C}) % {JPEG_DC_MOD} - 64)")
+    # low band (1..5): one coefficient when (d+i) % 3 <> 0
+    lo_k = "(1 + (d + i) % 5)"
+    lo_v = ("(CASE WHEN (d + i) % 2 = 0 THEN 1 ELSE -1 END "
+            "* (1 + (d * 7 + i) % 6))")
+    lo_on = "(d + i) % 3 <> 0"
+    # high band (6..63): two coefficients when (d+i) % 4 = 1
+    hi_on = "(d + i) % 4 = 1"
+    hi_k1, hi_v1 = "(6 + (d + i * 3) % 20)", "(1 + (d + i) % 3)"
+    hi_k2, hi_v2 = "(30 + (d * 3 + i) % 34)", "(-(1 + (d * 5 + i) % 4))"
+    lo_n = f"CASE WHEN {lo_on} THEN 1 ELSE 0 END"
+    lo_ck = f"CASE WHEN {lo_on} THEN {lo_k} * {lo_v} * (i + 1) ELSE 0 END"
+    hi_n = f"CASE WHEN {hi_on} THEN 2 ELSE 0 END"
+    hi_ck = (f"CASE WHEN {hi_on} THEN ({hi_k1} * {hi_v1} "
+             f"+ {hi_k2} * {hi_v2}) * (i + 1) ELSE 0 END")
+    return f"""
+WITH p AS (
+  SELECT doc_id, abs(doc_id) AS d,
+    {ACS_W_BASE} + abs(doc_id) % {ACS_W_MOD} AS width,
+    {ACS_H_BASE} + abs(doc_id) % {ACS_H_MOD} AS height
+  FROM documents
+), g AS (
+  SELECT doc_id, d, width, height,
+    (width + 7) // 8 AS nbx,
+    ((width + 7) // 8) * ((height + 7) // 8) AS nb,
+    CASE WHEN d % {ACS_TRUNC_MOD} = 0 THEN 'trunc'
+         WHEN d % {ACS_DCONLY_MOD} = 0 THEN 'dconly'
+         WHEN d % {ACS_BASELINE_MOD} = 0 THEN 'baseline'
+         ELSE 'full' END AS cls
+  FROM p
+), ok AS (
+  SELECT doc_id, width, height, nb,
+    CASE cls WHEN 'full' THEN 3 WHEN 'trunc' THEN 2 ELSE 1 END
+      AS n_scans_ok,
+    CAST(CASE WHEN cls = 'dconly' THEN 0
+      ELSE list_sum(list_transform(range(0, nb), i -> {lo_n}
+        + CASE WHEN cls = 'full' THEN {hi_n} ELSE 0 END)) END
+      AS INT) AS n_ac,
+    CAST(CASE WHEN cls = 'dconly' THEN 0
+      ELSE list_sum(list_transform(range(0, nb), i -> {lo_ck}
+        + CASE WHEN cls = 'full' THEN {hi_ck} ELSE 0 END)) END
+      AS BIGINT) AS ac_checksum,
+    CAST(list_sum(list_transform(range(0, nb), i -> {dc}))
+      AS BIGINT) AS dc_sum
+  FROM g WHERE cls <> 'baseline'
+)
+SELECT doc_id, CAST(width AS INT) AS width,
+  CAST(height AS INT) AS height, CAST(nb AS INT) AS n_blocks,
+  CAST(n_scans_ok AS INT) AS n_scans_ok, n_ac, ac_checksum, dc_sum
+FROM ok
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM g WHERE cls = 'baseline'
+"""
+
+
+register(QuerySpec("multimodal_jpeg_ac", multimodal_jpeg_ac_query,
+                   _jpeg_ac_sql(),
+                   description="progressive (SOF2) AC spectral-selection "
+                               "scans: per-band first scans with EOBRUN "
+                               "cross-block run-length and ZRL escapes; "
+                               "a scan whose entropy data exhausts is "
+                               "dropped whole (salvage at scan "
+                               "granularity), successive-approximation "
+                               "and baseline frames rejected"))
