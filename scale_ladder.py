@@ -88,6 +88,16 @@ SCALE100E_DIR = str(Path(__file__).resolve().parent / ".scale" / "sf100emb")
 SF100E_TABLES = ("embeddings",)
 SF100E_TARGETS = ("similarity_knn_triangles",)
 
+# FOURTH decade, embeddings (sf100 -> sf1000, 20M vectors): the r12
+# verdict's #6 — the similarity ladder stopped at 2M while the 100 TB
+# story claims two more decades. Speed ratios for the all-vectors
+# headliners (kNN graph, SemDeDup) plus the recall / removal-rate
+# quality columns at the scheduled codebook. The perturbation scheme's
+# (i % 10, i // 10) pair stays unique through 10,000 copies, so no two
+# copies are verbatim clones.
+SCALE1000E_DIR = str(Path(__file__).resolve().parent / ".scale" / "sf1000emb")
+SF1000E_TARGETS = ("similarity_knn_graph", "dedup_semantic")
+
 # copy-specific text perturbation with period 260: vowel rotation keyed
 # by i % 10 composed with a lowercase Caesar shift keyed by i // 10.
 # For i < 10 the shift is 0, so the sf1 build is byte-identical to the
@@ -640,6 +650,40 @@ def main() -> None:
                           "host_anchor_sec": anchor, "k": 3,
                           "rungs": rungs}))
         return
+    if rung == "sf1000emb":
+        # fourth decade (2M -> 20M vectors): speed ratios for the
+        # all-vectors headliners + the quality columns (kNN recall@3,
+        # SemDeDup removals per pass) at the scheduled codebook
+        from downscaledclimatedata_spark.operators.similarity import (
+            semantic_dedup_converged)
+        ensure_scaled(spark, BASE_SF, SCALE100E_DIR, copies * 100,
+                      tables=SF100E_TABLES)
+        ensure_scaled(spark, BASE_SF, SCALE1000E_DIR, copies * 1000,
+                      tables=SF100E_TABLES)
+        base = time_headlines(spark, SCALE100E_DIR,
+                              names=names or SF1000E_TARGETS)
+        scaled = time_headlines(spark, SCALE1000E_DIR,
+                                names=names or SF1000E_TARGETS)
+        ratios = {n: (round(scaled[n] / base[n], 2) if base[n] > 0
+                      else None) for n in base}
+        out = {"metric": "scale_ladder", "data_ratio": 10,
+               "host_anchor_sec": anchor,
+               "sf_base": 10.0 * copies, "sf_scaled": 100.0 * copies,
+               "base_sec": base, "scaled_sec": scaled,
+               "time_ratio": ratios}
+        out["recall_20m"] = measure_recall(spark, SCALE1000E_DIR,
+                                           n_queries=100)
+        counts: list = []
+        t0 = time.perf_counter()
+        row = semantic_dedup_converged(
+            _load_emb(spark, SCALE1000E_DIR), max_passes=3,
+            pass_counts=counts).first()
+        out["semdedup_20m"] = {
+            "n_input": row["n_input"], "n_kept": row["n_kept"],
+            "removed_per_pass": counts,
+            "sec": round(time.perf_counter() - t0, 1)}
+        print(json.dumps(out))
+        return
     if rung == "recallclustered":
         # kNN-graph recall per decade on the clustered-but-not-cloned
         # family (r13): the realistic regime between the uniform-random
@@ -658,9 +702,18 @@ def main() -> None:
     if rung == "recallserve":
         # serve-path recall per decade (r13): IVF-PQ, ADC+rerank, and
         # the persisted index vs exact truth, on the clustered family
-        # (dense ids), under the flat scaled codebook
+        # (dense ids), under the flat scaled codebook. Default stops at
+        # 200k: the serve family's FLAT N·k coarse assignment is
+        # compute-prohibitive at 2M under the scaled codebook
+        # (k ∝ √N ⇒ N^1.5 work — measured as a >30 min single stage),
+        # which is itself the measured argument for hierarchical
+        # routing on the serve path. Pass --names 20k,200k,2m to force.
         rungs = {}
-        for label, n_rows in CLUSTER_RUNGS:
+        selected = [r for r in CLUSTER_RUNGS
+                    if names is None or r[0] in names]
+        if names is None:
+            selected = [r for r in selected if r[0] != "2m"]
+        for label, n_rows in selected:
             d = os.path.join(CLUSTERED_BASE, label)
             ensure_clustered(spark, d, n_rows)
             rungs[label] = measure_serve_recall(spark, d)
