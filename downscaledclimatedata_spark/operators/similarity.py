@@ -6106,13 +6106,35 @@ register(QuerySpec(
 def ann_index_build(emb: DataFrame, path: str, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     centroid_mod: int = CENTROID_MOD,
-                    n_centroids: int = N_CENTROIDS) -> None:
-    """Materialize the IVF index: flat assignment + quantized vectors,
+                    n_centroids: int = N_CENTROIDS,
+                    n_super: int = None, n_super2: int = None,
+                    spread_every: int = None) -> None:
+    """Materialize the IVF index: coarse assignment + quantized vectors,
     cid-partitioned (the inverted-list layout). The codebook itself is
     persisted too (``centroids/``): a delta batch appended later must
     be assigned against the BUILD's centroids — re-deriving them from a
-    changed corpus would silently re-key every existing list."""
-    assign = ivf_assign(emb, id_col, vec_col, centroid_mod, n_centroids)
+    changed corpus would silently re-key every existing list.
+
+    ``n_super``/``n_super2``/``spread_every``: when given, the build's
+    assignment pass routes through the THREE-level hierarchical
+    quantizer instead of the flat N·k argmin — the serve-path twin of
+    the graph family's schedule. This is the fix for the wall the r13
+    serve-recall ladder measured: under the scaled codebook k ∝ √N the
+    flat build is N^1.5 work (a single >30-minute stage at 2M vectors),
+    while the routed build is N·3k^(1/3). With the degenerate-exact
+    static configuration (``n_super == n_super2 == n_centroids``,
+    ``spread_every=None``) the routed build produces BYTE-IDENTICAL
+    lists to the flat build (unit-pinned), so the fixed SQL oracles
+    stay valid. The serve side is unchanged either way — it reads only
+    ``lists/``."""
+    if n_super is not None:
+        assign = ivf_assign_three_level(
+            emb, id_col, vec_col, centroid_mod, n_centroids, n_super,
+            n_super2 if n_super2 is not None else n_super,
+            spread_every).select(F.col(id_col), F.col("cid"))
+    else:
+        assign = ivf_assign(emb, id_col, vec_col, centroid_mod,
+                            n_centroids)
     lists = (emb.join(assign, id_col)
              .select(F.col("cid"), F.col(id_col).alias("id"),
                      quantize(F.col(vec_col)).alias("qv"),
@@ -6122,7 +6144,10 @@ def ann_index_build(emb: DataFrame, path: str, id_col: str = "vec_id",
         .parquet(f"{path}/lists")
     base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
                       sq_norm(quantize(F.col(vec_col))).alias("n2"))
-    cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
+    cents_pred = (_spread_sample(id_col, spread_every)
+                  if spread_every is not None
+                  else _fixed_sample(id_col, centroid_mod, n_centroids))
+    cents = (base.filter(cents_pred)
              .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
                      F.col("n2").alias("cn2")))
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
@@ -6334,3 +6359,37 @@ register(QuerySpec(
                 "into the cid-partitioned lists, then compacted to one "
                 "file per list — serve results equal a fresh rebuild "
                 "over the union corpus (same oracle SQL verbatim)"))
+
+
+def similarity_index_routed_query(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The hierarchical-build serve path at the degenerate-exact static
+    configuration: routing through the three-level quantizer with
+    n_super == n_super2 == k produces byte-identical lists to the flat
+    build, so the inline searcher's oracle applies verbatim — the same
+    exactness contract every scaled-path operator in this family pins
+    at oracle scale."""
+    import shutil
+    import tempfile
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    base = tempfile.mkdtemp(prefix="dcd_annrouted_")
+    try:
+        ann_index_build(emb, base, n_super=N_CENTROIDS,
+                        n_super2=N_CENTROIDS)
+        return ann_index_search(
+            spark, base, expect_centroid_mod=CENTROID_MOD,
+            expect_n_centroids=N_CENTROIDS).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+register(QuerySpec(
+    "similarity_index_routed", similarity_index_routed_query,
+    _IVF_SQL,
+    description="ANN index BUILD routed through the three-level "
+                "hierarchical quantizer (N·3k^(1/3) assignment instead "
+                "of flat N·k — the serve-path fix for the N^1.5 build "
+                "wall the r13 serve ladder measured at 2M vectors); at "
+                "the degenerate static config the routed build is "
+                "byte-identical to the flat one (same oracle verbatim)"))

@@ -276,8 +276,13 @@ def ensure_clustered(spark, dst: str, n_rows: int) -> None:
         json.dump(want, f)
 
 
+SERVE_METHODS = ("ivfpq", "pq_rerank", "index_serve",
+                 "index_serve_routed")
+
+
 def measure_serve_recall(spark, sf_dir: str, n_queries: int = 100,
-                         k: int = None) -> dict:
+                         k: int = None,
+                         methods: tuple = SERVE_METHODS) -> dict:
     """Top-k recall of the SERVE-path searchers — IVF-PQ, ADC-shortlist
     + exact rerank, and the persisted index (`ann_index_search`) —
     against exact truth on a query sample, under the flat SCALED
@@ -329,12 +334,15 @@ def measure_serve_recall(spark, sf_dir: str, n_queries: int = 100,
     w_l2 = Window.partitionBy("query_id").orderBy("l2", "match_id")
     w_cos = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                    "match_id")
-    truth_l2 = (scored.withColumn("rnk", F.row_number().over(w_l2))
-                .filter(F.col("rnk") <= k)
-                .select("query_id", "match_id").localCheckpoint())
-    truth_cos = (scored.withColumn("rnk", F.row_number().over(w_cos))
-                 .filter(F.col("rnk") <= k)
-                 .select("query_id", "match_id").localCheckpoint())
+    truth_l2 = truth_cos = None
+    if {"ivfpq", "pq_rerank"} & set(methods):
+        truth_l2 = (scored.withColumn("rnk", F.row_number().over(w_l2))
+                    .filter(F.col("rnk") <= k)
+                    .select("query_id", "match_id").localCheckpoint())
+    if {"index_serve", "index_serve_routed"} & set(methods):
+        truth_cos = (scored.withColumn("rnk", F.row_number().over(w_cos))
+                     .filter(F.col("rnk") <= k)
+                     .select("query_id", "match_id").localCheckpoint())
 
     def _recall(truth, approx_df):
         got = (approx_df.select("query_id", "match_id")
@@ -352,28 +360,55 @@ def measure_serve_recall(spark, sf_dir: str, n_queries: int = 100,
     out = {"n_vectors": n, "k": k,
            "codebook": {"centroid_mod": mod, "n_centroids": kc},
            "n_queries": n_queries}
-    t0 = _t.perf_counter()
-    r, q = _recall(truth_l2, ivfpq_topk(
-        emb, k=k, query_mod=q_every, n_queries=n_queries,
-        centroid_mod=mod, n_centroids=kc))
-    out["ivfpq"] = {"mean_recall": round(r, 4), "queries": q,
-                    "sec": round(_t.perf_counter() - t0, 1)}
-    t0 = _t.perf_counter()
-    r, q = _recall(truth_l2, pq_rerank(
-        emb, k=k, query_mod=q_every, n_queries=n_queries,
-        centroid_mod=mod))
-    out["pq_rerank"] = {"mean_recall": round(r, 4), "queries": q,
+    if "ivfpq" in methods:
+        t0 = _t.perf_counter()
+        r, q = _recall(truth_l2, ivfpq_topk(
+            emb, k=k, query_mod=q_every, n_queries=n_queries,
+            centroid_mod=mod, n_centroids=kc))
+        out["ivfpq"] = {"mean_recall": round(r, 4), "queries": q,
                         "sec": round(_t.perf_counter() - t0, 1)}
-    t0 = _t.perf_counter()
-    idx = tempfile.mkdtemp(prefix="dcd_serveidx_")
-    try:
-        ann_index_build(emb, idx, centroid_mod=mod, n_centroids=kc)
-        r, q = _recall(truth_cos, ann_index_search(
-            spark, idx, k=k, query_mod=q_every, n_queries=n_queries))
-    finally:
-        _sh.rmtree(idx, ignore_errors=True)
-    out["index_serve"] = {"mean_recall": round(r, 4), "queries": q,
-                          "sec": round(_t.perf_counter() - t0, 1)}
+    if "pq_rerank" in methods:
+        t0 = _t.perf_counter()
+        r, q = _recall(truth_l2, pq_rerank(
+            emb, k=k, query_mod=q_every, n_queries=n_queries,
+            centroid_mod=mod))
+        out["pq_rerank"] = {"mean_recall": round(r, 4), "queries": q,
+                            "sec": round(_t.perf_counter() - t0, 1)}
+    if "index_serve" in methods:
+        t0 = _t.perf_counter()
+        idx = tempfile.mkdtemp(prefix="dcd_serveidx_")
+        try:
+            ann_index_build(emb, idx, centroid_mod=mod, n_centroids=kc)
+            r, q = _recall(truth_cos, ann_index_search(
+                spark, idx, k=k, query_mod=q_every,
+                n_queries=n_queries))
+        finally:
+            _sh.rmtree(idx, ignore_errors=True)
+        out["index_serve"] = {"mean_recall": round(r, 4), "queries": q,
+                              "sec": round(_t.perf_counter() - t0, 1)}
+    if "index_serve_routed" in methods:
+        # the ROUTED build (three-level assignment at the graph
+        # family's schedule): the serve-path fix for the flat N^1.5
+        # build wall — the configuration that makes 2M+ feasible
+        from downscaledclimatedata_spark.operators.similarity import (
+            scaled_codebook_three_level)
+        m3, k3, s1, s2, ev = scaled_codebook_three_level(n)
+        t0 = _t.perf_counter()
+        idx = tempfile.mkdtemp(prefix="dcd_serveidx3_")
+        try:
+            ann_index_build(emb, idx, centroid_mod=m3, n_centroids=k3,
+                            n_super=s1, n_super2=s2, spread_every=ev)
+            r, q = _recall(truth_cos, ann_index_search(
+                spark, idx, k=k, query_mod=q_every,
+                n_queries=n_queries))
+        finally:
+            _sh.rmtree(idx, ignore_errors=True)
+        out["index_serve_routed"] = {
+            "mean_recall": round(r, 4), "queries": q,
+            "codebook": {"centroid_mod": m3, "n_centroids": k3,
+                         "n_super": s1, "n_super2": s2,
+                         "spread_every": ev},
+            "sec": round(_t.perf_counter() - t0, 1)}
     return out
 
 
@@ -702,21 +737,21 @@ def main() -> None:
     if rung == "recallserve":
         # serve-path recall per decade (r13): IVF-PQ, ADC+rerank, and
         # the persisted index vs exact truth, on the clustered family
-        # (dense ids), under the flat scaled codebook. Default stops at
-        # 200k: the serve family's FLAT N·k coarse assignment is
-        # compute-prohibitive at 2M under the scaled codebook
-        # (k ∝ √N ⇒ N^1.5 work — measured as a >30 min single stage),
-        # which is itself the measured argument for hierarchical
-        # routing on the serve path. Pass --names 20k,200k,2m to force.
+        # (dense ids), under the flat scaled codebook. At 2M only the
+        # ROUTED index build runs: the serve family's FLAT N·k coarse
+        # assignment is compute-prohibitive there under the scaled
+        # codebook (k ∝ √N ⇒ N^1.5 work — measured as a >30 min single
+        # stage) — the routed build (N·3k^(1/3)) is the fix, and its
+        # 2M recall cell is the measurement that certifies it.
         rungs = {}
         selected = [r for r in CLUSTER_RUNGS
                     if names is None or r[0] in names]
-        if names is None:
-            selected = [r for r in selected if r[0] != "2m"]
         for label, n_rows in selected:
             d = os.path.join(CLUSTERED_BASE, label)
             ensure_clustered(spark, d, n_rows)
-            rungs[label] = measure_serve_recall(spark, d)
+            meths = (("index_serve_routed",) if n_rows > 500_000
+                     else SERVE_METHODS)
+            rungs[label] = measure_serve_recall(spark, d, methods=meths)
         print(json.dumps({"metric": "serve_recall_ladder",
                           "host_anchor_sec": anchor,
                           "rungs": rungs}))

@@ -47,6 +47,7 @@ EAGER_SPECS = {
     "dedup_semantic_converged",
     "similarity_index_persist",
     "similarity_index_append",
+    "similarity_index_routed",
     "pipeline_corpus_build",
     "pipeline_corpus_build_quality",
     "maintenance_read_evolved",

