@@ -6240,7 +6240,8 @@ def ann_index_search(spark: SparkSession, path: str, k: int = TOP_K,
                      n_queries: int = N_QUERIES,
                      expect_centroid_mod: int = None,
                      expect_n_centroids: int = None,
-                     broadcast_queries: bool = None) -> DataFrame:
+                     broadcast_queries: bool = None,
+                     nprobe: int = 1) -> DataFrame:
     """Serve top-k from a persisted index: queries are looked up in the
     index itself (their list + vector), candidates come only from the
     probed inverted lists — the scan is partition-pruned on cid, so a
@@ -6252,7 +6253,17 @@ def ann_index_search(spark: SparkSession, path: str, k: int = TOP_K,
     parameters are validated, not write-only. Query batches above
     ``ANN_SERVE_BROADCAST_MAX`` rows join the lists by a cid-keyed
     shuffle instead of a broadcast (override with
-    ``broadcast_queries``)."""
+    ``broadcast_queries``).
+
+    ``nprobe``: the serve-side recall knob (the r13 serve ladder's
+    measured single-probe decay on clustered corpora is the reason it
+    exists). At 1, each query reads only its OWN list — its cid comes
+    free from the lists row. Above 1, each query's quantized-L2
+    distances to the PERSISTED codebook (``centroids/`` — the other
+    reason the build persists it) rank its ``nprobe`` nearest lists;
+    the probe relation joins the lists on cid, so the scan is still
+    pruned to |queries|·nprobe lists. Corpus vectors live in exactly
+    one list, so multiprobe never duplicates a candidate."""
     from pyspark.sql import Window
     got_mod, got_k = ann_index_meta(spark, path)
     if expect_centroid_mod is not None and got_mod != expect_centroid_mod:
@@ -6264,11 +6275,24 @@ def ann_index_search(spark: SparkSession, path: str, k: int = TOP_K,
             f"index at {path} was built with n_centroids={got_k}, "
             f"caller expected {expect_n_centroids}")
     lists = spark.read.parquet(f"{path}/lists")
-    queries = (lists.filter(_fixed_sample("id", query_mod, n_queries))
-               .select(F.col("id").alias("query_id"), F.col("cid"),
-                       F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
+    qbase = (lists.filter(_fixed_sample("id", query_mod, n_queries))
+             .select(F.col("id").alias("query_id"), F.col("cid"),
+                     F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
+    if nprobe > 1:
+        cents = spark.read.parquet(f"{path}/centroids")
+        ranked = (qbase.drop("cid").crossJoin(F.broadcast(cents))
+                  .select("query_id", "qq", "qn2", F.col("cid"),
+                          (F.col("qn2") + F.col("cn2")
+                           - 2 * int_dot(F.col("qq"), F.col("cv")))
+                          .alias("dist")))
+        wp = Window.partitionBy("query_id").orderBy("dist", "cid")
+        queries = (ranked.withColumn("rn", F.row_number().over(wp))
+                   .filter(F.col("rn") <= nprobe)
+                   .select("query_id", "cid", "qq", "qn2"))
+    else:
+        queries = qbase
     if broadcast_queries is None:
-        broadcast_queries = n_queries <= ANN_SERVE_BROADCAST_MAX
+        broadcast_queries = n_queries * nprobe <= ANN_SERVE_BROADCAST_MAX
     qside = F.broadcast(queries) if broadcast_queries else queries
     corpus = lists.select(F.col("id").alias("match_id"), F.col("cid"),
                           F.col("qv").alias("cq"), F.col("n2").alias("cn2"))
@@ -6393,3 +6417,36 @@ register(QuerySpec(
                 "wall the r13 serve ladder measured at 2M vectors); at "
                 "the degenerate static config the routed build is "
                 "byte-identical to the flat one (same oracle verbatim)"))
+
+
+def similarity_index_multiprobe_query(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Serve-side multiprobe from the persisted index: the query's
+    nprobe nearest lists are ranked against the PERSISTED codebook
+    (the second consumer of ``centroids/``, after append). Must equal
+    the inline multiprobe searcher exactly — the oracle is
+    `similarity_ivf_multiprobe`'s SQL verbatim."""
+    import shutil
+    import tempfile
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    base = tempfile.mkdtemp(prefix="dcd_annmp_")
+    try:
+        ann_index_build(emb, base)
+        return ann_index_search(
+            spark, base, nprobe=NPROBE,
+            expect_centroid_mod=CENTROID_MOD,
+            expect_n_centroids=N_CENTROIDS).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+register(QuerySpec(
+    "similarity_index_multiprobe", similarity_index_multiprobe_query,
+    _IVF_MULTIPROBE_SQL,
+    description=f"persisted-index serve with nprobe={NPROBE}: each "
+                "query's nearest lists ranked against the persisted "
+                "codebook, scan still pruned to |queries|·nprobe lists "
+                "— the serve-side recall knob the r13 clustered ladder "
+                "showed single-probe serving needs (results equal the "
+                "inline multiprobe searcher, same oracle verbatim)"))

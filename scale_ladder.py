@@ -277,7 +277,7 @@ def ensure_clustered(spark, dst: str, n_rows: int) -> None:
 
 
 SERVE_METHODS = ("ivfpq", "pq_rerank", "index_serve",
-                 "index_serve_routed")
+                 "index_serve_probe2", "index_serve_routed")
 
 
 def measure_serve_recall(spark, sf_dir: str, n_queries: int = 100,
@@ -374,18 +374,28 @@ def measure_serve_recall(spark, sf_dir: str, n_queries: int = 100,
             centroid_mod=mod))
         out["pq_rerank"] = {"mean_recall": round(r, 4), "queries": q,
                             "sec": round(_t.perf_counter() - t0, 1)}
-    if "index_serve" in methods:
+    if {"index_serve", "index_serve_probe2"} & set(methods):
         t0 = _t.perf_counter()
         idx = tempfile.mkdtemp(prefix="dcd_serveidx_")
         try:
             ann_index_build(emb, idx, centroid_mod=mod, n_centroids=kc)
-            r, q = _recall(truth_cos, ann_index_search(
-                spark, idx, k=k, query_mod=q_every,
-                n_queries=n_queries))
+            if "index_serve" in methods:
+                r, q = _recall(truth_cos, ann_index_search(
+                    spark, idx, k=k, query_mod=q_every,
+                    n_queries=n_queries))
+                out["index_serve"] = {
+                    "mean_recall": round(r, 4), "queries": q,
+                    "sec": round(_t.perf_counter() - t0, 1)}
+            if "index_serve_probe2" in methods:
+                t0 = _t.perf_counter()
+                r, q = _recall(truth_cos, ann_index_search(
+                    spark, idx, k=k, query_mod=q_every,
+                    n_queries=n_queries, nprobe=2))
+                out["index_serve_probe2"] = {
+                    "mean_recall": round(r, 4), "queries": q,
+                    "sec": round(_t.perf_counter() - t0, 1)}
         finally:
             _sh.rmtree(idx, ignore_errors=True)
-        out["index_serve"] = {"mean_recall": round(r, 4), "queries": q,
-                              "sec": round(_t.perf_counter() - t0, 1)}
     if "index_serve_routed" in methods:
         # the ROUTED build (three-level assignment at the graph
         # family's schedule): the serve-path fix for the flat N^1.5

@@ -48,6 +48,7 @@ EAGER_SPECS = {
     "similarity_index_persist",
     "similarity_index_append",
     "similarity_index_routed",
+    "similarity_index_multiprobe",
     "pipeline_corpus_build",
     "pipeline_corpus_build_quality",
     "maintenance_read_evolved",

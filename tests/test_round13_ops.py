@@ -238,6 +238,7 @@ CLU_KNN_FLOOR_P2 = 0.27
 # serve recall sits below the flat build's — the routing trades recall
 # for the N·3k^(1/3) build that makes 2M+ feasible at all).
 CLU_SERVE_FLOORS = {"ivfpq": 0.08, "pq_rerank": 0.45, "index_serve": 0.55,
+                    "index_serve_probe2": 0.75,  # measured 0.896
                     "index_serve_routed": 0.24}
 
 
@@ -276,6 +277,33 @@ def test_clustered_serve_recall_floors(spark, clustered_dir):
         assert out[method]["queries"] == 100, (method, out)
     # rerank must buy back recall over the coarse-pruned ADC path
     assert out["pq_rerank"]["mean_recall"] > out["ivfpq"]["mean_recall"]
+
+
+def test_ann_index_serve_multiprobe_equals_inline(spark, tmp_path):
+    """Serve-side nprobe=2 (query's nearest lists ranked against the
+    PERSISTED codebook) must equal the inline multiprobe searcher
+    exactly, keep partition pruning, and strictly widen nprobe=1's
+    candidate coverage."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        ivf_topk_multiprobe)
+    emb = load_table(spark, SF, "embeddings")
+    base = str(tmp_path / "idx")
+    ann_index_build(emb, base)
+    served = ann_index_search(spark, base, nprobe=2)
+    got = _serve_map(served)
+    want = _serve_map(ivf_topk_multiprobe(emb, nprobe=2))
+    assert got == want
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan[:800]
+    # per-query best cosine can only improve with a second probe
+    c1 = {r["query_id"]: r["cosine"]
+          for r in ann_index_search(spark, base, nprobe=1).collect()
+          if r["rnk"] == 1}
+    c2 = {r["query_id"]: r["cosine"]
+          for r in served.collect() if r["rnk"] == 1}
+    assert set(c1) <= set(c2)
+    for qid, c in c1.items():
+        assert c2[qid] >= c - 1e-12, (qid, c, c2[qid])
 
 
 def test_ann_index_build_routed_degenerate_identity(spark, tmp_path):
