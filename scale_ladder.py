@@ -339,7 +339,8 @@ def measure_serve_recall(spark, sf_dir: str, n_queries: int = 100,
         truth_l2 = (scored.withColumn("rnk", F.row_number().over(w_l2))
                     .filter(F.col("rnk") <= k)
                     .select("query_id", "match_id").localCheckpoint())
-    if {"index_serve", "index_serve_routed"} & set(methods):
+    if {"index_serve", "index_serve_probe2",
+            "index_serve_routed"} & set(methods):
         truth_cos = (scored.withColumn("rnk", F.row_number().over(w_cos))
                      .filter(F.col("rnk") <= k)
                      .select("query_id", "match_id").localCheckpoint())
