@@ -6450,3 +6450,192 @@ register(QuerySpec(
                 "— the serve-side recall knob the r13 clustered ladder "
                 "showed single-probe serving needs (results equal the "
                 "inline multiprobe searcher, same oracle verbatim)"))
+
+
+# --- graph-expansion ANN search (IVF seeds + kNN-graph beam walk) ----------------
+#
+# The r13 clustered ladder measured IVF single-probe recall DECAYING
+# per decade (0.426/0.336/0.255 at 20k/200k/2M): cell boundaries cut
+# clusters, and the neighbors on the far side are never candidates.
+# Graph expansion is the retrieval-stack answer (seed-and-expand, the
+# serving shape of NSW/DiskANN-style systems): seed each query with its
+# own inverted-list shortlist, then walk the kNN GRAPH outward — the
+# probe-2 graph's query-side copies are exactly the cross-cell edges
+# that reach over the boundary, so the walk recovers neighbors the cell
+# scan structurally cannot see. Recall can only improve: the visited
+# set starts at the IVF shortlist and grows monotonically, so the final
+# top-k is never worse than the seeds' (hops=0 IS the IVF searcher).
+#
+# A fixed entry set does NOT work here and is deliberately absent: kNN
+# edges are cluster-local, so a walk from global entry points cannot
+# navigate across disjoint clusters (NSW/HNSW buy navigability with
+# long-range links a cell-restricted build doesn't have) — seeding from
+# the query's own cell starts the walk inside the right neighborhood
+# and spends hops on boundary recovery, where the measured loss is.
+#
+# Scale shape (100 TB): queries are a fixed-size bounded relation; each
+# hop joins the |Q|·beam frontier against the edge list (broadcast-hash)
+# and fetches ≤|Q|·beam·k new candidates' vectors with a second
+# broadcast join — per-hop state never exceeds |Q|·(beam·(1+hops·k))
+# rows, and the corpus-sized relations (graph, vectors) are scanned,
+# never shuffled or broadcast. The graph is the build-once artifact
+# (knn_graph: N^1.5 cell-restricted self-join under a √N̄ codebook,
+# routable three-level above it; persistable like the IVF index).
+
+GS_BEAM = 5   # seed/beam width (≥ TOP_K so the final top-k is populated)
+GS_HOPS = 3   # fixed expansion depth — unrolled, no iteration state
+
+
+def graph_search(emb: DataFrame, edges: DataFrame | None = None,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 k: int = TOP_K, beam: int = GS_BEAM, hops: int = GS_HOPS,
+                 query_mod: int = QUERY_MOD, n_queries: int = N_QUERIES,
+                 centroid_mod: int = CENTROID_MOD,
+                 n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """Top-k cosine search: IVF probe-1 seeds, expanded ``hops`` times
+    over the kNN graph with a beam of ``beam``.
+
+    ``edges``: a prebuilt (vec_id, neighbor_id) graph — pass the
+    scheduled-codebook build at scale; the default builds the flat
+    ``knn_graph(nprobe=2)`` (query-side second-cell copies are the
+    cross-cell edges the expansion exists to follow). Each hop keeps
+    the ``beam`` best visited nodes per query, expands their
+    out-edges, scores the new candidates exactly (quantized int dot),
+    and unions them into the visited set — revisits dedupe exactly
+    because a (query, node) pair always scores to the identical
+    double. ``hops=0`` degenerates to the IVF probe-1 searcher.
+    """
+    from pyspark.sql import Window
+    if edges is None:
+        edges = knn_graph(emb, id_col=id_col, vec_col=vec_col,
+                          centroid_mod=centroid_mod,
+                          n_centroids=n_centroids, nprobe=2)
+    edges = (edges.select(F.col("vec_id").alias("src_id"), "neighbor_id")
+             .localCheckpoint())
+    corpus = (emb.select(F.col(id_col),
+                         quantize(F.col(vec_col)).alias("qv"),
+                         sq_norm(quantize(F.col(vec_col))).alias("n2"))
+              .filter(F.col("n2") > 0))
+    queries = (corpus.filter(_fixed_sample(id_col, query_mod, n_queries))
+               .select(F.col(id_col).alias("query_id"),
+                       F.col("qv").alias("qq"),
+                       F.col("n2").alias("qn2"))
+               .localCheckpoint())
+    visited = (ivf_topk(emb, id_col=id_col, vec_col=vec_col, k=beam,
+                        query_mod=query_mod, n_queries=n_queries,
+                        centroid_mod=centroid_mod,
+                        n_centroids=n_centroids)
+               .select("query_id", F.col("match_id").alias("node"),
+                       "cosine")
+               .localCheckpoint())
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("node"))
+    for _ in range(hops):
+        frontier = (visited.withColumn("rnk", F.row_number().over(w))
+                    .filter(F.col("rnk") <= beam)
+                    .select("query_id", "node"))
+        cand = (edges.join(F.broadcast(frontier),
+                           edges["src_id"] == frontier["node"])
+                .select("query_id", F.col("neighbor_id").alias("node"))
+                .distinct()
+                .filter(F.col("node") != F.col("query_id"))
+                .join(F.broadcast(queries), "query_id"))
+        scored = (corpus.join(F.broadcast(cand),
+                              corpus[id_col] == cand["node"])
+                  .select("query_id", "node",
+                          (int_dot(F.col("qq"), F.col("qv")).cast("double")
+                           / (F.sqrt(F.col("qn2").cast("double"))
+                              * F.sqrt(F.col("n2").cast("double"))))
+                          .alias("cosine")))
+        visited = visited.unionByName(scored).distinct().localCheckpoint()
+    return (visited.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", F.col("node").alias("match_id"),
+                    "cosine", "rnk"))
+
+
+def similarity_graph_search_query(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    return graph_search(emb)
+
+
+def _graph_search_sql(beam: int = GS_BEAM, hops: int = GS_HOPS) -> str:
+    """DuckDB oracle: the probe-2 kNN-graph CTEs (query side = the two
+    best-ranked cells from assign_scored, candidate side = own cell
+    only) + the IVF probe-1 seed shortlist + the hop chain unrolled —
+    beam/expand/score/union per hop, exactly the DataFrame plan."""
+    sql = _coarse_sql_prefix(carry_n2=True, assigned="search") + f""", g2 AS (
+  SELECT b.vec_id, a.cid, b.qv, b.n2
+  FROM base b JOIN assign_scored a ON a.vec_id = b.vec_id AND a.rn <= 2
+  WHERE b.in2 > 0
+), gscored AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+  FROM g2 a JOIN assigned b
+    ON b.cid = a.cid AND b.vec_id <> a.vec_id
+), gedges AS (
+  SELECT src_id, neighbor_id FROM (
+    SELECT src_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM gscored
+  ) WHERE rnk <= {KNN_K}
+), queries AS (
+  SELECT vec_id AS query_id, qv AS qq, n2 AS qn2 FROM base
+  WHERE in2 > 0 AND {_fixed_sample_sql('vec_id', QUERY_MOD, N_QUERIES)}
+), seed_scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS node,
+    CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> qs.qv[i] * c.qv[i])) AS DOUBLE)
+      / (sqrt(qs.n2) * sqrt(c.n2)) AS cosine
+  FROM assigned qs JOIN assigned c
+    ON c.cid = qs.cid AND c.vec_id <> qs.vec_id
+  WHERE {_fixed_sample_sql('qs.vec_id', QUERY_MOD, N_QUERIES)}
+), v0 AS (
+  SELECT query_id, node, cosine FROM (
+    SELECT query_id, node, cosine,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rnk
+    FROM seed_scored
+  ) WHERE rnk <= {beam}
+)"""
+    dot_qc = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+              f"i -> q.qq[i] * c.qv[i]))")
+    for h in range(hops):
+        sql += f""", b{h} AS (
+  SELECT query_id, node FROM (
+    SELECT query_id, node,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rnk
+    FROM v{h}
+  ) WHERE rnk <= {beam}
+), x{h} AS (
+  SELECT DISTINCT b.query_id, g.neighbor_id AS node
+  FROM b{h} b JOIN gedges g ON g.src_id = b.node
+  WHERE g.neighbor_id <> b.query_id
+), s{h} AS (
+  SELECT x.query_id, x.node,
+    CAST({dot_qc} AS DOUBLE) / (sqrt(q.qn2) * sqrt(c.n2)) AS cosine
+  FROM x{h} x
+  JOIN queries q ON q.query_id = x.query_id
+  JOIN base c ON c.vec_id = x.node
+), v{h + 1} AS (
+  SELECT * FROM v{h} UNION SELECT * FROM s{h}
+)"""
+    sql += f""", scored AS (
+  SELECT query_id, node AS match_id, cosine FROM v{hops}
+)""" + _RANKED_TOPK_TAIL
+    return sql
+
+
+_GRAPH_SEARCH_SQL = _graph_search_sql()
+
+register(QuerySpec(
+    "similarity_graph_search", similarity_graph_search_query,
+    _GRAPH_SEARCH_SQL,
+    description=f"graph-expansion ANN search (seed-and-expand, the "
+                f"NSW/DiskANN serving shape): IVF probe-1 seeds walked "
+                f"{GS_HOPS} hops over the probe-2 kNN graph with a "
+                f"beam of {GS_BEAM} — the graph's cross-cell edges "
+                "recover the boundary neighbors whose loss the r13 "
+                "clustered ladder measured as per-decade IVF recall "
+                "decay; hops=0 degenerates to the IVF searcher, so "
+                "recall is monotone in hops by construction"))

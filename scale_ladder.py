@@ -277,7 +277,8 @@ def ensure_clustered(spark, dst: str, n_rows: int) -> None:
 
 
 SERVE_METHODS = ("ivfpq", "pq_rerank", "index_serve",
-                 "index_serve_probe2", "index_serve_routed")
+                 "index_serve_probe2", "index_serve_routed",
+                 "graph_search")
 
 
 def measure_serve_recall(spark, sf_dir: str, n_queries: int = 100,
@@ -339,8 +340,8 @@ def measure_serve_recall(spark, sf_dir: str, n_queries: int = 100,
         truth_l2 = (scored.withColumn("rnk", F.row_number().over(w_l2))
                     .filter(F.col("rnk") <= k)
                     .select("query_id", "match_id").localCheckpoint())
-    if {"index_serve", "index_serve_probe2",
-            "index_serve_routed"} & set(methods):
+    if {"index_serve", "index_serve_probe2", "index_serve_routed",
+            "graph_search"} & set(methods):
         truth_cos = (scored.withColumn("rnk", F.row_number().over(w_cos))
                      .filter(F.col("rnk") <= k)
                      .select("query_id", "match_id").localCheckpoint())
@@ -419,6 +420,29 @@ def measure_serve_recall(spark, sf_dir: str, n_queries: int = 100,
             "codebook": {"centroid_mod": m3, "n_centroids": k3,
                          "n_super": s1, "n_super2": s2,
                          "spread_every": ev},
+            "sec": round(_t.perf_counter() - t0, 1)}
+    if "graph_search" in methods:
+        # graph-expansion serving (r13): IVF probe-1 seeds under the
+        # serve family's flat scaled codebook, expanded over the
+        # probe-2 kNN graph built at the GRAPH family's schedule — the
+        # cross-cell edges recover the boundary neighbors whose loss
+        # is the measured per-decade single-probe decay
+        from downscaledclimatedata_spark.operators.similarity import (
+            graph_search, knn_graph, scaled_codebook_three_level)
+        m3, k3, s1, s2, ev = scaled_codebook_three_level(n)
+        t0 = _t.perf_counter()
+        edges = knn_graph(emb, centroid_mod=m3, n_centroids=k3,
+                          n_super=s1, n_super2=s2, spread_every=ev,
+                          nprobe=2)
+        r, q = _recall(truth_cos, graph_search(
+            emb, edges=edges, k=k, query_mod=q_every,
+            n_queries=n_queries, centroid_mod=mod, n_centroids=kc))
+        out["graph_search"] = {
+            "mean_recall": round(r, 4), "queries": q,
+            "seed_codebook": {"centroid_mod": mod, "n_centroids": kc},
+            "graph_codebook": {"centroid_mod": m3, "n_centroids": k3,
+                               "n_super": s1, "n_super2": s2,
+                               "spread_every": ev},
             "sec": round(_t.perf_counter() - t0, 1)}
     return out
 

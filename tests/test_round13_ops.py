@@ -381,3 +381,86 @@ def test_hybrid_rrf_bm25_fusion_invariants(spark):
     got_lex = {r["id"]: r["rank_lex"] for r in fused if r["rank_lex"] != -1}
     for doc_id, rank in got_lex.items():
         assert lex_order[rank - 1] == doc_id
+
+
+# --- graph-expansion ANN search (IVF seeds + kNN-graph beam walk) ---------------
+
+def test_graph_search_recovers_cross_cell_neighbor(spark):
+    """A true neighbor assigned to a DIFFERENT coarse cell than the
+    query is invisible to the probe-1 cell scan, but the probe-2
+    graph's cross-cell edge reaches it: hops=0 misses it, hops=1
+    finds it — the expansion is doing exactly the boundary-recovery
+    work it exists for, with no injected edges."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        DIM, graph_search)
+
+    def vec(*pairs):
+        v = [0.0] * DIM
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    rows = [
+        (0, vec((0, 1.0))),              # query AND centroid of cell A
+        (25, vec((1, 1.0))),             # centroid of cell B
+        (1, vec((0, 0.99))),             # seed: cell A, cosine 1 to q
+        (2, vec((0, 0.6), (1, 0.8))),    # target: lands in cell B,
+                                         # cosine 0.6 to the query
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def matches(hops):
+        out = graph_search(emb, hops=hops)
+        return {r["match_id"]: r["rnk"]
+                for r in out.filter(F.col("query_id") == 0).collect()}
+
+    at0 = matches(0)             # probe-1 cell scan: cell A = {1} only
+    assert set(at0) == {1}, at0
+    at1 = matches(1)             # seed 1's probe-2 edge crosses into B
+    assert 2 in at1, at1
+    assert at1[1] == 1 and at1[2] == 2, at1
+
+
+def test_graph_search_recall_monotone_and_floor(spark, clustered_dir):
+    """On the clustered 4k fixture: hops=0 equals the IVF probe-1
+    searcher exactly, visited sets nest as hops grow (recall monotone),
+    and the full walk must clear the measured floor."""
+    from downscaledclimatedata_spark.operators.similarity import (
+        cosine_topk_quantized, graph_search, ivf_topk, scaled_codebook)
+    from downscaledclimatedata_spark.sources.tables import (
+        load_table_parallel)
+
+    emb = load_table_parallel(spark, clustered_dir, "embeddings",
+                              key="vec_id").localCheckpoint()
+    # the SCALED codebook (the serve family's schedule): enough cells
+    # that cluster-cutting boundaries — the measured decay mechanism —
+    # actually occur at fixture scale
+    mod, kc = scaled_codebook(emb.count())
+    truth = {}
+    for r in cosine_topk_quantized(emb).collect():
+        truth.setdefault(r["query_id"], set()).add(r["match_id"])
+
+    def topmap(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["match_id"])
+        return got
+
+    def recall(got):
+        per_q = [len(got.get(q, set()) & t) / len(t)
+                 for q, t in truth.items()]
+        return sum(per_q) / len(per_q)
+
+    def walk(hops):
+        return topmap(graph_search(emb, hops=hops, centroid_mod=mod,
+                                   n_centroids=kc))
+
+    ivf = topmap(ivf_topk(emb, centroid_mod=mod, n_centroids=kc))
+    g0 = walk(0)
+    assert g0 == ivf                      # hops=0 IS the IVF searcher
+    r0, r1, r3 = recall(g0), recall(walk(1)), recall(walk(3))
+    assert r0 <= r1 <= r3, (r0, r1, r3)
+    assert r3 > r0, (r0, r3)             # the walk actually recovers
+    # measured: 0.72 / 0.78 / 0.78 at hops 0/1/3 (recovery converges
+    # after one hop on this geometry); floor ~30% below
+    assert r3 >= 0.55, (r0, r1, r3)
