@@ -239,7 +239,8 @@ CLU_KNN_FLOOR_P2 = 0.27
 # for the N·3k^(1/3) build that makes 2M+ feasible at all).
 CLU_SERVE_FLOORS = {"ivfpq": 0.08, "pq_rerank": 0.45, "index_serve": 0.55,
                     "index_serve_probe2": 0.75,  # measured 0.896
-                    "index_serve_routed": 0.24}
+                    "index_serve_routed": 0.24,
+                    "graph_search": 0.55}  # measured 0.776 (r13)
 
 
 @pytest.fixture(scope="module")
