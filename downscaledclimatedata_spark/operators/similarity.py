@@ -6639,3 +6639,164 @@ register(QuerySpec(
                 "clustered ladder measured as per-decade IVF recall "
                 "decay; hops=0 degenerates to the IVF searcher, so "
                 "recall is monotone in hops by construction"))
+
+
+# --- persisted kNN graph (build-once / serve-many for graph expansion) -----------
+#
+# The graph-expansion searcher's 100 TB story needs the graph to be a
+# persisted artifact like the IVF index (a kNN graph over 10^8 vectors
+# is an N^1.5 cell-restricted build — nothing to recompute per query
+# batch). Layout: adjacency rows with the NEIGHBOR'S quantized vector
+# inline (the DiskANN trick — one pruned read per hop serves both
+# expansion and exact scoring; no second corpus fetch), partitioned by
+# a src-id bucket so each hop's scan is dynamically partition-pruned
+# to the frontier's buckets (≤ |Q|·beam partitions of n_buckets).
+
+GRAPH_BUCKETS = 64
+
+
+def knn_graph_persist(emb: DataFrame, path: str, id_col: str = "vec_id",
+                      vec_col: str = "embedding", k: int = KNN_K,
+                      centroid_mod: int = CENTROID_MOD,
+                      n_centroids: int = N_CENTROIDS, nprobe: int = 2,
+                      n_buckets: int = GRAPH_BUCKETS,
+                      n_super: int = None, n_super2: int = None,
+                      spread_every: int = None) -> None:
+    """Materialize the kNN graph for serving: adjacency + inline
+    neighbor vectors, bucket-partitioned on the source id. ``meta/``
+    records the build configuration (k, nprobe, n_buckets) — the
+    searcher validates it at serve time, same discipline as the IVF
+    index. Pass the three-level routing args above the flat wall,
+    exactly as for :func:`knn_graph`."""
+    edges = knn_graph(emb, id_col=id_col, vec_col=vec_col, k=k,
+                      centroid_mod=centroid_mod, n_centroids=n_centroids,
+                      nprobe=nprobe, n_super=n_super, n_super2=n_super2,
+                      spread_every=spread_every)
+    nbr = (emb.select(F.col(id_col).alias("neighbor_id"),
+                      quantize(F.col(vec_col)).alias("nq"),
+                      sq_norm(quantize(F.col(vec_col))).alias("nn2"))
+           .filter(F.col("nn2") > 0))
+    rows = (edges.select(F.col("vec_id").alias("src_id"), "neighbor_id")
+            .join(nbr, "neighbor_id")
+            .withColumn("bkt", F.pmod(F.col("src_id"),
+                                      F.lit(n_buckets))))
+    rows.write.partitionBy("bkt").mode("overwrite") \
+        .parquet(f"{path}/graph")
+    emb.sparkSession.createDataFrame(
+        [(k, nprobe, n_buckets)], "k int, nprobe int, n_buckets int") \
+        .write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def knn_graph_meta(spark: SparkSession, path: str) -> tuple:
+    """Read the persisted graph's build configuration; raises if the
+    relation is missing or malformed — a graph without its bucket
+    count is not servable (the serve-side bucket derivation must match
+    the build's or every pruned read misses)."""
+    rows = spark.read.parquet(f"{path}/meta").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"kNN graph meta at {path}/meta must hold exactly one row, "
+            f"got {len(rows)}")
+    return int(rows[0].k), int(rows[0].nprobe), int(rows[0].n_buckets)
+
+
+def graph_search_persisted(spark: SparkSession, index_path: str,
+                           graph_path: str, k: int = TOP_K,
+                           beam: int = GS_BEAM, hops: int = GS_HOPS,
+                           query_mod: int = QUERY_MOD,
+                           n_queries: int = N_QUERIES,
+                           expect_nprobe: int = None) -> DataFrame:
+    """Serve graph-expansion search from PERSISTED artifacts: seeds
+    from the IVF index (``ann_index_search``, the partition-pruned
+    probe-1 shortlist), hops over the persisted adjacency — each hop's
+    scan dynamically partition-pruned to the frontier's buckets, with
+    scoring vectors read inline from the adjacency rows. Results are
+    identical to the inline :func:`graph_search` — persistence must
+    change nothing, the same contract as the IVF index's."""
+    from pyspark.sql import Window
+    _gk, gnprobe, n_buckets = knn_graph_meta(spark, graph_path)
+    if expect_nprobe is not None and gnprobe != expect_nprobe:
+        raise ValueError(
+            f"graph at {graph_path} was built with nprobe={gnprobe}, "
+            f"caller expected {expect_nprobe}")
+    g = spark.read.parquet(f"{graph_path}/graph")
+    lists = spark.read.parquet(f"{index_path}/lists")
+    queries = (lists.filter(_fixed_sample("id", query_mod, n_queries))
+               .select(F.col("id").alias("query_id"),
+                       F.col("qv").alias("qq"),
+                       F.col("n2").alias("qn2"))
+               .localCheckpoint())
+    visited = (ann_index_search(spark, index_path, k=beam,
+                                query_mod=query_mod, n_queries=n_queries)
+               .select("query_id", F.col("match_id").alias("node"),
+                       "cosine")
+               .localCheckpoint())
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("node"))
+    for _ in range(hops):
+        frontier = (visited.withColumn("rnk", F.row_number().over(w))
+                    .filter(F.col("rnk") <= beam)
+                    .select("query_id", "node",
+                            F.pmod(F.col("node"),
+                                   F.lit(n_buckets)).alias("bkt")))
+        scored = _graph_hop(g, frontier, queries)
+        visited = visited.unionByName(scored).distinct().localCheckpoint()
+    return (visited.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", F.col("node").alias("match_id"),
+                    "cosine", "rnk"))
+
+
+def _graph_hop(g: DataFrame, frontier: DataFrame,
+               queries: DataFrame) -> DataFrame:
+    """One expansion hop over the persisted adjacency: the frontier's
+    (bkt, node) pairs broadcast against the bucket-partitioned graph —
+    the scan is dynamically partition-pruned to the frontier's buckets
+    (plan-asserted in tests) — then exact scoring from the inline
+    neighbor vectors."""
+    cand = (g.join(F.broadcast(frontier),
+                   (g["bkt"] == frontier["bkt"])
+                   & (g["src_id"] == frontier["node"]))
+            .select("query_id",
+                    F.col("neighbor_id").alias("node"), "nq", "nn2")
+            .filter(F.col("node") != F.col("query_id"))
+            .dropDuplicates(["query_id", "node"])
+            .join(F.broadcast(queries), "query_id"))
+    return cand.select(
+        "query_id", "node",
+        (int_dot(F.col("qq"), F.col("nq")).cast("double")
+         / (F.sqrt(F.col("qn2").cast("double"))
+            * F.sqrt(F.col("nn2").cast("double")))).alias("cosine"))
+
+
+def similarity_graph_persist_query(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Build the IVF index AND the kNN graph to disk, then serve the
+    standard query sample entirely from the persisted relations. The
+    oracle is the inline graph searcher's SQL verbatim — persistence
+    must change NOTHING about the results."""
+    import shutil
+    import tempfile
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings", key="vec_id")
+    base = tempfile.mkdtemp(prefix="dcd_gsp_")
+    try:
+        ann_index_build(emb, f"{base}/idx")
+        knn_graph_persist(emb, f"{base}/graph")
+        return graph_search_persisted(
+            spark, f"{base}/idx", f"{base}/graph",
+            expect_nprobe=2).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+register(QuerySpec(
+    "similarity_graph_persist", similarity_graph_persist_query,
+    _GRAPH_SEARCH_SQL,
+    description="persisted graph-expansion serving (build once, serve "
+                "many): the probe-2 kNN graph written as bucket-"
+                "partitioned adjacency with inline neighbor vectors "
+                "(one pruned read per hop serves expansion AND exact "
+                "scoring), seeds from the persisted IVF index — "
+                "results identical to the inline graph searcher (same "
+                "oracle SQL verbatim)"))

@@ -49,6 +49,7 @@ EAGER_SPECS = {
     "similarity_index_append",
     "similarity_index_routed",
     "similarity_index_multiprobe",
+    "similarity_graph_persist",
     "pipeline_corpus_build",
     "pipeline_corpus_build_quality",
     "maintenance_read_evolved",

@@ -465,3 +465,56 @@ def test_graph_search_recall_monotone_and_floor(spark, clustered_dir):
     # measured: 0.72 / 0.78 / 0.78 at hops 0/1/3 (recovery converges
     # after one hop on this geometry); floor ~30% below
     assert r3 >= 0.55, (r0, r1, r3)
+
+
+def test_graph_persist_equals_inline_and_prunes(spark, tmp_path):
+    """Persistence must change nothing (results == the inline graph
+    searcher) and each hop's adjacency scan must be DYNAMICALLY
+    PARTITION-PRUNED to the frontier's buckets — the graph twin of the
+    IVF index's build-once/serve-many contract."""
+    from pyspark.sql import functions as SF2
+    from downscaledclimatedata_spark.operators.similarity import (
+        _graph_hop, ann_index_build, graph_search, graph_search_persisted,
+        knn_graph_persist)
+    from downscaledclimatedata_spark.sources.tables import load_table
+    emb = load_table(spark, SF, "embeddings")
+    idx, gp = str(tmp_path / "idx"), str(tmp_path / "graph")
+    ann_index_build(emb, idx)
+    knn_graph_persist(emb, gp)
+    served = graph_search_persisted(spark, idx, gp)
+    inline = graph_search(emb)
+    assert _serve_map(served) == _serve_map(inline)
+    # the real hop code path, driven with a seed frontier: DPP on bkt
+    g = spark.read.parquet(f"{gp}/graph")
+    lists = spark.read.parquet(f"{idx}/lists")
+    queries = (lists.filter(SF2.col("id") % 50 == 0)
+               .select(SF2.col("id").alias("query_id"),
+                       SF2.col("qv").alias("qq"),
+                       SF2.col("n2").alias("qn2")))
+    frontier = queries.select(
+        "query_id", SF2.col("query_id").alias("node"),
+        SF2.pmod(SF2.col("query_id"), SF2.lit(64)).alias("bkt"))
+    hop = _graph_hop(g, frontier, queries)
+    plan = hop._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan[:800]
+
+
+def test_graph_persist_meta_validated(spark, tmp_path):
+    """A persisted graph without (or with mismatched) build metadata
+    must refuse to serve — the bucket count and probe discipline are
+    part of the artifact, not caller folklore."""
+    import shutil
+
+    import pytest as _pytest
+    from downscaledclimatedata_spark.operators.similarity import (
+        ann_index_build, graph_search_persisted, knn_graph_persist)
+    from downscaledclimatedata_spark.sources.tables import load_table
+    emb = load_table(spark, SF, "embeddings")
+    idx, gp = str(tmp_path / "idx"), str(tmp_path / "graph")
+    ann_index_build(emb, idx)
+    knn_graph_persist(emb, gp, nprobe=1)
+    with _pytest.raises(ValueError, match="nprobe=1"):
+        graph_search_persisted(spark, idx, gp, expect_nprobe=2)
+    shutil.rmtree(f"{gp}/meta")
+    with _pytest.raises(Exception):
+        graph_search_persisted(spark, idx, gp)
