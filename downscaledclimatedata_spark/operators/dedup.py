@@ -522,10 +522,22 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
       (v, m) with v > u's min);
     - small-star: connect all neighbors <= u (and u itself) to m(u).
     Both are one groupBy + one re-expansion — no joins growing with
-    iteration count; ``localCheckpoint`` truncates lineage per round.
+    iteration count.
     Terminates when the edge multiset stops changing (scalar-aggregate
     fingerprint, same trick as ``connected_components``).
+
+    Execution shape (r13 optimization, results identical): ONE eager job
+    per round, not three. The large-star output flows lazily into the
+    small star (the small star's ``collect_set`` dedups it, so the
+    intermediate ``distinct`` + checkpoint bought nothing but a stage
+    barrier), only the round's final edge set is checkpointed (lineage
+    stays bounded at two stars), and the convergence fingerprint rides
+    that same checkpoint materialization as an ``Observation`` instead
+    of a separate collect job — the same observe-on-checkpoint pattern
+    the corpus builder's funnel counters use.
     """
+    from pyspark.sql import Observation
+
     # undirected edge list, self-loop-free, deduped
     edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
              .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
@@ -545,9 +557,10 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
         large = (lm.select(F.explode("nbrs").alias("v"), "u", "m")
                  .filter(F.col("v") > F.col("u"))
                  .select(F.col("v").alias("u"), F.col("m").alias("v")))
-        edges = large.distinct().localCheckpoint()
-        # small-star: m = min over (nbrs <= u) ∪ {u}; emit (v, m) for those
-        sym = edges.union(edges.select(F.col("v").alias("u"),
+        # small-star over the large-star output: m = min over
+        # (nbrs <= u) ∪ {u}; emit (v, m) for those. collect_set dedups
+        # any duplicate large-star edges, so no distinct in between.
+        sym = large.union(large.select(F.col("v").alias("u"),
                                        F.col("u").alias("v")))
         grouped = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
         sm = grouped.select(
@@ -561,18 +574,21 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
             F.col("small"), F.array(F.col("u")))).alias("v"), "m")
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v")))
-        edges = small.distinct().localCheckpoint()
         # edge-SET fingerprint: (count, xor of per-edge 60-bit md5). XOR
         # cannot overflow (unlike sum(u*31+v), which wraps or ANSI-errors
         # past 2^63 at large id scales), and a spurious match needs an
         # md5-xor collision at identical edge count — negligible. Edges
         # are distinct, so the set fingerprint is well-defined.
-        fp_row = (edges
-                  .select(md5_long(F.concat_ws(",", F.col("u"), F.col("v")))
-                          .alias("h"))
-                  .agg(F.expr("bit_xor(h)").alias("x"),
-                       F.count("*").alias("n")).collect()[0])
-        fp = (fp_row["x"], fp_row["n"])
+        obs = Observation()
+        edges = (small.distinct()
+                 .observe(obs,
+                          F.bit_xor(md5_long(
+                              F.concat_ws(",", F.col("u"), F.col("v"))))
+                          .alias("x"),
+                          F.count(F.lit(1)).alias("n"))
+                 .localCheckpoint())
+        m = obs.get
+        fp = (m["x"], m["n"])
         if fp == prev_fp:
             break
         prev_fp = fp

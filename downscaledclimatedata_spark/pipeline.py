@@ -266,9 +266,20 @@ def pipeline_corpus_build_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from downscaledclimatedata_spark.sources.tables import (
+        load_table_parallel)
+
     out = tempfile.mkdtemp(prefix="dcd_corpus_bench_")
     try:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # load_table_parallel: a single-row-group local fixture is ONE
+        # scan partition, which would run the whole funnel — the O(u·n)
+        # quality rule chain, shingling, per-shingle md5 — on one core
+        # AND propagate the 1-partition layout through every stage
+        # checkpoint (r13 measured: ~2.5-3.5 s per build at sf0.1). At
+        # real scale file splits already parallelize and the branch is
+        # a no-op. Same rows, same funnel counts.
+        docs = load_table_parallel(spark, sf_dir, "documents",
+                                   key="doc_id")
         # same deterministic eval split as dedup_decontaminate_query, so
         # the headline build exercises the decontamination stage too
         is_eval = (md5_long(F.col("doc_id").cast("string"), seed="decon:")
@@ -467,9 +478,14 @@ def pipeline_corpus_build_quality_query(spark: SparkSession,
     import shutil
     import tempfile
 
+    from downscaledclimatedata_spark.sources.tables import (
+        load_table_parallel)
+
     out = tempfile.mkdtemp(prefix="dcd_corpus_bench_q_")
     try:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # parallelized read: see pipeline_corpus_build_query
+        docs = load_table_parallel(spark, sf_dir, "documents",
+                                   key="doc_id")
         is_eval = (md5_long(F.col("doc_id").cast("string"), seed="decon:")
                    % 41 == 0)
         res = build_training_corpus(
