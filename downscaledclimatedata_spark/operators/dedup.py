@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from downscaledclimatedata_spark.functions.hashing import md5_long, md5_long_sql
+from downscaledclimatedata_spark.functions.rows import literal_rows
 from downscaledclimatedata_spark.plans import QuerySpec, register
 from downscaledclimatedata_spark.sources.tables import load_table, load_table_parallel
 from downscaledclimatedata_spark.functions.text import WS_RE
@@ -2132,7 +2133,7 @@ def signal_eval(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
            .agg(F.count(F.lit(1)).alias("n_candidates"),
                 F.sum(F.coalesce(F.col("in_truth"), F.lit(0))).alias("tp")))
     spark = df.sparkSession
-    names = spark.createDataFrame([(n,) for n, _ in gens], "signal string")
+    names = literal_rows(spark, [(n,) for n, _ in gens], "signal string")
     tot = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     return (names
             .crossJoin(F.broadcast(tot))

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from downscaledclimatedata_spark.functions.hashing import md5_long, md5_long_sql
+from downscaledclimatedata_spark.functions.rows import literal_rows
 from downscaledclimatedata_spark.plans import QuerySpec, register
 from downscaledclimatedata_spark.sources.tables import load_table, load_table_parallel
 from downscaledclimatedata_spark.functions.text import WS_RE
@@ -1009,7 +1010,10 @@ def cms_estimate(df: DataFrame, text_col: str, id_col: str,
         return int(hashlib.md5(f"cms{d}:{t}".encode()).hexdigest()[:15],
                    16) % width
     spark = df.sparkSession
-    probes = spark.createDataFrame(
+    # literal_rows: a Python local relation in a JVM join costs a
+    # Python-worker round trip per task (functions/rows.py)
+    probes = literal_rows(
+        spark,
         [(t, d, h(d, t)) for t in terms for d in range(depth)],
         "term string, d int, cell bigint")
     est = (probes.join(cells, ["d", "cell"], "left")
@@ -1123,7 +1127,8 @@ def bloom_membership(df: DataFrame, text_col: str = "text",
     def h(i: int, t: str) -> int:
         return int(hashlib.md5(f"bloom{i}:{t}".encode()).hexdigest()[:15],
                    16) % m
-    probe_bits = spark.createDataFrame(
+    probe_bits = literal_rows(
+        spark,
         [(t, h(i, t)) for t in probes for i in range(k)],
         "term string, bit bigint")
     # probe_bits (|probes|*k rows) is the genuinely tiny side, but Spark
@@ -1140,7 +1145,7 @@ def bloom_membership(df: DataFrame, text_col: str = "text",
     present = (toks.filter(F.col("token").isin(*probes))
                .select(F.col("token").alias("term")).distinct()
                .withColumn("truly_present", F.lit(True)))
-    names = spark.createDataFrame([(t,) for t in probes], "term string")
+    names = literal_rows(spark, [(t,) for t in probes], "term string")
     return (names
             .join(hit, "term", "left")
             .join(present, "term", "left")

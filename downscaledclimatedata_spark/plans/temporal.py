@@ -24,8 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from downscaledclimatedata_spark.functions.rows import literal_rows
 from downscaledclimatedata_spark.plans import QuerySpec, register
 from downscaledclimatedata_spark.sources.tables import load_table
+from downscaledclimatedata_spark.streaming.stream import (
+    dir_bytes, scaled_state_partitions)
 
 SESSION_GAP = "30 minutes"
 SESSION_GAP_S = 1800
@@ -283,20 +286,24 @@ def streaming_tumbling_counts_query(spark: SparkSession,
         edir = f"{base}/events"
         ev.repartition(4).write.parquet(edir)
         staged = spark.read.parquet(edir)
-        stream = (spark.readStream.schema(staged.schema)
-                  .option("maxFilesPerTrigger", 1).parquet(edir))
-        agg = (stream.withWatermark("ts", "10 minutes")
-               .groupBy(F.window("ts", f"{TUMBLE_S} seconds").alias("w"),
-                        "event_type")
-               .agg(F.count("*").alias("n_events"),
-                    F.sum(F.floor(F.col("value") * 1000).cast("long"))
-                    .alias("sum_value_milli")))
-        name = f"swin_{uuid.uuid4().hex[:8]}"
-        q = (agg.writeStream.format("memory").queryName(name)
-             .outputMode("complete")
-             .option("checkpointLocation", f"{base}/ckpt")
-             .trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        # state partitions sized to the staged input (see
+        # streaming/stream.py scaled_state_partitions): 32 state-
+        # store commits/stage/batch on a KB replay was ~5x wall
+        with scaled_state_partitions(spark, dir_bytes(edir)):
+            stream = (spark.readStream.schema(staged.schema)
+                      .option("maxFilesPerTrigger", 1).parquet(edir))
+            agg = (stream.withWatermark("ts", "10 minutes")
+                   .groupBy(F.window("ts", f"{TUMBLE_S} seconds").alias("w"),
+                            "event_type")
+                   .agg(F.count("*").alias("n_events"),
+                        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+                        .alias("sum_value_milli")))
+            name = f"swin_{uuid.uuid4().hex[:8]}"
+            q = (agg.writeStream.format("memory").queryName(name)
+                 .outputMode("complete")
+                 .option("checkpointLocation", f"{base}/ckpt")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
         out = (spark.table(name)
                .select(F.col("w.start").alias("window_start"),
                        "event_type",
@@ -361,18 +368,22 @@ def streaming_stateful_totals_query(spark: SparkSession,
         edir = f"{base}/events"
         ev.repartition(4).write.parquet(edir)
         staged = spark.read.parquet(edir)
-        stream = (spark.readStream.schema(staged.schema)
-                  .option("maxFilesPerTrigger", 1).parquet(edir)
-                  .select("user_id",
-                          F.floor(F.col("value") * 1000).cast("double")
-                          .alias("value")))
-        name = f"stws_{uuid.uuid4().hex[:8]}"
-        q = (running_user_totals(stream)
-             .writeStream.format("memory").queryName(name)
-             .outputMode("update")
-             .option("checkpointLocation", f"{base}/ckpt")
-             .trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        # state partitions sized to the staged input (see
+        # streaming/stream.py scaled_state_partitions): 32 state-
+        # store commits/stage/batch on a KB replay was ~5x wall
+        with scaled_state_partitions(spark, dir_bytes(edir)):
+            stream = (spark.readStream.schema(staged.schema)
+                      .option("maxFilesPerTrigger", 1).parquet(edir)
+                      .select("user_id",
+                              F.floor(F.col("value") * 1000).cast("double")
+                              .alias("value")))
+            name = f"stws_{uuid.uuid4().hex[:8]}"
+            q = (running_user_totals(stream)
+                 .writeStream.format("memory").queryName(name)
+                 .outputMode("update")
+                 .option("checkpointLocation", f"{base}/ckpt")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
         w = Window.partitionBy("user_id").orderBy(
             F.col("n_events").desc())
         out = (spark.table(name)
@@ -466,23 +477,27 @@ def streaming_session_windows_query(spark: SparkSession,
             os.utime(dst, (t00 + 100 * idx, t00 + 100 * idx))
             idx += 1
         schema = spark.read.parquet(edir).schema
-        stream = (spark.readStream.schema(schema)
-                  .option("maxFilesPerTrigger", 1).parquet(edir))
-        agg = (stream.withWatermark("ts", f"{horizon_s} seconds")
-               .groupBy("user_id",
-                        F.session_window("ts", SESSION_GAP).alias("w"))
-               .agg(F.count("*").alias("n_events"),
-                    F.max("event_id").alias("last_event_id"))
-               .select("user_id",
-                       F.col("w.start").alias("session_start"),
-                       F.col("w.end").alias("session_end"),
-                       "n_events", "last_event_id"))
-        name = f"ssess_{uuid.uuid4().hex[:8]}"
-        q = (agg.writeStream.format("memory").queryName(name)
-             .outputMode("append")
-             .option("checkpointLocation", f"{base}/ckpt")
-             .trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        # state partitions sized to the staged input (see
+        # streaming/stream.py scaled_state_partitions): 32 state-
+        # store commits/stage/batch on a KB replay was ~5x wall
+        with scaled_state_partitions(spark, dir_bytes(edir)):
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(edir))
+            agg = (stream.withWatermark("ts", f"{horizon_s} seconds")
+                   .groupBy("user_id",
+                            F.session_window("ts", SESSION_GAP).alias("w"))
+                   .agg(F.count("*").alias("n_events"),
+                        F.max("event_id").alias("last_event_id"))
+                   .select("user_id",
+                           F.col("w.start").alias("session_start"),
+                           F.col("w.end").alias("session_end"),
+                           "n_events", "last_event_id"))
+            name = f"ssess_{uuid.uuid4().hex[:8]}"
+            q = (agg.writeStream.format("memory").queryName(name)
+                 .outputMode("append")
+                 .option("checkpointLocation", f"{base}/ckpt")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
         out = (spark.table(name)
                .filter(F.col("user_id") != hb_user)
                .select("user_id", "session_start", "session_end",
@@ -701,24 +716,28 @@ def streaming_attribution_join_query(spark: SparkSession,
         edir = f"{base}/events"
         ev.repartitionByRange(4, "ts").write.parquet(edir)
         staged = spark.read.parquet(edir)
-        stream = (spark.readStream.schema(staged.schema)
-                  .option("maxFilesPerTrigger", 1).parquet(edir))
-        # Watermark past the fixture's whole time span: the file source
-        # does NOT guarantee arrival order (listing order is mtime-
-        # based and racy), and an out-of-order replay with a short
-        # watermark correctly drops genuinely-late clicks — real
-        # streaming semantics, but nondeterministic vs the batch
-        # answer this spec certifies. With the horizon beyond the data
-        # span nothing is ever late or evicted during the bounded run;
-        # the bounded-state eviction path itself is pinned by
-        # tests/test_streaming.py's ordered-arrival unit.
-        joined = attribution_join(stream, watermark="365 days")
-        name = f"sattr_{uuid.uuid4().hex[:8]}"
-        q = (joined.writeStream.format("memory").queryName(name)
-             .outputMode("append")
-             .option("checkpointLocation", f"{base}/ckpt")
-             .trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        # state partitions sized to the staged input (see
+        # streaming/stream.py scaled_state_partitions): 32 state-
+        # store commits/stage/batch on a KB replay was ~5x wall
+        with scaled_state_partitions(spark, dir_bytes(edir)):
+            stream = (spark.readStream.schema(staged.schema)
+                      .option("maxFilesPerTrigger", 1).parquet(edir))
+            # Watermark past the fixture's whole time span: the file source
+            # does NOT guarantee arrival order (listing order is mtime-
+            # based and racy), and an out-of-order replay with a short
+            # watermark correctly drops genuinely-late clicks — real
+            # streaming semantics, but nondeterministic vs the batch
+            # answer this spec certifies. With the horizon beyond the data
+            # span nothing is ever late or evicted during the bounded run;
+            # the bounded-state eviction path itself is pinned by
+            # tests/test_streaming.py's ordered-arrival unit.
+            joined = attribution_join(stream, watermark="365 days")
+            name = f"sattr_{uuid.uuid4().hex[:8]}"
+            q = (joined.writeStream.format("memory").queryName(name)
+                 .outputMode("append")
+                 .option("checkpointLocation", f"{base}/ckpt")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
         out = spark.table(name).select(
             "user_id", "purchase_id", "click_id", "p_ts", "c_ts")
         return out.localCheckpoint()
@@ -829,7 +848,12 @@ def streaming_attribution_late_drop_query(spark: SparkSession,
         for bi in range(4):
             hb_ts = (ATTR_LATE_BASE_S + ATTR_LATE_EPOCH_GAP[bi]
                      + ATTR_LATE_SPAN_S - 1)
-            hb = spark.createDataFrame(
+            # literal_rows, not createDataFrame: a Python local
+            # relation unioned into the staging write made each
+            # single-task write job pay a Python-worker round trip
+            # (~4.5 s/file measured r13); JVM literals write in 0.2 s
+            hb = literal_rows(
+                spark,
                 [(-(10 + bi), _HB_CLICK_USER, "click"),
                  (-(20 + bi), _HB_PURCHASE_USER, "purchase")],
                 "event_id long, user_id long, event_type string"
@@ -843,15 +867,19 @@ def streaming_attribution_late_drop_query(spark: SparkSession,
             shutil.move(part, dst)
             os.utime(dst, (t0 + 100 * bi, t0 + 100 * bi))
         schema = spark.read.parquet(edir).schema
-        stream = (spark.readStream.schema(schema)
-                  .option("maxFilesPerTrigger", 1).parquet(edir))
-        joined = attribution_join(stream, watermark="10 minutes")
-        name = f"slate_{uuid.uuid4().hex[:8]}"
-        q = (joined.writeStream.format("memory").queryName(name)
-             .outputMode("append")
-             .option("checkpointLocation", f"{base}/ckpt")
-             .trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        # state partitions sized to the staged input (see
+        # streaming/stream.py scaled_state_partitions): 32 state-
+        # store commits/stage/batch on a KB replay was ~5x wall
+        with scaled_state_partitions(spark, dir_bytes(edir)):
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(edir))
+            joined = attribution_join(stream, watermark="10 minutes")
+            name = f"slate_{uuid.uuid4().hex[:8]}"
+            q = (joined.writeStream.format("memory").queryName(name)
+                 .outputMode("append")
+                 .option("checkpointLocation", f"{base}/ckpt")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
         out = spark.table(name).select(
             "user_id", "purchase_id", "click_id",
             F.unix_timestamp("p_ts").cast("bigint").alias("p_s"),
@@ -969,7 +997,10 @@ def streaming_left_outer_join_query(spark: SparkSession,
             _stage(staged.filter(F.col("bucket") == bi).drop("bucket"),
                    bi)
         for j, flush in enumerate((OUTER_FLUSH_1, OUTER_FLUSH_2)):
-            hb = spark.createDataFrame(
+            # literal_rows: see streaming_attribution_late_drop — the
+            # Python local relation cost ~4.5 s per staged file
+            hb = literal_rows(
+                spark,
                 [(-(30 + j), hb_click_user, "click"),
                  (-(40 + j), hb_purchase_user, "purchase")],
                 "event_id long, user_id long, event_type string"
@@ -978,16 +1009,20 @@ def streaming_left_outer_join_query(spark: SparkSession,
                      .alias("ts"))
             _stage(hb, 3 + j)
         schema = spark.read.parquet(edir).schema
-        stream = (spark.readStream.schema(schema)
-                  .option("maxFilesPerTrigger", 1).parquet(edir))
-        joined = attribution_join(stream, watermark="10 minutes",
-                                  how="leftOuter")
-        name = f"souter_{uuid.uuid4().hex[:8]}"
-        q = (joined.writeStream.format("memory").queryName(name)
-             .outputMode("append")
-             .option("checkpointLocation", f"{base}/ckpt")
-             .trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        # state partitions sized to the staged input (see
+        # streaming/stream.py scaled_state_partitions): 32 state-
+        # store commits/stage/batch on a KB replay was ~5x wall
+        with scaled_state_partitions(spark, dir_bytes(edir)):
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(edir))
+            joined = attribution_join(stream, watermark="10 minutes",
+                                      how="leftOuter")
+            name = f"souter_{uuid.uuid4().hex[:8]}"
+            q = (joined.writeStream.format("memory").queryName(name)
+                 .outputMode("append")
+                 .option("checkpointLocation", f"{base}/ckpt")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
         out = (spark.table(name)
                .filter(F.col("user_id") > hb_purchase_user + 2)
                .select("user_id", "purchase_id", "click_id",
@@ -1073,28 +1108,32 @@ def streaming_pysource_agg_query(spark: SparkSession,
     base = tempfile.mkdtemp(prefix="dcd_pysrc_")
     name = f"pysrc_{uuid.uuid4().hex[:8]}"
     try:
-        stream = (spark.readStream.format("corpusgen")
-                  .option("batch_docs", PYSRC_BATCH)
-                  .option("max_docs", PYSRC_MAX_DOCS)
-                  .option("seed", PYSRC_SEED).load())
-        agg = (stream.groupBy("lang", "source")
-               .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                    F.sum("doc_id").cast("bigint").alias("sum_id"),
-                    F.sum("n_chars").cast("bigint").alias("sum_chars")))
-        q = (agg.writeStream.format("memory").queryName(name)
-             .outputMode("complete")
-             .option("checkpointLocation", f"{base}/ckpt")
-             .trigger(processingTime="0 seconds").start())
-        deadline = timemod.time() + 180
-        total = 0
-        while timemod.time() < deadline:
-            rows = spark.table(name).agg(F.sum("n_docs")).first()
-            total = int(rows[0] or 0)
-            if total >= PYSRC_MAX_DOCS:
-                break
-            timemod.sleep(0.5)
-        q.stop()
-        q.awaitTermination(60)
+        # state partitions sized to the input (see streaming/stream.py
+        # scaled_state_partitions): the generative source emits
+        # PYSRC_MAX_DOCS bounded docs — KB-scale, so the floor applies
+        with scaled_state_partitions(spark, 0):
+            stream = (spark.readStream.format("corpusgen")
+                      .option("batch_docs", PYSRC_BATCH)
+                      .option("max_docs", PYSRC_MAX_DOCS)
+                      .option("seed", PYSRC_SEED).load())
+            agg = (stream.groupBy("lang", "source")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                        F.sum("doc_id").cast("bigint").alias("sum_id"),
+                        F.sum("n_chars").cast("bigint").alias("sum_chars")))
+            q = (agg.writeStream.format("memory").queryName(name)
+                 .outputMode("complete")
+                 .option("checkpointLocation", f"{base}/ckpt")
+                 .trigger(processingTime="0 seconds").start())
+            deadline = timemod.time() + 180
+            total = 0
+            while timemod.time() < deadline:
+                rows = spark.table(name).agg(F.sum("n_docs")).first()
+                total = int(rows[0] or 0)
+                if total >= PYSRC_MAX_DOCS:
+                    break
+                timemod.sleep(0.5)
+            q.stop()
+            q.awaitTermination(60)
         if total < PYSRC_MAX_DOCS:
             raise RuntimeError(
                 f"streaming python source drained only {total} of "
