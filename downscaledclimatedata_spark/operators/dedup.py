@@ -240,12 +240,37 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                 else shingled_rows(df, text_col, id_col).distinct())
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if candidates is not None:
+        # |A| rides the candidate ⋈ A join for free: A's shingles are
+        # distinct, so count(*) per pair IS n_a — one sizes aggregation
+        # and one join fewer than joining a per-doc size relation onto
+        # both legs (r13: the plan had the identical sizes agg twice).
+        # The B leg is a LEFT join with a match flag (n_inter = the
+        # flag sum); `n_inter > 0` preserves the inner-join contract
+        # that zero-overlap candidates never surface, even at
+        # threshold 0.
         a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
-        b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+        b = (shingled.select(F.col(id_col).alias("id_b"), "shingle")
+             .withColumn("_m", F.lit(1).cast("long")))
         inter = (candidates.select("id_a", "id_b")
                  .join(a.hint("merge"), "id_a")
-                 .join(b.hint("merge"), ["id_b", "shingle"])
-                 .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
+                 .join(b.hint("merge"), ["id_b", "shingle"], "left")
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count("*").alias("n_a"),
+                      F.sum(F.coalesce(F.col("_m"), F.lit(0)))
+                      .alias("n_inter"))
+                 .filter(F.col("n_inter") > 0))
+        joined = (
+            inter.join(sizes.select(F.col(id_col).alias("id_b"),
+                                    F.col("n_sh").alias("n_b"))
+                       .hint("merge"), "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b")
+                   - F.col("n_inter")).cast("double"))
+        )
+        return (joined.filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
     else:
         a = shingled.select(F.col(id_col).alias("id_a"),
                             F.col("shingle").alias("sh_a"))

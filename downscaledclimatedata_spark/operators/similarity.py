@@ -24,6 +24,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from downscaledclimatedata_spark.functions.rows import literal_rows
 from downscaledclimatedata_spark.functions.text import WS_RE
 from downscaledclimatedata_spark.plans import QuerySpec, register
 from downscaledclimatedata_spark.sources.tables import load_table, load_table_parallel
@@ -2148,13 +2149,24 @@ def knn_graph(emb: DataFrame, id_col: str = "vec_id",
                     F.col("qv").alias("bq"), F.col("n2").alias("bn2"))
     scored = (a.join(b.hint("merge"), "cid")
               .filter(F.col("src_id") != F.col("neighbor_id"))
-              .select("src_id", "neighbor_id",
+              .select("cid", "src_id", "neighbor_id",
                       (int_dot(F.col("aq"), F.col("bq")).cast("double")
                        / (F.sqrt(F.col("an2").cast("double"))
                           * F.sqrt(F.col("bn2").cast("double"))))
                       .alias("cosine")))
-    w = Window.partitionBy("src_id").orderBy(F.col("cosine").desc(),
-                                             F.col("neighbor_id"))
+    if nprobe == 1:
+        # every src's candidates live in its single cell, so ranking
+        # per (cid, src_id) == per src_id — and prefixing the join key
+        # lets the window REUSE the join's hash-partitioning on cid
+        # (subset rule): the N·|cell| scored relation, the operator's
+        # largest intermediate, is never re-shuffled (r13; the
+        # nprobe=2 paths keep the src_id window — a probe-2 query
+        # legitimately spans two cells)
+        w = Window.partitionBy("cid", "src_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id"))
+    else:
+        w = Window.partitionBy("src_id").orderBy(F.col("cosine").desc(),
+                                                 F.col("neighbor_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select(F.col("src_id").alias("vec_id"), "neighbor_id",
@@ -6140,8 +6152,11 @@ def ann_index_build(emb: DataFrame, path: str, id_col: str = "vec_id",
                      quantize(F.col(vec_col)).alias("qv"),
                      sq_norm(quantize(F.col(vec_col))).alias("n2"))
              .filter(F.col("n2") > 0))
-    lists.write.partitionBy("cid").mode("overwrite") \
-        .parquet(f"{path}/lists")
+    # repartition on the partition column first: each task owns whole
+    # cells, so every cid directory gets ONE well-formed file instead
+    # of one shard per shuffle partition (guide: output file sizing)
+    lists.repartition("cid").write.partitionBy("cid") \
+        .mode("overwrite").parquet(f"{path}/lists")
     base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
                       sq_norm(quantize(F.col(vec_col))).alias("n2"))
     cents_pred = (_spread_sample(id_col, spread_every)
@@ -6151,10 +6166,11 @@ def ann_index_build(emb: DataFrame, path: str, id_col: str = "vec_id",
              .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
                      F.col("n2").alias("cn2")))
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    emb.sparkSession.createDataFrame(
-        [(centroid_mod, n_centroids)],
-        "centroid_mod int, n_centroids int") \
-        .write.mode("overwrite").parquet(f"{path}/meta")
+    # literal_rows: a Python-backed 1-row relation costs a Python
+    # worker round trip inside the write task (functions/rows.py)
+    literal_rows(emb.sparkSession, [(centroid_mod, n_centroids)],
+                 "centroid_mod int, n_centroids int") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def ann_index_append(emb_delta: DataFrame, path: str,
@@ -6185,8 +6201,10 @@ def ann_index_append(emb_delta: DataFrame, path: str,
                 .agg(F.min(F.struct("dist", "cid")).alias("best"),
                      F.first("qv").alias("qv"), F.first("n2").alias("n2"))
                 .select(F.col("best.cid").alias("cid"), "id", "qv", "n2"))
-    assigned.write.partitionBy("cid").mode("append") \
-        .parquet(f"{path}/lists")
+    # one delta file per touched cid (not one per shuffle partition):
+    # compaction reads fewer, better-formed files (guide: file sizing)
+    assigned.repartition("cid").write.partitionBy("cid") \
+        .mode("append").parquet(f"{path}/lists")
 
 
 def ann_index_compact(spark: SparkSession, path: str) -> dict:
@@ -6680,11 +6698,11 @@ def knn_graph_persist(emb: DataFrame, path: str, id_col: str = "vec_id",
             .join(nbr, "neighbor_id")
             .withColumn("bkt", F.pmod(F.col("src_id"),
                                       F.lit(n_buckets))))
-    rows.write.partitionBy("bkt").mode("overwrite") \
-        .parquet(f"{path}/graph")
-    emb.sparkSession.createDataFrame(
-        [(k, nprobe, n_buckets)], "k int, nprobe int, n_buckets int") \
-        .write.mode("overwrite").parquet(f"{path}/meta")
+    rows.repartition("bkt").write.partitionBy("bkt") \
+        .mode("overwrite").parquet(f"{path}/graph")
+    literal_rows(emb.sparkSession, [(k, nprobe, n_buckets)],
+                 "k int, nprobe int, n_buckets int") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def knn_graph_meta(spark: SparkSession, path: str) -> tuple:
