@@ -81,6 +81,19 @@ def quantize(col: Column, scale: int = QUANT) -> Column:
             F.lit(float(QCLAMP))).cast("long"))
 
 
+def lit_long_array(values) -> Column:
+    """Literal array<bigint> built with ONE py4j round trip.
+
+    ``F.array(*[F.lit(v) ...])`` costs one Python->JVM call per element —
+    a 64-wide plane materialized 32 times was ~2.7 s of pure
+    plan-construction overhead (guide §4: the JVM boundary is paid at
+    plan build too, not just execution). A single ``F.expr`` parses the
+    same foldable CreateArray JVM-side; constant folding yields the
+    identical literal, so results and the optimized plan are unchanged.
+    """
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in values) + ")")
+
+
 def int_dot(a: Column, b: Column) -> Column:
     """Exact integer dot product of two array<bigint> columns."""
     return F.aggregate(
@@ -176,7 +189,7 @@ def lsh_bucket_id(qcol: Column, planes: list[list[int]]) -> Column:
     """Random-hyperplane LSH bucket id (0..2^P-1) of a quantized vector."""
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        plane_arr = F.array(*[F.lit(v) for v in plane])
+        plane_arr = lit_long_array(plane)
         dot = int_dot(qcol, plane_arr)
         bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
@@ -3226,7 +3239,7 @@ def mmr_select(emb: DataFrame, id_col: str = "vec_id",
         return emb.sparkSession.createDataFrame([], out_schema)
     qrow = head[0]
     qv, qn2, qid = qrow["qv"], qrow["n2"], qrow[id_col]
-    qlit = F.array(*[F.lit(int(x)) for x in qv])
+    qlit = lit_long_array(qv)
     cand = (base.filter(F.col(id_col) != qid)
             .withColumn("rel",
                         int_dot(F.col("qv"), qlit).cast("double")
@@ -4046,16 +4059,23 @@ def rp_topk(emb: DataFrame, id_col: str = "vec_id",
     from pyspark.sql import Window
     planes = _rp_planes(n_proj)
 
-    def proj_comp(plane: list[int]) -> Column:
-        arr = F.array(*[F.lit(v) for v in plane])
-        d = int_dot(F.col("qv"), arr)
-        return (F.least(F.greatest(d, F.lit(-RP_CLAMP)), F.lit(RP_CLAMP))
-                .cast("long"))
+    # The whole 32-plane projection as ONE parsed expression: transform
+    # over a literal sign matrix, each plane an exact-int dot against qv
+    # clamped to the quantizer contract. Identical arithmetic to the
+    # per-plane unrolled form, but ~1 py4j round trip instead of ~900
+    # (32 x int_dot lambda machinery) — plan construction was 1.9 s of
+    # pure Python->JVM chatter (guide §4).
+    mat = ",".join(
+        "array(" + ",".join(f"{v}L" for v in plane) + ")" for plane in planes)
+    pv_expr = F.expr(
+        f"transform(array({mat}), p -> cast(least(greatest("
+        "aggregate(zip_with(qv, p, (x, y) -> x * y), 0L, (a, x) -> a + x),"
+        f" {-RP_CLAMP}L), {RP_CLAMP}L) as bigint))")
 
     base = (emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
             .withColumn("n2", sq_norm(F.col("qv")))
             .filter(F.col("n2") > 0)
-            .withColumn("pv", F.array(*[proj_comp(p) for p in planes]))
+            .withColumn("pv", pv_expr)
             .withColumn("pn2", sq_norm(F.col("pv"))))
     coarse = (base.filter(F.col("pn2") > 0)
               .select(F.col(id_col).alias("match_id"), "pv", "pn2"))
