@@ -238,40 +238,38 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     shingled = (shingled if shingled is not None
                 else shingled_rows(df, text_col, id_col).distinct())
-    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if candidates is not None:
-        # |A| rides the candidate ⋈ A join for free: A's shingles are
-        # distinct, so count(*) per pair IS n_a — one sizes aggregation
-        # and one join fewer than joining a per-doc size relation onto
-        # both legs (r13: the plan had the identical sizes agg twice).
-        # The B leg is a LEFT join with a match flag (n_inter = the
-        # flag sum); `n_inter > 0` preserves the inner-join contract
-        # that zero-overlap candidates never surface, even at
-        # threshold 0.
+        # UNION-COUNT form (r13): route BOTH docs' shingles to the pair
+        # and count multiplicity. Shingles are distinct per doc, so a
+        # (pair, shingle) group has count 2 iff the shingle is in A∩B
+        # and |groups| is exactly |A∪B| — jaccard = n_inter / n_union
+        # with the same exact integers as n_inter/(n_a+n_b-n_inter).
+        # vs the previous A-join → left B-join → sizes-join chain this
+        # drops one corpus-scaled join and the whole per-doc sizes
+        # aggregate (8 → 5 Exchanges; the Σ|A| intermediate is no
+        # longer re-shuffled by (id_b, shingle)). `n_inter > 0`
+        # preserves the inner-join contract that zero-overlap
+        # candidates never surface, even at threshold 0.
         a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
-        b = (shingled.select(F.col(id_col).alias("id_b"), "shingle")
-             .withColumn("_m", F.lit(1).cast("long")))
-        inter = (candidates.select("id_a", "id_b")
-                 .join(a.hint("merge"), "id_a")
-                 .join(b.hint("merge"), ["id_b", "shingle"], "left")
-                 .groupBy("id_a", "id_b")
-                 .agg(F.count("*").alias("n_a"),
-                      F.sum(F.coalesce(F.col("_m"), F.lit(0)))
-                      .alias("n_inter"))
+        b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+        cand = candidates.select("id_a", "id_b")
+        both = (cand.join(a.hint("merge"), "id_a")
+                .select("id_a", "id_b", "shingle")
+                .unionAll(cand.join(b.hint("merge"), "id_b")
+                          .select("id_a", "id_b", "shingle")))
+        per_sh = (both.groupBy("id_a", "id_b", "shingle")
+                  .agg(F.count("*").alias("cnt")))
+        inter = (per_sh.groupBy("id_a", "id_b")
+                 .agg(F.count("*").alias("n_union"),
+                      F.sum(F.col("cnt") - 1).alias("n_inter"))
                  .filter(F.col("n_inter") > 0))
-        joined = (
-            inter.join(sizes.select(F.col(id_col).alias("id_b"),
-                                    F.col("n_sh").alias("n_b"))
-                       .hint("merge"), "id_b")
-            .withColumn(
-                "jaccard",
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b")
-                   - F.col("n_inter")).cast("double"))
-        )
+        joined = inter.withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double") / F.col("n_union").cast("double"))
         return (joined.filter(F.col("jaccard") >= threshold)
                 .select("id_a", "id_b", "jaccard"))
     else:
+        sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
         a = shingled.select(F.col(id_col).alias("id_a"),
                             F.col("shingle").alias("sh_a"))
         b = shingled.select(F.col(id_col).alias("id_b"),
