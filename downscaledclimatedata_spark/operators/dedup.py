@@ -214,18 +214,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     """Exact word-3-gram Jaccard for candidate pairs (or all pairs).
 
     At scale this runs AFTER LSH candidate generation, and the
-    intersection is computed CANDIDATE-FIRST: candidates ⋈ A's shingles
-    ⋈ B's shingles — three equi-joins whose volume is
-    Σ_{(a,b)∈cand} (|A| + |A∩B|), never the Σ df² blow-up of a full
-    shingle self-join followed by a candidate filter (a boilerplate
-    shingle shared by k docs costs k² rows in the self-join form, and
-    the semi-join cannot be pushed below it). ``candidates`` must be a
-    distinct (id_a, id_b) relation (as ``lsh_candidate_pairs`` emits).
+    intersection is computed CANDIDATE-FIRST: each candidate pair is
+    exploded into two probe rows and joined to the shingle relation
+    ONCE — join volume is Σ_{(a,b)∈cand} (|A| + |B|), never the Σ df²
+    blow-up of a full shingle self-join followed by a candidate filter
+    (a boilerplate shingle shared by k docs costs k² rows in the
+    self-join form, and the semi-join cannot be pushed below it).
+    ``candidates`` must be a distinct (id_a, id_b) relation (as
+    ``lsh_candidate_pairs`` emits).
 
     Pass a pre-materialized DISTINCT ``shingled`` relation to share the
-    shingling pass with the candidate-generation stage (this relation is
-    referenced four times below — without sharing, each reference
-    re-shingles the corpus).
+    shingling pass with the candidate-generation stage — without
+    sharing, each reference re-shingles the corpus.
 
     Every corpus-scaled join side carries an explicit ``merge`` (sort-merge)
     hint: a localCheckpointed shingle relation reaches the planner as a
@@ -239,25 +239,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     shingled = (shingled if shingled is not None
                 else shingled_rows(df, text_col, id_col).distinct())
     if candidates is not None:
-        # UNION-COUNT form (r13): route BOTH docs' shingles to the pair
-        # and count multiplicity. Shingles are distinct per doc, so a
-        # (pair, shingle) group has count 2 iff the shingle is in A∩B
-        # and |groups| is exactly |A∪B| — jaccard = n_inter / n_union
-        # with the same exact integers as n_inter/(n_a+n_b-n_inter).
-        # vs the previous A-join → left B-join → sizes-join chain this
-        # drops one corpus-scaled join and the whole per-doc sizes
-        # aggregate (8 → 5 Exchanges; the Σ|A| intermediate is no
-        # longer re-shuffled by (id_b, shingle)). `n_inter > 0`
-        # preserves the inner-join contract that zero-overlap
-        # candidates never surface, even at threshold 0.
-        a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
-        b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
-        cand = candidates.select("id_a", "id_b")
-        both = (cand.join(a.hint("merge"), "id_a")
-                .select("id_a", "id_b", "shingle")
-                .unionAll(cand.join(b.hint("merge"), "id_b")
-                          .select("id_a", "id_b", "shingle")))
-        per_sh = (both.groupBy("id_a", "id_b", "shingle")
+        # PROBE-COUNT form (r13): explode each candidate pair into two
+        # probe rows (one per member id), join the probes to the
+        # shingle relation ONCE, and count (pair, shingle) multiplicity.
+        # Shingles are distinct per doc, so a group has count 2 iff the
+        # shingle is in A∩B and |groups| is exactly |A∪B| — jaccard =
+        # n_inter / n_union with the same exact integers as
+        # n_inter/(n_a+n_b-n_inter). vs the previous A-join → left
+        # B-join → sizes-join chain this is ONE corpus-scaled join
+        # instead of three, the Σ|A| intermediate is never re-shuffled
+        # by (id_b, shingle), the per-doc sizes aggregate disappears,
+        # and the candidate pipeline is referenced once (a two-leg
+        # union would compute it twice — no subplan reuse across the
+        # union). `n_inter > 0` preserves the inner-join contract that
+        # zero-overlap candidates never surface, even at threshold 0.
+        probes = candidates.select(
+            "id_a", "id_b",
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("_pid"))
+        sh = shingled.select(F.col(id_col).alias("_pid"), "shingle")
+        per_sh = (probes.join(sh.hint("merge"), "_pid")
+                  .groupBy("id_a", "id_b", "shingle")
                   .agg(F.count("*").alias("cnt")))
         inter = (per_sh.groupBy("id_a", "id_b")
                  .agg(F.count("*").alias("n_union"),
@@ -993,28 +994,35 @@ def repeated_span_stats(docs: DataFrame, text_col: str = "text",
     substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
     Language Models Better": duplicated spans, not just duplicated
     documents, degrade models). The suffix-array pass of the paper is
-    replaced by a hash-per-window dictionary, which shards over a
-    cluster: one shingle explode (narrow), one (span_hash -> distinct-doc
-    count) aggregation, one left-semi join of each doc's windows against
-    the repeated-span dictionary. Every shuffle carries 8-byte hashes,
-    never text. Docs shorter than n tokens have no windows and no row.
+    replaced by a hash-per-window dictionary that shards over a cluster:
+    one shingle explode (narrow), one (span_hash, doc) pre-aggregate, a
+    distinct-doc count over the hash, one per-doc aggregate. Every
+    shuffle carries 8-byte hashes, never text. Docs shorter than n
+    tokens have no windows and no row.
     """
+    # Scan-once shape (r13): the spans relation was referenced three
+    # times (repeated-dictionary aggregate, per-doc totals, semi-join
+    # probe) — three corpus scans + shingle passes and two joins. One
+    # (h, doc) pre-aggregate, a count-over-h window for the distinct-doc
+    # fan-out, and one per-doc aggregate produce identical numbers with
+    # 3 Exchanges and no join. The window partitions by the span hash —
+    # its fan-out equals the span's doc count (rows, not pairs; spill-
+    # safe), the same skew bound the old dictionary join carried.
+    from pyspark.sql import Window
     spans = (shingled_rows(docs, text_col, id_col, n=n)
              .select(F.col(id_col), md5_long(F.col("shingle")).alias("h")))
-    repeated = (spans.groupBy("h")
-                .agg(F.countDistinct(id_col).alias("nd"))
-                .filter(F.col("nd") >= min_docs).select("h"))
-    totals = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
-    # sort-merge: the repeated-span dictionary and per-doc aggregates
-    # are corpus-scaled — pin the shuffled strategy (see ngram_jaccard_pairs)
-    rep = (spans.join(repeated.hint("merge"), "h", "left_semi")
-           .groupBy(id_col).agg(F.count("*").alias("n_repeated")))
-    return (totals.join(rep.hint("merge"), id_col, "left")
-            .select(F.col(id_col), "n_spans",
-                    F.coalesce("n_repeated", F.lit(0).cast("long"))
-                    .alias("n_repeated"),
-                    (F.coalesce("n_repeated", F.lit(0).cast("long"))
-                     .cast("double") / F.col("n_spans").cast("double"))
+    per_h_doc = (spans.groupBy("h", id_col)
+                 .agg(F.count("*").alias("c")))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    flagged = per_h_doc.withColumn("_rep", nd >= min_docs)
+    return (flagged.groupBy(id_col)
+            .agg(F.sum("c").alias("n_spans"),
+                 F.sum(F.when(F.col("_rep"), F.col("c"))
+                       .otherwise(F.lit(0).cast("long")))
+                 .alias("n_repeated"))
+            .select(F.col(id_col), "n_spans", "n_repeated",
+                    (F.col("n_repeated").cast("double")
+                     / F.col("n_spans").cast("double"))
                     .alias("repeated_frac")))
 
 
@@ -1426,26 +1434,32 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
                     F.concat_ws(" ", F.slice(F.col("t"), F.col("start") + 1,
                                              block)).alias("para")))
         joiner = " "
-    # checkpoint: the hashed block relation feeds both the winner
-    # election and the per-doc counts — one tokenize/explode pass, not two
-    hashed = blocks.withColumn("ph", md5_long(F.col("para"))).localCheckpoint()
+    # Single-consumer shape (r13): the winner flag (rn == 1) rides every
+    # block row through ONE per-doc aggregate — conditional sums replace
+    # the separate per-doc-counts aggregate and the left join, and with
+    # one consumer the checkpoint (an eager extra job pinning corpus
+    # bytes) goes away. Exactly the documented two-shuffle floor:
+    # winner election (window on ph), reassembly (groupBy doc).
+    # collect_list skips the NULLs the unmatched `when` produces, so
+    # losers never enter the reassembly array; concat_ws over an empty
+    # array is '' — identical to the old coalesce for all-dropped docs.
+    hashed = blocks.withColumn("ph", md5_long(F.col("para")))
     w = Window.partitionBy("ph").orderBy(F.col(id_col), F.col("block_idx"))
-    kept = (hashed.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1))
-    per_doc = hashed.groupBy(id_col).agg(F.count("*").alias("n_paras"))
-    kept_agg = (kept.groupBy(id_col)
-                .agg(F.count("*").alias("n_kept"),
-                     F.concat_ws(joiner, F.transform(
-                         F.array_sort(F.collect_list(
-                             F.struct("block_idx", "para"))),
-                         lambda s: s["para"])).alias("dedup_text")))
-    return (per_doc.join(kept_agg, id_col, "left")
+    flagged = hashed.withColumn(
+        "_win", F.row_number().over(w) == 1)
+    return (flagged.groupBy(id_col)
+            .agg(F.count("*").alias("n_paras"),
+                 F.sum(F.when(F.col("_win"), F.lit(1).cast("bigint"))
+                       .otherwise(F.lit(0).cast("bigint"))).alias("n_kept"),
+                 F.concat_ws(joiner, F.transform(
+                     F.array_sort(F.collect_list(
+                         F.when(F.col("_win"),
+                                F.struct("block_idx", "para")))),
+                     lambda s: s["para"])).alias("dedup_text"))
             .select(F.col(id_col),
                     F.col("n_paras").cast("bigint").alias("n_paras"),
-                    F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint")
-                    .alias("n_kept"),
-                    F.coalesce(F.col("dedup_text"), F.lit(""))
-                    .alias("dedup_text")))
+                    F.col("n_kept").cast("bigint").alias("n_kept"),
+                    F.col("dedup_text")))
 
 
 def dedup_paragraph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3011,28 +3025,52 @@ def overlap_curve(docs: DataFrame, eval_docs: DataFrame,
     with the eval set.
 
     One row per n: train-doc population, contaminated count, rate.
-    Each order reuses :func:`contaminated_doc_ids`' 100 TB shape —
-    eval grams broadcast, corpus side never shuffles on the gram —
-    and the final relation is |ns| rows.
+    The whole curve keeps :func:`contaminated_doc_ids`' 100 TB shape —
+    eval grams broadcast, corpus side never shuffles on the gram — but
+    runs as ONE pass (r13): tokenization happens once per doc and every
+    order's grams explode from the same token array, tagged with their
+    order, instead of a per-n re-scan + re-shingle of the corpus
+    (|ns| + 1 corpus scans and ~16 Exchanges per order collapsed to 2
+    scans and one semi-join/distinct/groupBy chain keyed by
+    (order, gram); the exploded volume is identical). Orders with zero
+    contaminated docs are restored by a left join against the literal
+    ns relation, so the output rows are unchanged.
     """
+    from downscaledclimatedata_spark.functions.rows import literal_rows
+
+    def _grams(df, id_cols: list) -> DataFrame:
+        base = df.select(*id_cols, tokens(F.col(text_col)).alias("_t"))
+        tagged = base.select(
+            *id_cols,
+            F.explode(F.array(*[
+                F.struct(F.lit(int(n)).cast("bigint").alias("ngram_order"),
+                         shingles_of_tokens(F.col("_t"), n).alias("_g"))
+                for n in ns])).alias("_s"))
+        return tagged.select(*id_cols,
+                             F.col("_s.ngram_order").alias("ngram_order"),
+                             F.explode("_s._g").alias("gram"))
+
     train_n = docs.select(F.count(F.lit(1)).alias("n_train"))
-    out = None
-    for n in ns:
-        bad = contaminated_doc_ids(docs, eval_docs, text_col, id_col,
-                                   n=n)
-        row = (bad.agg(F.count(F.lit(1)).alias("n_contaminated"))
-               .crossJoin(F.broadcast(train_n))
-               .select(F.lit(int(n)).cast("bigint").alias("ngram_order"),
-                       F.col("n_train").cast("bigint").alias("n_train"),
-                       F.col("n_contaminated").cast("bigint")
-                       .alias("n_contaminated"),
-                       F.when(F.col("n_train") > 0,
-                              F.col("n_contaminated").cast("double")
-                              / F.col("n_train").cast("double"))
-                       .otherwise(F.lit(0.0))
-                       .alias("contamination_rate")))
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("ngram_order")
+    dg = _grams(docs, [F.col(id_col)])
+    eg = _grams(eval_docs, []).distinct()
+    contam = (dg.join(F.broadcast(eg), ["ngram_order", "gram"], "left_semi")
+              .select("ngram_order", id_col).distinct()
+              .groupBy("ngram_order")
+              .agg(F.count(F.lit(1)).alias("n_contaminated")))
+    ns_rel = literal_rows(docs.sparkSession, [(int(n),) for n in ns],
+                          "ngram_order bigint")
+    n_contam = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("bigint")
+    return (ns_rel.join(contam, "ngram_order", "left")
+            .crossJoin(F.broadcast(train_n))
+            .select(F.col("ngram_order"),
+                    F.col("n_train").cast("bigint").alias("n_train"),
+                    n_contam.alias("n_contaminated"),
+                    F.when(F.col("n_train") > 0,
+                           n_contam.cast("double")
+                           / F.col("n_train").cast("double"))
+                    .otherwise(F.lit(0.0))
+                    .alias("contamination_rate"))
+            .orderBy("ngram_order"))
 
 
 def dedup_overlap_curve_query(spark: SparkSession,

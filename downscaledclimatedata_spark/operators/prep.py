@@ -200,7 +200,8 @@ def token_balanced_shards(df: DataFrame, n_shards: int,
 
 def global_shuffle(df: DataFrame, n_shards: int,
                    id_col: str = "doc_id",
-                   seed: str = "epoch0") -> DataFrame:
+                   seed: str = "epoch0",
+                   carry_rows: bool = False) -> DataFrame:
     """Deterministic seeded global shuffle for training-order randomization.
 
     Every training epoch wants the corpus in a fresh pseudo-random order
@@ -217,13 +218,24 @@ def global_shuffle(df: DataFrame, n_shards: int,
     across shards; there is never a global single-task ORDER BY (the
     same trap token_balanced_shards avoids). ``n_shards`` is the
     parallelism knob: size it so corpus/n_shards rows fit one task.
+
+    ``carry_rows=True`` keeps the input columns on the ranked rows —
+    for a caller that will immediately re-attach them (the corpus
+    builder's shard write), pushing the full rows through the ONE
+    window shuffle is strictly cheaper than ranking a narrow (id, k)
+    relation and joining the corpus back (the join re-shuffles the
+    same corpus bytes AND the key relation a second time; r13).
+    ``shard``/``pos`` values are identical either way.
     """
     key = md5_long(F.col(id_col).cast("string"), seed=f"{seed}:")
-    keyed = df.select(F.col(id_col), key.alias("k"))
-    w = Window.partitionBy("shard").orderBy("k", id_col)
-    return (keyed.withColumn("shard", (F.col("k") % n_shards).cast("bigint"))
-            .withColumn("pos", F.row_number().over(w).cast("bigint"))
-            .select(id_col, "shard", "pos"))
+    keyed = (df.withColumn("_gsk", key) if carry_rows
+             else df.select(F.col(id_col), key.alias("_gsk")))
+    w = Window.partitionBy("shard").orderBy("_gsk", id_col)
+    ranked = (keyed.withColumn("shard",
+                               (F.col("_gsk") % n_shards).cast("bigint"))
+              .withColumn("pos", F.row_number().over(w).cast("bigint")))
+    return (ranked.drop("_gsk") if carry_rows
+            else ranked.select(id_col, "shard", "pos"))
 
 
 N_SHUFFLE_SHARDS = 64

@@ -86,9 +86,10 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
     * the deduped corpus is ``localCheckpoint``'ed because it too has
       two consumers (the mixture-rate aggregate and the sampled join),
       and checkpointing caps the LSH/connected-components lineage;
-    * the cleaned sample is ``localCheckpoint``'ed because
-      ``global_shuffle`` + the final join would otherwise evaluate the
-      PII projection twice (and double-fire its Observation).
+    * the cleaned sample is NOT checkpointed: since the ranked rows are
+      carried through the shuffle window directly (``carry_rows``), the
+      shard write is its only consumer — the PII projection runs exactly
+      once, inside the write, and its Observation fires there.
 
     The per-doc mixture acceptance re-derives each source's rate from
     ``domain_mixture_sample``'s summary (a broadcastable |sources|-row
@@ -223,12 +224,15 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
     cleaned = clean_documents(sampled, text_col, id_col,
                               keep_cols=(source_col,))
     obs_df, obs = observed(cleaned, "pipeline")
-    obs_df = obs_df.localCheckpoint()
-    metrics = obs.get
-    _mark("mixture_clean")
-    order = global_shuffle(obs_df, n_shards, id_col=id_col,
-                           seed=f"{seed}-order")
-    final = obs_df.join(order, id_col)
+    # Single consumer since carry_rows (r13): the cleaned sample flows
+    # straight through the ONE ranking window into the shard write — no
+    # checkpoint (the old eager materialization existed only because
+    # the order-relation join consumed obs_df a second time), and the
+    # mixture/clean Observation fires during the write itself. The
+    # former `mixture_clean` stage mark collapses into the write
+    # boundary (ladder rows carry `mixture_clean_write` from r13 on).
+    final = global_shuffle(obs_df, n_shards, id_col=id_col,
+                           seed=f"{seed}-order", carry_rows=True)
     publish_report = None
     if audits is not None:
         from downscaledclimatedata_spark.operators.maintenance import (
@@ -238,7 +242,8 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
             lambda staging: write_training_shards(final, staging))
     else:
         write_training_shards(final, out_dir)
-    _mark("shuffle_write")
+    metrics = obs.get
+    _mark("mixture_clean_write")
 
     return CorpusBuildResult(
         n_input=n_input, n_quality_pass=n_quality,

@@ -119,11 +119,16 @@ def test_vocab_encode_broadcasts_vocab(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_repeated_spans_uses_semi_join(spark):
-    """The repeated-span membership check must be a LEFT SEMI join (no
-    row multiplication when a span hash repeats in the dictionary)."""
+def test_repeated_spans_scan_once_no_join(spark):
+    """r13 shape: the repeated-span verdict rides a count window over the
+    span hash plus ONE per-doc conditional aggregate — no join anywhere
+    (the old dictionary semi-join referenced the span relation three
+    times, three corpus scans). A join reappearing means the scan-once
+    rewrite regressed; the window partitioning by the hash keeps the
+    fan-out bounded by each span's doc count (rows, not pairs)."""
     plan = _plan(spark, "dedup_repeated_spans")
-    assert "LeftSemi" in plan, plan
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" in plan, plan
 
 
 def test_q59_packing_window_is_blocked(spark):
