@@ -131,6 +131,40 @@ def test_repeated_spans_scan_once_no_join(spark):
     assert "windowspecdefinition" in plan, plan
 
 
+def test_jaccard_probe_count_single_corpus_join(spark):
+    """r13 shape: candidate-pair Jaccard joins the shingle relation
+    exactly ONCE (probe-explode + multiplicity count). More than one
+    SortMergeJoin means the A-join/B-join/sizes-join chain — or a
+    per-union-leg recompute of the candidate pipeline — came back."""
+    import re
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    smj = re.findall(r"^\(\d+\) SortMergeJoin", plan, flags=re.MULTILINE)
+    assert len(smj) == 1, plan
+    # the shingle side must stay sort-merge (scale pin), never broadcast
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_overlap_curve_single_pass(spark):
+    """r13 shape: one semi-join for ALL n-gram orders (grams tagged with
+    their order), not a per-order corpus re-scan. Exactly one LeftSemi;
+    the remaining joins are the literal ns-relation restore and the
+    broadcast train-count attach."""
+    plan = _plan(spark, "dedup_overlap_curve")
+    assert plan.count("LeftSemi") >= 1, plan
+    import re
+    joins = re.findall(r"^\(\d+\) \w*Join", plan, flags=re.MULTILINE)
+    assert len(joins) <= 3, joins
+
+
+def test_paragraph_dedup_no_join_no_checkpoint(spark):
+    """r13 shape: winner election + reassembly only — the separate
+    per-doc-counts aggregate, the left join, and the hashed-block
+    localCheckpoint (visible as a Scan ExistingRDD) are gone."""
+    plan = _plan(spark, "dedup_paragraph")
+    assert "Join" not in plan, plan
+    assert "Scan ExistingRDD" not in plan, plan
+
+
 def test_q59_packing_window_is_blocked(spark):
     """The doc-level running sum must partition by (source, block), never
     by source alone — a source-only window is one task per source at
