@@ -107,6 +107,76 @@ def sq_norm(a: Column) -> Column:
     return int_dot(a, a)
 
 
+def _argmin_pick(cands: str, key: str, vec: str, norm: str,
+                 qv: str = "qv", n2: str = "n2") -> Column:
+    """Key of the squared-L2 argmin candidate, computed PER ROW over an
+    array<struct> candidate column — the shuffle-free form of the
+    ``crossJoin(broadcast(cands)) -> groupBy -> min(struct(dist, key))``
+    aggregation it replaces (guide §2.4: remove shuffles outright).
+
+    ``array_min`` over ``struct(dist, key)`` is the same lexicographic
+    (dist, then key) minimum as the aggregate ``F.min`` — identical
+    argmin AND identical tie-break, so results are bit-equal. A NULL or
+    empty candidate array yields NULL (callers filter, reproducing the
+    inner-join drop semantics of the relational form). Built as ONE
+    ``F.expr`` parse — nested Python lambda builders cost dozens of
+    py4j round trips per level (the O6 plan-construction lesson).
+    """
+    dot = (f"aggregate(zip_with({qv}, c.{vec}, (x, y) -> x * y), "
+           f"cast(0 as bigint), (acc, x) -> acc + x)")
+    return F.expr(
+        f"(array_min(transform({cands}, c -> "
+        f"struct({n2} + c.{norm} - 2 * {dot} as d, c.{key} as k)))).k")
+
+
+def _cands_row(df: DataFrame, cols: list, alias: str) -> DataFrame:
+    """ONE-row relation holding the whole codebook as array<struct> —
+    broadcast-attached to the corpus scan so per-row argmins need no
+    join. Codebook-sized (same bytes the relational form broadcasts as
+    rows); an empty codebook yields an empty array, whose argmin is
+    NULL — callers' null filter reproduces the empty-crossJoin
+    (zero-row) semantics exactly."""
+    return df.agg(F.collect_list(F.struct(*cols)).alias(alias))
+
+
+def _argmin_pick_l2(cands: str, key: str, vec: str,
+                    sv: str = "sv") -> Column:
+    """Like :func:`_argmin_pick` but with the plain exact-integer
+    squared-L2 body (``_sq_l2``) — the PQ sub-codebook argmin shape."""
+    d = (f"aggregate(zip_with({sv}, c.{vec}, (x, y) -> (x - y) * (x - y)), "
+         f"cast(0 as bigint), (acc, x) -> acc + x)")
+    return F.expr(f"(array_min(transform({cands}, c -> "
+                  f"struct({d} as d, c.{key} as k)))).k")
+
+
+def _argmin_pick_double(cands: str, key: str, vec: str, norm: str,
+                        dv: str = "dv") -> Column:
+    """Like :func:`_argmin_pick` but in DOUBLE arithmetic with the
+    identical left-to-right fold order as the aggregate form it
+    replaces (Lloyd's refinement distances) — bit-equal doubles."""
+    dot = (f"aggregate(zip_with({dv}, c.{vec}, (x, y) -> x * y), "
+           f"cast(0.0 as double), (acc, x) -> acc + x)")
+    vn2 = (f"aggregate(zip_with({dv}, {dv}, (x, y) -> x * y), "
+           f"cast(0.0 as double), (acc, x) -> acc + x)")
+    return F.expr(f"(array_min(transform({cands}, c -> "
+                  f"struct({vn2} + c.{norm} - 2 * {dot} as d, "
+                  f"c.{key} as k)))).k")
+
+
+def _member_map(df: DataFrame, parent: str, cols: list,
+                alias: str) -> DataFrame:
+    """ONE-row relation: map from parent cell id -> array of member
+    candidate structs. The shuffle-free form of a routed (equi-join)
+    argmin: ``try_element_at(map, parent_id)`` yields exactly the rows
+    the broadcast equi-join would have matched (NULL for an absent
+    parent — the inner join's drop, restored by the caller's null
+    filter). Keys are distinct by construction (groupBy)."""
+    return (df.groupBy(parent)
+            .agg(F.collect_list(F.struct(*cols)).alias("_ms"))
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct(parent, "_ms"))).alias(alias)))
+
+
 def cosine_topk_quantized(emb: DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           k: int = TOP_K, query_mod: int = QUERY_MOD,
@@ -283,22 +353,41 @@ def ivf_assign(emb: DataFrame, id_col: str = "vec_id",
     2·v·c). Assignment cost is N×k with k constant and the codebook
     broadcast — the standard IVF build pass (real deployments use a
     k-means codebook of 10^4-10^5 lists; same join shape).
+
+    Execution shape (r13): the argmin runs PER ROW over the broadcast
+    codebook array (:func:`_argmin_pick` — same lexicographic
+    (dist, cid) minimum as the former ``groupBy``/``min(struct)``
+    aggregation, bit-equal results), so assignment is a shuffle-free
+    projection of the corpus scan: zero corpus rows move for the
+    assignment itself, vs one N-row shuffle before.
     """
+    return _ivf_assign_cols(emb, id_col, vec_col, centroid_mod,
+                            n_centroids).select(F.col(id_col), "cid")
+
+
+def _ivf_assign_cols(emb: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     centroid_mod: int = CENTROID_MOD,
+                     n_centroids: int = N_CENTROIDS,
+                     extra: tuple = ()) -> DataFrame:
+    """:func:`ivf_assign` keeping the quantized vector columns:
+    (id, qv, n2, cid[, *extra]) as ONE shuffle-free projection —
+    consumers that need vectors+assignment together read this instead
+    of re-joining the assignment back to the corpus by id (one fewer
+    corpus-wide shuffle join). ``extra``: additional ``emb`` columns
+    carried through the projection (e.g. a label column)."""
     base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
-                      sq_norm(quantize(F.col(vec_col))).alias("n2"))
+                      sq_norm(quantize(F.col(vec_col))).alias("n2"),
+                      *[F.col(e) for e in extra])
     cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
              .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
                      F.col("n2").alias("cn2")))
-    scored = (base.crossJoin(F.broadcast(cents))
-              .select(F.col(id_col), F.col("cid"),
-                      (F.col("n2") + F.col("cn2")
-                       - 2 * int_dot(F.col("qv"), F.col("cv"))).alias("dist")))
-    # argmin via lexicographic struct-min (== ORDER BY dist, cid):
-    # partial-aggregates map-side, shuffling one row per vector instead
-    # of sorting one row per (vector, centroid)
-    return (scored.groupBy(id_col)
-            .agg(F.min(F.struct("dist", "cid")).alias("best"))
-            .select(id_col, F.col("best.cid").alias("cid")))
+    crow = _cands_row(cents, ["cid", "cv", "cn2"], "cands")
+    return (base.crossJoin(F.broadcast(crow))
+            .withColumn("cid", _argmin_pick("cands", "cid", "cv", "cn2"))
+            .filter(F.col("cid").isNotNull())
+            .select(F.col(id_col), "qv", "n2", "cid",
+                    *[F.col(e) for e in extra]))
 
 
 def ivf_topk(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
@@ -312,11 +401,11 @@ def ivf_topk(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     one inverted list, not the corpus. Recall < 1.0 by construction
     (candidates outside the query's cell are unseen)."""
     from pyspark.sql import Window
-    assign = ivf_assign(emb, id_col, vec_col, centroid_mod, n_centroids)
-    base = (emb.join(assign, id_col)
-            .select(F.col(id_col), F.col("cid"),
-                    quantize(F.col(vec_col)).alias("qv"),
-                    sq_norm(quantize(F.col(vec_col))).alias("n2"))
+    # assignment carries (qv, n2) on the same projected row — no
+    # corpus-wide id join to re-attach vectors (r13)
+    base = (_ivf_assign_cols(emb, id_col, vec_col, centroid_mod,
+                             n_centroids)
+            .select(F.col(id_col), F.col("cid"), "qv", "n2")
             .filter(F.col("n2") > 0))  # zero-norm: no defined cosine
     queries = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
                .select(F.col(id_col).alias("query_id"), F.col("cid"),
@@ -360,7 +449,6 @@ def ivf_topk_multiprobe(emb: DataFrame, id_col: str = "vec_id",
     cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
              .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
                      F.col("n2").alias("cn2")))
-    assign = ivf_assign(emb, id_col, vec_col, centroid_mod, n_centroids)
     qranked = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
                .crossJoin(F.broadcast(cents))
                .select(F.col(id_col), F.col("cid"),
@@ -371,7 +459,10 @@ def ivf_topk_multiprobe(emb: DataFrame, id_col: str = "vec_id",
               .filter(F.col("rn") <= nprobe)
               .select(F.col(id_col).alias("query_id"), "cid"))
     nz = base.filter(F.col("n2") > 0)  # zero-norm: no defined cosine
-    corpus = (nz.join(assign, id_col)
+    # assignment carries (qv, n2) — no corpus id join (r13)
+    corpus = (_ivf_assign_cols(emb, id_col, vec_col, centroid_mod,
+                               n_centroids)
+              .filter(F.col("n2") > 0)
               .select(F.col(id_col).alias("match_id"), "cid",
                       F.col("qv").alias("cq"), F.col("n2").alias("mn2")))
     queries = (nz.filter(_fixed_sample(id_col, query_mod, n_queries))
@@ -642,22 +733,17 @@ def kmeans_refine(emb: DataFrame, id_col: str = "vec_id",
                                      lambda x, y: x * y),
                           F.lit(0.0), lambda a, x: a + x)
         c = cents.select("cid", "cv", cn2.alias("cn2"))
-        vn2 = F.aggregate(F.zip_with(F.col("dv"), F.col("dv"),
-                                     lambda x, y: x * y),
-                          F.lit(0.0), lambda a, x: a + x)
-        dot = F.aggregate(F.zip_with(F.col("dv"), F.col("cv"),
-                                     lambda x, y: x * y),
-                          F.lit(0.0), lambda a, x: a + x)
-        scored = (base.crossJoin(F.broadcast(c))
-                  .select(F.col(id_col), "cid", "qv",
-                          (vn2 + F.col("cn2") - 2 * dot).alias("dist")))
-        # argmin via lexicographic struct-min (== ORDER BY dist, cid;
-        # cid is unique so the qv field never decides): map-side partial
-        # aggregation, one shuffled row per vector instead of k
-        assigned = (scored.groupBy(id_col)
-                    .agg(F.min(F.struct("dist", "cid", "qv")).alias("best"))
-                    .select(id_col, F.col("best.cid").alias("cid"),
-                            F.col("best.qv").alias("qv")))
+        # per-row argmin over the broadcast centroid array — the
+        # shuffle-free form of the former crossJoin + groupBy (r13).
+        # Same DOUBLE arithmetic with the same fold order, so distances
+        # are bit-equal; cid is unique so the former struct's qv field
+        # never decided a tie — per-row keeps its own qv directly.
+        crow = _cands_row(c, ["cid", "cv", "cn2"], "kmcands")
+        assigned = (base.crossJoin(F.broadcast(crow))
+                    .withColumn("cid", _argmin_pick_double(
+                        "kmcands", "cid", "cv", "cn2"))
+                    .filter(F.col("cid").isNotNull())
+                    .select(id_col, "cid", "qv"))
         comp = assigned.select("cid", F.posexplode("qv").alias("pos", "comp"))
         means = (comp.groupBy("cid", "pos")
                  .agg(F.sum("comp").alias("s"), F.count("*").alias("n"))
@@ -1158,16 +1244,16 @@ def pq_encode(emb: DataFrame, id_col: str = "vec_id",
     cents = (base.filter(_fixed_sample(id_col, centroid_mod, ks))
              .select(F.col(id_col).alias("cid"),
                      F.posexplode("subs").alias("m", "cv")))
-    scored = (subs.join(F.broadcast(cents), "m")
-              .select(id_col, "m", "cid",
-                      _sq_l2(F.col("sv"), F.col("cv")).alias("d")))
-    # argmin via min(struct(d, cid)): lexicographic struct-min == ORDER BY
-    # d, cid — same deterministic tie-break as a rank-1 window, but it
-    # partial-aggregates map-side (the shuffle carries one row per
-    # (vector, subspace), not one per candidate centroid)
-    return (scored.groupBy(id_col, "m")
-            .agg(F.min(F.struct("d", "cid")).alias("best"))
-            .select(id_col, "m", F.col("best.cid").alias("code")))
+    # per-row argmin over the subspace's broadcast sub-codebook list —
+    # the shuffle-free form of the former broadcast join + groupBy
+    # (r13; identical lexicographic (d, cid) minimum and tie-break;
+    # `subs` already has exactly one row per (vector, subspace))
+    mrow = _member_map(cents, "m", ["cid", "cv"], "pqcands")
+    return (subs.crossJoin(F.broadcast(mrow))
+            .withColumn("code", _argmin_pick_l2(
+                "try_element_at(pqcands, m)", "cid", "cv"))
+            .filter(F.col("code").isNotNull())
+            .select(id_col, "m", "code"))
 
 
 def pq_topk(emb: DataFrame, id_col: str = "vec_id",
@@ -2022,24 +2108,25 @@ def _assigned_corpus(emb: DataFrame, id_col: str, vec_col: str,
     semantic_dedup) — without it the assignment crossJoin re-runs
     per reference. Checkpointed relations lose their size estimates, so
     consumers must put explicit merge hints on corpus-scaled joins (the
-    BENCH_SCALE round-6 broadcast-OOM lesson)."""
+    BENCH_SCALE round-6 broadcast-OOM lesson).
+
+    r13: the ``*_cols`` assignment variants carry (qv, n2) on the same
+    projected row, so the former ``emb ⋈ assign`` corpus-wide id join
+    is gone — the checkpointed relation materializes straight off the
+    shuffle-free assignment projection."""
     if (n_super is not None and n_super2 is not None
             and n_super2 < n_super < n_centroids):
-        assign = ivf_assign_three_level(
+        cols = _ivf_assign_three_level_cols(
             emb, id_col, vec_col, centroid_mod, n_centroids, n_super,
-            n_super2, spread_every=spread_every) \
-            .select(F.col(id_col), F.col("cid"))
+            n_super2, spread_every=spread_every)
     elif n_super is not None and n_super < n_centroids:
-        assign = ivf_assign_two_level(
+        cols = _ivf_assign_two_level_cols(
             emb, id_col, vec_col, centroid_mod, n_centroids, n_super,
-            spread_every=spread_every) \
-            .select(F.col(id_col), F.col("cid"))
+            spread_every=spread_every)
     else:
-        assign = ivf_assign(emb, id_col, vec_col, centroid_mod, n_centroids)
-    return (emb.join(assign, id_col)
-            .select(F.col(id_col), F.col("cid"),
-                    quantize(F.col(vec_col)).alias("qv"),
-                    sq_norm(quantize(F.col(vec_col))).alias("n2"))
+        cols = _ivf_assign_cols(emb, id_col, vec_col, centroid_mod,
+                                n_centroids)
+    return (cols.select(F.col(id_col), F.col("cid"), "qv", "n2")
             .filter(F.col("n2") > 0)
             .localCheckpoint())
 
@@ -2091,15 +2178,15 @@ def knn_graph(emb: DataFrame, id_col: str = "vec_id",
     three_level = (n_super is not None and n_super2 is not None
                    and n_super2 < n_super < n_centroids)
     if nprobe == 2 and three_level:
-        assign = ivf_assign_three_level(
+        # the *_cols variant carries (qv, n2) on the assignment row, so
+        # no corpus-wide id join is needed to re-attach vectors (r13)
+        enriched = (_ivf_assign_three_level_cols(
             emb, id_col, vec_col, centroid_mod, n_centroids, n_super,
             n_super2, spread_every=spread_every, nprobe=2)
-        enriched = (emb.join(assign.select(id_col, "cid", "cid2"), id_col)
-                    .select(F.col(id_col), F.col("cid"), F.col("cid2"),
-                            quantize(F.col(vec_col)).alias("qv"),
-                            sq_norm(quantize(F.col(vec_col))).alias("n2"))
-                    .filter(F.col("n2") > 0)
-                    .localCheckpoint())
+            .select(F.col(id_col), F.col("cid"), F.col("cid2"),
+                    "qv", "n2")
+            .filter(F.col("n2") > 0)
+            .localCheckpoint())
         base = enriched.select(F.col(id_col), "cid", "qv", "n2")
         # the probe-2 copy extends the QUERY side only, as on the flat
         # path — the candidate side must keep one cell per vector
@@ -2139,17 +2226,17 @@ def knn_graph(emb: DataFrame, id_col: str = "vec_id",
                  .filter(cents_pred)
                  .select(F.col(id_col).alias("cid2"),
                          F.col("qv").alias("cv"), F.col("n2").alias("cn2")))
-        scored2 = (base.crossJoin(F.broadcast(cents))
-                   .filter(F.col("cid2") != F.col("cid"))
-                   .select(F.col(id_col), F.col("qv"), F.col("n2"),
-                           F.struct(
-                               (F.col("n2") + F.col("cn2")
-                                - 2 * int_dot(F.col("qv"), F.col("cv")))
-                               .alias("dist"),
-                               F.col("cid2")).alias("sd")))
-        second = (scored2.groupBy(id_col, "qv", "n2")
-                  .agg(F.min("sd").alias("best"))
-                  .select(F.col(id_col), F.col("best.cid2").alias("cid"),
+        # per-row argmin over the broadcast codebook minus the vector's
+        # own cell — the shuffle-free form of the former crossJoin +
+        # groupBy (r13; identical argmin and tie-break, and a vector
+        # with no other cell drops out exactly as the inner join did)
+        crow = _cands_row(cents, ["cid2", "cv", "cn2"], "pcands")
+        second = (base.crossJoin(F.broadcast(crow))
+                  .withColumn("cid2", _argmin_pick(
+                      "filter(pcands, c -> c.cid2 != cid)",
+                      "cid2", "cv", "cn2"))
+                  .filter(F.col("cid2").isNotNull())
+                  .select(F.col(id_col), F.col("cid2").alias("cid"),
                           "qv", "n2"))
         # the probe-2 copy extends the QUERY side only — the candidate
         # side must keep one cell per vector or candidates duplicate
@@ -2485,7 +2572,33 @@ def ivf_assign_two_level(emb: DataFrame, id_col: str = "vec_id",
     schedule picks this path on a corpus whose ids are striped or
     offset, where the window sample would saturate or come up empty).
     Returns (id, super_cid, cid).
+
+    Execution shape (r13): both routing levels run PER ROW over the
+    broadcast codebook — the super argmin over a one-row candidate
+    array, the centroid argmin over the super-cell's member list from
+    a one-row map (:func:`_argmin_pick` / :func:`_member_map`; same
+    lexicographic minima and the same inner-join drop semantics via
+    the null filter, bit-equal results). The whole assignment is a
+    shuffle-free projection of the corpus scan — before, the corpus
+    crossed three exchanges (super argmin groupBy, the join back by
+    id, the centroid argmin groupBy).
     """
+    return (_ivf_assign_two_level_cols(
+        emb, id_col, vec_col, centroid_mod, n_centroids, n_super,
+        spread_every)
+        .select(F.col(id_col), "super_cid", "cid"))
+
+
+def _ivf_assign_two_level_cols(emb: DataFrame, id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               centroid_mod: int = CENTROID_MOD,
+                               n_centroids: int = N_CENTROIDS,
+                               n_super: int = N_SUPER,
+                               spread_every: int | None = None
+                               ) -> DataFrame:
+    """:func:`ivf_assign_two_level` keeping the quantized vector
+    columns: (id, qv, n2, super_cid, cid) as one shuffle-free
+    projection (see the public docstring)."""
     stride = max(1, n_centroids // n_super)
     base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
                       sq_norm(quantize(F.col(vec_col))).alias("n2"))
@@ -2501,33 +2614,21 @@ def ivf_assign_two_level(emb: DataFrame, id_col: str = "vec_id",
     supers = (cents.filter(supers_pred)
               .select(F.col("cid").alias("sid"), F.col("cv").alias("sv"),
                       F.col("cn2").alias("sn2")))
-
-    def _argmin_super(df, vcol, ncol, keep):
-        scored = (df.crossJoin(F.broadcast(supers))
-                  .select(*keep,
-                          F.struct(
-                              (F.col(ncol) + F.col("sn2")
-                               - 2 * int_dot(F.col(vcol), F.col("sv")))
-                              .alias("dist"),
-                              F.col("sid")).alias("sd")))
-        return (scored.groupBy(*keep)
-                .agg(F.min("sd").alias("best"))
-                .select(*keep, F.col("best.sid").alias("sid")))
-
-    c2s = _argmin_super(cents, "cv", "cn2", ["cid"])
-    v2s = _argmin_super(base, "qv", "n2", [id_col])
-    # level 2: per-vector argmin over its super-cell's centroids only
-    cand = (base.join(v2s, id_col)
-            .join(F.broadcast(cents.join(c2s, "cid")), "sid")
-            .select(F.col(id_col), "sid",
-                    F.struct(
-                        (F.col("n2") + F.col("cn2")
-                         - 2 * int_dot(F.col("qv"), F.col("cv"))).alias("dist"),
-                        F.col("cid")).alias("cd")))
-    return (cand.groupBy(id_col, "sid")
-            .agg(F.min("cd").alias("best"))
-            .select(F.col(id_col), F.col("sid").alias("super_cid"),
-                    F.col("best.cid").alias("cid")))
+    srow = _cands_row(supers, ["sid", "sv", "sn2"], "scands")
+    # centroid -> super-cell routing (codebook-sized, also per-row)
+    c2s = (cents.crossJoin(F.broadcast(srow))
+           .withColumn("sid", _argmin_pick("scands", "sid", "sv", "sn2",
+                                           qv="cv", n2="cn2"))
+           .filter(F.col("sid").isNotNull()))
+    cmrow = _member_map(c2s, "sid", ["cid", "cv", "cn2"], "cmembers")
+    return (base.crossJoin(F.broadcast(srow))
+            .crossJoin(F.broadcast(cmrow))
+            .withColumn("sid", _argmin_pick("scands", "sid", "sv", "sn2"))
+            .withColumn("cid", _argmin_pick(
+                "try_element_at(cmembers, sid)", "cid", "cv", "cn2"))
+            .filter(F.col("cid").isNotNull())
+            .select(F.col(id_col), "qv", "n2",
+                    F.col("sid").alias("super_cid"), "cid"))
 
 
 def similarity_ivf_two_level_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2651,7 +2752,36 @@ def ivf_assign_three_level(emb: DataFrame, id_col: str = "vec_id",
 
     Returns (id, super2_cid, super_cid, cid) — plus ``cid2`` when
     ``nprobe=2``.
+
+    Execution shape (r13): every routing level — codebook-internal and
+    corpus — runs PER ROW over the broadcast codebook
+    (:func:`_argmin_pick` over a one-row candidate array at the top
+    level, :func:`_member_map` lookups below; same lexicographic minima
+    and inner-join drop semantics, bit-equal results). The whole
+    assignment is a shuffle-free projection of the corpus scan —
+    before, the corpus crossed an exchange per level (three argmin
+    groupBys at nprobe=1; at nprobe=2 also the top2 aggregation, its
+    checkpoint, and the out⋈sec join by id, all now per-row
+    expressions on the same projected row).
     """
+    cols = _ivf_assign_three_level_cols(
+        emb, id_col, vec_col, centroid_mod, n_centroids, n_super,
+        n_super2, spread_every=spread_every, nprobe=nprobe)
+    out = [F.col(id_col), "super2_cid", "super_cid", "cid"]
+    return cols.select(*out, "cid2") if nprobe == 2 else cols.select(*out)
+
+
+def _ivf_assign_three_level_cols(emb: DataFrame, id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 centroid_mod: int = CENTROID_MOD,
+                                 n_centroids: int = N_CENTROIDS,
+                                 n_super: int = N_SUPER,
+                                 n_super2: int = N_SUPER2,
+                                 spread_every: int | None = None,
+                                 nprobe: int = 1) -> DataFrame:
+    """:func:`ivf_assign_three_level` keeping the quantized vector
+    columns: (id, qv, n2, super2_cid, super_cid, cid[, cid2]) as one
+    shuffle-free projection (see the public docstring)."""
     if nprobe not in (1, 2):
         raise ValueError(f"nprobe must be 1 or 2, got {nprobe}")
     base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
@@ -2678,73 +2808,63 @@ def ivf_assign_three_level(emb: DataFrame, id_col: str = "vec_id",
     sup2 = sup1.filter(sup2_pred).select(
         F.col("sid1").alias("sid2"), F.col("s1v").alias("s2v"),
         F.col("s1n2").alias("s2n2"))
-
-    def _argmin(df, vcol, ncol, keep, cands, ckey, cvec, cnorm,
-                route=None):
-        """struct-min L2 argmin over broadcast ``cands``; ``route``
-        restricts candidates to the parent cell via an equi-join."""
-        j = (df.crossJoin(F.broadcast(cands)) if route is None
-             else df.join(F.broadcast(cands), route))
-        scored = j.select(
-            *keep,
-            F.struct((F.col(ncol) + F.col(cnorm)
-                      - 2 * int_dot(F.col(vcol), F.col(cvec)))
-                     .alias("dist"),
-                     F.col(ckey)).alias("sd"))
-        return (scored.groupBy(*keep)
-                .agg(F.min("sd").alias("best"))
-                .select(*keep, F.col(f"best.{ckey}").alias(ckey)))
-
-    # codebook-internal routing (all relations codebook-sized)
-    s1map = _argmin(sup1, "s1v", "s1n2", ["sid1", "s1v", "s1n2"],
-                    sup2, "sid2", "s2v", "s2n2")
-    c2s2 = _argmin(cents, "cv", "cn2", ["cid", "cv", "cn2"],
-                   sup2, "sid2", "s2v", "s2n2")
-    c2s1 = _argmin(c2s2, "cv", "cn2", ["cid"],
-                   s1map, "sid1", "s1v", "s1n2", route="sid2")
-    cmap = cents.join(F.broadcast(c2s1), "cid")
-    # corpus routing: one shuffled row per vector per level
-    v2 = _argmin(base, "qv", "n2", [id_col, "qv", "n2"],
-                 sup2, "sid2", "s2v", "s2n2")
+    s2row = _cands_row(sup2, ["sid2", "s2v", "s2n2"], "s2cands")
+    # codebook-internal routing (all relations codebook-sized, per-row)
+    s1map = (sup1.crossJoin(F.broadcast(s2row))
+             .withColumn("sid2", _argmin_pick(
+                 "s2cands", "sid2", "s2v", "s2n2", qv="s1v", n2="s1n2"))
+             .filter(F.col("sid2").isNotNull()))
+    s1row = _member_map(s1map, "sid2", ["sid1", "s1v", "s1n2"],
+                        "s1members")
+    cmap = (cents.crossJoin(F.broadcast(s2row))
+            .withColumn("sid2", _argmin_pick(
+                "s2cands", "sid2", "s2v", "s2n2", qv="cv", n2="cn2"))
+            .filter(F.col("sid2").isNotNull())
+            .crossJoin(F.broadcast(s1row))
+            .withColumn("sid1", _argmin_pick(
+                "try_element_at(s1members, sid2)", "sid1", "s1v", "s1n2",
+                qv="cv", n2="cn2"))
+            .filter(F.col("sid1").isNotNull()))
+    cmrow = _member_map(cmap, "sid1", ["cid", "cv", "cn2"], "cmembers")
+    # corpus routing: zero shuffled rows — each level is an expression
+    routed = (base.crossJoin(F.broadcast(s2row))
+              .crossJoin(F.broadcast(s1row))
+              .crossJoin(F.broadcast(cmrow))
+              .withColumn("sid2", _argmin_pick(
+                  "s2cands", "sid2", "s2v", "s2n2")))
     if nprobe == 1:
-        v1 = _argmin(v2, "qv", "n2", [id_col, "qv", "n2", "sid2"],
-                     s1map, "sid1", "s1v", "s1n2", route="sid2")
-        out = _argmin(v1, "qv", "n2", [id_col, "sid2", "sid1"],
-                      cmap, "cid", "cv", "cn2", route="sid1")
-        return out.select(F.col(id_col), F.col("sid2").alias("super2_cid"),
-                          F.col("sid1").alias("super_cid"), F.col("cid"))
-    # nprobe == 2: one pass yields BOTH the best and runner-up sid1 —
-    # sort_array over the per-vector struct(dist, sid1) list; group
-    # state is bounded by the sid2's sid1 fan-out (~s1/s2 ≈ k^(1/3)),
-    # codebook-scale, never corpus-scale.
-    scored1 = (v2.join(F.broadcast(s1map), "sid2")
-               .select(F.col(id_col), "qv", "n2", "sid2",
-                       F.struct((F.col("n2") + F.col("s1n2")
-                                 - 2 * int_dot(F.col("qv"), F.col("s1v")))
-                                .alias("dist"),
-                                F.col("sid1")).alias("sd")))
-    top2 = (scored1.groupBy(id_col, "qv", "n2", "sid2")
-            .agg(F.slice(F.array_sort(F.collect_list("sd")), 1, 2)
-                 .alias("t2"))
-            .select(F.col(id_col), "qv", "n2", "sid2",
-                    F.col("t2")[0]["sid1"].alias("sid1"),
-                    # try_: a sid2 with one sid1 has no runner-up (ANSI
-                    # element_at would abort on the 1-element array)
-                    F.try_element_at("t2", F.lit(2))["sid1"].alias("sid1b"))
-            .localCheckpoint())  # feeds both the best- and second-cell argmins
-    out = _argmin(top2.select(id_col, "qv", "n2", "sid2", "sid1"),
-                  "qv", "n2", [id_col, "sid2", "sid1"],
-                  cmap, "cid", "cv", "cn2", route="sid1")
-    sec = _argmin(top2.filter(F.col("sid1b").isNotNull())
-                  .select(F.col(id_col), "qv", "n2",
-                          F.col("sid1b").alias("sid1")),
-                  "qv", "n2", [id_col],
-                  cmap, "cid", "cv", "cn2", route="sid1") \
-        .select(F.col(id_col), F.col("cid").alias("cid2"))
-    return (out.join(sec, id_col, "left")
-            .select(F.col(id_col), F.col("sid2").alias("super2_cid"),
-                    F.col("sid1").alias("super_cid"), F.col("cid"),
-                    F.col("cid2")))
+        return (routed
+                .withColumn("sid1", _argmin_pick(
+                    "try_element_at(s1members, sid2)",
+                    "sid1", "s1v", "s1n2"))
+                .withColumn("cid", _argmin_pick(
+                    "try_element_at(cmembers, sid1)", "cid", "cv", "cn2"))
+                .filter(F.col("cid").isNotNull())
+                .select(F.col(id_col), "qv", "n2",
+                        F.col("sid2").alias("super2_cid"),
+                        F.col("sid1").alias("super_cid"), "cid"))
+    # nprobe == 2: one sorted pass over the sid2's member list yields
+    # BOTH the best and runner-up sid1 (fan-out ~s1/s2 ≈ k^(1/3),
+    # codebook-scale); array_sort over struct(dist, sid1) is the same
+    # ordering the former collect_list/array_sort aggregation used.
+    dot1 = ("aggregate(zip_with(qv, c.s1v, (x, y) -> x * y), "
+            "cast(0 as bigint), (acc, x) -> acc + x)")
+    return (routed
+            .withColumn("t2", F.expr(
+                "slice(array_sort(transform("
+                "try_element_at(s1members, sid2), "
+                f"c -> struct(n2 + c.s1n2 - 2 * {dot1} as d, "
+                "c.sid1 as k))), 1, 2)"))
+            .withColumn("sid1", F.expr("(try_element_at(t2, 1)).k"))
+            .withColumn("sid1b", F.expr("(try_element_at(t2, 2)).k"))
+            .withColumn("cid", _argmin_pick(
+                "try_element_at(cmembers, sid1)", "cid", "cv", "cn2"))
+            .withColumn("cid2", _argmin_pick(
+                "try_element_at(cmembers, sid1b)", "cid", "cv", "cn2"))
+            .filter(F.col("cid").isNotNull())
+            .select(F.col(id_col), "qv", "n2",
+                    F.col("sid2").alias("super2_cid"),
+                    F.col("sid1").alias("super_cid"), "cid", "cid2"))
 
 
 def similarity_ivf_three_level_query(spark: SparkSession,
@@ -3150,8 +3270,9 @@ def cell_representatives(emb: DataFrame, id_col: str = "vec_id",
     cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
              .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
                      F.col("n2").alias("cn2")))
-    assign = ivf_assign(emb, id_col, vec_col, centroid_mod, n_centroids)
-    dists = (base.join(assign, id_col)
+    # assignment carries (qv, n2) — no corpus id join (r13)
+    dists = (_ivf_assign_cols(emb, id_col, vec_col, centroid_mod,
+                              n_centroids)
              .join(F.broadcast(cents), "cid")
              .select("cid", F.col(id_col),
                      (F.col("n2") + F.col("cn2")
@@ -3740,10 +3861,10 @@ def ivfpq_residual_topk(emb: DataFrame, id_col: str = "vec_id",
     cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
              .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
                      F.col("n2").alias("cn2")))
-    assign = ivf_assign(emb, id_col, vec_col, centroid_mod, n_centroids)
-
-    # residual vectors: v - centroid(cell(v)), exact integers
-    avec = (base.join(assign, id_col)
+    # residual vectors: v - centroid(cell(v)), exact integers; the
+    # assignment carries qv on the same row — no corpus id join (r13)
+    avec = (_ivf_assign_cols(emb, id_col, vec_col, centroid_mod,
+                             n_centroids)
             .join(F.broadcast(cents.select("cid", "cv")), "cid")
             .select(id_col, F.col("cid").alias("cell"),
                     F.zip_with("qv", "cv", lambda x, y: x - y).alias("rv")))
@@ -3766,14 +3887,16 @@ def ivfpq_residual_topk(emb: DataFrame, id_col: str = "vec_id",
                       F.lit(0.0), lambda a, x: a + x)
     for _ in range(n_iter):
         c = rcb.select("m", "cid", "cv", cn2.alias("cn2"))
-        scored = (rsubs.join(F.broadcast(c), "m")
-                  .select(F.col(id_col), F.col("m"), F.col("cid"),
-                          F.col("sv"), (vn2 + F.col("cn2") - 2 * dot)
-                          .alias("dist")))
-        assigned = (scored.groupBy(id_col, "m")
-                    .agg(F.min(F.struct("dist", "cid", "sv")).alias("best"))
-                    .select("m", F.col("best.cid").alias("cid"),
-                            F.col("best.sv").alias("sv")))
+        # per-row argmin over the subspace's broadcast codebook list —
+        # shuffle-free form of the former broadcast join + groupBy
+        # (r13; same double fold order → bit-equal distances; cid is
+        # unique per m so the former struct's sv never decided a tie)
+        mrow = _member_map(c, "m", ["cid", "cv", "cn2"], "rcands")
+        assigned = (rsubs.crossJoin(F.broadcast(mrow))
+                    .withColumn("cid", _argmin_pick_double(
+                        "try_element_at(rcands, m)", "cid", "cv", "cn2"))
+                    .filter(F.col("cid").isNotNull())
+                    .select("m", "cid", "sv"))
         comp = assigned.select("m", "cid",
                                F.posexplode("sv").alias("pos", "comp"))
         means = (comp.groupBy("m", "cid", "pos")
@@ -3787,16 +3910,16 @@ def ivfpq_residual_topk(emb: DataFrame, id_col: str = "vec_id",
                    lambda x: x["mc"]).alias("cv"))).localCheckpoint()
 
     cwf = rcb.select("m", "cid", "cv", cn2.alias("cn2"))
-    # encode every corpus residual against the trained codebook
-    sc = (rsubs.join(F.broadcast(cwf), "m")
-          .select(F.col(id_col), F.col("cid").alias("code_cid"),
-                  F.col("m"), F.col("cell"),
-                  (vn2 + F.col("cn2") - 2 * dot).alias("dist")))
-    enc = (sc.groupBy(id_col, "cell", "m")
-           .agg(F.min(F.struct("dist", "code_cid")).alias("best"))
+    # encode every corpus residual against the trained codebook —
+    # per-row argmin, no (vector, subspace) shuffle (rsubs already has
+    # exactly one row per (id, m); cell is functionally dependent on id)
+    encrow = _member_map(cwf, "m", ["cid", "cv", "cn2"], "enccands")
+    enc = (rsubs.crossJoin(F.broadcast(encrow))
+           .withColumn("code", _argmin_pick_double(
+               "try_element_at(enccands, m)", "cid", "cv", "cn2"))
+           .filter(F.col("code").isNotNull())
            .select(F.col(id_col).alias("match_id"),
-                   F.col("cell").alias("cid"), "m",
-                   F.col("best.code_cid").alias("code")))
+                   F.col("cell").alias("cid"), "m", "code"))
 
     # query probes: nprobe nearest coarse cells; residual PER probed cell
     qbase = base.filter(_fixed_sample(id_col, query_mod, n_queries))
@@ -4452,10 +4575,11 @@ def ivf_cell_purity(emb: DataFrame, id_col: str = "vec_id",
     k x |label alphabet|), then reduces to |cells| rows. Empty cells
     surface with zero members and NULL majority.
     """
-    assign = ivf_assign(emb, id_col, vec_col, centroid_mod, n_centroids)
-    lab = emb.select(F.col(id_col), F.col(label_col).alias("_lab"))
-    # (cell, label) histogram: bounded relation, exact counts
-    cl = (assign.join(lab, id_col)
+    # the assignment projection carries the label column straight
+    # through (extra=), so no corpus self-join by id is needed (r13)
+    cl = (_ivf_assign_cols(emb, id_col, vec_col, centroid_mod,
+                           n_centroids, extra=(label_col,))
+          .select("cid", F.col(label_col).alias("_lab"))
           .groupBy("cid", "_lab").agg(F.count(F.lit(1)).alias("c")))
     per_cell = (cl.groupBy("cid")
                 .agg(F.sum("c").alias("n_members"),
@@ -6159,18 +6283,18 @@ def ann_index_build(emb: DataFrame, path: str, id_col: str = "vec_id",
     lists to the flat build (unit-pinned), so the fixed SQL oracles
     stay valid. The serve side is unchanged either way — it reads only
     ``lists/``."""
+    # the *_cols assignment variants carry (qv, n2) on the same
+    # projected row — no corpus-wide id join before the list write (r13)
     if n_super is not None:
-        assign = ivf_assign_three_level(
+        cols = _ivf_assign_three_level_cols(
             emb, id_col, vec_col, centroid_mod, n_centroids, n_super,
             n_super2 if n_super2 is not None else n_super,
-            spread_every).select(F.col(id_col), F.col("cid"))
+            spread_every)
     else:
-        assign = ivf_assign(emb, id_col, vec_col, centroid_mod,
-                            n_centroids)
-    lists = (emb.join(assign, id_col)
-             .select(F.col("cid"), F.col(id_col).alias("id"),
-                     quantize(F.col(vec_col)).alias("qv"),
-                     sq_norm(quantize(F.col(vec_col))).alias("n2"))
+        cols = _ivf_assign_cols(emb, id_col, vec_col, centroid_mod,
+                                n_centroids)
+    lists = (cols.select(F.col("cid"), F.col(id_col).alias("id"),
+                         "qv", "n2")
              .filter(F.col("n2") > 0))
     # repartition on the partition column first: each task owns whole
     # cells, so every cid directory gets ONE well-formed file instead
@@ -6212,15 +6336,14 @@ def ann_index_append(emb_delta: DataFrame, path: str,
                              quantize(F.col(vec_col)).alias("qv"),
                              sq_norm(quantize(F.col(vec_col))).alias("n2"))
             .filter(F.col("n2") > 0))
-    scored = (base.crossJoin(F.broadcast(cents))
-              .select("id", "qv", "n2", F.col("cid"),
-                      (F.col("n2") + F.col("cn2")
-                       - 2 * int_dot(F.col("qv"), F.col("cv")))
-                      .alias("dist")))
-    assigned = (scored.groupBy("id")
-                .agg(F.min(F.struct("dist", "cid")).alias("best"),
-                     F.first("qv").alias("qv"), F.first("n2").alias("n2"))
-                .select(F.col("best.cid").alias("cid"), "id", "qv", "n2"))
+    # per-row argmin over the persisted codebook array — shuffle-free,
+    # same lexicographic (dist, cid) minimum as the former groupBy (r13)
+    crow = _cands_row(cents, ["cid", "cv", "cn2"], "cands")
+    assigned = (base.crossJoin(F.broadcast(crow))
+                .withColumn("cid", _argmin_pick("cands", "cid", "cv",
+                                                "cn2"))
+                .filter(F.col("cid").isNotNull())
+                .select("cid", "id", "qv", "n2"))
     # one delta file per touched cid (not one per shuffle partition):
     # compaction reads fewer, better-formed files (guide: file sizing)
     assigned.repartition("cid").write.partitionBy("cid") \
