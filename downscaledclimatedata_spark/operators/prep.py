@@ -1016,6 +1016,26 @@ def observed(df: DataFrame, name: str = "prep"):
     return df.observe(obs, *metrics), obs
 
 
+def observed_get(obs, defaults: dict) -> dict:
+    """``Observation.get`` that survives a zero-row action.
+
+    When a runtime-empty side of an inner join sits BELOW the observed
+    node, AQE's empty-relation propagation replaces the join with an
+    empty relation and discards the whole not-yet-executed chain above
+    it — including the ``CollectMetrics`` node. The JVM observation
+    then completes with a SCHEMALESS empty row that pyspark's
+    ``Observation.get`` cannot convert (``toPyRow`` asserts — observed
+    r13 on an edge corpus whose mixture stage sampled zero docs). That
+    state has exactly one meaning: zero rows reached the observed node,
+    so the zero-row aggregate values (``defaults``) ARE the metrics the
+    eliminated node would have reported.
+    """
+    jrow = obs._jo.getRow()  # blocks until the action completes
+    if jrow is None or jrow.length() == 0:
+        return dict(defaults)
+    return obs.get
+
+
 # --- curriculum ordering: quality-stratified training order --------------------
 
 CURRICULUM_STAGES = 4

@@ -41,7 +41,7 @@ from downscaledclimatedata_spark.operators.dedup import (
     minhash_signatures, prune_corpus, prune_corpus_quality)
 from downscaledclimatedata_spark.operators.prep import (
     MIX_ACCEPT_MOD, clean_documents, domain_mixture_sample, global_shuffle,
-    observed, quality_filter, write_training_shards)
+    observed, observed_get, quality_filter, write_training_shards)
 
 
 @dataclass(frozen=True)
@@ -242,7 +242,12 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
             lambda staging: write_training_shards(final, staging))
     else:
         write_training_shards(final, out_dir)
-    metrics = obs.get
+    # observed_get, not obs.get: a corpus whose mixture stage samples
+    # ZERO docs lets AQE's empty-relation propagation eliminate the
+    # metrics node below the write — the zero-row defaults are exactly
+    # what it would have reported (prep.py observed_get)
+    metrics = observed_get(obs, {"n_rows": 0, "total_tokens": 0,
+                                 "n_null_text": 0})
     _mark("mixture_clean_write")
 
     return CorpusBuildResult(
