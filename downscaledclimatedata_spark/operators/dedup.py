@@ -102,22 +102,48 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     """(id, m0..m{K-1}) minhash signature over word 3-gram shingles.
 
     One md5 per shingle, K universal-hash permutations derived
-    arithmetically; each signature component is a min-aggregate, so
-    Catalyst plans a single shuffle with map-side partial mins.
+    arithmetically. Execution shape (r13): the signature is computed
+    PER ROW — ``array_min`` over the doc's own hashed-shingle array —
+    so the whole pass is a shuffle-free projection of the corpus scan
+    (before: explode + groupBy(id), one corpus-wide exchange). Each
+    intermediate (token array, hashed-shingle array) is its own
+    projected column, so CollapseProject's cost guard keeps it
+    single-evaluated per row; the empty-doc drop filters on the CHEAP
+    exact condition ``size(tokens) >= 3`` (zero 3-gram shingles ⟺
+    fewer than 3 tokens), because a filter on the hashed array itself
+    pushes below the projection and re-derives the md5 chain per row.
+    min over the same value multiset → identical signatures, and a doc
+    with no shingles produces no row, exactly as the groupBy did.
 
     ``shingled`` lets a pipeline share one materialized (id, shingle)
-    relation across stages; min-aggregates are duplicate-insensitive, so
-    passing the DISTINCT relation (as the jaccard verify stage needs)
-    yields identical signatures.
+    relation across stages (that path keeps the aggregate form — its
+    input is already exploded); min-aggregates are
+    duplicate-insensitive, so passing the DISTINCT relation (as the
+    jaccard verify stage needs) yields identical signatures.
     """
-    shingled = (shingled if shingled is not None
-                else shingled_rows(df, text_col, id_col)).select(
-        F.col(id_col), (md5_long(F.col("shingle")) % _MERSENNE_P).alias("h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE_P).alias(f"m{k}")
+    if shingled is not None:
+        hashed = shingled.select(
+            F.col(id_col),
+            (md5_long(F.col("shingle")) % _MERSENNE_P).alias("h"))
+        aggs = [
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE_P)
+            .alias(f"m{k}")
+            for k, (a, b) in enumerate(_perm_constants(n_perms))
+        ]
+        return hashed.groupBy(id_col).agg(*aggs)
+    toked = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+             .filter(F.size("_toks") >= 3))
+    hs = toked.select(
+        F.col(id_col),
+        F.transform(shingles_of_tokens(F.col("_toks")),
+                    lambda s: md5_long(s) % _MERSENNE_P).alias("_hs"))
+    mins = [
+        F.array_min(F.transform(
+            F.col("_hs"),
+            lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE_P)).alias(f"m{k}")
         for k, (a, b) in enumerate(_perm_constants(n_perms))
     ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    return hs.select(F.col(id_col), *mins)
 
 
 MAX_BUCKET = 256
@@ -191,15 +217,32 @@ def lsh_bucket_stats(signatures: DataFrame, id_col: str,
 
 def simhash(df: DataFrame, text_col: str, id_col: str,
             n_bits: int = SIMHASH_BITS) -> DataFrame:
-    """60-bit simhash: per-bit majority vote over shingle hashes."""
-    shingled = shingled_rows(df, text_col, id_col).select(
-        F.col(id_col), md5_long(F.col("shingle")).alias("h"))
-    bit_aggs = [
-        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-              .otherwise(-1)).alias(f"s{b}")
+    """60-bit simhash: per-bit majority vote over shingle hashes.
+
+    Execution shape (r13): the votes fold PER ROW over the doc's own
+    hashed-shingle array (``F.aggregate``), so the fingerprint is a
+    shuffle-free projection of the corpus scan (before: explode +
+    groupBy(id) with 60 vote sums — one corpus-wide exchange). Same
+    ±1 sums over the same multiset → identical fingerprints; empty
+    docs drop on the cheap exact ``size(tokens) >= 3`` condition
+    (see :func:`minhash_signatures`).
+    """
+    toked = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+             .filter(F.size("_toks") >= 3))
+    hs = toked.select(
+        F.col(id_col),
+        F.transform(shingles_of_tokens(F.col("_toks")),
+                    lambda s: md5_long(s)).alias("_hs"))
+    votes = [
+        F.aggregate(
+            F.col("_hs"), F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long")))
+        .alias(f"s{b}")
         for b in range(n_bits)
     ]
-    bits = shingled.groupBy(id_col).agg(*bit_aggs)
+    bits = hs.select(F.col(id_col), *votes)
     fingerprint = None
     for b in range(n_bits):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
