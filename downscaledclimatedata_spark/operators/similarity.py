@@ -122,11 +122,20 @@ def _argmin_pick(cands: str, key: str, vec: str, norm: str,
     ``F.expr`` parse — nested Python lambda builders cost dozens of
     py4j round trips per level (the O6 plan-construction lesson).
     """
+    return _argmin_struct(cands, key, vec, norm, qv, n2)["k"]
+
+
+def _argmin_struct(cands: str, key: str, vec: str, norm: str,
+                   qv: str = "qv", n2: str = "n2") -> Column:
+    """The (d, k) struct of the squared-L2 argmin candidate (see
+    :func:`_argmin_pick`) — for callers that need the winning DISTANCE
+    too (cell stats, OOD gate). Project the struct as its own column
+    before reading both fields, so it stays single-evaluated."""
     dot = (f"aggregate(zip_with({qv}, c.{vec}, (x, y) -> x * y), "
            f"cast(0 as bigint), (acc, x) -> acc + x)")
     return F.expr(
-        f"(array_min(transform({cands}, c -> "
-        f"struct({n2} + c.{norm} - 2 * {dot} as d, c.{key} as k)))).k")
+        f"array_min(transform({cands}, c -> "
+        f"struct({n2} + c.{norm} - 2 * {dot} as d, c.{key} as k)))")
 
 
 def _cands_row(df: DataFrame, cols: list, alias: str) -> DataFrame:
@@ -831,31 +840,37 @@ def ivf_topk_refined(emb: DataFrame, id_col: str = "vec_id",
     c = cents.select("cid", "cv", cn2.alias("cn2"))
     base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
     base = base.withColumn("dv", F.transform("qv", lambda x: x.cast("double")))
-    vn2 = F.aggregate(F.zip_with(F.col("dv"), F.col("dv"), lambda x, y: x * y),
-                      F.lit(0.0), lambda a, x: a + x)
-    dot = F.aggregate(F.zip_with(F.col("dv"), F.col("cv"), lambda x, y: x * y),
-                      F.lit(0.0), lambda a, x: a + x)
-    scored = (base.crossJoin(F.broadcast(c))
-              .select(F.col(id_col), "cid", "qv",
-                      (vn2 + F.col("cn2") - 2 * dot).alias("dist")))
-    # corpus assignment: lexicographic struct-min (== ORDER BY dist, cid)
-    # partial-aggregates map-side — one shuffled row per vector
-    assigned = (scored.groupBy(id_col)
-                .agg(F.min(F.struct("dist", "cid", "qv")).alias("best"))
-                .select(id_col, F.col("best.cid").alias("cid"),
-                        F.col("best.qv").alias("qv")))
+    # corpus assignment: per-row argmin over the broadcast refined
+    # codebook — shuffle-free (r13); same double fold order and
+    # (dist, cid) tie-break as the former groupBy/min(struct)
+    crow = _cands_row(c, ["cid", "cv", "cn2"], "kmc")
+    assigned = (base.crossJoin(F.broadcast(crow))
+                .withColumn("cid", _argmin_pick_double(
+                    "kmc", "cid", "cv", "cn2"))
+                .filter(F.col("cid").isNotNull())
+                .select(id_col, "cid", "qv"))
     withn = (assigned.withColumn("n2", sq_norm(F.col("qv")))
              .filter(F.col("n2") > 0))  # zero-norm: no defined cosine
     qbase = (withn.filter(_fixed_sample(id_col, query_mod, n_queries))
              .select(F.col(id_col).alias("query_id"),
                      F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
-    # query's nprobe nearest refined lists: the ranking window runs only
-    # over the fixed-size query subset of the scored relation
-    w = Window.partitionBy(id_col).orderBy("dist", "cid")
-    probes = (scored.filter(_fixed_sample(id_col, query_mod, n_queries))
-              .withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") <= nprobe)
-              .select(F.col(id_col).alias("query_id"), "cid"))
+    # query's nprobe nearest refined lists: per-row sorted top-nprobe
+    # over the same broadcast codebook (the former rank-window over the
+    # scored relation ordered by the identical (dist, cid) key), then
+    # exploded — the query subset is the fixed n_queries sample
+    dotd = ("aggregate(zip_with(dv, c.cv, (x, y) -> x * y), "
+            "cast(0.0 as double), (acc, x) -> acc + x)")
+    vn2d = ("aggregate(zip_with(dv, dv, (x, y) -> x * y), "
+            "cast(0.0 as double), (acc, x) -> acc + x)")
+    probes = (base.filter(_fixed_sample(id_col, query_mod, n_queries))
+              .crossJoin(F.broadcast(crow))
+              .withColumn("t", F.expr(
+                  f"slice(array_sort(transform(kmc, c -> "
+                  f"struct({vn2d} + c.cn2 - 2 * {dotd} as d, "
+                  f"c.cid as k))), 1, {int(nprobe)})"))
+              .select(F.col(id_col).alias("query_id"),
+                      F.explode("t").alias("p"))
+              .select("query_id", F.col("p.k").alias("cid")))
     queries = probes.join(qbase, "query_id")
     corpus = withn.select(F.col(id_col).alias("match_id"), "cid",
                           F.col("qv").alias("cq"), F.col("n2").alias("mn2"))
@@ -3724,15 +3739,13 @@ def ivf_cell_stats(emb: DataFrame, id_col: str = "vec_id",
     cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
              .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
                      F.col("n2").alias("cn2")))
-    scored = (base.crossJoin(F.broadcast(cents))
-              .select(F.col(id_col), "cid",
-                      (F.col("n2") + F.col("cn2")
-                       - 2 * int_dot(F.col("qv"), F.col("cv")))
-                      .alias("dist")))
-    best = (scored.groupBy(id_col)
-            .agg(F.min(F.struct("dist", "cid")).alias("m"))
-            .select(F.col("m.cid").alias("cid"),
-                    F.col("m.dist").alias("dist")))
+    # per-row argmin keeping the winning distance — shuffle-free (r13)
+    crow = _cands_row(cents, ["cid", "cv", "cn2"], "cands")
+    best = (base.crossJoin(F.broadcast(crow))
+            .withColumn("m", _argmin_struct("cands", "cid", "cv", "cn2"))
+            .filter(F.col("m").isNotNull())
+            .select(F.col("m.k").alias("cid"),
+                    F.col("m.d").alias("dist")))
     per_cell = best.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum("dist").alias("sum_d"),
@@ -4787,14 +4800,13 @@ def ood_vectors(emb: DataFrame, id_col: str = "vec_id",
     cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
              .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
                      F.col("n2").alias("cn2")))
-    best = (base.crossJoin(F.broadcast(cents))
-            .select(F.col(id_col), "cid",
-                    (F.col("n2") + F.col("cn2")
-                     - 2 * int_dot(F.col("qv"), F.col("cv"))).alias("dist"))
-            .groupBy(id_col)
-            .agg(F.min(F.struct("dist", "cid")).alias("m"))
-            .select(F.col(id_col), F.col("m.cid").alias("cid"),
-                    F.col("m.dist").alias("dist")))
+    # per-row argmin keeping the winning distance — shuffle-free (r13)
+    crow = _cands_row(cents, ["cid", "cv", "cn2"], "cands")
+    best = (base.crossJoin(F.broadcast(crow))
+            .withColumn("m", _argmin_struct("cands", "cid", "cv", "cn2"))
+            .filter(F.col("m").isNotNull())
+            .select(F.col(id_col), F.col("m.k").alias("cid"),
+                    F.col("m.d").alias("dist")))
     d38 = lambda c: c.cast("decimal(38,0)")
     tot = best.agg(F.sum(d38(F.col("dist"))).alias("sum_dist"),
                    F.count(F.lit(1)).alias("n"))
