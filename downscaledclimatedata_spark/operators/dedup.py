@@ -102,48 +102,33 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     """(id, m0..m{K-1}) minhash signature over word 3-gram shingles.
 
     One md5 per shingle, K universal-hash permutations derived
-    arithmetically. Execution shape (r13): the signature is computed
-    PER ROW — ``array_min`` over the doc's own hashed-shingle array —
-    so the whole pass is a shuffle-free projection of the corpus scan
-    (before: explode + groupBy(id), one corpus-wide exchange). Each
-    intermediate (token array, hashed-shingle array) is its own
-    projected column, so CollapseProject's cost guard keeps it
-    single-evaluated per row; the empty-doc drop filters on the CHEAP
-    exact condition ``size(tokens) >= 3`` (zero 3-gram shingles ⟺
-    fewer than 3 tokens), because a filter on the hashed array itself
-    pushes below the projection and re-derives the md5 chain per row.
-    min over the same value multiset → identical signatures, and a doc
-    with no shingles produces no row, exactly as the groupBy did.
+    arithmetically; each signature component is a min-aggregate, so
+    Catalyst plans a single shuffle with map-side partial mins.
+
+    Execution-shape note (r13, measured): a shuffle-free PER-ROW form
+    (``array_min(transform(...))`` over the doc's hashed-shingle array)
+    was tried and REVERTED — 1.06 s vs 0.59 s for this form at sf0.1 ×
+    32 partitions, same session, identical signatures. Higher-order
+    array functions evaluate their lambda interpreted per element,
+    while this explode + groupBy runs whole-stage-codegen'd with
+    map-side partial mins, so the exchange the per-row form removes
+    carries only one 16-long row per doc (narrow, pre-aggregated) —
+    cheaper than losing codegen on ~10² shingle-hash evaluations per
+    doc. Same verdict for :func:`simhash` (2.41 s vs 1.66 s).
 
     ``shingled`` lets a pipeline share one materialized (id, shingle)
-    relation across stages (that path keeps the aggregate form — its
-    input is already exploded); min-aggregates are
-    duplicate-insensitive, so passing the DISTINCT relation (as the
-    jaccard verify stage needs) yields identical signatures.
+    relation across stages; min-aggregates are duplicate-insensitive, so
+    passing the DISTINCT relation (as the jaccard verify stage needs)
+    yields identical signatures.
     """
-    if shingled is not None:
-        hashed = shingled.select(
-            F.col(id_col),
-            (md5_long(F.col("shingle")) % _MERSENNE_P).alias("h"))
-        aggs = [
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE_P)
-            .alias(f"m{k}")
-            for k, (a, b) in enumerate(_perm_constants(n_perms))
-        ]
-        return hashed.groupBy(id_col).agg(*aggs)
-    toked = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-             .filter(F.size("_toks") >= 3))
-    hs = toked.select(
-        F.col(id_col),
-        F.transform(shingles_of_tokens(F.col("_toks")),
-                    lambda s: md5_long(s) % _MERSENNE_P).alias("_hs"))
-    mins = [
-        F.array_min(F.transform(
-            F.col("_hs"),
-            lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE_P)).alias(f"m{k}")
+    shingled = (shingled if shingled is not None
+                else shingled_rows(df, text_col, id_col)).select(
+        F.col(id_col), (md5_long(F.col("shingle")) % _MERSENNE_P).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE_P).alias(f"m{k}")
         for k, (a, b) in enumerate(_perm_constants(n_perms))
     ]
-    return hs.select(F.col(id_col), *mins)
+    return shingled.groupBy(id_col).agg(*aggs)
 
 
 MAX_BUCKET = 256
@@ -219,30 +204,22 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
             n_bits: int = SIMHASH_BITS) -> DataFrame:
     """60-bit simhash: per-bit majority vote over shingle hashes.
 
-    Execution shape (r13): the votes fold PER ROW over the doc's own
-    hashed-shingle array (``F.aggregate``), so the fingerprint is a
-    shuffle-free projection of the corpus scan (before: explode +
-    groupBy(id) with 60 vote sums — one corpus-wide exchange). Same
-    ±1 sums over the same multiset → identical fingerprints; empty
-    docs drop on the cheap exact ``size(tokens) >= 3`` condition
-    (see :func:`minhash_signatures`).
+    Execution-shape note (r13, measured): a shuffle-free per-row form
+    (60 ``F.aggregate`` folds over the doc's hashed-shingle array) was
+    tried and REVERTED — 2.41 s vs 1.66 s for this explode + groupBy
+    form at sf0.1 × 32 partitions, same session, identical
+    fingerprints. See :func:`minhash_signatures` for the analysis
+    (interpreted HOF lambdas vs whole-stage-codegen'd partial
+    aggregates; the removed exchange carries one 60-int row per doc).
     """
-    toked = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-             .filter(F.size("_toks") >= 3))
-    hs = toked.select(
-        F.col(id_col),
-        F.transform(shingles_of_tokens(F.col("_toks")),
-                    lambda s: md5_long(s)).alias("_hs"))
-    votes = [
-        F.aggregate(
-            F.col("_hs"), F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long")))
-        .alias(f"s{b}")
+    shingled = shingled_rows(df, text_col, id_col).select(
+        F.col(id_col), md5_long(F.col("shingle")).alias("h"))
+    bit_aggs = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"s{b}")
         for b in range(n_bits)
     ]
-    bits = hs.select(F.col(id_col), *votes)
+    bits = shingled.groupBy(id_col).agg(*bit_aggs)
     fingerprint = None
     for b in range(n_bits):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
