@@ -186,6 +186,305 @@ def _member_map(df: DataFrame, parent: str, cols: list,
                 F.collect_list(F.struct(parent, "_ms"))).alias(alias)))
 
 
+# Assignment-kernel tier (r13, measured same-session at 32-dim, the
+# √N codebook schedule, noop sink, min-of-3): the Arrow matmul kernel
+# pays ~0.3-0.5 s fixed (codebook-collect job + Python worker spin-up +
+# one Arrow transpose) and then scores at matrix-product speed; the
+# relational crossJoin→groupBy argmin is codegen'd with zero fixed cost
+# but pays per (row, centroid). Crossover sits at k = 64 on the
+# schedule: N=2k/k=32 relational 0.51 s vs arrow 0.66; N=6.4k/k=64 tie
+# (0.58 vs 0.56); N=25.6k/k=128 arrow 2.5× (0.66 vs 1.64); N=102k/k=256
+# arrow 10× (0.61 vs 5.90); N=200k/k=352 arrow 12× (1.23 vs 14.9).
+# k encodes the corpus decade under the schedule, so the tier needs no
+# extra count job. A per-row HOF argmin (array_min(transform(...)))
+# was also measured and REVERTED: interpreted lambdas lose to BOTH
+# forms at every rung (20.8 s at the 200k rung).
+ARROW_ASSIGN_MIN_K = 64
+
+
+def _argmin_assign(base: DataFrame, cents: DataFrame, id_col: str,
+                   n_centroids: int,
+                   dist_out: str | None = None) -> DataFrame:
+    """Nearest-centroid assignment, tiered by codebook size (see
+    :data:`ARROW_ASSIGN_MIN_K`): the codegen'd relational argmin below
+    the crossover, the vectorized Arrow matmul kernel above it.
+    Identical exact-integer distances and (dist, cid) tie-break either
+    way. Adds ``cid`` (and optionally ``dist_out``) to ``base``'s
+    columns; base must carry ``qv``/``n2``."""
+    if n_centroids >= ARROW_ASSIGN_MIN_K:
+        return _argmin_assign_arrow(base, cents, dist_out=dist_out)
+    carry = [c for c in base.columns if c != id_col]
+    scored = (base.crossJoin(F.broadcast(cents))
+              .select(F.col(id_col), *carry, F.col("cid"),
+                      (F.col("n2") + F.col("cn2")
+                       - 2 * int_dot(F.col("qv"), F.col("cv")))
+                      .alias("_d")))
+    # lexicographic struct-min == ORDER BY _d, cid (cid unique per
+    # candidate, so the carried payload never decides a tie); partial-
+    # aggregates map-side — one narrow shuffled row per vector
+    best = (scored.groupBy(id_col)
+            .agg(F.min(F.struct(F.col("_d"), F.col("cid"),
+                                *[F.col(c) for c in carry])).alias("_b")))
+    cols = ([F.col(id_col)]
+            + [F.col(f"_b.{c}").alias(c) for c in carry]
+            + [F.col("_b.cid").alias("cid")])
+    if dist_out is not None:
+        cols.append(F.col("_b._d").alias(dist_out))
+    return best.select(*cols)
+
+
+def _collect_codebook(cents: DataFrame, key: str = "cid",
+                      vec: str = "cv", norm: str = "cn2"):
+    """Driver-side numpy snapshot of a bounded codebook relation, for
+    the Arrow assignment kernel (guide §4.2): the same codebook bytes
+    the relational form broadcasts as rows, collected once per build
+    (codebooks are fixed-size / √N-scheduled — KBs to low MBs).
+
+    Returns ``None`` for an empty codebook. Otherwise a dict holding,
+    sorted by key ascending (the (dist, key) tie-break becomes
+    first-occurrence argmin):
+
+    - ``fast``: ``(CID, C, CN2, D)`` int64 matrices when every centroid
+      is clean (non-null vector, no null elements, non-null norm) and
+      one dimensionality — the hot path;
+    - ``by_dim``: per-dimension ``(CID_d, C_d, CN2_d)`` for clean
+      centroids, ``null_min``: per-dimension min key among the OTHER
+      centroids (whose distance to a d-dim row is NULL via zip_with
+      padding — NULL sorts FIRST in the struct-min, so such a centroid
+      WINS; pinned by test_round13_ops null-semantics probes), and
+      ``gmin``: the min key overall (every centroid has NULL distance
+      to an unclean row).
+    """
+    rows = cents.select(key, vec, norm).collect()
+    return _codebook_payload([(r[0], r[1], r[2]) for r in rows])
+
+
+def _codebook_payload(rows):
+    """:func:`_collect_codebook` body over plain (key, vec, norm)
+    tuples — shared with the per-subspace PQ kernel."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r[0])
+    if not rows:
+        return None
+    keys = [r[0] for r in rows]
+    clean = [r[1] is not None and r[2] is not None
+             and all(x is not None for x in r[1]) for r in rows]
+    dims = sorted({len(r[1]) for r, c in zip(rows, clean) if c})
+    payload = {"gmin": keys[0], "fast": None, "by_dim": {}, "null_min": {}}
+    for d in dims:
+        sel = [i for i, (r, c) in enumerate(zip(rows, clean))
+               if c and len(r[1]) == d]
+        payload["by_dim"][d] = (
+            np.array([keys[i] for i in sel], dtype=np.int64),
+            np.array([rows[i][1] for i in sel], dtype=np.int64).reshape(
+                len(sel), d),
+            np.array([rows[i][2] for i in sel], dtype=np.int64))
+        others = [keys[i] for i in range(len(rows)) if i not in set(sel)]
+        payload["null_min"][d] = min(others) if others else None
+    if len(dims) == 1 and all(clean):
+        cid, c, cn2 = payload["by_dim"][dims[0]]
+        payload["fast"] = (cid, c, cn2, dims[0])
+    return payload
+
+
+def _argmin_assign_arrow(base: DataFrame, cents: DataFrame, *,
+                         qv: str = "qv", n2: str = "n2",
+                         out: str = "cid",
+                         dist_out: str | None = None) -> DataFrame:
+    """Nearest-centroid assignment as ONE vectorized Arrow pass
+    (guide §4.2): batches of quantized vectors are handed to a NumPy
+    int64 matmul argmin instead of evaluating the squared-L2 per
+    (row, centroid) in JVM expressions. Measured 12× over the fastest
+    JVM form at 200k vectors × 352 centroids (1.23 s vs 14.9 s
+    relational groupBy-min / 20.8 s per-row HOF argmin, identical
+    assignments) — higher-order array lambdas evaluate interpreted per
+    element and even codegen'd row-at-a-time scoring cannot touch a
+    batched matrix product.
+
+    Exactness: quantized components are clamped to ±QCLAMP, so every
+    distance fits int64 (module header) — the NumPy arithmetic is the
+    same exact integers as the JVM kernel, no float rounding anywhere.
+    Tie-break: centroid keys sorted ascending + first-occurrence argmin
+    == the lexicographic (dist, key) struct-min. NULL semantics (null /
+    empty / length-mismatched vectors) reproduce the zip_with-padding
+    behavior of both prior forms — see :func:`_collect_codebook`.
+    Adds ``out`` (and optionally ``dist_out``) to ``base``'s columns;
+    an empty codebook yields zero rows (the empty-crossJoin semantics).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    payload = _collect_codebook(cents)
+    if payload is None:
+        res = base.withColumn(out, F.lit(None).cast("long"))
+        if dist_out is not None:
+            res = res.withColumn(dist_out, F.lit(None).cast("long"))
+        return res.filter(F.lit(False))
+    bc = base.sparkSession.sparkContext.broadcast(payload)
+    fields = list(base.schema.fields) + [StructField(out, LongType())]
+    if dist_out is not None:
+        fields.append(StructField(dist_out, LongType()))
+    schema = StructType(fields)
+    qv_name, n2_name, want_dist = qv, n2, dist_out is not None
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        p = bc.value
+        fast = p["fast"]
+        for b in batches:
+            names = b.schema.names
+            qcol = b.column(names.index(qv_name))
+            ncol = b.column(names.index(n2_name))
+            n = b.num_rows
+            cid_out = None
+            if (fast is not None and n and qcol.null_count == 0
+                    and ncol.null_count == 0 and qcol.values.null_count == 0):
+                cid_f, c_f, cn2_f, d_f = fast
+                off = qcol.offsets.to_numpy()
+                if (np.diff(off) == d_f).all():
+                    q = qcol.values.to_numpy()[off[0]:off[-1]].reshape(n, d_f)
+                    n2a = ncol.to_numpy()
+                    dist = (n2a[:, None] + cn2_f[None, :]
+                            - 2 * (q @ c_f.T))
+                    j = np.argmin(dist, axis=1)
+                    cid_out = pa.array(cid_f[j], type=pa.int64())
+                    if want_dist:
+                        dist_arr = pa.array(dist[np.arange(n), j],
+                                            type=pa.int64())
+            if cid_out is None:  # edge batch: per-row null semantics
+                ql, nl = qcol.to_pylist(), ncol.to_pylist()
+                cids, dists = [], []
+                for v, nn in zip(ql, nl):
+                    ok = (v is not None and nn is not None
+                          and all(x is not None for x in v))
+                    grp = p["by_dim"].get(len(v)) if ok else None
+                    if grp is None:  # all centroid distances NULL
+                        cids.append(p["gmin"]); dists.append(None)
+                        continue
+                    nmin = p["null_min"][len(v)]
+                    if nmin is not None:  # a NULL-dist centroid wins
+                        cids.append(nmin); dists.append(None)
+                        continue
+                    kd, cd, cnd = grp
+                    dd = nn + cnd - 2 * (cd @ np.asarray(v, dtype=np.int64))
+                    j = int(np.argmin(dd))
+                    cids.append(int(kd[j])); dists.append(int(dd[j]))
+                cid_out = pa.array(cids, type=pa.int64())
+                if want_dist:
+                    dist_arr = pa.array(dists, type=pa.int64())
+            cols = b.columns + [cid_out]
+            onames = names + [out]
+            if want_dist:
+                cols.append(dist_arr)
+                onames.append(dist_out)
+            yield pa.RecordBatch.from_arrays(cols, names=onames)
+
+    return base.mapInArrow(assign, schema)
+
+
+def _pq_encode_arrow(subs: DataFrame, cents: DataFrame,
+                     id_col: str) -> DataFrame:
+    """Per-subspace nearest-sub-centroid encoding as one Arrow pass —
+    the PQ analogue of :func:`_argmin_assign_arrow` (guide §4.2).
+    ``subs``: one row per (vector, subspace) = (id, m, sv);
+    ``cents``: (cid, m, cv). Returns (id, m, code).
+
+    Σ(x−y)² is computed as Σx² + Σy² − 2Σxy in the same exact int64
+    (QCLAMP bounds it), identical values to the JVM fold; tie-break
+    and NULL semantics as in :func:`_collect_codebook`, per subspace —
+    a row whose ``m`` has no sub-codebook entry is dropped (the
+    ``try_element_at`` miss of the map form).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    crows = cents.select("cid", "m", "cv").collect()
+    groups = {}
+    for r in crows:
+        cn2 = (sum(int(x) * int(x) for x in r[2])
+               if r[2] is not None and all(x is not None for x in r[2])
+               else None)
+        groups.setdefault(r[1], []).append((r[0], r[2], cn2))
+    payload = {m: _codebook_payload(rows) for m, rows in groups.items()}
+    base = subs.select(F.col(id_col), "m", "sv")
+    if not payload:
+        return (base.withColumn("code", F.lit(None).cast("long"))
+                .filter(F.lit(False)).select(id_col, "m", "code"))
+    bc = base.sparkSession.sparkContext.broadcast(payload)
+    schema = StructType([base.schema[id_col],
+                         StructField("m", base.schema["m"].dataType),
+                         StructField("code", LongType())])
+
+    def encode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        p = bc.value
+        for b in batches:
+            names = b.schema.names
+            ids = b.column(0)
+            marr = b.column(1)
+            scol = b.column(2)
+            n = b.num_rows
+            mnp = marr.to_numpy(zero_copy_only=False)
+            sl = scol.to_pylist()
+            keep, out_m, out_id, out_code = [], [], [], []
+            idl = ids.to_pylist()
+            # vectorize per subspace where the group is regular
+            codes = [None] * n
+            drop = [False] * n
+            for m in np.unique(mnp):
+                g = p.get(int(m))
+                idx = np.nonzero(mnp == m)[0]
+                if g is None:
+                    for i in idx:
+                        drop[int(i)] = True
+                    continue
+                fast = g["fast"]
+                vs = [sl[int(i)] for i in idx]
+                regular = (fast is not None and all(
+                    v is not None and len(v) == fast[3]
+                    and all(x is not None for x in v) for v in vs))
+                if regular and len(idx):
+                    cid_f, c_f, cn2_f, d_f = fast
+                    q = np.array(vs, dtype=np.int64).reshape(len(idx), d_f)
+                    sn2 = (q * q).sum(axis=1)
+                    dist = sn2[:, None] + cn2_f[None, :] - 2 * (q @ c_f.T)
+                    j = np.argmin(dist, axis=1)
+                    for pos, i in enumerate(idx):
+                        codes[int(i)] = int(cid_f[j[pos]])
+                    continue
+                for i in idx:  # edge rows: per-row null semantics
+                    v = sl[int(i)]
+                    ok = v is not None and all(x is not None for x in v)
+                    grp = g["by_dim"].get(len(v)) if ok else None
+                    if grp is None:
+                        codes[int(i)] = g["gmin"]
+                        continue
+                    nmin = g["null_min"][len(v)]
+                    if nmin is not None:
+                        codes[int(i)] = int(nmin)
+                        continue
+                    kd, cd, cnd = grp
+                    vv = np.asarray(v, dtype=np.int64)
+                    dd = int(vv @ vv) + cnd - 2 * (cd @ vv)
+                    j = int(np.argmin(dd))
+                    codes[int(i)] = int(kd[j])
+            for i in range(n):
+                if drop[i]:
+                    continue
+                out_id.append(idl[i]); out_m.append(int(mnp[i]))
+                out_code.append(codes[i])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, type=b.schema.field(0).type),
+                 pa.array(out_m, type=b.schema.field(1).type),
+                 pa.array(out_code, type=pa.int64())],
+                names=[names[0], "m", "code"])
+
+    return base.mapInArrow(encode, schema)
+
+
 def cosine_topk_quantized(emb: DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           k: int = TOP_K, query_mod: int = QUERY_MOD,
@@ -363,12 +662,14 @@ def ivf_assign(emb: DataFrame, id_col: str = "vec_id",
     broadcast — the standard IVF build pass (real deployments use a
     k-means codebook of 10^4-10^5 lists; same join shape).
 
-    Execution shape (r13): the argmin runs PER ROW over the broadcast
-    codebook array (:func:`_argmin_pick` — same lexicographic
-    (dist, cid) minimum as the former ``groupBy``/``min(struct)``
-    aggregation, bit-equal results), so assignment is a shuffle-free
-    projection of the corpus scan: zero corpus rows move for the
-    assignment itself, vs one N-row shuffle before.
+    Execution shape (r13): the argmin runs as a vectorized Arrow batch
+    kernel (:func:`_argmin_assign_arrow` — NumPy int64 matmul, same
+    exact integers, same lexicographic (dist, cid) tie-break as the
+    former ``groupBy``/``min(struct)`` aggregation), so assignment is a
+    shuffle-free pass over the corpus scan: zero corpus rows move for
+    the assignment itself, and the scoring runs at matrix-product speed
+    instead of per-(row, centroid) JVM expression evaluation (measured
+    12× at 200k × 352).
     """
     return _ivf_assign_cols(emb, id_col, vec_col, centroid_mod,
                             n_centroids).select(F.col(id_col), "cid")
@@ -391,10 +692,7 @@ def _ivf_assign_cols(emb: DataFrame, id_col: str = "vec_id",
     cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
              .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
                      F.col("n2").alias("cn2")))
-    crow = _cands_row(cents, ["cid", "cv", "cn2"], "cands")
-    return (base.crossJoin(F.broadcast(crow))
-            .withColumn("cid", _argmin_pick("cands", "cid", "cv", "cn2"))
-            .filter(F.col("cid").isNotNull())
+    return (_argmin_assign(base, cents, id_col, n_centroids)
             .select(F.col(id_col), "qv", "n2", "cid",
                     *[F.col(e) for e in extra]))
 
@@ -1259,16 +1557,23 @@ def pq_encode(emb: DataFrame, id_col: str = "vec_id",
     cents = (base.filter(_fixed_sample(id_col, centroid_mod, ks))
              .select(F.col(id_col).alias("cid"),
                      F.posexplode("subs").alias("m", "cv")))
-    # per-row argmin over the subspace's broadcast sub-codebook list —
-    # the shuffle-free form of the former broadcast join + groupBy
-    # (r13; identical lexicographic (d, cid) minimum and tie-break;
-    # `subs` already has exactly one row per (vector, subspace))
-    mrow = _member_map(cents, "m", ["cid", "cv"], "pqcands")
-    return (subs.crossJoin(F.broadcast(mrow))
-            .withColumn("code", _argmin_pick_l2(
-                "try_element_at(pqcands, m)", "cid", "cv"))
-            .filter(F.col("code").isNotNull())
-            .select(id_col, "m", "code"))
+    # tiered per-subspace argmin (r13; identical exact-int distances,
+    # lexicographic (d, cid) tie-break either way; `subs` already has
+    # exactly one row per (vector, subspace)): Arrow matmul kernel for
+    # scheduled sub-codebooks, codegen'd relational argmin below the
+    # ARROW_ASSIGN_MIN_K crossover (ks is PQ_KS=16 static at spec scale)
+    if ks >= ARROW_ASSIGN_MIN_K:
+        return _pq_encode_arrow(subs, cents, id_col)
+    scored = (subs.join(F.broadcast(cents), "m")
+              .select(id_col, "m", "cid",
+                      _sq_l2(F.col("sv"), F.col("cv")).alias("d")))
+    # argmin via min(struct(d, cid)): lexicographic struct-min == ORDER
+    # BY d, cid — same deterministic tie-break as a rank-1 window, but
+    # it partial-aggregates map-side (the shuffle carries one row per
+    # (vector, subspace), not one per candidate centroid)
+    return (scored.groupBy(id_col, "m")
+            .agg(F.min(F.struct("d", "cid")).alias("best"))
+            .select(id_col, "m", F.col("best.cid").alias("code")))
 
 
 def pq_topk(emb: DataFrame, id_col: str = "vec_id",
@@ -3739,13 +4044,10 @@ def ivf_cell_stats(emb: DataFrame, id_col: str = "vec_id",
     cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
              .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
                      F.col("n2").alias("cn2")))
-    # per-row argmin keeping the winning distance — shuffle-free (r13)
-    crow = _cands_row(cents, ["cid", "cv", "cn2"], "cands")
-    best = (base.crossJoin(F.broadcast(crow))
-            .withColumn("m", _argmin_struct("cands", "cid", "cv", "cn2"))
-            .filter(F.col("m").isNotNull())
-            .select(F.col("m.k").alias("cid"),
-                    F.col("m.d").alias("dist")))
+    # tiered argmin keeping the winning distance (r13)
+    best = (_argmin_assign(base, cents, id_col, n_centroids,
+                           dist_out="dist")
+            .select("cid", "dist"))
     per_cell = best.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum("dist").alias("sum_d"),
@@ -4800,13 +5102,10 @@ def ood_vectors(emb: DataFrame, id_col: str = "vec_id",
     cents = (base.filter(_fixed_sample(id_col, centroid_mod, n_centroids))
              .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
                      F.col("n2").alias("cn2")))
-    # per-row argmin keeping the winning distance — shuffle-free (r13)
-    crow = _cands_row(cents, ["cid", "cv", "cn2"], "cands")
-    best = (base.crossJoin(F.broadcast(crow))
-            .withColumn("m", _argmin_struct("cands", "cid", "cv", "cn2"))
-            .filter(F.col("m").isNotNull())
-            .select(F.col(id_col), F.col("m.k").alias("cid"),
-                    F.col("m.d").alias("dist")))
+    # tiered argmin keeping the winning distance (r13)
+    best = (_argmin_assign(base, cents, id_col, n_centroids,
+                           dist_out="dist")
+            .select(F.col(id_col), "cid", "dist"))
     d38 = lambda c: c.cast("decimal(38,0)")
     tot = best.agg(F.sum(d38(F.col("dist"))).alias("sum_dist"),
                    F.count(F.lit(1)).alias("n"))

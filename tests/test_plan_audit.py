@@ -135,8 +135,6 @@ BNLJ_OK = {
     "similarity_ood_vectors",
     "similarity_pq_recall",
     "similarity_pq_refined",
-    "similarity_pq_rerank",  # broadcast 1-row sub-codebook member map
-    "similarity_pq_topk",    # broadcast 1-row sub-codebook member map
     "similarity_prefix_recall",
     "similarity_range_search",
     "similarity_rp_topk",
