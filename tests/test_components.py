@@ -115,3 +115,37 @@ def test_pair_graph_stats_on_known_graph(spark):
     (r3,) = pair_graph_stats(empty).collect()
     assert (r3.n_nodes, r3.n_triangles) == (0, 0)
     assert r3.clustering_coefficient == 0.0
+
+
+def test_star_tiers_identical(spark):
+    """The r13 driver union-find tier and the distributed star
+    iteration produce identical labels — force each path by flipping
+    CC_DRIVER_MAX_EDGES across deterministic random graphs (chains,
+    cliques, isolated pairs), and pin that an empty pair relation
+    yields an empty label relation on both."""
+    import random
+
+    from downscaledclimatedata_spark.operators import dedup as D
+
+    rng = random.Random(23)
+    orig = D.CC_DRIVER_MAX_EDGES
+    try:
+        for trial in range(4):
+            n = rng.randint(2, 40)
+            edges = [(rng.randint(0, n), rng.randint(0, n))
+                     for _ in range(rng.randint(1, 60))]
+            edges += [(100 + i, 101 + i) for i in range(0, 10, 2)]
+            pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+            D.CC_DRIVER_MAX_EDGES = 10**9
+            drv = {(r.id, r.comp)
+                   for r in D.connected_components_star(pairs).collect()}
+            D.CC_DRIVER_MAX_EDGES = -1
+            dist = {(r.id, r.comp)
+                    for r in D.connected_components_star(pairs).collect()}
+            assert drv == dist, f"trial {trial}: {sorted(drv ^ dist)[:6]}"
+        empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+        for tier in (10**9, -1):
+            D.CC_DRIVER_MAX_EDGES = tier
+            assert D.connected_components_star(empty).count() == 0
+    finally:
+        D.CC_DRIVER_MAX_EDGES = orig
