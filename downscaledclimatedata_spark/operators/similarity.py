@@ -485,6 +485,217 @@ def _pq_encode_arrow(subs: DataFrame, cents: DataFrame,
     return base.mapInArrow(encode, schema)
 
 
+def _cascade_assign_arrow(base: DataFrame, leaf: DataFrame, id_col: str,
+                          key_names: list,
+                          probe2: bool = False) -> DataFrame:
+    """Hierarchical (two-/three-level) IVF routing as ONE Arrow pass.
+
+    ``leaf``: the centroid relation annotated with its hierarchy depth —
+    columns (kid, cv, cn2, lvl) where lvl = the SHALLOWEST level the row
+    belongs to (0 = top; levels are nested subsets by construction).
+    ``key_names``: one output column per level, leaf last (e.g.
+    ["sid", "cid"]). With ``probe2`` the runner-up key at the leaf's
+    parent level is ALSO routed to a leaf member, appended as "cid2"
+    (nullable) — the three-level multiprobe shape.
+
+    Executes as: one bounded collect of the annotated codebook (the
+    level relations are its filters), driver-side routing of the
+    codebook-internal chain (codebook-sized), then a single
+    ``mapInArrow`` over the corpus — replacing the per-row HOF chain
+    whose one-row-aggregate broadcasts cost ~6 sequential stage waves
+    (measured 1.67 s for an 8-comparison-per-row assignment at sf0.1)
+    and whose lambdas evaluate interpreted at rung scale. Distances,
+    (dist, key) tie-breaks and the NULL-first semantics of every level
+    (incl. a member group emptied by exact-duplicate ties — its rows
+    drop exactly like the ``try_element_at`` miss) reproduce the JVM
+    chain bit-for-bit; rows whose LEAF key is NULL are dropped (the
+    chain's ``filter(cid.isNotNull())``).
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    depth = len(key_names)
+    rows = leaf.collect()  # (kid, cv, cn2, lvl) — codebook-sized
+
+    def assign_one(p, v, nn):
+        """Flat argmin with the pinned NULL semantics (see
+        :func:`_collect_codebook`); None only for a missing payload."""
+        if p is None:
+            return None
+        ok = (v is not None and nn is not None
+              and all(x is not None for x in v))
+        grp = p["by_dim"].get(len(v)) if ok else None
+        if grp is None:
+            return p["gmin"]
+        nmin = p["null_min"][len(v)]
+        if nmin is not None:
+            return nmin
+        kd, cd, cnd = grp
+        dd = nn + cnd - 2 * (cd @ np.asarray(v, dtype=np.int64))
+        return int(kd[int(np.argmin(dd))])
+
+    def assign_two(p, v, nn):
+        """(best, runner-up) under the same (NULL-first d, key)
+        ordering — the array_sort top-2 of the probe-2 chain."""
+        if p is None:
+            return None, None
+        ok = (v is not None and nn is not None
+              and all(x is not None for x in v))
+        ranked = []
+        for keys_d, cd, cnd in p["by_dim"].values():
+            if ok and len(v) == cd.shape[1]:
+                dd = nn + cnd - 2 * (cd @ np.asarray(v, dtype=np.int64))
+                ranked += [(1, int(d), int(k)) for d, k in zip(dd, keys_d)]
+            else:
+                ranked += [(0, 0, int(k)) for k in keys_d]
+        for k in p["null_keys"]:
+            ranked.append((0, 0, int(k)))
+        ranked.sort()
+        first = ranked[0][2] if ranked else None
+        second = ranked[1][2] if len(ranked) > 1 else None
+        return first, second
+
+    # ---- driver-side codebook-internal routing --------------------------------
+    lvl_rows = [[(r[0], r[1], r[2]) for r in rows if r[3] <= i]
+                for i in range(depth)]
+    payload0 = _payload_with_null_keys(lvl_rows[0])
+    if payload0 is None:
+        res = base
+        for kn in key_names + (["cid2"] if probe2 else []):
+            res = res.withColumn(kn, F.lit(None).cast("long"))
+        return res.filter(F.lit(False))
+    # members[i]: parent-key -> payload over level-i rows, parent keys
+    # assigned by walking the chain built so far
+    members: list = [None]
+    for i in range(1, depth):
+        grouped: dict = {}
+        for kid, v, nn in lvl_rows[i]:
+            key = assign_one(payload0, v, nn)
+            for j in range(1, i):
+                key = assign_one(members[j].get(key), v, nn) \
+                    if key is not None else None
+            if key is None:
+                continue  # the try_element_at-miss drop
+            grouped.setdefault(key, []).append((kid, v, nn))
+        members.append({k: _payload_with_null_keys(g)
+                        for k, g in grouped.items()})
+    bc = base.sparkSession.sparkContext.broadcast((payload0, members))
+    out_names = list(key_names) + (["cid2"] if probe2 else [])
+    schema = StructType(list(base.schema.fields)
+                        + [StructField(k, LongType()) for k in out_names])
+    qv_name, n2_name = "qv", "n2"
+    runner_level = depth - 2  # probe-2 ranks the leaf's parent level
+
+    def route(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        p0, mem = bc.value
+        for b in batches:
+            names = b.schema.names
+            qcol = b.column(names.index(qv_name))
+            ncol = b.column(names.index(n2_name))
+            n = b.num_rows
+            clean = (qcol.null_count == 0 and ncol.null_count == 0
+                     and qcol.values.null_count == 0)
+            off = qcol.offsets.to_numpy()
+            vals = qcol.values.to_numpy() if clean else None
+            n2a = ncol.to_numpy() if ncol.null_count == 0 else None
+            lens = np.diff(off)
+            ql = nl = None  # lazy pylists for edge rows
+
+            def slow_rows(idx, p, two=False):
+                nonlocal ql, nl
+                if ql is None:
+                    ql, nl = qcol.to_pylist(), ncol.to_pylist()
+                fn = assign_two if two else assign_one
+                return [fn(p, ql[i], nl[i]) for i in idx]
+
+            def group_assign(idx, p, two=False):
+                """keys (and runner-ups) for rows idx against payload p,
+                vectorized when payload and rows are regular."""
+                if p is None:
+                    none = [None] * len(idx)
+                    return (none, list(none)) if two else none
+                fast = p["fast"]
+                if (fast is not None and clean and len(idx)
+                        and not p["null_keys"]
+                        and (lens[idx] == fast[3]).all()):
+                    cid_f, c_f, cn2_f, d_f = fast
+                    q = vals[off[idx][:, None] + np.arange(d_f)[None, :]]
+                    dist = (n2a[idx][:, None] + cn2_f[None, :]
+                            - 2 * (q @ c_f.T))
+                    if not two:
+                        return list(cid_f[np.argmin(dist, axis=1)])
+                    o = np.argsort(dist, axis=1, kind="stable")
+                    first = list(cid_f[o[:, 0]])
+                    second = (list(cid_f[o[:, 1]]) if o.shape[1] > 1
+                              else [None] * len(idx))
+                    return first, second
+                out = slow_rows(idx, p, two)
+                return (list(zip(*out)) or ([], [])) if two else out
+
+            keys_out = [[None] * n for _ in range(depth)]
+            second_out = [None] * n
+            groups = {0: np.arange(n)}
+            for li in range(depth):
+                nxt: dict = {}
+                for gk, idx in groups.items():
+                    p = p0 if li == 0 else mem[li].get(gk)
+                    two = probe2 and li == runner_level
+                    got = group_assign(idx, p, two)
+                    if two:
+                        firsts, seconds = got
+                        for pos, i in enumerate(idx):
+                            second_out[i] = seconds[pos]
+                        got = list(firsts)
+                    for pos, i in enumerate(idx):
+                        k = got[pos]
+                        keys_out[li][i] = k
+                        if k is not None and li < depth - 1:
+                            nxt.setdefault(int(k), []).append(i)
+                groups = {k: np.asarray(v) for k, v in nxt.items()}
+            cid2 = [None] * n
+            if probe2:
+                by2: dict = {}
+                for i in range(n):
+                    if keys_out[-1][i] is not None \
+                            and second_out[i] is not None:
+                        by2.setdefault(int(second_out[i]), []).append(i)
+                for gk, idx in by2.items():
+                    idx = np.asarray(idx)
+                    got = group_assign(idx, mem[depth - 1].get(gk))
+                    for pos, i in enumerate(idx):
+                        cid2[i] = got[pos]
+            keep = [i for i in range(n) if keys_out[-1][i] is not None]
+            cols = [c.take(pa.array(keep, type=pa.int32()))
+                    for c in b.columns]
+            cols += [pa.array([keys_out[li][i] for i in keep],
+                              type=pa.int64()) for li in range(depth)]
+            if probe2:
+                cols.append(pa.array([cid2[i] for i in keep],
+                                     type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                cols, names=names + out_names)
+
+    return base.mapInArrow(route, schema)
+
+
+def _payload_with_null_keys(rows):
+    """:func:`_codebook_payload` plus the candidate keys that are
+    unclean at EVERY dimension (null vectors / null elements) — the
+    probe-2 top-2 ranking needs them individually, not just their min."""
+    p = _codebook_payload(rows)
+    if p is None:
+        return None
+    clean_keys = set()
+    for kd, _, _ in p["by_dim"].values():
+        clean_keys.update(int(k) for k in kd)
+    p["null_keys"] = sorted(int(r[0]) for r in rows
+                            if int(r[0]) not in clean_keys)
+    return p
+
+
 def cosine_topk_quantized(emb: DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           k: int = TOP_K, query_mod: int = QUERY_MOD,
@@ -2893,15 +3104,16 @@ def ivf_assign_two_level(emb: DataFrame, id_col: str = "vec_id",
     offset, where the window sample would saturate or come up empty).
     Returns (id, super_cid, cid).
 
-    Execution shape (r13): both routing levels run PER ROW over the
-    broadcast codebook — the super argmin over a one-row candidate
-    array, the centroid argmin over the super-cell's member list from
-    a one-row map (:func:`_argmin_pick` / :func:`_member_map`; same
-    lexicographic minima and the same inner-join drop semantics via
-    the null filter, bit-equal results). The whole assignment is a
-    shuffle-free projection of the corpus scan — before, the corpus
-    crossed three exchanges (super argmin groupBy, the join back by
-    id, the centroid argmin groupBy).
+    Execution shape (r13): ONE Arrow routing pass
+    (:func:`_cascade_assign_arrow`) — the annotated codebook collects
+    once, the centroid→super routing runs driver-side
+    (codebook-sized), and the corpus routes both levels inside a
+    single vectorized kernel (same lexicographic minima, NULL-first
+    semantics and inner-join drop semantics as the relational and HOF
+    forms it replaces, bit-equal results). Zero corpus shuffles for
+    assignment, and none of the sequential one-row-aggregate broadcast
+    waves the per-row HOF form paid (~6 stage waves ≈ 1.7 s at sf0.1
+    for trivially small per-row work).
     """
     return (_ivf_assign_two_level_cols(
         emb, id_col, vec_col, centroid_mod, n_centroids, n_super,
@@ -2931,22 +3143,10 @@ def _ivf_assign_two_level_cols(emb: DataFrame, id_col: str = "vec_id",
     cents = (base.filter(cents_pred)
              .select(F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
                      F.col("n2").alias("cn2")))
-    supers = (cents.filter(supers_pred)
-              .select(F.col("cid").alias("sid"), F.col("cv").alias("sv"),
-                      F.col("cn2").alias("sn2")))
-    srow = _cands_row(supers, ["sid", "sv", "sn2"], "scands")
-    # centroid -> super-cell routing (codebook-sized, also per-row)
-    c2s = (cents.crossJoin(F.broadcast(srow))
-           .withColumn("sid", _argmin_pick("scands", "sid", "sv", "sn2",
-                                           qv="cv", n2="cn2"))
-           .filter(F.col("sid").isNotNull()))
-    cmrow = _member_map(c2s, "sid", ["cid", "cv", "cn2"], "cmembers")
-    return (base.crossJoin(F.broadcast(srow))
-            .crossJoin(F.broadcast(cmrow))
-            .withColumn("sid", _argmin_pick("scands", "sid", "sv", "sn2"))
-            .withColumn("cid", _argmin_pick(
-                "try_element_at(cmembers, sid)", "cid", "cv", "cn2"))
-            .filter(F.col("cid").isNotNull())
+    leaf = cents.select(F.col("cid").alias("kid"), "cv", "cn2",
+                        F.when(supers_pred, F.lit(0)).otherwise(F.lit(1))
+                        .alias("lvl"))
+    return (_cascade_assign_arrow(base, leaf, id_col, ["sid", "cid"])
             .select(F.col(id_col), "qv", "n2",
                     F.col("sid").alias("super_cid"), "cid"))
 
@@ -3111,80 +3311,40 @@ def _ivf_assign_three_level_cols(emb: DataFrame, id_col: str = "vec_id",
         e2 = max(1, n_super // n_super2)
         cents_pred = _spread_sample(id_col, spread_every)
         sup1_pred = _spread_sample("cid", spread_every * e1)
-        sup2_pred = _spread_sample("sid1", spread_every * e1 * e2)
+        # on the cents relation directly: the nested moduli make each
+        # level's predicate imply the one below (every·e1·e2 divisible
+        # by every·e1), so sup2 ≡ cents rows passing this alone
+        sup2_on_cid = _spread_sample("cid", spread_every * e1 * e2)
     else:
         stride1 = max(1, n_centroids // n_super)
         stride2 = max(1, n_super // n_super2)
         cents_pred = _fixed_sample(id_col, centroid_mod, n_centroids)
         sup1_pred = _fixed_sample("cid", centroid_mod * stride1, n_super)
-        sup2_pred = _fixed_sample("sid1", centroid_mod * stride1 * stride2,
-                                  n_super2)
+        # same implication for the stride construction: the level-2
+        # window (mod·s1·s2, n_super2) sits inside the level-1 window
+        sup2_on_cid = _fixed_sample("cid", centroid_mod * stride1 * stride2,
+                                    n_super2)
     cents = base.filter(cents_pred).select(
         F.col(id_col).alias("cid"), F.col("qv").alias("cv"),
         F.col("n2").alias("cn2"))
-    sup1 = cents.filter(sup1_pred).select(
-        F.col("cid").alias("sid1"), F.col("cv").alias("s1v"),
-        F.col("cn2").alias("s1n2"))
-    sup2 = sup1.filter(sup2_pred).select(
-        F.col("sid1").alias("sid2"), F.col("s1v").alias("s2v"),
-        F.col("s1n2").alias("s2n2"))
-    s2row = _cands_row(sup2, ["sid2", "s2v", "s2n2"], "s2cands")
-    # codebook-internal routing (all relations codebook-sized, per-row)
-    s1map = (sup1.crossJoin(F.broadcast(s2row))
-             .withColumn("sid2", _argmin_pick(
-                 "s2cands", "sid2", "s2v", "s2n2", qv="s1v", n2="s1n2"))
-             .filter(F.col("sid2").isNotNull()))
-    s1row = _member_map(s1map, "sid2", ["sid1", "s1v", "s1n2"],
-                        "s1members")
-    cmap = (cents.crossJoin(F.broadcast(s2row))
-            .withColumn("sid2", _argmin_pick(
-                "s2cands", "sid2", "s2v", "s2n2", qv="cv", n2="cn2"))
-            .filter(F.col("sid2").isNotNull())
-            .crossJoin(F.broadcast(s1row))
-            .withColumn("sid1", _argmin_pick(
-                "try_element_at(s1members, sid2)", "sid1", "s1v", "s1n2",
-                qv="cv", n2="cn2"))
-            .filter(F.col("sid1").isNotNull()))
-    cmrow = _member_map(cmap, "sid1", ["cid", "cv", "cn2"], "cmembers")
-    # corpus routing: zero shuffled rows — each level is an expression
-    routed = (base.crossJoin(F.broadcast(s2row))
-              .crossJoin(F.broadcast(s1row))
-              .crossJoin(F.broadcast(cmrow))
-              .withColumn("sid2", _argmin_pick(
-                  "s2cands", "sid2", "s2v", "s2n2")))
-    if nprobe == 1:
-        return (routed
-                .withColumn("sid1", _argmin_pick(
-                    "try_element_at(s1members, sid2)",
-                    "sid1", "s1v", "s1n2"))
-                .withColumn("cid", _argmin_pick(
-                    "try_element_at(cmembers, sid1)", "cid", "cv", "cn2"))
-                .filter(F.col("cid").isNotNull())
-                .select(F.col(id_col), "qv", "n2",
-                        F.col("sid2").alias("super2_cid"),
-                        F.col("sid1").alias("super_cid"), "cid"))
-    # nprobe == 2: one sorted pass over the sid2's member list yields
-    # BOTH the best and runner-up sid1 (fan-out ~s1/s2 ≈ k^(1/3),
-    # codebook-scale); array_sort over struct(dist, sid1) is the same
-    # ordering the former collect_list/array_sort aggregation used.
-    dot1 = ("aggregate(zip_with(qv, c.s1v, (x, y) -> x * y), "
-            "cast(0 as bigint), (acc, x) -> acc + x)")
-    return (routed
-            .withColumn("t2", F.expr(
-                "slice(array_sort(transform("
-                "try_element_at(s1members, sid2), "
-                f"c -> struct(n2 + c.s1n2 - 2 * {dot1} as d, "
-                "c.sid1 as k))), 1, 2)"))
-            .withColumn("sid1", F.expr("(try_element_at(t2, 1)).k"))
-            .withColumn("sid1b", F.expr("(try_element_at(t2, 2)).k"))
-            .withColumn("cid", _argmin_pick(
-                "try_element_at(cmembers, sid1)", "cid", "cv", "cn2"))
-            .withColumn("cid2", _argmin_pick(
-                "try_element_at(cmembers, sid1b)", "cid", "cv", "cn2"))
-            .filter(F.col("cid").isNotNull())
-            .select(F.col(id_col), "qv", "n2",
-                    F.col("sid2").alias("super2_cid"),
-                    F.col("sid1").alias("super_cid"), "cid", "cid2"))
+    # one Arrow pass routes corpus AND codebook internals — the
+    # codebook collects ONCE with per-row hierarchy depth (the nested
+    # moduli make sup2 ≡ sup2_on_cid on cents), the sid2→sid1→cid chain
+    # for centroids runs driver-side (codebook-sized), and the probe-2
+    # runner-up is the kernel's top-2 at the sid1 level with the
+    # identical (NULL-first d, key) ordering the array_sort form used
+    leaf = cents.select(
+        F.col("cid").alias("kid"), "cv", "cn2",
+        F.when(sup2_on_cid, F.lit(0))
+        .when(sup1_pred, F.lit(1)).otherwise(F.lit(2)).alias("lvl"))
+    routed = _cascade_assign_arrow(base, leaf, id_col,
+                                   ["sid2", "sid1", "cid"],
+                                   probe2=(nprobe == 2))
+    out = [F.col(id_col), "qv", "n2", F.col("sid2").alias("super2_cid"),
+           F.col("sid1").alias("super_cid"), "cid"]
+    if nprobe == 2:
+        out.append(F.col("cid2"))
+    return routed.select(*out)
 
 
 def similarity_ivf_three_level_query(spark: SparkSession,
