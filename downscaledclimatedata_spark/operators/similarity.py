@@ -148,44 +148,6 @@ def _cands_row(df: DataFrame, cols: list, alias: str) -> DataFrame:
     return df.agg(F.collect_list(F.struct(*cols)).alias(alias))
 
 
-def _argmin_pick_l2(cands: str, key: str, vec: str,
-                    sv: str = "sv") -> Column:
-    """Like :func:`_argmin_pick` but with the plain exact-integer
-    squared-L2 body (``_sq_l2``) — the PQ sub-codebook argmin shape."""
-    d = (f"aggregate(zip_with({sv}, c.{vec}, (x, y) -> (x - y) * (x - y)), "
-         f"cast(0 as bigint), (acc, x) -> acc + x)")
-    return F.expr(f"(array_min(transform({cands}, c -> "
-                  f"struct({d} as d, c.{key} as k)))).k")
-
-
-def _argmin_pick_double(cands: str, key: str, vec: str, norm: str,
-                        dv: str = "dv") -> Column:
-    """Like :func:`_argmin_pick` but in DOUBLE arithmetic with the
-    identical left-to-right fold order as the aggregate form it
-    replaces (Lloyd's refinement distances) — bit-equal doubles."""
-    dot = (f"aggregate(zip_with({dv}, c.{vec}, (x, y) -> x * y), "
-           f"cast(0.0 as double), (acc, x) -> acc + x)")
-    vn2 = (f"aggregate(zip_with({dv}, {dv}, (x, y) -> x * y), "
-           f"cast(0.0 as double), (acc, x) -> acc + x)")
-    return F.expr(f"(array_min(transform({cands}, c -> "
-                  f"struct({vn2} + c.{norm} - 2 * {dot} as d, "
-                  f"c.{key} as k)))).k")
-
-
-def _member_map(df: DataFrame, parent: str, cols: list,
-                alias: str) -> DataFrame:
-    """ONE-row relation: map from parent cell id -> array of member
-    candidate structs. The shuffle-free form of a routed (equi-join)
-    argmin: ``try_element_at(map, parent_id)`` yields exactly the rows
-    the broadcast equi-join would have matched (NULL for an absent
-    parent — the inner join's drop, restored by the caller's null
-    filter). Keys are distinct by construction (groupBy)."""
-    return (df.groupBy(parent)
-            .agg(F.collect_list(F.struct(*cols)).alias("_ms"))
-            .agg(F.map_from_entries(
-                F.collect_list(F.struct(parent, "_ms"))).alias(alias)))
-
-
 # Assignment-kernel tier (r13, measured same-session at 32-dim, the
 # √N codebook schedule, noop sink, min-of-3): the Arrow matmul kernel
 # pays ~0.3-0.5 s fixed (codebook-collect job + Python worker spin-up +
@@ -1251,17 +1213,26 @@ def kmeans_refine(emb: DataFrame, id_col: str = "vec_id",
                                      lambda x, y: x * y),
                           F.lit(0.0), lambda a, x: a + x)
         c = cents.select("cid", "cv", cn2.alias("cn2"))
-        # per-row argmin over the broadcast centroid array — the
-        # shuffle-free form of the former crossJoin + groupBy (r13).
-        # Same DOUBLE arithmetic with the same fold order, so distances
-        # are bit-equal; cid is unique so the former struct's qv field
-        # never decided a tie — per-row keeps its own qv directly.
-        crow = _cands_row(c, ["cid", "cv", "cn2"], "kmcands")
-        assigned = (base.crossJoin(F.broadcast(crow))
-                    .withColumn("cid", _argmin_pick_double(
-                        "kmcands", "cid", "cv", "cn2"))
-                    .filter(F.col("cid").isNotNull())
-                    .select(id_col, "cid", "qv"))
+        # relational argmin (r13 measured: the per-row HOF form's
+        # interpreted lambdas lose to this codegen'd crossJoin +
+        # groupBy at every codebook size; a NumPy kernel is ruled out
+        # here because DOUBLE distances must keep the exact JVM fold
+        # order to stay bit-equal cross-engine). Lexicographic
+        # struct-min == ORDER BY dist, cid; cid is unique so the
+        # carried qv never decides a tie.
+        vn2 = F.aggregate(F.zip_with(F.col("dv"), F.col("dv"),
+                                     lambda x, y: x * y),
+                          F.lit(0.0), lambda a, x: a + x)
+        dot = F.aggregate(F.zip_with(F.col("dv"), F.col("cv"),
+                                     lambda x, y: x * y),
+                          F.lit(0.0), lambda a, x: a + x)
+        scored = (base.crossJoin(F.broadcast(c))
+                  .select(F.col(id_col), "cid", "qv",
+                          (vn2 + F.col("cn2") - 2 * dot).alias("dist")))
+        assigned = (scored.groupBy(id_col)
+                    .agg(F.min(F.struct("dist", "cid", "qv")).alias("best"))
+                    .select(id_col, F.col("best.cid").alias("cid"),
+                            F.col("best.qv").alias("qv")))
         comp = assigned.select("cid", F.posexplode("qv").alias("pos", "comp"))
         means = (comp.groupBy("cid", "pos")
                  .agg(F.sum("comp").alias("s"), F.count("*").alias("n"))
@@ -1349,24 +1320,33 @@ def ivf_topk_refined(emb: DataFrame, id_col: str = "vec_id",
     c = cents.select("cid", "cv", cn2.alias("cn2"))
     base = emb.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
     base = base.withColumn("dv", F.transform("qv", lambda x: x.cast("double")))
-    # corpus assignment: per-row argmin over the broadcast refined
-    # codebook — shuffle-free (r13); same double fold order and
-    # (dist, cid) tie-break as the former groupBy/min(struct)
-    crow = _cands_row(c, ["cid", "cv", "cn2"], "kmc")
-    assigned = (base.crossJoin(F.broadcast(crow))
-                .withColumn("cid", _argmin_pick_double(
-                    "kmc", "cid", "cv", "cn2"))
-                .filter(F.col("cid").isNotNull())
-                .select(id_col, "cid", "qv"))
+    # corpus assignment: relational argmin (r13 measured — interpreted
+    # HOF lambdas lose to the codegen'd crossJoin + groupBy; NumPy is
+    # ruled out for DOUBLE distances, which must keep the exact JVM
+    # fold order): lexicographic struct-min (== ORDER BY dist, cid)
+    # partial-aggregates map-side — one shuffled row per vector
+    vn2 = F.aggregate(F.zip_with(F.col("dv"), F.col("dv"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    dot = F.aggregate(F.zip_with(F.col("dv"), F.col("cv"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    assigned = (base.crossJoin(F.broadcast(c))
+                .select(F.col(id_col), "cid", "qv",
+                        (vn2 + F.col("cn2") - 2 * dot).alias("dist"))
+                .groupBy(id_col)
+                .agg(F.min(F.struct("dist", "cid", "qv")).alias("best"))
+                .select(id_col, F.col("best.cid").alias("cid"),
+                        F.col("best.qv").alias("qv")))
     withn = (assigned.withColumn("n2", sq_norm(F.col("qv")))
              .filter(F.col("n2") > 0))  # zero-norm: no defined cosine
     qbase = (withn.filter(_fixed_sample(id_col, query_mod, n_queries))
              .select(F.col(id_col).alias("query_id"),
                      F.col("qv").alias("qq"), F.col("n2").alias("qn2")))
     # query's nprobe nearest refined lists: per-row sorted top-nprobe
-    # over the same broadcast codebook (the former rank-window over the
-    # scored relation ordered by the identical (dist, cid) key), then
-    # exploded — the query subset is the fixed n_queries sample
+    # over the broadcast codebook ARRAY (the former rank-window over
+    # the scored relation ordered by the identical (dist, cid) key),
+    # then exploded — bounded: only the fixed n_queries sample pays
+    # the interpreted HOF, so the relational restore does not apply
+    crow = _cands_row(c, ["cid", "cv", "cn2"], "kmc")
     dotd = ("aggregate(zip_with(dv, c.cv, (x, y) -> x * y), "
             "cast(0.0 as double), (acc, x) -> acc + x)")
     vn2d = ("aggregate(zip_with(dv, dv, (x, y) -> x * y), "
@@ -3273,16 +3253,16 @@ def ivf_assign_three_level(emb: DataFrame, id_col: str = "vec_id",
     Returns (id, super2_cid, super_cid, cid) — plus ``cid2`` when
     ``nprobe=2``.
 
-    Execution shape (r13): every routing level — codebook-internal and
-    corpus — runs PER ROW over the broadcast codebook
-    (:func:`_argmin_pick` over a one-row candidate array at the top
-    level, :func:`_member_map` lookups below; same lexicographic minima
-    and inner-join drop semantics, bit-equal results). The whole
-    assignment is a shuffle-free projection of the corpus scan —
-    before, the corpus crossed an exchange per level (three argmin
-    groupBys at nprobe=1; at nprobe=2 also the top2 aggregation, its
-    checkpoint, and the out⋈sec join by id, all now per-row
-    expressions on the same projected row).
+    Execution shape (r13): ONE Arrow routing pass
+    (:func:`_cascade_assign_arrow`) — the annotated codebook collects
+    once, the sid2→sid1→cid routing of the centroids runs driver-side
+    (codebook-sized), and the corpus routes all three levels (plus the
+    probe-2 runner-up top-2) inside a single vectorized kernel with
+    the identical lexicographic minima, NULL-first ordering and
+    inner-join drop semantics as the relational/HOF chains it
+    replaces — bit-equal results. Zero corpus exchanges for
+    assignment, and none of the sequential one-row-aggregate
+    broadcast stage waves of the per-row expression form.
     """
     cols = _ivf_assign_three_level_cols(
         emb, id_col, vec_col, centroid_mod, n_centroids, n_super,
@@ -4362,16 +4342,18 @@ def ivfpq_residual_topk(emb: DataFrame, id_col: str = "vec_id",
                       F.lit(0.0), lambda a, x: a + x)
     for _ in range(n_iter):
         c = rcb.select("m", "cid", "cv", cn2.alias("cn2"))
-        # per-row argmin over the subspace's broadcast codebook list —
-        # shuffle-free form of the former broadcast join + groupBy
-        # (r13; same double fold order → bit-equal distances; cid is
-        # unique per m so the former struct's sv never decided a tie)
-        mrow = _member_map(c, "m", ["cid", "cv", "cn2"], "rcands")
-        assigned = (rsubs.crossJoin(F.broadcast(mrow))
-                    .withColumn("cid", _argmin_pick_double(
-                        "try_element_at(rcands, m)", "cid", "cv", "cn2"))
-                    .filter(F.col("cid").isNotNull())
-                    .select("m", "cid", "sv"))
+        # relational per-subspace argmin (r13 measured: interpreted HOF
+        # lambdas lose to this codegen'd broadcast join + groupBy;
+        # NumPy ruled out — DOUBLE distances must keep the JVM fold
+        # order). cid unique per m, so the carried sv never decides.
+        scored = (rsubs.join(F.broadcast(c), "m")
+                  .select(F.col(id_col), F.col("m"), F.col("cid"),
+                          F.col("sv"), (vn2 + F.col("cn2") - 2 * dot)
+                          .alias("dist")))
+        assigned = (scored.groupBy(id_col, "m")
+                    .agg(F.min(F.struct("dist", "cid", "sv")).alias("best"))
+                    .select("m", F.col("best.cid").alias("cid"),
+                            F.col("best.sv").alias("sv")))
         comp = assigned.select("m", "cid",
                                F.posexplode("sv").alias("pos", "comp"))
         means = (comp.groupBy("m", "cid", "pos")
@@ -4386,15 +4368,16 @@ def ivfpq_residual_topk(emb: DataFrame, id_col: str = "vec_id",
 
     cwf = rcb.select("m", "cid", "cv", cn2.alias("cn2"))
     # encode every corpus residual against the trained codebook —
-    # per-row argmin, no (vector, subspace) shuffle (rsubs already has
-    # exactly one row per (id, m); cell is functionally dependent on id)
-    encrow = _member_map(cwf, "m", ["cid", "cv", "cn2"], "enccands")
-    enc = (rsubs.crossJoin(F.broadcast(encrow))
-           .withColumn("code", _argmin_pick_double(
-               "try_element_at(enccands, m)", "cid", "cv", "cn2"))
-           .filter(F.col("code").isNotNull())
+    # relational argmin (same r13 measurement as the Lloyd's loop)
+    sc = (rsubs.join(F.broadcast(cwf), "m")
+          .select(F.col(id_col), F.col("cid").alias("code_cid"),
+                  F.col("m"), F.col("cell"),
+                  (vn2 + F.col("cn2") - 2 * dot).alias("dist")))
+    enc = (sc.groupBy(id_col, "cell", "m")
+           .agg(F.min(F.struct("dist", "code_cid")).alias("best"))
            .select(F.col(id_col).alias("match_id"),
-                   F.col("cell").alias("cid"), "m", "code"))
+                   F.col("cell").alias("cid"), "m",
+                   F.col("best.code_cid").alias("code")))
 
     # query probes: nprobe nearest coarse cells; residual PER probed cell
     qbase = base.filter(_fixed_sample(id_col, query_mod, n_queries))
@@ -6807,13 +6790,9 @@ def ann_index_append(emb_delta: DataFrame, path: str,
                              quantize(F.col(vec_col)).alias("qv"),
                              sq_norm(quantize(F.col(vec_col))).alias("n2"))
             .filter(F.col("n2") > 0))
-    # per-row argmin over the persisted codebook array — shuffle-free,
-    # same lexicographic (dist, cid) minimum as the former groupBy (r13)
-    crow = _cands_row(cents, ["cid", "cv", "cn2"], "cands")
-    assigned = (base.crossJoin(F.broadcast(crow))
-                .withColumn("cid", _argmin_pick("cands", "cid", "cv",
-                                                "cn2"))
-                .filter(F.col("cid").isNotNull())
+    # tiered argmin against the persisted codebook (r13): the cheap
+    # count on the KB-scale codebook relation picks the measured tier
+    assigned = (_argmin_assign(base, cents, "id", cents.count())
                 .select("cid", "id", "qv", "n2"))
     # one delta file per touched cid (not one per shuffle partition):
     # compaction reads fewer, better-formed files (guide: file sizing)

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from downscaledclimatedata_spark.functions.hashing import md5_long
+from downscaledclimatedata_spark.functions.rows import literal_rows
 from downscaledclimatedata_spark.operators.dedup import (
     DECON_NGRAM, contaminated_doc_ids, lsh_candidate_pairs,
     minhash_signatures, prune_corpus, prune_corpus_quality)
@@ -299,7 +300,11 @@ def pipeline_corpus_build_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     eval_docs=docs.filter(is_eval))
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(
+    # literal_rows, not createDataFrame: a Python local relation makes
+    # every consumer task pay a Python-worker round trip (functions/
+    # rows.py, the O3 lesson) — the single funnel row is JVM literals
+    return literal_rows(
+        spark,
         [(res.n_input, res.n_quality_pass, res.n_decontaminated,
           res.n_after_dedup, res.n_sampled, res.total_tokens)],
         "n_input bigint, n_quality bigint, n_decon bigint, "
@@ -506,7 +511,8 @@ def pipeline_corpus_build_quality_query(spark: SparkSession,
     finally:
         shutil.rmtree(out, ignore_errors=True)
     rep = res.publish_report
-    return spark.createDataFrame(
+    return literal_rows(
+        spark,
         [(res.n_input, res.n_quality_pass, res.n_decontaminated,
           res.n_after_dedup, res.n_sampled, res.total_tokens,
           rep["n_rows"], rep["v_null_text"], rep["v_empty_content"],
