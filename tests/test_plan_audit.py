@@ -117,9 +117,6 @@ BNLJ_OK = {
     "similarity_ivf_multiprobe",
     "similarity_ivf_refined",
     "similarity_ivf_topk",
-    "similarity_ivf_three_level",
-    "similarity_ivf_three_level_probe2",  # broadcast ≤16-row codebook levels
-    "similarity_ivf_two_level",
     "similarity_hybrid_rrf",  # broadcast single-row query vector
     "similarity_hybrid_rrf_bm25",  # broadcast single-row query vector + stats
     "similarity_knn_recall",  # broadcast fixed ≤50-row query sample
