@@ -141,6 +141,12 @@ def main() -> None:
         "sf": sf,
         "n_runs": N_RUNS,
         "host_anchor_sec": anchor,
+        # scaling provenance: the master string and the parallelism the
+        # session actually got, so a low-core run is verifiable from the
+        # emitted line alone (not just from stage tails in the log)
+        "cpus": cpus,
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
         **provenance,
     }))
 

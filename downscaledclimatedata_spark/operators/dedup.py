@@ -559,16 +559,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 # iteration runs unchanged: a 100 TB dedup graph is corpus-scaled and
 # must never be collected. Count is observed on the checkpoint the
 # algorithm materializes anyway, so the tier costs no extra pass.
+# Driver footprint at the cap: the collect is Arrow-batched (columnar
+# buffers, no per-row Row objects), but the union-find dict still holds
+# up to ~2M Python ints — order hundreds of MB of heap at the limit,
+# fine for a driver that would otherwise run a multi-round distributed
+# iteration, but NOT free; don't raise the cap without measuring.
 CC_DRIVER_MAX_EDGES = 1_000_000
 
 
-def _driver_components(edges: DataFrame) -> DataFrame:
-    """(id, comp) labels for a BOUNDED, checkpointed edge relation via
-    driver-side union-find with min-id representatives — exactly the
-    star iteration's fixpoint (comp = min id of the node's component),
-    so callers see identical rows. Returns a JVM-backed local relation
-    (no Python-worker round trip on the consuming side, the O3
-    plan-construction lesson)."""
+def _union_find(edges: DataFrame) -> dict:
+    """Fully-resolved ``{node: min-id component root}`` labels for a
+    BOUNDED, checkpointed edge relation via driver-side union-find —
+    exactly the star iteration's fixpoint. Arrow-batched collect: no
+    per-row pyspark Row objects at the 1M-edge cap."""
     parent: dict = {}
 
     def find(x):
@@ -579,8 +582,8 @@ def _driver_components(edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in edges.collect():
-        u, v = row[0], row[1]
+    tbl = edges.toArrow()
+    for u, v in zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist()):
         for n in (u, v):
             if n not in parent:
                 parent[n] = n
@@ -589,24 +592,74 @@ def _driver_components(edges: DataFrame) -> DataFrame:
             if rv < ru:
                 ru, rv = rv, ru
             parent[rv] = ru
-    spark = edges.sparkSession
-    if not parent:
-        return spark.range(0).select(
-            F.col("id"), F.col("id").alias("comp"))
-    # Arrow-batched local relation (engine sessions enable
-    # arrow.pyspark), localCheckpointed so every consumer reads
-    # JVM-materialized rows instead of re-pulling the Python-sourced
-    # relation per task (the O3 plan-construction lesson); one tiny
-    # job. Schema derives from the edge node type (ids need not be
-    # numeric).
+    return {n: find(n) for n in parent}
+
+
+def _labels_relation(spark: SparkSession, labels: dict, ntype) -> DataFrame:
+    """Driver labels -> (id, comp) relation typed like the edge nodes.
+
+    The schema derives from ``ntype`` in BOTH branches (an empty graph
+    must yield the same column types as a non-empty one — ids need not
+    be numeric). Arrow-batched local relation (engine sessions enable
+    arrow.pyspark), localCheckpointed so every consumer reads
+    JVM-materialized rows instead of re-pulling the Python-sourced
+    relation per task (the O3 plan-construction lesson); one tiny job.
+    """
     from pyspark.sql.types import StructField, StructType
 
-    ntype = edges.schema[0].dataType
     schema = StructType([StructField("id", ntype),
                          StructField("comp", ntype)])
-    return (spark.createDataFrame(
-        [(n, find(n)) for n in parent], schema)
-        .localCheckpoint())
+    if not labels:
+        return spark.createDataFrame([], schema)
+    return (spark.createDataFrame(sorted(labels.items()), schema)
+            .localCheckpoint())
+
+
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """(id, comp) labels for a BOUNDED, checkpointed edge relation via
+    driver-side union-find with min-id representatives — exactly the
+    star iteration's fixpoint (comp = min id of the node's component),
+    so callers see identical rows."""
+    return _labels_relation(edges.sparkSession, _union_find(edges),
+                            edges.schema[0].dataType)
+
+
+def _component_labels(pairs: DataFrame, id_a: str = "id_a",
+                      id_b: str = "id_b") -> tuple:
+    """(labels_dict, edges) when the graph fits the driver tier, else
+    (None, edges) — the checkpointed, deduped, self-loop-free
+    undirected edge relation either way. The edge count rides the
+    checkpoint as an ``Observation`` (no extra job), so the tier
+    decision is exact and costs nothing. Callers that can consume the
+    driver-resident labels directly (the corpus prunes) skip the
+    local-relation materialization job entirely."""
+    from pyspark.sql import Observation
+
+    obs0 = Observation()
+    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+             .union(pairs.select(F.col(id_b).alias("u"),
+                                 F.col(id_a).alias("v")))
+             .filter(F.col("u") != F.col("v"))
+             .distinct()
+             .observe(obs0, F.count(F.lit(1)).alias("n"))
+             .localCheckpoint())
+    if int(obs0.get["n"] or 0) <= CC_DRIVER_MAX_EDGES:
+        return _union_find(edges), edges
+    return None, edges
+
+
+# Above this many ids the driver-tier prune falls back to a relation
+# anti-join: the removed-id set is inlined into the plan as ONE parsed
+# `IN (...)` predicate (a single py4j round trip; the optimizer turns
+# it into a hash-set InSet), which folds the prune into the consumer's
+# scan — but a multi-MB predicate string would bloat parse time and
+# the plan itself.
+PRUNE_ISIN_MAX_IDS = 20_000
+
+
+def _integral_node_type(ntype) -> bool:
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+    return isinstance(ntype, (ByteType, ShortType, IntegerType, LongType))
 
 
 def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
@@ -650,20 +703,23 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
     Min-id union-find IS the star fixpoint, so labels are identical;
     the distributed path is untouched above the cap (a 100 TB dedup
     graph never fits a driver). The cap is edge COUNT, known exactly
-    before any collect — ≤ ~32 MB of driver rows at the default.
+    before any collect (see CC_DRIVER_MAX_EDGES for the driver-heap
+    budget it implies).
     """
+    labels, edges = _component_labels(pairs, id_a, id_b)
+    if labels is not None:
+        return _labels_relation(pairs.sparkSession, labels,
+                                edges.schema[0].dataType)
+    return _star_from_edges(edges, max_iter)
+
+
+def _star_from_edges(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """The alternating-star iteration over an already-checkpointed
+    undirected edge relation (the distributed arm of
+    :func:`connected_components_star`, factored so the corpus prunes
+    can reuse the edges their tier probe already materialized)."""
     from pyspark.sql import Observation
 
-    # undirected edge list, self-loop-free, deduped
-    obs0 = Observation()
-    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-             .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
-             .filter(F.col("u") != F.col("v"))
-             .distinct()
-             .observe(obs0, F.count(F.lit(1)).alias("n"))
-             .localCheckpoint())
-    if int(obs0.get["n"] or 0) <= CC_DRIVER_MAX_EDGES:
-        return _driver_components(edges)
     prev_fp = None
     for _ in range(max_iter):
         # both stars operate on the UNDIRECTED neighborhood, so symmetrize
@@ -2001,8 +2057,30 @@ def prune_corpus(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     left_anti join of the corpus against the removed-id set (ids whose
     component label differs from their own id). The corpus itself never
     enters the iterative component build.
+
+    Driver tier (r14): when the pair graph fits ``CC_DRIVER_MAX_EDGES``
+    the component labels are already driver-resident, so the removed-id
+    set is inlined as ONE parsed ``NOT IN`` predicate — the prune folds
+    into the consumer's scan with no join, no local-relation
+    materialization job, and no corpus shuffle. Semantics are the anti
+    join's exactly (a NULL id matches nothing and is kept, hence the
+    IS NULL arm). Above the tier, or for non-integral/huge id sets, the
+    relation anti-join runs unchanged.
     """
-    comps = connected_components_star(pairs)
+    labels, edges = _component_labels(pairs)
+    if labels is not None:
+        removed_ids = sorted(i for i, c in labels.items() if i != c)
+        if not removed_ids:
+            return df
+        if (len(removed_ids) <= PRUNE_ISIN_MAX_IDS
+                and _integral_node_type(edges.schema[0].dataType)):
+            in_list = ",".join(str(i) for i in removed_ids)
+            return df.filter(F.expr(
+                f"`{id_col}` IS NULL OR `{id_col}` NOT IN ({in_list})"))
+        comps = _labels_relation(df.sparkSession, labels,
+                                 edges.schema[0].dataType)
+    else:
+        comps = _star_from_edges(edges)
     removed = comps.filter(F.col("id") != F.col("comp")) \
         .select(F.col("id").alias(id_col))
     return df.join(removed, id_col, "left_anti")
@@ -3000,10 +3078,43 @@ def prune_corpus_quality(df: DataFrame, pairs: DataFrame,
     sort-merge score join restricted to COMPONENT MEMBERS (a semi-join
     first, so quality is only scored for docs that are in some pair) —
     the corpus never enters the iterative component build.
+
+    Driver tier (r14): when the pair graph fits ``CC_DRIVER_MAX_EDGES``
+    the member-id set is inlined as ONE parsed ``IN`` predicate (the
+    member scan folds into the corpus scan — no corpus-keyed semi-join
+    shuffle), the (id, comp) map joins the scored members as a literal
+    ``VALUES`` relation (broadcast, one py4j round trip), and the
+    removed set anti-joins the corpus as a broadcast — zero corpus
+    exchanges where the relational form paid two sort-merge shuffles.
+    Election arithmetic is the identical min-struct aggregate.
     """
     from downscaledclimatedata_spark.operators.textops import quality_scores
 
-    comps = connected_components_star(pairs) \
+    labels, edges = _component_labels(pairs)
+    ntype = edges.schema[0].dataType
+    if (labels is not None and len(labels) <= PRUNE_ISIN_MAX_IDS
+            and _integral_node_type(ntype)):
+        if not labels:
+            return df
+        items = sorted(labels.items())
+        in_list = ",".join(str(i) for i, _ in items)
+        members = df.filter(F.expr(f"`{id_col}` IN ({in_list})"))
+        q = quality_scores(members, text_col, id_col) \
+            .select(F.col(id_col), "quality_score")
+        values = ",".join(f"({i},{c})" for i, c in items)
+        sql_t = ntype.simpleString()
+        comps = df.sparkSession.sql(
+            f"SELECT CAST(col1 AS {sql_t}) AS `{id_col}`, "
+            f"CAST(col2 AS {sql_t}) AS comp FROM VALUES {values}")
+        m = q.join(F.broadcast(comps), id_col)
+        winners = (m.groupBy("comp")
+                   .agg(F.min(F.struct((-F.col("quality_score")).alias("ns"),
+                                       F.col(id_col).alias("kid"))).alias("w"))
+                   .select(F.col("w.kid").alias(id_col)))
+        removed = comps.select(id_col).join(winners, id_col, "left_anti")
+        return df.join(F.broadcast(removed), id_col, "left_anti")
+    comps = (_labels_relation(df.sparkSession, labels, ntype)
+             if labels is not None else _star_from_edges(edges)) \
         .withColumnRenamed("id", id_col)
     members = df.join(comps.select(id_col).hint("merge"), id_col,
                       "left_semi")

@@ -903,7 +903,8 @@ register(QuerySpec(
 
 def write_training_shards(df: DataFrame, out_dir: str,
                           shard_col: str = "shard",
-                          pos_col: str = "pos") -> None:
+                          pos_col: str = "pos",
+                          clustered: bool = False) -> None:
     """Materialize a sharded training corpus: one Hive-partitioned
     directory per shard, rows stored in ``pos`` order, so a sequential
     reader of shard/pos realizes the pipeline's seeded global order
@@ -915,9 +916,17 @@ def write_training_shards(df: DataFrame, out_dir: str,
     spray), then sortWithinPartitions orders rows inside the task before
     the write. No global sort anywhere; parallel width = shard count,
     which the upstream pipeline already sized to fit a task.
+
+    ``clustered=True`` (r14): the caller asserts ``df`` is ALREADY
+    hash-partitioned by ``shard_col`` (e.g. it flows out of
+    ``global_shuffle``'s window, whose Exchange clustered on shard) —
+    the repartition is skipped, saving a back-to-back full-corpus
+    shuffle on the same key. Files are identical: every shard still
+    lives entirely in one task, and ``partitionBy`` splits co-resident
+    shards into their own directories/files.
     """
-    (df.repartition(F.col(shard_col))
-     .sortWithinPartitions(shard_col, pos_col)
+    part = df if clustered else df.repartition(F.col(shard_col))
+    (part.sortWithinPartitions(shard_col, pos_col)
      .write.mode("overwrite").partitionBy(shard_col).parquet(out_dir))
 
 

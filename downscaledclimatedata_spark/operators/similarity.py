@@ -3313,9 +3313,15 @@ def _ivf_assign_three_level_cols(emb: DataFrame, id_col: str = "vec_id",
     # for centroids runs driver-side (codebook-sized), and the probe-2
     # runner-up is the kernel's top-2 at the sid1 level with the
     # identical (NULL-first d, key) ordering the array_sort form used
+    # lvl 0 requires BOTH predicates: the nested moduli make sup2_on_cid
+    # imply sup1_pred for every schedule the engine constructs, but a
+    # degenerate n_super2 > n_super would break the window nesting in the
+    # fixed-stride branch — the explicit conjunction keeps the hierarchy
+    # membership identical to the old nested sup1.filter(sup2) form for
+    # ANY parameterization (no-op for the shipped schedules).
     leaf = cents.select(
         F.col("cid").alias("kid"), "cv", "cn2",
-        F.when(sup2_on_cid, F.lit(0))
+        F.when(sup2_on_cid & sup1_pred, F.lit(0))
         .when(sup1_pred, F.lit(1)).otherwise(F.lit(2)).alias("lvl"))
     routed = _cascade_assign_arrow(base, leaf, id_col,
                                    ["sid2", "sid1", "cid"],

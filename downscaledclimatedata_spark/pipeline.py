@@ -41,7 +41,7 @@ from downscaledclimatedata_spark.operators.dedup import (
     DECON_NGRAM, contaminated_doc_ids, lsh_candidate_pairs,
     minhash_signatures, prune_corpus, prune_corpus_quality)
 from downscaledclimatedata_spark.operators.prep import (
-    MIX_ACCEPT_MOD, clean_documents, domain_mixture_sample, global_shuffle,
+    MIX_ACCEPT_MOD, clean_documents, global_shuffle,
     observed, observed_get, quality_filter, write_training_shards)
 
 
@@ -84,6 +84,12 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
       ``localCheckpoint``'ed so the two dedup consumers (signatures +
       corpus side of the prune) read the materialized rows instead of
       re-running the rule chain;
+    * decontamination (r14) fuses into the SAME checkpoint: the
+      contaminated-id set derives from the raw input (exact — a doc's
+      gram set does not depend on which corpus subset it sits in, and
+      the stock decon oracle scores every non-eval doc), so its
+      anti-join rides the quality materialization instead of paying a
+      second full-row checkpoint of the corpus;
     * the deduped corpus is ``localCheckpoint``'ed because it too has
       two consumers (the mixture-rate aggregate and the sampled join),
       and checkpointing caps the LSH/connected-components lineage;
@@ -93,9 +99,12 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
       once, inside the write, and its Observation fires there.
 
     The per-doc mixture acceptance re-derives each source's rate from
-    ``domain_mixture_sample``'s summary (a broadcastable |sources|-row
-    relation), so the sample drawn here is exactly the one the
-    registered spec accounts for.
+    the per-source integer token masses, collected once and folded into
+    correctly-rounded IEEE doubles with exactly ``domain_mixture_sample``'s
+    arithmetic — bit-identical rates, so the sample drawn here is
+    exactly the one the registered spec (and the funnel oracle)
+    accounts for, with the acceptance filter folded into the shard
+    write's scan instead of a broadcast join.
 
     ``keep`` picks the near-dup representative rule: ``"min_id"``
     (default, the registry-oracled funnel) or ``"quality"`` — every
@@ -158,40 +167,41 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
                          .alias("n_changed"))
                 .withColumn(text_col, F.col("_u.t")).drop("_u"))
 
-    # Stage 1: quality — ONE scan, ONE rule-chain evaluation, no join.
-    # The Observation sits above the filter so a single eager
-    # localCheckpoint materializes survivors AND counts input/passing.
+    # Stage 1 (+1b fused, r14): quality — ONE scan, ONE rule-chain
+    # evaluation, no join — and, when eval_docs is given, benchmark
+    # decontamination riding the SAME checkpoint. Decon runs BEFORE the
+    # near-dup prune so a contaminated doc can never be elected the
+    # cluster representative that survives dedup. The contaminated-id
+    # set derives from the RAW input (column-pruned to id+text: no
+    # quality-chain re-evaluation, and exact — the stock decon oracle
+    # scores every non-eval doc; restricting its verdict to the quality
+    # survivors via the anti-join is the same set); the eval-gram
+    # relation is broadcast (benchmarks are MBs vs a 100 TB corpus) so
+    # the corpus never shuffles on the gram. One localCheckpoint
+    # materializes survivors and fires BOTH counters, where the split
+    # form paid two full-row corpus checkpoints back to back.
     obs_q = Observation("pipeline_quality")
     flagged = quality_filter(docs, text_col, id_col, keep_input=True) \
         .observe(obs_q,
                  F.count(F.lit(1)).alias("n_input"),
                  F.sum(F.col("passes").cast("bigint")).alias("n_pass"))
-    quality_docs = flagged.filter("passes") \
-        .select(*docs.columns).localCheckpoint()
+    stage = flagged.filter("passes").select(*docs.columns)
+    obs_c = None
+    if eval_docs is not None:
+        bad = contaminated_doc_ids(docs.select(id_col, text_col), eval_docs,
+                                   text_col, id_col, n=decon_n)
+        obs_c = Observation("pipeline_decon")
+        stage = stage.join(bad, id_col, "left_anti") \
+            .observe(obs_c, F.count(F.lit(1)).alias("n_rows"))
+    quality_docs = stage.localCheckpoint()
     qm = obs_q.get
     # SUM over zero rows observes NULL (count observes 0) — an empty or
     # all-rejected corpus must report 0, like the oracle's coalesce
     n_input, n_quality = qm["n_input"], int(qm["n_pass"] or 0)
     n_normalized = int(obs_u.get["n_changed"] or 0) if obs_u else 0
-    _mark("quality")
-
-    # Stage 1b (opt-in): benchmark decontamination BEFORE near-dup
-    # prune, so a contaminated doc can never be elected the cluster
-    # representative that survives dedup. The eval-gram relation is
-    # broadcast (benchmarks are MBs vs a 100 TB corpus) — the corpus
-    # side of the drop never shuffles on the gram; the anti-join is the
-    # stage's only wide step. The count rides the stage checkpoint
-    # (two consumers follow: signatures + the prune's corpus side).
-    n_decon = 0
-    if eval_docs is not None:
-        bad = contaminated_doc_ids(quality_docs, eval_docs,
-                                   text_col, id_col, n=decon_n)
-        obs_c = Observation("pipeline_decon")
-        quality_docs = (quality_docs.join(bad, id_col, "left_anti")
-                        .observe(obs_c, F.count(F.lit(1)).alias("n_rows"))
-                        .localCheckpoint())
-        n_decon = int(n_quality) - int(obs_c.get["n_rows"])
-        _mark("decontaminate")
+    n_decon = (int(n_quality) - int(obs_c.get["n_rows"])
+               if obs_c is not None else 0)
+    _mark("quality_decon" if eval_docs is not None else "quality")
 
     # Stage 2: near-dup prune over the checkpointed survivors.
     if keep not in ("min_id", "quality"):
@@ -206,21 +216,53 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
     n_dedup = obs_d.get["n_rows"]
     _mark("dedup")
 
-    rates = domain_mixture_sample(deduped, budget_tokens,
-                                  source_col=source_col, text_col=text_col,
-                                  id_col=id_col, seed=f"{seed}-mix") \
-        .select("source", "rate")
+    # Mixture rates driver-side (r14): the per-source rate is a pure
+    # function of the per-source token mass, so ONE tiny collect of the
+    # integer stats replaces domain_mixture_sample's broadcast-build
+    # chain (its tokenize-once checkpoint + stats/total/realized stage
+    # waves — the builder only ever consumed the |sources|-row rate
+    # column). The arithmetic below mirrors the operator EXPRESSION BY
+    # EXPRESSION in correctly-rounded IEEE doubles — floor(sqrt(double)),
+    # exact int→double casts of the products, one double division,
+    # min(1.0, ·) — so every rate is bit-identical to the operator's
+    # (and the oracle's); the acceptance filter then folds into the
+    # shard write's scan as a literal map lookup instead of a broadcast
+    # hash join (a doc whose source is missing/NULL maps to NULL and is
+    # dropped, exactly like the former inner join).
+    import math
+
+    from downscaledclimatedata_spark.functions.text import WS_RE
+    toks = F.filter(F.split(F.lower(F.col(text_col)), WS_RE),
+                    lambda x: x != "")
+    stats = (deduped.groupBy(F.col(source_col).alias("source"))
+             .agg(F.sum(F.coalesce(F.size(toks).cast("bigint"), F.lit(0)))
+                  .alias("tok_s"))
+             .collect())
+    # a NULL-source group contributes its weight to total_w exactly as
+    # the operator's stats aggregate does, but can never be a map key —
+    # its docs fall to the NULL-lookup drop, like the former inner join
+    ws = {r["source"]: int(math.floor(math.sqrt(float(r["tok_s"]))))
+          for r in stats}
+    total_w = sum(ws.values())
+    rate_of = {}
+    for r in stats:
+        if r["source"] is None:
+            continue
+        denom = float(total_w * r["tok_s"])
+        num = float(budget_tokens * ws[r["source"]])
+        # denom 0 (an all-empty-token source): the operator's 0.0/0.0
+        # is NaN and least(1.0, NaN) = 1.0 under Spark's NaN-is-largest
+        rate_of[r["source"]] = 1.0 if denom == 0.0 else min(1.0, num / denom)
     accept = (md5_long(F.col(id_col).cast("string"), seed=f"{seed}-mix:")
               % MIX_ACCEPT_MOD)
-    sampled = (deduped
-               .join(F.broadcast(rates),
-                     deduped[source_col] == rates["source"])
-               .filter(accept.cast("double") < F.col("rate") * MIX_ACCEPT_MOD)
-               .drop("source", "rate")
-               if source_col != "source" else
-               deduped.join(F.broadcast(rates), "source")
-               .filter(accept.cast("double") < F.col("rate") * MIX_ACCEPT_MOD)
-               .drop("rate"))
+    if rate_of:
+        rate_col = F.create_map(
+            *[x for s, r in sorted(rate_of.items())
+              for x in (F.lit(s), F.lit(r))])[F.col(source_col)]
+    else:
+        rate_col = F.lit(None).cast("double")
+    sampled = deduped.filter(
+        accept.cast("double") < rate_col * MIX_ACCEPT_MOD)
 
     cleaned = clean_documents(sampled, text_col, id_col,
                               keep_cols=(source_col,))
@@ -240,9 +282,10 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
             publish_audited)
         publish_report = publish_audited(
             docs.sparkSession, out_dir, audits,
-            lambda staging: write_training_shards(final, staging))
+            lambda staging: write_training_shards(final, staging,
+                                                  clustered=True))
     else:
-        write_training_shards(final, out_dir)
+        write_training_shards(final, out_dir, clustered=True)
     # observed_get, not obs.get: a corpus whose mixture stage samples
     # ZERO docs lets AQE's empty-relation propagation eliminate the
     # metrics node below the write — the zero-row defaults are exactly

@@ -149,3 +149,52 @@ def test_star_tiers_identical(spark):
             assert D.connected_components_star(empty).count() == 0
     finally:
         D.CC_DRIVER_MAX_EDGES = orig
+
+
+def test_prune_tiers_identical(spark):
+    """r14: prune_corpus / prune_corpus_quality gained a driver-tier
+    fast path (inlined IN-predicate / literal VALUES election) — force
+    every tier combination over deterministic random corpora+graphs and
+    require identical survivor sets. Covers: the isin path, the
+    below-tier relation fallback (PRUNE_ISIN_MAX_IDS = -1), and the
+    distributed star path (CC_DRIVER_MAX_EDGES = -1)."""
+    import random
+
+    from downscaledclimatedata_spark.operators import dedup as D
+
+    rng = random.Random(41)
+    words = ["alpha", "beta", "the", "and", "is", "gamma", "zz1", "qq"]
+    orig_cc, orig_in = D.CC_DRIVER_MAX_EDGES, D.PRUNE_ISIN_MAX_IDS
+    try:
+        for trial in range(3):
+            n = rng.randint(8, 25)
+            docs = spark.createDataFrame(
+                [(i, " ".join(rng.choices(words, k=rng.randint(3, 30))))
+                 for i in range(n)] + [(n, None)],
+                "doc_id bigint, text string")
+            edges = [(rng.randint(0, n - 1), rng.randint(0, n - 1))
+                     for _ in range(rng.randint(2, 12))]
+            pairs = spark.createDataFrame(
+                [e for e in edges if e[0] != e[1]] or [(0, 1)],
+                "id_a bigint, id_b bigint")
+            for fn in (D.prune_corpus, D.prune_corpus_quality):
+                outs = []
+                for cc_cap, in_cap in ((10**9, 10**9), (10**9, -1),
+                                       (-1, orig_in)):
+                    D.CC_DRIVER_MAX_EDGES = cc_cap
+                    D.PRUNE_ISIN_MAX_IDS = in_cap
+                    outs.append({r.doc_id
+                                 for r in fn(docs, pairs).collect()})
+                assert outs[0] == outs[1] == outs[2], \
+                    f"{fn.__name__} trial {trial}: {outs}"
+        # no-pair graph: every doc survives on every tier
+        docs1 = spark.createDataFrame([(1, "a b c")],
+                                      "doc_id bigint, text string")
+        nopairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+        for cc_cap in (10**9, -1):
+            D.CC_DRIVER_MAX_EDGES = cc_cap
+            assert D.prune_corpus(docs1, nopairs).count() == 1
+            assert D.prune_corpus_quality(docs1, nopairs).count() == 1
+    finally:
+        D.CC_DRIVER_MAX_EDGES = orig_cc
+        D.PRUNE_ISIN_MAX_IDS = orig_in
