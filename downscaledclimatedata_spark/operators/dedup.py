@@ -2047,7 +2047,8 @@ register(QuerySpec("dedup_all_signal_clusters",
 # --- dedup application: the pruned corpus ---------------------------------------
 
 def prune_corpus(df: DataFrame, pairs: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id", _info: dict | None = None
+                 ) -> DataFrame:
     """Apply a near-dup pair relation to the corpus: keep the min-id
     representative of every connected component plus every unpaired doc
     — the step that turns dedup ANALYSIS into the corpus a pipeline
@@ -2066,14 +2067,27 @@ def prune_corpus(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     join's exactly (a NULL id matches nothing and is kept, hence the
     IS NULL arm). Above the tier, or for non-integral/huge id sets, the
     relation anti-join runs unchanged.
+
+    ``_info`` (internal): when given, ``_info["folded"]`` is set True
+    iff the returned plan is a pure filter over ``df`` (no join, no
+    driver-relation dependency) — a caller that would otherwise
+    checkpoint the result for multiple consumers can skip the
+    materialization, since re-running an InSet filter over its already-
+    checkpointed input is free.
     """
+    if _info is not None:
+        _info["folded"] = False
     labels, edges = _component_labels(pairs)
     if labels is not None:
         removed_ids = sorted(i for i, c in labels.items() if i != c)
         if not removed_ids:
+            if _info is not None:
+                _info["folded"] = True
             return df
         if (len(removed_ids) <= PRUNE_ISIN_MAX_IDS
                 and _integral_node_type(edges.schema[0].dataType)):
+            if _info is not None:
+                _info["folded"] = True
             in_list = ",".join(str(i) for i in removed_ids)
             return df.filter(F.expr(
                 f"`{id_col}` IS NULL OR `{id_col}` NOT IN ({in_list})"))
@@ -3067,7 +3081,8 @@ def quality_keep(docs: DataFrame, pairs: DataFrame,
 
 def prune_corpus_quality(df: DataFrame, pairs: DataFrame,
                          text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         _info: dict | None = None) -> DataFrame:
     """:func:`prune_corpus` with :func:`quality_keep`'s election rule:
     every near-dup component keeps its HIGHEST-quality member (min-id
     tie-break) instead of the min id — so a boilerplate-mangled low-id
@@ -3084,17 +3099,25 @@ def prune_corpus_quality(df: DataFrame, pairs: DataFrame,
     member scan folds into the corpus scan — no corpus-keyed semi-join
     shuffle), the (id, comp) map joins the scored members as a literal
     ``VALUES`` relation (broadcast, one py4j round trip), and the
-    removed set anti-joins the corpus as a broadcast — zero corpus
-    exchanges where the relational form paid two sort-merge shuffles.
-    Election arithmetic is the identical min-struct aggregate.
+    election runs as ONE bounded job whose winner ids come back to the
+    driver — the prune itself is then a pure ``NOT IN`` scan filter
+    (zero corpus exchanges where the relational form paid two
+    sort-merge shuffles, and re-runnable for free by every consumer:
+    ``_info["folded"]`` as in :func:`prune_corpus`). Election
+    arithmetic is the identical relational min-struct aggregate — only
+    the RESULTING kid set crosses to the driver, never the scores.
     """
     from downscaledclimatedata_spark.operators.textops import quality_scores
 
+    if _info is not None:
+        _info["folded"] = False
     labels, edges = _component_labels(pairs)
     ntype = edges.schema[0].dataType
     if (labels is not None and len(labels) <= PRUNE_ISIN_MAX_IDS
             and _integral_node_type(ntype)):
         if not labels:
+            if _info is not None:
+                _info["folded"] = True
             return df
         items = sorted(labels.items())
         in_list = ",".join(str(i) for i, _ in items)
@@ -3111,8 +3134,17 @@ def prune_corpus_quality(df: DataFrame, pairs: DataFrame,
                    .agg(F.min(F.struct((-F.col("quality_score")).alias("ns"),
                                        F.col(id_col).alias("kid"))).alias("w"))
                    .select(F.col("w.kid").alias(id_col)))
-        removed = comps.select(id_col).join(winners, id_col, "left_anti")
-        return df.join(F.broadcast(removed), id_col, "left_anti")
+        keep = {r[0] for r in winners.collect()}
+        removed_ids = sorted(i for i in labels if i not in keep)
+        if not removed_ids:
+            if _info is not None:
+                _info["folded"] = True
+            return df
+        if _info is not None:
+            _info["folded"] = True
+        rm_list = ",".join(str(i) for i in removed_ids)
+        return df.filter(F.expr(
+            f"`{id_col}` IS NULL OR `{id_col}` NOT IN ({rm_list})"))
     comps = (_labels_relation(df.sparkSession, labels, ntype)
              if labels is not None else _star_from_edges(edges)) \
         .withColumnRenamed("id", id_col)

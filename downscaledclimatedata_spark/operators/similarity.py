@@ -5518,6 +5518,15 @@ register(QuerySpec(
 
 # --- kNN-graph triangle count / clustering coefficient ----------------------------
 
+# Triangle-join tier (r14): at or under this many distinct undirected
+# edges (2 longs/row → ≤ ~32 MB payload) the closing self-joins
+# broadcast the checkpointed edge relation (built once, reused by both
+# joins) instead of four sort-merge exchanges. Above it — a corpus-scale
+# n·k graph — the SMJ form runs unchanged. The count rides the edge
+# checkpoint as an Observation, so the tier probe costs no extra job.
+TRI_BROADCAST_MAX_EDGES = 2_000_000
+
+
 def knn_triangles(emb: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding", **graph_kwargs) -> DataFrame:
     """Exact triangle count and global clustering coefficient of the
@@ -5537,29 +5546,49 @@ def knn_triangles(emb: DataFrame, id_col: str = "vec_id",
     both joins are vertex-keyed shuffles of that bounded relation, and
     degree skew is bounded by the hubness distribution the companion
     diagnostic measures. Nothing touches raw vectors after the graph.
+
+    r14: (a) the edge count folds into the degree aggregate —
+    ``n_edges = Σd div 2`` exactly (every distinct a<b edge contributes
+    two degree entries), so the third scan-and-aggregate branch and its
+    crossJoin wave are gone; (b) the triangle self-joins tier on the
+    edge count the checkpoint already observes: at or under
+    :data:`TRI_BROADCAST_MAX_EDGES` the closing joins broadcast the
+    (checkpointed, reused) edge relation instead of paying four
+    sort-merge exchanges — results identical, SMJ stays the default
+    above the cap where n·k edges no longer fit an executor.
     """
+    from pyspark.sql import Observation
+
     g = knn_graph(emb, id_col, vec_col, **graph_kwargs)
+    obs_e = Observation()
     e = (g.filter(F.col(id_col) != F.col("neighbor_id"))
          .select(F.least(F.col(id_col), F.col("neighbor_id")).alias("a"),
                  F.greatest(F.col(id_col), F.col("neighbor_id"))
                  .alias("b"))
-         .distinct().localCheckpoint())
+         .distinct()
+         .observe(obs_e, F.count(F.lit(1)).alias("n"))
+         .localCheckpoint())
+    small = int(obs_e.get["n"] or 0) <= TRI_BROADCAST_MAX_EDGES
     deg = (e.select(F.col("a").alias("v"))
            .unionAll(e.select(F.col("b").alias("v")))
            .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
     wedges = deg.agg(
         F.sum(F.expr("d * (d - 1) div 2"))
         .alias("n_wedges"),
-        F.count(F.lit(1)).alias("n_vertices"))
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (e1.join(e2.hint("merge"), F.col("e1.b") == F.col("e2.a"))
-           .join(e3.hint("merge"),
+        F.count(F.lit(1)).alias("n_vertices"),
+        # exact integer div; coalesce 0 = the COUNT(*) an empty edge
+        # relation used to report (SUM over zero rows is NULL)
+        F.coalesce(F.expr("sum(d) div 2"), F.lit(0))
+        .cast("bigint").alias("n_edges"))
+    e1 = e.alias("e1")
+    e2 = (F.broadcast(e) if small else e.hint("merge")).alias("e2")
+    e3 = (F.broadcast(e) if small else e.hint("merge")).alias("e3")
+    tri = (e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+           .join(e3,
                  (F.col("e3.a") == F.col("e1.a"))
                  & (F.col("e3.b") == F.col("e2.b")))
            .agg(F.count(F.lit(1)).alias("n_triangles")))
-    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (edges.crossJoin(F.broadcast(tri))
-            .crossJoin(F.broadcast(wedges))
+    return (wedges.crossJoin(F.broadcast(tri))
             .select(
                 F.col("n_vertices").cast("bigint").alias("n_vertices"),
                 F.col("n_edges").cast("bigint").alias("n_edges"),

@@ -203,17 +203,27 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
                if obs_c is not None else 0)
     _mark("quality_decon" if eval_docs is not None else "quality")
 
-    # Stage 2: near-dup prune over the checkpointed survivors.
+    # Stage 2: near-dup prune over the checkpointed survivors. When the
+    # prune FOLDS to a pure scan filter (driver-tier labels, r14), the
+    # deduped relation is NOT checkpointed: its two consumers (the
+    # mixture stats collect below and the shard write) each re-apply a
+    # free InSet filter over the already-checkpointed quality rows
+    # instead of paying a second full-row corpus materialization, and
+    # the n_dedup Observation fires on the stats collect. The
+    # distributed prune (join against star labels) keeps the eager
+    # checkpoint — two consumers would otherwise re-run the join, and
+    # the iterative lineage must stay capped.
     if keep not in ("min_id", "quality"):
         raise ValueError(f"keep must be 'min_id' or 'quality': {keep!r}")
     prune = prune_corpus if keep == "min_id" else prune_corpus_quality
     sigs = minhash_signatures(quality_docs, text_col, id_col)
     obs_d = Observation("pipeline_dedup")
+    info: dict = {}
     deduped = prune(quality_docs, lsh_candidate_pairs(sigs, id_col),
-                    text_col, id_col) \
-        .observe(obs_d, F.count(F.lit(1)).alias("n_rows")) \
-        .localCheckpoint()
-    n_dedup = obs_d.get["n_rows"]
+                    text_col, id_col, _info=info) \
+        .observe(obs_d, F.count(F.lit(1)).alias("n_rows"))
+    if not info.get("folded"):
+        deduped = deduped.localCheckpoint()
     _mark("dedup")
 
     # Mixture rates driver-side (r14): the per-source rate is a pure
@@ -238,6 +248,11 @@ def build_training_corpus(docs: DataFrame, out_dir: str, *,
              .agg(F.sum(F.coalesce(F.size(toks).cast("bigint"), F.lit(0)))
                   .alias("tok_s"))
              .collect())
+    # first materialization of the (possibly unfolded-checkpoint-free)
+    # deduped relation just ran — the n_dedup Observation has fired.
+    # observed_get, not obs_d.get: an EMPTY folded relation can have
+    # its metrics node eliminated by AQE empty-relation propagation.
+    n_dedup = observed_get(obs_d, {"n_rows": 0})["n_rows"]
     # a NULL-source group contributes its weight to total_w exactly as
     # the operator's stats aggregate does, but can never be a map key —
     # its docs fall to the NULL-lookup drop, like the former inner join
